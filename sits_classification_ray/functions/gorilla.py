@@ -1,0 +1,201 @@
+"""Gorilla time-series compression: delta-of-delta timestamps + XOR floats.
+
+Implements the encoding of Pelkonen et al., "Gorilla: A Fast, Scalable,
+In-Memory Time Series Database" (VLDB 2015) — the codec the north star
+prescribes for per-url metric streams. This replaces the reference's
+parse-once npy/pkl segment cache (``pytorch/utils/Dataset.py:96-115``)
+with a compact binary segment per (url, metric).
+
+Timestamps (int64, microseconds):
+  header: raw 64-bit first timestamp; then per point the
+  delta-of-delta D (first point uses prev_delta = 0) with prefix codes
+    '0'                      D == 0
+    '10'   + 7  bits         D ∈ [-63, 64]        (stored D + 63)
+    '110'  + 9  bits         D ∈ [-255, 256]      (stored D + 255)
+    '1110' + 12 bits         D ∈ [-2047, 2048]    (stored D + 2047)
+    '1111' + 64 bits         otherwise (raw two's-complement)
+  (the paper's last class is 32-bit; 64 here because microsecond deltas
+  overflow 32 bits — same prefix structure.)
+
+Values (float64, bit pattern preserved — NaN survives roundtrip):
+  header: raw 64-bit first value; then per point XOR with predecessor:
+    '0'                      XOR == 0
+    '10' + meaningful bits   fits predecessor's leading/trailing window
+    '11' + 5 bits lz + 6 bits (sig-1) + sig bits   new window
+
+Bit-level encode/decode is an inherently sequential loop; it runs
+per-series inside ``map_batches`` / ``map_groups`` where series are
+short, with numpy precomputing deltas and XORs.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+
+class BitWriter:
+    __slots__ = ("buf", "acc", "nbits")
+
+    def __init__(self) -> None:
+        self.buf = bytearray()
+        self.acc = 0
+        self.nbits = 0
+
+    def write(self, value: int, nbits: int) -> None:
+        self.acc = (self.acc << nbits) | (value & ((1 << nbits) - 1))
+        self.nbits += nbits
+        while self.nbits >= 8:
+            self.nbits -= 8
+            self.buf.append((self.acc >> self.nbits) & 0xFF)
+        self.acc &= (1 << self.nbits) - 1
+
+    def to_bytes(self) -> bytes:
+        if self.nbits:
+            return bytes(self.buf) + bytes([(self.acc << (8 - self.nbits)) & 0xFF])
+        return bytes(self.buf)
+
+
+class BitReader:
+    __slots__ = ("data", "pos")
+
+    def __init__(self, data: bytes) -> None:
+        self.data = data
+        self.pos = 0
+
+    def read(self, nbits: int) -> int:
+        out = 0
+        pos = self.pos
+        data = self.data
+        while nbits:
+            byte_i, bit_i = divmod(pos, 8)
+            avail = 8 - bit_i
+            take = avail if avail < nbits else nbits
+            chunk = (data[byte_i] >> (avail - take)) & ((1 << take) - 1)
+            out = (out << take) | chunk
+            nbits -= take
+            pos += take
+        self.pos = pos
+        return out
+
+
+_DOD_CLASSES = (          # (lo, hi, prefix, prefix_bits, payload_bits)
+    (-63, 64, 0b10, 2, 7),
+    (-255, 256, 0b110, 3, 9),
+    (-2047, 2048, 0b1110, 4, 12),
+)
+
+
+def encode_timestamps(ts: np.ndarray) -> bytes:
+    """int64 microsecond timestamps (sorted) → delta-of-delta bytes."""
+    ts = np.asarray(ts, dtype=np.int64)
+    w = BitWriter()
+    if len(ts) == 0:
+        return w.to_bytes()
+    w.write(int(ts[0]) & ((1 << 64) - 1), 64)
+    deltas = np.diff(ts)
+    dods = np.diff(np.concatenate(([0], deltas)))
+    for d in dods.tolist():
+        if d == 0:
+            w.write(0, 1)
+            continue
+        for lo, hi, prefix, pbits, vbits in _DOD_CLASSES:
+            if lo <= d <= hi:
+                w.write(prefix, pbits)
+                w.write(d - lo, vbits)
+                break
+        else:
+            w.write(0b1111, 4)
+            w.write(d & ((1 << 64) - 1), 64)
+    return w.to_bytes()
+
+
+def decode_timestamps(data: bytes, n: int) -> np.ndarray:
+    r = BitReader(data)
+    out = np.empty(n, dtype=np.int64)
+    if n == 0:
+        return out
+    t = r.read(64)
+    if t >= 1 << 63:
+        t -= 1 << 64
+    out[0] = t
+    delta = 0
+    for i in range(1, n):
+        if r.read(1) == 0:
+            d = 0
+        else:
+            for lo, hi, prefix, pbits, vbits in _DOD_CLASSES:
+                if r.read(1) == 0:      # consumed one more prefix bit
+                    d = r.read(vbits) + lo
+                    break
+            else:
+                d = r.read(64)
+                if d >= 1 << 63:
+                    d -= 1 << 64
+        delta += d
+        t += delta
+        out[i] = t
+    return out
+
+
+def encode_values(values: np.ndarray) -> bytes:
+    """float64 array → Gorilla XOR bytes (bit patterns preserved)."""
+    bits = np.ascontiguousarray(values, dtype=np.float64).view(np.uint64)
+    w = BitWriter()
+    if len(bits) == 0:
+        return w.to_bytes()
+    prev = int(bits[0])
+    w.write(prev, 64)
+    xors = (bits[1:] ^ bits[:-1]).tolist()
+    lz_win, sig_win = -1, -1            # current leading-zero window
+    for x in xors:
+        if x == 0:
+            w.write(0, 1)
+            continue
+        lz = 64 - x.bit_length()
+        if lz > 31:
+            lz = 31                     # 5-bit field cap (paper)
+        tz = (x & -x).bit_length() - 1
+        sig = 64 - lz - tz
+        if lz_win >= 0 and lz >= lz_win and tz >= 64 - lz_win - sig_win:
+            w.write(0b10, 2)
+            w.write(x >> (64 - lz_win - sig_win), sig_win)
+        else:
+            lz_win, sig_win = lz, sig
+            w.write(0b11, 2)
+            w.write(lz, 5)
+            w.write(sig - 1, 6)
+            w.write(x >> tz, sig)
+    return w.to_bytes()
+
+
+def decode_values(data: bytes, n: int) -> np.ndarray:
+    r = BitReader(data)
+    out = np.empty(n, dtype=np.uint64)
+    if n == 0:
+        return out.view(np.float64)
+    prev = r.read(64)
+    out[0] = prev
+    lz_win, sig_win = -1, -1
+    for i in range(1, n):
+        c = r.read(1)
+        if c == 0:
+            out[i] = prev
+            continue
+        if r.read(1) == 0:              # '10' — reuse window
+            x = r.read(sig_win) << (64 - lz_win - sig_win)
+        else:                           # '11' — new window
+            lz_win = r.read(5)
+            sig_win = r.read(6) + 1
+            x = r.read(sig_win) << (64 - lz_win - sig_win)
+        prev ^= x
+        out[i] = prev
+    return out.view(np.float64)
+
+
+def encode_series(ts_us: np.ndarray, values: np.ndarray) -> tuple[bytes, bytes]:
+    """One sorted series → (ts_codes, val_codes)."""
+    return encode_timestamps(ts_us), encode_values(values)
+
+
+def decode_series(ts_codes: bytes, val_codes: bytes, n: int) -> tuple[np.ndarray, np.ndarray]:
+    return decode_timestamps(ts_codes, n), decode_values(val_codes, n)

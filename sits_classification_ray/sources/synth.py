@@ -1,0 +1,239 @@
+"""Deterministic synthesis of the Common-Crawl-style crawl table.
+
+The engine's primary input is a Parquet table with columns
+``(url: string, warc_ts: timestamp[us], html: binary, text: string,
+lang: string)`` — exactly ``BASELINE.json.input_hint``. No such table
+ships with the test data, so it is synthesized deterministically:
+
+1. :func:`crawl_from_tables` derives a crawl table from the
+   driver-provided ``events`` + ``documents`` parquet tables via a pure
+   expression. The identical derivation is expressed in ANSI SQL as
+   :data:`CRAWL_CTE` so the DuckDB oracle can reconstruct the same rows
+   bit-for-bit (correctness gate).
+2. :func:`generate_crawl_parquet` is a standalone seeded Zipf generator
+   (per FIXTURES.md §1) used by unit tests and the benchmark: head-domain
+   skew, duplicate timestamps, singleton series, out-of-order rows and
+   degenerate html rows are all injected on purpose.
+
+The ``documents`` table is a fixed 500-row dimension at every scale
+factor, so it is broadcast once via ``ray.put`` and looked up inside an
+actor pool (the reference's thermal-raster broadcast pattern,
+``utils/class_run.py:85-89``).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+import ray
+import ray.data as rd
+
+CRAWL_SCHEMA = pa.schema(
+    [
+        ("url", pa.string()),
+        ("warc_ts", pa.timestamp("us")),
+        ("html", pa.binary()),
+        ("text", pa.string()),
+        ("lang", pa.string()),
+    ]
+)
+
+#: SQL CTE reproducing :func:`crawl_from_tables` exactly. Every oracle
+#: query over the crawl table starts with ``WITH crawl AS (...)``.
+CRAWL_CTE = """
+crawl AS (
+  SELECT
+    'https://site-' || CAST(e.user_id % 40 AS VARCHAR)
+        || '.example.com/u/' || CAST(e.user_id AS VARCHAR) AS url,
+    date_trunc('minute', e.ts) AS warc_ts,
+    CAST('<html><head><title>u' || CAST(e.user_id AS VARCHAR)
+        || '</title></head><body>' || d.text
+        || '</body></html>' AS BLOB) AS html,
+    d.text AS text,
+    d.lang AS lang
+  FROM events e
+  JOIN documents d
+    ON d.doc_id = e.event_id % (SELECT count(*) FROM documents)
+)
+""".strip()
+
+
+class _AttachDocuments:
+    """Actor-pool stage: join each event row to its document payload.
+
+    The documents side is tiny and fixed-size, so it is broadcast once
+    (``ray.put`` on the driver) and materialized once per actor in
+    ``__init__`` — never re-shipped per batch. Mirrors the reference's
+    load-once thermal raster (utils/class_run.py:85-89) re-expressed as
+    the Ray broadcast-join idiom.
+    """
+
+    def __init__(self, docs_ref):
+        docs: pa.Table = ray.get(docs_ref)
+        order = pc.sort_indices(docs["doc_id"])
+        docs = docs.take(order)
+        self.text = docs["text"].combine_chunks()
+        self.lang = docs["lang"].combine_chunks()
+        self.n_docs = len(docs)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        uid = pc.cast(batch["user_id"], pa.string())
+        site = pc.cast(pc.subtract(batch["user_id"],
+                                   pc.multiply(pc.divide(batch["user_id"], 40),
+                                               40)),
+                       pa.string())
+        url = pc.binary_join_element_wise(
+            "https://site-", site, ".example.com/u/", uid, "")
+        warc_ts = pc.floor_temporal(batch["ts"], unit="minute")
+        doc_idx = pc.subtract(
+            batch["event_id"],
+            pc.multiply(pc.divide(batch["event_id"], self.n_docs), self.n_docs),
+        )
+        text = pc.take(self.text, doc_idx)
+        lang = pc.take(self.lang, doc_idx)
+        html = pc.cast(
+            pc.binary_join_element_wise(
+                "<html><head><title>u", uid, "</title></head><body>",
+                text, "</body></html>", ""),
+            pa.binary(),
+        )
+        return pa.table(
+            {
+                "url": url,
+                "warc_ts": pc.cast(warc_ts, pa.timestamp("us")),
+                "html": html,
+                "text": text,
+                "lang": lang,
+            }
+        )
+
+
+def crawl_from_tables(sf_dir: str) -> rd.Dataset:
+    """Crawl table as a Ray Dataset, derived from events × documents.
+
+    One crawl snapshot per event: url keyed on ``user_id`` (so each url
+    has an irregular ~30-day history of snapshots), payload from the
+    broadcast ``documents`` dimension. Deterministic; mirrored by
+    :data:`CRAWL_CTE` for the DuckDB oracle.
+    """
+    docs = pq.read_table(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text", "lang"])
+    docs_ref = ray.put(docs)
+    events = rd.read_parquet(f"{sf_dir}/events.parquet",
+                             columns=["event_id", "ts", "user_id"])
+    return events.map_batches(
+        _AttachDocuments,
+        fn_constructor_args=(docs_ref,),
+        batch_format="pyarrow",
+        concurrency=(1, 8),
+        num_cpus=1,
+    )
+
+
+# ---------------------------------------------------------------------------
+# Standalone seeded generator (FIXTURES.md §1) — tests and benchmark.
+# ---------------------------------------------------------------------------
+
+_WORDS = np.array(
+    "the of and to a in for is on that by this with you it not or be are "
+    "from at as your all have new more an was we will home can us about if "
+    "page my has search free but our one other do no information time they "
+    "site he up may what which their news out use any there see only so his "
+    "when contact here business who web also now help get view online first "
+    "am been would how were me services some these click its like service".split()
+)
+
+_LANGS = np.array(["en", "de", "fr", "es", "zh", "pt", "it"])
+
+
+def synth_crawl_arrays(
+    n_urls: int = 100,
+    mean_snaps: int = 40,
+    seed: int = 42,
+    span_days: int = 60,
+    zipf_a: float = 1.4,
+) -> pa.Table:
+    """Build a crawl table in memory (deterministic, seeded).
+
+    Injects every edge case FIXTURES.md §1 calls for: Zipf head urls,
+    duplicate ``warc_ts`` (first-wins dedup), a singleton-series url
+    (cf. reference singleton filter utils/class_run.py:154-156), rows
+    written out of time order (sort requirement), and a few
+    empty/degenerate html rows (all-invalid filter,
+    utils/class_run.py:150-152).
+    """
+    rng = np.random.default_rng(seed)
+    # Zipf-ish snapshot counts, clipped; url 0 is the head domain.
+    counts = np.clip(
+        (rng.zipf(zipf_a, size=n_urls) * mean_snaps / 3).astype(np.int64),
+        2, mean_snaps * 50,
+    )
+    counts[0] = int(mean_snaps * 30)       # head domain
+    counts[1] = 1                          # singleton series
+    url_ids = np.repeat(np.arange(n_urls), counts)
+    n = len(url_ids)
+
+    t0 = np.datetime64("2024-01-01T00:00:00", "us")
+    span_us = span_days * 86400 * 1_000_000
+    # Irregular per-row offsets; minute resolution so duplicates occur.
+    offs = rng.integers(0, span_us // 60_000_000, size=n) * 60_000_000
+    warc_ts = t0 + offs.astype("timedelta64[us]")
+    # Force some exact-duplicate (url, warc_ts) pairs on the head url.
+    dup = min(20, counts[0] // 2)
+    warc_ts[dup:2 * dup] = warc_ts[:dup]
+
+    # Deterministic text per row: 5-40 words from the vocabulary.
+    nw = rng.integers(5, 41, size=n)
+    tok = rng.integers(0, len(_WORDS), size=int(nw.sum()))
+    words = _WORDS[tok]
+    bounds = np.zeros(n + 1, dtype=np.int64)
+    np.cumsum(nw, out=bounds[1:])
+    texts = np.array(
+        [" ".join(words[bounds[i]:bounds[i + 1]]) for i in range(n)],
+        dtype=object,
+    )
+    langs = _LANGS[rng.integers(0, len(_LANGS), size=n)]
+
+    site = url_ids % 17
+    urls = np.array(
+        [f"https://site-{s}.example.com/u/{u}" for s, u in zip(site, url_ids)],
+        dtype=object,
+    )
+    htmls = np.array(
+        [f"<html><head><title>u{u}</title></head><body>{t}</body></html>".encode()
+         for u, t in zip(url_ids, texts)],
+        dtype=object,
+    )
+    # Degenerate html rows (extraction must yield null → filtered).
+    bad = rng.choice(n, size=max(1, n // 500), replace=False)
+    for i in bad:
+        htmls[i] = b"<html></html>"
+        texts[i] = ""
+
+    # Shuffle row order so series arrive out of time order.
+    perm = rng.permutation(n)
+    return pa.table(
+        {
+            "url": pa.array(urls[perm], pa.string()),
+            "warc_ts": pa.array(warc_ts[perm], pa.timestamp("us")),
+            "html": pa.array(list(htmls[perm]), pa.binary()),
+            "text": pa.array(texts[perm], pa.string()),
+            "lang": pa.array(langs[perm], pa.string()),
+        }
+    )
+
+
+def generate_crawl_parquet(
+    out_path: str,
+    n_urls: int = 100,
+    mean_snaps: int = 40,
+    seed: int = 42,
+    span_days: int = 60,
+    row_group_size: int = 200_000,
+) -> str:
+    """Write the synthetic crawl table to one Parquet file; returns path."""
+    table = synth_crawl_arrays(n_urls, mean_snaps, seed, span_days)
+    pq.write_table(table, out_path, row_group_size=row_group_size)
+    return out_path

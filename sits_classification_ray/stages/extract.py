@@ -1,0 +1,114 @@
+"""Extraction stage: html → text + per-snapshot metrics.
+
+Stateless ``map_batches`` tasks over zero-copy Arrow batches — the
+analog of the reference's tile→sample extraction
+(``utils/class_run.py:123-201``): decode the raw payload, screen
+invalid rows (reference nodata −9999 → NaN, ``utils/class_run.py:140``;
+all-invalid drop, ``utils/class_run.py:150-152``), derive per-snapshot
+metrics (band-math analog, ``force/skel/dswi_harmonic_tss.py:60-88``)
+and attach the hash partition key (FORCE tile analog,
+``force/force_class_utils.py:253-255``).
+
+Everything here is vectorized pyarrow.compute; the html column is
+dropped as soon as text is extracted so wide binary payloads never
+enter a shuffle.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray.data as rd
+
+from sits_classification_ray.config import EngineConfig
+
+#: Extracts the body payload; (?s) so the payload may span lines. RE2
+#: syntax — identical semantics in pyarrow (extract_regex) and DuckDB
+#: (regexp_extract), which the oracle SQL relies on.
+BODY_RE = r"(?s)<body>(?P<t>.*)</body>"
+
+
+def url_bucket_of(urls: pa.Array | pa.ChunkedArray, n_buckets: int) -> pa.Array:
+    """Stable hash bucket per url (uint32).
+
+    Uses pandas' SipHash-based ``hash_array`` with the library-default
+    fixed key, so the mapping is deterministic across runs, workers and
+    sessions (required for resumable per-partition checkpoints).
+    ``categorize=True`` hashes each distinct url once per batch.
+    """
+    arr = np.asarray(urls, dtype=object)
+    h = pd.util.hash_array(arr, categorize=True)
+    return pa.array((h % np.uint64(n_buckets)).astype(np.uint32))
+
+
+def extract_batch(batch: pa.Table, n_buckets: int, keep_text: bool) -> pa.Table:
+    """html → text, metric derivation, invalid-row screening, bucketing."""
+    html_str = pc.cast(batch["html"], pa.string())
+    ext = pc.extract_regex(html_str, BODY_RE)
+    text = pc.struct_field(ext, "t") if len(batch) else pa.array([], pa.string())
+    # Invalid-row screen: no body, or empty body (reference drops
+    # samples whose features are entirely missing).
+    valid = pc.and_(pc.is_valid(text), pc.greater(pc.utf8_length(text), 0))
+
+    text_len = pc.cast(pc.utf8_length(text), pa.int64())
+    word_count = pc.cast(
+        pc.list_value_length(pc.split_pattern(text, " ")), pa.int64())
+
+    cols: dict[str, pa.Array | pa.ChunkedArray] = {
+        "url": batch["url"],
+        "url_bucket": url_bucket_of(batch["url"], n_buckets),
+        "warc_ts": batch["warc_ts"],
+        "lang": batch["lang"],
+        "text_len": text_len,
+        "word_count": word_count,
+    }
+    if keep_text:
+        cols["text"] = text
+    out = pa.table(cols)
+    return out.filter(valid)
+
+
+def extract(
+    ds: rd.Dataset,
+    cfg: EngineConfig | None = None,
+    keep_text: bool = False,
+) -> rd.Dataset:
+    """Extraction pipeline stage (stateless tasks; no shuffle)."""
+    cfg = cfg or EngineConfig()
+    return ds.map_batches(
+        extract_batch,
+        fn_kwargs={"n_buckets": cfg.n_buckets, "keep_text": keep_text},
+        batch_format="pyarrow",
+        batch_size=cfg.batch_size,
+        zero_copy_batch=True,
+    )
+
+
+def to_long(ds: rd.Dataset, metrics: tuple[str, ...]) -> rd.Dataset:
+    """Wide per-snapshot metrics → long ``(…, metric, value)`` rows.
+
+    The long format is what the rollup tiers and the Gorilla encoder
+    consume (one float stream per (url, metric)); mirrors the
+    reference's band-major layout (one series per band per pixel).
+    """
+
+    def explode(batch: pa.Table) -> pa.Table:
+        parts = []
+        base = ["url", "url_bucket", "warc_ts"]
+        for m in metrics:
+            parts.append(
+                pa.table(
+                    {
+                        "url": batch["url"],
+                        "url_bucket": batch["url_bucket"],
+                        "warc_ts": batch["warc_ts"],
+                        "metric": pa.array([m] * len(batch), pa.string()),
+                        "value": pc.cast(batch[m], pa.float64()),
+                    }
+                )
+            )
+        return pa.concat_tables(parts) if parts else batch.select(base)
+
+    return ds.map_batches(explode, batch_format="pyarrow", zero_copy_batch=True)

@@ -1,0 +1,115 @@
+"""Gap-fill: irregular snapshots → equidistant grid per (url, metric).
+
+Re-expression of the reference's equidistant-time-series preprocessing:
+FORCE TSI interpolation onto an ``INT_DAY`` grid
+(``force/skel/TSA_NoCom.prm:78``) and the pandas
+``interpolate(method='linear', limit_direction='both')`` fallback
+(``utils/class_run.py:190-194``). Edge semantics match exactly:
+``fill_edges="both"`` extends the nearest valid observation to both
+ends of the grid (which is what ``limit_direction='both'`` does for
+linear interpolation of leading/trailing gaps).
+
+The kernel runs per url inside ``groupby("url").map_groups`` on numpy
+arrays — the only state it needs is one url's (tiny) series, so the
+stage scales with the number of urls, not the table size. Input must be
+the assembled (sorted, deduped) observation table from
+``stages.series``; out-of-order input would silently mis-fill, exactly
+as in the reference (SURVEY §2.9), so assembly is a hard precondition.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import ray.data as rd
+
+from sits_classification_ray.config import EngineConfig
+
+_EPOCH = np.datetime64("1970-01-01T00:00:00", "us")
+
+
+def gapfill_series(
+    ts_us: np.ndarray,
+    values: np.ndarray,
+    grid_seconds: int,
+    method: str = "linear",
+    edges: str = "both",
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """One sorted series → (grid_ts_us, value, filled).
+
+    Grid points are epoch-aligned multiples of ``grid_seconds`` covering
+    ``[ceil(min_ts), floor(max_ts)]``. ``filled`` marks points that did
+    not coincide exactly with an observation.
+    """
+    step = grid_seconds * 1_000_000
+    lo = -(-int(ts_us[0]) // step) * step       # ceil to grid
+    hi = (int(ts_us[-1]) // step) * step        # floor to grid
+    if hi < lo:
+        z = np.array([], dtype=np.int64)
+        return z, z.astype(np.float64), z.astype(bool)
+    grid = np.arange(lo, hi + step, step, dtype=np.int64)
+
+    xp = ts_us.astype(np.float64)
+    if method == "linear":
+        # np.interp clamps to fp[0]/fp[-1] outside the observed span —
+        # exactly the nearest-valid both-edges extension of the
+        # reference's interpolate(limit_direction='both').
+        out = np.interp(grid.astype(np.float64), xp, values)
+        if edges != "both":
+            out = out.copy()
+            out[(grid < ts_us[0]) | (grid > ts_us[-1])] = np.nan
+    elif method == "locf":
+        idx = np.searchsorted(ts_us, grid, side="right") - 1
+        lead = idx < 0
+        out = values[np.clip(idx, 0, len(values) - 1)].astype(np.float64)
+        if edges == "both":
+            out[lead] = values[0]               # NOCB at the leading edge
+        else:
+            out = out.copy()
+            out[lead] = np.nan
+    else:
+        raise ValueError(f"unknown fill method: {method}")
+
+    filled = ~np.isin(grid, ts_us)
+    return grid, out, filled
+
+
+def gapfill(ds_long: rd.Dataset, cfg: EngineConfig | None = None) -> rd.Dataset:
+    """Long observation rows → hourly-grid rows per (url, metric).
+
+    Input: assembled long rows ``(url, url_bucket, metric, warc_ts,
+    value)``. Output: ``(url, url_bucket, metric, grid_ts, value,
+    filled)``.
+    """
+    cfg = cfg or EngineConfig()
+    step, method, edges = cfg.grid_seconds, cfg.fill_method, cfg.fill_edges
+
+    def kernel(df: pd.DataFrame) -> pd.DataFrame:
+        outs = []
+        url = df["url"].iloc[0]
+        bucket = df["url_bucket"].iloc[0]
+        for metric, g in df.groupby("metric", sort=True):
+            g = g.sort_values("warc_ts", kind="mergesort")
+            ts_us = g["warc_ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+            grid, vals, filled = gapfill_series(
+                ts_us, g["value"].to_numpy(np.float64), step, method, edges)
+            outs.append(pd.DataFrame({
+                "url": url,
+                "url_bucket": bucket,
+                "metric": metric,
+                "grid_ts": grid.astype("datetime64[us]"),
+                "value": vals,
+                "filled": filled,
+            }))
+        if not outs:
+            return pd.DataFrame({
+                "url": pd.Series([], dtype=object),
+                "url_bucket": pd.Series([], dtype=np.uint32),
+                "metric": pd.Series([], dtype=object),
+                "grid_ts": pd.Series([], dtype="datetime64[us]"),
+                "value": pd.Series([], dtype=np.float64),
+                "filled": pd.Series([], dtype=bool),
+            })
+        return pd.concat(outs, ignore_index=True)
+
+    return ds_long.groupby("url").map_groups(kernel, batch_format="pandas")

@@ -1,0 +1,199 @@
+"""Continuous aggregates at hourly/daily/weekly retention tiers.
+
+The core rollup — the Ray-Data-native re-expression of FORCE temporal
+folding (``FOLD_TYPE = AVG`` and the FBY/FBQ/FBM/FBW/FBD outputs,
+reference ``force/skel/TSA_NoCom.prm:95-101``), generalized to the full
+aggregate set ``count/sum/min/max/mean/last`` per
+``(url, metric, bucket_ts)``.
+
+Scale design (SURVEY §4): a bare ``groupby().aggregate()`` would
+shuffle every observation row. Instead:
+
+1. **Partial aggregation inside ``map_batches``** — each Arrow batch is
+   collapsed to one partial row per key via ``pyarrow``'s hash
+   aggregation, so the shuffle moves partials, not observations
+   (combiner pattern; the reference's `hist +=` confusion-matrix
+   partials, ``pytorch/utils/classmetric.py:48-54``, are the same
+   shape).
+2. **Bucket-level merge** — ``groupby("url_bucket").map_groups`` merges
+   each hash partition's partials with one vectorized pandas groupby
+   (64 python calls total, not one per key). ``last`` is merged by
+   max contributing source timestamp (``last_src_ts``), which is
+   unique per key after first-wins dedup, so the merge is
+   deterministic and order-free — exactly what salting/re-aggregation
+   requires.
+3. **Tier chaining** — daily is re-aggregated from hourly partials and
+   weekly from daily (sum of sums, min of mins, last by max
+   ``last_src_ts``), never from raw observations. ``mean`` is
+   finalized as ``sum/count`` only at output time, so cross-tier
+   points are exactly re-aggregable.
+
+All sums here are over integer-valued metrics (text_len, word_count),
+so float summation order cannot perturb results — the cross-tier
+exact-equality requirement (SURVEY §7.4) holds by construction; the
+bucket merge additionally sums in sorted-key order for general floats.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray.data as rd
+
+from sits_classification_ray.config import EngineConfig
+
+#: Internal partial-aggregate schema (what flows through shuffles).
+PARTIAL_COLS = ["url_bucket", "url", "metric", "bucket_ts",
+                "count", "sum", "min", "max", "last", "last_src_ts"]
+
+#: Public tier-table schema (FIXTURES.md §3).
+FINAL_COLS = ["url_bucket", "url", "metric", "bucket_ts",
+              "count", "sum", "min", "max", "mean", "last"]
+
+
+def floor_bucket(ts: pa.ChunkedArray | pa.Array, tier_seconds: int) -> pa.Array:
+    """Epoch-aligned closed-left bucket floor.
+
+    hourly/daily are plain epoch multiples; weekly floors to Monday
+    (matching DuckDB/ISO ``date_trunc('week')``).
+    """
+    if tier_seconds == 7 * 86400:
+        return pc.floor_temporal(ts, unit="week", week_starts_monday=True)
+    if tier_seconds == 86400:
+        return pc.floor_temporal(ts, unit="day")
+    if tier_seconds % 3600 == 0:
+        return pc.floor_temporal(ts, multiple=tier_seconds // 3600, unit="hour")
+    return pc.floor_temporal(ts, multiple=tier_seconds, unit="second")
+
+
+def partial_rollup_batch(batch: pa.Table, tier_seconds: int) -> pa.Table:
+    """Collapse one long-format batch to per-key partial aggregates.
+
+    Input: ``(url, url_bucket, metric, warc_ts, value)``.
+    ``last`` within the batch is the value at max ``warc_ts`` per key —
+    computed by sorting the batch once, then an ordered hash "last".
+    """
+    if len(batch) == 0:
+        return _empty_partials()
+    bucket_ts = pc.cast(floor_bucket(batch["warc_ts"], tier_seconds),
+                        pa.timestamp("us"))
+    t = pa.table({
+        "url_bucket": batch["url_bucket"],
+        "url": batch["url"],
+        "metric": batch["metric"],
+        "bucket_ts": bucket_ts,
+        "warc_ts": batch["warc_ts"],
+        "value": batch["value"],
+    })
+    t = t.sort_by([("url", "ascending"), ("metric", "ascending"),
+                   ("warc_ts", "ascending")])
+    g = t.group_by(["url_bucket", "url", "metric", "bucket_ts"],
+                   use_threads=False)   # ordered aggregation for 'last'
+    out = g.aggregate([
+        ("value", "count"), ("value", "sum"), ("value", "min"),
+        ("value", "max"), ("value", "last"), ("warc_ts", "max"),
+    ])
+    return out.rename_columns(PARTIAL_COLS)
+
+
+def rebucket_partials_batch(batch: pa.Table, tier_seconds: int) -> pa.Table:
+    """Re-aggregate finer-tier partials to a coarser bucket, per batch.
+
+    ``last`` is carried from the partial with max ``last_src_ts``
+    (unique per key after dedup), so chaining tiers loses nothing.
+    """
+    if len(batch) == 0:
+        return _empty_partials()
+    bucket_ts = pc.cast(floor_bucket(batch["bucket_ts"], tier_seconds),
+                        pa.timestamp("us"))
+    t = batch.set_column(batch.schema.get_field_index("bucket_ts"),
+                         "bucket_ts", bucket_ts)
+    t = t.sort_by([("url", "ascending"), ("metric", "ascending"),
+                   ("last_src_ts", "ascending")])
+    g = t.group_by(["url_bucket", "url", "metric", "bucket_ts"],
+                   use_threads=False)
+    out = g.aggregate([
+        ("count", "sum"), ("sum", "sum"), ("min", "min"),
+        ("max", "max"), ("last", "last"), ("last_src_ts", "max"),
+    ])
+    return out.rename_columns(PARTIAL_COLS)
+
+
+def _empty_partials() -> pa.Table:
+    return pa.table({
+        "url_bucket": pa.array([], pa.uint32()),
+        "url": pa.array([], pa.string()),
+        "metric": pa.array([], pa.string()),
+        "bucket_ts": pa.array([], pa.timestamp("us")),
+        "count": pa.array([], pa.int64()),
+        "sum": pa.array([], pa.float64()),
+        "min": pa.array([], pa.float64()),
+        "max": pa.array([], pa.float64()),
+        "last": pa.array([], pa.float64()),
+        "last_src_ts": pa.array([], pa.timestamp("us")),
+    })
+
+
+def merge_partials_pdf(df: pd.DataFrame) -> pd.DataFrame:
+    """Vectorized merge of partial rows sharing keys (one hash bucket)."""
+    df = df.sort_values(["url", "metric", "bucket_ts", "last_src_ts"],
+                        kind="mergesort")
+    g = df.groupby(["url_bucket", "url", "metric", "bucket_ts"],
+                   sort=True, as_index=False)
+    out = g.agg(
+        count=("count", "sum"),
+        sum=("sum", "sum"),
+        min=("min", "min"),
+        max=("max", "max"),
+        last=("last", "last"),          # row with max last_src_ts (sorted)
+        last_src_ts=("last_src_ts", "max"),
+    )
+    return out
+
+
+def merge_partials(ds_partials: rd.Dataset) -> rd.Dataset:
+    """Shuffle partials by hash bucket and merge each bucket vectorized."""
+    return ds_partials.groupby("url_bucket").map_groups(
+        merge_partials_pdf, batch_format="pandas")
+
+
+def finalize(ds_partials: rd.Dataset) -> rd.Dataset:
+    """Partial schema → public tier schema (adds mean, drops last_src_ts)."""
+
+    def fin(batch: pa.Table) -> pa.Table:
+        mean = pc.divide(pc.cast(batch["sum"], pa.float64()),
+                         pc.cast(batch["count"], pa.float64()))
+        t = batch.append_column("mean", mean)
+        return t.select(FINAL_COLS)
+
+    return ds_partials.map_batches(fin, batch_format="pyarrow")
+
+
+def rollup(ds_long: rd.Dataset, tier_seconds: int,
+           cfg: EngineConfig | None = None) -> rd.Dataset:
+    """Observations (long) → merged partials at one tier (not finalized)."""
+    cfg = cfg or EngineConfig()
+    partials = ds_long.map_batches(
+        partial_rollup_batch,
+        fn_kwargs={"tier_seconds": tier_seconds},
+        batch_format="pyarrow",
+        batch_size=cfg.batch_size,
+        zero_copy_batch=True,
+    )
+    return merge_partials(partials)
+
+
+def reaggregate(ds_tier_partials: rd.Dataset, tier_seconds: int,
+                cfg: EngineConfig | None = None) -> rd.Dataset:
+    """Finer-tier merged partials → coarser-tier merged partials."""
+    cfg = cfg or EngineConfig()
+    rebucketed = ds_tier_partials.map_batches(
+        rebucket_partials_batch,
+        fn_kwargs={"tier_seconds": tier_seconds},
+        batch_format="pyarrow",
+        batch_size=cfg.batch_size,
+        zero_copy_batch=True,
+    )
+    return merge_partials(rebucketed)

@@ -1,0 +1,48 @@
+import numpy as np
+import pandas as pd
+import ray.data as rd
+
+from sits_classification_ray.config import EngineConfig
+from sits_classification_ray.oracle.reference import extract_oracle
+from sits_classification_ray.stages.extract import extract, to_long
+
+CFG = EngineConfig()
+
+
+def test_extract_matches_oracle(crawl_ds, crawl_pdf):
+    got = extract(crawl_ds, CFG, keep_text=True).to_pandas()
+    want = extract_oracle(crawl_pdf, CFG.n_buckets)
+    key = ["url", "warc_ts", "text_len", "word_count", "lang", "text",
+           "url_bucket"]
+    g = got[key].sort_values(key, kind="mergesort").reset_index(drop=True)
+    w = want[key].sort_values(key, kind="mergesort").reset_index(drop=True)
+    pd.testing.assert_frame_equal(g, w, check_dtype=False)
+
+
+def test_extract_text_byte_identity(crawl_ds, crawl_pdf):
+    # per-row invariant: extracted text == source text byte-for-byte.
+    # (url, warc_ts) is not unique pre-dedup, so compare the full row
+    # multiset rather than joining.
+    got = extract(crawl_ds, CFG, keep_text=True).to_pandas()
+    src = crawl_pdf[crawl_pdf["text"].str.len() > 0]
+    key = ["url", "warc_ts", "text"]
+    g = got[key].sort_values(key, kind="mergesort").reset_index(drop=True)
+    w = (src[key].sort_values(key, kind="mergesort")
+         .reset_index(drop=True))
+    pd.testing.assert_frame_equal(g, w)
+
+
+def test_extract_drops_degenerate_html(crawl_ds, crawl_pdf):
+    got = extract(crawl_ds, CFG).to_pandas()
+    n_bad = (crawl_pdf["text"].str.len() == 0).sum()
+    assert n_bad > 0
+    assert len(got) == len(crawl_pdf) - n_bad
+
+
+def test_to_long(crawl_ds):
+    wide = extract(crawl_ds, CFG)
+    long = to_long(wide, CFG.metrics).to_pandas()
+    n = wide.count()
+    assert len(long) == n * len(CFG.metrics)
+    assert set(long["metric"]) == set(CFG.metrics)
+    assert long["value"].dtype == np.float64

@@ -1,0 +1,32 @@
+import pandas as pd
+
+from sits_classification_ray.config import EngineConfig
+from sits_classification_ray.oracle.reference import dedup_oracle, extract_oracle
+from sits_classification_ray.stages.extract import extract
+from sits_classification_ray.stages.series import assemble_series
+
+CFG = EngineConfig()
+KEY = ["url", "warc_ts", "text_len", "word_count", "lang", "url_bucket"]
+
+
+def test_assemble_matches_oracle(crawl_ds, crawl_pdf):
+    got = assemble_series(extract(crawl_ds, CFG), CFG).to_pandas()
+    want = dedup_oracle(extract_oracle(crawl_pdf, CFG.n_buckets),
+                        CFG.min_series_len)
+    g = got[KEY].sort_values(KEY, kind="mergesort").reset_index(drop=True)
+    w = want[KEY].sort_values(KEY, kind="mergesort").reset_index(drop=True)
+    pd.testing.assert_frame_equal(g, w, check_dtype=False)
+
+
+def test_dedup_removes_duplicate_ts(crawl_ds):
+    got = assemble_series(extract(crawl_ds, CFG), CFG).to_pandas()
+    assert not got.duplicated(["url", "warc_ts"]).any()
+
+
+def test_singleton_series_dropped(crawl_ds, crawl_pdf):
+    got = assemble_series(extract(crawl_ds, CFG), CFG).to_pandas()
+    sizes = got.groupby("url").size()
+    assert (sizes >= CFG.min_series_len).all()
+    # the generator plants a singleton url — ensure it existed upstream
+    raw_sizes = extract_oracle(crawl_pdf, CFG.n_buckets).groupby("url").size()
+    assert (raw_sizes == 1).any()
