@@ -1,0 +1,402 @@
+"""The engine's query surface + matching DuckDB oracle SQL.
+
+``build_queries()`` returns one callable per implemented operator from
+SURVEY.md §2 (each takes ``sf_dir``); ``build_oracle_sql()`` returns
+the ANSI-SQL equivalent for every SQL-expressible one. Column names
+match exactly between the two — computed columns are aliased
+identically on both sides, and float columns are either exact
+(integer-valued metrics, scaled-cents sums, identical IEEE expression
+order) or rounded identically on both sides.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from typing import Any
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray
+import ray.data as rd
+
+from sits_classification_ray.config import TIER_SECONDS, EngineConfig
+from sits_classification_ray.sources.synth import CRAWL_CTE, crawl_from_tables
+from sits_classification_ray.stages.extract import extract, to_long
+from sits_classification_ray.stages.gapfill import gapfill
+from sits_classification_ray.stages.rollup import finalize, reaggregate, rollup
+from sits_classification_ray.stages.series import assemble_series
+
+CFG = EngineConfig()
+
+OBS_COLS = ["url", "warc_ts", "lang", "text_len", "word_count"]
+ROLLUP_COLS = ["url", "metric", "bucket_ts",
+               "count", "sum", "min", "max", "mean", "last"]
+
+# ---------------------------------------------------------------------------
+# Shared SQL prefix: crawl synthesis → extraction → dedup → long format.
+# Mirrors sources/synth.crawl_from_tables + stages/extract + stages/series.
+# ---------------------------------------------------------------------------
+
+CRAWL_PREFIX = f"""WITH {CRAWL_CTE},
+ext AS (
+  SELECT url, warc_ts, lang,
+         regexp_extract(CAST(html AS VARCHAR),
+                        '(?s)<body>(.*)</body>', 1) AS text
+  FROM crawl),
+scr AS (
+  SELECT url, warc_ts, lang, text,
+         length(text) AS text_len,
+         len(string_split(text, ' ')) AS word_count
+  FROM ext WHERE text IS NOT NULL AND length(text) > 0),
+dd AS (
+  SELECT url, warc_ts, lang, text, text_len, word_count FROM (
+    SELECT *, row_number() OVER (PARTITION BY url, warc_ts
+              ORDER BY text_len, word_count, lang) AS rn FROM scr)
+  WHERE rn = 1),
+obs AS (
+  SELECT * FROM dd
+  WHERE url IN (SELECT url FROM dd GROUP BY url HAVING count(*) >= 2)),
+obs_long AS (
+  SELECT url, warc_ts, 'text_len' AS metric,
+         CAST(text_len AS DOUBLE) AS value FROM obs
+  UNION ALL
+  SELECT url, warc_ts, 'word_count' AS metric,
+         CAST(word_count AS DOUBLE) AS value FROM obs)"""
+
+
+def _rollup_sql(unit: str) -> str:
+    return f"""{CRAWL_PREFIX}
+SELECT url, metric,
+       CAST(date_trunc('{unit}', warc_ts) AS TIMESTAMP) AS bucket_ts,
+       count(*) AS "count", sum(value) AS "sum", min(value) AS "min",
+       max(value) AS "max", sum(value) / count(*) AS "mean",
+       arg_max(value, warc_ts) AS "last"
+FROM obs_long GROUP BY 1, 2, 3"""
+
+
+_GAPFILL_GRID_SQL = """
+bounds AS (
+  SELECT url, metric, min(warc_ts) t0, max(warc_ts) t1
+  FROM obs_long GROUP BY 1, 2),
+grid AS (
+  SELECT b.url, b.metric, make_timestamp(t.g) AS grid_ts
+  FROM bounds b, unnest(generate_series(
+      CAST(ceil(epoch_us(b.t0) / 3600000000.0) AS BIGINT) * 3600000000,
+      CAST(floor(epoch_us(b.t1) / 3600000000.0) AS BIGINT) * 3600000000,
+      3600000000)) AS t(g)),
+prevs AS (
+  SELECT g.url, g.metric, g.grid_ts, o.warc_ts AS pts, o.value AS pval
+  FROM grid g ASOF LEFT JOIN obs_long o
+    ON g.url = o.url AND g.metric = o.metric AND g.grid_ts >= o.warc_ts),
+nexts AS (
+  SELECT g.url, g.metric, g.grid_ts, o.warc_ts AS nts, o.value AS nval
+  FROM grid g ASOF LEFT JOIN obs_long o
+    ON g.url = o.url AND g.metric = o.metric AND g.grid_ts <= o.warc_ts),
+joined AS (
+  SELECT p.url, p.metric, p.grid_ts, p.pts, p.pval, n.nts, n.nval
+  FROM prevs p JOIN nexts n
+    ON p.url = n.url AND p.metric = n.metric AND p.grid_ts = n.grid_ts)"""
+
+# value expression ordered exactly like np.interp: slope first, then
+# slope * (x - x_lo) + y_lo — bitwise-identical IEEE sequence.
+_GAPFILL_LINEAR_SQL = f"""{CRAWL_PREFIX},
+{_GAPFILL_GRID_SQL}
+SELECT url, metric, grid_ts,
+  CASE
+    WHEN pts IS NULL THEN nval
+    WHEN nts IS NULL THEN pval
+    WHEN nts = pts THEN pval
+    ELSE ((nval - pval) / (epoch_us(nts) - epoch_us(pts)))
+         * (epoch_us(grid_ts) - epoch_us(pts)) + pval
+  END AS value,
+  (pts IS NULL OR grid_ts <> pts) AS filled
+FROM joined"""
+
+_GAPFILL_LOCF_SQL = f"""{CRAWL_PREFIX},
+{_GAPFILL_GRID_SQL}
+SELECT url, metric, grid_ts,
+  CASE WHEN pts IS NULL THEN nval ELSE pval END AS value,
+  (pts IS NULL OR grid_ts <> pts) AS filled
+FROM joined"""
+
+
+# ---------------------------------------------------------------------------
+# Ray-side helpers
+# ---------------------------------------------------------------------------
+
+
+def _obs(sf_dir: str) -> rd.Dataset:
+    return assemble_series(extract(crawl_from_tables(sf_dir), CFG), CFG)
+
+
+def _obs_long(sf_dir: str) -> rd.Dataset:
+    return to_long(_obs(sf_dir), CFG.metrics)
+
+
+def _tier(sf_dir: str, tier: str) -> rd.Dataset:
+    """Tier tables built through the re-aggregation chain (daily from
+    hourly partials, weekly from daily) — the production path, so the
+    oracle compare also certifies cross-tier exactness."""
+    partials = rollup(_obs_long(sf_dir), TIER_SECONDS["hourly"], CFG)
+    if tier in ("daily", "weekly"):
+        partials = reaggregate(partials, TIER_SECONDS["daily"], CFG)
+    if tier == "weekly":
+        partials = reaggregate(partials, TIER_SECONDS["weekly"], CFG)
+    return finalize(partials).select_columns(ROLLUP_COLS)
+
+
+def _lang_daily(sf_dir: str) -> rd.Dataset:
+    """Per-url daily lang-distribution counts (post-dedup)."""
+    obs = _obs(sf_dir)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        day = pc.cast(pc.floor_temporal(batch["warc_ts"], unit="day"),
+                      pa.timestamp("us"))
+        t = pa.table({"url": batch["url"], "bucket_ts": day,
+                      "lang": batch["lang"]})
+        return (t.group_by(["url", "bucket_ts", "lang"])
+                .aggregate([([], "count_all")])
+                .rename_columns(["url", "bucket_ts", "lang", "n"]))
+
+    from ray.data.aggregate import Sum
+    partials = obs.map_batches(partial, batch_format="pyarrow",
+                               zero_copy_batch=True)
+    return (partials.groupby(["url", "bucket_ts", "lang"])
+            .aggregate(Sum("n", alias_name="n")))
+
+
+def _events_rollup_hourly(sf_dir: str) -> rd.Dataset:
+    from sits_classification_ray.pipelines.relational import events_long
+
+    out = finalize(rollup(events_long(sf_dir, CFG.n_buckets),
+                          TIER_SECONDS["hourly"], CFG))
+    out = out.select_columns(["url", "bucket_ts", "count", "min", "max",
+                              "last"])
+    return out.rename_columns({"url": "entity"})
+
+
+def _gapfill(sf_dir: str, method: str) -> rd.Dataset:
+    cfg = EngineConfig(fill_method=method)
+    out = gapfill(to_long(assemble_series(
+        extract(crawl_from_tables(sf_dir), cfg), cfg), cfg.metrics), cfg)
+    return out.select_columns(["url", "metric", "grid_ts", "value", "filled"])
+
+
+def _gorilla_segments(sf_dir: str) -> rd.Dataset:
+    """Encode every (url, metric) stream; report sizes + roundtrip check."""
+    from sits_classification_ray.functions.gorilla import (decode_series,
+                                                           encode_series)
+
+    def kernel(df: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for metric, g in df.groupby("metric", sort=True):
+            g = g.sort_values("warc_ts", kind="mergesort")
+            ts = g["warc_ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+            vals = g["value"].to_numpy(np.float64)
+            tsc, vc = encode_series(ts, vals)
+            dts, dvals = decode_series(tsc, vc, len(ts))
+            rows.append({
+                "url": df["url"].iloc[0], "metric": metric,
+                "t_start": g["warc_ts"].iloc[0], "t_end": g["warc_ts"].iloc[-1],
+                "n": len(ts), "ts_bytes": len(tsc), "val_bytes": len(vc),
+                "raw_bytes": 16 * len(ts),
+                "roundtrip_ok": bool((dts == ts).all()
+                                     and (dvals.view(np.uint64)
+                                          == vals.view(np.uint64)).all()),
+            })
+        return pd.DataFrame(rows)
+
+    return _obs_long(sf_dir).groupby("url").map_groups(
+        kernel, batch_format="pandas")
+
+
+def _similarity_topk(sf_dir: str) -> pd.DataFrame:
+    from sits_classification_ray.stages.similarity import brute_force_topk
+
+    emb = rd.read_parquet(f"{sf_dir}/embeddings.parquet")
+    qrows = [r for r in emb.take_all() if r["vec_id"] in (0, 1, 2, 3, 4)]
+    queries = {int(r["vec_id"]): np.asarray(r["embedding"], dtype=np.float64)
+               for r in qrows}
+    return brute_force_topk(emb, queries, k=10)
+
+
+def _ivf_topk(sf_dir: str) -> pd.DataFrame:
+    from sits_classification_ray.stages.similarity import (ivf_assign,
+                                                           ivf_topk,
+                                                           train_centroids)
+
+    emb = rd.read_parquet(f"{sf_dir}/embeddings.parquet")
+    cent = train_centroids(emb, n_lists=8, iters=5, seed=0)
+    assigned = ivf_assign(emb, cent)
+    qrows = [r for r in emb.take_all() if r["vec_id"] in (0, 1, 2)]
+    queries = {int(r["vec_id"]): np.asarray(r["embedding"], dtype=np.float64)
+               for r in qrows}
+    return ivf_topk(assigned, cent, queries, k=10, n_probe=3)
+
+
+def _embedding_near_dup(sf_dir: str) -> rd.Dataset:
+    from sits_classification_ray.stages.dedup_docs import embedding_near_dup
+
+    emb = rd.read_parquet(f"{sf_dir}/embeddings.parquet")
+    out = embedding_near_dup(emb, threshold=0.4)
+    return out.map_batches(
+        lambda df: df.assign(cos_sim=df["cos_sim"].round(6)),
+        batch_format="pandas")
+
+
+def _exact_dedup_documents(sf_dir: str) -> rd.Dataset:
+    from sits_classification_ray.stages.dedup_docs import exact_dedup
+
+    return exact_dedup(rd.read_parquet(f"{sf_dir}/documents.parquet",
+                                       columns=["doc_id", "text"]))
+
+
+def _text_stats_documents(sf_dir: str) -> rd.Dataset:
+    from sits_classification_ray.stages.textstats import text_stats
+
+    return text_stats(rd.read_parquet(f"{sf_dir}/documents.parquet",
+                                      columns=["doc_id", "text"]))
+
+
+def _langid_documents(sf_dir: str) -> rd.Dataset:
+    from sits_classification_ray.stages.textstats import lang_id
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text", "lang"])
+    return lang_id(ds).select_columns(["doc_id", "lang", "pred_lang"])
+
+
+def _simhash_documents(sf_dir: str) -> rd.Dataset:
+    from sits_classification_ray.stages.dedup_docs import simhash
+
+    return simhash(rd.read_parquet(f"{sf_dir}/documents.parquet",
+                                   columns=["doc_id", "text"]))
+
+
+def _fingerprint_documents(sf_dir: str) -> rd.Dataset:
+    from sits_classification_ray.stages.textstats import fingerprint
+
+    return fingerprint(rd.read_parquet(f"{sf_dir}/documents.parquet",
+                                       columns=["doc_id", "text"]))
+
+
+def _minhash_near_dup_documents(sf_dir: str) -> rd.Dataset:
+    from sits_classification_ray.stages.dedup_docs import ngram_jaccard_pairs
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"])
+    return ngram_jaccard_pairs(ds, shingle_k=5, num_perm=64, bands=16,
+                               threshold=0.5)
+
+
+# ---------------------------------------------------------------------------
+# Registry
+# ---------------------------------------------------------------------------
+
+
+def build_queries() -> dict[str, Callable[[str], Any]]:
+    from sits_classification_ray.pipelines.relational import (
+        orders_per_nation, q1_pricing_summary)
+
+    return {
+        # crawl pipeline (SQL-checked)
+        "crawl_extract": lambda sf: extract(
+            crawl_from_tables(sf), CFG, keep_text=True
+        ).select_columns(["url", "warc_ts", "lang", "text",
+                          "text_len", "word_count"]),
+        "crawl_dedup": lambda sf: _obs(sf).select_columns(OBS_COLS),
+        "rollup_hourly": lambda sf: _tier(sf, "hourly"),
+        "rollup_daily": lambda sf: _tier(sf, "daily"),
+        "rollup_weekly": lambda sf: _tier(sf, "weekly"),
+        "lang_daily": _lang_daily,
+        "gapfill_linear": lambda sf: _gapfill(sf, "linear"),
+        "gapfill_locf": lambda sf: _gapfill(sf, "locf"),
+        # generic stream rollup over the events table (SQL-checked)
+        "events_rollup_hourly": _events_rollup_hourly,
+        # relational coverage (SQL-checked)
+        "q1_pricing_summary": q1_pricing_summary,
+        "orders_per_nation": orders_per_nation,
+        # documents / training-data ops
+        "exact_dedup_documents": _exact_dedup_documents,
+        "text_stats_documents": _text_stats_documents,
+        "similarity_topk": _similarity_topk,
+        "embedding_near_dup": _embedding_near_dup,
+        # non-SQL-expressible (driver records rows-only)
+        "gorilla_segments": _gorilla_segments,
+        "langid_documents": _langid_documents,
+        "simhash_documents": _simhash_documents,
+        "fingerprint_documents": _fingerprint_documents,
+        "minhash_near_dup_documents": _minhash_near_dup_documents,
+        "ivf_topk": _ivf_topk,
+    }
+
+
+def build_oracle_sql() -> dict[str, str]:
+    return {
+        "crawl_extract": f"""{CRAWL_PREFIX}
+SELECT url, warc_ts, lang, text, text_len, word_count FROM scr""",
+        "crawl_dedup": f"""{CRAWL_PREFIX}
+SELECT url, warc_ts, lang, text_len, word_count FROM obs""",
+        "rollup_hourly": _rollup_sql("hour"),
+        "rollup_daily": _rollup_sql("day"),
+        "rollup_weekly": _rollup_sql("week"),
+        "lang_daily": f"""{CRAWL_PREFIX}
+SELECT url, CAST(date_trunc('day', warc_ts) AS TIMESTAMP) AS bucket_ts,
+       lang, count(*) AS n
+FROM obs GROUP BY 1, 2, 3""",
+        "gapfill_linear": _GAPFILL_LINEAR_SQL,
+        "gapfill_locf": _GAPFILL_LOCF_SQL,
+        "events_rollup_hourly": """
+SELECT CAST(user_id AS VARCHAR) AS entity,
+       CAST(date_trunc('hour', ts) AS TIMESTAMP) AS bucket_ts,
+       count(*) AS "count", min(value) AS "min", max(value) AS "max",
+       arg_max(value, ts) AS "last"
+FROM events GROUP BY 1, 2""",
+        "q1_pricing_summary": """
+SELECT l_returnflag, l_linestatus,
+       CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+       CAST(sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT)) AS BIGINT)
+           AS sum_base_price_cents,
+       min(CAST(l_quantity AS BIGINT)) AS min_qty,
+       max(CAST(l_quantity AS BIGINT)) AS max_qty,
+       count(*) AS count_order
+FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+GROUP BY 1, 2 ORDER BY 1, 2""",
+        "orders_per_nation": """
+SELECT n.n_name AS nation, count(*) AS n_orders,
+       CAST(sum(CAST(round(o.o_totalprice * 100, 0) AS BIGINT)) AS BIGINT)
+           AS total_cents
+FROM orders o
+JOIN customer c ON c.c_custkey = o.o_custkey
+JOIN nation n ON n.n_nationkey = c.c_nationkey
+GROUP BY 1 ORDER BY 1""",
+        "exact_dedup_documents": """
+SELECT min(doc_id) AS doc_id, count(*) AS n_copies
+FROM documents GROUP BY text""",
+        "text_stats_documents": r"""
+SELECT doc_id, length(text) AS n_chars,
+       len(string_split(text, ' ')) AS n_tokens,
+       len(regexp_extract_all(text, '\w+')) AS n_words,
+       CAST(length(text) AS DOUBLE) / len(string_split(text, ' '))
+           AS chars_per_token
+FROM documents""",
+        "similarity_topk": """
+WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+           FROM embeddings WHERE vec_id IN (0, 1, 2, 3, 4)),
+s AS (SELECT q.query_id, e.vec_id,
+             round(list_cosine_similarity(q.qv,
+                   CAST(e.embedding AS DOUBLE[])), 6) AS score
+      FROM q CROSS JOIN embeddings e),
+r AS (SELECT *, row_number() OVER (PARTITION BY query_id
+             ORDER BY score DESC, vec_id) AS rn FROM s)
+SELECT query_id, vec_id, score FROM r WHERE rn <= 10""",
+        "embedding_near_dup": """
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+             CAST(b.embedding AS DOUBLE[])), 6) AS cos_sim
+FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+      CAST(b.embedding AS DOUBLE[])) >= 0.4""",
+    }

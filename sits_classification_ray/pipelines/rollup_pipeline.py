@@ -1,0 +1,238 @@
+"""End-to-end production pipeline: crawl parquet → obs → grid +
+segments + tier rollups, checkpointed per url_bucket partition.
+
+Stage graph (each stage writes Parquet partitioned by ``url_bucket``
+and commits a manifest row per partition; a rerun recomputes only
+incomplete/stale partitions — the engine-level generalization of the
+reference's per-tile skip-if-exists resume, ``pytorch/predict.py:108-109``):
+
+    crawl.parquet ──extract──assemble──▶ obs/
+    obs/ ──to_long──gapfill──▶ grid/
+    obs/ ──to_long──encode──▶ segments/
+    obs/ ──to_long──partials──merge──▶ hourly/ ──rebucket──▶ daily/ ──▶ weekly/
+
+Tier tables store the public schema plus ``last_src_ts`` so each tier
+re-aggregates from the stored finer tier (continuous-aggregate chain)
+without touching raw observations.
+"""
+
+from __future__ import annotations
+
+import json
+import shutil
+import time
+from dataclasses import asdict
+from pathlib import Path
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.dataset as pads
+import ray.data as rd
+
+from sits_classification_ray.config import TIER_SECONDS, EngineConfig
+from sits_classification_ray.functions.gorilla import encode_series
+from sits_classification_ray.stages.extract import extract, to_long
+from sits_classification_ray.stages.gapfill import gapfill
+from sits_classification_ray.stages.rollup import (finalize, reaggregate,
+                                                   rollup)
+from sits_classification_ray.stages.series import assemble_series
+from sits_classification_ray.state.manifest import Manifest, lineage_hash
+
+TIER_STAGES = ["hourly", "daily", "weekly"]
+
+
+def _filter_buckets(ds: rd.Dataset, buckets: list[int]) -> rd.Dataset:
+    want = np.asarray(buckets, dtype=np.int64)
+
+    def flt(batch: pa.Table) -> pa.Table:
+        mask = np.isin(batch["url_bucket"].to_numpy().astype(np.int64), want)
+        return batch.filter(pa.array(mask))
+
+    return ds.map_batches(flt, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def _clean_partitions(path: Path, buckets: list[int]) -> None:
+    """Idempotent overwrite: drop any partial output for these buckets."""
+    for b in buckets:
+        shutil.rmtree(path / f"url_bucket={b}", ignore_errors=True)
+
+
+def _partition_counts(path: Path) -> dict[int, int]:
+    """Row count per url_bucket partition from parquet metadata (cheap)."""
+    counts: dict[int, int] = {}
+    for sub in path.glob("url_bucket=*"):
+        b = int(sub.name.split("=", 1)[1])
+        n = 0
+        for f in sub.rglob("*.parquet"):
+            n += pads.dataset(str(f)).count_rows()
+        counts[b] = n
+    return counts
+
+
+def _read_stage(path: Path, buckets: list[int] | None = None) -> rd.Dataset:
+    ds = rd.read_parquet(str(path))
+
+    def fix(batch: pa.Table) -> pa.Table:
+        # hive partitioning reads url_bucket back as a dictionary/int
+        i = batch.schema.get_field_index("url_bucket")
+        col = batch["url_bucket"]
+        if pa.types.is_dictionary(col.type):
+            col = col.combine_chunks().dictionary_decode()
+        return batch.set_column(i, "url_bucket",
+                                col.cast(pa.uint32()))
+
+    ds = ds.map_batches(fix, batch_format="pyarrow", zero_copy_batch=True)
+    if buckets is not None:
+        ds = _filter_buckets(ds, buckets)
+    return ds
+
+
+def segments_stage(ds_long: rd.Dataset) -> rd.Dataset:
+    """Gorilla-encode each (url, metric) stream → one segment row."""
+
+    def kernel(df: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for metric, g in df.groupby("metric", sort=True):
+            g = g.sort_values("warc_ts", kind="mergesort")
+            ts = g["warc_ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+            vals = g["value"].to_numpy(np.float64)
+            tsc, vc = encode_series(ts, vals)
+            rows.append({
+                "url": df["url"].iloc[0],
+                "url_bucket": df["url_bucket"].iloc[0],
+                "metric": metric,
+                "t_start": g["warc_ts"].iloc[0],
+                "t_end": g["warc_ts"].iloc[-1],
+                "n": np.int32(len(ts)),
+                "ts_codes": tsc,
+                "val_codes": vc,
+            })
+        return pd.DataFrame(rows)
+
+    return ds_long.groupby("url").map_groups(kernel, batch_format="pandas")
+
+
+def run_pipeline(input_path: str, out_dir: str,
+                 cfg: EngineConfig | None = None, resume: bool = True,
+                 stages: tuple[str, ...] = ("obs", "grid", "segments",
+                                            "hourly", "daily", "weekly"),
+                 ) -> dict:
+    """Run (or resume) the full pipeline; returns run metrics."""
+    cfg = cfg or EngineConfig()
+    out = Path(out_dir)
+    out.mkdir(parents=True, exist_ok=True)
+    cfg.save(out / "engine_config.json")     # carry-forward contract
+    manifest = Manifest(out)
+
+    input_files = sorted(str(p) for p in Path(input_path).glob("**/*.parquet")) \
+        if Path(input_path).is_dir() else [input_path]
+    lineage = lineage_hash(input_files, json.dumps(asdict(cfg), default=list))
+    all_buckets = list(range(cfg.n_buckets))
+    metrics: dict = {"stages": {}, "lineage": lineage}
+    t_run = time.perf_counter()
+
+    def stage_buckets(stage: str) -> list[int]:
+        if not resume:
+            return all_buckets
+        return manifest.incomplete_partitions(stage, all_buckets, lineage)
+
+    def commit_stage(stage: str, path: Path, todo: list[int], t0: float,
+                     input_rows: int | None = None) -> None:
+        counts = _partition_counts(path)
+        for b in todo:
+            manifest.commit(stage, b, lineage, counts.get(b, 0))
+        metrics["stages"][stage] = {
+            "seconds": round(time.perf_counter() - t0, 3),
+            "partitions_computed": len(todo),
+            "rows_out": int(sum(counts.get(b, 0) for b in todo)),
+            **({"rows_in": input_rows} if input_rows is not None else {}),
+        }
+
+    # ---- stage: obs (extract + assemble) -----------------------------
+    obs_path = out / "obs"
+    if "obs" in stages:
+        todo = stage_buckets("obs")
+        if todo:
+            t0 = time.perf_counter()
+            _clean_partitions(obs_path, todo)
+            raw = rd.read_parquet(input_path,
+                                  columns=["url", "warc_ts", "html", "lang"])
+            n_in = raw.count()
+            ds = extract(raw, cfg)
+            if len(todo) < cfg.n_buckets:
+                ds = _filter_buckets(ds, todo)
+            obs = assemble_series(ds, cfg)
+            obs.write_parquet(str(obs_path), partition_cols=["url_bucket"])
+            commit_stage("obs", obs_path, todo, t0, input_rows=n_in)
+            metrics["input_docs"] = n_in
+
+    # ---- stage: grid (gap-fill) --------------------------------------
+    if "grid" in stages:
+        grid_path = out / "grid"
+        todo = stage_buckets("grid")
+        if todo:
+            t0 = time.perf_counter()
+            _clean_partitions(grid_path, todo)
+            long_obs = to_long(_read_stage(obs_path, todo
+                                           if len(todo) < cfg.n_buckets
+                                           else None), cfg.metrics)
+            gapfill(long_obs, cfg).write_parquet(
+                str(grid_path), partition_cols=["url_bucket"])
+            commit_stage("grid", grid_path, todo, t0)
+
+    # ---- stage: segments (Gorilla encode) ----------------------------
+    if "segments" in stages:
+        seg_path = out / "segments"
+        todo = stage_buckets("segments")
+        if todo:
+            t0 = time.perf_counter()
+            _clean_partitions(seg_path, todo)
+            long_obs = to_long(_read_stage(obs_path, todo
+                                           if len(todo) < cfg.n_buckets
+                                           else None), cfg.metrics)
+            segments_stage(long_obs).write_parquet(
+                str(seg_path), partition_cols=["url_bucket"])
+            commit_stage("segments", seg_path, todo, t0)
+
+    # ---- stages: tier chain ------------------------------------------
+    prev_path = obs_path
+    for tier in TIER_STAGES:
+        if tier not in stages:
+            continue
+        tier_path = out / tier
+        todo = stage_buckets(tier)
+        if todo:
+            t0 = time.perf_counter()
+            _clean_partitions(tier_path, todo)
+            sub = todo if len(todo) < cfg.n_buckets else None
+            if tier == "hourly":
+                src = to_long(_read_stage(obs_path, sub), cfg.metrics)
+                partials = rollup(src, TIER_SECONDS[tier], cfg)
+            else:
+                stored = _read_stage(prev_path, sub)
+                partials = reaggregate(stored, TIER_SECONDS[tier], cfg)
+            outds = finalize_with_state(partials)
+            outds.write_parquet(str(tier_path), partition_cols=["url_bucket"])
+            commit_stage(tier, tier_path, todo, t0)
+        prev_path = tier_path
+
+    metrics["total_seconds"] = round(time.perf_counter() - t_run, 3)
+    if metrics.get("input_docs"):
+        metrics["docs_per_sec"] = round(
+            metrics["input_docs"] / metrics["total_seconds"], 1)
+    (out / "run_metrics.json").write_text(json.dumps(metrics, indent=2))
+    return metrics
+
+
+def finalize_with_state(partials: rd.Dataset) -> rd.Dataset:
+    """Public tier schema + the ``last_src_ts`` merge-state column that
+    lets the next tier re-aggregate from this stored table."""
+    import pyarrow.compute as pc
+
+    def fin(batch: pa.Table) -> pa.Table:
+        mean = pc.divide(pc.cast(batch["sum"], pa.float64()),
+                         pc.cast(batch["count"], pa.float64()))
+        return batch.append_column("mean", mean)
+
+    return partials.map_batches(fin, batch_format="pyarrow")

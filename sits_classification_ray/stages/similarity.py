@@ -1,0 +1,173 @@
+"""Approximate/exact nearest-neighbor search over an embedding column.
+
+Baseline: brute-force cosine top-k — per-batch float64 matmul against a
+broadcast query matrix (``ray.put`` once, read in actor ``__init__``),
+partial top-k per batch, tiny final merge. Scale path: IVF — k-means
+coarse centroids assign each vector to a list; queries only scan the
+``n_probe`` nearest lists, so each batch scans a fraction of the data.
+
+Both stages follow the broadcast-small-side rule (ray_guide "Joins and
+lookups"): the query matrix / centroid table never re-ships per batch.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import ray
+import ray.data as rd
+
+
+def _normalize(mat: np.ndarray) -> np.ndarray:
+    n = np.linalg.norm(mat, axis=1, keepdims=True)
+    n[n == 0] = 1.0
+    return mat / n
+
+
+def _partial_topk(sims: np.ndarray, ids: np.ndarray, query_ids: np.ndarray,
+                  k: int) -> pd.DataFrame:
+    """Per-batch top-k rows for each query: (query_id, vec_id, score)."""
+    out_q, out_v, out_s = [], [], []
+    kk = min(k, sims.shape[1])
+    for qi in range(sims.shape[0]):
+        idx = np.argpartition(-sims[qi], kk - 1)[:kk]
+        out_q.extend([query_ids[qi]] * kk)
+        out_v.extend(ids[idx].tolist())
+        out_s.extend(sims[qi][idx].tolist())
+    return pd.DataFrame({"query_id": np.array(out_q, dtype=np.int64),
+                         "vec_id": np.array(out_v, dtype=np.int64),
+                         "score": np.array(out_s, dtype=np.float64)})
+
+
+def brute_force_topk(ds: rd.Dataset, queries: dict[int, np.ndarray],
+                     k: int = 10, id_col: str = "vec_id",
+                     vec_col: str = "embedding",
+                     round_to: int | None = 6) -> pd.DataFrame:
+    """Exact cosine top-k for each query vector (deterministic order).
+
+    Results ranked by (rounded score desc, vec_id asc) so ordering is
+    stable under float-summation differences across engines.
+    """
+    q_ids = np.array(sorted(queries), dtype=np.int64)
+    q_mat = _normalize(np.stack([np.asarray(queries[q], dtype=np.float64)
+                                 for q in q_ids]))
+    ref = ray.put((q_ids, q_mat))
+
+    class Score:
+        def __init__(self):
+            self.q_ids, self.q_mat = ray.get(ref)
+
+        def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+            mat = _normalize(np.stack(
+                [np.asarray(v, dtype=np.float64) for v in df[vec_col]]))
+            sims = self.q_mat @ mat.T
+            return _partial_topk(sims, df[id_col].to_numpy(), self.q_ids, k)
+
+    partials = ds.map_batches(Score, batch_format="pandas",
+                              concurrency=(1, 8), num_cpus=1).to_pandas()
+    if round_to is not None:
+        partials["score"] = partials["score"].round(round_to)
+    partials = partials.sort_values(
+        ["query_id", "score", "vec_id"],
+        ascending=[True, False, True], kind="mergesort")
+    return (partials.groupby("query_id", sort=True, as_index=False)
+            .head(k).reset_index(drop=True))
+
+
+# ---------------------------------------------------------------------------
+# IVF (inverted-file) variant — the 100 TB scale path
+# ---------------------------------------------------------------------------
+
+
+def train_centroids(ds: rd.Dataset, n_lists: int = 16, iters: int = 10,
+                    seed: int = 0, vec_col: str = "embedding",
+                    sample_frac: float = 1.0) -> np.ndarray:
+    """Mini k-means on a sample (driver-side Lloyd over a small sample;
+    assignment at scale stays distributed)."""
+    sample = ds if sample_frac >= 1.0 else ds.random_sample(sample_frac,
+                                                            seed=seed)
+    mat = _normalize(np.stack(
+        [np.asarray(r[vec_col], dtype=np.float64)
+         for r in sample.select_columns([vec_col]).take_all()]))
+    rng = np.random.default_rng(seed)
+    cent = mat[rng.choice(len(mat), size=min(n_lists, len(mat)),
+                          replace=False)]
+    for _ in range(iters):
+        assign = np.argmax(mat @ cent.T, axis=1)
+        for c in range(len(cent)):
+            m = assign == c
+            if m.any():
+                v = mat[m].mean(axis=0)
+                cent[c] = v / max(np.linalg.norm(v), 1e-12)
+    return cent
+
+
+def ivf_assign(ds: rd.Dataset, centroids: np.ndarray,
+               id_col: str = "vec_id", vec_col: str = "embedding") -> rd.Dataset:
+    """Attach the IVF list id to every vector (stateless matmul)."""
+    ref = ray.put(centroids)
+
+    class Assign:
+        def __init__(self):
+            self.cent = ray.get(ref)
+
+        def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+            mat = _normalize(np.stack(
+                [np.asarray(v, dtype=np.float64) for v in df[vec_col]]))
+            df = df.copy()
+            df["ivf_list"] = np.argmax(mat @ self.cent.T, axis=1).astype(np.int32)
+            return df
+
+    return ds.map_batches(Assign, batch_format="pandas",
+                          concurrency=(1, 8), num_cpus=1)
+
+
+def ivf_topk(assigned: rd.Dataset, centroids: np.ndarray,
+             queries: dict[int, np.ndarray], k: int = 10, n_probe: int = 4,
+             id_col: str = "vec_id", vec_col: str = "embedding",
+             round_to: int | None = 6) -> pd.DataFrame:
+    """Top-k scanning only each query's ``n_probe`` nearest lists."""
+    q_ids = np.array(sorted(queries), dtype=np.int64)
+    q_mat = _normalize(np.stack([np.asarray(queries[q], dtype=np.float64)
+                                 for q in q_ids]))
+    probe = np.argsort(-(q_mat @ centroids.T), axis=1)[:, :n_probe]
+    wanted_lists = np.array(
+        sorted({int(l) for row in probe for l in row}), dtype=np.int64)
+    sub = assigned.map_batches(
+        lambda df: df[np.isin(df["ivf_list"].to_numpy(), wanted_lists)],
+        batch_format="pandas")
+    probe_of = {int(q): set(map(int, probe[i])) for i, q in enumerate(q_ids)}
+    ref = ray.put((q_ids, q_mat, probe_of))
+
+    class Score:
+        def __init__(self):
+            self.q_ids, self.q_mat, self.probe_of = ray.get(ref)
+
+        def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+            mat = _normalize(np.stack(
+                [np.asarray(v, dtype=np.float64) for v in df[vec_col]]))
+            sims = self.q_mat @ mat.T
+            lists = df["ivf_list"].to_numpy()
+            outs = []
+            for qi, q in enumerate(self.q_ids):
+                mask = np.isin(lists, list(self.probe_of[int(q)]))
+                if not mask.any():
+                    continue
+                outs.append(_partial_topk(
+                    sims[qi:qi + 1, mask], df[id_col].to_numpy()[mask],
+                    np.array([q]), k))
+            if not outs:
+                return pd.DataFrame({"query_id": pd.Series([], dtype=np.int64),
+                                     "vec_id": pd.Series([], dtype=np.int64),
+                                     "score": pd.Series([], dtype=np.float64)})
+            return pd.concat(outs, ignore_index=True)
+
+    partials = sub.map_batches(Score, batch_format="pandas",
+                               concurrency=(1, 8), num_cpus=1).to_pandas()
+    if round_to is not None:
+        partials["score"] = partials["score"].round(round_to)
+    partials = partials.sort_values(
+        ["query_id", "score", "vec_id"],
+        ascending=[True, False, True], kind="mergesort")
+    return (partials.groupby("query_id", sort=True, as_index=False)
+            .head(k).reset_index(drop=True))

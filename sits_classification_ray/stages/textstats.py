@@ -1,0 +1,133 @@
+"""Text analysis operators over document tables.
+
+Large-scale training-data-pipeline operators (token counting, quality
+scoring, language ID, fingerprinting) expressed as vectorized
+``map_batches`` stages. The stateful ones (compiled regex, stopword
+tables) are callable classes → actor pools, mirroring the reference's
+load-once worker state (``pytorch/predict.py:256-272``).
+"""
+
+from __future__ import annotations
+
+import re
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray.data as rd
+
+
+def text_stats_batch(batch: pa.Table, id_col: str = "doc_id",
+                     text_col: str = "text") -> pa.Table:
+    """SQL-parity stats: chars, space-split tokens, word-regex tokens.
+
+    ``n_tokens`` = number of single-space-separated fields (DuckDB
+    ``len(string_split(text,' '))``); ``n_words`` = ``\\w+`` matches
+    (DuckDB ``len(regexp_extract_all(text,'\\w+'))``);
+    ``chars_per_token`` = exact double division (deterministic on both
+    engines).
+    """
+    text = batch[text_col]
+    n_chars = pc.cast(pc.utf8_length(text), pa.int64())
+    n_tokens = pc.cast(pc.list_value_length(pc.split_pattern(text, " ")),
+                       pa.int64())
+    n_words = pc.cast(
+        pc.list_value_length(pc.extract_regex_span(text, r"\w+"))
+        if hasattr(pc, "extract_regex_span") else
+        pc.count_substring_regex(text, r"\w+"), pa.int64())
+    cpt = pc.divide(pc.cast(n_chars, pa.float64()),
+                    pc.cast(n_tokens, pa.float64()))
+    return pa.table({
+        id_col: batch[id_col],
+        "n_chars": n_chars,
+        "n_tokens": n_tokens,
+        "n_words": n_words,
+        "chars_per_token": cpt,
+    })
+
+
+def text_stats(ds: rd.Dataset, id_col: str = "doc_id",
+               text_col: str = "text") -> rd.Dataset:
+    return ds.map_batches(text_stats_batch,
+                          fn_kwargs={"id_col": id_col, "text_col": text_col},
+                          batch_format="pyarrow", zero_copy_batch=True)
+
+
+# --- language ID (n-gram / stopword heuristic; actor pool) ---------------
+
+_STOPWORDS = {
+    "en": {"the", "and", "of", "to", "in", "is", "that", "it", "was", "for",
+           "on", "are", "with", "as", "his", "they", "at", "be", "this"},
+    "de": {"der", "die", "und", "das", "ist", "von", "den", "mit", "nicht",
+           "ein", "eine", "auf", "sich", "des", "im", "dem", "zu", "auch"},
+    "fr": {"le", "la", "les", "et", "des", "est", "un", "une", "du", "dans",
+           "que", "qui", "pour", "pas", "sur", "au", "avec", "ne", "se"},
+    "es": {"el", "la", "los", "las", "y", "es", "un", "una", "del", "en",
+           "que", "por", "con", "para", "su", "al", "lo", "como", "se"},
+    "pt": {"o", "a", "os", "as", "e", "um", "uma", "do", "da", "em", "que",
+           "para", "com", "por", "uma", "se", "na", "no", "mais"},
+    "it": {"il", "la", "le", "e", "di", "che", "un", "una", "del", "in",
+           "per", "con", "non", "si", "da", "sono", "al", "come"},
+}
+
+
+class LangId:
+    """Heuristic language ID: stopword hit-rate per language, plus a CJK
+    codepoint check. Compiled state lives in ``__init__`` (once per
+    actor), scoring is per batch."""
+
+    def __init__(self):
+        self.word_re = re.compile(r"[a-zà-ÿ]+")
+        self.cjk_re = re.compile(r"[一-鿿]")
+        self.tables = {lang: frozenset(ws) for lang, ws in _STOPWORDS.items()}
+
+    def classify(self, text: str) -> str:
+        if text and len(self.cjk_re.findall(text)) / max(1, len(text)) > 0.2:
+            return "zh"
+        words = self.word_re.findall(text.lower())
+        if not words:
+            return "und"
+        best, best_score = "und", 0.0
+        for lang, table in self.tables.items():
+            score = sum(1 for w in words if w in table) / len(words)
+            if score > best_score:
+                best, best_score = lang, score
+        return best if best_score > 0.05 else "und"
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        batch["pred_lang"] = [self.classify(t) for t in batch["text"]]
+        return batch
+
+
+def lang_id(ds: rd.Dataset, concurrency=(1, 4)) -> rd.Dataset:
+    return ds.map_batches(LangId, batch_format="pandas",
+                          concurrency=concurrency, num_cpus=1)
+
+
+# --- document fingerprint (rolling polynomial hash) ----------------------
+
+_FP_BASE = np.uint64(1099511628211)
+_FP_OFF = np.uint64(14695981039346656037)
+
+
+def fingerprint_batch(batch: pa.Table, id_col: str = "doc_id",
+                      text_col: str = "text") -> pa.Table:
+    """FNV-1a-style rolling hash over utf-8 bytes, vectorized per doc."""
+    out = np.empty(len(batch), dtype=np.uint64)
+    texts = batch[text_col].to_pylist()
+    for i, t in enumerate(texts):
+        h = _FP_OFF
+        data = np.frombuffer((t or "").encode(), dtype=np.uint8).astype(np.uint64)
+        for b in data:
+            h = (h ^ b) * _FP_BASE
+        out[i] = h
+    return pa.table({id_col: batch[id_col],
+                     "fingerprint": pa.array(out.astype(np.int64))})
+
+
+def fingerprint(ds: rd.Dataset, id_col: str = "doc_id",
+                text_col: str = "text") -> rd.Dataset:
+    return ds.map_batches(fingerprint_batch,
+                          fn_kwargs={"id_col": id_col, "text_col": text_col},
+                          batch_format="pyarrow", zero_copy_batch=True)

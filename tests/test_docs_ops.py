@@ -1,0 +1,128 @@
+"""Tests for the training-data operators: dedup suite, text stats,
+similarity search."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+import ray
+import ray.data as rd
+
+from sits_classification_ray.stages.dedup_docs import (
+    MinHasher,
+    SimHasher,
+    embedding_near_dup,
+    exact_dedup,
+    ngram_jaccard_pairs,
+)
+from sits_classification_ray.stages.similarity import (
+    brute_force_topk,
+    ivf_assign,
+    ivf_topk,
+    train_centroids,
+)
+from sits_classification_ray.stages.textstats import LangId, text_stats
+
+
+@pytest.fixture(scope="module")
+def docs_ds():
+    texts = [
+        "the quick brown fox jumps over the lazy dog",
+        "the quick brown fox jumps over the lazy dog",        # exact dup
+        "the quick brown fox jumps over the lazy cat",        # near dup
+        "completely different content about databases and queries",
+        "der schnelle braune fuchs springt über den faulen hund und die katze",
+        "le renard brun rapide saute par dessus le chien paresseux dans le jardin",
+        "short",
+    ]
+    return rd.from_arrow(pa.table({
+        "doc_id": pa.array(range(len(texts)), pa.int64()),
+        "text": pa.array(texts, pa.string()),
+    }))
+
+
+def test_exact_dedup(docs_ds):
+    out = exact_dedup(docs_ds).to_pandas().sort_values("doc_id")
+    assert len(out) == 6                       # 7 docs, one exact dup pair
+    assert out[out["doc_id"] == 0]["n_copies"].iloc[0] == 2
+    assert (out[out["doc_id"] != 0]["n_copies"] == 1).all()
+    assert 1 not in set(out["doc_id"])         # min id survives
+
+
+def test_minhash_finds_near_dups(docs_ds):
+    pairs = ngram_jaccard_pairs(docs_ds, threshold=0.5).to_pandas()
+    found = set(map(tuple, pairs[["id_a", "id_b"]].to_numpy()))
+    assert (0, 1) in found                     # exact dup: jaccard 1.0
+    assert (0, 2) in found or (1, 2) in found  # near dup
+    exact = pairs[(pairs.id_a == 0) & (pairs.id_b == 1)]
+    assert exact["jaccard"].iloc[0] == 1.0
+
+
+def test_minhash_signature_deterministic():
+    a = MinHasher(seed=1).signature("hello world, this is a document")
+    b = MinHasher(seed=1).signature("hello world, this is a document")
+    np.testing.assert_array_equal(a, b)
+
+
+def test_simhash_similar_docs_close():
+    sh = SimHasher()
+    a = int(sh.simhash("the quick brown fox jumps over the lazy dog"))
+    b = int(sh.simhash("the quick brown fox jumps over the lazy cat"))
+    c = int(sh.simhash("completely different content about databases"))
+    ham_ab = bin(a ^ b).count("1")
+    ham_ac = bin(a ^ c).count("1")
+    assert ham_ab < ham_ac
+
+
+def test_text_stats(docs_ds):
+    out = text_stats(docs_ds).to_pandas().sort_values("doc_id")
+    row = out.iloc[0]
+    assert row["n_tokens"] == 9
+    assert row["n_words"] == 9
+    assert row["n_chars"] == len("the quick brown fox jumps over the lazy dog")
+    assert row["chars_per_token"] == row["n_chars"] / row["n_tokens"]
+
+
+def test_langid():
+    lid = LangId()
+    assert lid.classify("the cat and the dog are in the house") == "en"
+    assert lid.classify("der hund und die katze sind nicht da") == "de"
+    assert lid.classify("le chien est dans le jardin avec une balle") == "fr"
+    assert lid.classify("你好世界这是一个测试文档今天天气很好") == "zh"
+    assert lid.classify("") == "und"
+
+
+@pytest.fixture(scope="module")
+def emb_ds():
+    rng = np.random.default_rng(5)
+    base = rng.normal(size=(40, 16)).astype(np.float32)
+    base[7] = base[3] + rng.normal(scale=0.01, size=16)  # planted near-dup
+    return rd.from_arrow(pa.table({
+        "vec_id": pa.array(range(40), pa.int64()),
+        "embedding": pa.array([list(map(float, v)) for v in base],
+                              pa.list_(pa.float32())),
+    }))
+
+
+def test_embedding_near_dup(emb_ds):
+    out = embedding_near_dup(emb_ds, threshold=0.99).to_pandas()
+    assert {(3, 7)} == set(map(tuple, out[["id_a", "id_b"]].to_numpy()))
+
+
+def test_brute_force_topk_self_is_best(emb_ds):
+    rows = {r["vec_id"]: np.asarray(r["embedding"])
+            for r in emb_ds.take_all()}
+    out = brute_force_topk(emb_ds, {3: rows[3]}, k=5)
+    assert out.iloc[0]["vec_id"] == 3          # self first (score 1.0)
+    assert out.iloc[1]["vec_id"] == 7          # planted near-dup second
+    assert len(out) == 5
+
+
+def test_ivf_recalls_planted_neighbor(emb_ds):
+    rows = {r["vec_id"]: np.asarray(r["embedding"])
+            for r in emb_ds.take_all()}
+    cent = train_centroids(emb_ds, n_lists=4, iters=5, seed=0)
+    assigned = ivf_assign(emb_ds, cent)
+    out = ivf_topk(assigned, cent, {3: rows[3]}, k=5, n_probe=2)
+    got = out[out["query_id"] == 3]["vec_id"].tolist()
+    assert got[0] == 3 and 7 in got[:2]

@@ -1,0 +1,115 @@
+"""Driver-style correctness harness: run every ``queries()`` entry on
+Ray and its ``oracle_sql()`` twin on DuckDB over the same sf dir, then
+compare row count, column names and an order-insensitive value hash.
+
+Usage: python tools/check_correctness.py [sf_dir] [query ...]
+"""
+
+from __future__ import annotations
+
+import sys
+
+import duckdb
+import numpy as np
+import pandas as pd
+
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+
+def to_pandas(res) -> pd.DataFrame:
+    import pyarrow as pa
+    import ray.data as rd
+
+    if isinstance(res, rd.Dataset):
+        return res.to_pandas()
+    if isinstance(res, pa.Table):
+        return res.to_pandas()
+    return res
+
+
+def canon(df: pd.DataFrame) -> pd.DataFrame:
+    df = df[sorted(df.columns)].copy()
+    for c in df.columns:
+        if pd.api.types.is_datetime64_any_dtype(df[c]):
+            df[c] = df[c].astype("datetime64[us]")
+        elif pd.api.types.is_float_dtype(df[c]):
+            df[c] = df[c].astype(np.float64)
+        elif pd.api.types.is_integer_dtype(df[c]):
+            df[c] = df[c].astype(np.int64)
+        elif pd.api.types.is_bool_dtype(df[c]):
+            df[c] = df[c].astype(np.int64)
+    return df.sort_values(list(df.columns), kind="mergesort").reset_index(drop=True)
+
+
+def value_hash(df: pd.DataFrame) -> int:
+    return int(pd.util.hash_pandas_object(df, index=False).sum())
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    only = set(sys.argv[2:])
+
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(address="local", num_cpus=8, include_dashboard=False,
+                 logging_level="ERROR")
+    import ray.data as rd
+
+    rd.DataContext.get_current().enable_progress_bars = False
+
+    sys.path.insert(0, "/root/repo")
+    import __ray_entry__ as entrymod
+
+    qs = entrymod.queries()
+    oracles = entrymod.oracle_sql()
+
+    con = duckdb.connect()
+    for t in TABLES:
+        con.sql(f"CREATE OR REPLACE VIEW {t} AS "
+                f"SELECT * FROM '{sf_dir}/{t}.parquet'")
+
+    failures = 0
+    for name, fn in qs.items():
+        if only and name not in only:
+            continue
+        try:
+            got = canon(to_pandas(fn(sf_dir)))
+        except Exception as e:
+            print(f"FAIL {name}: ray error: {e}")
+            failures += 1
+            continue
+        if name not in oracles:
+            print(f"ok   {name}: rows-only ({len(got)} rows)")
+            continue
+        try:
+            want = canon(con.sql(oracles[name]).df())
+        except Exception as e:
+            print(f"FAIL {name}: oracle error: {e}")
+            failures += 1
+            continue
+        status = []
+        if len(got) != len(want):
+            status.append(f"rows {len(got)} != {len(want)}")
+        if list(got.columns) != list(want.columns):
+            status.append(f"cols {list(got.columns)} != {list(want.columns)}")
+        if not status and value_hash(got) != value_hash(want):
+            diff = (got != want) & ~(got.isna() & want.isna())
+            ncell = int(diff.to_numpy().sum())
+            status.append(f"value hash mismatch ({ncell} differing cells)")
+            for c in got.columns:
+                if diff[c].any():
+                    i = diff[c].idxmax()
+                    status.append(f"  {c}[{i}]: {got[c][i]!r} vs {want[c][i]!r}")
+        if status:
+            print(f"FAIL {name}: " + "; ".join(status[:6]))
+            failures += 1
+        else:
+            print(f"ok   {name}: {len(got)} rows, hash match")
+    ray.shutdown()
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
