@@ -1,0 +1,155 @@
+"""Benchmark harness: end-to-end rollup throughput (docs/sec) + query timings.
+
+Headline: the full checkpointed pipeline (extract → assemble → gap-fill
+→ Gorilla segments → hourly/daily/weekly tiers, all written to Parquet)
+over a deterministic synthetic crawl table derived from the scale
+factor in ``$GRAFT_SF_DIR``. Prints ONE JSON line.
+
+``--scaling`` runs the same job in fresh processes at num_cpus=8 and
+num_cpus=32 on the same input and reports both throughputs plus the
+scaling efficiency (the sandbox substitution for the N-vs-4N-node
+cluster criterion; see BASELINE.md).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import subprocess
+import sys
+import time
+from pathlib import Path
+
+SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+#: crawl rows scale with the sf dir's events table (deterministic).
+#: default ×80 ≈ 8M docs at sf0.1 — small enough to generate in ~1 min,
+#: large enough that per-stage scheduling latency stops dominating.
+DOCS_MULT = int(os.environ.get("GRAFT_BENCH_MULT", "80"))
+
+_CACHE = Path("/tmp/sits_bench_cache")
+
+
+def bench_input(sf_dir: str) -> str:
+    """Deterministic crawl parquet sized from the sf dir's events table
+    (rows ≈ DOCS_MULT × |events|). Cached across runs so --scaling's
+    two sessions read the identical file."""
+    import pyarrow.parquet as pq
+
+    n_events = pq.read_metadata(f"{sf_dir}/events.parquet").num_rows
+    tag = f"{Path(sf_dir).name}_x{DOCS_MULT}"
+    path = _CACHE / f"crawl_{tag}"
+    if path.exists():
+        return str(path)
+    _CACHE.mkdir(parents=True, exist_ok=True)
+    from sits_classification_ray.sources.synth import generate_crawl_parquet
+
+    target_rows = n_events * DOCS_MULT
+    tmp = Path(str(path) + ".tmp")
+    generate_crawl_parquet(str(tmp), n_urls=max(100, target_rows // 50),
+                           mean_snaps=40, seed=42, span_days=60,
+                           row_group_size=200_000, target_rows=target_rows,
+                           num_files=32)
+    tmp.rename(path)
+    return str(path)
+
+
+def run_bench() -> dict:
+    import ray
+    import ray.data as rd
+
+    sys.path.insert(0, str(Path(__file__).resolve().parent))
+    from sits_classification_ray import EngineConfig
+    from sits_classification_ray.pipelines.rollup_pipeline import run_pipeline
+
+    crawl = bench_input(SF_DIR)
+
+    ray.init(address="local", num_cpus=NUM_CPUS, include_dashboard=False,
+             ignore_reinit_error=True, logging_level="ERROR")
+    ctx = rd.DataContext.get_current()
+    ctx.enable_progress_bars = False
+    ctx.execution_options.verbose_progress = False
+
+    # warm OS page cache (untimed) so both scaling runs measure compute
+    rd.read_parquet(crawl).count()
+
+    out = Path("/tmp/sits_bench_out")
+    shutil.rmtree(out, ignore_errors=True)
+    # flush pending writeback (input generation / previous outputs) so
+    # the timed section isn't competing with stale dirty pages
+    os.sync()
+    cfg = EngineConfig(n_buckets=64)
+
+    # headline: the continuous-aggregate maintenance path — extract →
+    # assemble (checkpointed obs) → hourly → daily → weekly tiers
+    t0 = time.perf_counter()
+    metrics = run_pipeline(crawl, str(out), cfg, resume=False,
+                           stages=("obs", "hourly", "daily", "weekly"))
+    elapsed = time.perf_counter() - t0
+
+    queries = {f"pipeline_{k}": v["seconds"]
+               for k, v in metrics["stages"].items()}
+
+    # secondary pipelines, timed separately (I/O-heavy grid write would
+    # otherwise hide the rollup path's CPU scaling on one shared disk)
+    t1 = time.perf_counter()
+    m2 = run_pipeline(crawl, str(out), cfg, resume=True,
+                      stages=("grid",))
+    queries["gapfill_grid"] = round(time.perf_counter() - t1, 3)
+    t2 = time.perf_counter()
+    m3 = run_pipeline(crawl, str(out), cfg, resume=True,
+                      stages=("segments",))
+    queries["gorilla_segments"] = round(time.perf_counter() - t2, 3)
+
+    result = {
+        "metric": "e2e_rollup_tiers_seconds",
+        "value": round(elapsed, 3),
+        "unit": "sec",
+        "queries": queries,
+        "sf": Path(SF_DIR).name,
+        "num_cpus": NUM_CPUS,
+        "input_docs": metrics.get("input_docs"),
+        "docs_per_sec": round(metrics.get("input_docs", 0) / elapsed, 1),
+    }
+    ray.shutdown()
+    return result
+
+
+def run_scaling() -> dict:
+    # generate + cache the input up front so both timed subprocesses
+    # read the identical, already-materialized file
+    sys.path.insert(0, str(Path(__file__).resolve().parent))
+    bench_input(SF_DIR)
+
+    def run(ncpu: int) -> dict:
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
+        out = subprocess.run([sys.executable, __file__], env=env,
+                             capture_output=True, text=True, check=True).stdout
+        return json.loads(out.strip().splitlines()[-1])
+
+    lo, hi = 8, 32
+    r_lo, r_hi = run(lo), run(hi)
+    speedup = r_lo["value"] / r_hi["value"]
+    eff = speedup / (hi / lo)
+    return {
+        "metric": "scaling_efficiency",
+        "cpus": [lo, hi],
+        f"sec_{lo}": r_lo["value"],
+        f"sec_{hi}": r_hi["value"],
+        f"docs_per_sec_{lo}": r_lo["docs_per_sec"],
+        f"docs_per_sec_{hi}": r_hi["docs_per_sec"],
+        "speedup": round(speedup, 3),
+        "scaling_efficiency": round(eff, 3),
+        "input_docs": r_hi["input_docs"],
+        "sf": r_hi["sf"],
+        f"stages_{lo}": r_lo["queries"],
+        f"stages_{hi}": r_hi["queries"],
+    }
+
+
+if __name__ == "__main__":
+    if "--scaling" in sys.argv:
+        print(json.dumps(run_scaling()))
+    else:
+        print(json.dumps(run_bench()))

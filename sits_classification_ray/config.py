@@ -63,6 +63,9 @@ class EngineConfig:
     seed: int = 42
     batch_size: int = 16384           # rows per map_batches batch
     min_series_len: int = 2           # singleton filter (utils/class_run.py:154-156)
+    # zstd trades (well-scaling) CPU for (fixed-size) disk bandwidth —
+    # the right trade for every tier/grid/segment sink
+    parquet_compression: str = "zstd"
 
     def tier_seconds(self, tier: str) -> int:
         return TIER_SECONDS[tier]

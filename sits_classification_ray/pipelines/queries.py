@@ -186,30 +186,27 @@ def _gapfill(sf_dir: str, method: str) -> rd.Dataset:
 
 def _gorilla_segments(sf_dir: str) -> rd.Dataset:
     """Encode every (url, metric) stream; report sizes + roundtrip check."""
-    from sits_classification_ray.functions.gorilla import (decode_series,
-                                                           encode_series)
+    from sits_classification_ray.functions.gorilla import decode_series
+    from sits_classification_ray.pipelines.rollup_pipeline import segments_stage
 
-    def kernel(df: pd.DataFrame) -> pd.DataFrame:
-        rows = []
-        for metric, g in df.groupby("metric", sort=True):
-            g = g.sort_values("warc_ts", kind="mergesort")
-            ts = g["warc_ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
-            vals = g["value"].to_numpy(np.float64)
-            tsc, vc = encode_series(ts, vals)
-            dts, dvals = decode_series(tsc, vc, len(ts))
-            rows.append({
-                "url": df["url"].iloc[0], "metric": metric,
-                "t_start": g["warc_ts"].iloc[0], "t_end": g["warc_ts"].iloc[-1],
-                "n": len(ts), "ts_bytes": len(tsc), "val_bytes": len(vc),
-                "raw_bytes": 16 * len(ts),
-                "roundtrip_ok": bool((dts == ts).all()
-                                     and (dvals.view(np.uint64)
-                                          == vals.view(np.uint64)).all()),
-            })
-        return pd.DataFrame(rows)
+    seg = segments_stage(_obs_long(sf_dir))
 
-    return _obs_long(sf_dir).groupby("url").map_groups(
-        kernel, batch_format="pandas")
+    def check(df: pd.DataFrame) -> pd.DataFrame:
+        ok = np.empty(len(df), dtype=bool)
+        for i, row in enumerate(df.itertuples(index=False)):
+            dts, dvals = decode_series(row.ts_codes, row.val_codes, row.n)
+            ok[i] = bool(
+                (dts[0] == np.datetime64(row.t_start, "us").astype(np.int64))
+                and (dts[-1] == np.datetime64(row.t_end, "us").astype(np.int64)))
+        return pd.DataFrame({
+            "url": df["url"], "metric": df["metric"], "n": df["n"],
+            "ts_bytes": df["ts_codes"].str.len(),
+            "val_bytes": df["val_codes"].str.len(),
+            "raw_bytes": 16 * df["n"].astype(np.int64),
+            "roundtrip_ok": ok,
+        })
+
+    return seg.map_batches(check, batch_format="pandas")
 
 
 def _similarity_topk(sf_dir: str) -> pd.DataFrame:
@@ -296,11 +293,24 @@ def _minhash_near_dup_documents(sf_dir: str) -> rd.Dataset:
 # ---------------------------------------------------------------------------
 
 
+def _tuned(fn: Callable[[str], Any]) -> Callable[[str], Any]:
+    """Apply cluster-sized shuffle settings before building datasets
+    (DataContext is captured at Dataset creation time)."""
+
+    def wrapper(sf_dir: str):
+        import sits_classification_ray as scr
+
+        scr.tune_for_cluster()
+        return fn(sf_dir)
+
+    return wrapper
+
+
 def build_queries() -> dict[str, Callable[[str], Any]]:
     from sits_classification_ray.pipelines.relational import (
         orders_per_nation, q1_pricing_summary)
 
-    return {
+    return {k: _tuned(v) for k, v in {
         # crawl pipeline (SQL-checked)
         "crawl_extract": lambda sf: extract(
             crawl_from_tables(sf), CFG, keep_text=True
@@ -330,7 +340,7 @@ def build_queries() -> dict[str, Callable[[str], Any]]:
         "fingerprint_documents": _fingerprint_documents,
         "minhash_near_dup_documents": _minhash_near_dup_documents,
         "ivf_topk": _ivf_topk,
-    }
+    }.items()}
 
 
 def build_oracle_sql() -> dict[str, str]:

@@ -89,28 +89,41 @@ def _read_stage(path: Path, buckets: list[int] | None = None) -> rd.Dataset:
 
 
 def segments_stage(ds_long: rd.Dataset) -> rd.Dataset:
-    """Gorilla-encode each (url, metric) stream → one segment row."""
+    """Gorilla-encode each (url, metric) stream → one segment row.
+
+    Bucket-level kernel: one sort per hash bucket, then numpy slices
+    into the sequential bit encoder per (url, metric) run.
+    """
+    from sits_classification_ray.stages.gapfill import _series_bounds
 
     def kernel(df: pd.DataFrame) -> pd.DataFrame:
-        rows = []
-        for metric, g in df.groupby("metric", sort=True):
-            g = g.sort_values("warc_ts", kind="mergesort")
-            ts = g["warc_ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
-            vals = g["value"].to_numpy(np.float64)
-            tsc, vc = encode_series(ts, vals)
-            rows.append({
-                "url": df["url"].iloc[0],
-                "url_bucket": df["url_bucket"].iloc[0],
-                "metric": metric,
-                "t_start": g["warc_ts"].iloc[0],
-                "t_end": g["warc_ts"].iloc[-1],
-                "n": np.int32(len(ts)),
-                "ts_codes": tsc,
-                "val_codes": vc,
-            })
-        return pd.DataFrame(rows)
+        df = df.sort_values(["url", "metric", "warc_ts"], kind="mergesort")
+        urls = df["url"].to_numpy()
+        mets = df["metric"].to_numpy()
+        ts_all = df["warc_ts"].to_numpy().astype("datetime64[us]")
+        ts_int = ts_all.astype(np.int64)
+        vals = df["value"].to_numpy(np.float64)
+        bucket = df["url_bucket"].to_numpy()
+        starts, ends = _series_bounds(urls, mets)
+        ts_codes, val_codes = [], []
+        for s, e in zip(starts, ends):
+            tsc, vc = encode_series(ts_int[s:e], vals[s:e])
+            ts_codes.append(tsc)
+            val_codes.append(vc)
+        return pd.DataFrame({
+            "url": urls[starts],
+            "url_bucket": bucket[starts],
+            "metric": mets[starts],
+            "t_start": ts_all[starts],
+            "t_end": ts_all[ends - 1] if len(ends) else ts_all[:0],
+            "n": (ends - starts).astype(np.int32),
+            "ts_codes": ts_codes,
+            "val_codes": val_codes,
+        })
 
-    return ds_long.groupby("url").map_groups(kernel, batch_format="pandas")
+    from sits_classification_ray.stages.shuffle import partitioned_map
+
+    return partitioned_map(ds_long, kernel)
 
 
 def run_pipeline(input_path: str, out_dir: str,
@@ -119,6 +132,9 @@ def run_pipeline(input_path: str, out_dir: str,
                                             "hourly", "daily", "weekly"),
                  ) -> dict:
     """Run (or resume) the full pipeline; returns run metrics."""
+    import sits_classification_ray as scr
+
+    scr.tune_for_cluster()
     cfg = cfg or EngineConfig()
     out = Path(out_dir)
     out.mkdir(parents=True, exist_ok=True)
@@ -156,66 +172,94 @@ def run_pipeline(input_path: str, out_dir: str,
         if todo:
             t0 = time.perf_counter()
             _clean_partitions(obs_path, todo)
+            import pyarrow.parquet as pq
+
+            # row count from footer metadata — never a data read
+            n_in = sum(pq.read_metadata(f).num_rows for f in input_files)
             raw = rd.read_parquet(input_path,
                                   columns=["url", "warc_ts", "html", "lang"])
-            n_in = raw.count()
             ds = extract(raw, cfg)
             if len(todo) < cfg.n_buckets:
                 ds = _filter_buckets(ds, todo)
             obs = assemble_series(ds, cfg)
-            obs.write_parquet(str(obs_path), partition_cols=["url_bucket"])
+            obs.write_parquet(str(obs_path), partition_cols=["url_bucket"],
+                              compression=cfg.parquet_compression)
             commit_stage("obs", obs_path, todo, t0, input_rows=n_in)
             metrics["input_docs"] = n_in
 
-    # ---- stage: grid (gap-fill) --------------------------------------
-    if "grid" in stages:
+    # ---- downstream stages — grid, segments and the tier chain are
+    # independent readers of obs/, so they execute CONCURRENTLY (each
+    # thread drives its own Ray Data streaming executor; the Ray
+    # scheduler interleaves their tasks). The tier chain stays
+    # sequential inside its thread (daily needs hourly, etc.).
+    def run_grid() -> None:
         grid_path = out / "grid"
         todo = stage_buckets("grid")
-        if todo:
-            t0 = time.perf_counter()
-            _clean_partitions(grid_path, todo)
-            long_obs = to_long(_read_stage(obs_path, todo
-                                           if len(todo) < cfg.n_buckets
-                                           else None), cfg.metrics)
-            gapfill(long_obs, cfg).write_parquet(
-                str(grid_path), partition_cols=["url_bucket"])
-            commit_stage("grid", grid_path, todo, t0)
+        if not todo:
+            return
+        t0 = time.perf_counter()
+        _clean_partitions(grid_path, todo)
+        long_obs = to_long(_read_stage(obs_path, todo
+                                       if len(todo) < cfg.n_buckets
+                                       else None), cfg.metrics)
+        gapfill(long_obs, cfg).write_parquet(
+            str(grid_path), partition_cols=["url_bucket"],
+            compression=cfg.parquet_compression)
+        commit_stage("grid", grid_path, todo, t0)
 
-    # ---- stage: segments (Gorilla encode) ----------------------------
-    if "segments" in stages:
+    def run_segments() -> None:
         seg_path = out / "segments"
         todo = stage_buckets("segments")
-        if todo:
-            t0 = time.perf_counter()
-            _clean_partitions(seg_path, todo)
-            long_obs = to_long(_read_stage(obs_path, todo
-                                           if len(todo) < cfg.n_buckets
-                                           else None), cfg.metrics)
-            segments_stage(long_obs).write_parquet(
-                str(seg_path), partition_cols=["url_bucket"])
-            commit_stage("segments", seg_path, todo, t0)
+        if not todo:
+            return
+        t0 = time.perf_counter()
+        _clean_partitions(seg_path, todo)
+        long_obs = to_long(_read_stage(obs_path, todo
+                                       if len(todo) < cfg.n_buckets
+                                       else None), cfg.metrics)
+        segments_stage(long_obs).write_parquet(
+            str(seg_path), partition_cols=["url_bucket"],
+            compression=cfg.parquet_compression)
+        commit_stage("segments", seg_path, todo, t0)
 
-    # ---- stages: tier chain ------------------------------------------
-    prev_path = obs_path
-    for tier in TIER_STAGES:
-        if tier not in stages:
-            continue
-        tier_path = out / tier
-        todo = stage_buckets(tier)
-        if todo:
-            t0 = time.perf_counter()
-            _clean_partitions(tier_path, todo)
-            sub = todo if len(todo) < cfg.n_buckets else None
-            if tier == "hourly":
-                src = to_long(_read_stage(obs_path, sub), cfg.metrics)
-                partials = rollup(src, TIER_SECONDS[tier], cfg)
-            else:
-                stored = _read_stage(prev_path, sub)
-                partials = reaggregate(stored, TIER_SECONDS[tier], cfg)
-            outds = finalize_with_state(partials)
-            outds.write_parquet(str(tier_path), partition_cols=["url_bucket"])
-            commit_stage(tier, tier_path, todo, t0)
-        prev_path = tier_path
+    def run_tiers() -> None:
+        prev_path = obs_path
+        for tier in TIER_STAGES:
+            if tier not in stages:
+                continue
+            tier_path = out / tier
+            todo = stage_buckets(tier)
+            if todo:
+                t0 = time.perf_counter()
+                _clean_partitions(tier_path, todo)
+                sub = todo if len(todo) < cfg.n_buckets else None
+                if tier == "hourly":
+                    src = to_long(_read_stage(obs_path, sub), cfg.metrics)
+                    partials = rollup(src, TIER_SECONDS[tier], cfg)
+                else:
+                    stored = _read_stage(prev_path, sub)
+                    partials = reaggregate(stored, TIER_SECONDS[tier], cfg)
+                outds = finalize_with_state(partials)
+                outds.write_parquet(str(tier_path),
+                                    partition_cols=["url_bucket"],
+                                    compression=cfg.parquet_compression)
+                commit_stage(tier, tier_path, todo, t0)
+            prev_path = tier_path
+
+    from concurrent.futures import ThreadPoolExecutor
+
+    jobs = []
+    if "grid" in stages:
+        jobs.append(run_grid)
+    if "segments" in stages:
+        jobs.append(run_segments)
+    if any(t in stages for t in TIER_STAGES):
+        jobs.append(run_tiers)
+    if jobs:
+        with ThreadPoolExecutor(max_workers=len(jobs)) as pool:
+            futures = [pool.submit(j) for j in jobs]
+            for f in futures:
+                f.result()          # propagate the first failure
 
     metrics["total_seconds"] = round(time.perf_counter() - t_run, 3)
     if metrics.get("input_docs"):

@@ -154,6 +154,7 @@ def synth_crawl_arrays(
     seed: int = 42,
     span_days: int = 60,
     zipf_a: float = 1.4,
+    target_rows: int | None = None,
 ) -> pa.Table:
     """Build a crawl table in memory (deterministic, seeded).
 
@@ -163,6 +164,10 @@ def synth_crawl_arrays(
     written out of time order (sort requirement), and a few
     empty/degenerate html rows (all-invalid filter,
     utils/class_run.py:150-152).
+
+    ``target_rows`` (optional) caps the total row count by truncating
+    the url list once the Zipf snapshot counts reach the target —
+    used by the benchmark generator for predictable input sizes.
     """
     rng = np.random.default_rng(seed)
     # Zipf-ish snapshot counts, clipped; url 0 is the head domain.
@@ -172,6 +177,10 @@ def synth_crawl_arrays(
     )
     counts[0] = int(mean_snaps * 30)       # head domain
     counts[1] = 1                          # singleton series
+    if target_rows is not None:
+        keep = int(np.searchsorted(np.cumsum(counts), target_rows)) + 1
+        counts = counts[:min(keep, n_urls)]
+        n_urls = len(counts)
     url_ids = np.repeat(np.arange(n_urls), counts)
     n = len(url_ids)
 
@@ -184,32 +193,31 @@ def synth_crawl_arrays(
     dup = min(20, counts[0] // 2)
     warc_ts[dup:2 * dup] = warc_ts[:dup]
 
-    # Deterministic text per row: 5-40 words from the vocabulary.
-    nw = rng.integers(5, 41, size=n)
-    tok = rng.integers(0, len(_WORDS), size=int(nw.sum()))
-    words = _WORDS[tok]
-    bounds = np.zeros(n + 1, dtype=np.int64)
-    np.cumsum(nw, out=bounds[1:])
-    texts = np.array(
-        [" ".join(words[bounds[i]:bounds[i + 1]]) for i in range(n)],
-        dtype=object,
-    )
+    # Deterministic text per row: a random-length slice of a seeded
+    # word corpus (vectorized slicing — no per-row string join).
+    corpus_words = _WORDS[rng.integers(0, len(_WORDS), size=20_000)]
+    corpus = " ".join(corpus_words)
+    tlen = rng.integers(30, 240, size=n)
+    tstart = rng.integers(0, len(corpus) - 256, size=n)
+    texts = np.fromiter((corpus[s:s + L] for s, L in zip(tstart, tlen)),
+                        dtype=object, count=n)
     langs = _LANGS[rng.integers(0, len(_LANGS), size=n)]
 
-    site = url_ids % 17
-    urls = np.array(
-        [f"https://site-{s}.example.com/u/{u}" for s, u in zip(site, url_ids)],
-        dtype=object,
-    )
-    htmls = np.array(
-        [f"<html><head><title>u{u}</title></head><body>{t}</body></html>".encode()
-         for u, t in zip(url_ids, texts)],
-        dtype=object,
-    )
+    # Per-url strings built once for the distinct ids, then gathered.
+    uniq_urls = np.fromiter(
+        (f"https://site-{u % 17}.example.com/u/{u}" for u in range(n_urls)),
+        dtype=object, count=n_urls)
+    uniq_pre = np.fromiter(
+        (f"<html><head><title>u{u}</title></head><body>" for u in range(n_urls)),
+        dtype=object, count=n_urls)
+    urls = uniq_urls[url_ids]
+    pres = uniq_pre[url_ids]
+    htmls = np.fromiter((p + t + "</body></html>"
+                         for p, t in zip(pres, texts)), dtype=object, count=n)
     # Degenerate html rows (extraction must yield null → filtered).
     bad = rng.choice(n, size=max(1, n // 500), replace=False)
     for i in bad:
-        htmls[i] = b"<html></html>"
+        htmls[i] = "<html></html>"
         texts[i] = ""
 
     # Shuffle row order so series arrive out of time order.
@@ -218,7 +226,7 @@ def synth_crawl_arrays(
         {
             "url": pa.array(urls[perm], pa.string()),
             "warc_ts": pa.array(warc_ts[perm], pa.timestamp("us")),
-            "html": pa.array(list(htmls[perm]), pa.binary()),
+            "html": pa.array(htmls[perm], pa.string()).cast(pa.binary()),
             "text": pa.array(texts[perm], pa.string()),
             "lang": pa.array(langs[perm], pa.string()),
         }
@@ -232,8 +240,29 @@ def generate_crawl_parquet(
     seed: int = 42,
     span_days: int = 60,
     row_group_size: int = 200_000,
+    target_rows: int | None = None,
+    num_files: int = 1,
 ) -> str:
-    """Write the synthetic crawl table to one Parquet file; returns path."""
-    table = synth_crawl_arrays(n_urls, mean_snaps, seed, span_days)
-    pq.write_table(table, out_path, row_group_size=row_group_size)
+    """Write the synthetic crawl table to Parquet; returns path.
+
+    ``num_files > 1`` writes a directory of that many files (row-range
+    sharded) — one file caps Ray's read parallelism, a directory scales
+    it with the cluster.
+    """
+    table = synth_crawl_arrays(n_urls, mean_snaps, seed, span_days,
+                               target_rows=target_rows)
+    if num_files <= 1:
+        pq.write_table(table, out_path, row_group_size=row_group_size)
+        return out_path
+    import os
+
+    os.makedirs(out_path, exist_ok=True)
+    n = len(table)
+    step = -(-n // num_files)
+    for i in range(num_files):
+        shard = table.slice(i * step, step)
+        if len(shard) == 0:
+            break
+        pq.write_table(shard, f"{out_path}/part-{i:04d}.parquet",
+                       row_group_size=row_group_size)
     return out_path

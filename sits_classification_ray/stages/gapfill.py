@@ -74,42 +74,76 @@ def gapfill_series(
     return grid, out, filled
 
 
+def _series_bounds(urls: np.ndarray, metrics: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Start/end offsets of each (url, metric) run in sorted arrays."""
+    if len(urls) == 0:
+        z = np.array([], dtype=np.int64)
+        return z, z
+    change = np.flatnonzero((urls[1:] != urls[:-1])
+                            | (metrics[1:] != metrics[:-1])) + 1
+    starts = np.concatenate(([0], change))
+    ends = np.concatenate((change, [len(urls)]))
+    return starts, ends
+
+
+def gapfill_bucket(df: pd.DataFrame, grid_seconds: int, method: str,
+                   edges: str) -> pd.DataFrame:
+    """One hash bucket of long rows → grid rows, one vectorized pass.
+
+    Sorts the bucket once; per-(url, metric) runs are numpy slices fed
+    to the C-speed :func:`gapfill_series` kernel — no per-group pandas
+    dispatch.
+    """
+    df = df.sort_values(["url", "metric", "warc_ts"], kind="mergesort")
+    urls = df["url"].to_numpy()
+    mets = df["metric"].to_numpy()
+    ts_us = df["warc_ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+    vals = df["value"].to_numpy(np.float64)
+    bucket = df["url_bucket"].to_numpy()
+
+    starts, ends = _series_bounds(urls, mets)
+    grids, outs, fills, reps = [], [], [], []
+    for s, e in zip(starts, ends):
+        grid, out, filled = gapfill_series(ts_us[s:e], vals[s:e],
+                                           grid_seconds, method, edges)
+        grids.append(grid)
+        outs.append(out)
+        fills.append(filled)
+        reps.append(len(grid))
+    reps = np.asarray(reps, dtype=np.int64)
+    if reps.sum() == 0:
+        return pd.DataFrame({
+            "url": pd.Series([], dtype=object),
+            "url_bucket": pd.Series([], dtype=np.uint32),
+            "metric": pd.Series([], dtype=object),
+            "grid_ts": pd.Series([], dtype="datetime64[us]"),
+            "value": pd.Series([], dtype=np.float64),
+            "filled": pd.Series([], dtype=bool),
+        })
+    return pd.DataFrame({
+        "url": np.repeat(urls[starts], reps),
+        "url_bucket": np.repeat(bucket[starts], reps),
+        "metric": np.repeat(mets[starts], reps),
+        "grid_ts": np.concatenate(grids).astype("datetime64[us]"),
+        "value": np.concatenate(outs),
+        "filled": np.concatenate(fills),
+    })
+
+
 def gapfill(ds_long: rd.Dataset, cfg: EngineConfig | None = None) -> rd.Dataset:
     """Long observation rows → hourly-grid rows per (url, metric).
 
     Input: assembled long rows ``(url, url_bucket, metric, warc_ts,
     value)``. Output: ``(url, url_bucket, metric, grid_ts, value,
-    filled)``.
+    filled)``. Shuffle key is the hash bucket; the kernel is one
+    vectorized pass per bucket.
     """
+    from sits_classification_ray.stages.shuffle import partitioned_map
+
     cfg = cfg or EngineConfig()
     step, method, edges = cfg.grid_seconds, cfg.fill_method, cfg.fill_edges
 
     def kernel(df: pd.DataFrame) -> pd.DataFrame:
-        outs = []
-        url = df["url"].iloc[0]
-        bucket = df["url_bucket"].iloc[0]
-        for metric, g in df.groupby("metric", sort=True):
-            g = g.sort_values("warc_ts", kind="mergesort")
-            ts_us = g["warc_ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
-            grid, vals, filled = gapfill_series(
-                ts_us, g["value"].to_numpy(np.float64), step, method, edges)
-            outs.append(pd.DataFrame({
-                "url": url,
-                "url_bucket": bucket,
-                "metric": metric,
-                "grid_ts": grid.astype("datetime64[us]"),
-                "value": vals,
-                "filled": filled,
-            }))
-        if not outs:
-            return pd.DataFrame({
-                "url": pd.Series([], dtype=object),
-                "url_bucket": pd.Series([], dtype=np.uint32),
-                "metric": pd.Series([], dtype=object),
-                "grid_ts": pd.Series([], dtype="datetime64[us]"),
-                "value": pd.Series([], dtype=np.float64),
-                "filled": pd.Series([], dtype=bool),
-            })
-        return pd.concat(outs, ignore_index=True)
+        return gapfill_bucket(df, step, method, edges)
 
-    return ds_long.groupby("url").map_groups(kernel, batch_format="pandas")
+    return partitioned_map(ds_long, kernel)

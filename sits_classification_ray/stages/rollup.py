@@ -155,8 +155,9 @@ def merge_partials_pdf(df: pd.DataFrame) -> pd.DataFrame:
 
 def merge_partials(ds_partials: rd.Dataset) -> rd.Dataset:
     """Shuffle partials by hash bucket and merge each bucket vectorized."""
-    return ds_partials.groupby("url_bucket").map_groups(
-        merge_partials_pdf, batch_format="pandas")
+    from sits_classification_ray.stages.shuffle import partitioned_map
+
+    return partitioned_map(ds_partials, merge_partials_pdf)
 
 
 def finalize(ds_partials: rd.Dataset) -> rd.Dataset:

@@ -1,12 +1,17 @@
 """Series assembly: per-url sort, first-wins dedup, singleton filter.
 
-The one wide shuffle of the pipeline: co-locate each url's snapshots
-(``groupby("url")``), then inside the group sort time-ascending and
-collapse duplicate timestamps first-wins — the distributed
-re-expression of the reference's vectorized duplicate-date dedup
-(``pytorch/predict.py:399-415``: int-encode dates, ``np.unique(...,
-return_index=True)``, keep first indices) and singleton-series filter
-(``utils/class_run.py:154-156``).
+The one wide shuffle of the pipeline: co-locate each url's snapshots,
+sort time-ascending and collapse duplicate timestamps first-wins — the
+distributed re-expression of the reference's vectorized duplicate-date
+dedup (``pytorch/predict.py:399-415``: int-encode dates,
+``np.unique(..., return_index=True)``, keep first indices) and
+singleton-series filter (``utils/class_run.py:154-156``).
+
+Scale shape: the shuffle key is ``url_bucket`` (the FORCE-tile analog),
+so the grouped UDF runs once per hash partition — a single vectorized
+pandas kernel over the whole bucket — not once per url. Python-level
+per-group dispatch over billions of urls would dominate wall time;
+per-bucket it is O(n_buckets) invocations of C-speed sorts.
 
 "First" among exact-duplicate timestamps must be deterministic under
 any physical row order, so the winner is the row that sorts first by
@@ -26,8 +31,18 @@ from sits_classification_ray.config import EngineConfig
 DEDUP_ORDER = ["text_len", "word_count", "lang"]
 
 
+def dedup_bucket(df: pd.DataFrame, min_series_len: int = 2) -> pd.DataFrame:
+    """Vectorized assembly of one hash bucket: sort all series, dedup
+    first-wins per (url, warc_ts), drop short series."""
+    order = ["url", "warc_ts"] + [c for c in DEDUP_ORDER if c in df.columns]
+    df = df.sort_values(order, kind="mergesort")
+    df = df[~df.duplicated(["url", "warc_ts"], keep="first")]
+    sizes = df.groupby("url", sort=False)["url"].transform("size")
+    return df[sizes >= min_series_len]
+
+
 def dedup_group(df: pd.DataFrame, min_series_len: int = 2) -> pd.DataFrame:
-    """Sort one url's snapshots, dedup first-wins, drop short series."""
+    """Single-url variant (kept for unit tests / kernel reuse)."""
     order = ["warc_ts"] + [c for c in DEDUP_ORDER if c in df.columns]
     df = df.sort_values(order, kind="mergesort")
     df = df[~df["warc_ts"].duplicated(keep="first")]
@@ -36,11 +51,15 @@ def dedup_group(df: pd.DataFrame, min_series_len: int = 2) -> pd.DataFrame:
     return df
 
 
-def assemble_series(ds: rd.Dataset, cfg: EngineConfig | None = None) -> rd.Dataset:
-    """groupby(url) → sorted, deduped, filtered per-url snapshots."""
+def assemble_series(ds: rd.Dataset, cfg: EngineConfig | None = None,
+                    num_partitions: int | None = None) -> rd.Dataset:
+    """Hash-partition by url_bucket → sorted, deduped, filtered
+    per-url snapshots (vectorized kernel per partition block)."""
+    from sits_classification_ray.stages.shuffle import partitioned_map
+
     cfg = cfg or EngineConfig()
 
     def kernel(df: pd.DataFrame) -> pd.DataFrame:
-        return dedup_group(df, cfg.min_series_len)
+        return dedup_bucket(df, cfg.min_series_len)
 
-    return ds.groupby("url").map_groups(kernel, batch_format="pandas")
+    return partitioned_map(ds, kernel, num_partitions=num_partitions)

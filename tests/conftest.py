@@ -11,6 +11,9 @@ from sits_classification_ray.sources.synth import synth_crawl_arrays
 def ray_session():
     ray.init(address="local", num_cpus=4, include_dashboard=False,
              ignore_reinit_error=True, logging_level="ERROR")
+    import sits_classification_ray as scr
+
+    scr.tune_for_cluster()
     ctx = rd.DataContext.get_current()
     ctx.enable_progress_bars = False
     ctx.execution_options.verbose_progress = False
