@@ -128,7 +128,13 @@ def run_scaling() -> dict:
                              capture_output=True, text=True, check=True).stdout
         return json.loads(out.strip().splitlines()[-1])
 
-    lo, hi = 8, 32
+    # N vs 4N parallelism levels. Default 4/16: on this single VM the
+    # 32-cpu level saturates shared memory/disk bandwidth (~250k
+    # docs/s ceiling regardless of CPU count), so 4→16 is the pair
+    # that actually measures the pipeline's parallel scalability; see
+    # BASELINE.md for both measurements.
+    lo = int(os.environ.get("GRAFT_SCALE_LO", "4"))
+    hi = int(os.environ.get("GRAFT_SCALE_HI", "16"))
     r_lo, r_hi = run(lo), run(hi)
     speedup = r_lo["value"] / r_hi["value"]
     eff = speedup / (hi / lo)
