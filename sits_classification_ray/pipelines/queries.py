@@ -288,6 +288,103 @@ def _minhash_near_dup_documents(sf_dir: str) -> rd.Dataset:
                                threshold=0.5)
 
 
+def _stm_per_series(sf_dir: str) -> rd.Dataset:
+    from sits_classification_ray.stages.stm import temporal_metrics
+
+    return temporal_metrics(_obs_long(sf_dir))
+
+
+def _class_weights_embeddings(sf_dir: str) -> rd.Dataset:
+    from sits_classification_ray.stages.sampling import class_weights
+
+    return class_weights(
+        rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                        columns=["vec_id", "label"]), "label")
+
+
+def _distinct_lang_source(sf_dir: str) -> rd.Dataset:
+    from ray.data.aggregate import Count
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["lang", "source"])
+    return (ds.groupby(["lang", "source"]).aggregate(Count(alias_name="_n"))
+            .select_columns(["lang", "source"]))
+
+
+def _normalized_metrics(sf_dir: str) -> rd.Dataset:
+    def norm(t: pa.Table) -> pa.Table:
+        # no rounding: the raw IEEE product/log of identical inputs is
+        # bit-identical across engines, while round() itself is not
+        x = pc.cast(t["text_len"], pa.float64())
+        return pa.table({
+            "url": t["url"],
+            "warc_ts": t["warc_ts"],
+            "text_len_scaled": pc.multiply(x, 0.0001),
+            "text_len_log": pc.log10(pc.add(x, 1.0)),
+        })
+
+    return _obs(sf_dir).map_batches(norm, batch_format="pyarrow",
+                                    zero_copy_batch=True)
+
+
+def _harmonic_daily(sf_dir: str) -> rd.Dataset:
+    from sits_classification_ray.stages.stm import HarmonicFit, apply_series_udf
+
+    udf = HarmonicFit(period_seconds=7 * 86400.0, k=2, grid_seconds=86400)
+    out = apply_series_udf(_obs_long(sf_dir), udf)
+    return out.map_batches(
+        lambda df: df.assign(value=df["value"].round(6)),
+        batch_format="pandas")
+
+
+def _langid_confusion(sf_dir: str) -> pd.DataFrame:
+    from sits_classification_ray.stages.sampling import confusion_matrix
+    from sits_classification_ray.stages.textstats import lang_id
+
+    ds = lang_id(rd.read_parquet(f"{sf_dir}/documents.parquet",
+                                 columns=["doc_id", "text", "lang"]))
+    return confusion_matrix(ds, "lang", "pred_lang")
+
+
+def _stratified_sample_documents(sf_dir: str) -> rd.Dataset:
+    from sits_classification_ray.stages.sampling import stratified_sample
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "lang"])
+    return stratified_sample(ds, "lang", 0.25, seed=7)
+
+
+def _train_test_split_sizes(sf_dir: str) -> pd.DataFrame:
+    from sits_classification_ray.stages.sampling import train_test_split
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+    train, test = train_test_split(ds, test_frac=0.2, seed=42)
+    return pd.DataFrame({"split": ["train", "test"],
+                         "n": [train.count(), test.count()]})
+
+
+def _html_byte_features(sf_dir: str) -> rd.Dataset:
+    from sits_classification_ray.stages.multimodal import binary_features
+
+    crawl = crawl_from_tables(sf_dir)
+    feats = binary_features(crawl, payload_col="html", batch_size=1024)
+    return feats.select_columns(["url", "warc_ts", "byte_len", "entropy",
+                                 "frac_lower", "mode_byte"])
+
+
+def _frame_samples(sf_dir: str) -> rd.Dataset:
+    from sits_classification_ray.stages.multimodal import sample_frames
+
+    crawl = crawl_from_tables(sf_dir).rename_columns({"url": "asset_id"})
+    frames = sample_frames(crawl, n_frames=4, payload_col="html",
+                           id_col="asset_id")
+    return frames.map_batches(
+        lambda df: pd.DataFrame({"asset_id": df["asset_id"],
+                                 "frame_idx": df["frame_idx"],
+                                 "frame_bytes": df["frame"].str.len()}),
+        batch_format="pandas")
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -340,6 +437,18 @@ def build_queries() -> dict[str, Callable[[str], Any]]:
         "fingerprint_documents": _fingerprint_documents,
         "minhash_near_dup_documents": _minhash_near_dup_documents,
         "ivf_topk": _ivf_topk,
+        # temporal analytics + normalization (SQL-checked)
+        "stm_per_series": _stm_per_series,
+        "normalized_metrics": _normalized_metrics,
+        "class_weights_embeddings": _class_weights_embeddings,
+        "distinct_lang_source": _distinct_lang_source,
+        # extension surface / samplers / multimodal (rows-only)
+        "harmonic_daily": _harmonic_daily,
+        "langid_confusion": _langid_confusion,
+        "stratified_sample_documents": _stratified_sample_documents,
+        "train_test_split_sizes": _train_test_split_sizes,
+        "html_byte_features": _html_byte_features,
+        "frame_samples": _frame_samples,
     }.items()}
 
 
@@ -409,4 +518,26 @@ SELECT a.vec_id AS id_a, b.vec_id AS id_b,
 FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
 WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
       CAST(b.embedding AS DOUBLE[])) >= 0.4""",
+        "stm_per_series": f"""{CRAWL_PREFIX}
+SELECT url, metric, count(*) AS "count",
+       round(sum(value) / count(*), 6) AS "mean",
+       round(stddev_pop(value), 6) AS "std",
+       min(value) AS "min", max(value) AS "max",
+       round(quantile_cont(value, 0.25), 6) AS q25,
+       round(quantile_cont(value, 0.50), 6) AS q50,
+       round(quantile_cont(value, 0.75), 6) AS q75
+FROM obs_long GROUP BY 1, 2""",
+        "normalized_metrics": f"""{CRAWL_PREFIX}
+SELECT url, warc_ts,
+       CAST(text_len AS DOUBLE) * 0.0001 AS text_len_scaled,
+       log10(CAST(text_len AS DOUBLE) + 1) AS text_len_log
+FROM obs""",
+        "class_weights_embeddings": """
+WITH h AS (SELECT label, count(*) AS n FROM embeddings GROUP BY label),
+t AS (SELECT CAST(sum(n) AS DOUBLE) AS total, CAST(count(*) AS DOUBLE) AS k
+      FROM h)
+SELECT h.label, h.n, t.total / (CAST(h.n AS DOUBLE) * t.k) AS weight
+FROM h, t ORDER BY h.label""",
+        "distinct_lang_source": """
+SELECT lang, source FROM documents GROUP BY 1, 2""",
     }

@@ -1,0 +1,114 @@
+"""Sampling, splits, class statistics, metric accumulators.
+
+Re-expressions of the reference's O6/O7/A3/A4/A5 operators:
+
+- seeded stratified sampling (reference stratified raster sampling,
+  ``utils/sampling_run.py:73-116``)
+- seeded train/test split (``utils/class_run.py:215-229``,
+  ``pytorch/train.py:132-145``)
+- class histogram + inverse-frequency class weights
+  (``pytorch/utils/Dataset.py:46``, ``pytorch/utils/trainer.py:95-123``)
+- confusion matrix as a mergeable partial aggregate (the reference's
+  ``hist +=`` pattern, ``pytorch/utils/classmetric.py:42-54``) with
+  accuracy / kappa / per-class precision-recall-F1 finalization
+  (``pytorch/utils/classmetric.py:4-34``).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray.data as rd
+from ray.data.aggregate import Count, Sum
+
+
+def stratified_sample(ds: rd.Dataset, strata_col: str,
+                      frac: float | dict, seed: int = 42) -> rd.Dataset:
+    """Deterministic stratified sample without a shuffle.
+
+    ``frac`` is a global rate or a per-stratum dict (the reference's
+    per-value-range proportions, ``utils/sampling_run.py:73-116``).
+    Each row is kept iff a stable hash of its full content falls below
+    its stratum's rate — deterministic under any partitioning or
+    execution order, unlike per-group ``df.sample``.
+    """
+
+    def sample_batch(df: pd.DataFrame) -> pd.DataFrame:
+        content = df.astype(str).agg("\x1f".join, axis=1)
+        h = pd.util.hash_pandas_object(content, index=False,
+                                       hash_key=f"{seed % 10**16:016d}")
+        if isinstance(frac, dict):
+            rates = df[strata_col].map(lambda s: frac.get(s, 0.0))
+        else:
+            rates = pd.Series(float(frac), index=df.index)
+        thresh = (rates * 1_000_000).astype(np.uint64)
+        keep = (h % np.uint64(1_000_000)) < thresh
+        return df[keep.to_numpy()]
+
+    return ds.map_batches(sample_batch, batch_format="pandas")
+
+
+def train_test_split(ds: rd.Dataset, test_frac: float = 0.2,
+                     seed: int = 42) -> tuple[rd.Dataset, rd.Dataset]:
+    """Seeded random split (reference 0.8 ratio,
+    ``utils/class_run.py:221``); returns (train, test)."""
+    return ds.train_test_split(test_size=test_frac, shuffle=True, seed=seed)
+
+
+def class_weights(ds: rd.Dataset, label_col: str = "label") -> pd.DataFrame:
+    """Histogram + inverse-frequency weights normalized over present
+    classes: ``w_c = total / (n_c * n_classes)`` — exact double
+    arithmetic on integer counts, so it is oracle-comparable.
+
+    The distributed part is the grouped count; the tiny histogram is
+    finalized on the driver (totals must be global, not per block —
+    the reference does the same driver-side arithmetic,
+    ``pytorch/utils/trainer.py:95-123``)."""
+    hist = (ds.groupby(label_col).aggregate(Count(alias_name="n"))
+            .to_pandas().sort_values(label_col).reset_index(drop=True))
+    total = float(hist["n"].sum())
+    k = float(len(hist))
+    hist["weight"] = total / (hist["n"].astype(np.float64) * k)
+    return hist
+
+
+def confusion_matrix(ds: rd.Dataset, truth_col: str, pred_col: str
+                     ) -> pd.DataFrame:
+    """Mergeable confusion counts: vectorized per-batch partials
+    (crosstab), summed with one tiny groupby — the distributed form of
+    the reference's ``hist +=`` accumulator."""
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        g = (df.groupby([truth_col, pred_col], sort=False, observed=True)
+             .size().reset_index(name="n"))
+        return g
+
+    partials = ds.map_batches(partial, batch_format="pandas")
+    merged = partials.groupby([truth_col, pred_col]).aggregate(
+        Sum("n", alias_name="n"))
+    return merged.to_pandas()
+
+
+def classification_report(conf: pd.DataFrame, truth_col: str,
+                          pred_col: str) -> dict:
+    """Finalize accuracy / kappa / per-class P-R-F1 from confusion
+    counts (reference ``classmetric.py:4-34``)."""
+    labels = sorted(set(conf[truth_col]) | set(conf[pred_col]))
+    idx = {l: i for i, l in enumerate(labels)}
+    m = np.zeros((len(labels), len(labels)), dtype=np.int64)
+    for _, r in conf.iterrows():
+        m[idx[r[truth_col]], idx[r[pred_col]]] = r["n"]
+    total = m.sum()
+    acc = np.trace(m) / total if total else float("nan")
+    pe = (m.sum(0) * m.sum(1)).sum() / total ** 2 if total else float("nan")
+    kappa = (acc - pe) / (1 - pe) if pe != 1 else float("nan")
+    per_class = {}
+    for l, i in idx.items():
+        tp = m[i, i]
+        prec = tp / m[:, i].sum() if m[:, i].sum() else 0.0
+        rec = tp / m[i, :].sum() if m[i, :].sum() else 0.0
+        f1 = 2 * prec * rec / (prec + rec) if prec + rec else 0.0
+        per_class[l] = {"precision": prec, "recall": rec, "f1": f1}
+    return {"accuracy": float(acc), "kappa": float(kappa),
+            "per_class": per_class, "n": int(total)}

@@ -1,0 +1,177 @@
+"""Per-series temporal analytics: STM stats, harmonic fit, SeriesUDF.
+
+- :func:`temporal_metrics` — the FORCE "spectral temporal metrics"
+  (``STM Q25 Q50 Q75 AVG STD``, reference ``force/skel/TSA_NoCom.prm:90-91``)
+  over each (url, metric) stream.
+- :class:`HarmonicFit` — the reference's harmonic regression +
+  equidistant resample UDF (``force/skel/dswi_harmonic_tsi.py:35-147``):
+  fit ``a0 + Σₖ aₖ·cos(2πkt/T) + bₖ·sin(2πkt/T)`` on the series via
+  least squares, predict on a fixed grid, append the residual std as an
+  extra output (A9, ``dswi_harmonic_tsi.py:147``).
+- :class:`SeriesUDF` — the user-extension surface mirroring FORCE's
+  ``forcepy_pixel`` per-pixel UDF hook (``force/skel/udf_pixel.py:4-24``):
+  implement ``apply(ts_us, values) -> (out_ts_us, out_values)`` and run
+  it over every series with :func:`apply_series_udf`.
+"""
+
+from __future__ import annotations
+
+from typing import Protocol
+
+import numpy as np
+import pandas as pd
+import ray.data as rd
+
+from sits_classification_ray.config import EngineConfig
+
+
+class SeriesUDF(Protocol):
+    """Per-series user hook (FORCE ``forcepy_pixel`` analog).
+
+    ``apply`` receives one url's sorted timestamps (int64 µs) and
+    values for one metric and returns output timestamps + values of
+    any length. ``out_metric`` names the output stream.
+    """
+
+    out_metric: str
+
+    def apply(self, ts_us: np.ndarray, values: np.ndarray
+              ) -> tuple[np.ndarray, np.ndarray]: ...
+
+
+def apply_series_udf(ds_long: rd.Dataset, udf: SeriesUDF,
+                     cfg: EngineConfig | None = None) -> rd.Dataset:
+    """Run a SeriesUDF over every (url, metric) stream.
+
+    One hash-partitioned shuffle; inside each partition the kernel
+    walks (url, metric) runs as numpy slices (same execution shape as
+    gap-fill — SURVEY §2.10 target design)."""
+    from sits_classification_ray.stages.gapfill import _series_bounds
+    from sits_classification_ray.stages.shuffle import partitioned_map
+
+    def kernel(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["url", "metric", "warc_ts"], kind="mergesort")
+        urls = df["url"].to_numpy()
+        mets = df["metric"].to_numpy()
+        ts = df["warc_ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+        vals = df["value"].to_numpy(np.float64)
+        bucket = df["url_bucket"].to_numpy()
+        starts, ends = _series_bounds(urls, mets)
+        out_ts, out_vals, reps = [], [], []
+        for s, e in zip(starts, ends):
+            t_o, v_o = udf.apply(ts[s:e], vals[s:e])
+            out_ts.append(np.asarray(t_o, dtype=np.int64))
+            out_vals.append(np.asarray(v_o, dtype=np.float64))
+            reps.append(len(t_o))
+        reps = np.asarray(reps, dtype=np.int64)
+        if reps.sum() == 0:
+            return pd.DataFrame({
+                "url": pd.Series([], dtype=object),
+                "url_bucket": pd.Series([], dtype=np.uint32),
+                "metric": pd.Series([], dtype=object),
+                "warc_ts": pd.Series([], dtype="datetime64[us]"),
+                "value": pd.Series([], dtype=np.float64),
+            })
+        return pd.DataFrame({
+            "url": np.repeat(urls[starts], reps),
+            "url_bucket": np.repeat(bucket[starts], reps),
+            "metric": udf.out_metric,
+            "warc_ts": np.concatenate(out_ts).astype("datetime64[us]"),
+            "value": np.concatenate(out_vals),
+        })
+
+    return partitioned_map(ds_long, kernel)
+
+
+def temporal_metrics(ds_long: rd.Dataset, round_to: int | None = 6,
+                     cfg: EngineConfig | None = None) -> rd.Dataset:
+    """STM per (url, metric): count, mean, std, min, max, q25/q50/q75.
+
+    Quantiles use linear interpolation (numpy default — same definition
+    as SQL ``quantile_cont``); mean is the exact ``sum/count`` double
+    division; std is the population std (ddof=0). Non-exact floats are
+    rounded identically on both engines for the oracle compare.
+    """
+    from sits_classification_ray.stages.gapfill import _series_bounds
+    from sits_classification_ray.stages.shuffle import partitioned_map
+
+    def kernel(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["url", "metric", "warc_ts"], kind="mergesort")
+        urls = df["url"].to_numpy()
+        mets = df["metric"].to_numpy()
+        vals = df["value"].to_numpy(np.float64)
+        starts, ends = _series_bounds(urls, mets)
+        n = len(starts)
+        out = {
+            "url": urls[starts], "metric": mets[starts],
+            "count": (ends - starts).astype(np.int64),
+            "mean": np.empty(n), "std": np.empty(n),
+            "min": np.empty(n), "max": np.empty(n),
+            "q25": np.empty(n), "q50": np.empty(n), "q75": np.empty(n),
+        }
+        for i, (s, e) in enumerate(zip(starts, ends)):
+            v = np.sort(vals[s:e])
+            out["mean"][i] = v.sum() / len(v)
+            out["std"][i] = np.sqrt(((v - v.mean()) ** 2).sum() / len(v))
+            out["min"][i] = v[0]
+            out["max"][i] = v[-1]
+            q = np.quantile(v, [0.25, 0.5, 0.75])
+            out["q25"][i], out["q50"][i], out["q75"][i] = q
+        res = pd.DataFrame(out)
+        if round_to is not None:
+            for c in ["mean", "std", "q25", "q50", "q75"]:
+                res[c] = res[c].round(round_to)
+        return res
+
+    return partitioned_map(ds_long, kernel)
+
+
+class HarmonicFit:
+    """Harmonic regression + equidistant resample (SeriesUDF).
+
+    Least-squares fit of ``a0 + Σₖ aₖcos(2πk·t/period) +
+    bₖsin(2πk·t/period)`` (reference ``dswi_harmonic_tsi.py:35-52``
+    uses the same basis with k ≤ 3 over a 365-day period), predicted on
+    an epoch-aligned grid spanning the observed range.
+    """
+
+    def __init__(self, period_seconds: float = 7 * 86400.0, k: int = 2,
+                 grid_seconds: int = 86400, out_metric: str = "harmonic"):
+        self.period_us = period_seconds * 1e6
+        self.k = k
+        self.grid_us = grid_seconds * 1_000_000
+        self.out_metric = out_metric
+
+    def _design(self, t: np.ndarray) -> np.ndarray:
+        cols = [np.ones_like(t)]
+        for k in range(1, self.k + 1):
+            w = 2.0 * np.pi * k * t / self.period_us
+            cols.append(np.cos(w))
+            cols.append(np.sin(w))
+        return np.stack(cols, axis=1)
+
+    def apply(self, ts_us: np.ndarray, values: np.ndarray
+              ) -> tuple[np.ndarray, np.ndarray]:
+        n_params = 1 + 2 * self.k
+        if len(ts_us) < n_params:
+            return np.array([], dtype=np.int64), np.array([])
+        t0 = ts_us[0]
+        x = (ts_us - t0).astype(np.float64)
+        coef, *_ = np.linalg.lstsq(self._design(x), values, rcond=None)
+        lo = -(-int(ts_us[0]) // self.grid_us) * self.grid_us
+        hi = (int(ts_us[-1]) // self.grid_us) * self.grid_us
+        if hi < lo:
+            return np.array([], dtype=np.int64), np.array([])
+        grid = np.arange(lo, hi + self.grid_us, self.grid_us, dtype=np.int64)
+        pred = self._design((grid - t0).astype(np.float64)) @ coef
+        return grid, pred
+
+    def residual_std(self, ts_us: np.ndarray, values: np.ndarray) -> float:
+        """A9 analog: std of fit residuals (``dswi_harmonic_tsi.py:147``)."""
+        n_params = 1 + 2 * self.k
+        if len(ts_us) < n_params:
+            return float("nan")
+        x = (ts_us - ts_us[0]).astype(np.float64)
+        design = self._design(x)
+        coef, *_ = np.linalg.lstsq(design, values, rcond=None)
+        return float(np.std(values - design @ coef))

@@ -1,0 +1,155 @@
+"""Tests for STM stats, harmonic fit, SeriesUDF, sampling/splits,
+class weights, confusion matrix, multimodal stages, transforms."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+import ray.data as rd
+
+from sits_classification_ray.config import EngineConfig
+from sits_classification_ray.stages.extract import extract, to_long
+from sits_classification_ray.stages.multimodal import (BinaryFeatureExtract,
+                                                       binary_features,
+                                                       sample_frames)
+from sits_classification_ray.stages.sampling import (class_weights,
+                                                     classification_report,
+                                                     confusion_matrix,
+                                                     stratified_sample,
+                                                     train_test_split)
+from sits_classification_ray.stages.series import assemble_series
+from sits_classification_ray.stages.stm import (HarmonicFit, apply_series_udf,
+                                                temporal_metrics)
+
+CFG = EngineConfig()
+
+
+def _long(crawl_ds):
+    return to_long(assemble_series(extract(crawl_ds, CFG), CFG), CFG.metrics)
+
+
+def test_temporal_metrics_values(crawl_ds, crawl_pdf):
+    got = temporal_metrics(_long(crawl_ds)).to_pandas()
+    row = got[(got["metric"] == "text_len")].iloc[0]
+    # recompute that url's stats in plain numpy
+    from sits_classification_ray.oracle.reference import (dedup_oracle,
+                                                          extract_oracle)
+    obs = dedup_oracle(extract_oracle(crawl_pdf, CFG.n_buckets))
+    v = obs[obs["url"] == row["url"]]["text_len"].to_numpy(np.float64)
+    assert row["count"] == len(v)
+    assert row["min"] == v.min() and row["max"] == v.max()
+    assert row["q50"] == round(float(np.quantile(v, 0.5)), 6)
+    assert row["mean"] == round(v.sum() / len(v), 6)
+
+
+def test_harmonic_fit_recovers_signal():
+    # pure harmonic input → fit must reproduce it almost exactly
+    h = HarmonicFit(period_seconds=86400.0, k=1, grid_seconds=3600)
+    ts = (np.arange(0, 72) * 3_600_000_000).astype(np.int64)
+    vals = 5.0 + 2.0 * np.cos(2 * np.pi * ts / 86400e6) \
+        + 1.0 * np.sin(2 * np.pi * ts / 86400e6)
+    grid, pred = h.apply(ts, vals)
+    expect = 5.0 + 2.0 * np.cos(2 * np.pi * grid / 86400e6) \
+        + 1.0 * np.sin(2 * np.pi * grid / 86400e6)
+    np.testing.assert_allclose(pred, expect, atol=1e-8)
+    assert h.residual_std(ts, vals) < 1e-8
+
+
+def test_series_udf_runs_distributed(crawl_ds):
+    udf = HarmonicFit(period_seconds=7 * 86400.0, k=2, grid_seconds=86400)
+    out = apply_series_udf(_long(crawl_ds), udf).to_pandas()
+    assert len(out) > 0
+    assert set(out["metric"]) == {"harmonic"}
+    assert out["value"].notna().all()
+
+
+def test_stratified_sample_deterministic_and_proportional():
+    n = 20000
+    df = pa.table({"doc_id": pa.array(range(n), pa.int64()),
+                   "lang": pa.array(["en", "de"] * (n // 2), pa.string())})
+    ds = rd.from_arrow(df)
+    s1 = stratified_sample(ds, "lang", 0.3, seed=1).to_pandas()
+    s2 = stratified_sample(ds, "lang", 0.3, seed=1).to_pandas()
+    pd.testing.assert_frame_equal(
+        s1.sort_values("doc_id").reset_index(drop=True),
+        s2.sort_values("doc_id").reset_index(drop=True))
+    rate = len(s1) / n
+    assert 0.25 < rate < 0.35
+    # per-stratum dict rates
+    s3 = stratified_sample(ds, "lang", {"en": 0.5, "de": 0.0},
+                           seed=1).to_pandas()
+    assert set(s3["lang"]) == {"en"}
+
+
+def test_train_test_split_sizes():
+    ds = rd.range(1000)
+    train, test = train_test_split(ds, test_frac=0.2, seed=42)
+    nt, ns = train.count(), test.count()
+    assert nt + ns == 1000
+    assert abs(ns - 200) <= 1
+
+
+def test_class_weights_inverse_frequency():
+    t = pa.table({"label": pa.array([0] * 30 + [1] * 10, pa.int64())})
+    out = class_weights(rd.from_arrow(t), "label")
+    assert list(out["n"]) == [30, 10]
+    assert out["weight"].iloc[0] == 40 / (30 * 2)
+    assert out["weight"].iloc[1] == 40 / (10 * 2)
+
+
+def test_confusion_matrix_and_report():
+    t = pa.table({"truth": pa.array(["a", "a", "b", "b", "b"]),
+                  "pred": pa.array(["a", "b", "b", "b", "a"])})
+    conf = confusion_matrix(rd.from_arrow(t), "truth", "pred")
+    rep = classification_report(conf, "truth", "pred")
+    assert rep["n"] == 5
+    assert rep["accuracy"] == 3 / 5
+    assert rep["per_class"]["b"]["precision"] == 2 / 3
+
+
+def test_binary_features_deterministic():
+    ext = BinaryFeatureExtract(payload_col="p")
+    t = pa.table({"id": pa.array([1, 2], pa.int64()),
+                  "p": pa.array([b"aaaa", b"ab12 \t"], pa.binary())})
+    out = ext(t).to_pandas()
+    assert out["byte_len"].tolist() == [4, 6]
+    assert out["entropy"].iloc[0] == 0.0        # constant bytes
+    assert out["frac_lower"].iloc[0] == 1.0
+    assert out["mode_byte"].iloc[0] == ord("a")
+
+
+def test_binary_features_strict_stub_raises():
+    ext = BinaryFeatureExtract(payload_col="p", strict=True)
+    t = pa.table({"id": pa.array([1], pa.int64()),
+                  "p": pa.array([b"x"], pa.binary())})
+    with pytest.raises(NotImplementedError):
+        ext(t)
+
+
+def test_frame_sampler_layout(crawl_ds):
+    ds = crawl_ds.rename_columns({"url": "asset_id"})
+    frames = sample_frames(ds.limit(50), n_frames=4, payload_col="html",
+                           id_col="asset_id").to_pandas()
+    assert len(frames) == 50 * 4
+    assert set(frames["frame_idx"]) == {0, 1, 2, 3}
+    # every asset row exploded to exactly n_frames rows (a url can have
+    # several snapshots → its count is a multiple of 4)
+    counts = frames.groupby("asset_id").size()
+    assert (counts % 4 == 0).all()
+
+
+def test_transforms_roundtrip():
+    from sits_classification_ray.functions.transforms import (exp10m1_column,
+                                                              log1p10_column,
+                                                              scale_column,
+                                                              unscale_column)
+
+    ds = rd.from_arrow(pa.table({"y": pa.array([0.0, 9.0, 99.0])}))
+    fwd = log1p10_column(ds, "y", "p")
+    back = exp10m1_column(fwd, "p", "y2").to_pandas()
+    np.testing.assert_allclose(back["y2"], back["y"], atol=1e-9)
+    np.testing.assert_allclose(back["p"], [0.0, 1.0, 2.0])
+
+    s = unscale_column(scale_column(ds, "y", 1e-4, "s"), "s", 1e-4,
+                       "y3").to_pandas()
+    np.testing.assert_allclose(s["y3"], s["y"])
