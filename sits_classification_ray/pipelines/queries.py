@@ -385,6 +385,103 @@ def _frame_samples(sf_dir: str) -> rd.Dataset:
         batch_format="pandas")
 
 
+def _asof_latest_event(sf_dir: str) -> rd.Dataset:
+    from sits_classification_ray.stages.joins import asof_join
+
+    left = _obs(sf_dir).select_columns(["url", "warc_ts", "text_len"])
+    events = rd.read_parquet(f"{sf_dir}/events.parquet",
+                             columns=["user_id", "ts", "value"])
+
+    def to_url(batch: pa.Table) -> pa.Table:
+        uid = pc.cast(batch["user_id"], pa.string())
+        site = pc.cast(pc.subtract(batch["user_id"],
+                                   pc.multiply(pc.divide(batch["user_id"], 40),
+                                               40)), pa.string())
+        url = pc.binary_join_element_wise(
+            "https://site-", site, ".example.com/u/", uid, "")
+        return pa.table({"url": url, "ts": batch["ts"],
+                         "value": batch["value"]})
+
+    right = events.map_batches(to_url, batch_format="pyarrow",
+                               zero_copy_batch=True)
+    out = asof_join(left, right, by="url", left_ts="warc_ts",
+                    right_ts="ts", value_cols=["value"])
+    # rename via map_batches: Dataset.rename_columns' Project operator
+    # assumes Arrow blocks and breaks on pandas-format upstream output
+    def fin(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.rename(columns={"value": "last_event_value"})
+        # the union pass upcasts int columns to float (null padding);
+        # restore the declared dtype
+        df["text_len"] = df["text_len"].astype(np.int64)
+        return df
+
+    return out.map_batches(fin, batch_format="pandas")
+
+
+def _join_documents_embeddings(sf_dir: str) -> rd.Dataset:
+    from sits_classification_ray.stages.joins import hash_join
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id", "lang", "n_chars"])
+    emb = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                          columns=["vec_id", "label"])
+    out = hash_join(docs, emb, on="doc_id", right_on="vec_id",
+                    join_type="inner", num_partitions=16)
+    return out.select_columns(["doc_id", "lang", "n_chars", "label"])
+
+
+def _semi_join_documents(sf_dir: str) -> rd.Dataset:
+    from sits_classification_ray.stages.joins import semi_join_filter
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id", "source"])
+    return semi_join_filter(docs, "source", ["src1", "src3", "src5"])
+
+
+def _anti_join_documents(sf_dir: str) -> rd.Dataset:
+    from sits_classification_ray.stages.joins import anti_join_filter
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id", "lang"])
+    return anti_join_filter(docs, "lang", ["en", "de"])
+
+
+def _regression_metrics_embeddings(sf_dir: str) -> pd.DataFrame:
+    from sits_classification_ray.stages.sampling import regression_metrics
+
+    emb = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                          columns=["vec_id", "label"])
+
+    def pred(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["pred"] = (df["vec_id"] % 10).astype(np.float64)
+        df["y"] = df["label"].astype(np.float64)
+        return df
+
+    return regression_metrics(emb.map_batches(pred, batch_format="pandas"),
+                              "y", "pred")
+
+
+def _scored_crawl(sf_dir: str) -> rd.Dataset:
+    from sits_classification_ray.stages.scoring import LinearModel, score
+
+    obs = _obs(sf_dir)
+    model = LinearModel(weights=np.array([[0.01, -0.02, 0.0],
+                                          [0.0, 0.05, -0.01]]),
+                        bias=np.array([0.0, -1.0, 0.5]))
+    out = score(obs, model, ["text_len", "word_count"], mode="class")
+    return out.select_columns(["url", "warc_ts", "prediction"])
+
+
+def _augmented_rollup(sf_dir: str) -> rd.Dataset:
+    from sits_classification_ray.stages.augment import apply_augmentations
+
+    aug = apply_augmentations(_obs_long(sf_dir),
+                              ["drop_observations", "scale_gain"], seed=7)
+    return finalize(rollup(aug, TIER_SECONDS["daily"], CFG)).select_columns(
+        ["url", "metric", "bucket_ts", "count"])
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -442,6 +539,15 @@ def build_queries() -> dict[str, Callable[[str], Any]]:
         "normalized_metrics": _normalized_metrics,
         "class_weights_embeddings": _class_weights_embeddings,
         "distinct_lang_source": _distinct_lang_source,
+        # joins (SQL-checked)
+        "asof_latest_event": _asof_latest_event,
+        "join_documents_embeddings": _join_documents_embeddings,
+        "semi_join_documents": _semi_join_documents,
+        "anti_join_documents": _anti_join_documents,
+        "regression_metrics_embeddings": _regression_metrics_embeddings,
+        # scoring / augmentation (rows-only)
+        "scored_crawl": _scored_crawl,
+        "augmented_rollup": _augmented_rollup,
         # extension surface / samplers / multimodal (rows-only)
         "harmonic_daily": _harmonic_daily,
         "langid_confusion": _langid_confusion,
@@ -540,4 +646,32 @@ SELECT h.label, h.n, t.total / (CAST(h.n AS DOUBLE) * t.k) AS weight
 FROM h, t ORDER BY h.label""",
         "distinct_lang_source": """
 SELECT lang, source FROM documents GROUP BY 1, 2""",
+        "asof_latest_event": f"""{CRAWL_PREFIX},
+ev AS (
+  SELECT 'https://site-' || CAST(user_id % 40 AS VARCHAR)
+         || '.example.com/u/' || CAST(user_id AS VARCHAR) AS url,
+         ts, value
+  FROM events)
+SELECT o.url, o.warc_ts, o.text_len, e.value AS last_event_value
+FROM obs o ASOF LEFT JOIN ev e
+  ON o.url = e.url AND o.warc_ts >= e.ts""",
+        "join_documents_embeddings": """
+SELECT d.doc_id, d.lang, d.n_chars, e.label
+FROM documents d JOIN embeddings e ON e.vec_id = d.doc_id""",
+        "semi_join_documents": """
+SELECT doc_id, source FROM documents
+WHERE source IN ('src1', 'src3', 'src5')""",
+        "anti_join_documents": """
+SELECT doc_id, lang FROM documents WHERE lang NOT IN ('en', 'de')""",
+        "regression_metrics_embeddings": """
+WITH p AS (SELECT CAST(vec_id % 10 AS DOUBLE) AS pred,
+                  CAST(label AS DOUBLE) AS y FROM embeddings),
+a AS (SELECT count(*) AS n,
+             sum((pred - y) * (pred - y)) AS se,
+             sum(abs(pred - y)) AS ae,
+             sum(y) AS sy, sum(y * y) AS syy FROM p)
+SELECT 'rmse' AS metric_name, sqrt(se / n) AS value FROM a
+UNION ALL SELECT 'mae', ae / n FROM a
+UNION ALL SELECT 'r2', 1 - se / (syy - sy * sy / n) FROM a
+UNION ALL SELECT 'n', CAST(n AS DOUBLE) FROM a""",
     }

@@ -1,0 +1,89 @@
+"""Sources and sinks (SURVEY §2.1).
+
+- :func:`read_crawl` — the primary source: Parquet with column pruning
+  (a stage that needs 2 columns must not move 5; reference analog: the
+  band-TIFF reader only loads requested bands).
+- :func:`read_crawl_csv` — S1/S2 analog: CSV with an explicit schema
+  (the reference's per-sample CSVs are positional,
+  ``pytorch/utils/Dataset.py:165-193``; here the schema is declared,
+  a deliberate improvement).
+- :func:`write_partitioned` — the standard resumable sink: Parquet
+  partitioned by ``url_bucket``, zstd.
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+import ray.data as rd
+
+from sits_classification_ray.config import EngineConfig
+from sits_classification_ray.sources.synth import CRAWL_SCHEMA
+
+_CSV_TYPES = {f.name: f.type for f in CRAWL_SCHEMA}
+
+
+def read_crawl(path: str, columns: list[str] | None = None) -> rd.Dataset:
+    """Read the crawl table, pruning to the requested columns."""
+    return rd.read_parquet(path, columns=columns)
+
+
+def read_crawl_csv(path: str) -> rd.Dataset:
+    """Read a CSV-format crawl table with the canonical schema.
+
+    ``html`` is carried as base64 text in CSV (binary is not a CSV
+    type) and decoded to binary here; ``warc_ts`` parsed as ISO.
+    """
+    import base64
+
+    import pyarrow.compute as pc
+    from pyarrow import csv as pacsv
+
+    convert = pacsv.ConvertOptions(column_types={
+        "url": pa.string(),
+        "warc_ts": pa.timestamp("us"),
+        "html_b64": pa.string(),
+        "text": pa.string(),
+        "lang": pa.string(),
+    })
+    ds = rd.read_csv(path, convert_options=convert)
+
+    def decode(batch: pa.Table) -> pa.Table:
+        html = pa.array(
+            [base64.b64decode(s) if s is not None else None
+             for s in batch["html_b64"].to_pylist()], pa.binary())
+        return pa.table({
+            "url": batch["url"],
+            "warc_ts": pc.cast(batch["warc_ts"], pa.timestamp("us")),
+            "html": html,
+            "text": batch["text"],
+            "lang": batch["lang"],
+        })
+
+    return ds.map_batches(decode, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def write_crawl_csv(table: pa.Table, path: str) -> str:
+    """Write a crawl table as CSV (html base64-encoded)."""
+    import base64
+
+    from pyarrow import csv as pacsv
+
+    html_b64 = pa.array(
+        [base64.b64encode(b).decode() if b is not None else None
+         for b in table["html"].to_pylist()], pa.string())
+    out = pa.table({
+        "url": table["url"],
+        "warc_ts": table["warc_ts"],
+        "html_b64": html_b64,
+        "text": table["text"],
+        "lang": table["lang"],
+    })
+    pacsv.write_csv(out, path)
+    return path
+
+
+def write_partitioned(ds: rd.Dataset, path: str,
+                      cfg: EngineConfig | None = None) -> None:
+    cfg = cfg or EngineConfig()
+    ds.write_parquet(path, partition_cols=["url_bucket"],
+                     compression=cfg.parquet_compression)

@@ -73,6 +73,36 @@ def class_weights(ds: rd.Dataset, label_col: str = "label") -> pd.DataFrame:
     return hist
 
 
+def regression_metrics(ds: rd.Dataset, truth_col: str, pred_col: str
+                       ) -> pd.DataFrame:
+    """Global RMSE / MAE / R² via proper partial+final aggregation.
+
+    Unlike the reference's mean-of-batch-RMSEs
+    (``pytorch/utils/classmetric.py:105-118`` — noted in SURVEY A6 as
+    not a true global RMSE), partials carry (n, Σe², Σ|e|, Σy, Σy²)
+    and the driver finalizes, so the result is the exact global metric
+    independent of batching."""
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        y = df[truth_col].to_numpy(np.float64)
+        p = df[pred_col].to_numpy(np.float64)
+        e = p - y
+        return pd.DataFrame({
+            "n": [len(y)], "se": [float((e ** 2).sum())],
+            "ae": [float(np.abs(e).sum())],
+            "sy": [float(y.sum())], "syy": [float((y ** 2).sum())],
+        })
+
+    agg = ds.map_batches(partial, batch_format="pandas").to_pandas().sum()
+    n = agg["n"]
+    rmse = float(np.sqrt(agg["se"] / n))
+    mae = float(agg["ae"] / n)
+    ss_tot = agg["syy"] - agg["sy"] ** 2 / n
+    r2 = float(1.0 - agg["se"] / ss_tot) if ss_tot > 0 else float("nan")
+    return pd.DataFrame({"metric_name": ["rmse", "mae", "r2", "n"],
+                         "value": [rmse, mae, r2, float(n)]})
+
+
 def confusion_matrix(ds: rd.Dataset, truth_col: str, pred_col: str
                      ) -> pd.DataFrame:
     """Mergeable confusion counts: vectorized per-batch partials

@@ -1,0 +1,81 @@
+"""Batched model scoring: the reference's inference stage re-expressed.
+
+Mirrors the reference inference loop semantics (SURVEY §2.3 T1, §2.2
+M12/M15) without torch:
+
+- weights loaded ONCE per actor from a broadcast handle
+  (``pytorch/predict.py:256-272`` loads the model once and reuses it
+  across tiles/chunks);
+- zero-mask skip + sentinel re-insert: rows whose features are all
+  zero are not scored and receive the nodata sentinel −9999
+  (``pytorch/predict.py:498-531``);
+- argmax decode for classification, raw vector for probability mode
+  (``pytorch/predict.py:527-528,675-677``);
+- inverse response normalization for regression heads
+  (``pytorch/predict.py:521-525``).
+
+The stand-in model is a deterministic linear scorer — the actor-pool
+plumbing (broadcast weights, batch sizing, masking, decode) is the
+real, tested part; swap ``LinearModel`` for any callable returning
+logits to score with a real model.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import ray
+import ray.data as rd
+
+SENTINEL = -9999.0
+
+
+class LinearModel:
+    """Deterministic stand-in model: logits = X @ W + b."""
+
+    def __init__(self, weights: np.ndarray, bias: np.ndarray):
+        self.weights = np.asarray(weights, dtype=np.float64)
+        self.bias = np.asarray(bias, dtype=np.float64)
+
+    def __call__(self, x: np.ndarray) -> np.ndarray:
+        return x @ self.weights + self.bias
+
+
+def make_scorer(model_ref, feature_cols: list[str], mode: str = "class",
+                inverse_norm=None):
+    """Build the actor class for ``map_batches`` (T1 pattern)."""
+
+    class Scorer:
+        def __init__(self):
+            self.model = ray.get(model_ref)       # once per actor
+            self.feature_cols = feature_cols
+
+        def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+            x = df[self.feature_cols].to_numpy(np.float64)
+            live = ~(x == 0).all(axis=1)          # zero-mask skip (M12)
+            out = np.full(len(df), SENTINEL, dtype=np.float64)
+            if live.any():
+                logits = self.model(x[live])
+                if mode == "class":
+                    pred = np.argmax(logits, axis=1).astype(np.float64)
+                else:
+                    pred = logits[:, 0]
+                    if inverse_norm is not None:
+                        pred = inverse_norm(pred)
+                out[live] = pred                  # scatter back (M12)
+            df = df.copy()
+            df["prediction"] = out
+            return df
+
+    return Scorer
+
+
+def score(ds: rd.Dataset, model: LinearModel, feature_cols: list[str],
+          mode: str = "class", inverse_norm=None, batch_size: int = 8192,
+          concurrency=(1, 8)) -> rd.Dataset:
+    """Score a dataset with an actor pool holding broadcast weights."""
+    model_ref = ray.put(model)
+    cls = make_scorer(model_ref, feature_cols, mode, inverse_norm)
+    return ds.map_batches(cls, batch_format="pandas",
+                          batch_size=batch_size, concurrency=concurrency,
+                          num_cpus=1)
