@@ -385,6 +385,33 @@ def _frame_samples(sf_dir: str) -> rd.Dataset:
         batch_format="pandas")
 
 
+def _running_sum_crawl(sf_dir: str) -> rd.Dataset:
+    from sits_classification_ray.stages.windows import running_sum
+
+    out = running_sum(_obs_long(sf_dir))
+    return out.map_batches(
+        lambda df: df[["url", "metric", "warc_ts", "value", "running_sum"]],
+        batch_format="pandas")
+
+
+def _rolling_mean_crawl(sf_dir: str) -> rd.Dataset:
+    from sits_classification_ray.stages.windows import rolling_mean
+
+    out = rolling_mean(_obs_long(sf_dir), window=4)
+    return out.map_batches(
+        lambda df: df[["url", "metric", "warc_ts", "value", "rolling_mean"]],
+        batch_format="pandas")
+
+
+def _crawl_sessions(sf_dir: str) -> rd.Dataset:
+    from sits_classification_ray.stages.windows import sessionize
+
+    out = sessionize(_obs(sf_dir), gap_seconds=86400)
+    return out.map_batches(
+        lambda df: df[["url", "warc_ts", "session_id"]],
+        batch_format="pandas")
+
+
 def _asof_latest_event(sf_dir: str) -> rd.Dataset:
     from sits_classification_ray.stages.joins import asof_join
 
@@ -539,6 +566,10 @@ def build_queries() -> dict[str, Callable[[str], Any]]:
         "normalized_metrics": _normalized_metrics,
         "class_weights_embeddings": _class_weights_embeddings,
         "distinct_lang_source": _distinct_lang_source,
+        # ordered-window operators (SQL-checked)
+        "running_sum_crawl": _running_sum_crawl,
+        "rolling_mean_crawl": _rolling_mean_crawl,
+        "crawl_sessions": _crawl_sessions,
         # joins (SQL-checked)
         "asof_latest_event": _asof_latest_event,
         "join_documents_embeddings": _join_documents_embeddings,
@@ -646,6 +677,29 @@ SELECT h.label, h.n, t.total / (CAST(h.n AS DOUBLE) * t.k) AS weight
 FROM h, t ORDER BY h.label""",
         "distinct_lang_source": """
 SELECT lang, source FROM documents GROUP BY 1, 2""",
+        "running_sum_crawl": f"""{CRAWL_PREFIX}
+SELECT url, metric, warc_ts, value,
+       sum(value) OVER (PARTITION BY url, metric ORDER BY warc_ts
+                        ROWS UNBOUNDED PRECEDING) AS running_sum
+FROM obs_long""",
+        "rolling_mean_crawl": f"""{CRAWL_PREFIX}
+SELECT url, metric, warc_ts, value,
+       avg(value) OVER (PARTITION BY url, metric ORDER BY warc_ts
+                        ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)
+           AS rolling_mean
+FROM obs_long""",
+        "crawl_sessions": f"""{CRAWL_PREFIX},
+gaps AS (
+  SELECT url, warc_ts,
+         CASE WHEN warc_ts - lag(warc_ts) OVER
+                   (PARTITION BY url ORDER BY warc_ts)
+                   > INTERVAL 24 HOUR THEN 1 ELSE 0 END AS brk
+  FROM obs)
+SELECT url, warc_ts,
+       CAST(sum(brk) OVER (PARTITION BY url ORDER BY warc_ts
+                           ROWS UNBOUNDED PRECEDING) AS BIGINT)
+           AS session_id
+FROM gaps""",
         "asof_latest_event": f"""{CRAWL_PREFIX},
 ev AS (
   SELECT 'https://site-' || CAST(user_id % 40 AS VARCHAR)

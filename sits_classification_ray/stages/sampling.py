@@ -73,6 +73,16 @@ def class_weights(ds: rd.Dataset, label_col: str = "label") -> pd.DataFrame:
     return hist
 
 
+def early_stop(losses: list[float], window: int = 5) -> bool:
+    """Early-stopping rule (A11): mean of the last-``window`` loss
+    diffs > 0 ⇒ not improving ⇒ stop
+    (reference ``pytorch/utils/trainer.py:201-214``)."""
+    if len(losses) < window + 1:
+        return False
+    diffs = np.diff(np.asarray(losses[-(window + 1):], dtype=np.float64))
+    return bool(diffs.mean() > 0)
+
+
 def regression_metrics(ds: rd.Dataset, truth_col: str, pred_col: str
                        ) -> pd.DataFrame:
     """Global RMSE / MAE / R² via proper partial+final aggregation.

@@ -30,6 +30,29 @@ import ray.data as rd
 SENTINEL = -9999.0
 
 
+#: String → constructor registry (the reference's ``getModel``,
+#: ``pytorch/train.py:237-262``). Register custom models here.
+MODEL_REGISTRY: dict = {}
+
+
+def register_model(name: str):
+    def deco(cls):
+        MODEL_REGISTRY[name] = cls
+        return cls
+
+    return deco
+
+
+def get_model(name: str, **kwargs):
+    """Instantiate a registered model by name (raises KeyError with
+    the available names, like the reference's ValueError)."""
+    if name not in MODEL_REGISTRY:
+        raise KeyError(f"unknown model {name!r}; available: "
+                       f"{sorted(MODEL_REGISTRY)}")
+    return MODEL_REGISTRY[name](**kwargs)
+
+
+@register_model("linear")
 class LinearModel:
     """Deterministic stand-in model: logits = X @ W + b."""
 

@@ -25,6 +25,22 @@ import ray.data as rd
 from sits_classification_ray.config import EngineConfig
 
 
+class BatchUDF(Protocol):
+    """Per-batch user hook (FORCE ``forcepy_block`` analog,
+    ``force/skel/udf_block.py:4-28``): an Arrow-table-in /
+    Arrow-table-out callable run via ``map_batches``. Register with
+    :func:`apply_batch_udf`."""
+
+    def __call__(self, batch) -> object: ...
+
+
+def apply_batch_udf(ds: rd.Dataset, udf: BatchUDF,
+                    batch_size: int | None = None) -> rd.Dataset:
+    """Run a BatchUDF over Arrow batches (zero-copy)."""
+    return ds.map_batches(udf, batch_format="pyarrow",
+                          batch_size=batch_size, zero_copy_batch=True)
+
+
 class SeriesUDF(Protocol):
     """Per-series user hook (FORCE ``forcepy_pixel`` analog).
 

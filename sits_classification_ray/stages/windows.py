@@ -1,0 +1,91 @@
+"""Ordered-series window operators: running aggregates, rolling
+windows, sessionization.
+
+The engine's "streaming-shaped" surface (SURVEY §2.9): Ray Data has no
+event-time machinery, so windows are computed per ordered series
+inside hash-bucket partitions — the input contract is the assembled
+(sorted, deduped) observation table, exactly as the reference assumes
+time-ascending series everywhere after its sorted-glob load
+(``utils/class_run.py:115-117``).
+
+- :func:`running_sum` — cumulative per-series aggregate (the
+  reference's accumulated thermal-time pattern,
+  ``utils/class_run.py:39-61``).
+- :func:`rolling_mean` — sliding window over the last k observations.
+- :func:`sessionize` — session ids from inactivity gaps (tumbling
+  sessions; closed-left).
+
+All three are vectorized over whole buckets (one pandas groupby per
+partition, no per-series Python dispatch).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import ray.data as rd
+
+
+def _bucketed(ds_long: rd.Dataset, kernel) -> rd.Dataset:
+    from sits_classification_ray.stages.shuffle import partitioned_map
+
+    return partitioned_map(ds_long, kernel)
+
+
+def running_sum(ds_long: rd.Dataset, out_col: str = "running_sum"
+                ) -> rd.Dataset:
+    """Cumulative sum of ``value`` per (url, metric), time order."""
+
+    def kernel(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["url", "metric", "warc_ts"], kind="mergesort")
+        df = df.copy()
+        df[out_col] = df.groupby(["url", "metric"], sort=False)[
+            "value"].cumsum()
+        return df
+
+    return _bucketed(ds_long, kernel)
+
+
+def rolling_mean(ds_long: rd.Dataset, window: int = 4,
+                 out_col: str = "rolling_mean") -> rd.Dataset:
+    """Mean over the last ``window`` observations (incl. current),
+    partial windows allowed at series start."""
+
+    def kernel(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["url", "metric", "warc_ts"], kind="mergesort")
+        df = df.copy()
+        df[out_col] = (df.groupby(["url", "metric"], sort=False)["value"]
+                       .transform(lambda s: s.rolling(window,
+                                                      min_periods=1).mean()))
+        return df
+
+    return _bucketed(ds_long, kernel)
+
+
+def sessionize(ds: rd.Dataset, gap_seconds: int = 86400,
+               ts_col: str = "warc_ts", key_col: str = "url",
+               out_col: str = "session_id") -> rd.Dataset:
+    """Assign per-key session ids: a new session starts when the gap
+    to the previous observation exceeds ``gap_seconds``. First session
+    is 0."""
+    gap_us = gap_seconds * 1_000_000
+
+    def kernel(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values([key_col, ts_col], kind="mergesort").copy()
+        ts = df[ts_col].to_numpy().astype("datetime64[us]").astype(np.int64)
+        keys = df[key_col].to_numpy()
+        new_key = np.empty(len(df), dtype=bool)
+        new_key[0:1] = True
+        new_key[1:] = keys[1:] != keys[:-1]
+        gap = np.empty(len(df), dtype=bool)
+        gap[0:1] = False
+        gap[1:] = (ts[1:] - ts[:-1]) > gap_us
+        starts = (gap & ~new_key).astype(np.int64)
+        # cumulative session count per key: cumsum reset at key change
+        sid = pd.Series(starts).groupby(pd.Series(keys), sort=False).cumsum()
+        df[out_col] = sid.to_numpy()
+        return df
+
+    from sits_classification_ray.stages.shuffle import partitioned_map
+
+    return partitioned_map(ds, kernel)

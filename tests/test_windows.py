@@ -1,0 +1,82 @@
+"""Tests for ordered-window operators and small completeness helpers."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+import ray.data as rd
+
+from sits_classification_ray.stages.sampling import early_stop
+from sits_classification_ray.stages.scoring import (MODEL_REGISTRY, get_model,
+                                                    register_model)
+from sits_classification_ray.stages.stm import apply_batch_udf
+from sits_classification_ray.stages.windows import (rolling_mean, running_sum,
+                                                    sessionize)
+
+H = 3_600_000_000
+
+
+@pytest.fixture()
+def series_ds():
+    return rd.from_arrow(pa.table({
+        "url": pa.array(["a"] * 4 + ["b"] * 3),
+        "url_bucket": pa.array([1] * 7, pa.uint32()),
+        "metric": pa.array(["m"] * 7),
+        "warc_ts": pa.array([H, 2 * H, 3 * H, 40 * H, H, 2 * H, 60 * H],
+                            pa.timestamp("us")),
+        "value": pa.array([1.0, 2.0, 3.0, 4.0, 10.0, 20.0, 30.0]),
+    }))
+
+
+def test_running_sum(series_ds):
+    out = running_sum(series_ds).to_pandas().sort_values(
+        ["url", "warc_ts"]).reset_index(drop=True)
+    assert out[out["url"] == "a"]["running_sum"].tolist() == [1, 3, 6, 10]
+    assert out[out["url"] == "b"]["running_sum"].tolist() == [10, 30, 60]
+
+
+def test_rolling_mean(series_ds):
+    out = rolling_mean(series_ds, window=2).to_pandas().sort_values(
+        ["url", "warc_ts"]).reset_index(drop=True)
+    assert out[out["url"] == "a"]["rolling_mean"].tolist() == \
+        [1.0, 1.5, 2.5, 3.5]
+
+
+def test_sessionize(series_ds):
+    out = sessionize(series_ds, gap_seconds=86400).to_pandas().sort_values(
+        ["url", "warc_ts"]).reset_index(drop=True)
+    # url a: gaps 1h,1h,37h → sessions 0,0,0,1; url b: 1h,58h → 0,0,1
+    assert out[out["url"] == "a"]["session_id"].tolist() == [0, 0, 0, 1]
+    assert out[out["url"] == "b"]["session_id"].tolist() == [0, 0, 1]
+
+
+def test_batch_udf(series_ds):
+    import pyarrow.compute as pc
+
+    def double(t: pa.Table) -> pa.Table:
+        return t.set_column(t.schema.get_field_index("value"), "value",
+                            pc.multiply(t["value"], 2.0))
+
+    out = apply_batch_udf(series_ds, double).to_pandas()
+    assert out["value"].sum() == 2 * 70.0
+
+
+def test_model_registry():
+    m = get_model("linear", weights=np.eye(2), bias=np.zeros(2))
+    assert (m(np.array([[1.0, 2.0]])) == np.array([[1.0, 2.0]])).all()
+    with pytest.raises(KeyError):
+        get_model("nope")
+
+    @register_model("const7")
+    class Const:
+        def __call__(self, x):
+            return np.full((len(x), 1), 7.0)
+
+    assert get_model("const7")(np.zeros((3, 2)))[0, 0] == 7.0
+    del MODEL_REGISTRY["const7"]
+
+
+def test_early_stop():
+    assert not early_stop([5, 4, 3, 2, 1, 0.5])          # improving
+    assert early_stop([1, 1.1, 1.2, 1.3, 1.4, 1.5])      # worsening
+    assert not early_stop([1, 2])                         # too short
