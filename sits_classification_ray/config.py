@@ -59,6 +59,13 @@ class EngineConfig:
     # --- rollup tiers --------------------------------------------------
     tiers: tuple[str, ...] = ("hourly", "daily", "weekly")
 
+    # --- retention (downsample-and-expire) -----------------------------
+    # max age in seconds per stored table (None = keep forever): raw
+    # observations and the fine grid expire first, coarser aggregates
+    # persist — the TimescaleDB-style retention ladder the north star
+    # asks for. Applied by pipelines.rollup_pipeline.apply_retention.
+    retention_seconds: dict | None = None
+
     # --- misc ----------------------------------------------------------
     seed: int = 42
     batch_size: int = 16384           # rows per map_batches batch

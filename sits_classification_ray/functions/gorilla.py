@@ -41,6 +41,23 @@ class BitWriter:
         self.acc = 0
         self.nbits = 0
 
+    @classmethod
+    def from_bytes(cls, data: bytes, bit_len: int) -> "BitWriter":
+        """Resume writing after ``bit_len`` bits of ``data`` — the
+        incremental-append entry point (per-partition compression
+        state, SURVEY §2.9 / north-star checkpoint cursors)."""
+        w = cls()
+        full, tail = divmod(bit_len, 8)
+        w.buf = bytearray(data[:full])
+        if tail:
+            w.acc = data[full] >> (8 - tail)
+            w.nbits = tail
+        return w
+
+    @property
+    def bit_len(self) -> int:
+        return len(self.buf) * 8 + self.nbits
+
     def write(self, value: int, nbits: int) -> None:
         self.acc = (self.acc << nbits) | (value & ((1 << nbits) - 1))
         self.nbits += nbits
@@ -85,15 +102,13 @@ _DOD_CLASSES = (          # (lo, hi, prefix, prefix_bits, payload_bits)
 )
 
 
-def encode_timestamps(ts: np.ndarray) -> bytes:
-    """int64 microsecond timestamps (sorted) → delta-of-delta bytes."""
-    ts = np.asarray(ts, dtype=np.int64)
-    w = BitWriter()
-    if len(ts) == 0:
-        return w.to_bytes()
-    w.write(int(ts[0]) & ((1 << 64) - 1), 64)
-    deltas = np.diff(ts)
-    dods = np.diff(np.concatenate(([0], deltas)))
+def _write_dods(w: BitWriter, ts: np.ndarray, last_ts: int,
+                last_delta: int) -> tuple[int, int]:
+    """Append delta-of-delta codes for ``ts`` continuing from
+    (last_ts, last_delta); returns the new (last_ts, last_delta)."""
+    prev = np.concatenate(([last_ts], ts[:-1]))
+    deltas = ts - prev
+    dods = np.diff(np.concatenate(([last_delta], deltas)))
     for d in dods.tolist():
         if d == 0:
             w.write(0, 1)
@@ -106,6 +121,18 @@ def encode_timestamps(ts: np.ndarray) -> bytes:
         else:
             w.write(0b1111, 4)
             w.write(d & ((1 << 64) - 1), 64)
+    return int(ts[-1]), int(deltas[-1])
+
+
+def encode_timestamps(ts: np.ndarray) -> bytes:
+    """int64 microsecond timestamps (sorted) → delta-of-delta bytes."""
+    ts = np.asarray(ts, dtype=np.int64)
+    w = BitWriter()
+    if len(ts) == 0:
+        return w.to_bytes()
+    w.write(int(ts[0]) & ((1 << 64) - 1), 64)
+    if len(ts) > 1:
+        _write_dods(w, ts[1:], int(ts[0]), 0)
     return w.to_bytes()
 
 
@@ -137,16 +164,12 @@ def decode_timestamps(data: bytes, n: int) -> np.ndarray:
     return out
 
 
-def encode_values(values: np.ndarray) -> bytes:
-    """float64 array → Gorilla XOR bytes (bit patterns preserved)."""
-    bits = np.ascontiguousarray(values, dtype=np.float64).view(np.uint64)
-    w = BitWriter()
-    if len(bits) == 0:
-        return w.to_bytes()
-    prev = int(bits[0])
-    w.write(prev, 64)
-    xors = (bits[1:] ^ bits[:-1]).tolist()
-    lz_win, sig_win = -1, -1            # current leading-zero window
+def _write_xors(w: BitWriter, bits: np.ndarray, prev: int, lz_win: int,
+                sig_win: int) -> tuple[int, int, int]:
+    """Append XOR codes for ``bits`` continuing from (prev, window);
+    returns the new (prev, lz_win, sig_win)."""
+    prevs = np.concatenate(([np.uint64(prev)], bits[:-1]))
+    xors = (bits ^ prevs).tolist()
     for x in xors:
         if x == 0:
             w.write(0, 1)
@@ -165,6 +188,19 @@ def encode_values(values: np.ndarray) -> bytes:
             w.write(lz, 5)
             w.write(sig - 1, 6)
             w.write(x >> tz, sig)
+    return int(bits[-1]), lz_win, sig_win
+
+
+def encode_values(values: np.ndarray) -> bytes:
+    """float64 array → Gorilla XOR bytes (bit patterns preserved)."""
+    bits = np.ascontiguousarray(values, dtype=np.float64).view(np.uint64)
+    w = BitWriter()
+    if len(bits) == 0:
+        return w.to_bytes()
+    prev = int(bits[0])
+    w.write(prev, 64)
+    if len(bits) > 1:
+        _write_xors(w, bits[1:], prev, -1, -1)
     return w.to_bytes()
 
 
@@ -195,6 +231,70 @@ def decode_values(data: bytes, n: int) -> np.ndarray:
 def encode_series(ts_us: np.ndarray, values: np.ndarray) -> tuple[bytes, bytes]:
     """One sorted series → (ts_codes, val_codes)."""
     return encode_timestamps(ts_us), encode_values(values)
+
+
+# ---------------------------------------------------------------------------
+# Incremental append — the per-partition compression state / checkpoint
+# cursor that lets an ingest actor extend stored segments without
+# decode+re-encode (north-star "actor pools holding per-partition
+# compression state and checkpoint cursors").
+# ---------------------------------------------------------------------------
+
+
+def encode_series_state(ts_us: np.ndarray, values: np.ndarray
+                        ) -> tuple[bytes, bytes, dict]:
+    """Encode and also return the resumable cursor state."""
+    ts = np.asarray(ts_us, dtype=np.int64)
+    bits = np.ascontiguousarray(values, dtype=np.float64).view(np.uint64)
+    wt, wv = BitWriter(), BitWriter()
+    if len(ts) == 0:
+        return wt.to_bytes(), wv.to_bytes(), {
+            "n": 0, "last_ts": 0, "last_delta": 0, "ts_bits": 0,
+            "prev_val": 0, "lz_win": -1, "sig_win": -1, "val_bits": 0}
+    wt.write(int(ts[0]) & ((1 << 64) - 1), 64)
+    last_ts, last_delta = int(ts[0]), 0
+    if len(ts) > 1:
+        last_ts, last_delta = _write_dods(wt, ts[1:], last_ts, 0)
+    prev = int(bits[0])
+    wv.write(prev, 64)
+    lz_win = sig_win = -1
+    if len(bits) > 1:
+        prev, lz_win, sig_win = _write_xors(wv, bits[1:], prev, -1, -1)
+    state = {"n": len(ts), "last_ts": last_ts, "last_delta": last_delta,
+             "ts_bits": wt.bit_len, "prev_val": prev,
+             "lz_win": lz_win, "sig_win": sig_win, "val_bits": wv.bit_len}
+    return wt.to_bytes(), wv.to_bytes(), state
+
+
+def append_series(ts_codes: bytes, val_codes: bytes, state: dict,
+                  new_ts: np.ndarray, new_values: np.ndarray
+                  ) -> tuple[bytes, bytes, dict]:
+    """Extend an encoded segment with new (later) points in place.
+
+    ``new_ts`` must be strictly after ``state['last_ts']`` (late rows
+    invalidate the partition and trigger recompute instead — SURVEY
+    §2.9). No decode happens; the cursor resumes mid-byte.
+    """
+    ts = np.asarray(new_ts, dtype=np.int64)
+    if len(ts) == 0:
+        return ts_codes, val_codes, state
+    if state["n"] == 0:
+        return encode_series_state(ts, new_values)
+    if int(ts[0]) <= state["last_ts"]:
+        raise ValueError("append_series requires strictly later timestamps; "
+                         "late data must recompute the partition")
+    bits = np.ascontiguousarray(new_values, dtype=np.float64).view(np.uint64)
+    wt = BitWriter.from_bytes(ts_codes, state["ts_bits"])
+    last_ts, last_delta = _write_dods(wt, ts, state["last_ts"],
+                                      state["last_delta"])
+    wv = BitWriter.from_bytes(val_codes, state["val_bits"])
+    prev, lz_win, sig_win = _write_xors(wv, bits, state["prev_val"],
+                                        state["lz_win"], state["sig_win"])
+    new_state = {"n": state["n"] + len(ts), "last_ts": last_ts,
+                 "last_delta": last_delta, "ts_bits": wt.bit_len,
+                 "prev_val": prev, "lz_win": lz_win, "sig_win": sig_win,
+                 "val_bits": wv.bit_len}
+    return wt.to_bytes(), wv.to_bytes(), new_state
 
 
 def decode_series(ts_codes: bytes, val_codes: bytes, n: int) -> tuple[np.ndarray, np.ndarray]:

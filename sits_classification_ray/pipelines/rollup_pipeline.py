@@ -126,12 +126,17 @@ def segments_stage(ds_long: rd.Dataset) -> rd.Dataset:
     return partitioned_map(ds_long, kernel)
 
 
-def run_pipeline(input_path: str, out_dir: str,
+def run_pipeline(input_path: str | list, out_dir: str,
                  cfg: EngineConfig | None = None, resume: bool = True,
                  stages: tuple[str, ...] = ("obs", "grid", "segments",
                                             "hourly", "daily", "weekly"),
+                 lineage: str | None = None,
                  ) -> dict:
-    """Run (or resume) the full pipeline; returns run metrics."""
+    """Run (or resume) the full pipeline; returns run metrics.
+
+    ``lineage`` overrides the default input+config hash — the managed
+    mode used by :func:`ingest`, where invalidation is explicit and the
+    input registry grows over time."""
     import sits_classification_ray as scr
 
     scr.tune_for_cluster()
@@ -141,9 +146,18 @@ def run_pipeline(input_path: str, out_dir: str,
     cfg.save(out / "engine_config.json")     # carry-forward contract
     manifest = Manifest(out)
 
-    input_files = sorted(str(p) for p in Path(input_path).glob("**/*.parquet")) \
-        if Path(input_path).is_dir() else [input_path]
-    lineage = lineage_hash(input_files, json.dumps(asdict(cfg), default=list))
+    paths = input_path if isinstance(input_path, list) else [input_path]
+    input_files: list[str] = []
+    for p in paths:
+        if Path(p).is_dir():
+            input_files.extend(sorted(str(q) for q in
+                                      Path(p).glob("**/*.parquet")))
+        else:
+            input_files.append(str(p))
+    input_path = paths if len(paths) > 1 else paths[0]
+    if lineage is None:
+        lineage = lineage_hash(input_files,
+                               json.dumps(asdict(cfg), default=list))
     all_buckets = list(range(cfg.n_buckets))
     metrics: dict = {"stages": {}, "lineage": lineage}
     t_run = time.perf_counter()
@@ -267,6 +281,144 @@ def run_pipeline(input_path: str, out_dir: str,
             metrics["input_docs"] / metrics["total_seconds"], 1)
     (out / "run_metrics.json").write_text(json.dumps(metrics, indent=2))
     return metrics
+
+
+def read_segments(seg_path: str, buckets: list[int] | None = None
+                  ) -> rd.Dataset:
+    """Decode stored Gorilla segments back to long observation rows —
+    the parse-once/reuse-many cache read (reference npy/pkl cache,
+    ``pytorch/utils/Dataset.py:121-151``)."""
+    from sits_classification_ray.functions.gorilla import decode_series
+
+    seg = _read_stage(Path(seg_path), buckets)
+
+    def decode(df: pd.DataFrame) -> pd.DataFrame:
+        urls, buckets_, mets, ts_all, vals = [], [], [], [], []
+        for row in df.itertuples(index=False):
+            ts, v = decode_series(row.ts_codes, row.val_codes, int(row.n))
+            urls.append(np.repeat(row.url, len(ts)))
+            buckets_.append(np.repeat(row.url_bucket, len(ts)))
+            mets.append(np.repeat(row.metric, len(ts)))
+            ts_all.append(ts)
+            vals.append(v)
+        if not urls:
+            return pd.DataFrame({
+                "url": pd.Series([], dtype=object),
+                "url_bucket": pd.Series([], dtype=np.uint32),
+                "metric": pd.Series([], dtype=object),
+                "warc_ts": pd.Series([], dtype="datetime64[us]"),
+                "value": pd.Series([], dtype=np.float64)})
+        return pd.DataFrame({
+            "url": np.concatenate(urls),
+            "url_bucket": np.concatenate(buckets_),
+            "metric": np.concatenate(mets),
+            "warc_ts": np.concatenate(ts_all).astype("datetime64[us]"),
+            "value": np.concatenate(vals)})
+
+    return seg.map_batches(decode, batch_format="pandas", batch_size=256)
+
+
+def ingest(out_dir: str, new_input: str, cfg: EngineConfig | None = None
+           ) -> dict:
+    """Incremental ingest: register a new input file, invalidate exactly
+    the partitions its urls land in, and resume the pipeline.
+
+    Late/duplicate rows are handled by recomputation (first-wins dedup
+    reruns over the union of inputs for affected buckets) — the
+    idempotent-overwrite semantics SURVEY §2.9 specifies. Untouched
+    partitions keep their outputs.
+    """
+    import pyarrow.parquet as pq
+
+    from sits_classification_ray.stages.extract import url_bucket_of
+
+    cfg = cfg or EngineConfig()
+    out = Path(out_dir)
+    reg_path = out / "inputs.json"
+    registry: list[str] = json.loads(reg_path.read_text()) \
+        if reg_path.exists() else []
+    if str(new_input) not in registry:
+        registry.append(str(new_input))
+        reg_path.write_text(json.dumps(registry))
+
+    # affected buckets from the new file's urls only (url column scan)
+    urls = pq.read_table(new_input, columns=["url"])["url"]
+    affected = sorted(set(
+        url_bucket_of(urls.combine_chunks(), cfg.n_buckets).to_pylist()))
+
+    manifest = Manifest(out)
+    for stage in ["obs", "grid", "segments"] + TIER_STAGES:
+        for b in affected:
+            manifest.invalidate(stage, b)
+
+    lineage = json.dumps({"mode": "managed",
+                          "config": asdict(cfg)}, default=list)
+    import hashlib
+
+    lineage = hashlib.sha256(lineage.encode()).hexdigest()[:16]
+    metrics = run_pipeline(registry, str(out), cfg, resume=True,
+                           lineage=lineage)
+    metrics["affected_partitions"] = affected
+    return metrics
+
+
+def init_managed(input_path: str, out_dir: str,
+                 cfg: EngineConfig | None = None) -> dict:
+    """First run of a managed (ingest-able) output directory."""
+    out = Path(out_dir)
+    out.mkdir(parents=True, exist_ok=True)
+    (out / "inputs.json").write_text(json.dumps([str(input_path)]))
+    cfg = cfg or EngineConfig()
+    import hashlib
+
+    lineage = hashlib.sha256(json.dumps(
+        {"mode": "managed", "config": asdict(cfg)},
+        default=list).encode()).hexdigest()[:16]
+    return run_pipeline([str(input_path)], str(out), cfg, resume=True,
+                        lineage=lineage)
+
+
+def apply_retention(out_dir: str, cfg: EngineConfig,
+                    now: "pd.Timestamp | str") -> dict:
+    """Expire rows past each table's retention window (downsample
+    ladder: raw/grid expire first, coarse tiers persist).
+
+    Rewrites only partitions containing expired rows (idempotent);
+    returns rows dropped per table."""
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    now_ts = pd.Timestamp(now)
+    dropped: dict[str, int] = {}
+    policy = cfg.retention_seconds or {}
+    ts_col = {"obs": "warc_ts", "grid": "grid_ts", "segments": "t_end",
+              "hourly": "bucket_ts", "daily": "bucket_ts",
+              "weekly": "bucket_ts"}
+    for table, max_age in policy.items():
+        if max_age is None:
+            continue
+        cutoff = now_ts - pd.Timedelta(seconds=max_age)
+        root = Path(out_dir) / table
+        if not root.exists():
+            continue
+        n_dropped = 0
+        for part in sorted(root.glob("url_bucket=*")):
+            for f in sorted(part.rglob("*.parquet")):
+                t = pq.read_table(str(f))
+                col = ts_col[table]
+                mask = pc.greater_equal(
+                    t[col], pa.scalar(cutoff.to_datetime64()))
+                kept = t.filter(mask)
+                if len(kept) < len(t):
+                    n_dropped += len(t) - len(kept)
+                    tmp = f.with_suffix(".tmp")
+                    pq.write_table(kept, str(tmp),
+                                   compression=cfg.parquet_compression)
+                    tmp.rename(f)
+        dropped[table] = n_dropped
+    (Path(out_dir) / "retention_log.json").write_text(json.dumps({
+        "applied_at": str(now_ts), "dropped": dropped}))
+    return dropped
 
 
 def finalize_with_state(partials: rd.Dataset) -> rd.Dataset:

@@ -76,3 +76,54 @@ def test_series_roundtrip_and_compression():
     np.testing.assert_array_equal(dvals, vals)
     # hourly-ish int series must compress well below raw 16 bytes/point
     assert len(tsc) + len(vc) < 0.5 * 16 * n
+
+
+def test_incremental_append_bit_identical():
+    from sits_classification_ray.functions.gorilla import (append_series,
+                                                           encode_series,
+                                                           encode_series_state)
+
+    rng = np.random.default_rng(3)
+    n = 1000
+    ts = np.cumsum(rng.integers(1, 10**7, size=n)) + 1_700_000_000_000_000
+    vals = np.round(rng.normal(50, 3, size=n))
+    full_t, full_v = encode_series(ts, vals)
+
+    t1, v1, st = encode_series_state(ts[:600], vals[:600])
+    t2, v2, st2 = append_series(t1, v1, st, ts[600:], vals[600:])
+    assert t2 == full_t and v2 == full_v
+    assert st2["n"] == n
+
+    dts, dvals = decode_series(t2, v2, n)
+    np.testing.assert_array_equal(dts, ts)
+    np.testing.assert_array_equal(dvals, vals)
+
+    # multiple small appends == one big encode
+    t, v, s = encode_series_state(ts[:100], vals[:100])
+    for i in range(100, n, 150):
+        t, v, s = append_series(t, v, s, ts[i:i+150], vals[i:i+150])
+    assert t == full_t and v == full_v
+
+
+def test_append_rejects_late_data():
+    from sits_classification_ray.functions.gorilla import (append_series,
+                                                           encode_series_state)
+
+    ts = np.array([100, 200, 300], dtype=np.int64)
+    t, v, st = encode_series_state(ts, np.array([1.0, 2.0, 3.0]))
+    with pytest.raises(ValueError):
+        append_series(t, v, st, np.array([250], dtype=np.int64),
+                      np.array([9.0]))
+
+
+def test_append_from_empty():
+    from sits_classification_ray.functions.gorilla import (append_series,
+                                                           encode_series,
+                                                           encode_series_state)
+
+    t, v, st = encode_series_state(np.array([], dtype=np.int64), np.array([]))
+    ts = np.array([10, 20], dtype=np.int64)
+    vals = np.array([1.0, 2.0])
+    t2, v2, st2 = append_series(t, v, st, ts, vals)
+    ft, fv = encode_series(ts, vals)
+    assert t2 == ft and v2 == fv
