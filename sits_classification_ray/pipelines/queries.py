@@ -121,13 +121,33 @@ SELECT url, metric, grid_ts,
   (pts IS NULL OR grid_ts <> pts) AS filled
 FROM joined"""
 
+# fill_method="none" (M8 drop-empty, reference utils/class_run.py:190-191):
+# only exact observation hits carry values; everything else is NULL.
+_GAPFILL_NONE_SQL = f"""{CRAWL_PREFIX},
+{_GAPFILL_GRID_SQL}
+SELECT url, metric, grid_ts,
+  CASE WHEN pts = grid_ts THEN pval ELSE NULL END AS value,
+  (pts IS NULL OR grid_ts <> pts) AS filled
+FROM joined"""
+
 
 # ---------------------------------------------------------------------------
 # Ray-side helpers
 # ---------------------------------------------------------------------------
 
 
-_OBS_CACHE: dict[str, rd.Dataset] = {}
+_OBS_CACHE: dict[tuple[str, str], rd.Dataset] = {}
+
+
+def _obs_cache_key(sf_dir: str) -> tuple[str, str]:
+    """Cache key folding input-file identity (path, size, mtime) into
+    the sf_dir path, so regenerated fixtures are never served stale."""
+    from pathlib import Path
+
+    from sits_classification_ray.state.manifest import lineage_hash
+
+    files = sorted(str(p) for p in Path(sf_dir).glob("*.parquet"))
+    return sf_dir, lineage_hash(files, "obs_prefix")
 
 
 def _obs(sf_dir: str) -> rd.Dataset:
@@ -137,11 +157,12 @@ def _obs(sf_dir: str) -> rd.Dataset:
     materializing it once (it is small — the deduped obs, not the
     crawl payload) keeps the driver's sequential query sweep from
     re-running the prefix every time."""
-    ds = _OBS_CACHE.get(sf_dir)
+    key = _obs_cache_key(sf_dir)
+    ds = _OBS_CACHE.get(key)
     if ds is None:
         ds = assemble_series(extract(crawl_from_tables(sf_dir), CFG),
                              CFG).materialize()
-        _OBS_CACHE[sf_dir] = ds
+        _OBS_CACHE[key] = ds
     return ds
 
 
@@ -559,6 +580,7 @@ def build_queries() -> dict[str, Callable[[str], Any]]:
         "lang_daily": _lang_daily,
         "gapfill_linear": lambda sf: _gapfill(sf, "linear"),
         "gapfill_locf": lambda sf: _gapfill(sf, "locf"),
+        "gapfill_none": lambda sf: _gapfill(sf, "none"),
         # generic stream rollup over the events table (SQL-checked)
         "events_rollup_hourly": _events_rollup_hourly,
         # relational coverage (SQL-checked)
@@ -619,6 +641,7 @@ SELECT url, CAST(date_trunc('day', warc_ts) AS TIMESTAMP) AS bucket_ts,
 FROM obs GROUP BY 1, 2, 3""",
         "gapfill_linear": _GAPFILL_LINEAR_SQL,
         "gapfill_locf": _GAPFILL_LOCF_SQL,
+        "gapfill_none": _GAPFILL_NONE_SQL,
         "events_rollup_hourly": """
 SELECT CAST(user_id AS VARCHAR) AS entity,
        CAST(date_trunc('hour', ts) AS TIMESTAMP) AS bucket_ts,

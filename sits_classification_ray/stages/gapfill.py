@@ -67,6 +67,17 @@ def gapfill_series(
         else:
             out = out.copy()
             out[lead] = np.nan
+    elif method == "none":
+        # M8 drop-empty / no-interpolation path (reference
+        # utils/class_run.py:190-191: interpolation disabled keeps only
+        # real observations): grid points that coincide exactly with an
+        # observation carry its value; all others stay null.
+        out = np.full(len(grid), np.nan)
+        idx = np.searchsorted(ts_us, grid)
+        ok = idx < len(ts_us)
+        hit = np.zeros(len(grid), dtype=bool)
+        hit[ok] = ts_us[idx[ok]] == grid[ok]
+        out[hit] = values[idx[hit]]
     else:
         raise ValueError(f"unknown fill method: {method}")
 

@@ -66,6 +66,18 @@ def test_kernel_edge_semantics():
     np.testing.assert_array_equal(out3, [7.0, 9.0])
 
 
+def test_fill_method_none():
+    # "none": only exact grid hits carry values, everything else null
+    h = 3_600_000_000
+    ts = np.array([h, 2 * h + 5, 4 * h], dtype=np.int64)
+    vals = np.array([1.0, 2.0, 4.0])
+    grid, out, filled = gapfill_series(ts, vals, 3600, "none", "both")
+    np.testing.assert_array_equal(grid, [h, 2 * h, 3 * h, 4 * h])
+    np.testing.assert_array_equal(out[[0, 3]], [1.0, 4.0])
+    assert np.isnan(out[[1, 2]]).all()
+    np.testing.assert_array_equal(filled, [False, True, True, False])
+
+
 def test_exact_grid_points_not_filled():
     h = 3_600_000_000
     ts = np.array([h, 2 * h, 4 * h], dtype=np.int64)
