@@ -88,11 +88,13 @@ def _read_stage(path: Path, buckets: list[int] | None = None) -> rd.Dataset:
     return ds
 
 
-def segments_stage(ds_long: rd.Dataset) -> rd.Dataset:
+def segments_stage(ds_long: rd.Dataset, cfg: EngineConfig | None = None,
+                   approx_rows: int | None = None) -> rd.Dataset:
     """Gorilla-encode each (url, metric) stream → one segment row.
 
-    Bucket-level kernel: one sort per hash bucket, then numpy slices
-    into the sequential bit encoder per (url, metric) run.
+    Partition-level kernel over salted (url, metric) series keys: one
+    sort per partition block, then numpy slices into the sequential
+    bit encoder per (url, metric) run.
     """
     from sits_classification_ray.stages.gapfill import _series_bounds
 
@@ -123,7 +125,10 @@ def segments_stage(ds_long: rd.Dataset) -> rd.Dataset:
 
     from sits_classification_ray.stages.shuffle import partitioned_map
 
-    return partitioned_map(ds_long, kernel)
+    cfg = cfg or EngineConfig()
+    return partitioned_map(ds_long, kernel, keys=["url", "metric"],
+                           approx_rows=approx_rows,
+                           hot_key_threshold=cfg.hot_key_threshold)
 
 
 def run_pipeline(input_path: str | list, out_dir: str,
@@ -195,7 +200,7 @@ def run_pipeline(input_path: str | list, out_dir: str,
             ds = extract(raw, cfg)
             if len(todo) < cfg.n_buckets:
                 ds = _filter_buckets(ds, todo)
-            obs = assemble_series(ds, cfg)
+            obs = assemble_series(ds, cfg, approx_rows=n_in)
             obs.write_parquet(str(obs_path), partition_cols=["url_bucket"],
                               compression=cfg.parquet_compression)
             commit_stage("obs", obs_path, todo, t0, input_rows=n_in)
@@ -216,7 +221,9 @@ def run_pipeline(input_path: str | list, out_dir: str,
         long_obs = to_long(_read_stage(obs_path, todo
                                        if len(todo) < cfg.n_buckets
                                        else None), cfg.metrics)
-        gapfill(long_obs, cfg).write_parquet(
+        obs_rows = sum(_partition_counts(obs_path).values())
+        gapfill(long_obs, cfg,
+                approx_rows=obs_rows * len(cfg.metrics)).write_parquet(
             str(grid_path), partition_cols=["url_bucket"],
             compression=cfg.parquet_compression)
         commit_stage("grid", grid_path, todo, t0)
@@ -231,7 +238,9 @@ def run_pipeline(input_path: str | list, out_dir: str,
         long_obs = to_long(_read_stage(obs_path, todo
                                        if len(todo) < cfg.n_buckets
                                        else None), cfg.metrics)
-        segments_stage(long_obs).write_parquet(
+        obs_rows = sum(_partition_counts(obs_path).values())
+        segments_stage(long_obs, cfg,
+                       approx_rows=obs_rows * len(cfg.metrics)).write_parquet(
             str(seg_path), partition_cols=["url_bucket"],
             compression=cfg.parquet_compression)
         commit_stage("segments", seg_path, todo, t0)

@@ -141,13 +141,16 @@ def gapfill_bucket(df: pd.DataFrame, grid_seconds: int, method: str,
     })
 
 
-def gapfill(ds_long: rd.Dataset, cfg: EngineConfig | None = None) -> rd.Dataset:
+def gapfill(ds_long: rd.Dataset, cfg: EngineConfig | None = None,
+            approx_rows: int | None = None) -> rd.Dataset:
     """Long observation rows → hourly-grid rows per (url, metric).
 
     Input: assembled long rows ``(url, url_bucket, metric, warc_ts,
     value)``. Output: ``(url, url_bucket, metric, grid_ts, value,
-    filled)``. Shuffle key is the hash bucket; the kernel is one
-    vectorized pass per bucket.
+    filled)``. Shuffle key is the salted (url, metric) series key —
+    complete series per partition, partition count scaled by
+    ``hot_key_threshold`` — and the kernel is one vectorized pass per
+    partition block.
     """
     from sits_classification_ray.stages.shuffle import partitioned_map
 
@@ -157,4 +160,6 @@ def gapfill(ds_long: rd.Dataset, cfg: EngineConfig | None = None) -> rd.Dataset:
     def kernel(df: pd.DataFrame) -> pd.DataFrame:
         return gapfill_bucket(df, step, method, edges)
 
-    return partitioned_map(ds_long, kernel)
+    return partitioned_map(ds_long, kernel, keys=["url", "metric"],
+                           approx_rows=approx_rows,
+                           hot_key_threshold=cfg.hot_key_threshold)

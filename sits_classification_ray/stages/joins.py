@@ -39,22 +39,16 @@ def asof_join(left: rd.Dataset, right: rd.Dataset, by: str,
 
     left_cols = left.columns()
 
-    def _bucket(s: pd.Series) -> np.ndarray:
-        h = pd.util.hash_array(s.to_numpy(dtype=object), categorize=True)
-        return (h % np.uint64(64)).astype(np.int64)
-
     def tag_left(df: pd.DataFrame) -> pd.DataFrame:
         df = df.copy()
         df["__side"] = 0
         df["__ts"] = df[left_ts]
-        df["__b"] = _bucket(df[by])
         return df
 
     def tag_right(df: pd.DataFrame) -> pd.DataFrame:
         out = pd.DataFrame({by: df[by], "__ts": df[right_ts], "__side": 1})
         for c in value_cols:
             out[c] = df[c]
-        out["__b"] = _bucket(out[by])
         return out
 
     l_t = left.map_batches(tag_left, batch_format="pandas")
@@ -80,7 +74,7 @@ def asof_join(left: rd.Dataset, right: rd.Dataset, by: str,
                                suffixes=("", "__r"))
         return merged[left_cols + value_cols]
 
-    return partitioned_map(unioned, kernel, keys=["__b"])
+    return partitioned_map(unioned, kernel, keys=[by])
 
 
 def hash_join(left: rd.Dataset, right: rd.Dataset, on: str,

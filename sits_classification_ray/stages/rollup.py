@@ -154,10 +154,15 @@ def merge_partials_pdf(df: pd.DataFrame) -> pd.DataFrame:
 
 
 def merge_partials(ds_partials: rd.Dataset) -> rd.Dataset:
-    """Shuffle partials by hash bucket and merge each bucket vectorized."""
+    """Shuffle partials by the salted (url, metric, bucket_ts) key and
+    merge each partition vectorized. The finest key is legal here
+    because partials re-aggregate (``last`` merges by ``last_src_ts``)
+    — a head url's partials spread across time buckets, so no single
+    partition ever concentrates a hot domain."""
     from sits_classification_ray.stages.shuffle import partitioned_map
 
-    return partitioned_map(ds_partials, merge_partials_pdf)
+    return partitioned_map(ds_partials, merge_partials_pdf,
+                           keys=["url", "metric", "bucket_ts"])
 
 
 def finalize(ds_partials: rd.Dataset) -> rd.Dataset:

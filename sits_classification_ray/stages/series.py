@@ -52,9 +52,14 @@ def dedup_group(df: pd.DataFrame, min_series_len: int = 2) -> pd.DataFrame:
 
 
 def assemble_series(ds: rd.Dataset, cfg: EngineConfig | None = None,
-                    num_partitions: int | None = None) -> rd.Dataset:
-    """Hash-partition by url_bucket → sorted, deduped, filtered
-    per-url snapshots (vectorized kernel per partition block)."""
+                    num_partitions: int | None = None,
+                    approx_rows: int | None = None) -> rd.Dataset:
+    """Salted hash-partition by url → sorted, deduped, filtered
+    per-url snapshots (vectorized kernel per partition block).
+
+    The shuffle key is the url itself (complete series per partition),
+    salted into ``≥ approx_rows / hot_key_threshold`` partitions so a
+    head domain never lands one fat block on one worker."""
     from sits_classification_ray.stages.shuffle import partitioned_map
 
     cfg = cfg or EngineConfig()
@@ -62,4 +67,7 @@ def assemble_series(ds: rd.Dataset, cfg: EngineConfig | None = None,
     def kernel(df: pd.DataFrame) -> pd.DataFrame:
         return dedup_bucket(df, cfg.min_series_len)
 
-    return partitioned_map(ds, kernel, num_partitions=num_partitions)
+    return partitioned_map(ds, kernel, keys=["url"],
+                           num_partitions=num_partitions,
+                           approx_rows=approx_rows,
+                           hot_key_threshold=cfg.hot_key_threshold)

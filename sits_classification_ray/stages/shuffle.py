@@ -1,32 +1,65 @@
-"""Hash-partitioned shuffle + whole-block grouped map.
+"""Hash-partitioned shuffle + whole-block grouped map, with explicit
+salting for head-domain skew (the north_rule requirement).
 
 ``groupby(key).map_groups`` in Ray Data is sort-based: sample → sort →
-range-partition, with a Python UDF dispatch per group. For the
-engine's bucket-level kernels that is wasted work twice over — the
-kernels only need *co-location by key* (every row of a url_bucket in
-one block), not a global order, and they are already vectorized over
-whole buckets.
+range-partition, with a Python UDF dispatch per group. The engine's
+bucket-level kernels only need *co-location by key* (every row of a
+series in one block), not a global order, and they are vectorized over
+whole blocks — so both the dispatch-per-group overhead and the
+group-granularity are wrong for them.
 
-:func:`partitioned_map` hash-partitions by key (``Dataset.repartition
-(keys=...)``, a direct hash exchange with no sampling pass) and runs
-the kernel once per partition block (``batch_size=None`` = whole
-block). Kernels must therefore be correct for a block holding
-*several* complete key groups — all engine kernels are (they
-sort/group within the block).
+:func:`partitioned_map` therefore shuffles on a **salted partition
+id**: ``_part = hash(finest co-location key) % P``. Two consequences:
 
-Skew note (SURVEY §4): a head url inflates one hash partition. The
-kernels stay vectorized so a fat partition degrades smoothly;
-``num_partitions`` larger than n_buckets spreads distinct buckets,
-and upstream partial aggregation (rollup.py) bounds partition payloads
-by distinct-key counts, not raw row counts.
+- **Skew (SURVEY §4, VERDICT r1 #1)**: the shuffle granularity is the
+  *series* key (``url`` / ``(url, metric)``), never the coarse
+  ``url_bucket``. A head domain that inflates one of 64 hash buckets
+  into a multi-GB block under bucket-level shuffling is instead spread
+  across partitions; the residual bound is the largest *single series*
+  (irreducible for sequential per-series kernels — and vectorized, so
+  a fat series degrades smoothly). ``P`` is sized from
+  ``EngineConfig.hot_key_threshold``: with ``approx_rows`` known,
+  ``P ≥ approx_rows / hot_key_threshold`` so the *expected* partition
+  payload stays under the threshold at any scale.
+- **Dispatch**: exactly ``P`` Python group calls (a controlled knob),
+  each a single vectorized pandas kernel over several complete key
+  groups — all engine kernels are correct for that shape (they
+  sort/group within the block).
+
+The partition hash is pandas' SipHash (fixed library key), identical
+across workers/runs — required for deterministic resume.
 """
 
 from __future__ import annotations
 
 from collections.abc import Callable
 
+import numpy as np
 import pandas as pd
 import ray.data as rd
+
+
+def default_num_partitions(approx_rows: int | None = None,
+                           hot_key_threshold: int | None = None) -> int:
+    """Partition count: ≥ 2× cluster CPUs for parallelism, scaled up so
+    the average partition carries ≤ ``hot_key_threshold`` rows."""
+    try:
+        import ray
+        base = max(64, int(ray.cluster_resources().get("CPU", 8)) * 2)
+    except Exception:
+        base = 64
+    if approx_rows and hot_key_threshold:
+        need = -(-int(approx_rows) // int(hot_key_threshold))
+        return min(65536, max(base, need))
+    return base
+
+
+def salted_part(df: pd.DataFrame, keys: list[str], num_partitions: int
+                ) -> np.ndarray:
+    """Deterministic partition id per row from the co-location keys."""
+    h = pd.util.hash_pandas_object(df[list(keys)], index=False,
+                                   categorize=True).to_numpy()
+    return (h % np.uint64(num_partitions)).astype(np.int64)
 
 
 def partitioned_map(
@@ -34,23 +67,36 @@ def partitioned_map(
     fn: Callable[[pd.DataFrame], pd.DataFrame],
     keys: list[str] | None = None,
     num_partitions: int | None = None,
+    approx_rows: int | None = None,
+    hot_key_threshold: int | None = None,
 ) -> rd.Dataset:
-    """Hash-partition ``ds`` by ``keys`` and map ``fn`` over each
-    whole partition block (pandas in/out)."""
-    keys = keys or ["url_bucket"]
+    """Co-locate complete ``keys`` groups into salted partitions and map
+    ``fn`` over each whole partition block (pandas in/out).
+
+    ``keys`` is the FINEST key whose groups the kernel needs complete
+    (e.g. ``["url", "metric"]`` for per-series kernels) — passing a
+    coarser key reintroduces skew, never correctness differences.
+    """
+    keys = keys or ["url"]
+    P = num_partitions or default_num_partitions(approx_rows,
+                                                 hot_key_threshold)
+
+    def add_part(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy(deep=False)
+        df["_part"] = salted_part(df, keys, P)
+        return df
+
+    salted = ds.map_batches(add_part, batch_format="pandas")
+
+    def kernel(df: pd.DataFrame) -> pd.DataFrame:
+        return fn(df.drop(columns=["_part"]))
+
     ctx = rd.DataContext.get_current()
     if ctx.shuffle_strategy == rd.context.ShuffleStrategy.HASH_SHUFFLE:
         # fast path: direct hash exchange, kernel per whole partition
-        if num_partitions is None:
-            try:
-                import ray
-                num_partitions = max(
-                    16, int(ray.cluster_resources().get("CPU", 8)) * 2)
-            except Exception:
-                num_partitions = 64
-        ds = ds.repartition(num_blocks=num_partitions, keys=keys)
-        return ds.map_batches(fn, batch_size=None, batch_format="pandas")
-    # default path: sort-based groupby on the bucket key; the kernel
-    # sees one whole bucket per call (64 calls — still vectorized)
-    key = keys[0] if len(keys) == 1 else list(keys)
-    return ds.groupby(key).map_groups(fn, batch_format="pandas")
+        salted = salted.repartition(num_blocks=P, keys=["_part"])
+        return salted.map_batches(kernel, batch_size=None,
+                                  batch_format="pandas")
+    # default path: sort-based groupby on the int64 partition id — P
+    # group calls, each one vectorized kernel over a whole partition
+    return salted.groupby("_part").map_groups(kernel, batch_format="pandas")

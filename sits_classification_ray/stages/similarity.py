@@ -81,14 +81,24 @@ def brute_force_topk(ds: rd.Dataset, queries: dict[int, np.ndarray],
 
 def train_centroids(ds: rd.Dataset, n_lists: int = 16, iters: int = 10,
                     seed: int = 0, vec_col: str = "embedding",
-                    sample_frac: float = 1.0) -> np.ndarray:
-    """Mini k-means on a sample (driver-side Lloyd over a small sample;
-    assignment at scale stays distributed)."""
+                    sample_frac: float | None = None,
+                    max_sample_rows: int = 100_000) -> np.ndarray:
+    """Mini k-means on a BOUNDED sample (driver-side Lloyd; assignment
+    at scale stays distributed).
+
+    The driver only ever holds ``max_sample_rows`` vectors: with no
+    explicit ``sample_frac`` the fraction is derived from the dataset
+    row count so the expected sample is capped (VERDICT r1 #10 — the
+    old default materialized the whole dataset)."""
+    if sample_frac is None:
+        n = ds.count()
+        sample_frac = 1.0 if n <= max_sample_rows else max_sample_rows / n
     sample = ds if sample_frac >= 1.0 else ds.random_sample(sample_frac,
                                                             seed=seed)
+    sample = sample.select_columns([vec_col]).limit(max_sample_rows)
     mat = _normalize(np.stack(
         [np.asarray(r[vec_col], dtype=np.float64)
-         for r in sample.select_columns([vec_col]).take_all()]))
+         for r in sample.take_all()]))
     rng = np.random.default_rng(seed)
     cent = mat[rng.choice(len(mat), size=min(n_lists, len(mat)),
                           replace=False)]

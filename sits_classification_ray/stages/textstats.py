@@ -113,15 +113,33 @@ _FP_OFF = np.uint64(14695981039346656037)
 
 def fingerprint_batch(batch: pa.Table, id_col: str = "doc_id",
                       text_col: str = "text") -> pa.Table:
-    """FNV-1a-style rolling hash over utf-8 bytes, vectorized per doc."""
-    out = np.empty(len(batch), dtype=np.uint64)
-    texts = batch[text_col].to_pylist()
-    for i, t in enumerate(texts):
-        h = _FP_OFF
-        data = np.frombuffer((t or "").encode(), dtype=np.uint8).astype(np.uint64)
-        for b in data:
-            h = (h ^ b) * _FP_BASE
-        out[i] = h
+    """Polynomial rolling hash over utf-8 bytes, mod 2^64.
+
+    ``h(doc) = off·B^n + Σ b_j·B^(n-1-j)`` — the Rabin–Karp form whose
+    linearity makes it truly vectorizable (one numpy pass over the
+    batch's concatenated byte buffer; uint64 wraparound is the modulus)
+    and extendable to windowed substring fingerprints. Replaces the
+    round-1 per-byte Python FNV loop (VERDICT r1 #6)."""
+    texts = [(t or "").encode() for t in batch[text_col].to_pylist()]
+    n = len(texts)
+    lens = np.fromiter((len(t) for t in texts), np.int64, n)
+    out = np.full(n, _FP_OFF, dtype=np.uint64)
+    total = int(lens.sum())
+    if total:
+        buf = np.frombuffer(b"".join(texts), dtype=np.uint8).astype(np.uint64)
+        maxlen = int(lens.max())
+        # B^0..B^maxlen (np.cumprod wraps mod 2^64 — that IS the hash)
+        with np.errstate(over="ignore"):
+            pw = np.full(maxlen + 1, _FP_BASE, dtype=np.uint64)
+            pw[0] = np.uint64(1)
+            np.cumprod(pw, out=pw)
+            starts = np.concatenate(([0], np.cumsum(lens)[:-1]))
+            doc_of = np.repeat(np.arange(n), lens)
+            j = np.arange(total, dtype=np.int64) - starts[doc_of]
+            contrib = buf * pw[lens[doc_of] - 1 - j]
+            nz = lens > 0
+            sums = np.add.reduceat(contrib, starts[nz])
+            out[nz] = _FP_OFF * pw[lens[nz]] + sums
     return pa.table({id_col: batch[id_col],
                      "fingerprint": pa.array(out.astype(np.int64))})
 

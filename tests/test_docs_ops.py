@@ -126,3 +126,48 @@ def test_ivf_recalls_planted_neighbor(emb_ds):
     out = ivf_topk(assigned, cent, {3: rows[3]}, k=5, n_probe=2)
     got = out[out["query_id"] == 3]["vec_id"].tolist()
     assert got[0] == 3 and 7 in got[:2]
+
+
+def test_fingerprint_matches_naive_polynomial():
+    from sits_classification_ray.stages.textstats import (_FP_BASE, _FP_OFF,
+                                                          fingerprint_batch)
+
+    def naive(t: str) -> np.int64:
+        data = t.encode()
+        with np.errstate(over="ignore"):
+            h = _FP_OFF
+            for b in data:
+                h = h * _FP_BASE + np.uint64(b)
+            return np.int64(h.astype(np.int64))
+
+    texts = ["hello world", "", "a", "päällystö δοκιμή", "x" * 3000,
+             "hello worle"]
+    t = pa.table({"doc_id": pa.array(range(len(texts)), pa.int64()),
+                  "text": pa.array(texts, pa.string())})
+    got = fingerprint_batch(t)["fingerprint"].to_pylist()
+    assert got == [int(naive(x)) for x in texts]
+    assert len(set(got)) == len(got)          # all distinct here
+
+
+def test_verify_jaccard_distributed_join(docs_ds):
+    """The join-based verify must equal a local shingle-Jaccard."""
+    from sits_classification_ray.stages.dedup_docs import verify_jaccard
+
+    pairs = rd.from_arrow(pa.table({
+        "id_a": pa.array([0, 0, 3], pa.int64()),
+        "id_b": pa.array([1, 2, 4], pa.int64()),
+    }))
+    out = (verify_jaccard(pairs, docs_ds, shingle_k=5, threshold=0.0)
+           .to_pandas().sort_values(["id_a", "id_b"]).reset_index(drop=True))
+    texts = {r["doc_id"]: r["text"] for r in docs_ds.take_all()}
+
+    def jac(a, b):
+        sa = {texts[a][i:i + 5] for i in range(len(texts[a]) - 4)} or {texts[a]}
+        sb = {texts[b][i:i + 5] for i in range(len(texts[b]) - 4)} or {texts[b]}
+        return len(sa & sb) / max(1, len(sa | sb))
+
+    assert out["id_a"].tolist() == [0, 0, 3]
+    np.testing.assert_allclose(
+        out["jaccard"].to_numpy(),
+        [jac(0, 1), jac(0, 2), jac(3, 4)])
+    assert out["jaccard"].iloc[0] == 1.0

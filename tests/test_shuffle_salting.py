@@ -1,0 +1,140 @@
+"""Head-domain skew: salted partitioning must (a) keep every kernel's
+output identical to the pandas oracle and (b) bound partition payloads
+by hot_key_threshold instead of shipping one fat url_bucket block."""
+
+import numpy as np
+import pandas as pd
+import pytest
+import ray.data as rd
+
+from sits_classification_ray.config import EngineConfig
+from sits_classification_ray.oracle.reference import (
+    dedup_oracle,
+    gapfill_oracle,
+    rollup_oracle,
+)
+from sits_classification_ray.stages.gapfill import gapfill
+from sits_classification_ray.stages.rollup import finalize, rollup
+from sits_classification_ray.stages.series import assemble_series
+from sits_classification_ray.stages.shuffle import (
+    default_num_partitions,
+    partitioned_map,
+)
+
+HEAD_SNAPS = 20_000
+N_SMALL = 200
+
+
+@pytest.fixture(scope="module")
+def skewed_obs() -> pd.DataFrame:
+    """One head url with 20k snapshots + 200 urls with ~6 each."""
+    rng = np.random.default_rng(3)
+    base = np.datetime64("2024-01-01T00:00:00", "us")
+    parts = []
+    ts = base + (np.cumsum(rng.integers(60, 900, HEAD_SNAPS))
+                 * 1_000_000).astype("timedelta64[us]")
+    parts.append(pd.DataFrame({
+        "url": "https://head.example.com/",
+        "warc_ts": ts,
+        "lang": "en",
+        "text_len": rng.integers(100, 5000, HEAD_SNAPS),
+        "word_count": rng.integers(10, 900, HEAD_SNAPS),
+    }))
+    for i in range(N_SMALL):
+        n = int(rng.integers(2, 10))
+        ts = base + (np.cumsum(rng.integers(3600, 86400, n))
+                     * 1_000_000).astype("timedelta64[us]")
+        parts.append(pd.DataFrame({
+            "url": f"https://tail-{i}.example.com/",
+            "warc_ts": ts,
+            "lang": "en",
+            "text_len": rng.integers(100, 5000, n),
+            "word_count": rng.integers(10, 900, n),
+        }))
+    df = pd.concat(parts, ignore_index=True)
+    h = pd.util.hash_array(df["url"].to_numpy(dtype=object), categorize=True)
+    df["url_bucket"] = (h % np.uint64(64)).astype(np.uint32)
+    df["text_len"] = df["text_len"].astype(np.int64)
+    df["word_count"] = df["word_count"].astype(np.int64)
+    return df
+
+
+def _to_long(obs: pd.DataFrame) -> pd.DataFrame:
+    parts = [obs.assign(metric=m, value=obs[m].astype(np.float64))
+             [["url", "url_bucket", "warc_ts", "metric", "value"]]
+             for m in ("text_len", "word_count")]
+    return pd.concat(parts, ignore_index=True)
+
+
+def test_skewed_assemble_matches_oracle(skewed_obs):
+    cfg = EngineConfig(hot_key_threshold=5_000)
+    got = assemble_series(rd.from_pandas(skewed_obs), cfg,
+                          approx_rows=len(skewed_obs)).to_pandas()
+    want = dedup_oracle(skewed_obs)
+    key = ["url", "warc_ts"]
+    g = got.sort_values(key, kind="mergesort").reset_index(drop=True)
+    w = want.sort_values(key, kind="mergesort").reset_index(drop=True)
+    pd.testing.assert_frame_equal(
+        g[key + ["text_len", "word_count"]],
+        w[key + ["text_len", "word_count"]], check_dtype=False)
+
+
+def test_skewed_gapfill_and_rollup_match_oracle(skewed_obs):
+    cfg = EngineConfig(hot_key_threshold=5_000, grid_seconds=86400)
+    obs = dedup_oracle(skewed_obs)
+    long_pdf = _to_long(obs)
+    ds_long = rd.from_pandas(long_pdf)
+
+    got = gapfill(ds_long, cfg, approx_rows=len(long_pdf)).to_pandas()
+    want = gapfill_oracle(long_pdf, cfg.grid_seconds, "linear", "both")
+    key = ["url", "metric", "grid_ts"]
+    g = got.sort_values(key, kind="mergesort").reset_index(drop=True)
+    w = want.sort_values(key, kind="mergesort").reset_index(drop=True)
+    assert len(g) == len(w)
+    pd.testing.assert_frame_equal(g[key + ["value", "filled"]],
+                                  w[key + ["value", "filled"]],
+                                  check_dtype=False)
+
+    got_r = finalize(rollup(ds_long, 86400, cfg)).to_pandas()
+    want_r = rollup_oracle(long_pdf, 86400)
+    key = ["url", "metric", "bucket_ts"]
+    g = got_r.sort_values(key, kind="mergesort").reset_index(drop=True)
+    w = want_r.sort_values(key, kind="mergesort").reset_index(drop=True)
+    pd.testing.assert_frame_equal(
+        g[key + ["count", "sum", "min", "max", "mean", "last"]],
+        w[key + ["count", "sum", "min", "max", "mean", "last"]],
+        check_dtype=False)
+
+
+def test_salting_bounds_partition_payload(skewed_obs):
+    """With hot_key_threshold=1000, no partition block may carry more
+    than the head series itself plus a threshold's worth of tail rows —
+    the multi-GB single-bucket block of round 1 is impossible."""
+    threshold = 1_000
+    sizes = partitioned_map(
+        rd.from_pandas(skewed_obs),
+        lambda df: pd.DataFrame({"rows": [len(df)]}),
+        keys=["url"], approx_rows=len(skewed_obs),
+        hot_key_threshold=threshold).to_pandas()
+
+    P = default_num_partitions(len(skewed_obs), threshold)
+    assert P >= len(skewed_obs) // threshold
+    assert len(sizes) <= P
+    assert sizes["rows"].sum() == len(skewed_obs)
+    # every partition is either the head url's (irreducible series) or
+    # a small tail partition — never head + a fat share of the rest
+    assert int(sizes["rows"].max()) <= HEAD_SNAPS + 10 * threshold
+    assert int(sizes["rows"].sort_values().iloc[-2]) <= 10 * threshold
+
+
+def test_salting_deterministic_across_runs(skewed_obs):
+    out1 = partitioned_map(rd.from_pandas(skewed_obs),
+                           lambda df: df.head(1), keys=["url"],
+                           num_partitions=97).to_pandas()
+    out2 = partitioned_map(rd.from_pandas(skewed_obs),
+                           lambda df: df.head(1), keys=["url"],
+                           num_partitions=97).to_pandas()
+    k = ["url", "warc_ts"]
+    pd.testing.assert_frame_equal(
+        out1.sort_values(k).reset_index(drop=True),
+        out2.sort_values(k).reset_index(drop=True))
