@@ -245,6 +245,42 @@ def _gorilla_segments(sf_dir: str) -> rd.Dataset:
     return seg.map_batches(check, batch_format="pandas")
 
 
+def _gorilla_roundtrip(sf_dir: str) -> rd.Dataset:
+    """Driver-checkable codec proof: every (url, metric) stream is
+    Gorilla-encoded, decoded back, and summarized from the DECODED
+    arrays — the SQL oracle computes the same summaries from the raw
+    observations, so a hash match certifies bit-exact roundtrip."""
+    from sits_classification_ray.functions.gorilla import decode_series
+    from sits_classification_ray.pipelines.rollup_pipeline import segments_stage
+
+    seg = segments_stage(_obs_long(sf_dir))
+
+    def summarize(df: pd.DataFrame) -> pd.DataFrame:
+        n = len(df)
+        out = {
+            "url": df["url"].to_numpy(), "metric": df["metric"].to_numpy(),
+            "n": np.empty(n, np.int64),
+            "t_start": np.empty(n, "datetime64[us]"),
+            "t_end": np.empty(n, "datetime64[us]"),
+            "ts_sum_ms": np.empty(n, np.int64),
+            "val_sum": np.empty(n, np.float64),
+            "val_min": np.empty(n, np.float64),
+            "val_max": np.empty(n, np.float64),
+        }
+        for i, row in enumerate(df.itertuples(index=False)):
+            ts, vals = decode_series(row.ts_codes, row.val_codes, int(row.n))
+            out["n"][i] = len(ts)
+            out["t_start"][i] = ts[0]
+            out["t_end"][i] = ts[-1]
+            out["ts_sum_ms"][i] = (ts // 1000).sum()
+            out["val_sum"][i] = vals.sum()
+            out["val_min"][i] = vals.min()
+            out["val_max"][i] = vals.max()
+        return pd.DataFrame(out)
+
+    return seg.map_batches(summarize, batch_format="pandas")
+
+
 def _similarity_topk(sf_dir: str) -> pd.DataFrame:
     from sits_classification_ray.stages.similarity import brute_force_topk
 
@@ -525,14 +561,43 @@ def _regression_metrics_embeddings(sf_dir: str) -> pd.DataFrame:
                               "y", "pred")
 
 
+#: Stand-in classifier weights shared by the scored_* queries and
+#: their SQL oracles (the affine forms are spelled out in the SQL).
+_CLS_W = np.array([[0.01, -0.02, 0.0], [0.0, 0.05, -0.01]])
+_CLS_B = np.array([0.0, -1.0, 0.5])
+
+
 def _scored_crawl(sf_dir: str) -> rd.Dataset:
     from sits_classification_ray.stages.scoring import LinearModel, score
 
     obs = _obs(sf_dir)
-    model = LinearModel(weights=np.array([[0.01, -0.02, 0.0],
-                                          [0.0, 0.05, -0.01]]),
-                        bias=np.array([0.0, -1.0, 0.5]))
+    model = LinearModel(weights=_CLS_W, bias=_CLS_B)
     out = score(obs, model, ["text_len", "word_count"], mode="class")
+    return out.select_columns(["url", "warc_ts", "prediction"])
+
+
+def _scored_proba_crawl(sf_dir: str) -> rd.Dataset:
+    """Probability-mode output: the raw logit vector per row
+    (reference pytorch/predict.py:527-528)."""
+    from sits_classification_ray.stages.scoring import LinearModel, score
+
+    obs = _obs(sf_dir)
+    model = LinearModel(weights=_CLS_W, bias=_CLS_B)
+    out = score(obs, model, ["text_len", "word_count"], mode="proba")
+    return out.select_columns(["url", "warc_ts",
+                               "score_0", "score_1", "score_2"])
+
+
+def _scored_regression_crawl(sf_dir: str) -> rd.Dataset:
+    """Regression head + inverse response normalization
+    (reference pytorch/predict.py:521-525)."""
+    from sits_classification_ray.stages.scoring import LinearModel, score
+
+    obs = _obs(sf_dir)
+    model = LinearModel(weights=np.array([[0.001], [0.002]]),
+                        bias=np.array([0.1]))
+    out = score(obs, model, ["text_len", "word_count"], mode="regression",
+                inverse_norm=lambda p: p * 2.5 + 10.0)
     return out.select_columns(["url", "warc_ts", "prediction"])
 
 
@@ -591,6 +656,8 @@ def build_queries() -> dict[str, Callable[[str], Any]]:
         "text_stats_documents": _text_stats_documents,
         "similarity_topk": _similarity_topk,
         "embedding_near_dup": _embedding_near_dup,
+        # codec roundtrip, SQL-checked via decoded-side summaries
+        "gorilla_roundtrip": _gorilla_roundtrip,
         # non-SQL-expressible (driver records rows-only)
         "gorilla_segments": _gorilla_segments,
         "langid_documents": _langid_documents,
@@ -613,8 +680,10 @@ def build_queries() -> dict[str, Callable[[str], Any]]:
         "semi_join_documents": _semi_join_documents,
         "anti_join_documents": _anti_join_documents,
         "regression_metrics_embeddings": _regression_metrics_embeddings,
-        # scoring / augmentation (rows-only)
+        # scoring (SQL-checked: affine logits spelled out in the oracle)
         "scored_crawl": _scored_crawl,
+        "scored_proba_crawl": _scored_proba_crawl,
+        "scored_regression_crawl": _scored_regression_crawl,
         "augmented_rollup": _augmented_rollup,
         # extension surface / samplers / multimodal (rows-only)
         "harmonic_daily": _harmonic_daily,
@@ -626,8 +695,39 @@ def build_queries() -> dict[str, Callable[[str], Any]]:
     }.items()}
 
 
+def _golden_sql(name: str) -> str:
+    """Golden-file oracle: read the stored expected output (produced by
+    the INDEPENDENT pandas implementation in oracle/golden.py via
+    tools/make_golden.py), dispatching on the events row count, which
+    uniquely identifies the scale factor (1000/10000/100000)."""
+    from pathlib import Path
+
+    root = Path(__file__).resolve().parent.parent.parent / "golden"
+    parts = []
+    for n, tag in [(1000, "sf0001"), (10000, "sf001"), (100000, "sf01")]:
+        p = root / f"{name}_{tag}.parquet"
+        if p.exists():
+            parts.append(
+                f"SELECT g.* FROM read_parquet('{p}') g "
+                f"WHERE (SELECT count(*) FROM events) = {n}")
+    return "\nUNION ALL\n".join(parts)
+
+
+#: queries whose oracle is a golden parquet (deterministic / seeded
+#: operators that ANSI SQL cannot express).
+GOLDEN_QUERIES = [
+    "langid_documents", "langid_confusion", "simhash_documents",
+    "fingerprint_documents", "minhash_near_dup_documents", "ivf_topk",
+    "stratified_sample_documents", "train_test_split_sizes",
+    "harmonic_daily", "augmented_rollup", "html_byte_features",
+    "frame_samples",
+]
+
+
 def build_oracle_sql() -> dict[str, str]:
-    return {
+    golden = {name: _golden_sql(name) for name in GOLDEN_QUERIES}
+    golden = {k: v for k, v in golden.items() if v}
+    return {**golden,
         "crawl_extract": f"""{CRAWL_PREFIX}
 SELECT url, warc_ts, lang, text, text_len, word_count FROM scr""",
         "crawl_dedup": f"""{CRAWL_PREFIX}
@@ -693,6 +793,15 @@ SELECT a.vec_id AS id_a, b.vec_id AS id_b,
 FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
 WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
       CAST(b.embedding AS DOUBLE[])) >= 0.4""",
+        # summaries of the DECODED Gorilla streams must equal summaries
+        # of the raw observations — integer-valued metrics make the
+        # float sums order-free, ms timestamp sums stay inside int64
+        "gorilla_roundtrip": f"""{CRAWL_PREFIX}
+SELECT url, metric, count(*) AS n,
+       min(warc_ts) AS t_start, max(warc_ts) AS t_end,
+       CAST(sum(CAST(epoch_ms(warc_ts) AS BIGINT)) AS BIGINT) AS ts_sum_ms,
+       sum(value) AS val_sum, min(value) AS val_min, max(value) AS val_max
+FROM obs_long GROUP BY 1, 2""",
         "stm_per_series": f"""{CRAWL_PREFIX}
 SELECT url, metric, count(*) AS "count",
        round(sum(value) / count(*), 6) AS "mean",
@@ -755,6 +864,42 @@ SELECT doc_id, source FROM documents
 WHERE source IN ('src1', 'src3', 'src5')""",
         "anti_join_documents": """
 SELECT doc_id, lang FROM documents WHERE lang NOT IN ('en', 'de')""",
+        # scored_*: the linear model's affine logits spelled out with
+        # the same left-associated IEEE order the scorer accumulates in
+        # (b + x0*w0 + x1*w1); argmax is first-max-wins like np.argmax.
+        "scored_crawl": f"""{CRAWL_PREFIX},
+sc AS (
+  SELECT url, warc_ts,
+    (0.0 + CAST(text_len AS DOUBLE) * 0.01) + CAST(word_count AS DOUBLE) * 0.0 AS s0,
+    (-1.0 + CAST(text_len AS DOUBLE) * -0.02) + CAST(word_count AS DOUBLE) * 0.05 AS s1,
+    (0.5 + CAST(text_len AS DOUBLE) * 0.0) + CAST(word_count AS DOUBLE) * -0.01 AS s2,
+    (text_len = 0 AND word_count = 0) AS masked
+  FROM obs)
+SELECT url, warc_ts,
+  CASE WHEN masked THEN -9999.0
+       WHEN s0 >= s1 AND s0 >= s2 THEN 0.0
+       WHEN s1 >= s2 THEN 1.0 ELSE 2.0 END AS prediction
+FROM sc""",
+        "scored_proba_crawl": f"""{CRAWL_PREFIX},
+sc AS (
+  SELECT url, warc_ts,
+    (0.0 + CAST(text_len AS DOUBLE) * 0.01) + CAST(word_count AS DOUBLE) * 0.0 AS s0,
+    (-1.0 + CAST(text_len AS DOUBLE) * -0.02) + CAST(word_count AS DOUBLE) * 0.05 AS s1,
+    (0.5 + CAST(text_len AS DOUBLE) * 0.0) + CAST(word_count AS DOUBLE) * -0.01 AS s2,
+    (text_len = 0 AND word_count = 0) AS masked
+  FROM obs)
+SELECT url, warc_ts,
+  CASE WHEN masked THEN -9999.0 ELSE s0 END AS score_0,
+  CASE WHEN masked THEN -9999.0 ELSE s1 END AS score_1,
+  CASE WHEN masked THEN -9999.0 ELSE s2 END AS score_2
+FROM sc""",
+        "scored_regression_crawl": f"""{CRAWL_PREFIX}
+SELECT url, warc_ts,
+  CASE WHEN text_len = 0 AND word_count = 0 THEN -9999.0
+       ELSE ((0.1 + CAST(text_len AS DOUBLE) * 0.001)
+             + CAST(word_count AS DOUBLE) * 0.002) * 2.5 + 10.0
+  END AS prediction
+FROM obs""",
         "regression_metrics_embeddings": """
 WITH p AS (SELECT CAST(vec_id % 10 AS DOUBLE) AS pred,
                   CAST(label AS DOUBLE) AS y FROM embeddings),

@@ -54,14 +54,23 @@ def get_model(name: str, **kwargs):
 
 @register_model("linear")
 class LinearModel:
-    """Deterministic stand-in model: logits = X @ W + b."""
+    """Deterministic stand-in model: logits = b + Σᵢ xᵢ·wᵢ.
+
+    Accumulated feature-by-feature in a FIXED order (not BLAS matmul,
+    whose blocking/FMA may reorder the IEEE sequence) so the logits are
+    bit-identical to the left-associated SQL expression
+    ``b + x0*w0 + x1*w1`` — the float-parity rule the oracle compare
+    depends on."""
 
     def __init__(self, weights: np.ndarray, bias: np.ndarray):
         self.weights = np.asarray(weights, dtype=np.float64)
         self.bias = np.asarray(bias, dtype=np.float64)
 
     def __call__(self, x: np.ndarray) -> np.ndarray:
-        return x @ self.weights + self.bias
+        out = np.broadcast_to(self.bias, (len(x), len(self.bias))).copy()
+        for i in range(self.weights.shape[0]):
+            out += x[:, i:i + 1] * self.weights[i]
+        return out
 
 
 def make_scorer(model_ref, feature_cols: list[str], mode: str = "class",
@@ -76,6 +85,21 @@ def make_scorer(model_ref, feature_cols: list[str], mode: str = "class",
         def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
             x = df[self.feature_cols].to_numpy(np.float64)
             live = ~(x == 0).all(axis=1)          # zero-mask skip (M12)
+            df = df.copy()
+            if mode == "proba":
+                # probability mode keeps the raw logit vector, one
+                # column per class (reference pytorch/predict.py:527-528
+                # stores the un-argmaxed vector); masked rows carry the
+                # sentinel in every class column
+                logits = self.model(x[live]) if live.any() else None
+                k = logits.shape[1] if logits is not None else \
+                    len(self.model.bias)
+                for c in range(k):
+                    col = np.full(len(df), SENTINEL, dtype=np.float64)
+                    if logits is not None:
+                        col[live] = logits[:, c]
+                    df[f"score_{c}"] = col
+                return df
             out = np.full(len(df), SENTINEL, dtype=np.float64)
             if live.any():
                 logits = self.model(x[live])
@@ -86,7 +110,6 @@ def make_scorer(model_ref, feature_cols: list[str], mode: str = "class",
                     if inverse_norm is not None:
                         pred = inverse_norm(pred)
                 out[live] = pred                  # scatter back (M12)
-            df = df.copy()
             df["prediction"] = out
             return df
 

@@ -1,0 +1,81 @@
+"""Generate golden-file oracles for the non-SQL-expressible queries.
+
+Runs the INDEPENDENT pandas/numpy implementations in
+``sits_classification_ray/oracle/golden.py`` over each testdata scale
+factor and stores the expected outputs as parquet under
+``/root/repo/golden/``. The oracle SQL for these queries reads the
+stored parquet and dispatches on ``count(*) FROM events`` (unique per
+sf: 1000 / 10000 / 100000).
+
+Usage: python tools/make_golden.py [sf_dir ...]
+"""
+
+from __future__ import annotations
+
+import sys
+import time
+from pathlib import Path
+
+import duckdb
+import pandas as pd
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+from sits_classification_ray.oracle import golden  # noqa: E402
+from sits_classification_ray.pipelines.queries import CRAWL_PREFIX  # noqa: E402
+
+GOLDEN_DIR = Path(__file__).resolve().parent.parent / "golden"
+
+#: events-count → file tag (how the oracle SQL dispatches)
+TAGS = {1000: "sf0001", 10000: "sf001", 100000: "sf01"}
+
+
+def make_for(sf_dir: str) -> None:
+    con = duckdb.connect()
+    for t in ["events", "documents", "embeddings"]:
+        con.sql(f"CREATE OR REPLACE VIEW {t} AS "
+                f"SELECT * FROM '{sf_dir}/{t}.parquet'")
+    n_events = con.sql("SELECT count(*) FROM events").fetchone()[0]
+    tag = TAGS[n_events]
+    GOLDEN_DIR.mkdir(exist_ok=True)
+
+    docs = pd.read_parquet(f"{sf_dir}/documents.parquet")
+    emb = pd.read_parquet(f"{sf_dir}/embeddings.parquet")
+    obs_long = con.sql(
+        f"{CRAWL_PREFIX} SELECT url, warc_ts, metric, value "
+        "FROM obs_long").df()
+    from sits_classification_ray.sources.synth import CRAWL_CTE
+    crawl = con.sql(f"WITH {CRAWL_CTE} "
+                    "SELECT url, warc_ts, html FROM crawl").df()
+
+    jobs = {
+        "langid_documents": lambda: golden.langid_documents(docs),
+        "langid_confusion": lambda: golden.langid_confusion(docs),
+        "simhash_documents": lambda: golden.simhash_documents(docs),
+        "fingerprint_documents": lambda: golden.fingerprint_documents(docs),
+        "minhash_near_dup_documents":
+            lambda: golden.minhash_near_dup_documents(docs),
+        "ivf_topk": lambda: golden.ivf_topk(emb),
+        "stratified_sample_documents":
+            lambda: golden.stratified_sample_documents(docs),
+        "train_test_split_sizes":
+            lambda: golden.train_test_split_sizes(len(docs)),
+        "harmonic_daily": lambda: golden.harmonic_daily(obs_long),
+        "augmented_rollup": lambda: golden.augmented_rollup(obs_long),
+        "html_byte_features": lambda: golden.html_byte_features(crawl),
+        "frame_samples": lambda: golden.frame_samples(crawl),
+    }
+    for name, fn in jobs.items():
+        t0 = time.perf_counter()
+        out = fn()
+        path = GOLDEN_DIR / f"{name}_{tag}.parquet"
+        out.to_parquet(path, index=False)
+        print(f"{path.name}: {len(out)} rows "
+              f"({time.perf_counter() - t0:.1f}s)")
+
+
+if __name__ == "__main__":
+    dirs = sys.argv[1:] or ["/root/testdata/sf0.001", "/root/testdata/sf0.01"]
+    for d in dirs:
+        print(f"== {d}")
+        make_for(d)
