@@ -387,15 +387,39 @@ def init_managed(input_path: str, out_dir: str,
                         lineage=lineage)
 
 
+def _file_has_expired_rows(path: str, col: str, cutoff) -> bool:
+    """Footer-metadata check: does any row group's min timestamp fall
+    before the cutoff? Never reads data pages — the skip that lets a
+    retention sweep over 10^6 files touch only the aged tail."""
+    import pyarrow.parquet as pq
+
+    md = pq.read_metadata(path)
+    names = [md.schema.column(i).name for i in range(md.num_columns)]
+    try:
+        idx = names.index(col)
+    except ValueError:
+        return True                      # unexpected layout: be safe
+    for rg in range(md.num_row_groups):
+        st = md.row_group(rg).column(idx).statistics
+        if st is None or not st.has_min_max:
+            return True                  # no stats: must inspect data
+        if pd.Timestamp(st.min) < cutoff:
+            return True
+    return False
+
+
 def apply_retention(out_dir: str, cfg: EngineConfig,
                     now: "pd.Timestamp | str") -> dict:
     """Expire rows past each table's retention window (downsample
     ladder: raw/grid expire first, coarse tiers persist).
 
-    Rewrites only partitions containing expired rows (idempotent);
-    returns rows dropped per table."""
-    import pyarrow.compute as pc
-    import pyarrow.parquet as pq
+    Distributed (VERDICT r1 #7): the driver only scans parquet FOOTERS
+    and skips every file whose row-group min timestamps show nothing
+    expired; files with aged rows are filtered-and-rewritten in
+    parallel Ray tasks (one per file — the natural unit, since outputs
+    are partitioned into many files). Idempotent: reapplying with the
+    same cutoff rewrites nothing."""
+    import ray
 
     now_ts = pd.Timestamp(now)
     dropped: dict[str, int] = {}
@@ -403,6 +427,24 @@ def apply_retention(out_dir: str, cfg: EngineConfig,
     ts_col = {"obs": "warc_ts", "grid": "grid_ts", "segments": "t_end",
               "hourly": "bucket_ts", "daily": "bucket_ts",
               "weekly": "bucket_ts"}
+
+    @ray.remote(num_cpus=1)
+    def rewrite(path: str, col: str, cutoff_np, compression: str) -> int:
+        import pyarrow as pa
+        import pyarrow.compute as pc
+        import pyarrow.parquet as pq
+
+        t = pq.read_table(path)
+        kept = t.filter(pc.greater_equal(t[col], pa.scalar(cutoff_np)))
+        n_drop = len(t) - len(kept)
+        if n_drop:
+            tmp = Path(path).with_suffix(".tmp")
+            pq.write_table(kept, str(tmp), compression=compression)
+            tmp.rename(path)             # atomic replace
+        return n_drop
+
+    refs: dict[str, list] = {}
+    skipped: dict[str, int] = {}
     for table, max_age in policy.items():
         if max_age is None:
             continue
@@ -410,23 +452,22 @@ def apply_retention(out_dir: str, cfg: EngineConfig,
         root = Path(out_dir) / table
         if not root.exists():
             continue
-        n_dropped = 0
-        for part in sorted(root.glob("url_bucket=*")):
-            for f in sorted(part.rglob("*.parquet")):
-                t = pq.read_table(str(f))
-                col = ts_col[table]
-                mask = pc.greater_equal(
-                    t[col], pa.scalar(cutoff.to_datetime64()))
-                kept = t.filter(mask)
-                if len(kept) < len(t):
-                    n_dropped += len(t) - len(kept)
-                    tmp = f.with_suffix(".tmp")
-                    pq.write_table(kept, str(tmp),
-                                   compression=cfg.parquet_compression)
-                    tmp.rename(f)
-        dropped[table] = n_dropped
+        refs[table] = []
+        skipped[table] = 0
+        col = ts_col[table]
+        for f in sorted(root.glob("url_bucket=*/**/*.parquet")):
+            if _file_has_expired_rows(str(f), col, cutoff):
+                refs[table].append(rewrite.remote(
+                    str(f), col, cutoff.to_datetime64(),
+                    cfg.parquet_compression))
+            else:
+                skipped[table] += 1
+    for table, rs in refs.items():
+        dropped[table] = int(sum(ray.get(rs)))
     (Path(out_dir) / "retention_log.json").write_text(json.dumps({
-        "applied_at": str(now_ts), "dropped": dropped}))
+        "applied_at": str(now_ts), "dropped": dropped,
+        "files_rewritten": {t: len(r) for t, r in refs.items()},
+        "files_skipped_by_metadata": skipped}))
     return dropped
 
 

@@ -104,3 +104,25 @@ def test_retention_expires_old_rows(managed_env):
     assert (Path(out) / "retention_log.json").exists()
     log = json.loads((Path(out) / "retention_log.json").read_text())
     assert log["dropped"]["obs"] == dropped["obs"]
+
+def test_retention_metadata_skip(managed_env):
+    """A second pass with the same cutoff must rewrite nothing: every
+    file's footer min-timestamp now clears the cutoff, so the sweep is
+    metadata-only (mtimes untouched)."""
+    root, out, _ = managed_env[0], managed_env[1], managed_env[2]
+    cfg = EngineConfig(n_buckets=8,
+                       retention_seconds={"obs": 15 * 86400})
+    obs = pads.dataset(str(out / "obs"),
+                       partitioning="hive").to_table().to_pandas()
+    now = obs["warc_ts"].max() + pd.Timedelta(days=1)
+    apply_retention(str(out), cfg, now)
+    mtimes = {f: f.stat().st_mtime_ns
+              for f in (Path(out) / "obs").rglob("*.parquet")}
+    dropped2 = apply_retention(str(out), cfg, now)
+    assert dropped2["obs"] == 0
+    log = json.loads((Path(out) / "retention_log.json").read_text())
+    assert log["files_rewritten"]["obs"] == 0
+    assert log["files_skipped_by_metadata"]["obs"] == len(mtimes)
+    after = {f: f.stat().st_mtime_ns
+             for f in (Path(out) / "obs").rglob("*.parquet")}
+    assert after == mtimes
