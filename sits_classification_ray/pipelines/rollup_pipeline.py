@@ -136,6 +136,7 @@ def run_pipeline(input_path: str | list, out_dir: str,
                  stages: tuple[str, ...] = ("obs", "grid", "segments",
                                             "hourly", "daily", "weekly"),
                  lineage: str | None = None,
+                 telemetry: bool = True,
                  ) -> dict:
     """Run (or resume) the full pipeline; returns run metrics.
 
@@ -165,6 +166,11 @@ def run_pipeline(input_path: str | list, out_dir: str,
                                json.dumps(asdict(cfg), default=list))
     all_buckets = list(range(cfg.n_buckets))
     metrics: dict = {"stages": {}, "lineage": lineage}
+    sampler = None
+    if telemetry:
+        from sits_classification_ray.state.telemetry import HWSampler
+
+        sampler = HWSampler(out / "hw_telemetry.csv").start()
     t_run = time.perf_counter()
 
     def stage_buckets(stage: str) -> list[int]:
@@ -288,6 +294,9 @@ def run_pipeline(input_path: str | list, out_dir: str,
     if metrics.get("input_docs"):
         metrics["docs_per_sec"] = round(
             metrics["input_docs"] / metrics["total_seconds"], 1)
+    if sampler is not None:
+        sampler.stop()                  # flushes the 1 Hz CSV
+        metrics["hw_telemetry"] = sampler.summary()
     (out / "run_metrics.json").write_text(json.dumps(metrics, indent=2))
     return metrics
 
