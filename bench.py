@@ -27,11 +27,19 @@ NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
 #: default ×80 ≈ 8M docs at sf0.1 — small enough to generate in ~1 min,
 #: large enough that per-stage scheduling latency stops dominating.
 DOCS_MULT = int(os.environ.get("GRAFT_BENCH_MULT", "80"))
+#: GRAFT_BENCH_TMPFS=1 puts input + output on /dev/shm — removes the
+#: single VM disk from the measurement so --scaling exercises the
+#: CPU-bound regime (the N-vs-4N *node* cluster analog, where each
+#: node brings its own disk bandwidth).
+TMPFS = os.environ.get("GRAFT_BENCH_TMPFS", "0") == "1"
+_BASE = Path("/dev/shm" if TMPFS else "/tmp")
+_CACHE = _BASE / "sits_bench_cache"
+#: --skew plants a head url with this many snapshots (~12% of all
+#: docs at the default input size) to prove salting absorbs it.
+HEAD_SNAPS = int(os.environ.get("GRAFT_BENCH_HEAD", "1000000"))
 
-_CACHE = Path("/tmp/sits_bench_cache")
 
-
-def bench_input(sf_dir: str) -> str:
+def bench_input(sf_dir: str, head_snaps: int | None = None) -> str:
     """Deterministic crawl parquet sized from the sf dir's events table
     (rows ≈ DOCS_MULT × |events|). Cached across runs so --scaling's
     two sessions read the identical file."""
@@ -39,6 +47,8 @@ def bench_input(sf_dir: str) -> str:
 
     n_events = pq.read_metadata(f"{sf_dir}/events.parquet").num_rows
     tag = f"{Path(sf_dir).name}_x{DOCS_MULT}"
+    if head_snaps:
+        tag += f"_head{head_snaps}"
     path = _CACHE / f"crawl_{tag}"
     if path.exists():
         return str(path)
@@ -50,12 +60,12 @@ def bench_input(sf_dir: str) -> str:
     generate_crawl_parquet(str(tmp), n_urls=max(100, target_rows // 50),
                            mean_snaps=40, seed=42, span_days=60,
                            row_group_size=200_000, target_rows=target_rows,
-                           num_files=32)
+                           num_files=32, head_snaps=head_snaps)
     tmp.rename(path)
     return str(path)
 
 
-def run_bench() -> dict:
+def run_bench(skew: bool = False) -> dict:
     import ray
     import ray.data as rd
 
@@ -63,7 +73,7 @@ def run_bench() -> dict:
     from sits_classification_ray import EngineConfig
     from sits_classification_ray.pipelines.rollup_pipeline import run_pipeline
 
-    crawl = bench_input(SF_DIR)
+    crawl = bench_input(SF_DIR, head_snaps=HEAD_SNAPS if skew else None)
 
     ray.init(address="local", num_cpus=NUM_CPUS, include_dashboard=False,
              ignore_reinit_error=True, logging_level="ERROR")
@@ -74,7 +84,7 @@ def run_bench() -> dict:
     # warm OS page cache (untimed) so both scaling runs measure compute
     rd.read_parquet(crawl).count()
 
-    out = Path("/tmp/sits_bench_out")
+    out = _BASE / "sits_bench_out"
     shutil.rmtree(out, ignore_errors=True)
     # flush pending writeback (input generation / previous outputs) so
     # the timed section isn't competing with stale dirty pages
@@ -103,7 +113,8 @@ def run_bench() -> dict:
     queries["gorilla_segments"] = round(time.perf_counter() - t2, 3)
 
     result = {
-        "metric": "e2e_rollup_tiers_seconds",
+        "metric": ("skewed_rollup_tiers_seconds" if skew
+                   else "e2e_rollup_tiers_seconds"),
         "value": round(elapsed, 3),
         "unit": "sec",
         "queries": queries,
@@ -111,6 +122,8 @@ def run_bench() -> dict:
         "num_cpus": NUM_CPUS,
         "input_docs": metrics.get("input_docs"),
         "docs_per_sec": round(metrics.get("input_docs", 0) / elapsed, 1),
+        "tmpfs": TMPFS,
+        **({"head_snaps": HEAD_SNAPS} if skew else {}),
     }
     ray.shutdown()
     return result
@@ -157,5 +170,7 @@ def run_scaling() -> dict:
 if __name__ == "__main__":
     if "--scaling" in sys.argv:
         print(json.dumps(run_scaling()))
+    elif "--skew" in sys.argv:
+        print(json.dumps(run_bench(skew=True)))
     else:
         print(json.dumps(run_bench()))

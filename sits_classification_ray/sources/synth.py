@@ -155,6 +155,7 @@ def synth_crawl_arrays(
     span_days: int = 60,
     zipf_a: float = 1.4,
     target_rows: int | None = None,
+    head_snaps: int | None = None,
 ) -> pa.Table:
     """Build a crawl table in memory (deterministic, seeded).
 
@@ -175,7 +176,9 @@ def synth_crawl_arrays(
         (rng.zipf(zipf_a, size=n_urls) * mean_snaps / 3).astype(np.int64),
         2, mean_snaps * 50,
     )
-    counts[0] = int(mean_snaps * 30)       # head domain
+    # head domain; ``head_snaps`` lets the skew benchmark plant a
+    # 10^6-snapshot head url (the straggler case salting must absorb)
+    counts[0] = int(head_snaps) if head_snaps else int(mean_snaps * 30)
     counts[1] = 1                          # singleton series
     if target_rows is not None:
         keep = int(np.searchsorted(np.cumsum(counts), target_rows)) + 1
@@ -242,6 +245,7 @@ def generate_crawl_parquet(
     row_group_size: int = 200_000,
     target_rows: int | None = None,
     num_files: int = 1,
+    head_snaps: int | None = None,
 ) -> str:
     """Write the synthetic crawl table to Parquet; returns path.
 
@@ -250,7 +254,8 @@ def generate_crawl_parquet(
     it with the cluster.
     """
     table = synth_crawl_arrays(n_urls, mean_snaps, seed, span_days,
-                               target_rows=target_rows)
+                               target_rows=target_rows,
+                               head_snaps=head_snaps)
     if num_files <= 1:
         pq.write_table(table, out_path, row_group_size=row_group_size)
         return out_path

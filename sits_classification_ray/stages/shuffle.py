@@ -62,6 +62,27 @@ def salted_part(df: pd.DataFrame, keys: list[str], num_partitions: int
     return (h % np.uint64(num_partitions)).astype(np.int64)
 
 
+def _salted_part_arrow(batch, keys: list[str], num_partitions: int):
+    """Arrow-native variant: hash only the key column(s), append
+    ``_part`` without converting the payload columns to pandas."""
+    import pyarrow as pa
+
+    if len(keys) == 1:
+        col = batch[keys[0]]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        np_col = col.to_numpy(zero_copy_only=False)
+        if np_col.dtype.kind in ("O", "U", "S"):
+            np_col = np.asarray(np_col, dtype=object)
+        h = pd.util.hash_array(np_col, categorize=True)
+    else:
+        h = pd.util.hash_pandas_object(
+            batch.select(keys).to_pandas(), index=False,
+            categorize=True).to_numpy()
+    part = (h % np.uint64(num_partitions)).astype(np.int64)
+    return batch.append_column("_part", pa.array(part))
+
+
 def partitioned_map(
     ds: rd.Dataset,
     fn: Callable[[pd.DataFrame], pd.DataFrame],
@@ -81,12 +102,13 @@ def partitioned_map(
     P = num_partitions or default_num_partitions(approx_rows,
                                                  hot_key_threshold)
 
-    def add_part(df: pd.DataFrame) -> pd.DataFrame:
-        df = df.copy(deep=False)
-        df["_part"] = salted_part(df, keys, P)
-        return df
+    def add_part(batch) -> "pa.Table":
+        return _salted_part_arrow(batch, keys, P)
 
-    salted = ds.map_batches(add_part, batch_format="pandas")
+    # Arrow in/out: only the key columns are hashed; the payload stays
+    # zero-copy through this stage (the groupby sort converts once)
+    salted = ds.map_batches(add_part, batch_format="pyarrow",
+                            zero_copy_batch=True)
 
     def kernel(df: pd.DataFrame) -> pd.DataFrame:
         return fn(df.drop(columns=["_part"]))
