@@ -126,7 +126,8 @@ def segments_stage(ds_long: rd.Dataset, cfg: EngineConfig | None = None,
     from sits_classification_ray.stages.shuffle import partitioned_map
 
     cfg = cfg or EngineConfig()
-    return partitioned_map(ds_long, kernel, keys=["url", "metric"],
+    return partitioned_map(ds_long, kernel, url_col="url",
+                           n_buckets=cfg.n_buckets,
                            approx_rows=approx_rows,
                            hot_key_threshold=cfg.hot_key_threshold)
 

@@ -63,7 +63,7 @@ def _per_series(ds_long: rd.Dataset, fn, seed: int) -> rd.Dataset:
             "value": np.concatenate(o_vals),
         })
 
-    return partitioned_map(ds_long, kernel)
+    return partitioned_map(ds_long, kernel, url_col="url")
 
 
 def time_shift(ds_long: rd.Dataset, max_shift_seconds: int = 16 * 86400,

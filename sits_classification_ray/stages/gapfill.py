@@ -160,6 +160,7 @@ def gapfill(ds_long: rd.Dataset, cfg: EngineConfig | None = None,
     def kernel(df: pd.DataFrame) -> pd.DataFrame:
         return gapfill_bucket(df, step, method, edges)
 
-    return partitioned_map(ds_long, kernel, keys=["url", "metric"],
+    return partitioned_map(ds_long, kernel, url_col="url",
+                           n_buckets=cfg.n_buckets,
                            approx_rows=approx_rows,
                            hot_key_threshold=cfg.hot_key_threshold)

@@ -154,15 +154,16 @@ def merge_partials_pdf(df: pd.DataFrame) -> pd.DataFrame:
 
 
 def merge_partials(ds_partials: rd.Dataset) -> rd.Dataset:
-    """Shuffle partials by the salted (url, metric, bucket_ts) key and
-    merge each partition vectorized. The finest key is legal here
-    because partials re-aggregate (``last`` merges by ``last_src_ts``)
-    — a head url's partials spread across time buckets, so no single
-    partition ever concentrates a hot domain."""
+    """Shuffle partials by the bucket-major salted url key and merge
+    each partition vectorized. Skew is bounded twice over: upstream
+    partial aggregation collapses a head url to one row per distinct
+    (metric, bucket_ts) per batch, and the salted partitioning spreads
+    buckets into sub-partitions when row counts demand it (the merge is
+    re-aggregable — ``last`` merges by ``last_src_ts`` — so any
+    partitioning is legal)."""
     from sits_classification_ray.stages.shuffle import partitioned_map
 
-    return partitioned_map(ds_partials, merge_partials_pdf,
-                           keys=["url", "metric", "bucket_ts"])
+    return partitioned_map(ds_partials, merge_partials_pdf, url_col="url")
 
 
 def finalize(ds_partials: rd.Dataset) -> rd.Dataset:

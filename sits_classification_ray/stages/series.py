@@ -67,7 +67,8 @@ def assemble_series(ds: rd.Dataset, cfg: EngineConfig | None = None,
     def kernel(df: pd.DataFrame) -> pd.DataFrame:
         return dedup_bucket(df, cfg.min_series_len)
 
-    return partitioned_map(ds, kernel, keys=["url"],
+    return partitioned_map(ds, kernel, url_col="url",
+                           n_buckets=cfg.n_buckets,
                            num_partitions=num_partitions,
                            approx_rows=approx_rows,
                            hot_key_threshold=cfg.hot_key_threshold)

@@ -83,6 +83,41 @@ def _salted_part_arrow(batch, keys: list[str], num_partitions: int):
     return batch.append_column("_part", pa.array(part))
 
 
+def salt_factor(approx_rows: int | None, hot_key_threshold: int | None,
+                n_buckets: int) -> int:
+    """Sub-buckets per url_bucket so the expected partition payload is
+    ≤ hot_key_threshold rows: S = ⌈rows / (threshold · buckets)⌉."""
+    if approx_rows and hot_key_threshold:
+        return min(1024, max(1, -(-int(approx_rows)
+                                  // (int(hot_key_threshold) * n_buckets))))
+    return 1
+
+
+def _bucket_major_part(batch, url_col: str, n_buckets: int, salts: int):
+    """``_part = url_bucket·S + (independent bits of the same hash) % S``.
+
+    Bucket-major layout: every partition block holds urls of exactly ONE
+    url_bucket, so a partitioned parquet write emits S files per bucket
+    directory instead of scattering every block across all directories
+    (an S× file-count bound — the Ray-side analog of FORCE's fixed tile
+    grid). The low bits reproduce ``extract.url_bucket_of`` exactly
+    (same pandas SipHash), which is what keeps blocks and the hive
+    layout aligned."""
+    import pyarrow as pa
+
+    col = batch[url_col]
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    np_col = col.to_numpy(zero_copy_only=False)
+    if np_col.dtype.kind in ("O", "U", "S"):
+        np_col = np.asarray(np_col, dtype=object)
+    h = pd.util.hash_array(np_col, categorize=True)
+    part = (h % np.uint64(n_buckets)) * np.uint64(salts)
+    if salts > 1:
+        part = part + (h // np.uint64(n_buckets)) % np.uint64(salts)
+    return batch.append_column("_part", pa.array(part.astype(np.int64)))
+
+
 def partitioned_map(
     ds: rd.Dataset,
     fn: Callable[[pd.DataFrame], pd.DataFrame],
@@ -90,20 +125,34 @@ def partitioned_map(
     num_partitions: int | None = None,
     approx_rows: int | None = None,
     hot_key_threshold: int | None = None,
+    url_col: str | None = None,
+    n_buckets: int = 64,
 ) -> rd.Dataset:
-    """Co-locate complete ``keys`` groups into salted partitions and map
+    """Co-locate complete key groups into salted partitions and map
     ``fn`` over each whole partition block (pandas in/out).
 
-    ``keys`` is the FINEST key whose groups the kernel needs complete
-    (e.g. ``["url", "metric"]`` for per-series kernels) — passing a
-    coarser key reintroduces skew, never correctness differences.
-    """
-    keys = keys or ["url"]
-    P = num_partitions or default_num_partitions(approx_rows,
-                                                 hot_key_threshold)
+    Two partitioning modes:
 
-    def add_part(batch) -> "pa.Table":
-        return _salted_part_arrow(batch, keys, P)
+    - ``url_col`` (the engine's series stages): bucket-major salted
+      partitions — complete urls per partition, partition blocks
+      aligned with the ``url_bucket`` hive layout, S sub-buckets per
+      bucket scaled by ``hot_key_threshold``.
+    - ``keys`` (generic): flat hash of the FINEST key whose groups the
+      kernel needs complete (e.g. ``["id_a", "id_b"]`` for pair
+      dedup). Partition count scaled by ``hot_key_threshold``.
+    """
+    if url_col is not None:
+        S = salt_factor(approx_rows, hot_key_threshold, n_buckets)
+
+        def add_part(batch) -> "pa.Table":
+            return _bucket_major_part(batch, url_col, n_buckets, S)
+    else:
+        keys = keys or ["url"]
+        P = num_partitions or default_num_partitions(approx_rows,
+                                                     hot_key_threshold)
+
+        def add_part(batch) -> "pa.Table":
+            return _salted_part_arrow(batch, keys, P)
 
     # Arrow in/out: only the key columns are hashed; the payload stays
     # zero-copy through this stage (the groupby sort converts once)
@@ -116,9 +165,14 @@ def partitioned_map(
     ctx = rd.DataContext.get_current()
     if ctx.shuffle_strategy == rd.context.ShuffleStrategy.HASH_SHUFFLE:
         # fast path: direct hash exchange, kernel per whole partition
-        salted = salted.repartition(num_blocks=P, keys=["_part"])
+        nblocks = (n_buckets * salt_factor(approx_rows, hot_key_threshold,
+                                           n_buckets)
+                   if url_col is not None else
+                   num_partitions or default_num_partitions(
+                       approx_rows, hot_key_threshold))
+        salted = salted.repartition(num_blocks=nblocks, keys=["_part"])
         return salted.map_batches(kernel, batch_size=None,
                                   batch_format="pandas")
-    # default path: sort-based groupby on the int64 partition id — P
-    # group calls, each one vectorized kernel over a whole partition
+    # default path: sort-based groupby on the int64 partition id — one
+    # group call per partition, each a vectorized kernel over the block
     return salted.groupby("_part").map_groups(kernel, batch_format="pandas")

@@ -96,7 +96,7 @@ def apply_series_udf(ds_long: rd.Dataset, udf: SeriesUDF,
             "value": np.concatenate(out_vals),
         })
 
-    return partitioned_map(ds_long, kernel)
+    return partitioned_map(ds_long, kernel, url_col="url")
 
 
 def temporal_metrics(ds_long: rd.Dataset, round_to: int | None = 6,
@@ -139,7 +139,7 @@ def temporal_metrics(ds_long: rd.Dataset, round_to: int | None = 6,
                 res[c] = res[c].round(round_to)
         return res
 
-    return partitioned_map(ds_long, kernel)
+    return partitioned_map(ds_long, kernel, url_col="url")
 
 
 class HarmonicFit:

@@ -29,7 +29,7 @@ import ray.data as rd
 def _bucketed(ds_long: rd.Dataset, kernel) -> rd.Dataset:
     from sits_classification_ray.stages.shuffle import partitioned_map
 
-    return partitioned_map(ds_long, kernel, keys=["url", "metric"])
+    return partitioned_map(ds_long, kernel, url_col="url")
 
 
 def running_sum(ds_long: rd.Dataset, out_col: str = "running_sum"
@@ -88,4 +88,4 @@ def sessionize(ds: rd.Dataset, gap_seconds: int = 86400,
 
     from sits_classification_ray.stages.shuffle import partitioned_map
 
-    return partitioned_map(ds, kernel, keys=[key_col])
+    return partitioned_map(ds, kernel, url_col=key_col)

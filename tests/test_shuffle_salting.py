@@ -107,8 +107,8 @@ def test_skewed_gapfill_and_rollup_match_oracle(skewed_obs):
 
 
 def test_salting_bounds_partition_payload(skewed_obs):
-    """With hot_key_threshold=1000, no partition block may carry more
-    than the head series itself plus a threshold's worth of tail rows —
+    """With a low hot_key_threshold, no partition block may carry more
+    than the head series itself plus a few thresholds of tail rows —
     the multi-GB single-bucket block of round 1 is impossible."""
     threshold = 1_000
     sizes = partitioned_map(
@@ -125,6 +125,36 @@ def test_salting_bounds_partition_payload(skewed_obs):
     # a small tail partition — never head + a fat share of the rest
     assert int(sizes["rows"].max()) <= HEAD_SNAPS + 10 * threshold
     assert int(sizes["rows"].sort_values().iloc[-2]) <= 10 * threshold
+
+
+def test_bucket_major_salting_aligns_and_bounds(skewed_obs):
+    """url_col mode: every partition holds exactly one url_bucket (so
+    partitioned parquet writes stay one-directory-per-block) while the
+    salt splits fat buckets into sub-partitions."""
+    from sits_classification_ray.stages.shuffle import salt_factor
+
+    threshold, n_buckets = 200, 8
+    S = salt_factor(len(skewed_obs), threshold, n_buckets)
+    assert S > 1                       # the skew case really salts
+
+    def probe(df: pd.DataFrame) -> pd.DataFrame:
+        # re-derive the bucket the hive layout would use
+        h = pd.util.hash_array(df["url"].to_numpy(dtype=object),
+                               categorize=True)
+        return pd.DataFrame({"rows": [len(df)],
+                             "n_buckets_seen":
+                                 [int(pd.unique(h % np.uint64(n_buckets))
+                                      .size)]})
+
+    out = partitioned_map(rd.from_pandas(skewed_obs), probe,
+                          url_col="url", n_buckets=n_buckets,
+                          approx_rows=len(skewed_obs),
+                          hot_key_threshold=threshold).to_pandas()
+    assert (out["n_buckets_seen"] <= 1).all()      # bucket-aligned
+    assert len(out) <= n_buckets * S
+    assert out["rows"].sum() == len(skewed_obs)
+    # the head url's partition is irreducible; all others stay small
+    assert int(out["rows"].sort_values().iloc[-2]) <= HEAD_SNAPS // 2
 
 
 def test_salting_deterministic_across_runs(skewed_obs):
