@@ -52,8 +52,10 @@ class EngineConfig:
 
     # --- partitioning --------------------------------------------------
     n_buckets: int = 64               # url hash buckets (analog of FORCE tiles)
-    # Urls whose per-bucket observation count exceeds this are salted
-    # into sub-buckets during wide aggregations (head-domain skew).
+    # Head-domain skew control (stages/shuffle.py): each url_bucket is
+    # salted into S = ceil(rows / (n_buckets * hot_key_threshold))
+    # sub-partitions during wide aggregations, so the expected shuffle
+    # partition payload never exceeds this row count at any scale.
     hot_key_threshold: int = 1_000_000
 
     # --- rollup tiers --------------------------------------------------

@@ -126,8 +126,17 @@ def minhash_signatures(ds: rd.Dataset, num_perm: int = 64, shingle_k: int = 5,
 
 
 def lsh_candidate_pairs(sig_ds: rd.Dataset, bands: int = 16,
-                        id_col: str = "doc_id") -> rd.Dataset:
-    """Signatures → banded buckets → unique candidate pairs (a < b)."""
+                        id_col: str = "doc_id",
+                        max_bucket_size: int | None = None) -> rd.Dataset:
+    """Signatures → banded buckets → unique candidate pairs (a < b).
+
+    ``max_bucket_size`` caps the O(k²) pair blow-up of degenerate hot
+    buckets (boilerplate/empty pages all landing in one LSH bucket):
+    buckets above the cap emit only each member paired with the
+    bucket's min id (a star, k−1 pairs) — near-duplicates of one
+    another remain transitively discoverable through the hub while the
+    quadratic explosion is bounded. Default ``None`` keeps exact
+    banding semantics."""
 
     def explode(df: pd.DataFrame) -> pd.DataFrame:
         sigs = np.stack(df["signature"].to_numpy())
@@ -153,6 +162,9 @@ def lsh_candidate_pairs(sig_ds: rd.Dataset, bands: int = 16,
         ids = np.sort(df[id_col].to_numpy())
         if len(ids) < 2:
             return pd.DataFrame({"id_a": [], "id_b": []}).astype(np.int64)
+        if max_bucket_size is not None and len(ids) > max_bucket_size:
+            return pd.DataFrame({"id_a": np.full(len(ids) - 1, ids[0]),
+                                 "id_b": ids[1:]})
         a, b = np.triu_indices(len(ids), k=1)
         return pd.DataFrame({"id_a": ids[a], "id_b": ids[b]})
 

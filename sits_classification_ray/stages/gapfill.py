@@ -9,9 +9,10 @@ FORCE TSI interpolation onto an ``INT_DAY`` grid
 ends of the grid (which is what ``limit_direction='both'`` does for
 linear interpolation of leading/trailing gaps).
 
-The kernel runs per url inside ``groupby("url").map_groups`` on numpy
-arrays — the only state it needs is one url's (tiny) series, so the
-stage scales with the number of urls, not the table size. Input must be
+The kernel runs over whole salted partitions (complete (url, metric)
+series co-located by the bucket-major shuffle) as numpy slices — the
+only state a series needs is its own rows, so the stage scales with
+the number of series, not the table size. Input must be
 the assembled (sorted, deduped) observation table from
 ``stages.series``; out-of-order input would silently mis-fill, exactly
 as in the reference (SURVEY §2.9), so assembly is a hard precondition.

@@ -15,13 +15,13 @@ shuffle every observation row. Instead:
    (combiner pattern; the reference's `hist +=` confusion-matrix
    partials, ``pytorch/utils/classmetric.py:48-54``, are the same
    shape).
-2. **Bucket-level merge** — ``groupby("url_bucket").map_groups`` merges
-   each hash partition's partials with one vectorized pandas groupby
-   (64 python calls total, not one per key). ``last`` is merged by
-   max contributing source timestamp (``last_src_ts``), which is
-   unique per key after first-wins dedup, so the merge is
-   deterministic and order-free — exactly what salting/re-aggregation
-   requires.
+2. **Salted partition merge** — the bucket-major salted shuffle
+   (stages/shuffle.py) co-locates each url's partials and merges every
+   partition with one vectorized pandas groupby (one Python call per
+   partition, not per key). ``last`` is merged by max contributing
+   source timestamp (``last_src_ts``), which is unique per key after
+   first-wins dedup, so the merge is deterministic and order-free —
+   exactly what salting/re-aggregation requires.
 3. **Tier chaining** — daily is re-aggregated from hourly partials and
    weekly from daily (sum of sums, min of mins, last by max
    ``last_src_ts``), never from raw observations. ``mean`` is

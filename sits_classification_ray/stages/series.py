@@ -7,11 +7,13 @@ dedup (``pytorch/predict.py:399-415``: int-encode dates,
 ``np.unique(..., return_index=True)``, keep first indices) and
 singleton-series filter (``utils/class_run.py:154-156``).
 
-Scale shape: the shuffle key is ``url_bucket`` (the FORCE-tile analog),
-so the grouped UDF runs once per hash partition — a single vectorized
-pandas kernel over the whole bucket — not once per url. Python-level
-per-group dispatch over billions of urls would dominate wall time;
-per-bucket it is O(n_buckets) invocations of C-speed sorts.
+Scale shape: the shuffle key is the bucket-major salted url partition
+(stages/shuffle.py) — the FORCE-tile analog with explicit head-domain
+salting — so the grouped UDF runs once per partition, a single
+vectorized pandas kernel over many complete series, not once per url.
+Python-level per-group dispatch over billions of urls would dominate
+wall time; per-partition it is O(n_buckets·S) invocations of C-speed
+sorts with the expected payload bounded by ``hot_key_threshold``.
 
 "First" among exact-duplicate timestamps must be deterministic under
 any physical row order, so the winner is the row that sorts first by
