@@ -129,7 +129,75 @@ def run_bench(skew: bool = False) -> dict:
     return result
 
 
-def run_scaling() -> dict:
+def run_compute_bench() -> dict:
+    """CPU-bound leg for the scaling criterion: sha1-dominated operator
+    stages (minhash signatures, simhash, language id) over document
+    texts. Map-only actor pools — no shuffle, negligible I/O — so the
+    measured scaling is the engine's compute scaling, the regime a
+    multi-node cluster actually adds (each node brings its own memory
+    bus; this VM's single bus caps the streaming pipeline instead)."""
+    import numpy as np
+    import ray
+    import ray.data as rd
+
+    sys.path.insert(0, str(Path(__file__).resolve().parent))
+
+    n_docs = int(os.environ.get("GRAFT_COMPUTE_DOCS", "1200000"))
+    crawl = bench_input(SF_DIR)
+
+    ray.init(address="local", num_cpus=NUM_CPUS, include_dashboard=False,
+             ignore_reinit_error=True, logging_level="ERROR")
+    ctx = rd.DataContext.get_current()
+    ctx.enable_progress_bars = False
+
+    from sits_classification_ray.stages.dedup_docs import (minhash_signatures,
+                                                           simhash)
+    from sits_classification_ray.stages.textstats import lang_id
+
+    files = sorted(Path(crawl).glob("*.parquet"))
+    # limit() leaves a handful of blocks — repartition so the actor
+    # pools have ≥4 tasks per CPU to fan out over; pin the pool size
+    # so ramp-up is identical at both parallelism levels
+    ds = (rd.read_parquet([str(f) for f in files], columns=["url", "text"])
+          .limit(n_docs)
+          .map_batches(lambda df: df.assign(
+              doc_id=np.arange(len(df), dtype=np.int64)),
+              batch_format="pandas")
+          .repartition(NUM_CPUS * 8)
+          .materialize())
+    pool = (NUM_CPUS, NUM_CPUS)
+
+    t0 = time.perf_counter()
+    n1 = minhash_signatures(ds, num_perm=64, shingle_k=5,
+                            concurrency=pool).count()
+    t_minhash = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    n2 = simhash(ds, concurrency=pool).count()
+    t_simhash = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    n3 = lang_id(ds.map_batches(
+        lambda df: df.assign(lang="en"), batch_format="pandas"),
+        concurrency=pool).count()
+    t_langid = time.perf_counter() - t0
+    assert n1 == n2 == n3 == n_docs
+    total = t_minhash + t_simhash + t_langid
+    result = {
+        "metric": "compute_ops_seconds",
+        "value": round(total, 3),
+        "unit": "sec",
+        "queries": {"minhash_signatures": round(t_minhash, 3),
+                    "simhash": round(t_simhash, 3),
+                    "langid": round(t_langid, 3)},
+        "sf": Path(SF_DIR).name,
+        "num_cpus": NUM_CPUS,
+        "input_docs": n_docs,
+        "docs_per_sec": round(n_docs / total, 1),
+    }
+    ray.shutdown()
+    return result
+
+
+def run_scaling(compute: bool = False) -> dict:
     # generate + cache the input up front so both timed subprocesses
     # read the identical, already-materialized file
     sys.path.insert(0, str(Path(__file__).resolve().parent))
@@ -137,7 +205,8 @@ def run_scaling() -> dict:
 
     def run(ncpu: int) -> dict:
         env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
-        out = subprocess.run([sys.executable, __file__], env=env,
+        args = [sys.executable, __file__] + (["--compute"] if compute else [])
+        out = subprocess.run(args, env=env,
                              capture_output=True, text=True, check=True).stdout
         return json.loads(out.strip().splitlines()[-1])
 
@@ -152,7 +221,8 @@ def run_scaling() -> dict:
     speedup = r_lo["value"] / r_hi["value"]
     eff = speedup / (hi / lo)
     return {
-        "metric": "scaling_efficiency",
+        "metric": ("compute_scaling_efficiency" if compute
+                   else "scaling_efficiency"),
         "cpus": [lo, hi],
         f"sec_{lo}": r_lo["value"],
         f"sec_{hi}": r_hi["value"],
@@ -168,8 +238,12 @@ def run_scaling() -> dict:
 
 
 if __name__ == "__main__":
-    if "--scaling" in sys.argv:
+    if "--scaling-compute" in sys.argv:
+        print(json.dumps(run_scaling(compute=True)))
+    elif "--scaling" in sys.argv:
         print(json.dumps(run_scaling()))
+    elif "--compute" in sys.argv:
+        print(json.dumps(run_compute_bench()))
     elif "--skew" in sys.argv:
         print(json.dumps(run_bench(skew=True)))
     else:
