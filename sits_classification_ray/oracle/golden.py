@@ -214,6 +214,40 @@ def ivf_topk(emb: pd.DataFrame, query_ids=(0, 1, 2), n_lists: int = 8,
         {"query_id": np.int64, "vec_id": np.int64, "score": np.float64})
 
 
+def embedding_near_dup_ivf(emb: pd.DataFrame, threshold: float = 0.4,
+                           n_lists: int = 8, iters: int = 5, seed: int = 0
+                           ) -> pd.DataFrame:
+    mat = np.stack([np.asarray(v, dtype=np.float64)
+                    for v in emb["embedding"]])
+    n = np.linalg.norm(mat, axis=1, keepdims=True)
+    n[n == 0] = 1.0
+    mat = mat / n
+    ids = emb["vec_id"].to_numpy(np.int64)
+    rng = np.random.default_rng(seed)
+    cent = mat[rng.choice(len(mat), size=min(n_lists, len(mat)),
+                          replace=False)]
+    for _ in range(iters):
+        assign = np.argmax(mat @ cent.T, axis=1)
+        for c in range(len(cent)):
+            m = assign == c
+            if m.any():
+                v = mat[m].mean(axis=0)
+                cent[c] = v / max(np.linalg.norm(v), 1e-12)
+    lists = np.argmax(mat @ cent.T, axis=1)
+    rows = []
+    for lid in np.unique(lists):
+        m = lists == lid
+        sub, sid = mat[m], ids[m]
+        sims = sub @ sub.T
+        ii, jj = np.nonzero(np.triu(sims >= threshold, k=1))
+        a, b = sid[ii], sid[jj]
+        lo, hi = np.minimum(a, b), np.maximum(a, b)
+        for x, y, s in zip(lo, hi, sims[ii, jj]):
+            rows.append((x, y, round(float(s), 6)))
+    return pd.DataFrame(rows, columns=["id_a", "id_b", "cos_sim"]).astype(
+        {"id_a": np.int64, "id_b": np.int64, "cos_sim": np.float64})
+
+
 # ---------------------------------------------------------------------------
 # sampling / splits
 # ---------------------------------------------------------------------------

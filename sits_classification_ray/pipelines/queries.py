@@ -297,7 +297,8 @@ def _ivf_topk(sf_dir: str) -> pd.DataFrame:
                                                            train_centroids)
 
     emb = rd.read_parquet(f"{sf_dir}/embeddings.parquet")
-    cent = train_centroids(emb, n_lists=8, iters=5, seed=0)
+    cent = train_centroids(emb, n_lists=8, iters=5, seed=0,
+                           id_col="vec_id")
     assigned = ivf_assign(emb, cent)
     qrows = [r for r in emb.take_all() if r["vec_id"] in (0, 1, 2)]
     queries = {int(r["vec_id"]): np.asarray(r["embedding"], dtype=np.float64)
@@ -315,6 +316,16 @@ def _embedding_near_dup(sf_dir: str) -> rd.Dataset:
         batch_format="pandas")
 
 
+def _embedding_near_dup_ivf(sf_dir: str) -> rd.Dataset:
+    from sits_classification_ray.stages.dedup_docs import embedding_near_dup_ivf
+
+    emb = rd.read_parquet(f"{sf_dir}/embeddings.parquet")
+    out = embedding_near_dup_ivf(emb, threshold=0.4, n_lists=8)
+    return out.map_batches(
+        lambda df: df.assign(cos_sim=df["cos_sim"].round(6)),
+        batch_format="pandas")
+
+
 def _exact_dedup_documents(sf_dir: str) -> rd.Dataset:
     from sits_classification_ray.stages.dedup_docs import exact_dedup
 
@@ -327,6 +338,13 @@ def _text_stats_documents(sf_dir: str) -> rd.Dataset:
 
     return text_stats(rd.read_parquet(f"{sf_dir}/documents.parquet",
                                       columns=["doc_id", "text"]))
+
+
+def _quality_score_documents(sf_dir: str) -> rd.Dataset:
+    from sits_classification_ray.stages.textstats import quality_score
+
+    return quality_score(rd.read_parquet(f"{sf_dir}/documents.parquet",
+                                         columns=["doc_id", "text"]))
 
 
 def _langid_documents(sf_dir: str) -> rd.Dataset:
@@ -654,8 +672,10 @@ def build_queries() -> dict[str, Callable[[str], Any]]:
         # documents / training-data ops
         "exact_dedup_documents": _exact_dedup_documents,
         "text_stats_documents": _text_stats_documents,
+        "quality_score_documents": _quality_score_documents,
         "similarity_topk": _similarity_topk,
         "embedding_near_dup": _embedding_near_dup,
+        "embedding_near_dup_ivf": _embedding_near_dup_ivf,
         # codec roundtrip, SQL-checked via decoded-side summaries
         "gorilla_roundtrip": _gorilla_roundtrip,
         # non-SQL-expressible (driver records rows-only)
@@ -716,6 +736,7 @@ def _golden_sql(name: str) -> str:
 #: queries whose oracle is a golden parquet (deterministic / seeded
 #: operators that ANSI SQL cannot express).
 GOLDEN_QUERIES = [
+    "embedding_near_dup_ivf",
     "langid_documents", "langid_confusion", "simhash_documents",
     "fingerprint_documents", "minhash_near_dup_documents", "ivf_topk",
     "stratified_sample_documents", "train_test_split_sizes",
@@ -775,6 +796,19 @@ SELECT doc_id, length(text) AS n_chars,
        len(regexp_extract_all(text, '\w+')) AS n_words,
        CAST(length(text) AS DOUBLE) / len(string_split(text, ' '))
            AS chars_per_token
+FROM documents""",
+        "quality_score_documents": r"""
+SELECT doc_id,
+  CAST(len(list_filter(string_split(lower(text), ' '),
+       w -> w IN ('the','and','of','to','in','is','that','it','was',
+                  'for','on','are','with','as'))) AS DOUBLE)
+      / len(string_split(text, ' ')) AS stopword_ratio,
+  CAST(len(regexp_extract_all(text, '[.,;:!?]')) AS DOUBLE)
+      / length(text) AS punct_ratio,
+  CAST(len(regexp_extract_all(text, '[A-Z]')) AS DOUBLE)
+      / length(text) AS upper_ratio,
+  CAST(length(text) AS DOUBLE) / len(string_split(text, ' '))
+      AS mean_word_len
 FROM documents""",
         "similarity_topk": """
 WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv

@@ -411,3 +411,53 @@ def embedding_near_dup(ds: rd.Dataset, threshold: float = 0.95,
             out_refs.append(pair_task.remote(block_refs[i], block_refs[j],
                                              i == j))
     return rd.from_arrow_refs(out_refs)
+
+
+def embedding_near_dup_ivf(ds: rd.Dataset, threshold: float = 0.95,
+                           n_lists: int = 8, iters: int = 5, seed: int = 0,
+                           id_col: str = "vec_id",
+                           vec_col: str = "embedding") -> rd.Dataset:
+    """APPROXIMATE near-dup: compare only within IVF lists.
+
+    The 100 TB scale path: k-means coarse centroids (bounded driver
+    sample) assign every vector to a list; one salted shuffle
+    co-locates each list; pairs are found by one matmul per list
+    block. O(Σ nᵢ²) instead of O(n²) — pairs whose members straddle a
+    list boundary are missed, which is the recall/cost trade every IVF
+    dedup makes. Partitioning assumption: a single list's vectors fit
+    one block (lists ≈ n/n_lists; raise ``n_lists`` with scale, and a
+    degenerate hot list degrades smoothly through the vectorized
+    kernel)."""
+    from sits_classification_ray.stages.shuffle import partitioned_map
+    from sits_classification_ray.stages.similarity import (ivf_assign,
+                                                           train_centroids)
+
+    cent = train_centroids(ds, n_lists=n_lists, iters=iters, seed=seed,
+                           vec_col=vec_col, id_col=id_col)
+    assigned = ivf_assign(ds, cent, id_col=id_col, vec_col=vec_col)
+
+    def kernel(df: pd.DataFrame) -> pd.DataFrame:
+        outs = []
+        for _lid, g in df.groupby("ivf_list", sort=False):
+            if len(g) < 2:
+                continue
+            mat = np.stack([np.asarray(v, dtype=np.float64)
+                            for v in g[vec_col]])
+            nrm = np.linalg.norm(mat, axis=1, keepdims=True)
+            nrm[nrm == 0] = 1.0
+            mat = mat / nrm
+            sims = mat @ mat.T
+            ids = g[id_col].to_numpy(np.int64)
+            ii, jj = np.nonzero(np.triu(sims >= threshold, k=1))
+            a, b = ids[ii], ids[jj]
+            lo, hi = np.minimum(a, b), np.maximum(a, b)
+            outs.append(pd.DataFrame({"id_a": lo, "id_b": hi,
+                                      "cos_sim": sims[ii, jj]}))
+        if not outs:
+            return pd.DataFrame({"id_a": pd.Series([], dtype=np.int64),
+                                 "id_b": pd.Series([], dtype=np.int64),
+                                 "cos_sim": pd.Series([], dtype=np.float64)})
+        return pd.concat(outs, ignore_index=True)
+
+    return partitioned_map(assigned, kernel, keys=["ivf_list"],
+                           num_partitions=max(16, n_lists))

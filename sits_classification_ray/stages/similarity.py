@@ -82,23 +82,29 @@ def brute_force_topk(ds: rd.Dataset, queries: dict[int, np.ndarray],
 def train_centroids(ds: rd.Dataset, n_lists: int = 16, iters: int = 10,
                     seed: int = 0, vec_col: str = "embedding",
                     sample_frac: float | None = None,
-                    max_sample_rows: int = 100_000) -> np.ndarray:
+                    max_sample_rows: int = 100_000,
+                    id_col: str | None = None) -> np.ndarray:
     """Mini k-means on a BOUNDED sample (driver-side Lloyd; assignment
     at scale stays distributed).
 
     The driver only ever holds ``max_sample_rows`` vectors: with no
     explicit ``sample_frac`` the fraction is derived from the dataset
     row count so the expected sample is capped (VERDICT r1 #10 — the
-    old default materialized the whole dataset)."""
+    old default materialized the whole dataset). Pass ``id_col`` to
+    sort the sample by id before seeding — Ray block arrival order is
+    not deterministic, and the seeded ``rng.choice`` must pick the
+    same vectors on every run for resumable/verifiable centroids."""
     if sample_frac is None:
         n = ds.count()
         sample_frac = 1.0 if n <= max_sample_rows else max_sample_rows / n
     sample = ds if sample_frac >= 1.0 else ds.random_sample(sample_frac,
                                                             seed=seed)
-    sample = sample.select_columns([vec_col]).limit(max_sample_rows)
+    cols = [vec_col] if id_col is None else [id_col, vec_col]
+    rows = sample.select_columns(cols).limit(max_sample_rows).take_all()
+    if id_col is not None:
+        rows.sort(key=lambda r: r[id_col])
     mat = _normalize(np.stack(
-        [np.asarray(r[vec_col], dtype=np.float64)
-         for r in sample.take_all()]))
+        [np.asarray(r[vec_col], dtype=np.float64) for r in rows]))
     rng = np.random.default_rng(seed)
     cent = mat[rng.choice(len(mat), size=min(n_lists, len(mat)),
                           replace=False)]

@@ -54,6 +54,63 @@ def text_stats(ds: rd.Dataset, id_col: str = "doc_id",
                           batch_format="pyarrow", zero_copy_batch=True)
 
 
+#: English stopwords used by the quality scorer (shared with the SQL
+#: oracle, which inlines the same list).
+QUALITY_STOPWORDS = ("the", "and", "of", "to", "in", "is", "that", "it",
+                     "was", "for", "on", "are", "with", "as")
+
+
+def quality_score_batch(batch: pa.Table, id_col: str = "doc_id",
+                        text_col: str = "text") -> pa.Table:
+    """Training-data quality signals per document, fully vectorized:
+
+    - ``stopword_ratio`` — space-split tokens that are common English
+      stopwords / total tokens (C4/Gopher-style quality rule);
+    - ``punct_ratio`` — ``[.,;:!?]`` characters per character;
+    - ``upper_ratio`` — uppercase letters per character;
+    - ``mean_word_len`` — chars per space-split token (exact double
+      division of integer counts → oracle-comparable bit-for-bit).
+    """
+    text = batch[text_col]
+    n_chars = pc.cast(pc.utf8_length(text), pa.int64())
+    toks = pc.split_pattern(text, " ")
+    n_tokens = pc.cast(pc.list_value_length(toks), pa.int64())
+    low_toks = pc.split_pattern(pc.utf8_lower(text), " ")
+    # stopword hits: is_in over the flattened token list, re-segmented
+    # back to per-row sums via reduceat on the list offsets
+    flat = pc.list_flatten(low_toks)
+    hit = pc.is_in(flat, value_set=pa.array(QUALITY_STOPWORDS))
+    # re-segment the flat hits back to per-row sums
+    offsets = np.zeros(len(batch) + 1, dtype=np.int64)
+    np.cumsum(pc.list_value_length(low_toks).to_numpy(
+        zero_copy_only=False), out=offsets[1:])
+    hit_np = hit.to_numpy(zero_copy_only=False).astype(np.int64)
+    sw_hits = np.add.reduceat(
+        np.concatenate([hit_np, [0]]), offsets[:-1]) if len(batch) else \
+        np.array([], dtype=np.int64)
+    sw_hits[offsets[:-1] == offsets[1:]] = 0
+    punct = pc.cast(pc.count_substring_regex(text, r"[.,;:!?]"), pa.int64())
+    upper = pc.cast(pc.count_substring_regex(text, r"[A-Z]"), pa.int64())
+    nt = pc.cast(n_tokens, pa.float64())
+    ncf = pc.cast(n_chars, pa.float64())
+    return pa.table({
+        id_col: batch[id_col],
+        "stopword_ratio": pc.divide(
+            pc.cast(pa.array(sw_hits, pa.int64()), pa.float64()), nt),
+        "punct_ratio": pc.divide(pc.cast(punct, pa.float64()), ncf),
+        "upper_ratio": pc.divide(pc.cast(upper, pa.float64()), ncf),
+        "mean_word_len": pc.divide(ncf, nt),
+    })
+
+
+def quality_score(ds: rd.Dataset, id_col: str = "doc_id",
+                  text_col: str = "text") -> rd.Dataset:
+    return ds.map_batches(quality_score_batch,
+                          fn_kwargs={"id_col": id_col,
+                                     "text_col": text_col},
+                          batch_format="pyarrow", zero_copy_batch=True)
+
+
 # --- language ID (n-gram / stopword heuristic; actor pool) ---------------
 
 _STOPWORDS = {

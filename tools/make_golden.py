@@ -56,6 +56,8 @@ def make_for(sf_dir: str) -> None:
         "minhash_near_dup_documents":
             lambda: golden.minhash_near_dup_documents(docs),
         "ivf_topk": lambda: golden.ivf_topk(emb),
+        "embedding_near_dup_ivf":
+            lambda: golden.embedding_near_dup_ivf(emb),
         "stratified_sample_documents":
             lambda: golden.stratified_sample_documents(docs),
         "train_test_split_sizes":
