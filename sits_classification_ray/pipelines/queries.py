@@ -182,6 +182,15 @@ def _tier(sf_dir: str, tier: str) -> rd.Dataset:
     return finalize(partials).select_columns(ROLLUP_COLS)
 
 
+def _hopping_rollup_6h_1h(sf_dir: str) -> rd.Dataset:
+    """Sliding 6-hour windows hopping hourly (streaming-shaped window
+    aggregate; tumbling rollup is the window == hop special case)."""
+    from sits_classification_ray.stages.rollup import hopping_rollup
+
+    out = finalize(hopping_rollup(_obs_long(sf_dir), 6 * 3600, 3600, CFG))
+    return out.select_columns(ROLLUP_COLS)
+
+
 def _lang_daily(sf_dir: str) -> rd.Dataset:
     """Per-url daily lang-distribution counts (post-dedup)."""
     obs = _obs(sf_dir)
@@ -338,6 +347,15 @@ def _text_stats_documents(sf_dir: str) -> rd.Dataset:
 
     return text_stats(rd.read_parquet(f"{sf_dir}/documents.parquet",
                                       columns=["doc_id", "text"]))
+
+
+def _top3_docs_per_lang(sf_dir: str) -> rd.Dataset:
+    from sits_classification_ray.stages.sampling import top_k_per_group
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id", "lang", "n_chars"])
+    return top_k_per_group(docs, ["lang"], "n_chars", k=3,
+                           ascending=False, tie_col="doc_id")
 
 
 def _quality_score_documents(sf_dir: str) -> rd.Dataset:
@@ -660,6 +678,7 @@ def build_queries() -> dict[str, Callable[[str], Any]]:
         "rollup_hourly": lambda sf: _tier(sf, "hourly"),
         "rollup_daily": lambda sf: _tier(sf, "daily"),
         "rollup_weekly": lambda sf: _tier(sf, "weekly"),
+        "hopping_rollup_6h_1h": _hopping_rollup_6h_1h,
         "lang_daily": _lang_daily,
         "gapfill_linear": lambda sf: _gapfill(sf, "linear"),
         "gapfill_locf": lambda sf: _gapfill(sf, "locf"),
@@ -673,6 +692,7 @@ def build_queries() -> dict[str, Callable[[str], Any]]:
         "exact_dedup_documents": _exact_dedup_documents,
         "text_stats_documents": _text_stats_documents,
         "quality_score_documents": _quality_score_documents,
+        "top3_docs_per_lang": _top3_docs_per_lang,
         "similarity_topk": _similarity_topk,
         "embedding_near_dup": _embedding_near_dup,
         "embedding_near_dup_ivf": _embedding_near_dup_ivf,
@@ -756,6 +776,15 @@ SELECT url, warc_ts, lang, text_len, word_count FROM obs""",
         "rollup_hourly": _rollup_sql("hour"),
         "rollup_daily": _rollup_sql("day"),
         "rollup_weekly": _rollup_sql("week"),
+        "hopping_rollup_6h_1h": f"""{CRAWL_PREFIX}
+SELECT url, metric,
+       make_timestamp(CAST(epoch_us(warc_ts) AS BIGINT) // 3600000000
+                      * 3600000000 - i.i * 3600000000) AS bucket_ts,
+       count(*) AS "count", sum(value) AS "sum", min(value) AS "min",
+       max(value) AS "max", sum(value) / count(*) AS "mean",
+       arg_max(value, warc_ts) AS "last"
+FROM obs_long CROSS JOIN (SELECT unnest(generate_series(0, 5)) AS i) i
+GROUP BY 1, 2, 3""",
         "lang_daily": f"""{CRAWL_PREFIX}
 SELECT url, CAST(date_trunc('day', warc_ts) AS TIMESTAMP) AS bucket_ts,
        lang, count(*) AS n
@@ -797,6 +826,11 @@ SELECT doc_id, length(text) AS n_chars,
        CAST(length(text) AS DOUBLE) / len(string_split(text, ' '))
            AS chars_per_token
 FROM documents""",
+        "top3_docs_per_lang": """
+SELECT doc_id, lang, n_chars FROM (
+  SELECT *, row_number() OVER (PARTITION BY lang
+            ORDER BY n_chars DESC, doc_id) AS rn FROM documents)
+WHERE rn <= 3""",
         "quality_score_documents": r"""
 SELECT doc_id,
   CAST(len(list_filter(string_split(lower(text), ' '),

@@ -192,6 +192,60 @@ def rollup(ds_long: rd.Dataset, tier_seconds: int,
     return merge_partials(partials)
 
 
+def hopping_rollup(ds_long: rd.Dataset, window_seconds: int,
+                   hop_seconds: int,
+                   cfg: EngineConfig | None = None) -> rd.Dataset:
+    """Sliding (hopping) window aggregate: one output row per
+    (url, metric, window_start) for every hop-aligned window covering
+    the observation.
+
+    ``window_seconds`` must be a multiple of ``hop_seconds``; each
+    observation then belongs to exactly ``window/hop`` windows.
+    Scale shape: the m-fold duplication happens INSIDE the per-batch
+    partial aggregation (each copy immediately collapses to one partial
+    row per key), so the shuffle moves m partials per distinct key —
+    never m copies of the observations. The tumbling rollup is the
+    special case window == hop.
+    """
+    cfg = cfg or EngineConfig()
+    if window_seconds % hop_seconds != 0:
+        raise ValueError("window_seconds must be a multiple of hop_seconds")
+    m = window_seconds // hop_seconds
+    hop_us = hop_seconds * 1_000_000
+
+    def partial(batch: pa.Table) -> pa.Table:
+        if len(batch) == 0:
+            return _empty_partials()
+        ts = pc.cast(batch["warc_ts"], pa.int64())
+        base = pc.multiply(pc.divide(ts, hop_us), hop_us)
+        parts = []
+        for i in range(m):
+            ws = pc.cast(pc.subtract(base, i * hop_us),
+                         pa.timestamp("us"))
+            t = pa.table({
+                "url_bucket": batch["url_bucket"],
+                "url": batch["url"],
+                "metric": batch["metric"],
+                "bucket_ts": ws,
+                "warc_ts": batch["warc_ts"],
+                "value": batch["value"],
+            })
+            t = t.sort_by([("url", "ascending"), ("metric", "ascending"),
+                           ("warc_ts", "ascending")])
+            g = t.group_by(["url_bucket", "url", "metric", "bucket_ts"],
+                           use_threads=False)
+            parts.append(g.aggregate([
+                ("value", "count"), ("value", "sum"), ("value", "min"),
+                ("value", "max"), ("value", "last"), ("warc_ts", "max"),
+            ]).rename_columns(PARTIAL_COLS))
+        return pa.concat_tables(parts)
+
+    partials = ds_long.map_batches(partial, batch_format="pyarrow",
+                                   batch_size=cfg.batch_size,
+                                   zero_copy_batch=True)
+    return merge_partials(partials)
+
+
 def reaggregate(ds_tier_partials: rd.Dataset, tier_seconds: int,
                 cfg: EngineConfig | None = None) -> rd.Dataset:
     """Finer-tier merged partials → coarser-tier merged partials."""

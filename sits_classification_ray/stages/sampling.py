@@ -73,6 +73,33 @@ def class_weights(ds: rd.Dataset, label_col: str = "label") -> pd.DataFrame:
     return hist
 
 
+def top_k_per_group(ds: rd.Dataset, group_cols: list[str], order_col: str,
+                    k: int, ascending: bool = False,
+                    tie_col: str | None = None) -> rd.Dataset:
+    """Distributed top-k rows per group (O5 generalized to grouped
+    limits).
+
+    Combiner shape: each batch is reduced to its per-group top-k
+    BEFORE the shuffle (the shuffle moves ≤ k rows per group per
+    batch, never the full table), then one salted-partition pass takes
+    the global top-k per group. ``tie_col`` breaks order ties
+    deterministically (ascending), matching SQL
+    ``row_number() OVER (ORDER BY order_col [DESC], tie_col)``."""
+    sort_cols = list(group_cols) + [order_col] + \
+        ([tie_col] if tie_col else [])
+    asc = [True] * len(group_cols) + [ascending] + \
+        ([True] if tie_col else [])
+
+    def local_topk(df: pd.DataFrame) -> pd.DataFrame:
+        s = df.sort_values(sort_cols, ascending=asc, kind="mergesort")
+        return s.groupby(list(group_cols), sort=False).head(k)
+
+    from sits_classification_ray.stages.shuffle import partitioned_map
+
+    pre = ds.map_batches(local_topk, batch_format="pandas")
+    return partitioned_map(pre, local_topk, keys=list(group_cols))
+
+
 def early_stop(losses: list[float], window: int = 5) -> bool:
     """Early-stopping rule (A11): mean of the last-``window`` loss
     diffs > 0 ⇒ not improving ⇒ stop

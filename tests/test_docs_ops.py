@@ -171,3 +171,17 @@ def test_verify_jaccard_distributed_join(docs_ds):
         out["jaccard"].to_numpy(),
         [jac(0, 1), jac(0, 2), jac(3, 4)])
     assert out["jaccard"].iloc[0] == 1.0
+
+
+def test_top_k_per_group(docs_ds):
+    from sits_classification_ray.stages.sampling import top_k_per_group
+
+    lens = rd.from_arrow(pa.table({
+        "doc_id": pa.array(range(8), pa.int64()),
+        "grp": pa.array(["a", "a", "a", "a", "b", "b", "b", "b"]),
+        "score": pa.array([5, 9, 9, 1, 2, 8, 3, 8], pa.int64()),
+    }))
+    out = (top_k_per_group(lens, ["grp"], "score", k=2, tie_col="doc_id")
+           .to_pandas().sort_values(["grp", "doc_id"]).reset_index(drop=True))
+    # a: scores 9(doc1),9(doc2); b: 8(doc5),8(doc7)
+    assert out["doc_id"].tolist() == [1, 2, 5, 7]

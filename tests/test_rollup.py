@@ -61,3 +61,43 @@ def test_tier_chain_equals_direct(long_ds):
     weekly_direct = finalize(
         rollup(long_ds, TIER_SECONDS["weekly"], CFG)).to_pandas()
     pd.testing.assert_frame_equal(_norm(weekly_chained), _norm(weekly_direct))
+
+
+def test_hopping_rollup_window_membership(crawl_ds, crawl_pdf):
+    """Each observation lands in exactly window/hop windows, and the
+    window == hop case equals the tumbling rollup."""
+    import ray.data as rd
+
+    from sits_classification_ray.config import EngineConfig
+    from sits_classification_ray.oracle.reference import (dedup_oracle,
+                                                          extract_oracle,
+                                                          to_long_oracle)
+    from sits_classification_ray.stages.rollup import (finalize,
+                                                       hopping_rollup,
+                                                       rollup)
+
+    cfg = EngineConfig()
+    long_pdf = to_long_oracle(
+        dedup_oracle(extract_oracle(crawl_pdf)), cfg.metrics)
+    ds_long = rd.from_pandas(long_pdf)
+
+    hop = finalize(hopping_rollup(ds_long, 6 * 3600, 3600, cfg)).to_pandas()
+    assert hop["count"].sum() == 6 * len(long_pdf)
+
+    tumb = finalize(hopping_rollup(ds_long, 3600, 3600, cfg)).to_pandas()
+    plain = finalize(rollup(ds_long, 3600, cfg)).to_pandas()
+    key = ["url", "metric", "bucket_ts"]
+    cols = key + ["count", "sum", "min", "max", "last"]
+    pd.testing.assert_frame_equal(
+        tumb[cols].sort_values(key).reset_index(drop=True),
+        plain[cols].sort_values(key).reset_index(drop=True))
+
+    # manual membership: every obs is inside each of its 6 windows
+    w = hop.sample(50, random_state=0) if len(hop) > 50 else hop
+    for r in w.itertuples(index=False):
+        lo = pd.Timestamp(r.bucket_ts)
+        sel = long_pdf[(long_pdf["url"] == r.url)
+                       & (long_pdf["metric"] == r.metric)
+                       & (long_pdf["warc_ts"] >= lo)
+                       & (long_pdf["warc_ts"] < lo + pd.Timedelta(hours=6))]
+        assert len(sel) == r.count
