@@ -1,0 +1,89 @@
+"""Mergeable cardinality sketches: HyperLogLog distinct counting.
+
+The engine's approximate-distinct operator for 10^12-row tables where
+an exact ``COUNT(DISTINCT url)`` per time bucket would shuffle every
+distinct key: each batch folds its rows into fixed-size (m = 2^p byte)
+register arrays per bucket, the shuffle moves only those sketch rows,
+and the merge is an elementwise byte-max — associative, commutative
+and idempotent, so it composes with any partitioning/re-aggregation
+(the same combine-then-merge contract as stages/rollup.py partials).
+
+Hash: sha1-derived 64-bit per key (process-independent, like every
+other content hash in the engine). Estimator: the classic
+Flajolet–Durand bias-corrected HLL with the small-range linear
+counting correction; 64-bit hashes need no large-range correction.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray.data as rd
+
+
+def _hash_u64(keys) -> np.ndarray:
+    out = np.empty(len(keys), dtype=np.uint64)
+    for i, k in enumerate(keys):
+        out[i] = int.from_bytes(
+            hashlib.sha1(str(k).encode()).digest()[:8], "big")
+    return out
+
+
+def hll_update(registers: np.ndarray, hashes: np.ndarray, p: int) -> None:
+    """Fold 64-bit hashes into a register array in place (byte max)."""
+    idx = (hashes >> np.uint64(64 - p)).astype(np.int64)
+    rest = hashes & np.uint64((1 << (64 - p)) - 1)
+    # (64 - p) ≤ 52 bits → exact in float64, so log2 is safe
+    rho = np.full(len(hashes), 64 - p + 1, dtype=np.uint8)
+    nz = rest > 0
+    rho[nz] = (64 - p) - np.floor(
+        np.log2(rest[nz].astype(np.float64))).astype(np.int64)
+    np.maximum.at(registers, idx, rho)
+
+
+def hll_estimate(registers: np.ndarray) -> float:
+    """Bias-corrected estimate from one register array."""
+    m = len(registers)
+    alpha = 0.7213 / (1.0 + 1.079 / m)
+    est = alpha * m * m / np.power(2.0, -registers.astype(np.float64)).sum()
+    zeros = int((registers == 0).sum())
+    if est <= 2.5 * m and zeros > 0:
+        est = m * np.log(m / zeros)
+    return float(est)
+
+
+def hll_distinct(ds: rd.Dataset, key_col: str, bucket_col: str,
+                 p: int = 12) -> rd.Dataset:
+    """Approximate distinct ``key_col`` per ``bucket_col`` group.
+
+    Output: ``(bucket_col, hll_estimate: float64)`` — one row per
+    bucket. Shuffle payload is one 2^p-byte sketch per (bucket, batch),
+    never the keys themselves.
+    """
+    m = 1 << p
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for bucket, g in df.groupby(bucket_col, sort=False):
+            reg = np.zeros(m, dtype=np.uint8)
+            hll_update(reg, _hash_u64(g[key_col].tolist()), p)
+            rows.append((bucket, reg.tobytes()))
+        return pd.DataFrame(rows, columns=[bucket_col, "sketch"])
+
+    partials = ds.map_batches(partial, batch_format="pandas")
+
+    def merge(df: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for bucket, g in df.groupby(bucket_col, sort=False):
+            reg = np.zeros(m, dtype=np.uint8)
+            for s in g["sketch"]:
+                np.maximum(reg, np.frombuffer(s, dtype=np.uint8), out=reg)
+            rows.append((bucket, round(hll_estimate(reg), 6)))
+        return pd.DataFrame(rows, columns=[bucket_col, "hll_estimate"])
+
+    from sits_classification_ray.stages.shuffle import partitioned_map
+
+    return partitioned_map(partials, merge, keys=[bucket_col])

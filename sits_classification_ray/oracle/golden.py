@@ -345,6 +345,33 @@ def augmented_rollup(obs_long: pd.DataFrame, seed: int = 7) -> pd.DataFrame:
     return out
 
 
+def hll_distinct_urls_daily(obs: pd.DataFrame, p: int = 12) -> pd.DataFrame:
+    """HLL distinct urls per day — same sha1 hash + FD estimator as
+    functions/sketches.py, computed sequentially over exact per-day
+    key sets (order-free by construction: register max is commutative)."""
+    m = 1 << p
+    day = pd.to_datetime(obs["warc_ts"]).dt.floor("1D")
+    rows = []
+    for d, g in obs.groupby(day, sort=True):
+        reg = np.zeros(m, dtype=np.uint8)
+        for url in set(g["url"]):
+            h = int.from_bytes(hashlib.sha1(str(url).encode()).digest()[:8],
+                               "big")
+            idx = h >> (64 - p)
+            rest = h & ((1 << (64 - p)) - 1)
+            rho = (64 - p + 1) if rest == 0 else \
+                (64 - p) - int(np.floor(np.log2(float(rest))))
+            reg[idx] = max(reg[idx], rho)
+        alpha = 0.7213 / (1.0 + 1.079 / m)
+        est = alpha * m * m / np.power(2.0,
+                                       -reg.astype(np.float64)).sum()
+        zeros = int((reg == 0).sum())
+        if est <= 2.5 * m and zeros > 0:
+            est = m * np.log(m / zeros)
+        rows.append((d, round(float(est), 6)))
+    return pd.DataFrame(rows, columns=["bucket_ts", "hll_estimate"])
+
+
 def html_byte_features(crawl: pd.DataFrame) -> pd.DataFrame:
     classes = np.zeros(256, dtype=np.int64)
     classes[9:14] = 1

@@ -182,6 +182,25 @@ def _tier(sf_dir: str, tier: str) -> rd.Dataset:
     return finalize(partials).select_columns(ROLLUP_COLS)
 
 
+def _hll_distinct_urls_daily(sf_dir: str) -> rd.Dataset:
+    """Approximate distinct urls per day via a mergeable HyperLogLog
+    sketch (the 10^12-row path where exact COUNT(DISTINCT) would
+    shuffle every key; golden-checked against an independent HLL)."""
+    from sits_classification_ray.functions.sketches import hll_distinct
+
+    def day(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "url": batch["url"],
+            "bucket_ts": pc.cast(pc.floor_temporal(batch["warc_ts"],
+                                                   unit="day"),
+                                 pa.timestamp("us")),
+        })
+
+    obs_days = _obs(sf_dir).map_batches(day, batch_format="pyarrow",
+                                        zero_copy_batch=True)
+    return hll_distinct(obs_days, key_col="url", bucket_col="bucket_ts")
+
+
 def _hopping_rollup_6h_1h(sf_dir: str) -> rd.Dataset:
     """Sliding 6-hour windows hopping hourly (streaming-shaped window
     aggregate; tumbling rollup is the window == hop special case)."""
@@ -679,6 +698,7 @@ def build_queries() -> dict[str, Callable[[str], Any]]:
         "rollup_daily": lambda sf: _tier(sf, "daily"),
         "rollup_weekly": lambda sf: _tier(sf, "weekly"),
         "hopping_rollup_6h_1h": _hopping_rollup_6h_1h,
+        "hll_distinct_urls_daily": _hll_distinct_urls_daily,
         "lang_daily": _lang_daily,
         "gapfill_linear": lambda sf: _gapfill(sf, "linear"),
         "gapfill_locf": lambda sf: _gapfill(sf, "locf"),
@@ -756,7 +776,7 @@ def _golden_sql(name: str) -> str:
 #: queries whose oracle is a golden parquet (deterministic / seeded
 #: operators that ANSI SQL cannot express).
 GOLDEN_QUERIES = [
-    "embedding_near_dup_ivf",
+    "embedding_near_dup_ivf", "hll_distinct_urls_daily",
     "langid_documents", "langid_confusion", "simhash_documents",
     "fingerprint_documents", "minhash_near_dup_documents", "ivf_topk",
     "stratified_sample_documents", "train_test_split_sizes",

@@ -1,0 +1,48 @@
+"""HyperLogLog sketch: accuracy and merge associativity."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray.data as rd
+
+from sits_classification_ray.functions.sketches import (_hash_u64,
+                                                        hll_distinct,
+                                                        hll_estimate,
+                                                        hll_update)
+
+
+def test_hll_accuracy_10k_keys():
+    p, m = 12, 4096
+    reg = np.zeros(m, dtype=np.uint8)
+    keys = [f"https://u/{i}" for i in range(10_000)]
+    hll_update(reg, _hash_u64(keys), p)
+    est = hll_estimate(reg)
+    # standard error for m=4096 is 1.04/sqrt(m) ≈ 1.6%; allow 5%
+    assert abs(est - 10_000) / 10_000 < 0.05
+
+
+def test_hll_merge_equals_whole():
+    p, m = 12, 4096
+    keys = [f"k{i}" for i in range(5_000)]
+    whole = np.zeros(m, dtype=np.uint8)
+    hll_update(whole, _hash_u64(keys), p)
+    parts = np.zeros((4, m), dtype=np.uint8)
+    for j in range(4):
+        hll_update(parts[j], _hash_u64(keys[j::4]), p)
+    merged = parts.max(axis=0)
+    np.testing.assert_array_equal(whole, merged)   # mergeable sketch
+    # duplicates are free: re-adding keys changes nothing (idempotent)
+    hll_update(whole, _hash_u64(keys[:1000]), p)
+    np.testing.assert_array_equal(whole, merged)
+
+
+def test_hll_distinct_dataset():
+    df = pd.DataFrame({
+        "k": [f"u{i % 500}" for i in range(5_000)],
+        "b": ["x" if i % 2 else "y" for i in range(5_000)],
+    })
+    out = (hll_distinct(rd.from_pandas(df), "k", "b")
+           .to_pandas().sort_values("b").reset_index(drop=True))
+    assert len(out) == 2
+    for est in out["hll_estimate"]:
+        assert abs(est - 250) / 250 < 0.08   # 250 distinct urls per bucket

@@ -44,6 +44,7 @@ def make_for(sf_dir: str) -> None:
     obs_long = con.sql(
         f"{CRAWL_PREFIX} SELECT url, warc_ts, metric, value "
         "FROM obs_long").df()
+    obs = con.sql(f"{CRAWL_PREFIX} SELECT url, warc_ts FROM obs").df()
     from sits_classification_ray.sources.synth import CRAWL_CTE
     crawl = con.sql(f"WITH {CRAWL_CTE} "
                     "SELECT url, warc_ts, html FROM crawl").df()
@@ -63,6 +64,8 @@ def make_for(sf_dir: str) -> None:
         "train_test_split_sizes":
             lambda: golden.train_test_split_sizes(len(docs)),
         "harmonic_daily": lambda: golden.harmonic_daily(obs_long),
+        "hll_distinct_urls_daily":
+            lambda: golden.hll_distinct_urls_daily(obs),
         "augmented_rollup": lambda: golden.augmented_rollup(obs_long),
         "html_byte_features": lambda: golden.html_byte_features(crawl),
         "frame_samples": lambda: golden.frame_samples(crawl),
