@@ -53,8 +53,10 @@ def extract_batch(batch: pa.Table, n_buckets: int, keep_text: bool) -> pa.Table:
     valid = pc.and_(pc.is_valid(text), pc.greater(pc.utf8_length(text), 0))
 
     text_len = pc.cast(pc.utf8_length(text), pa.int64())
-    word_count = pc.cast(
-        pc.list_value_length(pc.split_pattern(text, " ")), pa.int64())
+    # fields(split on " ") == spaces + 1, without materializing the
+    # split lists (identical to DuckDB len(string_split(text, ' ')))
+    word_count = pc.cast(pc.add(pc.count_substring(text, " "), 1),
+                         pa.int64())
 
     cols: dict[str, pa.Array | pa.ChunkedArray] = {
         "url": batch["url"],

@@ -30,8 +30,7 @@ def text_stats_batch(batch: pa.Table, id_col: str = "doc_id",
     """
     text = batch[text_col]
     n_chars = pc.cast(pc.utf8_length(text), pa.int64())
-    n_tokens = pc.cast(pc.list_value_length(pc.split_pattern(text, " ")),
-                       pa.int64())
+    n_tokens = pc.cast(pc.add(pc.count_substring(text, " "), 1), pa.int64())
     n_words = pc.cast(
         pc.list_value_length(pc.extract_regex_span(text, r"\w+"))
         if hasattr(pc, "extract_regex_span") else
@@ -73,8 +72,7 @@ def quality_score_batch(batch: pa.Table, id_col: str = "doc_id",
     """
     text = batch[text_col]
     n_chars = pc.cast(pc.utf8_length(text), pa.int64())
-    toks = pc.split_pattern(text, " ")
-    n_tokens = pc.cast(pc.list_value_length(toks), pa.int64())
+    n_tokens = pc.cast(pc.add(pc.count_substring(text, " "), 1), pa.int64())
     low_toks = pc.split_pattern(pc.utf8_lower(text), " ")
     # stopword hits: is_in over the flattened token list, re-segmented
     # back to per-row sums via reduceat on the list offsets
