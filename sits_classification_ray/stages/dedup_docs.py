@@ -11,8 +11,10 @@ Scale shapes (SURVEY §4, ray_guide "Aggregation at scale"):
   candidate pairs inside each bucket → exact Jaccard verify. Only
   bucket collisions are ever paired.
 - **SimHash**: 64-bit hyperplane sketch per doc, stateless batch map.
-- **Embedding cosine**: normalized vectors, per-batch matmul against a
-  broadcast matrix (small side) or blockwise self-join (general).
+- **Embedding cosine**: EXACT — blockwise distributed self-join over
+  object-store matrix blocks (raw Ray tasks, no driver collect);
+  APPROXIMATE — IVF-bucketed, comparing only within coarse k-means
+  lists (the 100 TB path).
 """
 
 from __future__ import annotations
