@@ -22,8 +22,40 @@ from sits_classification_ray.sources.synth import CRAWL_SCHEMA
 _CSV_TYPES = {f.name: f.type for f in CRAWL_SCHEMA}
 
 
-def read_crawl(path: str, columns: list[str] | None = None) -> rd.Dataset:
-    """Read the crawl table, pruning to the requested columns."""
+def validate_crawl_schema(schema: pa.Schema,
+                          columns: list[str] | None = None) -> None:
+    """Validate a file schema against the canonical crawl contract.
+
+    The reference trusts positional column order and fails deep inside
+    numpy when an input drifts; here drift fails fast at the read
+    boundary with a named diff (SURVEY §1.2: declared schema is a
+    deliberate improvement)."""
+    want = {f.name: f.type for f in CRAWL_SCHEMA}
+    for name in (columns or want):
+        if name not in schema.names:
+            raise ValueError(
+                f"crawl input missing column {name!r}; found "
+                f"{schema.names}")
+        got = schema.field(name).type
+        exp = want.get(name)
+        if exp is not None and got != exp and not (
+                pa.types.is_string(exp) and pa.types.is_large_string(got)):
+            raise ValueError(
+                f"crawl column {name!r} has type {got}, expected {exp}")
+
+
+def read_crawl(path: str, columns: list[str] | None = None,
+               validate: bool = True) -> rd.Dataset:
+    """Read the crawl table, pruning to the requested columns; the
+    file schema is validated against the canonical contract first
+    (one footer read — no data pages)."""
+    if validate:
+        import pyarrow.parquet as pq
+        from pathlib import Path
+
+        p = Path(path)
+        first = next(p.rglob("*.parquet")) if p.is_dir() else p
+        validate_crawl_schema(pq.read_schema(str(first)), columns)
     return rd.read_parquet(path, columns=columns)
 
 

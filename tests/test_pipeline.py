@@ -100,3 +100,23 @@ def test_stale_lineage_triggers_recompute(pipe_env, tmp_path):
                      stages=("obs", "grid"))
     assert m["stages"]["obs"]["partitions_computed"] == 8
     assert m["stages"]["grid"]["partitions_computed"] == 8
+
+
+def test_crawl_schema_validation(tmp_path):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import pytest
+
+    from sits_classification_ray.sources.readers import (
+        read_crawl, validate_crawl_schema)
+    from sits_classification_ray.sources.synth import CRAWL_SCHEMA
+
+    validate_crawl_schema(CRAWL_SCHEMA)                  # canonical: ok
+    bad = pa.table({"url": pa.array(["a"]),
+                    "warc_ts": pa.array(["not-a-ts"])})  # wrong type
+    p = tmp_path / "bad.parquet"
+    pq.write_table(bad, str(p))
+    with pytest.raises(ValueError, match="warc_ts"):
+        read_crawl(str(p), columns=["url", "warc_ts"])
+    with pytest.raises(ValueError, match="missing column"):
+        read_crawl(str(p), columns=["url", "html"])
