@@ -136,10 +136,25 @@ def minhash_near_dup_documents(docs: pd.DataFrame, shingle_k: int = 5,
             return {t}
         return {t[i:i + shingle_k] for i in range(len(t) - shingle_k + 1)}
 
+    def shingle_hash_set(t: str) -> set:
+        """Naive per-shingle Horner polynomial mod 2^64, masked to 61
+        bits — the sequential twin of the engine's vectorized form."""
+        data = (t or "").encode()
+        if not data:
+            return {0}
+        span = min(shingle_k, len(data))
+        out = set()
+        for i in range(max(1, len(data) - shingle_k + 1)):
+            h = 0
+            for byte in data[i:i + span]:
+                h = (h * 1099511628211 + byte) % (1 << 64)
+            out.add(h & ((1 << 61) - 1))
+        return out
+
     def signature(t: str) -> np.ndarray:
-        sh = shingles(t or "")
-        hs = np.fromiter((_sha1_u64_one(s) & ((1 << 61) - 1) for s in sh),
-                         dtype=np.uint64, count=len(sh))
+        sh = shingle_hash_set(t)
+        hs = np.fromiter(sh, dtype=np.uint64, count=len(sh))
+        hs = np.sort(hs)
         vals = (a[:, None] * hs[None, :] + b[:, None]) % mers
         return vals.min(axis=1)
 

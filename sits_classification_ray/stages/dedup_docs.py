@@ -78,9 +78,39 @@ def exact_dedup(ds: rd.Dataset, id_col: str = "doc_id",
 _MERSENNE = np.uint64((1 << 61) - 1)
 
 
+_SHINGLE_BASE = np.uint64(1099511628211)
+
+
+def shingle_hashes(data: np.ndarray, k: int) -> np.ndarray:
+    """Distinct k-byte-shingle hashes of one utf-8 buffer, masked to
+    61 bits — a Rabin–Karp polynomial computed as k shifted fused
+    multiply-adds over the whole buffer (O(k·n) numpy, no per-shingle
+    Python). A document shorter than k hashes as one whole-buffer
+    shingle."""
+    n = len(data)
+    if n == 0:
+        return np.zeros(1, dtype=np.uint64)
+    m = max(1, n - k + 1)
+    span = min(k, n)
+    with np.errstate(over="ignore"):
+        pw = np.full(span, _SHINGLE_BASE, dtype=np.uint64)
+        pw[0] = np.uint64(1)
+        np.cumprod(pw, out=pw)
+        h = np.zeros(m, dtype=np.uint64)
+        for j in range(span):
+            h += data[j:j + m] * pw[span - 1 - j]
+    return np.unique(h & np.uint64((1 << 61) - 1))
+
+
 class MinHasher:
     """Stateful signature stage: permutation parameters drawn once per
-    actor from a fixed seed (identical across actors/runs)."""
+    actor from a fixed seed (identical across actors/runs).
+
+    Shingle hashing is the vectorized polynomial above — the round-1
+    per-shingle Python sha1 was ~2k interpreter calls per document,
+    a non-starter at 10^12 docs. Shingle identity is byte-level and
+    by 61-bit hash value (collisions vanishingly rare and
+    deterministic), which is the standard MinHash construction."""
 
     def __init__(self, num_perm: int = 64, shingle_k: int = 5,
                  seed: int = 1, id_col: str = "doc_id",
@@ -94,15 +124,9 @@ class MinHasher:
         self.text_col = text_col
 
     def signature(self, text: str) -> np.ndarray:
-        t = text or ""
-        if len(t) < self.k:
-            shingles = {t}
-        else:
-            shingles = {t[i:i + self.k] for i in range(len(t) - self.k + 1)}
-        hs = np.fromiter(
-            (int.from_bytes(hashlib.sha1(s.encode()).digest()[:8], "big")
-             & ((1 << 61) - 1) for s in shingles),
-            dtype=np.uint64, count=len(shingles))
+        data = np.frombuffer((text or "").encode(),
+                             dtype=np.uint8).astype(np.uint64)
+        hs = shingle_hashes(data, self.k)
         # (a*h + b) mod p for all permutations at once: [P, S] matrix min
         vals = (self.a[:, None] * hs[None, :] + self.b[:, None]) % _MERSENNE
         return vals.min(axis=1)
