@@ -182,6 +182,20 @@ def _tier(sf_dir: str, tier: str) -> rd.Dataset:
     return finalize(partials).select_columns(ROLLUP_COLS)
 
 
+def _training_windows(sf_dir: str) -> rd.Dataset:
+    """Fixed-length padded training windows over the gap-filled grid
+    (the reference DataLoader collate, M13/M14); the SQL oracle checks
+    the window partitioning summary (padding payloads are list columns
+    the hash compare cannot carry)."""
+    from sits_classification_ray.pipelines.training_feed import make_windows
+
+    grid = gapfill(_obs_long(sf_dir), CFG)
+    wins = make_windows(grid, seq_len=96, cfg=CFG)
+    return wins.map_batches(
+        lambda df: df[["url", "metric", "win_idx", "t0", "n_valid"]],
+        batch_format="pandas")
+
+
 def _hll_distinct_urls_daily(sf_dir: str) -> rd.Dataset:
     """Approximate distinct urls per day via a mergeable HyperLogLog
     sketch (the 10^12-row path where exact COUNT(DISTINCT) would
@@ -703,6 +717,7 @@ def build_queries() -> dict[str, Callable[[str], Any]]:
         "gapfill_linear": lambda sf: _gapfill(sf, "linear"),
         "gapfill_locf": lambda sf: _gapfill(sf, "locf"),
         "gapfill_none": lambda sf: _gapfill(sf, "none"),
+        "training_windows": _training_windows,
         # generic stream rollup over the events table (SQL-checked)
         "events_rollup_hourly": _events_rollup_hourly,
         # relational coverage (SQL-checked)
@@ -812,6 +827,16 @@ FROM obs GROUP BY 1, 2, 3""",
         "gapfill_linear": _GAPFILL_LINEAR_SQL,
         "gapfill_locf": _GAPFILL_LOCF_SQL,
         "gapfill_none": _GAPFILL_NONE_SQL,
+        "training_windows": f"""{CRAWL_PREFIX},
+{_GAPFILL_GRID_SQL},
+w AS (
+  SELECT url, metric, grid_ts,
+         (row_number() OVER (PARTITION BY url, metric
+                             ORDER BY grid_ts) - 1) // 96 AS win_idx
+  FROM grid)
+SELECT url, metric, CAST(win_idx AS BIGINT) AS win_idx,
+       min(grid_ts) AS t0, count(*) AS n_valid
+FROM w GROUP BY 1, 2, 3""",
         "events_rollup_hourly": """
 SELECT CAST(user_id AS VARCHAR) AS entity,
        CAST(date_trunc('hour', ts) AS TIMESTAMP) AS bucket_ts,
