@@ -39,26 +39,30 @@ ROLLUP_COLS = ["url", "metric", "bucket_ts",
 # Mirrors sources/synth.crawl_from_tables + stages/extract + stages/series.
 # ---------------------------------------------------------------------------
 
+# Every CTE is MATERIALIZED: DuckDB inlines plain CTEs per reference,
+# so an oracle touching obs_long three times would otherwise re-run
+# the whole crawl synthesis + regex extraction up to 12× (measured
+# 123 s → 0.9 s for the gap-fill oracle at sf0.01).
 CRAWL_PREFIX = f"""WITH {CRAWL_CTE},
-ext AS (
+ext AS MATERIALIZED (
   SELECT url, warc_ts, lang,
          regexp_extract(CAST(html AS VARCHAR),
                         '(?s)<body>(.*)</body>', 1) AS text
   FROM crawl),
-scr AS (
+scr AS MATERIALIZED (
   SELECT url, warc_ts, lang, text,
          length(text) AS text_len,
          len(string_split(text, ' ')) AS word_count
   FROM ext WHERE text IS NOT NULL AND length(text) > 0),
-dd AS (
+dd AS MATERIALIZED (
   SELECT url, warc_ts, lang, text, text_len, word_count FROM (
     SELECT *, row_number() OVER (PARTITION BY url, warc_ts
               ORDER BY text_len, word_count, lang) AS rn FROM scr)
   WHERE rn = 1),
-obs AS (
+obs AS MATERIALIZED (
   SELECT * FROM dd
   WHERE url IN (SELECT url FROM dd GROUP BY url HAVING count(*) >= 2)),
-obs_long AS (
+obs_long AS MATERIALIZED (
   SELECT url, warc_ts, 'text_len' AS metric,
          CAST(text_len AS DOUBLE) AS value FROM obs
   UNION ALL
@@ -77,20 +81,20 @@ FROM obs_long GROUP BY 1, 2, 3"""
 
 
 _GAPFILL_GRID_SQL = """
-bounds AS (
+bounds AS MATERIALIZED (
   SELECT url, metric, min(warc_ts) t0, max(warc_ts) t1
   FROM obs_long GROUP BY 1, 2),
-grid AS (
+grid AS MATERIALIZED (
   SELECT b.url, b.metric, make_timestamp(t.g) AS grid_ts
   FROM bounds b, unnest(generate_series(
       CAST(ceil(epoch_us(b.t0) / 3600000000.0) AS BIGINT) * 3600000000,
       CAST(floor(epoch_us(b.t1) / 3600000000.0) AS BIGINT) * 3600000000,
       3600000000)) AS t(g)),
-prevs AS (
+prevs AS MATERIALIZED (
   SELECT g.url, g.metric, g.grid_ts, o.warc_ts AS pts, o.value AS pval
   FROM grid g ASOF LEFT JOIN obs_long o
     ON g.url = o.url AND g.metric = o.metric AND g.grid_ts >= o.warc_ts),
-nexts AS (
+nexts AS MATERIALIZED (
   SELECT g.url, g.metric, g.grid_ts, o.warc_ts AS nts, o.value AS nval
   FROM grid g ASOF LEFT JOIN obs_long o
     ON g.url = o.url AND g.metric = o.metric AND g.grid_ts <= o.warc_ts),

@@ -43,7 +43,7 @@ CRAWL_SCHEMA = pa.schema(
 #: SQL CTE reproducing :func:`crawl_from_tables` exactly. Every oracle
 #: query over the crawl table starts with ``WITH crawl AS (...)``.
 CRAWL_CTE = """
-crawl AS (
+crawl AS MATERIALIZED (
   SELECT
     'https://site-' || CAST(e.user_id % 40 AS VARCHAR)
         || '.example.com/u/' || CAST(e.user_id AS VARCHAR) AS url,
