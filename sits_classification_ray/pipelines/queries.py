@@ -590,6 +590,43 @@ def _asof_latest_event(sf_dir: str) -> rd.Dataset:
     return out.map_batches(fin, batch_format="pandas")
 
 
+def _range_join_events(sf_dir: str) -> rd.Dataset:
+    """Interval join: obs snapshots falling inside any [event, +6h)
+    window of the same url (J1's range-join sibling)."""
+    from sits_classification_ray.stages.joins import range_join
+
+    left = _obs(sf_dir).select_columns(["url", "warc_ts", "text_len"])
+    events = rd.read_parquet(f"{sf_dir}/events.parquet",
+                             columns=["user_id", "ts", "value"])
+
+    def to_intervals(batch: pa.Table) -> pa.Table:
+        uid = pc.cast(batch["user_id"], pa.string())
+        site = pc.cast(pc.subtract(batch["user_id"],
+                                   pc.multiply(pc.divide(batch["user_id"],
+                                                         40), 40)),
+                       pa.string())
+        url = pc.binary_join_element_wise(
+            "https://site-", site, ".example.com/u/", uid, "")
+        end = pc.add(batch["ts"], pa.scalar(21_600_000_000,
+                                            pa.duration("us")))
+        return pa.table({"url": url, "ev_ts": batch["ts"],
+                         "ev_end": pc.cast(end, pa.timestamp("us")),
+                         "ev_value": batch["value"]})
+
+    right = events.map_batches(to_intervals, batch_format="pyarrow",
+                               zero_copy_batch=True)
+    out = range_join(left, right, by="url", left_ts="warc_ts",
+                     right_start="ev_ts", right_end="ev_end",
+                     value_cols=["ev_value"])
+
+    def fin(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy(deep=False)
+        df["text_len"] = df["text_len"].astype(np.int64)  # union upcast
+        return df
+
+    return out.map_batches(fin, batch_format="pandas")
+
+
 def _join_documents_embeddings(sf_dir: str) -> rd.Dataset:
     from sits_classification_ray.stages.joins import hash_join
 
@@ -755,6 +792,7 @@ def build_queries() -> dict[str, Callable[[str], Any]]:
         "crawl_sessions": _crawl_sessions,
         # joins (SQL-checked)
         "asof_latest_event": _asof_latest_event,
+        "range_join_events": _range_join_events,
         "join_documents_embeddings": _join_documents_embeddings,
         "semi_join_documents": _semi_join_documents,
         "anti_join_documents": _anti_join_documents,
@@ -973,6 +1011,15 @@ ev AS (
 SELECT o.url, o.warc_ts, o.text_len, e.value AS last_event_value
 FROM obs o ASOF LEFT JOIN ev e
   ON o.url = e.url AND o.warc_ts >= e.ts""",
+        "range_join_events": f"""{CRAWL_PREFIX},
+ev AS MATERIALIZED (
+  SELECT 'https://site-' || CAST(user_id % 40 AS VARCHAR)
+         || '.example.com/u/' || CAST(user_id AS VARCHAR) AS url,
+         ts AS ev_ts, ts + INTERVAL 6 HOUR AS ev_end, value AS ev_value
+  FROM events)
+SELECT o.url, o.warc_ts, o.text_len, e.ev_ts, e.ev_value
+FROM obs o JOIN ev e ON o.url = e.url
+  AND o.warc_ts >= e.ev_ts AND o.warc_ts < e.ev_end""",
         "join_documents_embeddings": """
 SELECT d.doc_id, d.lang, d.n_chars, e.label
 FROM documents d JOIN embeddings e ON e.vec_id = d.doc_id""",

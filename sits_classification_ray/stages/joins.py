@@ -77,6 +77,80 @@ def asof_join(left: rd.Dataset, right: rd.Dataset, by: str,
     return partitioned_map(unioned, kernel, keys=[by])
 
 
+def range_join(left: rd.Dataset, right: rd.Dataset, by: str,
+               left_ts: str, right_start: str, right_end: str,
+               value_cols: list[str]) -> rd.Dataset:
+    """Interval (range) join: every pair (left row, right interval)
+    with ``right_start <= left_ts < right_end`` within the same ``by``
+    key — one output row per match (a left row inside k intervals
+    appears k times, SQL inner-join semantics).
+
+    Shape: union-tag both sides, ONE salted exchange on the key, then
+    a per-key vectorized sweep — left timestamps sorted once, each
+    interval resolved to a contiguous slice by two ``searchsorted``
+    calls, matches emitted with ``np.repeat``/``arange`` (no per-pair
+    Python). Partitioning assumption: one key's rows+intervals fit a
+    block — the same series-co-location contract as every other kernel,
+    bounded by the salted partitioner."""
+    from sits_classification_ray.stages.shuffle import partitioned_map
+
+    left_cols = left.columns()
+    out_cols = left_cols + [right_start] + value_cols
+
+    def tag_left(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy(deep=False)
+        df["__side"] = 0
+        return df
+
+    def tag_right(df: pd.DataFrame) -> pd.DataFrame:
+        out = pd.DataFrame({by: df[by], right_start: df[right_start],
+                            "__end": df[right_end], "__side": 1})
+        for c in value_cols:
+            out[c] = df[c]
+        return out
+
+    unioned = left.map_batches(tag_left, batch_format="pandas").union(
+        right.map_batches(tag_right, batch_format="pandas"))
+
+    def kernel(df: pd.DataFrame) -> pd.DataFrame:
+        lf = df[df["__side"] == 0].reindex(columns=left_cols)
+        rf = df[df["__side"] == 1].reindex(
+            columns=[by, right_start, "__end"] + value_cols)
+        outs = []
+        for key, g in lf.groupby(by, sort=False):
+            iv = rf[rf[by] == key]
+            if not len(iv):
+                continue
+            ts = np.sort(g[left_ts].to_numpy().astype("datetime64[us]")
+                         .astype(np.int64))
+            order = np.argsort(g[left_ts].to_numpy(), kind="mergesort")
+            gs = g.iloc[order]
+            starts = iv[right_start].to_numpy().astype("datetime64[us]") \
+                .astype(np.int64)
+            ends = iv["__end"].to_numpy().astype("datetime64[us]") \
+                .astype(np.int64)
+            lo = np.searchsorted(ts, starts, side="left")
+            hi = np.searchsorted(ts, ends, side="left")
+            counts = hi - lo
+            if counts.sum() == 0:
+                continue
+            iv_idx = np.repeat(np.arange(len(iv)), counts)
+            row_idx = (np.arange(counts.sum())
+                       - np.repeat(counts.cumsum() - counts, counts)
+                       + np.repeat(lo, counts))
+            matched = gs.iloc[row_idx].reset_index(drop=True)
+            ivm = iv.iloc[iv_idx].reset_index(drop=True)
+            matched[right_start] = ivm[right_start].to_numpy()
+            for c in value_cols:
+                matched[c] = ivm[c].to_numpy()
+            outs.append(matched[out_cols])
+        if not outs:
+            return lf.iloc[0:0].reindex(columns=out_cols)
+        return pd.concat(outs, ignore_index=True)
+
+    return partitioned_map(unioned, kernel, keys=[by])
+
+
 def hash_join(left: rd.Dataset, right: rd.Dataset, on: str,
               right_on: str | None = None, join_type: str = "inner",
               num_partitions: int = 32) -> rd.Dataset:

@@ -164,3 +164,38 @@ def test_regression_metrics_exact():
     assert out["n"] == 4.0
     # r2 = 1 - 4/5
     assert abs(out["r2"] - (1 - 4 / 5)) < 1e-12
+
+def test_range_join_matches_pandas():
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from sits_classification_ray.stages.joins import range_join
+
+    base = np.datetime64("2024-01-01T00:00:00", "us")
+    left = pd.DataFrame({
+        "url": ["u1"] * 5 + ["u2"] * 3,
+        "warc_ts": [base + np.timedelta64(h, "h")
+                    for h in [0, 1, 5, 10, 24, 0, 2, 9]],
+        "x": np.arange(8, dtype=np.int64),
+    })
+    right = pd.DataFrame({
+        "url": ["u1", "u1", "u2", "u3"],
+        "s": [base, base + np.timedelta64(4, "h"),
+              base + np.timedelta64(1, "h"), base],
+        "e": [base + np.timedelta64(2, "h"), base + np.timedelta64(11, "h"),
+              base + np.timedelta64(3, "h"), base + np.timedelta64(9, "h")],
+        "v": [10.0, 20.0, 30.0, 40.0],
+    })
+    got = (range_join(rd.from_pandas(left), rd.from_pandas(right),
+                      by="url", left_ts="warc_ts", right_start="s",
+                      right_end="e", value_cols=["v"])
+           .to_pandas().sort_values(["url", "warc_ts", "s"])
+           .reset_index(drop=True))
+    want = (left.merge(right, on="url")
+            .query("warc_ts >= s and warc_ts < e")
+            .sort_values(["url", "warc_ts", "s"]).reset_index(drop=True))
+    assert len(got) == len(want) == 5
+    pd.testing.assert_frame_equal(
+        got[["url", "warc_ts", "s", "v"]].astype({"v": float}),
+        want[["url", "warc_ts", "s", "v"]], check_dtype=False)
