@@ -386,6 +386,13 @@ def _text_stats_documents(sf_dir: str) -> rd.Dataset:
                                       columns=["doc_id", "text"]))
 
 
+def _vocab_top100_documents(sf_dir: str) -> pd.DataFrame:
+    from sits_classification_ray.stages.textstats import top_vocabulary
+
+    return top_vocabulary(rd.read_parquet(f"{sf_dir}/documents.parquet",
+                                          columns=["text"]), n=100)
+
+
 def _top3_docs_per_lang(sf_dir: str) -> rd.Dataset:
     from sits_classification_ray.stages.sampling import top_k_per_group
 
@@ -769,6 +776,7 @@ def build_queries() -> dict[str, Callable[[str], Any]]:
         "text_stats_documents": _text_stats_documents,
         "quality_score_documents": _quality_score_documents,
         "top3_docs_per_lang": _top3_docs_per_lang,
+        "vocab_top100_documents": _vocab_top100_documents,
         "similarity_topk": _similarity_topk,
         "embedding_near_dup": _embedding_near_dup,
         "embedding_near_dup_ivf": _embedding_near_dup_ivf,
@@ -913,6 +921,10 @@ SELECT doc_id, length(text) AS n_chars,
        CAST(length(text) AS DOUBLE) / len(string_split(text, ' '))
            AS chars_per_token
 FROM documents""",
+        "vocab_top100_documents": """
+SELECT token, count(*) AS n FROM (
+  SELECT unnest(string_split(lower(text), ' ')) AS token FROM documents)
+GROUP BY 1 ORDER BY n DESC, token LIMIT 100""",
         "top3_docs_per_lang": """
 SELECT doc_id, lang, n_chars FROM (
   SELECT *, row_number() OVER (PARTITION BY lang

@@ -160,6 +160,40 @@ def lang_id(ds: rd.Dataset, concurrency=(1, 4)) -> rd.Dataset:
                           concurrency=concurrency, num_cpus=1)
 
 
+# --- vocabulary / token frequencies --------------------------------------
+
+
+def token_counts(ds: rd.Dataset, text_col: str = "text") -> rd.Dataset:
+    """Global token frequencies — the vocabulary-building combiner.
+
+    Per batch: lowercase, split on spaces, one vectorized value_counts
+    (the partial); merge is a native Sum aggregate keyed by token, so
+    the shuffle moves (token, n) partials bounded by each batch's
+    DISTINCT token count, never the corpus."""
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        toks = pc.list_flatten(
+            pc.split_pattern(pc.utf8_lower(batch[text_col]), " "))
+        t = pa.table({"token": toks})
+        g = t.group_by(["token"]).aggregate([([], "count_all")])
+        return g.rename_columns(["token", "n"])
+
+    partials = ds.map_batches(partial, batch_format="pyarrow",
+                              zero_copy_batch=True)
+    return partials.groupby("token").aggregate(Sum("n", alias_name="n"))
+
+
+def top_vocabulary(ds: rd.Dataset, text_col: str = "text",
+                   n: int = 100) -> pd.DataFrame:
+    """Top-n tokens by global frequency, ties broken by token —
+    deterministic under any partitioning. The aggregated (token, n)
+    table is small; only it is sorted/limited."""
+    counts = token_counts(ds, text_col)
+    top = counts.sort(["n", "token"], descending=[True, False]).limit(n)
+    return top.to_pandas()
+
+
 # --- document fingerprint (rolling polynomial hash) ----------------------
 
 _FP_BASE = np.uint64(1099511628211)
