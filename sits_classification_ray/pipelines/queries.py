@@ -918,6 +918,9 @@ FROM documents GROUP BY text""",
 SELECT doc_id, length(text) AS n_chars,
        len(string_split(text, ' ')) AS n_tokens,
        len(regexp_extract_all(text, '\w+')) AS n_words,
+       len(regexp_extract_all(text,
+           '''(?:s|t|re|ve|m|ll|d)| ?[a-zA-Z]+| ?[0-9]+| ?[^\sa-zA-Z0-9]+|\s+'))
+           AS n_bpe_tokens,
        CAST(length(text) AS DOUBLE) / len(string_split(text, ' '))
            AS chars_per_token
 FROM documents""",

@@ -18,13 +18,23 @@ import pyarrow.compute as pc
 import ray.data as rd
 
 
+#: GPT-2-style pre-tokenizer pattern, RE2-safe (no lookaheads): common
+#: English contractions, space-prefixed letter/digit runs, punctuation
+#: runs, whitespace runs. Shared verbatim with the DuckDB oracle.
+BPE_SPLIT_RE = (r"'(?:s|t|re|ve|m|ll|d)| ?[a-zA-Z]+| ?[0-9]+"
+                r"| ?[^\sa-zA-Z0-9]+|\s+")
+
+
 def text_stats_batch(batch: pa.Table, id_col: str = "doc_id",
                      text_col: str = "text") -> pa.Table:
-    """SQL-parity stats: chars, space-split tokens, word-regex tokens.
+    """SQL-parity stats: chars, space-split tokens, word-regex tokens,
+    BPE-ish pre-tokens.
 
     ``n_tokens`` = number of single-space-separated fields (DuckDB
     ``len(string_split(text,' '))``); ``n_words`` = ``\\w+`` matches
     (DuckDB ``len(regexp_extract_all(text,'\\w+'))``);
+    ``n_bpe_tokens`` = :data:`BPE_SPLIT_RE` matches — the GPT-2-style
+    pre-tokenization count a BPE tokenizer would start from;
     ``chars_per_token`` = exact double division (deterministic on both
     engines).
     """
@@ -35,6 +45,8 @@ def text_stats_batch(batch: pa.Table, id_col: str = "doc_id",
         pc.list_value_length(pc.extract_regex_span(text, r"\w+"))
         if hasattr(pc, "extract_regex_span") else
         pc.count_substring_regex(text, r"\w+"), pa.int64())
+    n_bpe = pc.cast(pc.count_substring_regex(text, BPE_SPLIT_RE),
+                    pa.int64())
     cpt = pc.divide(pc.cast(n_chars, pa.float64()),
                     pc.cast(n_tokens, pa.float64()))
     return pa.table({
@@ -42,6 +54,7 @@ def text_stats_batch(batch: pa.Table, id_col: str = "doc_id",
         "n_chars": n_chars,
         "n_tokens": n_tokens,
         "n_words": n_words,
+        "n_bpe_tokens": n_bpe,
         "chars_per_token": cpt,
     })
 
