@@ -481,6 +481,53 @@ def apply_retention(out_dir: str, cfg: EngineConfig,
     return dropped
 
 
+def compact_partitions(out_dir: str, table: str,
+                       max_files_per_partition: int = 4,
+                       cfg: EngineConfig | None = None) -> dict:
+    """Merge small parquet files within each ``url_bucket`` directory
+    (the TSDB compaction step: ingest/retention rewrites accumulate
+    file fragments; reads degrade with per-file open/footer cost).
+
+    One Ray task per directory over the threshold — read, concat,
+    write one file, atomically swap. Partitions at or under the
+    threshold are untouched (idempotent; safe to run any time between
+    pipeline runs)."""
+    import ray
+
+    cfg = cfg or EngineConfig()
+
+    @ray.remote(num_cpus=1)
+    def compact(dir_path: str, compression: str) -> int:
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        d = Path(dir_path)
+        files = sorted(d.glob("*.parquet"))
+        if len(files) <= 1:
+            return 0
+        merged = pa.concat_tables([pq.read_table(str(f)) for f in files])
+        tmp = d / "compacted.parquet.tmp"
+        pq.write_table(merged, str(tmp), compression=compression)
+        for f in files:
+            f.unlink()
+        tmp.rename(d / "compacted.parquet")
+        return len(files)
+
+    root = Path(out_dir) / table
+    refs = []
+    skipped = 0
+    for part in sorted(root.glob("url_bucket=*")):
+        n = len(list(part.glob("*.parquet")))
+        if n > max_files_per_partition:
+            refs.append(compact.remote(str(part), cfg.parquet_compression))
+        else:
+            skipped += 1
+    merged_counts = ray.get(refs)
+    return {"partitions_compacted": len(refs),
+            "partitions_skipped": skipped,
+            "files_merged": int(sum(merged_counts))}
+
+
 def finalize_with_state(partials: rd.Dataset) -> rd.Dataset:
     """Public tier schema + the ``last_src_ts`` merge-state column that
     lets the next tier re-aggregate from this stored table."""

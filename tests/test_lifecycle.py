@@ -126,3 +126,33 @@ def test_retention_metadata_skip(managed_env):
     after = {f: f.stat().st_mtime_ns
              for f in (Path(out) / "obs").rglob("*.parquet")}
     assert after == mtimes
+
+
+def test_compaction_preserves_rows(managed_env):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from sits_classification_ray.pipelines.rollup_pipeline import (
+        compact_partitions)
+
+    root, out, cfg, _ = managed_env
+    obs_root = Path(out) / "obs"
+    before = pads.dataset(str(obs_root),
+                          partitioning="hive").to_table().to_pandas()
+    # fragment one partition artificially (what repeated ingests do)
+    part = sorted(obs_root.glob("url_bucket=*"))[0]
+    src = sorted(part.glob("*.parquet"))[0]
+    t = pq.read_table(str(src))
+    for i in range(3):
+        pq.write_table(t.slice(i, 1), str(part / f"frag{i}.parquet"))
+    extra = 3
+    stats = compact_partitions(str(out), "obs", max_files_per_partition=1,
+                               cfg=cfg)
+    assert stats["files_merged"] >= 4        # src + 3 fragments merged
+    assert len(list(part.glob("*.parquet"))) == 1
+    after = pads.dataset(str(obs_root),
+                         partitioning="hive").to_table().to_pandas()
+    assert len(after) == len(before) + extra
+    # rerun is a no-op on already-compacted dirs with threshold >= 1
+    stats2 = compact_partitions(str(out), "obs", max_files_per_partition=1)
+    assert stats2["files_merged"] == 0
