@@ -555,6 +555,15 @@ def _rolling_mean_crawl(sf_dir: str) -> rd.Dataset:
         batch_format="pandas")
 
 
+def _snapshot_deltas_crawl(sf_dir: str) -> rd.Dataset:
+    from sits_classification_ray.stages.windows import snapshot_deltas
+
+    out = snapshot_deltas(_obs_long(sf_dir))
+    return out.map_batches(
+        lambda df: df[["url", "metric", "warc_ts", "value", "delta"]],
+        batch_format="pandas")
+
+
 def _crawl_sessions(sf_dir: str) -> rd.Dataset:
     from sits_classification_ray.stages.windows import sessionize
 
@@ -798,6 +807,7 @@ def build_queries() -> dict[str, Callable[[str], Any]]:
         "running_sum_crawl": _running_sum_crawl,
         "rolling_mean_crawl": _rolling_mean_crawl,
         "crawl_sessions": _crawl_sessions,
+        "snapshot_deltas_crawl": _snapshot_deltas_crawl,
         # joins (SQL-checked)
         "asof_latest_event": _asof_latest_event,
         "range_join_events": _range_join_events,
@@ -1004,6 +1014,11 @@ SELECT url, metric, warc_ts, value,
        avg(value) OVER (PARTITION BY url, metric ORDER BY warc_ts
                         ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)
            AS rolling_mean
+FROM obs_long""",
+        "snapshot_deltas_crawl": f"""{CRAWL_PREFIX}
+SELECT url, metric, warc_ts, value,
+       value - lag(value) OVER (PARTITION BY url, metric
+                                ORDER BY warc_ts) AS delta
 FROM obs_long""",
         "crawl_sessions": f"""{CRAWL_PREFIX},
 gaps AS (

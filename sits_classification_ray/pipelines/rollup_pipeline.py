@@ -253,7 +253,10 @@ def run_pipeline(input_path: str | list, out_dir: str,
         commit_stage("segments", seg_path, todo, t0)
 
     def run_tiers() -> None:
-        prev_path = obs_path
+        # each tier re-aggregates from the previous tier COMPUTED IN
+        # THIS RUN; the first requested tier (whatever it is) rolls up
+        # from obs, so e.g. stages=("obs", "daily") is legal
+        prev_tier_path: Path | None = None
         for tier in TIER_STAGES:
             if tier not in stages:
                 continue
@@ -263,18 +266,18 @@ def run_pipeline(input_path: str | list, out_dir: str,
                 t0 = time.perf_counter()
                 _clean_partitions(tier_path, todo)
                 sub = todo if len(todo) < cfg.n_buckets else None
-                if tier == "hourly":
+                if prev_tier_path is None:
                     src = to_long(_read_stage(obs_path, sub), cfg.metrics)
                     partials = rollup(src, TIER_SECONDS[tier], cfg)
                 else:
-                    stored = _read_stage(prev_path, sub)
+                    stored = _read_stage(prev_tier_path, sub)
                     partials = reaggregate(stored, TIER_SECONDS[tier], cfg)
                 outds = finalize_with_state(partials)
                 outds.write_parquet(str(tier_path),
                                     partition_cols=["url_bucket"],
                                     compression=cfg.parquet_compression)
                 commit_stage(tier, tier_path, todo, t0)
-            prev_path = tier_path
+            prev_tier_path = tier_path
 
     from concurrent.futures import ThreadPoolExecutor
 

@@ -114,6 +114,74 @@ def write_crawl_csv(table: pa.Table, path: str) -> str:
     return path
 
 
+def read_crawl_jsonl(path: str) -> rd.Dataset:
+    """Read a JSONL-format crawl dump (the shape raw crawl exports
+    ship in): one object per line, ``html`` carried base64 (binary is
+    not a JSON type), ``warc_ts`` ISO-8601."""
+    import base64
+
+    import pyarrow.compute as pc
+
+    ds = rd.read_json(path)
+
+    def decode(batch: pa.Table) -> pa.Table:
+        html = pa.array(
+            [base64.b64decode(s) if s is not None else None
+             for s in batch["html_b64"].to_pylist()], pa.binary())
+        ts = batch["warc_ts"]
+        if not pa.types.is_timestamp(ts.type):
+            ts = pc.strptime(pc.cast(ts, pa.string()),
+                             format="%Y-%m-%dT%H:%M:%S", unit="us")
+        return pa.table({
+            "url": pc.cast(batch["url"], pa.string()),
+            "warc_ts": pc.cast(ts, pa.timestamp("us")),
+            "html": html,
+            "text": pc.cast(batch["text"], pa.string()),
+            "lang": pc.cast(batch["lang"], pa.string()),
+        })
+
+    return ds.map_batches(decode, batch_format="pyarrow",
+                          zero_copy_batch=True)
+
+
+def write_crawl_jsonl(table: pa.Table, path: str) -> str:
+    """Write a crawl table as JSONL (html base64-encoded)."""
+    import base64
+    import json
+
+    with open(path, "w") as fh:
+        for row in table.to_pylist():
+            fh.write(json.dumps({
+                "url": row["url"],
+                "warc_ts": row["warc_ts"].isoformat(),
+                "html_b64": base64.b64encode(row["html"]).decode()
+                if row["html"] is not None else None,
+                "text": row["text"],
+                "lang": row["lang"],
+            }) + "\n")
+    return path
+
+
+def read_tier(out_dir: str, tier: str,
+              start=None, end=None,
+              columns: list[str] | None = None) -> rd.Dataset:
+    """Read a stored tier table with column pruning and a bucket_ts
+    range filter pushed into the parquet scan (row groups outside the
+    range never leave storage)."""
+    import pyarrow.dataset as pads
+
+    expr = None
+    if start is not None:
+        expr = pads.field("bucket_ts") >= pa.scalar(
+            __import__("pandas").Timestamp(start).to_datetime64())
+    if end is not None:
+        e = pads.field("bucket_ts") < pa.scalar(
+            __import__("pandas").Timestamp(end).to_datetime64())
+        expr = e if expr is None else expr & e
+    return rd.read_parquet(f"{out_dir}/{tier}", columns=columns,
+                           filter=expr)
+
+
 def write_partitioned(ds: rd.Dataset, path: str,
                       cfg: EngineConfig | None = None) -> None:
     cfg = cfg or EngineConfig()

@@ -62,6 +62,32 @@ def rolling_mean(ds_long: rd.Dataset, window: int = 4,
     return _bucketed(ds_long, kernel)
 
 
+def snapshot_deltas(ds_long: rd.Dataset, out_col: str = "delta"
+                    ) -> rd.Dataset:
+    """Change detection per series: value minus the previous
+    observation's value (SQL ``lag`` semantics — the first row of each
+    (url, metric) series gets null). The crawl-archive "what changed
+    between snapshots" primitive."""
+
+    def kernel(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["url", "metric", "warc_ts"],
+                            kind="mergesort").copy()
+        vals = df["value"].to_numpy(np.float64)
+        urls = df["url"].to_numpy()
+        mets = df["metric"].to_numpy()
+        delta = np.empty(len(df))
+        delta[0:1] = np.nan
+        delta[1:] = vals[1:] - vals[:-1]
+        series_start = np.zeros(len(df), dtype=bool)
+        series_start[0:1] = True
+        series_start[1:] = (urls[1:] != urls[:-1]) | (mets[1:] != mets[:-1])
+        delta[series_start] = np.nan
+        df[out_col] = delta
+        return df
+
+    return _bucketed(ds_long, kernel)
+
+
 def sessionize(ds: rd.Dataset, gap_seconds: int = 86400,
                ts_col: str = "warc_ts", key_col: str = "url",
                out_col: str = "session_id") -> rd.Dataset:

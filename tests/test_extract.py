@@ -46,3 +46,40 @@ def test_to_long(crawl_ds):
     assert len(long) == n * len(CFG.metrics)
     assert set(long["metric"]) == set(CFG.metrics)
     assert long["value"].dtype == np.float64
+
+
+def test_jsonl_roundtrip(tmp_path, crawl_table):
+    from sits_classification_ray.sources.readers import (read_crawl_jsonl,
+                                                         write_crawl_jsonl)
+
+    sub = crawl_table.slice(0, 50)
+    p = tmp_path / "crawl.jsonl"
+    write_crawl_jsonl(sub, str(p))
+    back = (read_crawl_jsonl(str(p)).to_pandas()
+            .sort_values(["url", "warc_ts"]).reset_index(drop=True))
+    want = (sub.to_pandas().sort_values(["url", "warc_ts"])
+            .reset_index(drop=True))
+    assert back["url"].tolist() == want["url"].tolist()
+    assert back["html"].tolist() == want["html"].tolist()   # byte-exact
+    assert (back["warc_ts"] == want["warc_ts"]).all()
+
+
+def test_read_tier_range_filter(tmp_path, crawl_ds):
+    import pandas as pd
+
+    from sits_classification_ray.config import EngineConfig
+    from sits_classification_ray.pipelines.rollup_pipeline import run_pipeline
+    from sits_classification_ray.sources.readers import read_tier
+
+    out = tmp_path / "out"
+    src = tmp_path / "in.parquet"
+    crawl_ds.write_parquet(str(src))
+    run_pipeline(str(src), str(out), EngineConfig(n_buckets=8),
+                 stages=("obs", "daily"), telemetry=False)
+    full = read_tier(str(out), "daily").to_pandas()
+    lo = full["bucket_ts"].sort_values().iloc[len(full) // 2]
+    part = read_tier(str(out), "daily", start=lo,
+                     columns=["url", "bucket_ts", "count"]).to_pandas()
+    assert set(part.columns) >= {"url", "bucket_ts", "count"}
+    assert (part["bucket_ts"] >= pd.Timestamp(lo)).all()
+    assert len(part) == (full["bucket_ts"] >= pd.Timestamp(lo)).sum()
