@@ -555,6 +555,15 @@ def _rolling_mean_crawl(sf_dir: str) -> rd.Dataset:
         batch_format="pandas")
 
 
+def _head_domains_crawl(sf_dir: str) -> rd.Dataset:
+    """Heavy hitters: the 10 most-snapshotted urls — the detection
+    primitive whose output would feed hot_key_threshold tuning."""
+    from ray.data.aggregate import Count
+
+    counts = _obs(sf_dir).groupby("url").aggregate(Count(alias_name="n"))
+    return counts.sort(["n", "url"], descending=[True, False]).limit(10)
+
+
 def _snapshot_deltas_crawl(sf_dir: str) -> rd.Dataset:
     from sits_classification_ray.stages.windows import snapshot_deltas
 
@@ -808,6 +817,7 @@ def build_queries() -> dict[str, Callable[[str], Any]]:
         "rolling_mean_crawl": _rolling_mean_crawl,
         "crawl_sessions": _crawl_sessions,
         "snapshot_deltas_crawl": _snapshot_deltas_crawl,
+        "head_domains_crawl": _head_domains_crawl,
         # joins (SQL-checked)
         "asof_latest_event": _asof_latest_event,
         "range_join_events": _range_join_events,
@@ -1015,6 +1025,9 @@ SELECT url, metric, warc_ts, value,
                         ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)
            AS rolling_mean
 FROM obs_long""",
+        "head_domains_crawl": f"""{CRAWL_PREFIX}
+SELECT url, count(*) AS n FROM obs
+GROUP BY url ORDER BY n DESC, url LIMIT 10""",
         "snapshot_deltas_crawl": f"""{CRAWL_PREFIX}
 SELECT url, metric, warc_ts, value,
        value - lag(value) OVER (PARTITION BY url, metric
