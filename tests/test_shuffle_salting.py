@@ -4,6 +4,7 @@ by hot_key_threshold instead of shipping one fat url_bucket block."""
 
 import numpy as np
 import pandas as pd
+import pyarrow as pa
 import pytest
 import ray.data as rd
 
@@ -168,3 +169,48 @@ def test_salting_deterministic_across_runs(skewed_obs):
     pd.testing.assert_frame_equal(
         out1.sort_values(k).reset_index(drop=True),
         out2.sort_values(k).reset_index(drop=True))
+
+
+def test_pipeline_with_active_salting_matches_oracle(tmp_path_factory,
+                                                     skewed_obs):
+    """End-to-end run_pipeline with hot_key_threshold low enough that
+    S > 1 sub-bucketing actually engages — the daily tier must equal
+    the single-node oracle exactly."""
+    import pyarrow.dataset as pads
+    import pyarrow.parquet as pq
+
+    from sits_classification_ray.oracle.reference import (rollup_oracle,
+                                                          to_long_oracle)
+    from sits_classification_ray.pipelines.rollup_pipeline import run_pipeline
+    from sits_classification_ray.stages.shuffle import salt_factor
+
+    root = tmp_path_factory.mktemp("salted_e2e")
+    # crawl-shaped input derived from the skewed obs fixture
+    crawl = pd.DataFrame({
+        "url": skewed_obs["url"],
+        "warc_ts": skewed_obs["warc_ts"],
+        "html": ("<html><head><title>x</title></head><body>"
+                 + pd.Series(["w " * int(n) for n in
+                              skewed_obs["word_count"] % 7 + 1])
+                 + "</body></html>").str.encode("utf-8"),
+        "text": "",
+        "lang": skewed_obs["lang"],
+    })
+    pq.write_table(pa.Table.from_pandas(crawl, preserve_index=False),
+                   str(root / "crawl.parquet"))
+    cfg = EngineConfig(n_buckets=8, hot_key_threshold=1_000)
+    assert salt_factor(len(crawl), cfg.hot_key_threshold,
+                       cfg.n_buckets) > 1        # salting really engages
+    run_pipeline(str(root / "crawl.parquet"), str(root / "out"), cfg,
+                 stages=("obs", "hourly", "daily"), telemetry=False)
+
+    got = (pads.dataset(str(root / "out" / "daily"), partitioning="hive")
+           .to_table().to_pandas())
+    obs = (pads.dataset(str(root / "out" / "obs"), partitioning="hive")
+           .to_table().to_pandas())
+    want = rollup_oracle(to_long_oracle(obs), 86400)
+    key = ["url", "metric", "bucket_ts"]
+    cols = key + ["count", "sum", "min", "max", "last"]
+    g = got[cols].sort_values(key).reset_index(drop=True)
+    w = want[cols].sort_values(key).reset_index(drop=True)
+    pd.testing.assert_frame_equal(g, w, check_dtype=False)
