@@ -360,6 +360,29 @@ def augmented_rollup(obs_long: pd.DataFrame, seed: int = 7) -> pd.DataFrame:
     return out
 
 
+def canonical_urls_crawl(obs: pd.DataFrame) -> pd.DataFrame:
+    """Distinct url → canonical form (same rules as stages/urlnorm:
+    lowercase scheme/host, default-port strip, "/" for empty path,
+    fragment dropped, query params sorted)."""
+    from urllib.parse import urlsplit
+
+    urls = sorted(set(obs["url"]))
+    out = []
+    for u in urls:
+        s = urlsplit(u)
+        scheme = s.scheme.lower()
+        host = (s.hostname or "").lower()
+        port = ""
+        if s.port is not None and not (
+                (scheme == "http" and s.port == 80)
+                or (scheme == "https" and s.port == 443)):
+            port = f":{s.port}"
+        path = s.path or "/"
+        query = "?" + "&".join(sorted(s.query.split("&"))) if s.query else ""
+        out.append((u, f"{scheme}://{host}{port}{path}{query}"))
+    return pd.DataFrame(out, columns=["url", "canonical_url"])
+
+
 def hll_distinct_urls_daily(obs: pd.DataFrame, p: int = 12) -> pd.DataFrame:
     """HLL distinct urls per day — same sha1 hash + FD estimator as
     functions/sketches.py, computed sequentially over exact per-day

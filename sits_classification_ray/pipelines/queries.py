@@ -555,6 +555,18 @@ def _rolling_mean_crawl(sf_dir: str) -> rd.Dataset:
         batch_format="pandas")
 
 
+def _canonical_urls_crawl(sf_dir: str) -> rd.Dataset:
+    """Distinct url → canonical form (crawl-dedup prerequisite)."""
+    from ray.data.aggregate import Count
+
+    from sits_classification_ray.stages.urlnorm import canonical_urls
+
+    distinct = (_obs(sf_dir).groupby("url")
+                .aggregate(Count(alias_name="_n"))
+                .select_columns(["url"]))
+    return canonical_urls(distinct)
+
+
 def _head_domains_crawl(sf_dir: str) -> rd.Dataset:
     """Heavy hitters: the 10 most-snapshotted urls — the detection
     primitive whose output would feed hot_key_threshold tuning."""
@@ -818,6 +830,7 @@ def build_queries() -> dict[str, Callable[[str], Any]]:
         "crawl_sessions": _crawl_sessions,
         "snapshot_deltas_crawl": _snapshot_deltas_crawl,
         "head_domains_crawl": _head_domains_crawl,
+        "canonical_urls_crawl": _canonical_urls_crawl,
         # joins (SQL-checked)
         "asof_latest_event": _asof_latest_event,
         "range_join_events": _range_join_events,
@@ -862,6 +875,7 @@ def _golden_sql(name: str) -> str:
 #: operators that ANSI SQL cannot express).
 GOLDEN_QUERIES = [
     "embedding_near_dup_ivf", "hll_distinct_urls_daily",
+    "canonical_urls_crawl",
     "langid_documents", "langid_confusion", "simhash_documents",
     "fingerprint_documents", "minhash_near_dup_documents", "ivf_topk",
     "stratified_sample_documents", "train_test_split_sizes",

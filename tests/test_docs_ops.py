@@ -185,3 +185,17 @@ def test_top_k_per_group(docs_ds):
            .to_pandas().sort_values(["grp", "doc_id"]).reset_index(drop=True))
     # a: scores 9(doc1),9(doc2); b: 8(doc5),8(doc7)
     assert out["doc_id"].tolist() == [1, 2, 5, 7]
+
+
+def test_url_canonicalization_rules():
+    from sits_classification_ray.stages.urlnorm import canonicalize_url
+
+    cases = {
+        "HTTP://Example.COM:80/a?b=2&a=1#frag": "http://example.com/a?a=1&b=2",
+        "https://Example.com:443": "https://example.com/",
+        "https://example.com:8443/x": "https://example.com:8443/x",
+        "http://example.com/path/": "http://example.com/path/",
+        "https://site.example.com/u/3": "https://site.example.com/u/3",
+    }
+    for raw, want in cases.items():
+        assert canonicalize_url(raw) == want, raw

@@ -66,6 +66,7 @@ def make_for(sf_dir: str) -> None:
         "harmonic_daily": lambda: golden.harmonic_daily(obs_long),
         "hll_distinct_urls_daily":
             lambda: golden.hll_distinct_urls_daily(obs),
+        "canonical_urls_crawl": lambda: golden.canonical_urls_crawl(obs),
         "augmented_rollup": lambda: golden.augmented_rollup(obs_long),
         "html_byte_features": lambda: golden.html_byte_features(crawl),
         "frame_samples": lambda: golden.frame_samples(crawl),
