@@ -291,6 +291,19 @@ def _gorilla_segments(sf_dir: str) -> rd.Dataset:
     return seg.map_batches(check, batch_format="pandas")
 
 
+def _gapfill_unbounded(sf_dir: str) -> rd.Dataset:
+    """Sort+halo-exchange gap-fill (no per-series size bound) — same
+    oracle as gapfill_linear, so the driver certifies the halo
+    algebra, not just the kernel."""
+    from sits_classification_ray.stages.gapfill_sorted import \
+        gapfill_unbounded
+
+    out = gapfill_unbounded(_obs_long(sf_dir), EngineConfig(),
+                            num_blocks=16)
+    return out.select_columns(["url", "metric", "grid_ts", "value",
+                               "filled"])
+
+
 def _gorilla_roundtrip(sf_dir: str) -> rd.Dataset:
     """Driver-checkable codec proof: every (url, metric) stream is
     Gorilla-encoded, decoded back, and summarized from the DECODED
@@ -795,6 +808,7 @@ def build_queries() -> dict[str, Callable[[str], Any]]:
         "gapfill_linear": lambda sf: _gapfill(sf, "linear"),
         "gapfill_locf": lambda sf: _gapfill(sf, "locf"),
         "gapfill_none": lambda sf: _gapfill(sf, "none"),
+        "gapfill_unbounded": _gapfill_unbounded,
         "training_windows": _training_windows,
         # generic stream rollup over the events table (SQL-checked)
         "events_rollup_hourly": _events_rollup_hourly,
@@ -911,6 +925,7 @@ FROM obs GROUP BY 1, 2, 3""",
         "gapfill_linear": _GAPFILL_LINEAR_SQL,
         "gapfill_locf": _GAPFILL_LOCF_SQL,
         "gapfill_none": _GAPFILL_NONE_SQL,
+        "gapfill_unbounded": _GAPFILL_LINEAR_SQL,
         "training_windows": f"""{CRAWL_PREFIX},
 {_GAPFILL_GRID_SQL},
 w AS (
