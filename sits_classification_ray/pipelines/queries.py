@@ -598,6 +598,19 @@ def _snapshot_deltas_crawl(sf_dir: str) -> rd.Dataset:
         batch_format="pandas")
 
 
+def _running_sum_unbounded(sf_dir: str) -> rd.Dataset:
+    """Distributed prefix-scan running sum (no per-series bound) —
+    same SQL oracle as running_sum_crawl, certifying the carry-in
+    algebra."""
+    from sits_classification_ray.stages.scan_sorted import \
+        running_sum_unbounded
+
+    out = running_sum_unbounded(_obs_long(sf_dir), num_blocks=16)
+    return out.map_batches(
+        lambda df: df[["url", "metric", "warc_ts", "value", "running_sum"]],
+        batch_format="pandas")
+
+
 def _crawl_sessions(sf_dir: str) -> rd.Dataset:
     from sits_classification_ray.stages.windows import sessionize
 
@@ -840,6 +853,7 @@ def build_queries() -> dict[str, Callable[[str], Any]]:
         "distinct_lang_source": _distinct_lang_source,
         # ordered-window operators (SQL-checked)
         "running_sum_crawl": _running_sum_crawl,
+        "running_sum_unbounded": _running_sum_unbounded,
         "rolling_mean_crawl": _rolling_mean_crawl,
         "crawl_sessions": _crawl_sessions,
         "snapshot_deltas_crawl": _snapshot_deltas_crawl,
@@ -1044,6 +1058,11 @@ FROM h, t ORDER BY h.label""",
         "distinct_lang_source": """
 SELECT lang, source FROM documents GROUP BY 1, 2""",
         "running_sum_crawl": f"""{CRAWL_PREFIX}
+SELECT url, metric, warc_ts, value,
+       sum(value) OVER (PARTITION BY url, metric ORDER BY warc_ts
+                        ROWS UNBOUNDED PRECEDING) AS running_sum
+FROM obs_long""",
+        "running_sum_unbounded": f"""{CRAWL_PREFIX}
 SELECT url, metric, warc_ts, value,
        sum(value) OVER (PARTITION BY url, metric ORDER BY warc_ts
                         ROWS UNBOUNDED PRECEDING) AS running_sum

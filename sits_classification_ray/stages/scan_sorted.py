@@ -1,0 +1,137 @@
+"""Unbounded-series ordered scans: distributed prefix-sum and lag.
+
+Companions to :mod:`stages.gapfill_sorted` for the §2.9 window
+operators whose salted-partition versions are bounded by the largest
+single series. Same shape: ``Dataset.sort`` on (url, metric, warc_ts)
+→ range-partitioned blocks, a TINY per-block boundary exchange, then
+one Ray task per block.
+
+- :func:`running_sum_unbounded` — the classic distributed prefix
+  scan: each block reports, per boundary series, its local sum (≤ 2
+  rows per block); the driver accumulates carry-ins in O(B); each
+  block then adds its carry-in to the continuation series' local
+  cumsum. Nothing driver-side scales with data — only with blocks.
+- :func:`snapshot_deltas_unbounded` — lag across cuts: each block
+  receives the previous block's last row (1-row halo, reusing the
+  gap-fill boundary machinery) so the first row of a continuing
+  series gets its true delta.
+
+Partitioning assumption: one BLOCK fits a worker — nothing about any
+series. Outputs are bit-identical to the salted-partition operators
+for integer-valued metrics (every sum < 2^53 is exact in any order —
+the engine's metrics are counts/lengths); for general floats the
+carry-in is a re-associated sum, same as any distributed scan.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray
+import ray.data as rd
+
+_KEY = ["url", "metric"]
+
+
+def _sorted_refs(ds_long: rd.Dataset, num_blocks: int | None):
+    srt = ds_long
+    if num_blocks:
+        srt = srt.repartition(num_blocks)
+    srt = srt.sort(["url", "metric", "warc_ts"])
+    return srt.to_arrow_refs()
+
+
+def running_sum_unbounded(ds_long: rd.Dataset,
+                          out_col: str = "running_sum",
+                          num_blocks: int | None = None) -> rd.Dataset:
+    block_refs = _sorted_refs(ds_long, num_blocks)
+
+    @ray.remote(num_cpus=0.25)
+    def series_totals(t: pa.Table) -> list:
+        """(first_key, its sum, last_key, its sum) for one block —
+        only boundary series can need carry across blocks."""
+        if len(t) == 0:
+            return []
+        df = t.select(["url", "metric", "value"]).to_pandas()
+        g = df.groupby(_KEY, sort=False)["value"].sum()
+        first_key = (df["url"].iloc[0], df["metric"].iloc[0])
+        last_key = (df["url"].iloc[-1], df["metric"].iloc[-1])
+        out = [(first_key, float(g.loc[first_key]))]
+        if last_key != first_key:
+            out.append((last_key, float(g.loc[last_key])))
+        return out
+
+    totals = ray.get([series_totals.remote(r) for r in block_refs])
+    # O(B) driver pass: carry-in per block for its continuing series
+    carry: list[tuple | None] = []        # (key, carry_value) per block
+    acc_key: tuple | None = None
+    acc_val = 0.0
+    for t in totals:
+        if not t:
+            carry.append(None)
+            continue
+        first_key = t[0][0]
+        carry.append((first_key, acc_val) if first_key == acc_key else None)
+        # fold this block's boundary sums into the accumulator
+        for key, s in t:
+            if key == acc_key:
+                acc_val += s
+            else:
+                acc_key, acc_val = key, s
+
+    @ray.remote(num_cpus=1)
+    def scan(t: pa.Table, carry_in) -> pa.Table:
+        if len(t) == 0:
+            return t
+        df = t.to_pandas()
+        df[out_col] = df.groupby(_KEY, sort=False)["value"].cumsum()
+        if carry_in is not None:
+            (url, metric), c = carry_in
+            m = (df["url"] == url) & (df["metric"] == metric)
+            df.loc[m, out_col] += c
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    out_refs = [scan.remote(r, c) for r, c in zip(block_refs, carry)]
+    return rd.from_arrow_refs(out_refs)
+
+
+def snapshot_deltas_unbounded(ds_long: rd.Dataset,
+                              out_col: str = "delta",
+                              num_blocks: int | None = None) -> rd.Dataset:
+    block_refs = _sorted_refs(ds_long, num_blocks)
+
+    @ray.remote(num_cpus=0.25)
+    def last_row(t: pa.Table):
+        return t.slice(len(t) - 1, 1).to_pylist()[0] if len(t) else None
+
+    lasts = ray.get([last_row.remote(r) for r in block_refs])
+
+    @ray.remote(num_cpus=1)
+    def lag(t: pa.Table, left) -> pa.Table:
+        if len(t) == 0:
+            return t
+        df = t.to_pandas()
+        vals = df["value"].to_numpy(np.float64)
+        urls = df["url"].to_numpy()
+        mets = df["metric"].to_numpy()
+        delta = np.empty(len(df))
+        delta[0] = np.nan
+        delta[1:] = vals[1:] - vals[:-1]
+        start = np.zeros(len(df), dtype=bool)
+        start[0] = True
+        start[1:] = (urls[1:] != urls[:-1]) | (mets[1:] != mets[:-1])
+        delta[start] = np.nan
+        if left is not None and (left["url"], left["metric"]) == \
+                (urls[0], mets[0]):
+            delta[0] = vals[0] - left["value"]     # true lag across cut
+        df[out_col] = delta
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    out_refs = []
+    n = len(block_refs)
+    for i, r in enumerate(block_refs):
+        left = next((lasts[j] for j in range(i - 1, -1, -1)
+                     if lasts[j] is not None), None)
+        out_refs.append(lag.remote(r, left))
+    return rd.from_arrow_refs(out_refs)

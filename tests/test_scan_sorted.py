@@ -1,0 +1,58 @@
+"""Unbounded ordered scans must equal the salted-partition operators
+with series spanning multiple sorted blocks."""
+
+import numpy as np
+import pandas as pd
+import pytest
+import ray.data as rd
+
+from sits_classification_ray.stages.scan_sorted import (
+    running_sum_unbounded,
+    snapshot_deltas_unbounded,
+)
+from sits_classification_ray.stages.windows import (running_sum,
+                                                    snapshot_deltas)
+
+KEY = ["url", "metric", "warc_ts"]
+
+
+@pytest.fixture(scope="module")
+def long_pdf() -> pd.DataFrame:
+    rng = np.random.default_rng(4)
+    base = np.datetime64("2024-01-01T00:00:00", "us")
+    parts = []
+    for url, n in [("https://huge.example.com/", 4000),
+                   ("https://a.example.com/", 5),
+                   ("https://b.example.com/", 60)]:
+        offs = np.sort(rng.choice(50 * 86400, size=n, replace=False))
+        for metric in ("text_len", "word_count"):
+            parts.append(pd.DataFrame({
+                "url": url,
+                "url_bucket": np.uint32(0),
+                "metric": metric,
+                "warc_ts": base + (offs * 1_000_000).astype("timedelta64[us]"),
+                "value": rng.integers(1, 5000, n).astype(np.float64),
+            }))
+    return pd.concat(parts, ignore_index=True)
+
+
+def test_running_sum_unbounded_matches(long_pdf):
+    ds = rd.from_pandas(long_pdf)
+    want = (running_sum(ds).to_pandas()
+            .sort_values(KEY, kind="mergesort").reset_index(drop=True))
+    got = (running_sum_unbounded(ds, num_blocks=12).to_pandas()
+           .sort_values(KEY, kind="mergesort").reset_index(drop=True))
+    pd.testing.assert_frame_equal(got[KEY + ["value", "running_sum"]],
+                                  want[KEY + ["value", "running_sum"]],
+                                  check_dtype=False)
+
+
+def test_snapshot_deltas_unbounded_matches(long_pdf):
+    ds = rd.from_pandas(long_pdf)
+    want = (snapshot_deltas(ds).to_pandas()
+            .sort_values(KEY, kind="mergesort").reset_index(drop=True))
+    got = (snapshot_deltas_unbounded(ds, num_blocks=12).to_pandas()
+           .sort_values(KEY, kind="mergesort").reset_index(drop=True))
+    pd.testing.assert_frame_equal(got[KEY + ["value", "delta"]],
+                                  want[KEY + ["value", "delta"]],
+                                  check_dtype=False)
