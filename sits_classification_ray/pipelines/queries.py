@@ -598,6 +598,17 @@ def _snapshot_deltas_crawl(sf_dir: str) -> rd.Dataset:
         batch_format="pandas")
 
 
+def _crawl_sessions_unbounded(sf_dir: str) -> rd.Dataset:
+    from sits_classification_ray.stages.scan_sorted import \
+        sessionize_unbounded
+
+    out = sessionize_unbounded(_obs(sf_dir), gap_seconds=86400,
+                               num_blocks=16)
+    return out.map_batches(
+        lambda df: df[["url", "warc_ts", "session_id"]],
+        batch_format="pandas")
+
+
 def _running_sum_unbounded(sf_dir: str) -> rd.Dataset:
     """Distributed prefix-scan running sum (no per-series bound) —
     same SQL oracle as running_sum_crawl, certifying the carry-in
@@ -856,6 +867,7 @@ def build_queries() -> dict[str, Callable[[str], Any]]:
         "running_sum_unbounded": _running_sum_unbounded,
         "rolling_mean_crawl": _rolling_mean_crawl,
         "crawl_sessions": _crawl_sessions,
+        "crawl_sessions_unbounded": _crawl_sessions_unbounded,
         "snapshot_deltas_crawl": _snapshot_deltas_crawl,
         "head_domains_crawl": _head_domains_crawl,
         "canonical_urls_crawl": _canonical_urls_crawl,
@@ -915,7 +927,7 @@ GOLDEN_QUERIES = [
 def build_oracle_sql() -> dict[str, str]:
     golden = {name: _golden_sql(name) for name in GOLDEN_QUERIES}
     golden = {k: v for k, v in golden.items() if v}
-    return {**golden,
+    out = {**golden,
         "crawl_extract": f"""{CRAWL_PREFIX}
 SELECT url, warc_ts, lang, text, text_len, word_count FROM scr""",
         "crawl_dedup": f"""{CRAWL_PREFIX}
@@ -1167,3 +1179,7 @@ UNION ALL SELECT 'mae', ae / n FROM a
 UNION ALL SELECT 'r2', 1 - se / (syy - sy * sy / n) FROM a
 UNION ALL SELECT 'n', CAST(n AS DOUBLE) FROM a""",
     }
+    # unbounded variants share their bounded twins' oracles — the
+    # driver certifies the halo/prefix-scan algebra, not new semantics
+    out["crawl_sessions_unbounded"] = out["crawl_sessions"]
+    return out

@@ -96,6 +96,95 @@ def running_sum_unbounded(ds_long: rd.Dataset,
     return rd.from_arrow_refs(out_refs)
 
 
+def sessionize_unbounded(ds: rd.Dataset, gap_seconds: int = 86400,
+                         ts_col: str = "warc_ts", key_col: str = "url",
+                         out_col: str = "session_id",
+                         num_blocks: int | None = None) -> rd.Dataset:
+    """Distributed sessionization: per-key session ids from inactivity
+    gaps, with no per-key size bound.
+
+    Boundary state per block: (last key, last timestamp, that key's
+    session count so far) — O(B) driver accumulation, exactly the
+    prefix-scan shape of :func:`running_sum_unbounded` plus the
+    cross-cut gap check."""
+    gap_us = gap_seconds * 1_000_000
+    srt = ds
+    if num_blocks:
+        srt = srt.repartition(num_blocks)
+    srt = srt.sort([key_col, ts_col])
+    block_refs = srt.to_arrow_refs()
+
+    @ray.remote(num_cpus=0.25)
+    def boundary(t: pa.Table):
+        """(first_key, first_ts, sessions_started_for_first_key,
+        last_key, last_ts, sessions_started_for_last_key)."""
+        if len(t) == 0:
+            return None
+        df = t.select([key_col, ts_col]).to_pandas()
+        keys = df[key_col].to_numpy()
+        ts = df[ts_col].to_numpy().astype("datetime64[us]").astype(np.int64)
+        new_key = np.empty(len(df), dtype=bool)
+        new_key[0] = True
+        new_key[1:] = keys[1:] != keys[:-1]
+        brk = np.zeros(len(df), dtype=bool)
+        brk[1:] = (ts[1:] - ts[:-1]) > gap_us
+        starts = (brk & ~new_key)
+        first_key, last_key = keys[0], keys[-1]
+        first_n = int(starts[keys == first_key].sum())
+        last_n = int(starts[keys == last_key].sum())
+        return (first_key, int(ts[0]), first_n,
+                last_key, int(ts[-1]), last_n)
+
+    bounds = ray.get([boundary.remote(r) for r in block_refs])
+    # O(B) driver pass: carry-in per block = (key, prev_last_ts,
+    # session_id_offset) for the continuing key
+    carry: list[tuple | None] = []
+    acc_key = None
+    acc_last_ts = 0
+    acc_sessions = 0                   # sessions of acc_key so far
+    for b in bounds:
+        if b is None:
+            carry.append(None)
+            continue
+        first_key, first_ts, first_n, last_key, last_ts, last_n = b
+        if first_key == acc_key:
+            extra = 1 if (first_ts - acc_last_ts) > gap_us else 0
+            carry.append((first_key, acc_sessions + extra))
+            base = acc_sessions + extra
+        else:
+            carry.append(None)
+            base = 0
+        if last_key == first_key:
+            acc_sessions = base + last_n
+        else:
+            acc_sessions = last_n
+        acc_key, acc_last_ts = last_key, last_ts
+
+    @ray.remote(num_cpus=1)
+    def assign(t: pa.Table, carry_in) -> pa.Table:
+        if len(t) == 0:
+            return t
+        df = t.to_pandas().sort_values([key_col, ts_col], kind="mergesort")
+        keys = df[key_col].to_numpy()
+        ts = df[ts_col].to_numpy().astype("datetime64[us]").astype(np.int64)
+        new_key = np.empty(len(df), dtype=bool)
+        new_key[0] = True
+        new_key[1:] = keys[1:] != keys[:-1]
+        brk = np.zeros(len(df), dtype=bool)
+        brk[1:] = (ts[1:] - ts[:-1]) > gap_us
+        starts = (brk & ~new_key).astype(np.int64)
+        sid = pd.Series(starts).groupby(pd.Series(keys), sort=False).cumsum()
+        sid = sid.to_numpy()
+        if carry_in is not None:
+            key, offset = carry_in
+            sid = sid + np.where(keys == key, offset, 0)
+        df[out_col] = sid
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    out_refs = [assign.remote(r, c) for r, c in zip(block_refs, carry)]
+    return rd.from_arrow_refs(out_refs)
+
+
 def snapshot_deltas_unbounded(ds_long: rd.Dataset,
                               out_col: str = "delta",
                               num_blocks: int | None = None) -> rd.Dataset:

@@ -56,3 +56,23 @@ def test_snapshot_deltas_unbounded_matches(long_pdf):
     pd.testing.assert_frame_equal(got[KEY + ["value", "delta"]],
                                   want[KEY + ["value", "delta"]],
                                   check_dtype=False)
+
+
+def test_sessionize_unbounded_matches(long_pdf):
+    from sits_classification_ray.stages.scan_sorted import (
+        sessionize_unbounded)
+    from sits_classification_ray.stages.windows import sessionize
+
+    obs = (long_pdf[long_pdf["metric"] == "text_len"]
+           [["url", "url_bucket", "warc_ts", "value"]])
+    ds = rd.from_pandas(obs)
+    k = ["url", "warc_ts"]
+    want = (sessionize(ds, gap_seconds=3 * 3600).to_pandas()
+            .sort_values(k, kind="mergesort").reset_index(drop=True))
+    got = (sessionize_unbounded(ds, gap_seconds=3 * 3600,
+                                num_blocks=12).to_pandas()
+           .sort_values(k, kind="mergesort").reset_index(drop=True))
+    assert want["session_id"].max() > 3      # gaps actually split
+    pd.testing.assert_frame_equal(got[k + ["session_id"]],
+                                  want[k + ["session_id"]],
+                                  check_dtype=False)
