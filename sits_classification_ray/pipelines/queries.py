@@ -598,6 +598,18 @@ def _snapshot_deltas_crawl(sf_dir: str) -> rd.Dataset:
         batch_format="pandas")
 
 
+def _rolling_mean_unbounded(sf_dir: str) -> rd.Dataset:
+    from sits_classification_ray.stages.scan_sorted import \
+        rolling_mean_unbounded
+
+    out = rolling_mean_unbounded(_obs_long(sf_dir), window=4,
+                                 num_blocks=16)
+    return out.map_batches(
+        lambda df: df[["url", "metric", "warc_ts", "value",
+                       "rolling_mean"]],
+        batch_format="pandas")
+
+
 def _crawl_sessions_unbounded(sf_dir: str) -> rd.Dataset:
     from sits_classification_ray.stages.scan_sorted import \
         sessionize_unbounded
@@ -866,6 +878,7 @@ def build_queries() -> dict[str, Callable[[str], Any]]:
         "running_sum_crawl": _running_sum_crawl,
         "running_sum_unbounded": _running_sum_unbounded,
         "rolling_mean_crawl": _rolling_mean_crawl,
+        "rolling_mean_unbounded": _rolling_mean_unbounded,
         "crawl_sessions": _crawl_sessions,
         "crawl_sessions_unbounded": _crawl_sessions_unbounded,
         "snapshot_deltas_crawl": _snapshot_deltas_crawl,
@@ -1182,4 +1195,5 @@ UNION ALL SELECT 'n', CAST(n AS DOUBLE) FROM a""",
     # unbounded variants share their bounded twins' oracles — the
     # driver certifies the halo/prefix-scan algebra, not new semantics
     out["crawl_sessions_unbounded"] = out["crawl_sessions"]
+    out["rolling_mean_unbounded"] = out["rolling_mean_crawl"]
     return out

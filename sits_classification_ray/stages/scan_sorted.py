@@ -185,6 +185,70 @@ def sessionize_unbounded(ds: rd.Dataset, gap_seconds: int = 86400,
     return rd.from_arrow_refs(out_refs)
 
 
+def rolling_mean_unbounded(ds_long: rd.Dataset, window: int = 4,
+                           out_col: str = "rolling_mean",
+                           num_blocks: int | None = None) -> rd.Dataset:
+    """Sliding k-observation mean with no per-series bound: each block
+    receives the previous (window − 1) rows of its first series as a
+    halo (assembled by the driver from per-block tails — ≤ k−1 tiny
+    rows per block, walking backwards across blocks when a thin block
+    holds fewer)."""
+    block_refs = _sorted_refs(ds_long, num_blocks)
+
+    @ray.remote(num_cpus=0.25)
+    def tail_rows(t: pa.Table) -> list:
+        n = min(window - 1, len(t))
+        return t.slice(len(t) - n, n).to_pylist() if n else []
+
+    @ray.remote(num_cpus=0.25)
+    def head_key(t: pa.Table):
+        return ((t["url"][0].as_py(), t["metric"][0].as_py())
+                if len(t) else None)
+
+    tails = ray.get([tail_rows.remote(r) for r in block_refs])
+    heads = ray.get([head_key.remote(r) for r in block_refs])
+
+    def halo_for(i: int) -> list:
+        """Last (window−1) rows of block i's first series from the
+        preceding blocks (tiny rows, walked backwards)."""
+        key = heads[i]
+        if key is None:
+            return []
+        rows: list = []
+        for j in range(i - 1, -1, -1):
+            for r in reversed(tails[j]):
+                if (r["url"], r["metric"]) != key:
+                    return list(reversed(rows))
+                rows.append(r)
+                if len(rows) >= window - 1:
+                    return list(reversed(rows))
+            if len(tails[j]) < window - 1:
+                # the whole previous block was thinner than the halo —
+                # its own tail already crossed into earlier blocks;
+                # keep walking only if every tail row matched
+                continue
+        return list(reversed(rows))
+
+    @ray.remote(num_cpus=1)
+    def roll(t: pa.Table, halo: list) -> pa.Table:
+        if len(t) == 0:
+            return t
+        df = t.to_pandas()
+        if halo:
+            pre = pd.DataFrame(halo)[df.columns.tolist()]
+            work = pd.concat([pre, df], ignore_index=True)
+        else:
+            work = df
+        rm = (work.groupby(_KEY, sort=False)["value"]
+              .transform(lambda s: s.rolling(window, min_periods=1).mean()))
+        df[out_col] = rm.to_numpy()[len(halo):]
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    out_refs = [roll.remote(r, halo_for(i))
+                for i, r in enumerate(block_refs)]
+    return rd.from_arrow_refs(out_refs)
+
+
 def snapshot_deltas_unbounded(ds_long: rd.Dataset,
                               out_col: str = "delta",
                               num_blocks: int | None = None) -> rd.Dataset:

@@ -76,3 +76,18 @@ def test_sessionize_unbounded_matches(long_pdf):
     pd.testing.assert_frame_equal(got[k + ["session_id"]],
                                   want[k + ["session_id"]],
                                   check_dtype=False)
+
+
+def test_rolling_mean_unbounded_matches(long_pdf):
+    from sits_classification_ray.stages.scan_sorted import (
+        rolling_mean_unbounded)
+    from sits_classification_ray.stages.windows import rolling_mean
+
+    ds = rd.from_pandas(long_pdf)
+    want = (rolling_mean(ds, window=4).to_pandas()
+            .sort_values(KEY, kind="mergesort").reset_index(drop=True))
+    got = (rolling_mean_unbounded(ds, window=4, num_blocks=12).to_pandas()
+           .sort_values(KEY, kind="mergesort").reset_index(drop=True))
+    pd.testing.assert_frame_equal(got[KEY + ["value", "rolling_mean"]],
+                                  want[KEY + ["value", "rolling_mean"]],
+                                  check_dtype=False)
