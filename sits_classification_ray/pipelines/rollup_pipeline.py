@@ -89,12 +89,19 @@ def _read_stage(path: Path, buckets: list[int] | None = None) -> rd.Dataset:
 
 
 def segments_stage(ds_long: rd.Dataset, cfg: EngineConfig | None = None,
-                   approx_rows: int | None = None) -> rd.Dataset:
-    """Gorilla-encode each (url, metric) stream → one segment row.
+                   approx_rows: int | None = None,
+                   max_points_per_segment: int | None = None) -> rd.Dataset:
+    """Gorilla-encode each (url, metric) stream → segment rows.
 
     Partition-level kernel over salted (url, metric) series keys: one
     sort per partition block, then numpy slices into the sequential
     bit encoder per (url, metric) run.
+
+    ``max_points_per_segment`` time-chunks a series into several
+    segments (the standard TSDB chunk design — the schema already
+    carries ``t_start``/``t_end`` per segment and ``read_segments``
+    concatenates), which bounds the sequential encode per task by the
+    chunk size instead of the largest series.
     """
     from sits_classification_ray.stages.gapfill import _series_bounds
 
@@ -107,6 +114,13 @@ def segments_stage(ds_long: rd.Dataset, cfg: EngineConfig | None = None,
         vals = df["value"].to_numpy(np.float64)
         bucket = df["url_bucket"].to_numpy()
         starts, ends = _series_bounds(urls, mets)
+        if max_points_per_segment:
+            chunked = []
+            for s, e in zip(starts, ends):
+                for c in range(s, e, max_points_per_segment):
+                    chunked.append((c, min(c + max_points_per_segment, e)))
+            starts = np.array([c[0] for c in chunked], dtype=np.int64)
+            ends = np.array([c[1] for c in chunked], dtype=np.int64)
         ts_codes, val_codes = [], []
         for s, e in zip(starts, ends):
             tsc, vc = encode_series(ts_int[s:e], vals[s:e])

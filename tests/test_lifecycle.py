@@ -156,3 +156,38 @@ def test_compaction_preserves_rows(managed_env):
     # rerun is a no-op on already-compacted dirs with threshold >= 1
     stats2 = compact_partitions(str(out), "obs", max_files_per_partition=1)
     assert stats2["files_merged"] == 0
+
+
+def test_chunked_segments_roundtrip(managed_env):
+    """Time-chunked encoding (several segments per series) must decode
+    to exactly the same observation rows as whole-series segments."""
+    import ray.data as rd
+
+    from sits_classification_ray.pipelines.rollup_pipeline import (
+        read_segments, segments_stage)
+    from sits_classification_ray.stages.extract import to_long
+
+    root, out, cfg, _ = managed_env
+    obs = pads.dataset(str(out / "obs"), partitioning="hive") \
+        .to_table().to_pandas()
+    obs["url_bucket"] = obs["url_bucket"].astype("uint32")
+    long_ds = to_long(rd.from_pandas(obs), cfg.metrics)
+
+    seg_dir = root / "chunked_segments"
+    segments_stage(long_ds, cfg, max_points_per_segment=7).write_parquet(
+        str(seg_dir), partition_cols=["url_bucket"])
+    seg_pdf = pads.dataset(str(seg_dir), partitioning="hive") \
+        .to_table().to_pandas()
+    assert (seg_pdf["n"] <= 7).all()
+    # some series really did split
+    assert (seg_pdf.groupby(["url", "metric"]).size() > 1).any()
+
+    key = ["url", "metric", "warc_ts"]
+    decoded = (read_segments(str(seg_dir)).to_pandas()
+               .sort_values(key, kind="mergesort").reset_index(drop=True))
+    want = (to_long(rd.from_pandas(obs), cfg.metrics).to_pandas()
+            .sort_values(key, kind="mergesort").reset_index(drop=True))
+    assert len(decoded) == len(want)
+    pd.testing.assert_frame_equal(decoded[key + ["value"]],
+                                  want[key + ["value"]],
+                                  check_dtype=False)
