@@ -291,7 +291,7 @@ def train_test_split_sizes(n_rows: int, test_frac: float = 0.2
 
 
 def _url_bucket(urls: pd.Series, n_buckets: int = 64) -> np.ndarray:
-    h = pd.util.hash_array(urls.to_numpy(dtype=object), categorize=True)
+    h = pd.util.hash_array(urls.to_numpy(dtype=object), categorize=False)
     return (h % np.uint64(n_buckets)).astype(np.uint32)
 
 

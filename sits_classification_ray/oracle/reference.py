@@ -32,7 +32,7 @@ def extract_oracle(crawl: pd.DataFrame, n_buckets: int = 64) -> pd.DataFrame:
         "text": texts,
     })
     out = out[out["text"].notna() & (out["text"].str.len() > 0)].copy()
-    h = pd.util.hash_array(out["url"].to_numpy(dtype=object), categorize=True)
+    h = pd.util.hash_array(out["url"].to_numpy(dtype=object), categorize=False)
     out["url_bucket"] = (h % np.uint64(n_buckets)).astype(np.uint32)
     out["text_len"] = out["text"].str.len().astype(np.int64)
     out["word_count"] = (out["text"].str.count(" ") + 1).astype(np.int64)

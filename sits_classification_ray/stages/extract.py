@@ -36,10 +36,15 @@ def url_bucket_of(urls: pa.Array | pa.ChunkedArray, n_buckets: int) -> pa.Array:
     Uses pandas' SipHash-based ``hash_array`` with the library-default
     fixed key, so the mapping is deterministic across runs, workers and
     sessions (required for resumable per-partition checkpoints).
-    ``categorize=True`` hashes each distinct url once per batch.
+    ``categorize=False``: per-value hashing. The categorize path runs
+    values through ``factorize``, whose C-string hash table truncates at
+    embedded NULs — distinct keys collide and the winning hash depends
+    on row order, i.e. nondeterministic partitioning. For NUL-free
+    strings both paths produce identical hashes (and per-value hashing
+    measures ~2.5× faster at crawl-like cardinalities).
     """
     arr = np.asarray(urls, dtype=object)
-    h = pd.util.hash_array(arr, categorize=True)
+    h = pd.util.hash_array(arr, categorize=False)
     return pa.array((h % np.uint64(n_buckets)).astype(np.uint32))
 
 

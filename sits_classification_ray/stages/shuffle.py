@@ -58,7 +58,7 @@ def salted_part(df: pd.DataFrame, keys: list[str], num_partitions: int
                 ) -> np.ndarray:
     """Deterministic partition id per row from the co-location keys."""
     h = pd.util.hash_pandas_object(df[list(keys)], index=False,
-                                   categorize=True).to_numpy()
+                                   categorize=False).to_numpy()
     return (h % np.uint64(num_partitions)).astype(np.int64)
 
 
@@ -74,11 +74,11 @@ def _salted_part_arrow(batch, keys: list[str], num_partitions: int):
         np_col = col.to_numpy(zero_copy_only=False)
         if np_col.dtype.kind in ("O", "U", "S"):
             np_col = np.asarray(np_col, dtype=object)
-        h = pd.util.hash_array(np_col, categorize=True)
+        h = pd.util.hash_array(np_col, categorize=False)
     else:
         h = pd.util.hash_pandas_object(
             batch.select(keys).to_pandas(), index=False,
-            categorize=True).to_numpy()
+            categorize=False).to_numpy()
     part = (h % np.uint64(num_partitions)).astype(np.int64)
     return batch.append_column("_part", pa.array(part))
 
@@ -111,7 +111,7 @@ def _bucket_major_part(batch, url_col: str, n_buckets: int, salts: int):
     np_col = col.to_numpy(zero_copy_only=False)
     if np_col.dtype.kind in ("O", "U", "S"):
         np_col = np.asarray(np_col, dtype=object)
-    h = pd.util.hash_array(np_col, categorize=True)
+    h = pd.util.hash_array(np_col, categorize=False)
     part = (h % np.uint64(n_buckets)) * np.uint64(salts)
     if salts > 1:
         part = part + (h // np.uint64(n_buckets)) % np.uint64(salts)
