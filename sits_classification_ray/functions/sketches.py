@@ -87,3 +87,62 @@ def hll_distinct(ds: rd.Dataset, key_col: str, bucket_col: str,
     from sits_classification_ray.stages.shuffle import partitioned_map
 
     return partitioned_map(partials, merge, keys=[bucket_col])
+
+
+# --- mergeable histogram quantiles ---------------------------------------
+
+def hist_quantile(ds: rd.Dataset, value_col: str, bucket_col: str,
+                  quantiles: tuple[float, ...] = (0.5, 0.9, 0.99),
+                  n_bins: int = 1024, bin_width: int = 8) -> rd.Dataset:
+    """Approximate per-bucket quantiles via a fixed-bin histogram
+    sketch — the 10^12-row path where an exact quantile would sort
+    every value per bucket. Like :func:`hll_distinct`, the shuffle
+    moves one fixed-size count vector per (bucket, batch), never the
+    values, and the merge (elementwise sum) is associative and
+    commutative, so it composes with any partitioning.
+
+    Bins are integer: ``bin = min(value // bin_width, n_bins - 1)``;
+    the quantile estimate is the inclusive upper edge
+    ``(bin + 1) * bin_width`` of the first bin whose cumulative count
+    reaches ``ceil(q * total)`` — all-integer, so engine and oracle
+    agree bit-for-bit under any merge order. Error is bounded by one
+    bin width (plus saturation in the overflow bin).
+
+    Output: one row per bucket — ``(bucket_col, n, q50, q90, q99, …)``
+    with a ``q{int(100 q)}`` column per requested quantile.
+    """
+    qcols = [f"q{int(round(q * 100)):02d}" for q in quantiles]
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        v = df[value_col].to_numpy()
+        b = np.minimum(v // bin_width, n_bins - 1).astype(np.int64)
+        rows = []
+        for bucket, idx in df.groupby(bucket_col, sort=False).indices.items():
+            counts = np.bincount(b[idx], minlength=n_bins).astype(np.int64)
+            rows.append((bucket, counts.tobytes()))
+        return pd.DataFrame(rows, columns=[bucket_col, "sketch"])
+
+    partials = ds.map_batches(partial, batch_format="pandas")
+
+    def merge(df: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for bucket, g in df.groupby(bucket_col, sort=False):
+            counts = np.zeros(n_bins, dtype=np.int64)
+            for s in g["sketch"]:
+                counts += np.frombuffer(s, dtype=np.int64)
+            total = int(counts.sum())
+            cum = np.cumsum(counts)
+            ests = []
+            for q in quantiles:
+                # pure-integer ceil(q * total) with q in micro-units, so
+                # engine and oracle can't diverge by a float ulp
+                q_micro = int(round(q * 1_000_000))
+                rank = max(-(-q_micro * total // 1_000_000), 1)
+                bin_i = int(np.searchsorted(cum, rank, side="left"))
+                ests.append((bin_i + 1) * bin_width)
+            rows.append((bucket, total, *ests))
+        return pd.DataFrame(rows, columns=[bucket_col, "n", *qcols])
+
+    from sits_classification_ray.stages.shuffle import partitioned_map
+
+    return partitioned_map(partials, merge, keys=[bucket_col])

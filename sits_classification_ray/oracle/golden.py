@@ -450,3 +450,31 @@ def frame_samples(crawl: pd.DataFrame, n_frames: int = 4) -> pd.DataFrame:
     return pd.DataFrame({"asset_id": ids,
                          "frame_idx": np.array(idxs, dtype=np.int64),
                          "frame_bytes": np.array(sizes, dtype=np.int64)})
+
+
+def hist_quantile_daily(obs: pd.DataFrame,
+                        quantiles=(0.5, 0.9, 0.99),
+                        n_bins: int = 1024,
+                        bin_width: int = 8) -> pd.DataFrame:
+    """Histogram-sketch quantiles of text_len per day — same fixed
+    integer binning and integer rank rule as functions/sketches.py
+    (bin upper edge at ceil(q·total)), computed sequentially from the
+    exact per-day value lists so any merge-order bug in the engine's
+    distributed sum would show up as a mismatch."""
+    day = pd.to_datetime(obs["warc_ts"]).dt.floor("1D")
+    rows = []
+    for d, g in obs.groupby(day, sort=True):
+        v = g["text_len"].to_numpy()
+        b = np.minimum(v // bin_width, n_bins - 1).astype(np.int64)
+        counts = np.bincount(b, minlength=n_bins)
+        total = int(counts.sum())
+        cum = np.cumsum(counts)
+        ests = []
+        for q in quantiles:
+            q_micro = int(round(q * 1_000_000))
+            rank = max(-(-q_micro * total // 1_000_000), 1)
+            ests.append(int(np.searchsorted(cum, rank, side="left") + 1)
+                        * bin_width)
+        rows.append((d, total, *ests))
+    qcols = [f"q{int(round(q * 100)):02d}" for q in quantiles]
+    return pd.DataFrame(rows, columns=["bucket_ts", "n", *qcols])

@@ -811,6 +811,64 @@ def _augmented_rollup(sf_dir: str) -> rd.Dataset:
 # ---------------------------------------------------------------------------
 
 
+def _repetition_documents(sf_dir: str) -> rd.Dataset:
+    from sits_classification_ray.stages.textstats import repetition
+
+    return repetition(rd.read_parquet(f"{sf_dir}/documents.parquet",
+                                      columns=["doc_id", "text"]))
+
+
+def _quantiles_daily_crawl(sf_dir: str) -> rd.Dataset:
+    """Exact per-(url, day) quantiles of text_len: co-locate complete
+    urls via the salted shuffle, one vectorized pandas groupby-quantile
+    per partition block. Group payloads are bounded by a url's
+    snapshots per day, so exactness is affordable here — the
+    unbounded-bucket path is hist_quantile_daily."""
+    from sits_classification_ray.stages.shuffle import partitioned_map
+
+    def proj(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "url": batch["url"],
+            "bucket_ts": pc.cast(pc.floor_temporal(batch["warc_ts"],
+                                                   unit="day"),
+                                 pa.timestamp("us")),
+            "text_len": batch["text_len"],
+        })
+
+    proj_ds = _obs(sf_dir).map_batches(proj, batch_format="pyarrow",
+                                       zero_copy_batch=True)
+
+    def kernel(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby(["url", "bucket_ts"], sort=False)["text_len"]
+        out = g.size().rename("n").reset_index()
+        for name, q in (("p50", 0.5), ("p90", 0.9), ("p99", 0.99)):
+            out[name] = g.quantile(q).round(6).to_numpy()
+        out["n"] = out["n"].astype(np.int64)
+        return out
+
+    return partitioned_map(proj_ds, kernel, keys=["url"])
+
+
+def _hist_quantile_daily(sf_dir: str) -> rd.Dataset:
+    """Approximate global text_len quantiles per day via the mergeable
+    fixed-bin histogram sketch (the 10^12-row path; golden-checked
+    against an independent sequential implementation)."""
+    from sits_classification_ray.functions.sketches import hist_quantile
+
+    def proj(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "bucket_ts": pc.cast(pc.floor_temporal(batch["warc_ts"],
+                                                   unit="day"),
+                                 pa.timestamp("us")),
+            "text_len": batch["text_len"],
+        })
+
+    proj_ds = _obs(sf_dir).map_batches(proj, batch_format="pyarrow",
+                                       zero_copy_batch=True)
+    return hist_quantile(proj_ds, value_col="text_len",
+                         bucket_col="bucket_ts")
+
+
 def _tuned(fn: Callable[[str], Any]) -> Callable[[str], Any]:
     """Apply cluster-sized shuffle settings before building datasets
     (DataContext is captured at Dataset creation time)."""
@@ -840,6 +898,8 @@ def build_queries() -> dict[str, Callable[[str], Any]]:
         "rollup_weekly": lambda sf: _tier(sf, "weekly"),
         "hopping_rollup_6h_1h": _hopping_rollup_6h_1h,
         "hll_distinct_urls_daily": _hll_distinct_urls_daily,
+        "hist_quantile_daily": _hist_quantile_daily,
+        "quantiles_daily_crawl": _quantiles_daily_crawl,
         "lang_daily": _lang_daily,
         "gapfill_linear": lambda sf: _gapfill(sf, "linear"),
         "gapfill_locf": lambda sf: _gapfill(sf, "locf"),
@@ -854,6 +914,7 @@ def build_queries() -> dict[str, Callable[[str], Any]]:
         # documents / training-data ops
         "exact_dedup_documents": _exact_dedup_documents,
         "text_stats_documents": _text_stats_documents,
+        "repetition_documents": _repetition_documents,
         "quality_score_documents": _quality_score_documents,
         "top3_docs_per_lang": _top3_docs_per_lang,
         "vocab_top100_documents": _vocab_top100_documents,
@@ -933,7 +994,7 @@ GOLDEN_QUERIES = [
     "fingerprint_documents", "minhash_near_dup_documents", "ivf_topk",
     "stratified_sample_documents", "train_test_split_sizes",
     "harmonic_daily", "augmented_rollup", "html_byte_features",
-    "frame_samples",
+    "frame_samples", "hist_quantile_daily",
 ]
 
 
@@ -1002,6 +1063,32 @@ GROUP BY 1 ORDER BY 1""",
         "exact_dedup_documents": """
 SELECT min(doc_id) AS doc_id, count(*) AS n_copies
 FROM documents GROUP BY text""",
+        "repetition_documents": """
+WITH t AS MATERIALIZED (
+  SELECT doc_id, string_split(text, ' ') AS l FROM documents),
+g AS MATERIALIZED (
+  SELECT doc_id,
+         list_transform(range(1, len(l)),
+                        i -> l[i] || ' ' || l[i + 1]) AS bg,
+         list_transform(range(1, len(l) - 1),
+                        i -> l[i] || ' ' || l[i + 1] || ' ' || l[i + 2])
+             AS tg
+  FROM t)
+SELECT doc_id, CAST(len(bg) AS BIGINT) AS n_2grams,
+       CASE WHEN len(bg) = 0 THEN 0.0
+            ELSE 1.0 - CAST(len(list_distinct(bg)) AS DOUBLE) / len(bg)
+       END AS dup_2gram_frac,
+       CASE WHEN len(tg) = 0 THEN 0.0
+            ELSE 1.0 - CAST(len(list_distinct(tg)) AS DOUBLE) / len(tg)
+       END AS dup_3gram_frac
+FROM g""",
+        "quantiles_daily_crawl": f"""{CRAWL_PREFIX}
+SELECT url, CAST(date_trunc('day', warc_ts) AS TIMESTAMP) AS bucket_ts,
+       count(*) AS n,
+       round(quantile_cont(text_len, 0.5), 6) AS p50,
+       round(quantile_cont(text_len, 0.9), 6) AS p90,
+       round(quantile_cont(text_len, 0.99), 6) AS p99
+FROM obs GROUP BY 1, 2""",
         "text_stats_documents": r"""
 SELECT doc_id, length(text) AS n_chars,
        len(string_split(text, ' ')) AS n_tokens,

@@ -251,3 +251,90 @@ def fingerprint(ds: rd.Dataset, id_col: str = "doc_id",
     return ds.map_batches(fingerprint_batch,
                           fn_kwargs={"id_col": id_col, "text_col": text_col},
                           batch_format="pyarrow", zero_copy_batch=True)
+
+
+# --- n-gram repetition (Gopher-style duplicate-fraction rules) -----------
+
+def _distinct_per_row(row: np.ndarray, key: np.ndarray,
+                      n_rows: int) -> np.ndarray:
+    """Count distinct ``key`` values within each ``row`` group, fully
+    vectorized: lexsort by (row, key), mark group boundaries, bincount
+    the boundary rows."""
+    if len(row) == 0:
+        return np.zeros(n_rows, dtype=np.int64)
+    order = np.lexsort((key, row))
+    rs, ks = row[order], key[order]
+    new = np.ones(len(rs), dtype=bool)
+    new[1:] = (rs[1:] != rs[:-1]) | (ks[1:] != ks[:-1])
+    return np.bincount(rs[new], minlength=n_rows)
+
+
+def repetition_batch(batch: pa.Table, id_col: str = "doc_id",
+                     text_col: str = "text") -> pa.Table:
+    """Duplicate word-n-gram fractions per document (the Gopher
+    repetition filters: a document whose 2-/3-grams are mostly repeats
+    is boilerplate or degenerate generation, not training text).
+
+    Vectorized over the whole batch: tokens are factorized to int
+    codes once; an n-gram is an int key built positionally from the
+    codes (``c[i]*V + c[i+1]``), so duplicate detection is a lexsort
+    over int64 arrays — no per-document Python, no string n-gram
+    materialization. ``frac = 1.0 - distinct/total`` with the exact
+    float division the SQL oracle uses (0.0 when a document has no
+    n-grams of that order).
+    """
+    n = len(batch)
+    toks = pc.split_pattern(batch[text_col], " ")
+    lens = pc.list_value_length(toks).to_numpy(zero_copy_only=False)
+    lens = lens.astype(np.int64)
+    flat = pc.list_flatten(toks).to_numpy(zero_copy_only=False)
+    row = np.repeat(np.arange(n, dtype=np.int64), lens)
+    codes, uniques = pd.factorize(pd.Series(flat, dtype=object))
+    codes = codes.astype(np.int64)
+    V = np.int64(max(len(uniques), 1))
+
+    if len(row) >= 2:
+        same2 = row[:-1] == row[1:]
+        r2 = row[:-1][same2]
+        k2 = codes[:-1][same2] * V + codes[1:][same2]
+    else:
+        same2 = np.zeros(0, dtype=bool)
+        r2 = np.zeros(0, dtype=np.int64)
+        k2 = np.zeros(0, dtype=np.int64)
+    n2 = np.bincount(r2, minlength=n)
+    d2 = _distinct_per_row(r2, k2, n)
+
+    # trigrams: re-factorize the bigram keys so the combined key
+    # (bigram_code * V + third_token_code) stays inside int64
+    if len(row) >= 3:
+        c2 = pd.factorize(k2)[0].astype(np.int64)
+        big_all = np.full(len(row) - 1, -1, dtype=np.int64)
+        big_all[same2] = c2
+        valid3 = same2[:-1] & same2[1:]
+        r3 = row[:-2][valid3]
+        k3 = big_all[:-1][valid3] * V + codes[2:][valid3]
+    else:
+        r3 = np.zeros(0, dtype=np.int64)
+        k3 = np.zeros(0, dtype=np.int64)
+    n3 = np.bincount(r3, minlength=n)
+    d3 = _distinct_per_row(r3, k3, n)
+
+    def frac(d: np.ndarray, t: np.ndarray) -> np.ndarray:
+        out = np.zeros(n, dtype=np.float64)
+        nz = t > 0
+        out[nz] = 1.0 - d[nz].astype(np.float64) / t[nz]
+        return out
+
+    return pa.table({
+        id_col: batch[id_col],
+        "n_2grams": pa.array(n2, pa.int64()),
+        "dup_2gram_frac": pa.array(frac(d2, n2), pa.float64()),
+        "dup_3gram_frac": pa.array(frac(d3, n3), pa.float64()),
+    })
+
+
+def repetition(ds: rd.Dataset, id_col: str = "doc_id",
+               text_col: str = "text") -> rd.Dataset:
+    return ds.map_batches(repetition_batch,
+                          fn_kwargs={"id_col": id_col, "text_col": text_col},
+                          batch_format="pyarrow", zero_copy_batch=True)

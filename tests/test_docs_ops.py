@@ -199,3 +199,44 @@ def test_url_canonicalization_rules():
     }
     for raw, want in cases.items():
         assert canonicalize_url(raw) == want, raw
+
+
+def test_repetition_matches_bruteforce():
+    import random
+
+    from sits_classification_ray.stages.textstats import repetition_batch
+
+    random.seed(11)
+    texts = ["the cat sat the cat sat on mat", "a a a a a", "", "one",
+             "x y", "x y x y x y z", " ", "a  b"]
+    texts += [" ".join(random.choice(["a", "b", "c", "dd", "e f"])
+                       for _ in range(random.randint(0, 40)))
+              for _ in range(60)]
+    t = pa.table({"doc_id": pa.array(range(len(texts)), pa.int64()),
+                  "text": texts})
+    out = repetition_batch(t).to_pandas()
+
+    def brute(s):
+        toks = s.split(" ")
+        bg = [" ".join(toks[i:i + 2]) for i in range(len(toks) - 1)]
+        tg = [" ".join(toks[i:i + 3]) for i in range(len(toks) - 2)]
+        frac = lambda l: 0.0 if not l else 1.0 - len(set(l)) / len(l)
+        return len(bg), frac(bg), frac(tg)
+
+    for i, s in enumerate(texts):
+        nb, f2, f3 = brute(s)
+        r = out.iloc[i]
+        assert (r["n_2grams"], r["dup_2gram_frac"],
+                r["dup_3gram_frac"]) == (nb, f2, f3), (i, s)
+
+
+def test_repetition_batch_boundary_independent(docs_ds):
+    """Splitting the dataset into many blocks must not change any
+    per-document result (factorize codes are batch-local)."""
+    from sits_classification_ray.stages.textstats import repetition
+
+    a = (repetition(docs_ds).to_pandas()
+         .sort_values("doc_id").reset_index(drop=True))
+    b = (repetition(docs_ds.repartition(7)).to_pandas()
+         .sort_values("doc_id").reset_index(drop=True))
+    pd.testing.assert_frame_equal(a, b)

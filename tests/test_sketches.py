@@ -6,6 +6,7 @@ import pyarrow as pa
 import ray.data as rd
 
 from sits_classification_ray.functions.sketches import (_hash_u64,
+                                                        hist_quantile,
                                                         hll_distinct,
                                                         hll_estimate,
                                                         hll_update)
@@ -46,3 +47,28 @@ def test_hll_distinct_dataset():
     assert len(out) == 2
     for est in out["hll_estimate"]:
         assert abs(est - 250) / 250 < 0.08   # 250 distinct urls per bucket
+
+
+def test_hist_quantile_dataset_vs_exact():
+    rng = np.random.default_rng(5)
+    vals = rng.integers(0, 4000, size=20_000)
+    df = pd.DataFrame({"v": vals,
+                       "b": ["x" if i % 2 else "y" for i in range(20_000)]})
+    out = (hist_quantile(rd.from_pandas(df), "v", "b")
+           .to_pandas().sort_values("b").reset_index(drop=True))
+    assert list(out["n"]) == [10_000, 10_000]
+    for _, r in out.iterrows():
+        g = df[df["b"] == r["b"]]["v"].to_numpy()
+        for col, q in (("q50", 0.5), ("q90", 0.9), ("q99", 0.99)):
+            exact = np.quantile(g, q)
+            assert abs(r[col] - exact) <= 8 + 1e-9   # one bin width
+
+
+def test_hist_quantile_partition_invariant():
+    rng = np.random.default_rng(6)
+    df = pd.DataFrame({"v": rng.integers(0, 1000, size=5_000), "b": "k"})
+    a = hist_quantile(rd.from_pandas(df), "v", "b").to_pandas()
+    b = hist_quantile(rd.from_pandas(df).repartition(13),
+                      "v", "b").to_pandas()
+    pd.testing.assert_frame_equal(a.reset_index(drop=True),
+                                  b.reset_index(drop=True))

@@ -44,7 +44,8 @@ def make_for(sf_dir: str) -> None:
     obs_long = con.sql(
         f"{CRAWL_PREFIX} SELECT url, warc_ts, metric, value "
         "FROM obs_long").df()
-    obs = con.sql(f"{CRAWL_PREFIX} SELECT url, warc_ts FROM obs").df()
+    obs = con.sql(f"{CRAWL_PREFIX} SELECT url, warc_ts, text_len "
+                  "FROM obs").df()
     from sits_classification_ray.sources.synth import CRAWL_CTE
     crawl = con.sql(f"WITH {CRAWL_CTE} "
                     "SELECT url, warc_ts, html FROM crawl").df()
@@ -66,6 +67,7 @@ def make_for(sf_dir: str) -> None:
         "harmonic_daily": lambda: golden.harmonic_daily(obs_long),
         "hll_distinct_urls_daily":
             lambda: golden.hll_distinct_urls_daily(obs),
+        "hist_quantile_daily": lambda: golden.hist_quantile_daily(obs),
         "canonical_urls_crawl": lambda: golden.canonical_urls_crawl(obs),
         "augmented_rollup": lambda: golden.augmented_rollup(obs_long),
         "html_byte_features": lambda: golden.html_byte_features(crawl),
