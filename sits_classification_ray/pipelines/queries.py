@@ -818,6 +818,13 @@ def _repetition_documents(sf_dir: str) -> rd.Dataset:
                                       columns=["doc_id", "text"]))
 
 
+def _tfidf_top3_documents(sf_dir: str) -> rd.Dataset:
+    from sits_classification_ray.stages.textstats import tfidf_topk
+
+    return tfidf_topk(rd.read_parquet(f"{sf_dir}/documents.parquet",
+                                      columns=["doc_id", "text"]), k=3)
+
+
 def _quantiles_daily_crawl(sf_dir: str) -> rd.Dataset:
     """Exact per-(url, day) quantiles of text_len: co-locate complete
     urls via the salted shuffle, one vectorized pandas groupby-quantile
@@ -915,6 +922,7 @@ def build_queries() -> dict[str, Callable[[str], Any]]:
         "exact_dedup_documents": _exact_dedup_documents,
         "text_stats_documents": _text_stats_documents,
         "repetition_documents": _repetition_documents,
+        "tfidf_top3_documents": _tfidf_top3_documents,
         "quality_score_documents": _quality_score_documents,
         "top3_docs_per_lang": _top3_docs_per_lang,
         "vocab_top100_documents": _vocab_top100_documents,
@@ -1082,6 +1090,27 @@ SELECT doc_id, CAST(len(bg) AS BIGINT) AS n_2grams,
             ELSE 1.0 - CAST(len(list_distinct(tg)) AS DOUBLE) / len(tg)
        END AS dup_3gram_frac
 FROM g""",
+        "tfidf_top3_documents": """
+WITH tok AS MATERIALIZED (
+  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS token
+  FROM documents),
+tf AS MATERIALIZED (
+  SELECT doc_id, token, count(*) AS tf FROM tok GROUP BY 1, 2),
+ntok AS MATERIALIZED (
+  SELECT doc_id, count(*) AS n FROM tok GROUP BY 1),
+df AS MATERIALIZED (
+  SELECT token, count(DISTINCT doc_id) AS df FROM tok GROUP BY 1),
+nd AS (SELECT count(*) AS nd FROM documents),
+s AS MATERIALIZED (
+  SELECT t.doc_id, t.token,
+         round((CAST(t.tf AS DOUBLE) / n.n)
+               * ln(CAST(nd.nd AS DOUBLE) / d.df), 6) AS tfidf
+  FROM tf t JOIN ntok n USING (doc_id) JOIN df d USING (token)
+  CROSS JOIN nd)
+SELECT doc_id, token, tfidf FROM (
+  SELECT *, row_number() OVER (PARTITION BY doc_id
+            ORDER BY tfidf DESC, token) AS rn FROM s)
+WHERE rn <= 3""",
         "quantiles_daily_crawl": f"""{CRAWL_PREFIX}
 SELECT url, CAST(date_trunc('day', warc_ts) AS TIMESTAMP) AS bucket_ts,
        count(*) AS n,

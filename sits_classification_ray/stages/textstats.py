@@ -338,3 +338,110 @@ def repetition(ds: rd.Dataset, id_col: str = "doc_id",
     return ds.map_batches(repetition_batch,
                           fn_kwargs={"id_col": id_col, "text_col": text_col},
                           batch_format="pyarrow", zero_copy_batch=True)
+
+
+# --- TF-IDF (distributed document-frequency join, no broadcast cap) ------
+
+def term_frequencies_batch(batch: pa.Table, id_col: str = "doc_id",
+                           text_col: str = "text") -> pa.Table:
+    """Per-document term frequencies: one output row per distinct
+    (doc, token). Documents are whole rows, so per-batch counts are
+    exact. Vectorized: factorize the flattened lowercase tokens, count
+    (row, code) pairs with one ``np.unique`` over a combined int64
+    key."""
+    n = len(batch)
+    toks = pc.split_pattern(pc.utf8_lower(batch[text_col]), " ")
+    lens = pc.list_value_length(toks).to_numpy(
+        zero_copy_only=False).astype(np.int64)
+    flat = pc.list_flatten(toks).to_numpy(zero_copy_only=False)
+    row = np.repeat(np.arange(n, dtype=np.int64), lens)
+    codes, uniques = pd.factorize(pd.Series(flat, dtype=object))
+    V = np.int64(max(len(uniques), 1))
+    key = row * V + codes
+    uk, counts = np.unique(key, return_counts=True)
+    urow = (uk // V).astype(np.int64)
+    ucode = (uk % V).astype(np.int64)
+    ids = np.asarray(batch[id_col])
+    return pa.table({
+        id_col: pa.array(ids[urow]),
+        "token": pa.array(np.asarray(uniques, dtype=object)[ucode],
+                          pa.string()),
+        "tf": pa.array(counts.astype(np.int64), pa.int64()),
+        "n_tokens": pa.array(lens[urow], pa.int64()),
+    })
+
+
+def tfidf_topk(ds: rd.Dataset, k: int = 3, id_col: str = "doc_id",
+               text_col: str = "text",
+               num_partitions: int = 32) -> rd.Dataset:
+    """Top-k TF-IDF terms per document, fully distributed:
+
+    1. per-batch exact (doc, token, tf, n_tokens) rows;
+    2. document frequency = Sum over the (doc, token) rows per token
+       (they are distinct by construction) — a partial-aggregated
+       groupby, never the corpus;
+    3. the tf rows joined against the df table on token via the
+       tag-union-``partitioned_map`` exchange (the asof/range-join
+       shape: ONE sort-based shuffle, two large sides, no driver-held
+       vocabulary — ``Dataset.join``'s hash-shuffle aggregators can
+       deadlock when chained with the surrounding sort exchanges on
+       small CPU counts);
+    4. ``tfidf = (tf / n_tokens) · ln(N / df)`` rounded to 6 decimals
+       (the exact float shape the SQL oracle uses), then the
+       combiner-style :func:`top_k_per_group` per document.
+    """
+    from ray.data.aggregate import Sum
+
+    from sits_classification_ray.stages.sampling import top_k_per_group
+    from sits_classification_ray.stages.shuffle import partitioned_map
+
+    n_docs = ds.count()
+    tf = ds.map_batches(term_frequencies_batch,
+                        fn_kwargs={"id_col": id_col, "text_col": text_col},
+                        batch_format="pyarrow", zero_copy_batch=True)
+
+    def df_partial(batch: pa.Table) -> pa.Table:
+        g = (batch.select(["token"]).group_by(["token"])
+             .aggregate([([], "count_all")]))
+        return g.rename_columns(["token", "df"])
+
+    df_tbl = (tf.map_batches(df_partial, batch_format="pyarrow",
+                             zero_copy_batch=True)
+              .groupby("token").aggregate(Sum("df", alias_name="df")))
+
+    # tag-union join on token: tf rows carry df = -1, df rows carry
+    # tf = -1; both sides share one int64 schema so the union never
+    # null-pads or upcasts
+    def tag_tf(df: pd.DataFrame) -> pd.DataFrame:
+        out = df[[id_col, "token", "tf", "n_tokens"]].copy()
+        out["df"] = np.int64(-1)
+        return out
+
+    def tag_df(df: pd.DataFrame) -> pd.DataFrame:
+        out = pd.DataFrame({id_col: np.int64(-1), "token": df["token"],
+                            "tf": np.int64(-1), "n_tokens": np.int64(-1),
+                            "df": df["df"].astype(np.int64)})
+        return out
+
+    unioned = tf.map_batches(tag_tf, batch_format="pandas").union(
+        df_tbl.map_batches(tag_df, batch_format="pandas"))
+    log_n = float(n_docs)
+
+    def kernel(df: pd.DataFrame) -> pd.DataFrame:
+        side_df = df[df["df"] >= 0]
+        side_tf = df[df["df"] < 0]
+        dfmap = pd.Series(side_df["df"].to_numpy(),
+                          index=side_df["token"])
+        df_v = side_tf["token"].map(dfmap).to_numpy(dtype=np.float64)
+        tf_v = side_tf["tf"].to_numpy(dtype=np.float64)
+        n_v = side_tf["n_tokens"].to_numpy(dtype=np.float64)
+        return pd.DataFrame({
+            id_col: side_tf[id_col].to_numpy(),
+            "token": side_tf["token"].to_numpy(),
+            "tfidf": np.round((tf_v / n_v) * np.log(log_n / df_v), 6),
+        })
+
+    scored = partitioned_map(unioned, kernel, keys=["token"],
+                             num_partitions=num_partitions)
+    return top_k_per_group(scored, [id_col], "tfidf", k=k,
+                           ascending=False, tie_col="token")

