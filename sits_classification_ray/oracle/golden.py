@@ -478,3 +478,62 @@ def hist_quantile_daily(obs: pd.DataFrame,
         rows.append((d, total, *ests))
     qcols = [f"q{int(round(q * 100)):02d}" for q in quantiles]
     return pd.DataFrame(rows, columns=["bucket_ts", "n", *qcols])
+
+
+def gorilla_segments(obs_long: pd.DataFrame) -> pd.DataFrame:
+    """Expected Gorilla segment sizes per (url, metric) stream — an
+    independent sequential BIT-COST count of the same codec spec
+    (Pelkonen et al. VLDB'15, with the engine's 64-bit wide class and
+    31-cap leading-zero field), never touching the engine's bitstream
+    writer: any packing or window-state bug in functions/gorilla.py
+    shows up as a byte-length mismatch."""
+    df = obs_long.sort_values(["url", "metric", "warc_ts"],
+                              kind="mergesort")
+    rows = []
+    for (url, metric), g in df.groupby(["url", "metric"], sort=False):
+        ts = g["warc_ts"].to_numpy(dtype="datetime64[us]").astype(np.int64)
+        vals = np.ascontiguousarray(
+            g["value"].to_numpy(np.float64)).view(np.uint64)
+        n = len(ts)
+        # timestamps: 64-bit header + per-point delta-of-delta class
+        ts_bits = 64
+        prev_delta = 0
+        for i in range(1, n):
+            delta = int(ts[i] - ts[i - 1])
+            d = delta - prev_delta
+            prev_delta = delta
+            if d == 0:
+                ts_bits += 1
+            elif -63 <= d <= 64:
+                ts_bits += 2 + 7
+            elif -255 <= d <= 256:
+                ts_bits += 3 + 9
+            elif -2047 <= d <= 2048:
+                ts_bits += 4 + 12
+            else:
+                ts_bits += 4 + 64
+        # values: 64-bit header + XOR codes with leading/trailing window
+        val_bits = 64
+        lz_win = sig_win = -1
+        for i in range(1, n):
+            x = int(vals[i] ^ vals[i - 1])
+            if x == 0:
+                val_bits += 1
+                continue
+            lz = min(64 - x.bit_length(), 31)
+            tz = (x & -x).bit_length() - 1
+            sig = 64 - lz - tz
+            if lz_win >= 0 and lz >= lz_win and tz >= 64 - lz_win - sig_win:
+                val_bits += 2 + sig_win
+            else:
+                lz_win, sig_win = lz, sig
+                val_bits += 2 + 5 + 6 + sig
+        rows.append((url, metric, n, (ts_bits + 7) // 8,
+                     (val_bits + 7) // 8, 16 * n, True))
+    out = pd.DataFrame(rows, columns=["url", "metric", "n", "ts_bytes",
+                                      "val_bytes", "raw_bytes",
+                                      "roundtrip_ok"])
+    out["n"] = out["n"].astype(np.int32)
+    for c in ("ts_bytes", "val_bytes", "raw_bytes"):
+        out[c] = out[c].astype(np.int64)
+    return out

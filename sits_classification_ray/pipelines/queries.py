@@ -1002,7 +1002,7 @@ GOLDEN_QUERIES = [
     "fingerprint_documents", "minhash_near_dup_documents", "ivf_topk",
     "stratified_sample_documents", "train_test_split_sizes",
     "harmonic_daily", "augmented_rollup", "html_byte_features",
-    "frame_samples", "hist_quantile_daily",
+    "frame_samples", "hist_quantile_daily", "gorilla_segments",
 ]
 
 

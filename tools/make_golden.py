@@ -68,6 +68,7 @@ def make_for(sf_dir: str) -> None:
         "hll_distinct_urls_daily":
             lambda: golden.hll_distinct_urls_daily(obs),
         "hist_quantile_daily": lambda: golden.hist_quantile_daily(obs),
+        "gorilla_segments": lambda: golden.gorilla_segments(obs_long),
         "canonical_urls_crawl": lambda: golden.canonical_urls_crawl(obs),
         "augmented_rollup": lambda: golden.augmented_rollup(obs_long),
         "html_byte_features": lambda: golden.html_byte_features(crawl),
