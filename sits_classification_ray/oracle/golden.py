@@ -537,3 +537,38 @@ def gorilla_segments(obs_long: pd.DataFrame) -> pd.DataFrame:
     for c in ("ts_bytes", "val_bytes", "raw_bytes"):
         out[c] = out[c].astype(np.int64)
     return out
+
+
+def simhash_drift_crawl(scr: pd.DataFrame) -> pd.DataFrame:
+    """Per-url snapshot simhash drift — sequential reference: simhash
+    each screened snapshot, dedup (url, ts) by (text_len, sim) order,
+    then hamming distance between consecutive snapshots per url."""
+    bit_cols = np.arange(64, dtype=np.uint64)
+    sims = np.empty(len(scr), dtype=np.uint64)
+    for i, t in enumerate(scr["text"]):
+        toks = _TOKEN_RE.findall((t or "").lower())
+        if not toks:
+            sims[i] = 0
+            continue
+        hs = np.array([_sha1_u64_one(w) for w in toks], dtype=np.uint64)
+        bits = ((hs[:, None] >> bit_cols[None, :]) & 1).astype(np.int64)
+        votes = (2 * bits - 1).sum(axis=0)
+        sims[i] = np.uint64(((votes > 0).astype(np.uint64)
+                             << bit_cols).sum())
+    df = pd.DataFrame({
+        "url": scr["url"], "warc_ts": scr["warc_ts"],
+        "text_len": scr["text_len"], "sim": sims.astype(np.int64)})
+    df = (df.sort_values(["url", "warc_ts", "text_len", "sim"],
+                         kind="mergesort")
+          .drop_duplicates(["url", "warc_ts"], keep="first"))
+    rows = []
+    for url, g in df.groupby("url", sort=True):
+        s = g["sim"].to_numpy(np.int64).view(np.uint64)
+        ts = g["warc_ts"].to_numpy()
+        for i in range(1, len(g)):
+            rows.append((url, ts[i], ts[i - 1],
+                         int(bin(int(s[i] ^ s[i - 1])).count("1"))))
+    out = pd.DataFrame(rows, columns=["url", "warc_ts", "prev_ts",
+                                      "hamming"])
+    out["hamming"] = out["hamming"].astype(np.int64)
+    return out

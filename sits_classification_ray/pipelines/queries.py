@@ -818,6 +818,17 @@ def _repetition_documents(sf_dir: str) -> rd.Dataset:
                                       columns=["doc_id", "text"]))
 
 
+def _simhash_drift_crawl(sf_dir: str) -> rd.Dataset:
+    """Per-url content drift between consecutive snapshots (crawl
+    change detection): simhash per snapshot in an actor pool, then only
+    (url, ts, len, sim) rows shuffle to the per-url hamming kernel."""
+    from sits_classification_ray.stages.dedup_docs import simhash_drift
+
+    ext = extract(crawl_from_tables(sf_dir), CFG, keep_text=True)
+    return simhash_drift(
+        ext.select_columns(["url", "warc_ts", "text_len", "text"]))
+
+
 def _tfidf_top3_documents(sf_dir: str) -> rd.Dataset:
     from sits_classification_ray.stages.textstats import tfidf_topk
 
@@ -935,6 +946,7 @@ def build_queries() -> dict[str, Callable[[str], Any]]:
         "gorilla_segments": _gorilla_segments,
         "langid_documents": _langid_documents,
         "simhash_documents": _simhash_documents,
+        "simhash_drift_crawl": _simhash_drift_crawl,
         "fingerprint_documents": _fingerprint_documents,
         "minhash_near_dup_documents": _minhash_near_dup_documents,
         "ivf_topk": _ivf_topk,
@@ -1003,6 +1015,7 @@ GOLDEN_QUERIES = [
     "stratified_sample_documents", "train_test_split_sizes",
     "harmonic_daily", "augmented_rollup", "html_byte_features",
     "frame_samples", "hist_quantile_daily", "gorilla_segments",
+    "simhash_drift_crawl",
 ]
 
 

@@ -487,3 +487,69 @@ def embedding_near_dup_ivf(ds: rd.Dataset, threshold: float = 0.95,
 
     return partitioned_map(assigned, kernel, keys=["ivf_list"],
                            num_partitions=max(16, n_lists))
+
+
+class SnapshotSimHasher(SimHasher):
+    """SimHash per crawl snapshot, passing the series key through so
+    only (url, ts, text_len, sim) rows — never the text — reach the
+    drift shuffle."""
+
+    def __init__(self, url_col: str = "url", ts_col: str = "warc_ts",
+                 len_col: str = "text_len", text_col: str = "text"):
+        super().__init__(id_col=url_col, text_col=text_col)
+        self.url_col, self.ts_col, self.len_col = url_col, ts_col, len_col
+
+    def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            self.url_col: df[self.url_col].to_numpy(),
+            self.ts_col: df[self.ts_col].to_numpy(),
+            self.len_col: df[self.len_col].to_numpy(),
+            "sim": np.array([self.simhash(t) for t in df[self.text_col]],
+                            dtype=np.uint64).astype(np.int64),
+        })
+
+
+def simhash_drift(ds, url_col: str = "url", ts_col: str = "warc_ts",
+                  len_col: str = "text_len", text_col: str = "text",
+                  concurrency=(1, 8)) -> rd.Dataset:
+    """Per-url content drift: hamming distance between consecutive
+    snapshots' simhashes (crawl change detection).
+
+    Duplicate (url, ts) snapshots are deduped inside the kernel by the
+    deterministic (text_len, sim) order — ties beyond that share the
+    simhash, so the drift value is unaffected. One row per snapshot
+    that HAS a predecessor: (url, warc_ts, prev_ts, hamming)."""
+
+    hashed = ds.map_batches(
+        SnapshotSimHasher,
+        fn_constructor_kwargs=dict(url_col=url_col, ts_col=ts_col,
+                                   len_col=len_col, text_col=text_col),
+        batch_format="pandas", concurrency=concurrency, num_cpus=1)
+
+    def kernel(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values([url_col, ts_col, len_col, "sim"],
+                            kind="mergesort")
+        df = df.drop_duplicates([url_col, ts_col], keep="first")
+        n = len(df)
+        urls = df[url_col].to_numpy()
+        ts = df[ts_col].to_numpy()
+        sims = np.ascontiguousarray(
+            df["sim"].to_numpy(np.int64)).view(np.uint64)
+        if n == 0:
+            return pd.DataFrame({url_col: urls, ts_col: ts,
+                                 "prev_ts": ts,
+                                 "hamming": np.zeros(0, np.int64)})
+        same = np.zeros(n, dtype=bool)
+        same[1:] = urls[1:] == urls[:-1]
+        x = np.zeros(n, dtype=np.uint64)
+        x[1:] = sims[1:] ^ sims[:-1]
+        ham = np.unpackbits(x.view(np.uint8).reshape(-1, 8),
+                            axis=1).sum(axis=1).astype(np.int64)
+        prev_ts = np.concatenate([ts[:1], ts[:-1]])
+        out = pd.DataFrame({url_col: urls, ts_col: ts,
+                            "prev_ts": prev_ts, "hamming": ham})
+        return out[same].reset_index(drop=True)
+
+    from sits_classification_ray.stages.shuffle import partitioned_map
+
+    return partitioned_map(hashed, kernel, url_col=url_col)

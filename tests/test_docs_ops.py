@@ -283,3 +283,29 @@ def test_tfidf_partition_invariant(docs_ds):
     b = (tfidf_topk(docs_ds.repartition(9), k=2).to_pandas()
          .sort_values(["doc_id", "token"]).reset_index(drop=True))
     pd.testing.assert_frame_equal(a, b)
+
+
+def test_simhash_drift_semantics():
+    from sits_classification_ray.stages.dedup_docs import simhash_drift
+
+    t0 = np.datetime64("2024-01-01T00:00:00", "us")
+    h = np.timedelta64(3600_000_000, "us")
+    rows = [
+        # url a: identical text twice, then a big change
+        ("a", t0, "the quick brown fox jumps over the lazy dog"),
+        ("a", t0 + h, "the quick brown fox jumps over the lazy dog"),
+        ("a", t0 + 2 * h, "completely different content now entirely"),
+        # url b: single snapshot -> no drift row
+        ("b", t0, "lonely page"),
+        # url a duplicate snapshot at t0 (same ts) -> deduped
+        ("a", t0, "the quick brown fox jumps over the lazy dog"),
+    ]
+    df = pd.DataFrame(rows, columns=["url", "warc_ts", "text"])
+    df["text_len"] = df["text"].str.len().astype(np.int64)
+    out = (simhash_drift(rd.from_pandas(df)).to_pandas()
+           .sort_values(["url", "warc_ts"]).reset_index(drop=True))
+    assert list(out["url"]) == ["a", "a"]
+    assert out.loc[0, "hamming"] == 0          # identical text
+    assert out.loc[1, "hamming"] > 0           # changed text
+    assert out.loc[0, "prev_ts"] == t0
+    assert out.loc[1, "prev_ts"] == t0 + h

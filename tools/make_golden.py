@@ -69,6 +69,9 @@ def make_for(sf_dir: str) -> None:
             lambda: golden.hll_distinct_urls_daily(obs),
         "hist_quantile_daily": lambda: golden.hist_quantile_daily(obs),
         "gorilla_segments": lambda: golden.gorilla_segments(obs_long),
+        "simhash_drift_crawl": lambda: golden.simhash_drift_crawl(
+            con.sql(f"{CRAWL_PREFIX} SELECT url, warc_ts, text, text_len "
+                    "FROM scr").df()),
         "canonical_urls_crawl": lambda: golden.canonical_urls_crawl(obs),
         "augmented_rollup": lambda: golden.augmented_rollup(obs_long),
         "html_byte_features": lambda: golden.html_byte_features(crawl),
