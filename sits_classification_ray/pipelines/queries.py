@@ -818,6 +818,13 @@ def _repetition_documents(sf_dir: str) -> rd.Dataset:
                                       columns=["doc_id", "text"]))
 
 
+def _clean_corpus_documents(sf_dir: str) -> rd.Dataset:
+    from sits_classification_ray.stages.textstats import clean_corpus
+
+    return clean_corpus(rd.read_parquet(f"{sf_dir}/documents.parquet",
+                                        columns=["doc_id", "text"]))
+
+
 def _simhash_drift_crawl(sf_dir: str) -> rd.Dataset:
     """Per-url content drift between consecutive snapshots (crawl
     change detection): simhash per snapshot in an actor pool, then only
@@ -934,6 +941,7 @@ def build_queries() -> dict[str, Callable[[str], Any]]:
         "text_stats_documents": _text_stats_documents,
         "repetition_documents": _repetition_documents,
         "tfidf_top3_documents": _tfidf_top3_documents,
+        "clean_corpus_documents": _clean_corpus_documents,
         "quality_score_documents": _quality_score_documents,
         "top3_docs_per_lang": _top3_docs_per_lang,
         "vocab_top100_documents": _vocab_top100_documents,
@@ -1103,6 +1111,32 @@ SELECT doc_id, CAST(len(bg) AS BIGINT) AS n_2grams,
             ELSE 1.0 - CAST(len(list_distinct(tg)) AS DOUBLE) / len(tg)
        END AS dup_3gram_frac
 FROM g""",
+        "clean_corpus_documents": r"""
+WITH sig AS MATERIALIZED (
+  SELECT doc_id, text,
+         len(string_split(text, ' ')) AS n_tokens,
+         CAST(len(list_filter(string_split(lower(text), ' '),
+              w -> w IN ('the','and','of','to','in','is','that','it',
+                         'was','for','on','are','with','as'))) AS DOUBLE)
+             / len(string_split(text, ' ')) AS stopword_ratio,
+         list_transform(range(1, len(string_split(text, ' '))),
+             i -> string_split(text, ' ')[i] || ' '
+                  || string_split(text, ' ')[i + 1]) AS bg
+  FROM documents),
+f AS MATERIALIZED (
+  SELECT doc_id, text, CAST(n_tokens AS BIGINT) AS n_tokens,
+         stopword_ratio,
+         CASE WHEN len(bg) = 0 THEN 0.0
+              ELSE 1.0 - CAST(len(list_distinct(bg)) AS DOUBLE) / len(bg)
+         END AS dup_2gram_frac
+  FROM sig)
+SELECT min(doc_id) AS doc_id, min(n_tokens) AS n_tokens,
+       min(stopword_ratio) AS stopword_ratio,
+       min(dup_2gram_frac) AS dup_2gram_frac
+FROM f
+WHERE n_tokens >= 25 AND stopword_ratio <= 0.08
+  AND dup_2gram_frac <= 0.05
+GROUP BY text""",
         "tfidf_top3_documents": """
 WITH tok AS MATERIALIZED (
   SELECT doc_id, unnest(string_split(lower(text), ' ')) AS token

@@ -445,3 +445,62 @@ def tfidf_topk(ds: rd.Dataset, k: int = 3, id_col: str = "doc_id",
                              num_partitions=num_partitions)
     return top_k_per_group(scored, [id_col], "tfidf", k=k,
                            ascending=False, tie_col="token")
+
+
+# --- composite corpus-cleaning filter ------------------------------------
+
+def clean_corpus(ds: rd.Dataset, id_col: str = "doc_id",
+                 text_col: str = "text", min_tokens: int = 25,
+                 max_stopword_ratio: float = 0.08,
+                 max_dup_2gram_frac: float = 0.05) -> rd.Dataset:
+    """The composed training-corpus cleaning pipeline in one pass:
+    quality signals + repetition fractions per batch, threshold filter
+    pushed BEFORE the only exchange, then exact dedup of the survivors
+    by content hash keeping the min id.
+
+    The dedup merge uses Ray's native Min aggregate on every carried
+    column — correct because identical text implies identical signals,
+    so per-column Min reproduces the min-id row exactly. Shuffle
+    payload is (hash, id, 3 signal numbers) per surviving distinct
+    text per batch; the texts never move. Content identity is the
+    64-bit sha1 prefix (`_sha1_u64`) — switch to the full digest if a
+    corpus approaches birthday scale (~5·10^9 distinct docs).
+    """
+    from ray.data.aggregate import Min
+
+    from sits_classification_ray.stages.dedup_docs import _sha1_u64
+
+    def signals(batch: pa.Table) -> pa.Table:
+        q = quality_score_batch(batch, id_col, text_col)
+        r = repetition_batch(batch, id_col, text_col)
+        n_tokens = pc.cast(pc.add(pc.count_substring(batch[text_col], " "),
+                                  1), pa.int64())
+        h = _sha1_u64(batch[text_col].to_pylist()).astype(np.int64)
+        t = pa.table({
+            "h": pa.array(h, pa.int64()),
+            id_col: batch[id_col],
+            "n_tokens": n_tokens,
+            "stopword_ratio": q["stopword_ratio"],
+            "dup_2gram_frac": r["dup_2gram_frac"],
+        })
+        keep = pc.and_(
+            pc.and_(pc.greater_equal(t["n_tokens"],
+                                     pa.scalar(min_tokens, pa.int64())),
+                    pc.less_equal(t["stopword_ratio"],
+                                  pa.scalar(max_stopword_ratio))),
+            pc.less_equal(t["dup_2gram_frac"],
+                          pa.scalar(max_dup_2gram_frac)))
+        t = t.filter(keep)
+        # per-batch combiner: one row per distinct surviving text
+        df = t.to_pandas().sort_values(["h", id_col]).drop_duplicates("h")
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    part = ds.map_batches(signals, batch_format="pyarrow",
+                          zero_copy_batch=True)
+    out = part.groupby("h").aggregate(
+        Min(id_col, alias_name=id_col),
+        Min("n_tokens", alias_name="n_tokens"),
+        Min("stopword_ratio", alias_name="stopword_ratio"),
+        Min("dup_2gram_frac", alias_name="dup_2gram_frac"))
+    return out.select_columns([id_col, "n_tokens", "stopword_ratio",
+                               "dup_2gram_frac"])

@@ -309,3 +309,21 @@ def test_simhash_drift_semantics():
     assert out.loc[1, "hamming"] > 0           # changed text
     assert out.loc[0, "prev_ts"] == t0
     assert out.loc[1, "prev_ts"] == t0 + h
+
+
+def test_clean_corpus_filters_and_dedups():
+    from sits_classification_ray.stages.textstats import clean_corpus
+
+    good = "the fast data " * 10 + "extra words here make it longer now ok"
+    docs = pd.DataFrame({
+        "doc_id": [5, 3, 9, 1],
+        "text": [good, good,                       # dup -> keep id 3
+                 "short text",                     # < min_tokens
+                 "a a a a a a a a a a a a a a a a a a a a a a a a a a"],
+    })
+    out = (clean_corpus(rd.from_pandas(docs), min_tokens=10,
+                        max_stopword_ratio=0.5, max_dup_2gram_frac=0.9)
+           .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    # the all-'a' doc has dup_2gram_frac ~1 -> only the dup pair survives
+    assert list(out["doc_id"]) == [3]
+    assert out.loc[0, "n_tokens"] == len(good.split(" "))
