@@ -572,3 +572,35 @@ def simhash_drift_crawl(scr: pd.DataFrame) -> pd.DataFrame:
                                       "hamming"])
     out["hamming"] = out["hamming"].astype(np.int64)
     return out
+
+
+def bloom_semi_join_documents(docs: pd.DataFrame, emb: pd.DataFrame,
+                              m_bits: int = 1 << 20,
+                              k: int = 7) -> pd.DataFrame:
+    """Bloom semi-join reference: sequential build of the same m-bit
+    double-hashed filter spec (sha1-prefix key hash, h1 = low 32 bits,
+    h2 = high 32 bits forced odd, pos_i = (h1 + i·h2) mod m, LSB-first
+    bit order), then probe — false positives and all."""
+    bits = bytearray(m_bits // 8)
+
+    def hash_of(key) -> tuple[int, int]:
+        h = _sha1_u64_one(str(key))
+        return int(h) & 0xFFFFFFFF, (int(h) >> 32) | 1
+
+    for key in emb.loc[emb["label"] <= 3, "vec_id"]:
+        h1, h2 = hash_of(key)
+        for i in range(k):
+            p = (h1 + i * h2) % m_bits
+            bits[p >> 3] |= 1 << (p & 7)
+    keep = []
+    for key in docs["doc_id"]:
+        h1, h2 = hash_of(key)
+        hit = True
+        for i in range(k):
+            p = (h1 + i * h2) % m_bits
+            if not (bits[p >> 3] >> (p & 7)) & 1:
+                hit = False
+                break
+        keep.append(hit)
+    out = docs.loc[keep, ["doc_id", "lang", "n_chars"]].copy()
+    return out.reset_index(drop=True)

@@ -818,6 +818,20 @@ def _repetition_documents(sf_dir: str) -> rd.Dataset:
                                       columns=["doc_id", "text"]))
 
 
+def _bloom_semi_join_documents(sf_dir: str) -> rd.Dataset:
+    """Semi-join via a 128 KiB mergeable Bloom filter instead of a
+    driver-held key set (the 10^9-key right-side path; deterministic
+    spec, golden-checked FPs included)."""
+    from sits_classification_ray.stages.joins import bloom_semi_join
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id", "lang", "n_chars"])
+    emb = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                          columns=["vec_id", "label"])
+    keys = emb.filter(expr="label <= 3").select_columns(["vec_id"])
+    return bloom_semi_join(docs, "doc_id", keys, "vec_id")
+
+
 def _clean_corpus_documents(sf_dir: str) -> rd.Dataset:
     from sits_classification_ray.stages.textstats import clean_corpus
 
@@ -978,6 +992,7 @@ def build_queries() -> dict[str, Callable[[str], Any]]:
         "range_join_events": _range_join_events,
         "join_documents_embeddings": _join_documents_embeddings,
         "semi_join_documents": _semi_join_documents,
+        "bloom_semi_join_documents": _bloom_semi_join_documents,
         "anti_join_documents": _anti_join_documents,
         "regression_metrics_embeddings": _regression_metrics_embeddings,
         # scoring (SQL-checked: affine logits spelled out in the oracle)
@@ -1023,7 +1038,7 @@ GOLDEN_QUERIES = [
     "stratified_sample_documents", "train_test_split_sizes",
     "harmonic_daily", "augmented_rollup", "html_byte_features",
     "frame_samples", "hist_quantile_daily", "gorilla_segments",
-    "simhash_drift_crawl",
+    "simhash_drift_crawl", "bloom_semi_join_documents",
 ]
 
 

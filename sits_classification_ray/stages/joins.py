@@ -186,3 +186,103 @@ def semi_join_filter(ds: rd.Dataset, col: str, keys) -> rd.Dataset:
 def anti_join_filter(ds: rd.Dataset, col: str, keys) -> rd.Dataset:
     """Drop rows whose ``col`` is in the broadcast key set (J6)."""
     return _broadcast_key_filter(ds, col, keys, keep=False)
+
+
+# --- Bloom-filter semi-join (no driver-held key set) ---------------------
+
+def _bloom_positions(h: np.ndarray, m_bits: int, k: int) -> np.ndarray:
+    """k probe positions per 64-bit key hash via double hashing:
+    ``pos_i = (h1 + i·h2) mod m`` with h1 = low 32 bits, h2 = high 32
+    bits forced odd. Returns shape (len(h), k)."""
+    h1 = (h & np.uint64(0xFFFFFFFF)).astype(np.uint64)
+    h2 = ((h >> np.uint64(32)) | np.uint64(1)).astype(np.uint64)
+    i = np.arange(k, dtype=np.uint64)
+    return ((h1[:, None] + i[None, :] * h2[:, None])
+            % np.uint64(m_bits)).astype(np.int64)
+
+
+def _bloom_key_hash(keys: np.ndarray) -> np.ndarray:
+    """sha1-prefix 64-bit hash per key (house content-hash standard —
+    process-independent, replicated by the golden oracle)."""
+    import hashlib
+
+    out = np.empty(len(keys), dtype=np.uint64)
+    for j, key in enumerate(keys):
+        out[j] = int.from_bytes(
+            hashlib.sha1(str(key).encode()).digest()[:8], "big")
+    return out
+
+
+def bloom_semi_join(left: rd.Dataset, col: str, right: rd.Dataset,
+                    right_col: str, m_bits: int = 1 << 20,
+                    k: int = 7, merge_partitions: int = 8) -> rd.Dataset:
+    """Semi-join where the right side's KEY SET never lands anywhere:
+    each right batch folds its keys into an m-bit Bloom filter, the
+    filters merge by elementwise OR (associative/commutative — the
+    sketch contract of functions/sketches.py), and only the final
+    m/8-byte filter is broadcast to the left-side probe actors.
+
+    vs :func:`semi_join_filter`: the broadcast payload is O(m) bits
+    regardless of right-side cardinality (a 10^9-key set would be
+    driver-fatal; the bloom stays 128 KiB at the default m=2^20).
+    Cost: deterministic false positives at the classic
+    (1 - e^{-kn/m})^k rate — callers pick m for their n. The golden
+    oracle replicates the exact spec, so results are reproducible
+    bit-for-bit, FPs included.
+
+    The OR-merge is two-level: one bloom per batch, a small shuffle to
+    ``merge_partitions`` partial ORs, and the driver ORs those few
+    rows — driver payload is merge_partitions × m/8 bytes, not
+    one row per input block.
+    """
+    nbytes = m_bits // 8
+
+    def build(batch: pa.Table) -> pa.Table:
+        h = _bloom_key_hash(np.asarray(batch[right_col]))
+        bits = np.zeros(nbytes, dtype=np.uint8)
+        pos = _bloom_positions(h, m_bits, k).ravel()
+        np.bitwise_or.at(bits, pos >> 3,
+                         np.left_shift(np.uint8(1), (pos & 7).astype(np.uint8)))
+        return pa.table({"bloom": pa.array([bits.tobytes()], pa.binary())})
+
+    def or_merge(df: pd.DataFrame) -> pd.DataFrame:
+        acc = np.zeros(nbytes, dtype=np.uint8)
+        for b in df["bloom"]:
+            np.bitwise_or(acc, np.frombuffer(b, dtype=np.uint8), out=acc)
+        return pd.DataFrame({"bloom": [acc.tobytes()]})
+
+    from sits_classification_ray.stages.shuffle import partitioned_map
+
+    partials = (right.select_columns([right_col])
+                .map_batches(build, batch_format="pyarrow",
+                             zero_copy_batch=True))
+    # salt each single-row bloom to a random-ish partition: hash the
+    # byte payload is pointless — use repartition, payload is tiny
+    merged_rows = partitioned_map(
+        partials.map_batches(
+            lambda df: df.assign(_salt=np.arange(len(df)) % merge_partitions),
+            batch_format="pandas"),
+        or_merge, keys=["_salt"],
+        num_partitions=merge_partitions).take_all()
+    final = np.zeros(nbytes, dtype=np.uint8)
+    for row in merged_rows:
+        np.bitwise_or(final, np.frombuffer(row["bloom"], dtype=np.uint8),
+                      out=final)
+    bloom_ref = ray.put(final.tobytes())
+
+    class Probe:
+        def __init__(self):
+            self.bits = np.frombuffer(ray.get(bloom_ref), dtype=np.uint8)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            h = _bloom_key_hash(np.asarray(batch[col]))
+            pos = _bloom_positions(h, m_bits, k)
+            hit = np.ones(len(h), dtype=bool)
+            for i in range(k):
+                p = pos[:, i]
+                hit &= (self.bits[p >> 3]
+                        >> (p & 7).astype(np.uint8)) & 1 > 0
+            return batch.filter(pa.array(hit))
+
+    return left.map_batches(Probe, batch_format="pyarrow",
+                            concurrency=(1, 8), num_cpus=1)

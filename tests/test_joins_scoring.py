@@ -199,3 +199,32 @@ def test_range_join_matches_pandas():
     pd.testing.assert_frame_equal(
         got[["url", "warc_ts", "s", "v"]].astype({"v": float}),
         want[["url", "warc_ts", "s", "v"]], check_dtype=False)
+
+
+def test_bloom_semi_join_matches_exact():
+    from sits_classification_ray.stages.joins import bloom_semi_join
+
+    left = pd.DataFrame({"id": np.arange(2000, dtype=np.int64),
+                         "v": np.arange(2000, dtype=np.int64) * 3})
+    right = pd.DataFrame({"rid": np.arange(0, 900, 3, dtype=np.int64)})
+    out = (bloom_semi_join(rd.from_pandas(left), "id",
+                           rd.from_pandas(right), "rid")
+           .to_pandas().sort_values("id").reset_index(drop=True))
+    want = set(right["rid"])
+    # m=2^20 vs n=300 keys: FP probability ~ (1-e^{-7*300/2^20})^7 ≈ 1e-19
+    assert set(out["id"]) == want
+    assert (out["v"] == out["id"] * 3).all()
+
+
+def test_bloom_semi_join_block_invariant():
+    from sits_classification_ray.stages.joins import bloom_semi_join
+
+    left = pd.DataFrame({"id": np.arange(500, dtype=np.int64)})
+    right = pd.DataFrame({"rid": np.arange(0, 500, 7, dtype=np.int64)})
+    a = (bloom_semi_join(rd.from_pandas(left), "id",
+                         rd.from_pandas(right), "rid")
+         .to_pandas().sort_values("id").reset_index(drop=True))
+    b = (bloom_semi_join(rd.from_pandas(left).repartition(11), "id",
+                         rd.from_pandas(right).repartition(5), "rid")
+         .to_pandas().sort_values("id").reset_index(drop=True))
+    pd.testing.assert_frame_equal(a, b)

@@ -69,6 +69,8 @@ def make_for(sf_dir: str) -> None:
             lambda: golden.hll_distinct_urls_daily(obs),
         "hist_quantile_daily": lambda: golden.hist_quantile_daily(obs),
         "gorilla_segments": lambda: golden.gorilla_segments(obs_long),
+        "bloom_semi_join_documents":
+            lambda: golden.bloom_semi_join_documents(docs, emb),
         "simhash_drift_crawl": lambda: golden.simhash_drift_crawl(
             con.sql(f"{CRAWL_PREFIX} SELECT url, warc_ts, text, text_len "
                     "FROM scr").df()),
