@@ -146,3 +146,60 @@ def hist_quantile(ds: rd.Dataset, value_col: str, bucket_col: str,
     from sits_classification_ray.stages.shuffle import partitioned_map
 
     return partitioned_map(partials, merge, keys=[bucket_col])
+
+
+# --- KMV (k-minimum-values) distinct sketch ------------------------------
+
+def kmv_distinct(ds: rd.Dataset, key_col: str, bucket_col: str,
+                 k: int = 256) -> rd.Dataset:
+    """Distinct-count estimate per bucket via the k smallest key
+    hashes (Bar-Yossef et al. KMV estimator) — the third mergeable
+    sketch alongside HLL and the histogram quantile, and unlike HLL it
+    also yields a uniform without-replacement SAMPLE of the distinct
+    keys (the k hash-minima are a coordination-free bottom-k sample).
+
+    Merge is set-union-then-k-smallest: order-insensitive and
+    idempotent, so any Ray block arrival order produces the same
+    result — which is what lets a sequential golden oracle replicate
+    it exactly. Estimate: with u_k = k-th smallest hash normalized to
+    (0, 1], distinct ≈ (k-1)/u_k; exact |keys| when fewer than k
+    distinct hashes were seen. Shuffle payload: ≤ k (hash, key) rows
+    per (bucket, batch).
+    """
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for bucket, g in df.groupby(bucket_col, sort=False):
+            h = np.unique(_hash_u64(g[key_col].tolist()))  # sorted asc
+            # int64 VIEW (bit reinterpret) — uint64 keys > 2^63 must
+            # not go through a value cast, and Ray aggregates keep
+            # int64 arrow-typed where uint64 falls back to objects
+            rows.append(pd.DataFrame({
+                bucket_col: bucket,
+                "h": np.ascontiguousarray(h[:k]).view(np.int64)}))
+        if not rows:
+            return pd.DataFrame({bucket_col: df[bucket_col].iloc[:0],
+                                 "h": np.zeros(0, np.int64)})
+        return pd.concat(rows, ignore_index=True)
+
+    partials = ds.map_batches(partial, batch_format="pandas")
+
+    def merge(df: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for bucket, g in df.groupby(bucket_col, sort=False):
+            h = np.unique(g["h"].to_numpy(np.int64).view(np.uint64))
+            n = len(h)
+            if n < k:
+                est = float(n)
+            else:
+                h = h[:k]
+                u_k = (float(h[-1]) + 1.0) / 18446744073709551616.0
+                est = (k - 1) / u_k
+            rows.append((bucket, n if n < k else k, round(est, 6)))
+        return pd.DataFrame(rows, columns=[bucket_col, "n_sample",
+                                           "kmv_estimate"])
+
+    from sits_classification_ray.stages.shuffle import partitioned_map
+
+    out = partitioned_map(partials, merge, keys=[bucket_col])
+    return out

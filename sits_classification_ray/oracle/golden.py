@@ -604,3 +604,28 @@ def bloom_semi_join_documents(docs: pd.DataFrame, emb: pd.DataFrame,
         keep.append(hit)
     out = docs.loc[keep, ["doc_id", "lang", "n_chars"]].copy()
     return out.reset_index(drop=True)
+
+
+def kmv_distinct_urls_daily(obs: pd.DataFrame, k: int = 256) -> pd.DataFrame:
+    """KMV distinct urls per day — sequential reference: exact per-day
+    distinct key set, sha1-prefix hashes, k smallest, same estimator
+    arithmetic as functions/sketches.py ((k-1)/u_k with u_k =
+    (h_k + 1) / 2^64; exact count below k)."""
+    day = pd.to_datetime(obs["warc_ts"]).dt.floor("1D")
+    rows = []
+    for d, g in obs.groupby(day, sort=True):
+        hs = np.unique(np.array(
+            [int.from_bytes(hashlib.sha1(str(u).encode()).digest()[:8],
+                            "big") for u in set(g["url"])],
+            dtype=np.uint64))
+        n = len(hs)
+        if n < k:
+            est = float(n)
+            n_sample = n
+        else:
+            u_k = (float(hs[:k][-1]) + 1.0) / 18446744073709551616.0
+            est = (k - 1) / u_k
+            n_sample = k
+        rows.append((d, n_sample, round(est, 6)))
+    return pd.DataFrame(rows, columns=["bucket_ts", "n_sample",
+                                       "kmv_estimate"])

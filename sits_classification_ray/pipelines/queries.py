@@ -888,6 +888,25 @@ def _quantiles_daily_crawl(sf_dir: str) -> rd.Dataset:
     return partitioned_map(proj_ds, kernel, keys=["url"])
 
 
+def _kmv_distinct_urls_daily(sf_dir: str) -> rd.Dataset:
+    """Distinct urls per day via the KMV bottom-k hash sketch (the
+    sample-bearing alternative to HLL; golden-checked — KMV's
+    union-then-k-smallest merge is order-insensitive)."""
+    from sits_classification_ray.functions.sketches import kmv_distinct
+
+    def day(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "url": batch["url"],
+            "bucket_ts": pc.cast(pc.floor_temporal(batch["warc_ts"],
+                                                   unit="day"),
+                                 pa.timestamp("us")),
+        })
+
+    obs_days = _obs(sf_dir).map_batches(day, batch_format="pyarrow",
+                                        zero_copy_batch=True)
+    return kmv_distinct(obs_days, key_col="url", bucket_col="bucket_ts")
+
+
 def _hist_quantile_daily(sf_dir: str) -> rd.Dataset:
     """Approximate global text_len quantiles per day via the mergeable
     fixed-bin histogram sketch (the 10^12-row path; golden-checked
@@ -938,6 +957,7 @@ def build_queries() -> dict[str, Callable[[str], Any]]:
         "hopping_rollup_6h_1h": _hopping_rollup_6h_1h,
         "hll_distinct_urls_daily": _hll_distinct_urls_daily,
         "hist_quantile_daily": _hist_quantile_daily,
+        "kmv_distinct_urls_daily": _kmv_distinct_urls_daily,
         "quantiles_daily_crawl": _quantiles_daily_crawl,
         "lang_daily": _lang_daily,
         "gapfill_linear": lambda sf: _gapfill(sf, "linear"),
@@ -1039,6 +1059,7 @@ GOLDEN_QUERIES = [
     "harmonic_daily", "augmented_rollup", "html_byte_features",
     "frame_samples", "hist_quantile_daily", "gorilla_segments",
     "simhash_drift_crawl", "bloom_semi_join_documents",
+    "kmv_distinct_urls_daily",
 ]
 
 

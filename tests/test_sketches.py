@@ -72,3 +72,32 @@ def test_hist_quantile_partition_invariant():
                       "v", "b").to_pandas()
     pd.testing.assert_frame_equal(a.reset_index(drop=True),
                                   b.reset_index(drop=True))
+
+
+def test_kmv_exact_below_k_and_estimate_above_k():
+    from sits_classification_ray.functions.sketches import kmv_distinct
+    df = pd.DataFrame({
+        "k": [f"u{i % 100}" for i in range(2_000)]
+        + [f"v{i % 2000}" for i in range(8_000)],
+        "b": ["small"] * 2_000 + ["big"] * 8_000,
+    })
+    out = (kmv_distinct(rd.from_pandas(df), "k", "b", k=256)
+           .to_pandas().set_index("b"))
+    # below k: exact count, sample is the whole distinct set
+    assert out.loc["small", "n_sample"] == 100
+    assert out.loc["small", "kmv_estimate"] == 100.0
+    # above k: (k-1)/u_k estimate within ~3/sqrt(k) of truth
+    assert out.loc["big", "n_sample"] == 256
+    assert abs(out.loc["big", "kmv_estimate"] - 2000) / 2000 < 0.2
+
+
+def test_kmv_partition_invariant():
+    from sits_classification_ray.functions.sketches import kmv_distinct
+    rng = np.random.default_rng(7)
+    df = pd.DataFrame({"k": rng.integers(0, 3000, size=6_000).astype(str),
+                       "b": "x"})
+    a = kmv_distinct(rd.from_pandas(df), "k", "b").to_pandas()
+    b = kmv_distinct(rd.from_pandas(df).repartition(11),
+                     "k", "b").to_pandas()
+    pd.testing.assert_frame_equal(a.reset_index(drop=True),
+                                  b.reset_index(drop=True))

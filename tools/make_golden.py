@@ -68,6 +68,8 @@ def make_for(sf_dir: str) -> None:
         "hll_distinct_urls_daily":
             lambda: golden.hll_distinct_urls_daily(obs),
         "hist_quantile_daily": lambda: golden.hist_quantile_daily(obs),
+        "kmv_distinct_urls_daily":
+            lambda: golden.kmv_distinct_urls_daily(obs),
         "gorilla_segments": lambda: golden.gorilla_segments(obs_long),
         "bloom_semi_join_documents":
             lambda: golden.bloom_semi_join_documents(docs, emb),
