@@ -629,3 +629,26 @@ def kmv_distinct_urls_daily(obs: pd.DataFrame, k: int = 256) -> pd.DataFrame:
         rows.append((d, n_sample, round(est, 6)))
     return pd.DataFrame(rows, columns=["bucket_ts", "n_sample",
                                        "kmv_estimate"])
+
+
+def near_dup_clusters_documents(docs: pd.DataFrame) -> pd.DataFrame:
+    """Connected components over the near-dup pair graph — sequential
+    reference: golden minhash pairs + classic union-find, cluster id =
+    min doc_id per component."""
+    pairs = minhash_near_dup_documents(docs)
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        while parent.setdefault(x, x) != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for ia, ib in pairs[["id_a", "id_b"]].itertuples(index=False):
+        ra, rb = find(int(ia)), find(int(ib))
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    members = sorted(parent)
+    rows = [(v, find(v)) for v in members]
+    return pd.DataFrame(rows, columns=["doc_id", "cluster_id"]).astype(
+        {"doc_id": np.int64, "cluster_id": np.int64})

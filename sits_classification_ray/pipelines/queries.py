@@ -453,6 +453,20 @@ def _minhash_near_dup_documents(sf_dir: str) -> rd.Dataset:
                                threshold=0.5)
 
 
+def _near_dup_clusters_documents(sf_dir: str) -> rd.Dataset:
+    """MinHash pairs → connected components: one (doc_id, cluster_id)
+    row per doc in any near-dup component, cluster id = smallest
+    member id (golden-checked vs an independent union-find)."""
+    from sits_classification_ray.stages.dedup_docs import (
+        connected_components, ngram_jaccard_pairs)
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"])
+    pairs = ngram_jaccard_pairs(ds, shingle_k=5, num_perm=64, bands=16,
+                                threshold=0.5)
+    return connected_components(pairs)
+
+
 def _stm_per_series(sf_dir: str) -> rd.Dataset:
     from sits_classification_ray.stages.stm import temporal_metrics
 
@@ -991,6 +1005,7 @@ def build_queries() -> dict[str, Callable[[str], Any]]:
         "simhash_drift_crawl": _simhash_drift_crawl,
         "fingerprint_documents": _fingerprint_documents,
         "minhash_near_dup_documents": _minhash_near_dup_documents,
+        "near_dup_clusters_documents": _near_dup_clusters_documents,
         "ivf_topk": _ivf_topk,
         # temporal analytics + normalization (SQL-checked)
         "stm_per_series": _stm_per_series,
@@ -1059,7 +1074,7 @@ GOLDEN_QUERIES = [
     "harmonic_daily", "augmented_rollup", "html_byte_features",
     "frame_samples", "hist_quantile_daily", "gorilla_segments",
     "simhash_drift_crawl", "bloom_semi_join_documents",
-    "kmv_distinct_urls_daily",
+    "kmv_distinct_urls_daily", "near_dup_clusters_documents",
 ]
 
 

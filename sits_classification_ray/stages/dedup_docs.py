@@ -553,3 +553,101 @@ def simhash_drift(ds, url_col: str = "url", ts_col: str = "warc_ts",
     from sits_classification_ray.stages.shuffle import partitioned_map
 
     return partitioned_map(hashed, kernel, url_col=url_col)
+
+
+# ---------------------------------------------------------------------------
+# Connected components over near-dup pairs (cluster formation)
+# ---------------------------------------------------------------------------
+
+def connected_components(pairs_ds: rd.Dataset, id_a: str = "id_a",
+                         id_b: str = "id_b",
+                         max_iters: int = 30) -> rd.Dataset:
+    """Group pairwise near-dup matches into clusters: ``cluster_id`` of
+    every vertex is the SMALLEST doc id reachable through the pair
+    graph — the canonical post-LSH step that turns pairwise matches
+    into keep-one-per-cluster groups (reference emits flat match lists
+    only; cluster formation is the corpus-dedup extension).
+
+    Distributed min-label propagation. Per round: one salted hash-join
+    exchange (current labels onto edge sources → label messages to
+    their neighbors) plus one NATIVE ``Min`` aggregation — no Python
+    dispatch per vertex or per edge. All per-round state is the VERTEX
+    table of the pair graph (docs that matched at least once), never
+    the corpus. Labels only ever decrease, so ``sum(label)`` is
+    strictly monotone and the loop stops the first round it is
+    unchanged; rounds = O(component diameter), and near-dup components
+    are shallow (cliques/stars around a template), so 2–3 rounds are
+    typical. A 100 TB corpus with 10^9 matched docs keeps each round
+    at two exchanges over ~16 GB of (v, lbl) rows.
+    """
+    from ray.data.aggregate import Min
+
+    from sits_classification_ray.stages.shuffle import partitioned_map
+
+    def sym(df: pd.DataFrame) -> pd.DataFrame:
+        a = df[id_a].to_numpy(np.int64)
+        b = df[id_b].to_numpy(np.int64)
+        return pd.DataFrame({"src": np.concatenate([a, b]),
+                             "dst": np.concatenate([b, a])})
+
+    edges = pairs_ds.map_batches(sym, batch_format="pandas").materialize()
+    if edges.count() == 0:
+        return rd.from_arrow(pa.table({
+            "doc_id": pa.array([], pa.int64()),
+            "cluster_id": pa.array([], pa.int64())}))
+
+    # free first half-round: label[v] = min(v, min neighbor of v)
+    # (every vertex of the symmetrized graph appears as src)
+    def init_lbl(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "v": df["src"].to_numpy(np.int64),
+            "lbl": np.minimum(df["src"].to_numpy(np.int64),
+                              df["lbl"].to_numpy(np.int64))})
+
+    labels = (edges.groupby("src").aggregate(Min("dst", alias_name="lbl"))
+              .map_batches(init_lbl, batch_format="pandas").materialize())
+    total = labels.sum("lbl")
+
+    # identical (__k, __o, lbl) schema on both union sides — Dataset
+    # union null-pads and upcasts int64→float64 on a schema mismatch
+    def tag_labels(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"__k": df["v"].to_numpy(np.int64),
+                             "__o": np.full(len(df), -1, np.int64),
+                             "lbl": df["lbl"].to_numpy(np.int64)})
+
+    def tag_edges(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"__k": df["src"].to_numpy(np.int64),
+                             "__o": df["dst"].to_numpy(np.int64),
+                             "lbl": np.zeros(len(df), np.int64)})
+
+    edges_tagged = edges.map_batches(
+        tag_edges, batch_format="pandas").materialize()
+
+    def propagate(df: pd.DataFrame) -> pd.DataFrame:
+        lab = df[df["__o"] < 0]
+        edg = df[df["__o"] >= 0]
+        m = edg[["__k", "__o"]].merge(
+            lab[["__k", "lbl"]], on="__k", how="inner")
+        return pd.concat([
+            pd.DataFrame({"v": m["__o"].to_numpy(np.int64),
+                          "lbl": m["lbl"].to_numpy(np.int64)}),
+            pd.DataFrame({"v": lab["__k"].to_numpy(np.int64),
+                          "lbl": lab["lbl"].to_numpy(np.int64)}),
+        ], ignore_index=True)
+
+    for _ in range(max_iters):
+        unioned = labels.map_batches(
+            tag_labels, batch_format="pandas").union(edges_tagged)
+        msgs = partitioned_map(unioned, propagate, keys=["__k"])
+        labels = (msgs.groupby("v").aggregate(Min("lbl", alias_name="lbl"))
+                  .materialize())
+        new_total = labels.sum("lbl")
+        if new_total == total:
+            break
+        total = new_total
+
+    def rename(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"doc_id": df["v"].to_numpy(np.int64),
+                             "cluster_id": df["lbl"].to_numpy(np.int64)})
+
+    return labels.map_batches(rename, batch_format="pandas")

@@ -327,3 +327,33 @@ def test_clean_corpus_filters_and_dedups():
     # the all-'a' doc has dup_2gram_frac ~1 -> only the dup pair survives
     assert list(out["doc_id"]) == [3]
     assert out.loc[0, "n_tokens"] == len(good.split(" "))
+
+
+def test_connected_components_chain_and_singleton_pairs():
+    from sits_classification_ray.stages.dedup_docs import \
+        connected_components
+
+    # a 9-hop chain (needs several propagation rounds), a 2-clique,
+    # and a star — cluster_id must be the component minimum everywhere
+    chain = [(i, i + 1) for i in range(10, 19)]
+    pairs = pd.DataFrame(chain + [(101, 100), (200, 201), (200, 202)],
+                         columns=["id_a", "id_b"])
+    out = (connected_components(rd.from_pandas(pairs))
+           .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    got = dict(zip(out["doc_id"], out["cluster_id"]))
+    assert all(got[v] == 10 for v in range(10, 20))
+    assert got[100] == 100 and got[101] == 100
+    assert got[200] == 200 and got[201] == 200 and got[202] == 200
+    assert len(got) == 15
+
+
+def test_connected_components_empty():
+    from sits_classification_ray.stages.dedup_docs import \
+        connected_components
+
+    pairs = pd.DataFrame({"id_a": pd.Series([], dtype=np.int64),
+                          "id_b": pd.Series([], dtype=np.int64)})
+    out = connected_components(rd.from_pandas(pairs))
+    # to_pandas() on a 0-row dataset drops columns; check the schema
+    assert out.count() == 0
+    assert out.schema().names == ["doc_id", "cluster_id"]

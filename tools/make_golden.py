@@ -57,6 +57,8 @@ def make_for(sf_dir: str) -> None:
         "fingerprint_documents": lambda: golden.fingerprint_documents(docs),
         "minhash_near_dup_documents":
             lambda: golden.minhash_near_dup_documents(docs),
+        "near_dup_clusters_documents":
+            lambda: golden.near_dup_clusters_documents(docs),
         "ivf_topk": lambda: golden.ivf_topk(emb),
         "embedding_near_dup_ivf":
             lambda: golden.embedding_near_dup_ivf(emb),
