@@ -652,3 +652,14 @@ def near_dup_clusters_documents(docs: pd.DataFrame) -> pd.DataFrame:
     rows = [(v, find(v)) for v in members]
     return pd.DataFrame(rows, columns=["doc_id", "cluster_id"]).astype(
         {"doc_id": np.int64, "cluster_id": np.int64})
+
+
+def near_dup_keep_one_documents(docs: pd.DataFrame) -> pd.DataFrame:
+    """Keep-one corpus dedup — sequential reference: drop every doc
+    whose union-find cluster id differs from its own id."""
+    clusters = near_dup_clusters_documents(docs)
+    drop = set(clusters.loc[clusters["doc_id"] != clusters["cluster_id"],
+                            "doc_id"])
+    out = docs.loc[~docs["doc_id"].isin(drop),
+                   ["doc_id", "lang", "n_chars"]]
+    return out.reset_index(drop=True)

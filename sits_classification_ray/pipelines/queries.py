@@ -467,6 +467,22 @@ def _near_dup_clusters_documents(sf_dir: str) -> rd.Dataset:
     return connected_components(pairs)
 
 
+def _near_dup_keep_one_documents(sf_dir: str) -> rd.Dataset:
+    """Corpus-level keep-one dedup: MinHash pairs → connected
+    components → distributed anti-join of non-canonical members
+    (golden-checked vs an independent union-find drop set)."""
+    from sits_classification_ray.stages.dedup_docs import (
+        near_dup_keep_one, ngram_jaccard_pairs)
+
+    text_ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                              columns=["doc_id", "text"])
+    pairs = ngram_jaccard_pairs(text_ds, shingle_k=5, num_perm=64,
+                                bands=16, threshold=0.5)
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id", "lang", "n_chars"])
+    return near_dup_keep_one(docs, pairs)
+
+
 def _stm_per_series(sf_dir: str) -> rd.Dataset:
     from sits_classification_ray.stages.stm import temporal_metrics
 
@@ -1006,6 +1022,7 @@ def build_queries() -> dict[str, Callable[[str], Any]]:
         "fingerprint_documents": _fingerprint_documents,
         "minhash_near_dup_documents": _minhash_near_dup_documents,
         "near_dup_clusters_documents": _near_dup_clusters_documents,
+        "near_dup_keep_one_documents": _near_dup_keep_one_documents,
         "ivf_topk": _ivf_topk,
         # temporal analytics + normalization (SQL-checked)
         "stm_per_series": _stm_per_series,
@@ -1075,6 +1092,7 @@ GOLDEN_QUERIES = [
     "frame_samples", "hist_quantile_daily", "gorilla_segments",
     "simhash_drift_crawl", "bloom_semi_join_documents",
     "kmv_distinct_urls_daily", "near_dup_clusters_documents",
+    "near_dup_keep_one_documents",
 ]
 
 

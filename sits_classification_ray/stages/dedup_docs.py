@@ -651,3 +651,52 @@ def connected_components(pairs_ds: rd.Dataset, id_a: str = "id_a",
                              "cluster_id": df["lbl"].to_numpy(np.int64)})
 
     return labels.map_batches(rename, batch_format="pandas")
+
+
+def near_dup_keep_one(docs_ds: rd.Dataset, pairs_ds: rd.Dataset,
+                      id_col: str = "doc_id") -> rd.Dataset:
+    """Corpus-level near-dup dedup: keep only the smallest doc id of
+    each connected near-dup cluster and every unmatched doc.
+
+    The drop set (non-canonical cluster members) streams through a
+    distributed hash anti-join — never a driver-held key set, because
+    at corpus scale the drop set itself can be billions of ids. The
+    exchange null-pads the union of the two sides' schemas (upcasting
+    int payload columns to float), so the output is cast back to the
+    input's exact Arrow schema.
+    """
+    from sits_classification_ray.stages.shuffle import partitioned_map
+
+    clusters = connected_components(pairs_ds)
+
+    def to_drops(df: pd.DataFrame) -> pd.DataFrame:
+        d = df[df["doc_id"] != df["cluster_id"]]
+        return pd.DataFrame({"__k": d["doc_id"].to_numpy(np.int64),
+                             "__side": np.zeros(len(d), np.int64)})
+
+    drops = clusters.map_batches(to_drops, batch_format="pandas")
+    cols = docs_ds.columns()
+    schema = docs_ds.schema()
+    arrow_schema = pa.schema(
+        [pa.field(n, t) for n, t in zip(schema.names, schema.types)])
+
+    def tag_docs(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy(deep=False)
+        df["__k"] = df[id_col].astype(np.int64)
+        df["__side"] = np.int64(1)
+        return df
+
+    unioned = docs_ds.map_batches(
+        tag_docs, batch_format="pandas").union(drops)
+
+    def kernel(df: pd.DataFrame) -> pd.DataFrame:
+        lf = df[df["__side"] == 1].reindex(columns=cols + ["__k"])
+        dk = df.loc[df["__side"] == 0, "__k"].to_numpy()
+        return lf[~lf["__k"].isin(dk)].drop(columns="__k")
+
+    out = partitioned_map(unioned, kernel, keys=["__k"])
+
+    def cast_back(t: pa.Table) -> pa.Table:
+        return t.select(cols).cast(arrow_schema)
+
+    return out.map_batches(cast_back, batch_format="pyarrow")

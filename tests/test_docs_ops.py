@@ -357,3 +357,18 @@ def test_connected_components_empty():
     # to_pandas() on a 0-row dataset drops columns; check the schema
     assert out.count() == 0
     assert out.schema().names == ["doc_id", "cluster_id"]
+
+
+def test_near_dup_keep_one_drops_non_canonical():
+    from sits_classification_ray.stages.dedup_docs import near_dup_keep_one
+
+    docs = pd.DataFrame({"doc_id": np.arange(1, 8, dtype=np.int64),
+                         "n_chars": np.arange(1, 8, dtype=np.int64) * 10})
+    # clusters {2,5,6} and {3,7}; 1 and 4 untouched
+    pairs = pd.DataFrame({"id_a": [5, 6, 7], "id_b": [2, 5, 3]})
+    out = (near_dup_keep_one(rd.from_pandas(docs), rd.from_pandas(pairs))
+           .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    assert list(out["doc_id"]) == [1, 2, 3, 4]
+    # int dtype survives the null-padded exchange (cast-back)
+    assert out["n_chars"].dtype == np.int64
+    assert list(out["n_chars"]) == [10, 20, 30, 40]
