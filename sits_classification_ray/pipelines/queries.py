@@ -467,6 +467,31 @@ def _near_dup_clusters_documents(sf_dir: str) -> rd.Dataset:
     return connected_components(pairs)
 
 
+def _scrub_pii_documents(sf_dir: str) -> rd.Dataset:
+    """PII redaction over a deterministically composed PII-bearing
+    column (the synthetic corpus carries no emails/IPs/phones, so both
+    sides append 'contact: user<id>@… ip 10.… tel: …' to the text and
+    the SCRUB is what the oracle checks — nested RE2-compatible
+    regexp_replace twins in SQL)."""
+    from sits_classification_ray.stages.textstats import scrub_pii
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"])
+
+    def compose(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.reset_index(drop=True)
+        did = df["doc_id"].to_numpy(np.int64)
+        s = pd.Series(did).astype(str)
+        comp = (df["text"].str.slice(0, 80)
+                + " contact: user" + s + "@mail.example.org ip 10."
+                + pd.Series(did % 200).astype(str)
+                + ".0.7 tel: +1 555 0100 "
+                + pd.Series(did % 90 + 10).astype(str))
+        return pd.DataFrame({"doc_id": did, "text": comp})
+
+    return scrub_pii(ds.map_batches(compose, batch_format="pandas"))
+
+
 def _near_dup_keep_one_documents(sf_dir: str) -> rd.Dataset:
     """Corpus-level keep-one dedup: MinHash pairs → connected
     components → distributed anti-join of non-canonical members
@@ -1023,6 +1048,7 @@ def build_queries() -> dict[str, Callable[[str], Any]]:
         "minhash_near_dup_documents": _minhash_near_dup_documents,
         "near_dup_clusters_documents": _near_dup_clusters_documents,
         "near_dup_keep_one_documents": _near_dup_keep_one_documents,
+        "scrub_pii_documents": _scrub_pii_documents,
         "ivf_topk": _ivf_topk,
         # temporal analytics + normalization (SQL-checked)
         "stm_per_series": _stm_per_series,
@@ -1100,6 +1126,24 @@ def build_oracle_sql() -> dict[str, str]:
     golden = {name: _golden_sql(name) for name in GOLDEN_QUERIES}
     golden = {k: v for k, v in golden.items() if v}
     out = {**golden,
+        "scrub_pii_documents": r"""
+WITH comp AS MATERIALIZED (
+  SELECT doc_id,
+         substr(text, 1, 80) || ' contact: user' || CAST(doc_id AS VARCHAR)
+         || '@mail.example.org ip 10.' || CAST(doc_id % 200 AS VARCHAR)
+         || '.0.7 tel: +1 555 0100 ' || CAST(doc_id % 90 + 10 AS VARCHAR)
+         AS t
+  FROM documents)
+SELECT doc_id,
+  len(regexp_extract_all(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))
+      AS n_email,
+  len(regexp_extract_all(t, '\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}')) AS n_ipv4,
+  len(regexp_extract_all(t, '\+?\d[\d -]{7,}\d')) AS n_phone,
+  regexp_replace(regexp_replace(regexp_replace(t,
+      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+      '\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}', '<IP>', 'g'),
+      '\+?\d[\d -]{7,}\d', '<PHONE>', 'g') AS scrubbed
+FROM comp""",
         "crawl_extract": f"""{CRAWL_PREFIX}
 SELECT url, warc_ts, lang, text, text_len, word_count FROM scr""",
         "crawl_dedup": f"""{CRAWL_PREFIX}

@@ -504,3 +504,58 @@ def clean_corpus(ds: rd.Dataset, id_col: str = "doc_id",
         Min("dup_2gram_frac", alias_name="dup_2gram_frac"))
     return out.select_columns([id_col, "n_tokens", "stopword_ratio",
                                "dup_2gram_frac"])
+
+
+# ---------------------------------------------------------------------------
+# PII scrubbing (email / IPv4 / phone redaction)
+# ---------------------------------------------------------------------------
+
+#: (pattern, replacement) in application order. Patterns are written to
+#: the RE2-compatible subset (no backreferences, no lookaround, no \b)
+#: so a DuckDB ``regexp_replace(..., 'g')`` twin produces byte-identical
+#: output; compiled with re.ASCII so ``\d`` means ASCII digits on both
+#: engines. Email is applied first (consumes its own digits), IPv4
+#: before phone (else the phone pattern eats dotted quads).
+PII_PATTERNS = [
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+     "<EMAIL>"),
+    ("ipv4", r"\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}", "<IP>"),
+    ("phone", r"\+?\d[\d -]{7,}\d", "<PHONE>"),
+]
+
+
+class PiiScrubber:
+    """Actor-pool redaction stage: patterns compiled ONCE per actor in
+    ``__init__``; ``__call__`` counts then replaces per batch.
+    Counts are taken before any replacement (on the raw text), so they
+    are independent of the redaction order."""
+
+    def __init__(self, id_col: str = "doc_id", text_col: str = "text"):
+        import re
+        self.id_col = id_col
+        self.text_col = text_col
+        self.compiled = [(name, re.compile(pat, re.ASCII), repl)
+                         for name, pat, repl in PII_PATTERNS]
+
+    def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+        texts = df[self.text_col].tolist()
+        out = {self.id_col: df[self.id_col].to_numpy()}
+        for name, rx, _ in self.compiled:
+            out[f"n_{name}"] = np.fromiter(
+                (len(rx.findall(t or "")) for t in texts),
+                dtype=np.int64, count=len(texts))
+        scrubbed = texts
+        for _, rx, repl in self.compiled:
+            scrubbed = [rx.sub(repl, t or "") for t in scrubbed]
+        out["scrubbed"] = scrubbed
+        return pd.DataFrame(out)
+
+
+def scrub_pii(ds: rd.Dataset, id_col: str = "doc_id",
+              text_col: str = "text", concurrency=(1, 8)) -> rd.Dataset:
+    """Redact emails, IPv4s and phone-like digit runs; returns
+    ``(id_col, n_email, n_ipv4, n_phone, scrubbed)``."""
+    return ds.map_batches(
+        PiiScrubber,
+        fn_constructor_kwargs=dict(id_col=id_col, text_col=text_col),
+        batch_format="pandas", concurrency=concurrency, num_cpus=1)

@@ -372,3 +372,26 @@ def test_near_dup_keep_one_drops_non_canonical():
     # int dtype survives the null-padded exchange (cast-back)
     assert out["n_chars"].dtype == np.int64
     assert list(out["n_chars"]) == [10, 20, 30, 40]
+
+
+def test_scrub_pii_redacts_and_counts():
+    from sits_classification_ray.stages.textstats import scrub_pii
+
+    docs = pd.DataFrame({
+        "doc_id": np.array([0, 1, 2], dtype=np.int64),
+        "text": [
+            "mail a@b.org or c.d+x@e-f.co.uk, host 192.168.0.1 now",
+            "call +49 30 1234-5678 or 555 867 5309 today",
+            "nothing sensitive here",
+        ],
+    })
+    out = (scrub_pii(rd.from_pandas(docs))
+           .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    assert out.loc[0, "n_email"] == 2
+    assert out.loc[0, "n_ipv4"] == 1
+    assert out.loc[0, "scrubbed"] == \
+        "mail <EMAIL> or <EMAIL>, host <IP> now"
+    assert out.loc[1, "n_phone"] == 2
+    assert out.loc[1, "scrubbed"] == "call <PHONE> or <PHONE> today"
+    assert out.loc[2, "scrubbed"] == "nothing sensitive here"
+    assert (out.loc[2, ["n_email", "n_ipv4", "n_phone"]] == 0).all()
