@@ -623,6 +623,16 @@ def _rolling_mean_crawl(sf_dir: str) -> rd.Dataset:
         batch_format="pandas")
 
 
+def _rolling_median_crawl(sf_dir: str) -> rd.Dataset:
+    from sits_classification_ray.stages.windows import rolling_median
+
+    out = rolling_median(_obs_long(sf_dir), window=4)
+    return out.map_batches(
+        lambda df: df[["url", "metric", "warc_ts", "value",
+                       "rolling_median"]],
+        batch_format="pandas")
+
+
 def _canonical_urls_crawl(sf_dir: str) -> rd.Dataset:
     """Distinct url → canonical form (crawl-dedup prerequisite)."""
     from ray.data.aggregate import Count
@@ -1059,6 +1069,7 @@ def build_queries() -> dict[str, Callable[[str], Any]]:
         "running_sum_crawl": _running_sum_crawl,
         "running_sum_unbounded": _running_sum_unbounded,
         "rolling_mean_crawl": _rolling_mean_crawl,
+        "rolling_median_crawl": _rolling_median_crawl,
         "rolling_mean_unbounded": _rolling_mean_unbounded,
         "crawl_sessions": _crawl_sessions,
         "crawl_sessions_unbounded": _crawl_sessions_unbounded,
@@ -1373,6 +1384,12 @@ SELECT url, metric, warc_ts, value,
        avg(value) OVER (PARTITION BY url, metric ORDER BY warc_ts
                         ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)
            AS rolling_mean
+FROM obs_long""",
+        "rolling_median_crawl": f"""{CRAWL_PREFIX}
+SELECT url, metric, warc_ts, value,
+       median(value) OVER (PARTITION BY url, metric ORDER BY warc_ts
+                           ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)
+           AS rolling_median
 FROM obs_long""",
         "head_domains_crawl": f"""{CRAWL_PREFIX}
 SELECT url, count(*) AS n FROM obs

@@ -62,6 +62,24 @@ def rolling_mean(ds_long: rd.Dataset, window: int = 4,
     return _bucketed(ds_long, kernel)
 
 
+def rolling_median(ds_long: rd.Dataset, window: int = 4,
+                   out_col: str = "rolling_median") -> rd.Dataset:
+    """Median over the last ``window`` observations (incl. current),
+    partial windows allowed at series start — the robust-smoothing
+    twin of ``rolling_mean`` (SQL parity: ``median(value) OVER (…
+    ROWS BETWEEN window-1 PRECEDING AND CURRENT ROW)``)."""
+
+    def kernel(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["url", "metric", "warc_ts"], kind="mergesort")
+        df = df.copy()
+        df[out_col] = (df.groupby(["url", "metric"], sort=False)["value"]
+                       .transform(lambda s: s.rolling(window,
+                                                      min_periods=1).median()))
+        return df
+
+    return _bucketed(ds_long, kernel)
+
+
 def snapshot_deltas(ds_long: rd.Dataset, out_col: str = "delta"
                     ) -> rd.Dataset:
     """Change detection per series: value minus the previous

@@ -80,3 +80,14 @@ def test_early_stop():
     assert not early_stop([5, 4, 3, 2, 1, 0.5])          # improving
     assert early_stop([1, 1.1, 1.2, 1.3, 1.4, 1.5])      # worsening
     assert not early_stop([1, 2])                         # too short
+
+def test_rolling_median(series_ds):
+    from sits_classification_ray.stages.windows import rolling_median
+
+    out = rolling_median(series_ds, window=3).to_pandas().sort_values(
+        ["url", "warc_ts"]).reset_index(drop=True)
+    # url a values 1,2,3,4 → medians 1, 1.5, 2, 3
+    assert out[out["url"] == "a"]["rolling_median"].tolist() == \
+        [1.0, 1.5, 2.0, 3.0]
+    assert out[out["url"] == "b"]["rolling_median"].tolist() == \
+        [10.0, 15.0, 20.0]
