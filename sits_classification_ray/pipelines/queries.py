@@ -467,6 +467,18 @@ def _near_dup_clusters_documents(sf_dir: str) -> rd.Dataset:
     return connected_components(pairs)
 
 
+def _global_rank_documents(sf_dir: str) -> rd.Dataset:
+    """Corpus-wide length percentile per doc (quality-cutoff /
+    curriculum ordering primitive) via the distributed-rank
+    construction — per-block lengths + O(B) offset prefix, never a
+    driver-side row pass."""
+    from sits_classification_ray.stages.scan_sorted import global_rank
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "n_chars"])
+    return global_rank(ds, ["n_chars", "doc_id"])
+
+
 def _scrub_pii_documents(sf_dir: str) -> rd.Dataset:
     """PII redaction over a deterministically composed PII-bearing
     column (the synthetic corpus carries no emails/IPs/phones, so both
@@ -1059,6 +1071,7 @@ def build_queries() -> dict[str, Callable[[str], Any]]:
         "near_dup_clusters_documents": _near_dup_clusters_documents,
         "near_dup_keep_one_documents": _near_dup_keep_one_documents,
         "scrub_pii_documents": _scrub_pii_documents,
+        "global_rank_documents": _global_rank_documents,
         "ivf_topk": _ivf_topk,
         # temporal analytics + normalization (SQL-checked)
         "stm_per_series": _stm_per_series,
@@ -1137,6 +1150,11 @@ def build_oracle_sql() -> dict[str, str]:
     golden = {name: _golden_sql(name) for name in GOLDEN_QUERIES}
     golden = {k: v for k, v in golden.items() if v}
     out = {**golden,
+        "global_rank_documents": """
+SELECT doc_id, n_chars,
+       row_number() OVER (ORDER BY n_chars, doc_id) AS rn,
+       percent_rank() OVER (ORDER BY n_chars, doc_id) AS percentile
+FROM documents""",
         "scrub_pii_documents": r"""
 WITH comp AS MATERIALIZED (
   SELECT doc_id,

@@ -288,3 +288,45 @@ def snapshot_deltas_unbounded(ds_long: rd.Dataset,
                      if lasts[j] is not None), None)
         out_refs.append(lag.remote(r, left))
     return rd.from_arrow_refs(out_refs)
+
+
+def global_rank(ds: rd.Dataset, sort_cols: list[str],
+                out_rn: str = "rn", out_pct: str = "percentile",
+                num_blocks: int | None = None) -> rd.Dataset:
+    """Corpus-wide total-order ranking: ``row_number`` and
+    ``percent_rank`` over ``sort_cols`` (which must define a TOTAL
+    order — include a unique tiebreak column).
+
+    Shape: ``Dataset.sort`` range-partitions the corpus; each block
+    reports only its LENGTH (one int per block); the driver computes
+    exclusive-prefix offsets in O(B); one Ray task per block then adds
+    its offset to a local ``arange``. Nothing driver-side scales with
+    rows — the classic distributed-rank construction (quality-
+    percentile cutoffs, curriculum ordering for training feeds).
+    percent_rank is ``(rn-1)/(n-1)`` — identical to SQL's under a
+    total order (no ties by construction).
+    """
+    srt = ds
+    if num_blocks:
+        srt = srt.repartition(num_blocks)
+    srt = srt.sort(sort_cols)
+    refs = srt.to_arrow_refs()
+
+    @ray.remote(num_cpus=0)
+    def block_len(t: pa.Table) -> int:
+        return len(t)
+
+    lens = ray.get([block_len.remote(r) for r in refs])
+    n = int(sum(lens))
+    offsets = np.concatenate([[0], np.cumsum(lens)[:-1]]).astype(np.int64)
+
+    @ray.remote(num_cpus=0.5)
+    def add_rank(t: pa.Table, off: int) -> pa.Table:
+        rn = off + np.arange(1, len(t) + 1, dtype=np.int64)
+        pct = ((rn - 1) / (n - 1) if n > 1
+               else np.zeros(len(t), np.float64))
+        return t.append_column(out_rn, pa.array(rn)).append_column(
+            out_pct, pa.array(pct, pa.float64()))
+
+    return rd.from_arrow_refs(
+        [add_rank.remote(r, int(o)) for r, o in zip(refs, offsets)])

@@ -91,3 +91,19 @@ def test_rolling_mean_unbounded_matches(long_pdf):
     pd.testing.assert_frame_equal(got[KEY + ["value", "rolling_mean"]],
                                   want[KEY + ["value", "rolling_mean"]],
                                   check_dtype=False)
+
+
+def test_global_rank_multi_block_matches_sequential():
+    from sits_classification_ray.stages.scan_sorted import global_rank
+
+    rng = np.random.default_rng(11)
+    df = pd.DataFrame({"id": np.arange(500, dtype=np.int64),
+                       "v": rng.integers(0, 40, size=500)})
+    out = (global_rank(rd.from_pandas(df).repartition(7), ["v", "id"],
+                       num_blocks=7)
+           .to_pandas().sort_values("rn").reset_index(drop=True))
+    exp = df.sort_values(["v", "id"]).reset_index(drop=True)
+    assert out["id"].tolist() == exp["id"].tolist()
+    assert out["rn"].tolist() == list(range(1, 501))
+    np.testing.assert_allclose(out["percentile"].to_numpy(),
+                               np.arange(500) / 499.0)
