@@ -467,6 +467,16 @@ def _near_dup_clusters_documents(sf_dir: str) -> rd.Dataset:
     return connected_components(pairs)
 
 
+def _label_centroids_embeddings(sf_dir: str) -> rd.Dataset:
+    """Per-label embedding centroids (class prototypes), long format;
+    partial-sum sketches per batch, vectors never shuffle."""
+    from sits_classification_ray.stages.similarity import label_centroids
+
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                         columns=["embedding", "label"])
+    return label_centroids(ds)
+
+
 def _global_rank_documents(sf_dir: str) -> rd.Dataset:
     """Corpus-wide length percentile per doc (quality-cutoff /
     curriculum ordering primitive) via the distributed-rank
@@ -1072,6 +1082,7 @@ def build_queries() -> dict[str, Callable[[str], Any]]:
         "near_dup_keep_one_documents": _near_dup_keep_one_documents,
         "scrub_pii_documents": _scrub_pii_documents,
         "global_rank_documents": _global_rank_documents,
+        "label_centroids_embeddings": _label_centroids_embeddings,
         "ivf_topk": _ivf_topk,
         # temporal analytics + normalization (SQL-checked)
         "stm_per_series": _stm_per_series,
@@ -1150,6 +1161,13 @@ def build_oracle_sql() -> dict[str, str]:
     golden = {name: _golden_sql(name) for name in GOLDEN_QUERIES}
     golden = {k: v for k, v in golden.items() if v}
     out = {**golden,
+        "label_centroids_embeddings": """
+SELECT CAST(label AS BIGINT) AS label, d.dim AS dim,
+       round(sum(CAST(embedding[d.dim + 1] AS DOUBLE)) / count(*), 6)
+           AS mean_val
+FROM embeddings
+CROSS JOIN (SELECT unnest(generate_series(0, 63)) AS dim) d
+GROUP BY 1, 2""",
         "global_rank_documents": """
 SELECT doc_id, n_chars,
        row_number() OVER (ORDER BY n_chars, doc_id) AS rn,

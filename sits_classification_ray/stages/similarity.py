@@ -187,3 +187,52 @@ def ivf_topk(assigned: rd.Dataset, centroids: np.ndarray,
         ascending=[True, False, True], kind="mergesort")
     return (partials.groupby("query_id", sort=True, as_index=False)
             .head(k).reset_index(drop=True))
+
+
+def label_centroids(ds: rd.Dataset, vec_col: str = "embedding",
+                    label_col: str = "label", ndigits: int = 6
+                    ) -> rd.Dataset:
+    """Per-label centroid of the embedding column, long format
+    ``(label, dim, mean_val)`` — the class-prototype primitive
+    (nearest-centroid classification, semantic cluster summaries).
+
+    Scale shape: each batch folds its rows into one (labels_present ×
+    D) partial-sum matrix via a single ``np.add.at`` scatter, emitting
+    only L·D (label, dim, sum, n) rows per batch; the shuffle then
+    moves sketch-sized partials, never vectors, and the merge is Ray's
+    native Sum. Means are rounded to ``ndigits`` because distributed
+    partial sums re-associate float addition (documented oracle-parity
+    exception)."""
+    from ray.data.aggregate import Sum
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:
+            return pd.DataFrame({"label": pd.Series([], dtype=np.int64),
+                                 "dim": pd.Series([], dtype=np.int64),
+                                 "s": pd.Series([], dtype=np.float64),
+                                 "n": pd.Series([], dtype=np.int64)})
+        mat = np.stack([np.asarray(v, dtype=np.float64)
+                        for v in df[vec_col]])
+        labels = df[label_col].to_numpy(np.int64)
+        u, inv = np.unique(labels, return_inverse=True)
+        sums = np.zeros((len(u), mat.shape[1]), dtype=np.float64)
+        np.add.at(sums, inv, mat)
+        counts = np.bincount(inv).astype(np.int64)
+        d = mat.shape[1]
+        return pd.DataFrame({
+            "label": np.repeat(u, d),
+            "dim": np.tile(np.arange(d, dtype=np.int64), len(u)),
+            "s": sums.ravel(),
+            "n": np.repeat(counts, d)})
+
+    partials = ds.map_batches(partial, batch_format="pandas")
+    merged = partials.groupby(["label", "dim"]).aggregate(
+        Sum("s", alias_name="s"), Sum("n", alias_name="n"))
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "label": df["label"].to_numpy(np.int64),
+            "dim": df["dim"].to_numpy(np.int64),
+            "mean_val": (df["s"] / df["n"]).round(ndigits)})
+
+    return merged.map_batches(finish, batch_format="pandas")

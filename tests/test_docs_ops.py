@@ -395,3 +395,20 @@ def test_scrub_pii_redacts_and_counts():
     assert out.loc[1, "scrubbed"] == "call <PHONE> or <PHONE> today"
     assert out.loc[2, "scrubbed"] == "nothing sensitive here"
     assert (out.loc[2, ["n_email", "n_ipv4", "n_phone"]] == 0).all()
+
+
+def test_label_centroids_match_numpy(emb_ds):
+    from sits_classification_ray.stages.similarity import label_centroids
+
+    with_labels = emb_ds.map_batches(
+        lambda df: df.assign(label=(df["vec_id"] % 3).astype(np.int64)),
+        batch_format="pandas")
+    out = (label_centroids(with_labels.repartition(5))
+           .to_pandas().sort_values(["label", "dim"]).reset_index(drop=True))
+    rows = with_labels.to_pandas()
+    for lbl, g in rows.groupby("label"):
+        exp = np.stack([np.asarray(v, np.float64)
+                        for v in g["embedding"]]).mean(axis=0).round(6)
+        got = out[out["label"] == lbl].sort_values("dim")["mean_val"]
+        np.testing.assert_allclose(got.to_numpy(), exp, atol=1.5e-6)
+    assert len(out) == 3 * 16
