@@ -477,6 +477,18 @@ def _label_centroids_embeddings(sf_dir: str) -> rd.Dataset:
     return label_centroids(ds)
 
 
+def _nearest_centroid_embeddings(sf_dir: str) -> rd.Dataset:
+    """Nearest-class-mean prediction per vector: centroids (tiny L·D
+    table) broadcast once via ray.put, one (B,L) matmul per batch."""
+    from sits_classification_ray.stages.similarity import (
+        label_centroids, nearest_centroid_predict)
+
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                         columns=["vec_id", "embedding", "label"])
+    cents = label_centroids(ds.select_columns(["embedding", "label"]))
+    return nearest_centroid_predict(ds, cents)
+
+
 def _global_rank_documents(sf_dir: str) -> rd.Dataset:
     """Corpus-wide length percentile per doc (quality-cutoff /
     curriculum ordering primitive) via the distributed-rank
@@ -1083,6 +1095,7 @@ def build_queries() -> dict[str, Callable[[str], Any]]:
         "scrub_pii_documents": _scrub_pii_documents,
         "global_rank_documents": _global_rank_documents,
         "label_centroids_embeddings": _label_centroids_embeddings,
+        "nearest_centroid_embeddings": _nearest_centroid_embeddings,
         "ivf_topk": _ivf_topk,
         # temporal analytics + normalization (SQL-checked)
         "stm_per_series": _stm_per_series,
@@ -1168,6 +1181,26 @@ SELECT CAST(label AS BIGINT) AS label, d.dim AS dim,
 FROM embeddings
 CROSS JOIN (SELECT unnest(generate_series(0, 63)) AS dim) d
 GROUP BY 1, 2""",
+        "nearest_centroid_embeddings": """
+WITH cent AS MATERIALIZED (
+  SELECT CAST(label AS BIGINT) AS label, d.dim AS dim,
+         round(sum(CAST(embedding[d.dim + 1] AS DOUBLE)) / count(*), 6)
+             AS mean_val
+  FROM embeddings
+  CROSS JOIN (SELECT unnest(generate_series(0, 63)) AS dim) d
+  GROUP BY 1, 2),
+dist AS MATERIALIZED (
+  SELECT e.vec_id, c.label,
+         sum((CAST(e.embedding[c.dim + 1] AS DOUBLE) - c.mean_val)
+             * (CAST(e.embedding[c.dim + 1] AS DOUBLE) - c.mean_val)) AS d2
+  FROM embeddings e CROSS JOIN cent c
+  GROUP BY 1, 2)
+SELECT vec_id, label AS pred_label
+FROM (SELECT vec_id, label,
+             row_number() OVER (PARTITION BY vec_id
+                                ORDER BY round(d2, 6), label) AS rn
+      FROM dist)
+WHERE rn = 1""",
         "global_rank_documents": """
 SELECT doc_id, n_chars,
        row_number() OVER (ORDER BY n_chars, doc_id) AS rn,

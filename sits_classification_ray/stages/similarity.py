@@ -236,3 +236,48 @@ def label_centroids(ds: rd.Dataset, vec_col: str = "embedding",
             "mean_val": (df["s"] / df["n"]).round(ndigits)})
 
     return merged.map_batches(finish, batch_format="pandas")
+
+
+def nearest_centroid_predict(ds: rd.Dataset, centroids_long: rd.Dataset,
+                             id_col: str = "vec_id",
+                             vec_col: str = "embedding",
+                             ndigits: int = 6) -> rd.Dataset:
+    """Classify each vector by its nearest label centroid (squared
+    euclidean), ``(id_col, pred_label)`` — nearest-class-mean
+    classification over the ``label_centroids`` output.
+
+    The centroid table is tiny (L·D rows): collected once, pivoted to
+    an (L, D) matrix, ``ray.put`` once and read by every map task —
+    never re-shipped per batch. Distances are computed as one
+    ``(B,L)`` matmul-expansion per batch. d² is rounded to ``ndigits``
+    before the argmin and ties break toward the smaller label, which
+    pins the same winner the SQL twin's ``ORDER BY round(d2,6),
+    label`` picks despite re-associated float sums."""
+    cent = centroids_long.to_pandas()
+    labels = np.sort(cent["label"].unique()).astype(np.int64)
+    d = int(cent["dim"].max()) + 1
+    mat = np.zeros((len(labels), d), dtype=np.float64)
+    pos = {int(l): i for i, l in enumerate(labels)}
+    mat[[pos[int(l)] for l in cent["label"]],
+        cent["dim"].to_numpy(np.int64)] = cent["mean_val"].to_numpy()
+    ref = ray.put((labels, mat))
+
+    class Predict:
+        def __init__(self):
+            self.labels, self.cent = ray.get(ref)
+            self.c2 = (self.cent ** 2).sum(axis=1)
+
+        def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+            x = np.stack([np.asarray(v, dtype=np.float64)
+                          for v in df[vec_col]])
+            d2 = ((x ** 2).sum(axis=1)[:, None]
+                  - 2.0 * (x @ self.cent.T) + self.c2[None, :])
+            # labels ascending → np.argmin's first-min rule IS the
+            # smaller-label tie-break
+            best = np.argmin(d2.round(ndigits), axis=1)
+            return pd.DataFrame({
+                id_col: df[id_col].to_numpy(np.int64),
+                "pred_label": self.labels[best]})
+
+    return ds.map_batches(Predict, batch_format="pandas",
+                          concurrency=(1, 8), num_cpus=1)

@@ -412,3 +412,21 @@ def test_label_centroids_match_numpy(emb_ds):
         got = out[out["label"] == lbl].sort_values("dim")["mean_val"]
         np.testing.assert_allclose(got.to_numpy(), exp, atol=1.5e-6)
     assert len(out) == 3 * 16
+
+
+def test_nearest_centroid_recovers_separated_clusters():
+    from sits_classification_ray.stages.similarity import (
+        label_centroids, nearest_centroid_predict)
+
+    rng = np.random.default_rng(3)
+    centers = np.array([[5.0] * 8, [-5.0] * 8, [5.0] * 4 + [-5.0] * 4])
+    lbl = np.repeat(np.arange(3, dtype=np.int64), 30)
+    x = centers[lbl] + rng.normal(scale=0.3, size=(90, 8))
+    ds = rd.from_pandas(pd.DataFrame({
+        "vec_id": np.arange(90, dtype=np.int64),
+        "embedding": [list(map(float, v)) for v in x],
+        "label": lbl})).repartition(4)
+    cents = label_centroids(ds.select_columns(["embedding", "label"]))
+    out = (nearest_centroid_predict(ds, cents)
+           .to_pandas().sort_values("vec_id").reset_index(drop=True))
+    assert (out["pred_label"].to_numpy() == lbl).all()
