@@ -663,3 +663,25 @@ def near_dup_keep_one_documents(docs: pd.DataFrame) -> pd.DataFrame:
     out = docs.loc[~docs["doc_id"].isin(drop),
                    ["doc_id", "lang", "n_chars"]]
     return out.reset_index(drop=True)
+
+
+def simhash_near_dup_documents(docs: pd.DataFrame,
+                               max_hamming: int = 3) -> pd.DataFrame:
+    """SimHash pair detection — sequential reference: brute-force
+    all-pairs hamming over the golden sketches (the 4×16-bit banding
+    is LOSSLESS at radius 3 by pigeonhole, so banded == brute force)."""
+    sh = simhash_documents(docs)
+    ids = sh["doc_id"].to_numpy(np.int64)
+    hs = np.ascontiguousarray(sh["simhash"].to_numpy(np.int64)) \
+        .view(np.uint64)
+    a, b = np.triu_indices(len(ids), k=1)
+    x = hs[a] ^ hs[b]
+    ham = np.unpackbits(x.view(np.uint8).reshape(-1, 8),
+                        axis=1).sum(axis=1).astype(np.int64)
+    keep = ham <= max_hamming
+    out = pd.DataFrame({"id_a": ids[a][keep], "id_b": ids[b][keep],
+                        "hamming": ham[keep]})
+    swap = out["id_a"] > out["id_b"]
+    out.loc[swap, ["id_a", "id_b"]] = \
+        out.loc[swap, ["id_b", "id_a"]].to_numpy()
+    return out.sort_values(["id_a", "id_b"]).reset_index(drop=True)

@@ -526,6 +526,16 @@ def _scrub_pii_documents(sf_dir: str) -> rd.Dataset:
     return scrub_pii(ds.map_batches(compose, batch_format="pandas"))
 
 
+def _simhash_near_dup_documents(sf_dir: str) -> rd.Dataset:
+    """SimHash banded-hamming pair detection (lossless at radius 3;
+    golden-checked vs brute-force all-pairs hamming)."""
+    from sits_classification_ray.stages.dedup_docs import simhash_near_dup
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"])
+    return simhash_near_dup(ds, max_hamming=3)
+
+
 def _near_dup_keep_one_documents(sf_dir: str) -> rd.Dataset:
     """Corpus-level keep-one dedup: MinHash pairs → connected
     components → distributed anti-join of non-canonical members
@@ -1092,6 +1102,7 @@ def build_queries() -> dict[str, Callable[[str], Any]]:
         "minhash_near_dup_documents": _minhash_near_dup_documents,
         "near_dup_clusters_documents": _near_dup_clusters_documents,
         "near_dup_keep_one_documents": _near_dup_keep_one_documents,
+        "simhash_near_dup_documents": _simhash_near_dup_documents,
         "scrub_pii_documents": _scrub_pii_documents,
         "global_rank_documents": _global_rank_documents,
         "label_centroids_embeddings": _label_centroids_embeddings,
@@ -1166,7 +1177,7 @@ GOLDEN_QUERIES = [
     "frame_samples", "hist_quantile_daily", "gorilla_segments",
     "simhash_drift_crawl", "bloom_semi_join_documents",
     "kmv_distinct_urls_daily", "near_dup_clusters_documents",
-    "near_dup_keep_one_documents",
+    "near_dup_keep_one_documents", "simhash_near_dup_documents",
 ]
 
 

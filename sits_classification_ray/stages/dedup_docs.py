@@ -700,3 +700,81 @@ def near_dup_keep_one(docs_ds: rd.Dataset, pairs_ds: rd.Dataset,
         return t.select(cols).cast(arrow_schema)
 
     return out.map_batches(cast_back, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# SimHash near-dup (banded hamming LSH, Manku et al. 2007)
+# ---------------------------------------------------------------------------
+
+def simhash_near_dup(ds: rd.Dataset, max_hamming: int = 3,
+                     id_col: str = "doc_id", text_col: str = "text"
+                     ) -> rd.Dataset:
+    """SimHash pair detection: split each 64-bit sketch into 4×16-bit
+    bands; docs within hamming ≤ 3 differ in at most 3 bit positions,
+    so by pigeonhole they agree EXACTLY on at least one band — band
+    buckets are a lossless candidate filter at that radius (the
+    classic web-dedup construction). Bucket rows carry the full hash,
+    so pairs verify hamming inline — no second join. Returns
+    ``(id_a, id_b, hamming)`` with id_a < id_b, one row per pair.
+
+    Scale: the shuffle moves 4 × 16-byte (band, bits, id, hash) rows
+    per doc; within a bucket the pair blow-up is quadratic, which is
+    exactly the hot-bucket caveat of the minhash path — degenerate
+    buckets (e.g. empty pages, hash 0) should be screened upstream.
+    """
+    hashed = simhash(ds, id_col=id_col, text_col=text_col)
+
+    def explode(df: pd.DataFrame) -> pd.DataFrame:
+        h = np.ascontiguousarray(
+            df["simhash"].to_numpy(np.int64)).view(np.uint64)
+        n = len(df)
+        outs = []
+        for b in range(4):
+            outs.append(pd.DataFrame({
+                "band": np.full(n, b, np.int64),
+                "bits": ((h >> np.uint64(16 * b))
+                         & np.uint64(0xFFFF)).astype(np.int64),
+                id_col: df[id_col].to_numpy(np.int64),
+                "h": h.astype(np.int64)}))
+        return pd.concat(outs, ignore_index=True)
+
+    cand = hashed.map_batches(explode, batch_format="pandas")
+
+    def bucket_pairs(df: pd.DataFrame) -> pd.DataFrame:
+        outs = []
+        for (_, _), g in df.groupby(["band", "bits"], sort=False):
+            if len(g) < 2:
+                continue
+            order = np.argsort(g[id_col].to_numpy(), kind="mergesort")
+            ids = g[id_col].to_numpy()[order]
+            hs = g["h"].to_numpy()[order]
+            a, b = np.triu_indices(len(ids), k=1)
+            outs.append(pd.DataFrame({
+                "id_a": ids[a], "id_b": ids[b],
+                "h_a": hs[a], "h_b": hs[b]}))
+        if not outs:
+            return pd.DataFrame({"id_a": pd.Series([], dtype=np.int64),
+                                 "id_b": pd.Series([], dtype=np.int64),
+                                 "h_a": pd.Series([], dtype=np.int64),
+                                 "h_b": pd.Series([], dtype=np.int64)})
+        return pd.concat(outs, ignore_index=True)
+
+    from sits_classification_ray.stages.shuffle import partitioned_map
+
+    pairs = partitioned_map(cand, bucket_pairs, keys=["band", "bits"])
+
+    def verify(df: pd.DataFrame) -> pd.DataFrame:
+        # a pair found in k bands appears k times — keep one
+        df = df.drop_duplicates(["id_a", "id_b"])
+        x = (np.ascontiguousarray(df["h_a"].to_numpy(np.int64))
+             .view(np.uint64)
+             ^ np.ascontiguousarray(df["h_b"].to_numpy(np.int64))
+             .view(np.uint64))
+        ham = np.unpackbits(x.view(np.uint8).reshape(-1, 8),
+                            axis=1).sum(axis=1).astype(np.int64)
+        out = pd.DataFrame({"id_a": df["id_a"].to_numpy(np.int64),
+                            "id_b": df["id_b"].to_numpy(np.int64),
+                            "hamming": ham})
+        return out[out["hamming"] <= max_hamming].reset_index(drop=True)
+
+    return partitioned_map(pairs, verify, keys=["id_a", "id_b"])

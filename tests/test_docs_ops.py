@@ -430,3 +430,23 @@ def test_nearest_centroid_recovers_separated_clusters():
     out = (nearest_centroid_predict(ds, cents)
            .to_pandas().sort_values("vec_id").reset_index(drop=True))
     assert (out["pred_label"].to_numpy() == lbl).all()
+
+
+def test_simhash_near_dup_banding_is_lossless_at_radius3(docs_ds):
+    from sits_classification_ray.stages.dedup_docs import (simhash,
+                                                           simhash_near_dup)
+
+    out = (simhash_near_dup(docs_ds, max_hamming=3)
+           .to_pandas().sort_values(["id_a", "id_b"]).reset_index(drop=True))
+    # brute-force reference over the same sketches
+    sh = simhash(docs_ds).to_pandas().sort_values("doc_id")
+    hs = np.ascontiguousarray(sh["simhash"].to_numpy(np.int64)) \
+        .view(np.uint64)
+    ids = sh["doc_id"].to_numpy(np.int64)
+    a, b = np.triu_indices(len(ids), k=1)
+    ham = np.unpackbits((hs[a] ^ hs[b]).view(np.uint8).reshape(-1, 8),
+                        axis=1).sum(axis=1)
+    exp = sorted(zip(ids[a][ham <= 3], ids[b][ham <= 3],
+                     ham[ham <= 3].astype(int)))
+    assert list(map(tuple, out.to_numpy())) == exp
+    assert (0, 1, 0) in exp                     # the exact-dup pair

@@ -61,6 +61,8 @@ def make_for(sf_dir: str) -> None:
             lambda: golden.near_dup_clusters_documents(docs),
         "near_dup_keep_one_documents":
             lambda: golden.near_dup_keep_one_documents(docs),
+        "simhash_near_dup_documents":
+            lambda: golden.simhash_near_dup_documents(docs),
         "ivf_topk": lambda: golden.ivf_topk(emb),
         "embedding_near_dup_ivf":
             lambda: golden.embedding_near_dup_ivf(emb),
