@@ -501,6 +501,16 @@ def _global_rank_documents(sf_dir: str) -> rd.Dataset:
     return global_rank(ds, ["n_chars", "doc_id"])
 
 
+def _chunk_documents(sf_dir: str) -> rd.Dataset:
+    """Overlapping 64-token training chunks (stride 48) per doc —
+    flat-map row expansion, no shuffle."""
+    from sits_classification_ray.stages.textstats import chunk_documents
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"])
+    return chunk_documents(ds, chunk_tokens=64, stride=48)
+
+
 def _scrub_pii_documents(sf_dir: str) -> rd.Dataset:
     """PII redaction over a deterministically composed PII-bearing
     column (the synthetic corpus carries no emails/IPs/phones, so both
@@ -1104,6 +1114,7 @@ def build_queries() -> dict[str, Callable[[str], Any]]:
         "near_dup_keep_one_documents": _near_dup_keep_one_documents,
         "simhash_near_dup_documents": _simhash_near_dup_documents,
         "scrub_pii_documents": _scrub_pii_documents,
+        "chunk_documents": _chunk_documents,
         "global_rank_documents": _global_rank_documents,
         "label_centroids_embeddings": _label_centroids_embeddings,
         "nearest_centroid_embeddings": _nearest_centroid_embeddings,
@@ -1192,6 +1203,16 @@ SELECT CAST(label AS BIGINT) AS label, d.dim AS dim,
 FROM embeddings
 CROSS JOIN (SELECT unnest(generate_series(0, 63)) AS dim) d
 GROUP BY 1, 2""",
+        "chunk_documents": """
+WITH toks AS MATERIALIZED (
+  SELECT doc_id, string_split(text, ' ') AS ts,
+         len(string_split(text, ' ')) AS n
+  FROM documents)
+SELECT doc_id, s.s // 48 AS chunk_id,
+       array_to_string(ts[s.s + 1 : s.s + 64], ' ') AS chunk_text,
+       least(64, n - s.s) AS n_tokens
+FROM toks CROSS JOIN LATERAL
+  (SELECT unnest(generate_series(0, n - 1, 48)) AS s) s""",
         "nearest_centroid_embeddings": """
 WITH cent AS MATERIALIZED (
   SELECT CAST(label AS BIGINT) AS label, d.dim AS dim,

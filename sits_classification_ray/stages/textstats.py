@@ -559,3 +559,39 @@ def scrub_pii(ds: rd.Dataset, id_col: str = "doc_id",
         PiiScrubber,
         fn_constructor_kwargs=dict(id_col=id_col, text_col=text_col),
         batch_format="pandas", concurrency=concurrency, num_cpus=1)
+
+
+# ---------------------------------------------------------------------------
+# Document chunking (training-window preparation)
+# ---------------------------------------------------------------------------
+
+def chunk_documents(ds: rd.Dataset, chunk_tokens: int = 64,
+                    stride: int = 48, id_col: str = "doc_id",
+                    text_col: str = "text") -> rd.Dataset:
+    """Split each document into overlapping fixed-token windows — the
+    standard LLM-pretraining chunking step (context windows with
+    overlap ``chunk_tokens - stride``). Tokens are the whitespace
+    split (empty tokens preserved, matching SQL ``string_split``);
+    chunk ``i`` covers tokens ``[i·stride, i·stride + chunk_tokens)``
+    with starts at every ``stride`` while ``start < n_tokens``, the
+    final chunks running short. Pure row expansion inside
+    ``map_batches`` (a flat-map): no shuffle, output size ≈
+    ``chunk_tokens/stride ×`` input text volume.
+    """
+
+    def expand(df: pd.DataFrame) -> pd.DataFrame:
+        ids, cids, texts, ntoks = [], [], [], []
+        for did, t in zip(df[id_col].to_numpy(np.int64), df[text_col]):
+            toks = (t or "").split(" ")
+            n = len(toks)
+            for ci, s in enumerate(range(0, n, stride)):
+                ids.append(did)
+                cids.append(ci)
+                texts.append(" ".join(toks[s:s + chunk_tokens]))
+                ntoks.append(min(chunk_tokens, n - s))
+        return pd.DataFrame({id_col: np.array(ids, np.int64),
+                             "chunk_id": np.array(cids, np.int64),
+                             "chunk_text": texts,
+                             "n_tokens": np.array(ntoks, np.int64)})
+
+    return ds.map_batches(expand, batch_format="pandas")

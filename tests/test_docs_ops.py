@@ -450,3 +450,23 @@ def test_simhash_near_dup_banding_is_lossless_at_radius3(docs_ds):
                      ham[ham <= 3].astype(int)))
     assert list(map(tuple, out.to_numpy())) == exp
     assert (0, 1, 0) in exp                     # the exact-dup pair
+
+
+def test_chunk_documents_overlap_and_tail():
+    from sits_classification_ray.stages.textstats import chunk_documents
+
+    docs = pd.DataFrame({
+        "doc_id": np.array([0, 1], dtype=np.int64),
+        "text": [" ".join(f"t{i}" for i in range(7)), ""],
+    })
+    out = (chunk_documents(rd.from_pandas(docs), chunk_tokens=4, stride=3)
+           .to_pandas().sort_values(["doc_id", "chunk_id"])
+           .reset_index(drop=True))
+    d0 = out[out["doc_id"] == 0]
+    assert d0["chunk_text"].tolist() == \
+        ["t0 t1 t2 t3", "t3 t4 t5 t6", "t6"]
+    assert d0["n_tokens"].tolist() == [4, 4, 1]
+    # empty text splits to one empty token → one empty chunk (SQL parity)
+    d1 = out[out["doc_id"] == 1]
+    assert d1["chunk_text"].tolist() == [""]
+    assert d1["n_tokens"].tolist() == [1]
