@@ -20,13 +20,16 @@ import json
 import sys
 
 
-def _ray_session(num_cpus: int | None):
+def _ray_session(num_cpus: int | None, address: str = "local"):
     import ray
 
     if not ray.is_initialized():
-        kwargs = {"address": "local", "include_dashboard": False,
+        kwargs = {"address": address, "include_dashboard": False,
                   "logging_level": "ERROR"}
-        if num_cpus:
+        if address == "local" and num_cpus:
+            # num_cpus only applies when starting a local session;
+            # under `ray job submit` (--address auto) the cluster's
+            # resources are fixed and the job attaches to them
             kwargs["num_cpus"] = num_cpus
         ray.init(**kwargs)
     import ray.data as rd
@@ -38,6 +41,9 @@ def _ray_session(num_cpus: int | None):
 def main(argv: list[str] | None = None) -> int:
     ap = argparse.ArgumentParser(prog="sits_classification_ray")
     ap.add_argument("--num-cpus", type=int, default=None)
+    ap.add_argument("--address", default="local",
+                    help='"local" starts a session; "auto" attaches to '
+                         "an existing cluster (ray job submit)")
     sub = ap.add_subparsers(dest="cmd", required=True)
 
     p_run = sub.add_parser("run", help="full pipeline (resumable)")
@@ -67,7 +73,7 @@ def main(argv: list[str] | None = None) -> int:
     p_q.add_argument("names", nargs="+")
 
     args = ap.parse_args(argv)
-    ray = _ray_session(args.num_cpus)
+    ray = _ray_session(args.num_cpus, args.address)
     try:
         if args.cmd == "run":
             from sits_classification_ray.pipelines.rollup_pipeline import \
