@@ -470,3 +470,51 @@ def test_chunk_documents_overlap_and_tail():
     d1 = out[out["doc_id"] == 1]
     assert d1["chunk_text"].tolist() == [""]
     assert d1["n_tokens"].tolist() == [1]
+
+
+def test_connected_components_random_graphs_match_union_find():
+    from sits_classification_ray.stages.dedup_docs import \
+        connected_components
+
+    for seed in (0, 1, 2):
+        rng = np.random.default_rng(seed)
+        n_edges = int(rng.integers(5, 60))
+        pairs = pd.DataFrame({
+            "id_a": rng.integers(0, 40, size=n_edges),
+            "id_b": rng.integers(0, 40, size=n_edges)})
+        pairs = pairs[pairs["id_a"] != pairs["id_b"]]
+
+        parent: dict = {}
+
+        def find(x):
+            while parent.setdefault(x, x) != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in pairs.itertuples(index=False):
+            ra, rb = find(int(a)), find(int(b))
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        exp = {v: find(v) for v in parent}
+
+        out = (connected_components(rd.from_pandas(pairs).repartition(3))
+               .to_pandas())
+        got = dict(zip(out["doc_id"], out["cluster_id"]))
+        assert got == exp, f"seed {seed}"
+
+
+def test_chunk_documents_nonoverlap_reconstructs_text():
+    from sits_classification_ray.stages.textstats import chunk_documents
+
+    rng = np.random.default_rng(9)
+    texts = [" ".join(f"w{rng.integers(0, 50)}"
+                      for _ in range(int(rng.integers(1, 40))))
+             for _ in range(20)]
+    docs = pd.DataFrame({"doc_id": np.arange(20, dtype=np.int64),
+                         "text": texts})
+    out = (chunk_documents(rd.from_pandas(docs), chunk_tokens=8, stride=8)
+           .to_pandas().sort_values(["doc_id", "chunk_id"]))
+    rebuilt = out.groupby("doc_id")["chunk_text"].agg(" ".join)
+    for did, t in zip(docs["doc_id"], docs["text"]):
+        assert rebuilt.loc[did] == t
