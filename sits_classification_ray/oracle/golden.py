@@ -685,3 +685,13 @@ def simhash_near_dup_documents(docs: pd.DataFrame,
     out.loc[swap, ["id_a", "id_b"]] = \
         out.loc[swap, ["id_b", "id_a"]].to_numpy()
     return out.sort_values(["id_a", "id_b"]).reset_index(drop=True)
+
+
+def incremental_near_dup_documents(docs: pd.DataFrame,
+                                   split_id: int = 400) -> pd.DataFrame:
+    """Delta dedup — sequential reference: full-corpus golden pairs
+    filtered to pairs touching a doc with id ≥ split_id (banding is
+    deterministic, so incremental == filtered full recompute)."""
+    pairs = minhash_near_dup_documents(docs)
+    m = (pairs["id_a"] >= split_id) | (pairs["id_b"] >= split_id)
+    return pairs[m].reset_index(drop=True)

@@ -536,6 +536,22 @@ def _scrub_pii_documents(sf_dir: str) -> rd.Dataset:
     return scrub_pii(ds.map_batches(compose, batch_format="pandas"))
 
 
+def _incremental_near_dup_documents(sf_dir: str) -> rd.Dataset:
+    """Ingest-time delta dedup: docs with id ≥ 400 arrive 'new' and
+    are deduped against the existing corpus's band index only — no
+    old×old pairs are ever generated (golden-checked: equals the
+    full-corpus pair set filtered to pairs touching a new doc)."""
+    from sits_classification_ray.stages.dedup_docs import \
+        incremental_jaccard_pairs
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id", "text"])
+    old = docs.filter(expr="doc_id < 400")
+    new = docs.filter(expr="doc_id >= 400")
+    return incremental_jaccard_pairs(old, new, shingle_k=5, num_perm=64,
+                                     bands=16, threshold=0.5)
+
+
 def _simhash_near_dup_documents(sf_dir: str) -> rd.Dataset:
     """SimHash banded-hamming pair detection (lossless at radius 3;
     golden-checked vs brute-force all-pairs hamming)."""
@@ -1113,6 +1129,7 @@ def build_queries() -> dict[str, Callable[[str], Any]]:
         "near_dup_clusters_documents": _near_dup_clusters_documents,
         "near_dup_keep_one_documents": _near_dup_keep_one_documents,
         "simhash_near_dup_documents": _simhash_near_dup_documents,
+        "incremental_near_dup_documents": _incremental_near_dup_documents,
         "scrub_pii_documents": _scrub_pii_documents,
         "chunk_documents": _chunk_documents,
         "global_rank_documents": _global_rank_documents,
@@ -1189,6 +1206,7 @@ GOLDEN_QUERIES = [
     "simhash_drift_crawl", "bloom_semi_join_documents",
     "kmv_distinct_urls_daily", "near_dup_clusters_documents",
     "near_dup_keep_one_documents", "simhash_near_dup_documents",
+    "incremental_near_dup_documents",
 ]
 
 

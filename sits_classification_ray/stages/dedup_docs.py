@@ -151,18 +151,13 @@ def minhash_signatures(ds: rd.Dataset, num_perm: int = 64, shingle_k: int = 5,
         batch_format="pandas", concurrency=concurrency, num_cpus=1)
 
 
-def lsh_candidate_pairs(sig_ds: rd.Dataset, bands: int = 16,
-                        id_col: str = "doc_id",
-                        max_bucket_size: int | None = None) -> rd.Dataset:
-    """Signatures → banded buckets → unique candidate pairs (a < b).
-
-    ``max_bucket_size`` caps the O(k²) pair blow-up of degenerate hot
-    buckets (boilerplate/empty pages all landing in one LSH bucket):
-    buckets above the cap emit only each member paired with the
-    bucket's min id (a star, k−1 pairs) — near-duplicates of one
-    another remain transitively discoverable through the hub while the
-    quadratic explosion is bounded. Default ``None`` keeps exact
-    banding semantics."""
+def band_rows(sig_ds: rd.Dataset, bands: int = 16,
+              id_col: str = "doc_id") -> rd.Dataset:
+    """Signatures → ``(band, band_hash, id)`` rows — the LSH band
+    INDEX. Persistable as Parquet and reusable across ingests (see
+    :func:`incremental_jaccard_pairs`): the index is all a prior
+    corpus needs to contribute to future dedup, so texts and
+    signatures of already-indexed docs never re-process."""
 
     def explode(df: pd.DataFrame) -> pd.DataFrame:
         sigs = np.stack(df["signature"].to_numpy())
@@ -182,7 +177,23 @@ def lsh_candidate_pairs(sig_ds: rd.Dataset, bands: int = 16,
                 id_col: df[id_col].to_numpy()}))
         return pd.concat(outs, ignore_index=True)
 
-    exploded = sig_ds.map_batches(explode, batch_format="pandas")
+    return sig_ds.map_batches(explode, batch_format="pandas")
+
+
+def lsh_candidate_pairs(sig_ds: rd.Dataset, bands: int = 16,
+                        id_col: str = "doc_id",
+                        max_bucket_size: int | None = None) -> rd.Dataset:
+    """Signatures → banded buckets → unique candidate pairs (a < b).
+
+    ``max_bucket_size`` caps the O(k²) pair blow-up of degenerate hot
+    buckets (boilerplate/empty pages all landing in one LSH bucket):
+    buckets above the cap emit only each member paired with the
+    bucket's min id (a star, k−1 pairs) — near-duplicates of one
+    another remain transitively discoverable through the hub while the
+    quadratic explosion is bounded. Default ``None`` keeps exact
+    banding semantics."""
+
+    exploded = band_rows(sig_ds, bands, id_col)
 
     def pairs(df: pd.DataFrame) -> pd.DataFrame:
         ids = np.sort(df[id_col].to_numpy())
@@ -226,8 +237,6 @@ def _attach_text(pairs_ds: rd.Dataset, docs_ds: rd.Dataset, pair_id: str,
     through the exchange like any other dataset)."""
     from sits_classification_ray.stages.shuffle import partitioned_map
 
-    pair_cols = pairs_ds.columns()
-
     def tag_pairs(df: pd.DataFrame) -> pd.DataFrame:
         df = df.copy(deep=False)
         df["__k"] = df[pair_id].astype(np.int64)
@@ -242,9 +251,13 @@ def _attach_text(pairs_ds: rd.Dataset, docs_ds: rd.Dataset, pair_id: str,
         docs_ds.map_batches(tag_docs, batch_format="pandas"))
 
     def kernel(df: pd.DataFrame) -> pd.DataFrame:
-        # a partition may hold only one side — reindex pads the union
-        # schema so the merge stays well-formed
-        lf = df[df["__side"] == 1].reindex(columns=pair_cols + ["__k"])
+        # a partition may hold only one side — the exchange has
+        # already padded every block to the unified union schema, so
+        # the pair columns are inferred HERE (a driver-side
+        # pairs_ds.columns() capture can be None on some lazy
+        # lineages) and reindex keeps the merge well-formed
+        pair_cols = [c for c in df.columns if c not in ("__t", "__side")]
+        lf = df[df["__side"] == 1].reindex(columns=pair_cols)
         rf = df[df["__side"] == 0].reindex(columns=["__k", "__t"])
         merged = lf.merge(rf, on="__k", how="left")
         merged[out_col] = merged.pop("__t")
@@ -778,3 +791,75 @@ def simhash_near_dup(ds: rd.Dataset, max_hamming: int = 3,
         return out[out["hamming"] <= max_hamming].reset_index(drop=True)
 
     return partitioned_map(pairs, verify, keys=["id_a", "id_b"])
+
+
+# ---------------------------------------------------------------------------
+# Incremental (delta) near-dup: new docs vs a persisted band index
+# ---------------------------------------------------------------------------
+
+def incremental_jaccard_pairs(old_docs: rd.Dataset, new_docs: rd.Dataset,
+                              shingle_k: int = 5, num_perm: int = 64,
+                              bands: int = 16, threshold: float = 0.5,
+                              id_col: str = "doc_id",
+                              text_col: str = "text",
+                              old_index: rd.Dataset | None = None
+                              ) -> rd.Dataset:
+    """Near-dup pairs INVOLVING at least one newly-ingested doc,
+    without re-pairing the existing corpus — the ingest-time dedup
+    pattern at 100 TB: the existing corpus contributes only its band
+    INDEX (``band_rows`` output; pass ``old_index`` to reuse one
+    persisted as Parquet and skip re-sketching entirely), new docs are
+    sketched and banded, and bucket pair generation emits only pairs
+    with a new member. old×old pairs — the quadratic bulk — are never
+    produced. Banding is deterministic, so the result equals the
+    full-corpus pair set filtered to pairs touching a new doc.
+
+    Verification still needs old TEXTS for the old halves of emitted
+    pairs; they stream through the usual distributed hash join
+    (``verify_jaccard``) — only matched candidates' texts move.
+    """
+    idx_old = old_index if old_index is not None else band_rows(
+        minhash_signatures(old_docs, num_perm, shingle_k, id_col=id_col,
+                           text_col=text_col), bands, id_col)
+    idx_new = band_rows(
+        minhash_signatures(new_docs, num_perm, shingle_k, id_col=id_col,
+                           text_col=text_col), bands, id_col)
+
+    def tag(is_new: int):
+        def fn(df: pd.DataFrame) -> pd.DataFrame:
+            df = df.copy(deep=False)
+            df["__new"] = np.int64(is_new)
+            return df
+        return fn
+
+    unioned = idx_old.map_batches(tag(0), batch_format="pandas").union(
+        idx_new.map_batches(tag(1), batch_format="pandas"))
+
+    def bucket_pairs(df: pd.DataFrame) -> pd.DataFrame:
+        outs = []
+        for _, g in df.groupby(["band", "band_hash"], sort=False):
+            if len(g) < 2 or g["__new"].sum() == 0:
+                continue
+            order = np.argsort(g[id_col].to_numpy(), kind="mergesort")
+            ids = g[id_col].to_numpy()[order]
+            fl = g["__new"].to_numpy(np.bool_)[order]
+            a, b = np.triu_indices(len(ids), k=1)
+            m = fl[a] | fl[b]
+            outs.append(pd.DataFrame({"id_a": ids[a][m],
+                                      "id_b": ids[b][m]}))
+        if not outs:
+            return pd.DataFrame({"id_a": pd.Series([], dtype=np.int64),
+                                 "id_b": pd.Series([], dtype=np.int64)})
+        return pd.concat(outs, ignore_index=True)
+
+    from sits_classification_ray.stages.shuffle import partitioned_map
+
+    cand = partitioned_map(unioned, bucket_pairs,
+                           keys=["band", "band_hash"])
+    cand = partitioned_map(cand,
+                           lambda df: df.drop_duplicates(["id_a", "id_b"]),
+                           keys=["id_a", "id_b"])
+    docs = old_docs.select_columns([id_col, text_col]).union(
+        new_docs.select_columns([id_col, text_col]))
+    return verify_jaccard(cand, docs, shingle_k, threshold,
+                          id_col=id_col, text_col=text_col)

@@ -518,3 +518,38 @@ def test_chunk_documents_nonoverlap_reconstructs_text():
     rebuilt = out.groupby("doc_id")["chunk_text"].agg(" ".join)
     for did, t in zip(docs["doc_id"], docs["text"]):
         assert rebuilt.loc[did] == t
+
+
+def test_incremental_near_dup_with_persisted_index(tmp_path):
+    from sits_classification_ray.stages.dedup_docs import (
+        band_rows, incremental_jaccard_pairs, minhash_signatures,
+        ngram_jaccard_pairs)
+
+    texts = [
+        "the quick brown fox jumps over the lazy dog",     # 0 old
+        "the quick brown fox jumps over the lazy dog",     # 1 old dup of 0
+        "completely different content about databases",    # 2 old
+        "the quick brown fox jumps over the lazy cat",     # 3 NEW near-dup
+        "unrelated new arrival talking about parquet",     # 4 NEW
+    ]
+    docs = rd.from_arrow(pa.table({
+        "doc_id": pa.array(range(5), pa.int64()),
+        "text": pa.array(texts)}))
+    old = docs.filter(expr="doc_id < 3")
+    new = docs.filter(expr="doc_id >= 3")
+    # persist the old corpus's band index, reload, dedup the delta
+    idx_dir = str(tmp_path / "band_index")
+    band_rows(minhash_signatures(old)).write_parquet(idx_dir)
+    out = (incremental_jaccard_pairs(
+               old, new, threshold=0.0,
+               old_index=rd.read_parquet(idx_dir))
+           .to_pandas().sort_values(["id_a", "id_b"]).reset_index(drop=True))
+    # equals the full-corpus pair set filtered to pairs touching a new doc
+    full = ngram_jaccard_pairs(docs, threshold=0.0).to_pandas()
+    exp = (full[(full["id_a"] >= 3) | (full["id_b"] >= 3)]
+           .sort_values(["id_a", "id_b"]).reset_index(drop=True))
+    pd.testing.assert_frame_equal(out, exp)
+    # the planted cross-group near-dups were found, old×old excluded
+    found = set(map(tuple, out[["id_a", "id_b"]].to_numpy()))
+    assert (0, 3) in found and (1, 3) in found
+    assert not ((out["id_a"] < 3) & (out["id_b"] < 3)).any()

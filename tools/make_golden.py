@@ -63,6 +63,8 @@ def make_for(sf_dir: str) -> None:
             lambda: golden.near_dup_keep_one_documents(docs),
         "simhash_near_dup_documents":
             lambda: golden.simhash_near_dup_documents(docs),
+        "incremental_near_dup_documents":
+            lambda: golden.incremental_near_dup_documents(docs),
         "ivf_topk": lambda: golden.ivf_topk(emb),
         "embedding_near_dup_ivf":
             lambda: golden.embedding_near_dup_ivf(emb),
