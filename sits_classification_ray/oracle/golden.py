@@ -695,3 +695,41 @@ def incremental_near_dup_documents(docs: pd.DataFrame,
     pairs = minhash_near_dup_documents(docs)
     m = (pairs["id_a"] >= split_id) | (pairs["id_b"] >= split_id)
     return pairs[m].reset_index(drop=True)
+
+
+def lttb_downsample_crawl(obs_long: pd.DataFrame,
+                          n_out: int = 20) -> pd.DataFrame:
+    """LTTB per (url, metric) — sequential reference implementing
+    Steinarsson's algorithm directly (same bucket boundaries:
+    linspace(1, n-1, n_out-1) floored; next-bucket mean anchor; final
+    anchor region runs to the series end)."""
+    rows = []
+    srt = obs_long.sort_values(["url", "metric", "warc_ts"],
+                               kind="mergesort")
+    for _, g in srt.groupby(["url", "metric"], sort=False):
+        x = g["warc_ts"].astype("int64").to_numpy().astype(np.float64)
+        y = g["value"].to_numpy(np.float64)
+        n = len(x)
+        if n_out >= n or n_out < 3:
+            rows.append(g)
+            continue
+        bounds = np.linspace(1, n - 1, n_out - 1).astype(np.int64)
+        sel = [0]
+        a = 0
+        for i in range(n_out - 2):
+            lo, hi = bounds[i], bounds[i + 1]
+            nlo = bounds[i + 1]
+            nhi = bounds[i + 2] if i < n_out - 3 else n
+            ax_, ay_ = x[nlo:nhi].mean(), y[nlo:nhi].mean()
+            best, besta = -1.0, lo
+            for j in range(lo, hi):
+                area = abs((x[a] - ax_) * (y[j] - y[a])
+                           - (x[a] - x[j]) * (ay_ - y[a]))
+                if area > best:
+                    best, besta = area, j
+            a = besta
+            sel.append(a)
+        sel.append(n - 1)
+        rows.append(g.iloc[sel])
+    return pd.concat(rows, ignore_index=True)[
+        ["url", "metric", "warc_ts", "value"]]

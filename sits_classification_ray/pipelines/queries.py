@@ -693,6 +693,14 @@ def _rolling_mean_crawl(sf_dir: str) -> rd.Dataset:
         batch_format="pandas")
 
 
+def _lttb_downsample_crawl(sf_dir: str) -> rd.Dataset:
+    """Shape-preserving per-series downsample to 20 points (LTTB) —
+    the visual/preview tier alongside the aggregate rollup tiers."""
+    from sits_classification_ray.stages.downsample import lttb_downsample
+
+    return lttb_downsample(_obs_long(sf_dir), n_out=20)
+
+
 def _rolling_median_crawl(sf_dir: str) -> rd.Dataset:
     from sits_classification_ray.stages.windows import rolling_median
 
@@ -1146,6 +1154,7 @@ def build_queries() -> dict[str, Callable[[str], Any]]:
         "running_sum_unbounded": _running_sum_unbounded,
         "rolling_mean_crawl": _rolling_mean_crawl,
         "rolling_median_crawl": _rolling_median_crawl,
+        "lttb_downsample_crawl": _lttb_downsample_crawl,
         "rolling_mean_unbounded": _rolling_mean_unbounded,
         "crawl_sessions": _crawl_sessions,
         "crawl_sessions_unbounded": _crawl_sessions_unbounded,
@@ -1206,7 +1215,7 @@ GOLDEN_QUERIES = [
     "simhash_drift_crawl", "bloom_semi_join_documents",
     "kmv_distinct_urls_daily", "near_dup_clusters_documents",
     "near_dup_keep_one_documents", "simhash_near_dup_documents",
-    "incremental_near_dup_documents",
+    "incremental_near_dup_documents", "lttb_downsample_crawl",
 ]
 
 

@@ -1,0 +1,70 @@
+"""Per-series visual downsampling: Largest-Triangle-Three-Buckets.
+
+The tier rollups (stages/rollup.py) are the engine's AGGREGATE
+downsample; LTTB (Steinarsson 2013) is the complementary
+shape-preserving one — pick the ``n_out`` points per series that best
+preserve the series' visual extremes, the standard choice for
+dashboard/preview tiers over long metric histories.
+
+Scale shape: a pure per-series kernel riding the same bucket-major
+salted exchange as every series stage (``partitioned_map`` on url);
+each series shrinks from n points to ``n_out`` inside its partition
+block, so the operator's output is bounded by series_count × n_out
+regardless of input length.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import ray.data as rd
+
+
+def lttb_indices(x: np.ndarray, y: np.ndarray, n_out: int) -> np.ndarray:
+    """Indices of the LTTB selection for one series already sorted by
+    x. First and last points are always kept; interior points are one
+    per bucket, maximizing the triangle area with the previously
+    selected point and the next bucket's mean."""
+    n = len(x)
+    if n_out >= n or n_out < 3:
+        return np.arange(n, dtype=np.int64)
+    # bucket boundaries over the interior points (exclusive of ends)
+    bounds = np.linspace(1, n - 1, n_out - 1).astype(np.int64)
+    out = np.empty(n_out, dtype=np.int64)
+    out[0] = 0
+    a = 0
+    for i in range(n_out - 2):
+        lo, hi = bounds[i], bounds[i + 1]
+        nlo, nhi = (bounds[i + 1], bounds[i + 2]) if i < n_out - 3 \
+            else (bounds[i + 1], n)
+        avg_x = x[nlo:nhi].mean()
+        avg_y = y[nlo:nhi].mean()
+        area = np.abs((x[a] - avg_x) * (y[lo:hi] - y[a])
+                      - (x[a] - x[lo:hi]) * (avg_y - y[a]))
+        a = lo + int(np.argmax(area))
+        out[i + 1] = a
+    out[-1] = n - 1
+    return out
+
+
+def lttb_downsample(ds_long: rd.Dataset, n_out: int = 20) -> rd.Dataset:
+    """LTTB per (url, metric) series over the long observation table;
+    timestamps project to float64 epoch-µs for the area arithmetic
+    (exact for the engine's µs range)."""
+
+    def kernel(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["url", "metric", "warc_ts"], kind="mergesort")
+        outs = []
+        for _, g in df.groupby(["url", "metric"], sort=False):
+            x = g["warc_ts"].astype("int64").to_numpy().astype(np.float64)
+            y = g["value"].to_numpy(np.float64)
+            idx = lttb_indices(x, y, n_out)
+            outs.append(g.iloc[idx])
+        if not outs:
+            return df
+        return pd.concat(outs, ignore_index=True)[
+            ["url", "metric", "warc_ts", "value"]]
+
+    from sits_classification_ray.stages.shuffle import partitioned_map
+
+    return partitioned_map(ds_long, kernel, url_col="url")

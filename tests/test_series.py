@@ -1,3 +1,4 @@
+import numpy as np
 import pandas as pd
 
 from sits_classification_ray.config import EngineConfig
@@ -30,3 +31,20 @@ def test_singleton_series_dropped(crawl_ds, crawl_pdf):
     # the generator plants a singleton url — ensure it existed upstream
     raw_sizes = extract_oracle(crawl_pdf, CFG.n_buckets).groupby("url").size()
     assert (raw_sizes == 1).any()
+
+
+def test_lttb_keeps_extremes_and_endpoints():
+    from sits_classification_ray.stages.downsample import lttb_indices
+
+    n = 200
+    x = np.arange(n, dtype=np.float64)
+    y = np.zeros(n)
+    y[57] = 100.0          # a spike LTTB must keep
+    y[150] = -80.0
+    idx = lttb_indices(x, y, 20)
+    assert idx[0] == 0 and idx[-1] == n - 1
+    assert len(idx) == 20
+    assert 57 in idx and 150 in idx
+    # short series pass through whole
+    short = lttb_indices(x[:5], y[:5], 20)
+    assert list(short) == [0, 1, 2, 3, 4]

@@ -73,6 +73,8 @@ def make_for(sf_dir: str) -> None:
         "train_test_split_sizes":
             lambda: golden.train_test_split_sizes(len(docs)),
         "harmonic_daily": lambda: golden.harmonic_daily(obs_long),
+        "lttb_downsample_crawl":
+            lambda: golden.lttb_downsample_crawl(obs_long),
         "hll_distinct_urls_daily":
             lambda: golden.hll_distinct_urls_daily(obs),
         "hist_quantile_daily": lambda: golden.hist_quantile_daily(obs),
