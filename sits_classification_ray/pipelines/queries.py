@@ -693,6 +693,14 @@ def _rolling_mean_crawl(sf_dir: str) -> rd.Dataset:
         batch_format="pandas")
 
 
+def _threshold_crossings_crawl(sf_dir: str) -> rd.Dataset:
+    """Alerting primitive: snapshots where a metric crossed 250
+    (either direction) since the previous observation."""
+    from sits_classification_ray.stages.windows import threshold_crossings
+
+    return threshold_crossings(_obs_long(sf_dir), threshold=250.0)
+
+
 def _lttb_downsample_crawl(sf_dir: str) -> rd.Dataset:
     """Shape-preserving per-series downsample to 20 points (LTTB) —
     the visual/preview tier alongside the aggregate rollup tiers."""
@@ -1155,6 +1163,7 @@ def build_queries() -> dict[str, Callable[[str], Any]]:
         "rolling_mean_crawl": _rolling_mean_crawl,
         "rolling_median_crawl": _rolling_median_crawl,
         "lttb_downsample_crawl": _lttb_downsample_crawl,
+        "threshold_crossings_crawl": _threshold_crossings_crawl,
         "rolling_mean_unbounded": _rolling_mean_unbounded,
         "crawl_sessions": _crawl_sessions,
         "crawl_sessions_unbounded": _crawl_sessions_unbounded,
@@ -1513,6 +1522,15 @@ SELECT url, metric, warc_ts, value,
                         ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)
            AS rolling_mean
 FROM obs_long""",
+        "threshold_crossings_crawl": f"""{CRAWL_PREFIX}
+SELECT url, metric, warc_ts, value, direction FROM (
+  SELECT url, metric, warc_ts, value,
+         lag(value) OVER (PARTITION BY url, metric
+                          ORDER BY warc_ts) AS prev,
+         CAST(CASE WHEN value >= 250 THEN 1 ELSE -1 END AS BIGINT)
+             AS direction
+  FROM obs_long)
+WHERE prev IS NOT NULL AND ((value >= 250) != (prev >= 250))""",
         "rolling_median_crawl": f"""{CRAWL_PREFIX}
 SELECT url, metric, warc_ts, value,
        median(value) OVER (PARTITION BY url, metric ORDER BY warc_ts

@@ -133,3 +133,25 @@ def sessionize(ds: rd.Dataset, gap_seconds: int = 86400,
     from sits_classification_ray.stages.shuffle import partitioned_map
 
     return partitioned_map(ds, kernel, url_col=key_col)
+
+
+def threshold_crossings(ds_long: rd.Dataset, threshold: float,
+                        ) -> rd.Dataset:
+    """Rows where a series crosses ``threshold`` between consecutive
+    snapshots (the alerting/monitoring primitive): emitted row is the
+    AFTER-crossing observation with ``direction`` +1 (rose to/above)
+    or -1 (fell below). SQL parity: lag window + sign compare."""
+
+    def kernel(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["url", "metric", "warc_ts"], kind="mergesort")
+        g = df.groupby(["url", "metric"], sort=False)["value"]
+        prev = g.shift(1)
+        above = df["value"] >= threshold
+        prev_above = prev >= threshold
+        crossed = prev.notna() & (above != prev_above)
+        out = df[crossed].copy()
+        out["direction"] = np.where(above[crossed], np.int64(1),
+                                    np.int64(-1))
+        return out[["url", "metric", "warc_ts", "value", "direction"]]
+
+    return _bucketed(ds_long, kernel)

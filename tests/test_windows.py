@@ -91,3 +91,16 @@ def test_rolling_median(series_ds):
         [1.0, 1.5, 2.0, 3.0]
     assert out[out["url"] == "b"]["rolling_median"].tolist() == \
         [10.0, 15.0, 20.0]
+
+
+def test_threshold_crossings(series_ds):
+    from sits_classification_ray.stages.windows import threshold_crossings
+
+    out = (threshold_crossings(series_ds, threshold=15.0)
+           .to_pandas().sort_values(["url", "warc_ts"])
+           .reset_index(drop=True))
+    # url a (1,2,3,4): never reaches 15 → no rows
+    # url b (10,20,30): crosses up at the 2nd observation only
+    assert out["url"].tolist() == ["b"]
+    assert out["value"].tolist() == [20.0]
+    assert out["direction"].tolist() == [1]
