@@ -344,7 +344,8 @@ def _similarity_topk(sf_dir: str) -> pd.DataFrame:
     from sits_classification_ray.stages.similarity import brute_force_topk
 
     emb = rd.read_parquet(f"{sf_dir}/embeddings.parquet")
-    qrows = [r for r in emb.take_all() if r["vec_id"] in (0, 1, 2, 3, 4)]
+    # push the query-vector selection down — never take_all the corpus
+    qrows = emb.filter(expr="vec_id <= 4").take_all()
     queries = {int(r["vec_id"]): np.asarray(r["embedding"], dtype=np.float64)
                for r in qrows}
     return brute_force_topk(emb, queries, k=10)
@@ -359,7 +360,7 @@ def _ivf_topk(sf_dir: str) -> pd.DataFrame:
     cent = train_centroids(emb, n_lists=8, iters=5, seed=0,
                            id_col="vec_id")
     assigned = ivf_assign(emb, cent)
-    qrows = [r for r in emb.take_all() if r["vec_id"] in (0, 1, 2)]
+    qrows = emb.filter(expr="vec_id <= 2").take_all()
     queries = {int(r["vec_id"]): np.asarray(r["embedding"], dtype=np.float64)
                for r in qrows}
     return ivf_topk(assigned, cent, queries, k=10, n_probe=3)
