@@ -702,6 +702,34 @@ def _threshold_crossings_crawl(sf_dir: str) -> rd.Dataset:
     return threshold_crossings(_obs_long(sf_dir), threshold=250.0)
 
 
+def _counter_rate_crawl(sf_dir: str) -> rd.Dataset:
+    """PromQL-style per-second rate() with counter-reset handling."""
+    from sits_classification_ray.stages.windows import counter_rate
+
+    out = counter_rate(_obs_long(sf_dir))
+    return out.map_batches(
+        lambda df: df[["url", "metric", "warc_ts", "value", "rate"]],
+        batch_format="pandas")
+
+
+def _zscore_crawl(sf_dir: str) -> rd.Dataset:
+    """Per-series z-score anomaly scoring (population mean/std)."""
+    from sits_classification_ray.stages.windows import zscore
+
+    out = zscore(_obs_long(sf_dir))
+    return out.map_batches(
+        lambda df: df[["url", "metric", "warc_ts", "value", "z"]],
+        batch_format="pandas")
+
+
+def _m4_downsample_crawl(sf_dir: str) -> rd.Dataset:
+    """M4 error-free line-chart downsample: first/last/min/max per
+    (url, metric, day)."""
+    from sits_classification_ray.stages.downsample import m4_downsample
+
+    return m4_downsample(_obs_long(sf_dir), unit="day")
+
+
 def _lttb_downsample_crawl(sf_dir: str) -> rd.Dataset:
     """Shape-preserving per-series downsample to 20 points (LTTB) —
     the visual/preview tier alongside the aggregate rollup tiers."""
@@ -1164,7 +1192,10 @@ def build_queries() -> dict[str, Callable[[str], Any]]:
         "rolling_mean_crawl": _rolling_mean_crawl,
         "rolling_median_crawl": _rolling_median_crawl,
         "lttb_downsample_crawl": _lttb_downsample_crawl,
+        "m4_downsample_crawl": _m4_downsample_crawl,
         "threshold_crossings_crawl": _threshold_crossings_crawl,
+        "counter_rate_crawl": _counter_rate_crawl,
+        "zscore_crawl": _zscore_crawl,
         "rolling_mean_unbounded": _rolling_mean_unbounded,
         "crawl_sessions": _crawl_sessions,
         "crawl_sessions_unbounded": _crawl_sessions_unbounded,
@@ -1523,6 +1554,45 @@ SELECT url, metric, warc_ts, value,
                         ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)
            AS rolling_mean
 FROM obs_long""",
+        "counter_rate_crawl": f"""{CRAWL_PREFIX}
+SELECT url, metric, warc_ts, value,
+       (CASE WHEN value < prev THEN value ELSE value - prev END)
+       / (CAST(epoch_us(warc_ts) - epoch_us(prev_ts) AS DOUBLE)
+          / 1000000.0) AS rate
+FROM (
+  SELECT url, metric, warc_ts, value,
+         lag(value) OVER w AS prev,
+         lag(warc_ts) OVER w AS prev_ts
+  FROM obs_long
+  WINDOW w AS (PARTITION BY url, metric ORDER BY warc_ts))""",
+        "zscore_crawl": f"""{CRAWL_PREFIX}
+SELECT url, metric, warc_ts, value,
+       CASE WHEN stddev_pop(value) OVER w > 0
+            THEN round((value - avg(value) OVER w)
+                       / stddev_pop(value) OVER w, 6)
+            ELSE NULL END AS z
+FROM obs_long
+WINDOW w AS (PARTITION BY url, metric)""",
+        "m4_downsample_crawl": f"""{CRAWL_PREFIX},
+m4b AS (
+  SELECT url, metric,
+         CAST(date_trunc('day', warc_ts) AS TIMESTAMP) AS bucket_ts,
+         warc_ts, value
+  FROM obs_long),
+m4r AS (
+  SELECT *,
+         row_number() OVER (PARTITION BY url, metric, bucket_ts
+                            ORDER BY warc_ts) AS rn_first,
+         row_number() OVER (PARTITION BY url, metric, bucket_ts
+                            ORDER BY warc_ts DESC) AS rn_last,
+         row_number() OVER (PARTITION BY url, metric, bucket_ts
+                            ORDER BY value, warc_ts) AS rn_min,
+         row_number() OVER (PARTITION BY url, metric, bucket_ts
+                            ORDER BY value DESC, warc_ts) AS rn_max
+  FROM m4b)
+SELECT DISTINCT url, metric, bucket_ts, warc_ts, value
+FROM m4r
+WHERE 1 IN (rn_first, rn_last, rn_min, rn_max)""",
         "threshold_crossings_crawl": f"""{CRAWL_PREFIX}
 SELECT url, metric, warc_ts, value, direction FROM (
   SELECT url, metric, warc_ts, value,

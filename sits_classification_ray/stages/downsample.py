@@ -68,3 +68,51 @@ def lttb_downsample(ds_long: rd.Dataset, n_out: int = 20) -> rd.Dataset:
     from sits_classification_ray.stages.shuffle import partitioned_map
 
     return partitioned_map(ds_long, kernel, url_col="url")
+
+
+def m4_downsample(ds_long: rd.Dataset, unit: str = "day") -> rd.Dataset:
+    """M4 downsampling (Jugel et al., VLDB 2014): per (url, metric,
+    time bucket) keep only the first, last, min-value and max-value
+    observations — the error-free aggregation for line-chart
+    rendering, the standard preview tier alongside LTTB.
+
+    Tie-breaks are pinned so the output is a deterministic set: the
+    min point is the earliest observation attaining the bucket min
+    (order by value asc, ts asc), the max point the earliest attaining
+    the bucket max (value desc, ts asc). The four selections are
+    union-ed and de-duplicated, so a bucket emits 1–4 rows.
+
+    Scale shape: per-series kernel on the bucket-major salted
+    exchange; output bounded by series × buckets × 4.
+    """
+    freq = {"hour": "h", "day": "D", "week": "W"}[unit]
+
+    def kernel(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        if unit == "week":
+            # ISO-week start (Monday), matching date_trunc('week')
+            t = df["warc_ts"].dt.normalize()
+            df["bucket_ts"] = t - pd.to_timedelta(
+                t.dt.dayofweek, unit="D")
+        else:
+            df["bucket_ts"] = df["warc_ts"].dt.floor(freq)
+        keys = ["url", "metric", "bucket_ts"]
+        picks = []
+        by_ts = df.sort_values(keys + ["warc_ts"], kind="mergesort")
+        picks.append(by_ts.drop_duplicates(keys, keep="first"))
+        picks.append(by_ts.drop_duplicates(keys, keep="last"))
+        by_val = df.sort_values(keys + ["value", "warc_ts"],
+                                kind="mergesort")
+        picks.append(by_val.drop_duplicates(keys, keep="first"))
+        by_val_desc = df.sort_values(
+            keys + ["value", "warc_ts"], kind="mergesort",
+            ascending=[True, True, True, False, True])
+        picks.append(by_val_desc.drop_duplicates(keys, keep="first"))
+        out = pd.concat(picks, ignore_index=True).drop_duplicates(
+            keys + ["warc_ts"])
+        return out.sort_values(keys + ["warc_ts"], kind="mergesort")[
+            ["url", "metric", "bucket_ts", "warc_ts", "value"]]
+
+    from sits_classification_ray.stages.shuffle import partitioned_map
+
+    return partitioned_map(ds_long, kernel, url_col="url")

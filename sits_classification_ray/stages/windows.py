@@ -155,3 +155,75 @@ def threshold_crossings(ds_long: rd.Dataset, threshold: float,
         return out[["url", "metric", "warc_ts", "value", "direction"]]
 
     return _bucketed(ds_long, kernel)
+
+
+def counter_rate(ds_long: rd.Dataset, out_col: str = "rate"
+                 ) -> rd.Dataset:
+    """Per-second rate of change between consecutive snapshots with
+    counter-reset handling (PromQL ``rate()`` semantics applied
+    pairwise): if the value dropped since the previous observation the
+    counter is assumed to have reset, so the increase is the new value
+    itself; otherwise it is the difference. The first observation of
+    each (url, metric) series gets null.
+
+    Float parity with the SQL oracle: dt is computed as
+    ``int64 µs → float64 / 1_000_000.0`` and the division happens
+    last, matching the oracle expression order exactly.
+    """
+
+    def kernel(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["url", "metric", "warc_ts"],
+                            kind="mergesort").copy()
+        vals = df["value"].to_numpy(np.float64)
+        ts = df["warc_ts"].to_numpy().astype("datetime64[us]") \
+                          .astype(np.int64)
+        urls = df["url"].to_numpy()
+        mets = df["metric"].to_numpy()
+        n = len(df)
+        increase = np.empty(n)
+        dt_sec = np.empty(n)
+        increase[0:1] = np.nan
+        dt_sec[0:1] = np.nan
+        if n > 1:
+            dropped = vals[1:] < vals[:-1]
+            increase[1:] = np.where(dropped, vals[1:],
+                                    vals[1:] - vals[:-1])
+            dt_sec[1:] = (ts[1:] - ts[:-1]).astype(np.float64) \
+                / 1_000_000.0
+        start = np.zeros(n, dtype=bool)
+        start[0:1] = True
+        start[1:] = (urls[1:] != urls[:-1]) | (mets[1:] != mets[:-1])
+        rate = increase / dt_sec
+        rate[start] = np.nan
+        df[out_col] = rate
+        return df
+
+    return _bucketed(ds_long, kernel)
+
+
+def zscore(ds_long: rd.Dataset, out_col: str = "z",
+           ndigits: int = 6) -> rd.Dataset:
+    """Per-series z-score of every observation against the series'
+    own population mean/std (the anomaly-scoring primitive feeding
+    alerting). z is rounded to ``ndigits`` on BOTH engine and oracle
+    sides because numpy's two-pass variance and SQL's streaming
+    ``stddev_pop`` differ in the last ulps; constant series
+    (std == 0) get null."""
+
+    def kernel(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["url", "metric", "warc_ts"],
+                            kind="mergesort").copy()
+        g = df.groupby(["url", "metric"], sort=False)["value"]
+        mean = g.transform("mean").to_numpy(np.float64)
+        n = g.transform("size").to_numpy(np.float64)
+        dev = df["value"].to_numpy(np.float64) - mean
+        var = pd.Series(dev * dev).groupby(
+            [df["url"].to_numpy(), df["metric"].to_numpy()],
+            sort=False).transform("sum").to_numpy() / n
+        std = np.sqrt(var)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            z = np.where(std > 0.0, dev / std, np.nan)
+        df[out_col] = np.round(z, 6)
+        return df
+
+    return _bucketed(ds_long, kernel)

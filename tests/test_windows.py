@@ -104,3 +104,94 @@ def test_threshold_crossings(series_ds):
     assert out["url"].tolist() == ["b"]
     assert out["value"].tolist() == [20.0]
     assert out["direction"].tolist() == [1]
+
+
+def test_counter_rate(series_ds):
+    from sits_classification_ray.stages.windows import counter_rate
+
+    out = counter_rate(series_ds).to_pandas().sort_values(
+        ["url", "warc_ts"]).reset_index(drop=True)
+    a = out[out["url"] == "a"]["rate"].tolist()
+    assert np.isnan(a[0])
+    # monotone counter: increase/dt = 1/3600 per step, then 1/(37*3600)
+    assert a[1] == pytest.approx(1.0 / 3600)
+    assert a[3] == pytest.approx(1.0 / (37 * 3600))
+
+
+def test_counter_rate_reset():
+    from sits_classification_ray.stages.windows import counter_rate
+
+    ds = rd.from_arrow(pa.table({
+        "url": pa.array(["a"] * 3),
+        "url_bucket": pa.array([1] * 3, pa.uint32()),
+        "metric": pa.array(["m"] * 3),
+        "warc_ts": pa.array([H, 2 * H, 3 * H], pa.timestamp("us")),
+        "value": pa.array([100.0, 5.0, 10.0]),
+    }))
+    out = counter_rate(ds).to_pandas().sort_values("warc_ts")
+    r = out["rate"].tolist()
+    # 100 → 5 is a reset: increase == new value (5), not -95
+    assert r[1] == pytest.approx(5.0 / 3600)
+    assert r[2] == pytest.approx(5.0 / 3600)
+
+
+def test_zscore(series_ds):
+    from sits_classification_ray.stages.windows import zscore
+
+    out = zscore(series_ds).to_pandas().sort_values(
+        ["url", "warc_ts"]).reset_index(drop=True)
+    a = out[out["url"] == "a"]  # values 1..4: mean 2.5, std sqrt(1.25)
+    exp = (np.arange(1.0, 5.0) - 2.5) / np.sqrt(1.25)
+    assert a["z"].to_numpy() == pytest.approx(np.round(exp, 6))
+
+
+def test_zscore_constant_series_null():
+    from sits_classification_ray.stages.windows import zscore
+
+    ds = rd.from_arrow(pa.table({
+        "url": pa.array(["c"] * 2),
+        "url_bucket": pa.array([0] * 2, pa.uint32()),
+        "metric": pa.array(["m"] * 2),
+        "warc_ts": pa.array([H, 2 * H], pa.timestamp("us")),
+        "value": pa.array([7.0, 7.0]),
+    }))
+    out = zscore(ds).to_pandas()
+    assert out["z"].isna().all()
+
+
+def test_m4_downsample():
+    from sits_classification_ray.stages.downsample import m4_downsample
+
+    # one series, one day bucket, 6 points: first/last/min/max → 4 rows
+    ds = rd.from_arrow(pa.table({
+        "url": pa.array(["a"] * 6),
+        "url_bucket": pa.array([1] * 6, pa.uint32()),
+        "metric": pa.array(["m"] * 6),
+        "warc_ts": pa.array([H, 2 * H, 3 * H, 4 * H, 5 * H, 6 * H],
+                            pa.timestamp("us")),
+        "value": pa.array([5.0, 1.0, 9.0, 1.0, 9.0, 6.0]),
+    }))
+    out = m4_downsample(ds, unit="day").to_pandas().sort_values("warc_ts")
+    # first(ts=1h,5), min earliest (ts=2h,1), max earliest (ts=3h,9),
+    # last (ts=6h,6)
+    assert out["value"].tolist() == [5.0, 1.0, 9.0, 6.0]
+    assert len(out["bucket_ts"].unique()) == 1
+
+
+def test_m4_bounded_output():
+    from sits_classification_ray.stages.downsample import m4_downsample
+
+    n = 200
+    ds = rd.from_arrow(pa.table({
+        "url": pa.array(["a"] * n),
+        "url_bucket": pa.array([1] * n, pa.uint32()),
+        "metric": pa.array(["m"] * n),
+        "warc_ts": pa.array([i * H for i in range(1, n + 1)],
+                            pa.timestamp("us")),
+        "value": pa.array(np.random.default_rng(0)
+                          .normal(size=n).tolist()),
+    }))
+    out = m4_downsample(ds, unit="day").to_pandas()
+    days = out["bucket_ts"].nunique()
+    assert len(out) <= 4 * days
+    assert (out.groupby("bucket_ts").size() >= 1).all()
