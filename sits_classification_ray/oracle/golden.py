@@ -733,3 +733,23 @@ def lttb_downsample_crawl(obs_long: pd.DataFrame,
         rows.append(g.iloc[sel])
     return pd.concat(rows, ignore_index=True)[
         ["url", "metric", "warc_ts", "value"]]
+
+
+def ewma_crawl(obs_long: pd.DataFrame, alpha: float = 0.3
+               ) -> pd.DataFrame:
+    """Independent EWMA recursion (explicit Python loop per series,
+    adjust=False semantics), rounded to 6 digits like the engine."""
+    df = obs_long.sort_values(["url", "metric", "warc_ts"],
+                              kind="mergesort").reset_index(drop=True)
+    out = np.empty(len(df))
+    for _, g in df.groupby(["url", "metric"], sort=False):
+        v = g["value"].to_numpy(np.float64)
+        s = np.empty(len(v))
+        acc = v[0]
+        s[0] = acc
+        for i in range(1, len(v)):
+            acc = (1.0 - alpha) * acc + alpha * v[i]
+            s[i] = acc
+        out[g.index.to_numpy()] = s
+    df["ewma"] = np.round(out, 6)
+    return df[["url", "metric", "warc_ts", "value", "ewma"]]

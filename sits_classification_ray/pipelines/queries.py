@@ -702,6 +702,23 @@ def _threshold_crossings_crawl(sf_dir: str) -> rd.Dataset:
     return threshold_crossings(_obs_long(sf_dir), threshold=250.0)
 
 
+def _ewma_crawl(sf_dir: str) -> rd.Dataset:
+    """Exponentially weighted moving average per series (α=0.3)."""
+    from sits_classification_ray.stages.windows import ewma
+
+    out = ewma(_obs_long(sf_dir), alpha=0.3)
+    return out.map_batches(
+        lambda df: df[["url", "metric", "warc_ts", "value", "ewma"]],
+        batch_format="pandas")
+
+
+def _trend_slope_crawl(sf_dir: str) -> rd.Dataset:
+    """Per-series least-squares trend (slope in value units per day)."""
+    from sits_classification_ray.stages.stm import trend_slope
+
+    return trend_slope(_obs_long(sf_dir))
+
+
 def _counter_rate_crawl(sf_dir: str) -> rd.Dataset:
     """PromQL-style per-second rate() with counter-reset handling."""
     from sits_classification_ray.stages.windows import counter_rate
@@ -1196,6 +1213,8 @@ def build_queries() -> dict[str, Callable[[str], Any]]:
         "threshold_crossings_crawl": _threshold_crossings_crawl,
         "counter_rate_crawl": _counter_rate_crawl,
         "zscore_crawl": _zscore_crawl,
+        "ewma_crawl": _ewma_crawl,
+        "trend_slope_crawl": _trend_slope_crawl,
         "rolling_mean_unbounded": _rolling_mean_unbounded,
         "crawl_sessions": _crawl_sessions,
         "crawl_sessions_unbounded": _crawl_sessions_unbounded,
@@ -1257,6 +1276,7 @@ GOLDEN_QUERIES = [
     "kmv_distinct_urls_daily", "near_dup_clusters_documents",
     "near_dup_keep_one_documents", "simhash_near_dup_documents",
     "incremental_near_dup_documents", "lttb_downsample_crawl",
+    "ewma_crawl",
 ]
 
 
@@ -1554,6 +1574,12 @@ SELECT url, metric, warc_ts, value,
                         ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)
            AS rolling_mean
 FROM obs_long""",
+        "trend_slope_crawl": f"""{CRAWL_PREFIX}
+SELECT url, metric, count(*) AS n_obs,
+       round(regr_slope(value,
+             CAST(epoch_us(warc_ts) AS DOUBLE) / 86400000000.0), 6)
+           AS slope
+FROM obs_long GROUP BY url, metric""",
         "counter_rate_crawl": f"""{CRAWL_PREFIX}
 SELECT url, metric, warc_ts, value,
        (CASE WHEN value < prev THEN value ELSE value - prev END)

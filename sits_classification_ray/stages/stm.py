@@ -191,3 +191,48 @@ class HarmonicFit:
         design = self._design(x)
         coef, *_ = np.linalg.lstsq(design, values, rcond=None)
         return float(np.std(values - design @ coef))
+
+
+def trend_slope(ds_long: rd.Dataset, round_to: int = 6) -> rd.Dataset:
+    """Per-series linear trend: least-squares slope/intercept of value
+    against time-in-days (the change-direction summary the reference's
+    harmonic fit reduces to at k=0 trends; SURVEY A9 family). Slope is
+    value units per day; x is epoch-µs / 86_400e6 so magnitudes stay
+    in a range where round-6 parity with SQL ``regr_slope`` holds.
+    The t=0 intercept is deliberately NOT emitted: extrapolating to
+    epoch start inflates magnitudes to ~1e5 where the last-ulp gap
+    between two-pass and streaming covariance crosses round-6
+    boundaries.
+
+    Single-observation series (var(x) == 0) get null slope, matching
+    SQL regr_* semantics.
+    """
+    from sits_classification_ray.stages.gapfill import _series_bounds
+    from sits_classification_ray.stages.shuffle import partitioned_map
+
+    def kernel(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["url", "metric", "warc_ts"], kind="mergesort")
+        urls = df["url"].to_numpy()
+        mets = df["metric"].to_numpy()
+        vals = df["value"].to_numpy(np.float64)
+        x = df["warc_ts"].to_numpy().astype("datetime64[us]") \
+            .astype(np.int64).astype(np.float64) / 86_400e6
+        starts, ends = _series_bounds(urls, mets)
+        n = len(starts)
+        out = {
+            "url": urls[starts], "metric": mets[starts],
+            "n_obs": (ends - starts).astype(np.int64),
+            "slope": np.full(n, np.nan),
+        }
+        for i, (s, e) in enumerate(zip(starts, ends)):
+            xv, yv = x[s:e], vals[s:e]
+            mx, my = xv.mean(), yv.mean()
+            dx = xv - mx
+            varx = (dx * dx).sum()
+            if varx > 0.0:
+                out["slope"][i] = (dx * (yv - my)).sum() / varx
+        res = pd.DataFrame(out)
+        res["slope"] = res["slope"].round(round_to)
+        return res
+
+    return partitioned_map(ds_long, kernel, url_col="url")

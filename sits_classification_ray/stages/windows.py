@@ -227,3 +227,27 @@ def zscore(ds_long: rd.Dataset, out_col: str = "z",
         return df
 
     return _bucketed(ds_long, kernel)
+
+
+def ewma(ds_long: rd.Dataset, alpha: float = 0.3,
+         out_col: str = "ewma", ndigits: int = 6) -> rd.Dataset:
+    """Exponentially weighted moving average per (url, metric) series
+    (``adjust=False`` recursion: s_t = (1-α)·s_{t-1} + α·x_t, s_0 =
+    x_0) — the standard low-cost smoother for alerting baselines.
+
+    Runs on pandas' grouped-EWM Cython kernel (one C pass per bucket
+    block, no per-series Python dispatch). Rounded to ``ndigits`` on
+    both engine and golden-oracle sides: the recursion is re-derived
+    independently in the oracle and last-ulp order may differ.
+    """
+
+    def kernel(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["url", "metric", "warc_ts"],
+                            kind="mergesort").copy()
+        s = (df.groupby(["url", "metric"], sort=False)["value"]
+               .ewm(alpha=alpha, adjust=False).mean()
+               .reset_index(level=[0, 1], drop=True))
+        df[out_col] = s.round(ndigits)
+        return df
+
+    return _bucketed(ds_long, kernel)

@@ -195,3 +195,44 @@ def test_m4_bounded_output():
     days = out["bucket_ts"].nunique()
     assert len(out) <= 4 * days
     assert (out.groupby("bucket_ts").size() >= 1).all()
+
+
+def test_ewma(series_ds):
+    from sits_classification_ray.stages.windows import ewma
+
+    out = ewma(series_ds, alpha=0.5).to_pandas().sort_values(
+        ["url", "warc_ts"]).reset_index(drop=True)
+    # url a values 1,2,3,4 with α=0.5: 1, 1.5, 2.25, 3.125
+    assert out[out["url"] == "a"]["ewma"].tolist() == \
+        [1.0, 1.5, 2.25, 3.125]
+    # series restart at url b: 10, 15, 22.5
+    assert out[out["url"] == "b"]["ewma"].tolist() == [10.0, 15.0, 22.5]
+
+
+def test_trend_slope(series_ds):
+    from sits_classification_ray.stages.stm import trend_slope
+
+    out = trend_slope(series_ds).to_pandas().sort_values(
+        "url").reset_index(drop=True)
+    # url b: values 10,20,30 at hours 1,2,60 → exact LSQ slope per day
+    x = np.array([1.0, 2.0, 60.0]) / 24.0
+    y = np.array([10.0, 20.0, 30.0])
+    dx = x - x.mean()
+    exp = round(float((dx * (y - y.mean())).sum() / (dx * dx).sum()), 6)
+    b = out[out["url"] == "b"]
+    assert b["slope"].iloc[0] == pytest.approx(exp)
+    assert b["n_obs"].iloc[0] == 3
+
+
+def test_trend_slope_single_obs_null():
+    from sits_classification_ray.stages.stm import trend_slope
+
+    ds = rd.from_arrow(pa.table({
+        "url": pa.array(["c"]),
+        "url_bucket": pa.array([0], pa.uint32()),
+        "metric": pa.array(["m"]),
+        "warc_ts": pa.array([H], pa.timestamp("us")),
+        "value": pa.array([7.0]),
+    }))
+    out = trend_slope(ds).to_pandas()
+    assert out["slope"].isna().all() and out["n_obs"].tolist() == [1]

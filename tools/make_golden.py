@@ -75,6 +75,7 @@ def make_for(sf_dir: str) -> None:
         "harmonic_daily": lambda: golden.harmonic_daily(obs_long),
         "lttb_downsample_crawl":
             lambda: golden.lttb_downsample_crawl(obs_long),
+        "ewma_crawl": lambda: golden.ewma_crawl(obs_long),
         "hll_distinct_urls_daily":
             lambda: golden.hll_distinct_urls_daily(obs),
         "hist_quantile_daily": lambda: golden.hist_quantile_daily(obs),
