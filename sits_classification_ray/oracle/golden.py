@@ -753,3 +753,17 @@ def ewma_crawl(obs_long: pd.DataFrame, alpha: float = 0.3
         out[g.index.to_numpy()] = s
     df["ewma"] = np.round(out, 6)
     return df[["url", "metric", "warc_ts", "value", "ewma"]]
+
+
+def partition_extents_crawl(obs: pd.DataFrame, n_buckets: int = 64
+                            ) -> pd.DataFrame:
+    """Per-partition extents (manifest/A8 contract): row count,
+    distinct urls, min/max timestamp per url_bucket. Replicates the
+    engine's bucket assignment (pandas fixed-key SipHash, per-value
+    path) as part of the determinism contract."""
+    h = pd.util.hash_array(obs["url"].to_numpy(object), categorize=False)
+    b = (h % np.uint64(n_buckets)).astype(np.int64)
+    g = obs.assign(url_bucket=b).groupby("url_bucket")
+    out = g.agg(n_rows=("url", "size"), n_urls=("url", "nunique"),
+                min_ts=("warc_ts", "min"), max_ts=("warc_ts", "max"))
+    return out.reset_index()

@@ -702,6 +702,26 @@ def _threshold_crossings_crawl(sf_dir: str) -> rd.Dataset:
     return threshold_crossings(_obs_long(sf_dir), threshold=250.0)
 
 
+def _partition_extents_crawl(sf_dir: str):
+    """Per-partition extents (the manifest's A8 min/max contract):
+    rows, distinct urls, min/max timestamp per url_bucket. Two tiny
+    aggregates (≤ n_buckets rows each) merged on the driver."""
+    from ray.data.aggregate import Count, Max, Min
+
+    obs = _obs(sf_dir)
+    ext = (obs.groupby("url_bucket")
+           .aggregate(Count(alias_name="n_rows"),
+                      Min("warc_ts", alias_name="min_ts"),
+                      Max("warc_ts", alias_name="max_ts"))).to_pandas()
+    nu = (obs.groupby(["url_bucket", "url"])
+          .aggregate(Count(alias_name="_c"))
+          .groupby("url_bucket")
+          .aggregate(Count(alias_name="n_urls"))).to_pandas()
+    out = ext.merge(nu, on="url_bucket")
+    out["url_bucket"] = out["url_bucket"].astype("int64")
+    return out[["url_bucket", "n_rows", "n_urls", "min_ts", "max_ts"]]
+
+
 def _ewma_crawl(sf_dir: str) -> rd.Dataset:
     """Exponentially weighted moving average per series (α=0.3)."""
     from sits_classification_ray.stages.windows import ewma
@@ -1215,6 +1235,7 @@ def build_queries() -> dict[str, Callable[[str], Any]]:
         "zscore_crawl": _zscore_crawl,
         "ewma_crawl": _ewma_crawl,
         "trend_slope_crawl": _trend_slope_crawl,
+        "partition_extents_crawl": _partition_extents_crawl,
         "rolling_mean_unbounded": _rolling_mean_unbounded,
         "crawl_sessions": _crawl_sessions,
         "crawl_sessions_unbounded": _crawl_sessions_unbounded,
@@ -1276,7 +1297,7 @@ GOLDEN_QUERIES = [
     "kmv_distinct_urls_daily", "near_dup_clusters_documents",
     "near_dup_keep_one_documents", "simhash_near_dup_documents",
     "incremental_near_dup_documents", "lttb_downsample_crawl",
-    "ewma_crawl",
+    "ewma_crawl", "partition_extents_crawl",
 ]
 
 

@@ -236,3 +236,13 @@ def test_trend_slope_single_obs_null():
     }))
     out = trend_slope(ds).to_pandas()
     assert out["slope"].isna().all() and out["n_obs"].tolist() == [1]
+
+
+def test_partition_extents_matches_pandas():
+    from sits_classification_ray.pipelines.queries import \
+        _partition_extents_crawl
+
+    out = _partition_extents_crawl("/root/testdata/sf0.001")
+    assert (out["n_rows"] >= out["n_urls"]).all()
+    assert (out["min_ts"] <= out["max_ts"]).all()
+    assert out["url_bucket"].is_unique
