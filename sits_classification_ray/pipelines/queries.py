@@ -722,6 +722,20 @@ def _partition_extents_crawl(sf_dir: str):
     return out[["url_bucket", "n_rows", "n_urls", "min_ts", "max_ts"]]
 
 
+def _metric_correlation_crawl(sf_dir: str) -> rd.Dataset:
+    """Per-url Pearson correlation between text_len and word_count."""
+    from sits_classification_ray.stages.stm import metric_correlation
+
+    return metric_correlation(_obs(sf_dir))
+
+
+def _peak_time_crawl(sf_dir: str) -> rd.Dataset:
+    """Earliest timestamp attaining each series' maximum value."""
+    from sits_classification_ray.stages.stm import peak_time
+
+    return peak_time(_obs_long(sf_dir))
+
+
 def _ewma_crawl(sf_dir: str) -> rd.Dataset:
     """Exponentially weighted moving average per series (α=0.3)."""
     from sits_classification_ray.stages.windows import ewma
@@ -1236,6 +1250,8 @@ def build_queries() -> dict[str, Callable[[str], Any]]:
         "ewma_crawl": _ewma_crawl,
         "trend_slope_crawl": _trend_slope_crawl,
         "partition_extents_crawl": _partition_extents_crawl,
+        "metric_correlation_crawl": _metric_correlation_crawl,
+        "peak_time_crawl": _peak_time_crawl,
         "rolling_mean_unbounded": _rolling_mean_unbounded,
         "crawl_sessions": _crawl_sessions,
         "crawl_sessions_unbounded": _crawl_sessions_unbounded,
@@ -1595,6 +1611,18 @@ SELECT url, metric, warc_ts, value,
                         ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)
            AS rolling_mean
 FROM obs_long""",
+        "metric_correlation_crawl": f"""{CRAWL_PREFIX}
+SELECT url, count(*) AS n_obs,
+       round(corr(CAST(text_len AS DOUBLE),
+                  CAST(word_count AS DOUBLE)), 6) AS corr
+FROM obs GROUP BY url""",
+        "peak_time_crawl": f"""{CRAWL_PREFIX}
+SELECT url, metric, warc_ts AS peak_ts, value AS peak_value FROM (
+  SELECT url, metric, warc_ts, value,
+         row_number() OVER (PARTITION BY url, metric
+                            ORDER BY value DESC, warc_ts) AS rn
+  FROM obs_long)
+WHERE rn = 1""",
         "trend_slope_crawl": f"""{CRAWL_PREFIX}
 SELECT url, metric, count(*) AS n_obs,
        round(regr_slope(value,

@@ -236,3 +236,55 @@ def trend_slope(ds_long: rd.Dataset, round_to: int = 6) -> rd.Dataset:
         return res
 
     return partitioned_map(ds_long, kernel, url_col="url")
+
+
+def metric_correlation(ds_obs: rd.Dataset, col_a: str = "text_len",
+                       col_b: str = "word_count", round_to: int = 6
+                       ) -> rd.Dataset:
+    """Per-url Pearson correlation between two metric columns of the
+    wide observation table (e.g. does text length track word count) —
+    the cross-metric analog of the reference's per-band STM stats.
+    Two-pass covariance, rounded like SQL ``corr``; series where either
+    metric is constant get null (SQL corr semantics).
+    """
+    from sits_classification_ray.stages.gapfill import _series_bounds
+    from sits_classification_ray.stages.shuffle import partitioned_map
+
+    def kernel(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["url", "warc_ts"], kind="mergesort")
+        urls = df["url"].to_numpy()
+        a = df[col_a].to_numpy(np.float64)
+        b = df[col_b].to_numpy(np.float64)
+        starts, ends = _series_bounds(urls, np.zeros(len(urls)))
+        n = len(starts)
+        out = {"url": urls[starts],
+               "n_obs": (ends - starts).astype(np.int64),
+               "corr": np.full(n, np.nan)}
+        for i, (s, e) in enumerate(zip(starts, ends)):
+            av, bv = a[s:e], b[s:e]
+            da, db = av - av.mean(), bv - bv.mean()
+            denom = np.sqrt((da * da).sum() * (db * db).sum())
+            if denom > 0.0:
+                out["corr"][i] = (da * db).sum() / denom
+        res = pd.DataFrame(out)
+        res["corr"] = res["corr"].round(round_to)
+        return res
+
+    return partitioned_map(ds_obs, kernel, url_col="url")
+
+
+def peak_time(ds_long: rd.Dataset) -> rd.Dataset:
+    """When did each series peak: the earliest timestamp attaining the
+    series max (deterministic argmax; SQL ``arg_min(warc_ts ORDER BY
+    value DESC)`` twin via row_number)."""
+    from sits_classification_ray.stages.shuffle import partitioned_map
+
+    def kernel(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["url", "metric", "value", "warc_ts"],
+                            kind="mergesort",
+                            ascending=[True, True, False, True])
+        out = df.drop_duplicates(["url", "metric"], keep="first")
+        return out[["url", "metric", "warc_ts", "value"]].rename(
+            columns={"warc_ts": "peak_ts", "value": "peak_value"})
+
+    return partitioned_map(ds_long, kernel, url_col="url")

@@ -246,3 +246,31 @@ def test_partition_extents_matches_pandas():
     assert (out["n_rows"] >= out["n_urls"]).all()
     assert (out["min_ts"] <= out["max_ts"]).all()
     assert out["url_bucket"].is_unique
+
+
+def test_metric_correlation():
+    from sits_classification_ray.stages.stm import metric_correlation
+
+    ds = rd.from_arrow(pa.table({
+        "url": pa.array(["a"] * 4 + ["b"] * 3),
+        "url_bucket": pa.array([1] * 7, pa.uint32()),
+        "warc_ts": pa.array([H, 2 * H, 3 * H, 4 * H, H, 2 * H, 3 * H],
+                            pa.timestamp("us")),
+        "text_len": pa.array([10, 20, 30, 40, 5, 5, 5], pa.int64()),
+        "word_count": pa.array([1, 2, 3, 4, 9, 1, 4], pa.int64()),
+    }))
+    out = metric_correlation(ds).to_pandas().sort_values("url")
+    # url a: perfectly linear → corr 1; url b: text_len constant → null
+    assert out[out["url"] == "a"]["corr"].iloc[0] == pytest.approx(1.0)
+    assert np.isnan(out[out["url"] == "b"]["corr"].iloc[0])
+
+
+def test_peak_time(series_ds):
+    from sits_classification_ray.stages.stm import peak_time
+
+    out = peak_time(series_ds).to_pandas().sort_values("url")
+    # url a peaks at value 4 (ts 40h); url b at 30 (ts 60h)
+    assert out[out["url"] == "a"]["peak_value"].iloc[0] == 4.0
+    assert out[out["url"] == "a"]["peak_ts"].iloc[0] == \
+        pd.Timestamp("1970-01-02 16:00:00")
+    assert out[out["url"] == "b"]["peak_value"].iloc[0] == 30.0
