@@ -155,15 +155,16 @@ def run_compute_bench() -> dict:
     from sits_classification_ray.stages.textstats import lang_id
 
     files = sorted(Path(crawl).glob("*.parquet"))
-    # limit() leaves a handful of blocks — repartition so the actor
-    # pools have ≥4 tasks per CPU to fan out over; pin the pool size
-    # so ramp-up is identical at both parallelism levels
+    # limit() leaves a handful of blocks — repartition to a FIXED
+    # block count so both scaling legs process identical block sizes
+    # (block-size-dependent kernel costs would otherwise leak into the
+    # efficiency ratio); 256 blocks ≥ 8 tasks per CPU at 32 CPUs
     ds = (rd.read_parquet([str(f) for f in files], columns=["url", "text"])
           .limit(n_docs)
           .map_batches(lambda df: df.assign(
               doc_id=np.arange(len(df), dtype=np.int64)),
               batch_format="pandas")
-          .repartition(NUM_CPUS * 8)
+          .repartition(256)
           .materialize())
     pool = (NUM_CPUS, NUM_CPUS)
 

@@ -874,6 +874,47 @@ def _crawl_sessions(sf_dir: str) -> rd.Dataset:
         batch_format="pandas")
 
 
+def _session_intervals_crawl(sf_dir: str) -> rd.Dataset:
+    """Coalesced session intervals: [start, end] + snapshot count per
+    (url, session) — sessionize composed with a tiny groupby."""
+    from ray.data.aggregate import Count, Max, Min
+
+    from sits_classification_ray.stages.windows import sessionize
+
+    sess = sessionize(_obs(sf_dir), gap_seconds=86400)
+    return (sess.groupby(["url", "session_id"])
+            .aggregate(Min("warc_ts", alias_name="start_ts"),
+                       Max("warc_ts", alias_name="end_ts"),
+                       Count(alias_name="n_snapshots")))
+
+
+def _snapshot_asof_crawl(sf_dir: str) -> rd.Dataset:
+    """Time-travel read: the latest observation per url at a fixed
+    cutoff (AS OF queries over the crawl history). The cutoff is the
+    corpus midpoint so both kept and dropped snapshots exist."""
+    cutoff = pd.Timestamp("2024-01-16")
+
+    def latest(df: pd.DataFrame) -> pd.DataFrame:
+        df = df[df["warc_ts"] < cutoff]
+        df = df.sort_values(["url", "warc_ts"], kind="mergesort")
+        out = df.drop_duplicates("url", keep="last")[
+            ["url", "warc_ts", "text_len", "word_count"]]
+        if out.empty:
+            # pin dtypes: an empty pandas block would otherwise lose
+            # its schema in the Arrow union
+            return pd.DataFrame({
+                "url": pd.Series([], dtype=object),
+                "warc_ts": pd.Series([], dtype="datetime64[us]"),
+                "text_len": pd.Series([], dtype="int64"),
+                "word_count": pd.Series([], dtype="int64"),
+            })
+        return out
+
+    from sits_classification_ray.stages.shuffle import partitioned_map
+
+    return partitioned_map(_obs(sf_dir), latest, url_col="url")
+
+
 def _asof_latest_event(sf_dir: str) -> rd.Dataset:
     from sits_classification_ray.stages.joins import asof_join
 
@@ -1252,6 +1293,8 @@ def build_queries() -> dict[str, Callable[[str], Any]]:
         "partition_extents_crawl": _partition_extents_crawl,
         "metric_correlation_crawl": _metric_correlation_crawl,
         "peak_time_crawl": _peak_time_crawl,
+        "session_intervals_crawl": _session_intervals_crawl,
+        "snapshot_asof_crawl": _snapshot_asof_crawl,
         "rolling_mean_unbounded": _rolling_mean_unbounded,
         "crawl_sessions": _crawl_sessions,
         "crawl_sessions_unbounded": _crawl_sessions_unbounded,
@@ -1611,6 +1654,29 @@ SELECT url, metric, warc_ts, value,
                         ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)
            AS rolling_mean
 FROM obs_long""",
+        "session_intervals_crawl": f"""{CRAWL_PREFIX},
+sgaps AS (
+  SELECT url, warc_ts,
+         CASE WHEN warc_ts - lag(warc_ts) OVER
+                   (PARTITION BY url ORDER BY warc_ts)
+                   > INTERVAL 24 HOUR THEN 1 ELSE 0 END AS brk
+  FROM obs),
+sids AS (
+  SELECT url, warc_ts,
+         CAST(sum(brk) OVER (PARTITION BY url ORDER BY warc_ts
+                             ROWS UNBOUNDED PRECEDING) AS BIGINT)
+             AS session_id
+  FROM sgaps)
+SELECT url, session_id, min(warc_ts) AS start_ts,
+       max(warc_ts) AS end_ts, count(*) AS n_snapshots
+FROM sids GROUP BY url, session_id""",
+        "snapshot_asof_crawl": f"""{CRAWL_PREFIX}
+SELECT url, warc_ts, text_len, word_count FROM (
+  SELECT url, warc_ts, text_len, word_count,
+         row_number() OVER (PARTITION BY url
+                            ORDER BY warc_ts DESC) AS rn
+  FROM obs WHERE warc_ts < TIMESTAMP '2024-01-16')
+WHERE rn = 1""",
         "metric_correlation_crawl": f"""{CRAWL_PREFIX}
 SELECT url, count(*) AS n_obs,
        round(corr(CAST(text_len AS DOUBLE),

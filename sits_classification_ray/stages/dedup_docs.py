@@ -148,6 +148,11 @@ def minhash_signatures(ds: rd.Dataset, num_perm: int = 64, shingle_k: int = 5,
         fn_constructor_kwargs=dict(num_perm=num_perm, shingle_k=shingle_k,
                                    seed=seed, id_col=id_col,
                                    text_col=text_col),
+        # cap the batch: the shingle expansion allocates
+        # O(batch_chars × num_perm) temporaries, and past ~4k docs the
+        # working set falls out of cache (measured 2× slowdown on
+        # 19k-doc blocks vs 4k batches at equal parallelism)
+        batch_size=4096,
         batch_format="pandas", concurrency=concurrency, num_cpus=1)
 
 
