@@ -58,3 +58,21 @@ def exp10m1_column(ds: rd.Dataset, col: str,
             else t.set_column(t.schema.get_field_index(out), out, v)
 
     return ds.map_batches(f, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def sql_round(x, ndigits: int = 6) -> "np.ndarray":
+    """Round half AWAY FROM ZERO — SQL/DuckDB ``round`` semantics
+    (``round(x·10ⁿ ± 0.5 toward sign) / 10ⁿ``), as opposed to
+    ``np.round``'s IEEE half-to-even. The two differ exactly when a
+    value lands on a representable half at the target digit, which the
+    engine's dyadic-rational quotients (medians/MADs are integer
+    halves, group means of integers) hit routinely — use this for
+    every rounded column whose oracle is DuckDB SQL. NaN passes
+    through."""
+    import numpy as np
+
+    x = np.asarray(x, dtype=np.float64)
+    m = 10.0 ** ndigits
+    y = x * m
+    with np.errstate(invalid="ignore"):
+        return np.copysign(np.floor(np.abs(y) + 0.5), y) / m

@@ -767,3 +767,63 @@ def partition_extents_crawl(obs: pd.DataFrame, n_buckets: int = 64
     out = g.agg(n_rows=("url", "size"), n_urls=("url", "nunique"),
                 min_ts=("warc_ts", "min"), max_ts=("warc_ts", "max"))
     return out.reset_index()
+
+
+def holt_linear_crawl(obs_long: pd.DataFrame, alpha: float = 0.5,
+                      beta: float = 0.3) -> pd.DataFrame:
+    """Independent Holt double-exponential recursion (explicit scalar
+    loop per series): l_0 = x_0, b_0 = x_1 - x_0 (0 for singleton),
+    l_t = a*x_t + (1-a)*(l+b), b_t = b_*(l_t-l) + (1-b_)*b."""
+    df = obs_long.sort_values(["url", "metric", "warc_ts"],
+                              kind="mergesort").reset_index(drop=True)
+    out_l = np.empty(len(df))
+    out_b = np.empty(len(df))
+    for _, g in df.groupby(["url", "metric"], sort=False):
+        v = g["value"].to_numpy(np.float64)
+        idx = g.index.to_numpy()
+        lev = v[0]
+        tr = v[1] - v[0] if len(v) > 1 else 0.0
+        out_l[idx[0]] = lev
+        out_b[idx[0]] = tr
+        for i in range(1, len(v)):
+            lnew = alpha * v[i] + (1.0 - alpha) * (lev + tr)
+            tr = beta * (lnew - lev) + (1.0 - beta) * tr
+            lev = lnew
+            out_l[idx[i]] = lev
+            out_b[idx[i]] = tr
+    df["level"] = np.round(out_l, 6)
+    df["trend"] = np.round(out_b, 6)
+    return df[["url", "metric", "warc_ts", "value", "level", "trend"]]
+
+
+def cusum_crawl(obs_long: pd.DataFrame, k: float = 0.5, h: float = 4.0
+                ) -> pd.DataFrame:
+    """Independent two-sided CUSUM (explicit scalar loop per series)
+    over per-series population z-scores; constant series (std == 0)
+    carry null cusum and alarm false."""
+    df = obs_long.sort_values(["url", "metric", "warc_ts"],
+                              kind="mergesort").reset_index(drop=True)
+    out_p = np.empty(len(df))
+    out_m = np.empty(len(df))
+    for _, g in df.groupby(["url", "metric"], sort=False):
+        v = g["value"].to_numpy(np.float64)
+        idx = g.index.to_numpy()
+        std = float(np.sqrt(((v - v.mean()) ** 2).sum() / len(v)))
+        if std == 0.0:
+            out_p[idx] = np.nan
+            out_m[idx] = np.nan
+            continue
+        mean = v.mean()
+        sp = sm = 0.0
+        for i in range(len(v)):
+            z = (v[i] - mean) / std
+            sp = max(0.0, sp + z - k)
+            sm = max(0.0, sm - z - k)
+            out_p[idx[i]] = sp
+            out_m[idx[i]] = sm
+    df["cusum_pos"] = np.round(out_p, 6)
+    df["cusum_neg"] = np.round(out_m, 6)
+    with np.errstate(invalid="ignore"):
+        df["alarm"] = (out_p > h) | (out_m > h)
+    return df[["url", "metric", "warc_ts", "value",
+               "cusum_pos", "cusum_neg", "alarm"]]

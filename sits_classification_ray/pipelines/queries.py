@@ -820,6 +820,58 @@ def _head_domains_crawl(sf_dir: str) -> rd.Dataset:
     return counts.sort(["n", "url"], descending=[True, False]).limit(10)
 
 
+def _holt_linear_crawl(sf_dir: str) -> rd.Dataset:
+    """Holt double-exponential level+trend smoothing per series."""
+    from sits_classification_ray.stages.windows import holt_linear
+
+    return holt_linear(_obs_long(sf_dir), alpha=0.5, beta=0.3)
+
+
+def _cusum_crawl(sf_dir: str) -> rd.Dataset:
+    """Two-sided CUSUM changepoint statistics + alarms per series."""
+    from sits_classification_ray.stages.windows import cusum
+
+    return cusum(_obs_long(sf_dir), k=0.5, h=4.0)
+
+
+def _seasonal_baseline_crawl(sf_dir: str) -> rd.Dataset:
+    """Hour-of-day seasonal baseline + per-row anomaly deviation."""
+    from sits_classification_ray.stages.windows import seasonal_baseline
+
+    return seasonal_baseline(_obs_long(sf_dir))
+
+
+def _autocorr_lag1_crawl(sf_dir: str) -> rd.Dataset:
+    """Per-series lag-1 autocorrelation (SQL corr-with-lag twin)."""
+    from sits_classification_ray.stages.stm import autocorr_lag1
+
+    return autocorr_lag1(_obs_long(sf_dir))
+
+
+def _mad_anomaly_crawl(sf_dir: str) -> rd.Dataset:
+    """Robust median/MAD anomaly score per observation."""
+    from sits_classification_ray.stages.stm import mad_anomaly
+
+    return mad_anomaly(_obs_long(sf_dir))
+
+
+def _time_weighted_avg_crawl(sf_dir: str) -> rd.Dataset:
+    """LOCF time-weighted daily average per series (TimescaleDB
+    time_weight semantics)."""
+    from sits_classification_ray.stages.downsample import time_weighted_avg
+
+    return time_weighted_avg(_obs_long(sf_dir), unit="day")
+
+
+def _unigram_logprob_documents(sf_dir: str) -> rd.Dataset:
+    """Corpus-unigram LM score per document (quality/perplexity
+    proxy); vocabulary broadcast once via ray.put."""
+    from sits_classification_ray.stages.textstats import unigram_logprob
+
+    return unigram_logprob(rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]))
+
+
 def _snapshot_deltas_crawl(sf_dir: str) -> rd.Dataset:
     from sits_classification_ray.stages.windows import snapshot_deltas
 
@@ -1290,6 +1342,13 @@ def build_queries() -> dict[str, Callable[[str], Any]]:
         "zscore_crawl": _zscore_crawl,
         "ewma_crawl": _ewma_crawl,
         "trend_slope_crawl": _trend_slope_crawl,
+        "holt_linear_crawl": _holt_linear_crawl,
+        "cusum_crawl": _cusum_crawl,
+        "seasonal_baseline_crawl": _seasonal_baseline_crawl,
+        "autocorr_lag1_crawl": _autocorr_lag1_crawl,
+        "mad_anomaly_crawl": _mad_anomaly_crawl,
+        "time_weighted_avg_crawl": _time_weighted_avg_crawl,
+        "unigram_logprob_documents": _unigram_logprob_documents,
         "partition_extents_crawl": _partition_extents_crawl,
         "metric_correlation_crawl": _metric_correlation_crawl,
         "peak_time_crawl": _peak_time_crawl,
@@ -1357,6 +1416,7 @@ GOLDEN_QUERIES = [
     "near_dup_keep_one_documents", "simhash_near_dup_documents",
     "incremental_near_dup_documents", "lttb_downsample_crawl",
     "ewma_crawl", "partition_extents_crawl",
+    "holt_linear_crawl", "cusum_crawl",
 ]
 
 
@@ -1714,6 +1774,66 @@ SELECT url, metric, warc_ts, value,
             ELSE NULL END AS z
 FROM obs_long
 WINDOW w AS (PARTITION BY url, metric)""",
+        "seasonal_baseline_crawl": f"""{CRAWL_PREFIX}
+SELECT url, metric, warc_ts, value,
+       CAST(hour(warc_ts) AS BIGINT) AS hod,
+       round(avg(value) OVER w, 6) AS baseline,
+       round(value - avg(value) OVER w, 6) AS anomaly
+FROM obs_long
+WINDOW w AS (PARTITION BY url, metric, hour(warc_ts))""",
+        "autocorr_lag1_crawl": f"""{CRAWL_PREFIX},
+lagged AS (
+  SELECT url, metric, value,
+         lag(value) OVER (PARTITION BY url, metric
+                          ORDER BY warc_ts) AS prev
+  FROM obs_long)
+SELECT url, metric, count(prev) AS n_pairs,
+       round(corr(value, prev), 6) AS autocorr
+FROM lagged GROUP BY 1, 2""",
+        "mad_anomaly_crawl": f"""{CRAWL_PREFIX},
+med AS MATERIALIZED (
+  SELECT url, metric, quantile_cont(value, 0.5) AS med
+  FROM obs_long GROUP BY 1, 2),
+mad AS MATERIALIZED (
+  SELECT o.url, o.metric,
+         quantile_cont(abs(o.value - m.med), 0.5) AS mad
+  FROM obs_long o JOIN med m USING (url, metric) GROUP BY 1, 2)
+SELECT o.url, o.metric, o.warc_ts, o.value, m.med, d.mad,
+       round(CASE WHEN d.mad > 0 THEN (o.value - m.med) / d.mad
+             END, 6) AS robust_z
+FROM obs_long o
+JOIN med m ON o.url = m.url AND o.metric = m.metric
+JOIN mad d ON o.url = d.url AND o.metric = d.metric""",
+        "time_weighted_avg_crawl": f"""{CRAWL_PREFIX},
+twb AS (
+  SELECT url, metric,
+         CAST(date_trunc('day', warc_ts) AS TIMESTAMP) AS bucket_ts,
+         warc_ts, value
+  FROM obs_long),
+tww AS (
+  SELECT *,
+         CAST(lead(epoch_us(warc_ts)) OVER (
+             PARTITION BY url, metric, bucket_ts ORDER BY warc_ts)
+           - epoch_us(warc_ts) AS DOUBLE) AS w
+  FROM twb)
+SELECT url, metric, bucket_ts, count(*) AS n_obs,
+       round(CASE WHEN coalesce(sum(w), 0.0) > 0.0
+                  THEN sum(value * w) / sum(w)
+                  ELSE arg_min(value, warc_ts) END, 6) AS twa
+FROM tww GROUP BY 1, 2, 3""",
+        "unigram_logprob_documents": """
+WITH toks AS MATERIALIZED (
+  SELECT doc_id, t.tok AS tok
+  FROM documents, unnest(string_split(lower(text), ' ')) AS t(tok)),
+counts AS MATERIALIZED (
+  SELECT tok, count(*) AS c FROM toks GROUP BY 1),
+total AS MATERIALIZED (
+  SELECT CAST(sum(c) AS DOUBLE) AS tot FROM counts)
+SELECT t.doc_id, count(*) AS n_tokens,
+       round(avg(ln(CAST(c.c AS DOUBLE) / (SELECT tot FROM total))), 6)
+           AS avg_logprob
+FROM toks t JOIN counts c USING (tok)
+GROUP BY 1""",
         "m4_downsample_crawl": f"""{CRAWL_PREFIX},
 m4b AS (
   SELECT url, metric,

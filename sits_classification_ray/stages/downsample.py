@@ -116,3 +116,54 @@ def m4_downsample(ds_long: rd.Dataset, unit: str = "day") -> rd.Dataset:
     from sits_classification_ray.stages.shuffle import partitioned_map
 
     return partitioned_map(ds_long, kernel, url_col="url")
+
+
+def time_weighted_avg(ds_long: rd.Dataset, unit: str = "day",
+                      round_to: int = 6) -> rd.Dataset:
+    """Time-weighted average per (url, metric, time bucket) with
+    last-observation-carried-forward weighting (TimescaleDB
+    ``time_weight('LOCF')`` semantics): each observation is weighted
+    by the µs interval until the NEXT observation in the same bucket,
+
+        twa = Σᵢ₌₀ⁿ⁻² vᵢ·(tᵢ₊₁ − tᵢ) / (tₙ₋₁ − t₀)
+
+    so irregular crawl snapshots stop biasing the plain mean toward
+    burst periods — the correct "average page size this day" for a
+    crawl archive. Buckets with a single observation (or zero span)
+    carry that observation's value. SQL twin: ``lead()`` interval
+    weights; rounded on both sides (summation order differs).
+
+    Scale shape: per-series kernel on the bucket-major salted
+    exchange; output bounded by series × buckets.
+    """
+    freq = {"hour": "h", "day": "D", "week": "W"}[unit]
+
+    def kernel(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["url", "metric", "warc_ts"],
+                            kind="mergesort").copy()
+        if unit == "week":
+            t = df["warc_ts"].dt.normalize()
+            df["bucket_ts"] = t - pd.to_timedelta(t.dt.dayofweek, unit="D")
+        else:
+            df["bucket_ts"] = df["warc_ts"].dt.floor(freq)
+        keys = ["url", "metric", "bucket_ts"]
+        ts_us = (df["warc_ts"].to_numpy().astype("datetime64[us]")
+                 .astype(np.int64).astype(np.float64))
+        df["_ts"] = ts_us
+        g = df.groupby(keys, sort=False)
+        w = g["_ts"].shift(-1).to_numpy() - ts_us   # NaN at bucket end
+        df["_vw"] = df["value"].to_numpy(np.float64) * w
+        df["_w"] = w
+        agg = g.agg(n_obs=("value", "size"), first_v=("value", "first"),
+                    num=("_vw", "sum"), den=("_w", "sum")).reset_index()
+        from sits_classification_ray.functions.transforms import sql_round
+        twa = np.where(agg["den"].to_numpy() > 0.0,
+                       agg["num"].to_numpy() / agg["den"].to_numpy(),
+                       agg["first_v"].to_numpy(np.float64))
+        agg["twa"] = sql_round(twa, round_to)
+        agg["n_obs"] = agg["n_obs"].astype(np.int64)
+        return agg[["url", "metric", "bucket_ts", "n_obs", "twa"]]
+
+    from sits_classification_ray.stages.shuffle import partitioned_map
+
+    return partitioned_map(ds_long, kernel, url_col="url")

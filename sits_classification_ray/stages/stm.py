@@ -273,6 +273,81 @@ def metric_correlation(ds_obs: rd.Dataset, col_a: str = "text_len",
     return partitioned_map(ds_obs, kernel, url_col="url")
 
 
+def autocorr_lag1(ds_long: rd.Dataset, round_to: int = 6) -> rd.Dataset:
+    """Per-series lag-1 autocorrelation: Pearson correlation between
+    consecutive observation pairs (xₜ₋₁, xₜ) in time order — the
+    self-similarity summary (near 1 = slowly drifting page, near 0 =
+    noisy). Two-pass covariance; the n−1 factors cancel exactly as in
+    :func:`metric_correlation`, so this is the SQL
+    ``corr(value, lag(value))`` twin, rounded identically on both
+    sides. Series with fewer than 2 pairs or a constant side get null
+    (SQL corr semantics)."""
+    from sits_classification_ray.stages.gapfill import _series_bounds
+    from sits_classification_ray.stages.shuffle import partitioned_map
+
+    def kernel(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["url", "metric", "warc_ts"], kind="mergesort")
+        urls = df["url"].to_numpy()
+        mets = df["metric"].to_numpy()
+        vals = df["value"].to_numpy(np.float64)
+        starts, ends = _series_bounds(urls, mets)
+        n = len(starts)
+        out = {"url": urls[starts], "metric": mets[starts],
+               "n_pairs": np.maximum(ends - starts - 1, 0).astype(np.int64),
+               "autocorr": np.full(n, np.nan)}
+        for i, (s, e) in enumerate(zip(starts, ends)):
+            if e - s < 3:     # <2 pairs: sample corr undefined
+                continue
+            prev, cur = vals[s:e - 1], vals[s + 1:e]
+            da, db = cur - cur.mean(), prev - prev.mean()
+            denom = np.sqrt((da * da).sum() * (db * db).sum())
+            if denom > 0.0:
+                out["autocorr"][i] = (da * db).sum() / denom
+        res = pd.DataFrame(out)
+        from sits_classification_ray.functions.transforms import sql_round
+        res["autocorr"] = sql_round(res["autocorr"].to_numpy(), round_to)
+        return res
+
+    return partitioned_map(ds_long, kernel, url_col="url")
+
+
+def mad_anomaly(ds_long: rd.Dataset, round_to: int = 6) -> rd.Dataset:
+    """Robust per-row anomaly score: median / median-absolute-deviation
+    of the observation's own series, ``robust_z = (x − med) / MAD``
+    (the outlier-resistant alternative to :func:`windows.zscore` —
+    one wild snapshot cannot inflate its own threshold). Null where
+    MAD == 0 (at least half the series is the median value).
+
+    Medians are linear-interpolated (numpy/pandas default), matching
+    SQL ``quantile_cont(0.5)`` exactly for this engine's
+    integer-valued metrics; ``robust_z`` is rounded on both sides.
+    Fully vectorized: two grouped-median transforms per block."""
+
+    from sits_classification_ray.stages.shuffle import partitioned_map
+
+    def kernel(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["url", "metric", "warc_ts"],
+                            kind="mergesort").copy()
+        g = df.groupby(["url", "metric"], sort=False)["value"]
+        med = g.transform("median").to_numpy(np.float64)
+        absdev = np.abs(df["value"].to_numpy(np.float64) - med)
+        mad = pd.Series(absdev).groupby(
+            [df["url"].to_numpy(), df["metric"].to_numpy()],
+            sort=False).transform("median").to_numpy()
+        with np.errstate(divide="ignore", invalid="ignore"):
+            rz = np.where(mad > 0.0,
+                          (df["value"].to_numpy(np.float64) - med) / mad,
+                          np.nan)
+        from sits_classification_ray.functions.transforms import sql_round
+        df["med"] = med
+        df["mad"] = mad
+        df["robust_z"] = sql_round(rz, round_to)
+        return df[["url", "metric", "warc_ts", "value", "med", "mad",
+                   "robust_z"]]
+
+    return partitioned_map(ds_long, kernel, url_col="url")
+
+
 def peak_time(ds_long: rd.Dataset) -> rd.Dataset:
     """When did each series peak: the earliest timestamp attaining the
     series max (deterministic argmax; SQL ``arg_min(warc_ts ORDER BY

@@ -15,6 +15,7 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
+import ray
 import ray.data as rd
 
 
@@ -445,6 +446,68 @@ def tfidf_topk(ds: rd.Dataset, k: int = 3, id_col: str = "doc_id",
                              num_partitions=num_partitions)
     return top_k_per_group(scored, [id_col], "tfidf", k=k,
                            ascending=False, tie_col="token")
+
+
+class _UnigramScorer:
+    """Actor-pool scorer holding the broadcast vocabulary: the
+    token→count map is ``ray.put`` once and rebuilt into a pandas
+    lookup per ACTOR (``__init__``), never per batch."""
+
+    def __init__(self, counts_ref, total: float, id_col: str,
+                 text_col: str, round_to: int):
+        cnt = ray.get(counts_ref)
+        self.lookup = pd.Series(cnt["n"].to_numpy(np.float64),
+                                index=cnt["token"])
+        self.total = total
+        self.id_col, self.text_col = id_col, text_col
+        self.round_to = round_to
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        lists = pc.split_pattern(pc.utf8_lower(batch[self.text_col]), " ")
+        flat = pd.Series(pc.list_flatten(lists).to_pandas())
+        parent = pc.list_parent_indices(lists).to_numpy()
+        c = flat.map(self.lookup).to_numpy(np.float64)
+        logp = np.log(c / self.total)
+        sums = np.zeros(batch.num_rows)
+        np.add.at(sums, parent, logp)
+        n = np.bincount(parent, minlength=batch.num_rows)
+        from sits_classification_ray.functions.transforms import sql_round
+        return pa.table({
+            self.id_col: batch[self.id_col],
+            "n_tokens": pa.array(n.astype(np.int64)),
+            "avg_logprob": pa.array(sql_round(sums / n, self.round_to)),
+        })
+
+
+def unigram_logprob(ds: rd.Dataset, id_col: str = "doc_id",
+                    text_col: str = "text", round_to: int = 6,
+                    concurrency=(1, 8)) -> rd.Dataset:
+    """Per-document unigram language-model score: the mean
+    ``ln(count(token) / total_tokens)`` over the document's own tokens
+    against the corpus-wide unigram distribution — the classic cheap
+    perplexity proxy for training-data quality filtering (low score =
+    rare-token-heavy/gibberish, high = stereotyped boilerplate).
+
+    Two passes: (1) the distributed :func:`token_counts` combiner
+    builds the vocabulary (shuffle bounded by distinct tokens);
+    (2) the (token, n) table — vocabulary-sized, NOT corpus-sized — is
+    broadcast via ``ray.put`` and each document is scored per batch
+    with one vectorized map + segment-sum. At a vocabulary too large
+    to broadcast, pass (2) becomes the :func:`tfidf_topk` tag-union
+    token join instead; the broadcast variant is the fast path for
+    real-world vocabularies (≪ corpus).
+
+    ``avg_logprob`` is rounded on both engine and oracle sides: libm
+    vs DuckDB ``ln`` may differ in the last ulp and summation order
+    differs.
+    """
+    counts = token_counts(ds, text_col).to_pandas()
+    total = float(counts["n"].sum())
+    ref = ray.put(counts)
+    return ds.map_batches(
+        _UnigramScorer, batch_format="pyarrow", zero_copy_batch=True,
+        concurrency=concurrency, num_cpus=1,
+        fn_constructor_args=(ref, total, id_col, text_col, round_to))
 
 
 # --- composite corpus-cleaning filter ------------------------------------

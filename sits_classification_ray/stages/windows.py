@@ -251,3 +251,170 @@ def ewma(ds_long: rd.Dataset, alpha: float = 0.3,
         return df
 
     return _bucketed(ds_long, kernel)
+
+
+def _series_layout(df: pd.DataFrame) -> tuple[np.ndarray, np.ndarray]:
+    """CSR-ish layout of a block already sorted by (url, metric,
+    warc_ts): returns ``(starts, lens)`` where ``starts[j]`` is the
+    first row of the j-th series and series are ordered by
+    **descending length** (stable).
+
+    Sequential recursions (Holt, CUSUM) are then run as a loop over
+    TIME STEPS, vectorized across all series active at that step —
+    with descending-length order the active set at step t is always a
+    prefix, so each step is one contiguous-state numpy op. Total work
+    is Σ lenᵢ (one gather + O(1) flops per row); no per-row or
+    per-series Python dispatch, and no dense (series × max_len) pivot
+    that a single head-domain mega-series would blow up.
+    """
+    urls = df["url"].to_numpy()
+    mets = df["metric"].to_numpy()
+    n = len(df)
+    new = np.empty(n, dtype=bool)
+    new[0:1] = True
+    new[1:] = (urls[1:] != urls[:-1]) | (mets[1:] != mets[:-1])
+    starts = np.flatnonzero(new)
+    lens = np.diff(starts, append=n)
+    order = np.lexsort((np.arange(len(starts)), -lens))
+    return starts[order], lens[order]
+
+
+def holt_linear(ds_long: rd.Dataset, alpha: float = 0.5,
+                beta: float = 0.3, ndigits: int = 6) -> rd.Dataset:
+    """Holt double-exponential smoothing per (url, metric) series:
+    level + linear trend state, the standard short-horizon forecaster
+    one notch above :func:`ewma`.
+
+        l_t = α·x_t + (1−α)·(l_{t−1} + b_{t−1})
+        b_t = β·(l_t − l_{t−1}) + (1−β)·b_{t−1}
+        l_0 = x_0,  b_0 = x_1 − x_0  (0 when the series has one point)
+
+    Emits per-row ``level`` and ``trend``, rounded to ``ndigits`` on
+    both engine and golden-oracle sides (the recursion is re-derived
+    independently in the oracle; see ewma's rationale).
+
+    Scale shape: step-vectorized recursion (see ``_series_layout``) —
+    O(n) gathers, no per-row Python, smooth on a 10⁶-snapshot head
+    url.
+    """
+
+    def kernel(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["url", "metric", "warc_ts"],
+                            kind="mergesort").reset_index(drop=True).copy()
+        vals = df["value"].to_numpy(np.float64)
+        starts, lens = _series_layout(df)
+        n_series = len(starts)
+        out_l = np.empty(len(df))
+        out_b = np.empty(len(df))
+        if n_series:
+            level = vals[starts].copy()
+            trend = np.zeros(n_series)
+            k1 = int(np.searchsorted(-lens, -1, side="left"))  # len > 1
+            trend[:k1] = vals[starts[:k1] + 1] - level[:k1]
+            out_l[starts] = level
+            out_b[starts] = trend
+            max_len = int(lens[0]) if n_series else 0
+            for t in range(1, max_len):
+                k = int(np.searchsorted(-lens, -t, side="left"))  # len > t
+                idx = starts[:k] + t
+                x = vals[idx]
+                lp = level[:k]
+                lnew = alpha * x + (1.0 - alpha) * (lp + trend[:k])
+                bnew = beta * (lnew - lp) + (1.0 - beta) * trend[:k]
+                level[:k] = lnew
+                trend[:k] = bnew
+                out_l[idx] = lnew
+                out_b[idx] = bnew
+        df["level"] = np.round(out_l, ndigits)
+        df["trend"] = np.round(out_b, ndigits)
+        return df[["url", "metric", "warc_ts", "value", "level", "trend"]]
+
+    return _bucketed(ds_long, kernel)
+
+
+def cusum(ds_long: rd.Dataset, k: float = 0.5, h: float = 4.0,
+          ndigits: int = 6) -> rd.Dataset:
+    """Two-sided CUSUM changepoint detection per (url, metric) series
+    (Page 1954): observations are standardized against the series' own
+    population mean/std (as in :func:`zscore`), then
+
+        s⁺_t = max(0, s⁺_{t−1} + z_t − k)
+        s⁻_t = max(0, s⁻_{t−1} − z_t − k)     (s⁺_{−1} = s⁻_{−1} = 0)
+
+    and ``alarm`` flags rows where either statistic exceeds ``h`` — the
+    standard drift/level-shift detector for crawl-metric monitoring.
+    Constant series (std == 0) carry null cusum and ``alarm = false``
+    (NaN propagates through ``np.maximum`` by design). Rounded to
+    ``ndigits`` on both engine and golden sides.
+
+    Scale shape: same step-vectorized recursion as :func:`holt_linear`.
+    """
+
+    def kernel(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["url", "metric", "warc_ts"],
+                            kind="mergesort").reset_index(drop=True).copy()
+        g = df.groupby(["url", "metric"], sort=False)["value"]
+        mean = g.transform("mean").to_numpy(np.float64)
+        nn = g.transform("size").to_numpy(np.float64)
+        dev = df["value"].to_numpy(np.float64) - mean
+        var = pd.Series(dev * dev).groupby(
+            [df["url"].to_numpy(), df["metric"].to_numpy()],
+            sort=False).transform("sum").to_numpy() / nn
+        std = np.sqrt(var)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            z = np.where(std > 0.0, dev / std, np.nan)
+        starts, lens = _series_layout(df)
+        n_series = len(starts)
+        out_p = np.empty(len(df))
+        out_m = np.empty(len(df))
+        if n_series:
+            sp = np.maximum(0.0, z[starts] - k)
+            sm = np.maximum(0.0, -z[starts] - k)
+            out_p[starts] = sp
+            out_m[starts] = sm
+            max_len = int(lens[0])
+            for t in range(1, max_len):
+                kk = int(np.searchsorted(-lens, -t, side="left"))
+                idx = starts[:kk] + t
+                zt = z[idx]
+                sp_new = np.maximum(0.0, sp[:kk] + zt - k)
+                sm_new = np.maximum(0.0, sm[:kk] - zt - k)
+                sp[:kk] = sp_new
+                sm[:kk] = sm_new
+                out_p[idx] = sp_new
+                out_m[idx] = sm_new
+        df["cusum_pos"] = np.round(out_p, ndigits)
+        df["cusum_neg"] = np.round(out_m, ndigits)
+        alarm = (out_p > h) | (out_m > h)   # NaN compares False
+        df["alarm"] = alarm
+        return df[["url", "metric", "warc_ts", "value",
+                   "cusum_pos", "cusum_neg", "alarm"]]
+
+    return _bucketed(ds_long, kernel)
+
+
+def seasonal_baseline(ds_long: rd.Dataset, ndigits: int = 6
+                      ) -> rd.Dataset:
+    """Hour-of-day seasonal profile per series: ``baseline`` is the
+    mean of all the series' observations sharing the row's hour of
+    day, ``anomaly`` the deviation from it — the seasonal-naive
+    anomaly score (the de-seasonalization step of an STL-style
+    decomposition, kept SQL-checkable). Rounded to ``ndigits`` on both
+    sides: SQL's windowed AVG streams in a different order than the
+    grouped-transform sum."""
+
+    def kernel(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["url", "metric", "warc_ts"],
+                            kind="mergesort").copy()
+        hod = df["warc_ts"].dt.hour.to_numpy(np.int64)
+        df["hod"] = hod
+        from sits_classification_ray.functions.transforms import sql_round
+        base = (df.groupby(["url", "metric", "hod"], sort=False)["value"]
+                .transform("mean").to_numpy(np.float64))
+        df["baseline"] = sql_round(base, ndigits)
+        df["anomaly"] = sql_round(
+            df["value"].to_numpy(np.float64) - base, ndigits)
+        return df[["url", "metric", "warc_ts", "value", "hod",
+                   "baseline", "anomaly"]]
+
+    return _bucketed(ds_long, kernel)

@@ -1,0 +1,185 @@
+"""Tests for the anomaly/forecast family: Holt smoothing, CUSUM,
+seasonal baseline, MAD scores, lag-1 autocorrelation, time-weighted
+averages, the unigram LM quality score, and SQL round semantics."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+import ray.data as rd
+
+from sits_classification_ray.functions.transforms import sql_round
+from sits_classification_ray.oracle import golden
+from sits_classification_ray.stages.downsample import time_weighted_avg
+from sits_classification_ray.stages.stm import autocorr_lag1, mad_anomaly
+from sits_classification_ray.stages.textstats import unigram_logprob
+from sits_classification_ray.stages.windows import (cusum, holt_linear,
+                                                    seasonal_baseline)
+
+H = 3_600_000_000  # 1h in µs
+
+
+def _long_ds(urls, values, ts=None, metric="m"):
+    n = len(urls)
+    ts = ts if ts is not None else [(i + 1) * H for i in range(n)]
+    return rd.from_arrow(pa.table({
+        "url": pa.array(urls),
+        "url_bucket": pa.array([1] * n, pa.uint32()),
+        "metric": pa.array([metric] * n),
+        "warc_ts": pa.array(ts, pa.timestamp("us")),
+        "value": pa.array([float(v) for v in values]),
+    }))
+
+
+def _rand_long(n_series=17, seed=3):
+    rng = np.random.default_rng(seed)
+    rows = []
+    t0 = 0
+    for s in range(n_series):
+        n = int(rng.integers(1, 40))
+        ts = np.sort(rng.choice(np.arange(1, 2000), size=n, replace=False))
+        for i in range(n):
+            rows.append((f"u{s}", int(ts[i]) * H,
+                         float(rng.integers(0, 50))))
+        t0 += n
+    df = pd.DataFrame(rows, columns=["url", "warc_ts", "value"])
+    df["warc_ts"] = pd.to_datetime(df["warc_ts"], unit="us")
+    df["metric"] = np.where(np.arange(len(df)) % 3 == 0, "a", "b")
+    df["url_bucket"] = np.uint32(1)
+    return df
+
+
+def test_sql_round_half_away():
+    vals = np.array([-1.8515625, 136.2578125, 2.5, -2.5, np.nan, 0.1])
+    out = sql_round(vals, 6)
+    assert out[0] == -1.851563 and out[1] == 136.257813
+    assert sql_round(np.array([2.5]), 0)[0] == 3.0
+    assert sql_round(np.array([-2.5]), 0)[0] == -3.0
+    assert np.isnan(out[4]) and out[5] == 0.1
+
+
+def test_holt_matches_independent_recursion():
+    df = _rand_long()
+    out = (holt_linear(rd.from_pandas(df)).to_pandas()
+           .sort_values(["url", "metric", "warc_ts"])
+           .reset_index(drop=True))
+    exp = (golden.holt_linear_crawl(df[["url", "metric", "warc_ts",
+                                        "value"]])
+           .sort_values(["url", "metric", "warc_ts"])
+           .reset_index(drop=True))
+    pd.testing.assert_frame_equal(
+        out[["url", "metric", "level", "trend"]],
+        exp[["url", "metric", "level", "trend"]])
+
+
+def test_holt_singleton_series():
+    out = holt_linear(_long_ds(["a"], [5.0])).to_pandas()
+    assert out["level"].tolist() == [5.0]
+    assert out["trend"].tolist() == [0.0]
+
+
+def test_cusum_matches_independent_recursion():
+    df = _rand_long(seed=11)
+    out = (cusum(rd.from_pandas(df)).to_pandas()
+           .sort_values(["url", "metric", "warc_ts"])
+           .reset_index(drop=True))
+    exp = (golden.cusum_crawl(df[["url", "metric", "warc_ts", "value"]])
+           .sort_values(["url", "metric", "warc_ts"])
+           .reset_index(drop=True))
+    pd.testing.assert_frame_equal(
+        out[["cusum_pos", "cusum_neg", "alarm"]],
+        exp[["cusum_pos", "cusum_neg", "alarm"]])
+
+
+def test_cusum_constant_series_null():
+    out = cusum(_long_ds(["a"] * 4, [7, 7, 7, 7])).to_pandas()
+    assert out["cusum_pos"].isna().all()
+    assert not out["alarm"].any()
+
+
+def test_cusum_detects_level_shift():
+    # prefix z ≈ −0.707 → s⁻ grows 0.207/step (stays < 4 over 10);
+    # tail z ≈ +1.414 → s⁺ grows 0.914/step (crosses 4 inside 5)
+    vals = [10.0] * 10 + [30.0] * 5
+    out = cusum(_long_ds(["a"] * 15, vals), k=0.5, h=4.0).to_pandas() \
+        .sort_values("warc_ts").reset_index(drop=True)
+    assert not out["alarm"][:10].any()      # in-control prefix
+    assert out["alarm"].iloc[-1]            # shifted tail alarms
+
+
+def test_autocorr_perfect_trend_is_one():
+    out = autocorr_lag1(_long_ds(["a"] * 5, [1, 2, 3, 4, 5])).to_pandas()
+    assert out["n_pairs"].tolist() == [4]
+    assert out["autocorr"].tolist() == [1.0]
+
+
+def test_autocorr_alternating_is_minus_one():
+    out = autocorr_lag1(_long_ds(["a"] * 6, [1, -1, 1, -1, 1, -1])
+                        ).to_pandas()
+    assert out["autocorr"].tolist() == [-1.0]
+
+
+def test_autocorr_short_or_constant_null():
+    out = autocorr_lag1(_long_ds(["a", "a", "b", "b", "b"],
+                                 [1, 2, 5, 5, 5])).to_pandas() \
+        .sort_values("url").reset_index(drop=True)
+    assert out["autocorr"].isna().all()     # 1 pair / constant side
+
+
+def test_mad_anomaly_known_values():
+    # series 1..5: med=3, absdev=[2,1,0,1,2], mad=1
+    out = mad_anomaly(_long_ds(["a"] * 5, [1, 2, 3, 4, 5])).to_pandas() \
+        .sort_values("warc_ts").reset_index(drop=True)
+    assert out["med"].tolist() == [3.0] * 5
+    assert out["mad"].tolist() == [1.0] * 5
+    assert out["robust_z"].tolist() == [-2.0, -1.0, 0.0, 1.0, 2.0]
+
+
+def test_mad_zero_gives_null():
+    out = mad_anomaly(_long_ds(["a"] * 4, [5, 5, 5, 9])).to_pandas()
+    assert out["robust_z"].isna().all()     # mad == 0
+
+
+def test_time_weighted_avg_locf():
+    # one day: obs at 1h(v=10), 3h(v=20), 4h(v=40)
+    # weights: 10·2h + 20·1h over span 3h → (20+20)/3
+    out = time_weighted_avg(
+        _long_ds(["a"] * 3, [10, 20, 40], ts=[H, 3 * H, 4 * H])
+    ).to_pandas()
+    assert len(out) == 1
+    assert out["n_obs"].tolist() == [3]
+    assert out["twa"].tolist() == [sql_round(np.array([40.0 / 3]))[0]]
+
+
+def test_time_weighted_avg_single_obs_bucket():
+    out = time_weighted_avg(
+        _long_ds(["a", "a"], [10, 99], ts=[H, 30 * 24 * H])).to_pandas() \
+        .sort_values("bucket_ts").reset_index(drop=True)
+    assert out["twa"].tolist() == [10.0, 99.0]
+
+
+def test_seasonal_baseline():
+    # two days, same hours: hod 1 gets mean(10,30)=20, hod 2 mean(20,40)=30
+    D = 24 * H
+    out = seasonal_baseline(
+        _long_ds(["a"] * 4, [10, 20, 30, 40],
+                 ts=[H, 2 * H, D + H, D + 2 * H])).to_pandas() \
+        .sort_values("warc_ts").reset_index(drop=True)
+    assert out["hod"].tolist() == [1, 2, 1, 2]
+    assert out["baseline"].tolist() == [20.0, 30.0, 20.0, 30.0]
+    assert out["anomaly"].tolist() == [-10.0, -10.0, 10.0, 10.0]
+
+
+def test_unigram_logprob_tiny_corpus():
+    docs = rd.from_arrow(pa.table({
+        "doc_id": pa.array([0, 1], pa.int64()),
+        "text": pa.array(["the cat", "the the"]),
+    }))
+    out = unigram_logprob(docs).to_pandas().sort_values(
+        "doc_id").reset_index(drop=True)
+    # counts: the=3, cat=1, total=4
+    exp0 = (np.log(3 / 4) + np.log(1 / 4)) / 2
+    exp1 = np.log(3 / 4)
+    assert out["n_tokens"].tolist() == [2, 2]
+    assert out["avg_logprob"].tolist() == [
+        sql_round(np.array([exp0]))[0], sql_round(np.array([exp1]))[0]]
