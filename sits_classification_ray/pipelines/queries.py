@@ -872,6 +872,31 @@ def _unigram_logprob_documents(sf_dir: str) -> rd.Dataset:
         f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]))
 
 
+def _series_gaps_crawl(sf_dir: str) -> rd.Dataset:
+    """Per-series inter-arrival gap stats (staleness monitor)."""
+    from sits_classification_ray.stages.stm import series_gaps
+
+    return series_gaps(_obs_long(sf_dir), stale_seconds=172_800.0)
+
+
+def _duplicate_ngrams_documents(sf_dir: str) -> rd.Dataset:
+    """Cross-document duplicated 8-token windows (boilerplate
+    detection below whole-document dedup granularity)."""
+    from sits_classification_ray.stages.textstats import duplicate_ngrams
+
+    return duplicate_ngrams(rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]),
+        k=8, min_docs=2)
+
+
+def _bigram_logprob_documents(sf_dir: str) -> rd.Dataset:
+    """Conditional-bigram LM fluency score per document."""
+    from sits_classification_ray.stages.textstats import bigram_logprob
+
+    return bigram_logprob(rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]))
+
+
 def _snapshot_deltas_crawl(sf_dir: str) -> rd.Dataset:
     from sits_classification_ray.stages.windows import snapshot_deltas
 
@@ -1349,6 +1374,9 @@ def build_queries() -> dict[str, Callable[[str], Any]]:
         "mad_anomaly_crawl": _mad_anomaly_crawl,
         "time_weighted_avg_crawl": _time_weighted_avg_crawl,
         "unigram_logprob_documents": _unigram_logprob_documents,
+        "bigram_logprob_documents": _bigram_logprob_documents,
+        "duplicate_ngrams_documents": _duplicate_ngrams_documents,
+        "series_gaps_crawl": _series_gaps_crawl,
         "partition_extents_crawl": _partition_extents_crawl,
         "metric_correlation_crawl": _metric_correlation_crawl,
         "peak_time_crawl": _peak_time_crawl,
@@ -1821,6 +1849,52 @@ SELECT url, metric, bucket_ts, count(*) AS n_obs,
                   THEN sum(value * w) / sum(w)
                   ELSE arg_min(value, warc_ts) END, 6) AS twa
 FROM tww GROUP BY 1, 2, 3""",
+        "series_gaps_crawl": f"""{CRAWL_PREFIX},
+gapsrc AS (
+  SELECT url, metric, warc_ts,
+         CAST(epoch_us(warc_ts) - epoch_us(lag(warc_ts) OVER w)
+              AS DOUBLE) / 1000000.0 AS gap_s
+  FROM obs_long
+  WINDOW w AS (PARTITION BY url, metric ORDER BY warc_ts))
+SELECT url, metric, count(*) AS n_obs,
+       CAST(epoch_us(max(warc_ts)) - epoch_us(min(warc_ts)) AS DOUBLE)
+           / 1000000.0 AS span_s,
+       max(gap_s) AS max_gap_s,
+       round(avg(gap_s), 6) AS mean_gap_s,
+       CAST(coalesce(sum(CASE WHEN gap_s > 172800.0 THEN 1 END), 0)
+            AS BIGINT) AS n_stale_gaps
+FROM gapsrc GROUP BY 1, 2""",
+        "duplicate_ngrams_documents": """
+WITH toks AS MATERIALIZED (
+  SELECT doc_id, string_split(text, ' ') AS ts,
+         len(string_split(text, ' ')) AS n
+  FROM documents),
+grams AS MATERIALIZED (
+  SELECT doc_id, array_to_string(ts[s.s + 1 : s.s + 8], ' ') AS gram
+  FROM toks CROSS JOIN LATERAL
+    (SELECT unnest(generate_series(0, n - 8)) AS s) s)
+SELECT gram, count(DISTINCT doc_id) AS n_docs, count(*) AS n_occ
+FROM grams GROUP BY 1 HAVING count(DISTINCT doc_id) >= 2""",
+        "bigram_logprob_documents": """
+WITH toks AS MATERIALIZED (
+  SELECT doc_id, string_split(lower(text), ' ') AS ts,
+         len(string_split(lower(text), ' ')) AS n
+  FROM documents),
+bg AS MATERIALIZED (
+  SELECT doc_id, ts[s.s] AS w1, ts[s.s + 1] AS w2
+  FROM toks CROSS JOIN LATERAL
+    (SELECT unnest(generate_series(1, n - 1)) AS s) s),
+uc AS MATERIALIZED (
+  SELECT t.tok AS tok, count(*) AS c1
+  FROM toks, unnest(ts) AS t(tok) GROUP BY 1),
+bc AS MATERIALIZED (
+  SELECT w1, w2, count(*) AS c2 FROM bg GROUP BY 1, 2)
+SELECT b.doc_id, count(*) AS n_bigrams,
+       round(avg(ln(CAST(c.c2 AS DOUBLE) / CAST(u.c1 AS DOUBLE))), 6)
+           AS avg_logprob
+FROM bg b JOIN bc c ON b.w1 = c.w1 AND b.w2 = c.w2
+          JOIN uc u ON b.w1 = u.tok
+GROUP BY 1""",
         "unigram_logprob_documents": """
 WITH toks AS MATERIALIZED (
   SELECT doc_id, t.tok AS tok

@@ -348,6 +348,59 @@ def mad_anomaly(ds_long: rd.Dataset, round_to: int = 6) -> rd.Dataset:
     return partitioned_map(ds_long, kernel, url_col="url")
 
 
+def series_gaps(ds_long: rd.Dataset, stale_seconds: float = 172_800.0,
+                round_to: int = 6) -> rd.Dataset:
+    """Per-series inter-arrival (gap) statistics — the staleness /
+    coverage monitor for a crawl archive: how regularly is each url
+    actually snapshotted, and where are the holes the gap-fill stage
+    will have to interpolate across.
+
+    Emits per (url, metric): ``n_obs``, ``span_s`` (first→last),
+    ``max_gap_s``, ``mean_gap_s`` (rounded; SQL ``avg`` streams in a
+    different order), and ``n_stale_gaps`` (gaps exceeding
+    ``stale_seconds``). Gap values are each one identical IEEE
+    division (µs → s) on engine and oracle sides. Fully vectorized:
+    one diff + one grouped agg per block."""
+    from sits_classification_ray.functions.transforms import sql_round
+    from sits_classification_ray.stages.shuffle import partitioned_map
+
+    def kernel(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["url", "metric", "warc_ts"],
+                            kind="mergesort").copy()
+        ts = (df["warc_ts"].to_numpy().astype("datetime64[us]")
+              .astype(np.int64))
+        urls = df["url"].to_numpy()
+        mets = df["metric"].to_numpy()
+        gap_us = np.empty(len(df), dtype=np.float64)
+        gap_us[0:1] = np.nan
+        gap_us[1:] = (ts[1:] - ts[:-1]).astype(np.float64)
+        new = np.zeros(len(df), dtype=bool)
+        new[0:1] = True
+        new[1:] = (urls[1:] != urls[:-1]) | (mets[1:] != mets[:-1])
+        gap_us[new] = np.nan
+        df["_gap_s"] = gap_us / 1_000_000.0
+        df["_stale"] = (df["_gap_s"] > stale_seconds).astype(np.int64)
+        g = df.groupby(["url", "metric"], sort=False)
+        agg = g.agg(n_obs=("value", "size"),
+                    min_ts=("warc_ts", "min"), max_ts=("warc_ts", "max"),
+                    max_gap_s=("_gap_s", "max"),
+                    mean_gap_s=("_gap_s", "mean"),
+                    n_stale_gaps=("_stale", "sum")).reset_index()
+        span = ((agg["max_ts"].to_numpy().astype("datetime64[us]")
+                 .astype(np.int64)
+                 - agg["min_ts"].to_numpy().astype("datetime64[us]")
+                 .astype(np.int64)).astype(np.float64) / 1_000_000.0)
+        agg["span_s"] = span
+        agg["mean_gap_s"] = sql_round(agg["mean_gap_s"].to_numpy(),
+                                      round_to)
+        agg["n_obs"] = agg["n_obs"].astype(np.int64)
+        agg["n_stale_gaps"] = agg["n_stale_gaps"].astype(np.int64)
+        return agg[["url", "metric", "n_obs", "span_s", "max_gap_s",
+                    "mean_gap_s", "n_stale_gaps"]]
+
+    return partitioned_map(ds_long, kernel, url_col="url")
+
+
 def peak_time(ds_long: rd.Dataset) -> rd.Dataset:
     """When did each series peak: the earliest timestamp attaining the
     series max (deterministic argmax; SQL ``arg_min(warc_ts ORDER BY

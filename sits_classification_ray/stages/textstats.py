@@ -658,3 +658,143 @@ def chunk_documents(ds: rd.Dataset, chunk_tokens: int = 64,
                              "n_tokens": np.array(ntoks, np.int64)})
 
     return ds.map_batches(expand, batch_format="pandas")
+
+
+# --- cross-document duplicated n-grams (boilerplate detection) ------------
+
+def duplicate_ngrams(ds: rd.Dataset, k: int = 8, min_docs: int = 2,
+                     id_col: str = "doc_id", text_col: str = "text"
+                     ) -> rd.Dataset:
+    """Exact duplicated-substring detection at n-gram granularity: the
+    sliding ``k``-token windows that occur in at least ``min_docs``
+    DISTINCT documents — the boilerplate/template detector real LLM
+    corpus pipelines run before training (repeated navigation chrome,
+    licence blocks, mirrored articles), at the granularity below
+    whole-document :func:`~.dedup_docs.exact_dedup`.
+
+    Distributed shape: each document lives in exactly one batch, so
+    per-batch partials ``(gram, n_docs=DISTINCT docs here, n_occ)``
+    are globally correct under a Sum merge — the shuffle moves one row
+    per distinct gram per batch, never the corpus. The final
+    ``HAVING n_docs >= min_docs`` filter runs after the merge.
+    Gram strings are built with one Python join per gram (inherent for
+    variable-length token windows; O(total grams) like the SQL twin).
+    """
+    from ray.data.aggregate import Sum
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        grams, docs = [], []
+        for did, t in zip(df[id_col].to_numpy(np.int64), df[text_col]):
+            toks = (t or "").split(" ")
+            for i in range(len(toks) - k + 1):
+                grams.append(" ".join(toks[i:i + k]))
+                docs.append(did)
+        g = pd.DataFrame({"gram": grams, "_doc": docs})
+        agg = g.groupby("gram", sort=False).agg(
+            n_docs=("_doc", "nunique"), n_occ=("_doc", "size"))
+        agg = agg.reset_index()
+        agg["n_docs"] = agg["n_docs"].astype(np.int64)
+        agg["n_occ"] = agg["n_occ"].astype(np.int64)
+        return agg
+
+    merged = (ds.map_batches(partial, batch_format="pandas")
+              .groupby("gram")
+              .aggregate(Sum("n_docs", alias_name="n_docs"),
+                         Sum("n_occ", alias_name="n_occ")))
+    return merged.filter(expr=f"n_docs >= {min_docs}")
+
+
+class _BigramScorer:
+    """Actor-pool conditional-bigram scorer: unigram and bigram count
+    maps are ``ray.put`` once and rebuilt into pandas lookups per
+    ACTOR."""
+
+    def __init__(self, uni_ref, bi_ref, id_col: str, text_col: str,
+                 round_to: int):
+        uni = ray.get(uni_ref)
+        bi = ray.get(bi_ref)
+        self.uni = pd.Series(uni["n"].to_numpy(np.float64),
+                             index=uni["token"])
+        self.bi = pd.Series(bi["n"].to_numpy(np.float64),
+                            index=pd.MultiIndex.from_arrays(
+                                [bi["w1"], bi["w2"]]))
+        self.id_col, self.text_col = id_col, text_col
+        self.round_to = round_to
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from sits_classification_ray.functions.transforms import sql_round
+
+        lists = pc.split_pattern(pc.utf8_lower(batch[self.text_col]), " ")
+        flat = pc.list_flatten(lists).to_pandas()
+        parent = pc.list_parent_indices(lists).to_numpy()
+        n_rows = batch.num_rows
+        # bigram rows: consecutive flat positions within the same doc
+        same = parent[1:] == parent[:-1]
+        w1 = flat[:-1][same]
+        w2 = flat[1:][same].reset_index(drop=True)
+        pdoc = parent[1:][same]
+        c2 = (pd.MultiIndex.from_arrays([w1.reset_index(drop=True), w2])
+              .map(self.bi).to_numpy(np.float64))
+        c1 = w1.map(self.uni).to_numpy(np.float64)
+        logp = np.log(c2 / c1)
+        sums = np.zeros(n_rows)
+        np.add.at(sums, pdoc, logp)
+        nbg = np.bincount(pdoc, minlength=n_rows)
+        keep = nbg > 0
+        with np.errstate(invalid="ignore"):
+            avg = sql_round(sums / nbg, self.round_to)
+        return pa.table({
+            self.id_col: batch[self.id_col].take(
+                pa.array(np.flatnonzero(keep))),
+            "n_bigrams": pa.array(nbg[keep].astype(np.int64)),
+            "avg_logprob": pa.array(avg[keep]),
+        })
+
+
+def bigram_counts(ds: rd.Dataset, text_col: str = "text") -> rd.Dataset:
+    """Global bigram frequencies — per-batch combiner + Sum merge,
+    shuffle bounded by distinct bigrams per batch (the
+    :func:`token_counts` shape one order up)."""
+    from ray.data.aggregate import Sum
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        w1s, w2s = [], []
+        for t in df[text_col]:
+            toks = (t or "").lower().split(" ")
+            w1s.extend(toks[:-1])
+            w2s.extend(toks[1:])
+        g = pd.DataFrame({"w1": w1s, "w2": w2s})
+        agg = (g.groupby(["w1", "w2"], sort=False).size()
+               .rename("n").reset_index())
+        agg["n"] = agg["n"].astype(np.int64)
+        return agg
+
+    partials = ds.map_batches(partial, batch_format="pandas")
+    return partials.groupby(["w1", "w2"]).aggregate(
+        Sum("n", alias_name="n"))
+
+
+def bigram_logprob(ds: rd.Dataset, id_col: str = "doc_id",
+                   text_col: str = "text", round_to: int = 6,
+                   concurrency=(1, 8)) -> rd.Dataset:
+    """Per-document conditional-bigram LM score: the mean
+    ``ln(count(w₍ᵢ₋₁₎,wᵢ) / count(w₍ᵢ₋₁₎))`` over the document's
+    bigrams — one Markov order above :func:`unigram_logprob`, the
+    standard fluency/perplexity proxy (KenLM-style without smoothing:
+    every bigram is in-vocabulary by construction when scored against
+    its own corpus). Documents with a single token have no bigrams and
+    are omitted (SQL twin: the bigram unnest emits nothing for them).
+
+    Distributed shape: two count combiners (unigram + bigram), both
+    broadcast once via ``ray.put``; scoring is an actor-pool batch
+    map. At a bigram vocabulary too large to broadcast the counts
+    join becomes the :func:`tfidf_topk` tag-union exchange.
+    """
+    uni = token_counts(ds, text_col).to_pandas()
+    bi = bigram_counts(ds, text_col).to_pandas()
+    uni_ref = ray.put(uni)
+    bi_ref = ray.put(bi)
+    return ds.map_batches(
+        _BigramScorer, batch_format="pyarrow", zero_copy_batch=True,
+        concurrency=concurrency, num_cpus=1,
+        fn_constructor_args=(uni_ref, bi_ref, id_col, text_col, round_to))

@@ -183,3 +183,56 @@ def test_unigram_logprob_tiny_corpus():
     assert out["n_tokens"].tolist() == [2, 2]
     assert out["avg_logprob"].tolist() == [
         sql_round(np.array([exp0]))[0], sql_round(np.array([exp1]))[0]]
+
+
+def test_series_gaps():
+    from sits_classification_ray.stages.stm import series_gaps
+    # gaps: 1h, 1h, 72h (stale at 48h threshold)
+    out = series_gaps(
+        _long_ds(["a"] * 4, [1, 2, 3, 4], ts=[H, 2 * H, 3 * H, 75 * H]),
+        stale_seconds=172_800.0).to_pandas()
+    assert out["n_obs"].tolist() == [4]
+    assert out["span_s"].tolist() == [74 * 3600.0]
+    assert out["max_gap_s"].tolist() == [72 * 3600.0]
+    assert out["n_stale_gaps"].tolist() == [1]
+    assert out["mean_gap_s"].tolist() == [
+        sql_round(np.array([74 * 3600.0 / 3]))[0]]
+
+
+def test_duplicate_ngrams():
+    from sits_classification_ray.stages.textstats import duplicate_ngrams
+    docs = rd.from_arrow(pa.table({
+        "doc_id": pa.array([0, 1, 2], pa.int64()),
+        "text": pa.array(["a b c d x", "z a b c d", "q r s t u"]),
+    }))
+    out = duplicate_ngrams(docs, k=4, min_docs=2).to_pandas()
+    assert out["gram"].tolist() == ["a b c d"]
+    assert out["n_docs"].tolist() == [2]
+    assert out["n_occ"].tolist() == [2]
+
+
+def test_duplicate_ngrams_within_doc_repeat_not_cross():
+    from sits_classification_ray.stages.textstats import duplicate_ngrams
+    # the repeated gram lives in ONE doc → n_docs=1 → filtered out
+    docs = rd.from_arrow(pa.table({
+        "doc_id": pa.array([0], pa.int64()),
+        "text": pa.array(["a b a b a b"]),
+    }))
+    assert duplicate_ngrams(docs, k=2, min_docs=2).count() == 0
+
+
+def test_bigram_logprob_tiny_corpus():
+    from sits_classification_ray.stages.textstats import bigram_logprob
+    docs = rd.from_arrow(pa.table({
+        "doc_id": pa.array([0, 1, 2], pa.int64()),
+        "text": pa.array(["the cat sat", "the cat ran", "the"]),
+    }))
+    out = bigram_logprob(docs).to_pandas().sort_values(
+        "doc_id").reset_index(drop=True)
+    # unigrams: the=3 cat=2 sat=1 ran=1; bigrams: (the,cat)=2 (cat,sat)=1
+    # (cat,ran)=1. doc0: ln(2/3), ln(1/2); doc1: ln(2/3), ln(1/2).
+    # doc2 has no bigrams → omitted.
+    exp = sql_round(np.array([(np.log(2 / 3) + np.log(1 / 2)) / 2]))[0]
+    assert out["doc_id"].tolist() == [0, 1]
+    assert out["n_bigrams"].tolist() == [2, 2]
+    assert out["avg_logprob"].tolist() == [exp, exp]
