@@ -897,6 +897,43 @@ def _bigram_logprob_documents(sf_dir: str) -> rd.Dataset:
         f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]))
 
 
+def _theil_sen_crawl(sf_dir: str) -> rd.Dataset:
+    """Robust per-series trend (median of pairwise slopes)."""
+    from sits_classification_ray.stages.stm import theil_sen
+
+    return theil_sen(_obs_long(sf_dir))
+
+
+def _spearman_crawl(sf_dir: str) -> rd.Dataset:
+    """Per-url Spearman rank correlation text_len vs word_count."""
+    from sits_classification_ray.stages.stm import spearman
+
+    return spearman(_obs(sf_dir))
+
+
+def _length_histogram_documents(sf_dir: str) -> rd.Dataset:
+    """Corpus n_chars histogram, 50-char bins (combiner + Sum)."""
+    from sits_classification_ray.stages.textstats import length_histogram
+
+    return length_histogram(rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["n_chars"]), bin_width=50)
+
+
+def _left_join_documents_embeddings(sf_dir: str) -> rd.Dataset:
+    """Left-outer hash join: every document, label where an embedding
+    with label <= 2 exists, null otherwise (J2 family, outer variant)."""
+    from sits_classification_ray.stages.joins import hash_join
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id", "lang", "n_chars"])
+    emb = (rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                           columns=["vec_id", "label"])
+           .filter(expr="label <= 2"))
+    out = hash_join(docs, emb, on="doc_id", right_on="vec_id",
+                    join_type="left_outer", num_partitions=16)
+    return out.select_columns(["doc_id", "lang", "n_chars", "label"])
+
+
 def _snapshot_deltas_crawl(sf_dir: str) -> rd.Dataset:
     from sits_classification_ray.stages.windows import snapshot_deltas
 
@@ -1377,6 +1414,10 @@ def build_queries() -> dict[str, Callable[[str], Any]]:
         "bigram_logprob_documents": _bigram_logprob_documents,
         "duplicate_ngrams_documents": _duplicate_ngrams_documents,
         "series_gaps_crawl": _series_gaps_crawl,
+        "theil_sen_crawl": _theil_sen_crawl,
+        "spearman_crawl": _spearman_crawl,
+        "length_histogram_documents": _length_histogram_documents,
+        "left_join_documents_embeddings": _left_join_documents_embeddings,
         "partition_extents_crawl": _partition_extents_crawl,
         "metric_correlation_crawl": _metric_correlation_crawl,
         "peak_time_crawl": _peak_time_crawl,
@@ -1864,6 +1905,42 @@ SELECT url, metric, count(*) AS n_obs,
        CAST(coalesce(sum(CASE WHEN gap_s > 172800.0 THEN 1 END), 0)
             AS BIGINT) AS n_stale_gaps
 FROM gapsrc GROUP BY 1, 2""",
+        "theil_sen_crawl": f"""{CRAWL_PREFIX},
+prs AS (
+  SELECT a.url, a.metric,
+         (b.value - a.value)
+         / (CAST(epoch_us(b.warc_ts) - epoch_us(a.warc_ts) AS DOUBLE)
+            / 86400000000.0) AS s
+  FROM obs_long a JOIN obs_long b
+    ON a.url = b.url AND a.metric = b.metric
+   AND a.warc_ts < b.warc_ts),
+cnt AS (
+  SELECT url, metric, count(*) AS n_obs FROM obs_long GROUP BY 1, 2)
+SELECT c.url, c.metric, c.n_obs,
+       round(quantile_cont(p.s, 0.5), 6) AS theil_sen_slope
+FROM cnt c JOIN prs p ON c.url = p.url AND c.metric = p.metric
+GROUP BY 1, 2, 3""",
+        "spearman_crawl": f"""{CRAWL_PREFIX},
+rk AS (
+  SELECT url,
+         rank() OVER (PARTITION BY url ORDER BY text_len)
+           + (count(*) OVER (PARTITION BY url, text_len) - 1) / 2.0 AS ra,
+         rank() OVER (PARTITION BY url ORDER BY word_count)
+           + (count(*) OVER (PARTITION BY url, word_count) - 1) / 2.0 AS rb
+  FROM obs)
+SELECT url, count(*) AS n_obs,
+       CASE WHEN stddev_pop(ra) > 0 AND stddev_pop(rb) > 0
+            THEN round(corr(ra, rb), 6) END AS spearman
+FROM rk GROUP BY 1""",
+        "length_histogram_documents": """
+SELECT n_chars // 50 AS bin, (n_chars // 50) * 50 AS lo,
+       count(*) AS n_docs
+FROM documents GROUP BY 1, 2""",
+        "left_join_documents_embeddings": """
+SELECT d.doc_id, d.lang, d.n_chars, e.label
+FROM documents d LEFT JOIN (SELECT vec_id, label FROM embeddings
+                            WHERE label <= 2) e
+  ON e.vec_id = d.doc_id""",
         "duplicate_ngrams_documents": """
 WITH toks AS MATERIALIZED (
   SELECT doc_id, string_split(text, ' ') AS ts,

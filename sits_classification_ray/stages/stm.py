@@ -348,6 +348,88 @@ def mad_anomaly(ds_long: rd.Dataset, round_to: int = 6) -> rd.Dataset:
     return partitioned_map(ds_long, kernel, url_col="url")
 
 
+def theil_sen(ds_long: rd.Dataset, round_to: int = 6) -> rd.Dataset:
+    """Per-series Theil–Sen robust trend: the MEDIAN of all pairwise
+    slopes (value units per day) — up to ~29 % outlier contamination
+    cannot move it, unlike :func:`trend_slope`'s least squares. Each
+    slope is ``(v₂−v₁) / ((t₂−t₁ µs) / 86400e6)`` in exactly that IEEE
+    order on both engine and SQL sides (self-join + ``quantile_cont``
+    twin); the median interpolates identically (lerp at 0.5) and the
+    result is SQL-rounded.
+
+    Scale note: the estimator is inherently O(n²) pairs per series —
+    exact here (the definition); a 10⁶-snapshot head url must be
+    pre-bounded upstream (M4/LTTB tiers) before a quadratic estimator,
+    as any engine would."""
+    from sits_classification_ray.functions.transforms import sql_round
+    from sits_classification_ray.stages.gapfill import _series_bounds
+    from sits_classification_ray.stages.shuffle import partitioned_map
+
+    def kernel(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["url", "metric", "warc_ts"], kind="mergesort")
+        urls = df["url"].to_numpy()
+        mets = df["metric"].to_numpy()
+        vals = df["value"].to_numpy(np.float64)
+        ts = (df["warc_ts"].to_numpy().astype("datetime64[us]")
+              .astype(np.int64))
+        starts, ends = _series_bounds(urls, mets)
+        n = len(starts)
+        out = {"url": urls[starts], "metric": mets[starts],
+               "n_obs": (ends - starts).astype(np.int64),
+               "theil_sen_slope": np.full(n, np.nan)}
+        for i, (s, e) in enumerate(zip(starts, ends)):
+            m = e - s
+            if m < 2:
+                continue
+            ia, ib = np.triu_indices(m, k=1)
+            dv = vals[s:e][ib] - vals[s:e][ia]
+            dt = (ts[s:e][ib] - ts[s:e][ia]).astype(np.float64) / 86_400e6
+            out["theil_sen_slope"][i] = np.median(dv / dt)
+        res = pd.DataFrame(out)
+        res["theil_sen_slope"] = sql_round(
+            res["theil_sen_slope"].to_numpy(), round_to)
+        return res
+
+    return partitioned_map(ds_long, kernel, url_col="url")
+
+
+def spearman(ds_obs: rd.Dataset, col_a: str = "text_len",
+             col_b: str = "word_count", round_to: int = 6) -> rd.Dataset:
+    """Per-url Spearman rank correlation between two metric columns —
+    the monotonic-association summary robust to the outliers that
+    distort :func:`metric_correlation`'s Pearson r. Ranks use average
+    tie handling (pandas ``rank(method='average')``; SQL twin:
+    ``rank() + (tie_count − 1)/2``), then the same cancelled two-pass
+    Pearson over ranks. Urls where either rank vector is constant get
+    null."""
+    from sits_classification_ray.functions.transforms import sql_round
+    from sits_classification_ray.stages.gapfill import _series_bounds
+    from sits_classification_ray.stages.shuffle import partitioned_map
+
+    def kernel(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["url", "warc_ts"], kind="mergesort").copy()
+        g = df.groupby("url", sort=False)
+        ra = g[col_a].rank(method="average").to_numpy(np.float64)
+        rb = g[col_b].rank(method="average").to_numpy(np.float64)
+        urls = df["url"].to_numpy()
+        starts, ends = _series_bounds(urls, np.zeros(len(urls)))
+        n = len(starts)
+        out = {"url": urls[starts],
+               "n_obs": (ends - starts).astype(np.int64),
+               "spearman": np.full(n, np.nan)}
+        for i, (s, e) in enumerate(zip(starts, ends)):
+            da = ra[s:e] - ra[s:e].mean()
+            db = rb[s:e] - rb[s:e].mean()
+            denom = np.sqrt((da * da).sum() * (db * db).sum())
+            if denom > 0.0:
+                out["spearman"][i] = (da * db).sum() / denom
+        res = pd.DataFrame(out)
+        res["spearman"] = sql_round(res["spearman"].to_numpy(), round_to)
+        return res
+
+    return partitioned_map(ds_obs, kernel, url_col="url")
+
+
 def series_gaps(ds_long: rd.Dataset, stale_seconds: float = 172_800.0,
                 round_to: int = 6) -> rd.Dataset:
     """Per-series inter-arrival (gap) statistics — the staleness /

@@ -798,3 +798,28 @@ def bigram_logprob(ds: rd.Dataset, id_col: str = "doc_id",
         _BigramScorer, batch_format="pyarrow", zero_copy_batch=True,
         concurrency=concurrency, num_cpus=1,
         fn_constructor_args=(uni_ref, bi_ref, id_col, text_col, round_to))
+
+
+def length_histogram(ds: rd.Dataset, col: str = "n_chars",
+                     bin_width: int = 50) -> rd.Dataset:
+    """Corpus length distribution: fixed-width bins over an integer
+    column — the one-shot histogram behind length-based quality
+    cutoffs (and the driver for choosing chunk sizes). Pure
+    combiner shape: per-batch Arrow group-count partials, Sum merge;
+    the shuffle moves one row per occupied bin per batch."""
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        b = pc.cast(pc.floor(pc.divide(
+            pc.cast(batch[col], pa.float64()), float(bin_width))),
+            pa.int64())
+        t = pa.table({"bin": b})
+        g = t.group_by(["bin"]).aggregate([([], "count_all")])
+        g = g.rename_columns(["bin", "n_docs"])
+        return g.append_column(
+            "lo", pc.multiply(g["bin"], np.int64(bin_width)))
+
+    return (ds.map_batches(partial, batch_format="pyarrow",
+                           zero_copy_batch=True)
+            .groupby(["bin", "lo"])
+            .aggregate(Sum("n_docs", alias_name="n_docs")))

@@ -236,3 +236,62 @@ def test_bigram_logprob_tiny_corpus():
     assert out["doc_id"].tolist() == [0, 1]
     assert out["n_bigrams"].tolist() == [2, 2]
     assert out["avg_logprob"].tolist() == [exp, exp]
+
+
+def test_theil_sen_robust_to_outlier():
+    from sits_classification_ray.stages.stm import theil_sen
+    D = 24 * H
+    # perfect unit-slope line + one wild outlier: median slope stays 1
+    out = theil_sen(_long_ds(["a"] * 5, [0, 1, 2, 3, 100],
+                             ts=[D, 2 * D, 3 * D, 4 * D, 5 * D])
+                    ).to_pandas()
+    assert out["n_obs"].tolist() == [5]
+    assert out["theil_sen_slope"].tolist() == [1.0]
+
+
+def test_theil_sen_singleton_null():
+    from sits_classification_ray.stages.stm import theil_sen
+    out = theil_sen(_long_ds(["a"], [5])).to_pandas()
+    assert out["theil_sen_slope"].isna().all()
+
+
+def test_spearman_monotonic_nonlinear_is_one():
+    from sits_classification_ray.stages.stm import spearman
+    ds = rd.from_arrow(pa.table({
+        "url": pa.array(["u"] * 4),
+        "url_bucket": pa.array([1] * 4, pa.uint32()),
+        "warc_ts": pa.array([H, 2 * H, 3 * H, 4 * H], pa.timestamp("us")),
+        "text_len": pa.array([1, 2, 3, 4], pa.int64()),
+        "word_count": pa.array([1, 8, 27, 64], pa.int64()),
+    }))
+    out = spearman(ds).to_pandas()
+    assert out["spearman"].tolist() == [1.0]
+
+
+def test_spearman_tied_ranks():
+    from sits_classification_ray.stages.stm import spearman
+    # text_len has a tie -> average ranks [1.5, 1.5, 3]
+    ds = rd.from_arrow(pa.table({
+        "url": pa.array(["u"] * 3),
+        "url_bucket": pa.array([1] * 3, pa.uint32()),
+        "warc_ts": pa.array([H, 2 * H, 3 * H], pa.timestamp("us")),
+        "text_len": pa.array([5, 5, 9], pa.int64()),
+        "word_count": pa.array([1, 2, 3], pa.int64()),
+    }))
+    out = spearman(ds).to_pandas()
+    ra = np.array([1.5, 1.5, 3.0]); rb = np.array([1.0, 2.0, 3.0])
+    da, db = ra - ra.mean(), rb - rb.mean()
+    exp = sql_round(np.array(
+        [(da * db).sum() / np.sqrt((da * da).sum() * (db * db).sum())]))[0]
+    assert out["spearman"].tolist() == [exp]
+
+
+def test_length_histogram():
+    from sits_classification_ray.stages.textstats import length_histogram
+    docs = rd.from_arrow(pa.table({
+        "n_chars": pa.array([10, 49, 50, 120], pa.int64())}))
+    out = length_histogram(docs, bin_width=50).to_pandas() \
+        .sort_values("bin").reset_index(drop=True)
+    assert out["bin"].tolist() == [0, 1, 2]
+    assert out["lo"].tolist() == [0, 50, 100]
+    assert out["n_docs"].tolist() == [2, 1, 1]
