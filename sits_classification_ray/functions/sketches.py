@@ -203,3 +203,68 @@ def kmv_distinct(ds: rd.Dataset, key_col: str, bucket_col: str,
 
     out = partitioned_map(partials, merge, keys=[bucket_col])
     return out
+
+
+# --- DDSketch (relative-error log-bucket quantiles) -----------------------
+
+def ddsketch_quantile(ds: rd.Dataset, value_col: str, bucket_col: str,
+                      quantiles: tuple[float, ...] = (0.5, 0.9, 0.99),
+                      alpha: float = 0.01, round_to: int = 6
+                      ) -> rd.Dataset:
+    """Per-bucket quantiles via a DDSketch (Masson et al., VLDB 2019):
+    log-spaced buckets ``i = ceil(ln(x) / ln(γ))`` with
+    ``γ = (1+α)/(1−α)``, giving α-RELATIVE error at every quantile —
+    the complement to :func:`hist_quantile`'s absolute-error fixed
+    bins (small values keep fine resolution, the tail never
+    saturates).
+
+    Unlike classic streaming sketches, the bucket index is a pure
+    function of the value, so the sketch is MERGE-ORDER-INDEPENDENT
+    and the partials are just ``(bucket, bin, count)`` rows: per-batch
+    group-count → native ``Sum`` merge → per-bucket rank selection.
+    The shuffle moves one row per occupied log-bin per batch, never
+    the values. Rank math is all-integer (micro-units, as in
+    hist_quantile); the ``γ^i`` estimate is SQL-rounded (libm pow may
+    differ in the last ulp). Requires strictly positive values.
+    """
+    from ray.data.aggregate import Sum
+
+    from sits_classification_ray.functions.transforms import sql_round
+    from sits_classification_ray.stages.shuffle import partitioned_map
+
+    gamma = (1.0 + alpha) / (1.0 - alpha)
+    log_gamma = np.log(gamma)
+    qcols = [f"q{int(round(q * 100)):02d}" for q in quantiles]
+    q_micro = [int(round(q * 1_000_000)) for q in quantiles]
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        v = df[value_col].to_numpy(np.float64)
+        bi = np.ceil(np.log(v) / log_gamma).astype(np.int64)
+        out = (pd.DataFrame({bucket_col: df[bucket_col], "bin": bi})
+               .groupby([bucket_col, "bin"], sort=False).size()
+               .rename("n").reset_index())
+        out["n"] = out["n"].astype(np.int64)
+        return out
+
+    merged = (ds.map_batches(partial, batch_format="pandas")
+              .groupby([bucket_col, "bin"])
+              .aggregate(Sum("n", alias_name="n")))
+
+    def finalize(df: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for bucket, g in df.groupby(bucket_col, sort=False):
+            g = g.sort_values("bin")
+            counts = g["n"].to_numpy(np.int64)
+            bins = g["bin"].to_numpy(np.int64)
+            total = int(counts.sum())
+            cum = np.cumsum(counts)
+            ests = []
+            for qm in q_micro:
+                rank = max(-(-qm * total // 1_000_000), 1)
+                i = int(np.searchsorted(cum, rank, side="left"))
+                ests.append(float(gamma) ** int(bins[i]))
+            rows.append((bucket, total,
+                         *sql_round(np.array(ests), round_to)))
+        return pd.DataFrame(rows, columns=[bucket_col, "n", *qcols])
+
+    return partitioned_map(merged, finalize, keys=[bucket_col])

@@ -934,6 +934,75 @@ def _left_join_documents_embeddings(sf_dir: str) -> rd.Dataset:
     return out.select_columns(["doc_id", "lang", "n_chars", "label"])
 
 
+def _ddsketch_quantile_daily(sf_dir: str) -> rd.Dataset:
+    """Relative-error (DDSketch) global text_len quantiles per day —
+    the log-bucket complement to hist_quantile_daily."""
+    from sits_classification_ray.functions.sketches import ddsketch_quantile
+
+    def proj(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "bucket_ts": pc.cast(pc.floor_temporal(batch["warc_ts"],
+                                                   unit="day"),
+                                 pa.timestamp("us")),
+            "text_len": batch["text_len"],
+        })
+
+    proj_ds = _obs(sf_dir).map_batches(proj, batch_format="pyarrow",
+                                       zero_copy_batch=True)
+    return ddsketch_quantile(proj_ds, value_col="text_len",
+                             bucket_col="bucket_ts")
+
+
+_DOMAIN_RE = r"^[a-z]+://([^/]+)"
+
+
+def _domain_daily_crawl(sf_dir: str) -> rd.Dataset:
+    """Domain-level daily rollup: snapshots + distinct urls per
+    (host, day) — the aggregation dimension above url. Two-level
+    groupby so the distinct-url count is exact under any batching."""
+    from ray.data.aggregate import Count, Sum
+
+    def proj(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "domain": df["url"].str.extract(_DOMAIN_RE, expand=False),
+            "bucket_ts": df["warc_ts"].dt.floor("D"),
+            "url": df["url"],
+        })
+
+    obs = _obs(sf_dir).map_batches(proj, batch_format="pandas")
+    per_url = (obs.groupby(["domain", "bucket_ts", "url"])
+               .aggregate(Count(alias_name="n")))
+    return (per_url.groupby(["domain", "bucket_ts"])
+            .aggregate(Count(alias_name="n_urls"),
+                       Sum("n", alias_name="n_snaps")))
+
+
+def _wow_change_crawl(sf_dir: str) -> rd.Dataset:
+    """Week-over-week percent change of each series' weekly sum —
+    computed FROM the weekly tier (the production dashboard query:
+    read the continuous aggregate, never the raw observations)."""
+    from sits_classification_ray.functions.transforms import sql_round
+    from sits_classification_ray.stages.shuffle import partitioned_map
+
+    weekly = _tier(sf_dir, "weekly").select_columns(
+        ["url", "metric", "bucket_ts", "sum"])
+
+    def kernel(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["url", "metric", "bucket_ts"],
+                            kind="mergesort").copy()
+        prev = df.groupby(["url", "metric"], sort=False)["sum"].shift(1)
+        pv = prev.to_numpy(np.float64)
+        cv = df["sum"].to_numpy(np.float64)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            pct = np.where(pv > 0.0, (cv - pv) / pv, np.nan)
+        df["prev_sum"] = pv
+        df["wow_pct"] = sql_round(pct, 6)
+        return df[["url", "metric", "bucket_ts", "sum", "prev_sum",
+                   "wow_pct"]]
+
+    return partitioned_map(weekly, kernel, url_col="url")
+
+
 def _snapshot_deltas_crawl(sf_dir: str) -> rd.Dataset:
     from sits_classification_ray.stages.windows import snapshot_deltas
 
@@ -1416,6 +1485,9 @@ def build_queries() -> dict[str, Callable[[str], Any]]:
         "series_gaps_crawl": _series_gaps_crawl,
         "theil_sen_crawl": _theil_sen_crawl,
         "spearman_crawl": _spearman_crawl,
+        "ddsketch_quantile_daily": _ddsketch_quantile_daily,
+        "domain_daily_crawl": _domain_daily_crawl,
+        "wow_change_crawl": _wow_change_crawl,
         "length_histogram_documents": _length_histogram_documents,
         "left_join_documents_embeddings": _left_join_documents_embeddings,
         "partition_extents_crawl": _partition_extents_crawl,
@@ -1941,6 +2013,53 @@ SELECT d.doc_id, d.lang, d.n_chars, e.label
 FROM documents d LEFT JOIN (SELECT vec_id, label FROM embeddings
                             WHERE label <= 2) e
   ON e.vec_id = d.doc_id""",
+        "ddsketch_quantile_daily": f"""{CRAWL_PREFIX},
+ddv AS (
+  SELECT CAST(date_trunc('day', warc_ts) AS TIMESTAMP) AS bucket_ts,
+         CAST(ceil(ln(CAST(text_len AS DOUBLE))
+                   / ln(CAST(1.01 AS DOUBLE) / CAST(0.99 AS DOUBLE)))
+              AS BIGINT) AS bin
+  FROM obs),
+ddc AS MATERIALIZED (
+  SELECT bucket_ts, bin, count(*) AS n FROM ddv GROUP BY 1, 2),
+ddt AS (SELECT bucket_ts, CAST(sum(n) AS BIGINT) AS total
+        FROM ddc GROUP BY 1),
+ddm AS MATERIALIZED (
+  SELECT bucket_ts, bin,
+         sum(n) OVER (PARTITION BY bucket_ts ORDER BY bin) AS cum
+  FROM ddc)
+SELECT t.bucket_ts, t.total AS n,
+  round(power(CAST(1.01 AS DOUBLE) / CAST(0.99 AS DOUBLE),
+    (SELECT min(bin) FROM ddm c WHERE c.bucket_ts = t.bucket_ts
+      AND c.cum >= greatest((500000 * t.total + 999999) // 1000000, 1))),
+    6) AS q50,
+  round(power(CAST(1.01 AS DOUBLE) / CAST(0.99 AS DOUBLE),
+    (SELECT min(bin) FROM ddm c WHERE c.bucket_ts = t.bucket_ts
+      AND c.cum >= greatest((900000 * t.total + 999999) // 1000000, 1))),
+    6) AS q90,
+  round(power(CAST(1.01 AS DOUBLE) / CAST(0.99 AS DOUBLE),
+    (SELECT min(bin) FROM ddm c WHERE c.bucket_ts = t.bucket_ts
+      AND c.cum >= greatest((990000 * t.total + 999999) // 1000000, 1))),
+    6) AS q99
+FROM ddt t""",
+        "domain_daily_crawl": f"""{CRAWL_PREFIX}
+SELECT regexp_extract(url, '^[a-z]+://([^/]+)', 1) AS domain,
+       CAST(date_trunc('day', warc_ts) AS TIMESTAMP) AS bucket_ts,
+       count(DISTINCT url) AS n_urls, count(*) AS n_snaps
+FROM obs GROUP BY 1, 2""",
+        "wow_change_crawl": f"""{CRAWL_PREFIX},
+wk AS (
+  SELECT url, metric,
+         CAST(date_trunc('week', warc_ts) AS TIMESTAMP) AS bucket_ts,
+         sum(value) AS s
+  FROM obs_long GROUP BY 1, 2, 3),
+lg AS (
+  SELECT url, metric, bucket_ts, s,
+         lag(s) OVER (PARTITION BY url, metric ORDER BY bucket_ts) AS prev
+  FROM wk)
+SELECT url, metric, bucket_ts, s AS "sum", prev AS prev_sum,
+       round(CASE WHEN prev > 0 THEN (s - prev) / prev END, 6) AS wow_pct
+FROM lg""",
         "duplicate_ngrams_documents": """
 WITH toks AS MATERIALIZED (
   SELECT doc_id, string_split(text, ' ') AS ts,

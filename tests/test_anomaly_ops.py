@@ -295,3 +295,54 @@ def test_length_histogram():
     assert out["bin"].tolist() == [0, 1, 2]
     assert out["lo"].tolist() == [0, 50, 100]
     assert out["n_docs"].tolist() == [2, 1, 1]
+
+
+def test_ddsketch_relative_error_bound():
+    from sits_classification_ray.functions.sketches import ddsketch_quantile
+    rng = np.random.default_rng(5)
+    vals = rng.integers(1, 100_000, size=4000).astype(np.float64)
+    ds = rd.from_arrow(pa.table({
+        "bucket_ts": pa.array([1] * 4000, pa.int64()),
+        "v": pa.array(vals)})).repartition(7)
+    out = ddsketch_quantile(ds, value_col="v", bucket_col="bucket_ts",
+                            alpha=0.01).to_pandas()
+    assert out["n"].tolist() == [4000]
+    for name, q in (("q50", 0.5), ("q90", 0.9), ("q99", 0.99)):
+        true = np.sort(vals)[int(np.ceil(q * 4000)) - 1]
+        assert abs(out[name][0] - true) / true <= 0.0201, (name, true)
+
+
+def test_ddsketch_merge_order_independent():
+    from sits_classification_ray.functions.sketches import ddsketch_quantile
+    vals = [3.0, 17.0, 4.0, 1000.0, 250.0, 9.0, 77.0, 12.0]
+    t = pa.table({"bucket_ts": pa.array([1] * 8, pa.int64()),
+                  "v": pa.array(vals)})
+    a = ddsketch_quantile(rd.from_arrow(t), "v", "bucket_ts").to_pandas()
+    b = ddsketch_quantile(rd.from_arrow(t).repartition(8).random_shuffle(
+        seed=3), "v", "bucket_ts").to_pandas()
+    pd.testing.assert_frame_equal(a, b)
+
+
+def test_wow_change():
+    from sits_classification_ray.pipelines.queries import build_queries
+    # direct kernel check on a tiny weekly-shaped frame via the stage
+    from sits_classification_ray.stages.shuffle import partitioned_map
+    W = 7 * 24 * H
+    ds = rd.from_arrow(pa.table({
+        "url": pa.array(["a"] * 3),
+        "url_bucket": pa.array([1] * 3, pa.uint32()),
+        "metric": pa.array(["m"] * 3),
+        "bucket_ts": pa.array([W, 2 * W, 3 * W], pa.timestamp("us")),
+        "sum": pa.array([100.0, 150.0, 75.0]),
+    }))
+
+    def kernel(df):
+        df = df.sort_values(["url", "metric", "bucket_ts"]).copy()
+        prev = df.groupby(["url", "metric"], sort=False)["sum"].shift(1)
+        df["wow_pct"] = (df["sum"] - prev) / prev
+        return df
+
+    out = partitioned_map(ds, kernel, url_col="url").to_pandas() \
+        .sort_values("bucket_ts").reset_index(drop=True)
+    assert np.isnan(out["wow_pct"][0])
+    assert out["wow_pct"].tolist()[1:] == [0.5, -0.5]
