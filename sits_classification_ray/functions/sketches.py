@@ -268,3 +268,65 @@ def ddsketch_quantile(ds: rd.Dataset, value_col: str, bucket_col: str,
         return pd.DataFrame(rows, columns=[bucket_col, "n", *qcols])
 
     return partitioned_map(merged, finalize, keys=[bucket_col])
+
+
+# --- Exact quantiles for bounded integer domains --------------------------
+
+def exact_int_quantile(ds: rd.Dataset, value_col: str, bucket_col: str,
+                       quantiles: tuple[float, ...] = (0.5, 0.9, 0.99)
+                       ) -> rd.Dataset:
+    """EXACT per-bucket quantiles when the value domain is bounded
+    integers (lengths, counts, sizes — most operational metrics): the
+    per-batch partial is a group-count by ``(bucket, value)``, merged
+    with a native ``Sum``, and the quantile is plain rank selection
+    over the merged value histogram. No sort of the raw data, no
+    approximation — the shuffle moves one row per DISTINCT value per
+    bucket per batch, which for bounded domains is O(domain), not
+    O(rows).
+
+    Completes the engine's quantile family: :func:`hist_quantile`
+    (fixed-bin, absolute error), :func:`ddsketch_quantile` (log-bin,
+    relative error), and this (exact, integer domains). Rank convention
+    is shared across all three and with the SQL oracles:
+    ``rank = ceil(q · total)`` computed in integer micro-units, value =
+    first value whose cumulative count reaches the rank.
+    """
+    from ray.data.aggregate import Sum
+
+    from sits_classification_ray.stages.shuffle import partitioned_map
+
+    qcols = [f"q{int(round(q * 100)):02d}" for q in quantiles]
+    q_micro = [int(round(q * 1_000_000)) for q in quantiles]
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        out = (pd.DataFrame({bucket_col: df[bucket_col],
+                             "v": df[value_col].astype(np.int64)})
+               .groupby([bucket_col, "v"], sort=False).size()
+               .rename("n").reset_index())
+        out["n"] = out["n"].astype(np.int64)
+        return out
+
+    merged = (ds.map_batches(partial, batch_format="pandas")
+              .groupby([bucket_col, "v"])
+              .aggregate(Sum("n", alias_name="n")))
+
+    def finalize(df: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for bucket, g in df.groupby(bucket_col, sort=False):
+            g = g.sort_values("v")
+            counts = g["n"].to_numpy(np.int64)
+            vals = g["v"].to_numpy(np.int64)
+            total = int(counts.sum())
+            cum = np.cumsum(counts)
+            ests = []
+            for qm in q_micro:
+                rank = max(-(-qm * total // 1_000_000), 1)
+                i = int(np.searchsorted(cum, rank, side="left"))
+                ests.append(int(vals[i]))
+            rows.append((bucket, total, *ests))
+        out = pd.DataFrame(rows, columns=[bucket_col, "n", *qcols])
+        for c in qcols:
+            out[c] = out[c].astype(np.int64)
+        return out
+
+    return partitioned_map(merged, finalize, keys=[bucket_col])

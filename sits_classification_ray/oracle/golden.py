@@ -827,3 +827,18 @@ def cusum_crawl(obs_long: pd.DataFrame, k: float = 0.5, h: float = 4.0
         df["alarm"] = (out_p > h) | (out_m > h)
     return df[["url", "metric", "warc_ts", "value",
                "cusum_pos", "cusum_neg", "alarm"]]
+
+
+def reservoir_sample_events(events: pd.DataFrame, k: int = 20
+                            ) -> pd.DataFrame:
+    """Independent bottom-k-by-hash sample: smallest k SipHash(event_id)
+    per event_type (hash ties by event_id). The fixed-key pandas
+    SipHash is the determinism contract, as in stratified_sample."""
+    h = pd.util.hash_pandas_object(
+        events["event_id"], index=False, categorize=False
+    ).astype(np.int64)
+    df = events.assign(_h=h).sort_values(
+        ["event_type", "_h", "event_id"], kind="mergesort")
+    out = df.groupby("event_type", sort=False).head(k)
+    return out[["event_id", "event_type", "user_id", "ts"]] \
+        .reset_index(drop=True)

@@ -1003,6 +1003,62 @@ def _wow_change_crawl(sf_dir: str) -> rd.Dataset:
     return partitioned_map(weekly, kernel, url_col="url")
 
 
+_FUNNEL_STAGES = ["signup", "view", "click", "purchase"]
+
+
+def _cohort_retention_events(sf_dir: str) -> rd.Dataset:
+    from sits_classification_ray.stages.behavior import cohort_retention
+
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["user_id", "ts"])
+    return cohort_retention(ev)
+
+
+def _funnel_events(sf_dir: str) -> rd.Dataset:
+    from sits_classification_ray.stages.behavior import funnel
+
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["user_id", "ts", "event_type"])
+    return funnel(ev, _FUNNEL_STAGES)
+
+
+def _dau_events(sf_dir: str) -> rd.Dataset:
+    from sits_classification_ray.stages.behavior import daily_active
+
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["user_id", "ts"])
+    return daily_active(ev)
+
+
+def _exact_quantile_daily(sf_dir: str) -> rd.Dataset:
+    """Exact (value-histogram) text_len quantiles per day — the
+    integer-domain member of the quantile family (vs hist_quantile's
+    fixed bins and ddsketch's log bins)."""
+    from sits_classification_ray.functions.sketches import exact_int_quantile
+
+    def proj(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "bucket_ts": pc.cast(pc.floor_temporal(batch["warc_ts"],
+                                                   unit="day"),
+                                 pa.timestamp("us")),
+            "text_len": batch["text_len"],
+        })
+
+    proj_ds = _obs(sf_dir).map_batches(proj, batch_format="pyarrow",
+                                       zero_copy_batch=True)
+    return exact_int_quantile(proj_ds, value_col="text_len",
+                              bucket_col="bucket_ts")
+
+
+def _reservoir_sample_events(sf_dir: str) -> rd.Dataset:
+    from sits_classification_ray.stages.sampling import reservoir_sample
+
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_id", "event_type", "user_id",
+                                  "ts"])
+    return reservoir_sample(ev, ["event_type"], "event_id", k=20)
+
+
 def _snapshot_deltas_crawl(sf_dir: str) -> rd.Dataset:
     from sits_classification_ray.stages.windows import snapshot_deltas
 
@@ -1488,6 +1544,11 @@ def build_queries() -> dict[str, Callable[[str], Any]]:
         "ddsketch_quantile_daily": _ddsketch_quantile_daily,
         "domain_daily_crawl": _domain_daily_crawl,
         "wow_change_crawl": _wow_change_crawl,
+        "cohort_retention_events": _cohort_retention_events,
+        "funnel_events": _funnel_events,
+        "dau_events": _dau_events,
+        "exact_quantile_daily": _exact_quantile_daily,
+        "reservoir_sample_events": _reservoir_sample_events,
         "length_histogram_documents": _length_histogram_documents,
         "left_join_documents_embeddings": _left_join_documents_embeddings,
         "partition_extents_crawl": _partition_extents_crawl,
@@ -1557,7 +1618,7 @@ GOLDEN_QUERIES = [
     "near_dup_keep_one_documents", "simhash_near_dup_documents",
     "incremental_near_dup_documents", "lttb_downsample_crawl",
     "ewma_crawl", "partition_extents_crawl",
-    "holt_linear_crawl", "cusum_crawl",
+    "holt_linear_crawl", "cusum_crawl", "reservoir_sample_events",
 ]
 
 
@@ -2060,6 +2121,64 @@ lg AS (
 SELECT url, metric, bucket_ts, s AS "sum", prev AS prev_sum,
        round(CASE WHEN prev > 0 THEN (s - prev) / prev END, 6) AS wow_pct
 FROM lg""",
+        "cohort_retention_events": """
+WITH act AS MATERIALIZED (
+  SELECT DISTINCT user_id,
+         CAST(date_trunc('day', ts) AS TIMESTAMP) AS day
+  FROM events),
+coh AS (SELECT user_id, min(day) AS cohort_day FROM act GROUP BY 1)
+SELECT c.cohort_day, date_diff('day', c.cohort_day, a.day) AS offset_days,
+       count(*) AS n_users
+FROM act a JOIN coh c ON a.user_id = c.user_id
+GROUP BY 1, 2""",
+        "funnel_events": """
+WITH s1 AS MATERIALIZED (
+  SELECT user_id, min(ts) AS t FROM events
+  WHERE event_type = 'signup' GROUP BY 1),
+s2 AS MATERIALIZED (
+  SELECT e.user_id, min(e.ts) AS t FROM events e
+  JOIN s1 ON e.user_id = s1.user_id
+  WHERE e.event_type = 'view' AND e.ts > s1.t GROUP BY 1),
+s3 AS MATERIALIZED (
+  SELECT e.user_id, min(e.ts) AS t FROM events e
+  JOIN s2 ON e.user_id = s2.user_id
+  WHERE e.event_type = 'click' AND e.ts > s2.t GROUP BY 1),
+s4 AS MATERIALIZED (
+  SELECT e.user_id, min(e.ts) AS t FROM events e
+  JOIN s3 ON e.user_id = s3.user_id
+  WHERE e.event_type = 'purchase' AND e.ts > s3.t GROUP BY 1)
+SELECT CAST(1 AS BIGINT) AS stage_idx, 'signup' AS stage,
+       (SELECT count(*) FROM s1) AS n_users
+UNION ALL SELECT CAST(2 AS BIGINT), 'view', (SELECT count(*) FROM s2)
+UNION ALL SELECT CAST(3 AS BIGINT), 'click', (SELECT count(*) FROM s3)
+UNION ALL SELECT CAST(4 AS BIGINT), 'purchase',
+  (SELECT count(*) FROM s4)""",
+        "dau_events": """
+SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+       count(DISTINCT user_id) AS dau, count(*) AS n_events
+FROM events GROUP BY 1""",
+        "exact_quantile_daily": f"""{CRAWL_PREFIX},
+vc AS MATERIALIZED (
+  SELECT CAST(date_trunc('day', warc_ts) AS TIMESTAMP) AS bucket_ts,
+         CAST(text_len AS BIGINT) AS v, count(*) AS n
+  FROM obs GROUP BY 1, 2),
+vt AS (SELECT bucket_ts, CAST(sum(n) AS BIGINT) AS total
+       FROM vc GROUP BY 1),
+vm AS MATERIALIZED (
+  SELECT bucket_ts, v,
+         sum(n) OVER (PARTITION BY bucket_ts ORDER BY v) AS cum
+  FROM vc)
+SELECT t.bucket_ts, t.total AS n,
+  (SELECT min(v) FROM vm c WHERE c.bucket_ts = t.bucket_ts
+     AND c.cum >= greatest((500000 * t.total + 999999) // 1000000, 1))
+    AS q50,
+  (SELECT min(v) FROM vm c WHERE c.bucket_ts = t.bucket_ts
+     AND c.cum >= greatest((900000 * t.total + 999999) // 1000000, 1))
+    AS q90,
+  (SELECT min(v) FROM vm c WHERE c.bucket_ts = t.bucket_ts
+     AND c.cum >= greatest((990000 * t.total + 999999) // 1000000, 1))
+    AS q99
+FROM vt t""",
         "duplicate_ngrams_documents": """
 WITH toks AS MATERIALIZED (
   SELECT doc_id, string_split(text, ' ') AS ts,

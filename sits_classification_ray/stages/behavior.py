@@ -1,0 +1,126 @@
+"""User-behavior analytics over the events stream: cohort retention,
+ordered funnels, and daily active users.
+
+These are the event-log counterparts of the crawl-side tier rollups —
+the queries a production telemetry/product pipeline runs over the same
+engine. All three follow the engine's standard scale shape: ONE salted
+exchange that co-locates each user's complete history
+(:func:`~sits_classification_ray.stages.shuffle.partitioned_map` on the
+user key), a vectorized pandas kernel per partition emitting *partial
+counts*, then a tiny native ``Sum`` merge — the shuffle payload after
+the kernel is O(cohorts × offsets) / O(stages), never O(events).
+
+Reference analog: the per-entity aggregation semantics mirror the
+reference's per-pixel time-series folding (``force/force_class_utils.py``
+block loop); the funnel's ordered-first-occurrence semantics follow the
+standard event-analytics definition (each stage's timestamp must be
+strictly after the previous stage's first hit).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import ray.data as rd
+from ray.data.aggregate import Count, Sum
+
+from sits_classification_ray.stages.shuffle import partitioned_map
+
+
+def cohort_retention(events: rd.Dataset, user_col: str = "user_id",
+                     ts_col: str = "ts") -> rd.Dataset:
+    """Classic retention matrix: users are cohorted by their first
+    active day; for each (cohort_day, offset_days) count how many of
+    that cohort were active offset_days later.
+
+    Scale shape: the only wide exchange is the salted partition on
+    ``user_col``; each partition kernel deduplicates to (user, day),
+    finds each user's min day and emits per-(cohort, offset) partial
+    counts. Because (user, day) pairs are unique after the dedup and a
+    user lives in exactly one partition, summing partials IS the
+    distinct-user count — no count-distinct shuffle.
+    """
+    def proj(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            user_col: df[user_col],
+            "day": df[ts_col].dt.floor("D"),
+        })
+
+    proj_ds = events.map_batches(proj, batch_format="pandas")
+
+    def kernel(df: pd.DataFrame) -> pd.DataFrame:
+        act = df.drop_duplicates([user_col, "day"])
+        first = act.groupby(user_col, sort=False)["day"].transform("min")
+        off = (act["day"] - first).dt.days.astype(np.int64)
+        out = (pd.DataFrame({"cohort_day": first, "offset_days": off})
+               .groupby(["cohort_day", "offset_days"], sort=False)
+               .size().rename("n").reset_index())
+        out["n"] = out["n"].astype(np.int64)
+        return out
+
+    partials = partitioned_map(proj_ds, kernel, keys=[user_col])
+    return (partials.groupby(["cohort_day", "offset_days"])
+            .aggregate(Sum("n", alias_name="n_users")))
+
+
+def funnel(events: rd.Dataset, stages: list[str],
+           user_col: str = "user_id", ts_col: str = "ts",
+           type_col: str = "event_type") -> rd.Dataset:
+    """Ordered conversion funnel: a user reaches stage *k* iff an event
+    of type ``stages[k]`` occurs STRICTLY AFTER their first qualifying
+    stage *k−1* event (first-occurrence chaining, the standard funnel
+    definition). Returns one row per stage with the user count that
+    reached it.
+
+    Per-partition kernel is vectorized per *stage*, not per user:
+    filter to the stage's events, inner-merge the previous stage's
+    first-hit timestamps, mask ``ts > prev``, group-min — four pandas
+    kernels per stage regardless of user count.
+    """
+    def proj(df: pd.DataFrame) -> pd.DataFrame:
+        keep = df[df[type_col].isin(stages)]
+        return pd.DataFrame({user_col: keep[user_col],
+                             ts_col: keep[ts_col],
+                             type_col: keep[type_col]})
+
+    proj_ds = events.map_batches(proj, batch_format="pandas")
+
+    def kernel(df: pd.DataFrame) -> pd.DataFrame:
+        cur = (df[df[type_col] == stages[0]]
+               .groupby(user_col, sort=False)[ts_col].min())
+        counts = [len(cur)]
+        for st in stages[1:]:
+            # column-merge (not right_index): an empty previous stage
+            # would otherwise leave the group key as a named index and
+            # make the next groupby ambiguous
+            prev = cur.rename("__prev").reset_index()
+            nxt = df[df[type_col] == st].merge(prev, on=user_col)
+            nxt = nxt[nxt[ts_col] > nxt["__prev"]]
+            cur = nxt.groupby(user_col, sort=False)[ts_col].min()
+            counts.append(len(cur))
+        return pd.DataFrame({
+            "stage_idx": np.arange(1, len(stages) + 1, dtype=np.int64),
+            "stage": list(stages),
+            "n": np.asarray(counts, dtype=np.int64),
+        })
+
+    partials = partitioned_map(proj_ds, kernel, keys=[user_col])
+    return (partials.groupby(["stage_idx", "stage"])
+            .aggregate(Sum("n", alias_name="n_users")))
+
+
+def daily_active(events: rd.Dataset, user_col: str = "user_id",
+                 ts_col: str = "ts") -> rd.Dataset:
+    """DAU + event volume per day. Exact distinct users under any
+    batching via the two-level groupby (per-(day, user) count, then
+    per-day count of those rows)."""
+    def proj(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"day": df[ts_col].dt.floor("D"),
+                             user_col: df[user_col]})
+
+    proj_ds = events.map_batches(proj, batch_format="pandas")
+    per_user = (proj_ds.groupby(["day", user_col])
+                .aggregate(Count(alias_name="n")))
+    return (per_user.groupby("day")
+            .aggregate(Count(alias_name="dau"),
+                       Sum("n", alias_name="n_events")))

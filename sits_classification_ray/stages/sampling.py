@@ -100,6 +100,33 @@ def top_k_per_group(ds: rd.Dataset, group_cols: list[str], order_col: str,
     return partitioned_map(pre, local_topk, keys=list(group_cols))
 
 
+def reservoir_sample(ds: rd.Dataset, group_cols: list[str], id_col: str,
+                     k: int) -> rd.Dataset:
+    """Deterministic distributed uniform k-sample per group: keep the k
+    rows with the SMALLEST SipHash of ``id_col`` (bottom-k-by-hash, the
+    merge-order-independent equivalent of reservoir sampling — every
+    row has equal selection probability, yet any partitioning of the
+    input yields the identical sample, which a stateful reservoir
+    cannot guarantee under Ray's nondeterministic block order).
+
+    Rides :func:`top_k_per_group`'s combiner: each batch is cut to its
+    local bottom-k before the shuffle, so ≤ k·batches rows move per
+    group. Hash ties (2⁻⁶⁴) break by ``id_col``.
+    """
+    def add_h(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy(deep=False)
+        # int64 view: uint64 keys > 2^63 kick Ray groupby into
+        # pickled-object blocks
+        df["_h"] = pd.util.hash_pandas_object(
+            df[id_col], index=False, categorize=False).astype(np.int64)
+        return df
+
+    out = top_k_per_group(ds.map_batches(add_h, batch_format="pandas"),
+                          group_cols, "_h", k, ascending=True,
+                          tie_col=id_col)
+    return out.drop_columns(["_h"])
+
+
 def early_stop(losses: list[float], window: int = 5) -> bool:
     """Early-stopping rule (A11): mean of the last-``window`` loss
     diffs > 0 ⇒ not improving ⇒ stop

@@ -92,6 +92,10 @@ def make_for(sf_dir: str) -> None:
             con.sql(f"{CRAWL_PREFIX} SELECT url, warc_ts, text, text_len "
                     "FROM scr").df()),
         "canonical_urls_crawl": lambda: golden.canonical_urls_crawl(obs),
+        "reservoir_sample_events": lambda: golden.reservoir_sample_events(
+            pd.read_parquet(f"{sf_dir}/events.parquet",
+                            columns=["event_id", "event_type", "user_id",
+                                     "ts"])),
         "augmented_rollup": lambda: golden.augmented_rollup(obs_long),
         "html_byte_features": lambda: golden.html_byte_features(crawl),
         "frame_samples": lambda: golden.frame_samples(crawl),
