@@ -842,3 +842,20 @@ def reservoir_sample_events(events: pd.DataFrame, k: int = 20
     out = df.groupby("event_type", sort=False).head(k)
     return out[["event_id", "event_type", "user_id", "ts"]] \
         .reset_index(drop=True)
+
+
+def compression_signal_documents(docs: pd.DataFrame, level: int = 6
+                                 ) -> pd.DataFrame:
+    """Independent zlib compression-ratio computation (same pinned
+    level; zlib output is deterministic for a given level/input)."""
+    import zlib
+
+    raw = np.array([len(t.encode("utf-8")) if t else 0
+                    for t in docs["text"]], dtype=np.int64)
+    comp = np.array(
+        [len(zlib.compress(t.encode("utf-8"), level)) if t else 0
+         for t in docs["text"]], dtype=np.int64)
+    ratio = np.round(comp / np.maximum(raw, 1), 6)
+    return pd.DataFrame({"doc_id": docs["doc_id"].to_numpy(),
+                         "raw_bytes": raw, "zlib_bytes": comp,
+                         "compression_ratio": ratio})

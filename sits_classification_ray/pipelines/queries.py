@@ -1003,6 +1003,41 @@ def _wow_change_crawl(sf_dir: str) -> rd.Dataset:
     return partitioned_map(weekly, kernel, url_col="url")
 
 
+_BM25_TERMS = ["hash", "join", "stream"]
+
+
+def _bm25_topk_documents(sf_dir: str) -> rd.Dataset:
+    from sits_classification_ray.stages.textstats import bm25_topk
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id", "text"])
+    return bm25_topk(docs, _BM25_TERMS, k=20)
+
+
+def _token_entropy_documents(sf_dir: str) -> rd.Dataset:
+    from sits_classification_ray.stages.textstats import token_entropy
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id", "text"])
+    return token_entropy(docs)
+
+
+def _compression_signal_documents(sf_dir: str) -> rd.Dataset:
+    from sits_classification_ray.stages.textstats import compression_signal
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id", "text"])
+    return compression_signal(docs)
+
+
+def _pmi_bigrams_documents(sf_dir: str) -> rd.Dataset:
+    from sits_classification_ray.stages.textstats import pmi_bigrams
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["text"])
+    return pmi_bigrams(docs, k=50, min_count=5)
+
+
 _FUNNEL_STAGES = ["signup", "view", "click", "purchase"]
 
 
@@ -1549,6 +1584,10 @@ def build_queries() -> dict[str, Callable[[str], Any]]:
         "dau_events": _dau_events,
         "exact_quantile_daily": _exact_quantile_daily,
         "reservoir_sample_events": _reservoir_sample_events,
+        "bm25_topk_documents": _bm25_topk_documents,
+        "token_entropy_documents": _token_entropy_documents,
+        "compression_signal_documents": _compression_signal_documents,
+        "pmi_bigrams_documents": _pmi_bigrams_documents,
         "length_histogram_documents": _length_histogram_documents,
         "left_join_documents_embeddings": _left_join_documents_embeddings,
         "partition_extents_crawl": _partition_extents_crawl,
@@ -1619,6 +1658,7 @@ GOLDEN_QUERIES = [
     "incremental_near_dup_documents", "lttb_downsample_crawl",
     "ewma_crawl", "partition_extents_crawl",
     "holt_linear_crawl", "cusum_crawl", "reservoir_sample_events",
+    "compression_signal_documents",
 ]
 
 
@@ -2121,6 +2161,81 @@ lg AS (
 SELECT url, metric, bucket_ts, s AS "sum", prev AS prev_sum,
        round(CASE WHEN prev > 0 THEN (s - prev) / prev END, 6) AS wow_pct
 FROM lg""",
+        "bm25_topk_documents": """
+WITH dt AS MATERIALIZED (
+  SELECT doc_id, CAST(len(ts) AS BIGINT) AS dl,
+         CAST(len(list_filter(ts, x -> x = 'hash')) AS BIGINT) AS tf0,
+         CAST(len(list_filter(ts, x -> x = 'join')) AS BIGINT) AS tf1,
+         CAST(len(list_filter(ts, x -> x = 'stream')) AS BIGINT) AS tf2
+  FROM (SELECT doc_id, string_split(lower(text), ' ') AS ts
+        FROM documents)),
+st AS MATERIALIZED (
+  SELECT CAST(count(*) AS DOUBLE) AS n,
+         CAST(sum(dl) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avgdl,
+         sum(CASE WHEN tf0 > 0 THEN 1 ELSE 0 END) AS df0,
+         sum(CASE WHEN tf1 > 0 THEN 1 ELSE 0 END) AS df1,
+         sum(CASE WHEN tf2 > 0 THEN 1 ELSE 0 END) AS df2
+  FROM dt),
+sc AS (
+  SELECT doc_id,
+    round(
+      0.0
+      + ln((n - df0 + 0.5) / (df0 + 0.5) + 1.0)
+        * (tf0 * (1.2 + 1.0))
+        / (tf0 + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl))
+      + ln((n - df1 + 0.5) / (df1 + 0.5) + 1.0)
+        * (tf1 * (1.2 + 1.0))
+        / (tf1 + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl))
+      + ln((n - df2 + 0.5) / (df2 + 0.5) + 1.0)
+        * (tf2 * (1.2 + 1.0))
+        / (tf2 + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl)), 6) AS score
+  FROM dt, st WHERE tf0 > 0 OR tf1 > 0 OR tf2 > 0)
+SELECT doc_id, score FROM (
+  SELECT doc_id, score,
+         row_number() OVER (ORDER BY score DESC, doc_id) AS rn
+  FROM sc) WHERE rn <= 20""",
+        "token_entropy_documents": """
+WITH toks AS MATERIALIZED (
+  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS w
+  FROM documents),
+cnt AS MATERIALIZED (
+  SELECT doc_id, w, count(*) AS c FROM toks GROUP BY 1, 2),
+tot AS (
+  SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens,
+         count(*) AS n_distinct,
+         round(log2(CAST(sum(c) AS DOUBLE))
+               - sum(CAST(c AS DOUBLE)
+                     * log2(CAST(c AS DOUBLE)))
+                 / CAST(sum(c) AS DOUBLE), 6) AS entropy,
+         round(CAST(count(*) AS DOUBLE)
+               / CAST(sum(c) AS DOUBLE), 6) AS ttr
+  FROM cnt GROUP BY doc_id)
+SELECT doc_id, n_tokens, n_distinct, entropy, ttr FROM tot""",
+        "pmi_bigrams_documents": """
+WITH toks AS MATERIALIZED (
+  SELECT string_split(lower(text), ' ') AS ts FROM documents),
+bi AS MATERIALIZED (
+  SELECT ts[i] AS w1, ts[i + 1] AS w2, count(*) AS n
+  FROM toks CROSS JOIN LATERAL
+    (SELECT unnest(generate_series(1, len(ts) - 1)) AS i) s
+  GROUP BY 1, 2),
+uni AS MATERIALIZED (
+  SELECT w, count(*) AS c FROM
+    (SELECT unnest(ts) AS w FROM toks) GROUP BY 1),
+tot AS (SELECT CAST((SELECT sum(c) FROM uni) AS DOUBLE) AS u,
+               CAST((SELECT sum(n) FROM bi) AS DOUBLE) AS b),
+sc AS (
+  SELECT bi.w1, bi.w2, bi.n,
+         round(log2((bi.n / t.b)
+                    / ((ua.c / t.u) * (ub.c / t.u))), 6) AS pmi
+  FROM bi, tot t
+  JOIN uni ua ON ua.w = bi.w1
+  JOIN uni ub ON ub.w = bi.w2
+  WHERE bi.n >= 5)
+SELECT w1, w2, n, pmi FROM (
+  SELECT w1, w2, n, pmi,
+         row_number() OVER (ORDER BY pmi DESC, w1, w2) AS rn
+  FROM sc) WHERE rn <= 50""",
         "cohort_retention_events": """
 WITH act AS MATERIALIZED (
   SELECT DISTINCT user_id,

@@ -823,3 +823,281 @@ def length_histogram(ds: rd.Dataset, col: str = "n_chars",
                            zero_copy_batch=True)
             .groupby(["bin", "lo"])
             .aggregate(Sum("n_docs", alias_name="n_docs")))
+
+
+# --- BM25 ranked retrieval ------------------------------------------------
+
+def bm25_topk(ds: rd.Dataset, query_terms: list[str], k: int = 20,
+              k1: float = 1.2, b: float = 0.75, id_col: str = "doc_id",
+              text_col: str = "text") -> rd.Dataset:
+    """Okapi BM25 ranked retrieval: top-k documents for a fixed query
+    term set (Robertson & Zaragoza 2009), the query-side complement to
+    :func:`tfidf_topk`'s per-document term ranking.
+
+    Scale shape — the corpus text is tokenized ONCE:
+
+    1. one streaming pass emits a narrow per-doc row (id, doc length,
+       per-term tf + match indicator) — O(N) rows of m+2 ints, never
+       the tokens;
+    2. corpus stats (N, total tokens, per-term document frequency) are
+       a native Sum over those rows — a scalar result, not a
+       materialization;
+    3. scoring is a second pass over the narrow table (no
+       re-tokenization) with the stats as plain closure floats; only
+       docs matching ≥1 term survive;
+    4. global top-k via the local-topk → merge combiner (≤ k rows per
+       batch move).
+
+    Float parity contract: the score is accumulated term-by-term in
+    query order with left-associated ``+``, every constant written as
+    the same literal the SQL oracle uses (e.g. ``(k1 + 1.0)``, never
+    pre-folded ``2.2``), so engine and DuckDB agree bit-for-bit before
+    the final round-to-6.
+    """
+    from ray.data.aggregate import Sum
+
+    from sits_classification_ray.stages.sampling import top_k_per_group
+
+    terms = [t.lower() for t in query_terms]
+    m = len(terms)
+    tf_cols = [f"_tf{j}" for j in range(m)]
+
+    def per_doc(batch: pa.Table) -> pa.Table:
+        n = len(batch)
+        toks = pc.split_pattern(pc.utf8_lower(batch[text_col]), " ")
+        lens = pc.list_value_length(toks).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        flat = pc.list_flatten(toks).to_numpy(zero_copy_only=False)
+        offsets = np.zeros(n + 1, dtype=np.int64)
+        np.cumsum(lens, out=offsets[1:])
+        cols = {id_col: batch[id_col],
+                "_dl": pa.array(lens, pa.int64())}
+        for j, term in enumerate(terms):
+            hit = (flat == term).astype(np.int64)
+            tf = (np.add.reduceat(np.concatenate([hit, [0]]),
+                                  offsets[:-1])
+                  if n else np.array([], dtype=np.int64))
+            tf[offsets[:-1] == offsets[1:]] = 0
+            cols[tf_cols[j]] = pa.array(tf, pa.int64())
+        return pa.table(cols)
+
+    # materialize the NARROW table (m+2 int64 cols), not the corpus:
+    # both the stats aggregate and the scoring pass read it, and
+    # re-tokenizing the text twice would cost far more than these rows
+    tfmat = ds.map_batches(per_doc, batch_format="pyarrow",
+                           zero_copy_batch=True).materialize()
+    # one aggregate over the narrow table: N, Σdl, df per term
+    stats = tfmat.map_batches(
+        lambda t: pa.table(
+            {"n": pa.array([len(t)], pa.int64()),
+             "dl": pa.array([pc.sum(t["_dl"]).as_py() or 0], pa.int64()),
+             **{f"df{j}": pa.array(
+                 [pc.sum(pc.cast(pc.greater(t[c], 0), pa.int64())
+                         ).as_py() or 0], pa.int64())
+                for j, c in enumerate(tf_cols)}}),
+        batch_format="pyarrow").sum(
+        ["n", "dl"] + [f"df{j}" for j in range(m)])
+    n_docs = float(stats["sum(n)"])
+    avgdl = float(stats["sum(dl)"]) / n_docs
+    idf = [float(np.log((n_docs - stats[f"sum(df{j})"] + 0.5)
+                        / (stats[f"sum(df{j})"] + 0.5) + 1.0))
+           for j in range(m)]
+
+    def score(t: pa.Table) -> pa.Table:
+        any_hit = np.zeros(len(t), dtype=bool)
+        tf_np = []
+        for c in tf_cols:
+            v = np.asarray(t[c], dtype=np.int64)
+            tf_np.append(v)
+            any_hit |= v > 0
+        t = t.filter(pa.array(any_hit))
+        dl = np.asarray(t["_dl"], dtype=np.float64)
+        s = np.zeros(len(t), dtype=np.float64)
+        for j in range(m):
+            tf = tf_np[j][any_hit].astype(np.float64)
+            s = s + idf[j] * (tf * (k1 + 1.0)) \
+                / (tf + k1 * (1.0 - b + b * dl / avgdl))
+        from sits_classification_ray.functions.transforms import sql_round
+        return pa.table({id_col: t[id_col],
+                         "score": pa.array(sql_round(s, 6)),
+                         "_g": pa.array(np.zeros(len(t), np.int64))})
+
+    scored = tfmat.map_batches(score, batch_format="pyarrow")
+    out = top_k_per_group(scored, ["_g"], "score", k=k,
+                          ascending=False, tie_col=id_col)
+    return out.drop_columns(["_g"])
+
+
+# --- token entropy / lexical diversity ------------------------------------
+
+def token_entropy(ds: rd.Dataset, id_col: str = "doc_id",
+                  text_col: str = "text", round_to: int = 6
+                  ) -> rd.Dataset:
+    """Per-document Shannon entropy of the token distribution (bits)
+    plus type-token ratio — lexical-diversity quality signals. Pure
+    per-batch map (documents are whole rows; no shuffle).
+
+    Entropy is computed in the cancellation-friendly form
+    ``log2(n) − Σ c·log2(c) / n``: every hapax (c = 1) contributes an
+    EXACT 0.0 to the sum, so engine and SQL only have to agree on the
+    few repeated-token terms.
+    """
+    from sits_classification_ray.functions.transforms import sql_round
+
+    def kernel(batch: pa.Table) -> pa.Table:
+        n_rows = len(batch)
+        toks = pc.split_pattern(pc.utf8_lower(batch[text_col]), " ")
+        lens = pc.list_value_length(toks).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        flat = pc.list_flatten(toks).to_numpy(zero_copy_only=False)
+        row = np.repeat(np.arange(n_rows, dtype=np.int64), lens)
+        codes, uniques = pd.factorize(pd.Series(flat, dtype=object))
+        V = np.int64(max(len(uniques), 1))
+        uk, counts = np.unique(row * V + codes, return_counts=True)
+        urow = (uk // V).astype(np.int64)
+        # per-row segment boundaries in the row-major sorted uk
+        seg_starts = np.searchsorted(urow, np.arange(n_rows))
+        c = counts.astype(np.float64)
+        clogc = c * np.log2(c)
+        seg_sum = (np.add.reduceat(np.concatenate([clogc, [0.0]]),
+                                   seg_starts)
+                   if n_rows else np.array([], dtype=np.float64))
+        n_distinct = (np.add.reduceat(
+            np.concatenate([np.ones(len(urow), np.int64), [0]]),
+            seg_starts) if n_rows else np.array([], dtype=np.int64))
+        empty = np.isin(np.arange(n_rows), urow, invert=True)
+        seg_sum[empty] = 0.0
+        n_distinct[empty] = 0
+        nf = lens.astype(np.float64)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            ent = np.log2(nf) - seg_sum / nf
+            ttr = n_distinct.astype(np.float64) / nf
+        return pa.table({
+            id_col: batch[id_col],
+            "n_tokens": pa.array(lens, pa.int64()),
+            "n_distinct": pa.array(n_distinct.astype(np.int64)),
+            "entropy": pa.array(sql_round(ent, round_to)),
+            "ttr": pa.array(sql_round(ttr, round_to)),
+        })
+
+    return ds.map_batches(kernel, batch_format="pyarrow",
+                          zero_copy_batch=True)
+
+
+# --- compression-ratio quality signal -------------------------------------
+
+def compression_signal(ds: rd.Dataset, id_col: str = "doc_id",
+                       text_col: str = "text", level: int = 6
+                       ) -> rd.Dataset:
+    """zlib compression ratio per document — the classic
+    repetitiveness/quality heuristic from public web-corpus pipelines
+    (highly compressible ⇒ boilerplate/repetition; incompressible ⇒
+    noise/binary). Deterministic for a pinned zlib level, so the
+    oracle is a golden file. The compressor is C-backed; the per-row
+    Python loop only dispatches into it.
+    """
+    import zlib
+
+    def kernel(batch: pa.Table) -> pa.Table:
+        texts = batch[text_col].to_pylist()
+        raw = np.array([len(t.encode("utf-8")) if t else 0
+                        for t in texts], dtype=np.int64)
+        comp = np.array(
+            [len(zlib.compress(t.encode("utf-8"), level)) if t else 0
+             for t in texts], dtype=np.int64)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            ratio = np.round(comp / np.maximum(raw, 1), 6)
+        return pa.table({
+            id_col: batch[id_col],
+            "raw_bytes": pa.array(raw),
+            "zlib_bytes": pa.array(comp),
+            "compression_ratio": pa.array(ratio),
+        })
+
+    return ds.map_batches(kernel, batch_format="pyarrow",
+                          zero_copy_batch=True)
+
+
+# --- PMI collocations -----------------------------------------------------
+
+def pmi_bigrams(ds: rd.Dataset, k: int = 50, min_count: int = 5,
+                text_col: str = "text", round_to: int = 6
+                ) -> rd.Dataset:
+    """Top-k collocations by pointwise mutual information:
+    ``pmi = log2((c_ab/B) / ((c_a/U)·(c_b/U)))`` over corpus bigram and
+    unigram counts (Church & Hanks 1990).
+
+    Distributed shape: the two count combiners
+    (:func:`token_counts` / :func:`bigram_counts`), totals as native
+    sums, then the bigram table is enriched with c_a and c_b via TWO
+    tag-union ``partitioned_map`` exchanges on the word key (the
+    :func:`tfidf_topk` join shape — no driver-held vocabulary), and the
+    global top-k is the local-topk → merge combiner ordered by
+    (rounded pmi DESC, w1, w2).
+    """
+    from ray.data.aggregate import Sum
+
+    from sits_classification_ray.functions.transforms import sql_round
+    from sits_classification_ray.stages.sampling import top_k_per_group
+    from sits_classification_ray.stages.shuffle import partitioned_map
+
+    # the count tables are vocabulary-sized (tiny vs the corpus) and
+    # each feeds two consumers — materialize them once so the corpus
+    # is tokenized exactly twice (unigrams + bigrams), not four times
+    uni = token_counts(ds, text_col).materialize()
+    bi_full = bigram_counts(ds, text_col).materialize()
+    U = float(uni.sum("n"))
+    B = float(bi_full.sum("n"))
+    bi = bi_full.filter(expr=f"n >= {min_count}")
+
+    def attach(bi_ds: rd.Dataset, word_col: str, out_col: str
+               ) -> rd.Dataset:
+        cols = bi_ds.columns()
+
+        def tag_bi(df: pd.DataFrame) -> pd.DataFrame:
+            out = df.copy(deep=False)
+            out["__uc"] = np.int64(-1)
+            return out
+
+        def tag_uni(df: pd.DataFrame) -> pd.DataFrame:
+            out = pd.DataFrame(
+                {cols[0]: df["token"] if word_col == cols[0] else "",
+                 cols[1]: df["token"] if word_col == cols[1] else "",
+                 **{c: np.int64(-1) for c in cols[2:]}})
+            out["__uc"] = df["n"].astype(np.int64)
+            return out
+
+        unioned = bi_ds.map_batches(tag_bi, batch_format="pandas").union(
+            uni.map_batches(tag_uni, batch_format="pandas"))
+
+        def kernel(df: pd.DataFrame) -> pd.DataFrame:
+            side_u = df[df["__uc"] >= 0]
+            side_b = df[df["__uc"] < 0]
+            cmap = pd.Series(side_u["__uc"].to_numpy(),
+                             index=side_u[word_col])
+            out = side_b.drop(columns=["__uc"]).copy(deep=False)
+            out[out_col] = out[word_col].map(cmap).astype(np.int64)
+            return out
+
+        return partitioned_map(unioned, kernel, keys=[word_col])
+
+    enriched = attach(attach(bi, "w1", "c_a"), "w2", "c_b")
+
+    def score(df: pd.DataFrame) -> pd.DataFrame:
+        c_ab = df["n"].to_numpy(np.float64)
+        c_a = df["c_a"].to_numpy(np.float64)
+        c_b = df["c_b"].to_numpy(np.float64)
+        pmi = np.log2((c_ab / B) / ((c_a / U) * (c_b / U)))
+        out = df[["w1", "w2", "n"]].copy(deep=False)
+        out["pmi"] = sql_round(pmi, round_to)
+        out["_g"] = np.int64(0)
+        # composite tie key: ' ' sorts below every token character, so
+        # "w1 w2" lexicographic == (w1, w2) tuple order — one tie col
+        # reproduces SQL ORDER BY pmi DESC, w1, w2
+        out["_tie"] = out["w1"] + " " + out["w2"]
+        return out
+
+    scored = enriched.map_batches(score, batch_format="pandas")
+    top = top_k_per_group(scored, ["_g"], "pmi", k=k, ascending=False,
+                          tie_col="_tie")
+    return top.drop_columns(["_g", "_tie"])

@@ -1,0 +1,66 @@
+"""BM25 retrieval, token entropy, compression signal, PMI collocations."""
+
+import numpy as np
+import pyarrow as pa
+import ray.data as rd
+
+
+def _docs(texts):
+    return rd.from_arrow(pa.table({
+        "doc_id": pa.array(range(len(texts)), pa.int64()),
+        "text": pa.array(texts),
+    }))
+
+
+def test_bm25_ranks_matching_docs():
+    from sits_classification_ray.stages.textstats import bm25_topk
+    ds = _docs([
+        "hash join hash join hash",        # heavy on both terms
+        "hash table scan",                 # one term once
+        "merge sort only",                 # no match
+        "join order join",                 # one term twice
+    ]).repartition(2)
+    out = bm25_topk(ds, ["hash", "join"], k=10).to_pandas()
+    assert 2 not in out["doc_id"].tolist()  # non-matching doc absent
+    assert out["doc_id"].iloc[0] == 0       # strongest match first
+    assert (out["score"].to_numpy()[:-1]
+            >= out["score"].to_numpy()[1:]).all()
+
+
+def test_bm25_doc_length_normalization():
+    from sits_classification_ray.stages.textstats import bm25_topk
+    # same tf, shorter doc → higher score
+    ds = _docs(["hash " + "x " * 3 + "y",
+                "hash " + "x " * 40 + "y"])
+    out = bm25_topk(ds, ["hash"], k=2).to_pandas()
+    assert out["doc_id"].tolist() == [0, 1]
+
+
+def test_token_entropy_values():
+    from sits_classification_ray.stages.textstats import token_entropy
+    out = token_entropy(_docs(["a b a b", "a a a a", "a b c d"])) \
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    assert np.allclose(out["entropy"], [1.0, 0.0, 2.0])
+    assert out["n_distinct"].tolist() == [2, 1, 4]
+    assert np.allclose(out["ttr"], [0.5, 0.25, 1.0])
+
+
+def test_compression_signal_orders_repetitive_text():
+    from sits_classification_ray.stages.textstats import compression_signal
+    out = compression_signal(_docs(["spam " * 200,
+                                    "k9$q zX!f 7vLm pQ2r wY8t " * 40])) \
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    assert out["compression_ratio"][0] < out["compression_ratio"][1]
+    assert (out["raw_bytes"] > 0).all()
+
+
+def test_pmi_finds_collocation():
+    from sits_classification_ray.stages.textstats import pmi_bigrams
+    # "neural network" always together; fillers independent
+    texts = [("neural network " + "a b c d e f g h " * 3).strip()
+             for _ in range(10)]
+    out = pmi_bigrams(_docs(texts).repartition(3), k=5, min_count=5) \
+        .to_pandas()
+    assert out.iloc[0]["w1"] == "neural"
+    assert out.iloc[0]["w2"] == "network"
+    assert (out["pmi"].to_numpy()[:-1] >= out["pmi"].to_numpy()[1:]).all()
