@@ -859,3 +859,46 @@ def compression_signal_documents(docs: pd.DataFrame, level: int = 6
     return pd.DataFrame({"doc_id": docs["doc_id"].to_numpy(),
                          "raw_bytes": raw, "zlib_bytes": comp,
                          "compression_ratio": ratio})
+
+
+def pagerank_words_documents(docs: pd.DataFrame, damping: float = 0.85,
+                             iterations: int = 10) -> pd.DataFrame:
+    """Independent weighted PageRank over the word bigram graph —
+    replicates the engine's determinism contract exactly: per-node
+    sums via pandas groupby-sum over rows mergesort-sorted by
+    (node, _src), including the zero contribution row per node, so
+    every float operation has the identical order.
+    """
+    w1s, w2s = [], []
+    for t in docs["text"]:
+        toks = (t or "").lower().split(" ")
+        w1s.extend(toks[:-1])
+        w2s.extend(toks[1:])
+    edges = (pd.DataFrame({"w1": w1s, "w2": w2s})
+             .groupby(["w1", "w2"], sort=False).size()
+             .rename("n").reset_index())
+    edges["n"] = edges["n"].astype(np.int64)
+    nodes = np.unique(np.concatenate([edges["w1"].to_numpy(),
+                                      edges["w2"].to_numpy()]))
+    n_nodes = len(nodes)
+    teleport = (1.0 - damping) / float(n_nodes)
+    outw = edges.groupby("w1")["n"].sum()
+    edges = edges.assign(outw=edges["w1"].map(outw).astype(np.int64))
+    ranks = pd.Series(1.0 / float(n_nodes), index=nodes)
+    zeros = pd.DataFrame({"node": nodes, "_src": "", "c": 0.0})
+    for _ in range(iterations):
+        r = edges["w1"].map(ranks).to_numpy(np.float64)
+        w = edges["n"].to_numpy(np.float64)
+        ow = edges["outw"].to_numpy(np.float64)
+        contribs = pd.DataFrame({"node": edges["w2"].to_numpy(),
+                                 "_src": edges["w1"].to_numpy(),
+                                 "c": (r * w) / ow})
+        allc = pd.concat([contribs, zeros], ignore_index=True) \
+            .sort_values(["node", "_src"], kind="mergesort")
+        s = allc.groupby("node", sort=False)["c"].sum()
+        ranks = pd.Series(teleport + damping * s.to_numpy(np.float64),
+                          index=s.index)
+    # half-away-from-zero, same convention as the engine's sql_round
+    r = ranks.to_numpy(np.float64) * 1e6
+    r = np.copysign(np.floor(np.abs(r) + 0.5), r) / 1e6
+    return pd.DataFrame({"node": ranks.index.to_numpy(), "rank": r})

@@ -1003,6 +1003,43 @@ def _wow_change_crawl(sf_dir: str) -> rd.Dataset:
     return partitioned_map(weekly, kernel, url_col="url")
 
 
+def _scd2_intervals_crawl(sf_dir: str) -> rd.Dataset:
+    from sits_classification_ray.stages.windows import scd2_intervals
+
+    return scd2_intervals(
+        _obs(sf_dir).select_columns(["url", "warc_ts", "text_len"]))
+
+
+def _domain_share_daily(sf_dir: str) -> rd.Dataset:
+    """Share of each day's snapshot volume per domain. Day totals are a
+    tiny aggregate (one row per day) broadcast into the share map —
+    never a shuffle join on the low-cardinality day key."""
+    from sits_classification_ray.functions.transforms import sql_round
+
+    dd = _domain_daily_crawl(sf_dir).materialize()
+    totals = dict(dd.groupby("bucket_ts")
+                  .sum("n_snaps").to_pandas()
+                  .itertuples(index=False, name=None))
+
+    def share(df: pd.DataFrame) -> pd.DataFrame:
+        tot = df["bucket_ts"].map(totals).to_numpy(np.float64)
+        out = df[["domain", "bucket_ts", "n_snaps"]].copy(deep=False)
+        out["share"] = sql_round(
+            df["n_snaps"].to_numpy(np.float64) / tot, 6)
+        return out
+
+    return dd.map_batches(share, batch_format="pandas")
+
+
+def _pagerank_words_documents(sf_dir: str) -> rd.Dataset:
+    from sits_classification_ray.stages.graph import pagerank
+    from sits_classification_ray.stages.textstats import bigram_counts
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["text"])
+    return pagerank(bigram_counts(docs))
+
+
 _BM25_TERMS = ["hash", "join", "stream"]
 
 
@@ -1588,6 +1625,9 @@ def build_queries() -> dict[str, Callable[[str], Any]]:
         "token_entropy_documents": _token_entropy_documents,
         "compression_signal_documents": _compression_signal_documents,
         "pmi_bigrams_documents": _pmi_bigrams_documents,
+        "scd2_intervals_crawl": _scd2_intervals_crawl,
+        "domain_share_daily": _domain_share_daily,
+        "pagerank_words_documents": _pagerank_words_documents,
         "length_histogram_documents": _length_histogram_documents,
         "left_join_documents_embeddings": _left_join_documents_embeddings,
         "partition_extents_crawl": _partition_extents_crawl,
@@ -1658,7 +1698,7 @@ GOLDEN_QUERIES = [
     "incremental_near_dup_documents", "lttb_downsample_crawl",
     "ewma_crawl", "partition_extents_crawl",
     "holt_linear_crawl", "cusum_crawl", "reservoir_sample_events",
-    "compression_signal_documents",
+    "compression_signal_documents", "pagerank_words_documents",
 ]
 
 
@@ -2236,6 +2276,30 @@ SELECT w1, w2, n, pmi FROM (
   SELECT w1, w2, n, pmi,
          row_number() OVER (ORDER BY pmi DESC, w1, w2) AS rn
   FROM sc) WHERE rn <= 50""",
+        "scd2_intervals_crawl": f"""{CRAWL_PREFIX},
+lg2 AS (
+  SELECT url, warc_ts, text_len,
+         lag(text_len) OVER (PARTITION BY url ORDER BY warc_ts)
+             AS prev
+  FROM obs),
+st2 AS MATERIALIZED (
+  SELECT url, text_len, warc_ts AS valid_from FROM lg2
+  WHERE prev IS NULL OR text_len <> prev)
+SELECT url, text_len, valid_from,
+       lead(valid_from) OVER (PARTITION BY url ORDER BY valid_from)
+           AS valid_to
+FROM st2""",
+        "domain_share_daily": f"""{CRAWL_PREFIX},
+ddom AS MATERIALIZED (
+  SELECT regexp_extract(url, '^[a-z]+://([^/]+)', 1) AS domain,
+         CAST(date_trunc('day', warc_ts) AS TIMESTAMP) AS bucket_ts,
+         count(*) AS n_snaps
+  FROM obs GROUP BY 1, 2)
+SELECT domain, bucket_ts, n_snaps,
+       round(CAST(n_snaps AS DOUBLE)
+             / CAST(sum(n_snaps) OVER (PARTITION BY bucket_ts)
+                    AS DOUBLE), 6) AS share
+FROM ddom""",
         "cohort_retention_events": """
 WITH act AS MATERIALIZED (
   SELECT DISTINCT user_id,

@@ -418,3 +418,44 @@ def seasonal_baseline(ds_long: rd.Dataset, ndigits: int = 6
                    "baseline", "anomaly"]]
 
     return _bucketed(ds_long, kernel)
+
+
+def scd2_intervals(ds: rd.Dataset, key_col: str = "url",
+                   ts_col: str = "warc_ts", value_col: str = "text_len"
+                   ) -> rd.Dataset:
+    """Slowly-changing-dimension type-2 intervalization: collapse each
+    key's snapshot stream into validity intervals — one row per run of
+    equal values, ``valid_from`` = first snapshot of the run,
+    ``valid_to`` = start of the next run (null for the current value).
+    The warehouse-history primitive over a snapshot archive.
+
+    Kernel per salted key partition: one sort, run boundaries by
+    vectorized compare-to-previous, ``valid_to`` by shifting the run
+    starts — no per-key Python.
+    """
+    from sits_classification_ray.stages.shuffle import partitioned_map
+
+    def kernel(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values([key_col, ts_col], kind="mergesort")
+        keys = df[key_col].to_numpy()
+        vals = df[value_col].to_numpy()
+        n = len(df)
+        start = np.zeros(n, dtype=bool)
+        start[0:1] = True
+        start[1:] = (keys[1:] != keys[:-1]) | (vals[1:] != vals[:-1])
+        runs = df[start]
+        out = pd.DataFrame({
+            key_col: runs[key_col].to_numpy(),
+            value_col: runs[value_col].to_numpy(),
+            "valid_from": runs[ts_col].to_numpy(),
+        })
+        nxt = out["valid_from"].shift(-1)
+        # the last run of each KEY stays open (next row belongs to a
+        # different key)
+        same_key = np.zeros(len(out), dtype=bool)
+        k = out[key_col].to_numpy()
+        same_key[:-1] = k[:-1] == k[1:]
+        out["valid_to"] = nxt.where(pd.Series(same_key, index=out.index))
+        return out
+
+    return partitioned_map(ds, kernel, url_col=key_col)

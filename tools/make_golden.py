@@ -94,6 +94,8 @@ def make_for(sf_dir: str) -> None:
         "canonical_urls_crawl": lambda: golden.canonical_urls_crawl(obs),
         "compression_signal_documents":
             lambda: golden.compression_signal_documents(docs),
+        "pagerank_words_documents":
+            lambda: golden.pagerank_words_documents(docs),
         "reservoir_sample_events": lambda: golden.reservoir_sample_events(
             pd.read_parquet(f"{sf_dir}/events.parquet",
                             columns=["event_id", "event_type", "user_id",
