@@ -1040,6 +1040,61 @@ def _pagerank_words_documents(sf_dir: str) -> rd.Dataset:
     return pagerank(bigram_counts(docs))
 
 
+def _markov_transitions_events(sf_dir: str) -> rd.Dataset:
+    from sits_classification_ray.stages.behavior import markov_transitions
+
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["user_id", "ts", "event_id",
+                                  "event_type"])
+    return markov_transitions(ev)
+
+
+def _funnel_windowed_events(sf_dir: str) -> rd.Dataset:
+    from sits_classification_ray.stages.behavior import funnel
+
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["user_id", "ts", "event_type"])
+    return funnel(ev, _FUNNEL_STAGES, within=pd.Timedelta(days=2))
+
+
+def _cube_documents(sf_dir: str) -> rd.Dataset:
+    """OLAP cube over (lang, source): counts at every grouping-set
+    level, absent dimensions filled with 'ALL'. One tiny projected
+    table feeds all four groupbys."""
+    from ray.data.aggregate import Count
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["lang", "source"]).materialize()
+
+    def fill(ds: rd.Dataset, cols: list[str]) -> rd.Dataset:
+        def k(df: pd.DataFrame) -> pd.DataFrame:
+            out = pd.DataFrame({
+                "lang": df["lang"] if "lang" in cols else "ALL",
+                "source": df["source"] if "source" in cols else "ALL",
+                "n_docs": df["n_docs"].astype(np.int64),
+            })
+            return out
+        return ds.map_batches(k, batch_format="pandas")
+
+    both = fill(docs.groupby(["lang", "source"])
+                .aggregate(Count(alias_name="n_docs")),
+                ["lang", "source"])
+    by_lang = fill(docs.groupby("lang")
+                   .aggregate(Count(alias_name="n_docs")), ["lang"])
+    by_src = fill(docs.groupby("source")
+                  .aggregate(Count(alias_name="n_docs")), ["source"])
+
+    def total(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"lang": ["ALL"], "source": ["ALL"],
+                             "n_docs": np.int64(len(df))})
+
+    from ray.data.aggregate import Sum
+    grand = (docs.map_batches(total, batch_format="pandas")
+             .groupby(["lang", "source"])
+             .aggregate(Sum("n_docs", alias_name="n_docs")))
+    return both.union(by_lang).union(by_src).union(grand)
+
+
 _BM25_TERMS = ["hash", "join", "stream"]
 
 
@@ -1628,6 +1683,9 @@ def build_queries() -> dict[str, Callable[[str], Any]]:
         "scd2_intervals_crawl": _scd2_intervals_crawl,
         "domain_share_daily": _domain_share_daily,
         "pagerank_words_documents": _pagerank_words_documents,
+        "markov_transitions_events": _markov_transitions_events,
+        "funnel_windowed_events": _funnel_windowed_events,
+        "cube_documents": _cube_documents,
         "length_histogram_documents": _length_histogram_documents,
         "left_join_documents_embeddings": _left_join_documents_embeddings,
         "partition_extents_crawl": _partition_extents_crawl,
@@ -2300,6 +2358,51 @@ SELECT domain, bucket_ts, n_snaps,
              / CAST(sum(n_snaps) OVER (PARTITION BY bucket_ts)
                     AS DOUBLE), 6) AS share
 FROM ddom""",
+        "markov_transitions_events": """
+WITH seq AS MATERIALIZED (
+  SELECT user_id, event_type,
+         lead(event_type) OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS nxt
+  FROM events),
+cnt AS (
+  SELECT event_type AS from_type, nxt AS to_type, count(*) AS n
+  FROM seq WHERE nxt IS NOT NULL GROUP BY 1, 2)
+SELECT from_type, to_type, n,
+       round(CAST(n AS DOUBLE)
+             / CAST(sum(n) OVER (PARTITION BY from_type) AS DOUBLE),
+             6) AS p
+FROM cnt""",
+        "funnel_windowed_events": """
+WITH s1 AS MATERIALIZED (
+  SELECT user_id, min(ts) AS t FROM events
+  WHERE event_type = 'signup' GROUP BY 1),
+s2 AS MATERIALIZED (
+  SELECT e.user_id, min(e.ts) AS t FROM events e
+  JOIN s1 ON e.user_id = s1.user_id
+  WHERE e.event_type = 'view' AND e.ts > s1.t
+    AND e.ts <= s1.t + INTERVAL 2 DAY GROUP BY 1),
+s3 AS MATERIALIZED (
+  SELECT e.user_id, min(e.ts) AS t FROM events e
+  JOIN s2 ON e.user_id = s2.user_id
+  WHERE e.event_type = 'click' AND e.ts > s2.t
+    AND e.ts <= s2.t + INTERVAL 2 DAY GROUP BY 1),
+s4 AS MATERIALIZED (
+  SELECT e.user_id, min(e.ts) AS t FROM events e
+  JOIN s3 ON e.user_id = s3.user_id
+  WHERE e.event_type = 'purchase' AND e.ts > s3.t
+    AND e.ts <= s3.t + INTERVAL 2 DAY GROUP BY 1)
+SELECT CAST(1 AS BIGINT) AS stage_idx, 'signup' AS stage,
+       (SELECT count(*) FROM s1) AS n_users
+UNION ALL SELECT CAST(2 AS BIGINT), 'view', (SELECT count(*) FROM s2)
+UNION ALL SELECT CAST(3 AS BIGINT), 'click', (SELECT count(*) FROM s3)
+UNION ALL SELECT CAST(4 AS BIGINT), 'purchase',
+  (SELECT count(*) FROM s4)""",
+        "cube_documents": """
+SELECT COALESCE(lang, 'ALL') AS lang,
+       COALESCE(source, 'ALL') AS source,
+       count(*) AS n_docs
+FROM documents
+GROUP BY GROUPING SETS ((lang, source), (lang), (source), ())""",
         "cohort_retention_events": """
 WITH act AS MATERIALIZED (
   SELECT DISTINCT user_id,

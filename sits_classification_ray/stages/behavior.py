@@ -65,17 +65,19 @@ def cohort_retention(events: rd.Dataset, user_col: str = "user_id",
 
 def funnel(events: rd.Dataset, stages: list[str],
            user_col: str = "user_id", ts_col: str = "ts",
-           type_col: str = "event_type") -> rd.Dataset:
+           type_col: str = "event_type",
+           within: pd.Timedelta | None = None) -> rd.Dataset:
     """Ordered conversion funnel: a user reaches stage *k* iff an event
     of type ``stages[k]`` occurs STRICTLY AFTER their first qualifying
     stage *k−1* event (first-occurrence chaining, the standard funnel
-    definition). Returns one row per stage with the user count that
-    reached it.
+    definition) — and, when ``within`` is given, no later than
+    ``within`` after it (the conversion-window variant). Returns one
+    row per stage with the user count that reached it.
 
     Per-partition kernel is vectorized per *stage*, not per user:
     filter to the stage's events, inner-merge the previous stage's
-    first-hit timestamps, mask ``ts > prev``, group-min — four pandas
-    kernels per stage regardless of user count.
+    first-hit timestamps, mask ``ts > prev`` (and the window), group-min
+    — four pandas kernels per stage regardless of user count.
     """
     def proj(df: pd.DataFrame) -> pd.DataFrame:
         keep = df[df[type_col].isin(stages)]
@@ -95,7 +97,10 @@ def funnel(events: rd.Dataset, stages: list[str],
             # make the next groupby ambiguous
             prev = cur.rename("__prev").reset_index()
             nxt = df[df[type_col] == st].merge(prev, on=user_col)
-            nxt = nxt[nxt[ts_col] > nxt["__prev"]]
+            mask = nxt[ts_col] > nxt["__prev"]
+            if within is not None:
+                mask &= nxt[ts_col] <= nxt["__prev"] + within
+            nxt = nxt[mask]
             cur = nxt.groupby(user_col, sort=False)[ts_col].min()
             counts.append(len(cur))
         return pd.DataFrame({
@@ -124,3 +129,57 @@ def daily_active(events: rd.Dataset, user_col: str = "user_id",
     return (per_user.groupby("day")
             .aggregate(Count(alias_name="dau"),
                        Sum("n", alias_name="n_events")))
+
+
+def markov_transitions(events: rd.Dataset, user_col: str = "user_id",
+                       ts_col: str = "ts", type_col: str = "event_type",
+                       id_col: str = "event_id", round_to: int = 6
+                       ) -> rd.Dataset:
+    """First-order Markov transition matrix of event types along each
+    user's journey: count consecutive (from → to) pairs per user
+    (ordered by ``(ts, id)`` — the id breaks equal-timestamp ties
+    deterministically), then row-normalize to transition probabilities.
+
+    One salted exchange co-locates each user's history; the kernel
+    zips consecutive events vectorized; the count merge is a native
+    Sum over O(|types|²) rows; normalization happens in a final
+    single-pass kernel over that tiny matrix.
+    """
+    from ray.data.aggregate import Sum
+
+    from sits_classification_ray.functions.transforms import sql_round
+
+    def proj(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({user_col: df[user_col], ts_col: df[ts_col],
+                             id_col: df[id_col],
+                             type_col: df[type_col]})
+
+    proj_ds = events.map_batches(proj, batch_format="pandas")
+
+    def pairs(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values([user_col, ts_col, id_col],
+                            kind="mergesort")
+        u = df[user_col].to_numpy()
+        t = df[type_col].to_numpy()
+        same = u[1:] == u[:-1]
+        out = (pd.DataFrame({"from_type": t[:-1][same],
+                             "to_type": t[1:][same]})
+               .groupby(["from_type", "to_type"], sort=False).size()
+               .rename("n").reset_index())
+        out["n"] = out["n"].astype(np.int64)
+        return out
+
+    from sits_classification_ray.stages.shuffle import partitioned_map
+
+    partials = partitioned_map(proj_ds, pairs, keys=[user_col])
+    counts = (partials.groupby(["from_type", "to_type"])
+              .aggregate(Sum("n", alias_name="n")))
+
+    def normalize(df: pd.DataFrame) -> pd.DataFrame:
+        tot = df.groupby("from_type", sort=False)["n"].transform("sum")
+        out = df.copy(deep=False)
+        out["p"] = sql_round(df["n"].to_numpy(np.float64)
+                             / tot.to_numpy(np.float64), round_to)
+        return out
+
+    return partitioned_map(counts, normalize, keys=["from_type"])

@@ -106,3 +106,31 @@ def test_reservoir_sample_small_group():
     out = reservoir_sample(rd.from_arrow(t), ["event_type"], "event_id",
                            k=10).to_pandas()
     assert len(out) == 3
+
+
+def test_markov_transitions_probabilities():
+    from sits_classification_ray.stages.behavior import markov_transitions
+    ev = rd.from_arrow(pa.table({
+        "user_id": pa.array([1, 1, 1, 2, 2], pa.int64()),
+        "ts": pa.array([0, US_DAY, 2 * US_DAY, 0, US_DAY],
+                       pa.timestamp("us")),
+        "event_id": pa.array([1, 2, 3, 4, 5], pa.int64()),
+        "event_type": pa.array(["a", "b", "a", "a", "c"]),
+    })).repartition(2)
+    out = markov_transitions(ev).to_pandas() \
+        .sort_values(["from_type", "to_type"]).reset_index(drop=True)
+    # user1: a->b, b->a ; user2: a->c — no cross-user pair
+    assert out[["from_type", "to_type"]].values.tolist() == \
+        [["a", "b"], ["a", "c"], ["b", "a"]]
+    assert out["p"].tolist() == [0.5, 0.5, 1.0]
+
+
+def test_funnel_window_excludes_late_conversion():
+    from sits_classification_ray.stages.behavior import funnel
+    import pandas as pd
+    ev = _ev([(1, 0, "signup"), (1, 1, "view"),    # converts (1 day)
+              (2, 0, "signup"), (2, 5, "view")])   # too late (5 days)
+    out = funnel(ev, ["signup", "view"],
+                 within=pd.Timedelta(days=2)).to_pandas() \
+        .sort_values("stage_idx")
+    assert out["n_users"].tolist() == [2, 1]
