@@ -902,3 +902,19 @@ def pagerank_words_documents(docs: pd.DataFrame, damping: float = 0.85,
     r = ranks.to_numpy(np.float64) * 1e6
     r = np.copysign(np.floor(np.abs(r) + 0.5), r) / 1e6
     return pd.DataFrame({"node": ranks.index.to_numpy(), "rank": r})
+
+
+def source_mixture_documents(docs: pd.DataFrame) -> pd.DataFrame:
+    """Independent hash-threshold Bernoulli thinning (fixed-key pandas
+    SipHash, same contract as the reservoir sample): keep rows whose
+    hash fraction falls under the source's target weight."""
+    weights = {**{f"src{i}": 1.0 for i in range(5)},
+               **{f"src{i}": 0.5 for i in range(5, 10)},
+               **{f"src{i}": 0.1 for i in range(10, 15)}}
+    h = pd.util.hash_pandas_object(docs["doc_id"], index=False,
+                                   categorize=False).to_numpy()
+    frac = h.astype(np.float64) / float(2**64)
+    thr = (docs["source"].map(weights).fillna(0.0)
+           .to_numpy(dtype=np.float64))
+    out = docs[frac < thr][["doc_id", "source", "lang"]]
+    return out.reset_index(drop=True)

@@ -1095,6 +1095,32 @@ def _cube_documents(sf_dir: str) -> rd.Dataset:
     return both.union(by_lang).union(by_src).union(grand)
 
 
+#: mixture weights: full src0-4, half src5-9, tenth src10-14, drop rest
+_MIXTURE_WEIGHTS = {**{f"src{i}": 1.0 for i in range(5)},
+                    **{f"src{i}": 0.5 for i in range(5, 10)},
+                    **{f"src{i}": 0.1 for i in range(10, 15)}}
+
+
+def _source_mixture_documents(sf_dir: str) -> rd.Dataset:
+    from sits_classification_ray.stages.curation import weighted_mixture
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id", "source", "lang"])
+    return weighted_mixture(docs, _MIXTURE_WEIGHTS)
+
+
+def _decontaminate_documents(sf_dir: str) -> rd.Dataset:
+    from sits_classification_ray.stages.curation import decontaminate
+
+    import pyarrow.parquet as pq
+    bench = pq.read_table(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"],
+        filters=[("doc_id", "<", 5)]).sort_by("doc_id")
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id", "text"])
+    return decontaminate(docs, bench["text"].to_pylist(), k=8)
+
+
 _BM25_TERMS = ["hash", "join", "stream"]
 
 
@@ -1686,6 +1712,8 @@ def build_queries() -> dict[str, Callable[[str], Any]]:
         "markov_transitions_events": _markov_transitions_events,
         "funnel_windowed_events": _funnel_windowed_events,
         "cube_documents": _cube_documents,
+        "source_mixture_documents": _source_mixture_documents,
+        "decontaminate_documents": _decontaminate_documents,
         "length_histogram_documents": _length_histogram_documents,
         "left_join_documents_embeddings": _left_join_documents_embeddings,
         "partition_extents_crawl": _partition_extents_crawl,
@@ -1757,6 +1785,7 @@ GOLDEN_QUERIES = [
     "ewma_crawl", "partition_extents_crawl",
     "holt_linear_crawl", "cusum_crawl", "reservoir_sample_events",
     "compression_signal_documents", "pagerank_words_documents",
+    "source_mixture_documents",
 ]
 
 
@@ -2358,6 +2387,22 @@ SELECT domain, bucket_ts, n_snaps,
              / CAST(sum(n_snaps) OVER (PARTITION BY bucket_ts)
                     AS DOUBLE), 6) AS share
 FROM ddom""",
+        "decontaminate_documents": """
+WITH toks AS MATERIALIZED (
+  SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+sh AS MATERIALIZED (
+  SELECT doc_id, array_to_string(ts[s.i : s.i + 7], ' ') AS s
+  FROM toks CROSS JOIN LATERAL
+    (SELECT unnest(generate_series(1, len(ts) - 7)) AS i) s),
+bench AS MATERIALIZED (SELECT DISTINCT s FROM sh WHERE doc_id < 5),
+hits AS (
+  SELECT sh.doc_id, count(*) AS n_hits
+  FROM sh JOIN bench USING (s) GROUP BY 1),
+nw AS (SELECT doc_id, greatest(len(ts) - 7, 0) AS n_windows FROM toks)
+SELECT nw.doc_id, CAST(n_windows AS BIGINT) AS n_windows,
+       CAST(COALESCE(h.n_hits, 0) AS BIGINT) AS n_hits,
+       COALESCE(h.n_hits, 0) > 0 AS contaminated
+FROM nw LEFT JOIN hits h ON h.doc_id = nw.doc_id""",
         "markov_transitions_events": """
 WITH seq AS MATERIALIZED (
   SELECT user_id, event_type,

@@ -1,0 +1,114 @@
+"""Corpus-curation operators: data-mixture sampling and benchmark
+decontamination — the two remaining named stages of a public
+LLM-training-data pipeline (Dolma/Pile-style source mixing; eval-set
+n-gram decontamination) not covered by the dedup/quality families.
+
+Both are zero- or one-pass streaming ops: mixture sampling needs NO
+shuffle at all (membership is a pure hash predicate per row), and
+decontamination broadcasts the small benchmark shingle set once via
+``ray.put`` and scans the corpus in one vectorized pass.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray
+import ray.data as rd
+
+
+def weighted_mixture(ds: rd.Dataset, weights: dict[str, float],
+                     group_col: str = "source", id_col: str = "doc_id"
+                     ) -> rd.Dataset:
+    """Deterministic source-mixture sampling: keep each row of group
+    *g* iff ``SipHash(id) / 2⁶⁴ < weights[g]`` — an exact Bernoulli
+    thinning per source that is reproducible under ANY partitioning
+    and needs no shuffle, no counts pass, and no coordination (the
+    standard way public pipelines hit target mixture proportions).
+    Groups absent from ``weights`` are dropped (weight 0).
+    """
+    thresholds = {g: float(min(max(w, 0.0), 1.0))
+                  for g, w in weights.items()}
+
+    def keep(df: pd.DataFrame) -> pd.DataFrame:
+        h = pd.util.hash_pandas_object(df[id_col], index=False,
+                                       categorize=False).to_numpy()
+        frac = h.astype(np.float64) / float(2**64)
+        thr = (df[group_col].map(thresholds)
+               .fillna(0.0).to_numpy(dtype=np.float64))
+        return df[frac < thr]
+
+    return ds.map_batches(keep, batch_format="pandas")
+
+
+def _shingle_windows(texts, k: int):
+    """All k-token space-joined windows per text, vectorized: one
+    flat token array, one shifted-concat per window slot (k string
+    concats total per batch, not per row)."""
+    toks = pc.split_pattern(texts, " ")
+    lens = pc.list_value_length(toks).to_numpy(
+        zero_copy_only=False).astype(np.int64)
+    flat = pc.list_flatten(toks).to_numpy(zero_copy_only=False)
+    offsets = np.zeros(len(lens) + 1, dtype=np.int64)
+    np.cumsum(lens, out=offsets[1:])
+    n_win = np.maximum(lens - (k - 1), 0)
+    # window start indices into flat: per-row base offset + within-row
+    # position, both by vectorized repeat (no per-row Python)
+    total = int(n_win.sum())
+    row_base = np.repeat(offsets[:-1], n_win)
+    win_cum = np.concatenate([[0], np.cumsum(n_win)[:-1]])
+    within = np.arange(total, dtype=np.int64) - np.repeat(win_cum, n_win)
+    starts = row_base + within
+    if len(starts) == 0:
+        return np.array([], dtype=object), n_win
+    win = flat[starts].astype(object)
+    for j in range(1, k):
+        win = win + " "
+        win = win + flat[starts + j].astype(object)
+    return win, n_win
+
+
+def decontaminate(ds: rd.Dataset, benchmark_texts: list[str],
+                  k: int = 8, id_col: str = "doc_id",
+                  text_col: str = "text") -> rd.Dataset:
+    """Benchmark decontamination: per document, count how many of its
+    k-token windows appear verbatim in the benchmark set's shingle
+    vocabulary (the n-gram-overlap rule public pipelines apply before
+    training). Output: ``(id, n_windows, n_hits, contaminated)`` for
+    every input document.
+
+    The benchmark shingle set is built driver-side from the (small)
+    benchmark texts and broadcast ONCE via ``ray.put``; the corpus
+    passes through a single vectorized ``np.isin`` scan — exact string
+    comparison, no hashing, so there is no collision caveat.
+    """
+    bench_win, _ = _shingle_windows(pa.array(benchmark_texts), k)
+    bench_ref = ray.put(np.unique(bench_win.astype(str)))
+
+    class Scan:
+        def __init__(self):
+            self.bench = ray.get(bench_ref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            win, n_win = _shingle_windows(batch[text_col], k)
+            hit = np.isin(win.astype(str), self.bench) \
+                if len(win) else np.array([], dtype=bool)
+            bounds = np.zeros(len(batch) + 1, dtype=np.int64)
+            np.cumsum(n_win, out=bounds[1:])
+            hits = (np.add.reduceat(
+                np.concatenate([hit.astype(np.int64), [0]]),
+                bounds[:-1]) if len(batch) else
+                np.array([], dtype=np.int64))
+            hits[bounds[:-1] == bounds[1:]] = 0
+            return pa.table({
+                id_col: batch[id_col],
+                "n_windows": pa.array(n_win, pa.int64()),
+                "n_hits": pa.array(hits, pa.int64()),
+                "contaminated": pa.array(hits > 0),
+            })
+
+    return ds.map_batches(Scan, batch_format="pyarrow",
+                          zero_copy_batch=True, concurrency=(1, 8),
+                          num_cpus=1)

@@ -1,0 +1,44 @@
+"""Corpus curation: mixture sampling + decontamination."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray.data as rd
+
+
+def test_weighted_mixture_proportions_and_determinism():
+    from sits_classification_ray.stages.curation import weighted_mixture
+    n = 6000
+    t = pa.table({
+        "doc_id": pa.array(range(n), pa.int64()),
+        "source": pa.array(["a", "b", "c"][i % 3] for i in range(n)),
+    })
+    w = {"a": 1.0, "b": 0.5}   # c dropped
+    a = weighted_mixture(rd.from_arrow(t), w).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    b = weighted_mixture(rd.from_arrow(t).repartition(9), w).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b)  # partition invariant
+    by = a.groupby("source").size()
+    assert by["a"] == 2000                       # weight 1.0 keeps all
+    assert abs(by["b"] / 2000 - 0.5) < 0.05      # ≈ half
+    assert "c" not in by.index                   # weight 0 drops
+
+
+def test_decontaminate_flags_overlap():
+    from sits_classification_ray.stages.curation import decontaminate
+    bench = ["the quick brown fox jumps over the lazy dog tonight"]
+    docs = rd.from_arrow(pa.table({
+        "doc_id": pa.array([1, 2, 3], pa.int64()),
+        "text": pa.array([
+            # contains an 8-token window of the benchmark
+            "x quick brown fox jumps over the lazy dog y z",
+            "completely different words with no overlap at all here ok",
+            "short doc",                         # < 8 tokens, no window
+        ]),
+    })).repartition(2)
+    out = decontaminate(docs, bench, k=8).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    assert out["contaminated"].tolist() == [True, False, False]
+    assert out["n_hits"][0] >= 1
+    assert out["n_windows"][2] == 0

@@ -96,6 +96,8 @@ def make_for(sf_dir: str) -> None:
             lambda: golden.compression_signal_documents(docs),
         "pagerank_words_documents":
             lambda: golden.pagerank_words_documents(docs),
+        "source_mixture_documents":
+            lambda: golden.source_mixture_documents(docs),
         "reservoir_sample_events": lambda: golden.reservoir_sample_events(
             pd.read_parquet(f"{sf_dir}/events.parquet",
                             columns=["event_id", "event_type", "user_id",
