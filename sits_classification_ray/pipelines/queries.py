@@ -1095,6 +1095,67 @@ def _cube_documents(sf_dir: str) -> rd.Dataset:
     return both.union(by_lang).union(by_src).union(grand)
 
 
+def _user_sessions_events(sf_dir: str) -> rd.Dataset:
+    """Sessionize the events stream per user (1 h inactivity gap) and
+    coalesce to per-session intervals — the sessionize stage reused on
+    the user/event axis."""
+    from ray.data.aggregate import Count, Max, Min
+
+    from sits_classification_ray.stages.windows import sessionize
+
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["user_id", "ts"])
+    s = sessionize(ev, gap_seconds=3600, ts_col="ts",
+                   key_col="user_id")
+    return (s.groupby(["user_id", "session_id"])
+            .aggregate(Count(alias_name="n_events"),
+                       Min("ts", alias_name="session_start"),
+                       Max("ts", alias_name="session_end")))
+
+
+def _cumulative_users_daily(sf_dir: str) -> pd.DataFrame:
+    """Growth curve: cumulative distinct users by day. First-seen day
+    per user is one distributed Min groupby; the running total runs
+    over the tiny per-day table."""
+    from ray.data.aggregate import Count, Min
+
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["user_id", "ts"])
+
+    def proj(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"user_id": df["user_id"],
+                             "day": df["ts"].dt.floor("D")})
+
+    first = (ev.map_batches(proj, batch_format="pandas")
+             .groupby("user_id").aggregate(Min("day", alias_name="day")))
+    per_day = (first.groupby("day")
+               .aggregate(Count(alias_name="new_users")).to_pandas())
+    per_day = per_day.sort_values("day").reset_index(drop=True)
+    per_day["cumulative_users"] = per_day["new_users"].cumsum() \
+        .astype(np.int64)
+    per_day["new_users"] = per_day["new_users"].astype(np.int64)
+    return per_day
+
+
+def _full_join_documents_embeddings(sf_dir: str) -> rd.Dataset:
+    """Full-outer hash join: English docs ⟗ label≤2 embeddings — rows
+    survive from both unmatched sides (J2 completed across all join
+    types; left-outer covered by left_join_documents_embeddings)."""
+    from sits_classification_ray.stages.joins import hash_join
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id", "lang", "n_chars"]) \
+        .filter(expr="lang == 'en'")
+    emb = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                          columns=["vec_id", "label"]) \
+        .filter(expr="label <= 2")
+    # Ray's full_outer join coalesces the two key columns into the
+    # left key name — output carries one doc_id for both sides
+    out = hash_join(docs, emb, on="doc_id", right_on="vec_id",
+                    join_type="full_outer")
+    return out.select_columns(["doc_id", "lang", "n_chars", "label"])
+
+
 #: mixture weights: full src0-4, half src5-9, tenth src10-14, drop rest
 _MIXTURE_WEIGHTS = {**{f"src{i}": 1.0 for i in range(5)},
                     **{f"src{i}": 0.5 for i in range(5, 10)},
@@ -1714,6 +1775,9 @@ def build_queries() -> dict[str, Callable[[str], Any]]:
         "cube_documents": _cube_documents,
         "source_mixture_documents": _source_mixture_documents,
         "decontaminate_documents": _decontaminate_documents,
+        "user_sessions_events": _user_sessions_events,
+        "cumulative_users_daily": _cumulative_users_daily,
+        "full_join_documents_embeddings": _full_join_documents_embeddings,
         "length_histogram_documents": _length_histogram_documents,
         "left_join_documents_embeddings": _left_join_documents_embeddings,
         "partition_extents_crawl": _partition_extents_crawl,
@@ -2387,6 +2451,41 @@ SELECT domain, bucket_ts, n_snaps,
              / CAST(sum(n_snaps) OVER (PARTITION BY bucket_ts)
                     AS DOUBLE), 6) AS share
 FROM ddom""",
+        "user_sessions_events": """
+WITH gaps AS (
+  SELECT user_id, ts,
+         CASE WHEN ts - lag(ts) OVER
+                   (PARTITION BY user_id ORDER BY ts)
+                   > INTERVAL 1 HOUR THEN 1 ELSE 0 END AS brk
+  FROM events),
+sess AS (
+  SELECT user_id, ts,
+         CAST(sum(brk) OVER (PARTITION BY user_id ORDER BY ts
+                             ROWS UNBOUNDED PRECEDING) AS BIGINT)
+             AS session_id
+  FROM gaps)
+SELECT user_id, session_id, count(*) AS n_events,
+       min(ts) AS session_start, max(ts) AS session_end
+FROM sess GROUP BY 1, 2""",
+        "cumulative_users_daily": """
+WITH first_day AS (
+  SELECT user_id,
+         min(CAST(date_trunc('day', ts) AS TIMESTAMP)) AS day
+  FROM events GROUP BY 1),
+per_day AS (
+  SELECT day, count(*) AS new_users FROM first_day GROUP BY 1)
+SELECT day, new_users,
+       CAST(sum(new_users) OVER (ORDER BY day
+                                 ROWS UNBOUNDED PRECEDING) AS BIGINT)
+           AS cumulative_users
+FROM per_day""",
+        "full_join_documents_embeddings": """
+SELECT COALESCE(d.doc_id, e.vec_id) AS doc_id, d.lang, d.n_chars,
+       e.label
+FROM (SELECT doc_id, lang, n_chars FROM documents
+      WHERE lang = 'en') d
+FULL JOIN (SELECT vec_id, label FROM embeddings WHERE label <= 2) e
+  ON e.vec_id = d.doc_id""",
         "decontaminate_documents": """
 WITH toks AS MATERIALIZED (
   SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
