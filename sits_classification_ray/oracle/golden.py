@@ -918,3 +918,61 @@ def source_mixture_documents(docs: pd.DataFrame) -> pd.DataFrame:
            .to_numpy(dtype=np.float64))
     out = docs[frac < thr][["doc_id", "source", "lang"]]
     return out.reset_index(drop=True)
+
+
+def kmeans_embeddings(emb: pd.DataFrame, k: int = 8,
+                      iterations: int = 5, num_partitions: int = 64
+                      ) -> pd.DataFrame:
+    """Independent full-data Lloyd's k-means replicating the engine's
+    determinism contract bit-for-bit: fixed hash partitions
+    (``pd.util.hash_array(id) % P``), per-partition id-sorted
+    ``np.add.at`` accumulation, merge sorted by (cluster, dim, pid),
+    argmin ties to the smaller cluster, empty clusters keep their
+    centroid."""
+    ids = emb["vec_id"].to_numpy(np.int64)
+    seed = emb[emb["vec_id"] < k].sort_values("vec_id")
+    C = np.stack([np.asarray(v, dtype=np.float64)
+                  for v in seed["embedding"]])
+    d = C.shape[1]
+    pid_all = (pd.util.hash_array(ids, categorize=False)
+               % np.uint64(num_partitions)).astype(np.int64)
+
+    def assign_of(X, Cm):
+        d2 = (X ** 2).sum(1)[:, None] - 2.0 * (X @ Cm.T) \
+            + (Cm ** 2).sum(1)[None, :]
+        return np.argmin(d2, axis=1)
+
+    for _ in range(iterations):
+        parts = []
+        for pid in np.unique(pid_all):
+            sub = emb[pid_all == pid].sort_values("vec_id",
+                                                  kind="mergesort")
+            X = np.stack([np.asarray(v, dtype=np.float64)
+                          for v in sub["embedding"]])
+            a = assign_of(X, C)
+            acc = np.zeros((k, d), dtype=np.float64)
+            np.add.at(acc, a, X)
+            cnt = np.bincount(a, minlength=k).astype(np.int64)
+            pf = pd.DataFrame({
+                "pid": np.repeat(np.int64(pid), k * d),
+                "cluster": np.repeat(np.arange(k, dtype=np.int64), d),
+                "dim": np.tile(np.arange(d, dtype=np.int64), k),
+                "s": acc.ravel(),
+                "n": np.repeat(cnt, d),
+            })
+            parts.append(pf[pf["n"] > 0])
+        partials = pd.concat(parts, ignore_index=True).sort_values(
+            ["cluster", "dim", "pid"], kind="mergesort")
+        g = partials.groupby(["cluster", "dim"], sort=True)
+        s = g["s"].sum()
+        n = g["n"].sum()
+        C_new = C.copy()
+        for (ci, di), sv in s.items():
+            nv = n[(ci, di)]
+            if nv > 0:
+                C_new[ci, di] = sv / float(nv)
+        C = C_new
+    X = np.stack([np.asarray(v, dtype=np.float64)
+                  for v in emb["embedding"]])
+    return pd.DataFrame({"vec_id": ids,
+                         "cluster": assign_of(X, C).astype(np.int64)})

@@ -1095,6 +1095,14 @@ def _cube_documents(sf_dir: str) -> rd.Dataset:
     return both.union(by_lang).union(by_src).union(grand)
 
 
+def _kmeans_embeddings(sf_dir: str) -> rd.Dataset:
+    from sits_classification_ray.stages.similarity import kmeans_assign
+
+    emb = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                          columns=["vec_id", "embedding"])
+    return kmeans_assign(emb, k=8, iterations=5)
+
+
 def _user_sessions_events(sf_dir: str) -> rd.Dataset:
     """Sessionize the events stream per user (1 h inactivity gap) and
     coalesce to per-session intervals — the sessionize stage reused on
@@ -1778,6 +1786,7 @@ def build_queries() -> dict[str, Callable[[str], Any]]:
         "user_sessions_events": _user_sessions_events,
         "cumulative_users_daily": _cumulative_users_daily,
         "full_join_documents_embeddings": _full_join_documents_embeddings,
+        "kmeans_embeddings": _kmeans_embeddings,
         "length_histogram_documents": _length_histogram_documents,
         "left_join_documents_embeddings": _left_join_documents_embeddings,
         "partition_extents_crawl": _partition_extents_crawl,
@@ -1849,7 +1858,7 @@ GOLDEN_QUERIES = [
     "ewma_crawl", "partition_extents_crawl",
     "holt_linear_crawl", "cusum_crawl", "reservoir_sample_events",
     "compression_signal_documents", "pagerank_words_documents",
-    "source_mixture_documents",
+    "source_mixture_documents", "kmeans_embeddings",
 ]
 
 

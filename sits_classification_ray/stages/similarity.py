@@ -281,3 +281,96 @@ def nearest_centroid_predict(ds: rd.Dataset, centroids_long: rd.Dataset,
 
     return ds.map_batches(Predict, batch_format="pandas",
                           concurrency=(1, 8), num_cpus=1)
+
+
+# --- distributed Lloyd's k-means (full data, not a sample) ---------------
+
+def kmeans_assign(ds: rd.Dataset, k: int = 8, iterations: int = 5,
+                  num_partitions: int = 64, id_col: str = "vec_id",
+                  vec_col: str = "embedding") -> rd.Dataset:
+    """Full-dataset Lloyd's k-means: every iteration streams ALL
+    vectors through an assignment + partial-sum pass; only O(P·k·d)
+    partial rows ever reach the driver (the standard scalable k-means
+    shape — contrast :func:`train_centroids`, which clusters a bounded
+    driver-side sample for IVF seeding).
+
+    Returns the final cluster assignment ``(id, cluster)``.
+
+    Determinism contract (bit-exact under any block order, enabling a
+    golden-file oracle for an iterative float algorithm):
+
+    - seeds = the vectors with the ``k`` smallest ids;
+    - partials are computed per FIXED hash partition
+      (``hash(id) % num_partitions`` — pinned, NOT CPU-derived), rows
+      sorted by id inside the partition, per-cluster sums accumulated
+      in that row order (``np.add.at``);
+    - the tiny merge sums partition partials sorted by
+      (cluster, dim, partition id);
+    - argmin ties break to the smaller cluster index (np.argmin).
+
+    Empty clusters keep their previous centroid.
+    """
+    from sits_classification_ray.stages.shuffle import partitioned_map
+
+    seed_df = ds.filter(expr=f"{id_col} < {k}").to_pandas() \
+        .sort_values(id_col)
+    C = np.stack([np.asarray(v, dtype=np.float64)
+                  for v in seed_df[vec_col]])
+    d = C.shape[1]
+    P = num_partitions
+
+    def make_partial(C_now: np.ndarray):
+        def partial(df: pd.DataFrame) -> pd.DataFrame:
+            df = df.sort_values(id_col, kind="mergesort")
+            X = np.stack([np.asarray(v, dtype=np.float64)
+                          for v in df[vec_col]])
+            d2 = (X ** 2).sum(1)[:, None] - 2.0 * (X @ C_now.T) \
+                + (C_now ** 2).sum(1)[None, :]
+            a = np.argmin(d2, axis=1)
+            # partition id: same single-key hash the exchange used
+            pid = int(pd.util.hash_array(
+                df[id_col].to_numpy()[:1], categorize=False)[0]
+                % np.uint64(P))
+            acc = np.zeros((k, d), dtype=np.float64)
+            np.add.at(acc, a, X)
+            cnt = np.bincount(a, minlength=k).astype(np.int64)
+            rows = {
+                "pid": np.repeat(np.int64(pid), k * d),
+                "cluster": np.repeat(np.arange(k, dtype=np.int64), d),
+                "dim": np.tile(np.arange(d, dtype=np.int64), k),
+                "s": acc.ravel(),
+                "n": np.repeat(cnt, d),
+            }
+            out = pd.DataFrame(rows)
+            return out[out["n"] > 0]
+
+        return partial
+
+    for _ in range(iterations):
+        partials = partitioned_map(
+            ds, make_partial(C), keys=[id_col],
+            num_partitions=P).to_pandas()
+        partials = partials.sort_values(["cluster", "dim", "pid"],
+                                        kind="mergesort")
+        g = partials.groupby(["cluster", "dim"], sort=True)
+        s = g["s"].sum()
+        n = g["n"].sum()
+        C_new = C.copy()
+        for (ci, di), sv in s.items():
+            nv = n[(ci, di)]
+            if nv > 0:
+                C_new[ci, di] = sv / float(nv)
+        C = C_new
+
+    C_fin = C
+
+    def assign(df: pd.DataFrame) -> pd.DataFrame:
+        X = np.stack([np.asarray(v, dtype=np.float64)
+                      for v in df[vec_col]])
+        d2 = (X ** 2).sum(1)[:, None] - 2.0 * (X @ C_fin.T) \
+            + (C_fin ** 2).sum(1)[None, :]
+        return pd.DataFrame({id_col: df[id_col].to_numpy(),
+                             "cluster": np.argmin(d2, axis=1)
+                             .astype(np.int64)})
+
+    return ds.map_batches(assign, batch_format="pandas")

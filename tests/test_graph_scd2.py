@@ -76,3 +76,28 @@ def test_scd2_runs():
     assert pd.isna(u["valid_to"].iloc[2])  # open interval
     v = out[out["url"] == "v"]
     assert len(v) == 1 and pd.isna(v["valid_to"].iloc[0])
+
+
+def test_kmeans_partition_invariant_and_separates():
+    from sits_classification_ray.stages.similarity import kmeans_assign
+    rng = np.random.default_rng(11)
+    # two well-separated blobs in 8-d
+    a_pts = rng.normal(0.0, 0.3, size=(60, 8)).astype(np.float32)
+    b_pts = rng.normal(5.0, 0.3, size=(60, 8)).astype(np.float32)
+    X = np.concatenate([a_pts, b_pts])
+    order = rng.permutation(120)
+    t = pa.table({
+        "vec_id": pa.array(np.arange(120)[order], pa.int64()),
+        "embedding": pa.array([X[i].tolist() for i in order],
+                              pa.list_(pa.float32())),
+    })
+    out1 = kmeans_assign(rd.from_arrow(t), k=2, iterations=4) \
+        .to_pandas().sort_values("vec_id").reset_index(drop=True)
+    out2 = kmeans_assign(rd.from_arrow(t).repartition(9), k=2,
+                         iterations=4) \
+        .to_pandas().sort_values("vec_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(out1, out2)  # block-order invariant
+    lbl = out1.set_index("vec_id")["cluster"]
+    blob_a = {lbl[i] for i in range(60)}
+    blob_b = {lbl[i] for i in range(60, 120)}
+    assert len(blob_a) == 1 and len(blob_b) == 1 and blob_a != blob_b

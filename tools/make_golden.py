@@ -98,6 +98,7 @@ def make_for(sf_dir: str) -> None:
             lambda: golden.pagerank_words_documents(docs),
         "source_mixture_documents":
             lambda: golden.source_mixture_documents(docs),
+        "kmeans_embeddings": lambda: golden.kmeans_embeddings(emb),
         "reservoir_sample_events": lambda: golden.reservoir_sample_events(
             pd.read_parquet(f"{sf_dir}/events.parquet",
                             columns=["event_id", "event_type", "user_id",
