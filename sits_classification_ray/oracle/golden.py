@@ -976,3 +976,88 @@ def kmeans_embeddings(emb: pd.DataFrame, k: int = 8,
                   for v in emb["embedding"]])
     return pd.DataFrame({"vec_id": ids,
                          "cluster": assign_of(X, C).astype(np.int64)})
+
+
+def pq_topk_embeddings(emb: pd.DataFrame, m: int = 8, ks: int = 16,
+                       iterations: int = 3, num_partitions: int = 64,
+                       k: int = 10) -> pd.DataFrame:
+    """Independent PQ train/encode/ADC replicating the engine's
+    determinism contract (fixed hash partitions, id-sorted sums,
+    (sub, cluster, dim, pid)-sorted merge, argmin tie to smaller
+    code, half-away rounding of adc_d2)."""
+    ids = emb["vec_id"].to_numpy(np.int64)
+    X_all = np.stack([np.asarray(v, dtype=np.float64)
+                      for v in emb["embedding"]])
+    d = X_all.shape[1]
+    sub_d = d // m
+    seed = emb[emb["vec_id"] < ks].sort_values("vec_id")
+    seeds = np.stack([np.asarray(v, dtype=np.float64)
+                      for v in seed["embedding"]])
+    C = np.stack([seeds[:, j * sub_d:(j + 1) * sub_d]
+                  for j in range(m)])
+    pid_all = (pd.util.hash_array(ids, categorize=False)
+               % np.uint64(num_partitions)).astype(np.int64)
+
+    for _ in range(iterations):
+        frames = []
+        for pid in np.unique(pid_all):
+            sel = pid_all == pid
+            sub = emb[sel].sort_values("vec_id", kind="mergesort")
+            X = np.stack([np.asarray(v, dtype=np.float64)
+                          for v in sub["embedding"]])
+            for j in range(m):
+                Xj = X[:, j * sub_d:(j + 1) * sub_d]
+                Cj = C[j]
+                d2 = (Xj ** 2).sum(1)[:, None] - 2.0 * (Xj @ Cj.T) \
+                    + (Cj ** 2).sum(1)[None, :]
+                a = np.argmin(d2, axis=1)
+                acc = np.zeros((ks, sub_d), dtype=np.float64)
+                np.add.at(acc, a, Xj)
+                cnt = np.bincount(a, minlength=ks).astype(np.int64)
+                f = pd.DataFrame({
+                    "pid": np.repeat(np.int64(pid), ks * sub_d),
+                    "sub": np.repeat(np.int64(j), ks * sub_d),
+                    "cluster": np.repeat(
+                        np.arange(ks, dtype=np.int64), sub_d),
+                    "dim": np.tile(np.arange(sub_d, dtype=np.int64),
+                                   ks),
+                    "s": acc.ravel(),
+                    "n": np.repeat(cnt, sub_d),
+                })
+                frames.append(f[f["n"] > 0])
+        partials = pd.concat(frames, ignore_index=True).sort_values(
+            ["sub", "cluster", "dim", "pid"], kind="mergesort")
+        g = partials.groupby(["sub", "cluster", "dim"], sort=True)
+        s = g["s"].sum()
+        n = g["n"].sum()
+        C_new = C.copy()
+        for (j, ci, di), sv in s.items():
+            nv = n[(j, ci, di)]
+            if nv > 0:
+                C_new[j, ci, di] = sv / float(nv)
+        C = C_new
+
+    codes = np.empty((len(emb), m), dtype=np.int64)
+    for j in range(m):
+        Xj = X_all[:, j * sub_d:(j + 1) * sub_d]
+        Cj = C[j]
+        d2 = (Xj ** 2).sum(1)[:, None] - 2.0 * (Xj @ Cj.T) \
+            + (Cj ** 2).sum(1)[None, :]
+        codes[:, j] = np.argmin(d2, axis=1)
+
+    q_df = emb[emb["vec_id"] < 3].sort_values("vec_id")
+    rows = []
+    for r in q_df.itertuples(index=False):
+        q = np.asarray(r.embedding, dtype=np.float64)
+        tab = np.stack([((q[j * sub_d:(j + 1) * sub_d][None, :]
+                          - C[j]) ** 2).sum(1) for j in range(m)])
+        d2 = tab[np.arange(m)[None, :], codes].sum(1)
+        d2r = d2 * 1e6
+        d2r = np.copysign(np.floor(np.abs(d2r) + 0.5), d2r) / 1e6
+        order = np.lexsort((ids, d2r))[:k]
+        rows.append(pd.DataFrame({
+            "query_id": np.repeat(np.int64(r.vec_id), len(order)),
+            "vec_id": ids[order],
+            "adc_d2": d2r[order],
+        }))
+    return pd.concat(rows, ignore_index=True)

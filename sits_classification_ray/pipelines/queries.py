@@ -1095,6 +1095,23 @@ def _cube_documents(sf_dir: str) -> rd.Dataset:
     return both.union(by_lang).union(by_src).union(grand)
 
 
+def _pq_topk_embeddings(sf_dir: str) -> rd.Dataset:
+    """PQ/ADC approximate top-10: train 8×16 codebooks, encode to
+    8-byte codes, asymmetric-distance scan for query ids 0-2."""
+    from sits_classification_ray.stages.pq import (pq_encode, pq_topk,
+                                                   train_pq_codebooks)
+
+    emb = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                          columns=["vec_id", "embedding"])
+    cb = train_pq_codebooks(emb, m=8, ks=16, iterations=3)
+    q_df = emb.filter(expr="vec_id < 3").to_pandas() \
+        .sort_values("vec_id")
+    queries = {int(r.vec_id): np.asarray(r.embedding, dtype=np.float64)
+               for r in q_df.itertuples(index=False)}
+    codes = pq_encode(emb, cb)
+    return pq_topk(codes, cb, queries, k=10)
+
+
 def _kmeans_embeddings(sf_dir: str) -> rd.Dataset:
     from sits_classification_ray.stages.similarity import kmeans_assign
 
@@ -1787,6 +1804,7 @@ def build_queries() -> dict[str, Callable[[str], Any]]:
         "cumulative_users_daily": _cumulative_users_daily,
         "full_join_documents_embeddings": _full_join_documents_embeddings,
         "kmeans_embeddings": _kmeans_embeddings,
+        "pq_topk_embeddings": _pq_topk_embeddings,
         "length_histogram_documents": _length_histogram_documents,
         "left_join_documents_embeddings": _left_join_documents_embeddings,
         "partition_extents_crawl": _partition_extents_crawl,
@@ -1859,6 +1877,7 @@ GOLDEN_QUERIES = [
     "holt_linear_crawl", "cusum_crawl", "reservoir_sample_events",
     "compression_signal_documents", "pagerank_words_documents",
     "source_mixture_documents", "kmeans_embeddings",
+    "pq_topk_embeddings",
 ]
 
 

@@ -101,3 +101,29 @@ def test_kmeans_partition_invariant_and_separates():
     blob_a = {lbl[i] for i in range(60)}
     blob_b = {lbl[i] for i in range(60, 120)}
     assert len(blob_a) == 1 and len(blob_b) == 1 and blob_a != blob_b
+
+
+def test_pq_recall_against_exact():
+    from sits_classification_ray.stages.pq import (pq_encode, pq_topk,
+                                                   train_pq_codebooks)
+    rng = np.random.default_rng(21)
+    n, d = 300, 16
+    X = rng.normal(size=(n, d)).astype(np.float32)
+    t = pa.table({
+        "vec_id": pa.array(range(n), pa.int64()),
+        "embedding": pa.array([x.tolist() for x in X],
+                              pa.list_(pa.float32())),
+    })
+    ds = rd.from_arrow(t).repartition(4)
+    cb = train_pq_codebooks(ds, m=4, ks=16, iterations=3)
+    assert cb.shape == (4, 16, 4)
+    codes = pq_encode(ds, cb)
+    q = {0: X[0].astype(np.float64)}
+    out = pq_topk(codes, cb, q, k=10).to_pandas()
+    assert len(out) == 10
+    # ADC of the query against itself is the smallest-possible code
+    # distance — the query vector must appear in its own top-10
+    assert 0 in out["vec_id"].tolist()
+    # exact top-10 by L2 for recall sanity: ≥ 4 of 10 overlap
+    exact = np.argsort(((X.astype(np.float64) - X[0]) ** 2).sum(1))[:10]
+    assert len(set(out["vec_id"]) & set(exact.tolist())) >= 4
