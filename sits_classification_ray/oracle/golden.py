@@ -1061,3 +1061,49 @@ def pq_topk_embeddings(emb: pd.DataFrame, m: int = 8, ks: int = 16,
             "adc_d2": d2r[order],
         }))
     return pd.concat(rows, ignore_index=True)
+
+
+def bpe_merges_documents(docs: pd.DataFrame, n_merges: int = 30
+                         ) -> pd.DataFrame:
+    """Independent BPE merge training: exact word frequencies via a
+    pandas value_counts, then greedy merges with the same
+    deterministic rule (count DESC, pair lexicographic ASC). Integer
+    counts ⇒ order of accumulation is irrelevant."""
+    toks: list = []
+    for t in docs["text"]:
+        toks.extend((t or "").lower().split(" "))
+    vc = pd.Series(toks).value_counts()
+    words = {w: [tuple(w), int(f)] for w, f in vc.items()}
+
+    merges = []
+    for rank in range(n_merges):
+        counts: dict = {}
+        for sym, f in words.values():
+            for i in range(len(sym) - 1):
+                p = (sym[i], sym[i + 1])
+                counts[p] = counts.get(p, 0) + f
+        if not counts:
+            break
+        (left, right), cnt = min(
+            counts.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1]))
+        merges.append((rank, left, right, cnt))
+        joined = left + right
+        for w, (sym, f) in words.items():
+            if left not in sym:
+                continue
+            out = []
+            i = 0
+            while i < len(sym):
+                if (i < len(sym) - 1 and sym[i] == left
+                        and sym[i + 1] == right):
+                    out.append(joined)
+                    i += 2
+                else:
+                    out.append(sym[i])
+                    i += 1
+            words[w][0] = tuple(out)
+    out = pd.DataFrame(merges,
+                       columns=["rank", "left", "right", "count"])
+    out["rank"] = out["rank"].astype(np.int64)
+    out["count"] = out["count"].astype(np.int64)
+    return out

@@ -1095,6 +1095,46 @@ def _cube_documents(sf_dir: str) -> rd.Dataset:
     return both.union(by_lang).union(by_src).union(grand)
 
 
+def _rolling_mean_time_crawl(sf_dir: str) -> rd.Dataset:
+    from sits_classification_ray.stages.windows import rolling_mean_time
+
+    out = rolling_mean_time(_obs_long(sf_dir), window_seconds=86400)
+    return out.select_columns(["url", "metric", "warc_ts", "value",
+                               "rolling_mean_24h"])
+
+
+_UPSERT_CUTOFF = "2024-01-25"
+
+
+def _merge_upsert_crawl(sf_dir: str) -> rd.Dataset:
+    """Warehouse MERGE: latest snapshot per url after applying an
+    update batch (late-window snapshots with corrected text_len)."""
+    from sits_classification_ray.stages.windows import merge_upsert
+
+    cur = _obs(sf_dir).select_columns(["url", "warc_ts", "text_len"])
+
+    cutoff = np.datetime64(_UPSERT_CUTOFF, "us")
+
+    def mk_updates(df: pd.DataFrame) -> pd.DataFrame:
+        sel = df[df["warc_ts"].to_numpy().astype("datetime64[us]")
+                 >= cutoff]
+        out = sel[["url", "warc_ts"]].copy(deep=False)
+        out["text_len"] = sel["text_len"].astype(np.int64) + 1000
+        return out
+
+    upd = _obs(sf_dir).map_batches(mk_updates, batch_format="pandas")
+    return merge_upsert(cur, upd, key_cols=["url"],
+                        version_col="warc_ts")
+
+
+def _bpe_merges_documents(sf_dir: str) -> pd.DataFrame:
+    from sits_classification_ray.stages.textstats import bpe_merges
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["text"])
+    return bpe_merges(docs, n_merges=30)
+
+
 def _pq_topk_embeddings(sf_dir: str) -> rd.Dataset:
     """PQ/ADC approximate top-10: train 8×16 codebooks, encode to
     8-byte codes, asymmetric-distance scan for query ids 0-2."""
@@ -1805,6 +1845,9 @@ def build_queries() -> dict[str, Callable[[str], Any]]:
         "full_join_documents_embeddings": _full_join_documents_embeddings,
         "kmeans_embeddings": _kmeans_embeddings,
         "pq_topk_embeddings": _pq_topk_embeddings,
+        "rolling_mean_time_crawl": _rolling_mean_time_crawl,
+        "merge_upsert_crawl": _merge_upsert_crawl,
+        "bpe_merges_documents": _bpe_merges_documents,
         "length_histogram_documents": _length_histogram_documents,
         "left_join_documents_embeddings": _left_join_documents_embeddings,
         "partition_extents_crawl": _partition_extents_crawl,
@@ -1877,7 +1920,7 @@ GOLDEN_QUERIES = [
     "holt_linear_crawl", "cusum_crawl", "reservoir_sample_events",
     "compression_signal_documents", "pagerank_words_documents",
     "source_mixture_documents", "kmeans_embeddings",
-    "pq_topk_embeddings",
+    "pq_topk_embeddings", "bpe_merges_documents",
 ]
 
 
@@ -2479,6 +2522,24 @@ SELECT domain, bucket_ts, n_snaps,
              / CAST(sum(n_snaps) OVER (PARTITION BY bucket_ts)
                     AS DOUBLE), 6) AS share
 FROM ddom""",
+        "rolling_mean_time_crawl": f"""{CRAWL_PREFIX}
+SELECT url, metric, warc_ts, value,
+       round(avg(value) OVER (
+           PARTITION BY url, metric ORDER BY warc_ts
+           RANGE BETWEEN INTERVAL 24 HOUR PRECEDING AND CURRENT ROW),
+         6) AS rolling_mean_24h
+FROM obs_long""",
+        "merge_upsert_crawl": f"""{CRAWL_PREFIX},
+cur AS (SELECT url, warc_ts, text_len, 0 AS upd FROM obs),
+updv AS (SELECT url, warc_ts, text_len + 1000 AS text_len, 1 AS upd
+         FROM obs WHERE warc_ts >= TIMESTAMP '2024-01-25'),
+uni AS (SELECT * FROM cur UNION ALL SELECT * FROM updv),
+rk AS (SELECT url, warc_ts, text_len,
+              row_number() OVER (PARTITION BY url
+                                 ORDER BY warc_ts DESC, upd DESC) AS rn
+       FROM uni)
+SELECT url, warc_ts, CAST(text_len AS BIGINT) AS text_len
+FROM rk WHERE rn = 1""",
         "user_sessions_events": """
 WITH gaps AS (
   SELECT user_id, ts,

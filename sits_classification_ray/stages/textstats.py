@@ -1101,3 +1101,60 @@ def pmi_bigrams(ds: rd.Dataset, k: int = 50, min_count: int = 5,
     top = top_k_per_group(scored, ["_g"], "pmi", k=k, ascending=False,
                           tie_col="_tie")
     return top.drop_columns(["_g", "_tie"])
+
+
+# --- BPE tokenizer training ----------------------------------------------
+
+def bpe_merges(ds: rd.Dataset, n_merges: int = 30,
+               text_col: str = "text") -> pd.DataFrame:
+    """Train byte-pair-encoding merge rules (Sennrich et al. 2016)
+    over the corpus: the scale-heavy step — exact word frequencies —
+    is the distributed :func:`token_counts` combiner; the merge loop
+    then runs over that (vocabulary-sized) table driver-side, exactly
+    how production tokenizer training splits the work.
+
+    Deterministic: the best pair each round is (count DESC, left ASC,
+    right ASC). Returns ``(rank, left, right, count)`` for the first
+    ``n_merges`` rules.
+    """
+    vocab = token_counts(ds, text_col).to_pandas()
+    vocab = vocab.sort_values("token", kind="mergesort")
+    words = [tuple(w) for w in vocab["token"]]
+    freqs = vocab["n"].to_numpy(np.int64)
+
+    merges = []
+    for rank in range(n_merges):
+        counts: dict = {}
+        for w, f in zip(words, freqs):
+            for i in range(len(w) - 1):
+                p = (w[i], w[i + 1])
+                counts[p] = counts.get(p, 0) + int(f)
+        if not counts:
+            break
+        best = min(counts.items(),
+                   key=lambda kv: (-kv[1], kv[0][0], kv[0][1]))
+        (left, right), cnt = best
+        merges.append((rank, left, right, cnt))
+        merged = left + right
+        new_words = []
+        for w in words:
+            if left not in w:
+                new_words.append(w)
+                continue
+            out = []
+            i = 0
+            while i < len(w):
+                if i < len(w) - 1 and w[i] == left and w[i + 1] == right:
+                    out.append(merged)
+                    i += 2
+                else:
+                    out.append(w[i])
+                    i += 1
+            new_words.append(tuple(out))
+        words = new_words
+
+    out = pd.DataFrame(merges,
+                       columns=["rank", "left", "right", "count"])
+    out["rank"] = out["rank"].astype(np.int64)
+    out["count"] = out["count"].astype(np.int64)
+    return out

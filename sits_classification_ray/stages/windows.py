@@ -459,3 +459,75 @@ def scd2_intervals(ds: rd.Dataset, key_col: str = "url",
         return out
 
     return partitioned_map(ds, kernel, url_col=key_col)
+
+
+def rolling_mean_time(ds_long: rd.Dataset, window_seconds: int = 86400,
+                      out_col: str = "rolling_mean_24h",
+                      round_to: int = 6) -> rd.Dataset:
+    """Time-RANGE rolling mean per series: for each observation, the
+    mean of all values in ``[ts − window, ts]`` of the same series —
+    SQL ``RANGE BETWEEN INTERVAL ... PRECEDING AND CURRENT ROW``
+    semantics (contrast :func:`rolling_mean`'s ROWS window).
+
+    Vectorized per series run: prefix sums + one ``searchsorted`` for
+    the window's left edge — O(n log n) per partition, no per-row
+    Python.
+    """
+    from sits_classification_ray.functions.transforms import sql_round
+
+    win_us = window_seconds * 1_000_000
+
+    def kernel(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["url", "metric", "warc_ts"],
+                            kind="mergesort").copy()
+        ts = df["warc_ts"].to_numpy().astype("datetime64[us]") \
+            .astype(np.int64)
+        vals = df["value"].to_numpy(np.float64)
+        urls = df["url"].to_numpy()
+        mets = df["metric"].to_numpy()
+        start = np.zeros(len(df), dtype=bool)
+        start[0:1] = True
+        start[1:] = (urls[1:] != urls[:-1]) | (mets[1:] != mets[:-1])
+        out = np.empty(len(df), dtype=np.float64)
+        run_starts = np.flatnonzero(start)
+        run_ends = np.append(run_starts[1:], len(df))
+        for s0, s1 in zip(run_starts, run_ends):
+            t_run = ts[s0:s1]
+            v_run = vals[s0:s1]
+            csum = np.concatenate([[0.0], np.cumsum(v_run)])
+            lo = np.searchsorted(t_run, t_run - win_us, side="left")
+            hi = np.arange(1, len(t_run) + 1)
+            out[s0:s1] = (csum[hi] - csum[lo]) / (hi - lo)
+        df[out_col] = sql_round(out, round_to)
+        return df
+
+    return _bucketed(ds_long, kernel)
+
+
+def merge_upsert(current: rd.Dataset, updates: rd.Dataset,
+                 key_cols: list[str], version_col: str) -> rd.Dataset:
+    """Warehouse ``MERGE`` (upsert): union the current table with an
+    update batch and keep, per key, the row with the greatest
+    ``version_col`` (ties broken toward the update side, matching SQL
+    ``row_number() OVER (ORDER BY version DESC, is_update DESC)``).
+    One salted exchange on the key; the kernel is a vectorized
+    sort + drop_duplicates per partition."""
+    from sits_classification_ray.stages.shuffle import partitioned_map
+
+    def tag(side: int):
+        def f(df: pd.DataFrame) -> pd.DataFrame:
+            out = df.copy(deep=False)
+            out["__upd"] = np.int64(side)
+            return out
+        return f
+
+    unioned = current.map_batches(tag(0), batch_format="pandas").union(
+        updates.map_batches(tag(1), batch_format="pandas"))
+
+    def kernel(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(key_cols + [version_col, "__upd"],
+                            ascending=[True] * len(key_cols)
+                            + [False, False], kind="mergesort")
+        return df.drop_duplicates(key_cols).drop(columns=["__upd"])
+
+    return partitioned_map(unioned, kernel, keys=key_cols)

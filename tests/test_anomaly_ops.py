@@ -346,3 +346,39 @@ def test_wow_change():
         .sort_values("bucket_ts").reset_index(drop=True)
     assert np.isnan(out["wow_pct"][0])
     assert out["wow_pct"].tolist()[1:] == [0.5, -0.5]
+
+
+def test_rolling_mean_time_window():
+    from sits_classification_ray.stages.windows import rolling_mean_time
+    ds = rd.from_arrow(pa.table({
+        "url": pa.array(["u"] * 4),
+        "url_bucket": pa.array([1] * 4, pa.uint32()),
+        "metric": pa.array(["m"] * 4),
+        "warc_ts": pa.array([0, 10 * H, 30 * H, 35 * H],
+                            pa.timestamp("us")),
+        "value": pa.array([10.0, 20.0, 40.0, 60.0]),
+    }))
+    out = rolling_mean_time(ds, window_seconds=86400).to_pandas() \
+        .sort_values("warc_ts").reset_index(drop=True)
+    # windows: [0] ; [0,10h] ; [10h,30h] (0 falls out, 10h is 20h old)
+    # ; [30h,35h] (10h is 25h old → out)
+    assert out["rolling_mean_24h"].tolist() == [10.0, 15.0, 30.0, 50.0]
+
+
+def test_merge_upsert_latest_wins():
+    from sits_classification_ray.stages.windows import merge_upsert
+    cur = rd.from_arrow(pa.table({
+        "url": pa.array(["a", "a", "b"]),
+        "warc_ts": pa.array([0, H, 0], pa.timestamp("us")),
+        "text_len": pa.array([1, 2, 3], pa.int64()),
+    }))
+    upd = rd.from_arrow(pa.table({
+        "url": pa.array(["a", "c"]),
+        "warc_ts": pa.array([H, 0], pa.timestamp("us")),  # tie on a@H
+        "text_len": pa.array([99, 7], pa.int64()),
+    }))
+    out = merge_upsert(cur, upd, key_cols=["url"],
+                       version_col="warc_ts").to_pandas() \
+        .sort_values("url").reset_index(drop=True)
+    # a: tie at H → update side wins (99); b: untouched; c: inserted
+    assert out["text_len"].tolist() == [99, 3, 7]
