@@ -1107,3 +1107,22 @@ def bpe_merges_documents(docs: pd.DataFrame, n_merges: int = 30
     out["rank"] = out["rank"].astype(np.int64)
     out["count"] = out["count"].astype(np.int64)
     return out
+
+
+def skew_report_crawl(obs: pd.DataFrame) -> pd.DataFrame:
+    """Independent per-bucket skew stats (rows, distinct urls, head-url
+    share) using the shared SipHash bucket assignment."""
+    df = obs.assign(url_bucket=_url_bucket(obs["url"]).astype(np.int64))
+    per_url = (df.groupby(["url_bucket", "url"], sort=False)
+               .size().rename("n").reset_index())
+    g = per_url.groupby("url_bucket", sort=False)
+    out = pd.DataFrame({
+        "url_bucket": g.size().index.to_numpy(np.int64),
+        "n_rows": g["n"].sum().to_numpy(np.int64),
+        "n_urls": g.size().to_numpy(np.int64),
+        "head_rows": g["n"].max().to_numpy(np.int64),
+    })
+    hs = (out["head_rows"].to_numpy(np.float64)
+          / out["n_rows"].to_numpy(np.float64)) * 1e6
+    out["head_share"] = np.copysign(np.floor(np.abs(hs) + 0.5), hs) / 1e6
+    return out

@@ -1095,6 +1095,63 @@ def _cube_documents(sf_dir: str) -> rd.Dataset:
     return both.union(by_lang).union(by_src).union(grand)
 
 
+def _skew_report_crawl(sf_dir: str) -> rd.Dataset:
+    """Partition-skew introspection (the north_rule's own diagnostic):
+    per url_bucket — row count, distinct urls, and the head url's row
+    share. Two-level groupby keeps the distinct count and the per-url
+    max exact under any batching."""
+    from ray.data.aggregate import Count, Max, Sum
+
+    from sits_classification_ray.functions.transforms import sql_round
+    from sits_classification_ray.stages.extract import url_bucket_of
+
+    def proj(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "url_bucket": pc.cast(url_bucket_of(batch["url"],
+                                                CFG.n_buckets),
+                                  pa.int64()),
+            "url": batch["url"],
+        })
+
+    per_url = (_obs(sf_dir).map_batches(proj, batch_format="pyarrow",
+                                        zero_copy_batch=True)
+               .groupby(["url_bucket", "url"])
+               .aggregate(Count(alias_name="n")))
+    per_bucket = (per_url.groupby("url_bucket")
+                  .aggregate(Sum("n", alias_name="n_rows"),
+                             Count(alias_name="n_urls"),
+                             Max("n", alias_name="head_rows")))
+
+    def fin(df: pd.DataFrame) -> pd.DataFrame:
+        out = df.copy(deep=False)
+        out["head_share"] = sql_round(
+            df["head_rows"].to_numpy(np.float64)
+            / df["n_rows"].to_numpy(np.float64), 6)
+        return out
+
+    return per_bucket.map_batches(fin, batch_format="pandas")
+
+
+def _path_rollup_crawl(sf_dir: str) -> rd.Dataset:
+    """Hierarchical URL-path rollup: snapshots + distinct urls per
+    (domain, first path segment) — the level between domain and url."""
+    from ray.data.aggregate import Count, Sum
+
+    def proj(df: pd.DataFrame) -> pd.DataFrame:
+        ex = df["url"].str.extract(r"^[a-z]+://([^/]+)(/[^/]*)?",
+                                   expand=True)
+        return pd.DataFrame({"domain": ex[0],
+                             "path1": ex[1].fillna(""),
+                             "url": df["url"]})
+
+    per_url = (_obs(sf_dir).map_batches(proj, batch_format="pandas")
+               .groupby(["domain", "path1", "url"])
+               .aggregate(Count(alias_name="n")))
+    return (per_url.groupby(["domain", "path1"])
+            .aggregate(Count(alias_name="n_urls"),
+                       Sum("n", alias_name="n_snaps")))
+
+
 def _rolling_mean_time_crawl(sf_dir: str) -> rd.Dataset:
     from sits_classification_ray.stages.windows import rolling_mean_time
 
@@ -1848,6 +1905,8 @@ def build_queries() -> dict[str, Callable[[str], Any]]:
         "rolling_mean_time_crawl": _rolling_mean_time_crawl,
         "merge_upsert_crawl": _merge_upsert_crawl,
         "bpe_merges_documents": _bpe_merges_documents,
+        "skew_report_crawl": _skew_report_crawl,
+        "path_rollup_crawl": _path_rollup_crawl,
         "length_histogram_documents": _length_histogram_documents,
         "left_join_documents_embeddings": _left_join_documents_embeddings,
         "partition_extents_crawl": _partition_extents_crawl,
@@ -1920,7 +1979,7 @@ GOLDEN_QUERIES = [
     "holt_linear_crawl", "cusum_crawl", "reservoir_sample_events",
     "compression_signal_documents", "pagerank_words_documents",
     "source_mixture_documents", "kmeans_embeddings",
-    "pq_topk_embeddings", "bpe_merges_documents",
+    "pq_topk_embeddings", "bpe_merges_documents", "skew_report_crawl",
 ]
 
 
@@ -2522,6 +2581,11 @@ SELECT domain, bucket_ts, n_snaps,
              / CAST(sum(n_snaps) OVER (PARTITION BY bucket_ts)
                     AS DOUBLE), 6) AS share
 FROM ddom""",
+        "path_rollup_crawl": f"""{CRAWL_PREFIX}
+SELECT regexp_extract(url, '^[a-z]+://([^/]+)(/[^/]*)?', 1) AS domain,
+       regexp_extract(url, '^[a-z]+://([^/]+)(/[^/]*)?', 2) AS path1,
+       count(DISTINCT url) AS n_urls, count(*) AS n_snaps
+FROM obs GROUP BY 1, 2""",
         "rolling_mean_time_crawl": f"""{CRAWL_PREFIX}
 SELECT url, metric, warc_ts, value,
        round(avg(value) OVER (

@@ -101,6 +101,7 @@ def make_for(sf_dir: str) -> None:
         "kmeans_embeddings": lambda: golden.kmeans_embeddings(emb),
         "pq_topk_embeddings": lambda: golden.pq_topk_embeddings(emb),
         "bpe_merges_documents": lambda: golden.bpe_merges_documents(docs),
+        "skew_report_crawl": lambda: golden.skew_report_crawl(obs),
         "reservoir_sample_events": lambda: golden.reservoir_sample_events(
             pd.read_parquet(f"{sf_dir}/events.parquet",
                             columns=["event_id", "event_type", "user_id",
