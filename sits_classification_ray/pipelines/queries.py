@@ -1095,6 +1095,20 @@ def _cube_documents(sf_dir: str) -> rd.Dataset:
     return both.union(by_lang).union(by_src).union(grand)
 
 
+def _topk_urls_daily(sf_dir: str) -> rd.Dataset:
+    """Continuous top-k monitoring: top-5 urls by snapshot count per
+    day, computed FROM the daily tier (the continuous-aggregate
+    consumption path), ties broken by url — the combiner-style
+    top_k_per_group, never a global sort."""
+    from sits_classification_ray.stages.sampling import top_k_per_group
+
+    daily = (_tier(sf_dir, "daily")
+             .filter(expr="metric == 'text_len'")
+             .select_columns(["url", "bucket_ts", "count"]))
+    return top_k_per_group(daily, ["bucket_ts"], "count", k=5,
+                           ascending=False, tie_col="url")
+
+
 def _skew_report_crawl(sf_dir: str) -> rd.Dataset:
     """Partition-skew introspection (the north_rule's own diagnostic):
     per url_bucket — row count, distinct urls, and the head url's row
@@ -1907,6 +1921,7 @@ def build_queries() -> dict[str, Callable[[str], Any]]:
         "bpe_merges_documents": _bpe_merges_documents,
         "skew_report_crawl": _skew_report_crawl,
         "path_rollup_crawl": _path_rollup_crawl,
+        "topk_urls_daily": _topk_urls_daily,
         "length_histogram_documents": _length_histogram_documents,
         "left_join_documents_embeddings": _left_join_documents_embeddings,
         "partition_extents_crawl": _partition_extents_crawl,
@@ -2581,6 +2596,17 @@ SELECT domain, bucket_ts, n_snaps,
              / CAST(sum(n_snaps) OVER (PARTITION BY bucket_ts)
                     AS DOUBLE), 6) AS share
 FROM ddom""",
+        "topk_urls_daily": f"""{CRAWL_PREFIX},
+dcount AS (
+  SELECT url, CAST(date_trunc('day', warc_ts) AS TIMESTAMP)
+            AS bucket_ts,
+         count(*) AS "count"
+  FROM obs GROUP BY 1, 2)
+SELECT url, bucket_ts, "count" FROM (
+  SELECT url, bucket_ts, "count",
+         row_number() OVER (PARTITION BY bucket_ts
+                            ORDER BY "count" DESC, url) AS rn
+  FROM dcount) WHERE rn <= 5""",
         "path_rollup_crawl": f"""{CRAWL_PREFIX}
 SELECT regexp_extract(url, '^[a-z]+://([^/]+)(/[^/]*)?', 1) AS domain,
        regexp_extract(url, '^[a-z]+://([^/]+)(/[^/]*)?', 2) AS path1,
