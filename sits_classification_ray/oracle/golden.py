@@ -1126,3 +1126,52 @@ def skew_report_crawl(obs: pd.DataFrame) -> pd.DataFrame:
           / out["n_rows"].to_numpy(np.float64)) * 1e6
     out["head_share"] = np.copysign(np.floor(np.abs(hs) + 0.5), hs) / 1e6
     return out
+
+
+def corpus_prep_documents(docs: pd.DataFrame) -> pd.DataFrame:
+    """Independent composed corpus prep: Gopher-style quality filter
+    (≥25 tokens, stopword_ratio ≤ 0.08, dup-2gram frac ≤ 0.05), exact
+    dedup keeping the min doc_id per distinct text, SipHash source
+    mixture, then 64-token/48-stride chunking."""
+    stop = {"the", "and", "of", "to", "in", "is", "that", "it", "was",
+            "for", "on", "are", "with", "as"}
+    keep_rows = []
+    for r in docs.itertuples(index=False):
+        toks = (r.text or "").split(" ")
+        n = len(toks)
+        if n < 25:
+            continue
+        sw = sum(1 for w in (r.text or "").lower().split(" ")
+                 if w in stop) / n
+        if sw > 0.08:
+            continue
+        bg = [toks[i] + " " + toks[i + 1] for i in range(n - 1)]
+        dup = 0.0 if not bg else 1.0 - len(set(bg)) / len(bg)
+        if dup > 0.05:
+            continue
+        keep_rows.append(r)
+    kept = pd.DataFrame(keep_rows)
+    kept = kept.sort_values("doc_id").drop_duplicates("text")
+    # mixture (same weights/threshold rule as source_mixture_documents)
+    weights = {**{f"src{i}": 1.0 for i in range(5)},
+               **{f"src{i}": 0.5 for i in range(5, 10)},
+               **{f"src{i}": 0.1 for i in range(10, 15)}}
+    h = pd.util.hash_pandas_object(kept["doc_id"], index=False,
+                                   categorize=False).to_numpy()
+    frac = h.astype(np.float64) / float(2**64)
+    thr = kept["source"].map(weights).fillna(0.0) \
+        .to_numpy(dtype=np.float64)
+    kept = kept[frac < thr]
+    ids, cids, texts, ntoks = [], [], [], []
+    for r in kept.itertuples(index=False):
+        toks = (r.text or "").split(" ")
+        n = len(toks)
+        for ci, s in enumerate(range(0, n, 48)):
+            ids.append(int(r.doc_id))
+            cids.append(ci)
+            texts.append(" ".join(toks[s:s + 64]))
+            ntoks.append(min(64, n - s))
+    return pd.DataFrame({"doc_id": np.array(ids, np.int64),
+                         "chunk_id": np.array(cids, np.int64),
+                         "chunk_text": texts,
+                         "n_tokens": np.array(ntoks, np.int64)})

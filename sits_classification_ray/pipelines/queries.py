@@ -1095,6 +1095,27 @@ def _cube_documents(sf_dir: str) -> rd.Dataset:
     return both.union(by_lang).union(by_src).union(grand)
 
 
+def _corpus_prep_documents(sf_dir: str) -> rd.Dataset:
+    """The composed end-to-end training-corpus preparation pipeline:
+    quality filter + exact dedup (clean_corpus) → distributed inner
+    join back to the full rows → weighted source-mixture sampling →
+    fixed-window chunking. One queries() entry certifying the STAGE
+    COMPOSITION (each stage is also individually oracled)."""
+    from sits_classification_ray.stages.curation import weighted_mixture
+    from sits_classification_ray.stages.joins import hash_join
+    from sits_classification_ray.stages.textstats import (chunk_documents,
+                                                          clean_corpus)
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id", "text", "source"])
+    survivors = clean_corpus(docs).select_columns(["doc_id"])
+    kept = hash_join(docs, survivors, on="doc_id")
+    mixed = weighted_mixture(kept, _MIXTURE_WEIGHTS)
+    chunks = chunk_documents(mixed.drop_columns(["source"]))
+    return chunks.select_columns(["doc_id", "chunk_id", "chunk_text",
+                                  "n_tokens"])
+
+
 def _topk_urls_daily(sf_dir: str) -> rd.Dataset:
     """Continuous top-k monitoring: top-5 urls by snapshot count per
     day, computed FROM the daily tier (the continuous-aggregate
@@ -1922,6 +1943,7 @@ def build_queries() -> dict[str, Callable[[str], Any]]:
         "skew_report_crawl": _skew_report_crawl,
         "path_rollup_crawl": _path_rollup_crawl,
         "topk_urls_daily": _topk_urls_daily,
+        "corpus_prep_documents": _corpus_prep_documents,
         "length_histogram_documents": _length_histogram_documents,
         "left_join_documents_embeddings": _left_join_documents_embeddings,
         "partition_extents_crawl": _partition_extents_crawl,
@@ -1995,6 +2017,7 @@ GOLDEN_QUERIES = [
     "compression_signal_documents", "pagerank_words_documents",
     "source_mixture_documents", "kmeans_embeddings",
     "pq_topk_embeddings", "bpe_merges_documents", "skew_report_crawl",
+    "corpus_prep_documents",
 ]
 
 

@@ -102,6 +102,8 @@ def make_for(sf_dir: str) -> None:
         "pq_topk_embeddings": lambda: golden.pq_topk_embeddings(emb),
         "bpe_merges_documents": lambda: golden.bpe_merges_documents(docs),
         "skew_report_crawl": lambda: golden.skew_report_crawl(obs),
+        "corpus_prep_documents":
+            lambda: golden.corpus_prep_documents(docs),
         "reservoir_sample_events": lambda: golden.reservoir_sample_events(
             pd.read_parquet(f"{sf_dir}/events.parquet",
                             columns=["event_id", "event_type", "user_id",
