@@ -1095,6 +1095,37 @@ def _cube_documents(sf_dir: str) -> rd.Dataset:
     return both.union(by_lang).union(by_src).union(grand)
 
 
+def _attribution_events(sf_dir: str) -> rd.Dataset:
+    """Last-touch attribution: each purchase attributed to the user's
+    latest click within the 7-day lookback — the windowed as-of join."""
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_id", "user_id", "ts",
+                                  "event_type", "value"])
+    purchases = ev.filter(expr="event_type == 'purchase'") \
+        .select_columns(["event_id", "user_id", "ts", "value"])
+
+    def clicks_proj(df: pd.DataFrame) -> pd.DataFrame:
+        c = df[df["event_type"] == "click"]
+        return pd.DataFrame({"user_id": c["user_id"], "ts": c["ts"],
+                             "click_ts": c["ts"]})
+
+    clicks = ev.map_batches(clicks_proj, batch_format="pandas")
+    from sits_classification_ray.stages.joins import asof_join
+
+    out = asof_join(purchases, clicks, by="user_id", left_ts="ts",
+                    right_ts="ts", value_cols=["click_ts"],
+                    tolerance=pd.Timedelta(days=7))
+
+    # the tag-union exchange null-pads the left side → int ids upcast
+    # to float; cast back to the input schema
+    def recast(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy(deep=False)
+        df["event_id"] = df["event_id"].astype(np.int64)
+        return df
+
+    return out.map_batches(recast, batch_format="pandas")
+
+
 def _corpus_prep_documents(sf_dir: str) -> rd.Dataset:
     """The composed end-to-end training-corpus preparation pipeline:
     quality filter + exact dedup (clean_corpus) → distributed inner
@@ -1944,6 +1975,7 @@ def build_queries() -> dict[str, Callable[[str], Any]]:
         "path_rollup_crawl": _path_rollup_crawl,
         "topk_urls_daily": _topk_urls_daily,
         "corpus_prep_documents": _corpus_prep_documents,
+        "attribution_events": _attribution_events,
         "length_histogram_documents": _length_histogram_documents,
         "left_join_documents_embeddings": _left_join_documents_embeddings,
         "partition_extents_crawl": _partition_extents_crawl,
@@ -2619,6 +2651,13 @@ SELECT domain, bucket_ts, n_snaps,
              / CAST(sum(n_snaps) OVER (PARTITION BY bucket_ts)
                     AS DOUBLE), 6) AS share
 FROM ddom""",
+        "attribution_events": """
+SELECT p.event_id, p.user_id, p.ts, p.value,
+       (SELECT max(c.ts) FROM events c
+        WHERE c.user_id = p.user_id AND c.event_type = 'click'
+          AND c.ts <= p.ts AND c.ts >= p.ts - INTERVAL 7 DAY)
+           AS click_ts
+FROM events p WHERE p.event_type = 'purchase'""",
         "topk_urls_daily": f"""{CRAWL_PREFIX},
 dcount AS (
   SELECT url, CAST(date_trunc('day', warc_ts) AS TIMESTAMP)

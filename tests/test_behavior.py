@@ -134,3 +134,25 @@ def test_funnel_window_excludes_late_conversion():
                  within=pd.Timedelta(days=2)).to_pandas() \
         .sort_values("stage_idx")
     assert out["n_users"].tolist() == [2, 1]
+
+
+def test_attribution_window():
+    from sits_classification_ray.stages.joins import asof_join
+    purchases = rd.from_arrow(pa.table({
+        "event_id": pa.array([1, 2], pa.int64()),
+        "user_id": pa.array([1, 1], pa.int64()),
+        "ts": pa.array([10 * US_DAY, 30 * US_DAY], pa.timestamp("us")),
+    }))
+    clicks = rd.from_arrow(pa.table({
+        "user_id": pa.array([1], pa.int64()),
+        "ts": pa.array([8 * US_DAY], pa.timestamp("us")),
+        "click_ts": pa.array([8 * US_DAY], pa.timestamp("us")),
+    }))
+    out = asof_join(purchases, clicks, by="user_id", left_ts="ts",
+                    right_ts="ts", value_cols=["click_ts"],
+                    tolerance=pd.Timedelta(days=7)).to_pandas() \
+        .sort_values("ts").reset_index(drop=True)
+    # purchase day10: click day8 within 7d → attributed;
+    # purchase day30: click 22d earlier → outside window → NaT
+    assert not pd.isna(out["click_ts"][0])
+    assert pd.isna(out["click_ts"][1])
