@@ -1095,6 +1095,47 @@ def _cube_documents(sf_dir: str) -> rd.Dataset:
     return both.union(by_lang).union(by_src).union(grand)
 
 
+def _psi_drift_weekly(sf_dir: str) -> pd.DataFrame:
+    """Distribution-drift monitoring: population stability index of
+    the text_len distribution, week over week. The distributed part is
+    the binned-count combiner (one row per (week, bin) per batch,
+    native Sum merge); the PSI itself runs over the tiny
+    weeks × 256-bin table. Bins present in only one week are skipped
+    (the zero-count convention shared with the SQL twin).
+    """
+    from ray.data.aggregate import Sum
+
+    def binned(batch: pa.Table) -> pa.Table:
+        week = pc.cast(pc.floor_temporal(batch["warc_ts"], unit="week"),
+                       pa.timestamp("us"))
+        b = np.minimum(np.asarray(batch["text_len"], dtype=np.int64)
+                       // 64, 255)
+        t = pa.table({"w": week, "bin": pa.array(b, pa.int64())})
+        g = t.group_by(["w", "bin"]).aggregate([([], "count_all")])
+        return g.rename_columns(["w", "bin", "n"])
+
+    counts = (_obs(sf_dir).map_batches(binned, batch_format="pyarrow",
+                                       zero_copy_batch=True)
+              .groupby(["w", "bin"])
+              .aggregate(Sum("n", alias_name="n")).to_pandas())
+    tot = counts.groupby("w")["n"].sum()
+    weeks = sorted(tot.index)
+    rows = []
+    from sits_classification_ray.functions.transforms import sql_round
+    for prev_w, w in zip(weeks[:-1], weeks[1:]):
+        cur = counts[counts["w"] == w].set_index("bin")["n"]
+        prv = counts[counts["w"] == prev_w].set_index("bin")["n"]
+        shared = sorted(set(cur.index) & set(prv.index))
+        p = cur.loc[shared].to_numpy(np.float64) / float(tot[w])
+        q = prv.loc[shared].to_numpy(np.float64) / float(tot[prev_w])
+        psi = float(np.sum((p - q) * np.log(p / q)))
+        rows.append((w, sql_round(np.array([psi]), 6)[0],
+                     np.int64(len(shared))))
+    out = pd.DataFrame(rows, columns=["w", "psi", "n_bins"])
+    out["n_bins"] = out["n_bins"].astype(np.int64)
+    return out
+
+
 def _attribution_events(sf_dir: str) -> rd.Dataset:
     """Last-touch attribution: each purchase attributed to the user's
     latest click within the 7-day lookback — the windowed as-of join."""
@@ -1976,6 +2017,7 @@ def build_queries() -> dict[str, Callable[[str], Any]]:
         "topk_urls_daily": _topk_urls_daily,
         "corpus_prep_documents": _corpus_prep_documents,
         "attribution_events": _attribution_events,
+        "psi_drift_weekly": _psi_drift_weekly,
         "length_histogram_documents": _length_histogram_documents,
         "left_join_documents_embeddings": _left_join_documents_embeddings,
         "partition_extents_crawl": _partition_extents_crawl,
@@ -2651,6 +2693,23 @@ SELECT domain, bucket_ts, n_snaps,
              / CAST(sum(n_snaps) OVER (PARTITION BY bucket_ts)
                     AS DOUBLE), 6) AS share
 FROM ddom""",
+        "psi_drift_weekly": f"""{CRAWL_PREFIX},
+wb AS MATERIALIZED (
+  SELECT CAST(date_trunc('week', warc_ts) AS TIMESTAMP) AS w,
+         least(text_len // 64, 255) AS bin, count(*) AS n
+  FROM obs GROUP BY 1, 2),
+wt AS (SELECT w, CAST(sum(n) AS DOUBLE) AS tot FROM wb GROUP BY 1),
+ps AS (
+  SELECT c.w,
+         CAST(c.n AS DOUBLE) / ct.tot AS p,
+         CAST(pr.n AS DOUBLE) / pt.tot AS q
+  FROM wb c
+  JOIN wt ct ON ct.w = c.w
+  JOIN wb pr ON pr.bin = c.bin AND pr.w = c.w - INTERVAL 7 DAY
+  JOIN wt pt ON pt.w = pr.w)
+SELECT w, round(sum((p - q) * ln(p / q)), 6) AS psi,
+       count(*) AS n_bins
+FROM ps GROUP BY w""",
         "attribution_events": """
 SELECT p.event_id, p.user_id, p.ts, p.value,
        (SELECT max(c.ts) FROM events c
