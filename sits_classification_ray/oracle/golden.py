@@ -1175,3 +1175,28 @@ def corpus_prep_documents(docs: pd.DataFrame) -> pd.DataFrame:
                          "chunk_id": np.array(cids, np.int64),
                          "chunk_text": texts,
                          "n_tokens": np.array(ntoks, np.int64)})
+
+
+def cluster_top_terms(emb: pd.DataFrame, docs: pd.DataFrame
+                      ) -> pd.DataFrame:
+    """Independent cluster labeling: the kmeans_embeddings assignment
+    joined to document text, token counts per cluster, top-3 by
+    (count DESC, token ASC)."""
+    assign = kmeans_embeddings(emb).set_index("vec_id")["cluster"]
+    rows_c, rows_t = [], []
+    for r in docs.itertuples(index=False):
+        if r.doc_id not in assign.index:
+            continue
+        c = int(assign[r.doc_id])
+        for w in (r.text or "").lower().split(" "):
+            rows_c.append(c)
+            rows_t.append(w)
+    g = (pd.DataFrame({"cluster": np.array(rows_c, np.int64),
+                       "token": rows_t})
+         .groupby(["cluster", "token"], sort=False).size()
+         .rename("n").reset_index())
+    g["n"] = g["n"].astype(np.int64)
+    g = g.sort_values(["cluster", "n", "token"],
+                      ascending=[True, False, True], kind="mergesort")
+    out = g.groupby("cluster", sort=False).head(3).reset_index(drop=True)
+    return out

@@ -1095,6 +1095,44 @@ def _cube_documents(sf_dir: str) -> rd.Dataset:
     return both.union(by_lang).union(by_src).union(grand)
 
 
+def _cluster_top_terms(sf_dir: str) -> rd.Dataset:
+    """Cluster labeling: top-3 tokens per k-means cluster — the
+    embeddings clustering joined back to the documents' text
+    (vec_id = doc_id), a per-(cluster, token) count combiner, and the
+    grouped top-k. Certifies the kmeans → join → text composition."""
+    from ray.data.aggregate import Sum
+
+    from sits_classification_ray.stages.joins import hash_join
+    from sits_classification_ray.stages.sampling import top_k_per_group
+    from sits_classification_ray.stages.similarity import kmeans_assign
+
+    emb = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                          columns=["vec_id", "embedding"])
+    assign = kmeans_assign(emb, k=8, iterations=5)
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id", "text"])
+    joined = hash_join(docs, assign, on="doc_id", right_on="vec_id")
+
+    def counts(df: pd.DataFrame) -> pd.DataFrame:
+        toks, cl = [], []
+        for c, t in zip(df["cluster"].to_numpy(np.int64), df["text"]):
+            ws = (t or "").lower().split(" ")
+            toks.extend(ws)
+            cl.extend([c] * len(ws))
+        g = (pd.DataFrame({"cluster": np.array(cl, np.int64),
+                           "token": toks})
+             .groupby(["cluster", "token"], sort=False).size()
+             .rename("n").reset_index())
+        g["n"] = g["n"].astype(np.int64)
+        return g
+
+    merged = (joined.map_batches(counts, batch_format="pandas")
+              .groupby(["cluster", "token"])
+              .aggregate(Sum("n", alias_name="n")))
+    return top_k_per_group(merged, ["cluster"], "n", k=3,
+                           ascending=False, tie_col="token")
+
+
 def _psi_drift_weekly(sf_dir: str) -> pd.DataFrame:
     """Distribution-drift monitoring: population stability index of
     the text_len distribution, week over week. The distributed part is
@@ -2018,6 +2056,7 @@ def build_queries() -> dict[str, Callable[[str], Any]]:
         "corpus_prep_documents": _corpus_prep_documents,
         "attribution_events": _attribution_events,
         "psi_drift_weekly": _psi_drift_weekly,
+        "cluster_top_terms": _cluster_top_terms,
         "length_histogram_documents": _length_histogram_documents,
         "left_join_documents_embeddings": _left_join_documents_embeddings,
         "partition_extents_crawl": _partition_extents_crawl,
@@ -2091,7 +2130,7 @@ GOLDEN_QUERIES = [
     "compression_signal_documents", "pagerank_words_documents",
     "source_mixture_documents", "kmeans_embeddings",
     "pq_topk_embeddings", "bpe_merges_documents", "skew_report_crawl",
-    "corpus_prep_documents",
+    "corpus_prep_documents", "cluster_top_terms",
 ]
 
 

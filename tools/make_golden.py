@@ -104,6 +104,8 @@ def make_for(sf_dir: str) -> None:
         "skew_report_crawl": lambda: golden.skew_report_crawl(obs),
         "corpus_prep_documents":
             lambda: golden.corpus_prep_documents(docs),
+        "cluster_top_terms":
+            lambda: golden.cluster_top_terms(emb, docs),
         "reservoir_sample_events": lambda: golden.reservoir_sample_events(
             pd.read_parquet(f"{sf_dir}/events.parquet",
                             columns=["event_id", "event_type", "user_id",
