@@ -1095,6 +1095,62 @@ def _cube_documents(sf_dir: str) -> rd.Dataset:
     return both.union(by_lang).union(by_src).union(grand)
 
 
+def _validate_events(sf_dir: str) -> rd.Dataset:
+    """Deequ/TFDV-style data-quality constraint checks over events,
+    one row per constraint with its violation count: completeness
+    (ts / user_id non-null), key uniqueness (event_id), range
+    (value ≥ 0), enum membership (event_type in the known set). Each
+    check is a per-batch vectorized partial count + native Sum —
+    one streaming pass for the row-local checks plus one
+    (key, count) combiner for uniqueness."""
+    from ray.data.aggregate import Count, Sum
+
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet")
+    types = ["click", "purchase", "error", "signup", "view"]
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "constraint": ["ts_not_null", "user_id_not_null",
+                           "value_non_negative", "event_type_enum"],
+            "n_violations": np.array([
+                int(df["ts"].isna().sum()),
+                int(df["user_id"].isna().sum()),
+                int((df["value"] < 0).sum()),
+                int((~df["event_type"].isin(types)).sum()),
+            ], dtype=np.int64),
+        })
+
+    rowchecks = (ev.map_batches(partial, batch_format="pandas")
+                 .groupby("constraint")
+                 .aggregate(Sum("n_violations",
+                                alias_name="n_violations")))
+
+    # uniqueness: rows whose event_id appears more than once
+    per_key = (ev.groupby("event_id").aggregate(Count(alias_name="n")))
+
+    def dup_partial(df: pd.DataFrame) -> pd.DataFrame:
+        extra = int((df["n"][df["n"] > 1]).sum() -
+                    (df["n"] > 1).sum())
+        return pd.DataFrame({"constraint": ["event_id_unique"],
+                             "n_violations": np.array([extra],
+                                                      np.int64)})
+
+    dupes = (per_key.map_batches(dup_partial, batch_format="pandas")
+             .groupby("constraint")
+             .aggregate(Sum("n_violations",
+                            alias_name="n_violations")))
+
+    out = rowchecks.union(dupes)
+
+    def fin(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy(deep=False)
+        df["n_violations"] = df["n_violations"].astype(np.int64)
+        df["passed"] = df["n_violations"] == 0
+        return df
+
+    return out.map_batches(fin, batch_format="pandas")
+
+
 def _cluster_top_terms(sf_dir: str) -> rd.Dataset:
     """Cluster labeling: top-3 tokens per k-means cluster — the
     embeddings clustering joined back to the documents' text
@@ -2057,6 +2113,7 @@ def build_queries() -> dict[str, Callable[[str], Any]]:
         "attribution_events": _attribution_events,
         "psi_drift_weekly": _psi_drift_weekly,
         "cluster_top_terms": _cluster_top_terms,
+        "validate_events": _validate_events,
         "length_histogram_documents": _length_histogram_documents,
         "left_join_documents_embeddings": _left_join_documents_embeddings,
         "partition_extents_crawl": _partition_extents_crawl,
@@ -2732,6 +2789,31 @@ SELECT domain, bucket_ts, n_snaps,
              / CAST(sum(n_snaps) OVER (PARTITION BY bucket_ts)
                     AS DOUBLE), 6) AS share
 FROM ddom""",
+        "validate_events": """
+WITH checks AS (
+  SELECT 'ts_not_null' AS "constraint",
+         CAST(sum(CASE WHEN ts IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_violations FROM events
+  UNION ALL
+  SELECT 'user_id_not_null',
+         CAST(sum(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END)
+              AS BIGINT) FROM events
+  UNION ALL
+  SELECT 'value_non_negative',
+         CAST(sum(CASE WHEN value < 0 THEN 1 ELSE 0 END) AS BIGINT)
+      FROM events
+  UNION ALL
+  SELECT 'event_type_enum',
+         CAST(sum(CASE WHEN event_type NOT IN
+                  ('click','purchase','error','signup','view')
+              THEN 1 ELSE 0 END) AS BIGINT) FROM events
+  UNION ALL
+  SELECT 'event_id_unique',
+         CAST(COALESCE(sum(n - 1), 0) AS BIGINT) FROM
+           (SELECT count(*) AS n FROM events GROUP BY event_id
+            HAVING count(*) > 1))
+SELECT "constraint", n_violations, n_violations = 0 AS passed
+FROM checks""",
         "psi_drift_weekly": f"""{CRAWL_PREFIX},
 wb AS MATERIALIZED (
   SELECT CAST(date_trunc('week', warc_ts) AS TIMESTAMP) AS w,
