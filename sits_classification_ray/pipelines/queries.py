@@ -1095,6 +1095,28 @@ def _cube_documents(sf_dir: str) -> rd.Dataset:
     return both.union(by_lang).union(by_src).union(grand)
 
 
+def _ttl_dedup_crawl(sf_dir: str) -> rd.Dataset:
+    """Windowed (TTL) dedup: keep the first snapshot per
+    (url, content value, 7-day window) — "don't re-store unchanged
+    content within the TTL", the streaming-dedup-with-expiry
+    discretization. One salted exchange on url; vectorized
+    sort + drop_duplicates per partition."""
+    from sits_classification_ray.stages.shuffle import partitioned_map
+
+    win_us = 7 * 86400 * 1_000_000
+
+    def kernel(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["url", "warc_ts"], kind="mergesort").copy()
+        ts = df["warc_ts"].to_numpy().astype("datetime64[us]") \
+            .astype(np.int64)
+        df["_win"] = ts // win_us
+        out = df.drop_duplicates(["url", "text_len", "_win"])
+        return out.drop(columns=["_win"])
+
+    obs = _obs(sf_dir).select_columns(["url", "warc_ts", "text_len"])
+    return partitioned_map(obs, kernel, url_col="url")
+
+
 def _validate_events(sf_dir: str) -> rd.Dataset:
     """Deequ/TFDV-style data-quality constraint checks over events,
     one row per constraint with its violation count: completeness
@@ -2114,6 +2136,7 @@ def build_queries() -> dict[str, Callable[[str], Any]]:
         "psi_drift_weekly": _psi_drift_weekly,
         "cluster_top_terms": _cluster_top_terms,
         "validate_events": _validate_events,
+        "ttl_dedup_crawl": _ttl_dedup_crawl,
         "length_histogram_documents": _length_histogram_documents,
         "left_join_documents_embeddings": _left_join_documents_embeddings,
         "partition_extents_crawl": _partition_extents_crawl,
@@ -2789,6 +2812,14 @@ SELECT domain, bucket_ts, n_snaps,
              / CAST(sum(n_snaps) OVER (PARTITION BY bucket_ts)
                     AS DOUBLE), 6) AS share
 FROM ddom""",
+        "ttl_dedup_crawl": f"""{CRAWL_PREFIX}
+SELECT url, warc_ts, text_len FROM (
+  SELECT url, warc_ts, text_len,
+         row_number() OVER (
+             PARTITION BY url, text_len,
+                          CAST(epoch(warc_ts) AS BIGINT) // 604800
+             ORDER BY warc_ts) AS rn
+  FROM obs) WHERE rn = 1""",
         "validate_events": """
 WITH checks AS (
   SELECT 'ts_not_null' AS "constraint",
