@@ -1095,6 +1095,49 @@ def _cube_documents(sf_dir: str) -> rd.Dataset:
     return both.union(by_lang).union(by_src).union(grand)
 
 
+def _value_ddsketch_by_type(sf_dir: str) -> rd.Dataset:
+    """DDSketch relative-error quantiles of the (continuous, positive)
+    event value per event_type — the sketch family applied to the
+    float-domain case where the exact integer histogram can't."""
+    from sits_classification_ray.functions.sketches import ddsketch_quantile
+
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_type", "value"])
+    return ddsketch_quantile(ev, value_col="value",
+                             bucket_col="event_type")
+
+
+def _error_rate_hourly(sf_dir: str) -> rd.Dataset:
+    """Operational SLO metric: error-event share per hour (exact
+    integer counts, one rounded division)."""
+    from ray.data.aggregate import Sum
+
+    from sits_classification_ray.functions.transforms import sql_round
+
+    def proj(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "hour": df["ts"].dt.floor("h"),
+            "is_err": (df["event_type"] == "error").astype(np.int64),
+            "one": np.int64(1),
+        })
+
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["ts", "event_type"])
+    agg = (ev.map_batches(proj, batch_format="pandas")
+           .groupby("hour")
+           .aggregate(Sum("is_err", alias_name="n_errors"),
+                      Sum("one", alias_name="n_events")))
+
+    def fin(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy(deep=False)
+        df["error_rate"] = sql_round(
+            df["n_errors"].to_numpy(np.float64)
+            / df["n_events"].to_numpy(np.float64), 6)
+        return df
+
+    return agg.map_batches(fin, batch_format="pandas")
+
+
 def _ttl_dedup_crawl(sf_dir: str) -> rd.Dataset:
     """Windowed (TTL) dedup: keep the first snapshot per
     (url, content value, 7-day window) — "don't re-store unchanged
@@ -2137,6 +2180,8 @@ def build_queries() -> dict[str, Callable[[str], Any]]:
         "cluster_top_terms": _cluster_top_terms,
         "validate_events": _validate_events,
         "ttl_dedup_crawl": _ttl_dedup_crawl,
+        "value_ddsketch_by_type": _value_ddsketch_by_type,
+        "error_rate_hourly": _error_rate_hourly,
         "length_histogram_documents": _length_histogram_documents,
         "left_join_documents_embeddings": _left_join_documents_embeddings,
         "partition_extents_crawl": _partition_extents_crawl,
@@ -2812,6 +2857,44 @@ SELECT domain, bucket_ts, n_snaps,
              / CAST(sum(n_snaps) OVER (PARTITION BY bucket_ts)
                     AS DOUBLE), 6) AS share
 FROM ddom""",
+        "value_ddsketch_by_type": """
+WITH ddv AS (
+  SELECT event_type,
+         CAST(ceil(ln(value)
+                   / ln(CAST(1.01 AS DOUBLE) / CAST(0.99 AS DOUBLE)))
+              AS BIGINT) AS bin
+  FROM events),
+ddc AS MATERIALIZED (
+  SELECT event_type, bin, count(*) AS n FROM ddv GROUP BY 1, 2),
+ddt AS (SELECT event_type, CAST(sum(n) AS BIGINT) AS total
+        FROM ddc GROUP BY 1),
+ddm AS MATERIALIZED (
+  SELECT event_type, bin,
+         sum(n) OVER (PARTITION BY event_type ORDER BY bin) AS cum
+  FROM ddc)
+SELECT t.event_type, t.total AS n,
+  round(power(CAST(1.01 AS DOUBLE) / CAST(0.99 AS DOUBLE),
+    (SELECT min(bin) FROM ddm c WHERE c.event_type = t.event_type
+      AND c.cum >= greatest((500000 * t.total + 999999) // 1000000, 1))),
+    6) AS q50,
+  round(power(CAST(1.01 AS DOUBLE) / CAST(0.99 AS DOUBLE),
+    (SELECT min(bin) FROM ddm c WHERE c.event_type = t.event_type
+      AND c.cum >= greatest((900000 * t.total + 999999) // 1000000, 1))),
+    6) AS q90,
+  round(power(CAST(1.01 AS DOUBLE) / CAST(0.99 AS DOUBLE),
+    (SELECT min(bin) FROM ddm c WHERE c.event_type = t.event_type
+      AND c.cum >= greatest((990000 * t.total + 999999) // 1000000, 1))),
+    6) AS q99
+FROM ddt t""",
+        "error_rate_hourly": """
+SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour,
+       CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_errors,
+       count(*) AS n_events,
+       round(CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0
+                      END) AS DOUBLE)
+             / CAST(count(*) AS DOUBLE), 6) AS error_rate
+FROM events GROUP BY 1""",
         "ttl_dedup_crawl": f"""{CRAWL_PREFIX}
 SELECT url, warc_ts, text_len FROM (
   SELECT url, warc_ts, text_len,
