@@ -1095,6 +1095,49 @@ def _cube_documents(sf_dir: str) -> rd.Dataset:
     return both.union(by_lang).union(by_src).union(grand)
 
 
+def _profile_events(sf_dir: str) -> rd.Dataset:
+    """TFDV-style numeric column profiler: one row per numeric column
+    with count, nulls, min, max and mean — per-batch single-row
+    partials (count/null/min/max/sum), native merge, exact integer
+    moments finalized to a rounded mean."""
+    from ray.data.aggregate import Max, Min, Sum
+
+    from sits_classification_ray.functions.transforms import sql_round
+
+    cols = ["event_id", "user_id", "value"]
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet", columns=cols)
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for c in cols:
+            v = df[c]
+            rows.append((c, np.int64(v.notna().sum()),
+                         np.int64(v.isna().sum()),
+                         float(v.min()), float(v.max()),
+                         float(v.astype(np.float64).sum())))
+        return pd.DataFrame(rows, columns=["column", "n", "n_null",
+                                           "min_v", "max_v", "s"])
+
+    agg = (ev.map_batches(partial, batch_format="pandas")
+           .groupby("column")
+           .aggregate(Sum("n", alias_name="n"),
+                      Sum("n_null", alias_name="n_null"),
+                      Min("min_v", alias_name="min_v"),
+                      Max("max_v", alias_name="max_v"),
+                      Sum("s", alias_name="s")))
+
+    def fin(df: pd.DataFrame) -> pd.DataFrame:
+        out = df.copy(deep=False)
+        out["n"] = out["n"].astype(np.int64)
+        out["n_null"] = out["n_null"].astype(np.int64)
+        out["mean_v"] = sql_round(out["s"].to_numpy(np.float64)
+                                  / out["n"].to_numpy(np.float64), 6)
+        return out[["column", "n", "n_null", "min_v", "max_v",
+                    "mean_v"]]
+
+    return agg.map_batches(fin, batch_format="pandas")
+
+
 def _value_ddsketch_by_type(sf_dir: str) -> rd.Dataset:
     """DDSketch relative-error quantiles of the (continuous, positive)
     event value per event_type — the sketch family applied to the
@@ -2182,6 +2225,7 @@ def build_queries() -> dict[str, Callable[[str], Any]]:
         "ttl_dedup_crawl": _ttl_dedup_crawl,
         "value_ddsketch_by_type": _value_ddsketch_by_type,
         "error_rate_hourly": _error_rate_hourly,
+        "profile_events": _profile_events,
         "length_histogram_documents": _length_histogram_documents,
         "left_join_documents_embeddings": _left_join_documents_embeddings,
         "partition_extents_crawl": _partition_extents_crawl,
@@ -2857,6 +2901,24 @@ SELECT domain, bucket_ts, n_snaps,
              / CAST(sum(n_snaps) OVER (PARTITION BY bucket_ts)
                     AS DOUBLE), 6) AS share
 FROM ddom""",
+        "profile_events": """
+SELECT 'event_id' AS "column", count(event_id) AS n,
+       count(*) - count(event_id) AS n_null,
+       CAST(min(event_id) AS DOUBLE) AS min_v,
+       CAST(max(event_id) AS DOUBLE) AS max_v,
+       round(sum(CAST(event_id AS DOUBLE)) / count(event_id), 6)
+           AS mean_v
+FROM events
+UNION ALL
+SELECT 'user_id', count(user_id), count(*) - count(user_id),
+       CAST(min(user_id) AS DOUBLE), CAST(max(user_id) AS DOUBLE),
+       round(sum(CAST(user_id AS DOUBLE)) / count(user_id), 6)
+FROM events
+UNION ALL
+SELECT 'value', count(value), count(*) - count(value),
+       min(value), max(value),
+       round(sum(value) / count(value), 6)
+FROM events""",
         "value_ddsketch_by_type": """
 WITH ddv AS (
   SELECT event_type,
