@@ -1095,6 +1095,83 @@ def _cube_documents(sf_dir: str) -> rd.Dataset:
     return both.union(by_lang).union(by_src).union(grand)
 
 
+def _quota_events(sf_dir: str) -> rd.Dataset:
+    """Quota / rate-limit enforcement: keep at most the first 3
+    events per (user, day), ordered by (ts, event_id) — the ingest
+    throttling primitive. One salted exchange on user; vectorized
+    cumcount per partition."""
+    from sits_classification_ray.stages.shuffle import partitioned_map
+
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_id", "user_id", "ts",
+                                  "event_type"])
+
+    def kernel(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy(deep=False)
+        df["_day"] = df["ts"].dt.floor("D")
+        df = df.sort_values(["user_id", "_day", "ts", "event_id"],
+                            kind="mergesort")
+        rank = df.groupby(["user_id", "_day"], sort=False).cumcount()
+        return df[rank < 3].drop(columns=["_day"])
+
+    return partitioned_map(ev, kernel, keys=["user_id"])
+
+
+def _events_with_user_stats(sf_dir: str) -> rd.Dataset:
+    """Denormalization: every purchase event annotated with its user's
+    total purchase volume and count (the window-aggregate-join). The
+    per-user aggregate is a combiner groupby; the attach is the
+    tag-union exchange on user — no driver-held user table."""
+    from ray.data.aggregate import Count, Sum
+
+    from sits_classification_ray.functions.transforms import sql_round
+    from sits_classification_ray.stages.shuffle import partitioned_map
+
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_id", "user_id", "ts", "value",
+                                  "event_type"])
+    purchases = ev.filter(expr="event_type == 'purchase'") \
+        .select_columns(["event_id", "user_id", "ts", "value"])
+    stats = (purchases.groupby("user_id")
+             .aggregate(Sum("value", alias_name="user_total"),
+                        Count(alias_name="user_purchases")))
+
+    def tag_p(df: pd.DataFrame) -> pd.DataFrame:
+        out = df.copy(deep=False)
+        out["user_total"] = np.float64(-1.0)
+        out["user_purchases"] = np.int64(-1)
+        return out
+
+    def tag_s(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "event_id": np.int64(-1), "user_id": df["user_id"],
+            "ts": pd.NaT, "value": np.nan,
+            "user_total": df["user_total"].astype(np.float64),
+            "user_purchases": df["user_purchases"].astype(np.int64),
+        })
+
+    unioned = purchases.map_batches(tag_p, batch_format="pandas") \
+        .union(stats.map_batches(tag_s, batch_format="pandas"))
+
+    def kernel(df: pd.DataFrame) -> pd.DataFrame:
+        side_s = df[df["user_purchases"] >= 0]
+        side_p = df[df["user_purchases"] < 0]
+        tmap = pd.Series(side_s["user_total"].to_numpy(),
+                         index=side_s["user_id"])
+        cmap = pd.Series(side_s["user_purchases"].to_numpy(),
+                         index=side_s["user_id"])
+        out = side_p[["event_id", "user_id", "ts", "value"]] \
+            .copy(deep=False)
+        out["event_id"] = out["event_id"].astype(np.int64)
+        out["user_total"] = sql_round(
+            out["user_id"].map(tmap).to_numpy(np.float64), 6)
+        out["user_purchases"] = out["user_id"].map(cmap) \
+            .astype(np.int64)
+        return out
+
+    return partitioned_map(unioned, kernel, keys=["user_id"])
+
+
 def _profile_events(sf_dir: str) -> rd.Dataset:
     """TFDV-style numeric column profiler: one row per numeric column
     with count, nulls, min, max and mean — per-batch single-row
@@ -2226,6 +2303,8 @@ def build_queries() -> dict[str, Callable[[str], Any]]:
         "value_ddsketch_by_type": _value_ddsketch_by_type,
         "error_rate_hourly": _error_rate_hourly,
         "profile_events": _profile_events,
+        "quota_events": _quota_events,
+        "events_with_user_stats": _events_with_user_stats,
         "length_histogram_documents": _length_histogram_documents,
         "left_join_documents_embeddings": _left_join_documents_embeddings,
         "partition_extents_crawl": _partition_extents_crawl,
@@ -2901,6 +2980,19 @@ SELECT domain, bucket_ts, n_snaps,
              / CAST(sum(n_snaps) OVER (PARTITION BY bucket_ts)
                     AS DOUBLE), 6) AS share
 FROM ddom""",
+        "quota_events": """
+SELECT event_id, user_id, ts, event_type FROM (
+  SELECT event_id, user_id, ts, event_type,
+         row_number() OVER (
+             PARTITION BY user_id,
+                          CAST(date_trunc('day', ts) AS TIMESTAMP)
+             ORDER BY ts, event_id) AS rn
+  FROM events) WHERE rn <= 3""",
+        "events_with_user_stats": """
+SELECT event_id, user_id, ts, value,
+       round(sum(value) OVER (PARTITION BY user_id), 6) AS user_total,
+       count(*) OVER (PARTITION BY user_id) AS user_purchases
+FROM events WHERE event_type = 'purchase'""",
         "profile_events": """
 SELECT 'event_id' AS "column", count(event_id) AS n,
        count(*) - count(event_id) AS n_null,
