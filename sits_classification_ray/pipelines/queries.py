@@ -1095,6 +1095,61 @@ def _cube_documents(sf_dir: str) -> rd.Dataset:
     return both.union(by_lang).union(by_src).union(grand)
 
 
+def _winsorized_value_by_type(sf_dir: str) -> rd.Dataset:
+    """Outlier treatment: per event_type, winsorize the value at the
+    exact p01/p99 (computed on integer cents — the 2-decimal domain
+    makes :func:`exact_int_quantile` EXACT) and report the clipped
+    mean. Quantile bounds are a tiny per-type table broadcast into the
+    clipping pass; all moments stay integer until the final division."""
+    from ray.data.aggregate import Sum
+
+    from sits_classification_ray.functions.sketches import exact_int_quantile
+    from sits_classification_ray.functions.transforms import sql_round
+
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_type", "value"])
+
+    def cents(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "event_type": df["event_type"],
+            "c": np.round(df["value"].to_numpy(np.float64) * 100.0)
+            .astype(np.int64),
+        })
+
+    cents_ds = ev.map_batches(cents, batch_format="pandas") \
+        .materialize()
+    q = exact_int_quantile(cents_ds, "c", "event_type",
+                           quantiles=(0.01, 0.99)).to_pandas()
+    lo = dict(zip(q["event_type"], q["q01"]))
+    hi = dict(zip(q["event_type"], q["q99"]))
+
+    def clip_partial(df: pd.DataFrame) -> pd.DataFrame:
+        l = df["event_type"].map(lo).to_numpy(np.int64)
+        h = df["event_type"].map(hi).to_numpy(np.int64)
+        c = np.minimum(np.maximum(df["c"].to_numpy(np.int64), l), h)
+        out = pd.DataFrame({"event_type": df["event_type"], "c": c,
+                            "one": np.int64(1)})
+        return (out.groupby("event_type", sort=False)
+                .agg(s=("c", "sum"), n=("one", "sum")).reset_index())
+
+    agg = (cents_ds.map_batches(clip_partial, batch_format="pandas")
+           .groupby("event_type")
+           .aggregate(Sum("s", alias_name="s"),
+                      Sum("n", alias_name="n")))
+
+    def fin(df: pd.DataFrame) -> pd.DataFrame:
+        out = df.copy(deep=False)
+        out["n"] = out["n"].astype(np.int64)
+        out["q01"] = out["event_type"].map(lo).astype(np.int64)
+        out["q99"] = out["event_type"].map(hi).astype(np.int64)
+        out["mean_clipped"] = sql_round(
+            out["s"].to_numpy(np.float64)
+            / out["n"].to_numpy(np.float64) / 100.0, 6)
+        return out[["event_type", "n", "q01", "q99", "mean_clipped"]]
+
+    return agg.map_batches(fin, batch_format="pandas")
+
+
 def _quota_events(sf_dir: str) -> rd.Dataset:
     """Quota / rate-limit enforcement: keep at most the first 3
     events per (user, day), ordered by (ts, event_id) — the ingest
@@ -2305,6 +2360,7 @@ def build_queries() -> dict[str, Callable[[str], Any]]:
         "profile_events": _profile_events,
         "quota_events": _quota_events,
         "events_with_user_stats": _events_with_user_stats,
+        "winsorized_value_by_type": _winsorized_value_by_type,
         "length_histogram_documents": _length_histogram_documents,
         "left_join_documents_embeddings": _left_join_documents_embeddings,
         "partition_extents_crawl": _partition_extents_crawl,
@@ -2980,6 +3036,33 @@ SELECT domain, bucket_ts, n_snaps,
              / CAST(sum(n_snaps) OVER (PARTITION BY bucket_ts)
                     AS DOUBLE), 6) AS share
 FROM ddom""",
+        "winsorized_value_by_type": """
+WITH cts AS MATERIALIZED (
+  SELECT event_type,
+         CAST(round(value * 100.0, 0) AS BIGINT) AS c
+  FROM events),
+vc AS MATERIALIZED (
+  SELECT event_type, c, count(*) AS n FROM cts GROUP BY 1, 2),
+vt AS (SELECT event_type, CAST(sum(n) AS BIGINT) AS total
+       FROM vc GROUP BY 1),
+vm AS MATERIALIZED (
+  SELECT event_type, c,
+         sum(n) OVER (PARTITION BY event_type ORDER BY c) AS cum
+  FROM vc),
+qb AS (
+  SELECT t.event_type, t.total,
+    (SELECT min(c) FROM vm m WHERE m.event_type = t.event_type
+       AND m.cum >= greatest((10000 * t.total + 999999) // 1000000, 1))
+      AS q01,
+    (SELECT min(c) FROM vm m WHERE m.event_type = t.event_type
+       AND m.cum >= greatest((990000 * t.total + 999999) // 1000000, 1))
+      AS q99
+  FROM vt t)
+SELECT c.event_type, q.total AS n, q.q01, q.q99,
+       round(CAST(sum(least(greatest(c.c, q.q01), q.q99)) AS DOUBLE)
+             / q.total / 100.0, 6) AS mean_clipped
+FROM cts c JOIN qb q ON q.event_type = c.event_type
+GROUP BY 1, 2, 3, 4""",
         "quota_events": """
 SELECT event_id, user_id, ts, event_type FROM (
   SELECT event_id, user_id, ts, event_type,
