@@ -1409,20 +1409,20 @@ def _cluster_top_terms(sf_dir: str) -> rd.Dataset:
                            columns=["doc_id", "text"])
     joined = hash_join(docs, assign, on="doc_id", right_on="vec_id")
 
-    def counts(df: pd.DataFrame) -> pd.DataFrame:
-        toks, cl = [], []
-        for c, t in zip(df["cluster"].to_numpy(np.int64), df["text"]):
-            ws = (t or "").lower().split(" ")
-            toks.extend(ws)
-            cl.extend([c] * len(ws))
-        g = (pd.DataFrame({"cluster": np.array(cl, np.int64),
-                           "token": toks})
-             .groupby(["cluster", "token"], sort=False).size()
-             .rename("n").reset_index())
-        g["n"] = g["n"].astype(np.int64)
-        return g
+    def counts(batch: pa.Table) -> pa.Table:
+        toks = pc.split_pattern(pc.utf8_lower(batch["text"]), " ")
+        lens = pc.list_value_length(toks).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        flat = pc.list_flatten(toks)
+        cl = np.repeat(np.asarray(batch["cluster"], dtype=np.int64),
+                       lens)
+        t = pa.table({"cluster": pa.array(cl), "token": flat})
+        g = t.group_by(["cluster", "token"]).aggregate(
+            [([], "count_all")])
+        return g.rename_columns(["cluster", "token", "n"])
 
-    merged = (joined.map_batches(counts, batch_format="pandas")
+    merged = (joined.map_batches(counts, batch_format="pyarrow",
+                                zero_copy_batch=True)
               .groupby(["cluster", "token"])
               .aggregate(Sum("n", alias_name="n")))
     return top_k_per_group(merged, ["cluster"], "n", k=3,
