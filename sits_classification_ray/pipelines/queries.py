@@ -1095,6 +1095,42 @@ def _cube_documents(sf_dir: str) -> rd.Dataset:
     return both.union(by_lang).union(by_src).union(grand)
 
 
+def _readability_documents(sf_dir: str) -> rd.Dataset:
+    """Flesch reading-ease per document from three vectorized regex
+    counts (words, sentence-punctuation runs, vowel-group syllable
+    proxy) — a named readability quality signal; the formula is
+    evaluated in the same literal order as the SQL twin."""
+    from sits_classification_ray.functions.transforms import sql_round
+
+    def kernel(batch: pa.Table) -> pa.Table:
+        text = batch["text"]
+        words = pc.cast(pc.add(pc.count_substring(text, " "), 1),
+                        pa.int64()).to_numpy(zero_copy_only=False) \
+            .astype(np.float64)
+        sents = np.maximum(
+            pc.cast(pc.count_substring_regex(text, r"[.!?]+"),
+                    pa.int64()).to_numpy(zero_copy_only=False), 1) \
+            .astype(np.float64)
+        syl = pc.cast(pc.count_substring_regex(pc.utf8_lower(text),
+                                               r"[aeiouy]+"),
+                      pa.int64()).to_numpy(zero_copy_only=False) \
+            .astype(np.float64)
+        flesch = 206.835 - 1.015 * (words / sents) \
+            - 84.6 * (syl / words)
+        return pa.table({
+            "doc_id": batch["doc_id"],
+            "n_words": pa.array(words.astype(np.int64)),
+            "n_sentences": pa.array(sents.astype(np.int64)),
+            "n_syllables": pa.array(syl.astype(np.int64)),
+            "flesch": pa.array(sql_round(flesch, 6)),
+        })
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id", "text"])
+    return docs.map_batches(kernel, batch_format="pyarrow",
+                            zero_copy_batch=True)
+
+
 def _winsorized_value_by_type(sf_dir: str) -> rd.Dataset:
     """Outlier treatment: per event_type, winsorize the value at the
     exact p01/p99 (computed on integer cents — the 2-decimal domain
@@ -2361,6 +2397,7 @@ def build_queries() -> dict[str, Callable[[str], Any]]:
         "quota_events": _quota_events,
         "events_with_user_stats": _events_with_user_stats,
         "winsorized_value_by_type": _winsorized_value_by_type,
+        "readability_documents": _readability_documents,
         "length_histogram_documents": _length_histogram_documents,
         "left_join_documents_embeddings": _left_join_documents_embeddings,
         "partition_extents_crawl": _partition_extents_crawl,
@@ -3036,6 +3073,22 @@ SELECT domain, bucket_ts, n_snaps,
              / CAST(sum(n_snaps) OVER (PARTITION BY bucket_ts)
                     AS DOUBLE), 6) AS share
 FROM ddom""",
+        "readability_documents": """
+WITH f AS (
+  SELECT doc_id,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
+         CAST(greatest(len(regexp_extract_all(text, '[.!?]+')), 1)
+              AS BIGINT) AS n_sentences,
+         CAST(len(regexp_extract_all(lower(text), '[aeiouy]+'))
+              AS BIGINT) AS n_syllables
+  FROM documents)
+SELECT doc_id, n_words, n_sentences, n_syllables,
+       round(206.835
+             - 1.015 * (CAST(n_words AS DOUBLE)
+                        / CAST(n_sentences AS DOUBLE))
+             - 84.6 * (CAST(n_syllables AS DOUBLE)
+                       / CAST(n_words AS DOUBLE)), 6) AS flesch
+FROM f""",
         "winsorized_value_by_type": """
 WITH cts AS MATERIALIZED (
   SELECT event_type,
