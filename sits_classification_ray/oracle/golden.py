@@ -1200,3 +1200,118 @@ def cluster_top_terms(emb: pd.DataFrame, docs: pd.DataFrame
                       ascending=[True, False, True], kind="mergesort")
     out = g.groupby("cluster", sort=False).head(3).reset_index(drop=True)
     return out
+
+
+def _pq_train(emb: pd.DataFrame, m: int, ks: int, iterations: int,
+              num_partitions: int = 64) -> np.ndarray:
+    """Shared PQ codebook training twin (see pq_topk_embeddings)."""
+    ids = emb["vec_id"].to_numpy(np.int64)
+    seed = emb[emb["vec_id"] < ks].sort_values("vec_id")
+    seeds = np.stack([np.asarray(v, dtype=np.float64)
+                      for v in seed["embedding"]])
+    d = seeds.shape[1]
+    sub_d = d // m
+    C = np.stack([seeds[:, j * sub_d:(j + 1) * sub_d]
+                  for j in range(m)])
+    pid_all = (pd.util.hash_array(ids, categorize=False)
+               % np.uint64(num_partitions)).astype(np.int64)
+    for _ in range(iterations):
+        frames = []
+        for pid in np.unique(pid_all):
+            sub = emb[pid_all == pid].sort_values("vec_id",
+                                                  kind="mergesort")
+            X = np.stack([np.asarray(v, dtype=np.float64)
+                          for v in sub["embedding"]])
+            for j in range(m):
+                Xj = X[:, j * sub_d:(j + 1) * sub_d]
+                Cj = C[j]
+                d2 = (Xj ** 2).sum(1)[:, None] - 2.0 * (Xj @ Cj.T) \
+                    + (Cj ** 2).sum(1)[None, :]
+                a = np.argmin(d2, axis=1)
+                acc = np.zeros((ks, sub_d), dtype=np.float64)
+                np.add.at(acc, a, Xj)
+                cnt = np.bincount(a, minlength=ks).astype(np.int64)
+                f = pd.DataFrame({
+                    "pid": np.repeat(np.int64(pid), ks * sub_d),
+                    "sub": np.repeat(np.int64(j), ks * sub_d),
+                    "cluster": np.repeat(
+                        np.arange(ks, dtype=np.int64), sub_d),
+                    "dim": np.tile(np.arange(sub_d, dtype=np.int64),
+                                   ks),
+                    "s": acc.ravel(),
+                    "n": np.repeat(cnt, sub_d),
+                })
+                frames.append(f[f["n"] > 0])
+        partials = pd.concat(frames, ignore_index=True).sort_values(
+            ["sub", "cluster", "dim", "pid"], kind="mergesort")
+        g = partials.groupby(["sub", "cluster", "dim"], sort=True)
+        s = g["s"].sum()
+        n = g["n"].sum()
+        C_new = C.copy()
+        for (j, ci, di), sv in s.items():
+            nv = n[(j, ci, di)]
+            if nv > 0:
+                C_new[j, ci, di] = sv / float(nv)
+        C = C_new
+    return C
+
+
+def ivfpq_topk_embeddings(emb: pd.DataFrame, n_lists: int = 8,
+                          n_probe: int = 3, m: int = 8, ks: int = 16,
+                          iterations: int = 3, k: int = 10
+                          ) -> pd.DataFrame:
+    """Independent IVF-PQ: coarse sampled-kmeans centroids (cosine
+    space, identical to the ivf_topk twin), raw-vector PQ codebooks,
+    ADC scan restricted to each query's probed lists."""
+    emb = emb.sort_values("vec_id").reset_index(drop=True)
+    ids = emb["vec_id"].to_numpy(np.int64)
+    X = np.stack([np.asarray(v, dtype=np.float64)
+                  for v in emb["embedding"]])
+    nrm = np.linalg.norm(X, axis=1, keepdims=True)
+    nrm[nrm == 0] = 1.0
+    mat = X / nrm
+    rng = np.random.default_rng(0)
+    cent = mat[rng.choice(len(mat), size=min(n_lists, len(mat)),
+                          replace=False)]
+    for _ in range(5):
+        assign = np.argmax(mat @ cent.T, axis=1)
+        for c in range(len(cent)):
+            msk = assign == c
+            if msk.any():
+                v = mat[msk].mean(axis=0)
+                cent[c] = v / max(np.linalg.norm(v), 1e-12)
+    lists = np.argmax(mat @ cent.T, axis=1)
+
+    C = _pq_train(emb, m, ks, iterations)
+    sub_d = C.shape[2]
+    codes = np.empty((len(emb), m), dtype=np.int64)
+    for j in range(m):
+        Xj = X[:, j * sub_d:(j + 1) * sub_d]
+        Cj = C[j]
+        d2 = (Xj ** 2).sum(1)[:, None] - 2.0 * (Xj @ Cj.T) \
+            + (Cj ** 2).sum(1)[None, :]
+        codes[:, j] = np.argmin(d2, axis=1)
+
+    q_df = emb[emb["vec_id"] < 3].sort_values("vec_id")
+    q_mat = np.stack([np.asarray(v, dtype=np.float64)
+                      for v in q_df["embedding"]])
+    qn = np.linalg.norm(q_mat, axis=1, keepdims=True)
+    qn[qn == 0] = 1.0
+    probe = np.argsort(-((q_mat / qn) @ cent.T), axis=1)[:, :n_probe]
+    rows = []
+    for qi, r in enumerate(q_df.itertuples(index=False)):
+        q = np.asarray(r.embedding, dtype=np.float64)
+        tab = np.stack([((q[j * sub_d:(j + 1) * sub_d][None, :]
+                          - C[j]) ** 2).sum(1) for j in range(m)])
+        mask = np.isin(lists, probe[qi])
+        d2 = tab[np.arange(m)[None, :], codes[mask]].sum(1)
+        d2r = d2 * 1e6
+        d2r = np.copysign(np.floor(np.abs(d2r) + 0.5), d2r) / 1e6
+        cand_ids = ids[mask]
+        order = np.lexsort((cand_ids, d2r))[:k]
+        rows.append(pd.DataFrame({
+            "query_id": np.repeat(np.int64(r.vec_id), len(order)),
+            "vec_id": cand_ids[order],
+            "adc_d2": d2r[order],
+        }))
+    return pd.concat(rows, ignore_index=True)

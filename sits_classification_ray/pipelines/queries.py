@@ -1686,6 +1686,20 @@ def _pq_topk_embeddings(sf_dir: str) -> rd.Dataset:
     return pq_topk(codes, cb, queries, k=10)
 
 
+def _ivfpq_topk_embeddings(sf_dir: str) -> rd.Dataset:
+    """IVF-PQ (FAISS IVFADC) top-10 for query ids 0-2 — coarse list
+    probing composed with PQ/ADC code scanning."""
+    from sits_classification_ray.stages.pq import ivfpq_topk
+
+    emb = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                          columns=["vec_id", "embedding"])
+    q_df = emb.filter(expr="vec_id < 3").to_pandas() \
+        .sort_values("vec_id")
+    queries = {int(r.vec_id): np.asarray(r.embedding, dtype=np.float64)
+               for r in q_df.itertuples(index=False)}
+    return ivfpq_topk(emb, queries, k=10)
+
+
 def _kmeans_embeddings(sf_dir: str) -> rd.Dataset:
     from sits_classification_ray.stages.similarity import kmeans_assign
 
@@ -2379,6 +2393,7 @@ def build_queries() -> dict[str, Callable[[str], Any]]:
         "full_join_documents_embeddings": _full_join_documents_embeddings,
         "kmeans_embeddings": _kmeans_embeddings,
         "pq_topk_embeddings": _pq_topk_embeddings,
+        "ivfpq_topk_embeddings": _ivfpq_topk_embeddings,
         "rolling_mean_time_crawl": _rolling_mean_time_crawl,
         "merge_upsert_crawl": _merge_upsert_crawl,
         "bpe_merges_documents": _bpe_merges_documents,
@@ -2472,6 +2487,7 @@ GOLDEN_QUERIES = [
     "source_mixture_documents", "kmeans_embeddings",
     "pq_topk_embeddings", "bpe_merges_documents", "skew_report_crawl",
     "corpus_prep_documents", "cluster_top_terms",
+    "ivfpq_topk_embeddings",
 ]
 
 

@@ -105,11 +105,13 @@ def train_pq_codebooks(ds: rd.Dataset, m: int = 8, ks: int = 16,
 
 
 def pq_encode(ds: rd.Dataset, codebooks: np.ndarray,
-              id_col: str = "vec_id", vec_col: str = "embedding"
-              ) -> rd.Dataset:
-    """Encode vectors to ``m`` int64 code columns (``code0..codeN``)."""
+              id_col: str = "vec_id", vec_col: str = "embedding",
+              passthrough: list[str] | None = None) -> rd.Dataset:
+    """Encode vectors to ``m`` int64 code columns (``code0..codeN``);
+    ``passthrough`` columns (e.g. an IVF list id) are carried along."""
     m, ks, sub_d = codebooks.shape
     cb_ref = ray.put(codebooks)
+    extra = list(passthrough or [])
 
     class Encode:
         def __init__(self):
@@ -118,6 +120,8 @@ def pq_encode(ds: rd.Dataset, codebooks: np.ndarray,
         def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
             X = _stack(df[vec_col])
             out = {id_col: df[id_col].to_numpy()}
+            for c in extra:
+                out[c] = df[c].to_numpy()
             for j in range(m):
                 Xj = X[:, j * sub_d:(j + 1) * sub_d]
                 Cj = self.C[j]
@@ -167,6 +171,84 @@ def pq_topk(codes: rd.Dataset, codebooks: np.ndarray,
                     id_col: df[id_col].to_numpy()[idx],
                     "adc_d2": sql_round(d2[idx], round_to),
                 }))
+            return pd.concat(outs, ignore_index=True)
+
+    scored = codes.map_batches(Scan, batch_format="pandas",
+                               concurrency=(1, 8), num_cpus=1)
+    return top_k_per_group(scored, ["query_id"], "adc_d2", k=k,
+                           ascending=True, tie_col=id_col)
+
+
+def ivfpq_topk(ds: rd.Dataset, queries: dict[int, np.ndarray],
+               n_lists: int = 8, n_probe: int = 3, m: int = 8,
+               ks: int = 16, iterations: int = 3, k: int = 10,
+               id_col: str = "vec_id", vec_col: str = "embedding",
+               round_to: int = 6) -> rd.Dataset:
+    """IVF-PQ (the FAISS IVFADC index): coarse IVF centroids partition
+    the vectors into lists; PQ codes quantize them; a query probes its
+    ``n_probe`` nearest lists and ADC-scans only those codes — the
+    composition that makes billion-vector search tractable (scan
+    fraction ≈ n_probe/n_lists, memory m bytes/vector).
+
+    Simplification (documented, shared with the golden oracle): PQ
+    codebooks are trained on the RAW vectors, not per-list residuals.
+    Coarse assignment/probing happens in the normalized (cosine)
+    space, matching :func:`~sits_classification_ray.stages.similarity.ivf_topk`;
+    the fine ADC distance is L2 on raw vectors.
+    """
+    from sits_classification_ray.functions.transforms import sql_round
+    from sits_classification_ray.stages.sampling import top_k_per_group
+    from sits_classification_ray.stages.similarity import (_normalize,
+                                                           ivf_assign,
+                                                           train_centroids)
+
+    cent = train_centroids(ds, n_lists=n_lists, iters=5,
+                           id_col=id_col, vec_col=vec_col)
+    assigned = ivf_assign(ds, cent, id_col=id_col, vec_col=vec_col)
+    cb = train_pq_codebooks(ds, m=m, ks=ks, iterations=iterations,
+                            id_col=id_col, vec_col=vec_col)
+    codes = pq_encode(assigned, cb, id_col=id_col, vec_col=vec_col,
+                      passthrough=["ivf_list"])
+
+    sub_d = cb.shape[2]
+    q_ids = sorted(queries)
+    q_mat = np.stack([np.asarray(queries[q], dtype=np.float64)
+                      for q in q_ids])
+    probe = np.argsort(-(_normalize(q_mat) @ cent.T),
+                       axis=1)[:, :n_probe]
+    tables = np.stack([
+        np.stack([((q_mat[qi][j * sub_d:(j + 1) * sub_d][None, :]
+                    - cb[j]) ** 2).sum(1) for j in range(m)])
+        for qi in range(len(q_ids))])
+    ref = ray.put((np.asarray(q_ids, dtype=np.int64), probe, tables))
+
+    class Scan:
+        def __init__(self):
+            self.q_ids, self.probe, self.tables = ray.get(ref)
+
+        def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+            codes_np = np.stack([df[f"code{j}"].to_numpy()
+                                 for j in range(m)], axis=1)
+            lists_np = df["ivf_list"].to_numpy()
+            outs = []
+            for qi, qid in enumerate(self.q_ids):
+                mask = np.isin(lists_np, self.probe[qi])
+                if not mask.any():
+                    continue
+                sub = codes_np[mask]
+                d2 = self.tables[qi][np.arange(m)[None, :], sub].sum(1)
+                kk = min(k, len(sub))
+                idx = np.argpartition(d2, kk - 1)[:kk]
+                outs.append(pd.DataFrame({
+                    "query_id": np.repeat(qid, kk),
+                    id_col: df[id_col].to_numpy()[mask][idx],
+                    "adc_d2": sql_round(d2[idx], round_to),
+                }))
+            if not outs:
+                return pd.DataFrame({
+                    "query_id": pd.Series(dtype=np.int64),
+                    id_col: pd.Series(dtype=np.int64),
+                    "adc_d2": pd.Series(dtype=np.float64)})
             return pd.concat(outs, ignore_index=True)
 
     scored = codes.map_batches(Scan, batch_format="pandas",

@@ -106,6 +106,8 @@ def make_for(sf_dir: str) -> None:
             lambda: golden.corpus_prep_documents(docs),
         "cluster_top_terms":
             lambda: golden.cluster_top_terms(emb, docs),
+        "ivfpq_topk_embeddings":
+            lambda: golden.ivfpq_topk_embeddings(emb),
         "reservoir_sample_events": lambda: golden.reservoir_sample_events(
             pd.read_parquet(f"{sf_dir}/events.parquet",
                             columns=["event_id", "event_type", "user_id",
