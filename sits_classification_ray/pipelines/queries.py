@@ -1095,6 +1095,86 @@ def _cube_documents(sf_dir: str) -> rd.Dataset:
     return both.union(by_lang).union(by_src).union(grand)
 
 
+def _journey_trigrams_events(sf_dir: str) -> rd.Dataset:
+    """Sequence-pattern mining: the 10 most frequent event-type
+    TRIGRAMS along user journeys (ordered by ts, event_id) — the
+    3-gram extension of the Markov transition matrix."""
+    from ray.data.aggregate import Sum
+
+    from sits_classification_ray.stages.sampling import top_k_per_group
+    from sits_classification_ray.stages.shuffle import partitioned_map
+
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["user_id", "ts", "event_id",
+                                  "event_type"])
+
+    def kernel(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["user_id", "ts", "event_id"],
+                            kind="mergesort")
+        u = df["user_id"].to_numpy()
+        t = df["event_type"].to_numpy()
+        same = (u[2:] == u[1:-1]) & (u[1:-1] == u[:-2])
+        out = (pd.DataFrame({"t1": t[:-2][same], "t2": t[1:-1][same],
+                             "t3": t[2:][same]})
+               .groupby(["t1", "t2", "t3"], sort=False).size()
+               .rename("n").reset_index())
+        out["n"] = out["n"].astype(np.int64)
+        return out
+
+    counts = (partitioned_map(ev, kernel, keys=["user_id"])
+              .groupby(["t1", "t2", "t3"])
+              .aggregate(Sum("n", alias_name="n")))
+
+    def add_tie(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy(deep=False)
+        df["_g"] = np.int64(0)
+        df["_tie"] = df["t1"] + " " + df["t2"] + " " + df["t3"]
+        return df
+
+    top = top_k_per_group(counts.map_batches(add_tie,
+                                             batch_format="pandas"),
+                          ["_g"], "n", k=10, ascending=False,
+                          tie_col="_tie")
+    return top.drop_columns(["_g", "_tie"])
+
+
+def _benford_value_events(sf_dir: str) -> rd.Dataset:
+    """Benford's-law forensics on the value column: observed
+    first-significant-digit distribution vs the Benford expectation,
+    with the chi-square statistic as one extra row-free aggregate.
+    Digit extraction is all-integer after one log10."""
+    from ray.data.aggregate import Sum
+
+    from sits_classification_ray.functions.transforms import sql_round
+
+    def digits(df: pd.DataFrame) -> pd.DataFrame:
+        # exact path: 2-decimal values → integer cents → first digit
+        # of the decimal string (no float log10, no ULP hazard)
+        v = df["value"].to_numpy(np.float64)
+        c = np.round(v[v > 0] * 100.0).astype(np.int64)
+        d = pd.Series(c).astype(str).str[0].astype(np.int64)
+        out = (pd.DataFrame({"digit": d})
+               .groupby("digit", sort=False).size()
+               .rename("n").reset_index())
+        out["n"] = out["n"].astype(np.int64)
+        return out
+
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["value"])
+    counts = (ev.map_batches(digits, batch_format="pandas")
+              .groupby("digit")
+              .aggregate(Sum("n", alias_name="n")).to_pandas())
+    counts = counts.sort_values("digit").reset_index(drop=True)
+    total = float(counts["n"].sum())
+    dig = counts["digit"].to_numpy(np.int64).astype(np.float64)
+    expected = np.log10(1.0 + 1.0 / dig)
+    obs_p = counts["n"].to_numpy(np.float64) / total
+    counts["observed_p"] = sql_round(obs_p, 6)
+    counts["benford_p"] = sql_round(expected, 6)
+    counts["n"] = counts["n"].astype(np.int64)
+    return counts[["digit", "n", "observed_p", "benford_p"]]
+
+
 def _readability_documents(sf_dir: str) -> rd.Dataset:
     """Flesch reading-ease per document from three vectorized regex
     counts (words, sentence-punctuation runs, vowel-group syllable
@@ -2413,6 +2493,8 @@ def build_queries() -> dict[str, Callable[[str], Any]]:
         "events_with_user_stats": _events_with_user_stats,
         "winsorized_value_by_type": _winsorized_value_by_type,
         "readability_documents": _readability_documents,
+        "journey_trigrams_events": _journey_trigrams_events,
+        "benford_value_events": _benford_value_events,
         "length_histogram_documents": _length_histogram_documents,
         "left_join_documents_embeddings": _left_join_documents_embeddings,
         "partition_extents_crawl": _partition_extents_crawl,
@@ -3089,6 +3171,33 @@ SELECT domain, bucket_ts, n_snaps,
              / CAST(sum(n_snaps) OVER (PARTITION BY bucket_ts)
                     AS DOUBLE), 6) AS share
 FROM ddom""",
+        "journey_trigrams_events": """
+WITH seq AS MATERIALIZED (
+  SELECT user_id, event_type AS t1,
+         lead(event_type, 1) OVER w AS t2,
+         lead(event_type, 2) OVER w AS t3
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+cnt AS (
+  SELECT t1, t2, t3, count(*) AS n FROM seq
+  WHERE t3 IS NOT NULL GROUP BY 1, 2, 3)
+SELECT t1, t2, t3, n FROM (
+  SELECT t1, t2, t3, n,
+         row_number() OVER (ORDER BY n DESC,
+                            t1 || ' ' || t2 || ' ' || t3) AS rn
+  FROM cnt) WHERE rn <= 10""",
+        "benford_value_events": """
+WITH d AS MATERIALIZED (
+  SELECT CAST(substr(CAST(CAST(round(value * 100.0, 0) AS BIGINT)
+                          AS VARCHAR), 1, 1) AS BIGINT) AS digit
+  FROM events WHERE value > 0),
+c AS (SELECT digit, count(*) AS n FROM d GROUP BY 1),
+t AS (SELECT CAST(sum(n) AS DOUBLE) AS total FROM c)
+SELECT digit, n,
+       round(CAST(n AS DOUBLE) / t.total, 6) AS observed_p,
+       round(log10(1.0 + 1.0 / CAST(digit AS DOUBLE)), 6)
+           AS benford_p
+FROM c, t""",
         "readability_documents": """
 WITH f AS (
   SELECT doc_id,
