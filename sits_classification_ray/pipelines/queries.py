@@ -1095,6 +1095,55 @@ def _cube_documents(sf_dir: str) -> rd.Dataset:
     return both.union(by_lang).union(by_src).union(grand)
 
 
+def _inverted_index_documents(sf_dir: str) -> rd.Dataset:
+    """Search-index construction artifact: per token, document
+    frequency plus the first 50 posting doc-ids (sorted,
+    comma-joined). The (token, doc) pair stream is the distinct-pairs
+    combiner; postings assemble inside one salted exchange on token —
+    the text never moves, and each posting list is bounded."""
+    from sits_classification_ray.stages.shuffle import partitioned_map
+    from sits_classification_ray.stages.textstats import \
+        term_frequencies_batch
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id", "text"])
+    pairs = docs.map_batches(term_frequencies_batch,
+                             batch_format="pyarrow",
+                             zero_copy_batch=True) \
+        .select_columns(["token", "doc_id"])
+
+    def kernel(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["token", "doc_id"], kind="mergesort")
+        g = df.groupby("token", sort=False)["doc_id"]
+        out = pd.DataFrame({
+            "token": g.count().index.to_numpy(),
+            "df": g.nunique().to_numpy(np.int64),
+            "postings": g.apply(
+                lambda s: ",".join(map(str, s.head(50)))).to_numpy(),
+        })
+        return out
+
+    return partitioned_map(pairs, kernel, keys=["token"])
+
+
+def _dow_hour_matrix_events(sf_dir: str) -> rd.Dataset:
+    """Calendar activity matrix: event counts by (ISO day-of-week,
+    hour) — the standard ops heatmap feed, one combiner groupby."""
+    from ray.data.aggregate import Sum
+
+    def proj(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "dow": df["ts"].dt.isocalendar().day.astype(np.int64),
+            "hour": df["ts"].dt.hour.astype(np.int64),
+            "one": np.int64(1),
+        })
+
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["ts"])
+    return (ev.map_batches(proj, batch_format="pandas")
+            .groupby(["dow", "hour"])
+            .aggregate(Sum("one", alias_name="n_events")))
+
+
 def _journey_trigrams_events(sf_dir: str) -> rd.Dataset:
     """Sequence-pattern mining: the 10 most frequent event-type
     TRIGRAMS along user journeys (ordered by ts, event_id) — the
@@ -2495,6 +2544,8 @@ def build_queries() -> dict[str, Callable[[str], Any]]:
         "readability_documents": _readability_documents,
         "journey_trigrams_events": _journey_trigrams_events,
         "benford_value_events": _benford_value_events,
+        "inverted_index_documents": _inverted_index_documents,
+        "dow_hour_matrix_events": _dow_hour_matrix_events,
         "length_histogram_documents": _length_histogram_documents,
         "left_join_documents_embeddings": _left_join_documents_embeddings,
         "partition_extents_crawl": _partition_extents_crawl,
@@ -3171,6 +3222,20 @@ SELECT domain, bucket_ts, n_snaps,
              / CAST(sum(n_snaps) OVER (PARTITION BY bucket_ts)
                     AS DOUBLE), 6) AS share
 FROM ddom""",
+        "inverted_index_documents": """
+WITH pairs AS MATERIALIZED (
+  SELECT DISTINCT token, doc_id FROM (
+    SELECT doc_id, unnest(string_split(lower(text), ' ')) AS token
+    FROM documents))
+SELECT token, count(*) AS df,
+       array_to_string(list(doc_id ORDER BY doc_id)[1:50], ',')
+           AS postings
+FROM pairs GROUP BY token""",
+        "dow_hour_matrix_events": """
+SELECT CAST(isodow(ts) AS BIGINT) AS dow,
+       CAST(hour(ts) AS BIGINT) AS hour,
+       count(*) AS n_events
+FROM events GROUP BY 1, 2""",
         "journey_trigrams_events": """
 WITH seq AS MATERIALIZED (
   SELECT user_id, event_type AS t1,
