@@ -1095,6 +1095,61 @@ def _cube_documents(sf_dir: str) -> rd.Dataset:
     return both.union(by_lang).union(by_src).union(grand)
 
 
+def _basket_rules_events(sf_dir: str) -> pd.DataFrame:
+    """Association-rule mining over (user, hour) baskets: for every
+    unordered event-type pair, support, confidence and lift. The
+    distributed parts are the distinct-triple combiner, the basket
+    count, and an in-partition self-merge pair expansion (baskets hold
+    ≤ |types| items, so the blow-up is bounded); the rule table itself
+    is O(|types|²) and finalizes driver-side."""
+    from ray.data.aggregate import Count
+
+    from sits_classification_ray.functions.transforms import sql_round
+    from sits_classification_ray.stages.shuffle import partitioned_map
+
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["user_id", "ts", "event_type"])
+
+    def proj(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"user_id": df["user_id"],
+                             "hour": df["ts"].dt.floor("h"),
+                             "event_type": df["event_type"]})
+
+    triples = (ev.map_batches(proj, batch_format="pandas")
+               .groupby(["user_id", "hour", "event_type"])
+               .aggregate(Count(alias_name="_c"))
+               .drop_columns(["_c"]).materialize())
+    baskets = (triples.groupby(["user_id", "hour"])
+               .aggregate(Count(alias_name="_c")))
+    n_baskets = float(baskets.count())
+    item = triples.groupby("event_type") \
+        .aggregate(Count(alias_name="n")).to_pandas()
+    n_item = dict(zip(item["event_type"], item["n"]))
+
+    def pairs(df: pd.DataFrame) -> pd.DataFrame:
+        m = df.merge(df, on=["user_id", "hour"])
+        m = m[m["event_type_x"] < m["event_type_y"]]
+        out = (m.groupby(["event_type_x", "event_type_y"], sort=False)
+               .size().rename("n").reset_index())
+        out["n"] = out["n"].astype(np.int64)
+        return out
+
+    from ray.data.aggregate import Sum
+    pair_counts = (partitioned_map(triples, pairs, keys=["user_id"])
+                   .groupby(["event_type_x", "event_type_y"])
+                   .aggregate(Sum("n", alias_name="n")).to_pandas())
+    pair_counts = pair_counts.sort_values(
+        ["event_type_x", "event_type_y"]).reset_index(drop=True)
+    na = pair_counts["event_type_x"].map(n_item).to_numpy(np.float64)
+    nb = pair_counts["event_type_y"].map(n_item).to_numpy(np.float64)
+    nab = pair_counts["n"].to_numpy(np.float64)
+    pair_counts["support"] = sql_round(nab / n_baskets, 6)
+    pair_counts["confidence"] = sql_round(nab / na, 6)
+    pair_counts["lift"] = sql_round((nab * n_baskets) / (na * nb), 6)
+    pair_counts["n"] = pair_counts["n"].astype(np.int64)
+    return pair_counts
+
+
 def _inverted_index_documents(sf_dir: str) -> rd.Dataset:
     """Search-index construction artifact: per token, document
     frequency plus the first 50 posting doc-ids (sorted,
@@ -2546,6 +2601,7 @@ def build_queries() -> dict[str, Callable[[str], Any]]:
         "benford_value_events": _benford_value_events,
         "inverted_index_documents": _inverted_index_documents,
         "dow_hour_matrix_events": _dow_hour_matrix_events,
+        "basket_rules_events": _basket_rules_events,
         "length_histogram_documents": _length_histogram_documents,
         "left_join_documents_embeddings": _left_join_documents_embeddings,
         "partition_extents_crawl": _partition_extents_crawl,
@@ -3222,6 +3278,33 @@ SELECT domain, bucket_ts, n_snaps,
              / CAST(sum(n_snaps) OVER (PARTITION BY bucket_ts)
                     AS DOUBLE), 6) AS share
 FROM ddom""",
+        "basket_rules_events": """
+WITH tri AS MATERIALIZED (
+  SELECT DISTINCT user_id,
+         CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour,
+         event_type
+  FROM events),
+nb AS (SELECT CAST(count(*) AS DOUBLE) AS n_baskets FROM
+        (SELECT DISTINCT user_id, hour FROM tri)),
+it AS MATERIALIZED (
+  SELECT event_type, count(*) AS n FROM tri GROUP BY 1),
+pr AS MATERIALIZED (
+  SELECT a.event_type AS event_type_x, b.event_type AS event_type_y,
+         count(*) AS n
+  FROM tri a JOIN tri b
+    ON a.user_id = b.user_id AND a.hour = b.hour
+   AND a.event_type < b.event_type
+  GROUP BY 1, 2)
+SELECT p.event_type_x, p.event_type_y, p.n,
+       round(CAST(p.n AS DOUBLE) / nb.n_baskets, 6) AS support,
+       round(CAST(p.n AS DOUBLE) / CAST(ia.n AS DOUBLE), 6)
+           AS confidence,
+       round((CAST(p.n AS DOUBLE) * nb.n_baskets)
+             / (CAST(ia.n AS DOUBLE) * CAST(ib.n AS DOUBLE)), 6)
+           AS lift
+FROM pr p, nb
+JOIN it ia ON ia.event_type = p.event_type_x
+JOIN it ib ON ib.event_type = p.event_type_y""",
         "inverted_index_documents": """
 WITH pairs AS MATERIALIZED (
   SELECT DISTINCT token, doc_id FROM (
