@@ -1095,6 +1095,32 @@ def _cube_documents(sf_dir: str) -> rd.Dataset:
     return both.union(by_lang).union(by_src).union(grand)
 
 
+def _uncertainty_sample_crawl(sf_dir: str) -> rd.Dataset:
+    """Active-learning batch selection: the 20 rows with the smallest
+    classification margin (top-1 minus top-2 logit) from the
+    probability-mode scorer — the standard uncertainty-sampling rule
+    for labeling budgets. Masked rows excluded; local-topk combiner."""
+    from sits_classification_ray.functions.transforms import sql_round
+    from sits_classification_ray.stages.sampling import top_k_per_group
+
+    scored = _scored_proba_crawl(sf_dir)
+
+    def margin(df: pd.DataFrame) -> pd.DataFrame:
+        s = df[["score_0", "score_1", "score_2"]].to_numpy(np.float64)
+        keep = s[:, 0] > -9999.0
+        s2 = np.partition(s[keep], -2, axis=1)
+        out = df[keep][["url", "warc_ts"]].copy(deep=False)
+        out["margin"] = sql_round(s2[:, -1] - s2[:, -2], 6)
+        out["_g"] = np.int64(0)
+        out["_tie"] = out["url"] + " " + out["warc_ts"].astype(str)
+        return out
+
+    m = scored.map_batches(margin, batch_format="pandas")
+    top = top_k_per_group(m, ["_g"], "margin", k=20, ascending=True,
+                          tie_col="_tie")
+    return top.drop_columns(["_g", "_tie"])
+
+
 def _basket_rules_events(sf_dir: str) -> pd.DataFrame:
     """Association-rule mining over (user, hour) baskets: for every
     unordered event-type pair, support, confidence and lift. The
@@ -2602,6 +2628,7 @@ def build_queries() -> dict[str, Callable[[str], Any]]:
         "inverted_index_documents": _inverted_index_documents,
         "dow_hour_matrix_events": _dow_hour_matrix_events,
         "basket_rules_events": _basket_rules_events,
+        "uncertainty_sample_crawl": _uncertainty_sample_crawl,
         "length_histogram_documents": _length_histogram_documents,
         "left_join_documents_embeddings": _left_join_documents_embeddings,
         "partition_extents_crawl": _partition_extents_crawl,
@@ -3278,6 +3305,33 @@ SELECT domain, bucket_ts, n_snaps,
              / CAST(sum(n_snaps) OVER (PARTITION BY bucket_ts)
                     AS DOUBLE), 6) AS share
 FROM ddom""",
+        "uncertainty_sample_crawl": f"""{CRAWL_PREFIX},
+sc AS (
+  SELECT url, warc_ts,
+    (0.0 + CAST(text_len AS DOUBLE) * 0.01)
+        + CAST(word_count AS DOUBLE) * 0.0 AS s0,
+    (-1.0 + CAST(text_len AS DOUBLE) * -0.02)
+        + CAST(word_count AS DOUBLE) * 0.05 AS s1,
+    (0.5 + CAST(text_len AS DOUBLE) * 0.0)
+        + CAST(word_count AS DOUBLE) * -0.01 AS s2
+  FROM obs WHERE NOT (text_len = 0 AND word_count = 0)),
+mg AS (
+  SELECT url, warc_ts,
+         round(greatest(s0, s1, s2)
+               - CASE
+                   WHEN s0 >= s1 AND s0 >= s2
+                     THEN greatest(s1, s2)
+                   WHEN s1 >= s0 AND s1 >= s2
+                     THEN greatest(s0, s2)
+                   ELSE greatest(s0, s1)
+                 END, 6) AS margin
+  FROM sc)
+SELECT url, warc_ts, margin FROM (
+  SELECT url, warc_ts, margin,
+         row_number() OVER (
+             ORDER BY margin,
+                      url || ' ' || CAST(warc_ts AS VARCHAR)) AS rn
+  FROM mg) WHERE rn <= 20""",
         "basket_rules_events": """
 WITH tri AS MATERIALIZED (
   SELECT DISTINCT user_id,
