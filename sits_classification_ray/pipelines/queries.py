@@ -1095,6 +1095,53 @@ def _cube_documents(sf_dir: str) -> rd.Dataset:
     return both.union(by_lang).union(by_src).union(grand)
 
 
+def _auc_nchars_label(sf_dir: str) -> pd.DataFrame:
+    """Exact ROC-AUC of n_chars as a predictor of (label == 0), via
+    the Mann-Whitney rank statistic computed from the VALUE HISTOGRAM
+    (per-(x, label) counts — the integer-domain trick again): with
+    doubled ranks every intermediate is an exact integer, so engine
+    and SQL agree bit-for-bit; the only float op is the final
+    division. The histogram combiner is the distributed part; the
+    AUC folds over the tiny distinct-value table."""
+    from ray.data.aggregate import Sum
+
+    from sits_classification_ray.functions.transforms import sql_round
+    from sits_classification_ray.stages.joins import hash_join
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id", "n_chars"])
+    emb = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                          columns=["vec_id", "label"])
+    j = hash_join(docs, emb, on="doc_id", right_on="vec_id")
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        out = pd.DataFrame({
+            "x": df["n_chars"].astype(np.int64),
+            "np_": (df["label"] == 0).astype(np.int64),
+            "n": np.int64(1),
+        })
+        return (out.groupby("x", sort=False)
+                .agg(np_=("np_", "sum"), n=("n", "sum")).reset_index())
+
+    c = (j.map_batches(partial, batch_format="pandas")
+         .groupby("x")
+         .aggregate(Sum("np_", alias_name="np_"),
+                    Sum("n", alias_name="n")).to_pandas())
+    c = c.sort_values("x").reset_index(drop=True)
+    n = c["n"].to_numpy(np.int64)
+    np_pos = c["np_"].to_numpy(np.int64)
+    below = np.concatenate([[0], np.cumsum(n)[:-1]])
+    s2 = int((np_pos * (2 * below + n + 1)).sum())
+    n_pos = int(np_pos.sum())
+    n_neg = int(n.sum()) - n_pos
+    auc = (s2 - n_pos * (n_pos + 1)) / (2.0 * n_pos * n_neg)
+    return pd.DataFrame({
+        "n_pos": np.array([n_pos], np.int64),
+        "n_neg": np.array([n_neg], np.int64),
+        "auc": sql_round(np.array([auc]), 6),
+    })
+
+
 def _uncertainty_sample_crawl(sf_dir: str) -> rd.Dataset:
     """Active-learning batch selection: the 20 rows with the smallest
     classification margin (top-1 minus top-2 logit) from the
@@ -2629,6 +2676,7 @@ def build_queries() -> dict[str, Callable[[str], Any]]:
         "dow_hour_matrix_events": _dow_hour_matrix_events,
         "basket_rules_events": _basket_rules_events,
         "uncertainty_sample_crawl": _uncertainty_sample_crawl,
+        "auc_nchars_label": _auc_nchars_label,
         "length_histogram_documents": _length_histogram_documents,
         "left_join_documents_embeddings": _left_join_documents_embeddings,
         "partition_extents_crawl": _partition_extents_crawl,
@@ -3305,6 +3353,27 @@ SELECT domain, bucket_ts, n_snaps,
              / CAST(sum(n_snaps) OVER (PARTITION BY bucket_ts)
                     AS DOUBLE), 6) AS share
 FROM ddom""",
+        "auc_nchars_label": """
+WITH j AS MATERIALIZED (
+  SELECT d.n_chars AS x,
+         CASE WHEN e.label = 0 THEN 1 ELSE 0 END AS pos
+  FROM documents d JOIN embeddings e ON e.vec_id = d.doc_id),
+c AS MATERIALIZED (
+  SELECT x, CAST(sum(pos) AS BIGINT) AS np_,
+         count(*) AS n
+  FROM j GROUP BY 1),
+r AS (
+  SELECT x, np_, n,
+         CAST(sum(n) OVER (ORDER BY x) - n AS BIGINT) AS below
+  FROM c),
+t AS (SELECT CAST(sum(np_) AS BIGINT) AS n_pos,
+             CAST(sum(n) - sum(np_) AS BIGINT) AS n_neg FROM c),
+s AS (SELECT CAST(sum(np_ * (2 * below + n + 1)) AS BIGINT) AS s2
+      FROM r)
+SELECT t.n_pos, t.n_neg,
+       round(CAST(s.s2 - t.n_pos * (t.n_pos + 1) AS DOUBLE)
+             / (2.0 * t.n_pos * t.n_neg), 6) AS auc
+FROM t, s""",
         "uncertainty_sample_crawl": f"""{CRAWL_PREFIX},
 sc AS (
   SELECT url, warc_ts,
