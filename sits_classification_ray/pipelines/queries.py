@@ -1095,6 +1095,44 @@ def _cube_documents(sf_dir: str) -> rd.Dataset:
     return both.union(by_lang).union(by_src).union(grand)
 
 
+def _calibration_bins_nchars(sf_dir: str) -> pd.DataFrame:
+    """Reliability/calibration table for the same predictor the AUC
+    query scores: positive rate per fixed n_chars band (width 200).
+    Fixed bands, not ntile — deterministic under any partitioning and
+    identical in SQL, the distribution-free calibration view."""
+    from ray.data.aggregate import Sum
+
+    from sits_classification_ray.functions.transforms import sql_round
+    from sits_classification_ray.stages.joins import hash_join
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id", "n_chars"])
+    emb = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                          columns=["vec_id", "label"])
+    j = hash_join(docs, emb, on="doc_id", right_on="vec_id")
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        out = pd.DataFrame({
+            "band": (df["n_chars"].astype(np.int64) // 200) * 200,
+            "np_": (df["label"] == 0).astype(np.int64),
+            "n": np.int64(1),
+        })
+        return (out.groupby("band", sort=False)
+                .agg(np_=("np_", "sum"), n=("n", "sum")).reset_index())
+
+    c = (j.map_batches(partial, batch_format="pandas")
+         .groupby("band")
+         .aggregate(Sum("np_", alias_name="n_pos"),
+                    Sum("n", alias_name="n")).to_pandas())
+    c = c.sort_values("band").reset_index(drop=True)
+    c["pos_rate"] = sql_round(c["n_pos"].to_numpy(np.float64)
+                              / c["n"].to_numpy(np.float64), 6)
+    c["band"] = c["band"].astype(np.int64)
+    c["n_pos"] = c["n_pos"].astype(np.int64)
+    c["n"] = c["n"].astype(np.int64)
+    return c[["band", "n", "n_pos", "pos_rate"]]
+
+
 def _auc_nchars_label(sf_dir: str) -> pd.DataFrame:
     """Exact ROC-AUC of n_chars as a predictor of (label == 0), via
     the Mann-Whitney rank statistic computed from the VALUE HISTOGRAM
@@ -2677,6 +2715,7 @@ def build_queries() -> dict[str, Callable[[str], Any]]:
         "basket_rules_events": _basket_rules_events,
         "uncertainty_sample_crawl": _uncertainty_sample_crawl,
         "auc_nchars_label": _auc_nchars_label,
+        "calibration_bins_nchars": _calibration_bins_nchars,
         "length_histogram_documents": _length_histogram_documents,
         "left_join_documents_embeddings": _left_join_documents_embeddings,
         "partition_extents_crawl": _partition_extents_crawl,
@@ -3353,6 +3392,16 @@ SELECT domain, bucket_ts, n_snaps,
              / CAST(sum(n_snaps) OVER (PARTITION BY bucket_ts)
                     AS DOUBLE), 6) AS share
 FROM ddom""",
+        "calibration_bins_nchars": """
+SELECT (d.n_chars // 200) * 200 AS band,
+       count(*) AS n,
+       CAST(sum(CASE WHEN e.label = 0 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_pos,
+       round(CAST(sum(CASE WHEN e.label = 0 THEN 1 ELSE 0 END)
+                  AS DOUBLE) / CAST(count(*) AS DOUBLE), 6)
+           AS pos_rate
+FROM documents d JOIN embeddings e ON e.vec_id = d.doc_id
+GROUP BY 1""",
         "auc_nchars_label": """
 WITH j AS MATERIALIZED (
   SELECT d.n_chars AS x,
