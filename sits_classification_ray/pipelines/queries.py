@@ -1095,6 +1095,51 @@ def _cube_documents(sf_dir: str) -> rd.Dataset:
     return both.union(by_lang).union(by_src).union(grand)
 
 
+def _wau_events(sf_dir: str) -> rd.Dataset:
+    """Rolling 7-day active users per day (WAU) — the sliding-window
+    COUNT DISTINCT: each distinct (user, day) activity pair is
+    expanded to the ≤7 window days it contributes to (bounded
+    flat-map, no self-join of the events table), re-deduplicated per
+    (user, window-day) by a groupby, and counted exactly with the
+    two-level pattern. Days without any direct activity are dropped
+    to match the SQL twin's day universe."""
+    from ray.data.aggregate import Count
+
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["user_id", "ts"])
+
+    def proj(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"user_id": df["user_id"],
+                             "day": df["ts"].dt.floor("D")})
+
+    act = (ev.map_batches(proj, batch_format="pandas")
+           .groupby(["user_id", "day"])
+           .aggregate(Count(alias_name="_c"))
+           .drop_columns(["_c"]).materialize())
+    days = set(act.groupby("day").aggregate(Count(alias_name="_c"))
+               .to_pandas()["day"])
+    days_ref = ray.put(days)
+
+    class Expand:
+        def __init__(self):
+            self.days = ray.get(days_ref)
+
+        def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+            n = len(df)
+            u = np.repeat(df["user_id"].to_numpy(np.int64), 7)
+            d = np.repeat(df["day"].to_numpy(), 7) \
+                + np.tile(pd.to_timedelta(np.arange(7), unit="D"), n)
+            out = pd.DataFrame({"user_id": u, "day": d})
+            return out[out["day"].isin(self.days)]
+
+    expanded = act.map_batches(Expand, batch_format="pandas",
+                               concurrency=(1, 8), num_cpus=1)
+    per_user = (expanded.groupby(["day", "user_id"])
+                .aggregate(Count(alias_name="_c")))
+    return (per_user.groupby("day")
+            .aggregate(Count(alias_name="wau")))
+
+
 def _calibration_bins_nchars(sf_dir: str) -> pd.DataFrame:
     """Reliability/calibration table for the same predictor the AUC
     query scores: positive rate per fixed n_chars band (width 200).
@@ -2716,6 +2761,7 @@ def build_queries() -> dict[str, Callable[[str], Any]]:
         "uncertainty_sample_crawl": _uncertainty_sample_crawl,
         "auc_nchars_label": _auc_nchars_label,
         "calibration_bins_nchars": _calibration_bins_nchars,
+        "wau_events": _wau_events,
         "length_histogram_documents": _length_histogram_documents,
         "left_join_documents_embeddings": _left_join_documents_embeddings,
         "partition_extents_crawl": _partition_extents_crawl,
@@ -3392,6 +3438,16 @@ SELECT domain, bucket_ts, n_snaps,
              / CAST(sum(n_snaps) OVER (PARTITION BY bucket_ts)
                     AS DOUBLE), 6) AS share
 FROM ddom""",
+        "wau_events": """
+WITH act AS MATERIALIZED (
+  SELECT DISTINCT user_id,
+         CAST(date_trunc('day', ts) AS TIMESTAMP) AS day
+  FROM events),
+days AS (SELECT DISTINCT day FROM act)
+SELECT d.day, count(DISTINCT a.user_id) AS wau
+FROM days d JOIN act a
+  ON a.day <= d.day AND a.day >= d.day - INTERVAL 6 DAY
+GROUP BY 1""",
         "calibration_bins_nchars": """
 SELECT (d.n_chars // 200) * 200 AS band,
        count(*) AS n,
