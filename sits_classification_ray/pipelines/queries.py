@@ -1095,6 +1095,52 @@ def _cube_documents(sf_dir: str) -> rd.Dataset:
     return both.union(by_lang).union(by_src).union(grand)
 
 
+def _funnel_latency_events(sf_dir: str) -> rd.Dataset:
+    """Conversion-latency distribution: for users completing the full
+    strict funnel, whole days from first signup to the qualifying
+    purchase — exact p50/p90 via the integer-day value histogram
+    (the funnel chain composed with exact_int_quantile)."""
+    from sits_classification_ray.functions.sketches import exact_int_quantile
+    from sits_classification_ray.stages.shuffle import partitioned_map
+
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["user_id", "ts", "event_type"])
+    stages = _FUNNEL_STAGES
+
+    def proj(df: pd.DataFrame) -> pd.DataFrame:
+        keep = df[df["event_type"].isin(stages)]
+        return pd.DataFrame({"user_id": keep["user_id"],
+                             "ts": keep["ts"],
+                             "event_type": keep["event_type"]})
+
+    def kernel(df: pd.DataFrame) -> pd.DataFrame:
+        first = (df[df["event_type"] == stages[0]]
+                 .groupby("user_id", sort=False)["ts"].min())
+        cur = first
+        for st in stages[1:]:
+            prev = cur.rename("__prev").reset_index()
+            nxt = df[df["event_type"] == st].merge(prev, on="user_id")
+            nxt = nxt[nxt["ts"] > nxt["__prev"]]
+            cur = nxt.groupby("user_id", sort=False)["ts"].min()
+        done = cur.rename("t_end").reset_index() \
+            .merge(first.rename("t_start").reset_index(), on="user_id")
+        delay = (done["t_end"].to_numpy().astype("datetime64[us]")
+                 .astype(np.int64)
+                 - done["t_start"].to_numpy().astype("datetime64[us]")
+                 .astype(np.int64)) // 86_400_000_000
+        return pd.DataFrame({"grp": np.int64(1),
+                             "delay_days": delay.astype(np.int64)})
+
+    delays = partitioned_map(ev.map_batches(proj,
+                                            batch_format="pandas"),
+                             kernel, keys=["user_id"])
+    out = exact_int_quantile(delays, "delay_days", "grp",
+                             quantiles=(0.5, 0.9))
+    return out.map_batches(
+        lambda df: df.rename(columns={"grp": "funnel"}),
+        batch_format="pandas")
+
+
 def _wau_events(sf_dir: str) -> rd.Dataset:
     """Rolling 7-day active users per day (WAU) — the sliding-window
     COUNT DISTINCT: each distinct (user, day) activity pair is
@@ -2762,6 +2808,7 @@ def build_queries() -> dict[str, Callable[[str], Any]]:
         "auc_nchars_label": _auc_nchars_label,
         "calibration_bins_nchars": _calibration_bins_nchars,
         "wau_events": _wau_events,
+        "funnel_latency_events": _funnel_latency_events,
         "length_histogram_documents": _length_histogram_documents,
         "left_join_documents_embeddings": _left_join_documents_embeddings,
         "partition_extents_crawl": _partition_extents_crawl,
@@ -3438,6 +3485,37 @@ SELECT domain, bucket_ts, n_snaps,
              / CAST(sum(n_snaps) OVER (PARTITION BY bucket_ts)
                     AS DOUBLE), 6) AS share
 FROM ddom""",
+        "funnel_latency_events": """
+WITH s1 AS MATERIALIZED (
+  SELECT user_id, min(ts) AS t FROM events
+  WHERE event_type = 'signup' GROUP BY 1),
+s2 AS MATERIALIZED (
+  SELECT e.user_id, min(e.ts) AS t FROM events e
+  JOIN s1 ON e.user_id = s1.user_id
+  WHERE e.event_type = 'view' AND e.ts > s1.t GROUP BY 1),
+s3 AS MATERIALIZED (
+  SELECT e.user_id, min(e.ts) AS t FROM events e
+  JOIN s2 ON e.user_id = s2.user_id
+  WHERE e.event_type = 'click' AND e.ts > s2.t GROUP BY 1),
+s4 AS MATERIALIZED (
+  SELECT e.user_id, min(e.ts) AS t FROM events e
+  JOIN s3 ON e.user_id = s3.user_id
+  WHERE e.event_type = 'purchase' AND e.ts > s3.t GROUP BY 1),
+dl AS MATERIALIZED (
+  SELECT (epoch_us(s4.t) - epoch_us(s1.t)) // 86400000000 AS d
+  FROM s4 JOIN s1 ON s1.user_id = s4.user_id),
+vc AS (SELECT d, count(*) AS n FROM dl GROUP BY 1),
+vt AS (SELECT CAST(sum(n) AS BIGINT) AS total FROM vc),
+vm AS MATERIALIZED (
+  SELECT d, sum(n) OVER (ORDER BY d) AS cum FROM vc)
+SELECT CAST(1 AS BIGINT) AS funnel, t.total AS n,
+  (SELECT min(d) FROM vm
+    WHERE cum >= greatest((500000 * t.total + 999999) // 1000000, 1))
+    AS q50,
+  (SELECT min(d) FROM vm
+    WHERE cum >= greatest((900000 * t.total + 999999) // 1000000, 1))
+    AS q90
+FROM vt t""",
         "wau_events": """
 WITH act AS MATERIALIZED (
   SELECT DISTINCT user_id,
