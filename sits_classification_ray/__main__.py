@@ -112,8 +112,16 @@ def main(argv: list[str] | None = None) -> int:
             qs = build_queries()
             for name in args.names:
                 res = qs[name](args.sf_dir)
-                n = res.count() if hasattr(res, "count") and not hasattr(
-                    res, "columns") else len(res)
+                # ray.data.Dataset also has .columns()/.count(); dispatch
+                # on concrete type, not duck-typing.
+                import pandas as pd
+                import pyarrow as pa
+                if isinstance(res, pd.DataFrame):
+                    n = len(res)
+                elif isinstance(res, pa.Table):
+                    n = res.num_rows
+                else:
+                    n = res.count()
                 print(f"{name}: {n} rows")
         return 0
     finally:

@@ -130,8 +130,17 @@ def read_crawl_jsonl(path: str) -> rd.Dataset:
              for s in batch["html_b64"].to_pylist()], pa.binary())
         ts = batch["warc_ts"]
         if not pa.types.is_timestamp(ts.type):
-            ts = pc.strptime(pc.cast(ts, pa.string()),
-                             format="%Y-%m-%dT%H:%M:%S", unit="us")
+            # Arrow's cast handles fractional seconds; zone-suffixed
+            # strings ('Z' / '+00:00', common in real exports) need a
+            # tz-aware intermediate before dropping to naive UTC.
+            s = pc.cast(ts, pa.string())
+            try:
+                ts = pc.cast(s, pa.timestamp("us"))
+            except pa.ArrowInvalid:
+                ts = pc.cast(pc.cast(s, pa.timestamp("us", tz="UTC")),
+                             pa.timestamp("us"))
+        elif ts.type.tz is not None:
+            ts = pc.cast(ts, pa.timestamp("us"))
         return pa.table({
             "url": pc.cast(batch["url"], pa.string()),
             "warc_ts": pc.cast(ts, pa.timestamp("us")),

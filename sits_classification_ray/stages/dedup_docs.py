@@ -653,6 +653,7 @@ def connected_components(pairs_ds: rd.Dataset, id_a: str = "id_a",
                           "lbl": lab["lbl"].to_numpy(np.int64)}),
         ], ignore_index=True)
 
+    converged = False
     for _ in range(max_iters):
         unioned = labels.map_batches(
             tag_labels, batch_format="pandas").union(edges_tagged)
@@ -661,8 +662,19 @@ def connected_components(pairs_ds: rd.Dataset, id_a: str = "id_a",
                   .materialize())
         new_total = labels.sum("lbl")
         if new_total == total:
+            converged = True
             break
         total = new_total
+    if not converged:
+        # A component whose diameter exceeds max_iters (plausible for
+        # chain-shaped LSH graphs at corpus scale) would silently get
+        # partially-propagated labels — surface it instead.
+        import warnings
+        warnings.warn(
+            f"connected_components did not converge within "
+            f"{max_iters} iterations; cluster labels may be split "
+            f"across long chains. Raise max_iters.",
+            RuntimeWarning, stacklevel=2)
 
     def rename(df: pd.DataFrame) -> pd.DataFrame:
         return pd.DataFrame({"doc_id": df["v"].to_numpy(np.int64),

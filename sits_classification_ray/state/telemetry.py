@@ -14,6 +14,7 @@ in and stores the summary in ``run_metrics.json``.
 from __future__ import annotations
 
 import csv
+import re
 import threading
 import time
 from pathlib import Path
@@ -42,13 +43,21 @@ def _mem_used_frac() -> float:
     return 1.0 - avail / total
 
 
+#: partition names to exclude from /proc/diskstats sums.  Whole devices
+#: like ``nvme0n1`` / ``md0`` / ``dm-0`` end in digits too, so a simple
+#: "ends in a digit" test would zero out disk stats on NVMe-only hosts;
+#: match the actual partition-naming schemes instead.
+_PARTITION_RE = re.compile(
+    r"^(?:[hsv]d[a-z]+\d+|nvme\d+n\d+p\d+|mmcblk\d+p\d+|md\d+p\d+)$")
+
+
 def _disk_sectors() -> tuple[int, int]:
     """(read, written) sectors summed over physical block devices."""
     rd = wr = 0
     try:
         for line in (_PROC / "diskstats").read_text().splitlines():
             f = line.split()
-            if len(f) < 10 or not f[2][-1].isalpha():
+            if len(f) < 10 or _PARTITION_RE.match(f[2]):
                 continue                       # skip partitions (sda1…)
             rd += int(f[5])
             wr += int(f[9])

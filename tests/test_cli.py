@@ -39,3 +39,19 @@ def test_cli_run_then_retention(tmp_path):
                           "--now", "2024-02-20",
                           "--policy", '{"obs": 1728000}'))
     assert "obs" in ret
+
+
+def test_cli_query_dataset_and_dataframe():
+    # one Dataset-returning and one DataFrame-returning query — the
+    # dispatch must not duck-type on .columns (Dataset has it too).
+    out = subprocess.run(
+        [sys.executable, "-m", "sits_classification_ray",
+         "--num-cpus", "4", "query", "/root/testdata/sf0.001",
+         "train_test_split_sizes", "distinct_lang_source"],
+        capture_output=True, text=True, timeout=240,
+        env={"PYTHONPATH": REPO, "PATH": "/usr/bin:/bin",
+             "HOME": "/root", "RAY_ADDRESS": "local"})
+    assert out.returncode == 0, out.stderr[-2000:]
+    lines = [l for l in out.stdout.splitlines() if " rows" in l]
+    assert any(l.startswith("train_test_split_sizes:") for l in lines)
+    assert any(l.startswith("distinct_lang_source:") for l in lines)

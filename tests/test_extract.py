@@ -83,3 +83,35 @@ def test_read_tier_range_filter(tmp_path, crawl_ds):
     assert set(part.columns) >= {"url", "bucket_ts", "count"}
     assert (part["bucket_ts"] >= pd.Timestamp(lo)).all()
     assert len(part) == (full["bucket_ts"] >= pd.Timestamp(lo)).sum()
+
+
+def test_jsonl_reads_fractional_and_zoned_timestamps(tmp_path):
+    """Real crawl exports carry .%f fractions and Z/offset suffixes —
+    the reader must accept the full ISO-8601 family, not just the
+    minute-resolution shape the synthesizer happens to emit."""
+    import base64
+    import json as _json
+
+    import pandas as pd
+
+    from sits_classification_ray.sources.readers import read_crawl_jsonl
+
+    p = tmp_path / "crawl.jsonl"
+    rows = [
+        ("http://a.example/x", "2024-01-02T03:04:05.123456"),
+        ("http://a.example/y", "2024-01-02T03:04:05Z"),
+        ("http://b.example/z", "2024-01-02T04:04:05.5+01:00"),
+    ]
+    with p.open("w") as fh:
+        for url, ts in rows:
+            fh.write(_json.dumps({
+                "url": url, "warc_ts": ts,
+                "html_b64": base64.b64encode(b"<html>").decode(),
+                "text": "hi", "lang": "en"}) + "\n")
+    got = (read_crawl_jsonl(str(p)).to_pandas()
+           .sort_values("url").reset_index(drop=True))
+    assert got["warc_ts"].tolist() == [
+        pd.Timestamp("2024-01-02 03:04:05.123456"),
+        pd.Timestamp("2024-01-02 03:04:05"),
+        pd.Timestamp("2024-01-02 03:04:05.5"),
+    ]
