@@ -22,10 +22,12 @@ def entry() -> Any:
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2."""
-    from sits_classification_ray.pipelines.queries import build_queries
+    """One entry per implemented operator/pipeline from SURVEY.md §2,
+    ordered so the driver's first-50 correctness window spans one
+    representative per operator family (DRIVER_WINDOW)."""
+    from sits_classification_ray.pipelines.queries import ordered_queries
 
-    return build_queries()
+    return ordered_queries()
 
 
 def oracle_sql() -> dict[str, str]:

