@@ -1063,17 +1063,28 @@ def pq_topk_embeddings(emb: pd.DataFrame, m: int = 8, ks: int = 16,
     return pd.concat(rows, ignore_index=True)
 
 
-def bpe_merges_documents(docs: pd.DataFrame, n_merges: int = 30
-                         ) -> pd.DataFrame:
+def bpe_merges_documents(docs: pd.DataFrame, n_merges: int = 30,
+                         min_count: int = 1,
+                         max_vocab: int | None = None) -> pd.DataFrame:
     """Independent BPE merge training: exact word frequencies via a
     pandas value_counts, then greedy merges with the same
     deterministic rule (count DESC, pair lexicographic ASC). Integer
-    counts ⇒ order of accumulation is irrelevant."""
+    counts ⇒ order of accumulation is irrelevant. The prune mirrors
+    the engine's bounded-collect contract: drop words below
+    ``min_count``, then keep the top ``max_vocab`` by
+    (count DESC, token ASC)."""
     toks: list = []
     for t in docs["text"]:
         toks.extend((t or "").lower().split(" "))
     vc = pd.Series(toks).value_counts()
-    words = {w: [tuple(w), int(f)] for w, f in vc.items()}
+    vcf = vc[vc >= min_count].reset_index()
+    vcf.columns = ["token", "n"]
+    vcf = vcf.sort_values(["n", "token"], ascending=[False, True],
+                          kind="mergesort")
+    if max_vocab is not None:
+        vcf = vcf.head(max_vocab)
+    words = {w: [tuple(w), int(f)]
+             for w, f in zip(vcf["token"], vcf["n"])}
 
     merges = []
     for rank in range(n_merges):

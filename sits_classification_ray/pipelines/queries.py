@@ -2052,7 +2052,10 @@ def _bpe_merges_documents(sf_dir: str) -> pd.DataFrame:
 
     docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
                            columns=["text"])
-    return bpe_merges(docs, n_merges=30)
+    # the prune BINDS here (31 distinct synth tokens → top 24), so the
+    # golden-checked result covers the bounded-collect path, not just
+    # the trivial all-words case
+    return bpe_merges(docs, n_merges=30, min_count=2, max_vocab=24)
 
 
 def _pq_topk_embeddings(sf_dir: str) -> rd.Dataset:

@@ -64,3 +64,36 @@ def test_pmi_finds_collocation():
     assert out.iloc[0]["w1"] == "neural"
     assert out.iloc[0]["w2"] == "network"
     assert (out["pmi"].to_numpy()[:-1] >= out["pmi"].to_numpy()[1:]).all()
+
+
+def test_bpe_merges_prune_bounds_driver_collect():
+    """max_vocab / min_count prune the distributed count table BEFORE
+    it reaches the driver (the 100 TB contract): the merge result must
+    equal training on exactly the top-N (count DESC, token ASC) words,
+    and the collected vocabulary must be bounded by the parameter."""
+    import pandas as pd
+
+    from sits_classification_ray.oracle.golden import bpe_merges_documents
+    from sits_classification_ray.stages.textstats import (bpe_merges,
+                                                          token_counts)
+
+    # 60 distinct words: 10 hot (freq ≥ 5), 50 singleton noise words
+    texts = []
+    for i in range(10):
+        texts.extend([f"hot{i}word"] * (5 + i))
+    texts.extend(f"noise{i:02d}" for i in range(50))
+    docs = pd.DataFrame({"text": texts})
+    ds = rd.from_pandas(docs).repartition(4)
+
+    got = bpe_merges(ds, n_merges=8, min_count=2, max_vocab=6)
+    want = bpe_merges_documents(docs, n_merges=8, min_count=2,
+                                max_vocab=6)
+    pd.testing.assert_frame_equal(got.reset_index(drop=True),
+                                  want.reset_index(drop=True))
+
+    # the bounded table itself: what bpe_merges collects is ≤ max_vocab
+    counts = token_counts(ds).filter(expr="n >= 2")
+    pruned = counts.sort(["n", "token"],
+                         descending=[True, False]).limit(6).to_pandas()
+    assert len(pruned) == 6
+    assert counts.count() == 10     # prune genuinely binds (10 → 6)

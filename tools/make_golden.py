@@ -100,7 +100,8 @@ def make_for(sf_dir: str) -> None:
             lambda: golden.source_mixture_documents(docs),
         "kmeans_embeddings": lambda: golden.kmeans_embeddings(emb),
         "pq_topk_embeddings": lambda: golden.pq_topk_embeddings(emb),
-        "bpe_merges_documents": lambda: golden.bpe_merges_documents(docs),
+        "bpe_merges_documents": lambda: golden.bpe_merges_documents(
+            docs, min_count=2, max_vocab=24),
         "skew_report_crawl": lambda: golden.skew_report_crawl(obs),
         "corpus_prep_documents":
             lambda: golden.corpus_prep_documents(docs),
