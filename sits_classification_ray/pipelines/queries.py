@@ -865,11 +865,14 @@ def _time_weighted_avg_crawl(sf_dir: str) -> rd.Dataset:
 
 def _unigram_logprob_documents(sf_dir: str) -> rd.Dataset:
     """Corpus-unigram LM score per document (quality/perplexity
-    proxy); vocabulary broadcast once via ray.put."""
+    proxy). broadcast_max_vocab=0 forces the tag-union JOIN path —
+    the one that holds at unbounded vocabulary — so the driver's hash
+    check covers the scale path, not just the broadcast fast path."""
     from sits_classification_ray.stages.textstats import unigram_logprob
 
     return unigram_logprob(rd.read_parquet(
-        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]))
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]),
+        broadcast_max_vocab=0)
 
 
 def _series_gaps_crawl(sf_dir: str) -> rd.Dataset:
@@ -890,11 +893,15 @@ def _duplicate_ngrams_documents(sf_dir: str) -> rd.Dataset:
 
 
 def _bigram_logprob_documents(sf_dir: str) -> rd.Dataset:
-    """Conditional-bigram LM fluency score per document."""
+    """Conditional-bigram LM fluency score per document.
+    broadcast_max_vocab=0 forces the two-exchange JOIN path (the
+    bigram table is super-linear in corpus size) so the driver's hash
+    check covers the scale path."""
     from sits_classification_ray.stages.textstats import bigram_logprob
 
     return bigram_logprob(rd.read_parquet(
-        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]))
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]),
+        broadcast_max_vocab=0)
 
 
 def _theil_sen_crawl(sf_dir: str) -> rd.Dataset:

@@ -97,3 +97,32 @@ def test_bpe_merges_prune_bounds_driver_collect():
                          descending=[True, False]).limit(6).to_pandas()
     assert len(pruned) == 6
     assert counts.count() == 10     # prune genuinely binds (10 → 6)
+
+
+def test_lm_logprob_join_path_matches_broadcast_path():
+    """The unbounded-vocabulary tag-union join path must produce the
+    same rows as the broadcast fast path (both LM orders)."""
+    import pandas as pd
+
+    from sits_classification_ray.stages.textstats import (bigram_logprob,
+                                                          unigram_logprob)
+
+    texts = ["the cat sat on the mat", "the dog sat", "a cat ran fast",
+             "the the the", "solo", "on the mat the cat sat again"]
+    ds = rd.from_pandas(pd.DataFrame({
+        "doc_id": np.arange(len(texts), dtype=np.int64),
+        "text": texts})).repartition(3)
+
+    def norm(d):
+        return (d.to_pandas().sort_values("doc_id")
+                .reset_index(drop=True))
+
+    uni_b = norm(unigram_logprob(ds, broadcast_max_vocab=10**9))
+    uni_j = norm(unigram_logprob(ds, broadcast_max_vocab=0))
+    pd.testing.assert_frame_equal(uni_j[uni_b.columns], uni_b)
+
+    bi_b = norm(bigram_logprob(ds, broadcast_max_vocab=10**9))
+    bi_j = norm(bigram_logprob(ds, broadcast_max_vocab=0))
+    pd.testing.assert_frame_equal(bi_j[bi_b.columns], bi_b)
+    # the single-token doc has no bigrams and is omitted on BOTH paths
+    assert 4 not in bi_j["doc_id"].tolist()
