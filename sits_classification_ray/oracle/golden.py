@@ -1326,3 +1326,169 @@ def ivfpq_topk_embeddings(emb: pd.DataFrame, n_lists: int = 8,
             "adc_d2": d2r[order],
         }))
     return pd.concat(rows, ignore_index=True)
+
+
+# --- training driver (reference Trainer.fit lifecycle) --------------------
+
+def _sql_round_arr(x, nd: int = 6):
+    x = np.asarray(x, dtype=np.float64)
+    s = x * (10.0 ** nd)
+    return np.copysign(np.floor(np.abs(s) + 0.5), s) / (10.0 ** nd)
+
+
+def _fit_linear_golden(emb: pd.DataFrame, epochs: int = 20,
+                       learning_rate: float = 0.5,
+                       weight_decay: float = 0.0,
+                       valid_mod: int | None = 5,
+                       valid_every_n_epochs: int = 1,
+                       smooth_period: int = 5, patience: int = 6,
+                       use_class_weights: bool = False,
+                       P: int = 16):
+    """Independent softmax-regression fit replicating the trainer's
+    determinism spec: fixed hash partitions (pandas SipHash % P),
+    id-sorted rows per partition, partial gradients merged in
+    ascending-pid order, full-batch weighted-mean cross-entropy GD,
+    reference valid/early-stop cadence. Returns (log_df, W, b)."""
+    ids = emb["vec_id"].to_numpy(np.int64)
+    X = np.stack([np.asarray(v, dtype=np.float64)
+                  for v in emb["embedding"]])
+    y = emb["label"].to_numpy(np.int64)
+    order = np.argsort(ids, kind="mergesort")
+    ids, X, y = ids[order], X[order], y[order]
+    pid = (pd.util.hash_array(np.ascontiguousarray(ids),
+                              categorize=False)
+           % np.uint64(P)).astype(np.int64)
+    is_valid = ((ids % valid_mod) == 0) if valid_mod else (
+        np.zeros(len(ids), dtype=bool))
+
+    k = int(y.max()) + 1
+    d = X.shape[1]
+    W = np.zeros((k, d))
+    b = np.zeros(k)
+
+    if use_class_weights:
+        counts = np.bincount(y[~is_valid], minlength=k).astype(np.float64)
+        cw = np.zeros(k)
+        present = counts > 0
+        cw[present] = 1.0 / counts[present]
+        cw[present] = cw[present] / cw[present].sum() * present.sum()
+    else:
+        cw = np.ones(k)
+
+    def merged_pass(mask: np.ndarray, want_grad: bool) -> np.ndarray:
+        total = np.zeros(k * d + k + 4)
+        for p in np.unique(pid[mask]):
+            sel = mask & (pid == p)
+            Xp, yp = X[sel], y[sel]
+            logits = Xp @ W.T + b
+            z = logits - logits.max(axis=1, keepdims=True)
+            e = np.exp(z)
+            prob = e / e.sum(axis=1, keepdims=True)
+            n = len(yp)
+            rows = np.arange(n)
+            w = cw[yp]
+            wloss = float((w * -np.log(prob[rows, yp])).sum())
+            correct = float((prob.argmax(axis=1) == yp).sum())
+            if want_grad:
+                delta = prob
+                delta[rows, yp] -= 1.0
+                delta *= w[:, None]
+                G = delta.T @ Xp
+                gb = delta.sum(axis=0)
+            else:
+                G = np.zeros((k, d))
+                gb = np.zeros(k)
+            total += np.concatenate(
+                [G.ravel(), gb,
+                 [wloss, float(w.sum()), float(n), correct]])
+        return total
+
+    log_rows: list[dict] = []
+    not_improved = 0
+    epoch = 0
+    while epoch < epochs:
+        epoch += 1
+        vec = merged_pass(~is_valid, True)
+        G = vec[:k * d].reshape(k, d)
+        gb = vec[k * d:k * d + k]
+        wloss, wsum, n, correct = vec[k * d + k:]
+        W -= learning_rate * (G / wsum + weight_decay * W)
+        b -= learning_rate * (gb / wsum)
+        log_rows.append({"epoch": epoch, "mode": "train",
+                         "loss": wloss / wsum, "accuracy": correct / n})
+        if valid_mod:
+            if epoch % valid_every_n_epochs == 0 or epoch == 1:
+                vv = merged_pass(is_valid, False)
+                vloss, vwsum, vn, vcorrect = vv[k * d + k:]
+                log_rows.append({"epoch": epoch, "mode": "valid",
+                                 "loss": vloss / vwsum,
+                                 "accuracy": vcorrect / vn})
+            if epoch > smooth_period:
+                valid_losses = [r["loss"] for r in log_rows
+                                if r["mode"] == "valid"]
+                diffs = np.diff(np.asarray(valid_losses))[-smooth_period:]
+                if len(diffs) and diffs.mean() > 0:
+                    not_improved += 1
+                    if not_improved >= patience:
+                        break
+                else:
+                    not_improved = 0
+    log = pd.DataFrame(log_rows)
+    return log, W, b
+
+
+def train_linear_fit(emb: pd.DataFrame, **kw) -> pd.DataFrame:
+    log, _, _ = _fit_linear_golden(emb, **kw)
+    log["epoch"] = log["epoch"].astype(np.int64)
+    log["loss"] = _sql_round_arr(log["loss"])
+    log["accuracy"] = _sql_round_arr(log["accuracy"])
+    return log
+
+
+def train_linear_weights(emb: pd.DataFrame, **kw) -> pd.DataFrame:
+    _, W, b = _fit_linear_golden(emb, **kw)
+    k, d = W.shape
+    return pd.DataFrame({
+        "class": np.concatenate([np.repeat(np.arange(k), d),
+                                 np.arange(k)]).astype(np.int64),
+        "dim": np.concatenate([np.tile(np.arange(d), k),
+                               np.full(k, -1)]).astype(np.int64),
+        "weight": _sql_round_arr(np.concatenate([W.ravel(), b])),
+    })
+
+
+def tune_trials(emb: pd.DataFrame, n_trials: int = 5, seed: int = 7,
+                epochs: int = 6) -> pd.DataFrame:
+    """Independent seeded random search over the same log-uniform
+    (learning_rate, weight_decay) space, re-running the golden fit per
+    trial; direction = maximize best valid accuracy."""
+    rng = np.random.RandomState(seed)
+    space = {"learning_rate": (0.05, 2.0), "weight_decay": (1e-5, 1e-3)}
+    rows = []
+    for t in range(n_trials):
+        params = {}
+        for name in sorted(space):
+            lo, hi = space[name]
+            params[name] = float(np.exp(rng.uniform(np.log(lo),
+                                                    np.log(hi))))
+        log, _, _ = _fit_linear_golden(emb, epochs=epochs, **params)
+        valid = log[log["mode"] == "valid"]
+        rows.append({
+            "trial": np.int64(t),
+            "learning_rate": float(_sql_round_arr(
+                params["learning_rate"])),
+            "weight_decay": float(_sql_round_arr(
+                params["weight_decay"])),
+            "best_valid_accuracy": float(_sql_round_arr(
+                valid["accuracy"].max())),
+            "final_valid_loss": float(_sql_round_arr(
+                valid["loss"].iloc[-1])),
+            "epochs_run": np.int64(log["epoch"].max()),
+        })
+    out = pd.DataFrame(rows)
+    order = out.sort_values(
+        ["best_valid_accuracy", "final_valid_loss", "trial"],
+        ascending=[False, True, True], kind="mergesort")
+    out["rank"] = pd.Series(
+        np.arange(1, len(out) + 1, dtype=np.int64), index=order.index)
+    return out

@@ -2054,6 +2054,44 @@ def _merge_upsert_crawl(sf_dir: str) -> rd.Dataset:
                         version_col="warc_ts")
 
 
+def _train_linear_fit(sf_dir: str) -> pd.DataFrame:
+    """Distributed deterministic softmax-regression fit over the
+    embeddings table — the reference Trainer.fit lifecycle (epoch
+    loop, valid cadence, early stopping, checkpoints); returns the
+    training log (golden oracle: independent numpy twin)."""
+    from sits_classification_ray.pipelines.trainer import RayTrainer
+
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet")
+    tr = RayTrainer(ds, epochs=12, learning_rate=0.5,
+                    use_class_weights=True)
+    tr.fit()
+    return tr.log_table()
+
+
+def _train_linear_weights(sf_dir: str) -> pd.DataFrame:
+    """Learned weights of the same fit as a (class, dim, weight) long
+    table (dim = -1 rows are biases); bit-stable across block order /
+    cluster size by the trainer's pid-ordered merge contract."""
+    from sits_classification_ray.pipelines.trainer import RayTrainer
+
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet")
+    tr = RayTrainer(ds, epochs=12, learning_rate=0.5,
+                    use_class_weights=True)
+    tr.fit()
+    return tr.weights_table()
+
+
+def _tune_trials(sf_dir: str) -> pd.DataFrame:
+    """Seeded random hyperparameter search (the optuna hook analog,
+    reference pytorch/train.py:58-71): 5 trials over log-uniform
+    (learning_rate, weight_decay), best-trial table ranked by valid
+    accuracy."""
+    from sits_classification_ray.pipelines.trainer import tune_search
+
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet")
+    return tune_search(ds, n_trials=5, seed=7, epochs=6)
+
+
 def _bpe_merges_documents(sf_dir: str) -> pd.DataFrame:
     from sits_classification_ray.stages.textstats import bpe_merges
 
@@ -2852,6 +2890,10 @@ def build_queries() -> dict[str, Callable[[str], Any]]:
         "train_test_split_sizes": _train_test_split_sizes,
         "html_byte_features": _html_byte_features,
         "frame_samples": _frame_samples,
+        # training driver + tune hook (golden-checked)
+        "train_linear_fit": _train_linear_fit,
+        "train_linear_weights": _train_linear_weights,
+        "tune_trials": _tune_trials,
     }.items()}
 
 
@@ -2866,7 +2908,7 @@ DRIVER_WINDOW = [
     "crawl_extract", "rollup_daily", "hopping_rollup_6h_1h",
     "events_rollup_hourly", "gapfill_linear", "gapfill_unbounded",
     "training_windows", "gorilla_roundtrip", "hll_distinct_urls_daily",
-    "ddsketch_quantile_daily", "q1_pricing_summary",
+    "train_linear_fit", "q1_pricing_summary",
     "exact_dedup_documents", "minhash_near_dup_documents",
     "near_dup_keep_one_documents", "incremental_near_dup_documents",
     "simhash_near_dup_documents", "embedding_near_dup_ivf",
@@ -2876,7 +2918,7 @@ DRIVER_WINDOW = [
     "decontaminate_documents", "source_mixture_documents",
     "scrub_pii_documents", "bpe_merges_documents",
     "bigram_logprob_documents", "bm25_topk_documents",
-    "inverted_index_documents", "pagerank_words_documents",
+    "tune_trials", "pagerank_words_documents",
     "running_sum_unbounded", "crawl_sessions_unbounded",
     "lttb_downsample_crawl", "mad_anomaly_crawl",
     "funnel_windowed_events", "cohort_retention_events",
@@ -2934,7 +2976,8 @@ GOLDEN_QUERIES = [
     "source_mixture_documents", "kmeans_embeddings",
     "pq_topk_embeddings", "bpe_merges_documents", "skew_report_crawl",
     "corpus_prep_documents", "cluster_top_terms",
-    "ivfpq_topk_embeddings",
+    "ivfpq_topk_embeddings", "train_linear_fit", "train_linear_weights",
+    "tune_trials",
 ]
 
 

@@ -1,0 +1,394 @@
+"""Distributed training driver — the reference's ``Trainer.fit``
+lifecycle (``pytorch/utils/trainer.py:145-214``) re-expressed as Ray
+Data epoch passes over a partition-blocked dataset.
+
+What maps where:
+
+- ``Trainer.fit`` epoch loop / logger / ``valid_every_n_epochs`` /
+  ``checkpoint_every_n_epochs`` → :meth:`RayTrainer.fit`
+  (``trainer.py:145-199``);
+- early stopping (mean of last-``smooth_period`` valid-loss diffs > 0,
+  patience counter) → :meth:`RayTrainer._check_early_stopping`
+  (``trainer.py:201-214``);
+- ``snapshot``/``resume`` (epoch + optimizer state + logged data) →
+  :meth:`RayTrainer.snapshot` / :meth:`RayTrainer.resume`
+  (``trainer.py:126-143``), stored as ``model_e{epoch}.npz`` +
+  ``log.csv`` mirroring ``get_model_name``/``get_log_name``;
+- ``_compute_class_weights`` (inverse-frequency over the TRAIN split,
+  normalized over present classes, ``trainer.py:95-123``) →
+  :meth:`RayTrainer._class_weights`, from a distributed label count;
+- the model is the :class:`~sits_classification_ray.stages.scoring`
+  ``LinearModel`` family (softmax regression head) fit by
+  deterministic full-batch gradient descent — torch's per-minibatch
+  Adam is not reproducible across cluster topologies, and the graft's
+  correctness gate needs bit-stable learned weights.
+
+Scale shape: the dataset is hash-partitioned ONCE
+(``hash(id) % num_partitions``, complete partitions per block) and
+materialized; each epoch is a ``map_batches`` pass emitting one
+flattened partial-gradient vector per partition (O(P·k·d) rows to the
+driver — the k-means partial-sum shape), plus a valid-split pass with
+the post-update weights. No per-epoch reshuffle, no driver-side rows.
+
+Determinism contract (enables a golden-file oracle for an iterative
+float algorithm, same as ``kmeans_assign``): partials are accumulated
+per FIXED hash partition in id-sorted row order, and the driver merges
+partition vectors in ascending-pid order — bit-identical under any
+block arrival order or cluster size.  Each partition's rows must sit
+in one block: guaranteed by the one-time grouped materialization while
+a partition stays under the target block size; size ``num_partitions``
+accordingly (expected partition ≪ 128 MiB).
+"""
+
+from __future__ import annotations
+
+from pathlib import Path
+
+import numpy as np
+import pandas as pd
+import ray.data as rd
+
+from sits_classification_ray.functions.transforms import sql_round
+
+
+def _softmax(logits: np.ndarray) -> np.ndarray:
+    z = logits - logits.max(axis=1, keepdims=True)
+    e = np.exp(z)
+    return e / e.sum(axis=1, keepdims=True)
+
+
+def _pid_of(ids: np.ndarray, num_partitions: int) -> np.ndarray:
+    h = pd.util.hash_array(np.ascontiguousarray(ids), categorize=False)
+    return (h % np.uint64(num_partitions)).astype(np.int64)
+
+
+def _partial_vec(X: np.ndarray, y: np.ndarray, W: np.ndarray,
+                 b: np.ndarray, cw: np.ndarray,
+                 want_grad: bool) -> np.ndarray:
+    """Flattened per-partition partial: [G.ravel(k·d) | gb(k) |
+    wloss_sum, w_sum, n, correct]. Weighted-mean cross-entropy
+    (torch ``F.cross_entropy(weight=...)`` semantics: Σwᵢlᵢ / Σwᵢ);
+    ``cw`` is all-ones when class weights are off."""
+    k, d = W.shape
+    logits = X @ W.T + b
+    p = _softmax(logits)
+    n = len(y)
+    rows = np.arange(n)
+    w = cw[y]
+    logp = np.log(p[rows, y])
+    wloss = float((w * -logp).sum())
+    wsum = float(w.sum())
+    correct = float((p.argmax(axis=1) == y).sum())
+    if want_grad:
+        delta = p
+        delta[rows, y] -= 1.0
+        delta *= w[:, None]
+        G = delta.T @ X
+        gb = delta.sum(axis=0)
+    else:
+        G = np.zeros((k, d))
+        gb = np.zeros(k)
+    return np.concatenate([G.ravel(), gb,
+                           [wloss, wsum, float(n), correct]])
+
+
+def _epoch_kernel(df: pd.DataFrame, W: np.ndarray, b: np.ndarray,
+                  cw: np.ndarray, id_col: str, feature_col: str,
+                  label_col: str, want_grad: bool):
+    """One partial vector per complete pid group inside the batch.
+    Output is an Arrow table with a PINNED schema (int64 +
+    list<float64>) so empty batches — e.g. blocks the valid-split
+    filter emptied — carry the same schema as full ones (avoids the
+    'RefBundle with a different schema' streaming-executor hazard)."""
+    import pyarrow as pa
+
+    out_pid, out_vec = [], []
+    for pid, g in df.groupby("pid", sort=True):
+        g = g.sort_values(id_col, kind="mergesort")
+        X = np.stack([np.asarray(v, dtype=np.float64)
+                      for v in g[feature_col]])
+        y = g[label_col].to_numpy(np.int64)
+        out_pid.append(int(pid))
+        out_vec.append(_partial_vec(X, y, W, b, cw, want_grad))
+    return pa.table({"pid": pa.array(out_pid, pa.int64()),
+                     "g": pa.array(out_vec, pa.list_(pa.float64()))})
+
+
+class RayTrainer:
+    """Reference-lifecycle trainer over a Ray Dataset of
+    (id, feature-vector, label) rows.  See module docstring for the
+    reference mapping and the determinism contract."""
+
+    def __init__(self, ds: rd.Dataset, feature_col: str = "embedding",
+                 label_col: str = "label", id_col: str = "vec_id",
+                 epochs: int = 20, learning_rate: float = 0.5,
+                 weight_decay: float = 0.0, store: str | None = None,
+                 valid_mod: int | None = 5,
+                 valid_every_n_epochs: int = 1,
+                 checkpoint_every_n_epochs: int = 5,
+                 early_stopping_smooth_period: int = 5,
+                 early_stopping_patience: int = 6,
+                 use_class_weights: bool = False,
+                 num_partitions: int = 16):
+        from sits_classification_ray.stages.shuffle import partitioned_map
+
+        self.feature_col, self.label_col, self.id_col = (
+            feature_col, label_col, id_col)
+        self.epochs = epochs
+        self.learning_rate = learning_rate
+        self.weight_decay = weight_decay
+        self.store = Path(store) if store else None
+        self.valid_mod = valid_mod
+        self.valid_every_n_epochs = valid_every_n_epochs
+        self.checkpoint_every_n_epochs = checkpoint_every_n_epochs
+        self.early_stopping_smooth_period = early_stopping_smooth_period
+        self.early_stopping_patience = early_stopping_patience
+        self.not_improved_epochs = 0
+        self.P = num_partitions
+        self.epoch = 0
+        self.log_rows: list[dict] = []
+
+        vm = valid_mod
+
+        def prep(df: pd.DataFrame) -> pd.DataFrame:
+            df = df.sort_values(id_col, kind="mergesort")
+            ids = df[id_col].to_numpy(np.int64)
+            out = pd.DataFrame({
+                "pid": _pid_of(ids, num_partitions),
+                id_col: ids,
+                feature_col: df[feature_col].to_numpy(),
+                label_col: df[label_col].to_numpy(np.int64),
+            })
+            out["is_valid"] = ((ids % vm) == 0) if vm else False
+            return out
+
+        self.blocks = partitioned_map(
+            ds, prep, keys=[id_col], num_partitions=num_partitions
+        ).materialize()
+
+        # infer model shape from the data (reference reads nclasses /
+        # ndims off the base dataset, trainer.py:58-60)
+        first = self.blocks.take(1)[0]
+        self.ndims = len(np.asarray(first[feature_col]))
+        self.nclasses = int(self.blocks.max(label_col)) + 1
+        self.W = np.zeros((self.nclasses, self.ndims))
+        self.b = np.zeros(self.nclasses)
+        self.class_weights = (self._class_weights() if use_class_weights
+                              else np.ones(self.nclasses))
+
+    # -- reference _compute_class_weights, from a distributed count --
+    def _class_weights(self) -> np.ndarray:
+        from ray.data.aggregate import Count
+
+        train = self.blocks.filter(expr="is_valid == False")
+        cnt = (train.groupby(self.label_col)
+               .aggregate(Count(alias_name="n")).to_pandas())
+        counts = np.zeros(self.nclasses)
+        counts[cnt[self.label_col].to_numpy(np.int64)] = (
+            cnt["n"].to_numpy(np.float64))
+        w = np.zeros(self.nclasses)
+        present = counts > 0
+        w[present] = 1.0 / counts[present]
+        w[present] = w[present] / w[present].sum() * present.sum()
+        return w
+
+    # -- one distributed pass → merged (grad, stats), pid-ordered ----
+    def _pass(self, ds: rd.Dataset, want_grad: bool) -> np.ndarray:
+        parts = ds.map_batches(
+            _epoch_kernel, batch_size=None, batch_format="pandas",
+            fn_kwargs=dict(W=self.W, b=self.b, cw=self.class_weights,
+                           id_col=self.id_col,
+                           feature_col=self.feature_col,
+                           label_col=self.label_col,
+                           want_grad=want_grad)).to_pandas()
+        parts = parts.sort_values("pid", kind="mergesort")
+        total = np.zeros(self.nclasses * self.ndims + self.nclasses + 4)
+        for v in parts["g"]:
+            total += np.asarray(v, dtype=np.float64)
+        return total
+
+    def _unpack(self, vec: np.ndarray):
+        k, d = self.nclasses, self.ndims
+        G = vec[:k * d].reshape(k, d)
+        gb = vec[k * d:k * d + k]
+        wloss, wsum, n, correct = vec[k * d + k:]
+        return G, gb, wloss, wsum, n, correct
+
+    def train_epoch(self) -> dict:
+        """Full-batch GD step at the current weights; stats are the
+        pre-update loss/accuracy (the loss the gradient descends)."""
+        train = (self.blocks.filter(expr="is_valid == False")
+                 if self.valid_mod else self.blocks)
+        G, gb, wloss, wsum, n, correct = self._unpack(
+            self._pass(train, want_grad=True))
+        self.W -= self.learning_rate * (G / wsum
+                                        + self.weight_decay * self.W)
+        self.b -= self.learning_rate * (gb / wsum)
+        return {"epoch": self.epoch, "mode": "train",
+                "loss": wloss / wsum, "accuracy": correct / n}
+
+    def valid_epoch(self) -> dict:
+        valid = self.blocks.filter(expr="is_valid == True")
+        _, _, wloss, wsum, n, correct = self._unpack(
+            self._pass(valid, want_grad=False))
+        return {"epoch": self.epoch, "mode": "valid",
+                "loss": wloss / wsum, "accuracy": correct / n}
+
+    # -- lifecycle (reference trainer.py:126-214) ---------------------
+    def snapshot(self, filename: str | Path | None = None) -> Path:
+        path = Path(filename) if filename else self.get_model_name()
+        path.parent.mkdir(parents=True, exist_ok=True)
+        log = self.get_log()
+        np.savez(path, W=self.W, b=self.b, epoch=self.epoch,
+                 class_weights=self.class_weights,
+                 not_improved_epochs=self.not_improved_epochs,
+                 log_epoch=log["epoch"].to_numpy(np.int64),
+                 log_mode=log["mode"].to_numpy(object),
+                 log_loss=log["loss"].to_numpy(np.float64),
+                 log_accuracy=log["accuracy"].to_numpy(np.float64))
+        if self.store:
+            log.to_csv(self.get_log_name(), index=False)
+        return path
+
+    def resume(self, filename: str | Path) -> None:
+        snap = np.load(filename, allow_pickle=True)
+        self.W = snap["W"]
+        self.b = snap["b"]
+        self.epoch = int(snap["epoch"])
+        self.class_weights = snap["class_weights"]
+        self.not_improved_epochs = int(snap["not_improved_epochs"])
+        self.log_rows = [
+            {"epoch": int(e), "mode": str(m), "loss": float(l),
+             "accuracy": float(a)}
+            for e, m, l, a in zip(snap["log_epoch"], snap["log_mode"],
+                                  snap["log_loss"],
+                                  snap["log_accuracy"])]
+
+    def get_model_name(self) -> Path:
+        base = self.store or Path("/tmp")
+        return base / f"model_e{self.epoch}.npz"
+
+    def get_log_name(self) -> Path:
+        return (self.store or Path("/tmp")) / "log.csv"
+
+    def get_log(self) -> pd.DataFrame:
+        if not self.log_rows:
+            return pd.DataFrame(
+                columns=["epoch", "mode", "loss", "accuracy"])
+        return pd.DataFrame(self.log_rows)
+
+    def _check_early_stopping(self) -> bool:
+        """Reference rule: mean of the last-``smooth_period``
+        valid-loss diffs > 0 → one strike; stop at ``patience``
+        strikes (trainer.py:201-214)."""
+        valid = [r["loss"] for r in self.log_rows
+                 if r["mode"] == "valid"]
+        sp = self.early_stopping_smooth_period
+        diffs = np.diff(np.asarray(valid, dtype=np.float64))[-sp:]
+        if len(diffs) and diffs.mean() > 0:
+            self.not_improved_epochs += 1
+            return self.not_improved_epochs >= self.early_stopping_patience
+        self.not_improved_epochs = 0
+        return False
+
+    def fit(self) -> pd.DataFrame:
+        """Epoch loop mirroring reference ``fit`` (trainer.py:145-199):
+        train → log → valid every n epochs (+ epoch 1) → early-stop
+        check → periodic snapshot. Returns the log."""
+        while self.epoch < self.epochs:
+            self.epoch += 1
+            self.log_rows.append(self.train_epoch())
+            if self.valid_mod:
+                if (self.epoch % self.valid_every_n_epochs == 0
+                        or self.epoch == 1):
+                    self.log_rows.append(self.valid_epoch())
+                if (self.epoch > self.early_stopping_smooth_period
+                        and self._check_early_stopping()):
+                    if self.store:
+                        self.snapshot()
+                    break
+            if (self.store
+                    and self.epoch % self.checkpoint_every_n_epochs == 0):
+                self.snapshot()
+        return self.get_log()
+
+    def weights_table(self, round_to: int = 6) -> pd.DataFrame:
+        """Learned parameters as a long table: one row per (class,
+        dim) weight plus ``dim = -1`` bias rows — the hashable shape
+        the golden oracle stores."""
+        k, d = self.nclasses, self.ndims
+        return pd.DataFrame({
+            "class": np.concatenate([np.repeat(np.arange(k), d),
+                                     np.arange(k)]).astype(np.int64),
+            "dim": np.concatenate([np.tile(np.arange(d), k),
+                                   np.full(k, -1)]).astype(np.int64),
+            "weight": sql_round(
+                np.concatenate([self.W.ravel(), self.b]), round_to),
+        })
+
+    def log_table(self, round_to: int = 6) -> pd.DataFrame:
+        log = self.get_log().copy()
+        log["epoch"] = log["epoch"].astype(np.int64)
+        log["loss"] = sql_round(log["loss"].to_numpy(np.float64),
+                                round_to)
+        log["accuracy"] = sql_round(
+            log["accuracy"].to_numpy(np.float64), round_to)
+        return log
+
+
+# --- hyperparameter search (reference pytorch/train.py:58-71) ------------
+
+#: (low, high) log-uniform ranges, mirroring ``hyperparameter_tune``'s
+#: learning_rate / weight_decay suggestions (config_hyperparameter.py:73-74)
+TUNE_SPACE = {
+    "learning_rate": (0.05, 2.0),
+    "weight_decay": (1e-5, 1e-3),
+}
+
+
+def sample_trial(rng: np.random.RandomState) -> dict:
+    """One seeded draw from the log-uniform space — parameters are
+    drawn in sorted-key order so the stream is reproducible."""
+    out = {}
+    for name in sorted(TUNE_SPACE):
+        lo, hi = TUNE_SPACE[name]
+        out[name] = float(np.exp(rng.uniform(np.log(lo), np.log(hi))))
+    return out
+
+
+def tune_search(ds: rd.Dataset, n_trials: int = 5, seed: int = 7,
+                epochs: int = 6, round_to: int = 6,
+                **trainer_kwargs) -> pd.DataFrame:
+    """Seeded random search over the LinearModel hyperparameters —
+    the optuna ``study.optimize(..., n_trials)`` analog
+    (``pytorch/train.py:58-71``) with a deterministic sampler (TPE is
+    not reproducible across library versions; the graft needs a
+    golden-checkable trial table). Classification direction =
+    maximize best valid accuracy (``train.py:66-67``), ties broken by
+    (valid loss ASC, trial ASC). Each trial's fit is itself the
+    distributed :class:`RayTrainer` pass."""
+    rng = np.random.RandomState(seed)
+    rows = []
+    for t in range(n_trials):
+        params = sample_trial(rng)
+        tr = RayTrainer(ds, epochs=epochs, **params, **trainer_kwargs)
+        log = tr.fit()
+        valid = log[log["mode"] == "valid"]
+        rows.append({
+            "trial": np.int64(t),
+            "learning_rate": sql_round(params["learning_rate"], round_to),
+            "weight_decay": sql_round(params["weight_decay"], round_to),
+            "best_valid_accuracy": sql_round(
+                float(valid["accuracy"].max()), round_to),
+            "final_valid_loss": sql_round(
+                float(valid["loss"].iloc[-1]), round_to),
+            "epochs_run": np.int64(log["epoch"].max()),
+        })
+    out = pd.DataFrame(rows)
+    order = out.sort_values(
+        ["best_valid_accuracy", "final_valid_loss", "trial"],
+        ascending=[False, True, True], kind="mergesort")
+    ranks = pd.Series(np.arange(1, len(out) + 1, dtype=np.int64),
+                      index=order.index)
+    out["rank"] = ranks
+    return out
