@@ -433,9 +433,11 @@ def html_byte_features(crawl: pd.DataFrame) -> pd.DataFrame:
         cls = np.bincount(classes[data], minlength=5)
         frac_lower[i] = np.round(cls[4] / n, 6)
         mode_byte[i] = counts.argmax()
+    ctypes = [_sniff_independent(p or b"") for p in crawl["html"]]
     return pd.DataFrame({"url": crawl["url"], "warc_ts": crawl["warc_ts"],
                          "byte_len": byte_len, "entropy": entropy,
-                         "frac_lower": frac_lower, "mode_byte": mode_byte})
+                         "frac_lower": frac_lower, "mode_byte": mode_byte,
+                         "content_type": ctypes})
 
 
 def frame_samples(crawl: pd.DataFrame, n_frames: int = 4) -> pd.DataFrame:
@@ -1492,3 +1494,85 @@ def tune_trials(emb: pd.DataFrame, n_trials: int = 5, seed: int = 7,
     out["rank"] = pd.Series(
         np.arange(1, len(out) + 1, dtype=np.int64), index=order.index)
     return out
+
+
+def _parse_size_independent(d: bytes):
+    """Independent image-header parse (struct offsets straight from
+    the PNG/GIF/BMP/JPEG format specs — deliberately NOT the engine's
+    parser)."""
+    import struct as _st
+    if d[:8] == b"\x89PNG\r\n\x1a\n" and len(d) >= 24:
+        return _st.unpack(">I", d[16:20])[0], _st.unpack(">I", d[20:24])[0]
+    if d[:6] in (b"GIF87a", b"GIF89a") and len(d) >= 10:
+        return _st.unpack("<H", d[6:8])[0], _st.unpack("<H", d[8:10])[0]
+    if d[:2] == b"BM" and len(d) >= 26:
+        w = _st.unpack("<i", d[18:22])[0]
+        h = _st.unpack("<i", d[22:26])[0]
+        return w, abs(h)
+    if d[:3] == b"\xff\xd8\xff":
+        pos = 2
+        while pos + 4 <= len(d):
+            if d[pos] != 0xFF:
+                pos += 1
+                continue
+            m = d[pos + 1]
+            if m in (0xD8, 0x01) or 0xD0 <= m <= 0xD7:
+                pos += 2
+                continue
+            ln = _st.unpack(">H", d[pos + 2:pos + 4])[0]
+            if 0xC0 <= m <= 0xCF and m not in (0xC4, 0xC8, 0xCC):
+                hh = _st.unpack(">H", d[pos + 5:pos + 7])[0]
+                ww = _st.unpack(">H", d[pos + 7:pos + 9])[0]
+                return ww, hh
+            pos += 2 + ln
+    return None
+
+
+def _sniff_independent(d: bytes) -> str:
+    if not d:
+        return "application/x-empty"
+    if d[:8] == b"\x89PNG\r\n\x1a\n":
+        return "image/png"
+    if d[:3] == b"\xff\xd8\xff":
+        return "image/jpeg"
+    if d[:6] in (b"GIF87a", b"GIF89a"):
+        return "image/gif"
+    if d[:2] == b"BM":
+        return "image/bmp"
+    head = d[:256].lstrip()
+    if head[:1] == b"<" and (head[:9].lower() == b"<!doctype"
+                             or head[:5].lower() == b"<html"
+                             or b">" in head):
+        return "text/html"
+    try:
+        d[:256].decode("utf-8")
+        return "text/plain"
+    except UnicodeDecodeError:
+        return "application/octet-stream"
+
+
+def sniffed_assets_crawl(crawl: pd.DataFrame) -> pd.DataFrame:
+    """Input synthesis is SHARED with the query (the container builder
+    defines the test input, like the parquet files do elsewhere); the
+    sniff + header parse under test are re-derived independently."""
+    from sits_classification_ray.stages.multimodal import \
+        make_image_container
+
+    kinds = ["png", "gif", "bmp", "jpeg", None]
+    ctypes, ws, hs, lens = [], [], [], []
+    for h in crawl["html"]:
+        h = h or b""
+        n = len(h)
+        kind = kinds[n % 5]
+        blob = h if kind is None else make_image_container(
+            h, kind, 1 + n % 317, 1 + n % 211)
+        ctypes.append(_sniff_independent(blob))
+        size = _parse_size_independent(blob)
+        ws.append(size[0] if size else -1)
+        hs.append(size[1] if size else -1)
+        lens.append(len(blob))
+    return pd.DataFrame({"url": crawl["url"], "warc_ts": crawl["warc_ts"],
+                         "content_type": ctypes,
+                         "width": np.array(ws, np.int64),
+                         "height": np.array(hs, np.int64),
+                         "byte_len": np.array(lens, np.int64)})

@@ -660,7 +660,37 @@ def _html_byte_features(sf_dir: str) -> rd.Dataset:
     crawl = crawl_from_tables(sf_dir)
     feats = binary_features(crawl, payload_col="html", batch_size=1024)
     return feats.select_columns(["url", "warc_ts", "byte_len", "entropy",
-                                 "frac_lower", "mode_byte"])
+                                 "frac_lower", "mode_byte",
+                                 "content_type"])
+
+
+def _sniffed_assets_crawl(sf_dir: str) -> rd.Dataset:
+    """Mixed-media decode: wrap each crawl payload in a REAL image
+    container (kind/dims derived from the payload length), then
+    magic-byte sniff + header-parse dimensions back out — the
+    codec-free half of media decode, exercised on genuine PNG/GIF/BMP/
+    JPEG structures (golden oracle: independent struct parser)."""
+    from sits_classification_ray.stages.multimodal import (
+        make_image_container, sniff_assets)
+
+    KINDS = ["png", "gif", "bmp", "jpeg", None]
+
+    def synth(df: pd.DataFrame) -> pd.DataFrame:
+        payloads = []
+        for h in df["html"]:
+            h = h or b""
+            n = len(h)
+            kind = KINDS[n % 5]
+            payloads.append(h if kind is None else make_image_container(
+                h, kind, 1 + n % 317, 1 + n % 211))
+        return pd.DataFrame({"url": df["url"], "warc_ts": df["warc_ts"],
+                             "payload": payloads})
+
+    assets = crawl_from_tables(sf_dir).map_batches(
+        synth, batch_format="pandas")
+    out = sniff_assets(assets, payload_col="payload")
+    return out.select_columns(["url", "warc_ts", "content_type",
+                               "width", "height", "byte_len"])
 
 
 def _frame_samples(sf_dir: str) -> rd.Dataset:
@@ -2891,6 +2921,7 @@ def build_queries() -> dict[str, Callable[[str], Any]]:
         "html_byte_features": _html_byte_features,
         "frame_samples": _frame_samples,
         # training driver + tune hook (golden-checked)
+        "sniffed_assets_crawl": _sniffed_assets_crawl,
         "train_linear_fit": _train_linear_fit,
         "train_linear_weights": _train_linear_weights,
         "tune_trials": _tune_trials,
@@ -2914,7 +2945,7 @@ DRIVER_WINDOW = [
     "simhash_near_dup_documents", "embedding_near_dup_ivf",
     "similarity_topk", "ivf_topk", "ivfpq_topk_embeddings",
     "kmeans_embeddings", "cluster_top_terms", "text_stats_documents",
-    "quality_score_documents", "corpus_prep_documents",
+    "sniffed_assets_crawl", "corpus_prep_documents",
     "decontaminate_documents", "source_mixture_documents",
     "scrub_pii_documents", "bpe_merges_documents",
     "bigram_logprob_documents", "bm25_topk_documents",
@@ -2977,7 +3008,7 @@ GOLDEN_QUERIES = [
     "pq_topk_embeddings", "bpe_merges_documents", "skew_report_crawl",
     "corpus_prep_documents", "cluster_top_terms",
     "ivfpq_topk_embeddings", "train_linear_fit", "train_linear_weights",
-    "tune_trials",
+    "tune_trials", "sniffed_assets_crawl",
 ]
 
 

@@ -553,3 +553,53 @@ def test_incremental_near_dup_with_persisted_index(tmp_path):
     found = set(map(tuple, out[["id_a", "id_b"]].to_numpy()))
     assert (0, 3) in found and (1, 3) in found
     assert not ((out["id_a"] < 3) & (out["id_b"] < 3)).any()
+
+
+def test_content_sniffing_and_image_header_parse():
+    """Codec-free real decode: magic-byte container identification and
+    dimensions read from genuine PNG/GIF/BMP/JPEG header structures."""
+    from sits_classification_ray.stages.multimodal import (
+        make_image_container, parse_image_size, sniff_content_type)
+
+    body = bytes(range(256)) * 3
+    for kind, ctype in [("png", "image/png"), ("gif", "image/gif"),
+                        ("bmp", "image/bmp"), ("jpeg", "image/jpeg")]:
+        blob = make_image_container(body, kind, 640, 480)
+        assert sniff_content_type(blob) == ctype
+        assert parse_image_size(blob) == (640, 480)
+    # GIF/JPEG dims are u16; BMP/PNG go wider
+    assert parse_image_size(
+        make_image_container(b"x", "png", 100000, 70000)) == (100000, 70000)
+    assert sniff_content_type(b"<!doctype html><p>") == "text/html"
+    assert sniff_content_type("plain text é".encode()) == "text/plain"
+    assert sniff_content_type(b"\xff\xfe\x00\x01") == \
+        "application/octet-stream"
+    assert parse_image_size(b"not an image") is None
+    # truncated headers must not crash
+    for kind in ["png", "gif", "bmp", "jpeg"]:
+        blob = make_image_container(b"x" * 50, kind, 8, 8)
+        for cut in (1, 3, 7, 15):
+            parse_image_size(blob[:cut])
+            sniff_content_type(blob[:cut])
+
+
+def test_sniff_assets_stage_roundtrip(ray_session):
+    import pandas as pd
+    import ray.data as rd
+
+    from sits_classification_ray.stages.multimodal import (
+        make_image_container, sniff_assets)
+
+    df = pd.DataFrame({
+        "asset_id": ["a", "b", "c", "d"],
+        "payload": [make_image_container(b"123", "png", 32, 16),
+                    make_image_container(b"456", "jpeg", 9, 7),
+                    b"<html><body>hi</body></html>",
+                    b""],
+    })
+    out = (sniff_assets(rd.from_pandas(df), payload_col="payload")
+           .to_pandas().sort_values("asset_id"))
+    assert out["content_type"].tolist() == [
+        "image/png", "image/jpeg", "text/html", "application/x-empty"]
+    assert out["width"].tolist() == [32, 9, -1, -1]
+    assert out["height"].tolist() == [16, 7, -1, -1]

@@ -116,6 +116,8 @@ def make_for(sf_dir: str) -> None:
         "augmented_rollup": lambda: golden.augmented_rollup(obs_long),
         "html_byte_features": lambda: golden.html_byte_features(crawl),
         "frame_samples": lambda: golden.frame_samples(crawl),
+        "sniffed_assets_crawl":
+            lambda: golden.sniffed_assets_crawl(crawl),
         "train_linear_fit": lambda: golden.train_linear_fit(
             emb, epochs=12, learning_rate=0.5, use_class_weights=True),
         "train_linear_weights": lambda: golden.train_linear_weights(
