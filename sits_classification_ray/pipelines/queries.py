@@ -43,31 +43,36 @@ ROLLUP_COLS = ["url", "metric", "bucket_ts",
 # so an oracle touching obs_long three times would otherwise re-run
 # the whole crawl synthesis + regex extraction up to 12× (measured
 # 123 s → 0.9 s for the gap-fill oracle at sf0.01).
-CRAWL_PREFIX = f"""WITH {CRAWL_CTE},
-ext AS MATERIALIZED (
-  SELECT url, warc_ts, lang,
+#
+# The chain is kept as an ordered dict of stage → SELECT so a checker
+# session can materialize each stage ONCE as a temp table and then
+# strip the prefix from every oracle (tools/check_correctness.py);
+# without that, a full sweep re-runs the regex pass per crawl query.
+CRAWL_STAGES: dict[str, str] = {
+    "ext": """SELECT url, warc_ts, lang,
          regexp_extract(CAST(html AS VARCHAR),
                         '(?s)<body>(.*)</body>', 1) AS text
-  FROM crawl),
-scr AS MATERIALIZED (
-  SELECT url, warc_ts, lang, text,
+  FROM crawl""",
+    "scr": """SELECT url, warc_ts, lang, text,
          length(text) AS text_len,
          len(string_split(text, ' ')) AS word_count
-  FROM ext WHERE text IS NOT NULL AND length(text) > 0),
-dd AS MATERIALIZED (
-  SELECT url, warc_ts, lang, text, text_len, word_count FROM (
+  FROM ext WHERE text IS NOT NULL AND length(text) > 0""",
+    "dd": """SELECT url, warc_ts, lang, text, text_len, word_count FROM (
     SELECT *, row_number() OVER (PARTITION BY url, warc_ts
               ORDER BY text_len, word_count, lang) AS rn FROM scr)
-  WHERE rn = 1),
-obs AS MATERIALIZED (
-  SELECT * FROM dd
-  WHERE url IN (SELECT url FROM dd GROUP BY url HAVING count(*) >= 2)),
-obs_long AS MATERIALIZED (
-  SELECT url, warc_ts, 'text_len' AS metric,
+  WHERE rn = 1""",
+    "obs": """SELECT * FROM dd
+  WHERE url IN (SELECT url FROM dd GROUP BY url HAVING count(*) >= 2)""",
+    "obs_long": """SELECT url, warc_ts, 'text_len' AS metric,
          CAST(text_len AS DOUBLE) AS value FROM obs
   UNION ALL
   SELECT url, warc_ts, 'word_count' AS metric,
-         CAST(word_count AS DOUBLE) AS value FROM obs)"""
+         CAST(word_count AS DOUBLE) AS value FROM obs""",
+}
+
+CRAWL_PREFIX = f"WITH {CRAWL_CTE},\n" + ",\n".join(
+    f"{name} AS MATERIALIZED (\n  {body})"
+    for name, body in CRAWL_STAGES.items())
 
 
 def _rollup_sql(unit: str) -> str:

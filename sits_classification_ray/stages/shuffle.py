@@ -80,7 +80,11 @@ def _salted_part_arrow(batch, keys: list[str], num_partitions: int):
             batch.select(keys).to_pandas(), index=False,
             categorize=False).to_numpy()
     part = (h % np.uint64(num_partitions)).astype(np.int64)
-    return batch.append_column("_part", pa.array(part))
+    # metadata inherited from pandas-block conversions makes pa.Schema
+    # unhashable (pyarrow hashes metadata dicts) — strip before the
+    # shuffle so reduce-side schema dedup/unify stays warning-free
+    return batch.replace_schema_metadata(None).append_column(
+        "_part", pa.array(part))
 
 
 def salt_factor(approx_rows: int | None, hot_key_threshold: int | None,
@@ -115,7 +119,8 @@ def _bucket_major_part(batch, url_col: str, n_buckets: int, salts: int):
     part = (h % np.uint64(n_buckets)) * np.uint64(salts)
     if salts > 1:
         part = part + (h // np.uint64(n_buckets)) % np.uint64(salts)
-    return batch.append_column("_part", pa.array(part.astype(np.int64)))
+    return batch.replace_schema_metadata(None).append_column(
+        "_part", pa.array(part.astype(np.int64)))
 
 
 def partitioned_map(
@@ -171,8 +176,30 @@ def partitioned_map(
                    num_partitions or default_num_partitions(
                        approx_rows, hot_key_threshold))
         salted = salted.repartition(num_blocks=nblocks, keys=["_part"])
-        return salted.map_batches(kernel, batch_size=None,
-                                  batch_format="pandas")
-    # default path: sort-based groupby on the int64 partition id — one
-    # group call per partition, each a vectorized kernel over the block
-    return salted.groupby("_part").map_groups(kernel, batch_format="pandas")
+        out = salted.map_batches(kernel, batch_size=None,
+                                 batch_format="pandas")
+    else:
+        # default path: sort-based groupby on the int64 partition id —
+        # one group call per partition, each a vectorized kernel over
+        # the block
+        out = salted.groupby("_part").map_groups(kernel,
+                                                 batch_format="pandas")
+    return out.map_batches(_drop_empty_and_strip_meta, batch_size=None,
+                           batch_format="pyarrow", zero_copy_batch=True)
+
+
+def _drop_empty_and_strip_meta(batch):
+    """Schema hygiene for the grouped-map output stream.
+
+    Ray 2.49's sort-based shuffle emits SCHEMA-LESS empty blocks for
+    key ranges that caught no rows (``merge_sorted_blocks`` →
+    ``_empty_table()``), and ``map_groups`` passes them through without
+    calling the UDF; a downstream union/write that observes one can
+    silently drop or null-pad columns. This stage (a) DROPS empty
+    blocks from the stream entirely (generator UDF — yielding nothing
+    removes the block), and (b) strips pandas schema metadata from the
+    survivors, whose dict payload makes ``pa.Schema`` unhashable and
+    floods logs with 'Failed to hash the schemas' warnings when these
+    blocks are written to parquet and read back."""
+    if batch.num_rows > 0:
+        yield batch.replace_schema_metadata(None)

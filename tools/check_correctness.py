@@ -70,6 +70,30 @@ def main() -> int:
         con.sql(f"CREATE OR REPLACE VIEW {t} AS "
                 f"SELECT * FROM '{sf_dir}/{t}.parquet'")
 
+    # Materialize the shared crawl-extraction chain ONCE per session
+    # (crawl synthesis + regex + dedup + long format), then strip the
+    # CRAWL_PREFIX literal from each oracle. Without this every crawl
+    # oracle re-runs the regex pass — ~54 passes per full sweep, which
+    # is what made sf0.1 sweeps intractable.
+    from sits_classification_ray.pipelines.queries import (CRAWL_PREFIX,
+                                                           CRAWL_STAGES)
+    from sits_classification_ray.sources.synth import CRAWL_CTE
+
+    selected = {n: s for n, s in oracles.items() if not only or n in only}
+    if any(CRAWL_PREFIX in s for s in selected.values()):
+        import time
+        t0 = time.perf_counter()
+        con.sql(f"CREATE TEMP VIEW crawl AS WITH {CRAWL_CTE} "
+                "SELECT * FROM crawl")
+        for stage, body in CRAWL_STAGES.items():
+            con.sql(f"CREATE TEMP TABLE {stage} AS {body}")
+        print(f"[setup] crawl chain materialized once "
+              f"({time.perf_counter() - t0:.1f}s)")
+
+    def oracle_sql_for(name: str) -> str:
+        return oracles[name].replace(CRAWL_PREFIX,
+                                     "WITH _one AS (SELECT 1 AS one)")
+
     failures = 0
     for name, fn in qs.items():
         if only and name not in only:
@@ -84,7 +108,7 @@ def main() -> int:
             print(f"ok   {name}: rows-only ({len(got)} rows)")
             continue
         try:
-            want = canon(con.sql(oracles[name]).df())
+            want = canon(con.sql(oracle_sql_for(name)).df())
         except Exception as e:
             print(f"FAIL {name}: oracle error: {e}")
             failures += 1
