@@ -207,6 +207,12 @@ def kmv_distinct(ds: rd.Dataset, key_col: str, bucket_col: str,
 
 # --- DDSketch (relative-error log-bucket quantiles) -----------------------
 
+#: DDSketch zero-bucket sentinel bin: sorts below every real log bin
+#: (the smallest finite ceil(ln(x)/ln γ) for float64 is ≈ -7.1e4 at
+#: α=0.01), and stays safe in int64/SQL BIGINT arithmetic.
+DD_ZERO_BIN = -(1 << 62)
+
+
 def ddsketch_quantile(ds: rd.Dataset, value_col: str, bucket_col: str,
                       quantiles: tuple[float, ...] = (0.5, 0.9, 0.99),
                       alpha: float = 0.01, round_to: int = 6
@@ -225,7 +231,10 @@ def ddsketch_quantile(ds: rd.Dataset, value_col: str, bucket_col: str,
     The shuffle moves one row per occupied log-bin per batch, never
     the values. Rank math is all-integer (micro-units, as in
     hist_quantile); the ``γ^i`` estimate is SQL-rounded (libm pow may
-    differ in the last ulp). Requires strictly positive values.
+    differ in the last ulp). Zeros go to DDSketch's dedicated zero
+    bucket (a sentinel bin sorting below every log bin, estimate 0.0);
+    negative values are out of scope, as in the paper's positive-store
+    variant.
     """
     from ray.data.aggregate import Sum
 
@@ -239,7 +248,9 @@ def ddsketch_quantile(ds: rd.Dataset, value_col: str, bucket_col: str,
 
     def partial(df: pd.DataFrame) -> pd.DataFrame:
         v = df[value_col].to_numpy(np.float64)
-        bi = np.ceil(np.log(v) / log_gamma).astype(np.int64)
+        bi = np.full(v.shape, DD_ZERO_BIN, dtype=np.int64)
+        pos = v > 0.0
+        bi[pos] = np.ceil(np.log(v[pos]) / log_gamma).astype(np.int64)
         out = (pd.DataFrame({bucket_col: df[bucket_col], "bin": bi})
                .groupby([bucket_col, "bin"], sort=False).size()
                .rename("n").reset_index())
@@ -262,7 +273,9 @@ def ddsketch_quantile(ds: rd.Dataset, value_col: str, bucket_col: str,
             for qm in q_micro:
                 rank = max(-(-qm * total // 1_000_000), 1)
                 i = int(np.searchsorted(cum, rank, side="left"))
-                ests.append(float(gamma) ** int(bins[i]))
+                b = int(bins[i])
+                ests.append(0.0 if b == DD_ZERO_BIN
+                            else float(gamma) ** b)
             rows.append((bucket, total,
                          *sql_round(np.array(ests), round_to)))
         return pd.DataFrame(rows, columns=[bucket_col, "n", *qcols])

@@ -3858,10 +3858,14 @@ SELECT 'value', count(value), count(*) - count(value),
 FROM events""",
         "value_ddsketch_by_type": """
 WITH ddv AS (
+  -- value = 0 → DDSketch zero bucket (sentinel bin below every log
+  -- bin, estimate 0.0); CASE short-circuits so ln(0) never evaluates
   SELECT event_type,
-         CAST(ceil(ln(value)
+         CASE WHEN value = 0
+              THEN CAST(-4611686018427387904 AS BIGINT)
+              ELSE CAST(ceil(ln(value)
                    / ln(CAST(1.01 AS DOUBLE) / CAST(0.99 AS DOUBLE)))
-              AS BIGINT) AS bin
+              AS BIGINT) END AS bin
   FROM events),
 ddc AS MATERIALIZED (
   SELECT event_type, bin, count(*) AS n FROM ddv GROUP BY 1, 2),
@@ -3870,21 +3874,30 @@ ddt AS (SELECT event_type, CAST(sum(n) AS BIGINT) AS total
 ddm AS MATERIALIZED (
   SELECT event_type, bin,
          sum(n) OVER (PARTITION BY event_type ORDER BY bin) AS cum
-  FROM ddc)
-SELECT t.event_type, t.total AS n,
-  round(power(CAST(1.01 AS DOUBLE) / CAST(0.99 AS DOUBLE),
+  FROM ddc),
+sel AS (
+  SELECT t.event_type, t.total,
     (SELECT min(bin) FROM ddm c WHERE c.event_type = t.event_type
-      AND c.cum >= greatest((500000 * t.total + 999999) // 1000000, 1))),
-    6) AS q50,
-  round(power(CAST(1.01 AS DOUBLE) / CAST(0.99 AS DOUBLE),
+      AND c.cum >= greatest((500000 * t.total + 999999) // 1000000, 1))
+      AS b50,
     (SELECT min(bin) FROM ddm c WHERE c.event_type = t.event_type
-      AND c.cum >= greatest((900000 * t.total + 999999) // 1000000, 1))),
-    6) AS q90,
-  round(power(CAST(1.01 AS DOUBLE) / CAST(0.99 AS DOUBLE),
+      AND c.cum >= greatest((900000 * t.total + 999999) // 1000000, 1))
+      AS b90,
     (SELECT min(bin) FROM ddm c WHERE c.event_type = t.event_type
-      AND c.cum >= greatest((990000 * t.total + 999999) // 1000000, 1))),
-    6) AS q99
-FROM ddt t""",
+      AND c.cum >= greatest((990000 * t.total + 999999) // 1000000, 1))
+      AS b99
+  FROM ddt t)
+SELECT event_type, total AS n,
+  round(CASE WHEN b50 = -4611686018427387904 THEN 0.0
+        ELSE power(CAST(1.01 AS DOUBLE) / CAST(0.99 AS DOUBLE), b50)
+        END, 6) AS q50,
+  round(CASE WHEN b90 = -4611686018427387904 THEN 0.0
+        ELSE power(CAST(1.01 AS DOUBLE) / CAST(0.99 AS DOUBLE), b90)
+        END, 6) AS q90,
+  round(CASE WHEN b99 = -4611686018427387904 THEN 0.0
+        ELSE power(CAST(1.01 AS DOUBLE) / CAST(0.99 AS DOUBLE), b99)
+        END, 6) AS q99
+FROM sel""",
         "error_rate_hourly": """
 SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour,
        CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)

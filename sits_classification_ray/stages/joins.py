@@ -156,10 +156,22 @@ def range_join(left: rd.Dataset, right: rd.Dataset, by: str,
     return partitioned_map(unioned, kernel, keys=[by])
 
 
+def _strip_meta(batch: pa.Table) -> pa.Table:
+    """Metadata-only rewrite (zero-copy): pandas-conversion metadata on
+    a block schema makes ``pa.Schema`` unhashable, so every hash-shuffle
+    aggregator that sees such a block logs a schema-dedup warning."""
+    return (batch.replace_schema_metadata(None)
+            if batch.schema.metadata else batch)
+
+
 def hash_join(left: rd.Dataset, right: rd.Dataset, on: str,
               right_on: str | None = None, join_type: str = "inner",
               num_partitions: int = 32) -> rd.Dataset:
     """Hash-partitioned join for two large sides (Ray ``Dataset.join``)."""
+    left = left.map_batches(_strip_meta, batch_format="pyarrow",
+                            zero_copy_batch=True)
+    right = right.map_batches(_strip_meta, batch_format="pyarrow",
+                              zero_copy_batch=True)
     return left.join(right, join_type=join_type,
                      num_partitions=num_partitions,
                      on=(on,), right_on=(right_on or on,))

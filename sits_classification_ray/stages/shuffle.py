@@ -191,15 +191,21 @@ def partitioned_map(
 def _drop_empty_and_strip_meta(batch):
     """Schema hygiene for the grouped-map output stream.
 
-    Ray 2.49's sort-based shuffle emits SCHEMA-LESS empty blocks for
-    key ranges that caught no rows (``merge_sorted_blocks`` →
-    ``_empty_table()``), and ``map_groups`` passes them through without
-    calling the UDF; a downstream union/write that observes one can
-    silently drop or null-pad columns. This stage (a) DROPS empty
-    blocks from the stream entirely (generator UDF — yielding nothing
-    removes the block), and (b) strips pandas schema metadata from the
-    survivors, whose dict payload makes ``pa.Schema`` unhashable and
-    floods logs with 'Failed to hash the schemas' warnings when these
-    blocks are written to parquet and read back."""
+    Strips schema metadata from every output block: pandas-conversion
+    metadata (attached when pandas blocks cross a shuffle boundary)
+    makes ``pa.Schema`` unhashable, which breaks Ray's schema dedup and
+    floods logs with 'Failed to hash the schemas' warnings whenever
+    such blocks are written to parquet and read back.
+
+    On empty blocks: Ray 2.49's sort shuffle emits SCHEMA-LESS empty
+    blocks for key ranges that caught no rows, and every downstream map
+    operator (including this one) passes them through WITHOUT calling
+    the UDF — they cannot be dropped in-stream. They are benign:
+    ``to_pandas()``, ``write_parquet`` and arrow collection all ignore
+    them without dropping or null-padding columns (pinned by
+    ``test_partitioned_map_schema_hygiene``); their only cost is a
+    cosmetic 'RefBundle with a different schema' log line emitted by
+    the executor at tiny data scales. The guard below also drops empty
+    batches on the batch-coalescing path, where the UDF does run."""
     if batch.num_rows > 0:
         yield batch.replace_schema_metadata(None)

@@ -214,3 +214,58 @@ def test_pipeline_with_active_salting_matches_oracle(tmp_path_factory,
     g = got[cols].sort_values(key).reset_index(drop=True)
     w = want[cols].sort_values(key).reset_index(drop=True)
     pd.testing.assert_frame_equal(g, w, check_dtype=False)
+
+
+def test_partitioned_map_schema_hygiene():
+    """Blocks coming out of partitioned_map must carry NO schema
+    metadata (pandas-conversion metadata makes pa.Schema unhashable,
+    breaking Ray's schema dedup and flooding logs on every read-back),
+    and every non-empty block must hash cleanly."""
+    df = pd.DataFrame({"url": [f"u{i}" for i in range(5)],
+                       "v": np.arange(5.0)})
+
+    def kernel(g: pd.DataFrame) -> pd.DataFrame:
+        return g.groupby("url", as_index=False)["v"].sum()
+
+    out = partitioned_map(rd.from_pandas(df), kernel, keys=["url"],
+                          num_partitions=64)
+    got = out.to_pandas().sort_values("url").reset_index(drop=True)
+    pd.testing.assert_frame_equal(
+        got, df.sort_values("url").reset_index(drop=True),
+        check_dtype=False)
+    # every materialized non-empty block: metadata-free, hashable
+    bundle = out.materialize()
+    import ray as _ray
+    n_rows = 0
+    for blk in bundle.to_arrow_refs():
+        t = _ray.get(blk)
+        n_rows += t.num_rows
+        if t.num_rows > 0:
+            assert t.schema.metadata is None
+            hash(t.schema)  # raises if metadata survived
+    assert n_rows == len(df)
+
+
+def test_empty_blocks_are_benign_at_consumption():
+    """Ray's shuffle emits schema-less empty blocks that pass through
+    map stages without invoking the UDF — they cannot be dropped
+    in-stream. Pin the property that makes them harmless: to_pandas(),
+    write_parquet and arrow collection ignore them without dropping or
+    null-padding the real columns."""
+    import ray as _ray
+
+    ds = rd.from_pandas([pd.DataFrame({"a": [1, 2], "b": ["x", "y"]}),
+                         pd.DataFrame()])          # column-less empty
+    df = ds.to_pandas()
+    assert list(df.columns) == ["a", "b"] and len(df) == 2
+
+    import tempfile
+    with tempfile.TemporaryDirectory() as d:
+        ds.write_parquet(d)
+        import pyarrow.parquet as pq
+        t = pq.read_table(d)
+        assert t.num_rows == 2 and set(t.schema.names) == {"a", "b"}
+
+    total = sum(_ray.get(r).num_rows
+                for r in ds.materialize().to_arrow_refs())
+    assert total == 2

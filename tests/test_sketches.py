@@ -101,3 +101,26 @@ def test_kmv_partition_invariant():
                      "k", "b").to_pandas()
     pd.testing.assert_frame_equal(a.reset_index(drop=True),
                                   b.reset_index(drop=True))
+
+
+def test_ddsketch_zero_values_use_zero_bucket():
+    """value == 0 must land in DDSketch's dedicated zero bucket (est
+    0.0) instead of ceil(ln(0)/ln γ) = int64 garbage; positive values
+    keep α-relative accuracy alongside."""
+    from sits_classification_ray.functions.sketches import ddsketch_quantile
+
+    df = pd.DataFrame({
+        "b": ["z"] * 10 + ["p"] * 100,
+        "v": [0.0] * 10 + list(np.linspace(1.0, 100.0, 100)),
+    })
+    out = (ddsketch_quantile(rd.from_pandas(df), "v", "b")
+           .to_pandas().set_index("b"))
+    assert out.loc["z", "q50"] == 0.0 and out.loc["z", "q99"] == 0.0
+    # relative error ≤ α (plus rounding slack) on the positive bucket
+    assert abs(out.loc["p", "q50"] - 50.0) / 50.0 < 0.025
+    # mixed bucket: zero rows below the median pull q-ranks down but
+    # never corrupt the log bins
+    dfm = pd.DataFrame({"b": ["m"] * 4, "v": [0.0, 0.0, 0.0, 8.0]})
+    om = ddsketch_quantile(rd.from_pandas(dfm), "v", "b").to_pandas()
+    assert om["q50"].iloc[0] == 0.0
+    assert abs(om["q99"].iloc[0] - 8.0) / 8.0 < 0.025

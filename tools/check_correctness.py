@@ -53,11 +53,35 @@ def main() -> int:
     import ray
 
     if not ray.is_initialized():
+        # log_to_driver=False: worker stderr (e.g. schema-dedup notices
+        # from blocks that still carry pandas metadata) would otherwise
+        # interleave with the pass/fail lines; failures still surface
+        # as task exceptions re-raised on the driver.
         ray.init(address="local", num_cpus=8, include_dashboard=False,
-                 logging_level="ERROR")
+                 logging_level="ERROR", log_to_driver=False)
     import ray.data as rd
 
     rd.DataContext.get_current().enable_progress_bars = False
+
+    # Mute exactly one known-benign executor warning: Ray 2.49's sort
+    # shuffle emits schema-less EMPTY blocks for key ranges that caught
+    # no rows; the streaming executor logs 'RefBundle with a different
+    # schema' for each. Verified harmless in this engine — empty blocks
+    # pass through map stages unvisited and every consumption path
+    # ignores them without dropping or null-padding columns
+    # (tests/test_shuffle_salting.py::
+    #  test_empty_blocks_are_benign_at_consumption). Nothing else is
+    # filtered.
+    import logging
+
+    class _MuteEmptyBundleWarning(logging.Filter):
+        def filter(self, record: logging.LogRecord) -> bool:
+            return ("RefBundle with a different schema"
+                    not in record.getMessage())
+
+    logging.getLogger(
+        "ray.data._internal.execution.streaming_executor_state"
+    ).addFilter(_MuteEmptyBundleWarning())
 
     sys.path.insert(0, "/root/repo")
     import __ray_entry__ as entrymod
