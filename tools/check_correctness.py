@@ -22,6 +22,12 @@ def to_pandas(res) -> pd.DataFrame:
     import ray.data as rd
 
     if isinstance(res, rd.Dataset):
+        # strip pandas-conversion schema metadata before the driver-side
+        # unify: metadata makes pa.Schema unhashable, so to_pandas() on
+        # a dataset with pandas-born blocks logs a schema-dedup warning
+        res = res.map_batches(
+            lambda b: b.replace_schema_metadata(None),
+            batch_format="pyarrow", zero_copy_batch=True)
         return res.to_pandas()
     if isinstance(res, pa.Table):
         return res.to_pandas()
@@ -82,6 +88,20 @@ def main() -> int:
     logging.getLogger(
         "ray.data._internal.execution.streaming_executor_state"
     ).addFilter(_MuteEmptyBundleWarning())
+
+    # Likewise mute the schema-dedup notice fired at read-plan time for
+    # the READ-ONLY testdata parquet files, which were written with
+    # pandas metadata embedded in their schemas (pa.Schema with any
+    # metadata is unhashable; Ray falls back to full unify — harmless).
+    # Engine-written blocks/files are metadata-free by construction.
+    class _MuteSchemaHashNotice(logging.Filter):
+        def filter(self, record: logging.LogRecord) -> bool:
+            return ("Failed to hash the schemas"
+                    not in record.getMessage())
+
+    logging.getLogger(
+        "ray.data._internal.arrow_ops.transform_pyarrow"
+    ).addFilter(_MuteSchemaHashNotice())
 
     sys.path.insert(0, "/root/repo")
     import __ray_entry__ as entrymod
