@@ -517,6 +517,19 @@ def _chunk_documents(sf_dir: str) -> rd.Dataset:
     return chunk_documents(ds, chunk_tokens=64, stride=48)
 
 
+def _pack_sequences_documents(sf_dir: str) -> rd.Dataset:
+    """GPT-style sequence-packing layout table: documents concatenated
+    in id order into one token stream, chopped at fixed 128-token
+    training-window boundaries (global prefix sum over token counts —
+    O(blocks) driver traffic, nothing row-scaled)."""
+    from sits_classification_ray.pipelines.training_feed import (
+        pack_sequences)
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"])
+    return pack_sequences(ds, max_tokens=128)
+
+
 def _scrub_pii_documents(sf_dir: str) -> rd.Dataset:
     """PII redaction over a deterministically composed PII-bearing
     column (the synthetic corpus carries no emails/IPs/phones, so both
@@ -2804,6 +2817,7 @@ def build_queries() -> dict[str, Callable[[str], Any]]:
         "incremental_near_dup_documents": _incremental_near_dup_documents,
         "scrub_pii_documents": _scrub_pii_documents,
         "chunk_documents": _chunk_documents,
+        "pack_sequences_documents": _pack_sequences_documents,
         "global_rank_documents": _global_rank_documents,
         "label_centroids_embeddings": _label_centroids_embeddings,
         "nearest_centroid_embeddings": _nearest_centroid_embeddings,
@@ -3028,6 +3042,21 @@ SELECT CAST(label AS BIGINT) AS label, d.dim AS dim,
 FROM embeddings
 CROSS JOIN (SELECT unnest(generate_series(0, 63)) AS dim) d
 GROUP BY 1, 2""",
+        "pack_sequences_documents": """
+WITH tok AS (
+  SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+  FROM documents),
+cum AS (
+  SELECT doc_id, n_tokens,
+         CAST(COALESCE(sum(n_tokens) OVER (ORDER BY doc_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+              AS BIGINT) AS tok_start
+  FROM tok)
+SELECT doc_id, n_tokens, tok_start,
+       tok_start // 128 AS win_first,
+       (tok_start + n_tokens - 1) // 128 AS win_last,
+       tok_start % 128 AS win_offset
+FROM cum""",
         "chunk_documents": """
 WITH toks AS MATERIALIZED (
   SELECT doc_id, string_split(text, ' ') AS ts,

@@ -91,3 +91,75 @@ def iter_training_batches(windows_ds: rd.Dataset, batch_size: int = 256):
             "t0": batch["t0"].to_numpy(),
             "n_valid": batch["n_valid"].to_numpy(),
         }
+
+
+def pack_sequences(ds: rd.Dataset, max_tokens: int = 1024,
+                   id_col: str = "doc_id", text_col: str = "text",
+                   num_blocks: int | None = None) -> rd.Dataset:
+    """GPT-style sequence-packing layout: documents are concatenated in
+    id order into ONE global token stream and chopped into fixed
+    ``max_tokens`` training windows — documents may span window
+    boundaries (the standard pretraining packing; zero padding waste,
+    unlike per-document truncation).
+
+    Output is the packing LAYOUT TABLE, one row per document: its
+    token count, global stream offset (``tok_start``), the first/last
+    window it occupies (``win_first``/``win_last``) and its offset
+    inside the first window (``win_offset``) — everything a feed stage
+    needs to emit packed windows without materializing the stream.
+
+    Scale shape (same construction as :func:`stages.scan_sorted.
+    global_rank`): tokens are counted per batch BEFORE the sort so the
+    sorted stream is two narrow columns; ``Dataset.sort`` on the id
+    range-partitions it; each sorted block reports ONE integer (its
+    token total); the driver computes exclusive prefix offsets in
+    O(blocks); one Ray task per block assigns offsets vectorized.
+    Nothing driver-side scales with rows. Tokens are the whitespace
+    split with empty tokens preserved (SQL ``string_split`` parity:
+    ``n = count(' ') + 1 ≥ 1``, so ``win_last`` is defined for every
+    document, including empty text).
+    """
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray
+
+    def count_tokens(b: pa.Table) -> pa.Table:
+        text = pc.cast(b[text_col], pa.string())
+        n = pc.add(pc.count_substring(text, " "), 1)
+        return pa.table({id_col: b[id_col],
+                         "n_tokens": pc.cast(n, pa.int64())})
+
+    counted = ds.map_batches(count_tokens, batch_format="pyarrow",
+                             zero_copy_batch=True)
+    if num_blocks:
+        counted = counted.repartition(num_blocks)
+    refs = counted.sort([id_col]).to_arrow_refs()
+
+    @ray.remote(num_cpus=0)
+    def block_total(t: pa.Table) -> int:
+        # empty sort ranges arrive as SCHEMA-LESS tables — no columns
+        if t.num_rows == 0:
+            return 0
+        return int(pc.sum(t["n_tokens"]).as_py() or 0)
+
+    totals = ray.get([block_total.remote(r) for r in refs])
+    offsets = np.concatenate([[0], np.cumsum(totals)[:-1]]).astype(np.int64)
+
+    @ray.remote(num_cpus=0.5)
+    def assign(t: pa.Table, off: int) -> pa.Table:
+        if len(t) == 0:
+            return t
+        n = t["n_tokens"].to_numpy()
+        tok_start = off + np.concatenate(
+            [[0], np.cumsum(n)[:-1]]).astype(np.int64)
+        return pa.table({
+            id_col: t[id_col],
+            "n_tokens": t["n_tokens"],
+            "tok_start": pa.array(tok_start),
+            "win_first": pa.array(tok_start // max_tokens),
+            "win_last": pa.array((tok_start + n - 1) // max_tokens),
+            "win_offset": pa.array(tok_start % max_tokens),
+        })
+
+    return rd.from_arrow_refs(
+        [assign.remote(r, int(o)) for r, o in zip(refs, offsets)])

@@ -45,3 +45,37 @@ def test_iter_training_batches_shapes():
         assert b["X"].shape[1] == 4 and b["mask"].shape == b["X"].shape
         # padded positions are exactly the masked-out ones
         assert ((b["X"] == PAD_VALUE) | b["mask"]).all()
+
+
+def test_pack_sequences_layout_and_partition_invariance():
+    """The packing layout is a pure function of (doc_id order, token
+    counts): windows tile the concatenated stream exactly, documents
+    span boundaries when they must, and the result is identical at any
+    block count (the prefix offsets are exchanged, not recomputed
+    locally)."""
+    import pandas as pd
+    import ray.data as rd
+
+    from sits_classification_ray.pipelines.training_feed import (
+        pack_sequences)
+
+    docs = pd.DataFrame({
+        "doc_id": [0, 1, 2, 3, 4],
+        "text": ["a b c",            # 3 tokens  → [0,3)
+                 "d e f g h",        # 5 tokens  → [3,8)   spans w0/w1
+                 "",                 # 1 token   → [8,9)
+                 "i j",              # 2 tokens  → [9,11)
+                 "k l m n"],         # 4 tokens  → [11,15) spans w2/w3
+    })
+    out = (pack_sequences(rd.from_pandas(docs), max_tokens=4)
+           .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    assert out["n_tokens"].tolist() == [3, 5, 1, 2, 4]
+    assert out["tok_start"].tolist() == [0, 3, 8, 9, 11]
+    assert out["win_first"].tolist() == [0, 0, 2, 2, 2]
+    assert out["win_last"].tolist() == [0, 1, 2, 2, 3]
+    assert out["win_offset"].tolist() == [0, 3, 0, 1, 3]
+
+    out8 = (pack_sequences(rd.from_pandas(docs).repartition(8),
+                           max_tokens=4)
+            .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    pd.testing.assert_frame_equal(out, out8)
