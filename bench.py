@@ -65,6 +65,25 @@ def bench_input(sf_dir: str, head_snaps: int | None = None) -> str:
     return str(path)
 
 
+def _mute_known_benign_warnings() -> None:
+    """Same documented mute as tools/check_correctness.py: Ray 2.49's
+    sort shuffle emits schema-less EMPTY blocks for key ranges that
+    caught no rows and the executor logs a 'RefBundle with a different
+    schema' line for each — verified harmless (tests/
+    test_shuffle_salting.py::test_empty_blocks_are_benign_at_consumption)
+    and pure noise in the bench stderr tail. Nothing else is filtered."""
+    import logging
+
+    class _Mute(logging.Filter):
+        def filter(self, record: logging.LogRecord) -> bool:
+            return ("RefBundle with a different schema"
+                    not in record.getMessage())
+
+    logging.getLogger(
+        "ray.data._internal.execution.streaming_executor_state"
+    ).addFilter(_Mute())
+
+
 def _probe_task(n_iter: int) -> float:
     t0 = time.perf_counter()
     x = 0
@@ -113,6 +132,7 @@ def run_bench(skew: bool = False) -> dict:
 
     ray.init(address="local", num_cpus=NUM_CPUS, include_dashboard=False,
              ignore_reinit_error=True, logging_level="ERROR")
+    _mute_known_benign_warnings()
     ctx = rd.DataContext.get_current()
     ctx.enable_progress_bars = False
     ctx.execution_options.verbose_progress = False
@@ -191,6 +211,7 @@ def run_compute_bench() -> dict:
 
     ray.init(address="local", num_cpus=NUM_CPUS, include_dashboard=False,
              ignore_reinit_error=True, logging_level="ERROR")
+    _mute_known_benign_warnings()
     ctx = rd.DataContext.get_current()
     ctx.enable_progress_bars = False
 
