@@ -33,9 +33,11 @@ import ray.data as rd
 from sits_classification_ray.config import TIER_SECONDS, EngineConfig
 from sits_classification_ray.functions.gorilla import encode_series
 from sits_classification_ray.stages.extract import extract, to_long
-from sits_classification_ray.stages.gapfill import gapfill
+from sits_classification_ray.stages.gapfill import (gapfill,
+                                                    gapfill_colocated)
 from sits_classification_ray.stages.rollup import (finalize, reaggregate,
-                                                   rollup)
+                                                   reaggregate_colocated,
+                                                   rollup, rollup_colocated)
 from sits_classification_ray.stages.series import assemble_series
 from sits_classification_ray.state.manifest import Manifest, lineage_hash
 
@@ -70,8 +72,24 @@ def _partition_counts(path: Path) -> dict[int, int]:
     return counts
 
 
-def _read_stage(path: Path, buckets: list[int] | None = None) -> rd.Dataset:
-    ds = rd.read_parquet(str(path))
+def _read_stage(path: Path, buckets: list[int] | None = None,
+                whole_files: bool = False) -> rd.Dataset:
+    """Read a bucket-major stage directory back.
+
+    ``whole_files=True`` pins one read task per parquet file
+    (``override_num_blocks = n_files``) so Ray never SPLITS a file
+    across blocks — each written file is one partitioned_map output
+    block holding complete urls, and the exchange-free tier chain
+    (stages/rollup.py co-located kernels) depends on that completeness
+    surviving the round-trip. Merging several small files into one
+    task would also be safe (unions of complete files stay complete),
+    but a split is not."""
+    if whole_files:
+        n_files = sum(1 for _ in Path(path).rglob("*.parquet"))
+        ds = rd.read_parquet(str(path),
+                             override_num_blocks=max(1, n_files))
+    else:
+        ds = rd.read_parquet(str(path))
 
     def fix(batch: pa.Table) -> pa.Table:
         # hive partitioning reads url_bucket back as a dictionary/int
@@ -88,21 +106,11 @@ def _read_stage(path: Path, buckets: list[int] | None = None) -> rd.Dataset:
     return ds
 
 
-def segments_stage(ds_long: rd.Dataset, cfg: EngineConfig | None = None,
-                   approx_rows: int | None = None,
-                   max_points_per_segment: int | None = None) -> rd.Dataset:
-    """Gorilla-encode each (url, metric) stream → segment rows.
-
-    Partition-level kernel over salted (url, metric) series keys: one
-    sort per partition block, then numpy slices into the sequential
-    bit encoder per (url, metric) run.
-
-    ``max_points_per_segment`` time-chunks a series into several
-    segments (the standard TSDB chunk design — the schema already
-    carries ``t_start``/``t_end`` per segment and ``read_segments``
-    concatenates), which bounds the sequential encode per task by the
-    chunk size instead of the largest series.
-    """
+def _segments_kernel(max_points_per_segment: int | None):
+    """Per-block Gorilla encode kernel (complete series per block):
+    one sort, then numpy slices into the sequential bit encoder per
+    (url, metric) run; ``max_points_per_segment`` time-chunks fat
+    series so the sequential encode per task stays bounded."""
     from sits_classification_ray.stages.gapfill import _series_bounds
 
     def kernel(df: pd.DataFrame) -> pd.DataFrame:
@@ -137,13 +145,43 @@ def segments_stage(ds_long: rd.Dataset, cfg: EngineConfig | None = None,
             "val_codes": val_codes,
         })
 
+    return kernel
+
+
+def segments_stage(ds_long: rd.Dataset, cfg: EngineConfig | None = None,
+                   approx_rows: int | None = None,
+                   max_points_per_segment: int | None = None) -> rd.Dataset:
+    """Gorilla-encode each (url, metric) stream → segment rows, via the
+    salted (url, metric) exchange (generic inputs).
+
+    ``max_points_per_segment`` time-chunks a series into several
+    segments (the standard TSDB chunk design — the schema already
+    carries ``t_start``/``t_end`` per segment and ``read_segments``
+    concatenates), which bounds the sequential encode per task by the
+    chunk size instead of the largest series.
+    """
     from sits_classification_ray.stages.shuffle import partitioned_map
 
     cfg = cfg or EngineConfig()
-    return partitioned_map(ds_long, kernel, url_col="url",
-                           n_buckets=cfg.n_buckets,
+    return partitioned_map(ds_long, _segments_kernel(max_points_per_segment),
+                           url_col="url", n_buckets=cfg.n_buckets,
                            approx_rows=approx_rows,
                            hot_key_threshold=cfg.hot_key_threshold)
+
+
+def segments_stage_colocated(ds_obs: rd.Dataset,
+                             cfg: EngineConfig | None = None,
+                             max_points_per_segment: int | None = None
+                             ) -> rd.Dataset:
+    """Exchange-free Gorilla encode over WIDE obs blocks that already
+    hold complete urls (whole-file stage re-reads): explode + encode
+    inside one map task per block, reusing assemble_series' url
+    partitioning (see shuffle.colocated_map)."""
+    from sits_classification_ray.stages.shuffle import colocated_map
+
+    cfg = cfg or EngineConfig()
+    return colocated_map(ds_obs, _segments_kernel(max_points_per_segment),
+                         explode_metrics=cfg.metrics)
 
 
 def run_pipeline(input_path: str | list, out_dir: str,
@@ -239,12 +277,10 @@ def run_pipeline(input_path: str | list, out_dir: str,
             return
         t0 = time.perf_counter()
         _clean_partitions(grid_path, todo)
-        long_obs = to_long(_read_stage(obs_path, todo
-                                       if len(todo) < cfg.n_buckets
-                                       else None), cfg.metrics)
-        obs_rows = sum(_partition_counts(obs_path).values())
-        gapfill(long_obs, cfg,
-                approx_rows=obs_rows * len(cfg.metrics)).write_parquet(
+        # exchange-free: obs files are url-complete (whole-file read)
+        obs = _read_stage(obs_path, todo if len(todo) < cfg.n_buckets
+                          else None, whole_files=True)
+        gapfill_colocated(obs, cfg, cfg.metrics).write_parquet(
             str(grid_path), partition_cols=["url_bucket"],
             compression=cfg.parquet_compression)
         commit_stage("grid", grid_path, todo, t0)
@@ -256,12 +292,9 @@ def run_pipeline(input_path: str | list, out_dir: str,
             return
         t0 = time.perf_counter()
         _clean_partitions(seg_path, todo)
-        long_obs = to_long(_read_stage(obs_path, todo
-                                       if len(todo) < cfg.n_buckets
-                                       else None), cfg.metrics)
-        obs_rows = sum(_partition_counts(obs_path).values())
-        segments_stage(long_obs, cfg,
-                       approx_rows=obs_rows * len(cfg.metrics)).write_parquet(
+        obs = _read_stage(obs_path, todo if len(todo) < cfg.n_buckets
+                          else None, whole_files=True)
+        segments_stage_colocated(obs, cfg).write_parquet(
             str(seg_path), partition_cols=["url_bucket"],
             compression=cfg.parquet_compression)
         commit_stage("segments", seg_path, todo, t0)
@@ -280,12 +313,20 @@ def run_pipeline(input_path: str | list, out_dir: str,
                 t0 = time.perf_counter()
                 _clean_partitions(tier_path, todo)
                 sub = todo if len(todo) < cfg.n_buckets else None
+                # exchange-free tier chain: the url partitioning from
+                # assemble_series' single salted exchange survives the
+                # bucket-major writes (whole_files read — one block per
+                # written partition file), so partial+merge run inside
+                # one map task per block with NO shuffle at any tier
                 if prev_tier_path is None:
-                    src = to_long(_read_stage(obs_path, sub), cfg.metrics)
-                    partials = rollup(src, TIER_SECONDS[tier], cfg)
+                    src = _read_stage(obs_path, sub, whole_files=True)
+                    partials = rollup_colocated(src, TIER_SECONDS[tier],
+                                                cfg.metrics, cfg)
                 else:
-                    stored = _read_stage(prev_tier_path, sub)
-                    partials = reaggregate(stored, TIER_SECONDS[tier], cfg)
+                    stored = _read_stage(prev_tier_path, sub,
+                                         whole_files=True)
+                    partials = reaggregate_colocated(
+                        stored, TIER_SECONDS[tier], cfg)
                 outds = finalize_with_state(partials)
                 outds.write_parquet(str(tier_path),
                                     partition_cols=["url_bucket"],

@@ -165,3 +165,24 @@ def gapfill(ds_long: rd.Dataset, cfg: EngineConfig | None = None,
                            n_buckets=cfg.n_buckets,
                            approx_rows=approx_rows,
                            hot_key_threshold=cfg.hot_key_threshold)
+
+
+def gapfill_colocated(ds_obs: rd.Dataset,
+                      cfg: EngineConfig | None = None,
+                      metrics: tuple[str, ...] = ("text_len",
+                                                  "word_count")
+                      ) -> rd.Dataset:
+    """Exchange-free gap-fill over WIDE obs blocks that already hold
+    complete urls (bucket-major stage files re-read whole, or
+    partitioned_map outputs in memory — see shuffle.colocated_map):
+    explode to long + fill inside one map task per block, reusing the
+    url partitioning assemble_series already paid for."""
+    from sits_classification_ray.stages.shuffle import colocated_map
+
+    cfg = cfg or EngineConfig()
+    step, method, edges = cfg.grid_seconds, cfg.fill_method, cfg.fill_edges
+
+    def kernel(df: pd.DataFrame) -> pd.DataFrame:
+        return gapfill_bucket(df, step, method, edges)
+
+    return colocated_map(ds_obs, kernel, explode_metrics=metrics)

@@ -258,3 +258,77 @@ def reaggregate(ds_tier_partials: rd.Dataset, tier_seconds: int,
         zero_copy_batch=True,
     )
     return merge_partials(rebucketed)
+
+
+# ---------------------------------------------------------------------------
+# Co-located (exchange-free) tier chain
+# ---------------------------------------------------------------------------
+#
+# The engine partitions the hot path by url ONCE — in assemble_series'
+# salted exchange — and every artifact it writes afterwards PRESERVES
+# that partitioning: partitioned_map emits whole-partition blocks, and
+# the bucket-major writes put each block in one parquet file under its
+# url_bucket directory. A tier input re-read as unions of COMPLETE
+# files therefore already has every url's rows inside a single block,
+# and the merge does not need a shuffle at all: partial-aggregate and
+# merge inside ONE map task per block. This removes the all-to-all
+# exchange from hourly, daily and weekly entirely (the classic
+# "pick one partitioning key and reuse it across stages").
+#
+# Layout contract (enforced by the callers, documented here):
+# - input blocks must be unions of complete bucket-major files —
+#   `rollup_pipeline._read_stage(whole_files=True)` pins one read task
+#   per file (`override_num_blocks = n_files`) so Ray never SPLITS a
+#   file across blocks (merging several files into one task is safe);
+# - written partition blocks stay under `hot_key_threshold` rows
+#   (EngineConfig default 1e6 ≈ 60–80 MB), below Ray's 128 MB block
+#   split threshold, so re-reads stay whole-file;
+# - the merge math itself is re-aggregable (``last`` by max
+#   ``last_src_ts``), so ANY url-complete blocking is legal.
+
+
+def _merged_arrow(pdf: pd.DataFrame) -> pa.Table:
+    """Merged-partials pandas → metadata-free Arrow (keeps downstream
+    schema dedup warning-free and writes clean tier files)."""
+    return pa.Table.from_pandas(pdf, preserve_index=False) \
+        .replace_schema_metadata(None)
+
+
+def rollup_colocated(ds_obs: rd.Dataset, tier_seconds: int,
+                     metrics: tuple[str, ...],
+                     cfg: EngineConfig | None = None) -> rd.Dataset:
+    """Wide obs (url-complete blocks) → merged partials with NO
+    exchange: one map task per block explodes to long format, partial-
+    aggregates and merges — the wide→long doubling never materializes
+    as standalone blocks (which could split past the 128 MB bound and
+    break url-completeness mid-stream)."""
+
+    def kern(batch: pa.Table):
+        from sits_classification_ray.stages.shuffle import explode_long
+
+        if len(batch) == 0:
+            return
+        partial = partial_rollup_batch(explode_long(batch, metrics),
+                                       tier_seconds)
+        if len(partial) == 0:
+            return
+        yield _merged_arrow(merge_partials_pdf(partial.to_pandas()))
+
+    return ds_obs.map_batches(kern, batch_size=None,
+                              batch_format="pyarrow", zero_copy_batch=True)
+
+
+def reaggregate_colocated(ds_tier_partials: rd.Dataset, tier_seconds: int,
+                          cfg: EngineConfig | None = None) -> rd.Dataset:
+    """Finer-tier partials (url-complete blocks) → coarser tier with
+    NO exchange (see layout contract above)."""
+
+    def kern(batch: pa.Table):
+        rebucketed = rebucket_partials_batch(batch, tier_seconds)
+        if len(rebucketed) == 0:
+            return
+        yield _merged_arrow(merge_partials_pdf(rebucketed.to_pandas()))
+
+    return ds_tier_partials.map_batches(kern, batch_size=None,
+                                        batch_format="pyarrow",
+                                        zero_copy_batch=True)

@@ -188,6 +188,58 @@ def partitioned_map(
                            batch_format="pyarrow", zero_copy_batch=True)
 
 
+def explode_long(batch, metrics) -> "pa.Table":
+    """Wide per-snapshot metrics → long rows, inside one task (never as
+    standalone blocks, whose 2× size could split past the block bound
+    and break url-completeness mid-stream)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    parts = []
+    for m in metrics:
+        parts.append(pa.table({
+            "url": batch["url"],
+            "url_bucket": batch["url_bucket"],
+            "warc_ts": batch["warc_ts"],
+            "metric": pa.array([m] * len(batch), pa.string()),
+            "value": pc.cast(batch[m], pa.float64()),
+        }))
+    return pa.concat_tables(parts)
+
+
+def colocated_map(
+    ds: rd.Dataset,
+    fn: Callable[[pd.DataFrame], pd.DataFrame],
+    explode_metrics: tuple[str, ...] | None = None,
+) -> rd.Dataset:
+    """Exchange-free sibling of :func:`partitioned_map` for inputs whose
+    blocks ALREADY hold complete key groups: partitioned_map outputs
+    still in memory, or bucket-major stage files re-read as whole files
+    (``rollup_pipeline._read_stage(whole_files=True)`` — one read task
+    per written partition file, unions of complete files stay
+    complete). The engine partitions the hot path by url ONCE in
+    assemble_series; every later per-series stage reuses that
+    partitioning through this helper instead of re-shuffling.
+
+    ``explode_metrics``: run :func:`explode_long` inside the task
+    before the kernel (wide obs blocks in, long-format kernel)."""
+
+    def kern(batch):
+        import pyarrow as pa
+
+        if batch.num_rows == 0:
+            return
+        if explode_metrics:
+            batch = explode_long(batch, explode_metrics)
+        out = fn(batch.to_pandas())
+        if len(out):
+            yield pa.Table.from_pandas(out, preserve_index=False) \
+                .replace_schema_metadata(None)
+
+    return ds.map_batches(kern, batch_size=None, batch_format="pyarrow",
+                          zero_copy_batch=True)
+
+
 def _drop_empty_and_strip_meta(batch):
     """Schema hygiene for the grouped-map output stream.
 
