@@ -48,11 +48,50 @@ def url_bucket_of(urls: pa.Array | pa.ChunkedArray, n_buckets: int) -> pa.Array:
     return pa.array((h % np.uint64(n_buckets)).astype(np.uint32))
 
 
+def extract_body(html_str: pa.Array | pa.ChunkedArray) -> pa.Array:
+    """Body payload per row, byte-identical to ``extract_regex(html,
+    BODY_RE)`` but ~2× faster on the common case.
+
+    Fast path (plain substring split, no regex): rows with EXACTLY ONE
+    ``<body>`` and one ``</body>`` in that order — the overwhelming
+    majority of real pages. Greedy-regex semantics (first open to LAST
+    close) coincide with the split there. Every other row — zero tags,
+    repeated tags, close-before-open, null — is re-extracted with the
+    actual regex on the filtered minority, so outputs are identical by
+    construction to the DuckDB oracle's ``regexp_extract``.
+    """
+    if isinstance(html_str, pa.ChunkedArray):
+        html_str = html_str.combine_chunks()
+    one_each = pc.and_(
+        pc.equal(pc.count_substring(html_str, "<body>"), 1),
+        pc.equal(pc.count_substring(html_str, "</body>"), 1))
+    # force the split tokens to exist on every row so the list elements
+    # below are always present; flagged-slow rows are overwritten after
+    safe = pc.if_else(one_each, html_str,
+                      pa.scalar("<body></body>", pa.string()))
+    tail = pc.list_element(
+        pc.split_pattern(safe, pattern="<body>", max_splits=1), 1)
+    p2 = pc.split_pattern(tail, pattern="</body>", max_splits=1)
+    body = pc.list_element(p2, 0)
+    # close-before-open sneaks past the counts: its tail has no close
+    # token, leaving a 1-element split — reroute those to the regex too
+    fast = pc.and_(one_each, pc.equal(pc.list_value_length(p2), 2))
+    fast_np = fast.fill_null(False).to_numpy(zero_copy_only=False)
+    n_slow = int(len(html_str) - fast_np.sum())
+    if n_slow == 0:
+        return body
+    idx = np.flatnonzero(~fast_np)
+    slow = pc.struct_field(
+        pc.extract_regex(html_str.take(pa.array(idx)), BODY_RE), "t")
+    out = body.to_numpy(zero_copy_only=False).astype(object)
+    out[idx] = slow.to_numpy(zero_copy_only=False)
+    return pa.array(out, pa.string())
+
+
 def extract_batch(batch: pa.Table, n_buckets: int, keep_text: bool) -> pa.Table:
     """html → text, metric derivation, invalid-row screening, bucketing."""
     html_str = pc.cast(batch["html"], pa.string())
-    ext = pc.extract_regex(html_str, BODY_RE)
-    text = pc.struct_field(ext, "t") if len(batch) else pa.array([], pa.string())
+    text = extract_body(html_str) if len(batch) else pa.array([], pa.string())
     # Invalid-row screen: no body, or empty body (reference drops
     # samples whose features are entirely missing).
     valid = pc.and_(pc.is_valid(text), pc.greater(pc.utf8_length(text), 0))

@@ -115,3 +115,32 @@ def test_jsonl_reads_fractional_and_zoned_timestamps(tmp_path):
         pd.Timestamp("2024-01-02 03:04:05"),
         pd.Timestamp("2024-01-02 03:04:05.5"),
     ]
+
+
+def test_extract_body_fast_path_matches_regex_on_edge_cases():
+    """extract_body's substring fast path must be byte-identical to the
+    greedy regex (= the DuckDB oracle's regexp_extract) on every tag
+    arrangement: the split handles only the one-open-one-close-ordered
+    majority; everything else must reroute to the actual regex."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from sits_classification_ray.stages.extract import BODY_RE, extract_body
+
+    cases = [
+        "<html><body>hello</body></html>",
+        "<html>nobody</html>",
+        "<body>a</body><body>b</body>",      # greedy spans both
+        "</body>reversed<body>",             # close before open → None
+        "<body>unclosed",
+        "closed</body> only",
+        "<body></body>",
+        "<body>a</body> trailing </body>",   # greedy to LAST close
+        "<body>multi\nline\n</body>",        # (?s) dotall
+        "",
+        None,
+        "<body>nested <body>x</body>",
+    ]
+    arr = pa.array(cases, pa.string())
+    ref = pc.struct_field(pc.extract_regex(arr, BODY_RE), "t")
+    assert extract_body(arr).to_pylist() == ref.to_pylist()
