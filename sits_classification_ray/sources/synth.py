@@ -16,9 +16,9 @@ ships with the test data, so it is synthesized deterministically:
    degenerate html rows are all injected on purpose.
 
 The ``documents`` table is a fixed 500-row dimension at every scale
-factor, so it is broadcast once via ``ray.put`` and looked up inside an
-actor pool (the reference's thermal-raster broadcast pattern,
-``utils/class_run.py:85-89``).
+factor, so each actor of the attach pool loads it once in ``__init__``
+and looks it up per batch (the reference's thermal-raster load-once
+pattern, ``utils/class_run.py:85-89``).
 """
 
 from __future__ import annotations
@@ -27,7 +27,6 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 import pyarrow.parquet as pq
-import ray
 import ray.data as rd
 
 CRAWL_SCHEMA = pa.schema(
@@ -63,15 +62,17 @@ crawl AS MATERIALIZED (
 class _AttachDocuments:
     """Actor-pool stage: join each event row to its document payload.
 
-    The documents side is tiny and fixed-size, so it is broadcast once
-    (``ray.put`` on the driver) and materialized once per actor in
-    ``__init__`` — never re-shipped per batch. Mirrors the reference's
-    load-once thermal raster (utils/class_run.py:85-89) re-expressed as
-    the Ray broadcast-join idiom.
+    The documents side is tiny and fixed-size, so it is loaded ONCE per
+    actor in ``__init__`` (from shared storage — the parquet file every
+    node can read) — never re-shipped per batch. Mirrors the
+    reference's load-once thermal raster (utils/class_run.py:85-89).
+    Loading by path rather than a driver ``ray.put`` ref keeps the
+    actor restartable: constructor object refs can be lost while the
+    actor outlives them (ray#53727), and a path never expires.
     """
 
-    def __init__(self, docs_ref):
-        docs: pa.Table = ray.get(docs_ref)
+    def __init__(self, docs_path: str):
+        docs = pq.read_table(docs_path, columns=["doc_id", "text", "lang"])
         order = pc.sort_indices(docs["doc_id"])
         docs = docs.take(order)
         self.text = docs["text"].combine_chunks()
@@ -118,14 +119,11 @@ def crawl_from_tables(sf_dir: str) -> rd.Dataset:
     broadcast ``documents`` dimension. Deterministic; mirrored by
     :data:`CRAWL_CTE` for the DuckDB oracle.
     """
-    docs = pq.read_table(f"{sf_dir}/documents.parquet",
-                         columns=["doc_id", "text", "lang"])
-    docs_ref = ray.put(docs)
     events = rd.read_parquet(f"{sf_dir}/events.parquet",
                              columns=["event_id", "ts", "user_id"])
     return events.map_batches(
         _AttachDocuments,
-        fn_constructor_args=(docs_ref,),
+        fn_constructor_args=(f"{sf_dir}/documents.parquet",),
         batch_format="pyarrow",
         concurrency=(1, 8),
         num_cpus=1,
