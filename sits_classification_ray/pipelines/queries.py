@@ -179,6 +179,32 @@ def _obs_long(sf_dir: str) -> rd.Dataset:
     return to_long(_obs(sf_dir), CFG.metrics)
 
 
+def _rejects_crawl(sf_dir: str) -> rd.Dataset:
+    """Quarantine report: rows the extraction screen drops, with the
+    reason (``no_body`` / ``empty_body``). The synth corpus has no
+    degenerate payloads, so the input is deterministically mangled
+    first (by ``length(text) % 7``) — the SQL oracle applies the
+    identical mangle, so the screen verdicts are fully exercised."""
+    from sits_classification_ray.stages.extract import extract_rejects
+
+    def mangle(batch: pa.Table) -> pa.Table:
+        text = batch["text"]
+        n = pc.utf8_length(text)
+        m = pc.subtract(n, pc.multiply(pc.divide(n, 7), 7))
+        html = pc.if_else(
+            pc.equal(m, 0),
+            pc.binary_join_element_wise("<html>", text, "</html>", ""),
+            pc.if_else(pc.equal(m, 1),
+                       pa.scalar("<html><body></body></html>", pa.string()),
+                       pc.cast(batch["html"], pa.string())))
+        i = batch.schema.get_field_index("html")
+        return batch.set_column(i, "html", pc.cast(html, pa.binary()))
+
+    ds = crawl_from_tables(sf_dir).map_batches(
+        mangle, batch_format="pyarrow", zero_copy_batch=True)
+    return extract_rejects(ds, CFG)
+
+
 def _tier(sf_dir: str, tier: str) -> rd.Dataset:
     """Tier tables built through the re-aggregation chain (daily from
     hourly partials, weekly from daily) — the production path, so the
@@ -2771,6 +2797,7 @@ def build_queries() -> dict[str, Callable[[str], Any]]:
         ).select_columns(["url", "warc_ts", "lang", "text",
                           "text_len", "word_count"]),
         "crawl_dedup": lambda sf: _obs(sf).select_columns(OBS_COLS),
+        "rejects_crawl": _rejects_crawl,
         "rollup_hourly": lambda sf: _tier(sf, "hourly"),
         "rollup_daily": lambda sf: _tier(sf, "daily"),
         "rollup_weekly": lambda sf: _tier(sf, "weekly"),
@@ -3114,6 +3141,18 @@ FROM comp""",
 SELECT url, warc_ts, lang, text, text_len, word_count FROM scr""",
         "crawl_dedup": f"""{CRAWL_PREFIX}
 SELECT url, warc_ts, lang, text_len, word_count FROM obs""",
+        "rejects_crawl": f"""WITH {CRAWL_CTE},
+mangled AS MATERIALIZED (
+  SELECT url, warc_ts,
+    CASE WHEN length(text) % 7 = 0 THEN '<html>' || text || '</html>'
+         WHEN length(text) % 7 = 1 THEN '<html><body></body></html>'
+         ELSE CAST(html AS VARCHAR) END AS h
+  FROM crawl)
+SELECT url, warc_ts,
+  CASE WHEN NOT regexp_matches(h, '(?s)<body>(.*)</body>')
+       THEN 'no_body' ELSE 'empty_body' END AS reason
+FROM mangled
+WHERE regexp_extract(h, '(?s)<body>(.*)</body>', 1) = ''""",
         "rollup_hourly": _rollup_sql("hour"),
         "rollup_daily": _rollup_sql("day"),
         "rollup_weekly": _rollup_sql("week"),

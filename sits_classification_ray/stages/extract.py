@@ -116,6 +116,44 @@ def extract_batch(batch: pa.Table, n_buckets: int, keep_text: bool) -> pa.Table:
     return out.filter(valid)
 
 
+def rejects_batch(batch: pa.Table) -> pa.Table:
+    """Quarantine rows the extraction screen drops, with the reason.
+
+    The inverse of :func:`extract_batch`'s invalid-row screen
+    (reference nodata screening, ``utils/class_run.py:140,150-152``):
+    at production scale silently-dropped rows are an operational blind
+    spot, so this kernel emits ``(url, warc_ts, reason)`` for every
+    screened row — ``no_body`` (payload never matched) vs
+    ``empty_body`` (matched but empty). Run as its own resumable pass
+    over the raw input; it shares :func:`extract_body` so the verdict
+    is by construction the same one the pipeline applied.
+    """
+    if len(batch) == 0:
+        return pa.table({"url": pa.array([], pa.string()),
+                         "warc_ts": pa.array([], pa.timestamp("us")),
+                         "reason": pa.array([], pa.string())})
+    text = extract_body(pc.cast(batch["html"], pa.string()))
+    no_body = pc.is_null(text)
+    empty = pc.and_(pc.is_valid(text),
+                    pc.equal(pc.utf8_length(text), 0))
+    reason = pc.if_else(
+        no_body, pa.scalar("no_body", pa.string()),
+        pc.if_else(empty, pa.scalar("empty_body", pa.string()),
+                   pa.scalar(None, pa.string())))
+    out = pa.table({"url": batch["url"],
+                    "warc_ts": batch["warc_ts"],
+                    "reason": reason})
+    return out.filter(pc.is_valid(reason))
+
+
+def extract_rejects(ds: rd.Dataset, cfg: EngineConfig | None = None
+                    ) -> rd.Dataset:
+    """Quarantine stage: screened-out rows with reasons (no shuffle)."""
+    cfg = cfg or EngineConfig()
+    return ds.map_batches(rejects_batch, batch_format="pyarrow",
+                          batch_size=cfg.batch_size, zero_copy_batch=True)
+
+
 def extract(
     ds: rd.Dataset,
     cfg: EngineConfig | None = None,

@@ -144,3 +144,41 @@ def test_extract_body_fast_path_matches_regex_on_edge_cases():
     arr = pa.array(cases, pa.string())
     ref = pc.struct_field(pc.extract_regex(arr, BODY_RE), "t")
     assert extract_body(arr).to_pylist() == ref.to_pylist()
+
+
+def test_extract_rejects_reasons():
+    """Quarantine kernel: screened rows come back with the right
+    reason; valid rows never appear; union with extract() covers every
+    input row exactly once."""
+    import pandas as pd
+    import pyarrow as pa
+
+    from sits_classification_ray.stages.extract import (extract,
+                                                        extract_rejects)
+
+    rows = [
+        ("u1", "<html><body>keep me</body></html>", None),
+        ("u2", "<html>no tags at all</html>", "no_body"),
+        ("u3", "<body></body>", "empty_body"),
+        ("u4", "</body>reversed<body>", "no_body"),
+        ("u5", "<body>unclosed", "no_body"),
+        ("u6", "<body>a</body><body>b</body>", None),  # greedy: non-empty
+    ]
+    t = pa.table({
+        "url": pa.array([r[0] for r in rows], pa.string()),
+        "warc_ts": pa.array(
+            pd.to_datetime(["2024-01-01"] * len(rows)), pa.timestamp("us")),
+        "html": pa.array([r[1].encode() for r in rows], pa.binary()),
+        "lang": pa.array(["en"] * len(rows), pa.string()),
+    })
+    ds = rd.from_arrow(t)
+    rejects = extract_rejects(ds).to_pandas().set_index("url")["reason"]
+    kept = set(extract(ds).to_pandas()["url"])
+
+    want = {r[0]: r[2] for r in rows}
+    for url, reason in want.items():
+        if reason is None:
+            assert url in kept and url not in rejects.index
+        else:
+            assert rejects[url] == reason and url not in kept
+    assert len(rejects) + len(kept) == len(rows)
