@@ -119,6 +119,33 @@ def machine_probe(n_procs: int | None = None) -> dict:
             "probe_efficiency": round(t1 / tn, 3)}
 
 
+def _init_ray():
+    """Start Ray for a bench leg. With ``GRAFT_NODES`` set, build a
+    SIMULATED MULTI-NODE cluster (``ray.cluster_utils.Cluster``):
+    separate raylets and per-node object stores on this host, so
+    scheduling, locality and inter-node object transfer are all real —
+    the closest this sandbox gets to the north rule's N-vs-4N-node
+    criterion. Returns the cluster handle (None in local mode)."""
+    import ray
+
+    n_nodes = int(os.environ.get("GRAFT_NODES", "0"))
+    if n_nodes:
+        from ray.cluster_utils import Cluster
+
+        node_cpus = int(os.environ.get("GRAFT_NODE_CPUS", "8"))
+        store = int(os.environ.get("GRAFT_NODE_STORE_GB", "4")) * 2 ** 30
+        cluster = Cluster()
+        for i in range(n_nodes):
+            kw = {"include_dashboard": False} if i == 0 else {}
+            cluster.add_node(num_cpus=node_cpus,
+                             object_store_memory=store, **kw)
+        ray.init(address=cluster.address, logging_level="ERROR")
+        return cluster
+    ray.init(address="local", num_cpus=NUM_CPUS, include_dashboard=False,
+             ignore_reinit_error=True, logging_level="ERROR")
+    return None
+
+
 def run_bench(skew: bool = False) -> dict:
     import ray
     import ray.data as rd
@@ -130,8 +157,7 @@ def run_bench(skew: bool = False) -> dict:
     crawl = bench_input(SF_DIR, head_snaps=HEAD_SNAPS if skew else None)
     probe = machine_probe()
 
-    ray.init(address="local", num_cpus=NUM_CPUS, include_dashboard=False,
-             ignore_reinit_error=True, logging_level="ERROR")
+    cluster = _init_ray()
     _mute_known_benign_warnings()
     ctx = rd.DataContext.get_current()
     ctx.enable_progress_bars = False
@@ -175,15 +201,22 @@ def run_bench(skew: bool = False) -> dict:
         "unit": "sec",
         "queries": queries,
         "sf": Path(SF_DIR).name,
-        "num_cpus": NUM_CPUS,
+        "num_cpus": (int(os.environ["GRAFT_NODES"])
+                     * int(os.environ.get("GRAFT_NODE_CPUS", "8"))
+                     if os.environ.get("GRAFT_NODES") else NUM_CPUS),
         "input_docs": metrics.get("input_docs"),
         "docs_per_sec": round(metrics.get("input_docs", 0) / elapsed, 1),
         "tmpfs": TMPFS,
         "probe_efficiency": probe["probe_efficiency"],
         "probe": probe,
         **({"head_snaps": HEAD_SNAPS} if skew else {}),
+        **({"nodes": int(os.environ["GRAFT_NODES"]),
+            "node_cpus": int(os.environ.get("GRAFT_NODE_CPUS", "8"))}
+           if os.environ.get("GRAFT_NODES") else {}),
     }
     ray.shutdown()
+    if cluster is not None:
+        cluster.shutdown()
     # second probe AFTER the timed section (post-shutdown, so the fork
     # pool never coexists with Ray workers): neighbor load on this
     # shared VM drifts within minutes, so bracketing the run makes the
@@ -307,8 +340,49 @@ def run_scaling(compute: bool = False) -> dict:
     }
 
 
+def run_scaling_nodes() -> dict:
+    """The north rule's two-cluster-size criterion, by simulation: the
+    FULL headline pipeline on a 1-node vs a 4-node cluster (8 CPUs and
+    a private object store per node — separate raylets, real inter-node
+    object transfer), same input, fresh process per leg."""
+    sys.path.insert(0, str(Path(__file__).resolve().parent))
+    bench_input(SF_DIR)
+    node_cpus = int(os.environ.get("GRAFT_NODE_CPUS", "8"))
+
+    def run(n_nodes: int) -> dict:
+        env = dict(os.environ, GRAFT_NODES=str(n_nodes),
+                   GRAFT_NODE_CPUS=str(node_cpus))
+        out = subprocess.run([sys.executable, __file__], env=env,
+                             capture_output=True, text=True,
+                             check=True).stdout
+        return json.loads(out.strip().splitlines()[-1])
+
+    lo = int(os.environ.get("GRAFT_SCALE_NODES_LO", "1"))
+    hi = int(os.environ.get("GRAFT_SCALE_NODES_HI", "4"))
+    r_lo, r_hi = run(lo), run(hi)
+    speedup = r_lo["value"] / r_hi["value"]
+    eff = speedup / (hi / lo)
+    return {
+        "metric": "node_scaling_efficiency",
+        "nodes": [lo, hi],
+        "node_cpus": node_cpus,
+        f"sec_{lo}node": r_lo["value"],
+        f"sec_{hi}node": r_hi["value"],
+        f"docs_per_sec_{lo}node": r_lo["docs_per_sec"],
+        f"docs_per_sec_{hi}node": r_hi["docs_per_sec"],
+        "speedup": round(speedup, 3),
+        "scaling_efficiency": round(eff, 3),
+        f"probe_efficiency_{lo}node": r_lo.get("probe_efficiency"),
+        f"probe_efficiency_{hi}node": r_hi.get("probe_efficiency"),
+        "input_docs": r_hi["input_docs"],
+        "sf": r_hi["sf"],
+    }
+
+
 if __name__ == "__main__":
-    if "--scaling-compute" in sys.argv:
+    if "--scaling-nodes" in sys.argv:
+        print(json.dumps(run_scaling_nodes()))
+    elif "--scaling-compute" in sys.argv:
         print(json.dumps(run_scaling(compute=True)))
     elif "--scaling" in sys.argv:
         print(json.dumps(run_scaling()))
