@@ -44,6 +44,28 @@ from sits_classification_ray.state.manifest import Manifest, lineage_hash
 TIER_STAGES = ["hourly", "daily", "weekly"]
 
 
+#: Compressed bytes per raw-read block. The crawl payload is html
+#: binary that decodes ≈1:1 into memory, but Ray's generic
+#: parquet-inflation estimate splits such files into ~9 MB blocks —
+#: and at that size the exchange's fixed per-task cost dominates the
+#: obs stage (measured 11.7 s → 5.2 s at 8 M docs / 32 CPUs just by
+#: sizing blocks to ~128 MB). Floor of one block per CPU keeps small
+#: inputs fully parallel; at 100 TB the byte term dominates and yields
+#: ~10⁶ blocks, each a resumable/retryable unit.
+_READ_BLOCK_BYTES = 128 * 2 ** 20
+
+
+def _read_blocks(input_files: list[str]) -> int:
+    import os
+
+    import ray
+
+    total = sum(os.path.getsize(f) for f in input_files)
+    cpus = int(ray.cluster_resources().get("CPU", 8)) \
+        if ray.is_initialized() else 8
+    return max(cpus, -(-total // _READ_BLOCK_BYTES))
+
+
 def _filter_buckets(ds: rd.Dataset, buckets: list[int]) -> rd.Dataset:
     want = np.asarray(buckets, dtype=np.int64)
 
@@ -255,7 +277,9 @@ def run_pipeline(input_path: str | list, out_dir: str,
             # row count from footer metadata — never a data read
             n_in = sum(pq.read_metadata(f).num_rows for f in input_files)
             raw = rd.read_parquet(input_path,
-                                  columns=["url", "warc_ts", "html", "lang"])
+                                  columns=["url", "warc_ts", "html", "lang"],
+                                  override_num_blocks=_read_blocks(
+                                      input_files))
             ds = extract(raw, cfg)
             if len(todo) < cfg.n_buckets:
                 ds = _filter_buckets(ds, todo)
