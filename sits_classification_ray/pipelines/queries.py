@@ -2303,6 +2303,16 @@ def _decontaminate_documents(sf_dir: str) -> rd.Dataset:
     return decontaminate(docs, bench["text"].to_pylist(), k=8)
 
 
+def _paragraph_dedup_documents(sf_dir: str) -> rd.Dataset:
+    """CCNet-style sub-document dedup: globally first-wins over
+    disjoint 12-token spans, docs reassembled from surviving spans."""
+    from sits_classification_ray.stages.curation import paragraph_dedup
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id", "text"])
+    return paragraph_dedup(docs, span_tokens=12)
+
+
 _BM25_TERMS = ["hash", "join", "stream"]
 
 
@@ -2971,6 +2981,8 @@ def build_queries() -> dict[str, Callable[[str], Any]]:
         "train_linear_fit": _train_linear_fit,
         "train_linear_weights": _train_linear_weights,
         "tune_trials": _tune_trials,
+        # sub-document dedup (SQL-checked)
+        "paragraph_dedup_documents": _paragraph_dedup_documents,
     }.items()}
 
 
@@ -3683,6 +3695,29 @@ SELECT domain, bucket_ts, n_snaps,
              / CAST(sum(n_snaps) OVER (PARTITION BY bucket_ts)
                     AS DOUBLE), 6) AS share
 FROM ddom""",
+        "paragraph_dedup_documents": """
+WITH toks AS MATERIALIZED (
+  SELECT doc_id, string_split(text, ' ') AS ts,
+         len(string_split(text, ' ')) AS n
+  FROM documents),
+spans AS MATERIALIZED (
+  SELECT doc_id, s.s // 12 AS span_idx,
+         array_to_string(ts[s.s + 1 : s.s + 12], ' ') AS span_text
+  FROM toks CROSS JOIN LATERAL
+    (SELECT unnest(generate_series(0, n - 1, 12)) AS s) s),
+kept AS MATERIALIZED (
+  SELECT doc_id, span_idx, span_text,
+         row_number() OVER (PARTITION BY span_text
+                            ORDER BY doc_id, span_idx) AS rn
+  FROM spans)
+SELECT k.doc_id,
+       string_agg(k.span_text, ' ' ORDER BY k.span_idx) AS text_kept,
+       n.n_spans, count(*) AS n_kept
+FROM kept k
+JOIN (SELECT doc_id, count(*) AS n_spans FROM spans GROUP BY 1) n
+  USING (doc_id)
+WHERE k.rn = 1
+GROUP BY k.doc_id, n.n_spans""",
         "funnel_latency_events": """
 WITH s1 AS MATERIALIZED (
   SELECT user_id, min(ts) AS t FROM events

@@ -112,3 +112,74 @@ def decontaminate(ds: rd.Dataset, benchmark_texts: list[str],
     return ds.map_batches(Scan, batch_format="pyarrow",
                           zero_copy_batch=True, concurrency=(1, 8),
                           num_cpus=1)
+
+
+def paragraph_dedup(ds: rd.Dataset, span_tokens: int = 12,
+                    id_col: str = "doc_id", text_col: str = "text"
+                    ) -> rd.Dataset:
+    """CCNet-style sub-document dedup: split each document into
+    consecutive disjoint ``span_tokens``-token spans (the "paragraph"
+    unit of a newline-free corpus; CCNet's unit is the newline
+    paragraph), keep only the globally FIRST occurrence of each
+    distinct span — ordered by ``(doc_id, span_idx)`` — and reassemble
+    each document from its surviving spans. Documents whose every span
+    is a duplicate of an earlier document drop out entirely (CCNet
+    likewise discards emptied docs). Output:
+    ``(doc_id, text_kept, n_spans, n_kept)``.
+
+    Distributed shape — two narrow exchanges, never an all-pairs
+    comparison:
+
+    1. flat-map docs → span rows ``(doc_id, span_idx, span_text,
+       n_spans)`` (pure row expansion, no shuffle);
+    2. exchange ON THE SPAN key (`partitioned_map` salted string
+       hash): each partition holds every occurrence of its spans, a
+       vectorized first-wins ``drop_duplicates`` keeps the minimum
+       ``(doc_id, span_idx)`` per span text — duplicate occurrences
+       die here, so only surviving spans travel further;
+    3. exchange back on ``doc_id`` and join each doc's survivors in
+       span order.
+
+    The span-key exchange moves each distinct span's text once per
+    occurrence (inherent: first-wins needs occurrences co-located);
+    the doc-key exchange moves only survivors. Matches the DuckDB
+    twin ``row_number() OVER (PARTITION BY span_text ORDER BY doc_id,
+    span_idx) = 1``.
+    """
+    from sits_classification_ray.stages.shuffle import partitioned_map
+
+    def expand(df: pd.DataFrame) -> pd.DataFrame:
+        ids, sidx, texts, nsp = [], [], [], []
+        for did, t in zip(df[id_col].to_numpy(np.int64), df[text_col]):
+            toks = (t or "").split(" ")
+            n = len(toks)
+            starts = range(0, n, span_tokens)
+            for si, s in enumerate(starts):
+                ids.append(did)
+                sidx.append(si)
+                texts.append(" ".join(toks[s:s + span_tokens]))
+            nsp.extend([len(starts)] * len(starts))
+        return pd.DataFrame({id_col: np.array(ids, np.int64),
+                             "span_idx": np.array(sidx, np.int64),
+                             "span_text": texts,
+                             "n_spans": np.array(nsp, np.int64)})
+
+    spans = ds.map_batches(expand, batch_format="pandas")
+
+    def first_wins(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values([id_col, "span_idx"], kind="mergesort")
+        return df[~df.duplicated("span_text", keep="first")]
+
+    kept = partitioned_map(spans, first_wins, keys=["span_text"])
+
+    def reassemble(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values([id_col, "span_idx"], kind="mergesort")
+        g = df.groupby(id_col, sort=False)
+        out = pd.DataFrame({
+            "text_kept": g["span_text"].agg(" ".join),
+            "n_spans": g["n_spans"].first(),
+            "n_kept": g["span_idx"].size().astype(np.int64),
+        }).reset_index()
+        return out[[id_col, "text_kept", "n_spans", "n_kept"]]
+
+    return partitioned_map(kept, reassemble, keys=[id_col])

@@ -42,3 +42,26 @@ def test_decontaminate_flags_overlap():
     assert out["contaminated"].tolist() == [True, False, False]
     assert out["n_hits"][0] >= 1
     assert out["n_windows"][2] == 0
+
+
+def test_paragraph_dedup_first_wins_and_reassembly():
+    from sits_classification_ray.stages.curation import paragraph_dedup
+    # span_tokens=3; doc 0 owns spans A,B; doc 1 repeats A then adds C;
+    # doc 2 is entirely doc 0's spans -> dropped
+    A, B, C = "a b c", "d e f", "g h i"
+    t = pa.table({
+        "doc_id": pa.array([0, 1, 2], pa.int64()),
+        "text": pa.array([f"{A} {B}", f"{A} {C}", f"{B} {A}"]),
+    })
+    out = paragraph_dedup(rd.from_arrow(t), span_tokens=3).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    assert list(out["doc_id"]) == [0, 1]          # doc 2 emptied
+    assert out.loc[0, "text_kept"] == f"{A} {B}"
+    assert out.loc[1, "text_kept"] == C           # A deduped away
+    assert list(out["n_spans"]) == [2, 2]
+    assert list(out["n_kept"]) == [2, 1]
+    # partition-invariant
+    out2 = paragraph_dedup(rd.from_arrow(t).repartition(3),
+                           span_tokens=3).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(out, out2)
