@@ -2303,6 +2303,16 @@ def _decontaminate_documents(sf_dir: str) -> rd.Dataset:
     return decontaminate(docs, bench["text"].to_pylist(), k=8)
 
 
+def _heavy_hitters_documents(sf_dir: str) -> rd.Dataset:
+    """Exact frequent words (count > N/36) via the two-pass candidate
+    algorithm — bounded memory, candidate-only shuffle."""
+    from sits_classification_ray.stages.textstats import heavy_hitters
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id", "text"])
+    return heavy_hitters(docs, k=35)
+
+
 def _paragraph_dedup_documents(sf_dir: str) -> rd.Dataset:
     """CCNet-style sub-document dedup: globally first-wins over
     disjoint 12-token spans, docs reassembled from surviving spans."""
@@ -2981,8 +2991,9 @@ def build_queries() -> dict[str, Callable[[str], Any]]:
         "train_linear_fit": _train_linear_fit,
         "train_linear_weights": _train_linear_weights,
         "tune_trials": _tune_trials,
-        # sub-document dedup (SQL-checked)
+        # sub-document dedup + frequent items (SQL-checked)
         "paragraph_dedup_documents": _paragraph_dedup_documents,
+        "heavy_hitters_documents": _heavy_hitters_documents,
     }.items()}
 
 
@@ -3695,6 +3706,13 @@ SELECT domain, bucket_ts, n_snaps,
              / CAST(sum(n_snaps) OVER (PARTITION BY bucket_ts)
                     AS DOUBLE), 6) AS share
 FROM ddom""",
+        "heavy_hitters_documents": """
+WITH tok AS MATERIALIZED (
+  SELECT unnest(string_split(lower(text), ' ')) AS word
+  FROM documents)
+SELECT word, count(*) AS n
+FROM tok GROUP BY word
+HAVING count(*) * 36 > (SELECT count(*) FROM tok)""",
         "paragraph_dedup_documents": """
 WITH toks AS MATERIALIZED (
   SELECT doc_id, string_split(text, ' ') AS ts,

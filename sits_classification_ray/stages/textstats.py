@@ -1376,3 +1376,84 @@ def bpe_merges(ds: rd.Dataset, n_merges: int = 30,
     out["rank"] = out["rank"].astype(np.int64)
     out["count"] = out["count"].astype(np.int64)
     return out
+
+
+# --- exact heavy hitters (two-pass candidate algorithm) -------------------
+
+def heavy_hitters(ds: rd.Dataset, k: int = 20, text_col: str = "text"
+                  ) -> rd.Dataset:
+    """EXACT heavy hitters: every word whose global count strictly
+    exceeds ``N/(k+1)`` (``N`` = total tokens) — the frequent-items
+    primitive (stop-word discovery, boilerplate tokens, hot keys)
+    computed WITHOUT shuffling the full vocabulary.
+
+    Classic two-pass Misra-Gries-style algorithm:
+
+    1. **Candidate pass**: each batch emits the ≤ ``k`` words that are
+       heavy WITHIN the batch (``count_b·(k+1) > n_b``). Pigeonhole
+       guarantees completeness: a word with ``count·(k+1) > N``
+       globally must be batch-heavy in at least one batch (if it were
+       ≤ ``n_b/(k+1)`` everywhere, summing gives ≤ ``N/(k+1)``). The
+       batch also emits one marker row carrying its token total, so N
+       needs no extra pass. Candidate volume is bounded by
+       ``k × n_blocks`` rows pre-distinct — never the vocabulary.
+    2. **Verify pass**: the distinct candidate set (tiny) broadcasts
+       via ``ray.put``; a second tokenize pass counts ONLY candidate
+       words (vectorized ``np.isin`` filter → value_counts partials →
+       native Sum merge) and keeps those with ``n·(k+1) > N`` — exact
+       integer arithmetic, no estimate, no false positives/negatives.
+
+    Returns ``(word, n)``. SQL twin: ``GROUP BY word HAVING
+    count(*)·(k+1) > (SELECT count(*) FROM tok)``.
+    """
+    from ray.data.aggregate import Sum
+
+    def candidates(batch: pa.Table) -> pa.Table:
+        toks = pc.list_flatten(
+            pc.split_pattern(pc.utf8_lower(batch[text_col]), " "))
+        n_b = len(toks)
+        g = pa.table({"word": toks}).group_by(["word"]) \
+            .aggregate([([], "count_all")]).rename_columns(["word", "n"])
+        cnt = g["n"].to_numpy()
+        heavy = g["word"].to_pandas()[cnt * (k + 1) > n_b]
+        return pa.table({
+            "word": pa.array(list(heavy) + [None], pa.string()),
+            "n_tokens": pa.array([0] * len(heavy) + [n_b], pa.int64()),
+        })
+
+    cand = ds.map_batches(candidates, batch_format="pyarrow",
+                          zero_copy_batch=True).materialize()
+    n_total = int(cand.sum("n_tokens") or 0)
+    cand_tbl = (cand.map_batches(
+        lambda t: t.filter(pc.is_valid(t["word"])),
+        batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("word").count().to_pandas())
+    if cand_tbl.empty:      # no word is batch-heavy anywhere ⇒ none
+        return rd.from_arrow(pa.table(  # is globally heavy either
+            {"word": pa.array([], pa.string()),
+             "n": pa.array([], pa.int64())}))
+    cand_ref = ray.put(np.sort(
+        cand_tbl["word"].to_numpy(dtype=object).astype(str)))
+
+    class CountCandidates:
+        def __init__(self):
+            self.cand = ray.get(cand_ref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            toks = pc.list_flatten(
+                pc.split_pattern(pc.utf8_lower(batch[text_col]), " ")
+            ).to_numpy(zero_copy_only=False).astype(str)
+            hit = toks[np.isin(toks, self.cand)]
+            w, n = np.unique(hit, return_counts=True)
+            return pa.table({"word": pa.array(w.astype(object)),
+                             "n": pa.array(n.astype(np.int64))})
+
+    counts = (ds.map_batches(CountCandidates, batch_format="pyarrow",
+                             zero_copy_batch=True, concurrency=(1, 8),
+                             num_cpus=1)
+              .groupby("word").aggregate(Sum("n", alias_name="n")))
+    return counts.map_batches(
+        lambda t: t.filter(pc.greater(
+            pc.multiply(t["n"], pa.scalar(k + 1, pa.int64())),
+            pa.scalar(n_total, pa.int64()))),
+        batch_format="pyarrow", zero_copy_batch=True)

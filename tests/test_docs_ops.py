@@ -603,3 +603,28 @@ def test_sniff_assets_stage_roundtrip(ray_session):
         "image/png", "image/jpeg", "text/html", "application/x-empty"]
     assert out["width"].tolist() == [32, 9, -1, -1]
     assert out["height"].tolist() == [16, 7, -1, -1]
+
+
+def test_heavy_hitters_exact_two_pass():
+    from sits_classification_ray.stages.textstats import heavy_hitters
+    # 3 docs across 3 blocks; "hot" has 12/30 tokens, "warm" 6/30,
+    # ten distinct cold words fill the rest. k=4 -> threshold N/5 = 6:
+    # hot (12 > 6) is heavy, warm (6 > 6 is false) is NOT - exactness
+    # at the boundary is the point of the verify pass.
+    docs = ["hot hot hot hot warm warm cold1 cold2 cold3 cold4",
+            "hot hot hot hot warm warm cold5 cold6 cold7 cold8",
+            "hot hot hot hot warm warm cold9 cold10 cold1 cold2"]
+    t = pa.table({"doc_id": pa.array([0, 1, 2], pa.int64()),
+                  "text": pa.array(docs)})
+    out = heavy_hitters(rd.from_arrow(t).repartition(3), k=4).to_pandas()
+    assert out["word"].tolist() == ["hot"]
+    assert out["n"].tolist() == [12]
+    # no word exceeds N/(k+1) -> empty result with the right schema
+    uniform = pa.table({"doc_id": pa.array([0], pa.int64()),
+                        "text": pa.array([" ".join(f"w{i}" for i in
+                                                   range(40))])})
+    empty = heavy_hitters(rd.from_arrow(uniform), k=3)
+    # (checking the Dataset schema, not to_pandas(): Ray drops column
+    # names when EVERY block of a dataset is empty)
+    assert empty.count() == 0
+    assert empty.schema().names == ["word", "n"]
