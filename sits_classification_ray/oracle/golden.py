@@ -1122,6 +1122,44 @@ def bpe_merges_documents(docs: pd.DataFrame, n_merges: int = 30,
     return out
 
 
+def bpe_encode_documents(docs: pd.DataFrame, n_merges: int = 30
+                         ) -> pd.DataFrame:
+    """Independent BPE tokenizer application: train merges with the
+    independent trainer above, then encode every document word by
+    greedy lowest-rank merging (leftmost occurrence first on rank
+    ties) and count units. Sequential reference for the engine's
+    broadcast-merges actor pool."""
+    merges = bpe_merges_documents(docs, n_merges=n_merges,
+                                  min_count=2, max_vocab=24)
+    ranks = {(l, r): int(k) for k, l, r in
+             zip(merges["rank"], merges["left"], merges["right"])}
+    memo: dict = {}
+
+    def units(w: str) -> int:
+        if w in memo:
+            return memo[w]
+        sym = list(w)
+        while len(sym) > 1:
+            best_rank, best_i = None, -1
+            for i in range(len(sym) - 1):
+                r = ranks.get((sym[i], sym[i + 1]))
+                if r is not None and (best_rank is None or r < best_rank):
+                    best_rank, best_i = r, i
+            if best_rank is None:
+                break
+            sym[best_i:best_i + 2] = [sym[best_i] + sym[best_i + 1]]
+        memo[w] = len(sym)
+        return len(sym)
+
+    rows = []
+    for did, t in zip(docs["doc_id"], docs["text"]):
+        ws = (t or "").lower().split(" ")
+        rows.append((int(did), len(ws), sum(units(w) for w in ws)))
+    out = pd.DataFrame(rows, columns=["doc_id", "n_words", "n_units"])
+    return out.astype({"doc_id": np.int64, "n_words": np.int64,
+                       "n_units": np.int64})
+
+
 def skew_report_crawl(obs: pd.DataFrame) -> pd.DataFrame:
     """Independent per-bucket skew stats (rows, distinct urls, head-url
     share) using the shared SipHash bucket assignment."""

@@ -2303,6 +2303,20 @@ def _decontaminate_documents(sf_dir: str) -> rd.Dataset:
     return decontaminate(docs, bench["text"].to_pylist(), k=8)
 
 
+def _bpe_encode_documents(sf_dir: str) -> rd.Dataset:
+    """Tokenizer application: train 30 BPE merges on the corpus, then
+    encode every document with them (broadcast merges, per-actor word
+    memo) — per-doc whitespace-word and BPE-unit counts."""
+    from sits_classification_ray.stages.textstats import (bpe_encode,
+                                                          bpe_merges)
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id", "text"])
+    merges = bpe_merges(docs, n_merges=30, min_count=2,
+                        max_vocab=24)
+    return bpe_encode(docs, merges)
+
+
 def _heavy_hitters_documents(sf_dir: str) -> rd.Dataset:
     """Exact frequent words (count > N/36) via the two-pass candidate
     algorithm — bounded memory, candidate-only shuffle."""
@@ -2994,6 +3008,8 @@ def build_queries() -> dict[str, Callable[[str], Any]]:
         # sub-document dedup + frequent items (SQL-checked)
         "paragraph_dedup_documents": _paragraph_dedup_documents,
         "heavy_hitters_documents": _heavy_hitters_documents,
+        # tokenizer application (golden-checked)
+        "bpe_encode_documents": _bpe_encode_documents,
     }.items()}
 
 
@@ -3077,7 +3093,7 @@ GOLDEN_QUERIES = [
     "pq_topk_embeddings", "bpe_merges_documents", "skew_report_crawl",
     "corpus_prep_documents", "cluster_top_terms",
     "ivfpq_topk_embeddings", "train_linear_fit", "train_linear_weights",
-    "tune_trials", "sniffed_assets_crawl",
+    "tune_trials", "sniffed_assets_crawl", "bpe_encode_documents",
 ]
 
 

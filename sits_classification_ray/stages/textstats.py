@@ -1457,3 +1457,81 @@ def heavy_hitters(ds: rd.Dataset, k: int = 20, text_col: str = "text"
             pc.multiply(t["n"], pa.scalar(k + 1, pa.int64())),
             pa.scalar(n_total, pa.int64()))),
         batch_format="pyarrow", zero_copy_batch=True)
+
+
+# --- BPE tokenizer application (encode with trained merges) ---------------
+
+def _bpe_apply_word(word: str, ranks: dict) -> int:
+    """Number of BPE units for one word: start at characters, apply
+    the lowest-rank applicable merge until none applies — the standard
+    greedy-by-rank encoder (matches how training rewrote its
+    vocabulary, so encoding a training word reproduces its final
+    segmentation)."""
+    sym = list(word)
+    while len(sym) > 1:
+        best_rank, best_i = None, -1
+        for i in range(len(sym) - 1):
+            r = ranks.get((sym[i], sym[i + 1]))
+            if r is not None and (best_rank is None or r < best_rank):
+                best_rank, best_i = r, i
+        if best_rank is None:
+            break
+        sym[best_i:best_i + 2] = [sym[best_i] + sym[best_i + 1]]
+    return len(sym)
+
+
+def bpe_encode(ds: rd.Dataset, merges: pd.DataFrame,
+               id_col: str = "doc_id", text_col: str = "text"
+               ) -> rd.Dataset:
+    """Apply trained BPE merge rules to the corpus — the tokenizer-
+    APPLICATION half of the production pipeline (:func:`bpe_merges` is
+    the training half): per document, the whitespace words are each
+    segmented by greedy lowest-rank merging and the document's total
+    unit count recorded. Output ``(id, n_words, n_units)`` — the token
+    budget a trained tokenizer would bill for each document.
+
+    Scale shape: the merge table (``n_merges`` rows) broadcasts once
+    via ``ray.put`` and builds the rank lookup per ACTOR; each batch
+    encodes only its DISTINCT words (``np.unique`` + inverse indices +
+    a per-actor memo that persists across batches), so cost scales
+    with vocabulary touched, not tokens; the per-doc sum is one
+    vectorized ``np.bincount``. Map-only — no shuffle.
+    """
+    merges_ref = ray.put(merges[["rank", "left", "right"]])
+
+    class Encode:
+        def __init__(self):
+            m = ray.get(merges_ref)
+            self.ranks = {(l, r): int(k) for k, l, r in
+                          zip(m["rank"], m["left"], m["right"])}
+            self.memo: dict = {}
+
+        def _units(self, w: str) -> int:
+            n = self.memo.get(w)
+            if n is None:
+                n = self.memo[w] = _bpe_apply_word(w, self.ranks)
+            return n
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            toklists = pc.split_pattern(
+                pc.utf8_lower(batch[text_col]), " ")
+            flat = pc.list_flatten(toklists) \
+                .to_numpy(zero_copy_only=False).astype(str)
+            n_words = pc.list_value_length(toklists) \
+                .to_numpy(zero_copy_only=False).astype(np.int64)
+            uniq, inv = np.unique(flat, return_inverse=True)
+            per_uniq = np.array([self._units(w) for w in uniq],
+                                dtype=np.int64)
+            per_tok = per_uniq[inv]
+            doc_of = np.repeat(np.arange(len(batch)), n_words)
+            n_units = np.bincount(doc_of, weights=per_tok,
+                                  minlength=len(batch)).astype(np.int64)
+            return pa.table({
+                id_col: batch[id_col],
+                "n_words": pa.array(n_words),
+                "n_units": pa.array(n_units),
+            })
+
+    return ds.map_batches(Encode, batch_format="pyarrow",
+                          zero_copy_batch=True, concurrency=(1, 8),
+                          num_cpus=1)

@@ -628,3 +628,18 @@ def test_heavy_hitters_exact_two_pass():
     # names when EVERY block of a dataset is empty)
     assert empty.count() == 0
     assert empty.schema().names == ["word", "n"]
+
+
+def test_bpe_encode_greedy_rank_order():
+    from sits_classification_ray.stages.textstats import bpe_encode
+    # merges: rank0 (a,b)->ab, rank1 (ab,c)->abc. "abc" collapses to 1
+    # unit; "cab" -> c + ab = 2; "xyz" has no applicable merge -> 3.
+    merges = pd.DataFrame({"rank": np.array([0, 1], np.int64),
+                           "left": ["a", "ab"], "right": ["b", "c"],
+                           "count": np.array([9, 5], np.int64)})
+    t = pa.table({"doc_id": pa.array([0, 1], pa.int64()),
+                  "text": pa.array(["abc cab", "xyz abc abc"])})
+    out = bpe_encode(rd.from_arrow(t), merges).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    assert out["n_words"].tolist() == [2, 3]
+    assert out["n_units"].tolist() == [1 + 2, 3 + 1 + 1]

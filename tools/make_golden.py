@@ -102,6 +102,7 @@ def make_for(sf_dir: str) -> None:
         "pq_topk_embeddings": lambda: golden.pq_topk_embeddings(emb),
         "bpe_merges_documents": lambda: golden.bpe_merges_documents(
             docs, min_count=2, max_vocab=24),
+        "bpe_encode_documents": lambda: golden.bpe_encode_documents(docs),
         "skew_report_crawl": lambda: golden.skew_report_crawl(obs),
         "corpus_prep_documents":
             lambda: golden.corpus_prep_documents(docs),
