@@ -2303,6 +2303,21 @@ def _decontaminate_documents(sf_dir: str) -> rd.Dataset:
     return decontaminate(docs, bench["text"].to_pylist(), k=8)
 
 
+_BLOCKED_DOMAINS = ["site-3.example.com", "site-7.example.com",
+                    "site-11.example.com"]
+
+
+def _url_filter_crawl(sf_dir: str) -> rd.Dataset:
+    """RefinedWeb-style URL filtering at the read: drop blocklisted
+    domains and banned path terms before any content processing."""
+    from sits_classification_ray.sources.synth import crawl_from_tables
+    from sits_classification_ray.stages.urlnorm import url_filter
+
+    crawl = crawl_from_tables(sf_dir).select_columns(["url", "warc_ts"])
+    return url_filter(crawl, _BLOCKED_DOMAINS,
+                      blocked_path_terms=["/u/14"])
+
+
 def _bpe_encode_documents(sf_dir: str) -> rd.Dataset:
     """Tokenizer application: train 30 BPE merges on the corpus, then
     encode every document with them (broadcast merges, per-actor word
@@ -3010,6 +3025,8 @@ def build_queries() -> dict[str, Callable[[str], Any]]:
         "heavy_hitters_documents": _heavy_hitters_documents,
         # tokenizer application (golden-checked)
         "bpe_encode_documents": _bpe_encode_documents,
+        # URL blocklist filtering (SQL-checked)
+        "url_filter_crawl": _url_filter_crawl,
     }.items()}
 
 
@@ -3722,6 +3739,13 @@ SELECT domain, bucket_ts, n_snaps,
              / CAST(sum(n_snaps) OVER (PARTITION BY bucket_ts)
                     AS DOUBLE), 6) AS share
 FROM ddom""",
+        "url_filter_crawl": f"""WITH {CRAWL_CTE}
+SELECT url, warc_ts FROM crawl
+WHERE regexp_extract(url, '^[a-z]+://([^/]+)', 1) NOT IN
+      ('site-3.example.com', 'site-7.example.com',
+       'site-11.example.com')
+  AND NOT contains(regexp_extract(url, '^[a-z]+://[^/]+(.*)$', 1),
+                   '/u/14')""",
         "heavy_hitters_documents": """
 WITH tok AS MATERIALIZED (
   SELECT unnest(string_split(lower(text), ' ')) AS word

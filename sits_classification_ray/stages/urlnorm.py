@@ -14,6 +14,8 @@ from __future__ import annotations
 from urllib.parse import urlsplit
 
 import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
 import ray.data as rd
 
 
@@ -45,3 +47,46 @@ def canonical_urls(ds: rd.Dataset, url_col: str = "url") -> rd.Dataset:
         return df
 
     return ds.map_batches(kernel, batch_format="pandas")
+
+
+def url_filter(ds: rd.Dataset, blocked_domains: list[str],
+               blocked_path_terms: list[str] | None = None,
+               url_col: str = "url") -> rd.Dataset:
+    """RefinedWeb/CCNet-style URL filtering — the curation stage that
+    drops rows from blocklisted domains (spam/adult/SEO lists) and
+    urls whose PATH contains a banned term, before any content-based
+    processing spends compute on them.
+
+    Scale shape: both lists are small and broadcast ONCE via
+    ``ray.put``; membership is a vectorized Arrow regex extract +
+    ``np.isin`` per batch — a pure map filter, no shuffle, run at the
+    read so everything downstream sees only surviving rows.
+    """
+    import numpy as np
+    import ray
+
+    dom_ref = ray.put(np.unique(np.asarray(blocked_domains, dtype=str)))
+    terms = tuple(blocked_path_terms or [])
+
+    class Filt:
+        def __init__(self):
+            self.blocked = ray.get(dom_ref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            m = pc.extract_regex(batch[url_col],
+                                 r"^[a-z]+://(?P<d>[^/]+)(?P<p>.*)")
+            # malformed urls (no regex match) have no domain to block:
+            # kept, like every public blocklist filter
+            doms = pc.fill_null(pc.struct_field(m, "d"), "") \
+                .to_numpy(zero_copy_only=False)
+            keep = ~np.isin(doms.astype(str), self.blocked)
+            if terms:
+                paths = pc.fill_null(pc.struct_field(m, "p"), "")
+                for t in terms:
+                    keep &= ~pc.match_substring(paths, t).to_numpy(
+                        zero_copy_only=False)
+            return batch.filter(pa.array(keep))
+
+    return ds.map_batches(Filt, batch_format="pyarrow",
+                          zero_copy_batch=True, concurrency=(1, 8),
+                          num_cpus=1)

@@ -643,3 +643,18 @@ def test_bpe_encode_greedy_rank_order():
         .sort_values("doc_id").reset_index(drop=True)
     assert out["n_words"].tolist() == [2, 3]
     assert out["n_units"].tolist() == [1 + 2, 3 + 1 + 1]
+
+
+def test_url_filter_blocklist_and_path_terms():
+    from sits_classification_ray.stages.urlnorm import url_filter
+    urls = ["https://bad.com/x", "https://good.com/x",
+            "https://good.com/ads/banner", "not a url",
+            "https://sub.bad.com/y"]
+    t = pa.table({"url": pa.array(urls),
+                  "row": pa.array(range(5), pa.int64())})
+    out = url_filter(rd.from_arrow(t), ["bad.com"],
+                     blocked_path_terms=["/ads/"]).to_pandas() \
+        .sort_values("row")
+    # exact-domain block (subdomains are distinct entries, like real
+    # blocklists), path-term block, malformed url kept
+    assert out["row"].tolist() == [1, 3, 4]
