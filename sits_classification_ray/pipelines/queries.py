@@ -2837,7 +2837,9 @@ def _tuned(fn: Callable[[str], Any]) -> Callable[[str], Any]:
 
 def build_queries() -> dict[str, Callable[[str], Any]]:
     from sits_classification_ray.pipelines.relational import (
-        orders_per_nation, q1_pricing_summary)
+        orders_per_nation, q1_pricing_summary, q3_shipping_priority,
+        q5_local_supplier_volume, q6_revenue_forecast,
+        q10_returned_items)
 
     return {k: _tuned(v) for k, v in {
         # crawl pipeline (SQL-checked)
@@ -2866,6 +2868,10 @@ def build_queries() -> dict[str, Callable[[str], Any]]:
         # relational coverage (SQL-checked)
         "q1_pricing_summary": q1_pricing_summary,
         "orders_per_nation": orders_per_nation,
+        "q3_shipping_priority": q3_shipping_priority,
+        "q5_local_supplier_volume": q5_local_supplier_volume,
+        "q6_revenue_forecast": q6_revenue_forecast,
+        "q10_returned_items": q10_returned_items,
         # documents / training-data ops
         "exact_dedup_documents": _exact_dedup_documents,
         "text_stats_documents": _text_stats_documents,
@@ -3263,6 +3269,61 @@ FROM orders o
 JOIN customer c ON c.c_custkey = o.o_custkey
 JOIN nation n ON n.n_nationkey = c.c_nationkey
 GROUP BY 1 ORDER BY 1""",
+        "q6_revenue_forecast": """
+SELECT CAST(sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT)
+                * CAST(round(l_discount * 100, 0) AS BIGINT)) AS BIGINT)
+           AS revenue_u,
+       count(*) AS n_items
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+  AND l_shipdate < TIMESTAMP '1997-01-01'
+  AND CAST(round(l_discount * 100, 0) AS BIGINT) BETWEEN 5 AND 7
+  AND l_quantity < 24""",
+        "q3_shipping_priority": """
+SELECT l.l_orderkey, o.o_orderdate, o.o_orderpriority,
+       CAST(sum(CAST(round(l.l_extendedprice * 100, 0) AS BIGINT)
+                * (100 - CAST(round(l.l_discount * 100, 0) AS BIGINT)))
+            AS BIGINT) AS revenue_u
+FROM customer c
+JOIN orders o ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+WHERE c.c_mktsegment = 'BUILDING'
+  AND o.o_orderdate < TIMESTAMP '1998-06-01'
+  AND l.l_shipdate > TIMESTAMP '1998-06-01'
+GROUP BY 1, 2, 3
+ORDER BY revenue_u DESC, l.l_orderkey LIMIT 10""",
+        "q5_local_supplier_volume": """
+SELECT n.n_name AS nation,
+       CAST(sum(CAST(round(l.l_extendedprice * 100, 0) AS BIGINT)
+                * (100 - CAST(round(l.l_discount * 100, 0) AS BIGINT)))
+            AS BIGINT) AS revenue_u
+FROM lineitem l
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN supplier s ON l.l_suppkey = s.s_suppkey
+JOIN nation n ON s.s_nationkey = n.n_nationkey
+JOIN region r ON n.n_regionkey = r.r_regionkey
+WHERE r.r_name = 'ASIA' AND c.c_nationkey = s.s_nationkey
+  AND o.o_orderdate >= TIMESTAMP '1997-01-01'
+  AND o.o_orderdate < TIMESTAMP '1998-01-01'
+GROUP BY 1 ORDER BY 1""",
+        "q10_returned_items": """
+WITH per AS (
+  SELECT o.o_custkey,
+         CAST(sum(CAST(round(l.l_extendedprice * 100, 0) AS BIGINT)
+                  * (100 - CAST(round(l.l_discount * 100, 0) AS BIGINT)))
+              AS BIGINT) AS revenue_u
+  FROM lineitem l
+  JOIN orders o ON l.l_orderkey = o.o_orderkey
+  WHERE l.l_returnflag = 'R'
+    AND o.o_orderdate >= TIMESTAMP '1998-01-01'
+    AND o.o_orderdate < TIMESTAMP '1998-07-01'
+  GROUP BY 1
+  ORDER BY revenue_u DESC, o.o_custkey LIMIT 20)
+SELECT c.c_custkey, c.c_name, n.n_name AS nation, per.revenue_u
+FROM per
+JOIN customer c ON per.o_custkey = c.c_custkey
+JOIN nation n ON c.c_nationkey = n.n_nationkey""",
         "exact_dedup_documents": """
 SELECT min(doc_id) AS doc_id, count(*) AS n_copies
 FROM documents GROUP BY text""",

@@ -128,3 +128,308 @@ def events_long(sf_dir: str, n_buckets: int = 64) -> rd.Dataset:
         })
 
     return ds.map_batches(adapt, batch_format="pyarrow", zero_copy_batch=True)
+
+# ---------------------------------------------------------------------------
+# Multi-table analytical queries (TPC-H Q3/Q5/Q6/Q10 shapes)
+#
+# All money math is exact integer arithmetic: prices are carried as
+# int64 cents and discounts as int64 percent, so revenue units
+# (cents × pct) sum order-free and bit-identically to the DuckDB
+# oracle — no float summation anywhere.
+# ---------------------------------------------------------------------------
+
+
+def _cents(col: pa.ChunkedArray | pa.Array) -> pa.Array:
+    return pc.cast(pc.round(pc.multiply(col, 100.0)), pa.int64())
+
+
+def _pct(col: pa.ChunkedArray | pa.Array) -> pa.Array:
+    return pc.cast(pc.round(pc.multiply(col, 100.0)), pa.int64())
+
+
+def _global_top_k(ds: rd.Dataset, sort_cols: list[str],
+                  descending: list[bool], k: int) -> rd.Dataset:
+    """Top-k without a full global sort: each block is pruned to its
+    local top-k first, so the final sort sees at most k × n_blocks
+    rows (the combiner top-k pattern, same as topk_urls_daily)."""
+    def local(df: pd.DataFrame) -> pd.DataFrame:
+        return df.sort_values(sort_cols,
+                              ascending=[not d for d in descending]).head(k)
+
+    pruned = ds.map_batches(local, batch_format="pandas")
+    return pruned.sort(sort_cols, descending=descending).limit(k)
+
+
+def q6_revenue_forecast(sf_dir: str) -> pd.DataFrame:
+    """Q6 shape: tight filter + single global aggregate, zero shuffle.
+
+    Predicates push into the parquet read (row-group pruning at
+    scale); the aggregate is a per-block partial + tiny final merge.
+    Reference analog: the global nan_idx/dropped-sample counters
+    (`utils/class_run.py:150-156,244`)."""
+    lo = pd.Timestamp("1996-01-01")
+    hi = pd.Timestamp("1997-01-01")
+    ds = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_extendedprice", "l_discount", "l_quantity",
+                 "l_shipdate"],
+        filter=((pc.field("l_shipdate") >= pc.scalar(lo))
+                & (pc.field("l_shipdate") < pc.scalar(hi))),
+    )
+
+    def prep(batch: pa.Table) -> pa.Table:
+        m = pc.and_(pc.and_(
+            pc.greater_equal(batch["l_shipdate"],
+                             pa.scalar(lo, pa.timestamp("us"))),
+            pc.less(batch["l_shipdate"], pa.scalar(hi, pa.timestamp("us")))),
+            pc.less(batch["l_quantity"], 24.0))
+        batch = batch.filter(m)
+        pct = _pct(batch["l_discount"])
+        keep = pc.and_(pc.greater_equal(pct, 5), pc.less_equal(pct, 7))
+        batch = batch.filter(keep)
+        pct = _pct(batch["l_discount"])
+        return pa.table({
+            "rev_u": pc.multiply(_cents(batch["l_extendedprice"]), pct),
+        })
+
+    agg = ds.map_batches(prep, batch_format="pyarrow",
+                         zero_copy_batch=True).aggregate(
+        Sum("rev_u", alias_name="revenue_u"), Count(alias_name="n_items"))
+    return pd.DataFrame([{"revenue_u": int(agg["revenue_u"]),
+                          "n_items": int(agg["n_items"])}])
+
+
+def q3_shipping_priority(sf_dir: str) -> rd.Dataset:
+    """Q3 shape: broadcast semi-join (small dim key set) → big×big
+    hash join → grouped sum → combiner top-k.
+
+    customer is the small side: its qualifying key set ships once via
+    ``ray.put`` (J5 pattern); orders×lineitem is the only real
+    exchange. Revenue is exact integer units (cents × (100−pct))."""
+    import pyarrow.parquet as pq
+    from sits_classification_ray.stages.joins import hash_join
+
+    cutoff = pd.Timestamp("1998-06-01")
+    cust = pq.read_table(f"{sf_dir}/customer.parquet",
+                         columns=["c_custkey", "c_mktsegment"])
+    keys = cust.filter(pc.equal(cust["c_mktsegment"], "BUILDING"))
+    # broadcast once; tasks ray.get the plasma-local copy per batch.
+    # NOTE: task-based (not actor-pool) on purpose — actor-pool stages
+    # feeding the join's hash-shuffle aggregator actors can deadlock on
+    # CPU reservations at small cluster sizes.
+    keys_ref = ray.put(np.sort(keys["c_custkey"].to_numpy()))
+
+    def orders_prep(t: pa.Table) -> pa.Table:
+        ks = ray.get(keys_ref)
+        t = t.filter(pc.less(t["o_orderdate"],
+                             pa.scalar(cutoff, pa.timestamp("us"))))
+        mask = np.isin(t["o_custkey"].to_numpy(), ks)
+        return t.filter(pa.array(mask)).drop_columns(["o_custkey"])
+
+    orders = rd.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_custkey", "o_orderdate",
+                 "o_orderpriority"],
+        filter=(pc.field("o_orderdate") < pc.scalar(cutoff)),
+    ).map_batches(orders_prep, batch_format="pyarrow", zero_copy_batch=True)
+
+    line = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_extendedprice", "l_discount",
+                 "l_shipdate"],
+        filter=(pc.field("l_shipdate") > pc.scalar(cutoff)),
+    )
+
+    def prep(batch: pa.Table) -> pa.Table:
+        batch = batch.filter(pc.greater(
+            batch["l_shipdate"], pa.scalar(cutoff, pa.timestamp("us"))))
+        rev = pc.multiply(_cents(batch["l_extendedprice"]),
+                          pc.subtract(pa.scalar(100, pa.int64()),
+                                      _pct(batch["l_discount"])))
+        return pa.table({"l_orderkey": batch["l_orderkey"], "rev_u": rev})
+
+    line = line.map_batches(prep, batch_format="pyarrow",
+                            zero_copy_batch=True)
+    joined = hash_join(line, orders, on="l_orderkey", right_on="o_orderkey")
+    out = joined.groupby(["l_orderkey", "o_orderdate",
+                          "o_orderpriority"]).aggregate(
+        Sum("rev_u", alias_name="revenue_u"))
+    return _global_top_k(out, ["revenue_u", "l_orderkey"],
+                         [True, False], 10)
+
+
+def q5_local_supplier_volume(sf_dir: str) -> rd.Dataset:
+    """Q5 shape: five dimension hops collapsed into two broadcast
+    lookups + ONE big×big hash join.
+
+    supplier→nation→region folds into a suppkey→(asian nation) map and
+    customer→nation into custkey→nationkey, both shipped once via
+    ``ray.put`` and applied vectorized per batch (J1/T2 pattern) — the
+    only exchange is lineitem×orders on orderkey."""
+    import pyarrow.parquet as pq
+    from sits_classification_ray.stages.joins import hash_join
+
+    lo, hi = pd.Timestamp("1997-01-01"), pd.Timestamp("1998-01-01")
+    nation = pq.read_table(f"{sf_dir}/nation.parquet")
+    region = pq.read_table(f"{sf_dir}/region.parquet")
+    supp = pq.read_table(f"{sf_dir}/supplier.parquet",
+                         columns=["s_suppkey", "s_nationkey"])
+    cust = pq.read_table(f"{sf_dir}/customer.parquet",
+                         columns=["c_custkey", "c_nationkey"])
+
+    asia = region.filter(pc.equal(region["r_name"], "ASIA"))
+    asia_keys = set(asia["r_regionkey"].to_pylist())
+    nk = nation["n_nationkey"].to_numpy()
+    name_of = np.empty(int(nk.max()) + 1, dtype=object)
+    name_of[nk] = nation["n_name"].to_pylist()
+    in_asia = np.zeros(int(nk.max()) + 1, dtype=bool)
+    in_asia[nk] = [k in asia_keys for k in
+                   nation["n_regionkey"].to_pylist()]
+
+    sk = supp["s_suppkey"].to_numpy()
+    s_order = np.argsort(sk)
+    supp_map = (sk[s_order], supp["s_nationkey"].to_numpy()[s_order])
+    ck = cust["c_custkey"].to_numpy()
+    c_order = np.argsort(ck)
+    cust_map = (ck[c_order], cust["c_nationkey"].to_numpy()[c_order])
+    side_ref = ray.put((supp_map, cust_map, name_of, in_asia))
+
+    # task-based broadcast attaches (ray.get = plasma-local per batch):
+    # actor pools feeding the join's aggregator actors can deadlock on
+    # CPU reservations at small cluster sizes.
+    def attach_supplier(batch: pa.Table) -> pa.Table:
+        (sk, sn), _, _, asia_mask = ray.get(side_ref)
+        keys = batch["l_suppkey"].to_numpy()
+        snat = sn[np.searchsorted(sk, keys)]
+        keep = asia_mask[snat]
+        batch = batch.filter(pa.array(keep))
+        rev = pc.multiply(_cents(batch["l_extendedprice"]),
+                          pc.subtract(pa.scalar(100, pa.int64()),
+                                      _pct(batch["l_discount"])))
+        return pa.table({
+            "l_orderkey": batch["l_orderkey"],
+            "s_nationkey": pa.array(snat[keep], pa.int64()),
+            "rev_u": rev,
+        })
+
+    def attach_customer(batch: pa.Table) -> pa.Table:
+        _, (ck, cn), _, _ = ray.get(side_ref)
+        cnat = cn[np.searchsorted(ck, batch["o_custkey"].to_numpy())]
+        return pa.table({
+            "o_orderkey": batch["o_orderkey"],
+            "c_nationkey": pa.array(cnat, pa.int64()),
+        })
+
+    line = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_suppkey", "l_extendedprice",
+                 "l_discount"],
+    ).map_batches(attach_supplier, batch_format="pyarrow",
+                  zero_copy_batch=True)
+
+    orders = rd.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_custkey", "o_orderdate"],
+        filter=((pc.field("o_orderdate") >= pc.scalar(lo))
+                & (pc.field("o_orderdate") < pc.scalar(hi))),
+    ).map_batches(
+        lambda t: t.filter(pc.and_(
+            pc.greater_equal(t["o_orderdate"],
+                             pa.scalar(lo, pa.timestamp("us"))),
+            pc.less(t["o_orderdate"], pa.scalar(hi, pa.timestamp("us"))))),
+        batch_format="pyarrow", zero_copy_batch=True,
+    ).map_batches(attach_customer, batch_format="pyarrow",
+                  zero_copy_batch=True)
+
+    joined = hash_join(line, orders, on="l_orderkey", right_on="o_orderkey")
+
+    def finish(batch: pa.Table) -> pa.Table:
+        _, _, name_of, _ = ray.get(side_ref)
+        keep = pc.equal(batch["s_nationkey"], batch["c_nationkey"])
+        batch = batch.filter(keep)
+        names = name_of[batch["s_nationkey"].to_numpy()]
+        return pa.table({
+            "nation": pa.array(names, pa.string()),
+            "rev_u": batch["rev_u"],
+        })
+
+    out = joined.map_batches(finish, batch_format="pyarrow",
+                             zero_copy_batch=True)
+    out = out.groupby("nation").aggregate(
+        Sum("rev_u", alias_name="revenue_u"))
+    return out.sort("nation")
+
+
+def q10_returned_items(sf_dir: str) -> rd.Dataset:
+    """Q10 shape: returned lineitems × quarter of orders → per-customer
+    revenue → combiner top-20 → broadcast attach of customer attrs.
+
+    The customer dimension joins AFTER the top-k prune, so only 20
+    rows ever see the wide attributes (classic late-materialization)."""
+    import pyarrow.parquet as pq
+    from sits_classification_ray.stages.joins import hash_join
+
+    lo, hi = pd.Timestamp("1998-01-01"), pd.Timestamp("1998-07-01")
+    line = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_extendedprice", "l_discount",
+                 "l_returnflag"],
+        filter=(pc.field("l_returnflag") == pc.scalar("R")),
+    )
+
+    def prep(batch: pa.Table) -> pa.Table:
+        batch = batch.filter(pc.equal(batch["l_returnflag"], "R"))
+        rev = pc.multiply(_cents(batch["l_extendedprice"]),
+                          pc.subtract(pa.scalar(100, pa.int64()),
+                                      _pct(batch["l_discount"])))
+        return pa.table({"l_orderkey": batch["l_orderkey"], "rev_u": rev})
+
+    line = line.map_batches(prep, batch_format="pyarrow",
+                            zero_copy_batch=True)
+    orders = rd.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_custkey", "o_orderdate"],
+        filter=((pc.field("o_orderdate") >= pc.scalar(lo))
+                & (pc.field("o_orderdate") < pc.scalar(hi))),
+    ).map_batches(
+        lambda t: t.filter(pc.and_(
+            pc.greater_equal(t["o_orderdate"],
+                             pa.scalar(lo, pa.timestamp("us"))),
+            pc.less(t["o_orderdate"],
+                    pa.scalar(hi, pa.timestamp("us")))))
+        .drop_columns(["o_orderdate"]),
+        batch_format="pyarrow", zero_copy_batch=True)
+
+    joined = hash_join(line, orders, on="l_orderkey", right_on="o_orderkey")
+    per_cust = joined.groupby("o_custkey").aggregate(
+        Sum("rev_u", alias_name="revenue_u"))
+    top = _global_top_k(per_cust, ["revenue_u", "o_custkey"],
+                        [True, False], 20)
+
+    cust = pq.read_table(f"{sf_dir}/customer.parquet",
+                         columns=["c_custkey", "c_name", "c_nationkey"])
+    nation = pq.read_table(f"{sf_dir}/nation.parquet",
+                           columns=["n_nationkey", "n_name"])
+    ck = cust["c_custkey"].to_numpy()
+    order = np.argsort(ck)
+    names = np.asarray(cust["c_name"].to_pylist(), dtype=object)[order]
+    cnat = cust["c_nationkey"].to_numpy()[order]
+    nk = nation["n_nationkey"].to_numpy()
+    nname = np.empty(int(nk.max()) + 1, dtype=object)
+    nname[nk] = nation["n_name"].to_pylist()
+    ck = ck[order]
+    side_ref = ray.put((ck, names, cnat, nname))
+
+    def attach_attrs(batch: pa.Table) -> pa.Table:
+        ck2, names, cnat, nname = ray.get(side_ref)
+        pos = np.searchsorted(ck2, batch["o_custkey"].to_numpy())
+        return pa.table({
+            "c_custkey": batch["o_custkey"],
+            "c_name": pa.array(names[pos], pa.string()),
+            "nation": pa.array(nname[cnat[pos]], pa.string()),
+            "revenue_u": batch["revenue_u"],
+        })
+
+    out = top.map_batches(attach_attrs, batch_format="pyarrow",
+                          zero_copy_batch=True)
+    return out.sort(["revenue_u", "c_custkey"], descending=[True, False])

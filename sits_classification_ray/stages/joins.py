@@ -167,7 +167,16 @@ def _strip_meta(batch: pa.Table) -> pa.Table:
 def hash_join(left: rd.Dataset, right: rd.Dataset, on: str,
               right_on: str | None = None, join_type: str = "inner",
               num_partitions: int = 32) -> rd.Dataset:
-    """Hash-partitioned join for two large sides (Ray ``Dataset.join``)."""
+    """Hash-partitioned join for two large sides (Ray ``Dataset.join``).
+
+    ``num_partitions`` is clamped to the cluster's CPU count: the join's
+    hash-shuffle aggregator actors reserve CPUs up front, and asking for
+    more aggregators than cores deadlocks the streaming executor on a
+    small cluster (upstream map tasks and aggregators starve each
+    other). Partition count never changes results, only fan-out.
+    """
+    cpus = int(ray.cluster_resources().get("CPU", num_partitions))
+    num_partitions = max(2, min(num_partitions, cpus))
     left = left.map_batches(_strip_meta, batch_format="pyarrow",
                             zero_copy_batch=True)
     right = right.map_batches(_strip_meta, batch_format="pyarrow",

@@ -1,0 +1,111 @@
+"""Multi-table analytical queries (TPC-H Q3/Q5/Q6/Q10 shapes) vs an
+independent DuckDB computation over the same sf0.001 tables.
+
+The integer revenue-unit convention (cents × pct) is what makes the
+distributed sums exactly comparable — these tests assert values, not
+just shapes.
+"""
+
+import duckdb
+import pandas as pd
+import pytest
+
+SF = "/root/testdata/sf0.001"
+
+
+def _duck(sql: str) -> pd.DataFrame:
+    con = duckdb.connect()
+    for t in ["region", "nation", "customer", "supplier", "orders",
+              "lineitem"]:
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{SF}/{t}.parquet'")
+    return con.sql(sql).df()
+
+
+def test_q6_exact_integer_revenue(ray_session):
+    from sits_classification_ray.pipelines.relational import (
+        q6_revenue_forecast)
+
+    got = q6_revenue_forecast(SF)
+    exp = _duck("""
+        SELECT CAST(sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT)
+                        * CAST(round(l_discount * 100, 0) AS BIGINT))
+                    AS BIGINT) AS revenue_u, count(*) AS n_items
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+          AND l_shipdate < TIMESTAMP '1997-01-01'
+          AND CAST(round(l_discount * 100, 0) AS BIGINT) BETWEEN 5 AND 7
+          AND l_quantity < 24""")
+    assert int(got["revenue_u"].iloc[0]) == int(exp["revenue_u"].iloc[0])
+    assert int(got["n_items"].iloc[0]) == int(exp["n_items"].iloc[0])
+
+
+def test_q3_top10_revenue_and_ties(ray_session):
+    from sits_classification_ray.pipelines.relational import (
+        q3_shipping_priority)
+
+    got = q3_shipping_priority(SF).to_pandas()
+    exp = _duck("""
+        SELECT l.l_orderkey,
+               CAST(sum(CAST(round(l.l_extendedprice * 100, 0) AS BIGINT)
+                    * (100 - CAST(round(l.l_discount * 100, 0) AS BIGINT)))
+                    AS BIGINT) AS revenue_u
+        FROM customer c
+        JOIN orders o ON c.c_custkey = o.o_custkey
+        JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        WHERE c.c_mktsegment = 'BUILDING'
+          AND o.o_orderdate < TIMESTAMP '1998-06-01'
+          AND l.l_shipdate > TIMESTAMP '1998-06-01'
+        GROUP BY 1 ORDER BY revenue_u DESC, l.l_orderkey LIMIT 10""")
+    assert len(got) == len(exp)
+    assert got["l_orderkey"].tolist() == exp["l_orderkey"].tolist()
+    assert got["revenue_u"].tolist() == exp["revenue_u"].tolist()
+
+
+def test_q5_nation_revenue(ray_session):
+    from sits_classification_ray.pipelines.relational import (
+        q5_local_supplier_volume)
+
+    got = q5_local_supplier_volume(SF).to_pandas()
+    exp = _duck("""
+        SELECT n.n_name AS nation,
+               CAST(sum(CAST(round(l.l_extendedprice * 100, 0) AS BIGINT)
+                    * (100 - CAST(round(l.l_discount * 100, 0) AS BIGINT)))
+                    AS BIGINT) AS revenue_u
+        FROM lineitem l
+        JOIN orders o ON l.l_orderkey = o.o_orderkey
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        JOIN nation n ON s.s_nationkey = n.n_nationkey
+        JOIN region r ON n.n_regionkey = r.r_regionkey
+        WHERE r.r_name = 'ASIA' AND c.c_nationkey = s.s_nationkey
+          AND o.o_orderdate >= TIMESTAMP '1997-01-01'
+          AND o.o_orderdate < TIMESTAMP '1998-01-01'
+        GROUP BY 1 ORDER BY 1""")
+    pd.testing.assert_frame_equal(got.reset_index(drop=True), exp,
+                                  check_dtype=False)
+
+
+def test_q10_late_materialization_attrs(ray_session):
+    from sits_classification_ray.pipelines.relational import (
+        q10_returned_items)
+
+    got = q10_returned_items(SF).to_pandas()
+    exp = _duck("""
+        WITH per AS (
+          SELECT o.o_custkey,
+                 CAST(sum(CAST(round(l.l_extendedprice * 100, 0) AS BIGINT)
+                      * (100 - CAST(round(l.l_discount * 100, 0) AS BIGINT)))
+                      AS BIGINT) AS revenue_u
+          FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+          WHERE l.l_returnflag = 'R'
+            AND o.o_orderdate >= TIMESTAMP '1998-01-01'
+            AND o.o_orderdate < TIMESTAMP '1998-07-01'
+          GROUP BY 1 ORDER BY revenue_u DESC, o.o_custkey LIMIT 20)
+        SELECT c.c_custkey, c.c_name, n.n_name AS nation, per.revenue_u
+        FROM per JOIN customer c ON per.o_custkey = c.c_custkey
+        JOIN nation n ON c.c_nationkey = n.n_nationkey
+        ORDER BY per.revenue_u DESC, c.c_custkey""")
+    assert got["c_custkey"].tolist() == exp["c_custkey"].tolist()
+    assert got["c_name"].tolist() == exp["c_name"].tolist()
+    assert got["nation"].tolist() == exp["nation"].tolist()
+    assert got["revenue_u"].tolist() == exp["revenue_u"].tolist()
