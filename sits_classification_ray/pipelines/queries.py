@@ -485,6 +485,18 @@ def _minhash_near_dup_documents(sf_dir: str) -> rd.Dataset:
                                threshold=0.5)
 
 
+def _jaccard_near_dup_documents(sf_dir: str) -> rd.Dataset:
+    """Exact (non-probabilistic) n-gram Jaccard near-dup: df-capped
+    shingle inverted-index candidates + exact verify — the
+    deterministic sibling of the MinHash path, SQL-checkable because
+    word shingles are expressible in DuckDB."""
+    from sits_classification_ray.stages.dedup_docs import jaccard_near_dup
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"])
+    return jaccard_near_dup(ds, w=3, df_cap=32, threshold=0.5)
+
+
 def _near_dup_clusters_documents(sf_dir: str) -> rd.Dataset:
     """MinHash pairs → connected components: one (doc_id, cluster_id)
     row per doc in any near-dup component, cluster id = smallest
@@ -2893,6 +2905,7 @@ def build_queries() -> dict[str, Callable[[str], Any]]:
         "simhash_drift_crawl": _simhash_drift_crawl,
         "fingerprint_documents": _fingerprint_documents,
         "minhash_near_dup_documents": _minhash_near_dup_documents,
+        "jaccard_near_dup_documents": _jaccard_near_dup_documents,
         "near_dup_clusters_documents": _near_dup_clusters_documents,
         "near_dup_keep_one_documents": _near_dup_keep_one_documents,
         "simhash_near_dup_documents": _simhash_near_dup_documents,
@@ -3269,6 +3282,32 @@ FROM orders o
 JOIN customer c ON c.c_custkey = o.o_custkey
 JOIN nation n ON n.n_nationkey = c.c_nationkey
 GROUP BY 1 ORDER BY 1""",
+        "jaccard_near_dup_documents": """
+WITH toks AS MATERIALIZED (
+  SELECT doc_id, string_split(lower(text), ' ') AS ts,
+         len(string_split(lower(text), ' ')) AS n
+  FROM documents),
+sh AS MATERIALIZED (
+  SELECT DISTINCT doc_id, array_to_string(ts[g.i + 1 : g.i + 3], ' ') AS s
+  FROM toks CROSS JOIN LATERAL
+    (SELECT unnest(generate_series(0, n - 3)) AS i) g
+  WHERE n >= 3),
+df AS MATERIALIZED (SELECT s, count(*) AS c FROM sh GROUP BY 1),
+cand AS MATERIALIZED (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM sh a JOIN df USING (s) JOIN sh b USING (s)
+  WHERE df.c BETWEEN 2 AND 32 AND a.doc_id < b.doc_id),
+sz AS MATERIALIZED (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1),
+inter AS MATERIALIZED (
+  SELECT c.id_a, c.id_b, count(*) AS i
+  FROM cand c JOIN sh a ON a.doc_id = c.id_a
+  JOIN sh b ON b.doc_id = c.id_b AND b.s = a.s
+  GROUP BY 1, 2)
+SELECT c.id_a, c.id_b,
+       round(CAST(i.i AS DOUBLE) / (sa.sz + sb.sz - i.i), 6) AS jaccard
+FROM cand c JOIN inter i ON i.id_a = c.id_a AND i.id_b = c.id_b
+JOIN sz sa ON sa.doc_id = c.id_a JOIN sz sb ON sb.doc_id = c.id_b
+WHERE round(CAST(i.i AS DOUBLE) / (sa.sz + sb.sz - i.i), 6) >= 0.5""",
         "q6_revenue_forecast": """
 SELECT CAST(sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT)
                 * CAST(round(l_discount * 100, 0) AS BIGINT)) AS BIGINT)

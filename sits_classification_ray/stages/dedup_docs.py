@@ -880,3 +880,110 @@ def incremental_jaccard_pairs(old_docs: rd.Dataset, new_docs: rd.Dataset,
         new_docs.select_columns([id_col, text_col]))
     return verify_jaccard(cand, docs, shingle_k, threshold,
                           id_col=id_col, text_col=text_col)
+
+
+# ---------------------------------------------------------------------------
+# Exact n-gram Jaccard near-dup (inverted-index candidates, no sketches)
+# ---------------------------------------------------------------------------
+
+
+def _word_shingle_u64(text: str, w: int) -> np.ndarray:
+    """Distinct word-w-gram hashes of one document: each token hashed
+    once (sha1/u64), then the w token-hashes of every window combined
+    with a vectorized polynomial mix — O(tokens) numpy, no per-shingle
+    string building. Tokenization is ``lower().split(' ')`` for parity
+    with SQL ``string_split(lower(text), ' ')``."""
+    toks = (text or "").lower().split(" ")
+    if len(toks) < w:
+        return np.empty(0, dtype=np.uint64)
+    uniq = list(dict.fromkeys(toks))
+    th_map = dict(zip(uniq, _sha1_u64(uniq)))
+    th = np.fromiter((th_map[t] for t in toks), dtype=np.uint64,
+                     count=len(toks))
+    n = len(toks) - w + 1
+    with np.errstate(over="ignore"):
+        h = np.zeros(n, dtype=np.uint64)
+        for j in range(w):
+            h = h * _SHINGLE_BASE + th[j:j + n]
+    return np.unique(h)
+
+
+def jaccard_candidate_pairs(ds: rd.Dataset, w: int = 3,
+                            df_cap: int = 32, id_col: str = "doc_id",
+                            text_col: str = "text") -> rd.Dataset:
+    """Candidate pairs from a df-capped shingle inverted index.
+
+    Deterministic (non-probabilistic) alternative to MinHash banding:
+    two docs are candidates iff they share at least one shingle whose
+    document frequency is ≤ ``df_cap``. The cap bounds the per-shingle
+    pair blow-up to O(df_cap²) — ubiquitous boilerplate shingles
+    (df > cap) generate no pairs, which is exactly the posting-list
+    prune of classic dedup indexes: a pair sharing ONLY corpus-common
+    shingles has near-zero Jaccard anyway. Exchange volume is the
+    (shingle, doc) postings table, never all-pairs."""
+    from sits_classification_ray.stages.shuffle import partitioned_map
+
+    def explode(df: pd.DataFrame) -> pd.DataFrame:
+        ids, shs = [], []
+        for i, t in zip(df[id_col].to_numpy(), df[text_col]):
+            hs = _word_shingle_u64(t, w)
+            ids.append(np.full(len(hs), i, dtype=np.int64))
+            shs.append(hs.astype(np.int64))  # int64 view for arrow keys
+        if not ids:
+            return pd.DataFrame({"sh": pd.Series([], dtype=np.int64),
+                                 id_col: pd.Series([], dtype=np.int64)})
+        return pd.DataFrame({"sh": np.concatenate(shs),
+                             id_col: np.concatenate(ids)})
+
+    postings = ds.map_batches(explode, batch_format="pandas")
+
+    def posting_pairs(df: pd.DataFrame) -> pd.DataFrame:
+        outs = []
+        for _, g in df.groupby("sh", sort=False):
+            ids = np.sort(g[id_col].to_numpy())
+            if not (2 <= len(ids) <= df_cap):
+                continue
+            a, b = np.triu_indices(len(ids), k=1)
+            outs.append(pd.DataFrame({"id_a": ids[a], "id_b": ids[b]}))
+        if not outs:
+            return pd.DataFrame({"id_a": pd.Series([], dtype=np.int64),
+                                 "id_b": pd.Series([], dtype=np.int64)})
+        return pd.concat(outs, ignore_index=True)
+
+    cand = partitioned_map(postings, posting_pairs, keys=["sh"])
+    return partitioned_map(cand,
+                           lambda df: df.drop_duplicates(["id_a", "id_b"]),
+                           keys=["id_a", "id_b"])
+
+
+def jaccard_near_dup(ds: rd.Dataset, w: int = 3, df_cap: int = 32,
+                     threshold: float = 0.5, id_col: str = "doc_id",
+                     text_col: str = "text") -> rd.Dataset:
+    """Exact n-gram-Jaccard near-dup: df-capped inverted-index
+    candidates → exact word-shingle Jaccard per pair (full shingle
+    sets, recomputed from the attached texts via two distributed
+    joins). Unlike the MinHash path this has NO probabilistic miss:
+    every pair above threshold that shares ≥1 rare shingle is found.
+
+    Output: (id_a, id_b, jaccard) rounded to 6 for cross-engine
+    comparability."""
+    cand = jaccard_candidate_pairs(ds, w, df_cap, id_col, text_col)
+    docs = ds.select_columns([id_col, text_col])
+    with_a = _attach_text(cand, docs, "id_a", "__ta", id_col, text_col)
+    with_b = _attach_text(with_a, docs, "id_b", "__tb", id_col, text_col)
+
+    def verify(df: pd.DataFrame) -> pd.DataFrame:
+        jac = np.empty(len(df))
+        for i, (a, b) in enumerate(zip(df["__ta"], df["__tb"])):
+            sa = _word_shingle_u64(a or "", w)
+            sb = _word_shingle_u64(b or "", w)
+            inter = len(np.intersect1d(sa, sb, assume_unique=True))
+            union = len(sa) + len(sb) - inter
+            jac[i] = inter / max(1, union)
+        out = df.drop(columns=["__ta", "__tb"]).copy(deep=False)
+        out["id_a"] = out["id_a"].astype(np.int64)
+        out["id_b"] = out["id_b"].astype(np.int64)
+        out["jaccard"] = np.round(jac, 6)
+        return out[out["jaccard"] >= threshold]
+
+    return with_b.map_batches(verify, batch_format="pandas")

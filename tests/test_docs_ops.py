@@ -658,3 +658,62 @@ def test_url_filter_blocklist_and_path_terms():
     # exact-domain block (subdomains are distinct entries, like real
     # blocklists), path-term block, malformed url kept
     assert out["row"].tolist() == [1, 3, 4]
+
+
+def test_jaccard_near_dup_exact_values(ray_session):
+    """Exact inverted-index Jaccard vs a brute-force python set model."""
+    import itertools
+
+    import ray.data as rd
+
+    from sits_classification_ray.stages.dedup_docs import jaccard_near_dup
+
+    texts = [
+        "the quick brown fox jumps over the lazy dog today",   # 0
+        "the quick brown fox jumps over the lazy dog tonight", # 1 near-0
+        "a completely different document about ray data",      # 2
+        "the quick brown fox jumps over the lazy dog today",   # 3 exact-0
+        "short",                                               # 4 < w tokens
+    ]
+    t = pa.table({"doc_id": pa.array(range(5), pa.int64()),
+                  "text": pa.array(texts)})
+    out = jaccard_near_dup(rd.from_arrow(t), w=3, df_cap=32,
+                           threshold=0.3).to_pandas()
+    got = {(r.id_a, r.id_b): r.jaccard for r in out.itertuples()}
+
+    def sh(s):
+        tk = s.lower().split(" ")
+        return {" ".join(tk[i:i + 3]) for i in range(len(tk) - 2)}
+
+    expect = {}
+    for a, b in itertools.combinations(range(5), 2):
+        sa, sb = sh(texts[a]), sh(texts[b])
+        if not sa or not sb:
+            continue
+        j = len(sa & sb) / len(sa | sb)
+        if sa & sb and round(j, 6) >= 0.3:
+            expect[(a, b)] = round(j, 6)
+    assert got == expect
+    assert got[(0, 3)] == 1.0          # exact dup found at jaccard 1
+    assert 4 not in {i for p in got for i in p}   # sub-w doc excluded
+
+
+def test_jaccard_df_cap_prunes_common_shingles(ray_session):
+    """A shingle shared by more docs than df_cap generates no
+    candidates — docs related ONLY through it are not paired."""
+    import ray.data as rd
+
+    from sits_classification_ray.stages.dedup_docs import (
+        jaccard_candidate_pairs)
+
+    # 5 docs all sharing one boilerplate trigram, otherwise disjoint
+    texts = [f"shared boiler plate unique{i} word{i} tok{i}"
+             for i in range(5)]
+    t = pa.table({"doc_id": pa.array(range(5), pa.int64()),
+                  "text": pa.array(texts)})
+    capped = jaccard_candidate_pairs(rd.from_arrow(t), w=3,
+                                     df_cap=3).to_pandas()
+    assert len(capped) == 0            # df=5 > cap=3: pruned
+    uncapped = jaccard_candidate_pairs(rd.from_arrow(t), w=3,
+                                       df_cap=32).to_pandas()
+    assert len(uncapped) == 10         # all C(5,2) pairs
