@@ -279,6 +279,46 @@ def _lang_daily(sf_dir: str) -> rd.Dataset:
             .aggregate(Sum("n", alias_name="n")))
 
 
+_PIVOT_LANGS = ["de", "en", "es", "fr", "zh"]
+
+
+def _pivot_lang_weekly(sf_dir: str) -> rd.Dataset:
+    """Long→wide pivot as conditional aggregation: weekly crawl volume
+    with one count column per language.
+
+    The pivot column set is a declared config (like any SQL PIVOT —
+    output schema must be static); each batch emits ONE partial row
+    per week with per-lang conditional counts, so the exchange carries
+    O(weeks × langs) cells, never the observations. Zero extra shuffle
+    beyond the tiny final groupby."""
+    from ray.data.aggregate import Sum
+
+    obs = _obs(sf_dir).select_columns(["warc_ts", "lang"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        week = pc.cast(pc.floor_temporal(batch["warc_ts"], unit="week",
+                                         week_starts_monday=True),
+                       pa.timestamp("us"))
+        t = pa.table({"bucket_ts": week, "lang": batch["lang"]})
+        g = (t.group_by(["bucket_ts", "lang"])
+             .aggregate([([], "count_all")])
+             .rename_columns(["bucket_ts", "lang", "n"]))
+        df = g.to_pandas()
+        wide = df.pivot_table(index="bucket_ts", columns="lang",
+                              values="n", aggfunc="sum", fill_value=0)
+        wide = wide.reindex(columns=_PIVOT_LANGS, fill_value=0)
+        wide.columns = [f"n_{c}" for c in wide.columns]
+        wide = wide.astype(np.int64).reset_index()
+        wide["n_total"] = wide[[f"n_{c}" for c in _PIVOT_LANGS]].sum(axis=1)
+        return pa.Table.from_pandas(wide, preserve_index=False)
+
+    partials = obs.map_batches(partial, batch_format="pyarrow",
+                               zero_copy_batch=True)
+    aggs = [Sum(f"n_{c}", alias_name=f"n_{c}") for c in _PIVOT_LANGS]
+    aggs.append(Sum("n_total", alias_name="n_total"))
+    return partials.groupby("bucket_ts").aggregate(*aggs)
+
+
 def _events_rollup_hourly(sf_dir: str) -> rd.Dataset:
     from sits_classification_ray.pipelines.relational import events_long
 
@@ -543,6 +583,42 @@ def _global_rank_documents(sf_dir: str) -> rd.Dataset:
     ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
                          columns=["doc_id", "n_chars"])
     return global_rank(ds, ["n_chars", "doc_id"])
+
+
+def _ntile_documents(sf_dir: str) -> rd.Dataset:
+    """NTILE(4) quartile assignment by document length — the SQL
+    window-bucketing operator via the O(B)-driver rank construction."""
+    from sits_classification_ray.stages.scan_sorted import ntile
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "n_chars"])
+    return ntile(ds, ["n_chars", "doc_id"], k=4)
+
+
+def _regex_token_stats_documents(sf_dir: str) -> rd.Dataset:
+    """Regex-class token counting (the BPE-ish pre-tokenizer split:
+    letter runs / digit runs / single punctuation, whitespace
+    discarded) next to the whitespace word count — per-batch vectorized
+    pyarrow regex kernels, zero shuffle."""
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"])
+
+    def stats(batch: pa.Table) -> pa.Table:
+        txt = batch["text"]
+        n_alpha = pc.count_substring_regex(txt, r"[A-Za-z]+")
+        n_digit = pc.count_substring_regex(txt, r"[0-9]+")
+        n_punct = pc.count_substring_regex(txt, r"[^A-Za-z0-9\s]")
+        total = pc.add(pc.add(n_alpha, n_digit), n_punct)
+        return pa.table({
+            "doc_id": batch["doc_id"],
+            "n_alpha": pc.cast(n_alpha, pa.int64()),
+            "n_digit": pc.cast(n_digit, pa.int64()),
+            "n_punct": pc.cast(n_punct, pa.int64()),
+            "n_tokens": pc.cast(total, pa.int64()),
+        })
+
+    return ds.map_batches(stats, batch_format="pyarrow",
+                          zero_copy_batch=True)
 
 
 def _chunk_documents(sf_dir: str) -> rd.Dataset:
@@ -2870,6 +2946,7 @@ def build_queries() -> dict[str, Callable[[str], Any]]:
         "kmv_distinct_urls_daily": _kmv_distinct_urls_daily,
         "quantiles_daily_crawl": _quantiles_daily_crawl,
         "lang_daily": _lang_daily,
+        "pivot_lang_weekly": _pivot_lang_weekly,
         "gapfill_linear": lambda sf: _gapfill(sf, "linear"),
         "gapfill_locf": lambda sf: _gapfill(sf, "locf"),
         "gapfill_none": lambda sf: _gapfill(sf, "none"),
@@ -2914,6 +2991,8 @@ def build_queries() -> dict[str, Callable[[str], Any]]:
         "chunk_documents": _chunk_documents,
         "pack_sequences_documents": _pack_sequences_documents,
         "global_rank_documents": _global_rank_documents,
+        "ntile_documents": _ntile_documents,
+        "regex_token_stats_documents": _regex_token_stats_documents,
         "label_centroids_embeddings": _label_centroids_embeddings,
         "nearest_centroid_embeddings": _nearest_centroid_embeddings,
         "ivf_topk": _ivf_topk,
@@ -3194,6 +3273,19 @@ SELECT doc_id, n_chars,
        row_number() OVER (ORDER BY n_chars, doc_id) AS rn,
        percent_rank() OVER (ORDER BY n_chars, doc_id) AS percentile
 FROM documents""",
+        "ntile_documents": """
+SELECT doc_id, n_chars,
+       ntile(4) OVER (ORDER BY n_chars, doc_id) AS tile
+FROM documents""",
+        "regex_token_stats_documents": r"""
+SELECT doc_id,
+       len(regexp_extract_all(text, '[A-Za-z]+')) AS n_alpha,
+       len(regexp_extract_all(text, '[0-9]+')) AS n_digit,
+       len(regexp_extract_all(text, '[^A-Za-z0-9\s]')) AS n_punct,
+       len(regexp_extract_all(text, '[A-Za-z]+'))
+       + len(regexp_extract_all(text, '[0-9]+'))
+       + len(regexp_extract_all(text, '[^A-Za-z0-9\s]')) AS n_tokens
+FROM documents""",
         "scrub_pii_documents": r"""
 WITH comp AS MATERIALIZED (
   SELECT doc_id,
@@ -3282,6 +3374,15 @@ FROM orders o
 JOIN customer c ON c.c_custkey = o.o_custkey
 JOIN nation n ON n.n_nationkey = c.c_nationkey
 GROUP BY 1 ORDER BY 1""",
+        "pivot_lang_weekly": f"""{CRAWL_PREFIX}
+SELECT CAST(date_trunc('week', warc_ts) AS TIMESTAMP) AS bucket_ts,
+       count(*) FILTER (lang = 'de') AS n_de,
+       count(*) FILTER (lang = 'en') AS n_en,
+       count(*) FILTER (lang = 'es') AS n_es,
+       count(*) FILTER (lang = 'fr') AS n_fr,
+       count(*) FILTER (lang = 'zh') AS n_zh,
+       count(*) AS n_total
+FROM obs GROUP BY 1""",
         "jaccard_near_dup_documents": """
 WITH toks AS MATERIALIZED (
   SELECT doc_id, string_split(lower(text), ' ') AS ts,

@@ -330,3 +330,37 @@ def global_rank(ds: rd.Dataset, sort_cols: list[str],
 
     return rd.from_arrow_refs(
         [add_rank.remote(r, int(o)) for r, o in zip(refs, offsets)])
+
+
+def ntile(ds: rd.Dataset, sort_cols: list[str], k: int,
+          out_col: str = "tile") -> rd.Dataset:
+    """Distributed ``NTILE(k)`` over a total order: the first
+    ``n % k`` tiles get ``n // k + 1`` rows, the rest ``n // k`` —
+    exactly SQL's semantics.
+
+    Same O(B)-driver construction as ``global_rank``: blocks report
+    lengths only, offsets are a prefix sum, each block maps its own
+    rank range to tile ids locally."""
+    srt = ds.sort(sort_cols)
+    refs = srt.to_arrow_refs()
+
+    @ray.remote(num_cpus=0)
+    def block_len(t: pa.Table) -> int:
+        return len(t)
+
+    lens = ray.get([block_len.remote(r) for r in refs])
+    n = int(sum(lens))
+    offsets = np.concatenate([[0], np.cumsum(lens)[:-1]]).astype(np.int64)
+    q, r = divmod(n, k) if n else (0, 0)
+
+    @ray.remote(num_cpus=0.5)
+    def add_tile(t: pa.Table, off: int) -> pa.Table:
+        rn = off + np.arange(1, len(t) + 1, dtype=np.int64)
+        cut = r * (q + 1)
+        big = (rn - 1) // max(1, q + 1) + 1
+        small = r + (rn - cut - 1) // max(1, q) + 1
+        tile = np.where(rn <= cut, big, small).astype(np.int64)
+        return t.append_column(out_col, pa.array(tile))
+
+    return rd.from_arrow_refs(
+        [add_tile.remote(ref, int(o)) for ref, o in zip(refs, offsets)])

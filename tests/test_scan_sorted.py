@@ -107,3 +107,21 @@ def test_global_rank_multi_block_matches_sequential():
     assert out["rn"].tolist() == list(range(1, 501))
     np.testing.assert_allclose(out["percentile"].to_numpy(),
                                np.arange(500) / 499.0)
+
+
+def test_ntile_sql_semantics(ray_session):
+    """First n%k tiles get one extra row — exact SQL NTILE sizes."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from sits_classification_ray.stages.scan_sorted import ntile
+
+    t = pa.table({"id": pa.array(range(10), pa.int64()),
+                  "v": pa.array(np.arange(10)[::-1], pa.int64())})
+    out = ntile(rd.from_arrow(t).repartition(3), ["v", "id"],
+                k=4).to_pandas().sort_values("v")
+    # 10 rows, 4 tiles -> sizes 3,3,2,2 in v-order
+    assert out["tile"].tolist() == [1, 1, 1, 2, 2, 2, 3, 3, 4, 4]
+    # total order: smallest v in tile 1
+    assert out.iloc[0]["v"] == 0 and out.iloc[0]["tile"] == 1
