@@ -1614,3 +1614,59 @@ def sniffed_assets_crawl(crawl: pd.DataFrame) -> pd.DataFrame:
                          "width": np.array(ws, np.int64),
                          "height": np.array(hs, np.int64),
                          "byte_len": np.array(lens, np.int64)})
+
+
+def _srp_augment(emb: pd.DataFrame) -> tuple[np.ndarray, np.ndarray]:
+    """Deterministic planted near-dups (part of the operator spec):
+    every vec_id % 10 == 0 vector gets a copy with even coordinates
+    scaled by 1.05 under id + 1_000_000 (cos vs original ~0.9997)."""
+    X = np.stack(emb["embedding"].to_numpy()).astype(np.float64)
+    ids = emb["vec_id"].to_numpy().astype(np.int64)
+    sel = ids % 10 == 0
+    Xp = X[sel].copy()
+    Xp[:, ::2] *= 1.05
+    return (np.concatenate([X, Xp]),
+            np.concatenate([ids, ids[sel] + 1_000_000]))
+
+
+def srp_near_dup_embeddings(emb: pd.DataFrame, dim: int = 64,
+                            threshold: float = 0.98, bits: int = 128,
+                            bands: int = 8, seed: int = 13
+                            ) -> pd.DataFrame:
+    """Independent SRP-LSH near-dup model: the seeded Gaussian
+    projection and the planted-copy augmentation are part of the
+    operator spec; candidate generation and the exact-cosine verify
+    are re-derived here with plain numpy/dict buckets (no engine
+    code)."""
+    import collections
+
+    X, ids = _srp_augment(emb)
+    R = np.random.default_rng(seed).standard_normal((dim, bits))
+    sign = (X @ R) > 0
+    width = bits // bands
+    weights = 1 << np.arange(width, dtype=np.int64)
+
+    pairs = set()
+    for b in range(bands):
+        bh = sign[:, b * width:(b + 1) * width] @ weights
+        buckets = collections.defaultdict(list)
+        for i, h in zip(ids, bh):
+            buckets[int(h)].append(int(i))
+        for members in buckets.values():
+            members.sort()
+            for i in range(len(members)):
+                for j in range(i + 1, len(members)):
+                    pairs.add((members[i], members[j]))
+
+    pos = {int(v): k for k, v in enumerate(ids)}
+    norms = np.linalg.norm(X, axis=1)
+    rows = []
+    for a, b in sorted(pairs):
+        ia, ib = pos[a], pos[b]
+        cos = float((X[ia] * X[ib]).sum()
+                    / max(norms[ia] * norms[ib], 1e-30))
+        cos = round(cos, 6)
+        if cos >= threshold:
+            rows.append((a, b, cos))
+    return pd.DataFrame(rows, columns=["id_a", "id_b", "cos_sim"]) \
+        .astype({"id_a": np.int64, "id_b": np.int64})

@@ -457,6 +457,33 @@ def _embedding_near_dup_ivf(sf_dir: str) -> rd.Dataset:
         batch_format="pandas")
 
 
+def _srp_near_dup_embeddings(sf_dir: str) -> rd.Dataset:
+    """SRP-LSH (signed-random-projection) cosine near-dup — the
+    LSH-bucketed ANN variant next to exact blockwise and IVF. Input is
+    the embeddings table plus deterministic planted near-copies (every
+    vec_id % 10 == 0, even coordinates × 1.05, id + 10⁶) so the
+    high-similarity regime LSH targets actually exists in the synth
+    data; golden-checked against an independent numpy model."""
+    from sits_classification_ray.stages.similarity import srp_near_dup
+
+    emb = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                          columns=["vec_id", "embedding"])
+
+    def aug(df: pd.DataFrame) -> pd.DataFrame:
+        X = np.stack(df["embedding"].to_numpy()).astype(np.float64)
+        ids = df["vec_id"].to_numpy().astype(np.int64)
+        sel = ids % 10 == 0
+        Xp = X[sel].copy()
+        Xp[:, ::2] *= 1.05
+        return pd.DataFrame({
+            "vec_id": np.concatenate([ids, ids[sel] + 1_000_000]),
+            "embedding": list(np.concatenate([X, Xp])),
+        })
+
+    aug_ds = emb.map_batches(aug, batch_format="pandas")
+    return srp_near_dup(aug_ds, dim=64, threshold=0.98)
+
+
 def _exact_dedup_documents(sf_dir: str) -> rd.Dataset:
     from sits_classification_ray.stages.dedup_docs import exact_dedup
 
@@ -2973,6 +3000,7 @@ def build_queries() -> dict[str, Callable[[str], Any]]:
         "similarity_topk": _similarity_topk,
         "embedding_near_dup": _embedding_near_dup,
         "embedding_near_dup_ivf": _embedding_near_dup_ivf,
+        "srp_near_dup_embeddings": _srp_near_dup_embeddings,
         # codec roundtrip, SQL-checked via decoded-side summaries
         "gorilla_roundtrip": _gorilla_roundtrip,
         # non-SQL-expressible (driver records rows-only)
@@ -3209,6 +3237,7 @@ GOLDEN_QUERIES = [
     "corpus_prep_documents", "cluster_top_terms",
     "ivfpq_topk_embeddings", "train_linear_fit", "train_linear_weights",
     "tune_trials", "sniffed_assets_crawl", "bpe_encode_documents",
+    "srp_near_dup_embeddings",
 ]
 
 

@@ -374,3 +374,125 @@ def kmeans_assign(ds: rd.Dataset, k: int = 8, iterations: int = 5,
                              .astype(np.int64)})
 
     return ds.map_batches(assign, batch_format="pandas")
+
+
+# ---------------------------------------------------------------------------
+# Signed-random-projection (SRP) LSH near-dup for cosine
+# ---------------------------------------------------------------------------
+
+
+def _srp_matrix(dim: int, bits: int, seed: int) -> np.ndarray:
+    """The projection matrix is part of the operator SPEC: any
+    implementation (including the independent golden oracle) draws the
+    identical Gaussian matrix from this seed."""
+    return np.random.default_rng(seed).standard_normal((dim, bits))
+
+
+def srp_band_rows(ds: rd.Dataset, dim: int, bits: int = 128,
+                  bands: int = 8, seed: int = 13,
+                  id_col: str = "vec_id", vec_col: str = "embedding"
+                  ) -> rd.Dataset:
+    """(id, band, band_hash) rows: sign bits of a seeded Gaussian
+    projection, packed per band — one batched matmul per block, the
+    projection shipped once per actor via ``ray.put``.
+
+    Band width = bits/bands sets the recall/candidate-volume
+    trade-off: at 16-bit bands a cos≈0.99 pair collides in ≥1 of 8
+    bands w.p. ≈0.99; bucket count 2^16 per band keeps candidate
+    buckets small at corpus scale (wider bands for bigger corpora)."""
+    width = bits // bands
+    R_ref = ray.put(_srp_matrix(dim, bits, seed))
+    weights = (1 << np.arange(width, dtype=np.int64))
+
+    class Sig:
+        def __init__(self):
+            self.R = ray.get(R_ref)
+
+        def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+            mat = np.stack(df[vec_col].to_numpy()).astype(np.float64)
+            sign = (mat @ self.R) > 0                  # [n, bits]
+            n = len(df)
+            ids = np.repeat(df[id_col].to_numpy(), bands)
+            band_id = np.tile(np.arange(bands, dtype=np.int64), n)
+            bh = (sign.reshape(n * bands, width) @ weights).astype(np.int64)
+            return pd.DataFrame({id_col: ids, "band": band_id, "bh": bh})
+
+    return ds.map_batches(Sig, batch_format="pandas",
+                          concurrency=(1, 8), num_cpus=1)
+
+
+def srp_near_dup(ds: rd.Dataset, dim: int, threshold: float = 0.9,
+                 bits: int = 128, bands: int = 8, seed: int = 13,
+                 id_col: str = "vec_id", vec_col: str = "embedding",
+                 max_bucket_size: int | None = None) -> rd.Dataset:
+    """Approximate cosine near-dup: SRP-LSH bucketed candidates →
+    EXACT cosine verify (vectors re-attached via two distributed
+    joins, cosine recomputed in float64 and rounded to 6).
+
+    The LSH sibling of the exact blockwise self-join
+    (``dedup_docs.embedding_near_dup``) and the IVF-bucketed variant —
+    candidate volume is driven by band collisions, never O(n²).
+    Recall < 1 by construction (documented LSH miss probability);
+    precision is exact thanks to the verify pass."""
+    from sits_classification_ray.stages.joins import hash_join
+    from sits_classification_ray.stages.shuffle import partitioned_map
+
+    rows = srp_band_rows(ds, dim, bits, bands, seed, id_col, vec_col)
+
+    def bucket_pairs(df: pd.DataFrame) -> pd.DataFrame:
+        outs = []
+        for _, g in df.groupby(["band", "bh"], sort=False):
+            ids = np.sort(g[id_col].to_numpy())
+            if len(ids) < 2:
+                continue
+            if max_bucket_size is not None and len(ids) > max_bucket_size:
+                outs.append(pd.DataFrame({
+                    "id_a": np.full(len(ids) - 1, ids[0]), "id_b": ids[1:]}))
+                continue
+            a, b = np.triu_indices(len(ids), k=1)
+            outs.append(pd.DataFrame({"id_a": ids[a], "id_b": ids[b]}))
+        if not outs:
+            return pd.DataFrame({"id_a": pd.Series([], dtype=np.int64),
+                                 "id_b": pd.Series([], dtype=np.int64)})
+        return pd.concat(outs, ignore_index=True)
+
+    cand = partitioned_map(rows, bucket_pairs, keys=["band", "bh"])
+    cand = partitioned_map(cand,
+                           lambda df: df.drop_duplicates(["id_a", "id_b"]),
+                           keys=["id_a", "id_b"])
+
+    # vector attach via the native hash join, vectors serialized to
+    # float64 bytes for the exchange (Acero joins reject tensor/list
+    # payload columns; the tag-union attach exchange can't sort-merge
+    # them either) — decoded zero-copy with np.frombuffer in verify
+    def as_side(new_id: str, new_vec: str):
+        def prj(df: pd.DataFrame) -> pd.DataFrame:
+            mat = np.stack(df[vec_col].to_numpy()).astype(np.float64)
+            return pd.DataFrame({
+                new_id: df[id_col].astype(np.int64).to_numpy(),
+                new_vec: [r.tobytes() for r in mat]})
+        return prj
+
+    va = ds.map_batches(as_side("id_a", "__va"), batch_format="pandas")
+    vb = ds.map_batches(as_side("id_b", "__vb"), batch_format="pandas")
+    with_a = hash_join(cand, va, on="id_a")
+    with_b = hash_join(with_a, vb, on="id_b")
+
+    def verify(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df):
+            va = np.stack([np.frombuffer(b, np.float64)
+                           for b in df["__va"]])
+            vb = np.stack([np.frombuffer(b, np.float64)
+                           for b in df["__vb"]])
+            na = np.linalg.norm(va, axis=1)
+            nb = np.linalg.norm(vb, axis=1)
+            cos = (va * vb).sum(axis=1) / np.maximum(na * nb, 1e-30)
+        else:
+            cos = np.empty(0)
+        out = df.drop(columns=["__va", "__vb"]).copy(deep=False)
+        out["id_a"] = out["id_a"].astype(np.int64)
+        out["id_b"] = out["id_b"].astype(np.int64)
+        out["cos_sim"] = np.round(cos, 6)
+        return out[out["cos_sim"] >= threshold]
+
+    return with_b.map_batches(verify, batch_format="pandas")

@@ -717,3 +717,26 @@ def test_jaccard_df_cap_prunes_common_shingles(ray_session):
     uncapped = jaccard_candidate_pairs(rd.from_arrow(t), w=3,
                                        df_cap=32).to_pandas()
     assert len(uncapped) == 10         # all C(5,2) pairs
+
+
+def test_srp_near_dup_finds_planted_copies(ray_session):
+    """SRP-LSH bucketing + exact cosine verify: planted near-copies
+    (cos ≈ 0.9997) are all found; unrelated random vectors are not."""
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from sits_classification_ray.stages.similarity import srp_near_dup
+
+    rng = np.random.default_rng(3)
+    X = rng.standard_normal((40, 16))
+    Xp = X[:10].copy()
+    Xp[:, ::2] *= 1.05                      # near-copies of ids 0..9
+    ids = np.concatenate([np.arange(40), np.arange(10) + 100])
+    df = pd.DataFrame({"vec_id": ids.astype(np.int64),
+                       "embedding": list(np.concatenate([X, Xp]))})
+    out = srp_near_dup(rd.from_pandas(df), dim=16,
+                       threshold=0.98).to_pandas()
+    found = set(map(tuple, out[["id_a", "id_b"]].to_numpy()))
+    assert found == {(i, i + 100) for i in range(10)}
+    assert (out["cos_sim"] >= 0.98).all()

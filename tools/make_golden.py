@@ -30,7 +30,7 @@ GOLDEN_DIR = Path(__file__).resolve().parent.parent / "golden"
 TAGS = {1000: "sf0001", 10000: "sf001", 100000: "sf01"}
 
 
-def make_for(sf_dir: str) -> None:
+def make_for(sf_dir: str, only: set[str] | None = None) -> None:
     con = duckdb.connect()
     for t in ["events", "documents", "embeddings"]:
         con.sql(f"CREATE OR REPLACE VIEW {t} AS "
@@ -125,7 +125,11 @@ def make_for(sf_dir: str) -> None:
             emb, epochs=12, learning_rate=0.5, use_class_weights=True),
         "tune_trials": lambda: golden.tune_trials(
             emb, n_trials=5, seed=7, epochs=6),
+        "srp_near_dup_embeddings":
+            lambda: golden.srp_near_dup_embeddings(emb),
     }
+    if only:
+        jobs = {k: v for k, v in jobs.items() if k in only}
     for name, fn in jobs.items():
         t0 = time.perf_counter()
         out = fn()
@@ -136,7 +140,10 @@ def make_for(sf_dir: str) -> None:
 
 
 if __name__ == "__main__":
-    dirs = sys.argv[1:] or ["/root/testdata/sf0.001", "/root/testdata/sf0.01"]
+    args = sys.argv[1:]
+    dirs = [a for a in args if "/" in a] or ["/root/testdata/sf0.001",
+                                             "/root/testdata/sf0.01"]
+    only = {a for a in args if "/" not in a} or None
     for d in dirs:
         print(f"== {d}")
-        make_for(d)
+        make_for(d, only)
