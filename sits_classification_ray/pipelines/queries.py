@@ -2686,6 +2686,93 @@ def _asof_latest_event(sf_dir: str) -> rd.Dataset:
     return out.map_batches(fin, batch_format="pandas")
 
 
+def _asof_next_event(sf_dir: str) -> rd.Dataset:
+    """Forward as-of: attach the EARLIEST event at-or-after each
+    snapshot (the scheduling/next-touch direction, mirror of
+    asof_latest_event)."""
+    from sits_classification_ray.stages.joins import asof_join
+
+    left = _obs(sf_dir).select_columns(["url", "warc_ts", "text_len"])
+    events = rd.read_parquet(f"{sf_dir}/events.parquet",
+                             columns=["user_id", "ts", "value"])
+
+    def to_url(batch: pa.Table) -> pa.Table:
+        uid = pc.cast(batch["user_id"], pa.string())
+        site = pc.cast(pc.subtract(batch["user_id"],
+                                   pc.multiply(pc.divide(batch["user_id"], 40),
+                                               40)), pa.string())
+        url = pc.binary_join_element_wise(
+            "https://site-", site, ".example.com/u/", uid, "")
+        return pa.table({"url": url, "ts": batch["ts"],
+                         "value": batch["value"]})
+
+    right = events.map_batches(to_url, batch_format="pyarrow",
+                               zero_copy_batch=True)
+    out = asof_join(left, right, by="url", left_ts="warc_ts",
+                    right_ts="ts", value_cols=["value"],
+                    direction="forward")
+
+    def fin(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.rename(columns={"value": "next_event_value"})
+        df["text_len"] = df["text_len"].astype(np.int64)
+        return df
+
+    return out.map_batches(fin, batch_format="pandas")
+
+
+def _kfold_split_documents(sf_dir: str) -> rd.Dataset:
+    """Deterministic k-fold CV assignment via a Knuth multiplicative
+    hash of the id — partition-invariant, seed-free, SQL-expressible
+    (so the driver hash-checks it instead of a golden)."""
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id"])
+
+    def assign(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy().astype(np.int64)
+        fold = (ids * 2654435761) % 4294967296 % 5
+        return pa.table({"doc_id": batch["doc_id"],
+                         "fold": pa.array(fold, pa.int64())})
+
+    return ds.map_batches(assign, batch_format="pyarrow",
+                          zero_copy_batch=True)
+
+
+def _decayed_topk_urls(sf_dir: str) -> rd.Dataset:
+    """Trending urls: exponentially time-decayed snapshot counts with a
+    ONE-DAY HALF-LIFE — weight 0.5^days_old is a dyadic rational, so
+    per-url sums are EXACT in float64 under any partitioning/order
+    (the same order-free trick as the integer cents). Per-batch
+    partial decayed counts → Sum merge → combiner top-k."""
+    from ray.data.aggregate import Sum
+
+    obs = _obs(sf_dir).select_columns(["url", "warc_ts"])
+    anchor = pd.Timestamp(obs.max("warc_ts")).floor("D")
+
+    def partial(batch: pa.Table) -> pa.Table:
+        day = pc.cast(pc.floor_temporal(batch["warc_ts"], unit="day"),
+                      pa.timestamp("us"))
+        days_old = ((anchor.value // 1000 - np.asarray(
+            pc.cast(day, pa.int64()))) // 86_400_000_000)
+        w = np.ldexp(1.0, -days_old.astype(np.int64))
+        df = pd.DataFrame({"url": batch["url"].to_pandas(), "w": w})
+        g = df.groupby("url", as_index=False)["w"].sum()
+        return pa.Table.from_pandas(
+            g.rename(columns={"w": "decayed_count"}), preserve_index=False)
+
+    partials = obs.map_batches(partial, batch_format="pyarrow",
+                               zero_copy_batch=True)
+    scores = partials.groupby("url").aggregate(
+        Sum("decayed_count", alias_name="decayed_count"))
+
+    def local(df: pd.DataFrame) -> pd.DataFrame:
+        return df.sort_values(["decayed_count", "url"],
+                              ascending=[False, True]).head(10)
+
+    pruned = scores.map_batches(local, batch_format="pandas")
+    return pruned.sort(["decayed_count", "url"],
+                       descending=[True, False]).limit(10)
+
+
 def _range_join_events(sf_dir: str) -> rd.Dataset:
     """Interval join: obs snapshots falling inside any [event, +6h)
     window of the same url (J1's range-join sibling)."""
@@ -3123,6 +3210,9 @@ def build_queries() -> dict[str, Callable[[str], Any]]:
         "canonical_urls_crawl": _canonical_urls_crawl,
         # joins (SQL-checked)
         "asof_latest_event": _asof_latest_event,
+        "asof_next_event": _asof_next_event,
+        "kfold_split_documents": _kfold_split_documents,
+        "decayed_topk_urls": _decayed_topk_urls,
         "range_join_events": _range_join_events,
         "join_documents_embeddings": _join_documents_embeddings,
         "semi_join_documents": _semi_join_documents,
@@ -4651,6 +4741,29 @@ ev AS (
 SELECT o.url, o.warc_ts, o.text_len, e.value AS last_event_value
 FROM obs o ASOF LEFT JOIN ev e
   ON o.url = e.url AND o.warc_ts >= e.ts""",
+        "asof_next_event": f"""{CRAWL_PREFIX},
+ev AS (
+  SELECT 'https://site-' || CAST(user_id % 40 AS VARCHAR)
+         || '.example.com/u/' || CAST(user_id AS VARCHAR) AS url,
+         ts, value
+  FROM events)
+SELECT o.url, o.warc_ts, o.text_len, e.value AS next_event_value
+FROM obs o ASOF LEFT JOIN ev e
+  ON o.url = e.url AND o.warc_ts <= e.ts""",
+        "kfold_split_documents": """
+SELECT doc_id,
+       (doc_id * 2654435761) % 4294967296 % 5 AS fold
+FROM documents""",
+        "decayed_topk_urls": f"""{CRAWL_PREFIX},
+anchor AS (
+  SELECT max(CAST(date_trunc('day', warc_ts) AS TIMESTAMP)) AS a
+  FROM obs)
+SELECT url,
+       sum(pow(0.5, date_diff('day',
+               CAST(date_trunc('day', warc_ts) AS TIMESTAMP),
+               (SELECT a FROM anchor)))) AS decayed_count
+FROM obs GROUP BY 1
+ORDER BY decayed_count DESC, url LIMIT 10""",
         "range_join_events": f"""{CRAWL_PREFIX},
 ev AS MATERIALIZED (
   SELECT 'https://site-' || CAST(user_id % 40 AS VARCHAR)

@@ -27,12 +27,13 @@ import ray.data as rd
 def asof_join(left: rd.Dataset, right: rd.Dataset, by: str,
               left_ts: str, right_ts: str,
               value_cols: list[str],
-              tolerance=None) -> rd.Dataset:
+              tolerance=None, direction: str = "backward") -> rd.Dataset:
     """For each left row, attach the right row with the greatest
     ``right_ts <= left_ts`` within the same ``by`` key; with
     ``tolerance`` (a pd.Timedelta), only matches within
     ``left_ts - tolerance`` qualify (inclusive) — the attribution-
-    window variant.
+    window variant. ``direction="forward"`` flips the predicate to the
+    smallest ``right_ts >= left_ts`` (next-event attach).
 
     Both sides are tagged and unioned, hash-partitioned on ``by`` (one
     shuffle), and each partition runs one vectorized
@@ -74,7 +75,7 @@ def asof_join(left: rd.Dataset, right: rd.Dataset, by: str,
         rf = (df[df["__side"] == 1][[by, "__ts"] + value_cols]
               .dropna(subset=["__ts"]).sort_values("__ts", kind="mergesort"))
         merged = pd.merge_asof(lf, rf, on="__ts", by=by,
-                               direction="backward",
+                               direction=direction,
                                tolerance=tolerance,
                                suffixes=("", "__r"))
         return merged[left_cols + value_cols]
