@@ -3260,8 +3260,8 @@ DRIVER_WINDOW = [
     "train_linear_fit", "q1_pricing_summary",
     "exact_dedup_documents", "minhash_near_dup_documents",
     "near_dup_keep_one_documents", "incremental_near_dup_documents",
-    "simhash_near_dup_documents", "embedding_near_dup_ivf",
-    "similarity_topk", "ivf_topk", "ivfpq_topk_embeddings",
+    "jaccard_near_dup_documents", "embedding_near_dup_ivf",
+    "similarity_topk", "q3_shipping_priority", "ivfpq_topk_embeddings",
     "kmeans_embeddings", "cluster_top_terms", "text_stats_documents",
     "sniffed_assets_crawl", "corpus_prep_documents",
     "decontaminate_documents", "source_mixture_documents",

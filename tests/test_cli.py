@@ -55,3 +55,17 @@ def test_cli_query_dataset_and_dataframe():
     lines = [l for l in out.stdout.splitlines() if " rows" in l]
     assert any(l.startswith("train_test_split_sizes:") for l in lines)
     assert any(l.startswith("distinct_lang_source:") for l in lines)
+
+
+def test_driver_window_is_valid():
+    """The 50-query correctness window must reference real queries,
+    have no duplicates, and come first in ordered_queries()."""
+    from sits_classification_ray.pipelines.queries import (DRIVER_WINDOW,
+                                                           build_queries,
+                                                           ordered_queries)
+    qs = build_queries()
+    assert len(DRIVER_WINDOW) == 50
+    assert len(set(DRIVER_WINDOW)) == 50
+    missing = [n for n in DRIVER_WINDOW if n not in qs]
+    assert not missing, missing
+    assert list(ordered_queries())[:50] == DRIVER_WINDOW
