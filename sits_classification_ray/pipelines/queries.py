@@ -1236,6 +1236,17 @@ def _pagerank_words_documents(sf_dir: str) -> rd.Dataset:
     return pagerank(bigram_counts(docs))
 
 
+def _triangle_count_words(sf_dir: str) -> rd.Dataset:
+    """Triangle count of the word-adjacency graph (same edge table
+    PageRank runs on) — oriented wedge enumeration + closing join."""
+    from sits_classification_ray.stages.graph import triangle_count
+    from sits_classification_ray.stages.textstats import bigram_counts
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["text"])
+    return triangle_count(bigram_counts(docs))
+
+
 def _markov_transitions_events(sf_dir: str) -> rd.Dataset:
     from sits_classification_ray.stages.behavior import markov_transitions
 
@@ -3156,6 +3167,7 @@ def build_queries() -> dict[str, Callable[[str], Any]]:
         "domain_share_daily": _domain_share_daily,
         "pagerank_words_documents": _pagerank_words_documents,
         "markov_transitions_events": _markov_transitions_events,
+        "triangle_count_words": _triangle_count_words,
         "funnel_windowed_events": _funnel_windowed_events,
         "cube_documents": _cube_documents,
         "source_mixture_documents": _source_mixture_documents,
@@ -4750,6 +4762,23 @@ ev AS (
 SELECT o.url, o.warc_ts, o.text_len, e.value AS next_event_value
 FROM obs o ASOF LEFT JOIN ev e
   ON o.url = e.url AND o.warc_ts <= e.ts""",
+        "triangle_count_words": """
+WITH toks AS MATERIALIZED (
+  SELECT string_split(lower(text), ' ') AS ts,
+         len(string_split(lower(text), ' ')) AS n
+  FROM documents),
+bi AS MATERIALIZED (
+  SELECT ts[g.i + 1] AS w1, ts[g.i + 2] AS w2
+  FROM toks CROSS JOIN LATERAL
+    (SELECT unnest(generate_series(0, n - 2)) AS i) g
+  WHERE n >= 2),
+e AS MATERIALIZED (
+  SELECT DISTINCT least(w1, w2) AS a, greatest(w1, w2) AS b
+  FROM bi WHERE w1 <> w2)
+SELECT count(*) AS n_triangles
+FROM e e1
+JOIN e e2 ON e2.a = e1.a AND e2.b > e1.b
+JOIN e e3 ON e3.a = e1.b AND e3.b = e2.b""",
         "kfold_split_documents": """
 SELECT doc_id,
        (doc_id * 2654435761) % 4294967296 % 5 AS fold

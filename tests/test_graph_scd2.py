@@ -127,3 +127,20 @@ def test_pq_recall_against_exact():
     # exact top-10 by L2 for recall sanity: ≥ 4 of 10 overlap
     exact = np.argsort(((X.astype(np.float64) - X[0]) ** 2).sum(1))[:10]
     assert len(set(out["vec_id"]) & set(exact.tolist())) >= 4
+
+
+def test_triangle_count_known_graph(ray_session):
+    """K4 minus one edge has exactly 2 triangles; duplicates and
+    reversed edges must not change the count."""
+    import pandas as pd
+    import ray.data as rd
+
+    from sits_classification_ray.stages.graph import triangle_count
+
+    edges = pd.DataFrame({
+        "w1": ["a", "a", "a", "b", "b", "c", "b", "a"],
+        "w2": ["b", "c", "d", "c", "d", "b", "a", "b"],
+        # K4 minus edge (c,d); (c,b)/(b,a)/(a,b) are dup/reversed noise
+    })
+    out = triangle_count(rd.from_pandas(edges)).to_pandas()
+    assert out["n_triangles"].tolist() == [2]   # abc, abd
