@@ -1670,3 +1670,21 @@ def srp_near_dup_embeddings(emb: pd.DataFrame, dim: int = 64,
             rows.append((a, b, cos))
     return pd.DataFrame(rows, columns=["id_a", "id_b", "cos_sim"]) \
         .astype({"id_a": np.int64, "id_b": np.int64})
+
+
+def weighted_sample_documents(docs: pd.DataFrame, k: int = 5
+                              ) -> pd.DataFrame:
+    """Independent Efraimidis–Spirakis A-ES model: u from the
+    fixed-key pandas SipHash of doc_id, keep the k smallest
+    ``-ln(u)/n_chars`` per lang (the hash-derived u is the operator's
+    determinism contract, as in reservoir_sample_events)."""
+    h = pd.util.hash_pandas_object(
+        docs["doc_id"], index=False, categorize=False
+    ).to_numpy().astype(np.uint64)
+    u = ((h >> np.uint64(11)).astype(np.float64) + 0.5) / float(1 << 53)
+    w = docs["n_chars"].to_numpy(np.float64)
+    key = -np.log(u) / np.maximum(w, 1e-300)
+    df = docs.assign(_key=key).sort_values(
+        ["lang", "_key", "doc_id"], kind="mergesort")
+    out = df.groupby("lang", sort=False).head(k)
+    return out[["doc_id", "lang", "n_chars"]].reset_index(drop=True)

@@ -2731,6 +2731,17 @@ def _asof_next_event(sf_dir: str) -> rd.Dataset:
     return out.map_batches(fin, batch_format="pandas")
 
 
+def _weighted_sample_documents(sf_dir: str) -> rd.Dataset:
+    """Length-weighted 5-per-lang sample without replacement
+    (Efraimidis–Spirakis exponential keys over the SipHash-derived u —
+    deterministic under any partitioning; golden-checked)."""
+    from sits_classification_ray.stages.sampling import weighted_sample
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "lang", "n_chars"])
+    return weighted_sample(ds, ["lang"], "doc_id", "n_chars", k=5)
+
+
 def _kfold_split_documents(sf_dir: str) -> rd.Dataset:
     """Deterministic k-fold CV assignment via a Knuth multiplicative
     hash of the id — partition-invariant, seed-free, SQL-expressible
@@ -3224,6 +3235,7 @@ def build_queries() -> dict[str, Callable[[str], Any]]:
         "asof_latest_event": _asof_latest_event,
         "asof_next_event": _asof_next_event,
         "kfold_split_documents": _kfold_split_documents,
+        "weighted_sample_documents": _weighted_sample_documents,
         "decayed_topk_urls": _decayed_topk_urls,
         "range_join_events": _range_join_events,
         "join_documents_embeddings": _join_documents_embeddings,
@@ -3339,7 +3351,7 @@ GOLDEN_QUERIES = [
     "corpus_prep_documents", "cluster_top_terms",
     "ivfpq_topk_embeddings", "train_linear_fit", "train_linear_weights",
     "tune_trials", "sniffed_assets_crawl", "bpe_encode_documents",
-    "srp_near_dup_embeddings",
+    "srp_near_dup_embeddings", "weighted_sample_documents",
 ]
 
 

@@ -127,6 +127,33 @@ def reservoir_sample(ds: rd.Dataset, group_cols: list[str], id_col: str,
     return out.drop_columns(["_h"])
 
 
+def weighted_sample(ds: rd.Dataset, group_cols: list[str], id_col: str,
+                    weight_col: str, k: int) -> rd.Dataset:
+    """Deterministic weighted k-sample WITHOUT replacement per group
+    (Efraimidis–Spirakis A-ES): each row draws u from the SipHash of
+    its id (same fixed-key determinism contract as reservoir_sample)
+    and keeps the k smallest exponential keys ``-ln(u)/w`` —
+    selection probability proportional to ``weight_col``, identical
+    sample under ANY partitioning/merge order.
+
+    Rides the same combiner as reservoir_sample: per-batch bottom-k
+    before the shuffle, ≤ k·batches rows move per group."""
+    def add_key(df: pd.DataFrame) -> pd.DataFrame:
+        h = pd.util.hash_pandas_object(
+            df[id_col], index=False, categorize=False
+        ).to_numpy().astype(np.uint64)
+        u = ((h >> np.uint64(11)).astype(np.float64) + 0.5) / float(1 << 53)
+        w = df[weight_col].to_numpy(np.float64)
+        df = df.copy(deep=False)
+        df["_key"] = -np.log(u) / np.maximum(w, 1e-300)
+        return df
+
+    out = top_k_per_group(ds.map_batches(add_key, batch_format="pandas"),
+                          group_cols, "_key", k, ascending=True,
+                          tie_col=id_col)
+    return out.drop_columns(["_key"])
+
+
 def early_stop(losses: list[float], window: int = 5) -> bool:
     """Early-stopping rule (A11): mean of the last-``window`` loss
     diffs > 0 ⇒ not improving ⇒ stop

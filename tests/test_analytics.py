@@ -153,3 +153,24 @@ def test_transforms_roundtrip():
     s = unscale_column(scale_column(ds, "y", 1e-4, "s"), "s", 1e-4,
                        "y3").to_pandas()
     np.testing.assert_allclose(s["y3"], s["y"])
+
+def test_weighted_sample_proportional_to_weight(ray_session):
+    """A-ES property: heavy items are sampled far more often. One
+    item with 100x the weight of 999 others must appear in the k=10
+    sample; determinism: identical output across partitionings."""
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from sits_classification_ray.stages.sampling import weighted_sample
+
+    df = pd.DataFrame({"id": np.arange(1000, dtype=np.int64),
+                       "g": ["x"] * 1000,
+                       "w": np.where(np.arange(1000) == 7, 10000.0, 1.0)})
+    s1 = weighted_sample(rd.from_pandas(df).repartition(2),
+                         ["g"], "id", "w", k=10).to_pandas()
+    s2 = weighted_sample(rd.from_pandas(df).repartition(17),
+                         ["g"], "id", "w", k=10).to_pandas()
+    assert len(s1) == 10
+    assert 7 in set(s1["id"])                    # heavy item selected
+    assert sorted(s1["id"]) == sorted(s2["id"])  # partition-invariant

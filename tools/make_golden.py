@@ -127,6 +127,8 @@ def make_for(sf_dir: str, only: set[str] | None = None) -> None:
             emb, n_trials=5, seed=7, epochs=6),
         "srp_near_dup_embeddings":
             lambda: golden.srp_near_dup_embeddings(emb),
+        "weighted_sample_documents":
+            lambda: golden.weighted_sample_documents(docs),
     }
     if only:
         jobs = {k: v for k, v in jobs.items() if k in only}
