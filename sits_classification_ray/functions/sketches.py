@@ -89,6 +89,67 @@ def hll_distinct(ds: rd.Dataset, key_col: str, bucket_col: str,
     return partitioned_map(partials, merge, keys=[bucket_col])
 
 
+def hll_sketches(ds: rd.Dataset, key_col: str, bucket_col: str,
+                 p: int = 12) -> rd.Dataset:
+    """Storable HLL representation: ``(bucket_col, sketch: bytes)`` —
+    one merged 2^p-byte register set per bucket. This is what a tier
+    table persists so coarser tiers can be derived WITHOUT rescanning
+    keys (register max is commutative/idempotent)."""
+    m = 1 << p
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for bucket, g in df.groupby(bucket_col, sort=False):
+            reg = np.zeros(m, dtype=np.uint8)
+            hll_update(reg, _hash_u64(g[key_col].tolist()), p)
+            rows.append((bucket, reg.tobytes()))
+        return pd.DataFrame(rows, columns=[bucket_col, "sketch"])
+
+    partials = ds.map_batches(partial, batch_format="pandas")
+
+    def merge(df: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for bucket, g in df.groupby(bucket_col, sort=False):
+            reg = np.zeros(m, dtype=np.uint8)
+            for s in g["sketch"]:
+                np.maximum(reg, np.frombuffer(s, dtype=np.uint8), out=reg)
+            rows.append((bucket, reg.tobytes()))
+        return pd.DataFrame(rows, columns=[bucket_col, "sketch"])
+
+    from sits_classification_ray.stages.shuffle import partitioned_map
+
+    return partitioned_map(partials, merge, keys=[bucket_col])
+
+
+def hll_rollup(sk_ds: rd.Dataset, bucket_col: str, coarse_fn,
+               p: int = 12) -> rd.Dataset:
+    """Re-aggregate stored HLL sketches to a coarser bucket and
+    estimate — the continuous-aggregate sketch path (weekly distincts
+    from daily sketches; exchange volume = one sketch per fine bucket,
+    never the keys). ``coarse_fn`` maps a bucket Series to the coarser
+    bucket Series."""
+    def rebucket(df: pd.DataFrame) -> pd.DataFrame:
+        out = df.copy(deep=False)
+        out[bucket_col] = coarse_fn(out[bucket_col])
+        return out
+
+    coarse = sk_ds.map_batches(rebucket, batch_format="pandas")
+
+    def merge(df: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for bucket, g in df.groupby(bucket_col, sort=False):
+            reg = None
+            for s in g["sketch"]:
+                r = np.frombuffer(s, dtype=np.uint8)
+                reg = r.copy() if reg is None else np.maximum(reg, r)
+            rows.append((bucket, round(hll_estimate(reg), 6)))
+        return pd.DataFrame(rows, columns=[bucket_col, "hll_estimate"])
+
+    from sits_classification_ray.stages.shuffle import partitioned_map
+
+    return partitioned_map(coarse, merge, keys=[bucket_col])
+
+
 # --- mergeable histogram quantiles ---------------------------------------
 
 def hist_quantile(ds: rd.Dataset, value_col: str, bucket_col: str,

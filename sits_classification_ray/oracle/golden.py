@@ -1688,3 +1688,38 @@ def weighted_sample_documents(docs: pd.DataFrame, k: int = 5
         ["lang", "_key", "doc_id"], kind="mergesort")
     out = df.groupby("lang", sort=False).head(k)
     return out[["doc_id", "lang", "n_chars"]].reset_index(drop=True)
+
+
+def hll_weekly_from_daily(obs: pd.DataFrame, p: int = 12) -> pd.DataFrame:
+    """Independent weekly-from-daily HLL merge: per-day registers
+    (same sha1/FD spec as hll_distinct_urls_daily) max-merged into ISO
+    weeks, then estimated — validates that the engine's stored-sketch
+    rollup equals a sequential merge."""
+    m = 1 << p
+    day = pd.to_datetime(obs["warc_ts"]).dt.floor("1D")
+    week_regs: dict = {}
+    for d, g in obs.groupby(day, sort=True):
+        reg = np.zeros(m, dtype=np.uint8)
+        for url in set(g["url"]):
+            h = int.from_bytes(hashlib.sha1(str(url).encode()).digest()[:8],
+                               "big")
+            idx = h >> (64 - p)
+            rest = h & ((1 << (64 - p)) - 1)
+            rho = (64 - p + 1) if rest == 0 else \
+                (64 - p) - int(np.floor(np.log2(float(rest))))
+            reg[idx] = max(reg[idx], rho)
+        wk = d.to_period("W-SUN").start_time
+        if wk in week_regs:
+            np.maximum(week_regs[wk], reg, out=week_regs[wk])
+        else:
+            week_regs[wk] = reg
+    rows = []
+    for wk in sorted(week_regs):
+        reg = week_regs[wk]
+        alpha = 0.7213 / (1.0 + 1.079 / m)
+        est = alpha * m * m / np.power(2.0, -reg.astype(np.float64)).sum()
+        zeros = int((reg == 0).sum())
+        if est <= 2.5 * m and zeros > 0:
+            est = m * np.log(m / zeros)
+        rows.append((wk, round(float(est), 6)))
+    return pd.DataFrame(rows, columns=["bucket_ts", "hll_estimate"])

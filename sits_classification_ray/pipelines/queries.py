@@ -250,6 +250,32 @@ def _hll_distinct_urls_daily(sf_dir: str) -> rd.Dataset:
     return hll_distinct(obs_days, key_col="url", bucket_col="bucket_ts")
 
 
+def _hll_weekly_from_daily(sf_dir: str) -> rd.Dataset:
+    """Weekly distinct-url estimates derived by MERGING the stored
+    daily HLL sketches (register max) — the continuous-aggregate
+    sketch path: the weekly tier never rescans keys, it exchanges one
+    4 KiB sketch per day."""
+    from sits_classification_ray.functions.sketches import (hll_rollup,
+                                                            hll_sketches)
+
+    def day(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "url": batch["url"],
+            "bucket_ts": pc.cast(pc.floor_temporal(batch["warc_ts"],
+                                                   unit="day"),
+                                 pa.timestamp("us")),
+        })
+
+    obs_days = _obs(sf_dir).map_batches(day, batch_format="pyarrow",
+                                        zero_copy_batch=True)
+    daily = hll_sketches(obs_days, key_col="url", bucket_col="bucket_ts")
+
+    def week_of(s: pd.Series) -> pd.Series:
+        return pd.to_datetime(s).dt.to_period("W-SUN").dt.start_time
+
+    return hll_rollup(daily, "bucket_ts", week_of)
+
+
 def _hopping_rollup_6h_1h(sf_dir: str) -> rd.Dataset:
     """Sliding 6-hour windows hopping hourly (streaming-shaped window
     aggregate; tumbling rollup is the window == hop special case)."""
@@ -3078,6 +3104,7 @@ def build_queries() -> dict[str, Callable[[str], Any]]:
         "rollup_weekly": lambda sf: _tier(sf, "weekly"),
         "hopping_rollup_6h_1h": _hopping_rollup_6h_1h,
         "hll_distinct_urls_daily": _hll_distinct_urls_daily,
+        "hll_weekly_from_daily": _hll_weekly_from_daily,
         "hist_quantile_daily": _hist_quantile_daily,
         "kmv_distinct_urls_daily": _kmv_distinct_urls_daily,
         "quantiles_daily_crawl": _quantiles_daily_crawl,
@@ -3280,7 +3307,7 @@ def build_queries() -> dict[str, Callable[[str], Any]]:
 DRIVER_WINDOW = [
     "crawl_extract", "rollup_daily", "hopping_rollup_6h_1h",
     "events_rollup_hourly", "gapfill_linear", "gapfill_unbounded",
-    "training_windows", "gorilla_roundtrip", "hll_distinct_urls_daily",
+    "training_windows", "gorilla_roundtrip", "hll_weekly_from_daily",
     "train_linear_fit", "q1_pricing_summary",
     "exact_dedup_documents", "minhash_near_dup_documents",
     "near_dup_keep_one_documents", "incremental_near_dup_documents",
@@ -3333,7 +3360,7 @@ def _golden_sql(name: str) -> str:
 #: operators that ANSI SQL cannot express).
 GOLDEN_QUERIES = [
     "embedding_near_dup_ivf", "hll_distinct_urls_daily",
-    "canonical_urls_crawl",
+    "hll_weekly_from_daily", "canonical_urls_crawl",
     "langid_documents", "langid_confusion", "simhash_documents",
     "fingerprint_documents", "minhash_near_dup_documents", "ivf_topk",
     "stratified_sample_documents", "train_test_split_sizes",
