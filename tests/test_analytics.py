@@ -174,3 +174,31 @@ def test_weighted_sample_proportional_to_weight(ray_session):
     assert len(s1) == 10
     assert 7 in set(s1["id"])                    # heavy item selected
     assert sorted(s1["id"]) == sorted(s2["id"])  # partition-invariant
+
+
+def test_pgm_roundtrip_and_resize(ray_session):
+    """PGM encode→parse roundtrip; nearest-neighbor identity when
+    out size == in size; known 2x downsample takes top-left pixels."""
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from sits_classification_ray.stages.multimodal import (PgmThumbnailer,
+                                                           make_pgm,
+                                                           parse_pgm,
+                                                           resize_pgm)
+
+    img = np.arange(16, dtype=np.uint8).reshape(4, 4)
+    p = make_pgm(img.tobytes(), 4, 4)
+    w, h, off = parse_pgm(p)
+    assert (w, h) == (4, 4)
+    assert np.frombuffer(p, np.uint8, 16, off).reshape(4, 4).tolist() \
+        == img.tolist()
+
+    ds = rd.from_pandas(pd.DataFrame({"id": [1], "payload": [p]}))
+    out = resize_pgm(ds, out_w=2, out_h=2).to_pandas()
+    w2, h2, off2 = parse_pgm(out["thumb"].iloc[0])
+    small = np.frombuffer(out["thumb"].iloc[0], np.uint8, 4, off2)
+    # floor(i*4/2) -> rows/cols 0 and 2
+    assert small.tolist() == [0, 2, 8, 10]
+    assert out["pixel_sum"].iloc[0] == 0 + 2 + 8 + 10

@@ -121,6 +121,8 @@ def make_for(sf_dir: str, only: set[str] | None = None) -> None:
         "frame_samples": lambda: golden.frame_samples(crawl),
         "sniffed_assets_crawl":
             lambda: golden.sniffed_assets_crawl(crawl),
+        "resized_thumbnails_crawl":
+            lambda: golden.resized_thumbnails_crawl(crawl),
         "train_linear_fit": lambda: golden.train_linear_fit(
             emb, epochs=12, learning_rate=0.5, use_class_weights=True),
         "train_linear_weights": lambda: golden.train_linear_weights(
