@@ -1747,3 +1747,29 @@ def resized_thumbnails_crawl(crawl: pd.DataFrame) -> pd.DataFrame:
                      int(small.sum()), int((small < 64).sum())))
     return pd.DataFrame(rows, columns=["url", "warc_ts", "thumb_crc32",
                                        "pixel_sum", "n_dark"])
+
+
+def wav_features_crawl(crawl: pd.DataFrame, frame: int = 256
+                       ) -> pd.DataFrame:
+    """Independent WAV feature model: samples = html byte pairs as
+    little-endian int16; energy Σs², zero crossings via sign products,
+    peak frame = argmax of 256-sample frame energies (first max)."""
+    rows = []
+    for r in crawl.itertuples():
+        h = r.html or b"\x00\x00"
+        h = h[:len(h) - len(h) % 2]
+        x = np.frombuffer(h, np.int16).astype(np.int64)
+        energy = int((x * x).sum())
+        zc = int(((x[:-1] * x[1:]) < 0).sum()) if len(x) > 1 else 0
+        if len(x):
+            nf = -(-len(x) // frame)
+            pad = np.zeros(nf * frame, np.int64)
+            pad[:len(x)] = x
+            fe = (pad * pad).reshape(nf, frame).sum(axis=1)
+            peak = int(np.argmax(fe))
+        else:
+            peak = -1
+        rows.append((r.url, r.warc_ts, len(x), energy, zc, peak))
+    return pd.DataFrame(rows, columns=["url", "warc_ts", "n_samples",
+                                       "energy", "zero_crossings",
+                                       "peak_frame"])

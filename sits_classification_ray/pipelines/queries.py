@@ -906,6 +906,30 @@ def _resized_thumbnails_crawl(sf_dir: str) -> rd.Dataset:
                                "pixel_sum", "n_dark"])
 
 
+def _wav_features_crawl(sf_dir: str) -> rd.Dataset:
+    """REAL audio decode, codec-free: crawl payloads become genuine
+    RIFF/WAVE PCM files (samples = html byte pairs as int16), an
+    actor-pool stage walks the RIFF chunks, decodes the raster and
+    emits exact integer features (energy Σs², zero crossings, peak
+    256-sample frame) — the audio sibling of the PGM resize."""
+    from sits_classification_ray.stages.multimodal import (make_wav,
+                                                           wav_features)
+
+    def synth(df: pd.DataFrame) -> pd.DataFrame:
+        payloads = []
+        for h in df["html"]:
+            h = h or b"\x00\x00"
+            payloads.append(make_wav(h[:len(h) - len(h) % 2]))
+        return pd.DataFrame({"url": df["url"], "warc_ts": df["warc_ts"],
+                             "payload": payloads})
+
+    assets = crawl_from_tables(sf_dir).map_batches(
+        synth, batch_format="pandas")
+    out = wav_features(assets)
+    return out.select_columns(["url", "warc_ts", "n_samples", "energy",
+                               "zero_crossings", "peak_frame"])
+
+
 def _frame_samples(sf_dir: str) -> rd.Dataset:
     from sits_classification_ray.stages.multimodal import sample_frames
 
@@ -3310,6 +3334,7 @@ def build_queries() -> dict[str, Callable[[str], Any]]:
         "train_test_split_sizes": _train_test_split_sizes,
         "html_byte_features": _html_byte_features,
         "resized_thumbnails_crawl": _resized_thumbnails_crawl,
+        "wav_features_crawl": _wav_features_crawl,
         "frame_samples": _frame_samples,
         # training driver + tune hook (golden-checked)
         "sniffed_assets_crawl": _sniffed_assets_crawl,
@@ -3407,7 +3432,7 @@ GOLDEN_QUERIES = [
     "corpus_prep_documents", "cluster_top_terms",
     "ivfpq_topk_embeddings", "train_linear_fit", "train_linear_weights",
     "tune_trials", "sniffed_assets_crawl", "resized_thumbnails_crawl",
-    "bpe_encode_documents",
+    "wav_features_crawl", "bpe_encode_documents",
     "srp_near_dup_embeddings", "weighted_sample_documents",
 ]
 

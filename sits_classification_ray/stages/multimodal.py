@@ -387,3 +387,85 @@ def resize_pgm(ds: rd.Dataset, out_w: int = 16, out_h: int = 16,
                                "payload_col": payload_col},
         batch_format="pyarrow", batch_size=batch_size,
         concurrency=concurrency, num_cpus=1)
+
+
+# ---------------------------------------------------------------------------
+# WAV (RIFF PCM) decode + frame-level audio features — REAL, codec-free
+# ---------------------------------------------------------------------------
+
+
+def make_wav(samples: bytes, sample_rate: int = 8000) -> bytes:
+    """A genuine RIFF/WAVE container around raw 16-bit mono PCM —
+    like PGM, full decode needs no codec library."""
+    n = len(samples)
+    fmt = struct.pack("<HHIIHH", 1, 1, sample_rate, sample_rate * 2, 2, 16)
+    return (b"RIFF" + struct.pack("<I", 36 + n) + b"WAVE"
+            + b"fmt " + struct.pack("<I", 16) + fmt
+            + b"data" + struct.pack("<I", n) + samples)
+
+
+def parse_wav(data: bytes) -> tuple[int, np.ndarray]:
+    """Returns (sample_rate, int16 sample array). Walks RIFF chunks —
+    no assumptions about chunk order beyond fmt-before-data."""
+    if data[:4] != b"RIFF" or data[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE file")
+    pos, rate, samples = 12, None, None
+    while pos + 8 <= len(data):
+        cid = data[pos:pos + 4]
+        size = struct.unpack("<I", data[pos + 4:pos + 8])[0]
+        body = data[pos + 8:pos + 8 + size]
+        if cid == b"fmt ":
+            rate = struct.unpack("<I", body[4:8])[0]
+        elif cid == b"data":
+            samples = np.frombuffer(body[:size - size % 2], np.int16)
+        pos += 8 + size + (size % 2)
+    if rate is None or samples is None:
+        raise ValueError("missing fmt/data chunk")
+    return rate, samples
+
+
+class WavFeatureExtract:
+    """Actor-pool audio stage: decode PCM → exact integer features —
+    sample count, energy (Σs², exact int64), zero crossings, and the
+    index of the 256-sample frame with the highest energy (first-max
+    tie-break) — the windowed feature-extraction shape of real audio
+    pipelines, all order-free integers so the check is bit-strong."""
+
+    def __init__(self, payload_col: str = "payload", frame: int = 256):
+        self.payload_col = payload_col
+        self.frame = frame
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        n_samp, energy, zc, peak = [], [], [], []
+        for p in batch[self.payload_col].to_pylist():
+            rate, s = parse_wav(p or b"")
+            x = s.astype(np.int64)
+            n_samp.append(len(x))
+            energy.append(int((x * x).sum()))
+            zc.append(int(((x[:-1] * x[1:]) < 0).sum()) if len(x) > 1
+                      else 0)
+            if len(x):
+                nf = -(-len(x) // self.frame)
+                pad = np.zeros(nf * self.frame, np.int64)
+                pad[:len(x)] = x
+                fe = (pad * pad).reshape(nf, self.frame).sum(axis=1)
+                peak.append(int(np.argmax(fe)))
+            else:
+                peak.append(-1)
+        cols = {name: batch[name] for name in batch.schema.names
+                if name != self.payload_col}
+        cols["n_samples"] = pa.array(np.asarray(n_samp, np.int64))
+        cols["energy"] = pa.array(np.asarray(energy, np.int64))
+        cols["zero_crossings"] = pa.array(np.asarray(zc, np.int64))
+        cols["peak_frame"] = pa.array(np.asarray(peak, np.int64))
+        return pa.table(cols)
+
+
+def wav_features(ds: rd.Dataset, payload_col: str = "payload",
+                 frame: int = 256, batch_size: int = 512,
+                 concurrency: tuple[int, int] = (1, 8)) -> rd.Dataset:
+    return ds.map_batches(
+        WavFeatureExtract,
+        fn_constructor_kwargs={"payload_col": payload_col, "frame": frame},
+        batch_format="pyarrow", batch_size=batch_size,
+        concurrency=concurrency, num_cpus=1)

@@ -202,3 +202,30 @@ def test_pgm_roundtrip_and_resize(ray_session):
     # floor(i*4/2) -> rows/cols 0 and 2
     assert small.tolist() == [0, 2, 8, 10]
     assert out["pixel_sum"].iloc[0] == 0 + 2 + 8 + 10
+
+
+def test_wav_roundtrip_and_features(ray_session):
+    """WAV encode→parse roundtrip and exact feature values on a known
+    signal: alternating +1/−1 has max zero crossings; a loud tail
+    moves the peak frame."""
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from sits_classification_ray.stages.multimodal import (make_wav,
+                                                           parse_wav,
+                                                           wav_features)
+
+    x = np.zeros(600, np.int16)
+    x[:10] = np.array([1, -1] * 5, np.int16)   # 9 sign flips
+    x[512:600] = 100                           # frame 2 is loudest
+    wav = make_wav(x.tobytes(), sample_rate=16000)
+    rate, back = parse_wav(wav)
+    assert rate == 16000 and np.array_equal(back, x)
+
+    ds = rd.from_pandas(pd.DataFrame({"id": [1], "payload": [wav]}))
+    out = wav_features(ds, frame=256).to_pandas().iloc[0]
+    assert out["n_samples"] == 600
+    assert out["energy"] == 10 * 1 + 88 * 100 * 100
+    assert out["zero_crossings"] == 9
+    assert out["peak_frame"] == 2
