@@ -1773,3 +1773,29 @@ def wav_features_crawl(crawl: pd.DataFrame, frame: int = 256
     return pd.DataFrame(rows, columns=["url", "warc_ts", "n_samples",
                                        "energy", "zero_crossings",
                                        "peak_frame"])
+
+
+def y4m_scene_stats_crawl(crawl: pd.DataFrame, cut_threshold: int = 48
+                          ) -> pd.DataFrame:
+    """Independent Y4M scene-stat model: 4 luma frames per doc
+    (tiled html bytes; rolls by 7/14; inverted last frame), per-frame
+    luma sum + L1 distance to previous, cut when mean abs change >
+    threshold."""
+    W = H = 16
+    rows = []
+    for r in crawl.itertuples():
+        h = r.html or b"\x00"
+        need = W * H
+        px = (h * (need // len(h) + 1))[:need]
+        arr = np.frombuffer(px, np.uint8)
+        frames = [arr, np.roll(arr, 7), np.roll(arr, 14), 255 - arr]
+        prev = None
+        for i, f in enumerate(frames):
+            fi = f.astype(np.int64)
+            l1 = int(np.abs(fi - prev).sum()) if prev is not None else 0
+            cut = i > 0 and l1 > cut_threshold * W * H
+            rows.append((r.url, r.warc_ts, i, int(fi.sum()), l1,
+                         bool(cut)))
+            prev = fi
+    return pd.DataFrame(rows, columns=["url", "warc_ts", "frame_idx",
+                                       "luma_sum", "l1_prev", "is_cut"])

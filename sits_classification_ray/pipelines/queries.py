@@ -930,6 +930,38 @@ def _wav_features_crawl(sf_dir: str) -> rd.Dataset:
                                "zero_crossings", "peak_frame"])
 
 
+def _y4m_scene_stats_crawl(sf_dir: str) -> rd.Dataset:
+    """REAL video decode, codec-free: crawl payloads become genuine
+    YUV4MPEG2 streams (4 frames of 16×16 luma tiled from the html
+    bytes, the last frame inverted to force a scene cut); an
+    actor-pool stage decodes every frame and emits exact per-frame
+    luma sums + L1 scene-cut distances — flat-map output, one row per
+    frame."""
+    from sits_classification_ray.stages.multimodal import (make_y4m,
+                                                           y4m_scene_stats)
+
+    W = H = 16
+
+    def synth(df: pd.DataFrame) -> pd.DataFrame:
+        payloads = []
+        for h in df["html"]:
+            h = h or b"\x00"
+            need = W * H
+            px = (h * (need // len(h) + 1))[:need]
+            arr = np.frombuffer(px, np.uint8)
+            frames = [arr.tobytes(),
+                      np.roll(arr, 7).tobytes(),
+                      np.roll(arr, 14).tobytes(),
+                      (255 - arr).tobytes()]
+            payloads.append(make_y4m(frames, W, H))
+        return pd.DataFrame({"url": df["url"], "warc_ts": df["warc_ts"],
+                             "payload": payloads})
+
+    assets = crawl_from_tables(sf_dir).map_batches(
+        synth, batch_format="pandas")
+    return y4m_scene_stats(assets)
+
+
 def _frame_samples(sf_dir: str) -> rd.Dataset:
     from sits_classification_ray.stages.multimodal import sample_frames
 
@@ -3335,6 +3367,7 @@ def build_queries() -> dict[str, Callable[[str], Any]]:
         "html_byte_features": _html_byte_features,
         "resized_thumbnails_crawl": _resized_thumbnails_crawl,
         "wav_features_crawl": _wav_features_crawl,
+        "y4m_scene_stats_crawl": _y4m_scene_stats_crawl,
         "frame_samples": _frame_samples,
         # training driver + tune hook (golden-checked)
         "sniffed_assets_crawl": _sniffed_assets_crawl,
@@ -3432,7 +3465,8 @@ GOLDEN_QUERIES = [
     "corpus_prep_documents", "cluster_top_terms",
     "ivfpq_topk_embeddings", "train_linear_fit", "train_linear_weights",
     "tune_trials", "sniffed_assets_crawl", "resized_thumbnails_crawl",
-    "wav_features_crawl", "bpe_encode_documents",
+    "wav_features_crawl", "y4m_scene_stats_crawl",
+    "bpe_encode_documents",
     "srp_near_dup_embeddings", "weighted_sample_documents",
 ]
 

@@ -469,3 +469,89 @@ def wav_features(ds: rd.Dataset, payload_col: str = "payload",
         fn_constructor_kwargs={"payload_col": payload_col, "frame": frame},
         batch_format="pyarrow", batch_size=batch_size,
         concurrency=concurrency, num_cpus=1)
+
+
+# ---------------------------------------------------------------------------
+# Y4M (YUV4MPEG2) decode + per-frame stats / scene cuts — REAL, codec-free
+# ---------------------------------------------------------------------------
+
+
+def make_y4m(frames: list[bytes], width: int, height: int) -> bytes:
+    """A genuine YUV4MPEG2 stream (mono/Cmono: one luma plane per
+    frame) — raw uncompressed video, fully decodable without codecs."""
+    head = b"YUV4MPEG2 W%d H%d F25:1 Ip A1:1 Cmono\n" % (width, height)
+    out = [head]
+    for f in frames:
+        if len(f) != width * height:
+            raise ValueError("frame size mismatch")
+        out.append(b"FRAME\n")
+        out.append(f)
+    return b"".join(out)
+
+
+def parse_y4m(data: bytes) -> tuple[int, int, list[np.ndarray]]:
+    """Returns (width, height, [frame arrays]). Parses the stream
+    header params and walks FRAME markers (mono: luma plane only)."""
+    nl = data.index(b"\n")
+    head = data[:nl].split(b" ")
+    if head[0] != b"YUV4MPEG2":
+        raise ValueError("not a YUV4MPEG2 stream")
+    w = h = None
+    for tok in head[1:]:
+        if tok[:1] == b"W":
+            w = int(tok[1:])
+        elif tok[:1] == b"H":
+            h = int(tok[1:])
+    pos, frames, sz = nl + 1, [], w * h
+    while pos < len(data):
+        if data[pos:pos + 5] != b"FRAME":
+            raise ValueError("bad FRAME marker")
+        pos = data.index(b"\n", pos) + 1
+        frames.append(np.frombuffer(data, np.uint8, count=sz,
+                                    offset=pos).reshape(h, w))
+        pos += sz
+    return w, h, frames
+
+
+class Y4mSceneStats:
+    """Actor-pool video stage: decode every frame, emit one row per
+    frame with exact integer stats — luma sum and the L1 distance to
+    the previous frame (the classic scene-cut signal; ``is_cut`` fires
+    when mean absolute pixel change exceeds the threshold)."""
+
+    def __init__(self, payload_col: str = "payload",
+                 cut_threshold: int = 48, id_cols: tuple = ()):
+        self.payload_col = payload_col
+        self.cut_threshold = cut_threshold
+        self.id_cols = list(id_cols)
+
+    def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for r in df.itertuples(index=False):
+            d = getattr(r, self.payload_col)
+            w, h, frames = parse_y4m(d or b"")
+            prev = None
+            for i, f in enumerate(frames):
+                fi = f.astype(np.int64)
+                l1 = int(np.abs(fi - prev).sum()) if prev is not None \
+                    else 0
+                cut = i > 0 and l1 > self.cut_threshold * w * h
+                rows.append(tuple(getattr(r, c) for c in self.id_cols)
+                            + (i, int(fi.sum()), l1, bool(cut)))
+                prev = fi
+        return pd.DataFrame(rows, columns=self.id_cols
+                            + ["frame_idx", "luma_sum", "l1_prev",
+                               "is_cut"])
+
+
+def y4m_scene_stats(ds: rd.Dataset, payload_col: str = "payload",
+                    id_cols: tuple = ("url", "warc_ts"),
+                    cut_threshold: int = 48, batch_size: int = 256,
+                    concurrency: tuple[int, int] = (1, 8)) -> rd.Dataset:
+    return ds.map_batches(
+        Y4mSceneStats,
+        fn_constructor_kwargs={"payload_col": payload_col,
+                               "cut_threshold": cut_threshold,
+                               "id_cols": id_cols},
+        batch_format="pandas", batch_size=batch_size,
+        concurrency=concurrency, num_cpus=1)

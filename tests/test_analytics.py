@@ -229,3 +229,29 @@ def test_wav_roundtrip_and_features(ray_session):
     assert out["energy"] == 10 * 1 + 88 * 100 * 100
     assert out["zero_crossings"] == 9
     assert out["peak_frame"] == 2
+
+
+def test_y4m_roundtrip_and_scene_cut(ray_session):
+    """Y4M encode→parse roundtrip; identical consecutive frames give
+    l1=0/no cut; an inverted frame fires the cut flag."""
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from sits_classification_ray.stages.multimodal import (make_y4m,
+                                                           parse_y4m,
+                                                           y4m_scene_stats)
+
+    a = np.full(64, 10, np.uint8)
+    inv = (255 - a)
+    y4m = make_y4m([a.tobytes(), a.tobytes(), inv.tobytes()], 8, 8)
+    w, h, frames = parse_y4m(y4m)
+    assert (w, h, len(frames)) == (8, 8, 3)
+    assert np.array_equal(frames[2], inv.reshape(8, 8))
+
+    ds = rd.from_pandas(pd.DataFrame({"vid": [7], "payload": [y4m]}))
+    out = y4m_scene_stats(ds, id_cols=("vid",)).to_pandas() \
+        .sort_values("frame_idx")
+    assert out["l1_prev"].tolist() == [0, 0, 64 * 235]
+    assert out["is_cut"].tolist() == [False, False, True]
+    assert out["luma_sum"].tolist() == [640, 640, 64 * 245]

@@ -125,6 +125,8 @@ def make_for(sf_dir: str, only: set[str] | None = None) -> None:
             lambda: golden.resized_thumbnails_crawl(crawl),
         "wav_features_crawl":
             lambda: golden.wav_features_crawl(crawl),
+        "y4m_scene_stats_crawl":
+            lambda: golden.y4m_scene_stats_crawl(crawl),
         "train_linear_fit": lambda: golden.train_linear_fit(
             emb, epochs=12, learning_rate=0.5, use_class_weights=True),
         "train_linear_weights": lambda: golden.train_linear_weights(
