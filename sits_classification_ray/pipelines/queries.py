@@ -930,6 +930,32 @@ def _wav_features_crawl(sf_dir: str) -> rd.Dataset:
                                "zero_crossings", "peak_frame"])
 
 
+def _extract_links_crawl(sf_dir: str) -> rd.Dataset:
+    """Link-graph extraction (the canonical web-corpus flat-map):
+    deterministic anchors are injected into each page (text_len % 4
+    links, hrefs derived from the text length), then the engine
+    regex-extracts every href — one output row per link."""
+    from sits_classification_ray.stages.urlnorm import regex_extract_rows
+
+    def synth(df: pd.DataFrame) -> pd.DataFrame:
+        pages = []
+        for h in df["html"]:
+            s = (h or b"").decode("utf-8", "replace")
+            n = len(s)
+            k = n % 4
+            anchors = "".join(
+                f'<a href="https://site-{(n + j) % 40}.example.com/p/{j}">'
+                f'x</a>' for j in range(k))
+            pages.append(s.replace("</body>", anchors + "</body>"))
+        return pd.DataFrame({"url": df["url"], "warc_ts": df["warc_ts"],
+                             "page": pages})
+
+    pages = crawl_from_tables(sf_dir).map_batches(
+        synth, batch_format="pandas")
+    return regex_extract_rows(pages, "page", r'href="([^"]+)"', "href",
+                              keep_cols=["url", "warc_ts"])
+
+
 def _y4m_scene_stats_crawl(sf_dir: str) -> rd.Dataset:
     """REAL video decode, codec-free: crawl payloads become genuine
     YUV4MPEG2 streams (4 frames of 16×16 luma tiled from the html
@@ -3368,6 +3394,7 @@ def build_queries() -> dict[str, Callable[[str], Any]]:
         "resized_thumbnails_crawl": _resized_thumbnails_crawl,
         "wav_features_crawl": _wav_features_crawl,
         "y4m_scene_stats_crawl": _y4m_scene_stats_crawl,
+        "extract_links_crawl": _extract_links_crawl,
         "frame_samples": _frame_samples,
         # training driver + tune hook (golden-checked)
         "sniffed_assets_crawl": _sniffed_assets_crawl,
@@ -4890,6 +4917,14 @@ ev AS (
 SELECT o.url, o.warc_ts, o.text_len, e.value AS next_event_value
 FROM obs o ASOF LEFT JOIN ev e
   ON o.url = e.url AND o.warc_ts <= e.ts""",
+        "extract_links_crawl": f"""WITH {CRAWL_CTE}
+SELECT c.url, c.warc_ts,
+       'https://site-'
+       || CAST((length(CAST(c.html AS VARCHAR)) + j.j) % 40 AS VARCHAR)
+       || '.example.com/p/' || CAST(j.j AS VARCHAR) AS href
+FROM crawl c CROSS JOIN LATERAL
+  (SELECT unnest(generate_series(
+       0, length(CAST(c.html AS VARCHAR)) % 4 - 1)) AS j) j""",
         "triangle_count_words": """
 WITH toks AS MATERIALIZED (
   SELECT string_split(lower(text), ' ') AS ts,

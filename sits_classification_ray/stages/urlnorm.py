@@ -13,6 +13,7 @@ from __future__ import annotations
 
 from urllib.parse import urlsplit
 
+import numpy as np
 import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
@@ -90,3 +91,27 @@ def url_filter(ds: rd.Dataset, blocked_domains: list[str],
     return ds.map_batches(Filt, batch_format="pyarrow",
                           zero_copy_batch=True, concurrency=(1, 8),
                           num_cpus=1)
+
+
+def regex_extract_rows(ds: rd.Dataset, col: str, pattern: str,
+                       out_col: str, keep_cols: list[str]) -> rd.Dataset:
+    """Flat-map regex extraction: one output row per match of
+    ``pattern`` (group 1) in ``col`` — the link-graph / reference-
+    mining shape. The regex compiles once per task invocation batch
+    (module-level cache), matches vectorize via pandas ``str.findall``
+    (C-backed), and the row expansion is one ``np.repeat`` — no
+    per-match Python."""
+    import re
+
+    rx = re.compile(pattern)
+
+    def extract(df: pd.DataFrame) -> pd.DataFrame:
+        matches = df[col].str.findall(rx)
+        counts = matches.str.len().fillna(0).astype(np.int64).to_numpy()
+        idx = np.repeat(np.arange(len(df)), counts)
+        flat = [m for row in matches for m in (row or [])]
+        out = df.iloc[idx][keep_cols].reset_index(drop=True)
+        out[out_col] = flat
+        return out
+
+    return ds.map_batches(extract, batch_format="pandas")
