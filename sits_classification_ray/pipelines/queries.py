@@ -930,6 +930,44 @@ def _wav_features_crawl(sf_dir: str) -> rd.Dataset:
                                "zero_crossings", "peak_frame"])
 
 
+def _set_op_urls_weeks(sf_dir: str, op: str) -> rd.Dataset:
+    """Formal set ops over distinct url sets (first vs last ISO week):
+    INTERSECT / EXCEPT as a per-batch membership combiner + one tiny
+    Sum-merge — no distinct-building shuffle per side, the exchange
+    carries (url, in_a, in_b) partial flags."""
+    from ray.data.aggregate import Sum
+
+    obs = _obs(sf_dir).select_columns(["url", "warc_ts"])
+    lo = pd.Timestamp(obs.min("warc_ts")).to_period("W-SUN").start_time
+    hi = pd.Timestamp(obs.max("warc_ts")).to_period("W-SUN").start_time
+
+    def partial(batch: pa.Table) -> pa.Table:
+        week = pc.floor_temporal(batch["warc_ts"], unit="week",
+                                 week_starts_monday=True)
+        wk = pc.cast(week, pa.timestamp("us")).to_pandas()
+        df = pd.DataFrame({"url": batch["url"].to_pandas(),
+                           "in_a": (wk == lo).astype(np.int64),
+                           "in_b": (wk == hi).astype(np.int64)})
+        g = df.groupby("url", as_index=False)[["in_a", "in_b"]].sum()
+        return pa.Table.from_pandas(g[(g["in_a"] > 0) | (g["in_b"] > 0)],
+                                    preserve_index=False)
+
+    partials = obs.map_batches(partial, batch_format="pyarrow",
+                               zero_copy_batch=True)
+    merged = partials.groupby("url").aggregate(
+        Sum("in_a", alias_name="in_a"), Sum("in_b", alias_name="in_b"))
+
+    def finish(t: pa.Table) -> pa.Table:
+        a = pc.greater(t["in_a"], 0)
+        b = pc.greater(t["in_b"], 0)
+        keep = pc.and_(a, b) if op == "intersect" else \
+            pc.and_(a, pc.invert(b))
+        return t.filter(keep).select(["url"])
+
+    return merged.map_batches(finish, batch_format="pyarrow",
+                              zero_copy_batch=True)
+
+
 def _extract_links_crawl(sf_dir: str) -> rd.Dataset:
     """Link-graph extraction (the canonical web-corpus flat-map):
     deterministic anchors are injected into each page (text_len % 4
@@ -3395,6 +3433,9 @@ def build_queries() -> dict[str, Callable[[str], Any]]:
         "wav_features_crawl": _wav_features_crawl,
         "y4m_scene_stats_crawl": _y4m_scene_stats_crawl,
         "extract_links_crawl": _extract_links_crawl,
+        "intersect_urls_weeks": lambda sf: _set_op_urls_weeks(
+            sf, "intersect"),
+        "except_urls_weeks": lambda sf: _set_op_urls_weeks(sf, "except"),
         "frame_samples": _frame_samples,
         # training driver + tune hook (golden-checked)
         "sniffed_assets_crawl": _sniffed_assets_crawl,
@@ -4917,6 +4958,24 @@ ev AS (
 SELECT o.url, o.warc_ts, o.text_len, e.value AS next_event_value
 FROM obs o ASOF LEFT JOIN ev e
   ON o.url = e.url AND o.warc_ts <= e.ts""",
+        "intersect_urls_weeks": f"""{CRAWL_PREFIX},
+wk AS (SELECT min(CAST(date_trunc('week', warc_ts) AS TIMESTAMP)) AS lo,
+              max(CAST(date_trunc('week', warc_ts) AS TIMESTAMP)) AS hi
+       FROM obs)
+SELECT DISTINCT url FROM obs
+WHERE CAST(date_trunc('week', warc_ts) AS TIMESTAMP) = (SELECT lo FROM wk)
+INTERSECT
+SELECT DISTINCT url FROM obs
+WHERE CAST(date_trunc('week', warc_ts) AS TIMESTAMP) = (SELECT hi FROM wk)""",
+        "except_urls_weeks": f"""{CRAWL_PREFIX},
+wk AS (SELECT min(CAST(date_trunc('week', warc_ts) AS TIMESTAMP)) AS lo,
+              max(CAST(date_trunc('week', warc_ts) AS TIMESTAMP)) AS hi
+       FROM obs)
+SELECT DISTINCT url FROM obs
+WHERE CAST(date_trunc('week', warc_ts) AS TIMESTAMP) = (SELECT lo FROM wk)
+EXCEPT
+SELECT DISTINCT url FROM obs
+WHERE CAST(date_trunc('week', warc_ts) AS TIMESTAMP) = (SELECT hi FROM wk)""",
         "extract_links_crawl": f"""WITH {CRAWL_CTE}
 SELECT c.url, c.warc_ts,
        'https://site-'

@@ -25,10 +25,20 @@ def to_pandas(res) -> pd.DataFrame:
         # strip pandas-conversion schema metadata before the driver-side
         # unify: metadata makes pa.Schema unhashable, so to_pandas() on
         # a dataset with pandas-born blocks logs a schema-dedup warning
+        sch = res.schema()      # capture BEFORE consumption (None after)
         res = res.map_batches(
             lambda b: b.replace_schema_metadata(None),
             batch_format="pyarrow", zero_copy_batch=True)
-        return res.to_pandas()
+        df = res.to_pandas()
+        if df.shape[1] == 0 and sch is not None and sch.names:
+            # Ray quirk: to_pandas() on a 0-row Dataset drops the
+            # columns even though ds.schema() knows them — rebuild the
+            # empty frame from the schema so 0-row results still
+            # compare on column names/dtypes
+            empty = pa.table({n: pa.array([], t)
+                              for n, t in zip(sch.names, sch.types)})
+            df = empty.to_pandas()
+        return df
     if isinstance(res, pa.Table):
         return res.to_pandas()
     return res
