@@ -590,6 +590,19 @@ def _jaccard_near_dup_documents(sf_dir: str) -> rd.Dataset:
     return jaccard_near_dup(ds, w=3, df_cap=32, threshold=0.5)
 
 
+def _snm_near_dup_documents(sf_dir: str) -> rd.Dataset:
+    """Sorted-neighborhood near-dup (Hernández–Stolfo merge/purge):
+    global sort by a text prefix key, pairs within a 3-position
+    window, exact word-shingle Jaccard verify — the sort-based third
+    member of the candidate-generation triad (LSH / inverted index /
+    sorted neighborhood)."""
+    from sits_classification_ray.stages.dedup_docs import snm_near_dup
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"])
+    return snm_near_dup(ds, window=3, w=3, threshold=0.5)
+
+
 def _near_dup_clusters_documents(sf_dir: str) -> rd.Dataset:
     """MinHash pairs → connected components: one (doc_id, cluster_id)
     row per doc in any near-dup component, cluster id = smallest
@@ -3295,6 +3308,7 @@ def build_queries() -> dict[str, Callable[[str], Any]]:
         "fingerprint_documents": _fingerprint_documents,
         "minhash_near_dup_documents": _minhash_near_dup_documents,
         "jaccard_near_dup_documents": _jaccard_near_dup_documents,
+        "snm_near_dup_documents": _snm_near_dup_documents,
         "near_dup_clusters_documents": _near_dup_clusters_documents,
         "near_dup_keep_one_documents": _near_dup_keep_one_documents,
         "simhash_near_dup_documents": _simhash_near_dup_documents,
@@ -3701,6 +3715,36 @@ FROM orders o
 JOIN customer c ON c.c_custkey = o.o_custkey
 JOIN nation n ON n.n_nationkey = c.c_nationkey
 GROUP BY 1 ORDER BY 1""",
+        "snm_near_dup_documents": """
+WITH toks AS MATERIALIZED (
+  SELECT doc_id, string_split(lower(text), ' ') AS ts,
+         len(string_split(lower(text), ' ')) AS n
+  FROM documents),
+sh AS MATERIALIZED (
+  SELECT DISTINCT doc_id, array_to_string(ts[g.i + 1 : g.i + 3], ' ') AS s
+  FROM toks CROSS JOIN LATERAL
+    (SELECT unnest(generate_series(0, n - 3)) AS i) g
+  WHERE n >= 3),
+sz AS MATERIALIZED (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1),
+ranked AS MATERIALIZED (
+  SELECT doc_id,
+         row_number() OVER (ORDER BY substr(lower(text), 1, 24), doc_id)
+             AS rn
+  FROM documents),
+cand AS MATERIALIZED (
+  SELECT DISTINCT least(a.doc_id, b.doc_id) AS id_a,
+                  greatest(a.doc_id, b.doc_id) AS id_b
+  FROM ranked a JOIN ranked b ON b.rn > a.rn AND b.rn <= a.rn + 3),
+inter AS MATERIALIZED (
+  SELECT c.id_a, c.id_b, count(*) AS i
+  FROM cand c JOIN sh a ON a.doc_id = c.id_a
+  JOIN sh b ON b.doc_id = c.id_b AND b.s = a.s
+  GROUP BY 1, 2)
+SELECT c.id_a, c.id_b,
+       round(CAST(i.i AS DOUBLE) / (sa.sz + sb.sz - i.i), 6) AS jaccard
+FROM cand c JOIN inter i ON i.id_a = c.id_a AND i.id_b = c.id_b
+JOIN sz sa ON sa.doc_id = c.id_a JOIN sz sb ON sb.doc_id = c.id_b
+WHERE round(CAST(i.i AS DOUBLE) / (sa.sz + sb.sz - i.i), 6) >= 0.5""",
         "pivot_lang_weekly": f"""{CRAWL_PREFIX}
 SELECT CAST(date_trunc('week', warc_ts) AS TIMESTAMP) AS bucket_ts,
        count(*) FILTER (lang = 'de') AS n_de,

@@ -987,3 +987,105 @@ def jaccard_near_dup(ds: rd.Dataset, w: int = 3, df_cap: int = 32,
         return out[out["jaccard"] >= threshold]
 
     return with_b.map_batches(verify, batch_format="pandas")
+
+
+# ---------------------------------------------------------------------------
+# Sorted-neighborhood dedup (SNM) — sort-based blocking, no hashing
+# ---------------------------------------------------------------------------
+
+
+def snm_candidate_pairs(ds: rd.Dataset, key_fn, window: int = 3,
+                        id_col: str = "doc_id", text_col: str = "text",
+                        bucket_rows: int = 4096) -> rd.Dataset:
+    """Sorted-neighborhood blocking: rows sort by ``key_fn(text)``
+    (ties by id), and every pair within ``window`` positions of the
+    global order becomes a candidate.
+
+    Scale shape: the global order comes from the O(B)-driver rank
+    construction (block lengths only); each row then flat-maps to the
+    rank-buckets it can pair in (its own and — for the last ``window``
+    rows of a bucket — the next one), so pair generation is local to
+    one salted partition and boundary pairs are never missed. The
+    window overlap replaces LSH's probabilistic recall with a
+    deterministic sort-locality assumption (classic Hernández–Stolfo
+    merge/purge)."""
+    from sits_classification_ray.stages.scan_sorted import global_rank
+    from sits_classification_ray.stages.shuffle import partitioned_map
+
+    def add_key(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy(deep=False)
+        df["_k"] = df[text_col].map(key_fn)
+        return df
+
+    ranked = global_rank(ds.map_batches(add_key, batch_format="pandas"),
+                         ["_k", id_col])
+
+    def to_buckets(df: pd.DataFrame) -> pd.DataFrame:
+        rn = df["rn"].to_numpy()
+        b0 = (rn - 1) // bucket_rows
+        b1 = (rn - 1 + window) // bucket_rows
+        dup = b1 != b0
+        out = pd.DataFrame({
+            id_col: np.concatenate([df[id_col], df[id_col][dup]]),
+            "rn": np.concatenate([rn, rn[dup]]),
+            "_bkt": np.concatenate([b0, b1[dup]]),
+        })
+        return out
+
+    exploded = ranked.map_batches(to_buckets, batch_format="pandas")
+
+    def pairs(df: pd.DataFrame) -> pd.DataFrame:
+        outs = []
+        for _, g in df.groupby("_bkt", sort=False):
+            g = g.sort_values("rn")
+            rn = g["rn"].to_numpy()
+            ids = g[id_col].to_numpy()
+            for d in range(1, window + 1):
+                if len(rn) <= d:
+                    break
+                m = rn[d:] - rn[:-d] <= window
+                a, b = ids[:-d][m], ids[d:][m]
+                lo, hi = np.minimum(a, b), np.maximum(a, b)
+                outs.append(pd.DataFrame({"id_a": lo, "id_b": hi}))
+        if not outs:
+            return pd.DataFrame({"id_a": pd.Series([], dtype=np.int64),
+                                 "id_b": pd.Series([], dtype=np.int64)})
+        return pd.concat(outs, ignore_index=True)
+
+    cand = partitioned_map(exploded, pairs, keys=["_bkt"])
+    return partitioned_map(cand,
+                           lambda df: df.drop_duplicates(["id_a", "id_b"]),
+                           keys=["id_a", "id_b"])
+
+
+def snm_near_dup(ds: rd.Dataset, key_fn=None, window: int = 3,
+                 w: int = 3, threshold: float = 0.5,
+                 id_col: str = "doc_id", text_col: str = "text"
+                 ) -> rd.Dataset:
+    """Sorted-neighborhood near-dup: SNM candidates → exact
+    word-shingle Jaccard verify (same verify contract as
+    jaccard_near_dup). Default sort key = first 24 lowercased chars."""
+    if key_fn is None:
+        def key_fn(t):                      # noqa: E306
+            return (t or "").lower()[:24]
+
+    cand = snm_candidate_pairs(ds, key_fn, window, id_col, text_col)
+    docs = ds.select_columns([id_col, text_col])
+    with_a = _attach_text(cand, docs, "id_a", "__ta", id_col, text_col)
+    with_b = _attach_text(with_a, docs, "id_b", "__tb", id_col, text_col)
+
+    def verify(df: pd.DataFrame) -> pd.DataFrame:
+        jac = np.empty(len(df))
+        for i, (a, b) in enumerate(zip(df["__ta"], df["__tb"])):
+            sa = _word_shingle_u64(a or "", w)
+            sb = _word_shingle_u64(b or "", w)
+            inter = len(np.intersect1d(sa, sb, assume_unique=True))
+            union = len(sa) + len(sb) - inter
+            jac[i] = inter / max(1, union)
+        out = df.drop(columns=["__ta", "__tb"]).copy(deep=False)
+        out["id_a"] = out["id_a"].astype(np.int64)
+        out["id_b"] = out["id_b"].astype(np.int64)
+        out["jaccard"] = np.round(jac, 6)
+        return out[out["jaccard"] >= threshold]
+
+    return with_b.map_batches(verify, batch_format="pandas")

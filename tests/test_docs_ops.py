@@ -740,3 +740,25 @@ def test_srp_near_dup_finds_planted_copies(ray_session):
     found = set(map(tuple, out[["id_a", "id_b"]].to_numpy()))
     assert found == {(i, i + 100) for i in range(10)}
     assert (out["cos_sim"] >= 0.98).all()
+
+
+def test_snm_window_semantics(ray_session):
+    """SNM pairs exactly the rows within `window` positions of the
+    key-sorted order — including across rank-bucket boundaries."""
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from sits_classification_ray.stages.dedup_docs import (
+        snm_candidate_pairs)
+
+    # keys sort as doc_id order: texts 'a','b',...
+    texts = [chr(97 + i) * 3 for i in range(8)]
+    t = pd.DataFrame({"doc_id": np.arange(8, dtype=np.int64),
+                      "text": texts})
+    out = snm_candidate_pairs(rd.from_pandas(t).repartition(3),
+                              key_fn=lambda s: s, window=2,
+                              bucket_rows=3).to_pandas()
+    got = set(map(tuple, out[["id_a", "id_b"]].to_numpy()))
+    expect = {(i, j) for i in range(8) for j in range(i + 1, min(i + 3, 8))}
+    assert got == expect        # every |rank diff| <= 2 pair, no dups
