@@ -404,3 +404,74 @@ def exact_int_quantile(ds: rd.Dataset, value_col: str, bucket_col: str,
         return out
 
     return partitioned_map(merged, finalize, keys=[bucket_col])
+
+
+# --- AMS F2 (second frequency moment) linear sketch ----------------------
+
+def _ams_params(keys: list, rows: int, buckets: int
+                ) -> tuple[np.ndarray, np.ndarray]:
+    """Per-(row, key) bucket index and ±1 sign, derived from sha1 —
+    the deterministic hash spec shared with the golden oracle."""
+    import hashlib
+
+    bkt = np.empty((rows, len(keys)), dtype=np.int64)
+    sgn = np.empty((rows, len(keys)), dtype=np.int64)
+    for k, key in enumerate(keys):
+        for j in range(rows):
+            h = int.from_bytes(
+                hashlib.sha1(f"{j}:{key}".encode()).digest()[:8], "big")
+            bkt[j, k] = h % buckets
+            sgn[j, k] = 1 - 2 * ((h >> 8) & 1)
+    return bkt, sgn
+
+
+def ams_f2(ds: rd.Dataset, key_col: str, rows: int = 5,
+           buckets: int = 256) -> pd.DataFrame:
+    """AMS second-moment estimate of ``key_col`` frequencies (the
+    self-join size / skew signal) next to the exact value.
+
+    The sketch is LINEAR: per-batch partial counter matrices merge by
+    plain addition, so the exchange is a native (row, bucket) Sum over
+    ≤ rows×buckets integers per batch — never the keys. The exact F2
+    rides the same pass as a per-batch (key, count) combiner + one
+    grouped Sum. All math is integer → bit-stable under any order.
+    """
+    from ray.data.aggregate import Sum
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        uniq, counts = np.unique(df[key_col].to_numpy(), return_counts=True)
+        bkt, sgn = _ams_params(list(uniq), rows, buckets)
+        C = np.zeros((rows, buckets), dtype=np.int64)
+        for j in range(rows):
+            np.add.at(C[j], bkt[j], sgn[j] * counts)
+        jj, hh = np.nonzero(C)
+        sk = pd.DataFrame({"j": jj, "h": hh, "c": C[jj, hh],
+                           "key": "", "n": 0})
+        ex = pd.DataFrame({"j": -1, "h": -1, "c": 0,
+                           "key": uniq.astype(str), "n": counts})
+        return pd.concat([sk, ex], ignore_index=True)
+
+    partials = ds.map_batches(partial, batch_format="pandas")
+    # sketch side: ≤ rows×buckets integers total reach the driver
+    sk = (partials.map_batches(lambda d: d[d["j"] >= 0],
+                               batch_format="pandas")
+          .groupby(["j", "h"]).aggregate(Sum("c", alias_name="c"))
+          .to_pandas())
+    # exact side stays distributed: per-key Sum, then a per-batch n²
+    # partial and one global Sum — the key table never reaches the
+    # driver
+    exact = (partials.map_batches(lambda d: d[d["j"] < 0],
+                                  batch_format="pandas")
+             .groupby("key").aggregate(Sum("n", alias_name="n"))
+             .map_batches(lambda d: pd.DataFrame(
+                 {"sq": (d["n"].to_numpy(np.int64) ** 2)}),
+                 batch_format="pandas")
+             .sum("sq"))
+    exact = int(exact)
+    per_row = sk.groupby("j")["c"].apply(
+        lambda s: int((s.to_numpy(np.int64) ** 2).sum()))
+    per_row = per_row.reindex(range(rows), fill_value=0)
+    est = int(np.median(per_row.to_numpy(np.int64)))
+    rel = round(abs(est - exact) / max(1, exact), 6)
+    return pd.DataFrame([{"f2_estimate": est, "exact_f2": exact,
+                          "rel_error": rel}])

@@ -1799,3 +1799,24 @@ def y4m_scene_stats_crawl(crawl: pd.DataFrame, cut_threshold: int = 48
             prev = fi
     return pd.DataFrame(rows, columns=["url", "warc_ts", "frame_idx",
                                        "luma_sum", "l1_prev", "is_cut"])
+
+
+def ams_f2_urls(obs: pd.DataFrame, rows: int = 5, buckets: int = 256
+                ) -> pd.DataFrame:
+    """Independent AMS F2 model: same sha1-derived bucket/sign spec,
+    sequential counter fill, median of per-row Σc², exact F2 from
+    value_counts."""
+    counts = obs["url"].value_counts()
+    C = np.zeros((rows, buckets), dtype=np.int64)
+    for url, n in counts.items():
+        for j in range(rows):
+            h = int.from_bytes(
+                hashlib.sha1(f"{j}:{url}".encode()).digest()[:8], "big")
+            s = 1 - 2 * ((h >> 8) & 1)
+            C[j, h % buckets] += s * int(n)
+    per_row = (C.astype(np.int64) ** 2).sum(axis=1)
+    est = int(np.median(per_row))
+    exact = int((counts.to_numpy(np.int64) ** 2).sum())
+    rel = round(abs(est - exact) / max(1, exact), 6)
+    return pd.DataFrame([{"f2_estimate": est, "exact_f2": exact,
+                          "rel_error": rel}])

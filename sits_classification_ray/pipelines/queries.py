@@ -250,6 +250,16 @@ def _hll_distinct_urls_daily(sf_dir: str) -> rd.Dataset:
     return hll_distinct(obs_days, key_col="url", bucket_col="bucket_ts")
 
 
+def _ams_f2_urls(sf_dir: str) -> pd.DataFrame:
+    """AMS second-moment (self-join size / skew) sketch next to the
+    exact F2 — a LINEAR sketch whose partials merge by plain addition
+    (native Sum over ≤ rows×buckets integers); the exact side reduces
+    fully distributed."""
+    from sits_classification_ray.functions.sketches import ams_f2
+
+    return ams_f2(_obs(sf_dir).select_columns(["url"]), "url")
+
+
 def _hll_weekly_from_daily(sf_dir: str) -> rd.Dataset:
     """Weekly distinct-url estimates derived by MERGING the stored
     daily HLL sketches (register max) — the continuous-aggregate
@@ -3266,6 +3276,7 @@ def build_queries() -> dict[str, Callable[[str], Any]]:
         "hopping_rollup_6h_1h": _hopping_rollup_6h_1h,
         "hll_distinct_urls_daily": _hll_distinct_urls_daily,
         "hll_weekly_from_daily": _hll_weekly_from_daily,
+        "ams_f2_urls": _ams_f2_urls,
         "hist_quantile_daily": _hist_quantile_daily,
         "kmv_distinct_urls_daily": _kmv_distinct_urls_daily,
         "quantiles_daily_crawl": _quantiles_daily_crawl,
@@ -3529,7 +3540,7 @@ def _golden_sql(name: str) -> str:
 #: operators that ANSI SQL cannot express).
 GOLDEN_QUERIES = [
     "embedding_near_dup_ivf", "hll_distinct_urls_daily",
-    "hll_weekly_from_daily", "canonical_urls_crawl",
+    "hll_weekly_from_daily", "ams_f2_urls", "canonical_urls_crawl",
     "langid_documents", "langid_confusion", "simhash_documents",
     "fingerprint_documents", "minhash_near_dup_documents", "ivf_topk",
     "stratified_sample_documents", "train_test_split_sizes",

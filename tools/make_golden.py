@@ -84,6 +84,7 @@ def make_for(sf_dir: str, only: set[str] | None = None) -> None:
             lambda: golden.hll_distinct_urls_daily(obs),
         "hll_weekly_from_daily":
             lambda: golden.hll_weekly_from_daily(obs),
+        "ams_f2_urls": lambda: golden.ams_f2_urls(obs),
         "hist_quantile_daily": lambda: golden.hist_quantile_daily(obs),
         "kmv_distinct_urls_daily":
             lambda: golden.kmv_distinct_urls_daily(obs),
