@@ -762,3 +762,42 @@ def test_snm_window_semantics(ray_session):
     got = set(map(tuple, out[["id_a", "id_b"]].to_numpy()))
     expect = {(i, j) for i in range(8) for j in range(i + 1, min(i + 3, 8))}
     assert got == expect        # every |rank diff| <= 2 pair, no dups
+
+
+def test_jaccard_exact_recall_randomized(ray_session):
+    """With an uncapped df the inverted-index method has recall 1 by
+    construction: across random corpora it must equal the brute-force
+    pair set exactly (the property LSH methods only approximate)."""
+    import itertools
+
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from sits_classification_ray.stages.dedup_docs import jaccard_near_dup
+
+    pool = ["alpha", "beta", "gamma", "delta", "eps", "zeta"]
+    for seed in (1, 2, 3):
+        rng = np.random.default_rng(seed)
+        texts = [" ".join(rng.choice(pool, size=rng.integers(3, 9)))
+                 for _ in range(30)]
+        df = pd.DataFrame({"doc_id": np.arange(30, dtype=np.int64),
+                           "text": texts})
+        out = jaccard_near_dup(rd.from_pandas(df).repartition(4),
+                               w=3, df_cap=10 ** 9,
+                               threshold=0.3).to_pandas()
+        got = {(r.id_a, r.id_b): r.jaccard for r in out.itertuples()}
+
+        def sh(s):
+            tk = s.split(" ")
+            return {" ".join(tk[i:i + 3]) for i in range(len(tk) - 2)}
+
+        expect = {}
+        for a, b in itertools.combinations(range(30), 2):
+            sa, sb = sh(texts[a]), sh(texts[b])
+            if not (sa & sb):
+                continue
+            j = round(len(sa & sb) / len(sa | sb), 6)
+            if j >= 0.3:
+                expect[(a, b)] = j
+        assert got == expect, f"seed {seed}"
