@@ -924,16 +924,12 @@ def jaccard_candidate_pairs(ds: rd.Dataset, w: int = 3,
     from sits_classification_ray.stages.shuffle import partitioned_map
 
     def explode(df: pd.DataFrame) -> pd.DataFrame:
-        ids, shs = [], []
-        for i, t in zip(df[id_col].to_numpy(), df[text_col]):
-            hs = _word_shingle_u64(t, w)
-            ids.append(np.full(len(hs), i, dtype=np.int64))
-            shs.append(hs.astype(np.int64))  # int64 view for arrow keys
-        if not ids:
-            return pd.DataFrame({"sh": pd.Series([], dtype=np.int64),
-                                 id_col: pd.Series([], dtype=np.int64)})
-        return pd.DataFrame({"sh": np.concatenate(shs),
-                             id_col: np.concatenate(ids)})
+        di, hs = _word_shingle_batch(list(df[text_col]), w)
+        return pd.DataFrame({
+            "sh": hs.view(np.int64),  # int64 view for arrow keys
+            id_col: df[id_col].to_numpy()[di]
+            if len(di) else np.empty(0, np.int64),
+        })
 
     postings = ds.map_batches(explode, batch_format="pandas")
 
@@ -956,6 +952,40 @@ def jaccard_candidate_pairs(ds: rd.Dataset, w: int = 3,
                            keys=["id_a", "id_b"])
 
 
+def _word_jaccard_verify(with_b: rd.Dataset, w: int, threshold: float
+                         ) -> rd.Dataset:
+    """Shared exact word-shingle Jaccard verify over attached texts.
+
+    Shingle sets are memoized per DISTINCT text within each batch —
+    every doc participates in many candidate pairs (hundreds on
+    boilerplate-heavy corpora), so recomputing its shingles per pair
+    was the verify stage's dominant cost; the per-pair work drops to
+    one C-level ``np.intersect1d``."""
+
+    def verify(df: pd.DataFrame) -> pd.DataFrame:
+        memo: dict = {}
+
+        def sh(t):
+            s = memo.get(t)
+            if s is None:
+                s = memo[t] = _word_shingle_u64(t or "", w)
+            return s
+
+        jac = np.empty(len(df))
+        for i, (a, b) in enumerate(zip(df["__ta"], df["__tb"])):
+            sa, sb = sh(a), sh(b)
+            inter = len(np.intersect1d(sa, sb, assume_unique=True))
+            union = len(sa) + len(sb) - inter
+            jac[i] = inter / max(1, union)
+        out = df.drop(columns=["__ta", "__tb"]).copy(deep=False)
+        out["id_a"] = out["id_a"].astype(np.int64)
+        out["id_b"] = out["id_b"].astype(np.int64)
+        out["jaccard"] = np.round(jac, 6)
+        return out[out["jaccard"] >= threshold]
+
+    return with_b.map_batches(verify, batch_format="pandas")
+
+
 def jaccard_near_dup(ds: rd.Dataset, w: int = 3, df_cap: int = 32,
                      threshold: float = 0.5, id_col: str = "doc_id",
                      text_col: str = "text") -> rd.Dataset:
@@ -971,22 +1001,7 @@ def jaccard_near_dup(ds: rd.Dataset, w: int = 3, df_cap: int = 32,
     docs = ds.select_columns([id_col, text_col])
     with_a = _attach_text(cand, docs, "id_a", "__ta", id_col, text_col)
     with_b = _attach_text(with_a, docs, "id_b", "__tb", id_col, text_col)
-
-    def verify(df: pd.DataFrame) -> pd.DataFrame:
-        jac = np.empty(len(df))
-        for i, (a, b) in enumerate(zip(df["__ta"], df["__tb"])):
-            sa = _word_shingle_u64(a or "", w)
-            sb = _word_shingle_u64(b or "", w)
-            inter = len(np.intersect1d(sa, sb, assume_unique=True))
-            union = len(sa) + len(sb) - inter
-            jac[i] = inter / max(1, union)
-        out = df.drop(columns=["__ta", "__tb"]).copy(deep=False)
-        out["id_a"] = out["id_a"].astype(np.int64)
-        out["id_b"] = out["id_b"].astype(np.int64)
-        out["jaccard"] = np.round(jac, 6)
-        return out[out["jaccard"] >= threshold]
-
-    return with_b.map_batches(verify, batch_format="pandas")
+    return _word_jaccard_verify(with_b, w, threshold)
 
 
 # ---------------------------------------------------------------------------
@@ -1074,18 +1089,41 @@ def snm_near_dup(ds: rd.Dataset, key_fn=None, window: int = 3,
     with_a = _attach_text(cand, docs, "id_a", "__ta", id_col, text_col)
     with_b = _attach_text(with_a, docs, "id_b", "__tb", id_col, text_col)
 
-    def verify(df: pd.DataFrame) -> pd.DataFrame:
-        jac = np.empty(len(df))
-        for i, (a, b) in enumerate(zip(df["__ta"], df["__tb"])):
-            sa = _word_shingle_u64(a or "", w)
-            sb = _word_shingle_u64(b or "", w)
-            inter = len(np.intersect1d(sa, sb, assume_unique=True))
-            union = len(sa) + len(sb) - inter
-            jac[i] = inter / max(1, union)
-        out = df.drop(columns=["__ta", "__tb"]).copy(deep=False)
-        out["id_a"] = out["id_a"].astype(np.int64)
-        out["id_b"] = out["id_b"].astype(np.int64)
-        out["jaccard"] = np.round(jac, 6)
-        return out[out["jaccard"] >= threshold]
+    return _word_jaccard_verify(with_b, w, threshold)
 
-    return with_b.map_batches(verify, batch_format="pandas")
+
+def _word_shingle_batch(texts, w: int) -> tuple[np.ndarray, np.ndarray]:
+    """Batch-vectorized word-shingle hashing: tokens of ALL documents
+    concatenate into one array, each distinct token is sha1-hashed
+    ONCE per batch, and a single windowed polynomial pass produces
+    every document's shingle hashes (windows crossing a document
+    boundary are masked out). Returns (doc_index, shingle_hash) pairs,
+    distinct per document — identical values to
+    :func:`_word_shingle_u64` row by row, ~an order of magnitude less
+    Python in the hot explode path."""
+    toks_per_doc = [(t or "").lower().split(" ") for t in texts]
+    lens = np.fromiter((len(x) for x in toks_per_doc), dtype=np.int64,
+                       count=len(toks_per_doc))
+    if not lens.sum():
+        return (np.empty(0, np.int64), np.empty(0, np.uint64))
+    flat = np.concatenate([np.asarray(x, dtype=object)
+                           for x in toks_per_doc])
+    uniq, inv = np.unique(flat, return_inverse=True)
+    th = _sha1_u64(list(uniq))[inv]
+    n = len(flat)
+    if n < w:
+        return (np.empty(0, np.int64), np.empty(0, np.uint64))
+    m = n - w + 1
+    with np.errstate(over="ignore"):
+        h = np.zeros(m, dtype=np.uint64)
+        for j in range(w):
+            h = h * _SHINGLE_BASE + th[j:j + m]
+    starts = np.concatenate([[0], np.cumsum(lens)[:-1]])
+    doc_of = np.repeat(np.arange(len(lens), dtype=np.int64), lens)[:m]
+    # a window is valid iff it starts and ends inside the same doc
+    ends = starts + lens            # exclusive
+    valid = np.arange(m) + w <= ends[doc_of]
+    pairs = np.stack([doc_of[valid],
+                      h[valid].view(np.int64)], axis=1)
+    pairs = np.unique(pairs, axis=0)
+    return pairs[:, 0], pairs[:, 1].view(np.uint64)
