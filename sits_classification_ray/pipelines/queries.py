@@ -3260,7 +3260,8 @@ def build_queries() -> dict[str, Callable[[str], Any]]:
     from sits_classification_ray.pipelines.relational import (
         orders_per_nation, q1_pricing_summary, q3_shipping_priority,
         q5_local_supplier_volume, q6_revenue_forecast,
-        q10_returned_items)
+        q10_returned_items, q14_promo_revenue,
+        q17_small_quantity_revenue)
 
     return {k: _tuned(v) for k, v in {
         # crawl pipeline (SQL-checked)
@@ -3296,6 +3297,8 @@ def build_queries() -> dict[str, Callable[[str], Any]]:
         "q5_local_supplier_volume": q5_local_supplier_volume,
         "q6_revenue_forecast": q6_revenue_forecast,
         "q10_returned_items": q10_returned_items,
+        "q14_promo_revenue": q14_promo_revenue,
+        "q17_small_quantity_revenue": q17_small_quantity_revenue,
         # documents / training-data ops
         "exact_dedup_documents": _exact_dedup_documents,
         "text_stats_documents": _text_stats_documents,
@@ -3829,6 +3832,34 @@ WHERE r.r_name = 'ASIA' AND c.c_nationkey = s.s_nationkey
   AND o.o_orderdate >= TIMESTAMP '1997-01-01'
   AND o.o_orderdate < TIMESTAMP '1998-01-01'
 GROUP BY 1 ORDER BY 1""",
+        "q14_promo_revenue": """
+WITH r AS (
+  SELECT CAST(round(l.l_extendedprice * 100, 0) AS BIGINT)
+         * (100 - CAST(round(l.l_discount * 100, 0) AS BIGINT)) AS rev,
+         p.p_type = 'PROMO' AS is_promo
+  FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+  WHERE l.l_shipdate >= TIMESTAMP '1997-03-01'
+    AND l.l_shipdate < TIMESTAMP '1997-04-01')
+SELECT CAST(sum(CASE WHEN is_promo THEN rev ELSE 0 END) AS BIGINT)
+           AS promo_u,
+       CAST(sum(rev) AS BIGINT) AS total_u,
+       round(100.0 * CAST(sum(CASE WHEN is_promo THEN rev ELSE 0 END)
+                          AS BIGINT)
+             / greatest(1, CAST(sum(rev) AS BIGINT)), 6)
+           AS promo_share_pct
+FROM r""",
+        "q17_small_quantity_revenue": """
+WITH pp AS MATERIALIZED (
+  SELECT l_partkey, CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT)
+             AS sum_q,
+         5 * count(*) AS n5
+  FROM lineitem GROUP BY 1)
+SELECT CAST(sum(CASE WHEN pp.n5 * CAST(l.l_quantity AS BIGINT) < pp.sum_q
+                     THEN CAST(round(l.l_extendedprice * 100, 0) AS BIGINT)
+                     ELSE 0 END) AS BIGINT) AS rev_cents,
+       CAST(sum(CASE WHEN pp.n5 * CAST(l.l_quantity AS BIGINT) < pp.sum_q
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_small
+FROM lineitem l JOIN pp ON l.l_partkey = pp.l_partkey""",
         "q10_returned_items": """
 WITH per AS (
   SELECT o.o_custkey,

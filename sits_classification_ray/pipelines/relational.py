@@ -433,3 +433,118 @@ def q10_returned_items(sf_dir: str) -> rd.Dataset:
     out = top.map_batches(attach_attrs, batch_format="pyarrow",
                           zero_copy_batch=True)
     return out.sort(["revenue_u", "c_custkey"], descending=[True, False])
+
+
+def q14_promo_revenue(sf_dir: str) -> pd.DataFrame:
+    """Q14 shape: conditional share over a broadcast dimension.
+
+    part is tiny relative to lineitem, so the partkey→is_promo flag
+    ships once via ``ray.put``; the month's revenue splits into
+    promo/total per batch and merges as two exact integer sums —
+    zero shuffle."""
+    import pyarrow.parquet as pq
+    from ray.data.aggregate import Sum
+
+    lo, hi = pd.Timestamp("1997-03-01"), pd.Timestamp("1997-04-01")
+    part = pq.read_table(f"{sf_dir}/part.parquet",
+                         columns=["p_partkey", "p_type"])
+    pk = part["p_partkey"].to_numpy()
+    promo = np.zeros(int(pk.max()) + 1, dtype=bool)
+    promo[pk] = np.asarray(
+        [t == "PROMO" for t in part["p_type"].to_pylist()])
+    promo_ref = ray.put(promo)
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_partkey", "l_extendedprice", "l_discount",
+                 "l_shipdate"],
+        filter=((pc.field("l_shipdate") >= pc.scalar(lo))
+                & (pc.field("l_shipdate") < pc.scalar(hi))),
+    )
+
+    def prep(batch: pa.Table) -> pa.Table:
+        batch = batch.filter(pc.and_(
+            pc.greater_equal(batch["l_shipdate"],
+                             pa.scalar(lo, pa.timestamp("us"))),
+            pc.less(batch["l_shipdate"],
+                    pa.scalar(hi, pa.timestamp("us")))))
+        is_promo = ray.get(promo_ref)[batch["l_partkey"].to_numpy()]
+        rev = pc.multiply(_cents(batch["l_extendedprice"]),
+                          pc.subtract(pa.scalar(100, pa.int64()),
+                                      _pct(batch["l_discount"]))).to_numpy()
+        return pa.table({
+            "promo_u": pa.array(np.where(is_promo, rev, 0), pa.int64()),
+            "total_u": pa.array(rev, pa.int64()),
+        })
+
+    agg = ds.map_batches(prep, batch_format="pyarrow",
+                         zero_copy_batch=True).aggregate(
+        Sum("promo_u", alias_name="promo_u"),
+        Sum("total_u", alias_name="total_u"))
+    promo_u, total_u = int(agg["promo_u"]), int(agg["total_u"])
+    share = round(100.0 * promo_u / max(1, total_u), 6)
+    return pd.DataFrame([{"promo_u": promo_u, "total_u": total_u,
+                          "promo_share_pct": share}])
+
+
+def q17_small_quantity_revenue(sf_dir: str) -> pd.DataFrame:
+    """Q17 shape: correlated per-group aggregate — lineitems below
+    20% of their part's average quantity.
+
+    Two passes over lineitem, no join of big sides: pass 1 reduces
+    (partkey → sum_qty, n) with a per-batch combiner (the per-part
+    table is dimension-sized and becomes the broadcast threshold
+    lookup); pass 2 filters against the broadcast thresholds and sums
+    price cents exactly. The classic decorrelation of a correlated
+    scalar subquery."""
+    from ray.data.aggregate import Count, Sum
+
+    qsrc = rd.read_parquet(f"{sf_dir}/lineitem.parquet",
+                           columns=["l_partkey", "l_quantity"])
+
+    def qpartial(batch: pa.Table) -> pa.Table:
+        df = pd.DataFrame({
+            "l_partkey": batch["l_partkey"].to_numpy(),
+            "q": pc.cast(batch["l_quantity"], pa.int64()).to_numpy(),
+        })
+        g = df.groupby("l_partkey", as_index=False).agg(
+            sum_q=("q", "sum"), n=("q", "size"))
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    per_part = (qsrc.map_batches(qpartial, batch_format="pyarrow",
+                                 zero_copy_batch=True)
+                .groupby("l_partkey").aggregate(
+                    Sum("sum_q", alias_name="sum_q"),
+                    Sum("n", alias_name="n"))
+                .to_pandas())
+    # threshold as an EXACT rational: keep 0.2·avg as (sum_q, 5·n) and
+    # compare 5·n·qty < sum_q in integers — no float avg anywhere
+    kmax = int(per_part["l_partkey"].max())
+    sum_q = np.zeros(kmax + 1, dtype=np.int64)
+    n5 = np.zeros(kmax + 1, dtype=np.int64)
+    sum_q[per_part["l_partkey"].to_numpy()] = per_part["sum_q"].to_numpy()
+    n5[per_part["l_partkey"].to_numpy()] = 5 * per_part["n"].to_numpy()
+    thr_ref = ray.put((sum_q, n5))
+
+    ds = rd.read_parquet(f"{sf_dir}/lineitem.parquet",
+                         columns=["l_partkey", "l_quantity",
+                                  "l_extendedprice"])
+
+    def prep(batch: pa.Table) -> pa.Table:
+        sq, n5v = ray.get(thr_ref)
+        k = batch["l_partkey"].to_numpy()
+        q = pc.cast(batch["l_quantity"], pa.int64()).to_numpy()
+        keep = n5v[k] * q < sq[k]
+        cents = _cents(batch["l_extendedprice"]).to_numpy()
+        return pa.table({
+            "rev_cents": pa.array(np.where(keep, cents, 0), pa.int64()),
+            "n_small": pa.array(keep.astype(np.int64)),
+        })
+
+    from ray.data.aggregate import Sum as _S
+    agg = ds.map_batches(prep, batch_format="pyarrow",
+                         zero_copy_batch=True).aggregate(
+        _S("rev_cents", alias_name="rev_cents"),
+        _S("n_small", alias_name="n_small"))
+    return pd.DataFrame([{"rev_cents": int(agg["rev_cents"]),
+                          "n_small": int(agg["n_small"])}])
