@@ -109,3 +109,44 @@ def test_q10_late_materialization_attrs(ray_session):
     assert got["c_name"].tolist() == exp["c_name"].tolist()
     assert got["nation"].tolist() == exp["nation"].tolist()
     assert got["revenue_u"].tolist() == exp["revenue_u"].tolist()
+
+
+def test_q14_promo_share(ray_session):
+    from sits_classification_ray.pipelines.relational import (
+        q14_promo_revenue)
+
+    got = q14_promo_revenue(SF)
+    exp = _duck("""
+        WITH p2 AS (SELECT * FROM '/root/testdata/sf0.001/part.parquet'),
+        r AS (
+          SELECT CAST(round(l.l_extendedprice * 100, 0) AS BIGINT)
+                 * (100 - CAST(round(l.l_discount * 100, 0) AS BIGINT))
+                     AS rev,
+                 p.p_type = 'PROMO' AS is_promo
+          FROM lineitem l JOIN p2 p ON l.l_partkey = p.p_partkey
+          WHERE l.l_shipdate >= TIMESTAMP '1997-03-01'
+            AND l.l_shipdate < TIMESTAMP '1997-04-01')
+        SELECT CAST(sum(CASE WHEN is_promo THEN rev ELSE 0 END) AS BIGINT)
+                   AS promo_u,
+               CAST(sum(rev) AS BIGINT) AS total_u
+        FROM r""")
+    assert int(got["promo_u"].iloc[0]) == int(exp["promo_u"].iloc[0])
+    assert int(got["total_u"].iloc[0]) == int(exp["total_u"].iloc[0])
+
+
+def test_q17_exact_rational_threshold(ray_session):
+    from sits_classification_ray.pipelines.relational import (
+        q17_small_quantity_revenue)
+
+    got = q17_small_quantity_revenue(SF)
+    exp = _duck("""
+        WITH pp AS (
+          SELECT l_partkey,
+                 CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_q,
+                 5 * count(*) AS n5
+          FROM lineitem GROUP BY 1)
+        SELECT CAST(sum(CASE WHEN pp.n5 * CAST(l.l_quantity AS BIGINT)
+                                  < pp.sum_q THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_small
+        FROM lineitem l JOIN pp ON l.l_partkey = pp.l_partkey""")
+    assert int(got["n_small"].iloc[0]) == int(exp["n_small"].iloc[0])
