@@ -991,6 +991,41 @@ def _set_op_urls_weeks(sf_dir: str, op: str) -> rd.Dataset:
                               zero_copy_batch=True)
 
 
+def _rank_in_domain_crawl(sf_dir: str) -> rd.Dataset:
+    """Windowed rank within a partition key: urls dense-ranked by
+    snapshot count inside their domain (PARTITION BY domain ORDER BY
+    n DESC) — per-url counts reduce first, then one salted exchange
+    on domain ranks each group with a vectorized kernel."""
+    from ray.data.aggregate import Count
+
+    from sits_classification_ray.stages.shuffle import partitioned_map
+
+    obs = _obs(sf_dir).select_columns(["url"])
+
+    def with_domain(batch: pa.Table) -> pa.Table:
+        dom = pc.replace_substring_regex(batch["url"],
+                                         r"^https?://([^/]+)/.*$", r"\1")
+        return pa.table({"domain": dom, "url": batch["url"]})
+
+    counts = (obs.map_batches(with_domain, batch_format="pyarrow",
+                              zero_copy_batch=True)
+              .groupby(["domain", "url"])
+              .aggregate(Count(alias_name="n")))
+
+    def rank(df: pd.DataFrame) -> pd.DataFrame:
+        outs = []
+        for _, g in df.groupby("domain", sort=False):
+            g = g.sort_values(["n", "url"], ascending=[False, True])
+            r = g["n"].rank(method="dense", ascending=False)
+            g = g.assign(rnk=r.astype(np.int64))
+            outs.append(g)
+        if not outs:
+            return df.assign(rnk=pd.Series([], dtype=np.int64))
+        return pd.concat(outs, ignore_index=True)
+
+    return partitioned_map(counts, rank, keys=["domain"])
+
+
 def _extract_links_crawl(sf_dir: str) -> rd.Dataset:
     """Link-graph extraction (the canonical web-corpus flat-map):
     deterministic anchors are injected into each page (text_len % 4
@@ -3461,6 +3496,7 @@ def build_queries() -> dict[str, Callable[[str], Any]]:
         "wav_features_crawl": _wav_features_crawl,
         "y4m_scene_stats_crawl": _y4m_scene_stats_crawl,
         "extract_links_crawl": _extract_links_crawl,
+        "rank_in_domain_crawl": _rank_in_domain_crawl,
         "intersect_urls_weeks": lambda sf: _set_op_urls_weeks(
             sf, "intersect"),
         "except_urls_weeks": lambda sf: _set_op_urls_weeks(sf, "except"),
@@ -5044,6 +5080,14 @@ ev AS (
 SELECT o.url, o.warc_ts, o.text_len, e.value AS next_event_value
 FROM obs o ASOF LEFT JOIN ev e
   ON o.url = e.url AND o.warc_ts <= e.ts""",
+        "rank_in_domain_crawl": f"""{CRAWL_PREFIX},
+cnt AS (
+  SELECT regexp_replace(url, '^https?://([^/]+)/.*$', '\\1') AS domain,
+         url, count(*) AS n
+  FROM obs GROUP BY 1, 2)
+SELECT domain, url, n,
+       dense_rank() OVER (PARTITION BY domain ORDER BY n DESC) AS rnk
+FROM cnt""",
         "intersect_urls_weeks": f"""{CRAWL_PREFIX},
 wk AS (SELECT min(CAST(date_trunc('week', warc_ts) AS TIMESTAMP)) AS lo,
               max(CAST(date_trunc('week', warc_ts) AS TIMESTAMP)) AS hi
