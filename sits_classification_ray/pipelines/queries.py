@@ -3296,7 +3296,7 @@ def build_queries() -> dict[str, Callable[[str], Any]]:
         orders_per_nation, q1_pricing_summary, q3_shipping_priority,
         q5_local_supplier_volume, q6_revenue_forecast,
         q10_returned_items, q14_promo_revenue,
-        q17_small_quantity_revenue)
+        q17_small_quantity_revenue, q18_large_volume_orders)
 
     return {k: _tuned(v) for k, v in {
         # crawl pipeline (SQL-checked)
@@ -3334,6 +3334,7 @@ def build_queries() -> dict[str, Callable[[str], Any]]:
         "q10_returned_items": q10_returned_items,
         "q14_promo_revenue": q14_promo_revenue,
         "q17_small_quantity_revenue": q17_small_quantity_revenue,
+        "q18_large_volume_orders": q18_large_volume_orders,
         # documents / training-data ops
         "exact_dedup_documents": _exact_dedup_documents,
         "text_stats_documents": _text_stats_documents,
@@ -3896,6 +3897,17 @@ SELECT CAST(sum(CASE WHEN pp.n5 * CAST(l.l_quantity AS BIGINT) < pp.sum_q
        CAST(sum(CASE WHEN pp.n5 * CAST(l.l_quantity AS BIGINT) < pp.sum_q
                      THEN 1 ELSE 0 END) AS BIGINT) AS n_small
 FROM lineitem l JOIN pp ON l.l_partkey = pp.l_partkey""",
+        "q18_large_volume_orders": """
+WITH big AS (
+  SELECT l_orderkey,
+         CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS total_qty
+  FROM lineitem GROUP BY 1
+  HAVING sum(CAST(l_quantity AS BIGINT)) > 200)
+SELECT c.c_name, o.o_orderkey, o.o_orderdate, b.total_qty
+FROM big b
+JOIN orders o ON b.l_orderkey = o.o_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+ORDER BY b.total_qty DESC, o.o_orderkey""",
         "q10_returned_items": """
 WITH per AS (
   SELECT o.o_custkey,

@@ -548,3 +548,63 @@ def q17_small_quantity_revenue(sf_dir: str) -> pd.DataFrame:
         _S("n_small", alias_name="n_small"))
     return pd.DataFrame([{"rev_cents": int(agg["rev_cents"]),
                           "n_small": int(agg["n_small"])}])
+
+
+def q18_large_volume_orders(sf_dir: str, min_qty: int = 200) -> rd.Dataset:
+    """Q18 shape: HAVING over a grouped join — orders whose total
+    quantity exceeds the threshold, with customer attrs attached
+    late.
+
+    The HAVING filter applies right after the per-order Sum (the
+    grouped table is orders-sized, the filter shrinks it to the
+    qualifying tail BEFORE any join), then one hash join to orders and
+    a broadcast attach of the tiny customer dim."""
+    import pyarrow.parquet as pq
+    from ray.data.aggregate import Sum
+
+    from sits_classification_ray.stages.joins import hash_join
+
+    line = rd.read_parquet(f"{sf_dir}/lineitem.parquet",
+                           columns=["l_orderkey", "l_quantity"])
+
+    def prep(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "l_orderkey": batch["l_orderkey"],
+            "qty": pc.cast(batch["l_quantity"], pa.int64()),
+        })
+
+    per_order = (line.map_batches(prep, batch_format="pyarrow",
+                                  zero_copy_batch=True)
+                 .groupby("l_orderkey")
+                 .aggregate(Sum("qty", alias_name="total_qty")))
+    big = per_order.map_batches(
+        lambda t: t.filter(pc.greater(t["total_qty"], min_qty)),
+        batch_format="pyarrow", zero_copy_batch=True)
+
+    orders = rd.read_parquet(f"{sf_dir}/orders.parquet",
+                             columns=["o_orderkey", "o_custkey",
+                                      "o_orderdate"])
+    joined = hash_join(big, orders, on="l_orderkey",
+                       right_on="o_orderkey")
+
+    cust = pq.read_table(f"{sf_dir}/customer.parquet",
+                         columns=["c_custkey", "c_name"])
+    ck = cust["c_custkey"].to_numpy()
+    order = np.argsort(ck)
+    names = np.asarray(cust["c_name"].to_pylist(), dtype=object)[order]
+    side_ref = ray.put((ck[order], names))
+
+    def attach(batch: pa.Table) -> pa.Table:
+        ck2, nm = ray.get(side_ref)
+        pos = np.searchsorted(ck2, batch["o_custkey"].to_numpy())
+        return pa.table({
+            "c_name": pa.array(nm[pos], pa.string()),
+            "o_orderkey": batch["l_orderkey"],
+            "o_orderdate": batch["o_orderdate"],
+            "total_qty": batch["total_qty"],
+        })
+
+    out = joined.map_batches(attach, batch_format="pyarrow",
+                             zero_copy_batch=True)
+    return out.sort(["total_qty", "o_orderkey"],
+                    descending=[True, False])
