@@ -991,6 +991,37 @@ def _set_op_urls_weeks(sf_dir: str, op: str) -> rd.Dataset:
                               zero_copy_batch=True)
 
 
+def _typo_pairs_urls(sf_dir: str) -> rd.Dataset:
+    """Edit-distance-1 url pairs (typo/mirror detection) via FastSS
+    deletion-neighborhood blocking + exact verify — recall is
+    structural (not probabilistic), SQL-checked against DuckDB's
+    levenshtein over the same blocking. The synth urls are all ≥2
+    edits apart, so every 20th user id plants a one-char-deleted
+    variant (deterministic, mirrored in the oracle)."""
+    from ray.data.aggregate import Count
+
+    from sits_classification_ray.stages.urlnorm import typo_pairs
+
+    urls = _obs(sf_dir).select_columns(["url"])
+    distinct = urls.groupby("url").aggregate(
+        Count(alias_name="_n")).drop_columns(["_n"])
+
+    def plant(df: pd.DataFrame) -> pd.DataFrame:
+        import re
+
+        us = df["url"].tolist()
+        extra = []
+        for u in us:
+            m = re.search(r"/u/(\d+)$", u)
+            if m and int(m.group(1)) % 20 == 0:
+                p = 9 + int(m.group(1)) % 10
+                extra.append(u[:p] + u[p + 1:])
+        return pd.DataFrame({"url": us + extra})
+
+    planted = distinct.map_batches(plant, batch_format="pandas")
+    return typo_pairs(planted, col="url")
+
+
 def _rank_in_domain_crawl(sf_dir: str) -> rd.Dataset:
     """Windowed rank within a partition key: urls dense-ranked by
     snapshot count inside their domain (PARTITION BY domain ORDER BY
@@ -3498,6 +3529,7 @@ def build_queries() -> dict[str, Callable[[str], Any]]:
         "y4m_scene_stats_crawl": _y4m_scene_stats_crawl,
         "extract_links_crawl": _extract_links_crawl,
         "rank_in_domain_crawl": _rank_in_domain_crawl,
+        "typo_pairs_urls": _typo_pairs_urls,
         "intersect_urls_weeks": lambda sf: _set_op_urls_weeks(
             sf, "intersect"),
         "except_urls_weeks": lambda sf: _set_op_urls_weeks(sf, "except"),
@@ -5092,6 +5124,28 @@ ev AS (
 SELECT o.url, o.warc_ts, o.text_len, e.value AS next_event_value
 FROM obs o ASOF LEFT JOIN ev e
   ON o.url = e.url AND o.warc_ts <= e.ts""",
+        "typo_pairs_urls": f"""{CRAWL_PREFIX},
+u0 AS MATERIALIZED (SELECT DISTINCT url FROM obs),
+u AS MATERIALIZED (
+  SELECT url FROM u0
+  UNION
+  SELECT substr(url, 1, 9 + CAST(regexp_extract(url, '/u/(\\d+)$', 1)
+                               AS BIGINT) % 10)
+         || substr(url, 11 + CAST(regexp_extract(url, '/u/(\\d+)$', 1)
+                                  AS BIGINT) % 10) AS url
+  FROM u0
+  WHERE CAST(regexp_extract(url, '/u/(\\d+)$', 1) AS BIGINT) % 20 = 0),
+v AS MATERIALIZED (
+  SELECT url, url AS k FROM u
+  UNION ALL
+  SELECT url, substr(url, 1, i.i - 1) || substr(url, i.i + 1) AS k
+  FROM u CROSS JOIN LATERAL
+    (SELECT unnest(generate_series(1, length(url))) AS i) i),
+cand AS MATERIALIZED (
+  SELECT DISTINCT a.url AS url_a, b.url AS url_b
+  FROM v a JOIN v b ON a.k = b.k AND a.url < b.url)
+SELECT url_a, url_b FROM cand
+WHERE levenshtein(url_a, url_b) <= 1""",
         "rank_in_domain_crawl": f"""{CRAWL_PREFIX},
 cnt AS (
   SELECT regexp_replace(url, '^https?://([^/]+)/.*$', '\\1') AS domain,

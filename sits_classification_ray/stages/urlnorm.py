@@ -115,3 +115,83 @@ def regex_extract_rows(ds: rd.Dataset, col: str, pattern: str,
         return out
 
     return ds.map_batches(extract, batch_format="pandas")
+
+
+def _within_lev1(a: str, b: str) -> bool:
+    """Exact levenshtein(a,b) <= 1 in O(n) — equal length: at most one
+    substitution; length diff 1: one deletion bridges them."""
+    la, lb = len(a), len(b)
+    if abs(la - lb) > 1:
+        return False
+    if la == lb:
+        return sum(x != y for x, y in zip(a, b)) <= 1
+    if la > lb:
+        a, b, la, lb = b, a, lb, la
+    i = j = 0
+    skipped = False
+    while i < la and j < lb:
+        if a[i] == b[j]:
+            i += 1
+            j += 1
+        elif not skipped:
+            skipped = True
+            j += 1
+        else:
+            return False
+    return True
+
+
+def typo_pairs(ds: rd.Dataset, col: str = "url",
+               max_block: int = 64) -> rd.Dataset:
+    """Edit-distance-1 pairs via FastSS deletion-neighborhood
+    blocking: each distinct string emits itself plus its 1-deletion
+    variants as block keys; two strings within levenshtein 1 ALWAYS
+    share a key (identity, deletion, or the common deletion of a
+    substitution), so recall is exact. ``max_block`` star-caps
+    degenerate blocks the same way the LSH bucket cap does. Candidate
+    pairs verify with an exact O(n) distance check.
+
+    A fourth candidate-generation method next to LSH / inverted index
+    / sorted neighborhood — the blocking is structural (edit
+    operations), not similarity-hash based."""
+    from sits_classification_ray.stages.shuffle import partitioned_map
+
+    def explode(df: pd.DataFrame) -> pd.DataFrame:
+        keys, vals = [], []
+        for s in df[col].drop_duplicates():
+            keys.append(s)
+            vals.append(s)
+            for i in range(len(s)):
+                keys.append(s[:i] + s[i + 1:])
+                vals.append(s)
+        return pd.DataFrame({"k": keys, col: vals}).drop_duplicates()
+
+    postings = ds.map_batches(explode, batch_format="pandas")
+
+    def block_pairs(df: pd.DataFrame) -> pd.DataFrame:
+        outs = []
+        for _, g in df.groupby("k", sort=False):
+            ss = np.sort(g[col].drop_duplicates().to_numpy())
+            if len(ss) < 2:
+                continue
+            if len(ss) > max_block:
+                outs.append(pd.DataFrame({"a": np.full(len(ss) - 1, ss[0]),
+                                          "b": ss[1:]}))
+                continue
+            i, j = np.triu_indices(len(ss), k=1)
+            outs.append(pd.DataFrame({"a": ss[i], "b": ss[j]}))
+        if not outs:
+            return pd.DataFrame({"a": pd.Series([], dtype=object),
+                                 "b": pd.Series([], dtype=object)})
+        return pd.concat(outs, ignore_index=True)
+
+    cand = partitioned_map(postings, block_pairs, keys=["k"])
+    cand = partitioned_map(cand, lambda df: df.drop_duplicates(["a", "b"]),
+                           keys=["a", "b"])
+
+    def verify(df: pd.DataFrame) -> pd.DataFrame:
+        keep = [_within_lev1(a, b) for a, b in zip(df["a"], df["b"])]
+        out = df[np.asarray(keep, bool)] if len(df) else df
+        return out.rename(columns={"a": "url_a", "b": "url_b"})
+
+    return cand.map_batches(verify, batch_format="pandas")

@@ -801,3 +801,26 @@ def test_jaccard_exact_recall_randomized(ray_session):
             if j >= 0.3:
                 expect[(a, b)] = j
         assert got == expect, f"seed {seed}"
+
+
+def test_typo_pairs_fastss_recall(ray_session):
+    """FastSS deletion blocking finds EVERY lev<=1 pair: substitution,
+    deletion, insertion; lev-2 strings are excluded by the verify."""
+    import pandas as pd
+    import ray.data as rd
+
+    from sits_classification_ray.stages.urlnorm import (_within_lev1,
+                                                        typo_pairs)
+
+    assert _within_lev1("abcd", "abxd")        # substitution
+    assert _within_lev1("abcd", "abd")         # deletion
+    assert _within_lev1("abd", "abcd")         # insertion
+    assert not _within_lev1("abcd", "axyd")    # two substitutions
+    assert not _within_lev1("abcd", "ab")      # distance 2
+
+    urls = ["abcdef", "abcdex", "abcde", "zzzzzz", "abqqef"]
+    out = typo_pairs(rd.from_pandas(pd.DataFrame({"url": urls}))
+                     .repartition(2)).to_pandas()
+    got = set(map(tuple, out[["url_a", "url_b"]].to_numpy()))
+    assert got == {("abcde", "abcdef"), ("abcde", "abcdex"),
+                   ("abcdef", "abcdex")}
