@@ -1128,6 +1128,17 @@ def _frame_samples(sf_dir: str) -> rd.Dataset:
         batch_format="pandas")
 
 
+def _running_extrema_crawl(sf_dir: str) -> rd.Dataset:
+    """Per-series cumulative max/min (high-/low-watermark envelope)."""
+    from sits_classification_ray.stages.windows import running_extrema
+
+    out = running_extrema(_obs_long(sf_dir))
+    return out.map_batches(
+        lambda df: df[["url", "warc_ts", "metric", "value",
+                       "running_max", "running_min"]],
+        batch_format="pandas")
+
+
 def _running_sum_crawl(sf_dir: str) -> rd.Dataset:
     from sits_classification_ray.stages.windows import running_sum
 
@@ -3410,6 +3421,7 @@ def build_queries() -> dict[str, Callable[[str], Any]]:
         "distinct_lang_source": _distinct_lang_source,
         # ordered-window operators (SQL-checked)
         "running_sum_crawl": _running_sum_crawl,
+        "running_extrema_crawl": _running_extrema_crawl,
         "running_sum_unbounded": _running_sum_unbounded,
         "rolling_mean_crawl": _rolling_mean_crawl,
         "rolling_median_crawl": _rolling_median_crawl,
@@ -4117,6 +4129,13 @@ SELECT lang, source FROM documents GROUP BY 1, 2""",
 SELECT url, metric, warc_ts, value,
        sum(value) OVER (PARTITION BY url, metric ORDER BY warc_ts
                         ROWS UNBOUNDED PRECEDING) AS running_sum
+FROM obs_long""",
+        "running_extrema_crawl": f"""{CRAWL_PREFIX}
+SELECT url, warc_ts, metric, value,
+       max(value) OVER (PARTITION BY url, metric ORDER BY warc_ts
+                        ROWS UNBOUNDED PRECEDING) AS running_max,
+       min(value) OVER (PARTITION BY url, metric ORDER BY warc_ts
+                        ROWS UNBOUNDED PRECEDING) AS running_min
 FROM obs_long""",
         "running_sum_unbounded": f"""{CRAWL_PREFIX}
 SELECT url, metric, warc_ts, value,

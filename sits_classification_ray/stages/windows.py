@@ -46,6 +46,24 @@ def running_sum(ds_long: rd.Dataset, out_col: str = "running_sum"
     return _bucketed(ds_long, kernel)
 
 
+def running_extrema(ds_long: rd.Dataset, out_max: str = "running_max",
+                    out_min: str = "running_min") -> rd.Dataset:
+    """Cumulative max AND min of ``value`` per (url, metric) in time
+    order — the monotone-envelope scan (high-/low-watermark tracking);
+    same salted-partition shape as running_sum but with non-additive
+    reductions."""
+
+    def kernel(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["url", "metric", "warc_ts"], kind="mergesort")
+        df = df.copy()
+        g = df.groupby(["url", "metric"], sort=False)["value"]
+        df[out_max] = g.cummax()
+        df[out_min] = g.cummin()
+        return df
+
+    return _bucketed(ds_long, kernel)
+
+
 def rolling_mean(ds_long: rd.Dataset, window: int = 4,
                  out_col: str = "rolling_mean") -> rd.Dataset:
     """Mean over the last ``window`` observations (incl. current),
