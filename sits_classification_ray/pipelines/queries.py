@@ -3338,7 +3338,9 @@ def build_queries() -> dict[str, Callable[[str], Any]]:
         orders_per_nation, q1_pricing_summary, q3_shipping_priority,
         q5_local_supplier_volume, q6_revenue_forecast,
         q10_returned_items, q14_promo_revenue,
-        q17_small_quantity_revenue, q18_large_volume_orders)
+        q17_small_quantity_revenue, q18_large_volume_orders,
+        q4_priority_semi, q16_supplier_variety,
+        q19_disjunctive_revenue)
 
     return {k: _tuned(v) for k, v in {
         # crawl pipeline (SQL-checked)
@@ -3377,6 +3379,9 @@ def build_queries() -> dict[str, Callable[[str], Any]]:
         "q14_promo_revenue": q14_promo_revenue,
         "q17_small_quantity_revenue": q17_small_quantity_revenue,
         "q18_large_volume_orders": q18_large_volume_orders,
+        "q4_priority_semi": q4_priority_semi,
+        "q16_supplier_variety": q16_supplier_variety,
+        "q19_disjunctive_revenue": q19_disjunctive_revenue,
         # documents / training-data ops
         "exact_dedup_documents": _exact_dedup_documents,
         "text_stats_documents": _text_stats_documents,
@@ -3952,6 +3957,39 @@ FROM big b
 JOIN orders o ON b.l_orderkey = o.o_orderkey
 JOIN customer c ON o.o_custkey = c.c_custkey
 ORDER BY b.total_qty DESC, o.o_orderkey""",
+        "q4_priority_semi": """
+SELECT o.o_orderpriority,
+       CAST(count(*) AS BIGINT) AS n_orders
+FROM orders o
+WHERE o.o_orderkey IN (
+    SELECT l_orderkey FROM lineitem
+    WHERE CAST(round(l_discount * 100, 0) AS BIGINT) >= 6)
+GROUP BY 1 ORDER BY 1""",
+        "q16_supplier_variety": """
+SELECT p.p_brand, p.p_type,
+       CAST(count(DISTINCT l.l_suppkey) AS BIGINT) AS supplier_cnt
+FROM lineitem l
+JOIN part p ON l.l_partkey = p.p_partkey
+WHERE p.p_size <= 25
+  AND l.l_suppkey NOT IN (
+      SELECT s_suppkey FROM supplier WHERE s_acctbal < 5000.0)
+GROUP BY 1, 2 ORDER BY 1, 2""",
+        "q19_disjunctive_revenue": """
+WITH flagged AS (
+  SELECT CAST(round(l.l_extendedprice * 100, 0) AS BIGINT)
+         * (100 - CAST(round(l.l_discount * 100, 0) AS BIGINT)) AS rev,
+         CAST(replace(p.p_brand, 'Brand#', '') AS BIGINT) AS b,
+         p.p_size AS sz, CAST(l.l_quantity AS BIGINT) AS q
+  FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey)
+SELECT CAST(sum(CASE WHEN keep THEN rev ELSE 0 END) AS BIGINT)
+           AS revenue_u,
+       CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_items
+FROM (SELECT rev,
+             ((b = 1 AND sz BETWEEN 1 AND 5 AND q BETWEEN 1 AND 11)
+              OR (b = 2 AND sz BETWEEN 1 AND 10 AND q BETWEEN 10 AND 20)
+              OR (b = 3 AND sz BETWEEN 1 AND 15 AND q BETWEEN 20 AND 30))
+                 AS keep
+      FROM flagged)""",
         "q10_returned_items": """
 WITH per AS (
   SELECT o.o_custkey,

@@ -608,3 +608,177 @@ def q18_large_volume_orders(sf_dir: str, min_qty: int = 200) -> rd.Dataset:
                              zero_copy_batch=True)
     return out.sort(["total_qty", "o_orderkey"],
                     descending=[True, False])
+
+
+def q4_priority_semi(sf_dir: str) -> rd.Dataset:
+    """Q4 shape: EXISTS semi-join + grouped count — orders per
+    priority that have at least one deeply-discounted lineitem.
+
+    Fully distributed semi join (no driver collect of the key set,
+    which is order-cardinality and therefore NOT broadcastable at
+    10^12 rows): qualifying orderkeys are deduped with a per-batch
+    combiner before the groupby, then hash-joined to orders; the
+    grouped count runs on the priority key (5 values) after a
+    per-batch partial count. Mirrors the reference's existence-gated
+    per-class counting (``pytorch/utils/Dataset.py:46``)."""
+    from ray.data.aggregate import Count, Sum
+
+    from sits_classification_ray.stages.joins import hash_join
+
+    line = rd.read_parquet(f"{sf_dir}/lineitem.parquet",
+                           columns=["l_orderkey", "l_discount"])
+
+    def qual_keys(batch: pa.Table) -> pa.Table:
+        pct = _pct(batch["l_discount"])
+        keep = batch.filter(pc.greater_equal(pct, 6))
+        # per-batch dedup: the combiner that keeps the shuffle small
+        return pa.table({
+            "l_orderkey": pc.unique(keep["l_orderkey"]),
+        })
+
+    qual = (line.map_batches(qual_keys, batch_format="pyarrow",
+                             zero_copy_batch=True)
+            .groupby("l_orderkey").aggregate(Count(alias_name="_n"))
+            .drop_columns(["_n"]))
+
+    orders = rd.read_parquet(f"{sf_dir}/orders.parquet",
+                             columns=["o_orderkey", "o_orderpriority"])
+    joined = hash_join(qual, orders, on="l_orderkey",
+                       right_on="o_orderkey")
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = pd.DataFrame({
+            "o_orderpriority": batch["o_orderpriority"].to_pandas()})
+        g = df.groupby("o_orderpriority", as_index=False).size()
+        g = g.rename(columns={"size": "n_orders"})
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    out = (joined.map_batches(partial, batch_format="pyarrow",
+                              zero_copy_batch=True)
+           .groupby("o_orderpriority")
+           .aggregate(Sum("n_orders", alias_name="n_orders")))
+    return out.sort("o_orderpriority")
+
+
+def q16_supplier_variety(sf_dir: str, max_size: int = 25,
+                         min_acctbal: float = 5000.0) -> rd.Dataset:
+    """Q16 shape: grouped DISTINCT count + anti-join — how many
+    distinct suppliers ship each (brand, type) of small parts,
+    excluding low-balance suppliers.
+
+    part and supplier are dimensions: their attributes broadcast once
+    (``ray.put``) and attach per batch; the DISTINCT runs as the
+    two-level groupby (dedup on (brand, type, suppkey) with a
+    per-batch combiner, then count per (brand, type)) so no stage ever
+    holds more than the dedup key space."""
+    import pyarrow.parquet as pq
+    from ray.data.aggregate import Count, Sum
+
+    part = pq.read_table(f"{sf_dir}/part.parquet",
+                         columns=["p_partkey", "p_brand", "p_type",
+                                  "p_size"])
+    pk = part["p_partkey"].to_numpy()
+    kmax = int(pk.max())
+    brand = np.empty(kmax + 1, dtype=object)
+    ptype = np.empty(kmax + 1, dtype=object)
+    size = np.zeros(kmax + 1, dtype=np.int64)
+    brand[pk] = part["p_brand"].to_pylist()
+    ptype[pk] = part["p_type"].to_pylist()
+    size[pk] = part["p_size"].to_numpy()
+
+    sup = pq.read_table(f"{sf_dir}/supplier.parquet",
+                        columns=["s_suppkey", "s_acctbal"])
+    bad = np.sort(sup["s_suppkey"].to_numpy()[
+        sup["s_acctbal"].to_numpy() < min_acctbal])
+    side_ref = ray.put((brand, ptype, size, bad))
+
+    class Attach:
+        def __init__(self):
+            self.brand, self.ptype, self.size, self.bad = ray.get(side_ref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            k = batch["l_partkey"].to_numpy()
+            s = batch["l_suppkey"].to_numpy()
+            keep = self.size[k] <= max_size
+            # anti-join against the broadcast excluded-supplier keys
+            pos = np.searchsorted(self.bad, s)
+            pos[pos >= len(self.bad)] = max(0, len(self.bad) - 1)
+            if len(self.bad):
+                keep &= self.bad[pos] != s
+            k, s = k[keep], s[keep]
+            df = pd.DataFrame({
+                "p_brand": self.brand[k],
+                "p_type": self.ptype[k],
+                "l_suppkey": s,
+            }).drop_duplicates()
+            return pa.Table.from_pandas(df, preserve_index=False)
+
+    line = rd.read_parquet(f"{sf_dir}/lineitem.parquet",
+                           columns=["l_partkey", "l_suppkey"])
+    triples = (line.map_batches(Attach, batch_format="pyarrow",
+                                zero_copy_batch=True,
+                                concurrency=(1, 8), num_cpus=1)
+               .groupby(["p_brand", "p_type", "l_suppkey"])
+               .aggregate(Count(alias_name="_n")))
+
+    def one(batch: pa.Table) -> pa.Table:
+        df = pd.DataFrame({
+            "p_brand": batch["p_brand"].to_pandas(),
+            "p_type": batch["p_type"].to_pandas()})
+        g = df.groupby(["p_brand", "p_type"], as_index=False).size()
+        g = g.rename(columns={"size": "supplier_cnt"})
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    out = (triples.map_batches(one, batch_format="pyarrow",
+                               zero_copy_batch=True)
+           .groupby(["p_brand", "p_type"])
+           .aggregate(Sum("supplier_cnt", alias_name="supplier_cnt")))
+    return out.sort(["p_brand", "p_type"])
+
+
+def q19_disjunctive_revenue(sf_dir: str) -> pd.DataFrame:
+    """Q19 shape: disjunctive multi-predicate join — revenue from
+    three OR'd (brand, size-range, quantity-range) branches.
+
+    part attrs broadcast once; the three-branch disjunction evaluates
+    as one vectorized boolean expression per batch; the result is two
+    exact integer sums merged with zero shuffle."""
+    import pyarrow.parquet as pq
+    from ray.data.aggregate import Sum
+
+    part = pq.read_table(f"{sf_dir}/part.parquet",
+                         columns=["p_partkey", "p_brand", "p_size"])
+    pk = part["p_partkey"].to_numpy()
+    kmax = int(pk.max())
+    bid = np.zeros(kmax + 1, dtype=np.int64)  # brand number
+    size = np.zeros(kmax + 1, dtype=np.int64)
+    bid[pk] = np.asarray([int(b.split("#")[1])
+                          for b in part["p_brand"].to_pylist()])
+    size[pk] = part["p_size"].to_numpy()
+    side_ref = ray.put((bid, size))
+
+    def prep(batch: pa.Table) -> pa.Table:
+        bidv, sizev = ray.get(side_ref)
+        k = batch["l_partkey"].to_numpy()
+        b, sz = bidv[k], sizev[k]
+        q = pc.cast(batch["l_quantity"], pa.int64()).to_numpy()
+        keep = (((b == 1) & (sz >= 1) & (sz <= 5) & (q >= 1) & (q <= 11))
+                | ((b == 2) & (sz >= 1) & (sz <= 10) & (q >= 10) & (q <= 20))
+                | ((b == 3) & (sz >= 1) & (sz <= 15) & (q >= 20) & (q <= 30)))
+        rev = pc.multiply(_cents(batch["l_extendedprice"]),
+                          pc.subtract(pa.scalar(100, pa.int64()),
+                                      _pct(batch["l_discount"]))).to_numpy()
+        return pa.table({
+            "revenue_u": pa.array(np.where(keep, rev, 0), pa.int64()),
+            "n_items": pa.array(keep.astype(np.int64)),
+        })
+
+    ds = rd.read_parquet(f"{sf_dir}/lineitem.parquet",
+                         columns=["l_partkey", "l_quantity",
+                                  "l_extendedprice", "l_discount"])
+    agg = ds.map_batches(prep, batch_format="pyarrow",
+                         zero_copy_batch=True).aggregate(
+        Sum("revenue_u", alias_name="revenue_u"),
+        Sum("n_items", alias_name="n_items"))
+    return pd.DataFrame([{"revenue_u": int(agg["revenue_u"]),
+                          "n_items": int(agg["n_items"])}])

@@ -150,3 +150,63 @@ def test_q17_exact_rational_threshold(ray_session):
                    AS n_small
         FROM lineitem l JOIN pp ON l.l_partkey = pp.l_partkey""")
     assert int(got["n_small"].iloc[0]) == int(exp["n_small"].iloc[0])
+
+
+def test_q4_exists_semi_join(ray_session):
+    from sits_classification_ray.pipelines.relational import (
+        q4_priority_semi)
+
+    got = q4_priority_semi(SF).to_pandas()
+    exp = _duck("""
+        SELECT o.o_orderpriority, count(*) AS n_orders
+        FROM orders o
+        WHERE o.o_orderkey IN (
+            SELECT l_orderkey FROM lineitem
+            WHERE CAST(round(l_discount * 100, 0) AS BIGINT) >= 6)
+        GROUP BY 1 ORDER BY 1""")
+    assert got["o_orderpriority"].tolist() == exp["o_orderpriority"].tolist()
+    assert got["n_orders"].tolist() == exp["n_orders"].tolist()
+
+
+def test_q16_distinct_suppliers_anti_join(ray_session):
+    from sits_classification_ray.pipelines.relational import (
+        q16_supplier_variety)
+
+    got = q16_supplier_variety(SF).to_pandas()
+    exp = _duck(f"""
+        WITH p2 AS (SELECT * FROM '{SF}/part.parquet')
+        SELECT p.p_brand, p.p_type,
+               count(DISTINCT l.l_suppkey) AS supplier_cnt
+        FROM lineitem l JOIN p2 p ON l.l_partkey = p.p_partkey
+        WHERE p.p_size <= 25
+          AND l.l_suppkey NOT IN (
+              SELECT s_suppkey FROM supplier WHERE s_acctbal < 5000.0)
+        GROUP BY 1, 2 ORDER BY 1, 2""")
+    assert got["p_brand"].tolist() == exp["p_brand"].tolist()
+    assert got["p_type"].tolist() == exp["p_type"].tolist()
+    assert got["supplier_cnt"].tolist() == exp["supplier_cnt"].tolist()
+
+
+def test_q19_disjunctive_predicates(ray_session):
+    from sits_classification_ray.pipelines.relational import (
+        q19_disjunctive_revenue)
+
+    got = q19_disjunctive_revenue(SF)
+    exp = _duck(f"""
+        WITH p2 AS (SELECT * FROM '{SF}/part.parquet')
+        SELECT CAST(sum(CASE WHEN
+                 ((CAST(replace(p.p_brand, 'Brand#', '') AS BIGINT) = 1
+                   AND p.p_size BETWEEN 1 AND 5
+                   AND CAST(l.l_quantity AS BIGINT) BETWEEN 1 AND 11)
+               OR (CAST(replace(p.p_brand, 'Brand#', '') AS BIGINT) = 2
+                   AND p.p_size BETWEEN 1 AND 10
+                   AND CAST(l.l_quantity AS BIGINT) BETWEEN 10 AND 20)
+               OR (CAST(replace(p.p_brand, 'Brand#', '') AS BIGINT) = 3
+                   AND p.p_size BETWEEN 1 AND 15
+                   AND CAST(l.l_quantity AS BIGINT) BETWEEN 20 AND 30))
+               THEN CAST(round(l.l_extendedprice * 100, 0) AS BIGINT)
+                    * (100 - CAST(round(l.l_discount * 100, 0) AS BIGINT))
+               ELSE 0 END) AS BIGINT) AS revenue_u
+        FROM lineitem l JOIN p2 p ON l.l_partkey = p.p_partkey""")
+    assert int(got["revenue_u"].iloc[0]) == int(exp["revenue_u"].iloc[0])
+    assert int(got["n_items"].iloc[0]) > 0
