@@ -21,6 +21,7 @@ import hashlib
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 import ray.data as rd
 
 
@@ -475,3 +476,243 @@ def ams_f2(ds: rd.Dataset, key_col: str, rows: int = 5,
     rel = round(abs(est - exact) / max(1, exact), 6)
     return pd.DataFrame([{"f2_estimate": est, "exact_f2": exact,
                           "rel_error": rel}])
+
+
+# --- Frequency sketches: Count-Min + CountSketch point estimates ----------
+
+_MIX_A = np.uint64(0x9E3779B97F4A7C15)
+_MIX_B = np.uint64(0xBF58476D1CE4E5B9)
+_MIX_C = np.uint64(0x94D049BB133111EB)
+
+
+def _mix_u64(h: np.ndarray, seed: int) -> np.ndarray:
+    """splitmix64 finalizer with a per-``seed`` offset — derives the
+    d independent row hashes a Count-Min/CountSketch table needs from
+    one sha1-based key hash (deterministic, process-independent)."""
+    off = np.uint64(((seed + 1) * 0x9E3779B97F4A7C15) % (1 << 64))
+    z = h + off
+    z = (z ^ (z >> np.uint64(30))) * _MIX_B
+    z = (z ^ (z >> np.uint64(27))) * _MIX_C
+    return z ^ (z >> np.uint64(31))
+
+
+def _freq_sketch_update(cms: np.ndarray, csk: np.ndarray,
+                        h: np.ndarray, cnt: np.ndarray,
+                        depth: int, width: int) -> None:
+    """Fold (hash, count) pairs into both tables in place. Pure
+    integer sums → commutative/associative, so ANY batching or merge
+    order yields bit-identical tables (what lets a sequential golden
+    replicate a distributed run exactly)."""
+    for d in range(depth):
+        idx = (_mix_u64(h, d) % np.uint64(width)).astype(np.int64)
+        np.add.at(cms[d], idx, cnt)
+        sgn = np.where(_mix_u64(h, depth + d) >> np.uint64(63),
+                       np.int64(1), np.int64(-1))
+        np.add.at(csk[d], idx, cnt * sgn)
+
+
+def _freq_sketch_query(cms: np.ndarray, csk: np.ndarray,
+                       h: np.ndarray, depth: int, width: int
+                       ) -> tuple[np.ndarray, np.ndarray]:
+    """Point estimates: Count-Min = min over rows (upper-biased,
+    never below the true count); CountSketch = median of signed row
+    estimates (unbiased)."""
+    n = len(h)
+    ests = np.empty((depth, n), dtype=np.int64)
+    cests = np.empty((depth, n), dtype=np.int64)
+    for d in range(depth):
+        idx = (_mix_u64(h, d) % np.uint64(width)).astype(np.int64)
+        ests[d] = cms[d][idx]
+        sgn = np.where(_mix_u64(h, depth + d) >> np.uint64(63),
+                       np.int64(1), np.int64(-1))
+        cests[d] = csk[d][idx] * sgn
+    return ests.min(axis=0), np.median(cests, axis=0).astype(np.int64)
+
+
+def heavy_keys_exact(ds: rd.Dataset, key_col: str, k: int = 20
+                     ) -> pd.DataFrame:
+    """EXACT φ-heavy hitters of a key column (φ = 1/(k+1)): every key
+    whose global row count strictly exceeds N/(k+1), without shuffling
+    the key space — the two-pass pigeonhole candidate algorithm of
+    stages/textstats.py:heavy_hitters generalized from tokenized text
+    to a plain column. Returns a driver DataFrame (≤ k rows by the
+    φ-heavy definition)."""
+    from ray.data.aggregate import Sum
+
+    def candidates(batch: pa.Table) -> pa.Table:
+        n_b = batch.num_rows
+        g = pa.table({"key": batch[key_col]}).group_by(["key"]) \
+            .aggregate([([], "count_all")]).rename_columns(["key", "n"])
+        cnt = g["n"].to_numpy()
+        heavy = g["key"].to_pandas()[cnt * (k + 1) > n_b]
+        return pa.table({
+            "key": pa.array(list(heavy) + [None], pa.string()),
+            "n_rows": pa.array([0] * len(heavy) + [n_b], pa.int64()),
+        })
+
+    cand = ds.map_batches(candidates, batch_format="pyarrow",
+                          zero_copy_batch=True).materialize()
+    n_total = int(cand.sum("n_rows") or 0)
+    cand_tbl = (cand.map_batches(
+        lambda t: t.filter(pc.is_valid(t["key"])),
+        batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("key").count().to_pandas())
+    if cand_tbl.empty:
+        return pd.DataFrame({"key": pd.Series([], dtype=object),
+                             "n": pd.Series([], dtype=np.int64)})
+    import ray
+    cand_ref = ray.put(np.sort(
+        cand_tbl["key"].to_numpy(dtype=object).astype(str)))
+
+    class CountCandidates:
+        def __init__(self):
+            self.cand = ray.get(cand_ref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            keys = batch[key_col].to_numpy(zero_copy_only=False
+                                           ).astype(str)
+            hit = keys[np.isin(keys, self.cand)]
+            w, n = np.unique(hit, return_counts=True)
+            return pa.table({"key": pa.array(w.astype(object)),
+                             "n": pa.array(n.astype(np.int64))})
+
+    counts = (ds.map_batches(CountCandidates, batch_format="pyarrow",
+                             zero_copy_batch=True, concurrency=(1, 8),
+                             num_cpus=1)
+              .groupby("key").aggregate(Sum("n", alias_name="n"))
+              .to_pandas())
+    counts = counts[counts["n"] * (k + 1) > n_total]
+    return counts.sort_values(["n", "key"], ascending=[False, True]
+                              ).reset_index(drop=True)
+
+
+def freq_sketch_estimates(ds: rd.Dataset, key_col: str, k: int = 20,
+                          depth: int = 4, width: int = 2048
+                          ) -> pd.DataFrame:
+    """Count-Min AND CountSketch point estimates for the exact φ-heavy
+    keys of ``key_col`` — the bounded-memory frequency primitive for
+    10^12-row streams, with its accuracy made inspectable against the
+    exact counts in the same row.
+
+    One pass builds both tables per batch (partial rows are the
+    fixed-size ``depth × width`` int64 tables, 2 × 64 KiB at the
+    defaults); a local map level pre-merges ~256 partials per task so
+    the driver folds n_blocks/256 rows, never the data. The probe set
+    is :func:`heavy_keys_exact` (deterministic under any batching by
+    the pigeonhole guarantee). Output per key: exact ``n``,
+    ``cms_est`` (≥ n always — the structural overestimate guarantee),
+    ``csk_est`` (unbiased median).
+    """
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        cms = np.zeros((depth, width), dtype=np.int64)
+        csk = np.zeros((depth, width), dtype=np.int64)
+        u, cnt = np.unique(df[key_col].to_numpy(dtype=object
+                                                ).astype(str),
+                           return_counts=True)
+        _freq_sketch_update(cms, csk, _hash_u64(u),
+                            cnt.astype(np.int64), depth, width)
+        return pd.DataFrame({"cms": [cms.tobytes()],
+                             "csk": [csk.tobytes()]})
+
+    def merge_local(df: pd.DataFrame) -> pd.DataFrame:
+        cms = np.zeros(depth * width, dtype=np.int64)
+        csk = np.zeros(depth * width, dtype=np.int64)
+        for b in df["cms"]:
+            cms += np.frombuffer(b, dtype=np.int64)
+        for b in df["csk"]:
+            csk += np.frombuffer(b, dtype=np.int64)
+        return pd.DataFrame({"cms": [cms.tobytes()],
+                             "csk": [csk.tobytes()]})
+
+    merged = (ds.map_batches(partial, batch_format="pandas")
+              .map_batches(merge_local, batch_format="pandas",
+                           batch_size=256)
+              .to_pandas())
+    cms = np.zeros((depth, width), dtype=np.int64)
+    csk = np.zeros((depth, width), dtype=np.int64)
+    for b in merged["cms"]:
+        cms += np.frombuffer(b, dtype=np.int64).reshape(depth, width)
+    for b in merged["csk"]:
+        csk += np.frombuffer(b, dtype=np.int64).reshape(depth, width)
+
+    heavy = heavy_keys_exact(ds, key_col, k=k)
+    if heavy.empty:
+        return pd.DataFrame({"key": pd.Series([], dtype=object),
+                             "n": pd.Series([], dtype=np.int64),
+                             "cms_est": pd.Series([], dtype=np.int64),
+                             "csk_est": pd.Series([], dtype=np.int64)})
+    h = _hash_u64(heavy["key"].tolist())
+    cms_est, csk_est = _freq_sketch_query(cms, csk, h, depth, width)
+    out = heavy.copy()
+    out["cms_est"] = cms_est
+    out["csk_est"] = csk_est
+    return out
+
+
+# --- KMV set operations: week-over-week url overlap ------------------------
+
+def kmv_overlap(ds: rd.Dataset, key_col: str, bucket_col: str,
+                k: int = 256) -> pd.DataFrame:
+    """Jaccard / intersection / union estimates between CONSECUTIVE
+    buckets from bottom-k (KMV) signatures — set operations on
+    sketches, so comparing week N's url set with week N+1's never
+    rescans or shuffles the keys (one ≤ k-hash signature per bucket).
+
+    Union estimate: KMV estimator on the k smallest of the merged
+    hash sets. Jaccard: fraction of the union's bottom-k present in
+    BOTH signatures (the bottom-k of the union is a uniform sample of
+    the union). Intersection: jaccard × union. Deterministic: hash
+    sets are order-free, merges are set unions.
+    """
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for bucket, g in df.groupby(bucket_col, sort=False):
+            h = np.unique(_hash_u64(g[key_col].tolist()))
+            rows.append(pd.DataFrame({
+                bucket_col: bucket,
+                "h": np.ascontiguousarray(h[:k]).view(np.int64)}))
+        if not rows:
+            return pd.DataFrame({bucket_col: df[bucket_col].iloc[:0],
+                                 "h": np.zeros(0, np.int64)})
+        return pd.concat(rows, ignore_index=True)
+
+    partials = ds.map_batches(partial, batch_format="pandas")
+
+    def merge(df: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for bucket, g in df.groupby(bucket_col, sort=False):
+            h = np.unique(g["h"].to_numpy(np.int64).view(np.uint64))[:k]
+            rows.append((bucket, np.ascontiguousarray(h).view(np.int64)
+                         .tobytes()))
+        return pd.DataFrame(rows, columns=[bucket_col, "sig"])
+
+    from sits_classification_ray.stages.shuffle import partitioned_map
+
+    # one ≤ 2 KiB signature row per bucket — a bounded driver collect
+    sigs = partitioned_map(partials, merge, keys=[bucket_col]
+                           ).to_pandas().sort_values(bucket_col)
+
+    def est_distinct(h: np.ndarray) -> float:
+        if len(h) < k:
+            return float(len(h))
+        u_k = (float(h[k - 1]) + 1.0) / 18446744073709551616.0
+        return (k - 1) / u_k
+
+    rows = []
+    buckets = sigs[bucket_col].tolist()
+    hs = [np.frombuffer(s, dtype=np.int64).view(np.uint64)
+          for s in sigs["sig"]]
+    for i in range(len(buckets) - 1):
+        a, b = hs[i], hs[i + 1]
+        union = np.unique(np.concatenate([a, b]))[:k]
+        in_both = np.isin(union, a) & np.isin(union, b)
+        jac = float(in_both.sum()) / max(1, len(union))
+        d_union = est_distinct(union)
+        rows.append((buckets[i], buckets[i + 1],
+                     round(jac, 6), round(jac * d_union, 6),
+                     round(d_union, 6)))
+    return pd.DataFrame(rows, columns=[
+        "bucket_a", "bucket_b", "jaccard_est", "intersection_est",
+        "union_est"])

@@ -1820,3 +1820,101 @@ def ams_f2_urls(obs: pd.DataFrame, rows: int = 5, buckets: int = 256
     rel = round(abs(est - exact) / max(1, exact), 6)
     return pd.DataFrame([{"f2_estimate": est, "exact_f2": exact,
                           "rel_error": rel}])
+
+
+# --- frequency sketches (Count-Min / CountSketch) --------------------------
+
+_SM_A = np.uint64(0x9E3779B97F4A7C15)
+_SM_B = np.uint64(0xBF58476D1CE4E5B9)
+_SM_C = np.uint64(0x94D049BB133111EB)
+
+
+def _sm_mix(h: np.ndarray, seed: int) -> np.ndarray:
+    off = np.uint64(((seed + 1) * 0x9E3779B97F4A7C15) % (1 << 64))
+    z = h + off
+    z = (z ^ (z >> np.uint64(30))) * _SM_B
+    z = (z ^ (z >> np.uint64(27))) * _SM_C
+    return z ^ (z >> np.uint64(31))
+
+
+def _sha1_u64_arr(keys) -> np.ndarray:
+    out = np.empty(len(keys), dtype=np.uint64)
+    for i, k in enumerate(keys):
+        out[i] = int.from_bytes(
+            hashlib.sha1(str(k).encode()).digest()[:8], "big")
+    return out
+
+
+def cms_heavy_domains_crawl(obs: pd.DataFrame, k: int = 60,
+                            depth: int = 4, width: int = 2048
+                            ) -> pd.DataFrame:
+    """Sequential Count-Min + CountSketch twin: tables built from the
+    exact global (domain, count) pairs (integer sums are batching-
+    independent, so this equals any distributed construction); probe
+    set = exact φ-heavy domains (count·(k+1) > N)."""
+    dom = obs["url"].astype(str).str.split("/").str[2]
+    vc = dom.value_counts()
+    n_total = int(len(dom))
+    heavy = vc[vc * (k + 1) > n_total]
+
+    cms = np.zeros((depth, width), dtype=np.int64)
+    csk = np.zeros((depth, width), dtype=np.int64)
+    h_all = _sha1_u64_arr(vc.index.tolist())
+    cnt = vc.to_numpy(np.int64)
+    for d in range(depth):
+        idx = (_sm_mix(h_all, d) % np.uint64(width)).astype(np.int64)
+        np.add.at(cms[d], idx, cnt)
+        sgn = np.where(_sm_mix(h_all, depth + d) >> np.uint64(63),
+                       np.int64(1), np.int64(-1))
+        np.add.at(csk[d], idx, cnt * sgn)
+
+    keys = heavy.index.tolist()
+    h = _sha1_u64_arr(keys)
+    ests = np.empty((depth, len(keys)), dtype=np.int64)
+    cests = np.empty((depth, len(keys)), dtype=np.int64)
+    for d in range(depth):
+        idx = (_sm_mix(h, d) % np.uint64(width)).astype(np.int64)
+        ests[d] = cms[d][idx]
+        sgn = np.where(_sm_mix(h, depth + d) >> np.uint64(63),
+                       np.int64(1), np.int64(-1))
+        cests[d] = csk[d][idx] * sgn
+    out = pd.DataFrame({
+        "key": keys,
+        "n": heavy.to_numpy(np.int64),
+        "cms_est": ests.min(axis=0),
+        "csk_est": np.median(cests, axis=0).astype(np.int64),
+    })
+    return out.sort_values(["n", "key"], ascending=[False, True]
+                           ).reset_index(drop=True)
+
+
+def kmv_overlap_weeks(obs: pd.DataFrame, k: int = 256) -> pd.DataFrame:
+    """Sequential KMV set-operation twin: per-week bottom-k url-hash
+    signatures (order-free), adjacent-week union/jaccard/intersection
+    estimates — same estimator spec as functions/sketches.kmv_overlap."""
+    week = (pd.to_datetime(obs["warc_ts"]).dt.to_period("W-SUN")
+            .dt.start_time)
+    sigs = {}
+    for w, g in obs.groupby(week, sort=True):
+        h = np.unique(_sha1_u64_arr(sorted(set(g["url"]))))
+        sigs[w] = h[:k]
+
+    def est_distinct(h: np.ndarray) -> float:
+        if len(h) < k:
+            return float(len(h))
+        u_k = (float(h[k - 1]) + 1.0) / 18446744073709551616.0
+        return (k - 1) / u_k
+
+    weeks = sorted(sigs)
+    rows = []
+    for i in range(len(weeks) - 1):
+        a, b = sigs[weeks[i]], sigs[weeks[i + 1]]
+        union = np.unique(np.concatenate([a, b]))[:k]
+        in_both = np.isin(union, a) & np.isin(union, b)
+        jac = float(in_both.sum()) / max(1, len(union))
+        d_union = est_distinct(union)
+        rows.append((weeks[i], weeks[i + 1], round(jac, 6),
+                     round(jac * d_union, 6), round(d_union, 6)))
+    return pd.DataFrame(rows, columns=[
+        "bucket_a", "bucket_b", "jaccard_est", "intersection_est",
+        "union_est"])

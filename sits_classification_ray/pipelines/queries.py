@@ -3333,6 +3333,44 @@ def _tuned(fn: Callable[[str], Any]) -> Callable[[str], Any]:
     return wrapper
 
 
+def _cms_heavy_domains_crawl(sf_dir: str) -> pd.DataFrame:
+    """Count-Min + CountSketch point estimates for the exact φ-heavy
+    domains — the bounded-memory frequency primitive (tables are
+    fixed 4×2048 int64 arrays regardless of key cardinality), with
+    the exact count beside each estimate so the CMS ≥ exact guarantee
+    is oracle-checked (golden: independent sequential twin)."""
+    from sits_classification_ray.functions.sketches import (
+        freq_sketch_estimates)
+
+    def proj(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "dom": df["url"].str.extract(_DOMAIN_RE, expand=False)})
+
+    doms = _obs(sf_dir).map_batches(proj, batch_format="pandas")
+    out = freq_sketch_estimates(doms, "dom", k=60)
+    return out
+
+
+def _kmv_overlap_weeks(sf_dir: str) -> pd.DataFrame:
+    """Week-over-week url-set overlap (jaccard / intersection / union
+    estimates) from per-week bottom-k signatures — set operations on
+    KMV sketches, exchanging one ≤ 2 KiB signature per week instead
+    of rescanning keys (golden: independent sequential KMV)."""
+    from sits_classification_ray.functions.sketches import kmv_overlap
+
+    def proj(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "url": batch["url"],
+            "bucket_ts": pc.cast(pc.floor_temporal(batch["warc_ts"],
+                                                   unit="week"),
+                                 pa.timestamp("us")),
+        })
+
+    obs_weeks = _obs(sf_dir).map_batches(proj, batch_format="pyarrow",
+                                         zero_copy_batch=True)
+    return kmv_overlap(obs_weeks, key_col="url", bucket_col="bucket_ts")
+
+
 def build_queries() -> dict[str, Callable[[str], Any]]:
     from sits_classification_ray.pipelines.relational import (
         orders_per_nation, q1_pricing_summary, q3_shipping_priority,
@@ -3359,6 +3397,8 @@ def build_queries() -> dict[str, Callable[[str], Any]]:
         "ams_f2_urls": _ams_f2_urls,
         "hist_quantile_daily": _hist_quantile_daily,
         "kmv_distinct_urls_daily": _kmv_distinct_urls_daily,
+        "cms_heavy_domains_crawl": _cms_heavy_domains_crawl,
+        "kmv_overlap_weeks": _kmv_overlap_weeks,
         "quantiles_daily_crawl": _quantiles_daily_crawl,
         "lang_daily": _lang_daily,
         "pivot_lang_weekly": _pivot_lang_weekly,
@@ -3650,6 +3690,7 @@ GOLDEN_QUERIES = [
     "wav_features_crawl", "y4m_scene_stats_crawl",
     "bpe_encode_documents",
     "srp_near_dup_embeddings", "weighted_sample_documents",
+    "cms_heavy_domains_crawl", "kmv_overlap_weeks",
 ]
 
 

@@ -124,3 +124,59 @@ def test_ddsketch_zero_values_use_zero_bucket():
     om = ddsketch_quantile(rd.from_pandas(dfm), "v", "b").to_pandas()
     assert om["q50"].iloc[0] == 0.0
     assert abs(om["q99"].iloc[0] - 8.0) / 8.0 < 0.025
+
+
+def test_freq_sketch_cms_overestimates_and_batching_invariance(ray_session):
+    from sits_classification_ray.functions.sketches import (
+        _freq_sketch_query, _freq_sketch_update, freq_sketch_estimates)
+
+    # synthetic zipf-ish key stream: key i appears 1000//(i+1) times
+    keys = [f"dom{i}" for i in range(50) for _ in range(1000 // (i + 1))]
+    depth, width = 4, 1024
+    whole = (np.zeros((depth, width), np.int64),
+             np.zeros((depth, width), np.int64))
+    u, cnt = np.unique(np.asarray(keys, dtype=object), return_counts=True)
+    _freq_sketch_update(*whole, _hash_u64(u), cnt.astype(np.int64),
+                        depth, width)
+    # merge of per-slice tables equals the whole (integer sums commute)
+    parts = (np.zeros((depth, width), np.int64),
+             np.zeros((depth, width), np.int64))
+    for j in range(7):
+        sl = np.asarray(keys[j::7], dtype=object)
+        us, cs = np.unique(sl, return_counts=True)
+        _freq_sketch_update(*parts, _hash_u64(us), cs.astype(np.int64),
+                            depth, width)
+    np.testing.assert_array_equal(whole[0], parts[0])
+    np.testing.assert_array_equal(whole[1], parts[1])
+    # CMS never underestimates; exact count of dom0 is 1000
+    cms_est, csk_est = _freq_sketch_query(*whole, _hash_u64(["dom0"]),
+                                          depth, width)
+    assert cms_est[0] >= 1000
+    assert abs(int(csk_est[0]) - 1000) <= 200   # unbiased median
+
+    # end-to-end over a Dataset: heavy keys exact, cms_est >= n
+    ds = rd.from_pandas(pd.DataFrame({"k": keys})).repartition(8)
+    out = freq_sketch_estimates(ds, "k", k=10, depth=depth, width=width)
+    assert len(out) > 0
+    assert (out["cms_est"] >= out["n"]).all()
+    exact = pd.Series(keys).value_counts()
+    for _, r in out.iterrows():
+        assert int(exact[r["key"]]) == int(r["n"])
+
+
+def test_kmv_overlap_estimates(ray_session):
+    from sits_classification_ray.functions.sketches import kmv_overlap
+
+    # bucket A: keys 0..999; bucket B: 500..1499 → jaccard = 1/3
+    rows = ([("a", f"k{i}") for i in range(1000)]
+            + [("b", f"k{i}") for i in range(500, 1500)])
+    df = pd.DataFrame(rows, columns=["bucket", "key"])
+    ds = rd.from_pandas(df).repartition(6)
+    out = kmv_overlap(ds, key_col="key", bucket_col="bucket", k=256)
+    assert list(out.columns) == ["bucket_a", "bucket_b", "jaccard_est",
+                                 "intersection_est", "union_est"]
+    assert len(out) == 1
+    r = out.iloc[0]
+    assert abs(r["jaccard_est"] - 1 / 3) < 0.12
+    assert abs(r["union_est"] - 1500) / 1500 < 0.15
+    assert abs(r["intersection_est"] - 500) / 500 < 0.35

@@ -88,6 +88,9 @@ def make_for(sf_dir: str, only: set[str] | None = None) -> None:
         "hist_quantile_daily": lambda: golden.hist_quantile_daily(obs),
         "kmv_distinct_urls_daily":
             lambda: golden.kmv_distinct_urls_daily(obs),
+        "cms_heavy_domains_crawl":
+            lambda: golden.cms_heavy_domains_crawl(obs),
+        "kmv_overlap_weeks": lambda: golden.kmv_overlap_weeks(obs),
         "gorilla_segments": lambda: golden.gorilla_segments(obs_long),
         "bloom_semi_join_documents":
             lambda: golden.bloom_semi_join_documents(docs, emb),
