@@ -3333,6 +3333,56 @@ def _tuned(fn: Callable[[str], Any]) -> Callable[[str], Any]:
     return wrapper
 
 
+def _hybrid_rrf_documents(sf_dir: str, k_fused: int = 20,
+                          k_each: int = 50, c: int = 60) -> pd.DataFrame:
+    """Hybrid retrieval via reciprocal-rank fusion (Cormack et al.
+    2009): fuse the BM25 lexical ranking with the dense cosine
+    ranking (query = vec 0's embedding), score = Σ 1/(c + rank).
+
+    Both underlying rankers are the engine's existing distributed
+    top-k operators (each ships ≤ k rows to the driver); the fusion
+    itself is driver-side over 2×k rows. Ranks derive from the
+    ROUNDED scores with (score desc, id asc) tie-break in both the
+    engine and the SQL oracle, so the fused ordering is
+    deterministic and hash-comparable."""
+    from sits_classification_ray.stages.similarity import brute_force_topk
+    from sits_classification_ray.stages.textstats import bm25_topk
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id", "text"])
+    lex = bm25_topk(docs, _BM25_TERMS, k=k_each).to_pandas()
+    lex = lex.sort_values(["score", "doc_id"],
+                          ascending=[False, True]).reset_index(drop=True)
+    lex["rank_lex"] = np.arange(1, len(lex) + 1, dtype=np.int64)
+
+    emb = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                          columns=["vec_id", "embedding"])
+    qrows = emb.filter(expr="vec_id == 0").take_all()
+    qvec = np.asarray(qrows[0]["embedding"], dtype=np.float64)
+    dense = brute_force_topk(emb, {0: qvec}, k=k_each)
+    dense = dense.sort_values(["score", "vec_id"],
+                              ascending=[False, True]
+                              ).reset_index(drop=True)
+    dense["rank_dense"] = np.arange(1, len(dense) + 1, dtype=np.int64)
+
+    fused = pd.merge(lex[["doc_id", "rank_lex"]],
+                     dense[["vec_id", "rank_dense"]].rename(
+                         columns={"vec_id": "doc_id"}),
+                     on="doc_id", how="outer")
+    fused["rank_lex"] = fused["rank_lex"].fillna(0).astype(np.int64)
+    fused["rank_dense"] = fused["rank_dense"].fillna(0).astype(np.int64)
+    r1 = fused["rank_lex"].to_numpy(np.float64)
+    r2 = fused["rank_dense"].to_numpy(np.float64)
+    # lexical term first, then dense — same association as the oracle
+    fused["rrf_score"] = np.round(
+        np.where(r1 > 0, 1.0 / (c + r1), 0.0)
+        + np.where(r2 > 0, 1.0 / (c + r2), 0.0), 6)
+    fused = fused.sort_values(["rrf_score", "doc_id"],
+                              ascending=[False, True]
+                              ).head(k_fused).reset_index(drop=True)
+    return fused[["doc_id", "rank_lex", "rank_dense", "rrf_score"]]
+
+
 def _cms_heavy_domains_crawl(sf_dir: str) -> pd.DataFrame:
     """Count-Min + CountSketch point estimates for the exact φ-heavy
     domains — the bounded-memory frequency primitive (tables are
@@ -3498,6 +3548,7 @@ def build_queries() -> dict[str, Callable[[str], Any]]:
         "exact_quantile_daily": _exact_quantile_daily,
         "reservoir_sample_events": _reservoir_sample_events,
         "bm25_topk_documents": _bm25_topk_documents,
+        "hybrid_rrf_documents": _hybrid_rrf_documents,
         "token_entropy_documents": _token_entropy_documents,
         "compression_signal_documents": _compression_signal_documents,
         "pmi_bigrams_documents": _pmi_bigrams_documents,
@@ -4432,6 +4483,68 @@ lg AS (
 SELECT url, metric, bucket_ts, s AS "sum", prev AS prev_sum,
        round(CASE WHEN prev > 0 THEN (s - prev) / prev END, 6) AS wow_pct
 FROM lg""",
+        "hybrid_rrf_documents": """
+WITH dt AS MATERIALIZED (
+  SELECT doc_id, CAST(len(ts) AS BIGINT) AS dl,
+         CAST(len(list_filter(ts, x -> x = 'hash')) AS BIGINT) AS tf0,
+         CAST(len(list_filter(ts, x -> x = 'join')) AS BIGINT) AS tf1,
+         CAST(len(list_filter(ts, x -> x = 'stream')) AS BIGINT) AS tf2
+  FROM (SELECT doc_id, string_split(lower(text), ' ') AS ts
+        FROM documents)),
+st AS MATERIALIZED (
+  SELECT CAST(count(*) AS DOUBLE) AS n,
+         CAST(sum(dl) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avgdl,
+         sum(CASE WHEN tf0 > 0 THEN 1 ELSE 0 END) AS df0,
+         sum(CASE WHEN tf1 > 0 THEN 1 ELSE 0 END) AS df1,
+         sum(CASE WHEN tf2 > 0 THEN 1 ELSE 0 END) AS df2
+  FROM dt),
+sc AS (
+  SELECT doc_id,
+    round(
+      0.0
+      + ln((n - df0 + 0.5) / (df0 + 0.5) + 1.0)
+        * (tf0 * (1.2 + 1.0))
+        / (tf0 + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl))
+      + ln((n - df1 + 0.5) / (df1 + 0.5) + 1.0)
+        * (tf1 * (1.2 + 1.0))
+        / (tf1 + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl))
+      + ln((n - df2 + 0.5) / (df2 + 0.5) + 1.0)
+        * (tf2 * (1.2 + 1.0))
+        / (tf2 + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl)), 6) AS score
+  FROM dt, st WHERE tf0 > 0 OR tf1 > 0 OR tf2 > 0),
+lex AS (
+  SELECT doc_id, rn AS rank_lex FROM (
+    SELECT doc_id, row_number() OVER (ORDER BY score DESC, doc_id)
+               AS rn
+    FROM sc) WHERE rn <= 50),
+q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv
+      FROM embeddings WHERE vec_id = 0),
+ds AS (
+  SELECT e.vec_id AS doc_id,
+         round(list_cosine_similarity(q.qv,
+               CAST(e.embedding AS DOUBLE[])), 6) AS score
+  FROM q CROSS JOIN embeddings e),
+den AS (
+  SELECT doc_id, rn AS rank_dense FROM (
+    SELECT doc_id, row_number() OVER (ORDER BY score DESC, doc_id)
+               AS rn
+    FROM ds) WHERE rn <= 50),
+fused AS (
+  SELECT COALESCE(l.doc_id, d.doc_id) AS doc_id,
+         CAST(COALESCE(l.rank_lex, 0) AS BIGINT) AS rank_lex,
+         CAST(COALESCE(d.rank_dense, 0) AS BIGINT) AS rank_dense,
+         round(
+           (CASE WHEN l.rank_lex IS NOT NULL
+                 THEN 1.0 / (60 + CAST(l.rank_lex AS DOUBLE))
+                 ELSE 0.0 END)
+           + (CASE WHEN d.rank_dense IS NOT NULL
+                   THEN 1.0 / (60 + CAST(d.rank_dense AS DOUBLE))
+                   ELSE 0.0 END), 6) AS rrf_score
+  FROM lex l FULL OUTER JOIN den d ON l.doc_id = d.doc_id)
+SELECT doc_id, rank_lex, rank_dense, rrf_score FROM (
+  SELECT *, row_number() OVER (ORDER BY rrf_score DESC, doc_id)
+             AS rn
+  FROM fused) WHERE rn <= 20""",
         "bm25_topk_documents": """
 WITH dt AS MATERIALIZED (
   SELECT doc_id, CAST(len(ts) AS BIGINT) AS dl,

@@ -126,3 +126,24 @@ def test_lm_logprob_join_path_matches_broadcast_path():
     pd.testing.assert_frame_equal(bi_j[bi_b.columns], bi_b)
     # the single-token doc has no bigrams and is omitted on BOTH paths
     assert 4 not in bi_j["doc_id"].tolist()
+
+
+def test_hybrid_rrf_fuses_both_rankers(ray_session):
+    from sits_classification_ray.pipelines.queries import (
+        _hybrid_rrf_documents)
+
+    out = _hybrid_rrf_documents("/root/testdata/sf0.001")
+    assert list(out.columns) == ["doc_id", "rank_lex", "rank_dense",
+                                 "rrf_score"]
+    assert len(out) == 20
+    # fused order is descending, docs present in BOTH lists score the
+    # sum of their reciprocal ranks
+    assert (out["rrf_score"].to_numpy()[:-1]
+            >= out["rrf_score"].to_numpy()[1:]).all()
+    both = out[(out["rank_lex"] > 0) & (out["rank_dense"] > 0)]
+    for _, r in both.iterrows():
+        expect = round(1.0 / (60 + r["rank_lex"])
+                       + 1.0 / (60 + r["rank_dense"]), 6)
+        assert abs(r["rrf_score"] - expect) < 1e-9
+    # at least one doc comes from only one ranker (rank 0 = absent)
+    assert ((out["rank_lex"] == 0) | (out["rank_dense"] == 0)).any()
