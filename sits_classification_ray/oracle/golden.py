@@ -1918,3 +1918,46 @@ def kmv_overlap_weeks(obs: pd.DataFrame, k: int = 256) -> pd.DataFrame:
     return pd.DataFrame(rows, columns=[
         "bucket_a", "bucket_b", "jaccard_est", "intersection_est",
         "union_est"])
+
+
+def pagerank_domains_crawl(crawl: pd.DataFrame, damping: float = 0.85,
+                           iterations: int = 10) -> pd.DataFrame:
+    """Independent PageRank over the synthetic domain link graph:
+    anchors re-synthesized from the page bytes exactly as the engine's
+    link extraction does, domain edges aggregated, then the same
+    deterministic power iteration as pagerank_words_documents."""
+    srcs, dsts = [], []
+    for url, h in zip(crawl["url"], crawl["html"]):
+        s = (h or b"").decode("utf-8", "replace")
+        n = len(s)
+        src = str(url).split("/")[2]
+        for j in range(n % 4):
+            srcs.append(src)
+            dsts.append(f"site-{(n + j) % 40}.example.com")
+    edges = (pd.DataFrame({"w1": srcs, "w2": dsts})
+             .groupby(["w1", "w2"], sort=False).size()
+             .rename("n").reset_index())
+    edges["n"] = edges["n"].astype(np.int64)
+    nodes = np.unique(np.concatenate([edges["w1"].to_numpy(),
+                                      edges["w2"].to_numpy()]))
+    n_nodes = len(nodes)
+    teleport = (1.0 - damping) / float(n_nodes)
+    outw = edges.groupby("w1")["n"].sum()
+    edges = edges.assign(outw=edges["w1"].map(outw).astype(np.int64))
+    ranks = pd.Series(1.0 / float(n_nodes), index=nodes)
+    zeros = pd.DataFrame({"node": nodes, "_src": "", "c": 0.0})
+    for _ in range(iterations):
+        r = edges["w1"].map(ranks).to_numpy(np.float64)
+        w = edges["n"].to_numpy(np.float64)
+        ow = edges["outw"].to_numpy(np.float64)
+        contribs = pd.DataFrame({"node": edges["w2"].to_numpy(),
+                                 "_src": edges["w1"].to_numpy(),
+                                 "c": (r * w) / ow})
+        allc = pd.concat([contribs, zeros], ignore_index=True) \
+            .sort_values(["node", "_src"], kind="mergesort")
+        s = allc.groupby("node", sort=False)["c"].sum()
+        ranks = pd.Series(teleport + damping * s.to_numpy(np.float64),
+                          index=s.index)
+    r = ranks.to_numpy(np.float64) * 1e6
+    r = np.copysign(np.floor(np.abs(r) + 0.5), r) / 1e6
+    return pd.DataFrame({"node": ranks.index.to_numpy(), "rank": r})

@@ -3333,6 +3333,82 @@ def _tuned(fn: Callable[[str], Any]) -> Callable[[str], Any]:
     return wrapper
 
 
+def _pagerank_domains_crawl(sf_dir: str) -> rd.Dataset:
+    """PageRank over the domain link graph: the web-corpus authority
+    signal (domain-level curation weight). Edges are the regex-
+    extracted anchors aggregated to (src_domain, dst_domain, n) with
+    an exact global groupby BEFORE the power iteration — the golden
+    twin aggregates identically, which keeps every float sum
+    order-identical under the graph.pagerank determinism contract."""
+    from ray.data.aggregate import Sum
+
+    from sits_classification_ray.stages.graph import pagerank
+
+    links = _extract_links_crawl(sf_dir)
+
+    def edges(df: pd.DataFrame) -> pd.DataFrame:
+        g = (pd.DataFrame({
+            "w1": df["url"].str.extract(_DOMAIN_RE, expand=False),
+            "w2": df["href"].str.extract(_DOMAIN_RE, expand=False)})
+            .groupby(["w1", "w2"], sort=False).size()
+            .rename("n").reset_index())
+        g["n"] = g["n"].astype(np.int64)
+        return g
+
+    # materialize the domain×domain edge table (≤ |domains|² rows,
+    # tiny) so pagerank's multi-consumer iteration graph never
+    # re-executes the upstream actor-pool extraction — concurrent
+    # actor-pool re-executions deadlock small clusters (see
+    # stages/joins.py hash_join clamp for the same failure mode)
+    e = (links.map_batches(edges, batch_format="pandas")
+         .groupby(["w1", "w2"]).aggregate(Sum("n", alias_name="n"))
+         .materialize())
+    return pagerank(e)
+
+
+def _link_degree_crawl(sf_dir: str) -> rd.Dataset:
+    """Link-graph degree table per domain: total + distinct out-links
+    and in-links — the fan-out/fan-in profile that sizes the
+    link-graph shuffles. Two two-level groupbys (exact distinct under
+    any batching) + one full outer hash join on the domain key."""
+    from ray.data.aggregate import Count, Sum
+
+    from sits_classification_ray.stages.joins import hash_join
+
+    links = _extract_links_crawl(sf_dir)
+
+    def doms(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "src": df["url"].str.extract(_DOMAIN_RE, expand=False),
+            "dst": df["href"].str.extract(_DOMAIN_RE, expand=False)})
+
+    pairs = links.map_batches(doms, batch_format="pandas")
+    per_pair = (pairs.groupby(["src", "dst"])
+                .aggregate(Count(alias_name="n")))
+
+    # tagged union instead of a full-outer join: each (src,dst,n)
+    # pair contributes one out-row and one in-row, a single groupby
+    # sums all four degree columns — no join, no null-fill
+    def both_sides(df: pd.DataFrame) -> pd.DataFrame:
+        n = df["n"].to_numpy(np.int64)
+        one = np.ones(len(df), np.int64)
+        zero = np.zeros(len(df), np.int64)
+        out_rows = pd.DataFrame({
+            "domain": df["src"], "out_links": n, "out_domains": one,
+            "in_links": zero, "in_domains": zero})
+        in_rows = pd.DataFrame({
+            "domain": df["dst"], "out_links": zero, "out_domains": zero,
+            "in_links": n, "in_domains": one})
+        return pd.concat([out_rows, in_rows], ignore_index=True)
+
+    return (per_pair.map_batches(both_sides, batch_format="pandas")
+            .groupby("domain")
+            .aggregate(Sum("out_links", alias_name="out_links"),
+                       Sum("out_domains", alias_name="out_domains"),
+                       Sum("in_links", alias_name="in_links"),
+                       Sum("in_domains", alias_name="in_domains")))
+
+
 def _hybrid_rrf_documents(sf_dir: str, k_fused: int = 20,
                           k_each: int = 50, c: int = 60) -> pd.DataFrame:
     """Hybrid retrieval via reciprocal-rank fusion (Cormack et al.
@@ -3549,6 +3625,8 @@ def build_queries() -> dict[str, Callable[[str], Any]]:
         "reservoir_sample_events": _reservoir_sample_events,
         "bm25_topk_documents": _bm25_topk_documents,
         "hybrid_rrf_documents": _hybrid_rrf_documents,
+        "pagerank_domains_crawl": _pagerank_domains_crawl,
+        "link_degree_crawl": _link_degree_crawl,
         "token_entropy_documents": _token_entropy_documents,
         "compression_signal_documents": _compression_signal_documents,
         "pmi_bigrams_documents": _pmi_bigrams_documents,
@@ -3742,6 +3820,7 @@ GOLDEN_QUERIES = [
     "bpe_encode_documents",
     "srp_near_dup_embeddings", "weighted_sample_documents",
     "cms_heavy_domains_crawl", "kmv_overlap_weeks",
+    "pagerank_domains_crawl",
 ]
 
 
@@ -5383,6 +5462,29 @@ WHERE CAST(date_trunc('week', warc_ts) AS TIMESTAMP) = (SELECT lo FROM wk)
 EXCEPT
 SELECT DISTINCT url FROM obs
 WHERE CAST(date_trunc('week', warc_ts) AS TIMESTAMP) = (SELECT hi FROM wk)""",
+        "link_degree_crawl": f"""WITH {CRAWL_CTE},
+links AS MATERIALIZED (
+  SELECT split_part(c.url, '/', 3) AS src,
+         'site-'
+         || CAST((length(CAST(c.html AS VARCHAR)) + j.j) % 40 AS VARCHAR)
+         || '.example.com' AS dst
+  FROM crawl c CROSS JOIN LATERAL
+    (SELECT unnest(generate_series(
+         0, length(CAST(c.html AS VARCHAR)) % 4 - 1)) AS j) j),
+outs AS (
+  SELECT src AS domain, CAST(count(*) AS BIGINT) AS out_links,
+         CAST(count(DISTINCT dst) AS BIGINT) AS out_domains
+  FROM links GROUP BY 1),
+ins AS (
+  SELECT dst AS domain, CAST(count(*) AS BIGINT) AS in_links,
+         CAST(count(DISTINCT src) AS BIGINT) AS in_domains
+  FROM links GROUP BY 1)
+SELECT COALESCE(o.domain, i.domain) AS domain,
+       COALESCE(o.out_links, 0) AS out_links,
+       COALESCE(o.out_domains, 0) AS out_domains,
+       COALESCE(i.in_links, 0) AS in_links,
+       COALESCE(i.in_domains, 0) AS in_domains
+FROM outs o FULL OUTER JOIN ins i ON o.domain = i.domain""",
         "extract_links_crawl": f"""WITH {CRAWL_CTE}
 SELECT c.url, c.warc_ts,
        'https://site-'

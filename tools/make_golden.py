@@ -90,6 +90,8 @@ def make_for(sf_dir: str, only: set[str] | None = None) -> None:
             lambda: golden.kmv_distinct_urls_daily(obs),
         "cms_heavy_domains_crawl":
             lambda: golden.cms_heavy_domains_crawl(obs),
+        "pagerank_domains_crawl":
+            lambda: golden.pagerank_domains_crawl(crawl),
         "kmv_overlap_weeks": lambda: golden.kmv_overlap_weeks(obs),
         "gorilla_segments": lambda: golden.gorilla_segments(obs_long),
         "bloom_semi_join_documents":
