@@ -3504,7 +3504,9 @@ def build_queries() -> dict[str, Callable[[str], Any]]:
         q10_returned_items, q14_promo_revenue,
         q17_small_quantity_revenue, q18_large_volume_orders,
         q4_priority_semi, q16_supplier_variety,
-        q19_disjunctive_revenue)
+        q19_disjunctive_revenue, q7_nation_volume,
+        q12_priority_by_status, q13_customer_distribution,
+        q15_top_supplier, q22_idle_customers)
 
     return {k: _tuned(v) for k, v in {
         # crawl pipeline (SQL-checked)
@@ -3548,6 +3550,11 @@ def build_queries() -> dict[str, Callable[[str], Any]]:
         "q4_priority_semi": q4_priority_semi,
         "q16_supplier_variety": q16_supplier_variety,
         "q19_disjunctive_revenue": q19_disjunctive_revenue,
+        "q7_nation_volume": q7_nation_volume,
+        "q12_priority_by_status": q12_priority_by_status,
+        "q13_customer_distribution": q13_customer_distribution,
+        "q15_top_supplier": q15_top_supplier,
+        "q22_idle_customers": q22_idle_customers,
         # documents / training-data ops
         "exact_dedup_documents": _exact_dedup_documents,
         "text_stats_documents": _text_stats_documents,
@@ -4161,6 +4168,73 @@ FROM (SELECT rev,
               OR (b = 3 AND sz BETWEEN 1 AND 15 AND q BETWEEN 20 AND 30))
                  AS keep
       FROM flagged)""",
+        "q7_nation_volume": """
+SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+       CAST(year(l.l_shipdate) AS BIGINT) AS l_year,
+       CAST(sum(CAST(round(l.l_extendedprice * 100, 0) AS BIGINT)
+                * (100 - CAST(round(l.l_discount * 100, 0) AS BIGINT)))
+            AS BIGINT) AS revenue_u
+FROM lineitem l
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN supplier s ON l.l_suppkey = s.s_suppkey
+JOIN nation n1 ON s.s_nationkey = n1.n_nationkey
+JOIN nation n2 ON c.c_nationkey = n2.n_nationkey
+WHERE n1.n_name <> n2.n_name
+  AND l.l_shipdate >= TIMESTAMP '1996-01-01'
+  AND l.l_shipdate < TIMESTAMP '1998-01-01'
+GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""",
+        "q12_priority_by_status": """
+SELECT l.l_linestatus,
+       CAST(sum(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+       CAST(sum(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+WHERE l.l_shipdate >= TIMESTAMP '1997-01-01'
+  AND l.l_shipdate < TIMESTAMP '1998-01-01'
+GROUP BY 1 ORDER BY 1""",
+        "q13_customer_distribution": """
+WITH per AS (
+  SELECT c.c_custkey, count(o.o_custkey) AS c_count
+  FROM customer c
+  LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+       AND o.o_orderpriority <> '4-NOT SPECIFIED'
+  GROUP BY 1)
+SELECT CAST(c_count AS BIGINT) AS c_count,
+       CAST(count(*) AS BIGINT) AS custdist
+FROM per GROUP BY 1 ORDER BY custdist DESC, c_count DESC""",
+        "q15_top_supplier": """
+WITH revenue AS (
+  SELECT l_suppkey,
+         CAST(sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT)
+                  * (100 - CAST(round(l_discount * 100, 0) AS BIGINT)))
+              AS BIGINT) AS total_revenue_u
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+    AND l_shipdate < TIMESTAMP '1996-04-01'
+  GROUP BY 1)
+SELECT s.s_suppkey, s.s_name, r.total_revenue_u
+FROM supplier s JOIN revenue r ON s.s_suppkey = r.l_suppkey
+WHERE r.total_revenue_u = (SELECT max(total_revenue_u) FROM revenue)
+ORDER BY s.s_suppkey""",
+        "q22_idle_customers": """
+WITH segcust AS (
+  SELECT c_custkey, c_mktsegment,
+         CAST(round(c_acctbal * 100, 0) AS BIGINT) AS bal_u
+  FROM customer
+  WHERE c_mktsegment IN ('AUTOMOBILE', 'BUILDING', 'FURNITURE')),
+th AS (
+  SELECT CAST(sum(bal_u) AS BIGINT) AS s, count(*) AS n
+  FROM segcust WHERE bal_u > 0)
+SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS numcust,
+       CAST(sum(bal_u) AS BIGINT) AS totacctbal_u
+FROM segcust, th
+WHERE bal_u * th.n > th.s
+  AND NOT EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = segcust.c_custkey
+                    AND o.o_orderdate >= TIMESTAMP '2000-01-01')
+GROUP BY 1 ORDER BY 1""",
         "q10_returned_items": """
 WITH per AS (
   SELECT o.o_custkey,

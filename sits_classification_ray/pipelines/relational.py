@@ -782,3 +782,313 @@ def q19_disjunctive_revenue(sf_dir: str) -> pd.DataFrame:
         Sum("n_items", alias_name="n_items"))
     return pd.DataFrame([{"revenue_u": int(agg["revenue_u"]),
                           "n_items": int(agg["n_items"])}])
+
+
+def q7_nation_volume(sf_dir: str) -> rd.Dataset:
+    """Q7 shape: cross-nation shipping volume — two dimension
+    attachments on opposite sides of ONE big×big join.
+
+    Supplier-nation is attached to lineitem and customer-nation to
+    orders via broadcast lookups (both dimension tables are the small
+    sides by construction), so the only exchange is the
+    lineitem×orders hash join on orderkey; the cross-nation filter
+    (``supp_nation <> cust_nation``) runs post-join per batch. Mirrors
+    the reference's per-class × per-tile grouped evaluation
+    (``pytorch/utils/trainer.py:95-123``) with two independent group
+    dimensions."""
+    import pyarrow.parquet as pq
+    from sits_classification_ray.stages.joins import hash_join
+
+    lo, hi = pd.Timestamp("1996-01-01"), pd.Timestamp("1998-01-01")
+    nation = pq.read_table(f"{sf_dir}/nation.parquet")
+    supp = pq.read_table(f"{sf_dir}/supplier.parquet",
+                         columns=["s_suppkey", "s_nationkey"])
+    cust = pq.read_table(f"{sf_dir}/customer.parquet",
+                         columns=["c_custkey", "c_nationkey"])
+
+    nk = nation["n_nationkey"].to_numpy()
+    name_of = np.empty(int(nk.max()) + 1, dtype=object)
+    name_of[nk] = nation["n_name"].to_pylist()
+    sk = supp["s_suppkey"].to_numpy()
+    so = np.argsort(sk)
+    ck = cust["c_custkey"].to_numpy()
+    co = np.argsort(ck)
+    side_ref = ray.put((
+        (sk[so], supp["s_nationkey"].to_numpy()[so]),
+        (ck[co], cust["c_nationkey"].to_numpy()[co]), name_of))
+
+    def attach_supp_nation(batch: pa.Table) -> pa.Table:
+        (sks, sns), _, name_of = ray.get(side_ref)
+        snat = sns[np.searchsorted(sks, batch["l_suppkey"].to_numpy())]
+        rev = pc.multiply(_cents(batch["l_extendedprice"]),
+                          pc.subtract(pa.scalar(100, pa.int64()),
+                                      _pct(batch["l_discount"])))
+        year = pc.cast(pc.year(batch["l_shipdate"]), pa.int64())
+        return pa.table({
+            "l_orderkey": batch["l_orderkey"],
+            "supp_nation": pa.array(name_of[snat], pa.string()),
+            "l_year": year,
+            "rev_u": rev,
+        })
+
+    def attach_cust_nation(batch: pa.Table) -> pa.Table:
+        _, (cks, cns), name_of = ray.get(side_ref)
+        cnat = cns[np.searchsorted(cks, batch["o_custkey"].to_numpy())]
+        return pa.table({
+            "o_orderkey": batch["o_orderkey"],
+            "cust_nation": pa.array(name_of[cnat], pa.string()),
+        })
+
+    line = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_suppkey", "l_shipdate",
+                 "l_extendedprice", "l_discount"],
+        filter=((pc.field("l_shipdate") >= pc.scalar(lo))
+                & (pc.field("l_shipdate") < pc.scalar(hi))),
+    ).map_batches(
+        lambda t: t.filter(pc.and_(
+            pc.greater_equal(t["l_shipdate"],
+                             pa.scalar(lo, pa.timestamp("us"))),
+            pc.less(t["l_shipdate"], pa.scalar(hi, pa.timestamp("us"))))),
+        batch_format="pyarrow", zero_copy_batch=True,
+    ).map_batches(attach_supp_nation, batch_format="pyarrow",
+                  zero_copy_batch=True)
+
+    orders = rd.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_custkey"],
+    ).map_batches(attach_cust_nation, batch_format="pyarrow",
+                  zero_copy_batch=True)
+
+    joined = hash_join(line, orders, on="l_orderkey",
+                       right_on="o_orderkey")
+
+    def cross_only(batch: pa.Table) -> pa.Table:
+        keep = pc.invert(pc.equal(batch["supp_nation"],
+                                  batch["cust_nation"]))
+        batch = batch.filter(keep)
+        return batch.select(["supp_nation", "cust_nation", "l_year",
+                             "rev_u"])
+
+    out = joined.map_batches(cross_only, batch_format="pyarrow",
+                             zero_copy_batch=True)
+    out = out.groupby(["supp_nation", "cust_nation", "l_year"]).aggregate(
+        Sum("rev_u", alias_name="revenue_u"))
+    return out.sort(["supp_nation", "cust_nation", "l_year"])
+
+
+def q12_priority_by_status(sf_dir: str) -> rd.Dataset:
+    """Q12 shape: conditional aggregation across a big×big join — the
+    CASE-WHEN-inside-SUM pattern. Orders collapse to (orderkey,
+    is-high-priority) before the exchange so the join payload is one
+    int column; counts split per line status after."""
+    from sits_classification_ray.stages.joins import hash_join
+
+    lo, hi = pd.Timestamp("1997-01-01"), pd.Timestamp("1998-01-01")
+
+    def flag(batch: pa.Table) -> pa.Table:
+        pri = batch["o_orderpriority"]
+        high = pc.or_(pc.equal(pri, "1-URGENT"), pc.equal(pri, "2-HIGH"))
+        return pa.table({
+            "o_orderkey": batch["o_orderkey"],
+            "is_high": pc.cast(high, pa.int64()),
+        })
+
+    orders = rd.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_orderpriority"],
+    ).map_batches(flag, batch_format="pyarrow", zero_copy_batch=True)
+
+    line = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_linestatus", "l_shipdate"],
+        filter=((pc.field("l_shipdate") >= pc.scalar(lo))
+                & (pc.field("l_shipdate") < pc.scalar(hi))),
+    ).map_batches(
+        lambda t: pa.table({
+            "l_orderkey": t.filter(pc.and_(
+                pc.greater_equal(t["l_shipdate"],
+                                 pa.scalar(lo, pa.timestamp("us"))),
+                pc.less(t["l_shipdate"],
+                        pa.scalar(hi, pa.timestamp("us")))))["l_orderkey"],
+            "l_linestatus": t.filter(pc.and_(
+                pc.greater_equal(t["l_shipdate"],
+                                 pa.scalar(lo, pa.timestamp("us"))),
+                pc.less(t["l_shipdate"],
+                        pa.scalar(hi, pa.timestamp("us")))))["l_linestatus"],
+        }),
+        batch_format="pyarrow", zero_copy_batch=True)
+
+    joined = hash_join(line, orders, on="l_orderkey",
+                       right_on="o_orderkey")
+
+    def split(batch: pa.Table) -> pa.Table:
+        high = batch["is_high"].to_numpy()
+        return pa.table({
+            "l_linestatus": batch["l_linestatus"],
+            "high_line_count": pa.array(high, pa.int64()),
+            "low_line_count": pa.array(1 - high, pa.int64()),
+        })
+
+    out = joined.map_batches(split, batch_format="pyarrow",
+                             zero_copy_batch=True)
+    out = out.groupby("l_linestatus").aggregate(
+        Sum("high_line_count", alias_name="high_line_count"),
+        Sum("low_line_count", alias_name="low_line_count"))
+    return out.sort("l_linestatus")
+
+
+def q13_customer_distribution(sf_dir: str) -> rd.Dataset:
+    """Q13 shape: LEFT OUTER join + double aggregation — the
+    distribution-of-counts pattern where customers with zero matching
+    orders must survive into the c_count=0 bucket.
+
+    Per-customer counts pre-aggregate on the orders side BEFORE the
+    outer join (combiner pattern), so the exchange carries one row per
+    customer, not one per order; the final distribution groupby is
+    tiny (distinct count values)."""
+    from ray.data.aggregate import Count as CountAgg
+    from sits_classification_ray.stages.joins import hash_join
+
+    orders = rd.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_custkey", "o_orderpriority"],
+    ).map_batches(
+        lambda t: t.filter(pc.invert(pc.equal(
+            t["o_orderpriority"], "4-NOT SPECIFIED"))),
+        batch_format="pyarrow", zero_copy_batch=True)
+    per_cust = orders.groupby("o_custkey").aggregate(
+        CountAgg(alias_name="n_orders"))
+
+    cust = rd.read_parquet(f"{sf_dir}/customer.parquet",
+                           columns=["c_custkey"])
+    joined = hash_join(cust, per_cust, on="c_custkey",
+                       right_on="o_custkey", join_type="left_outer")
+
+    def bucket(batch: pa.Table) -> pa.Table:
+        n = batch["n_orders"].to_numpy(zero_copy_only=False)
+        n = np.where(np.isnan(n.astype(np.float64)), 0,
+                     n.astype(np.float64)).astype(np.int64)
+        return pa.table({"c_count": pa.array(n, pa.int64()),
+                         "one": pa.array(np.ones(len(n), np.int64))})
+
+    out = joined.map_batches(bucket, batch_format="pyarrow",
+                             zero_copy_batch=True)
+    out = out.groupby("c_count").aggregate(
+        Sum("one", alias_name="custdist"))
+    return out.sort(["custdist", "c_count"], descending=[True, True])
+
+
+def q15_top_supplier(sf_dir: str) -> pd.DataFrame:
+    """Q15 shape: grouped revenue + scalar-subquery max — ties kept.
+
+    Supplier revenue is an exact int-cents groupby; the global max is
+    one tiny driver-side aggregate over the per-supplier table (rows =
+    #suppliers, never raw lineitem), and the winner lookup is a
+    broadcast dimension attach."""
+    import pyarrow.parquet as pq
+
+    lo, hi = pd.Timestamp("1996-01-01"), pd.Timestamp("1996-04-01")
+
+    def prep(batch: pa.Table) -> pa.Table:
+        keep = pc.and_(
+            pc.greater_equal(batch["l_shipdate"],
+                             pa.scalar(lo, pa.timestamp("us"))),
+            pc.less(batch["l_shipdate"], pa.scalar(hi, pa.timestamp("us"))))
+        batch = batch.filter(keep)
+        rev = pc.multiply(_cents(batch["l_extendedprice"]),
+                          pc.subtract(pa.scalar(100, pa.int64()),
+                                      _pct(batch["l_discount"])))
+        return pa.table({"l_suppkey": batch["l_suppkey"], "rev_u": rev})
+
+    per_supp = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_suppkey", "l_shipdate", "l_extendedprice",
+                 "l_discount"],
+        filter=((pc.field("l_shipdate") >= pc.scalar(lo))
+                & (pc.field("l_shipdate") < pc.scalar(hi))),
+    ).map_batches(prep, batch_format="pyarrow", zero_copy_batch=True
+                  ).groupby("l_suppkey").aggregate(
+        Sum("rev_u", alias_name="total_revenue_u"))
+
+    rev = per_supp.to_pandas()          # rows = #suppliers (small)
+    best = rev[rev["total_revenue_u"] == rev["total_revenue_u"].max()]
+    names = pq.read_table(f"{sf_dir}/supplier.parquet",
+                          columns=["s_suppkey", "s_name"]).to_pandas()
+    out = best.merge(names, left_on="l_suppkey", right_on="s_suppkey")
+    out = out[["s_suppkey", "s_name", "total_revenue_u"]]
+    out["total_revenue_u"] = out["total_revenue_u"].astype(np.int64)
+    return out.sort_values("s_suppkey").reset_index(drop=True)
+
+
+def q22_idle_customers(sf_dir: str) -> rd.Dataset:
+    """Q22 shape: scalar AVG subquery + anti-join — rich customers in
+    selected market segments with no RECENT order (the recency window
+    keeps the result non-degenerate: in the driver tables every
+    customer has ordered at least once overall).
+
+    The above-average predicate is evaluated in exact integers
+    (``acctbal_cents * n > total_cents`` avoids a float average), and
+    the anti-join is the hash-partitioned LEFT OUTER + null-probe
+    pattern so neither side is ever collected."""
+    from ray.data.aggregate import Count as CountAgg
+    from sits_classification_ray.stages.joins import hash_join
+
+    segs = ("AUTOMOBILE", "BUILDING", "FURNITURE")
+
+    def in_segs(batch: pa.Table) -> pa.Table:
+        keep = pc.is_in(batch["c_mktsegment"],
+                        value_set=pa.array(segs))
+        batch = batch.filter(keep)
+        return pa.table({
+            "c_custkey": batch["c_custkey"],
+            "c_mktsegment": batch["c_mktsegment"],
+            "bal_u": _cents(batch["c_acctbal"]),
+        })
+
+    cust = rd.read_parquet(
+        f"{sf_dir}/customer.parquet",
+        columns=["c_custkey", "c_mktsegment", "c_acctbal"],
+    ).map_batches(in_segs, batch_format="pyarrow", zero_copy_batch=True)
+    cust = cust.materialize()   # consumed twice: threshold + probe
+
+    pos = cust.filter(expr="bal_u > 0")
+    th = pos.aggregate(Sum("bal_u", alias_name="s"),
+                       CountAgg(alias_name="n"))
+    total_u, n_pos = int(th["s"]), int(th["n"])
+
+    # exact integer above-average predicate (Ray's expr mini-language
+    # has no arithmetic on the left operand, so filter per batch)
+    rich = cust.map_batches(
+        lambda t, n=n_pos, s=total_u: t.filter(pc.greater(
+            pc.multiply(t["bal_u"], pa.scalar(n, pa.int64())),
+            pa.scalar(s, pa.int64()))),
+        batch_format="pyarrow", zero_copy_batch=True)
+
+    recent = pd.Timestamp("2000-01-01")
+    ordered = (rd.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_custkey", "o_orderdate"],
+        filter=(pc.field("o_orderdate") >= pc.scalar(recent)),
+    ).map_batches(
+        lambda t: t.filter(pc.greater_equal(
+            t["o_orderdate"], pa.scalar(recent, pa.timestamp("us")))),
+        batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("o_custkey")
+        .aggregate(CountAgg(alias_name="n_orders")))
+    joined = hash_join(rich, ordered, on="c_custkey",
+                       right_on="o_custkey", join_type="left_outer")
+
+    def never_ordered(batch: pa.Table) -> pa.Table:
+        batch = batch.filter(pc.is_null(batch["n_orders"]))
+        return pa.table({
+            "c_mktsegment": batch["c_mktsegment"],
+            "bal_u": pc.cast(batch["bal_u"], pa.int64()),
+            "one": pa.array(np.ones(len(batch), np.int64)),
+        })
+
+    out = joined.map_batches(never_ordered, batch_format="pyarrow",
+                             zero_copy_batch=True)
+    out = out.groupby("c_mktsegment").aggregate(
+        Sum("one", alias_name="numcust"),
+        Sum("bal_u", alias_name="totacctbal_u"))
+    return out.sort("c_mktsegment")
