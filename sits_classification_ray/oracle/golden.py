@@ -1961,3 +1961,57 @@ def pagerank_domains_crawl(crawl: pd.DataFrame, damping: float = 0.85,
     r = ranks.to_numpy(np.float64) * 1e6
     r = np.copysign(np.floor(np.abs(r) + 0.5), r) / 1e6
     return pd.DataFrame({"node": ranks.index.to_numpy(), "rank": r})
+
+
+def hits_domains_crawl(crawl: pd.DataFrame,
+                       iterations: int = 8) -> pd.DataFrame:
+    """Independent HITS over the synthetic domain link graph — the
+    max-normalized variant of stages/graph.py:hits, reproducing its
+    per-node summation order (rows sorted by (node, neighbor) before
+    each groupby-sum) so every float of every iteration is
+    bit-identical."""
+    srcs, dsts = [], []
+    for url, h in zip(crawl["url"], crawl["html"]):
+        s = (h or b"").decode("utf-8", "replace")
+        n = len(s)
+        src = str(url).split("/")[2]
+        for j in range(n % 4):
+            srcs.append(src)
+            dsts.append(f"site-{(n + j) % 40}.example.com")
+    edges = (pd.DataFrame({"w1": srcs, "w2": dsts})
+             .groupby(["w1", "w2"], sort=False).size()
+             .rename("n").reset_index())
+    edges["n"] = edges["n"].astype(np.int64)
+    nodes = np.unique(np.concatenate([edges["w1"].to_numpy(),
+                                      edges["w2"].to_numpy()]))
+    zeros = pd.DataFrame({"node": nodes, "_nb": "", "c": 0.0})
+
+    def push(scores: pd.Series, key: str, other: str) -> pd.Series:
+        sc = edges[key].map(scores).to_numpy(np.float64)
+        w = edges["n"].to_numpy(np.float64)
+        contribs = pd.DataFrame({"node": edges[other].to_numpy(),
+                                 "_nb": edges[key].to_numpy(),
+                                 "c": sc * w})
+        allc = pd.concat([contribs, zeros], ignore_index=True) \
+            .sort_values(["node", "_nb"], kind="mergesort")
+        s = allc.groupby("node", sort=False)["c"].sum()
+        m = s.max()
+        return s / m if m > 0.0 else s
+
+    hub = pd.Series(1.0, index=nodes)
+    auth = None
+    for _ in range(iterations):
+        auth = push(hub, "w1", "w2")
+        hub = push(auth, "w2", "w1")
+
+    def rnd(v: np.ndarray) -> np.ndarray:
+        v = v * 1e6
+        return np.copysign(np.floor(np.abs(v) + 0.5), v) / 1e6
+
+    nodes_sorted = np.sort(nodes)
+    return pd.DataFrame({
+        "node": nodes_sorted,
+        "hub": rnd(hub.reindex(nodes_sorted).fillna(0.0)
+                   .to_numpy(np.float64)),
+        "authority": rnd(auth.reindex(nodes_sorted).fillna(0.0)
+                         .to_numpy(np.float64))})

@@ -2634,6 +2634,93 @@ def _user_sessions_events(sf_dir: str) -> rd.Dataset:
                        Max("ts", alias_name="session_end")))
 
 
+def _churned_users_weekly(sf_dir: str) -> rd.Dataset:
+    """Weekly churn: users active in week w with NO activity in week
+    w+1 — the retention complement of cohort_retention_events. Shape:
+    distinct (user, week) pairs, then a shifted tag-union self-compare
+    (each pair also emits itself at week−7d as a "next-week witness"),
+    one groupby — no self-join of the events table. The last week has
+    no next-week data, so churn is undefined there and excluded (SQL
+    twin identical)."""
+    from ray.data.aggregate import Count, Max, Sum
+
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["user_id", "ts"])
+
+    def proj(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "user_id": df["user_id"],
+            "week": df["ts"].dt.to_period("W").dt.start_time})
+
+    pairs = (ev.map_batches(proj, batch_format="pandas")
+             .groupby(["user_id", "week"])
+             .aggregate(Count(alias_name="_c"))
+             .drop_columns(["_c"]).materialize())
+    max_week = pairs.max("week")
+
+    def tag_cur(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"user_id": df["user_id"],
+                             "week": df["week"],
+                             "cur": np.int64(1), "nxt": np.int64(0)})
+
+    def tag_next(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"user_id": df["user_id"],
+                             "week": df["week"] - pd.Timedelta(days=7),
+                             "cur": np.int64(0), "nxt": np.int64(1)})
+
+    merged = (pairs.map_batches(tag_cur, batch_format="pandas")
+              .union(pairs.map_batches(tag_next, batch_format="pandas"))
+              .groupby(["user_id", "week"])
+              .aggregate(Sum("cur", alias_name="cur"),
+                         Sum("nxt", alias_name="nxt")))
+
+    def flag(df: pd.DataFrame) -> pd.DataFrame:
+        df = df[(df["cur"] > 0) & (df["week"] < max_week)]
+        return pd.DataFrame({
+            "week": df["week"],
+            "one": np.ones(len(df), np.int64),
+            "churned": (df["nxt"] == 0).to_numpy(np.int64)})
+
+    out = (merged.map_batches(flag, batch_format="pandas")
+           .groupby("week")
+           .aggregate(Sum("one", alias_name="n_active"),
+                      Sum("churned", alias_name="n_churned")))
+    return out.sort("week")
+
+
+def _session_entry_exit_events(sf_dir: str) -> rd.Dataset:
+    """Entry→exit page-flow table: per user session (1 h gap, same
+    sessionize stage as user_sessions_events), the first and last
+    event_type — then session counts per (entry, exit) pair. The
+    behavioral funnel diagnostic ("where do sessions start and
+    abandon"). Ties at the same timestamp break by event_id on both
+    sides."""
+    from ray.data.aggregate import Count
+
+    from sits_classification_ray.stages.shuffle import partitioned_map
+    from sits_classification_ray.stages.windows import sessionize
+
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["user_id", "ts", "event_id",
+                                  "event_type"])
+    s = sessionize(ev, gap_seconds=3600, ts_col="ts",
+                   key_col="user_id")
+
+    def ends(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["user_id", "session_id", "ts", "event_id"],
+                            kind="mergesort")
+        g = df.groupby(["user_id", "session_id"], sort=False)
+        first = g["event_type"].first()
+        last = g["event_type"].last()
+        return pd.DataFrame({"entry_type": first.to_numpy(),
+                             "exit_type": last.to_numpy()})
+
+    flows = partitioned_map(s, ends, url_col="user_id")
+    out = flows.groupby(["entry_type", "exit_type"]).aggregate(
+        Count(alias_name="n_sessions"))
+    return out.sort(["entry_type", "exit_type"])
+
+
 def _cumulative_users_daily(sf_dir: str) -> pd.DataFrame:
     """Growth curve: cumulative distinct users by day. First-seen day
     per user is one distributed Min groupby; the running total runs
@@ -2761,6 +2848,85 @@ def _bm25_topk_documents(sf_dir: str) -> rd.Dataset:
     docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
                            columns=["doc_id", "text"])
     return bm25_topk(docs, _BM25_TERMS, k=20)
+
+
+def _zipf_slope_documents(sf_dir: str, k: int = 100) -> pd.DataFrame:
+    """Zipf law fit over the corpus vocabulary: OLS slope of
+    ``ln(freq)`` against ``ln(rank)`` over the top-k tokens — the
+    corpus-health diagnostic (natural text sits near −1; templated or
+    boilerplate-heavy corpora flatten). Distributed shape: the
+    vocabulary combiner (token_counts) plus a local-top-k prune per
+    block, so the global sort sees k × n_blocks rows, never the
+    vocabulary; the regression itself runs on k rows on the driver.
+    Round-6 parity with SQL ``regr_slope`` via the same two-pass
+    covariance as trend_slope (stages/stm.py:196)."""
+    from sits_classification_ray.functions.transforms import sql_round
+    from sits_classification_ray.stages.textstats import token_counts
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["text"])
+    counts = token_counts(ds)
+
+    def local_top(df: pd.DataFrame) -> pd.DataFrame:
+        return df.sort_values(["n", "token"],
+                              ascending=[False, True]).head(k)
+
+    top = (counts.map_batches(local_top, batch_format="pandas")
+           .sort(["n", "token"], descending=[True, False])
+           .limit(k).to_pandas())
+    r = np.arange(1, len(top) + 1, dtype=np.float64)
+    x = np.log(r)
+    y = np.log(top["n"].to_numpy(np.float64))
+    dx = x - x.mean()
+    slope = float((dx * (y - y.mean())).sum() / (dx * dx).sum())
+    return pd.DataFrame({
+        "n_top": np.array([len(top)], np.int64),
+        "zipf_slope": sql_round(np.array([slope]), 6)})
+
+
+def _lang_entropy_domains(sf_dir: str) -> rd.Dataset:
+    """Per-domain Shannon entropy of the language distribution — the
+    multilingual-site detector (entropy 0 = monolingual domain).
+    Combiner pattern: per-batch (domain, lang) partial counts, one
+    exact Sum groupby, then a per-domain entropy kernel over the tiny
+    (domains × langs) table. Entropy from integer counts:
+    ``log2(N) − Σ c·log2(c) / N`` — same formula family as
+    token_entropy_documents for SQL round-6 parity."""
+    from ray.data.aggregate import Sum
+
+    from sits_classification_ray.functions.transforms import sql_round
+    from sits_classification_ray.stages.shuffle import partitioned_map
+
+    obs = _obs(sf_dir)
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        g = (pd.DataFrame({
+            "domain": df["url"].str.extract(_DOMAIN_RE, expand=False),
+            "lang": df["lang"]})
+            .groupby(["domain", "lang"], sort=False).size()
+            .rename("n").reset_index())
+        g["n"] = g["n"].astype(np.int64)
+        return g
+
+    counts = (obs.map_batches(partial, batch_format="pandas")
+              .groupby(["domain", "lang"])
+              .aggregate(Sum("n", alias_name="n")))
+
+    def ent(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["domain", "lang"], kind="mergesort")
+        rows = []
+        for dom, g in df.groupby("domain", sort=False):
+            c = g["n"].to_numpy(np.float64)
+            n = c.sum()
+            h = np.log2(n) - float((c * np.log2(c)).sum()) / n
+            rows.append((dom, np.int64(n), np.int64(len(g)), h))
+        out = pd.DataFrame(rows, columns=["domain", "n_obs", "n_langs",
+                                          "entropy"])
+        out["entropy"] = sql_round(out["entropy"].to_numpy(np.float64),
+                                   6)
+        return out
+
+    return partitioned_map(counts, ent, keys=["domain"])
 
 
 def _token_entropy_documents(sf_dir: str) -> rd.Dataset:
@@ -3333,16 +3499,15 @@ def _tuned(fn: Callable[[str], Any]) -> Callable[[str], Any]:
     return wrapper
 
 
-def _pagerank_domains_crawl(sf_dir: str) -> rd.Dataset:
-    """PageRank over the domain link graph: the web-corpus authority
-    signal (domain-level curation weight). Edges are the regex-
-    extracted anchors aggregated to (src_domain, dst_domain, n) with
-    an exact global groupby BEFORE the power iteration — the golden
-    twin aggregates identically, which keeps every float sum
-    order-identical under the graph.pagerank determinism contract."""
+def _domain_edges_crawl(sf_dir: str) -> rd.Dataset:
+    """Weighted domain link graph from the regex-extracted anchors:
+    (src_domain, dst_domain, n) after an exact global groupby.
+    Materialized because every iterative graph consumer (PageRank,
+    HITS, components) re-reads the edge table per round — concurrent
+    actor-pool re-executions of the upstream extraction deadlock small
+    clusters (see stages/joins.py hash_join clamp for the same
+    failure mode)."""
     from ray.data.aggregate import Sum
-
-    from sits_classification_ray.stages.graph import pagerank
 
     links = _extract_links_crawl(sf_dir)
 
@@ -3355,15 +3520,42 @@ def _pagerank_domains_crawl(sf_dir: str) -> rd.Dataset:
         g["n"] = g["n"].astype(np.int64)
         return g
 
-    # materialize the domain×domain edge table (≤ |domains|² rows,
-    # tiny) so pagerank's multi-consumer iteration graph never
-    # re-executes the upstream actor-pool extraction — concurrent
-    # actor-pool re-executions deadlock small clusters (see
-    # stages/joins.py hash_join clamp for the same failure mode)
-    e = (links.map_batches(edges, batch_format="pandas")
-         .groupby(["w1", "w2"]).aggregate(Sum("n", alias_name="n"))
-         .materialize())
-    return pagerank(e)
+    return (links.map_batches(edges, batch_format="pandas")
+            .groupby(["w1", "w2"]).aggregate(Sum("n", alias_name="n"))
+            .materialize())
+
+
+def _pagerank_domains_crawl(sf_dir: str) -> rd.Dataset:
+    """PageRank over the domain link graph: the web-corpus authority
+    signal (domain-level curation weight). Edges are aggregated with
+    an exact global groupby BEFORE the power iteration — the golden
+    twin aggregates identically, which keeps every float sum
+    order-identical under the graph.pagerank determinism contract."""
+    from sits_classification_ray.stages.graph import pagerank
+
+    return pagerank(_domain_edges_crawl(sf_dir))
+
+
+def _hits_domains_crawl(sf_dir: str) -> rd.Dataset:
+    """HITS hubs/authorities over the domain link graph — the
+    complementary authority signal to PageRank (a domain can be a pure
+    hub: many outgoing anchors, no incoming). Max-normalized variant
+    (see stages/graph.py:hits) so every iteration is an order-free
+    distributed reduction; golden twin mirrors it bit-exactly."""
+    from sits_classification_ray.stages.graph import hits
+
+    return hits(_domain_edges_crawl(sf_dir))
+
+
+def _domain_components_crawl(sf_dir: str) -> rd.Dataset:
+    """Weakly-connected components of the domain link graph: each
+    domain labeled with the lexicographically smallest domain in its
+    component — the crawl-frontier partitioning signal (components can
+    be sharded independently). SQL twin: recursive CTE label
+    propagation over the symmetrized edge set."""
+    from sits_classification_ray.stages.graph import components
+
+    return components(_domain_edges_crawl(sf_dir)).sort("node")
 
 
 def _link_degree_crawl(sf_dir: str) -> rd.Dataset:
@@ -3633,8 +3825,12 @@ def build_queries() -> dict[str, Callable[[str], Any]]:
         "bm25_topk_documents": _bm25_topk_documents,
         "hybrid_rrf_documents": _hybrid_rrf_documents,
         "pagerank_domains_crawl": _pagerank_domains_crawl,
+        "hits_domains_crawl": _hits_domains_crawl,
+        "domain_components_crawl": _domain_components_crawl,
         "link_degree_crawl": _link_degree_crawl,
         "token_entropy_documents": _token_entropy_documents,
+        "zipf_slope_documents": _zipf_slope_documents,
+        "lang_entropy_domains": _lang_entropy_domains,
         "compression_signal_documents": _compression_signal_documents,
         "pmi_bigrams_documents": _pmi_bigrams_documents,
         "scd2_intervals_crawl": _scd2_intervals_crawl,
@@ -3647,6 +3843,8 @@ def build_queries() -> dict[str, Callable[[str], Any]]:
         "source_mixture_documents": _source_mixture_documents,
         "decontaminate_documents": _decontaminate_documents,
         "user_sessions_events": _user_sessions_events,
+        "churned_users_weekly": _churned_users_weekly,
+        "session_entry_exit_events": _session_entry_exit_events,
         "cumulative_users_daily": _cumulative_users_daily,
         "full_join_documents_embeddings": _full_join_documents_embeddings,
         "kmeans_embeddings": _kmeans_embeddings,
@@ -3827,7 +4025,7 @@ GOLDEN_QUERIES = [
     "bpe_encode_documents",
     "srp_near_dup_embeddings", "weighted_sample_documents",
     "cms_heavy_domains_crawl", "kmv_overlap_weeks",
-    "pagerank_domains_crawl",
+    "pagerank_domains_crawl", "hits_domains_crawl",
 ]
 
 
@@ -4731,6 +4929,29 @@ SELECT doc_id, score FROM (
   SELECT doc_id, score,
          row_number() OVER (ORDER BY score DESC, doc_id) AS rn
   FROM sc) WHERE rn <= 20""",
+        "zipf_slope_documents": """
+WITH toks AS MATERIALIZED (
+  SELECT unnest(string_split(lower(text), ' ')) AS token
+  FROM documents),
+cnt AS MATERIALIZED (
+  SELECT token, count(*) AS n FROM toks GROUP BY 1),
+rk AS (
+  SELECT n, row_number() OVER (ORDER BY n DESC, token) AS r FROM cnt),
+top AS (SELECT * FROM rk WHERE r <= 100)
+SELECT CAST(count(*) AS BIGINT) AS n_top,
+       round(regr_slope(ln(CAST(n AS DOUBLE)),
+                        ln(CAST(r AS DOUBLE))), 6) AS zipf_slope
+FROM top""",
+        "lang_entropy_domains": f"""{CRAWL_PREFIX},
+cnt AS (
+  SELECT split_part(url, '/', 3) AS domain, lang, count(*) AS n
+  FROM obs GROUP BY 1, 2)
+SELECT domain, CAST(sum(n) AS BIGINT) AS n_obs,
+       CAST(count(*) AS BIGINT) AS n_langs,
+       round(log2(CAST(sum(n) AS DOUBLE))
+             - sum(CAST(n AS DOUBLE) * log2(CAST(n AS DOUBLE)))
+               / CAST(sum(n) AS DOUBLE), 6) AS entropy
+FROM cnt GROUP BY 1""",
         "token_entropy_documents": """
 WITH toks AS MATERIALIZED (
   SELECT doc_id, unnest(string_split(lower(text), ' ')) AS w
@@ -5217,6 +5438,38 @@ rk AS (SELECT url, warc_ts, text_len,
        FROM uni)
 SELECT url, warc_ts, CAST(text_len AS BIGINT) AS text_len
 FROM rk WHERE rn = 1""",
+        "churned_users_weekly": """
+WITH wk AS MATERIALIZED (
+  SELECT DISTINCT user_id,
+         CAST(date_trunc('week', ts) AS TIMESTAMP) AS week
+  FROM events),
+mx AS (SELECT max(week) AS m FROM wk)
+SELECT week, CAST(count(*) AS BIGINT) AS n_active,
+       CAST(sum(CASE WHEN NOT EXISTS (
+            SELECT 1 FROM wk n
+            WHERE n.user_id = wk.user_id
+              AND n.week = wk.week + INTERVAL 7 DAY)
+            THEN 1 ELSE 0 END) AS BIGINT) AS n_churned
+FROM wk, mx WHERE week < m GROUP BY 1 ORDER BY 1""",
+        "session_entry_exit_events": """
+WITH gaps AS (
+  SELECT user_id, ts, event_id, event_type,
+         CASE WHEN ts - lag(ts) OVER
+                   (PARTITION BY user_id ORDER BY ts, event_id)
+                   > INTERVAL 1 HOUR THEN 1 ELSE 0 END AS brk
+  FROM events),
+sess AS (
+  SELECT user_id, ts, event_id, event_type,
+         sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                        ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM gaps),
+ends AS (
+  SELECT user_id, session_id,
+         first(event_type ORDER BY ts, event_id) AS entry_type,
+         last(event_type ORDER BY ts, event_id) AS exit_type
+  FROM sess GROUP BY 1, 2)
+SELECT entry_type, exit_type, count(*) AS n_sessions
+FROM ends GROUP BY 1, 2 ORDER BY 1, 2""",
         "user_sessions_events": """
 WITH gaps AS (
   SELECT user_id, ts,
@@ -5536,6 +5789,26 @@ WHERE CAST(date_trunc('week', warc_ts) AS TIMESTAMP) = (SELECT lo FROM wk)
 EXCEPT
 SELECT DISTINCT url FROM obs
 WHERE CAST(date_trunc('week', warc_ts) AS TIMESTAMP) = (SELECT hi FROM wk)""",
+        "domain_components_crawl": f"""WITH RECURSIVE {CRAWL_CTE},
+links AS MATERIALIZED (
+  SELECT split_part(c.url, '/', 3) AS src,
+         'site-'
+         || CAST((length(CAST(c.html AS VARCHAR)) + j.j) % 40 AS VARCHAR)
+         || '.example.com' AS dst
+  FROM crawl c CROSS JOIN LATERAL
+    (SELECT unnest(generate_series(
+         0, length(CAST(c.html AS VARCHAR)) % 4 - 1)) AS j) j),
+edges AS MATERIALIZED (
+  SELECT DISTINCT src, dst FROM (
+    SELECT src, dst FROM links
+    UNION ALL SELECT dst AS src, src AS dst FROM links)),
+reach(node, lbl) AS (
+  SELECT src AS node, src AS lbl FROM edges
+  UNION
+  SELECT e.dst AS node, r.lbl AS lbl
+  FROM reach r JOIN edges e ON e.src = r.node)
+SELECT node, min(lbl) AS component FROM reach GROUP BY node
+ORDER BY node""",
         "link_degree_crawl": f"""WITH {CRAWL_CTE},
 links AS MATERIALIZED (
   SELECT split_part(c.url, '/', 3) AS src,

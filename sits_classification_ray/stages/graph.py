@@ -56,11 +56,21 @@ def pagerank(edges: rd.Dataset, src_col: str = "w1",
 
     from ray.data.aggregate import Count, Sum
 
+    from sits_classification_ray.stages.shuffle import compact_state
+
+    edges = edges.materialize()
+    n_edges = edges.count()
+    edges = compact_state(edges, n_edges)
     nodes = (edges.map_batches(srcs, batch_format="pandas")
              .union(edges.map_batches(dsts, batch_format="pandas"))
              .groupby("node").aggregate(Count(alias_name="_c"))
              .drop_columns(["_c"]).materialize())
     n_nodes = nodes.count()
+    nodes = compact_state(nodes, n_nodes)
+    # every exchange below moves ≤ edges+nodes rows; sizing P from the
+    # measured counts keeps test-scale graphs at P=1 while a web-scale
+    # edge table still gets rows/hot_key partitions
+    xrows = n_edges + n_nodes
     teleport = (1.0 - damping) / float(n_nodes)
 
     # out-weight per src, attached to every edge (one exchange on src)
@@ -89,7 +99,8 @@ def pagerank(edges: rd.Dataset, src_col: str = "w1",
     edges_o = partitioned_map(
         edges.map_batches(tag_edge, batch_format="pandas").union(
             outw.map_batches(tag_outw, batch_format="pandas")),
-        attach_outw, keys=[src_col]).materialize()
+        attach_outw, keys=[src_col], approx_rows=xrows,
+        hot_key_threshold=100_000).materialize()
 
     def init_rank(df: pd.DataFrame) -> pd.DataFrame:
         return pd.DataFrame({"node": df["node"],
@@ -128,7 +139,8 @@ def pagerank(edges: rd.Dataset, src_col: str = "w1",
         contribs = partitioned_map(
             edges_o.map_batches(tag_e, batch_format="pandas").union(
                 ranks.map_batches(tag_r, batch_format="pandas")),
-            contrib, keys=[src_col])
+            contrib, keys=[src_col], approx_rows=xrows,
+            hot_key_threshold=100_000)
 
         # zero row per node so rank-less nodes keep the teleport term
         def zero_rows(df: pd.DataFrame) -> pd.DataFrame:
@@ -145,7 +157,8 @@ def pagerank(edges: rd.Dataset, src_col: str = "w1",
         ranks = partitioned_map(
             contribs.union(nodes.map_batches(zero_rows,
                                              batch_format="pandas")),
-            reduce_rank, keys=["node"]).materialize()
+            reduce_rank, keys=["node"], approx_rows=xrows,
+            hot_key_threshold=100_000).materialize()
 
     def fin(df: pd.DataFrame) -> pd.DataFrame:
         from sits_classification_ray.functions.transforms import sql_round
@@ -214,3 +227,264 @@ def triangle_count(edges: rd.Dataset, src_col: str = "w1",
     n = closed.count()
     return rd.from_arrow(pa.table({"n_triangles": pa.array([n],
                                                            pa.int64())}))
+
+
+def hits(edges: rd.Dataset, src_col: str = "w1", dst_col: str = "w2",
+         weight_col: str = "n", iterations: int = 8,
+         round_to: int = 6) -> rd.Dataset:
+    """HITS hubs-and-authorities over a weighted directed edge table.
+
+    Variant (documented, mirrored bit-exactly by the golden oracle):
+    scores are normalized by the MAX per iteration instead of the L2
+    norm — max is an order-free distributed reduction, so the whole
+    iteration keeps the sorted-sum determinism contract (an L2 norm
+    would need a global float sum whose value depends on block
+    arrival order). Max-normalized power iteration converges to the
+    same principal-eigenvector direction, just scaled so the top
+    hub/authority is exactly 1.0.
+
+    Per iteration: authority(v) = Σ_{u→v} w·hub(u) then
+    hub(u) = Σ_{u→v} w·authority(v) — two tag-union salted exchanges;
+    the edge table never moves after its initial partition. All
+    per-node sums run over rows pre-sorted by (node, neighbor).
+    Returns ``(node, hub, authority)`` for every node in the graph.
+    """
+    from ray.data.aggregate import Count
+
+    def srcs(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"node": df[src_col]})
+
+    def dsts(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"node": df[dst_col]})
+
+    from sits_classification_ray.stages.shuffle import compact_state
+
+    edges = edges.materialize()
+    n_edges = edges.count()
+    edges = compact_state(edges, n_edges)
+    nodes = (edges.map_batches(srcs, batch_format="pandas")
+             .union(edges.map_batches(dsts, batch_format="pandas"))
+             .groupby("node").aggregate(Count(alias_name="_c"))
+             .drop_columns(["_c"]).materialize())
+    nodes = compact_state(nodes, nodes.count())
+    xrows = n_edges + nodes.count()
+
+    def init_score(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"node": df["node"],
+                             "score": np.float64(1.0)})
+
+    hubs = nodes.map_batches(init_score, batch_format="pandas") \
+        .materialize()
+
+    def _push(scores: rd.Dataset, key_col: str, out_col: str
+              ) -> rd.Dataset:
+        """One HITS half-step: join `scores` onto the edges by
+        `key_col` (src for authority, dst for hub), emit weighted
+        contributions to the opposite endpoint, reduce per node with
+        the sorted-sum contract, then max-normalize."""
+        other = dst_col if key_col == src_col else src_col
+
+        def tag_e(df: pd.DataFrame) -> pd.DataFrame:
+            out = df[[src_col, dst_col, weight_col]].copy(deep=False)
+            out["score"] = np.float64(-1.0)
+            return out
+
+        def tag_s(df: pd.DataFrame) -> pd.DataFrame:
+            return pd.DataFrame({
+                src_col: df["node"] if key_col == src_col else "",
+                dst_col: df["node"] if key_col == dst_col else "",
+                weight_col: np.int64(-1),
+                "score": df["score"].astype(np.float64)})
+
+        def contrib(df: pd.DataFrame) -> pd.DataFrame:
+            side_s = df[df["score"] >= 0.0]
+            side_e = df[df["score"] < 0.0]
+            smap = pd.Series(side_s["score"].to_numpy(),
+                             index=side_s[key_col])
+            sc = side_e[key_col].map(smap).to_numpy(np.float64)
+            w = side_e[weight_col].to_numpy(np.float64)
+            return pd.DataFrame({
+                "node": side_e[other].to_numpy(),
+                "_nb": side_e[key_col].to_numpy(),
+                "c": sc * w,
+            })
+
+        contribs = partitioned_map(
+            edges.map_batches(tag_e, batch_format="pandas").union(
+                scores.map_batches(tag_s, batch_format="pandas")),
+            contrib, keys=[key_col], approx_rows=xrows,
+            hot_key_threshold=100_000)
+
+        def zero_rows(df: pd.DataFrame) -> pd.DataFrame:
+            return pd.DataFrame({"node": df["node"], "_nb": "",
+                                 "c": 0.0})
+
+        def reduce_score(df: pd.DataFrame) -> pd.DataFrame:
+            df = df.sort_values(["node", "_nb"], kind="mergesort")
+            s = df.groupby("node", sort=False)["c"].sum()
+            return pd.DataFrame({"node": s.index.to_numpy(),
+                                 "score": s.to_numpy(np.float64)})
+
+        raw = partitioned_map(
+            contribs.union(nodes.map_batches(zero_rows,
+                                             batch_format="pandas")),
+            reduce_score, keys=["node"], approx_rows=xrows,
+            hot_key_threshold=100_000).materialize()
+        m = raw.max("score")
+        if not m or m <= 0.0:
+            return raw
+
+        def norm(df: pd.DataFrame) -> pd.DataFrame:
+            out = df.copy(deep=False)
+            out["score"] = out["score"].to_numpy(np.float64) / m
+            return out
+
+        # no materialize: `raw` is already materialized, so the
+        # norm map re-runs only the cheap division when consumed
+        return raw.map_batches(norm, batch_format="pandas")
+
+    auths = None
+    for _ in range(iterations):
+        auths = _push(hubs, src_col, "authority")
+        hubs = _push(auths, dst_col, "hub")
+
+    def tag_h(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"node": df["node"], "_w": np.int64(0),
+                             "score": df["score"].astype(np.float64)})
+
+    def tag_a(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"node": df["node"], "_w": np.int64(1),
+                             "score": df["score"].astype(np.float64)})
+
+    def merge(df: pd.DataFrame) -> pd.DataFrame:
+        from sits_classification_ray.functions.transforms import \
+            sql_round
+        h = df[df["_w"] == 0].set_index("node")["score"]
+        a = df[df["_w"] == 1].set_index("node")["score"]
+        nodes_ = np.sort(np.unique(df["node"].to_numpy()))
+        return pd.DataFrame({
+            "node": nodes_,
+            "hub": sql_round(
+                pd.Series(nodes_).map(h).fillna(0.0)
+                .to_numpy(np.float64), round_to),
+            "authority": sql_round(
+                pd.Series(nodes_).map(a).fillna(0.0)
+                .to_numpy(np.float64), round_to)})
+
+    return partitioned_map(
+        hubs.map_batches(tag_h, batch_format="pandas").union(
+            auths.map_batches(tag_a, batch_format="pandas")),
+        merge, keys=["node"], approx_rows=xrows,
+        hot_key_threshold=100_000)
+
+
+def components(edges: rd.Dataset, src_col: str = "w1",
+               dst_col: str = "w2", max_iters: int = 50) -> rd.Dataset:
+    """Weakly-connected components over a string-keyed edge table:
+    every node is labeled with the lexicographically SMALLEST node
+    reachable through the (symmetrized) graph.
+
+    Same distributed min-label propagation as
+    :func:`~sits_classification_ray.stages.dedup_docs.connected_components`
+    but over string vertex ids (Ray's native ``Min`` aggregation is
+    type-generic), so domain graphs join without an id-assignment
+    pass. Per round: one salted exchange + one native Min aggregation;
+    rounds = O(component diameter). Raises after ``max_iters``
+    non-converged rounds rather than returning partial labels.
+    Returns ``(node, component)``.
+    """
+    import pyarrow as pa
+    from ray.data.aggregate import Count, Min
+
+    from sits_classification_ray.stages.shuffle import partitioned_map
+
+    def sym(df: pd.DataFrame) -> pd.DataFrame:
+        a = df[src_col].astype(str).to_numpy()
+        b = df[dst_col].astype(str).to_numpy()
+        out = pd.DataFrame({"src": np.concatenate([a, b]),
+                            "dst": np.concatenate([b, a])})
+        return out.drop_duplicates()
+
+    from sits_classification_ray.stages.shuffle import compact_state
+
+    edges_s = edges.map_batches(sym, batch_format="pandas") \
+        .materialize()
+    n_edges = edges_s.count()
+    edges_s = compact_state(edges_s, n_edges)
+    if n_edges == 0:
+        return rd.from_arrow(pa.table({
+            "node": pa.array([], pa.string()),
+            "component": pa.array([], pa.string())}))
+
+    def init_lbl(df: pd.DataFrame) -> pd.DataFrame:
+        v = df["src"].to_numpy()
+        nb = df["lbl"].to_numpy()
+        return pd.DataFrame({"v": v, "lbl": np.minimum(v, nb)})
+
+    labels = (edges_s.groupby("src")
+              .aggregate(Min("dst", alias_name="lbl"))
+              .map_batches(init_lbl, batch_format="pandas")
+              .materialize())
+    n_nodes = labels.count()
+    labels = compact_state(labels, n_nodes)
+    xrows = n_edges + n_nodes
+
+    def tag_labels(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"__k": df["v"], "__o": "",
+                             "lbl": df["lbl"]})
+
+    def tag_edges(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"__k": df["src"], "__o": df["dst"],
+                             "lbl": ""})
+
+    edges_tagged = edges_s.map_batches(
+        tag_edges, batch_format="pandas").materialize()
+
+    def propagate(df: pd.DataFrame) -> pd.DataFrame:
+        lab = df[df["__o"] == ""]
+        edg = df[df["__o"] != ""]
+        m = edg[["__k", "__o"]].merge(
+            lab[["__k", "lbl"]], on="__k", how="inner")
+        return pd.concat([
+            pd.DataFrame({"v": m["__o"].to_numpy(), "lbl": m["lbl"]}),
+            pd.DataFrame({"v": lab["__k"].to_numpy(),
+                          "lbl": lab["lbl"]}),
+        ], ignore_index=True)
+
+    # convergence check: labels only ever shrink lexicographically, so
+    # the count of (v, lbl) pairs that changed is computed by an
+    # anti-equality probe per round; strings have no cheap monotone
+    # sum, so track a stable fingerprint instead
+    def fingerprint(lbls: rd.Dataset) -> int:
+        def h(df: pd.DataFrame) -> pd.DataFrame:
+            hv = pd.util.hash_pandas_object(
+                df["v"].astype(str) + "\x1f" + df["lbl"].astype(str),
+                index=False).to_numpy(np.uint64)
+            # 31-bit folds keep the int64 total exact up to 2^32 nodes
+            return pd.DataFrame(
+                {"x": (hv % np.uint64(2**31)).astype(np.int64)})
+        return int(lbls.map_batches(h, batch_format="pandas").sum("x"))
+
+    prev_fp = fingerprint(labels)
+    for _ in range(max_iters):
+        unioned = labels.map_batches(
+            tag_labels, batch_format="pandas").union(edges_tagged)
+        msgs = partitioned_map(unioned, propagate, keys=["__k"],
+                               approx_rows=xrows,
+                               hot_key_threshold=100_000)
+        labels = compact_state(
+            msgs.groupby("v").aggregate(
+                Min("lbl", alias_name="lbl")).materialize(), n_nodes)
+        fp = fingerprint(labels)
+        if fp == prev_fp:
+            break
+        prev_fp = fp
+    else:
+        raise RuntimeError(
+            f"components() did not converge in {max_iters} rounds — "
+            f"component diameter exceeds max_iters; raise it.")
+
+    def fin(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"node": df["v"], "component": df["lbl"]})
+
+    return labels.map_batches(fin, batch_format="pandas")

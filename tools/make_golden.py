@@ -92,6 +92,8 @@ def make_for(sf_dir: str, only: set[str] | None = None) -> None:
             lambda: golden.cms_heavy_domains_crawl(obs),
         "pagerank_domains_crawl":
             lambda: golden.pagerank_domains_crawl(crawl),
+        "hits_domains_crawl":
+            lambda: golden.hits_domains_crawl(crawl),
         "kmv_overlap_weeks": lambda: golden.kmv_overlap_weeks(obs),
         "gorilla_segments": lambda: golden.gorilla_segments(obs_long),
         "bloom_semi_join_documents":
