@@ -3698,7 +3698,10 @@ def build_queries() -> dict[str, Callable[[str], Any]]:
         q4_priority_semi, q16_supplier_variety,
         q19_disjunctive_revenue, q7_nation_volume,
         q12_priority_by_status, q13_customer_distribution,
-        q15_top_supplier, q22_idle_customers)
+        q15_top_supplier, q22_idle_customers,
+        q2_min_cost_supplier, q8_market_share, q9_product_profit,
+        q11_important_parts, q20_promotion_suppliers,
+        q21_suppliers_waiting)
 
     return {k: _tuned(v) for k, v in {
         # crawl pipeline (SQL-checked)
@@ -3747,6 +3750,12 @@ def build_queries() -> dict[str, Callable[[str], Any]]:
         "q13_customer_distribution": q13_customer_distribution,
         "q15_top_supplier": q15_top_supplier,
         "q22_idle_customers": q22_idle_customers,
+        "q2_min_cost_supplier": q2_min_cost_supplier,
+        "q8_market_share": q8_market_share,
+        "q9_product_profit": q9_product_profit,
+        "q11_important_parts": q11_important_parts,
+        "q20_promotion_suppliers": q20_promotion_suppliers,
+        "q21_suppliers_waiting": q21_suppliers_waiting,
         # documents / training-data ops
         "exact_dedup_documents": _exact_dedup_documents,
         "text_stats_documents": _text_stats_documents,
@@ -4382,6 +4391,106 @@ WHERE n1.n_name <> n2.n_name
   AND l.l_shipdate >= TIMESTAMP '1996-01-01'
   AND l.l_shipdate < TIMESTAMP '1998-01-01'
 GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""",
+        "q2_min_cost_supplier": """
+WITH cost AS MATERIALIZED (
+  SELECT l_partkey AS p_partkey, l_suppkey,
+         min(CAST(round(l_extendedprice * 100, 0) AS BIGINT)) AS cost_u
+  FROM lineitem
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation ON s_nationkey = n_nationkey
+  JOIN region ON n_regionkey = r_regionkey
+  WHERE r_name = 'EUROPE'
+  GROUP BY 1, 2)
+SELECT s_acctbal, s_name, n_name, c.p_partkey, p_retailprice, cost_u
+FROM cost c
+JOIN part p ON c.p_partkey = p.p_partkey
+JOIN supplier ON c.l_suppkey = s_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+WHERE p.p_size <= 15 AND p.p_type = 'PROMO'
+  AND cost_u = (SELECT min(c2.cost_u) FROM cost c2
+                WHERE c2.p_partkey = c.p_partkey)
+ORDER BY s_acctbal DESC, n_name, s_name, c.p_partkey LIMIT 100""",
+        "q8_market_share": """
+SELECT CAST(year(o.o_orderdate) AS BIGINT) AS o_year,
+       CAST(sum(CASE WHEN n1.n_name = 'NATION_3' THEN l.rev
+                ELSE 0 END) AS BIGINT) AS nation_rev_u,
+       CAST(sum(l.rev) AS BIGINT) AS total_rev_u,
+       round(CAST(sum(CASE WHEN n1.n_name = 'NATION_3' THEN l.rev
+                      ELSE 0 END) AS DOUBLE)
+             / CAST(sum(l.rev) AS DOUBLE), 6) AS mkt_share
+FROM (SELECT l_orderkey, l_suppkey,
+             CAST(round(l_extendedprice * 100, 0) AS BIGINT)
+             * (100 - CAST(round(l_discount * 100, 0) AS BIGINT)) AS rev
+      FROM lineitem) l
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+JOIN supplier s ON l.l_suppkey = s.s_suppkey
+JOIN nation n1 ON s.s_nationkey = n1.n_nationkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN nation n2 ON c.c_nationkey = n2.n_nationkey
+JOIN region r ON n2.n_regionkey = r.r_regionkey
+WHERE r.r_name = 'AMERICA'
+  AND o.o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o.o_orderdate < TIMESTAMP '1998-01-01'
+GROUP BY 1 ORDER BY 1""",
+        "q9_product_profit": """
+SELECT n_name AS nation, CAST(year(l_shipdate) AS BIGINT) AS o_year,
+       CAST(sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT)
+                * (100 - CAST(round(l_discount * 100, 0) AS BIGINT))
+                - CAST(l_quantity AS BIGINT)
+                  * CAST(round(p_retailprice * 100, 0) AS BIGINT)
+                  * 50) AS BIGINT) AS profit_u
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+WHERE p_name LIKE '%widget%'
+GROUP BY 1, 2 ORDER BY 1, 2 DESC""",
+        "q11_important_parts": """
+WITH val AS MATERIALIZED (
+  SELECT l_partkey AS p_partkey,
+         CAST(sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT))
+              AS BIGINT) AS value_u
+  FROM lineitem
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation ON s_nationkey = n_nationkey
+  WHERE n_name = 'NATION_12'
+  GROUP BY 1)
+SELECT p_partkey, value_u FROM val
+WHERE value_u * 1000000 > (SELECT sum(value_u) * 1000 FROM val)
+ORDER BY value_u DESC, p_partkey""",
+        "q20_promotion_suppliers": """
+WITH sq AS MATERIALIZED (
+  SELECT l_partkey, l_suppkey,
+         CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty
+  FROM lineitem
+  JOIN part ON l_partkey = p_partkey
+  WHERE p_name LIKE 'large%'
+    AND l_shipdate >= TIMESTAMP '1997-01-01'
+    AND l_shipdate < TIMESTAMP '1998-01-01'
+  GROUP BY 1, 2)
+SELECT DISTINCT s_name, n_name
+FROM sq
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+WHERE qty * 2 > (SELECT sum(qty) FROM sq s2
+                 WHERE s2.l_partkey = sq.l_partkey)
+ORDER BY s_name""",
+        "q21_suppliers_waiting": """
+WITH lf AS MATERIALIZED (
+  SELECT l_orderkey, l_suppkey,
+         max(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS has_r
+  FROM lineitem
+  JOIN orders ON l_orderkey = o_orderkey
+  WHERE o_orderstatus = 'F'
+  GROUP BY 1, 2)
+SELECT s_name, CAST(count(*) AS BIGINT) AS numwait
+FROM lf JOIN supplier ON l_suppkey = s_suppkey
+WHERE has_r = 1
+  AND (SELECT count(*) FROM lf l2
+       WHERE l2.l_orderkey = lf.l_orderkey) > 1
+  AND (SELECT sum(has_r) FROM lf l2
+       WHERE l2.l_orderkey = lf.l_orderkey) = 1
+GROUP BY 1 ORDER BY numwait DESC, s_name LIMIT 20""",
         "q12_priority_by_status": """
 SELECT l.l_linestatus,
        CAST(sum(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')

@@ -210,3 +210,52 @@ def test_q19_disjunctive_predicates(ray_session):
         FROM lineitem l JOIN p2 p ON l.l_partkey = p.p_partkey""")
     assert int(got["revenue_u"].iloc[0]) == int(exp["revenue_u"].iloc[0])
     assert int(got["n_items"].iloc[0]) > 0
+
+
+def test_q21_sole_fault_supplier(ray_session):
+    from sits_classification_ray.pipelines.relational import (
+        q21_suppliers_waiting)
+
+    got = q21_suppliers_waiting(SF).to_pandas()
+    exp = _duck("""
+        WITH lf AS MATERIALIZED (
+          SELECT l_orderkey, l_suppkey,
+                 max(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END)
+                     AS has_r
+          FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+          WHERE o_orderstatus = 'F' GROUP BY 1, 2)
+        SELECT s_name, CAST(count(*) AS BIGINT) AS numwait
+        FROM lf JOIN supplier ON l_suppkey = s_suppkey
+        WHERE has_r = 1
+          AND (SELECT count(*) FROM lf l2
+               WHERE l2.l_orderkey = lf.l_orderkey) > 1
+          AND (SELECT sum(has_r) FROM lf l2
+               WHERE l2.l_orderkey = lf.l_orderkey) = 1
+        GROUP BY 1 ORDER BY numwait DESC, s_name LIMIT 20""")
+    assert got["s_name"].tolist() == exp["s_name"].tolist()
+    assert got["numwait"].tolist() == exp["numwait"].tolist()
+
+
+def test_q2_per_part_min_cost(ray_session):
+    from sits_classification_ray.pipelines.relational import (
+        q2_min_cost_supplier)
+
+    got = q2_min_cost_supplier(SF).to_pandas()
+    # every returned (part, supplier) pair carries that part's global
+    # minimum observed EUROPE-supplier line price
+    exp_min = _duck("""
+        SELECT l_partkey AS p_partkey,
+               min(CAST(round(l_extendedprice * 100, 0) AS BIGINT))
+                   AS min_u
+        FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+        JOIN nation ON s_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+        WHERE r_name = 'EUROPE' GROUP BY 1""")
+    mins = dict(zip(exp_min["p_partkey"], exp_min["min_u"]))
+    assert len(got) > 0
+    assert all(int(r.cost_u) == int(mins[r.p_partkey])
+               for r in got.itertuples())
+    # Q2 ordering contract
+    key = list(zip(-got["s_acctbal"], got["n_name"], got["s_name"],
+                   got["p_partkey"]))
+    assert key == sorted(key)
