@@ -600,6 +600,19 @@ def _jaccard_near_dup_documents(sf_dir: str) -> rd.Dataset:
     return jaccard_near_dup(ds, w=3, df_cap=32, threshold=0.5)
 
 
+def _dup_spans_documents(sf_dir: str) -> rd.Dataset:
+    """Suffix-array-style repeated-span detection (Lee et al. 2021):
+    maximal token spans covered by word-4-grams that occur in ≥ 2
+    distinct documents — the span-level (sub-document) sibling of the
+    document-level dedup family, SQL-checkable because word grams and
+    interval islands are expressible in DuckDB windows."""
+    from sits_classification_ray.stages.dedup_docs import dup_spans
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"])
+    return dup_spans(ds, k=4)
+
+
 def _snm_near_dup_documents(sf_dir: str) -> rd.Dataset:
     """Sorted-neighborhood near-dup (Hernández–Stolfo merge/purge):
     global sort by a text prefix key, pairs within a 3-position
@@ -3779,6 +3792,7 @@ def build_queries() -> dict[str, Callable[[str], Any]]:
         "fingerprint_documents": _fingerprint_documents,
         "minhash_near_dup_documents": _minhash_near_dup_documents,
         "jaccard_near_dup_documents": _jaccard_near_dup_documents,
+        "dup_spans_documents": _dup_spans_documents,
         "snm_near_dup_documents": _snm_near_dup_documents,
         "near_dup_clusters_documents": _near_dup_clusters_documents,
         "near_dup_keep_one_documents": _near_dup_keep_one_documents,
@@ -3962,7 +3976,7 @@ DRIVER_WINDOW = [
     "training_windows", "gorilla_roundtrip", "hll_weekly_from_daily",
     "train_linear_fit", "q1_pricing_summary",
     "exact_dedup_documents", "minhash_near_dup_documents",
-    "near_dup_keep_one_documents", "incremental_near_dup_documents",
+    "near_dup_keep_one_documents", "dup_spans_documents",
     "jaccard_near_dup_documents", "embedding_near_dup_ivf",
     "similarity_topk", "q3_shipping_priority", "ivfpq_topk_embeddings",
     "kmeans_embeddings", "cluster_top_terms", "text_stats_documents",
@@ -4239,6 +4253,28 @@ SELECT CAST(date_trunc('week', warc_ts) AS TIMESTAMP) AS bucket_ts,
        count(*) FILTER (lang = 'zh') AS n_zh,
        count(*) AS n_total
 FROM obs GROUP BY 1""",
+        "dup_spans_documents": """
+WITH tok AS MATERIALIZED (
+  SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+grams AS MATERIALIZED (
+  SELECT t.doc_id, i.i - 1 AS pos,
+         array_to_string(t.w[i.i : i.i + 3], ' ') AS gram
+  FROM tok t, LATERAL (
+    SELECT unnest(generate_series(1, len(t.w) - 3)) AS i) i),
+dup AS (SELECT gram FROM grams GROUP BY gram
+        HAVING min(doc_id) <> max(doc_id)),
+hits AS (SELECT g.doc_id, g.pos FROM grams g
+         JOIN dup d ON g.gram = d.gram),
+brk AS (SELECT doc_id, pos,
+        CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id
+             ORDER BY pos) <= 4 THEN 0 ELSE 1 END AS b FROM hits),
+isl AS (SELECT doc_id, pos, sum(b) OVER (PARTITION BY doc_id
+        ORDER BY pos ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        AS grp FROM brk)
+SELECT doc_id, CAST(min(pos) AS BIGINT) AS span_start,
+       CAST(max(pos) + 3 AS BIGINT) AS span_end,
+       CAST(count(*) AS BIGINT) AS n_grams
+FROM isl GROUP BY doc_id, grp""",
         "jaccard_near_dup_documents": """
 WITH toks AS MATERIALIZED (
   SELECT doc_id, string_split(lower(text), ' ') AS ts,

@@ -1127,3 +1127,130 @@ def _word_shingle_batch(texts, w: int) -> tuple[np.ndarray, np.ndarray]:
                       h[valid].view(np.int64)], axis=1)
     pairs = np.unique(pairs, axis=0)
     return pairs[:, 0], pairs[:, 1].view(np.uint64)
+
+
+# ---------------------------------------------------------------------------
+# Duplicate-span detection (suffix-array-style repeated n-grams)
+# ---------------------------------------------------------------------------
+
+
+def word_gram_position_rows(ds: rd.Dataset, k: int = 3,
+                            id_col: str = "doc_id",
+                            text_col: str = "text") -> rd.Dataset:
+    """(doc_id, pos, gh) — one row per word-``k``-gram OCCURRENCE
+    (0-based token position, NOT distinct like the MinHash shingles).
+
+    Batch-vectorized like :func:`_word_shingle_batch`: all documents'
+    tokens concatenate into one array, distinct tokens sha1-hash once
+    per batch, one windowed polynomial pass yields every gram hash;
+    windows crossing a document boundary are masked out. Gram identity
+    is case-exact (``text.split(' ')``, no lowercasing) so the DuckDB
+    oracle's ``array_to_string(w[i:i+k-1], ' ')`` grouping agrees;
+    64-bit hash collisions are vanishingly rare and deterministic (the
+    standard construction, same caveat as :class:`MinHasher`)."""
+
+    def grams(df: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({id_col: np.array([], np.int64),
+                              "pos": np.array([], np.int64),
+                              "gh": np.array([], np.int64)})
+        toks_per_doc = [(t or "").split(" ") for t in df[text_col]]
+        lens = np.fromiter((len(x) for x in toks_per_doc),
+                           dtype=np.int64, count=len(toks_per_doc))
+        if not lens.sum():
+            return empty
+        flat = np.concatenate([np.asarray(x, dtype=object)
+                               for x in toks_per_doc])
+        uniq, inv = np.unique(flat, return_inverse=True)
+        th = _sha1_u64(list(uniq))[inv]
+        n = len(flat)
+        if n < k:
+            return empty
+        m = n - k + 1
+        with np.errstate(over="ignore"):
+            h = np.zeros(m, dtype=np.uint64)
+            for j in range(k):
+                h = h * _SHINGLE_BASE + th[j:j + m]
+        starts = np.concatenate([[0], np.cumsum(lens)[:-1]])
+        doc_of = np.repeat(np.arange(len(lens), dtype=np.int64),
+                           lens)[:m]
+        ends = starts + lens                      # exclusive
+        valid = np.arange(m) + k <= ends[doc_of]
+        ids = df[id_col].to_numpy()[doc_of[valid]]
+        return pd.DataFrame({
+            id_col: ids.astype(np.int64),
+            "pos": (np.arange(m)[valid]
+                    - starts[doc_of[valid]]).astype(np.int64),
+            "gh": h[valid].view(np.int64),
+        })
+
+    return ds.map_batches(grams, batch_format="pandas")
+
+
+def dup_spans(ds: rd.Dataset, k: int = 3, id_col: str = "doc_id",
+              text_col: str = "text",
+              num_partitions: int | None = None) -> rd.Dataset:
+    """Repeated-span detection à la suffix-array training-data dedup
+    (Lee et al. 2021, "Deduplicating Training Data Makes Language
+    Models Better"): find every word-``k``-gram that occurs in ≥ 2
+    DISTINCT documents, then merge each document's duplicated gram
+    positions into maximal token spans.
+
+    Returns ``(doc_id, span_start, span_end, n_grams)`` — inclusive
+    0-based token extents of each maximal duplicated region plus the
+    number of duplicated grams it absorbs.
+
+    Scale shape (two key exchanges, no driver materialization):
+
+    1. explode gram-occurrence rows (above, streaming);
+    2. ``partitioned_map`` on the gram hash — each partition holds
+       COMPLETE gram groups, so "appears in ≥ 2 distinct docs" is the
+       vectorized per-group test ``min(doc) != max(doc)`` (no count
+       distinct, no second pass, no broadcast dup-set — the dup set
+       at corpus scale is unbounded, so it must never reach the
+       driver);
+    3. ``partitioned_map`` on doc_id — positions of one document land
+       together; fixed-width intervals ``[pos, pos+k-1]`` sorted by
+       pos merge where the gap ≤ k (overlapping or token-contiguous),
+       a vectorized cumsum-of-breaks islands pass.
+    """
+    from sits_classification_ray.stages.shuffle import partitioned_map
+
+    rows = word_gram_position_rows(ds, k=k, id_col=id_col,
+                                   text_col=text_col)
+
+    def cross_doc_only(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("gh")[id_col]
+        keep = g.transform("min") != g.transform("max")
+        return df.loc[keep, [id_col, "pos"]]
+
+    hits = partitioned_map(rows, cross_doc_only, keys=["gh"],
+                           num_partitions=num_partitions)
+
+    def merge_islands(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return pd.DataFrame({
+                id_col: np.array([], np.int64),
+                "span_start": np.array([], np.int64),
+                "span_end": np.array([], np.int64),
+                "n_grams": np.array([], np.int64)})
+        df = df.sort_values([id_col, "pos"], kind="mergesort")
+        doc = df[id_col].to_numpy()
+        pos = df["pos"].to_numpy()
+        brk = np.ones(len(df), dtype=np.int64)
+        same = doc[1:] == doc[:-1]
+        # fixed-width [pos, pos+k-1] sorted by pos ⇒ ends monotone,
+        # so "overlaps or touches the running span" ⇔ gap ≤ k
+        brk[1:] = np.where(same & (pos[1:] - pos[:-1] <= k), 0, 1)
+        grp = np.cumsum(brk)
+        out = pd.DataFrame({id_col: doc, "grp": grp, "pos": pos})
+        agg = out.groupby("grp", sort=False).agg(
+            **{id_col: (id_col, "first"),
+               "span_start": ("pos", "min"),
+               "span_end": ("pos", "max"),
+               "n_grams": ("pos", "size")})
+        agg["span_end"] += k - 1
+        return agg[[id_col, "span_start", "span_end",
+                    "n_grams"]].astype(np.int64).reset_index(drop=True)
+
+    return partitioned_map(hits, merge_islands, keys=[id_col],
+                           num_partitions=num_partitions)

@@ -824,3 +824,51 @@ def test_typo_pairs_fastss_recall(ray_session):
     got = set(map(tuple, out[["url_a", "url_b"]].to_numpy()))
     assert got == {("abcde", "abcdef"), ("abcde", "abcdex"),
                    ("abcdef", "abcdex")}
+
+
+def test_dup_spans_maximal_islands(ray_session):
+    """Cross-doc repeated 4-grams merge into maximal token spans;
+    within-doc-only repeats and unique text produce no spans."""
+    from sits_classification_ray.stages.dedup_docs import dup_spans
+
+    shared = "the quick brown fox jumps over the lazy dog"  # 9 tokens
+    docs = pd.DataFrame({
+        "doc_id": [1, 2, 3, 4],
+        "text": [
+            f"alpha beta {shared} gamma delta",      # shared at pos 2..10
+            f"{shared} something else entirely",     # shared at pos 0..8
+            # doc 3: repeats a 4-gram twice INSIDE itself only → no span
+            "x y z w q x y z w q",
+            "totally unique words here nothing repeated at all",
+        ],
+    })
+    out = dup_spans(rd.from_pandas(docs), k=4).to_pandas() \
+        .sort_values(["doc_id", "span_start"]).reset_index(drop=True)
+    assert set(out["doc_id"]) == {1, 2}
+    r1 = out[out["doc_id"] == 1].iloc[0]
+    # 9 shared tokens at offset 2 → grams at pos 2..7 merge to [2, 10]
+    assert (r1["span_start"], r1["span_end"], r1["n_grams"]) == (2, 10, 6)
+    r2 = out[out["doc_id"] == 2].iloc[0]
+    assert (r2["span_start"], r2["span_end"], r2["n_grams"]) == (0, 8, 6)
+
+
+def test_dup_spans_gap_break(ray_session):
+    """Duplicated grams separated by more than k tokens stay separate
+    spans; a gap of exactly k (token-contiguous coverage) merges."""
+    from sits_classification_ray.stages.dedup_docs import dup_spans
+
+    a = "p q r s"          # 4 tokens: one 4-gram
+    b = "m n o u"
+    docs = pd.DataFrame({
+        "doc_id": [1, 2],
+        "text": [
+            f"{a} z1 z2 z3 z4 z5 {b}",   # positions 0 and 10: gap 10 > 4
+            f"{a} junk {b}",             # both grams also in doc 1
+        ],
+    })
+    out = dup_spans(rd.from_pandas(docs), k=4).to_pandas()
+    d1 = out[out["doc_id"] == 1]
+    assert len(d1) == 2                      # far apart → two islands
+    d2 = out[out["doc_id"] == 2]
+    # doc 2: grams at pos 0 and 5 — gap 5 > 4 → still two spans
+    assert len(d2) == 2
