@@ -922,15 +922,15 @@ def source_mixture_documents(docs: pd.DataFrame) -> pd.DataFrame:
     return out.reset_index(drop=True)
 
 
-def kmeans_embeddings(emb: pd.DataFrame, k: int = 8,
+def _kmeans_centroids(emb: pd.DataFrame, k: int = 8,
                       iterations: int = 5, num_partitions: int = 64
-                      ) -> pd.DataFrame:
-    """Independent full-data Lloyd's k-means replicating the engine's
-    determinism contract bit-for-bit: fixed hash partitions
-    (``pd.util.hash_array(id) % P``), per-partition id-sorted
-    ``np.add.at`` accumulation, merge sorted by (cluster, dim, pid),
-    argmin ties to the smaller cluster, empty clusters keep their
-    centroid."""
+                      ) -> np.ndarray:
+    """Centroid fit for :func:`kmeans_embeddings` /
+    :func:`semdedup_embeddings` — the engine's determinism contract
+    bit-for-bit: fixed hash partitions (``pd.util.hash_array(id) %
+    P``), per-partition id-sorted ``np.add.at`` accumulation, merge
+    sorted by (cluster, dim, pid), argmin ties to the smaller cluster,
+    empty clusters keep their centroid."""
     ids = emb["vec_id"].to_numpy(np.int64)
     seed = emb[emb["vec_id"] < k].sort_values("vec_id")
     C = np.stack([np.asarray(v, dtype=np.float64)
@@ -974,10 +974,65 @@ def kmeans_embeddings(emb: pd.DataFrame, k: int = 8,
             if nv > 0:
                 C_new[ci, di] = sv / float(nv)
         C = C_new
+    return C
+
+
+def _assign_of(X: np.ndarray, Cm: np.ndarray) -> np.ndarray:
+    d2 = (X ** 2).sum(1)[:, None] - 2.0 * (X @ Cm.T) \
+        + (Cm ** 2).sum(1)[None, :]
+    return np.argmin(d2, axis=1)
+
+
+def kmeans_embeddings(emb: pd.DataFrame, k: int = 8,
+                      iterations: int = 5, num_partitions: int = 64
+                      ) -> pd.DataFrame:
+    """Independent full-data Lloyd's k-means (see
+    :func:`_kmeans_centroids` for the determinism contract)."""
+    C = _kmeans_centroids(emb, k, iterations, num_partitions)
     X = np.stack([np.asarray(v, dtype=np.float64)
                   for v in emb["embedding"]])
-    return pd.DataFrame({"vec_id": ids,
-                         "cluster": assign_of(X, C).astype(np.int64)})
+    return pd.DataFrame({"vec_id": emb["vec_id"].to_numpy(np.int64),
+                         "cluster": _assign_of(X, C).astype(np.int64)})
+
+
+def semdedup_embeddings(emb: pd.DataFrame, k: int = 8,
+                        iterations: int = 5, tau: float = 0.45,
+                        num_partitions: int = 64) -> pd.DataFrame:
+    """Independent SemDeDup twin: k-means assign, then per cluster a
+    greedy farthest-from-centroid-first scan (ascending cosine to the
+    normalized centroid, ties by ascending id) keeping a vector iff
+    its max cosine against the kept set is < tau — identical
+    fixed-order float64 arithmetic to the engine kernel."""
+    C = _kmeans_centroids(emb, k, iterations, num_partitions)
+    ids_all = emb["vec_id"].to_numpy(np.int64)
+    X_all = np.stack([np.asarray(v, dtype=np.float64)
+                      for v in emb["embedding"]])
+    cl_all = _assign_of(X_all, C).astype(np.int64)
+    order_base = np.argsort(ids_all, kind="mergesort")
+    outs = []
+    for c in np.unique(cl_all):
+        m = order_base[cl_all[order_base] == c]
+        ids = ids_all[m]
+        X = X_all[m]
+        nrm = np.sqrt((X ** 2).sum(1))
+        nrm[nrm == 0.0] = 1.0
+        Xn = X / nrm[:, None]
+        cc = C[int(c)]
+        cn = np.sqrt((cc ** 2).sum())
+        ccn = cc / (cn if cn > 0 else 1.0)
+        cosc = Xn @ ccn
+        order = np.lexsort((ids, cosc))
+        keep = np.zeros(len(ids), dtype=bool)
+        kept: list = []
+        for i in order:
+            if kept and float((Xn[kept] @ Xn[i]).max()) >= tau:
+                continue
+            keep[i] = True
+            kept.append(i)
+        outs.append(pd.DataFrame({
+            "vec_id": ids, "cluster": np.full(len(ids), np.int64(c)),
+            "keep": keep.astype(np.int64)}))
+    return pd.concat(outs, ignore_index=True)
 
 
 def pq_topk_embeddings(emb: pd.DataFrame, m: int = 8, ks: int = 16,

@@ -2629,6 +2629,17 @@ def _kmeans_embeddings(sf_dir: str) -> rd.Dataset:
     return kmeans_assign(emb, k=8, iterations=5)
 
 
+def _semdedup_embeddings(sf_dir: str) -> rd.Dataset:
+    """SemDeDup (Abbas et al. 2023): k-means-bucketed semantic dedup —
+    within each cluster, greedily drop vectors with cosine ≥ 0.45 to
+    an already-kept vector, farthest-from-centroid kept first."""
+    from sits_classification_ray.stages.similarity import semdedup
+
+    emb = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                          columns=["vec_id", "embedding"])
+    return semdedup(emb, k=8, iterations=5, tau=0.45)
+
+
 def _user_sessions_events(sf_dir: str) -> rd.Dataset:
     """Sessionize the events stream per user (1 h inactivity gap) and
     coalesce to per-session intervals — the sessionize stage reused on
@@ -3871,6 +3882,7 @@ def build_queries() -> dict[str, Callable[[str], Any]]:
         "cumulative_users_daily": _cumulative_users_daily,
         "full_join_documents_embeddings": _full_join_documents_embeddings,
         "kmeans_embeddings": _kmeans_embeddings,
+        "semdedup_embeddings": _semdedup_embeddings,
         "pq_topk_embeddings": _pq_topk_embeddings,
         "ivfpq_topk_embeddings": _ivfpq_topk_embeddings,
         "rolling_mean_time_crawl": _rolling_mean_time_crawl,
@@ -4042,6 +4054,7 @@ GOLDEN_QUERIES = [
     "source_mixture_documents", "kmeans_embeddings",
     "pq_topk_embeddings", "bpe_merges_documents", "skew_report_crawl",
     "corpus_prep_documents", "cluster_top_terms",
+    "semdedup_embeddings",
     "ivfpq_topk_embeddings", "train_linear_fit", "train_linear_weights",
     "tune_trials", "sniffed_assets_crawl", "resized_thumbnails_crawl",
     "wav_features_crawl", "y4m_scene_stats_crawl",

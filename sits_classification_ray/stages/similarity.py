@@ -285,16 +285,18 @@ def nearest_centroid_predict(ds: rd.Dataset, centroids_long: rd.Dataset,
 
 # --- distributed Lloyd's k-means (full data, not a sample) ---------------
 
-def kmeans_assign(ds: rd.Dataset, k: int = 8, iterations: int = 5,
-                  num_partitions: int = 64, id_col: str = "vec_id",
-                  vec_col: str = "embedding") -> rd.Dataset:
-    """Full-dataset Lloyd's k-means: every iteration streams ALL
-    vectors through an assignment + partial-sum pass; only O(P·k·d)
-    partial rows ever reach the driver (the standard scalable k-means
-    shape — contrast :func:`train_centroids`, which clusters a bounded
-    driver-side sample for IVF seeding).
+def kmeans_fit(ds: rd.Dataset, k: int = 8, iterations: int = 5,
+               num_partitions: int = 64, id_col: str = "vec_id",
+               vec_col: str = "embedding") -> np.ndarray:
+    """Full-dataset Lloyd's k-means centroid fit: every iteration
+    streams ALL vectors through an assignment + partial-sum pass; only
+    O(P·k·d) partial rows ever reach the driver (the standard scalable
+    k-means shape — contrast :func:`train_centroids`, which clusters a
+    bounded driver-side sample for IVF seeding).
 
-    Returns the final cluster assignment ``(id, cluster)``.
+    Returns the final ``(k, d)`` centroid matrix under the same
+    determinism contract as :func:`kmeans_assign` (which delegates
+    here).
 
     Determinism contract (bit-exact under any block order, enabling a
     golden-file oracle for an iterative float algorithm):
@@ -362,7 +364,18 @@ def kmeans_assign(ds: rd.Dataset, k: int = 8, iterations: int = 5,
                 C_new[ci, di] = sv / float(nv)
         C = C_new
 
-    C_fin = C
+    return C
+
+
+def kmeans_assign(ds: rd.Dataset, k: int = 8, iterations: int = 5,
+                  num_partitions: int = 64, id_col: str = "vec_id",
+                  vec_col: str = "embedding") -> rd.Dataset:
+    """Final cluster assignment ``(id, cluster)`` of the
+    :func:`kmeans_fit` centroids (argmin ties to the smaller cluster
+    index)."""
+    C_fin = kmeans_fit(ds, k=k, iterations=iterations,
+                       num_partitions=num_partitions, id_col=id_col,
+                       vec_col=vec_col)
 
     def assign(df: pd.DataFrame) -> pd.DataFrame:
         X = np.stack([np.asarray(v, dtype=np.float64)
@@ -374,6 +387,83 @@ def kmeans_assign(ds: rd.Dataset, k: int = 8, iterations: int = 5,
                              .astype(np.int64)})
 
     return ds.map_batches(assign, batch_format="pandas")
+
+
+def semdedup(ds: rd.Dataset, k: int = 8, iterations: int = 5,
+             tau: float = 0.45, num_partitions: int = 64,
+             id_col: str = "vec_id", vec_col: str = "embedding"
+             ) -> rd.Dataset:
+    """Semantic deduplication (SemDeDup, Abbas et al. 2023): k-means
+    cluster the embedding space, then within each cluster greedily
+    drop vectors whose cosine similarity to an already-kept vector is
+    ≥ ``tau``. Returns ``(id, cluster, keep)`` with keep ∈ {0, 1}.
+
+    Scale shape — the whole point of the paper's design: the O(n²)
+    pairwise cosine never happens globally, only inside a cluster
+    (``partitioned_map`` on the cluster id co-locates complete
+    clusters; cluster count k scales with corpus size to bound the
+    per-cluster quadratic term). Centroids are O(k·d), shipped in the
+    kernel closure.
+
+    Determinism contract (bit-exact, golden-file-oracle-able):
+    :func:`kmeans_fit` centroids are deterministic; within a cluster,
+    vectors are processed farthest-from-centroid first (ascending
+    cosine to the L2-normalized centroid — the paper keeps
+    low-centroid-similarity representatives), ties broken by ascending
+    id; a candidate is kept iff its max cosine against the kept set is
+    < ``tau``; every float op is fixed-order float64."""
+    from sits_classification_ray.stages.shuffle import partitioned_map
+
+    C = kmeans_fit(ds, k=k, iterations=iterations,
+                   num_partitions=num_partitions, id_col=id_col,
+                   vec_col=vec_col)
+
+    def assign(df: pd.DataFrame) -> pd.DataFrame:
+        X = np.stack([np.asarray(v, dtype=np.float64)
+                      for v in df[vec_col]])
+        d2 = (X ** 2).sum(1)[:, None] - 2.0 * (X @ C.T) \
+            + (C ** 2).sum(1)[None, :]
+        return pd.DataFrame({id_col: df[id_col].to_numpy(),
+                             "cluster": np.argmin(d2, 1).astype(np.int64),
+                             vec_col: df[vec_col]})
+
+    assigned = ds.map_batches(assign, batch_format="pandas")
+
+    def greedy(df: pd.DataFrame) -> pd.DataFrame:
+        outs = []
+        for c in np.unique(df["cluster"].to_numpy()):
+            sub = df[df["cluster"] == c].sort_values(id_col,
+                                                     kind="mergesort")
+            ids = sub[id_col].to_numpy(np.int64)
+            X = np.stack([np.asarray(v, dtype=np.float64)
+                          for v in sub[vec_col]])
+            nrm = np.sqrt((X ** 2).sum(1))
+            nrm[nrm == 0.0] = 1.0
+            Xn = X / nrm[:, None]
+            cc = C[int(c)]
+            cn = np.sqrt((cc ** 2).sum())
+            ccn = cc / (cn if cn > 0 else 1.0)
+            cosc = Xn @ ccn
+            order = np.lexsort((ids, cosc))
+            keep = np.zeros(len(ids), dtype=bool)
+            kept: list[int] = []
+            for i in order:
+                if kept and float((Xn[kept] @ Xn[i]).max()) >= tau:
+                    continue
+                keep[i] = True
+                kept.append(i)
+            outs.append(pd.DataFrame({
+                id_col: ids,
+                "cluster": np.full(len(ids), np.int64(c)),
+                "keep": keep.astype(np.int64)}))
+        if not outs:
+            return pd.DataFrame({id_col: np.array([], np.int64),
+                                 "cluster": np.array([], np.int64),
+                                 "keep": np.array([], np.int64)})
+        return pd.concat(outs, ignore_index=True)
+
+    return partitioned_map(assigned, greedy, keys=["cluster"],
+                           num_partitions=min(num_partitions, 4 * k))
 
 
 # ---------------------------------------------------------------------------

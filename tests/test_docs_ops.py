@@ -872,3 +872,25 @@ def test_dup_spans_gap_break(ray_session):
     d2 = out[out["doc_id"] == 2]
     # doc 2: grams at pos 0 and 5 — gap 5 > 4 → still two spans
     assert len(d2) == 2
+
+
+def test_semdedup_drops_planted_near_duplicates(ray_session):
+    """A cluster containing two nearly-identical vectors keeps exactly
+    one of them (the farther-from-centroid scan order decides which);
+    orthogonal vectors all survive."""
+    from sits_classification_ray.stages.similarity import semdedup
+
+    rng = np.random.default_rng(3)
+    base = rng.standard_normal((6, 16))
+    # vec 6 = tiny perturbation of vec 0 → cosine ≈ 1 with it
+    dup = base[0] + 1e-3 * rng.standard_normal(16)
+    X = np.vstack([base, dup[None, :]]).astype(np.float64)
+    emb = pd.DataFrame({"vec_id": np.arange(7, dtype=np.int64),
+                        "embedding": list(X)})
+    out = semdedup(rd.from_pandas(emb), k=2, iterations=3,
+                   tau=0.9).to_pandas().sort_values("vec_id")
+    assert len(out) == 7
+    pair = out[out["vec_id"].isin([0, 6])]
+    assert pair["keep"].sum() == 1          # exactly one of the twins
+    others = out[~out["vec_id"].isin([0, 6])]
+    assert (others["keep"] == 1).all()

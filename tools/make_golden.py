@@ -143,6 +143,8 @@ def make_for(sf_dir: str, only: set[str] | None = None) -> None:
             emb, n_trials=5, seed=7, epochs=6),
         "srp_near_dup_embeddings":
             lambda: golden.srp_near_dup_embeddings(emb),
+        "semdedup_embeddings":
+            lambda: golden.semdedup_embeddings(emb),
         "weighted_sample_documents":
             lambda: golden.weighted_sample_documents(docs),
     }
