@@ -613,6 +613,18 @@ def _dup_spans_documents(sf_dir: str) -> rd.Dataset:
     return dup_spans(ds, k=4)
 
 
+def _trim_dup_spans_documents(sf_dir: str) -> rd.Dataset:
+    """Duplicate-span REMOVAL (the Lee et al. 2021 trim step): every
+    document with its cross-document duplicated 4-gram token spans
+    deleted — composes dup_spans with a tag-union re-attach so the
+    span table never reaches the driver."""
+    from sits_classification_ray.stages.dedup_docs import trim_dup_spans
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"])
+    return trim_dup_spans(ds, k=4)
+
+
 def _snm_near_dup_documents(sf_dir: str) -> rd.Dataset:
     """Sorted-neighborhood near-dup (Hernández–Stolfo merge/purge):
     global sort by a text prefix key, pairs within a 3-position
@@ -3804,6 +3816,7 @@ def build_queries() -> dict[str, Callable[[str], Any]]:
         "minhash_near_dup_documents": _minhash_near_dup_documents,
         "jaccard_near_dup_documents": _jaccard_near_dup_documents,
         "dup_spans_documents": _dup_spans_documents,
+        "trim_dup_spans_documents": _trim_dup_spans_documents,
         "snm_near_dup_documents": _snm_near_dup_documents,
         "near_dup_clusters_documents": _near_dup_clusters_documents,
         "near_dup_keep_one_documents": _near_dup_keep_one_documents,
@@ -4288,6 +4301,42 @@ SELECT doc_id, CAST(min(pos) AS BIGINT) AS span_start,
        CAST(max(pos) + 3 AS BIGINT) AS span_end,
        CAST(count(*) AS BIGINT) AS n_grams
 FROM isl GROUP BY doc_id, grp""",
+        "trim_dup_spans_documents": """
+WITH tok AS MATERIALIZED (
+  SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+grams AS MATERIALIZED (
+  SELECT t.doc_id, i.i - 1 AS pos,
+         array_to_string(t.w[i.i : i.i + 3], ' ') AS gram
+  FROM tok t, LATERAL (
+    SELECT unnest(generate_series(1, len(t.w) - 3)) AS i) i),
+dup AS (SELECT gram FROM grams GROUP BY gram
+        HAVING min(doc_id) <> max(doc_id)),
+hits AS (SELECT g.doc_id, g.pos FROM grams g
+         JOIN dup d ON g.gram = d.gram),
+brk AS (SELECT doc_id, pos,
+        CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id
+             ORDER BY pos) <= 4 THEN 0 ELSE 1 END AS b FROM hits),
+isl AS (SELECT doc_id, pos, sum(b) OVER (PARTITION BY doc_id
+        ORDER BY pos ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        AS grp FROM brk),
+spans AS MATERIALIZED (
+  SELECT doc_id, min(pos) AS s, max(pos) + 3 AS e
+  FROM isl GROUP BY doc_id, grp),
+pos AS MATERIALIZED (
+  SELECT t.doc_id, i.i - 1 AS pos, t.w[i.i] AS word
+  FROM tok t, LATERAL (
+    SELECT unnest(generate_series(1, len(t.w))) AS i) i),
+kept AS MATERIALIZED (
+  SELECT p.doc_id, p.pos, p.word FROM pos p
+  LEFT JOIN spans sp ON sp.doc_id = p.doc_id
+       AND p.pos BETWEEN sp.s AND sp.e
+  WHERE sp.doc_id IS NULL),
+agg AS (SELECT doc_id, string_agg(word, ' ' ORDER BY pos)
+             AS text_trimmed,
+        count(*) AS n_kept FROM kept GROUP BY doc_id)
+SELECT t.doc_id, coalesce(a.text_trimmed, '') AS text_trimmed,
+       CAST(len(t.w) - coalesce(a.n_kept, 0) AS BIGINT) AS n_removed
+FROM tok t LEFT JOIN agg a USING (doc_id)""",
         "jaccard_near_dup_documents": """
 WITH toks AS MATERIALIZED (
   SELECT doc_id, string_split(lower(text), ' ') AS ts,

@@ -1254,3 +1254,66 @@ def dup_spans(ds: rd.Dataset, k: int = 3, id_col: str = "doc_id",
 
     return partitioned_map(hits, merge_islands, keys=[id_col],
                            num_partitions=num_partitions)
+
+
+def trim_dup_spans(ds: rd.Dataset, k: int = 3, id_col: str = "doc_id",
+                   text_col: str = "text",
+                   num_partitions: int | None = None) -> rd.Dataset:
+    """The removal step that completes the :func:`dup_spans` loop
+    (Lee et al. 2021 trim the duplicated substrings out of the
+    corpus): every document comes back with its cross-document
+    duplicated token spans deleted.
+
+    Returns ``(doc_id, text_trimmed, n_removed)`` — one row per INPUT
+    document (fully-duplicated documents come back with empty text,
+    untouched documents verbatim).
+
+    Scale shape: spans are re-attached to the corpus with the same
+    tag-union salted exchange as :func:`_attach_text` — the span table
+    (unbounded at corpus scale) never reaches the driver, and each
+    partition kernel sees complete documents with all their spans."""
+    from sits_classification_ray.stages.shuffle import partitioned_map
+
+    spans = dup_spans(ds, k=k, id_col=id_col, text_col=text_col,
+                      num_partitions=num_partitions)
+
+    def tag_docs(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "__k": df[id_col].astype(np.int64), "__t": df[text_col],
+            "__s": np.int64(-1), "__e": np.int64(-1),
+            "__side": np.int64(0)})
+
+    def tag_spans(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "__k": df[id_col].astype(np.int64), "__t": "",
+            "__s": df["span_start"].astype(np.int64),
+            "__e": df["span_end"].astype(np.int64),
+            "__side": np.int64(1)})
+
+    unioned = ds.map_batches(tag_docs, batch_format="pandas").union(
+        spans.map_batches(tag_spans, batch_format="pandas"))
+
+    def kernel(df: pd.DataFrame) -> pd.DataFrame:
+        docs_f = df[df["__side"] == 0]
+        spans_f = df[df["__side"] == 1]
+        by_doc: dict[int, list[tuple[int, int]]] = {}
+        for kk, s, e in zip(spans_f["__k"].to_numpy(),
+                            spans_f["__s"].to_numpy(),
+                            spans_f["__e"].to_numpy()):
+            by_doc.setdefault(int(kk), []).append((int(s), int(e)))
+        ids, txts, rms = [], [], []
+        for kk, text in zip(docs_f["__k"].to_numpy(), docs_f["__t"]):
+            toks = np.asarray((text or "").split(" "), dtype=object)
+            mask = np.zeros(len(toks), dtype=bool)
+            for s, e in by_doc.get(int(kk), ()):
+                mask[s:e + 1] = True
+            ids.append(int(kk))
+            txts.append(" ".join(toks[~mask]))
+            rms.append(int(mask.sum()))
+        return pd.DataFrame({id_col: np.asarray(ids, np.int64),
+                             "text_trimmed": pd.array(txts,
+                                                      dtype="object"),
+                             "n_removed": np.asarray(rms, np.int64)})
+
+    return partitioned_map(unioned, kernel, keys=["__k"],
+                           num_partitions=num_partitions)

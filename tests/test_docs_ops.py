@@ -894,3 +894,25 @@ def test_semdedup_drops_planted_near_duplicates(ray_session):
     assert pair["keep"].sum() == 1          # exactly one of the twins
     others = out[~out["vec_id"].isin([0, 6])]
     assert (others["keep"] == 1).all()
+
+
+def test_trim_dup_spans_removes_shared_region(ray_session):
+    """The shared region disappears from both documents; unique
+    documents come back verbatim; a fully-duplicated doc empties."""
+    from sits_classification_ray.stages.dedup_docs import trim_dup_spans
+
+    shared = "a b c d e"                     # 5 tokens
+    docs = pd.DataFrame({
+        "doc_id": [1, 2, 3],
+        "text": [f"x y {shared} z", shared,
+                 "all of these words differ completely"],
+    })
+    out = trim_dup_spans(rd.from_pandas(docs), k=4).to_pandas() \
+        .set_index("doc_id").sort_index()
+    assert out.loc[1, "text_trimmed"] == "x y z"
+    assert out.loc[1, "n_removed"] == 5
+    assert out.loc[2, "text_trimmed"] == ""
+    assert out.loc[2, "n_removed"] == 5
+    assert out.loc[3, "text_trimmed"] == \
+        "all of these words differ completely"
+    assert out.loc[3, "n_removed"] == 0
