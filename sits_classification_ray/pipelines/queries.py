@@ -2814,6 +2814,49 @@ def _source_mixture_documents(sf_dir: str) -> rd.Dataset:
     return weighted_mixture(docs, _MIXTURE_WEIGHTS)
 
 
+def _dsir_weights_documents(sf_dir: str) -> rd.Dataset:
+    """DSIR importance weights (Xie et al. 2023) against the 'en'
+    subset as the target domain, top-1000-word feature vocabulary."""
+    from sits_classification_ray.stages.curation import dsir_logweights
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id", "text", "lang"])
+    return dsir_logweights(docs, target_col="lang", target_value="en",
+                           vocab_k=1000)
+
+
+def _lang_temperature_weights(sf_dir: str) -> pd.DataFrame:
+    """mT5/XLM-R temperature-based multilingual sampling weights
+    (α = 0.3) over the documents table."""
+    from sits_classification_ray.stages.curation import \
+        lang_temperature_weights
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id", "lang"])
+    return lang_temperature_weights(docs, alpha=0.3)
+
+
+def _ppl_buckets_documents(sf_dir: str) -> rd.Dataset:
+    """CCNet-style per-language perplexity bucketing: unigram-LM
+    score each document, then NTILE(3) within its language ordered
+    best-first (bucket 1 = head / 2 = middle / 3 = tail). Composes
+    the scale-path LM scorer with the O(B)-driver grouped rank."""
+    from sits_classification_ray.stages.joins import hash_join
+    from sits_classification_ray.stages.scan_sorted import grouped_ntile
+    from sits_classification_ray.stages.textstats import unigram_logprob
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id", "text", "lang"])
+    lp = unigram_logprob(docs, broadcast_max_vocab=0)
+    langs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                            columns=["doc_id", "lang"])
+    joined = hash_join(langs, lp, on="doc_id").select_columns(
+        ["doc_id", "lang", "avg_logprob"])
+    return grouped_ntile(joined, ["lang"], ["avg_logprob", "doc_id"],
+                         k=3, descending=[True, False],
+                         out_col="bucket")
+
+
 def _decontaminate_documents(sf_dir: str) -> rd.Dataset:
     from sits_classification_ray.stages.curation import decontaminate
 
@@ -3889,6 +3932,9 @@ def build_queries() -> dict[str, Callable[[str], Any]]:
         "cube_documents": _cube_documents,
         "source_mixture_documents": _source_mixture_documents,
         "decontaminate_documents": _decontaminate_documents,
+        "dsir_weights_documents": _dsir_weights_documents,
+        "lang_temperature_weights": _lang_temperature_weights,
+        "ppl_buckets_documents": _ppl_buckets_documents,
         "user_sessions_events": _user_sessions_events,
         "churned_users_weekly": _churned_users_weekly,
         "session_entry_exit_events": _session_entry_exit_events,
@@ -5875,6 +5921,63 @@ SELECT t.doc_id, count(*) AS n_tokens,
            AS avg_logprob
 FROM toks t JOIN counts c USING (tok)
 GROUP BY 1""",
+        "dsir_weights_documents": """
+WITH toks AS MATERIALIZED (
+  SELECT doc_id, t.tok AS tok
+  FROM documents, unnest(string_split(lower(text), ' ')) AS t(tok)),
+raw AS MATERIALIZED (SELECT tok, count(*) AS nr FROM toks GROUP BY 1),
+vocab AS MATERIALIZED (
+  SELECT tok, nr FROM raw ORDER BY nr DESC, tok ASC LIMIT 1000),
+tgt AS MATERIALIZED (
+  SELECT t.tok, count(*) AS nt
+  FROM toks t JOIN documents d USING (doc_id) JOIN vocab v USING (tok)
+  WHERE d.lang = 'en' GROUP BY 1),
+tot AS MATERIALIZED (
+  SELECT (SELECT CAST(sum(nr) AS DOUBLE) FROM vocab) AS tr,
+         (SELECT CAST(coalesce(sum(nt), 0) AS DOUBLE) FROM tgt) AS tt,
+         (SELECT CAST(count(*) AS DOUBLE) FROM vocab) AS k),
+lr AS MATERIALIZED (
+  SELECT v.tok,
+         ln((coalesce(g.nt, 0) + 1.0) / ((SELECT tt FROM tot)
+                                         + (SELECT k FROM tot)))
+       - ln((v.nr + 1.0) / ((SELECT tr FROM tot)
+                            + (SELECT k FROM tot))) AS lw
+  FROM vocab v LEFT JOIN tgt g USING (tok)),
+hits AS (
+  SELECT t.doc_id, count(*) AS n, sum(l.lw) AS s
+  FROM toks t JOIN lr l USING (tok) GROUP BY 1)
+SELECT d.doc_id,
+       CAST(coalesce(h.n, 0) AS BIGINT) AS n_vocab_tokens,
+       round(coalesce(h.s, 0.0), 6) AS log_weight
+FROM documents d LEFT JOIN hits h USING (doc_id)""",
+        "lang_temperature_weights": """
+WITH c AS MATERIALIZED (
+  SELECT lang, count(*) AS n FROM documents GROUP BY 1),
+t AS (SELECT CAST(sum(n) AS DOUBLE) AS tot FROM c),
+p AS (SELECT lang, n,
+             CAST(n AS DOUBLE) / (SELECT tot FROM t) AS pl FROM c),
+z AS (SELECT sum(pow(pl, 0.3)) AS s FROM p)
+SELECT lang, CAST(n AS BIGINT) AS n_docs, round(pl, 6) AS p_raw,
+       round(pow(pl, 0.3) / (SELECT s FROM z), 6) AS p_temp
+FROM p""",
+        "ppl_buckets_documents": """
+WITH toks AS MATERIALIZED (
+  SELECT doc_id, t.tok AS tok
+  FROM documents, unnest(string_split(lower(text), ' ')) AS t(tok)),
+counts AS MATERIALIZED (
+  SELECT tok, count(*) AS c FROM toks GROUP BY 1),
+total AS MATERIALIZED (
+  SELECT CAST(sum(c) AS DOUBLE) AS tot FROM counts),
+lp AS MATERIALIZED (
+  SELECT t.doc_id,
+         round(avg(ln(CAST(c.c AS DOUBLE) / (SELECT tot FROM total))),
+               6) AS avg_logprob
+  FROM toks t JOIN counts c USING (tok) GROUP BY 1)
+SELECT d.doc_id, d.lang, lp.avg_logprob,
+       CAST(ntile(3) OVER (PARTITION BY d.lang
+                           ORDER BY lp.avg_logprob DESC, d.doc_id)
+            AS BIGINT) AS bucket
+FROM documents d JOIN lp USING (doc_id)""",
         "m4_downsample_crawl": f"""{CRAWL_PREFIX},
 m4b AS (
   SELECT url, metric,

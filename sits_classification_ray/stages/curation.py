@@ -183,3 +183,134 @@ def paragraph_dedup(ds: rd.Dataset, span_tokens: int = 12,
         return out[[id_col, "text_kept", "n_spans", "n_kept"]]
 
     return partitioned_map(kept, reassemble, keys=[id_col])
+
+
+def dsir_logweights(ds: rd.Dataset, target_col: str = "lang",
+                    target_value: str = "en", vocab_k: int = 1000,
+                    id_col: str = "doc_id", text_col: str = "text",
+                    smoothing: float = 1.0,
+                    round_to: int = 6) -> rd.Dataset:
+    """DSIR-style log importance weights (Xie et al. 2023, "Data
+    Selection for Language Models via Importance Resampling"): score
+    every document by how much more likely its bag of words is under
+    the TARGET domain's unigram distribution than under the raw
+    corpus's —
+
+        log w(doc) = Σ_w c_w(doc) · [ln p̂_tgt(w) − ln p̂_raw(w)]
+
+    with add-``smoothing`` estimates over a FIXED feature vocabulary.
+    DSIR bounds its feature space by hashing n-grams into buckets;
+    this implementation bounds it by the top-``vocab_k`` corpus words
+    (count desc, token asc — deterministic), which keeps the operator
+    ANSI-SQL-checkable while preserving the estimator's shape.
+    Out-of-vocabulary tokens contribute nothing to either estimate
+    (their hashed-bucket mass is what DSIR's variant would spread).
+
+    Output: one row per input document —
+    ``(doc_id, n_vocab_tokens, log_weight)``; documents containing no
+    vocabulary token get ``(0, 0.0)``.
+
+    Scale shape: two distributed count combiners (raw corpus + target
+    subset), a sort+limit bounded by ``vocab_k``, then ONE broadcast
+    of the ``vocab_k``-row log-ratio table via ``ray.put`` and a
+    single vectorized scoring pass — no shuffle touches document
+    rows, and nothing unbounded ever reaches the driver (the collect
+    is capped at ``vocab_k`` rows by construction).
+    """
+    from sits_classification_ray.stages.textstats import token_counts
+
+    raw = token_counts(ds, text_col)
+    vocab = (raw.sort(["n", "token"], descending=[True, False])
+             .limit(vocab_k).to_pandas())
+
+    def only_target(batch: pa.Table) -> pa.Table:
+        return batch.filter(pc.equal(batch[target_col],
+                                     pa.scalar(target_value)))
+
+    tgt_counts = token_counts(
+        ds.map_batches(only_target, batch_format="pyarrow",
+                       zero_copy_batch=True), text_col)
+    vocab_set = set(vocab["token"])
+
+    def in_vocab(df: pd.DataFrame) -> pd.DataFrame:
+        return df[df["token"].isin(vocab_set)]
+
+    tgt = (tgt_counts.map_batches(in_vocab, batch_format="pandas")
+           .to_pandas())                     # ≤ vocab_k rows
+
+    k = len(vocab)
+    nr = vocab.set_index("token")["n"].astype(np.float64)
+    nt = (tgt.set_index("token")["n"].reindex(nr.index)
+          .fillna(0.0).astype(np.float64))
+    tr = float(nr.sum())
+    tt = float(nt.sum())
+    s = float(smoothing)
+    lw = (np.log((nt + s) / (tt + s * k))
+          - np.log((nr + s) / (tr + s * k)))
+    ratio_ref = ray.put(pd.DataFrame({"token": nr.index,
+                                      "lw": lw.to_numpy()}))
+
+    return ds.map_batches(
+        _DsirScorer, batch_format="pyarrow", zero_copy_batch=True,
+        concurrency=(1, 8), num_cpus=1,
+        fn_constructor_args=(ratio_ref, id_col, text_col, round_to))
+
+
+class _DsirScorer:
+    """Actor-pool scoring stage for :func:`dsir_logweights`: the
+    broadcast log-ratio table is fetched and indexed ONCE per actor
+    in ``__init__``; each ``__call__`` is a vectorized split → map →
+    segment-sum over the batch."""
+
+    def __init__(self, ratio_ref, id_col: str, text_col: str,
+                 round_to: int):
+        ratios = ray.get(ratio_ref)
+        self.lmap = pd.Series(ratios["lw"].to_numpy(),
+                              index=ratios["token"])
+        self.id_col = id_col
+        self.text_col = text_col
+        self.round_to = round_to
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        lists = pc.split_pattern(
+            pc.utf8_lower(batch[self.text_col]), " ")
+        flat = pc.list_flatten(lists).to_numpy(zero_copy_only=False)
+        parent = pc.list_parent_indices(lists).to_numpy()
+        vals = pd.Series(flat).map(self.lmap).to_numpy(np.float64)
+        hit = ~np.isnan(vals)
+        n_rows = len(batch)
+        n_hits = np.bincount(parent[hit], minlength=n_rows)
+        sums = np.bincount(parent[hit], weights=vals[hit],
+                           minlength=n_rows)
+        return pa.table({
+            self.id_col: batch[self.id_col],
+            "n_vocab_tokens": pa.array(n_hits.astype(np.int64)),
+            "log_weight": pa.array(np.round(sums, self.round_to)),
+        })
+
+
+def lang_temperature_weights(ds: rd.Dataset, group_col: str = "lang",
+                             alpha: float = 0.3,
+                             round_to: int = 6) -> pd.DataFrame:
+    """Temperature-based mixture reweighting (the mT5 / XLM-R
+    multilingual sampling rule): sampling probability for group *l*
+    is ``p_l^α / Σ_m p_m^α`` with ``p_l`` the group's raw share of
+    documents — α < 1 up-samples tail languages. Returns the bounded
+    per-group table ``(lang, n_docs, p_raw, p_temp)``.
+
+    Scale shape: one distributed count aggregate; the finalize runs
+    on the collected per-GROUP table, whose size is the number of
+    languages — bounded, never corpus-scale."""
+    counts = (ds.groupby(group_col).count()
+              .to_pandas().rename(columns={"count()": "n_docs"}))
+    n = counts["n_docs"].to_numpy(np.float64)
+    p = n / n.sum()
+    pt = p ** alpha
+    pt = pt / pt.sum()
+    out = pd.DataFrame({
+        group_col: counts[group_col],
+        "n_docs": counts["n_docs"].astype(np.int64),
+        "p_raw": np.round(p, round_to),
+        "p_temp": np.round(pt, round_to),
+    }).sort_values(group_col, kind="mergesort").reset_index(drop=True)
+    return out

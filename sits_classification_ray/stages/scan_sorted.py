@@ -364,3 +364,79 @@ def ntile(ds: rd.Dataset, sort_cols: list[str], k: int,
 
     return rd.from_arrow_refs(
         [add_tile.remote(ref, int(o)) for ref, o in zip(refs, offsets)])
+
+
+def grouped_ntile(ds: rd.Dataset, group_cols: list[str],
+                  sort_cols: list[str], k: int,
+                  descending: list[bool] | None = None,
+                  out_col: str = "tile") -> rd.Dataset:
+    """Distributed ``NTILE(k) OVER (PARTITION BY group ORDER BY
+    sort_cols)`` — the per-group form of :func:`ntile` (CCNet's
+    per-language perplexity bucketing is this with k=3).
+
+    Shape: ONE global sort on ``group_cols + sort_cols`` makes every
+    group contiguous across range-partitioned blocks; each block
+    reports its per-group counts IN ORDER (O(groups-spanning-block)
+    ints, never rows); the driver accumulates per-group totals and
+    per-(block, group) exclusive offsets in O(B + G); one Ray task
+    per block then assigns SQL-exact tile ids locally. Nothing
+    driver-side scales with rows, and — unlike a per-group
+    ``map_groups`` — no single worker ever has to hold the largest
+    group, so a head language that is 90 % of the corpus costs
+    nothing extra."""
+    keys = list(group_cols) + list(sort_cols)
+    desc = ([False] * len(group_cols)
+            + (descending or [False] * len(sort_cols)))
+    srt = ds.sort(keys, descending=desc)
+    refs = srt.to_arrow_refs()
+
+    @ray.remote(num_cpus=0)
+    def block_groups(t: pa.Table) -> list[tuple[tuple, int]]:
+        if len(t) == 0:
+            return []
+        df = t.select(group_cols).to_pandas()
+        codes = pd.MultiIndex.from_frame(df).to_numpy()
+        # groups are contiguous post-sort: run-length encode
+        change = np.ones(len(codes), dtype=bool)
+        change[1:] = codes[1:] != codes[:-1]
+        starts = np.flatnonzero(change)
+        ends = np.append(starts[1:], len(codes))
+        return [(tuple(np.atleast_1d(codes[s])), int(e - s))
+                for s, e in zip(starts, ends)]
+
+    per_block = ray.get([block_groups.remote(r) for r in refs])
+    totals: dict[tuple, int] = {}
+    offsets: list[list[tuple[tuple, int]]] = []
+    for groups in per_block:
+        offs = []
+        for key, cnt in groups:
+            offs.append((key, totals.get(key, 0)))
+            totals[key] = totals.get(key, 0) + cnt
+        offsets.append(offs)
+
+    @ray.remote(num_cpus=0.5)
+    def add_tile(t: pa.Table, offs: list[tuple[tuple, int]],
+                 tots: dict[tuple, int]) -> pa.Table:
+        if len(t) == 0:
+            return t.append_column(out_col,
+                                   pa.array([], pa.int64()))
+        df = t.select(group_cols).to_pandas()
+        codes = pd.MultiIndex.from_frame(df).to_numpy()
+        change = np.ones(len(codes), dtype=bool)
+        change[1:] = codes[1:] != codes[:-1]
+        starts = np.flatnonzero(change)
+        ends = np.append(starts[1:], len(codes))
+        tile = np.empty(len(codes), dtype=np.int64)
+        for (key, off), s, e in zip(offs, starts, ends):
+            n = tots[key]
+            q, r = divmod(n, k)
+            rn = off + np.arange(1, e - s + 1, dtype=np.int64)
+            cut = r * (q + 1)
+            big = (rn - 1) // max(1, q + 1) + 1
+            small = r + (rn - cut - 1) // max(1, q) + 1
+            tile[s:e] = np.where(rn <= cut, big, small)
+        return t.append_column(out_col, pa.array(tile))
+
+    return rd.from_arrow_refs(
+        [add_tile.remote(ref, offs, totals)
+         for ref, offs in zip(refs, offsets)])

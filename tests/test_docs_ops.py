@@ -916,3 +916,61 @@ def test_trim_dup_spans_removes_shared_region(ray_session):
     assert out.loc[3, "text_trimmed"] == \
         "all of these words differ completely"
     assert out.loc[3, "n_removed"] == 0
+
+
+def test_dsir_logweights_prefers_target_like_docs(ray_session):
+    """Documents made of target-domain words score above documents
+    made of off-domain words; a doc with no vocab hits gets 0."""
+    from sits_classification_ray.stages.curation import dsir_logweights
+
+    docs = pd.DataFrame({
+        "doc_id": [1, 2, 3, 4, 5],
+        "lang": ["en", "en", "de", "de", "fr"],
+        "text": ["alpha beta alpha", "alpha beta beta",
+                 "gamma delta gamma", "delta delta gamma",
+                 ""],
+    })
+    out = dsir_logweights(rd.from_pandas(docs), target_col="lang",
+                          target_value="en", vocab_k=4) \
+        .to_pandas().set_index("doc_id").sort_index()
+    assert len(out) == 5
+    # en-word docs above de-word docs under the en target
+    assert out.loc[1, "log_weight"] > out.loc[3, "log_weight"]
+    assert out.loc[2, "log_weight"] > out.loc[4, "log_weight"]
+    # empty doc: no vocabulary hits, zero weight
+    assert out.loc[5, "n_vocab_tokens"] == 0
+    assert out.loc[5, "log_weight"] == 0.0
+
+
+def test_lang_temperature_weights_upsamples_tail(ray_session):
+    from sits_classification_ray.stages.curation import \
+        lang_temperature_weights
+
+    docs = pd.DataFrame({"doc_id": range(100),
+                         "lang": ["en"] * 90 + ["sw"] * 10})
+    out = lang_temperature_weights(rd.from_pandas(docs), alpha=0.3) \
+        .set_index("lang")
+    assert abs(out["p_temp"].sum() - 1.0) < 1e-5
+    # temperature sampling raises the tail share above its raw share
+    assert out.loc["sw", "p_temp"] > out.loc["sw", "p_raw"]
+    assert out.loc["en", "p_temp"] < out.loc["en", "p_raw"]
+
+
+def test_grouped_ntile_matches_sql_semantics(ray_session):
+    """Per-group NTILE with an uneven group: 5 rows into 3 tiles is
+    2/2/1; ordering is score desc with id tiebreak."""
+    from sits_classification_ray.stages.scan_sorted import grouped_ntile
+
+    df = pd.DataFrame({
+        "g": ["a"] * 5 + ["b"] * 3,
+        "score": [50, 40, 30, 20, 10, 3, 2, 1],
+        "id": [1, 2, 3, 4, 5, 6, 7, 8],
+    })
+    out = grouped_ntile(rd.from_pandas(df), ["g"], ["score", "id"],
+                        k=3, descending=[True, False],
+                        out_col="tile").to_pandas() \
+        .set_index("id").sort_index()
+    assert out.loc[[1, 2], "tile"].tolist() == [1, 1]
+    assert out.loc[[3, 4], "tile"].tolist() == [2, 2]
+    assert out.loc[5, "tile"] == 3
+    assert out.loc[[6, 7, 8], "tile"].tolist() == [1, 2, 3]
