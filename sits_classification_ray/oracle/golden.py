@@ -2070,3 +2070,46 @@ def hits_domains_crawl(crawl: pd.DataFrame,
                    .to_numpy(np.float64)),
         "authority": rnd(auth.reindex(nodes_sorted).fillna(0.0)
                          .to_numpy(np.float64))})
+
+
+def quality_classifier_documents(docs: pd.DataFrame, epochs: int = 8,
+                                 learning_rate: float = 0.5
+                                 ) -> pd.DataFrame:
+    """Independent twin of the composed quality-classifier pipeline
+    (train on lang=='en' labels over 4 deterministic text features,
+    score every document). Features per the documented spec:
+    n_tokens/100, stopword fraction, n_chars/1000, digit fraction."""
+    stop = {"a", "and", "for", "in", "is", "of", "on", "the",
+            "to", "with"}
+    ids = docs["doc_id"].to_numpy(np.int64)
+    feats = []
+    for text in docs["text"]:
+        t = (text or "")
+        toks = t.lower().split(" ")
+        n_tok = len(toks)
+        hits = sum(1 for w in toks if w in stop)
+        nchars = len(t)
+        ndig = sum(1 for ch in t if "0" <= ch <= "9")
+        feats.append(np.array([
+            n_tok / 100.0,
+            hits / n_tok,
+            nchars / 1000.0,
+            ndig / max(nchars, 1),
+        ], dtype=np.float64))
+    label = (docs["lang"] == "en").to_numpy().astype(np.int64)
+    emb_like = pd.DataFrame({"vec_id": ids, "embedding": feats,
+                             "label": label})
+    _, W, b = _fit_linear_golden(emb_like, epochs=epochs,
+                                 learning_rate=learning_rate,
+                                 use_class_weights=True)
+    X = np.stack(feats)
+    logits = X @ W.T + b
+    z = logits - logits.max(axis=1, keepdims=True)
+    e = np.exp(z)
+    p = e / e.sum(axis=1, keepdims=True)
+    return pd.DataFrame({
+        "doc_id": ids,
+        "label": label,
+        "p_quality": _sql_round_arr(p[:, 1]),
+        "pred": p.argmax(axis=1).astype(np.int64),
+    })

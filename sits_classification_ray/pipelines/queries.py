@@ -2591,6 +2591,20 @@ def _tune_trials(sf_dir: str) -> pd.DataFrame:
     return tune_search(ds, n_trials=5, seed=7, epochs=6)
 
 
+def _quality_classifier_documents(sf_dir: str) -> rd.Dataset:
+    """Composed quality-filter pipeline (GPT-3/CCNet pattern): train
+    a linear classifier on deterministic reference labels over 4
+    text features via the RayTrainer lifecycle, then score every
+    document with the learned weights (golden oracle: independent
+    numpy twin of featurize → fit → softmax score)."""
+    from sits_classification_ray.pipelines.trainer import \
+        quality_classifier_scores
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id", "text", "lang"])
+    return quality_classifier_scores(docs)
+
+
 def _bpe_merges_documents(sf_dir: str) -> pd.DataFrame:
     from sits_classification_ray.stages.textstats import bpe_merges
 
@@ -4022,6 +4036,7 @@ def build_queries() -> dict[str, Callable[[str], Any]]:
         # training driver + tune hook (golden-checked)
         "sniffed_assets_crawl": _sniffed_assets_crawl,
         "train_linear_fit": _train_linear_fit,
+        "quality_classifier_documents": _quality_classifier_documents,
         "train_linear_weights": _train_linear_weights,
         "tune_trials": _tune_trials,
         # sub-document dedup + frequent items (SQL-checked)
@@ -4115,6 +4130,7 @@ GOLDEN_QUERIES = [
     "corpus_prep_documents", "cluster_top_terms",
     "semdedup_embeddings",
     "ivfpq_topk_embeddings", "train_linear_fit", "train_linear_weights",
+    "quality_classifier_documents",
     "tune_trials", "sniffed_assets_crawl", "resized_thumbnails_crawl",
     "wav_features_crawl", "y4m_scene_stats_crawl",
     "bpe_encode_documents",

@@ -392,3 +392,99 @@ def tune_search(ds: rd.Dataset, n_trials: int = 5, seed: int = 7,
                       index=order.index)
     out["rank"] = ranks
     return out
+
+
+# --- composed pipeline: quality classifier (train → score corpus) --------
+
+#: tiny fixed stopword list shared by the featurizer and its golden
+#: twin — the feature is the fraction of tokens that are these.
+QC_STOPWORDS = ("a", "and", "for", "in", "is", "of", "on", "the",
+                "to", "with")
+
+
+def quality_features(ds: rd.Dataset, id_col: str = "doc_id",
+                     text_col: str = "text", lang_col: str = "lang",
+                     target_lang: str = "en") -> rd.Dataset:
+    """Deterministic per-document feature vectors for the quality
+    classifier — the GPT-3/CCNet "quality filter" pattern (train a
+    small linear model on reference-vs-crawl labels, score the whole
+    corpus). Features (float64, in order):
+
+    0. ``n_tokens / 100``
+    1. stopword fraction of tokens (``QC_STOPWORDS``, lowercased)
+    2. ``n_chars / 1000``
+    3. digit-character fraction of ``n_chars``
+
+    Label: 1 if ``lang == target_lang`` (the deterministic stand-in
+    for a "high-quality reference" flag) else 0. One vectorized pass,
+    zero shuffle."""
+
+    def featurize(batch: pa.Table) -> pa.Table:
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        n = len(batch)
+        lists = pc.split_pattern(pc.utf8_lower(batch[text_col]), " ")
+        n_tok = pc.list_value_length(lists).to_numpy().astype(np.int64)
+        flat = pc.list_flatten(lists)
+        parent = pc.list_parent_indices(lists).to_numpy()
+        stop = pc.is_in(flat, value_set=pa.array(list(QC_STOPWORDS))) \
+            .to_numpy(zero_copy_only=False)
+        hits = np.bincount(parent[stop], minlength=n).astype(np.int64)
+        ndig = pc.count_substring_regex(batch[text_col], "[0-9]") \
+            .to_numpy().astype(np.int64)
+        nchars = pc.utf8_length(batch[text_col]).to_numpy() \
+            .astype(np.int64)
+        f = np.stack([
+            n_tok / 100.0,
+            hits / n_tok,
+            nchars / 1000.0,
+            ndig / np.maximum(nchars, 1),
+        ], axis=1)
+        off = (np.arange(n + 1, dtype=np.int32) * 4)
+        feat = pa.ListArray.from_arrays(
+            pa.array(off, pa.int32()),
+            pa.array(f.ravel(), pa.float64()))
+        label = pc.cast(pc.equal(batch[lang_col],
+                                 pa.scalar(target_lang)), pa.int64())
+        return pa.table({id_col: batch[id_col], "f": feat,
+                         "label": label})
+
+    return ds.map_batches(featurize, batch_format="pyarrow",
+                          zero_copy_batch=True)
+
+
+def quality_classifier_scores(ds: rd.Dataset, id_col: str = "doc_id",
+                              epochs: int = 8,
+                              learning_rate: float = 0.5,
+                              round_to: int = 6) -> rd.Dataset:
+    """Train the quality classifier on the corpus' own deterministic
+    labels with :class:`RayTrainer`, then score EVERY document with
+    the learned weights: ``(doc_id, label, p_quality, pred)`` where
+    ``p_quality`` is the softmax probability of the quality class.
+
+    Scale shape: the fit is the trainer's partial-gradient lifecycle
+    (O(P·k·d) driver rows per epoch); the learned (k×d) weights are
+    closure-captured into one stateless vectorized scoring pass over
+    the feature stream. Per-row dot products only — bit-stable under
+    any batching."""
+    feats = quality_features(ds, id_col=id_col)
+    tr = RayTrainer(feats, feature_col="f", label_col="label",
+                    id_col=id_col, epochs=epochs,
+                    learning_rate=learning_rate,
+                    use_class_weights=True)
+    tr.fit()
+    W, b = tr.W.copy(), tr.b.copy()
+
+    def score(df: pd.DataFrame) -> pd.DataFrame:
+        X = np.stack([np.asarray(v, dtype=np.float64)
+                      for v in df["f"]])
+        p = _softmax(X @ W.T + b)
+        return pd.DataFrame({
+            id_col: df[id_col].to_numpy(np.int64),
+            "label": df["label"].to_numpy(np.int64),
+            "p_quality": sql_round(p[:, 1], round_to),
+            "pred": p.argmax(axis=1).astype(np.int64),
+        })
+
+    return feats.map_batches(score, batch_format="pandas")

@@ -109,3 +109,34 @@ def test_tune_search_ranks_trials():
     assert sorted(out["rank"].tolist()) == [1, 2, 3]
     best = out[out["rank"] == 1].iloc[0]
     assert best["best_valid_accuracy"] == out["best_valid_accuracy"].max()
+
+
+def test_quality_classifier_separates_planted_classes(ray_session):
+    """Long stopword-free digit-heavy docs labeled 'de' vs short
+    stopword-rich 'en' docs: the learned classifier must beat the
+    majority-class baseline and rank en docs above de docs."""
+    import pandas as pd
+    import ray.data as rd
+
+    from sits_classification_ray.pipelines.trainer import \
+        quality_classifier_scores
+
+    en = ["the cat is on the mat and it is warm",
+          "a dog in the park is with the kids",
+          "the sun is up and the day is fine",
+          "a cup of tea on the table for me"]
+    de = ["123456 987654 111222 333444 555666 777888",
+          "000111 222333 444555 666777 888999 101010",
+          "999888 777666 555444 333222 111000 121212",
+          "135791 246802 112358 132134 155897 183141"]
+    docs = pd.DataFrame({
+        "doc_id": range(8),
+        "text": en + de,
+        "lang": ["en"] * 4 + ["de"] * 4,
+    })
+    out = (quality_classifier_scores(rd.from_pandas(docs), epochs=20)
+           .to_pandas().set_index("doc_id").sort_index())
+    assert len(out) == 8
+    assert out.loc[:3, "p_quality"].min() > out.loc[4:, "p_quality"].max()
+    acc = (out["pred"] == out["label"]).mean()
+    assert acc >= 0.75

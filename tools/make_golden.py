@@ -141,6 +141,8 @@ def make_for(sf_dir: str, only: set[str] | None = None) -> None:
             emb, epochs=12, learning_rate=0.5, use_class_weights=True),
         "tune_trials": lambda: golden.tune_trials(
             emb, n_trials=5, seed=7, epochs=6),
+        "quality_classifier_documents":
+            lambda: golden.quality_classifier_documents(docs),
         "srp_near_dup_embeddings":
             lambda: golden.srp_near_dup_embeddings(emb),
         "semdedup_embeddings":
