@@ -2828,6 +2828,21 @@ def _source_mixture_documents(sf_dir: str) -> rd.Dataset:
     return weighted_mixture(docs, _MIXTURE_WEIGHTS)
 
 
+def _gopher_rules_documents(sf_dir: str) -> rd.Dataset:
+    """Gopher quality-rule filter (Rae et al. 2021) with per-rule
+    provenance flags; thresholds tuned so every rule discriminates
+    on the synth corpus (tokens 10-99, mean word len 3.7-5.3)."""
+    from sits_classification_ray.stages.textstats import gopher_rules
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id", "text"])
+    return gopher_rules(docs, min_words=30, min_mean_len=4.0,
+                        max_mean_len=10.0, min_alpha_frac=0.80,
+                        min_stopwords=3,
+                        stopwords=("data", "row", "join", "hash",
+                                   "batch", "scan"))
+
+
 def _dsir_weights_documents(sf_dir: str) -> rd.Dataset:
     """DSIR importance weights (Xie et al. 2023) against the 'en'
     subset as the target domain, top-1000-word feature vocabulary."""
@@ -3947,6 +3962,7 @@ def build_queries() -> dict[str, Callable[[str], Any]]:
         "source_mixture_documents": _source_mixture_documents,
         "decontaminate_documents": _decontaminate_documents,
         "dsir_weights_documents": _dsir_weights_documents,
+        "gopher_rules_documents": _gopher_rules_documents,
         "lang_temperature_weights": _lang_temperature_weights,
         "ppl_buckets_documents": _ppl_buckets_documents,
         "user_sessions_events": _user_sessions_events,
@@ -5937,6 +5953,41 @@ SELECT t.doc_id, count(*) AS n_tokens,
            AS avg_logprob
 FROM toks t JOIN counts c USING (tok)
 GROUP BY 1""",
+        "gopher_rules_documents": """
+WITH s AS MATERIALIZED (
+  SELECT doc_id, text,
+         CAST(length(text) AS BIGINT) AS nc,
+         CAST(len(string_split(lower(text), ' ')) AS BIGINT) AS nt
+  FROM documents),
+toks AS MATERIALIZED (
+  SELECT doc_id, t.tok AS tok
+  FROM documents, unnest(string_split(lower(text), ' ')) AS t(tok)),
+per_doc AS MATERIALIZED (
+  SELECT doc_id,
+         count(*) FILTER (WHERE regexp_matches(tok, '[a-zA-Z]'))
+             AS n_alpha,
+         count(DISTINCT tok) FILTER (WHERE tok IN
+             ('data','row','join','hash','batch','scan')) AS n_stop
+  FROM toks GROUP BY 1),
+flags AS (
+  SELECT s.doc_id, s.nt AS n_words,
+         CASE WHEN s.nt >= 30 AND s.nt <= 100000
+              THEN 1 ELSE 0 END AS r_wordcount,
+         CASE WHEN (s.nc - (s.nt - 1.0)) / s.nt >= 4.0
+               AND (s.nc - (s.nt - 1.0)) / s.nt <= 10.0
+              THEN 1 ELSE 0 END AS r_meanlen,
+         CASE WHEN CAST(p.n_alpha AS DOUBLE) / s.nt >= 0.80
+              THEN 1 ELSE 0 END AS r_alpha,
+         CASE WHEN p.n_stop >= 3 THEN 1 ELSE 0 END AS r_stop
+  FROM s JOIN per_doc p USING (doc_id))
+SELECT doc_id, n_words,
+       CAST(r_wordcount AS BIGINT) AS r_wordcount,
+       CAST(r_meanlen AS BIGINT) AS r_meanlen,
+       CAST(r_alpha AS BIGINT) AS r_alpha,
+       CAST(r_stop AS BIGINT) AS r_stop,
+       CAST(r_wordcount * r_meanlen * r_alpha * r_stop AS BIGINT)
+           AS passes
+FROM flags""",
         "dsir_weights_documents": """
 WITH toks AS MATERIALIZED (
   SELECT doc_id, t.tok AS tok

@@ -1535,3 +1535,77 @@ def bpe_encode(ds: rd.Dataset, merges: pd.DataFrame,
     return ds.map_batches(Encode, batch_format="pyarrow",
                           zero_copy_batch=True, concurrency=(1, 8),
                           num_cpus=1)
+
+
+def gopher_rules(ds: rd.Dataset, id_col: str = "doc_id",
+                 text_col: str = "text", min_words: int = 50,
+                 max_words: int = 100_000, min_mean_len: float = 3.0,
+                 max_mean_len: float = 10.0,
+                 min_alpha_frac: float = 0.80,
+                 min_stopwords: int = 2,
+                 stopwords: tuple[str, ...] = QUALITY_STOPWORDS
+                 ) -> rd.Dataset:
+    """Gopher repetition-free quality rules (Rae et al. 2021, App. A
+    "quality filtering" heuristics): per-document hard filters on
+
+    - word count within ``[min_words, max_words]``;
+    - mean word length (separator-free chars / words) within
+      ``[min_mean_len, max_mean_len]``;
+    - fraction of words containing an alphabetic character
+      ``≥ min_alpha_frac``;
+    - at least ``min_stopwords`` DISTINCT ``stopwords`` present
+      (default ``QUALITY_STOPWORDS``; pass a corpus-appropriate set —
+      Gopher's rule assumes English function words exist).
+
+    Returns one row per document with each rule's verdict (0/1
+    BIGINT) and the conjunction ``passes`` — keep rule provenance
+    instead of just filtering so downstream audits can see WHY a
+    document fell out. One vectorized pass, zero shuffle."""
+
+    stop_arr = pa.array(list(stopwords))
+
+    def rules(batch: pa.Table) -> pa.Table:
+        n = len(batch)
+        text = batch[text_col]
+        nc = pc.utf8_length(text).to_numpy().astype(np.int64)
+        lists = pc.split_pattern(pc.utf8_lower(text), " ")
+        nt = pc.list_value_length(lists).to_numpy().astype(np.int64)
+        flat = pc.list_flatten(lists)
+        parent = pc.list_parent_indices(lists).to_numpy()
+        # distinct stopword hits per doc
+        stop_hit = pc.is_in(flat, value_set=stop_arr) \
+            .to_numpy(zero_copy_only=False)
+        if stop_hit.any():
+            hit_df = pd.DataFrame({
+                "row": parent[stop_hit],
+                "tok": flat.to_numpy(zero_copy_only=False)[stop_hit]})
+            n_stop = np.zeros(n, dtype=np.int64)
+            g = hit_df.groupby("row")["tok"].nunique()
+            n_stop[g.index.to_numpy(np.int64)] = g.to_numpy(np.int64)
+        else:
+            n_stop = np.zeros(n, dtype=np.int64)
+        # words containing an alphabetic character
+        alpha_tok = pc.match_substring_regex(flat, "[a-zA-Z]") \
+            .to_numpy(zero_copy_only=False).astype(np.int64)
+        n_alpha = np.bincount(parent, weights=alpha_tok,
+                              minlength=n).astype(np.int64)
+        mean_len = (nc - (nt - 1)) / nt        # chars net of separators
+        alpha_frac = n_alpha / nt
+        r_wordcount = ((nt >= min_words) & (nt <= max_words))
+        r_meanlen = ((mean_len >= min_mean_len)
+                     & (mean_len <= max_mean_len))
+        r_alpha = alpha_frac >= min_alpha_frac
+        r_stop = n_stop >= min_stopwords
+        return pa.table({
+            id_col: batch[id_col],
+            "n_words": pa.array(nt),
+            "r_wordcount": pa.array(r_wordcount.astype(np.int64)),
+            "r_meanlen": pa.array(r_meanlen.astype(np.int64)),
+            "r_alpha": pa.array(r_alpha.astype(np.int64)),
+            "r_stop": pa.array(r_stop.astype(np.int64)),
+            "passes": pa.array((r_wordcount & r_meanlen & r_alpha
+                                & r_stop).astype(np.int64)),
+        })
+
+    return ds.map_batches(rules, batch_format="pyarrow",
+                          zero_copy_batch=True)

@@ -974,3 +974,27 @@ def test_grouped_ntile_matches_sql_semantics(ray_session):
     assert out.loc[[3, 4], "tile"].tolist() == [2, 2]
     assert out.loc[5, "tile"] == 3
     assert out.loc[[6, 7, 8], "tile"].tolist() == [1, 2, 3]
+
+
+def test_gopher_rules_flags_each_violation(ray_session):
+    """One doc per rule violation plus one clean pass."""
+    from sits_classification_ray.stages.textstats import gopher_rules
+
+    stop = ("data", "row", "join")
+    good = "data row join " + " ".join(["words"] * 27)  # 30 words
+    docs = pd.DataFrame({
+        "doc_id": [1, 2, 3, 4],
+        "text": [good,
+                 "data row join word",                  # too few words
+                 "data row join " + " ".join(["ab"] * 27),  # short words
+                 " ".join(["word"] * 30)],              # no stopwords
+    })
+    out = gopher_rules(rd.from_pandas(docs), min_words=30,
+                       min_mean_len=4.0, max_mean_len=10.0,
+                       min_alpha_frac=0.8, min_stopwords=3,
+                       stopwords=stop).to_pandas() \
+        .set_index("doc_id").sort_index()
+    assert out.loc[1, "passes"] == 1
+    assert out.loc[2, "r_wordcount"] == 0 and out.loc[2, "passes"] == 0
+    assert out.loc[3, "r_meanlen"] == 0 and out.loc[3, "passes"] == 0
+    assert out.loc[4, "r_stop"] == 0 and out.loc[4, "passes"] == 0
