@@ -1363,6 +1363,15 @@ def _unigram_logprob_documents(sf_dir: str) -> rd.Dataset:
         broadcast_max_vocab=0)
 
 
+def _stl_decompose_daily(sf_dir: str) -> rd.Dataset:
+    """STL-lite additive decomposition (trend / day-of-week seasonal
+    / residual) of every daily series — the streaming seasonal-
+    anomaly primitive."""
+    from sits_classification_ray.stages.stm import stl_decompose_daily
+
+    return stl_decompose_daily(_obs_long(sf_dir), trend_halfwin=3)
+
+
 def _series_gaps_crawl(sf_dir: str) -> rd.Dataset:
     """Per-series inter-arrival gap stats (staleness monitor)."""
     from sits_classification_ray.stages.stm import series_gaps
@@ -3931,6 +3940,7 @@ def build_queries() -> dict[str, Callable[[str], Any]]:
         "bigram_logprob_documents": _bigram_logprob_documents,
         "duplicate_ngrams_documents": _duplicate_ngrams_documents,
         "series_gaps_crawl": _series_gaps_crawl,
+        "stl_decompose_daily": _stl_decompose_daily,
         "theil_sen_crawl": _theil_sen_crawl,
         "spearman_crawl": _spearman_crawl,
         "ddsketch_quantile_daily": _ddsketch_quantile_daily,
@@ -5021,6 +5031,26 @@ SELECT url, metric, bucket_ts, count(*) AS n_obs,
                   THEN sum(value * w) / sum(w)
                   ELSE arg_min(value, warc_ts) END, 6) AS twa
 FROM tww GROUP BY 1, 2, 3""",
+        "stl_decompose_daily": f"""{CRAWL_PREFIX},
+stl_daily AS MATERIALIZED (
+  SELECT url, metric,
+         CAST(date_trunc('day', warc_ts) AS TIMESTAMP) AS day,
+         avg(value) AS v
+  FROM obs_long GROUP BY 1, 2, 3),
+stl_tr AS MATERIALIZED (
+  SELECT *, avg(v) OVER (PARTITION BY url, metric ORDER BY day
+                         ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)
+            AS trend
+  FROM stl_daily),
+stl_se AS MATERIALIZED (
+  SELECT *, avg(v - trend) OVER (PARTITION BY url, metric,
+                                 dayofweek(day)) AS seasonal
+  FROM stl_tr)
+SELECT url, metric, day, round(v, 6) + 0.0 AS value,
+       round(trend, 6) + 0.0 AS trend,
+       round(seasonal, 6) + 0.0 AS seasonal,
+       round(v - trend - seasonal, 6) + 0.0 AS residual
+FROM stl_se""",
         "series_gaps_crawl": f"""{CRAWL_PREFIX},
 gapsrc AS (
   SELECT url, metric, warc_ts,

@@ -498,3 +498,72 @@ def peak_time(ds_long: rd.Dataset) -> rd.Dataset:
             columns={"warc_ts": "peak_ts", "value": "peak_value"})
 
     return partitioned_map(ds_long, kernel, url_col="url")
+
+
+def stl_decompose_daily(ds_long: rd.Dataset, trend_halfwin: int = 3,
+                        round_to: int = 6) -> rd.Dataset:
+    """STL-lite additive decomposition per daily series: for each
+    (url, metric), daily mean → centered ``2·halfwin+1``-row moving
+    average as TREND (window shrinks at the edges, SQL ``ROWS BETWEEN
+    h PRECEDING AND h FOLLOWING`` semantics) → per day-of-week mean
+    of the detrended values as SEASONAL → RESIDUAL. The cheap
+    streaming decomposition behind seasonal anomaly detection
+    (classic STL swaps the moving averages for loess).
+
+    Shape: one distributed Mean groupby to the daily grain, then one
+    salted exchange on the series key and a vectorized per-partition
+    kernel (prefix-sum windowed mean, no per-row loop). Outputs are
+    rounded: window/group summation order differs from any SQL twin.
+    Partitioning assumption: one series' daily grain fits a
+    partition (~years of days — trivially true)."""
+    from ray.data.aggregate import Mean
+
+    from sits_classification_ray.functions.transforms import sql_round
+    from sits_classification_ray.stages.shuffle import partitioned_map
+
+    def to_day(df: pd.DataFrame) -> pd.DataFrame:
+        out = df[["url", "metric", "value"]].copy(deep=False)
+        out["day"] = (df["warc_ts"].to_numpy()
+                      .astype("datetime64[D]").astype("datetime64[us]"))
+        return out
+
+    daily = (ds_long.map_batches(to_day, batch_format="pandas")
+             .groupby(["url", "metric", "day"])
+             .aggregate(Mean("value", alias_name="v")))
+
+    h = int(trend_halfwin)
+
+    def kernel(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["url", "metric", "day"], kind="mergesort")
+        parts = []
+        for _, g in df.groupby(["url", "metric"], sort=False):
+            v = g["v"].to_numpy(np.float64)
+            n = len(v)
+            idx = np.arange(n)
+            lo = np.maximum(idx - h, 0)
+            hi = np.minimum(idx + h, n - 1)
+            cs = np.concatenate([[0.0], np.cumsum(v)])
+            trend = (cs[hi + 1] - cs[lo]) / (hi - lo + 1)
+            det = v - trend
+            dow = pd.DatetimeIndex(g["day"]).dayofweek.to_numpy()
+            seas = np.zeros(n)
+            for d in np.unique(dow):
+                m = dow == d
+                seas[m] = det[m].mean()
+            parts.append(pd.DataFrame({
+                "url": g["url"].to_numpy(),
+                "metric": g["metric"].to_numpy(),
+                "day": g["day"].to_numpy(),
+                # + 0.0 normalizes IEEE -0.0 (a detrended mean that
+                # rounds to zero can carry either sign depending on
+                # summation order; the hash is bit-sensitive)
+                "value": sql_round(v, round_to) + 0.0,
+                "trend": sql_round(trend, round_to) + 0.0,
+                "seasonal": sql_round(seas, round_to) + 0.0,
+                "residual": sql_round(v - trend - seas, round_to) + 0.0,
+            }))
+        return pd.concat(parts, ignore_index=True) if parts else \
+            pd.DataFrame(columns=["url", "metric", "day", "value",
+                                  "trend", "seasonal", "residual"])
+
+    return partitioned_map(daily, kernel, url_col="url")

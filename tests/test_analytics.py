@@ -255,3 +255,29 @@ def test_y4m_roundtrip_and_scene_cut(ray_session):
     assert out["l1_prev"].tolist() == [0, 0, 64 * 235]
     assert out["is_cut"].tolist() == [False, False, True]
     assert out["luma_sum"].tolist() == [640, 640, 64 * 245]
+
+
+def test_stl_decompose_additive_identity_and_seasonality(ray_session):
+    """value == trend + seasonal + residual (to rounding); a planted
+    weekly pattern shows up in the seasonal component."""
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from sits_classification_ray.stages.stm import stl_decompose_daily
+
+    days = pd.date_range("2024-01-01", periods=56, freq="D")
+    dow_effect = np.array([0, 0, 0, 0, 0, 30, 30])  # weekend bump
+    rows = pd.DataFrame({
+        "url": "u", "metric": "m", "warc_ts": days,
+        "value": (100.0 + dow_effect[days.dayofweek]),
+    })
+    out = stl_decompose_daily(rd.from_pandas(rows)).to_pandas() \
+        .sort_values("day").reset_index(drop=True)
+    assert len(out) == 56
+    recon = out["trend"] + out["seasonal"] + out["residual"]
+    assert np.allclose(recon, out["value"], atol=2e-6)
+    mid = out.iloc[7:-7]       # away from edge-shrunk windows
+    dow = pd.DatetimeIndex(mid["day"]).dayofweek
+    assert mid.loc[dow >= 5, "seasonal"].mean() > \
+        mid.loc[dow < 5, "seasonal"].mean() + 10
