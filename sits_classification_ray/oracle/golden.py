@@ -2113,3 +2113,73 @@ def quality_classifier_documents(docs: pd.DataFrame, epochs: int = 8,
         "p_quality": _sql_round_arr(p[:, 1]),
         "pred": p.argmax(axis=1).astype(np.int64),
     })
+
+
+def binseg_changepoints_crawl(obs_long: pd.DataFrame,
+                              min_size: int = 5,
+                              penalty_mult: float = 2.0
+                              ) -> pd.DataFrame:
+    """Independent twin of the binary-segmentation changepoint
+    detector: daily means per (url, metric), deterministic binseg
+    (first-index tie-break, FIFO segment queue), penalty
+    penalty_mult * median(|dv|)^2 * ln n."""
+    df = obs_long.copy()
+    df["day"] = (df["warc_ts"].to_numpy().astype("datetime64[D]")
+                 .astype("datetime64[us]"))
+    daily = (df.groupby(["url", "metric", "day"], as_index=False)
+             ["value"].mean().rename(columns={"value": "v"}))
+    rows = []
+    for (u, m), g in daily.sort_values(
+            ["url", "metric", "day"]).groupby(["url", "metric"],
+                                              sort=False):
+        v = g["v"].to_numpy(np.float64)
+        n = len(v)
+        if n < 2 * min_size:
+            continue
+        dmed = float(np.median(np.abs(np.diff(v))))
+        penalty = penalty_mult * dmed * dmed * np.log(n)
+        cs = np.concatenate([[0.0], np.cumsum(v)])
+        cs2 = np.concatenate([[0.0], np.cumsum(v * v)])
+
+        def sse(a, b):
+            nn = b - a
+            if nn == 0:
+                return 0.0
+            s = cs[b] - cs[a]
+            return float(cs2[b] - cs2[a] - s * s / nn)
+
+        found = []
+        segs = [(0, n)]
+        while segs:
+            a, b = segs.pop(0)
+            if b - a < 2 * min_size:
+                continue
+            total = sse(a, b)
+            best_t, best_gain = -1, 0.0
+            for t in range(a + min_size, b - min_size + 1):
+                gain = total - sse(a, t) - sse(t, b)
+                if gain > best_gain + 1e-12:
+                    best_t, best_gain = t, gain
+            if best_t < 0 or best_gain <= penalty:
+                continue
+            found.append((best_t, best_gain))
+            segs.append((a, best_t))
+            segs.append((best_t, b))
+        cps = sorted(t for t, _ in found)
+        gains = dict(found)
+        bounds = [0] + cps + [n]
+        days = g["day"].to_numpy()
+        for i, t in enumerate(cps):
+            lo, hi = bounds[i], bounds[i + 2]
+            rows.append({"url": u, "metric": m, "cp_day": days[t],
+                         "gain": float(gains[t]),
+                         "mean_before": float(v[lo:t].mean()),
+                         "mean_after": float(v[t:hi].mean())})
+    if not rows:
+        return pd.DataFrame(columns=["url", "metric", "cp_day",
+                                     "gain", "mean_before",
+                                     "mean_after"])
+    out = pd.DataFrame(rows)
+    for c in ("gain", "mean_before", "mean_after"):
+        out[c] = _sql_round_arr(out[c].to_numpy(np.float64)) + 0.0
+    return out

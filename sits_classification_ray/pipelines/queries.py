@@ -1363,6 +1363,15 @@ def _unigram_logprob_documents(sf_dir: str) -> rd.Dataset:
         broadcast_max_vocab=0)
 
 
+def _binseg_changepoints_crawl(sf_dir: str) -> rd.Dataset:
+    """Level-shift changepoints per daily series via deterministic
+    binary segmentation (golden oracle: independent numpy twin)."""
+    from sits_classification_ray.stages.stm import binseg_changepoints
+
+    return binseg_changepoints(_obs_long(sf_dir), min_size=5,
+                               penalty_mult=2.0)
+
+
 def _stl_decompose_daily(sf_dir: str) -> rd.Dataset:
     """STL-lite additive decomposition (trend / day-of-week seasonal
     / residual) of every daily series — the streaming seasonal-
@@ -3941,6 +3950,7 @@ def build_queries() -> dict[str, Callable[[str], Any]]:
         "duplicate_ngrams_documents": _duplicate_ngrams_documents,
         "series_gaps_crawl": _series_gaps_crawl,
         "stl_decompose_daily": _stl_decompose_daily,
+        "binseg_changepoints_crawl": _binseg_changepoints_crawl,
         "theil_sen_crawl": _theil_sen_crawl,
         "spearman_crawl": _spearman_crawl,
         "ddsketch_quantile_daily": _ddsketch_quantile_daily,
@@ -4091,9 +4101,10 @@ DRIVER_WINDOW = [
     "near_dup_keep_one_documents", "dup_spans_documents",
     "jaccard_near_dup_documents", "embedding_near_dup_ivf",
     "similarity_topk", "q3_shipping_priority", "ivfpq_topk_embeddings",
-    "kmeans_embeddings", "cluster_top_terms", "text_stats_documents",
+    "kmeans_embeddings", "quality_classifier_documents",
+    "text_stats_documents",
     "sniffed_assets_crawl", "corpus_prep_documents",
-    "decontaminate_documents", "source_mixture_documents",
+    "decontaminate_documents", "dsir_weights_documents",
     "scrub_pii_documents", "bpe_merges_documents",
     "bigram_logprob_documents", "bm25_topk_documents",
     "tune_trials", "pagerank_words_documents",
@@ -4156,7 +4167,7 @@ GOLDEN_QUERIES = [
     "corpus_prep_documents", "cluster_top_terms",
     "semdedup_embeddings",
     "ivfpq_topk_embeddings", "train_linear_fit", "train_linear_weights",
-    "quality_classifier_documents",
+    "quality_classifier_documents", "binseg_changepoints_crawl",
     "tune_trials", "sniffed_assets_crawl", "resized_thumbnails_crawl",
     "wav_features_crawl", "y4m_scene_stats_crawl",
     "bpe_encode_documents",

@@ -567,3 +567,109 @@ def stl_decompose_daily(ds_long: rd.Dataset, trend_halfwin: int = 3,
                                   "trend", "seasonal", "residual"])
 
     return partitioned_map(daily, kernel, url_col="url")
+
+
+def _binseg_series(v: np.ndarray, min_size: int,
+                   penalty: float) -> list[tuple[int, float]]:
+    """Deterministic mean-shift binary segmentation over one series:
+    repeatedly split the segment whose best split maximizes the SSE
+    gain, while the gain exceeds ``penalty``; first index wins ties.
+    Returns [(split_index, gain)] in detection order. O(n) per
+    candidate scan via prefix sums."""
+    cs = np.concatenate([[0.0], np.cumsum(v)])
+    cs2 = np.concatenate([[0.0], np.cumsum(v * v)])
+
+    def sse(a: int, b: int) -> float:          # [a, b)
+        n = b - a
+        if n == 0:
+            return 0.0
+        s = cs[b] - cs[a]
+        return float(cs2[b] - cs2[a] - s * s / n)
+
+    def best_split(a: int, b: int) -> tuple[int, float]:
+        total = sse(a, b)
+        best_t, best_gain = -1, 0.0
+        for t in range(a + min_size, b - min_size + 1):
+            gain = total - sse(a, t) - sse(t, b)
+            if gain > best_gain + 1e-12:
+                best_t, best_gain = t, gain
+        return best_t, best_gain
+
+    out: list[tuple[int, float]] = []
+    segs = [(0, len(v))]
+    while segs:
+        a, b = segs.pop(0)
+        if b - a < 2 * min_size:
+            continue
+        t, gain = best_split(a, b)
+        if t < 0 or gain <= penalty:
+            continue
+        out.append((t, gain))
+        segs.append((a, t))
+        segs.append((t, b))
+    return out
+
+
+def binseg_changepoints(ds_long: rd.Dataset, min_size: int = 5,
+                        penalty_mult: float = 2.0,
+                        round_to: int = 6) -> rd.Dataset:
+    """Mean-shift changepoint detection per daily series (binary
+    segmentation, the classic level-shift detector): daily means →
+    per-series deterministic binseg with penalty
+    ``penalty_mult · median(|Δv|)² · ln n``. Emits one row per
+    detected changepoint: ``(url, metric, cp_day, gain, mean_before,
+    mean_after)`` where the means are over the adjacent detected
+    span only.
+
+    Shape: distributed Mean groupby to daily grain, then one salted
+    series exchange + vectorized prefix-sum kernel (same partitioning
+    contract as :func:`stl_decompose_daily`)."""
+    from ray.data.aggregate import Mean
+
+    from sits_classification_ray.functions.transforms import sql_round
+    from sits_classification_ray.stages.shuffle import partitioned_map
+
+    def to_day(df: pd.DataFrame) -> pd.DataFrame:
+        out = df[["url", "metric", "value"]].copy(deep=False)
+        out["day"] = (df["warc_ts"].to_numpy()
+                      .astype("datetime64[D]").astype("datetime64[us]"))
+        return out
+
+    daily = (ds_long.map_batches(to_day, batch_format="pandas")
+             .groupby(["url", "metric", "day"])
+             .aggregate(Mean("value", alias_name="v")))
+
+    def kernel(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["url", "metric", "day"], kind="mergesort")
+        rows = []
+        for (u, m), g in df.groupby(["url", "metric"], sort=False):
+            v = g["v"].to_numpy(np.float64)
+            n = len(v)
+            if n < 2 * min_size:
+                continue
+            dmed = float(np.median(np.abs(np.diff(v))))
+            penalty = penalty_mult * dmed * dmed * np.log(n)
+            found = _binseg_series(v, min_size, penalty)
+            cps = sorted(t for t, _ in found)
+            gains = dict(found)
+            bounds = [0] + cps + [n]
+            days = g["day"].to_numpy()
+            for i, t in enumerate(cps):
+                lo, hi = bounds[i], bounds[i + 2]
+                rows.append({
+                    "url": u, "metric": m, "cp_day": days[t],
+                    "gain": float(gains[t]),
+                    "mean_before": float(v[lo:t].mean()),
+                    "mean_after": float(v[t:hi].mean()),
+                })
+        if not rows:
+            return pd.DataFrame(columns=["url", "metric", "cp_day",
+                                         "gain", "mean_before",
+                                         "mean_after"])
+        out = pd.DataFrame(rows)
+        for c in ("gain", "mean_before", "mean_after"):
+            out[c] = sql_round(out[c].to_numpy(np.float64),
+                               round_to) + 0.0
+        return out
+
+    return partitioned_map(daily, kernel, url_col="url")

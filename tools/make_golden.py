@@ -143,6 +143,8 @@ def make_for(sf_dir: str, only: set[str] | None = None) -> None:
             emb, n_trials=5, seed=7, epochs=6),
         "quality_classifier_documents":
             lambda: golden.quality_classifier_documents(docs),
+        "binseg_changepoints_crawl":
+            lambda: golden.binseg_changepoints_crawl(obs_long),
         "srp_near_dup_embeddings":
             lambda: golden.srp_near_dup_embeddings(emb),
         "semdedup_embeddings":
