@@ -1336,6 +1336,14 @@ def _autocorr_lag1_crawl(sf_dir: str) -> rd.Dataset:
     return autocorr_lag1(_obs_long(sf_dir))
 
 
+def _acf_ljungbox_crawl(sf_dir: str) -> rd.Dataset:
+    """ACF at lags 1..7 + Ljung-Box Q per daily series (SQL
+    lag-join twin)."""
+    from sits_classification_ray.stages.stm import acf_ljungbox
+
+    return acf_ljungbox(_obs_long(sf_dir), max_lag=7)
+
+
 def _mad_anomaly_crawl(sf_dir: str) -> rd.Dataset:
     """Robust median/MAD anomaly score per observation."""
     from sits_classification_ray.stages.stm import mad_anomaly
@@ -3943,6 +3951,7 @@ def build_queries() -> dict[str, Callable[[str], Any]]:
         "cusum_crawl": _cusum_crawl,
         "seasonal_baseline_crawl": _seasonal_baseline_crawl,
         "autocorr_lag1_crawl": _autocorr_lag1_crawl,
+        "acf_ljungbox_crawl": _acf_ljungbox_crawl,
         "mad_anomaly_crawl": _mad_anomaly_crawl,
         "time_weighted_avg_crawl": _time_weighted_avg_crawl,
         "unigram_logprob_documents": _unigram_logprob_documents,
@@ -5011,6 +5020,32 @@ lagged AS (
 SELECT url, metric, count(prev) AS n_pairs,
        round(corr(value, prev), 6) AS autocorr
 FROM lagged GROUP BY 1, 2""",
+        "acf_ljungbox_crawl": f"""{CRAWL_PREFIX},
+daily AS MATERIALIZED (
+  SELECT url, metric, CAST(date_trunc('day', warc_ts) AS TIMESTAMP) AS day,
+         avg(value) AS v
+  FROM obs_long GROUP BY 1, 2, 3),
+st AS MATERIALIZED (
+  SELECT url, metric, avg(v) AS mu, count(*) AS n_days
+  FROM daily GROUP BY 1, 2 HAVING count(*) > 7),
+lagged AS (
+  SELECT d.url, d.metric, v, mu, n_days,
+         {", ".join(f"lag(v, {k}) OVER w AS p{k}" for k in range(1, 8))}
+  FROM daily d JOIN st USING (url, metric)
+  WINDOW w AS (PARTITION BY d.url, d.metric ORDER BY day)),
+acc AS (
+  SELECT url, metric, any_value(n_days) AS n_days,
+         sum((v - mu) * (v - mu)) AS ss0,
+         {", ".join(f"sum((v - mu) * (p{k} - mu)) AS s{k}"
+                    for k in range(1, 8))}
+  FROM lagged GROUP BY 1, 2)
+SELECT url, metric, n_days,
+       {", ".join(f"round(CASE WHEN ss0 > 0 THEN s{k} / ss0 END, 6) AS r{k}"
+                  for k in range(1, 8))},
+       round(CASE WHEN ss0 > 0 THEN n_days * (n_days + 2.0) * (
+             {" + ".join(f"(s{k} / ss0) * (s{k} / ss0) / (n_days - {k})"
+                         for k in range(1, 8))}) END, 6) AS ljung_box
+FROM acc""",
         "mad_anomaly_crawl": f"""{CRAWL_PREFIX},
 med AS MATERIALIZED (
   SELECT url, metric, quantile_cont(value, 0.5) AS med

@@ -153,6 +153,7 @@ def partitioned_map(
     hot_key_threshold: int | None = None,
     url_col: str | None = None,
     n_buckets: int = 64,
+    out_schema: "pa.Schema | None" = None,
 ) -> rd.Dataset:
     """Co-locate complete key groups into salted partitions and map
     ``fn`` over each whole partition block (pandas in/out).
@@ -166,6 +167,13 @@ def partitioned_map(
     - ``keys`` (generic): flat hash of the FINEST key whose groups the
       kernel needs complete (e.g. ``["id_a", "id_b"]`` for pair
       dedup). Partition count scaled by ``hot_key_threshold``.
+
+    ``out_schema`` pins the Arrow schema of every output block. Ray's
+    pandas→Arrow conversion infers types from VALUES, so a partition
+    whose kernel output has an all-NaN float column becomes Arrow
+    ``null`` type — unioned with double-typed blocks from other
+    partitions that breaks schema unification. Pass the kernel's
+    declared schema for any kernel that can emit all-null columns.
     """
     if url_col is not None:
         S = salt_factor(approx_rows, hot_key_threshold, n_buckets)
@@ -205,8 +213,22 @@ def partitioned_map(
         # the block
         out = salted.groupby("_part").map_groups(kernel,
                                                  batch_format="pandas")
-    return out.map_batches(_drop_empty_and_strip_meta, batch_size=None,
-                           batch_format="pyarrow", zero_copy_batch=True)
+    if out_schema is None:
+        return out.map_batches(_drop_empty_and_strip_meta,
+                               batch_size=None, batch_format="pyarrow",
+                               zero_copy_batch=True)
+
+    def pin(batch):
+        if batch.num_rows == 0:
+            return
+        batch = batch.replace_schema_metadata(None)
+        if batch.schema != out_schema and set(batch.column_names) == set(
+                out_schema.names):
+            batch = batch.select(out_schema.names).cast(out_schema)
+        yield batch
+
+    return out.map_batches(pin, batch_size=None, batch_format="pyarrow",
+                           zero_copy_batch=True)
 
 
 def explode_long(batch, metrics) -> "pa.Table":

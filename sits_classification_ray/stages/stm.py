@@ -673,3 +673,85 @@ def binseg_changepoints(ds_long: rd.Dataset, min_size: int = 5,
         return out
 
     return partitioned_map(daily, kernel, url_col="url")
+
+
+def daily_means(ds_long: rd.Dataset) -> rd.Dataset:
+    """Collapse the irregular observation stream to the regular daily
+    grain: ``(url, metric, day, v=mean(value))`` — the shared front
+    end of the per-series statistics (ACF, Mann-Kendall, binseg, STL).
+    One distributed Mean groupby; no materialization."""
+    from ray.data.aggregate import Mean
+
+    def to_day(df: pd.DataFrame) -> pd.DataFrame:
+        out = df[["url", "metric", "value"]].copy(deep=False)
+        out["day"] = (df["warc_ts"].to_numpy()
+                      .astype("datetime64[D]").astype("datetime64[us]"))
+        return out
+
+    return (ds_long.map_batches(to_day, batch_format="pandas")
+            .groupby(["url", "metric", "day"])
+            .aggregate(Mean("value", alias_name="v")))
+
+
+def acf_ljungbox(ds_long: rd.Dataset, max_lag: int = 7,
+                 round_to: int = 6) -> rd.Dataset:
+    """Autocorrelation function at lags 1..``max_lag`` plus the
+    Ljung-Box portmanteau statistic, per daily series — the classic
+    "is this page's history white noise?" screen (reference analog:
+    the per-pixel temporal statistics of SITS preprocessing).
+
+    Estimator (the standard one, and the SQL twin's):
+    ``r_k = Σ_{t>k}(x_t−x̄)(x_{t−k}−x̄) / Σ(x_t−x̄)²`` over the
+    position-ordered daily means, and
+    ``Q = n(n+2) Σ_k r_k²/(n−k)``. Series shorter than
+    ``max_lag + 1`` days are dropped (every lag must have ≥1 pair);
+    constant series emit nulls (0/0, SQL CASE semantics).
+
+    Shape: one Mean groupby to daily grain, then a salted per-series
+    exchange + vectorized prefix-dot kernel — no driver collect, no
+    second shuffle."""
+    from sits_classification_ray.functions.transforms import sql_round
+    from sits_classification_ray.stages.shuffle import partitioned_map
+
+    K = int(max_lag)
+    r_cols = [f"r{k}" for k in range(1, K + 1)]
+
+    def kernel(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["url", "metric", "day"], kind="mergesort")
+        rows: list[dict] = []
+        for (u, m), g in df.groupby(["url", "metric"], sort=False):
+            v = g["v"].to_numpy(np.float64)
+            n = len(v)
+            if n <= K:
+                continue
+            d = v - v.mean()
+            ss0 = float(d @ d)
+            row = {"url": u, "metric": m, "n_days": np.int64(n)}
+            if ss0 > 0.0:
+                q = 0.0
+                for k in range(1, K + 1):
+                    rk = float(d[k:] @ d[:-k]) / ss0
+                    row[f"r{k}"] = rk
+                    q += rk * rk / (n - k)
+                row["ljung_box"] = n * (n + 2.0) * q
+            else:
+                for k in range(1, K + 1):
+                    row[f"r{k}"] = np.nan
+                row["ljung_box"] = np.nan
+            rows.append(row)
+        cols = ["url", "metric", "n_days"] + r_cols + ["ljung_box"]
+        if not rows:
+            return pd.DataFrame(columns=cols)
+        out = pd.DataFrame(rows)[cols]
+        for c in r_cols + ["ljung_box"]:
+            out[c] = sql_round(out[c].to_numpy(np.float64),
+                               round_to) + 0.0
+        return out
+
+    import pyarrow as pa
+    schema = pa.schema(
+        [("url", pa.string()), ("metric", pa.string()),
+         ("n_days", pa.int64())]
+        + [(c, pa.float64()) for c in r_cols + ["ljung_box"]])
+    return partitioned_map(daily_means(ds_long), kernel, url_col="url",
+                           out_schema=schema)

@@ -382,3 +382,39 @@ def test_merge_upsert_latest_wins():
         .sort_values("url").reset_index(drop=True)
     # a: tie at H → update side wins (99); b: untouched; c: inserted
     assert out["text_len"].tolist() == [99, 3, 7]
+
+
+D = 86_400_000_000  # 1 day in µs
+
+
+def test_acf_matches_statsmodels_formula():
+    # independent recomputation of r_k and Ljung-Box over one daily
+    # series with one observation per day (daily mean == value)
+    rng = np.random.default_rng(9)
+    v = rng.normal(50.0, 4.0, 20)
+    from sits_classification_ray.stages.stm import acf_ljungbox
+    ds = _long_ds(["u"] * 20, v, ts=[(i + 1) * D for i in range(20)])
+    out = acf_ljungbox(ds, max_lag=7).to_pandas()
+    assert len(out) == 1
+    d = v - v.mean()
+    ss0 = d @ d
+    q = 0.0
+    for k in range(1, 8):
+        rk = (d[k:] @ d[:-k]) / ss0
+        assert out[f"r{k}"].iloc[0] == pytest.approx(rk, abs=1e-6)
+        q += rk * rk / (20 - k)
+    assert out["ljung_box"].iloc[0] == pytest.approx(
+        20 * 22 * q, abs=1e-5)
+    assert out["n_days"].iloc[0] == 20
+
+
+def test_acf_short_series_dropped_constant_null():
+    from sits_classification_ray.stages.stm import acf_ljungbox
+    short = _long_ds(["a"] * 7, range(7),
+                     ts=[(i + 1) * D for i in range(7)])
+    assert acf_ljungbox(short, max_lag=7).count() == 0
+    const = _long_ds(["b"] * 10, [5.0] * 10,
+                     ts=[(i + 1) * D for i in range(10)])
+    out = const and acf_ljungbox(const, max_lag=7).to_pandas()
+    assert len(out) == 1 and np.isnan(out["r1"].iloc[0])
+    assert np.isnan(out["ljung_box"].iloc[0])
