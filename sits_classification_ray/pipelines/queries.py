@@ -1336,6 +1336,13 @@ def _autocorr_lag1_crawl(sf_dir: str) -> rd.Dataset:
     return autocorr_lag1(_obs_long(sf_dir))
 
 
+def _mann_kendall_crawl(sf_dir: str) -> rd.Dataset:
+    """Mann-Kendall trend test per daily series (SQL pair-join twin)."""
+    from sits_classification_ray.stages.stm import mann_kendall
+
+    return mann_kendall(_obs_long(sf_dir))
+
+
 def _acf_ljungbox_crawl(sf_dir: str) -> rd.Dataset:
     """ACF at lags 1..7 + Ljung-Box Q per daily series (SQL
     lag-join twin)."""
@@ -3952,6 +3959,7 @@ def build_queries() -> dict[str, Callable[[str], Any]]:
         "seasonal_baseline_crawl": _seasonal_baseline_crawl,
         "autocorr_lag1_crawl": _autocorr_lag1_crawl,
         "acf_ljungbox_crawl": _acf_ljungbox_crawl,
+        "mann_kendall_crawl": _mann_kendall_crawl,
         "mad_anomaly_crawl": _mad_anomaly_crawl,
         "time_weighted_avg_crawl": _time_weighted_avg_crawl,
         "unigram_logprob_documents": _unigram_logprob_documents,
@@ -5046,6 +5054,48 @@ SELECT url, metric, n_days,
              {" + ".join(f"(s{k} / ss0) * (s{k} / ss0) / (n_days - {k})"
                          for k in range(1, 8))}) END, 6) AS ljung_box
 FROM acc""",
+        "mann_kendall_crawl": f"""{CRAWL_PREFIX},
+daily AS MATERIALIZED (
+  SELECT url, metric, CAST(date_trunc('day', warc_ts) AS TIMESTAMP) AS day,
+         avg(value) AS v
+  FROM obs_long GROUP BY 1, 2, 3),
+nn AS MATERIALIZED (
+  SELECT url, metric, count(*) AS n_days
+  FROM daily GROUP BY 1, 2 HAVING count(*) >= 3),
+s AS MATERIALIZED (
+  SELECT a.url, a.metric,
+         sum(CASE WHEN b.v > a.v THEN 1
+                  WHEN b.v < a.v THEN -1 ELSE 0 END) AS s_stat
+  FROM daily a JOIN daily b
+    ON a.url = b.url AND a.metric = b.metric AND a.day < b.day
+  GROUP BY 1, 2),
+ties AS MATERIALIZED (
+  SELECT url, metric,
+         sum(c * (c - 1.0) * (2 * c + 5.0)) AS tie_term
+  FROM (SELECT url, metric, v, count(*) AS c
+        FROM daily GROUP BY 1, 2, 3)
+  GROUP BY 1, 2),
+fin AS (
+  SELECT n.url, n.metric, n.n_days,
+         CAST(coalesce(s.s_stat, 0) AS BIGINT) AS s_stat,
+         (n.n_days * (n.n_days - 1.0) * (2 * n.n_days + 5.0)
+          - t.tie_term) / 18.0 AS var_s
+  FROM nn n
+  LEFT JOIN s ON n.url = s.url AND n.metric = s.metric
+  JOIN ties t ON n.url = t.url AND n.metric = t.metric),
+zed AS (
+  SELECT url, metric, n_days, s_stat, round(var_s, 6) AS var_s,
+         round(CASE WHEN var_s > 0 THEN
+               CASE WHEN s_stat > 0 THEN (s_stat - 1.0) / sqrt(var_s)
+                    WHEN s_stat < 0 THEN (s_stat + 1.0) / sqrt(var_s)
+                    ELSE 0.0 END END, 6) AS z
+  FROM fin)
+SELECT url, metric, n_days, s_stat, var_s, z,
+       CASE WHEN z IS NULL THEN 'no_trend'
+            WHEN z > 1.96 THEN 'increasing'
+            WHEN z < -1.96 THEN 'decreasing'
+            ELSE 'no_trend' END AS trend
+FROM zed""",
         "mad_anomaly_crawl": f"""{CRAWL_PREFIX},
 med AS MATERIALIZED (
   SELECT url, metric, quantile_cont(value, 0.5) AS med

@@ -755,3 +755,85 @@ def acf_ljungbox(ds_long: rd.Dataset, max_lag: int = 7,
         + [(c, pa.float64()) for c in r_cols + ["ljung_box"]])
     return partitioned_map(daily_means(ds_long), kernel, url_col="url",
                            out_schema=schema)
+
+
+def mann_kendall(ds_long: rd.Dataset, z_crit: float = 1.96,
+                 round_to: int = 6) -> rd.Dataset:
+    """Mann-Kendall monotonic-trend test per daily series — the
+    non-parametric companion to the Theil-Sen slope (reference analog:
+    per-pixel trend screening over a SITS stack).
+
+    ``S = Σ_{i<j} sign(x_j − x_i)`` over the day-ordered daily means,
+    tie-corrected variance
+    ``Var S = [n(n−1)(2n+5) − Σ_t t(t−1)(2t+5)] / 18`` (t = tie-group
+    sizes), continuity-corrected ``z = (S∓1)/√VarS``, and a trend
+    verdict at ``|z| > z_crit``. Series need ≥3 days; all-tied series
+    (VarS = 0) emit a null z and ``no_trend``.
+
+    The pair sum is computed in row blocks (O(n²) work, O(block·n)
+    memory) so a 10-year daily series costs ~13M vectorized sign ops
+    and bounded memory — no materialized n×n matrix. The verdict
+    compares the ROUNDED z on both engine and SQL sides, so boundary
+    values cannot flip between the twins."""
+    from sits_classification_ray.functions.transforms import sql_round
+    from sits_classification_ray.stages.shuffle import partitioned_map
+
+    def series_s(v: np.ndarray) -> int:
+        s = 0
+        for i in range(0, len(v) - 1, 256):
+            blk = v[i:i + 256]
+            rest = v[i + 1:]
+            # sign(x_j - x_i) for all j > i within the block rows
+            d = rest[None, :] - blk[:, None]
+            # row r of blk pairs with rest[r:]: mask the lower part
+            m = np.arange(len(rest))[None, :] >= np.arange(
+                len(blk))[:, None]
+            s += int(np.sign(d)[m].sum())
+        return s
+
+    def kernel(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["url", "metric", "day"], kind="mergesort")
+        rows: list[dict] = []
+        for (u, m), g in df.groupby(["url", "metric"], sort=False):
+            v = g["v"].to_numpy(np.float64)
+            n = len(v)
+            if n < 3:
+                continue
+            s = series_s(v)
+            _, counts = np.unique(v, return_counts=True)
+            t = counts.astype(np.float64)
+            var_s = (n * (n - 1.0) * (2 * n + 5.0)
+                     - float((t * (t - 1.0) * (2 * t + 5.0)).sum())) / 18.0
+            if var_s > 0.0:
+                if s > 0:
+                    z = (s - 1.0) / np.sqrt(var_s)
+                elif s < 0:
+                    z = (s + 1.0) / np.sqrt(var_s)
+                else:
+                    z = 0.0
+            else:
+                z = np.nan
+            zr = float(sql_round(np.array([z]), round_to)[0])
+            trend = ("no_trend" if not np.isfinite(zr)
+                     else "increasing" if zr > z_crit
+                     else "decreasing" if zr < -z_crit else "no_trend")
+            rows.append({"url": u, "metric": m, "n_days": np.int64(n),
+                         "s_stat": np.int64(s), "var_s": var_s,
+                         "z": z, "trend": trend})
+        cols = ["url", "metric", "n_days", "s_stat", "var_s", "z",
+                "trend"]
+        if not rows:
+            return pd.DataFrame(columns=cols)
+        out = pd.DataFrame(rows)[cols]
+        for c in ("var_s", "z"):
+            out[c] = sql_round(out[c].to_numpy(np.float64),
+                               round_to) + 0.0
+        return out
+
+    import pyarrow as pa
+    schema = pa.schema([("url", pa.string()), ("metric", pa.string()),
+                        ("n_days", pa.int64()), ("s_stat", pa.int64()),
+                        ("var_s", pa.float64()), ("z", pa.float64()),
+                        ("trend", pa.string())])
+    return partitioned_map(daily_means(ds_long), kernel, url_col="url",
+                           out_schema=schema)

@@ -418,3 +418,45 @@ def test_acf_short_series_dropped_constant_null():
     out = const and acf_ljungbox(const, max_lag=7).to_pandas()
     assert len(out) == 1 and np.isnan(out["r1"].iloc[0])
     assert np.isnan(out["ljung_box"].iloc[0])
+
+
+def test_mann_kendall_known_series():
+    # strictly increasing: S = n(n-1)/2, no ties
+    from sits_classification_ray.stages.stm import mann_kendall
+    n = 12
+    ds = _long_ds(["u"] * n, range(n), ts=[(i + 1) * D for i in range(n)])
+    out = mann_kendall(ds).to_pandas()
+    assert len(out) == 1
+    r = out.iloc[0]
+    assert r["s_stat"] == n * (n - 1) // 2 == 66
+    var_s = n * (n - 1) * (2 * n + 5) / 18.0
+    assert r["var_s"] == pytest.approx(var_s)
+    assert r["z"] == pytest.approx((66 - 1) / np.sqrt(var_s), abs=1e-6)
+    assert r["trend"] == "increasing"
+
+
+def test_mann_kendall_ties_and_constant():
+    from sits_classification_ray.stages.stm import mann_kendall
+    # constant series: VarS = 0 -> null z, no_trend
+    ds = _long_ds(["c"] * 5, [3.0] * 5, ts=[(i + 1) * D for i in range(5)])
+    r = mann_kendall(ds).to_pandas().iloc[0]
+    assert np.isnan(r["z"]) and r["trend"] == "no_trend"
+    assert r["s_stat"] == 0 and r["var_s"] == 0.0
+    # tie correction: [1,1,2] -> S=2, ties t=[2,1]: term 2*1*9=18
+    ds2 = _long_ds(["t"] * 3, [1.0, 1.0, 2.0],
+                   ts=[(i + 1) * D for i in range(3)])
+    r2 = mann_kendall(ds2).to_pandas().iloc[0]
+    assert r2["s_stat"] == 2
+    assert r2["var_s"] == pytest.approx((3 * 2 * 11 - 18) / 18.0)
+
+
+def test_mann_kendall_blockwise_pair_sum_matches_naive():
+    # series longer than the 256 block: blockwise S == O(n^2) naive S
+    from sits_classification_ray.stages.stm import mann_kendall
+    rng = np.random.default_rng(4)
+    v = rng.integers(0, 5, 600).astype(float)
+    ds = _long_ds(["u"] * 600, v, ts=[(i + 1) * D for i in range(600)])
+    out = mann_kendall(ds).to_pandas().iloc[0]
+    naive = sum(np.sign(v[j] - v[i])
+                for i in range(600) for j in range(i + 1, 600))
+    assert out["s_stat"] == naive
