@@ -1336,6 +1336,14 @@ def _autocorr_lag1_crawl(sf_dir: str) -> rd.Dataset:
     return autocorr_lag1(_obs_long(sf_dir))
 
 
+def _freshness_coverage_crawl(sf_dir: str) -> rd.Dataset:
+    """Interval-union freshness per url (7-day TTL; SQL
+    gaps-and-islands twin)."""
+    from sits_classification_ray.stages.windows import freshness_coverage
+
+    return freshness_coverage(_obs(sf_dir), ttl_seconds=7 * 86400)
+
+
 def _mann_kendall_crawl(sf_dir: str) -> rd.Dataset:
     """Mann-Kendall trend test per daily series (SQL pair-join twin)."""
     from sits_classification_ray.stages.stm import mann_kendall
@@ -3960,6 +3968,7 @@ def build_queries() -> dict[str, Callable[[str], Any]]:
         "autocorr_lag1_crawl": _autocorr_lag1_crawl,
         "acf_ljungbox_crawl": _acf_ljungbox_crawl,
         "mann_kendall_crawl": _mann_kendall_crawl,
+        "freshness_coverage_crawl": _freshness_coverage_crawl,
         "mad_anomaly_crawl": _mad_anomaly_crawl,
         "time_weighted_avg_crawl": _time_weighted_avg_crawl,
         "unigram_logprob_documents": _unigram_logprob_documents,
@@ -5096,6 +5105,32 @@ SELECT url, metric, n_days, s_stat, var_s, z,
             WHEN z < -1.96 THEN 'decreasing'
             ELSE 'no_trend' END AS trend
 FROM zed""",
+        "freshness_coverage_crawl": f"""{CRAWL_PREFIX},
+iv AS (
+  SELECT url, warc_ts AS s, warc_ts + INTERVAL 7 DAY AS e FROM obs),
+mk AS (
+  SELECT url, s, e,
+         CASE WHEN s > coalesce(
+               max(e) OVER (PARTITION BY url ORDER BY s
+                            ROWS BETWEEN UNBOUNDED PRECEDING
+                            AND 1 PRECEDING),
+               TIMESTAMP '1677-01-01')
+              THEN 1 ELSE 0 END AS new_island
+  FROM iv),
+isl AS (
+  SELECT url, s, e,
+         sum(new_island) OVER (PARTITION BY url ORDER BY s) AS island_id
+  FROM mk),
+agg AS (
+  SELECT url, island_id, min(s) AS i_s, max(e) AS i_e, count(*) AS c
+  FROM isl GROUP BY 1, 2)
+SELECT url, CAST(sum(c) AS BIGINT) AS n_snaps,
+       count(*) AS n_islands,
+       CAST(sum(epoch_us(i_e) - epoch_us(i_s)) AS BIGINT) AS union_us,
+       CAST(epoch_us(max(i_e)) - epoch_us(min(i_s)) AS BIGINT) AS span_us,
+       round(sum(epoch_us(i_e) - epoch_us(i_s))
+             / (epoch_us(max(i_e)) - epoch_us(min(i_s))), 6) AS coverage
+FROM agg GROUP BY 1""",
         "mad_anomaly_crawl": f"""{CRAWL_PREFIX},
 med AS MATERIALIZED (
   SELECT url, metric, quantile_cont(value, 0.5) AS med

@@ -549,3 +549,67 @@ def merge_upsert(current: rd.Dataset, updates: rd.Dataset,
         return df.drop_duplicates(key_cols).drop(columns=["__upd"])
 
     return partitioned_map(unioned, kernel, keys=key_cols)
+
+
+def freshness_coverage(ds_obs: rd.Dataset, ttl_seconds: int = 7 * 86400,
+                       round_to: int = 6) -> rd.Dataset:
+    """Interval-union freshness per url — the retention question "what
+    fraction of a page's observed lifetime is our copy ≤ TTL old?".
+
+    Each snapshot covers ``[warc_ts, warc_ts + ttl)``; overlapping
+    covers merge into islands (gaps-and-islands), and
+    ``coverage = union/span`` where span runs from the first snapshot
+    to the last snapshot + ttl. Union/span are exact integer
+    microseconds (hash-stable); only the coverage ratio is rounded.
+
+    Shape: one salted per-url exchange, then a vectorized cummax/diff
+    kernel — equal work per url regardless of snapshot count ordering.
+    """
+    import pyarrow as pa
+
+    from sits_classification_ray.functions.transforms import sql_round
+    from sits_classification_ray.stages.shuffle import partitioned_map
+
+    ttl_us = int(ttl_seconds) * 1_000_000
+
+    def kernel(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["url", "warc_ts"], kind="mergesort")
+        urls = df["url"].to_numpy()
+        ts = df["warc_ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+        # url run boundaries
+        starts = np.flatnonzero(np.concatenate(
+            [[True], urls[1:] != urls[:-1]]))
+        ends = np.concatenate([starts[1:], [len(urls)]])
+        # island starts: first snapshot of a url, or a gap > ttl since
+        # the previous snapshot (same-length intervals: cummax(e) = prev e)
+        prev = np.empty(len(ts), dtype=np.int64)
+        prev[1:] = ts[:-1]
+        prev[starts] = np.iinfo(np.int64).min // 2
+        new_island = ts > prev + ttl_us
+        isl_starts = np.flatnonzero(new_island)
+        isl_ends = np.concatenate([isl_starts[1:], [len(ts)]])
+        isl_len = ts[isl_ends - 1] + ttl_us - ts[isl_starts]
+        isl_url_idx = np.searchsorted(starts, isl_starts, side="right") - 1
+        union_us = np.zeros(len(starts), dtype=np.int64)
+        np.add.at(union_us, isl_url_idx, isl_len)
+        n_islands = np.zeros(len(starts), dtype=np.int64)
+        np.add.at(n_islands, isl_url_idx, 1)
+        span_us = ts[ends - 1] + ttl_us - ts[starts]
+        cov = sql_round(union_us / span_us, round_to)
+        return pd.DataFrame({
+            "url": urls[starts],
+            "n_snaps": (ends - starts).astype(np.int64),
+            "n_islands": n_islands,
+            "union_us": union_us,
+            "span_us": span_us,
+            "coverage": cov + 0.0,
+        })
+
+    schema = pa.schema([("url", pa.string()), ("n_snaps", pa.int64()),
+                        ("n_islands", pa.int64()),
+                        ("union_us", pa.int64()),
+                        ("span_us", pa.int64()),
+                        ("coverage", pa.float64())])
+    pruned = ds_obs.select_columns(["url", "warc_ts"])
+    return partitioned_map(pruned, kernel, url_col="url",
+                           out_schema=schema)

@@ -274,3 +274,27 @@ def test_peak_time(series_ds):
     assert out[out["url"] == "a"]["peak_ts"].iloc[0] == \
         pd.Timestamp("1970-01-02 16:00:00")
     assert out[out["url"] == "b"]["peak_value"].iloc[0] == 30.0
+
+
+def test_freshness_coverage_islands():
+    import pyarrow as pa
+    import ray.data as rd
+
+    from sits_classification_ray.stages.windows import freshness_coverage
+    H = 3_600_000_000
+    # url "a": snaps at 0h and 5h with ttl 2h -> two islands of 2h each,
+    # span 7h; url "b": snaps at 0h,1h -> one island 0..3h, span 3h
+    ts = [0, 5 * H, 0, H]
+    urls = ["a", "a", "b", "b"]
+    ds = rd.from_arrow(pa.table({
+        "url": pa.array(urls),
+        "warc_ts": pa.array(ts, pa.timestamp("us")),
+    }))
+    out = (freshness_coverage(ds, ttl_seconds=7200).to_pandas()
+           .set_index("url").sort_index())
+    a, b = out.loc["a"], out.loc["b"]
+    assert a["n_islands"] == 2 and a["union_us"] == 4 * H
+    assert a["span_us"] == 7 * H
+    assert a["coverage"] == round(4 / 7, 6)
+    assert b["n_islands"] == 1 and b["union_us"] == 3 * H
+    assert b["coverage"] == 1.0
