@@ -1108,6 +1108,65 @@ def _extract_links_crawl(sf_dir: str) -> rd.Dataset:
                               keep_cols=["url", "warc_ts"])
 
 
+def _anchor_text_rollup_crawl(sf_dir: str) -> rd.Dataset:
+    """Anchor-text aggregation per link target — the web-corpus
+    signal used for retrieval/labeling (anchor text describes the
+    TARGET page): per href, total in-links, distinct source pages,
+    and the modal anchor text (count DESC, text ASC tie-break).
+
+    Scale shape: regex pair flat-map → two distributed pre-aggregated
+    groupbys (pair counts, distinct sources) → per-href kernel over
+    the SMALL count table → hash join. The raw link table is never
+    collected; a hot href meets the kernel only as its per-anchor
+    count rows."""
+    from sits_classification_ray.stages.joins import hash_join
+    from sits_classification_ray.stages.shuffle import partitioned_map
+    from sits_classification_ray.stages.urlnorm import regex_extract_pairs
+
+    def synth(df: pd.DataFrame) -> pd.DataFrame:
+        pages = []
+        for h in df["html"]:
+            s = (h or b"").decode("utf-8", "replace")
+            n = len(s)
+            anchors = "".join(
+                f'<a href="https://site-{(n + j) % 40}.example.com/p/{j}">'
+                f'w{(n + 3 * j) % 11}</a>' for j in range(n % 4))
+            pages.append(s.replace("</body>", anchors + "</body>"))
+        return pd.DataFrame({"url": df["url"], "page": pages})
+
+    pages = crawl_from_tables(sf_dir).map_batches(
+        synth, batch_format="pandas")
+    links = regex_extract_pairs(
+        pages, "page", r'<a href="([^"]+)">([^<]*)</a>',
+        ("href", "anchor"), keep_cols=["url"])
+
+    pair_counts = links.groupby(["href", "anchor"]).count()
+    src_counts = (links.groupby(["href", "url"]).count()
+                  .groupby("href").count()
+                  .map_batches(lambda df: df.rename(
+                      columns={"count()": "n_sources"}),
+                      batch_format="pandas"))
+
+    def top_kernel(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.rename(columns={"count()": "c"}).sort_values(
+            ["href", "c", "anchor"], ascending=[True, False, True],
+            kind="mergesort")
+        g = df.groupby("href", sort=False)
+        head = g.head(1).reset_index(drop=True)
+        sums = g["c"].sum().reset_index(drop=True)
+        return pd.DataFrame({
+            "href": head["href"],
+            "n_links": sums.to_numpy(np.int64),
+            "top_anchor": head["anchor"],
+            "top_count": head["c"].to_numpy(np.int64),
+        })
+
+    top = partitioned_map(pair_counts, top_kernel, keys=["href"])
+    out = hash_join(top, src_counts, on="href")
+    return out.select_columns(["href", "n_links", "n_sources",
+                               "top_anchor", "top_count"])
+
+
 def _y4m_scene_stats_crawl(sf_dir: str) -> rd.Dataset:
     """REAL video decode, codec-free: crawl payloads become genuine
     YUV4MPEG2 streams (4 frames of 16×16 luma tiled from the html
@@ -3969,6 +4028,7 @@ def build_queries() -> dict[str, Callable[[str], Any]]:
         "acf_ljungbox_crawl": _acf_ljungbox_crawl,
         "mann_kendall_crawl": _mann_kendall_crawl,
         "freshness_coverage_crawl": _freshness_coverage_crawl,
+        "anchor_text_rollup_crawl": _anchor_text_rollup_crawl,
         "mad_anomaly_crawl": _mad_anomaly_crawl,
         "time_weighted_avg_crawl": _time_weighted_avg_crawl,
         "unigram_logprob_documents": _unigram_logprob_documents,
@@ -5131,6 +5191,32 @@ SELECT url, CAST(sum(c) AS BIGINT) AS n_snaps,
        round(sum(epoch_us(i_e) - epoch_us(i_s))
              / (epoch_us(max(i_e)) - epoch_us(min(i_s))), 6) AS coverage
 FROM agg GROUP BY 1""",
+        "anchor_text_rollup_crawl": f"""WITH {CRAWL_CTE},
+links AS MATERIALIZED (
+  SELECT c.url,
+         'https://site-'
+         || CAST((length(CAST(c.html AS VARCHAR)) + j.j) % 40 AS VARCHAR)
+         || '.example.com/p/' || CAST(j.j AS VARCHAR) AS href,
+         'w' || CAST((length(CAST(c.html AS VARCHAR)) + 3 * j.j) % 11
+                     AS VARCHAR) AS anchor
+  FROM crawl c CROSS JOIN LATERAL
+    (SELECT unnest(generate_series(
+         0, length(CAST(c.html AS VARCHAR)) % 4 - 1)) AS j) j),
+pc AS MATERIALIZED (
+  SELECT href, anchor, count(*) AS c FROM links GROUP BY 1, 2),
+top AS (
+  SELECT href, anchor AS top_anchor, c AS top_count,
+         row_number() OVER (PARTITION BY href
+                            ORDER BY c DESC, anchor ASC) AS rn
+  FROM pc),
+agg AS (SELECT href, CAST(sum(c) AS BIGINT) AS n_links
+        FROM pc GROUP BY 1),
+src AS (SELECT href, count(DISTINCT url) AS n_sources
+        FROM links GROUP BY 1)
+SELECT a.href, a.n_links, s.n_sources, t.top_anchor, t.top_count
+FROM agg a
+JOIN top t ON a.href = t.href AND t.rn = 1
+JOIN src s ON a.href = s.href""",
         "mad_anomaly_crawl": f"""{CRAWL_PREFIX},
 med AS MATERIALIZED (
   SELECT url, metric, quantile_cont(value, 0.5) AS med

@@ -195,3 +195,29 @@ def typo_pairs(ds: rd.Dataset, col: str = "url",
         return out.rename(columns={"a": "url_a", "b": "url_b"})
 
     return cand.map_batches(verify, batch_format="pandas")
+
+
+def regex_extract_pairs(ds: rd.Dataset, col: str, pattern: str,
+                        out_cols: tuple[str, str],
+                        keep_cols: list[str]) -> rd.Dataset:
+    """Two-group flat-map regex extraction: one output row per match,
+    both capture groups as columns (the anchor-mining shape:
+    ``<a href="(G1)">(G2)</a>``). Same vectorized findall + np.repeat
+    expansion as :func:`regex_extract_rows`."""
+    import re
+
+    rx = re.compile(pattern)
+    a_col, b_col = out_cols
+
+    def extract(df: pd.DataFrame) -> pd.DataFrame:
+        matches = df[col].str.findall(rx)
+        counts = matches.str.len().fillna(0).astype(np.int64).to_numpy()
+        idx = np.repeat(np.arange(len(df)), counts)
+        flat_a = [m[0] for row in matches for m in (row or [])]
+        flat_b = [m[1] for row in matches for m in (row or [])]
+        out = df.iloc[idx][keep_cols].reset_index(drop=True)
+        out[a_col] = pd.Series(flat_a, dtype=object)
+        out[b_col] = pd.Series(flat_b, dtype=object)
+        return out
+
+    return ds.map_batches(extract, batch_format="pandas")
