@@ -2183,3 +2183,47 @@ def binseg_changepoints_crawl(obs_long: pd.DataFrame,
     for c in ("gain", "mean_before", "mean_after"):
         out[c] = _sql_round_arr(out[c].to_numpy(np.float64)) + 0.0
     return out
+
+
+def holt_winters_crawl(obs_long: pd.DataFrame, season: int = 7,
+                       alpha: float = 0.4, beta: float = 0.1,
+                       gamma: float = 0.3, horizon: int = 7
+                       ) -> pd.DataFrame:
+    """Independent scalar twin of the Holt-Winters additive seasonal
+    forecaster: daily means per (url, metric), classic two-season
+    init, per-step scalar recursion, h-step forecasts."""
+    df = obs_long.copy()
+    df["day"] = (df["warc_ts"].to_numpy().astype("datetime64[D]")
+                 .astype("datetime64[us]"))
+    daily = (df.groupby(["url", "metric", "day"], as_index=False)
+             ["value"].mean().rename(columns={"value": "v"}))
+    m = season
+    rows = []
+    for (u, met), g in daily.sort_values(
+            ["url", "metric", "day"]).groupby(["url", "metric"],
+                                              sort=False):
+        v = g["v"].to_numpy(np.float64)
+        n = len(v)
+        if n < 2 * m:
+            continue
+        lvl = v[:m].mean()
+        b = (v[m:2 * m].sum() / m - lvl) / m
+        s = list(v[:m] - lvl)
+        for t in range(m, n):
+            sm = s[t - m]
+            lnew = alpha * (v[t] - sm) + (1 - alpha) * (lvl + b)
+            b = beta * (lnew - lvl) + (1 - beta) * b
+            s.append(gamma * (v[t] - lnew) + (1 - gamma) * sm)
+            lvl = lnew
+        for h in range(1, horizon + 1):
+            si = n - m + 1 + ((h - 1) % m) - 1
+            rows.append({"url": u, "metric": met,
+                         "n_days": np.int64(n), "h": np.int64(h),
+                         "forecast": lvl + h * b + s[si]})
+    if not rows:
+        return pd.DataFrame(columns=["url", "metric", "n_days", "h",
+                                     "forecast"])
+    out = pd.DataFrame(rows)
+    out["forecast"] = _sql_round_arr(
+        out["forecast"].to_numpy(np.float64)) + 0.0
+    return out

@@ -613,3 +613,91 @@ def freshness_coverage(ds_obs: rd.Dataset, ttl_seconds: int = 7 * 86400,
     pruned = ds_obs.select_columns(["url", "warc_ts"])
     return partitioned_map(pruned, kernel, url_col="url",
                            out_schema=schema)
+
+
+def holt_winters(ds_long: rd.Dataset, season: int = 7,
+                 alpha: float = 0.4, beta: float = 0.1,
+                 gamma: float = 0.3, horizon: int = 7,
+                 ndigits: int = 6) -> rd.Dataset:
+    """Holt-Winters additive triple-exponential smoothing per daily
+    series, emitting an ``horizon``-step forecast — the seasonal
+    upgrade of :func:`holt_linear` (position-ordered daily means,
+    season length ``season``).
+
+        l_t = α(x_t − s_{t−m}) + (1−α)(l_{t−1} + b_{t−1})
+        b_t = β(l_t − l_{t−1}) + (1−β)b_{t−1}
+        s_t = γ(x_t − l_t) + (1−γ)s_{t−m}
+
+    Standard init over the first two seasons (requires n ≥ 2m):
+    ``l = mean(x₀..x_{m−1})``, ``b = (mean(x_m..x_{2m−1}) −
+    mean(x₀..x_{m−1}))/m``, ``s_i = x_i − l``. Forecast
+    ``ŷ_{n+h} = l + h·b + s_{n−m+1+((h−1) mod m)}``.
+
+    Scale shape: the recursion loops over TIME STEPS and vectorizes
+    across every active series (descending-length prefix layout, see
+    :func:`_series_layout`); seasonal state is one (series × m)
+    matrix indexed by ``t mod m`` — no per-series Python dispatch,
+    no dense pivot. Output: one row per (url, metric, h)."""
+    from sits_classification_ray.functions.transforms import sql_round
+    from sits_classification_ray.stages.shuffle import partitioned_map
+    from sits_classification_ray.stages.stm import daily_means
+
+    m = int(season)
+
+    def kernel(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["url", "metric", "day"],
+                            kind="mergesort").reset_index(drop=True)
+        sizes = df.groupby(["url", "metric"], sort=False)["v"] \
+            .transform("size").to_numpy()
+        df = df[sizes >= 2 * m].reset_index(drop=True)
+        cols = ["url", "metric", "n_days", "h", "forecast"]
+        if not len(df):
+            return pd.DataFrame(columns=cols)
+        vals = df["v"].to_numpy(np.float64)
+        starts, lens = _series_layout(df)
+        ns = len(starts)
+        level = np.empty(ns)
+        trend = np.empty(ns)
+        seas = np.empty((ns, m))
+        for t in range(m):
+            seas[:, t] = vals[starts + t]
+        first = seas.mean(axis=1)
+        level[:] = first
+        second = np.zeros(ns)
+        for t in range(m):
+            second += vals[starts + m + t]
+        trend[:] = (second / m - first) / m
+        seas -= first[:, None]
+        max_len = int(lens[0])
+        for t in range(m, max_len):
+            k = int(np.searchsorted(-lens, -t, side="left"))  # len > t
+            x = vals[starts[:k] + t]
+            sm = seas[:k, t % m]
+            lp = level[:k]
+            lnew = alpha * (x - sm) + (1.0 - alpha) * (lp + trend[:k])
+            bnew = beta * (lnew - lp) + (1.0 - beta) * trend[:k]
+            seas[:k, t % m] = gamma * (x - lnew) + (1.0 - gamma) * sm
+            level[:k] = lnew
+            trend[:k] = bnew
+        urls = df["url"].to_numpy()
+        mets = df["metric"].to_numpy()
+        hs = np.arange(1, horizon + 1)
+        # seasonal column for step n+h is (n + h - 1) mod m
+        cols_idx = (lens[:, None] + hs[None, :] - 1) % m
+        fc = (level[:, None] + hs[None, :] * trend[:, None]
+              + seas[np.arange(ns)[:, None], cols_idx])
+        out = pd.DataFrame({
+            "url": np.repeat(urls[starts], horizon),
+            "metric": np.repeat(mets[starts], horizon),
+            "n_days": np.repeat(lens.astype(np.int64), horizon),
+            "h": np.tile(hs.astype(np.int64), ns),
+            "forecast": sql_round(fc.ravel(), ndigits) + 0.0,
+        })
+        return out
+
+    import pyarrow as pa
+    schema = pa.schema([("url", pa.string()), ("metric", pa.string()),
+                        ("n_days", pa.int64()), ("h", pa.int64()),
+                        ("forecast", pa.float64())])
+    return partitioned_map(daily_means(ds_long), kernel, url_col="url",
+                           out_schema=schema)

@@ -460,3 +460,37 @@ def test_mann_kendall_blockwise_pair_sum_matches_naive():
     naive = sum(np.sign(v[j] - v[i])
                 for i in range(600) for j in range(i + 1, 600))
     assert out["s_stat"] == naive
+
+
+def test_holt_winters_matches_scalar_twin():
+    from sits_classification_ray.oracle.golden import holt_winters_crawl
+    from sits_classification_ray.stages.windows import holt_winters
+    rng = np.random.default_rng(12)
+    rows = []
+    for u in ("a", "b"):
+        n = 21 if u == "a" else 16
+        base = rng.normal(100, 5, n) + 10 * np.sin(
+            np.arange(n) * 2 * np.pi / 7)
+        for i, x in enumerate(base):
+            rows.append((u, (i + 1) * D, float(x)))
+    df = pd.DataFrame(rows, columns=["url", "ts", "value"])
+    ds = _long_ds(df["url"].tolist(), df["value"].tolist(),
+                  ts=df["ts"].tolist())
+    eng = (holt_winters(ds).to_pandas()
+           .sort_values(["url", "h"]).reset_index(drop=True))
+    ora = obs = pd.DataFrame({
+        "url": df["url"], "metric": "m",
+        "warc_ts": df["ts"].to_numpy().astype("datetime64[us]"),
+        "value": df["value"]})
+    gold = (holt_winters_crawl(ora).sort_values(["url", "h"])
+            .reset_index(drop=True))
+    pd.testing.assert_frame_equal(
+        eng[["url", "n_days", "h", "forecast"]],
+        gold[["url", "n_days", "h", "forecast"]])
+
+
+def test_holt_winters_short_series_dropped():
+    from sits_classification_ray.stages.windows import holt_winters
+    ds = _long_ds(["s"] * 13, range(13),
+                  ts=[(i + 1) * D for i in range(13)])
+    assert holt_winters(ds).count() == 0

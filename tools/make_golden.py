@@ -145,6 +145,8 @@ def make_for(sf_dir: str, only: set[str] | None = None) -> None:
             lambda: golden.quality_classifier_documents(docs),
         "binseg_changepoints_crawl":
             lambda: golden.binseg_changepoints_crawl(obs_long),
+        "holt_winters_crawl":
+            lambda: golden.holt_winters_crawl(obs_long),
         "srp_near_dup_embeddings":
             lambda: golden.srp_near_dup_embeddings(emb),
         "semdedup_embeddings":
