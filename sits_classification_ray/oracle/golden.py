@@ -2227,3 +2227,51 @@ def holt_winters_crawl(obs_long: pd.DataFrame, season: int = 7,
     out["forecast"] = _sql_round_arr(
         out["forecast"].to_numpy(np.float64)) + 0.0
     return out
+
+
+def sax_motifs_crawl(obs_long: pd.DataFrame, window: int = 14,
+                     frames: int = 7, alphabet: str = "abcd"
+                     ) -> pd.DataFrame:
+    """Independent twin of the SAX motif miner: daily means, sliding
+    z-normalized windows, PAA over N(0,1) quartile breakpoints, modal
+    word with (count DESC, word ASC) tie-break."""
+    bp = [-0.6744897501960817, 0.0, 0.6744897501960817]
+    seg = window // frames
+    df = obs_long.copy()
+    df["day"] = (df["warc_ts"].to_numpy().astype("datetime64[D]")
+                 .astype("datetime64[us]"))
+    daily = (df.groupby(["url", "metric", "day"], as_index=False)
+             ["value"].mean().rename(columns={"value": "v"}))
+    rows = []
+    for (u, m), g in daily.sort_values(
+            ["url", "metric", "day"]).groupby(["url", "metric"],
+                                              sort=False):
+        v = g["v"].to_numpy(np.float64)
+        n = len(v)
+        if n < window:
+            continue
+        counts: dict[str, int] = {}
+        for i in range(n - window + 1):
+            w = v[i:i + window]
+            mu = w.mean()
+            sd = np.sqrt(((w - mu) ** 2).mean())
+            z = (w - mu) / sd if sd > 0.0 else np.zeros(window)
+            word = ""
+            for f in range(frames):
+                p = z[f * seg:(f + 1) * seg].mean()
+                j = 0
+                while j < len(bp) and p >= bp[j]:
+                    j += 1
+                word += alphabet[j]
+            counts[word] = counts.get(word, 0) + 1
+        best = max(counts.items(), key=lambda kv: (kv[1], [-ord(c) for c
+                                                           in kv[0]]))
+        rows.append({"url": u, "metric": m, "n_days": np.int64(n),
+                     "n_windows": np.int64(n - window + 1),
+                     "motif": best[0],
+                     "motif_count": np.int64(best[1])})
+    cols = ["url", "metric", "n_days", "n_windows", "motif",
+            "motif_count"]
+    if not rows:
+        return pd.DataFrame(columns=cols)
+    return pd.DataFrame(rows)[cols]

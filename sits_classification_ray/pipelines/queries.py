@@ -1395,6 +1395,13 @@ def _autocorr_lag1_crawl(sf_dir: str) -> rd.Dataset:
     return autocorr_lag1(_obs_long(sf_dir))
 
 
+def _sax_motifs_crawl(sf_dir: str) -> rd.Dataset:
+    """SAX motif per daily series (golden oracle: independent twin)."""
+    from sits_classification_ray.stages.stm import sax_motifs
+
+    return sax_motifs(_obs_long(sf_dir))
+
+
 def _holt_winters_crawl(sf_dir: str) -> rd.Dataset:
     """Holt-Winters additive seasonal forecast per daily series
     (golden oracle: independent scalar twin)."""
@@ -4038,6 +4045,7 @@ def build_queries() -> dict[str, Callable[[str], Any]]:
         "freshness_coverage_crawl": _freshness_coverage_crawl,
         "anchor_text_rollup_crawl": _anchor_text_rollup_crawl,
         "holt_winters_crawl": _holt_winters_crawl,
+        "sax_motifs_crawl": _sax_motifs_crawl,
         "mad_anomaly_crawl": _mad_anomaly_crawl,
         "time_weighted_avg_crawl": _time_weighted_avg_crawl,
         "unigram_logprob_documents": _unigram_logprob_documents,
@@ -4263,7 +4271,7 @@ GOLDEN_QUERIES = [
     "semdedup_embeddings",
     "ivfpq_topk_embeddings", "train_linear_fit", "train_linear_weights",
     "quality_classifier_documents", "binseg_changepoints_crawl",
-    "holt_winters_crawl",
+    "holt_winters_crawl", "sax_motifs_crawl",
     "tune_trials", "sniffed_assets_crawl", "resized_thumbnails_crawl",
     "wav_features_crawl", "y4m_scene_stats_crawl",
     "bpe_encode_documents",

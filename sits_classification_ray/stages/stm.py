@@ -837,3 +837,70 @@ def mann_kendall(ds_long: rd.Dataset, z_crit: float = 1.96,
                         ("trend", pa.string())])
     return partitioned_map(daily_means(ds_long), kernel, url_col="url",
                            out_schema=schema)
+
+
+#: N(0,1) quartile breakpoints — the SAX alphabet-4 cut points
+#: (Lin et al. 2003, "A Symbolic Representation of Time Series").
+SAX_BREAKPOINTS_4 = np.array([-0.6744897501960817, 0.0,
+                              0.6744897501960817])
+
+
+def sax_motifs(ds_long: rd.Dataset, window: int = 14, frames: int = 7,
+               alphabet: str = "abcd") -> rd.Dataset:
+    """SAX motif discovery per daily series: slide a ``window``-day
+    view over the daily means, z-normalize each window, PAA-compress
+    to ``frames`` symbols over the N(0,1) quartile breakpoints, and
+    report the modal SAX word (count DESC, word ASC tie-break) — the
+    "most repeated shape" screen from the SAX literature.
+
+    Constant windows (std = 0) symbolize as the all-mid word, like
+    the reference implementations. Series shorter than ``window``
+    days are dropped.
+
+    Shape: one Mean groupby to daily grain + one salted per-series
+    exchange; inside the kernel the window matrix is a zero-copy
+    ``sliding_window_view`` and PAA/digitize are single vectorized
+    ops — per-window Python exists only to join the final letters."""
+    from sits_classification_ray.stages.shuffle import partitioned_map
+
+    assert window % frames == 0
+    seg = window // frames
+    bp = SAX_BREAKPOINTS_4
+    letters = np.frombuffer(alphabet.encode(), dtype=np.uint8)
+
+    def kernel(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["url", "metric", "day"], kind="mergesort")
+        rows: list[dict] = []
+        for (u, m), g in df.groupby(["url", "metric"], sort=False):
+            v = g["v"].to_numpy(np.float64)
+            n = len(v)
+            if n < window:
+                continue
+            w = np.lib.stride_tricks.sliding_window_view(v, window)
+            mu = w.mean(axis=1)
+            sd = np.sqrt(((w - mu[:, None]) ** 2).mean(axis=1))
+            sd_safe = np.where(sd > 0.0, sd, 1.0)
+            z = (w - mu[:, None]) / sd_safe[:, None]
+            paa = z.reshape(len(w), frames, seg).mean(axis=2)
+            sym = letters[np.searchsorted(bp, paa, side="right")]
+            words = [b.tobytes().decode() for b in np.ascontiguousarray(sym)]
+            vc = pd.Series(words).value_counts()
+            top = vc[vc == vc.iloc[0]].index.min()
+            rows.append({"url": u, "metric": m, "n_days": np.int64(n),
+                         "n_windows": np.int64(len(w)),
+                         "motif": top,
+                         "motif_count": np.int64(vc.loc[top])})
+        cols = ["url", "metric", "n_days", "n_windows", "motif",
+                "motif_count"]
+        if not rows:
+            return pd.DataFrame(columns=cols)
+        return pd.DataFrame(rows)[cols]
+
+    import pyarrow as pa
+    schema = pa.schema([("url", pa.string()), ("metric", pa.string()),
+                        ("n_days", pa.int64()),
+                        ("n_windows", pa.int64()),
+                        ("motif", pa.string()),
+                        ("motif_count", pa.int64())])
+    return partitioned_map(daily_means(ds_long), kernel, url_col="url",
+                           out_schema=schema)

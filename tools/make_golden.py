@@ -147,6 +147,8 @@ def make_for(sf_dir: str, only: set[str] | None = None) -> None:
             lambda: golden.binseg_changepoints_crawl(obs_long),
         "holt_winters_crawl":
             lambda: golden.holt_winters_crawl(obs_long),
+        "sax_motifs_crawl":
+            lambda: golden.sax_motifs_crawl(obs_long),
         "srp_near_dup_embeddings":
             lambda: golden.srp_near_dup_embeddings(emb),
         "semdedup_embeddings":
