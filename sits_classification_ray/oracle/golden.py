@@ -2275,3 +2275,51 @@ def sax_motifs_crawl(obs_long: pd.DataFrame, window: int = 14,
     if not rows:
         return pd.DataFrame(columns=cols)
     return pd.DataFrame(rows)[cols]
+
+
+def matrix_profile_discord_crawl(obs_long: pd.DataFrame,
+                                 window: int = 14) -> pd.DataFrame:
+    """Independent scalar twin of the matrix-profile discord: per
+    window, NN distance to every non-overlapping window (exclusion
+    window//2); discord = argmax of the rounded profile."""
+    L = window
+    excl = L // 2
+    df = obs_long.copy()
+    df["day"] = (df["warc_ts"].to_numpy().astype("datetime64[D]")
+                 .astype("datetime64[us]"))
+    daily = (df.groupby(["url", "metric", "day"], as_index=False)
+             ["value"].mean().rename(columns={"value": "v"}))
+    rows = []
+    for (u, m), g in daily.sort_values(
+            ["url", "metric", "day"]).groupby(["url", "metric"],
+                                              sort=False):
+        v = g["v"].to_numpy(np.float64)
+        n = len(v)
+        if n < L + excl + 1:
+            continue
+        nw = n - L + 1
+        zs = []
+        for i in range(nw):
+            w = v[i:i + L]
+            mu = w.mean()
+            sd = np.sqrt(((w - mu) ** 2).mean())
+            zs.append((w - mu) / sd if sd > 0.0 else np.zeros(L))
+        prof = []
+        for i in range(nw):
+            best = np.inf
+            for j in range(nw):
+                if abs(i - j) < excl:
+                    continue
+                d2 = float(((zs[i] - zs[j]) ** 2).sum())
+                best = min(best, d2)
+            prof.append(np.sqrt(max(best, 0.0)))
+        prof = _sql_round_arr(np.asarray(prof))
+        bi = int(np.argmax(prof))
+        days = g["day"].to_numpy()
+        rows.append({"url": u, "metric": m, "n_windows": np.int64(nw),
+                     "discord_day": days[bi],
+                     "discord_dist": float(prof[bi])})
+    cols = ["url", "metric", "n_windows", "discord_day", "discord_dist"]
+    if not rows:
+        return pd.DataFrame(columns=cols)
+    return pd.DataFrame(rows)[cols]

@@ -1395,6 +1395,14 @@ def _autocorr_lag1_crawl(sf_dir: str) -> rd.Dataset:
     return autocorr_lag1(_obs_long(sf_dir))
 
 
+def _matrix_profile_discord_crawl(sf_dir: str) -> rd.Dataset:
+    """Matrix-profile top-1 discord per daily series (golden oracle:
+    independent scalar twin)."""
+    from sits_classification_ray.stages.stm import matrix_profile_discord
+
+    return matrix_profile_discord(_obs_long(sf_dir))
+
+
 def _sax_motifs_crawl(sf_dir: str) -> rd.Dataset:
     """SAX motif per daily series (golden oracle: independent twin)."""
     from sits_classification_ray.stages.stm import sax_motifs
@@ -4046,6 +4054,7 @@ def build_queries() -> dict[str, Callable[[str], Any]]:
         "anchor_text_rollup_crawl": _anchor_text_rollup_crawl,
         "holt_winters_crawl": _holt_winters_crawl,
         "sax_motifs_crawl": _sax_motifs_crawl,
+        "matrix_profile_discord_crawl": _matrix_profile_discord_crawl,
         "mad_anomaly_crawl": _mad_anomaly_crawl,
         "time_weighted_avg_crawl": _time_weighted_avg_crawl,
         "unigram_logprob_documents": _unigram_logprob_documents,
@@ -4272,6 +4281,7 @@ GOLDEN_QUERIES = [
     "ivfpq_topk_embeddings", "train_linear_fit", "train_linear_weights",
     "quality_classifier_documents", "binseg_changepoints_crawl",
     "holt_winters_crawl", "sax_motifs_crawl",
+    "matrix_profile_discord_crawl",
     "tune_trials", "sniffed_assets_crawl", "resized_thumbnails_crawl",
     "wav_features_crawl", "y4m_scene_stats_crawl",
     "bpe_encode_documents",

@@ -904,3 +904,74 @@ def sax_motifs(ds_long: rd.Dataset, window: int = 14, frames: int = 7,
                         ("motif_count", pa.int64())])
     return partitioned_map(daily_means(ds_long), kernel, url_col="url",
                            out_schema=schema)
+
+
+def matrix_profile_discord(ds_long: rd.Dataset, window: int = 14,
+                           round_to: int = 6) -> rd.Dataset:
+    """Top-1 discord per daily series via the matrix profile (the
+    anomaly dual of :func:`sax_motifs`): z-normalize every
+    ``window``-day sliding view, compute each window's
+    nearest-neighbor Euclidean distance to every NON-overlapping
+    window (exclusion zone ``window // 2``), and report the window
+    whose NN distance is largest — the subsequence least like any
+    other.
+
+    Distances use the exact ``D² = |zᵢ|² + |zⱼ|² − 2·zᵢ·zⱼ`` identity
+    (valid for constant windows too, where z = 0), computed as a
+    row-chunked matmul — O(nw²) flops per series but never an
+    nw × nw materialization beyond one 512-row stripe, so a 10-year
+    daily series costs ~13 M BLAS flops and ~15 MB. Ties break to the
+    earliest window on the ROUNDED profile (both twins compare the
+    same rounded values). Requires n ≥ window + window//2 + 1 so
+    every window has a non-excluded neighbor."""
+    from sits_classification_ray.functions.transforms import sql_round
+    from sits_classification_ray.stages.shuffle import partitioned_map
+
+    L = int(window)
+    excl = L // 2
+
+    def kernel(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["url", "metric", "day"], kind="mergesort")
+        rows: list[dict] = []
+        for (u, m), g in df.groupby(["url", "metric"], sort=False):
+            v = g["v"].to_numpy(np.float64)
+            n = len(v)
+            if n < L + excl + 1:
+                continue
+            w = np.lib.stride_tricks.sliding_window_view(v, L)
+            mu = w.mean(axis=1)
+            sd = np.sqrt(((w - mu[:, None]) ** 2).mean(axis=1))
+            z = np.where(sd[:, None] > 0.0,
+                         (w - mu[:, None]) / np.where(sd[:, None] > 0.0,
+                                                      sd[:, None], 1.0),
+                         0.0)
+            nw = len(z)
+            r = (z * z).sum(axis=1)
+            nn = np.empty(nw)
+            idx = np.arange(nw)
+            for s in range(0, nw, 512):
+                e = min(s + 512, nw)
+                d2 = r[s:e, None] + r[None, :] - 2.0 * (z[s:e] @ z.T)
+                mask = np.abs(idx[None, :] - idx[s:e, None]) < excl
+                d2[mask] = np.inf
+                nn[s:e] = d2.min(axis=1)
+            prof = sql_round(np.sqrt(np.maximum(nn, 0.0)), round_to)
+            best = int(np.argmax(prof))
+            days = g["day"].to_numpy()
+            rows.append({"url": u, "metric": m,
+                         "n_windows": np.int64(nw),
+                         "discord_day": days[best],
+                         "discord_dist": float(prof[best])})
+        cols = ["url", "metric", "n_windows", "discord_day",
+                "discord_dist"]
+        if not rows:
+            return pd.DataFrame(columns=cols)
+        return pd.DataFrame(rows)[cols]
+
+    import pyarrow as pa
+    schema = pa.schema([("url", pa.string()), ("metric", pa.string()),
+                        ("n_windows", pa.int64()),
+                        ("discord_day", pa.timestamp("us")),
+                        ("discord_dist", pa.float64())])
+    return partitioned_map(daily_means(ds_long), kernel, url_col="url",
+                           out_schema=schema)

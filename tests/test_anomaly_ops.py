@@ -494,3 +494,19 @@ def test_holt_winters_short_series_dropped():
     ds = _long_ds(["s"] * 13, range(13),
                   ts=[(i + 1) * D for i in range(13)])
     assert holt_winters(ds).count() == 0
+
+
+def test_matrix_profile_discord_finds_injected_anomaly():
+    from sits_classification_ray.stages.stm import matrix_profile_discord
+    # repeating weekly pattern with one corrupted week in the middle
+    n = 70
+    v = np.tile(np.array([1., 2., 3., 4., 3., 2., 1.]), 10)
+    v[35:42] = [9., -5., 9., -5., 9., -5., 9.]
+    ds = _long_ds(["u"] * n, v, ts=[(i + 1) * D for i in range(n)])
+    out = matrix_profile_discord(ds, window=14).to_pandas()
+    assert len(out) == 1
+    day = out["discord_day"].iloc[0]
+    # discord window must overlap the corrupted span (days 36..42)
+    start = (day - np.datetime64(0, "us")) / np.timedelta64(1, "D")
+    assert 22 <= start <= 42
+    assert out["discord_dist"].iloc[0] > 1.0

@@ -149,6 +149,8 @@ def make_for(sf_dir: str, only: set[str] | None = None) -> None:
             lambda: golden.holt_winters_crawl(obs_long),
         "sax_motifs_crawl":
             lambda: golden.sax_motifs_crawl(obs_long),
+        "matrix_profile_discord_crawl":
+            lambda: golden.matrix_profile_discord_crawl(obs_long),
         "srp_near_dup_embeddings":
             lambda: golden.srp_near_dup_embeddings(emb),
         "semdedup_embeddings":
