@@ -2323,3 +2323,27 @@ def matrix_profile_discord_crawl(obs_long: pd.DataFrame,
     if not rows:
         return pd.DataFrame(columns=cols)
     return pd.DataFrame(rows)[cols]
+
+
+def boilerplate_extract_documents(docs: pd.DataFrame) -> pd.DataFrame:
+    """Independent twin of the boilerplate extraction over the
+    synthesized pages: derives the expected output straight from the
+    document text (never parsing HTML) — nav/ad/footer blocks always
+    fail the link-density or min-words rule, paragraphs are the
+    12-word chunks and survive iff they have ≥5 words."""
+    rows = []
+    for doc_id, text in zip(docs["doc_id"], docs["text"]):
+        words = (text or "").split()
+        paras = [" ".join(words[j:j + 12])
+                 for j in range(0, len(words), 12)]
+        kept = [p for p in paras if len(p.split()) >= 5]
+        content = "\n".join(kept)
+        rows.append({
+            "doc_id": np.int64(doc_id),
+            "n_blocks": np.int64(1 + len(paras) + len(paras) // 2 + 1),
+            "n_kept": np.int64(len(kept)),
+            "content": content,
+            "content_len": np.int64(len(content)),
+        })
+    return pd.DataFrame(rows)[["doc_id", "n_blocks", "n_kept",
+                               "content", "content_len"]]

@@ -1395,6 +1395,41 @@ def _autocorr_lag1_crawl(sf_dir: str) -> rd.Dataset:
     return autocorr_lag1(_obs_long(sf_dir))
 
 
+def _boilerplate_page(doc_id: int, text: str) -> str:
+    """Deterministic page synth shared by the engine query and the
+    golden twin: nav + 12-word paragraphs with a link-spam div after
+    every 2nd paragraph + footer."""
+    words = (text or "").split()
+    paras = [" ".join(words[j:j + 12]) for j in range(0, len(words), 12)]
+    parts = ['<nav><a href="/">home</a> <a href="/c">cat</a></nav>']
+    for k, ptxt in enumerate(paras):
+        parts.append(f"<p>{ptxt}</p>")
+        if k % 2 == 1:
+            parts.append(f'<div><a href="/x{(doc_id + k) % 9}">'
+                         f'ad {(doc_id + k) % 9}</a></div>')
+    parts.append('<footer><a href="/about">about</a> © corp</footer>')
+    return "".join(parts)
+
+
+def _boilerplate_extract_documents(sf_dir: str) -> rd.Dataset:
+    """Boilerplate removal over synthesized nav/content/ad/footer
+    pages (golden oracle: independent twin; kept content must equal
+    the original ≥5-word paragraphs exactly)."""
+    from sits_classification_ray.stages.textstats import boilerplate_extract
+
+    def synth(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "doc_id": df["doc_id"].to_numpy(np.int64),
+            "page": [_boilerplate_page(i, t) for i, t in
+                     zip(df["doc_id"], df["text"])],
+        })
+
+    pages = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                            columns=["doc_id", "text"]).map_batches(
+        synth, batch_format="pandas")
+    return boilerplate_extract(pages)
+
+
 def _matrix_profile_discord_crawl(sf_dir: str) -> rd.Dataset:
     """Matrix-profile top-1 discord per daily series (golden oracle:
     independent scalar twin)."""
@@ -4055,6 +4090,7 @@ def build_queries() -> dict[str, Callable[[str], Any]]:
         "holt_winters_crawl": _holt_winters_crawl,
         "sax_motifs_crawl": _sax_motifs_crawl,
         "matrix_profile_discord_crawl": _matrix_profile_discord_crawl,
+        "boilerplate_extract_documents": _boilerplate_extract_documents,
         "mad_anomaly_crawl": _mad_anomaly_crawl,
         "time_weighted_avg_crawl": _time_weighted_avg_crawl,
         "unigram_logprob_documents": _unigram_logprob_documents,
@@ -4281,7 +4317,7 @@ GOLDEN_QUERIES = [
     "ivfpq_topk_embeddings", "train_linear_fit", "train_linear_weights",
     "quality_classifier_documents", "binseg_changepoints_crawl",
     "holt_winters_crawl", "sax_motifs_crawl",
-    "matrix_profile_discord_crawl",
+    "matrix_profile_discord_crawl", "boilerplate_extract_documents",
     "tune_trials", "sniffed_assets_crawl", "resized_thumbnails_crawl",
     "wav_features_crawl", "y4m_scene_stats_crawl",
     "bpe_encode_documents",

@@ -1609,3 +1609,57 @@ def gopher_rules(ds: rd.Dataset, id_col: str = "doc_id",
 
     return ds.map_batches(rules, batch_format="pyarrow",
                           zero_copy_batch=True)
+
+
+def boilerplate_extract(ds: rd.Dataset, page_col: str = "page",
+                        id_col: str = "doc_id",
+                        max_link_density: float = 1.0 / 3.0,
+                        min_words: int = 5) -> rd.Dataset:
+    """Boilerplate removal (jusText/boilerpipe-lite): split a page
+    into tag blocks, score each block's LINK DENSITY (anchor chars /
+    text chars) and word count, and keep only content-like blocks —
+    the curation step between raw crawl HTML and the training corpus.
+
+    Keep rule (the classic shallow-text-features classifier): link
+    density < ``max_link_density`` AND ≥ ``min_words`` words. Emits
+    per page: block counts and the concatenated kept text.
+
+    Scale shape: stateless ``map_batches`` — regexes compile once per
+    task, per-row Python only for the inherent string parse (same
+    contract as URL canonicalization)."""
+    import re
+
+    block_rx = re.compile(r"<(p|nav|div|footer)>(.*?)</\1>", re.S)
+    a_rx = re.compile(r"<a\b[^>]*>(.*?)</a>", re.S)
+    tag_rx = re.compile(r"<[^>]+>")
+
+    def kernel(df: pd.DataFrame) -> pd.DataFrame:
+        n_blocks = np.zeros(len(df), dtype=np.int64)
+        n_kept = np.zeros(len(df), dtype=np.int64)
+        contents: list[str] = []
+        for i, page in enumerate(df[page_col]):
+            kept: list[str] = []
+            blocks = block_rx.findall(page or "")
+            n_blocks[i] = len(blocks)
+            for _, inner in blocks:
+                link_chars = sum(len(tag_rx.sub("", t))
+                                 for t in a_rx.findall(inner))
+                text = tag_rx.sub("", inner)
+                tl = len(text)
+                if tl == 0:
+                    continue
+                if (link_chars / tl < max_link_density
+                        and len(text.split()) >= min_words):
+                    kept.append(text)
+            n_kept[i] = len(kept)
+            contents.append("\n".join(kept))
+        content = pd.Series(contents, dtype=object)
+        return pd.DataFrame({
+            id_col: df[id_col].to_numpy(),
+            "n_blocks": n_blocks,
+            "n_kept": n_kept,
+            "content": content,
+            "content_len": content.str.len().to_numpy(np.int64),
+        })
+
+    return ds.map_batches(kernel, batch_format="pandas")

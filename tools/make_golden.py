@@ -151,6 +151,8 @@ def make_for(sf_dir: str, only: set[str] | None = None) -> None:
             lambda: golden.sax_motifs_crawl(obs_long),
         "matrix_profile_discord_crawl":
             lambda: golden.matrix_profile_discord_crawl(obs_long),
+        "boilerplate_extract_documents":
+            lambda: golden.boilerplate_extract_documents(docs),
         "srp_near_dup_embeddings":
             lambda: golden.srp_near_dup_embeddings(emb),
         "semdedup_embeddings":
