@@ -1395,6 +1395,14 @@ def _autocorr_lag1_crawl(sf_dir: str) -> rd.Dataset:
     return autocorr_lag1(_obs_long(sf_dir))
 
 
+def _ts_features_crawl(sf_dir: str) -> rd.Dataset:
+    """catch22-lite feature catalog per daily series (SQL moments/
+    lag/regr_slope twin)."""
+    from sits_classification_ray.stages.stm import ts_features
+
+    return ts_features(_obs_long(sf_dir))
+
+
 def _boilerplate_page(doc_id: int, text: str) -> str:
     """Deterministic page synth shared by the engine query and the
     golden twin: nav + 12-word paragraphs with a link-spam div after
@@ -4091,6 +4099,7 @@ def build_queries() -> dict[str, Callable[[str], Any]]:
         "sax_motifs_crawl": _sax_motifs_crawl,
         "matrix_profile_discord_crawl": _matrix_profile_discord_crawl,
         "boilerplate_extract_documents": _boilerplate_extract_documents,
+        "ts_features_crawl": _ts_features_crawl,
         "mad_anomaly_crawl": _mad_anomaly_crawl,
         "time_weighted_avg_crawl": _time_weighted_avg_crawl,
         "unigram_logprob_documents": _unigram_logprob_documents,
@@ -5255,6 +5264,50 @@ SELECT url, CAST(sum(c) AS BIGINT) AS n_snaps,
        round(sum(epoch_us(i_e) - epoch_us(i_s))
              / (epoch_us(max(i_e)) - epoch_us(min(i_s))), 6) AS coverage
 FROM agg GROUP BY 1""",
+        "ts_features_crawl": f"""{CRAWL_PREFIX},
+daily AS MATERIALIZED (
+  SELECT url, metric, CAST(date_trunc('day', warc_ts) AS TIMESTAMP) AS day,
+         avg(value) AS v
+  FROM obs_long GROUP BY 1, 2, 3),
+st AS MATERIALIZED (
+  SELECT url, metric, count(*) AS n_days, avg(v) AS mu,
+         min(v) AS vmin, max(v) AS vmax
+  FROM daily GROUP BY 1, 2 HAVING count(*) >= 3),
+mom AS MATERIALIZED (
+  SELECT d.url, d.metric,
+         avg((v - mu) * (v - mu)) AS m2,
+         avg((v - mu) * (v - mu) * (v - mu)) AS m3,
+         avg((v - mu) * (v - mu) * (v - mu) * (v - mu)) AS m4
+  FROM daily d JOIN st USING (url, metric) GROUP BY 1, 2),
+lagged AS (
+  SELECT d.url, d.metric, v, mu,
+         lag(v) OVER w AS prev,
+         row_number() OVER w - 1 AS t
+  FROM daily d JOIN st USING (url, metric)
+  WINDOW w AS (PARTITION BY d.url, d.metric ORDER BY day)),
+acf AS (
+  SELECT url, metric,
+         sum((v - mu) * (prev - mu)) AS s1,
+         sum((v - mu) * (v - mu)) AS ss0,
+         sum(CASE WHEN (v - mu) * (prev - mu) < 0
+                  THEN 1 ELSE 0 END) AS crossings,
+         sum(CASE WHEN v > mu THEN 1 ELSE 0 END) AS n_above,
+         regr_slope(v, t) AS slope
+  FROM lagged GROUP BY 1, 2)
+SELECT st.url, st.metric, st.n_days,
+       round(st.mu, 6) AS mean_v,
+       round(sqrt(m2), 6) AS std_pop,
+       round(CASE WHEN m2 > 0 THEN m3 / (m2 * sqrt(m2)) END, 6) AS skew,
+       round(CASE WHEN m2 > 0 THEN m4 / (m2 * m2) - 3.0 END, 6)
+           AS kurt_excess,
+       round(CASE WHEN ss0 > 0 THEN s1 / ss0 END, 6) AS acf1,
+       round(slope, 6) AS slope,
+       CAST(crossings AS BIGINT) AS crossings,
+       round(n_above * 1.0 / st.n_days, 6) AS frac_above,
+       round(st.vmax - st.vmin, 6) AS vrange
+FROM st
+JOIN mom ON st.url = mom.url AND st.metric = mom.metric
+JOIN acf ON st.url = acf.url AND st.metric = acf.metric""",
         "anchor_text_rollup_crawl": f"""WITH {CRAWL_CTE},
 links AS MATERIALIZED (
   SELECT c.url,

@@ -975,3 +975,73 @@ def matrix_profile_discord(ds_long: rd.Dataset, window: int = 14,
                         ("discord_dist", pa.float64())])
     return partitioned_map(daily_means(ds_long), kernel, url_col="url",
                            out_schema=schema)
+
+
+def ts_features(ds_long: rd.Dataset, round_to: int = 6) -> rd.Dataset:
+    """catch22-lite per-series feature catalog over the daily means —
+    the feature-extraction front end for series clustering /
+    classification (reference analog: per-pixel temporal features
+    feeding the SITS classifier).
+
+    Per (url, metric), n ≥ 3 days: mean, population std, moment
+    skewness ``m₃/m₂^1.5``, excess kurtosis ``m₄/m₂² − 3``, lag-1
+    autocorrelation, OLS slope over the day index, mean-crossing
+    count, fraction above mean, and range. Constant series emit null
+    skew/kurt/acf1 (0/0, SQL CASE semantics). Dimensionless ratios
+    only — raw high moments are never emitted, so round-6 parity with
+    the SQL twin is numerically safe."""
+    from sits_classification_ray.functions.transforms import sql_round
+    from sits_classification_ray.stages.shuffle import partitioned_map
+
+    def kernel(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["url", "metric", "day"], kind="mergesort")
+        rows: list[dict] = []
+        for (u, m), g in df.groupby(["url", "metric"], sort=False):
+            v = g["v"].to_numpy(np.float64)
+            n = len(v)
+            if n < 3:
+                continue
+            mu = v.mean()
+            d = v - mu
+            m2 = (d * d).mean()
+            m3 = (d * d * d).mean()
+            m4 = (d * d * d * d).mean()
+            ss0 = (d * d).sum()
+            s1 = float(d[1:] @ d[:-1])
+            t = np.arange(n, dtype=np.float64)
+            tb = t - t.mean()
+            slope = float((tb * d).sum() / (tb * tb).sum())
+            rows.append({
+                "url": u, "metric": m, "n_days": np.int64(n),
+                "mean_v": mu,
+                "std_pop": np.sqrt(m2),
+                "skew": m3 / (m2 * np.sqrt(m2)) if m2 > 0 else np.nan,
+                "kurt_excess": m4 / (m2 * m2) - 3.0 if m2 > 0 else np.nan,
+                "acf1": s1 / ss0 if ss0 > 0 else np.nan,
+                "slope": slope,
+                "crossings": np.int64(int(((d[1:] * d[:-1]) < 0).sum())),
+                "frac_above": float((v > mu).sum()) / n,
+                "vrange": v.max() - v.min(),
+            })
+        cols = ["url", "metric", "n_days", "mean_v", "std_pop", "skew",
+                "kurt_excess", "acf1", "slope", "crossings",
+                "frac_above", "vrange"]
+        if not rows:
+            return pd.DataFrame(columns=cols)
+        out = pd.DataFrame(rows)[cols]
+        for c in ("mean_v", "std_pop", "skew", "kurt_excess", "acf1",
+                  "slope", "frac_above", "vrange"):
+            out[c] = sql_round(out[c].to_numpy(np.float64),
+                               round_to) + 0.0
+        return out
+
+    import pyarrow as pa
+    schema = pa.schema(
+        [("url", pa.string()), ("metric", pa.string()),
+         ("n_days", pa.int64()), ("mean_v", pa.float64()),
+         ("std_pop", pa.float64()), ("skew", pa.float64()),
+         ("kurt_excess", pa.float64()), ("acf1", pa.float64()),
+         ("slope", pa.float64()), ("crossings", pa.int64()),
+         ("frac_above", pa.float64()), ("vrange", pa.float64())])
+    return partitioned_map(daily_means(ds_long), kernel, url_col="url",
+                           out_schema=schema)
