@@ -2347,3 +2347,94 @@ def boilerplate_extract_documents(docs: pd.DataFrame) -> pd.DataFrame:
         })
     return pd.DataFrame(rows)[["doc_id", "n_blocks", "n_kept",
                                "content", "content_len"]]
+
+
+def _ts_feature_frame(obs_long: pd.DataFrame) -> pd.DataFrame:
+    """Independent per-series feature vectors (twin of
+    ``stm.ts_feature_vectors``): daily means → dimensionless moments
+    → rounded features → hashed series id."""
+    df = obs_long.copy()
+    df["day"] = (df["warc_ts"].to_numpy().astype("datetime64[D]")
+                 .astype("datetime64[us]"))
+    daily = (df.groupby(["url", "metric", "day"], as_index=False)
+             ["value"].mean().rename(columns={"value": "v"}))
+    rows = []
+    for (u, m), g in daily.sort_values(
+            ["url", "metric", "day"]).groupby(["url", "metric"],
+                                              sort=False):
+        v = g["v"].to_numpy(np.float64)
+        n = len(v)
+        if n < 3:
+            continue
+        mu = v.mean()
+        d = v - mu
+        m2 = (d * d).mean()
+        ss0 = (d * d).sum()
+        if m2 <= 0 or ss0 <= 0:
+            continue
+        feats = np.array([
+            (d * d * d).mean() / (m2 * np.sqrt(m2)),
+            (d * d * d * d).mean() / (m2 * m2) - 3.0,
+            float(d[1:] @ d[:-1]) / ss0,
+            float((v > mu).sum()) / n,
+            float(((d[1:] * d[:-1]) < 0).sum()) / (n - 1.0),
+        ])
+        rows.append({"url": u, "metric": m,
+                     "features": _sql_round_arr(feats) + 0.0})
+    out = pd.DataFrame(rows)
+    key = (out["url"].astype(str) + "|"
+           + out["metric"].astype(str)).to_numpy(object)
+    out["vec_id"] = pd.util.hash_array(
+        key, categorize=False).view(np.int64)
+    return out
+
+
+def ts_kmeans_crawl(obs_long: pd.DataFrame, k: int = 5,
+                    iterations: int = 4,
+                    num_partitions: int = 64) -> pd.DataFrame:
+    """Independent twin of the temporal-archetype clustering: same
+    fixed-partition Lloyd loop as :func:`_kmeans_centroids`, seeded by
+    the k smallest hashed series ids."""
+    f = _ts_feature_frame(obs_long)
+    ids = f["vec_id"].to_numpy(np.int64)
+    seed = f.sort_values("vec_id").head(k)
+    C = np.stack([np.asarray(v, dtype=np.float64)
+                  for v in seed["features"]])
+    d = C.shape[1]
+    pid_all = (pd.util.hash_array(ids, categorize=False)
+               % np.uint64(num_partitions)).astype(np.int64)
+    for _ in range(iterations):
+        parts = []
+        for pid in np.unique(pid_all):
+            sub = f[pid_all == pid].sort_values("vec_id",
+                                                kind="mergesort")
+            X = np.stack([np.asarray(v, dtype=np.float64)
+                          for v in sub["features"]])
+            a = _assign_of(X, C)
+            acc = np.zeros((k, d), dtype=np.float64)
+            np.add.at(acc, a, X)
+            cnt = np.bincount(a, minlength=k).astype(np.int64)
+            pf = pd.DataFrame({
+                "pid": np.repeat(np.int64(pid), k * d),
+                "cluster": np.repeat(np.arange(k, dtype=np.int64), d),
+                "dim": np.tile(np.arange(d, dtype=np.int64), k),
+                "s": acc.ravel(),
+                "n": np.repeat(cnt, d),
+            })
+            parts.append(pf[pf["n"] > 0])
+        partials = pd.concat(parts, ignore_index=True).sort_values(
+            ["cluster", "dim", "pid"], kind="mergesort")
+        g = partials.groupby(["cluster", "dim"], sort=True)
+        s = g["s"].sum()
+        nn = g["n"].sum()
+        C_new = C.copy()
+        for (ci, di), sv in s.items():
+            nv = nn[(ci, di)]
+            if nv > 0:
+                C_new[ci, di] = sv / float(nv)
+        C = C_new
+    X = np.stack([np.asarray(v, dtype=np.float64)
+                  for v in f["features"]])
+    return pd.DataFrame({"url": f["url"].to_numpy(),
+                         "metric": f["metric"].to_numpy(),
+                         "cluster": _assign_of(X, C).astype(np.int64)})

@@ -1403,6 +1403,15 @@ def _ts_features_crawl(sf_dir: str) -> rd.Dataset:
     return ts_features(_obs_long(sf_dir))
 
 
+def _ts_kmeans_crawl(sf_dir: str) -> rd.Dataset:
+    """Temporal-archetype clustering: k-means over dimensionless
+    per-series shape features (golden twin — iterative float
+    algorithm under the kmeans_fit determinism contract)."""
+    from sits_classification_ray.stages.stm import ts_kmeans
+
+    return ts_kmeans(_obs_long(sf_dir), k=5, iterations=4)
+
+
 def _boilerplate_page(doc_id: int, text: str) -> str:
     """Deterministic page synth shared by the engine query and the
     golden twin: nav + 12-word paragraphs with a link-spam div after
@@ -4100,6 +4109,7 @@ def build_queries() -> dict[str, Callable[[str], Any]]:
         "matrix_profile_discord_crawl": _matrix_profile_discord_crawl,
         "boilerplate_extract_documents": _boilerplate_extract_documents,
         "ts_features_crawl": _ts_features_crawl,
+        "ts_kmeans_crawl": _ts_kmeans_crawl,
         "mad_anomaly_crawl": _mad_anomaly_crawl,
         "time_weighted_avg_crawl": _time_weighted_avg_crawl,
         "unigram_logprob_documents": _unigram_logprob_documents,
@@ -4333,6 +4343,7 @@ GOLDEN_QUERIES = [
     "srp_near_dup_embeddings", "weighted_sample_documents",
     "cms_heavy_domains_crawl", "kmv_overlap_weeks",
     "pagerank_domains_crawl", "hits_domains_crawl",
+    "ts_kmeans_crawl",
 ]
 
 

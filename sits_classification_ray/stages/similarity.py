@@ -287,7 +287,8 @@ def nearest_centroid_predict(ds: rd.Dataset, centroids_long: rd.Dataset,
 
 def kmeans_fit(ds: rd.Dataset, k: int = 8, iterations: int = 5,
                num_partitions: int = 64, id_col: str = "vec_id",
-               vec_col: str = "embedding") -> np.ndarray:
+               vec_col: str = "embedding",
+               seeds: "np.ndarray | None" = None) -> np.ndarray:
     """Full-dataset Lloyd's k-means centroid fit: every iteration
     streams ALL vectors through an assignment + partial-sum pass; only
     O(P·k·d) partial rows ever reach the driver (the standard scalable
@@ -314,10 +315,16 @@ def kmeans_fit(ds: rd.Dataset, k: int = 8, iterations: int = 5,
     """
     from sits_classification_ray.stages.shuffle import partitioned_map
 
-    seed_df = ds.filter(expr=f"{id_col} < {k}").to_pandas() \
-        .sort_values(id_col)
-    C = np.stack([np.asarray(v, dtype=np.float64)
-                  for v in seed_df[vec_col]])
+    if seeds is not None:
+        # caller-provided (k, d) seed matrix — used when ids are not
+        # dense 0..n-1 (e.g. hashed series keys: seeds = the vectors
+        # with the k SMALLEST ids, fetched via sort+limit)
+        C = np.asarray(seeds, dtype=np.float64).copy()
+    else:
+        seed_df = ds.filter(expr=f"{id_col} < {k}").to_pandas() \
+            .sort_values(id_col)
+        C = np.stack([np.asarray(v, dtype=np.float64)
+                      for v in seed_df[vec_col]])
     d = C.shape[1]
     P = num_partitions
 

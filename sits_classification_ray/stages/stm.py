@@ -1045,3 +1045,82 @@ def ts_features(ds_long: rd.Dataset, round_to: int = 6) -> rd.Dataset:
          ("frac_above", pa.float64()), ("vrange", pa.float64())])
     return partitioned_map(daily_means(ds_long), kernel, url_col="url",
                            out_schema=schema)
+
+
+def ts_feature_vectors(ds_long: rd.Dataset,
+                       round_to: int = 6) -> rd.Dataset:
+    """Dimensionless per-series feature vectors for clustering:
+    ``[skew, kurt_excess, acf1, frac_above, crossing_rate]`` from
+    :func:`ts_features` (degenerate constant/white series with null
+    moments are dropped). ``vec_id`` is the 64-bit stable hash of
+    ``url|metric`` (bit-reinterpreted to int64) — collision odds are
+    birthday-bounded and a collision only merges two series into one
+    clustering point."""
+    from sits_classification_ray.functions.transforms import sql_round
+
+    def to_vec(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.dropna(subset=["skew", "kurt_excess", "acf1"])
+        if not len(df):
+            return pd.DataFrame({
+                "url": pd.Series([], dtype=object),
+                "metric": pd.Series([], dtype=object),
+                "vec_id": pd.Series([], dtype=np.int64),
+                "features": pd.Series([], dtype=object),
+            })
+        key = (df["url"].astype(str) + "|"
+               + df["metric"].astype(str)).to_numpy(object)
+        vid = pd.util.hash_array(key, categorize=False).view(np.int64)
+        rate = sql_round(
+            df["crossings"].to_numpy(np.float64)
+            / (df["n_days"].to_numpy(np.float64) - 1.0), round_to)
+        vec = np.stack([df["skew"].to_numpy(np.float64),
+                        df["kurt_excess"].to_numpy(np.float64),
+                        df["acf1"].to_numpy(np.float64),
+                        df["frac_above"].to_numpy(np.float64),
+                        rate], axis=1)
+        return pd.DataFrame({"url": df["url"].to_numpy(),
+                             "metric": df["metric"].to_numpy(),
+                             "vec_id": vid,
+                             "features": list(vec)})
+
+    return ts_features(ds_long, round_to=round_to).map_batches(
+        to_vec, batch_format="pandas")
+
+
+def ts_kmeans(ds_long: rd.Dataset, k: int = 5, iterations: int = 4,
+              num_partitions: int = 64) -> rd.Dataset:
+    """Temporal-archetype clustering: Lloyd's k-means over the
+    per-series feature vectors (the "group pages by the SHAPE of
+    their history" op — reference analog: clustering pixel time
+    series into phenology classes).
+
+    Seeds are the vectors with the k smallest hashed ids (one
+    distributed sort+limit over the tiny per-series feature table);
+    the fit inherits :func:`similarity.kmeans_fit`'s bit-exact
+    determinism contract, so the golden twin reproduces the floats
+    exactly. Output: ``(url, metric, cluster)``."""
+    from sits_classification_ray.stages.similarity import kmeans_fit
+
+    fds = ts_feature_vectors(ds_long).materialize()
+    seed_df = fds.sort("vec_id").limit(k).to_pandas()
+    seeds = np.stack([np.asarray(v, dtype=np.float64) for v in
+                      seed_df.sort_values("vec_id")["features"]])
+    C = kmeans_fit(fds, k=k, iterations=iterations,
+                   num_partitions=num_partitions, id_col="vec_id",
+                   vec_col="features", seeds=seeds)
+
+    def assign(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return pd.DataFrame({"url": pd.Series([], dtype=object),
+                                 "metric": pd.Series([], dtype=object),
+                                 "cluster": pd.Series([], dtype=np.int64)})
+        X = np.stack([np.asarray(v, dtype=np.float64)
+                      for v in df["features"]])
+        d2 = (X ** 2).sum(1)[:, None] - 2.0 * (X @ C.T) \
+            + (C ** 2).sum(1)[None, :]
+        return pd.DataFrame({"url": df["url"].to_numpy(),
+                             "metric": df["metric"].to_numpy(),
+                             "cluster": np.argmin(d2, axis=1)
+                             .astype(np.int64)})
+
+    return fds.map_batches(assign, batch_format="pandas")

@@ -510,3 +510,40 @@ def test_matrix_profile_discord_finds_injected_anomaly():
     start = (day - np.datetime64(0, "us")) / np.timedelta64(1, "D")
     assert 22 <= start <= 42
     assert out["discord_dist"].iloc[0] > 1.0
+
+
+def test_ts_kmeans_matches_golden_twin():
+    from sits_classification_ray.stages.stm import ts_kmeans
+    df = _rand_long(n_series=25, seed=11)
+    eng = (ts_kmeans(rd.from_pandas(df), k=3, iterations=3,
+                     num_partitions=8).to_pandas()
+           .sort_values(["url", "metric"]).reset_index(drop=True))
+    gold = (golden.ts_kmeans_crawl(
+        df[["url", "metric", "warc_ts", "value"]], k=3, iterations=3,
+        num_partitions=8)
+        .sort_values(["url", "metric"]).reset_index(drop=True))
+    pd.testing.assert_frame_equal(eng[["url", "metric", "cluster"]],
+                                  gold[["url", "metric", "cluster"]])
+    assert eng["cluster"].nunique() > 1
+
+
+def test_ts_kmeans_separates_shapes():
+    from sits_classification_ray.stages.stm import ts_kmeans
+    # two archetypes: rising ramps vs alternating noise
+    rows = []
+    for s in range(8):
+        base = np.arange(30, dtype=float) * (1 + 0.1 * s) \
+            if s % 2 == 0 else \
+            np.where(np.arange(30) % 2 == 0, 10.0 + s, -10.0 - s)
+        for i, v in enumerate(base):
+            rows.append((f"u{s}", (i + 1) * D, float(v)))
+    df = pd.DataFrame(rows, columns=["url", "warc_ts", "value"])
+    df["warc_ts"] = pd.to_datetime(df["warc_ts"], unit="us")
+    df["metric"] = "m"
+    df["url_bucket"] = np.uint32(1)
+    out = ts_kmeans(rd.from_pandas(df), k=2, iterations=4,
+                    num_partitions=4).to_pandas()
+    lbl = out.set_index("url")["cluster"]
+    ramps = {lbl[f"u{s}"] for s in range(0, 8, 2)}
+    alts = {lbl[f"u{s}"] for s in range(1, 8, 2)}
+    assert len(ramps) == 1 and len(alts) == 1 and ramps != alts

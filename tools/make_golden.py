@@ -153,6 +153,8 @@ def make_for(sf_dir: str, only: set[str] | None = None) -> None:
             lambda: golden.matrix_profile_discord_crawl(obs_long),
         "boilerplate_extract_documents":
             lambda: golden.boilerplate_extract_documents(docs),
+        "ts_kmeans_crawl":
+            lambda: golden.ts_kmeans_crawl(obs_long, k=5, iterations=4),
         "srp_near_dup_embeddings":
             lambda: golden.srp_near_dup_embeddings(emb),
         "semdedup_embeddings":
