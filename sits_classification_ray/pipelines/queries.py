@@ -1403,6 +1403,16 @@ def _ts_features_crawl(sf_dir: str) -> rd.Dataset:
     return ts_features(_obs_long(sf_dir))
 
 
+def _change_rate_crawl(sf_dir: str) -> rd.Dataset:
+    """Poisson page-change-rate + recrawl-interval estimation per url
+    (Cho & Garcia-Molina estimator; SQL lag/aggregate twin)."""
+    from sits_classification_ray.stages.series import change_rate
+
+    ds = assemble_series(
+        extract(crawl_from_tables(sf_dir), CFG, keep_text=True), CFG)
+    return change_rate(ds)
+
+
 def _ts_kmeans_crawl(sf_dir: str) -> rd.Dataset:
     """Temporal-archetype clustering: k-means over dimensionless
     per-series shape features (golden twin — iterative float
@@ -4110,6 +4120,7 @@ def build_queries() -> dict[str, Callable[[str], Any]]:
         "boilerplate_extract_documents": _boilerplate_extract_documents,
         "ts_features_crawl": _ts_features_crawl,
         "ts_kmeans_crawl": _ts_kmeans_crawl,
+        "change_rate_crawl": _change_rate_crawl,
         "mad_anomaly_crawl": _mad_anomaly_crawl,
         "time_weighted_avg_crawl": _time_weighted_avg_crawl,
         "unigram_logprob_documents": _unigram_logprob_documents,
@@ -5319,6 +5330,28 @@ SELECT st.url, st.metric, st.n_days,
 FROM st
 JOIN mom ON st.url = mom.url AND st.metric = mom.metric
 JOIN acf ON st.url = acf.url AND st.metric = acf.metric""",
+        "change_rate_crawl": f"""{CRAWL_PREFIX},
+ch AS MATERIALIZED (
+  SELECT url, warc_ts,
+         CASE WHEN text <> lag(text) OVER w THEN 1 ELSE 0 END AS chg,
+         CASE WHEN lag(text) OVER w IS NULL THEN 0 ELSE 1 END AS hasprev
+  FROM obs WINDOW w AS (PARTITION BY url ORDER BY warc_ts)),
+agg AS (
+  SELECT url,
+         CAST(sum(hasprev) AS BIGINT) AS n_intervals,
+         CAST(sum(chg) AS BIGINT) AS n_changes,
+         (epoch_us(max(warc_ts)) - epoch_us(min(warc_ts))) / 1000000.0
+             AS span_s,
+         -ln((sum(hasprev) - sum(chg) + 0.5) / (sum(hasprev) + 0.5))
+             / (((epoch_us(max(warc_ts)) - epoch_us(min(warc_ts)))
+                 / 1000000.0) / sum(hasprev)) * 86400.0 AS lam_day
+  FROM ch GROUP BY url)
+SELECT url, n_intervals, n_changes,
+       round(span_s, 6) + 0.0 AS span_seconds,
+       round(lam_day, 6) + 0.0 AS lambda_per_day,
+       CASE WHEN n_changes > 0 THEN round(1.0 / lam_day, 6) + 0.0
+            END AS recrawl_days
+FROM agg""",
         "anchor_text_rollup_crawl": f"""WITH {CRAWL_CTE},
 links AS MATERIALIZED (
   SELECT c.url,

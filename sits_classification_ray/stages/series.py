@@ -74,3 +74,79 @@ def assemble_series(ds: rd.Dataset, cfg: EngineConfig | None = None,
                            num_partitions=num_partitions,
                            approx_rows=approx_rows,
                            hot_key_threshold=cfg.hot_key_threshold)
+
+
+def change_rate(ds: rd.Dataset, url_col: str = "url",
+                ts_col: str = "warc_ts", text_col: str = "text",
+                round_to: int = 6) -> rd.Dataset:
+    """Poisson page-change-rate estimation per url — the crawl
+    scheduling primitive (Cho & Garcia-Molina, "Estimating Frequency
+    of Change", ACM TOIT 3(3), 2003). Reference analog: deciding the
+    revisit cadence of a pixel's time series from its observed change
+    history.
+
+    Per url over its warc_ts-ordered snapshots: ``n_intervals``
+    consecutive pairs, ``n_changes`` of them with differing extracted
+    text, and the bias-corrected rate estimator
+    ``r̂ = -ln((n - X + 0.5) / (n + 0.5))`` changes per average
+    inter-crawl interval, reported as ``lambda_per_day`` plus the
+    derived ``recrawl_days = 1/λ_day`` (NULL when no change was ever
+    observed — the estimator's r̂ = 0 fixed point).
+
+    Scale shape: snapshots are fingerprinted BEFORE the url shuffle
+    (16-byte BLAKE2b of the text — the exchange moves 16 bytes per
+    row, not page payloads), then one ``partitioned_map`` on the
+    salted url key computes every estimate vectorized via shifted
+    compares + groupby aggregates. Float-op order mirrors the DuckDB
+    oracle exactly (``-ln(a/b) / (span_s/n) * 86400``)."""
+    import hashlib
+
+    import numpy as np
+
+    from sits_classification_ray.functions.transforms import sql_round
+    from sits_classification_ray.stages.shuffle import partitioned_map
+
+    def fingerprint(df: pd.DataFrame) -> pd.DataFrame:
+        fp = [hashlib.blake2b(t.encode("utf-8", "surrogatepass"),
+                              digest_size=16).digest()
+              for t in df[text_col].astype(str)]
+        return pd.DataFrame({url_col: df[url_col].to_numpy(),
+                             ts_col: df[ts_col].to_numpy(),
+                             "fp": fp})
+
+    hashed = ds.map_batches(fingerprint, batch_format="pandas")
+
+    def kernel(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values([url_col, ts_col], kind="mergesort")
+        same = df[url_col].to_numpy() == df[url_col].shift().to_numpy()
+        chg = (df["fp"].to_numpy(object)
+               != df["fp"].shift().to_numpy(object)) & same
+        ts_us = df[ts_col].to_numpy("datetime64[us]").astype(np.int64)
+        df = df.assign(_chg=chg.astype(np.int64),
+                       _prev=same.astype(np.int64), _us=ts_us)
+        g = df.groupby(url_col, sort=False)
+        n = g["_prev"].sum().to_numpy(np.float64)
+        x = g["_chg"].sum().to_numpy(np.float64)
+        span_s = ((g["_us"].max() - g["_us"].min()).to_numpy(np.int64)
+                  / 1000000.0)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            lam_day = (-np.log((n - x + 0.5) / (n + 0.5))
+                       / (span_s / n) * 86400.0)
+            recrawl = np.where(x > 0, 1.0 / lam_day, np.nan)
+        return pd.DataFrame({
+            url_col: g.size().index.to_numpy(),
+            "n_intervals": n.astype(np.int64),
+            "n_changes": x.astype(np.int64),
+            "span_seconds": sql_round(span_s, round_to) + 0.0,
+            "lambda_per_day": sql_round(lam_day, round_to) + 0.0,
+            "recrawl_days": sql_round(recrawl, round_to) + 0.0,
+        })
+
+    import pyarrow as pa
+    schema = pa.schema([
+        (url_col, pa.string()), ("n_intervals", pa.int64()),
+        ("n_changes", pa.int64()), ("span_seconds", pa.float64()),
+        ("lambda_per_day", pa.float64()),
+        ("recrawl_days", pa.float64())])
+    return partitioned_map(hashed, kernel, url_col=url_col,
+                           out_schema=schema)

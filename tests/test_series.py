@@ -48,3 +48,34 @@ def test_lttb_keeps_extremes_and_endpoints():
     # short series pass through whole
     short = lttb_indices(x[:5], y[:5], 20)
     assert list(short) == [0, 1, 2, 3, 4]
+
+
+def test_change_rate_known_series():
+    import math
+
+    import ray.data as rd
+
+    from sits_classification_ray.stages.series import change_rate
+
+    H = 3_600_000_000
+    # u1: 4 snapshots hourly, text changes on 2 of 3 intervals
+    # u2: 3 snapshots, never changes
+    rows = [
+        ("u1", 1 * H, "aaa"), ("u1", 2 * H, "bbb"),
+        ("u1", 3 * H, "bbb"), ("u1", 4 * H, "ccc"),
+        ("u2", 1 * H, "zzz"), ("u2", 5 * H, "zzz"), ("u2", 9 * H, "zzz"),
+    ]
+    df = pd.DataFrame(rows, columns=["url", "warc_ts", "text"])
+    df["warc_ts"] = pd.to_datetime(df["warc_ts"], unit="us")
+    df["url_bucket"] = np.uint32(1)
+    out = (change_rate(rd.from_pandas(df)).to_pandas()
+           .set_index("url"))
+    r1 = out.loc["u1"]
+    assert r1["n_intervals"] == 3 and r1["n_changes"] == 2
+    assert r1["span_seconds"] == 3 * 3600.0
+    lam = -math.log((3 - 2 + 0.5) / 3.5) / (3 * 3600.0 / 3.0) * 86400.0
+    assert abs(r1["lambda_per_day"] - round(lam, 6)) < 1e-9
+    assert abs(r1["recrawl_days"] - round(1.0 / lam, 6)) < 1e-9
+    r2 = out.loc["u2"]
+    assert r2["n_changes"] == 0 and r2["lambda_per_day"] == 0.0
+    assert np.isnan(r2["recrawl_days"])
