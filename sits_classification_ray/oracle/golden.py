@@ -2438,3 +2438,39 @@ def ts_kmeans_crawl(obs_long: pd.DataFrame, k: int = 5,
     return pd.DataFrame({"url": f["url"].to_numpy(),
                          "metric": f["metric"].to_numpy(),
                          "cluster": _assign_of(X, C).astype(np.int64)})
+
+
+def sdt_downsample_crawl(obs_long: pd.DataFrame,
+                         comp_dev: float = 5.0) -> pd.DataFrame:
+    """Scalar twin of the swinging-door compressor: per (url, metric)
+    series, walk point-by-point keeping the two door slopes from the
+    last archived point; archive the previous point when they cross."""
+    rows = []
+    srt = obs_long.sort_values(["url", "metric", "warc_ts"])
+    for (u, m), g in srt.groupby(["url", "metric"], sort=False):
+        ts = g["warc_ts"].to_numpy()
+        t = ts.astype("datetime64[us]").astype(np.int64)
+        v = g["value"].to_numpy(np.float64)
+        n = len(t)
+        keep = [0] if n else []
+        if n > 2:
+            a, up, low = 0, np.inf, -np.inf
+            for i in range(1, n):
+                dt = float(t[i] - t[a])
+                if dt <= 0:
+                    continue
+                up = min(up, (v[i] - v[a] + comp_dev) / dt)
+                low = max(low, (v[i] - v[a] - comp_dev) / dt)
+                if low > up:
+                    a = i - 1
+                    keep.append(a)
+                    dt = float(t[i] - t[a])
+                    up = (v[i] - v[a] + comp_dev) / dt
+                    low = (v[i] - v[a] - comp_dev) / dt
+        if n >= 2 and keep[-1] != n - 1:
+            keep.append(n - 1)
+        for p in keep:
+            rows.append({"url": u, "metric": m, "warc_ts": ts[p],
+                         "value": v[p], "pos": np.int64(p)})
+    return pd.DataFrame(rows)[["url", "metric", "warc_ts", "value",
+                               "pos"]]

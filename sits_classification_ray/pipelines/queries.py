@@ -1403,6 +1403,14 @@ def _ts_features_crawl(sf_dir: str) -> rd.Dataset:
     return ts_features(_obs_long(sf_dir))
 
 
+def _sdt_downsample_crawl(sf_dir: str) -> rd.Dataset:
+    """Swinging-door compression per series (historian compressor;
+    golden scalar twin — sequential doors, not SQL-expressible)."""
+    from sits_classification_ray.stages.downsample import sdt_downsample
+
+    return sdt_downsample(_obs_long(sf_dir), comp_dev=5.0)
+
+
 def _change_rate_crawl(sf_dir: str) -> rd.Dataset:
     """Poisson page-change-rate + recrawl-interval estimation per url
     (Cho & Garcia-Molina estimator; SQL lag/aggregate twin)."""
@@ -4121,6 +4129,7 @@ def build_queries() -> dict[str, Callable[[str], Any]]:
         "ts_features_crawl": _ts_features_crawl,
         "ts_kmeans_crawl": _ts_kmeans_crawl,
         "change_rate_crawl": _change_rate_crawl,
+        "sdt_downsample_crawl": _sdt_downsample_crawl,
         "mad_anomaly_crawl": _mad_anomaly_crawl,
         "time_weighted_avg_crawl": _time_weighted_avg_crawl,
         "unigram_logprob_documents": _unigram_logprob_documents,
@@ -4354,7 +4363,7 @@ GOLDEN_QUERIES = [
     "srp_near_dup_embeddings", "weighted_sample_documents",
     "cms_heavy_domains_crawl", "kmv_overlap_weeks",
     "pagerank_domains_crawl", "hits_domains_crawl",
-    "ts_kmeans_crawl",
+    "ts_kmeans_crawl", "sdt_downsample_crawl",
 ]
 
 

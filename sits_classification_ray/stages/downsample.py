@@ -167,3 +167,85 @@ def time_weighted_avg(ds_long: rd.Dataset, unit: str = "day",
     from sits_classification_ray.stages.shuffle import partitioned_map
 
     return partitioned_map(ds_long, kernel, url_col="url")
+
+
+def sdt_indices(t: np.ndarray, v: np.ndarray,
+                comp_dev: float) -> np.ndarray:
+    """Swinging-Door-Trending selection for one series sorted by t:
+    indices of the archived points. The classic process-historian
+    compressor (Bristol 1990, as deployed in OSIsoft PI): a point is
+    skipped while SOME line from the last ARCHIVED point can still
+    pass within ``comp_dev`` of every skipped point — tracked as a
+    pair of slope "doors" that only narrow; when they cross, the
+    previous point is archived and the doors reset.
+
+    Reconstruction guarantee: the archived chord is within
+    ``2·comp_dev`` of every dropped point (the witness line is within
+    ``comp_dev``, and the chord endpoint is within ``comp_dev`` of the
+    witness — the classic factor-2 bound; pass ``comp_dev = tol/2``
+    for a strict ``tol``). First and last points are always
+    archived."""
+    n = len(t)
+    if n <= 2:
+        return np.arange(n, dtype=np.int64)
+    out = [0]
+    a = 0                      # last archived index
+    u = np.inf                 # running min upper-door slope
+    lo = -np.inf               # running max lower-door slope
+    for i in range(1, n):
+        dt = float(t[i] - t[a])
+        if dt <= 0:
+            continue
+        su = (v[i] - v[a] + comp_dev) / dt
+        sl = (v[i] - v[a] - comp_dev) / dt
+        u = min(u, su)
+        lo = max(lo, sl)
+        if lo > u:
+            # doors crossed: archive the previous point, restart
+            a = i - 1
+            out.append(a)
+            dt = float(t[i] - t[a])
+            u = (v[i] - v[a] + comp_dev) / dt
+            lo = (v[i] - v[a] - comp_dev) / dt
+    if out[-1] != n - 1:
+        out.append(n - 1)
+    return np.asarray(out, dtype=np.int64)
+
+
+def sdt_downsample(ds_long: rd.Dataset, comp_dev: float = 5.0
+                   ) -> rd.Dataset:
+    """Swinging-door compression per (url, metric) series: archive
+    only the points needed to reconstruct the series within
+    ``comp_dev`` by linear interpolation. Output: the archived points
+    ``(url, metric, warc_ts, value, pos)`` where ``pos`` is the
+    archived point's 0-based position in its source series (lossless
+    provenance for the reconstruct/verify step).
+
+    Scale shape: per-series kernel on the bucket-major salted url
+    exchange (``partitioned_map``), identical to LTTB — output bounded
+    by the series' information content, not its length."""
+    from sits_classification_ray.stages.shuffle import partitioned_map
+
+    def kernel(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["url", "metric", "warc_ts"],
+                            kind="mergesort")
+        parts = []
+        for (u, m), g in df.groupby(["url", "metric"], sort=False):
+            t = g["warc_ts"].to_numpy("datetime64[us]").astype(np.int64)
+            v = g["value"].to_numpy(np.float64)
+            idx = sdt_indices(t, v, comp_dev)
+            parts.append(pd.DataFrame({
+                "url": u, "metric": m,
+                "warc_ts": g["warc_ts"].to_numpy()[idx],
+                "value": v[idx], "pos": idx}))
+        cols = ["url", "metric", "warc_ts", "value", "pos"]
+        if not parts:
+            return pd.DataFrame(columns=cols)
+        return pd.concat(parts, ignore_index=True)[cols]
+
+    import pyarrow as pa
+    schema = pa.schema([("url", pa.string()), ("metric", pa.string()),
+                        ("warc_ts", pa.timestamp("us")),
+                        ("value", pa.float64()), ("pos", pa.int64())])
+    return partitioned_map(ds_long, kernel, url_col="url",
+                           out_schema=schema)

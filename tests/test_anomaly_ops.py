@@ -547,3 +547,28 @@ def test_ts_kmeans_separates_shapes():
     ramps = {lbl[f"u{s}"] for s in range(0, 8, 2)}
     alts = {lbl[f"u{s}"] for s in range(1, 8, 2)}
     assert len(ramps) == 1 and len(alts) == 1 and ramps != alts
+
+
+def test_sdt_reconstruction_within_comp_dev():
+    from sits_classification_ray.stages.downsample import sdt_indices
+    rng = np.random.default_rng(5)
+    for trial in range(20):
+        n = int(rng.integers(3, 120))
+        t = np.sort(rng.choice(np.arange(1, 5000), n, replace=False)
+                    ).astype(np.int64)
+        v = np.cumsum(rng.normal(0, 3, n))
+        dev = 4.0
+        idx = sdt_indices(t, v, dev)
+        assert idx[0] == 0 and idx[-1] == n - 1
+        recon = np.interp(t.astype(float), t[idx].astype(float), v[idx])
+        # SDT factor-2 bound: every dropped point within 2*comp_dev
+        # of the chord between its surrounding archived points
+        assert np.max(np.abs(recon - v)) <= 2 * dev + 1e-9
+
+
+def test_sdt_compresses_linear_series_to_endpoints():
+    from sits_classification_ray.stages.downsample import sdt_indices
+    t = np.arange(50, dtype=np.int64) * 100
+    v = 2.5 * np.arange(50, dtype=np.float64)
+    idx = sdt_indices(t, v, 0.5)
+    assert list(idx) == [0, 49]
