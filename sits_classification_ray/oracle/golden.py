@@ -2474,3 +2474,53 @@ def sdt_downsample_crawl(obs_long: pd.DataFrame,
                          "value": v[p], "pos": np.int64(p)})
     return pd.DataFrame(rows)[["url", "metric", "warc_ts", "value",
                                "pos"]]
+
+
+def _dtw_full_matrix(x: np.ndarray, tpl: np.ndarray) -> float:
+    """Independent scalar DTW: full (n+1)×(L+1) matrix DP (the
+    textbook formulation, vs the engine's rolling-row variant)."""
+    n, L = len(x), len(tpl)
+    D = np.full((n + 1, L + 1), np.inf)
+    D[0, 0] = 0.0
+    for i in range(1, n + 1):
+        for j in range(1, L + 1):
+            c = abs(x[i - 1] - tpl[j - 1])
+            D[i, j] = c + min(D[i - 1, j], D[i, j - 1],
+                              D[i - 1, j - 1])
+    return float(D[n, L])
+
+
+def dtw_classify_crawl(obs_long: pd.DataFrame, min_days: int = 8
+                       ) -> pd.DataFrame:
+    """Twin of the nearest-template DTW classifier over daily means."""
+    from sits_classification_ray.stages.stm import _dtw_templates
+
+    tpls = sorted(_dtw_templates().items())
+    df = obs_long.copy()
+    df["day"] = (df["warc_ts"].to_numpy().astype("datetime64[D]")
+                 .astype("datetime64[us]"))
+    daily = (df.groupby(["url", "metric", "day"], as_index=False)
+             ["value"].mean().rename(columns={"value": "v"})
+             .sort_values(["url", "metric", "day"]))
+    rows = []
+    for (u, m), g in daily.groupby(["url", "metric"], sort=False):
+        v = g["v"].to_numpy(np.float64)
+        n = len(v)
+        if n < min_days:
+            continue
+        mu = v.mean()
+        sd = np.sqrt(((v - mu) ** 2).mean())
+        if sd <= 0:
+            continue
+        z = (v - mu) / sd
+        best_name, best_d = None, np.inf
+        for name, tpl in tpls:
+            d = _dtw_full_matrix(z, tpl) / n
+            if d < best_d:
+                best_name, best_d = name, d
+        rows.append({"url": u, "metric": m, "n_days": np.int64(n),
+                     "best_template": best_name,
+                     "dtw_dist": float(_sql_round_arr(
+                         np.array([best_d]))[0]) + 0.0})
+    return pd.DataFrame(rows)[["url", "metric", "n_days",
+                               "best_template", "dtw_dist"]]

@@ -1403,6 +1403,14 @@ def _ts_features_crawl(sf_dir: str) -> rd.Dataset:
     return ts_features(_obs_long(sf_dir))
 
 
+def _dtw_classify_crawl(sf_dir: str) -> rd.Dataset:
+    """Nearest-template DTW classification of each daily series
+    (elastic matching — golden twin via independent full-matrix DP)."""
+    from sits_classification_ray.stages.stm import dtw_classify
+
+    return dtw_classify(_obs_long(sf_dir))
+
+
 def _sdt_downsample_crawl(sf_dir: str) -> rd.Dataset:
     """Swinging-door compression per series (historian compressor;
     golden scalar twin — sequential doors, not SQL-expressible)."""
@@ -4130,6 +4138,7 @@ def build_queries() -> dict[str, Callable[[str], Any]]:
         "ts_kmeans_crawl": _ts_kmeans_crawl,
         "change_rate_crawl": _change_rate_crawl,
         "sdt_downsample_crawl": _sdt_downsample_crawl,
+        "dtw_classify_crawl": _dtw_classify_crawl,
         "mad_anomaly_crawl": _mad_anomaly_crawl,
         "time_weighted_avg_crawl": _time_weighted_avg_crawl,
         "unigram_logprob_documents": _unigram_logprob_documents,
@@ -4363,7 +4372,7 @@ GOLDEN_QUERIES = [
     "srp_near_dup_embeddings", "weighted_sample_documents",
     "cms_heavy_domains_crawl", "kmv_overlap_weeks",
     "pagerank_domains_crawl", "hits_domains_crawl",
-    "ts_kmeans_crawl", "sdt_downsample_crawl",
+    "ts_kmeans_crawl", "sdt_downsample_crawl", "dtw_classify_crawl",
 ]
 
 

@@ -1124,3 +1124,111 @@ def ts_kmeans(ds_long: rd.Dataset, k: int = 5, iterations: int = 4,
                              .astype(np.int64)})
 
     return fds.map_batches(assign, batch_format="pandas")
+
+
+#: DTW template shapes, length 16, z-normalized at module import —
+#: the canonical temporal archetypes (reference analog: phenology
+#: reference profiles a SITS pixel series is matched against).
+def _dtw_templates() -> "dict[str, np.ndarray]":
+    L = 16
+    t = np.arange(L, dtype=np.float64)
+    raw = {
+        "ramp_up": t.copy(),
+        "ramp_down": -t,
+        "peak": np.minimum(t, L - 1 - t),
+        "step": np.where(t < L / 2, 0.0, 1.0),
+        "wave": np.sin(2.0 * np.pi * t / 8.0),
+    }
+    out = {}
+    for k, v in raw.items():
+        mu = v.mean()
+        sd = np.sqrt(((v - mu) ** 2).mean())
+        out[k] = (v - mu) / sd
+    return out
+
+
+def dtw_distance(x: np.ndarray, tpl: np.ndarray) -> float:
+    """Unconstrained DTW with absolute-difference local cost — the
+    classic O(n·L) band-free DP. Row-vectorized: per input step the
+    ``min(D[i-1,j], D[i-1,j-1])`` term is one numpy minimum over the
+    (short, fixed-length) template axis; only the in-row running min
+    is sequential."""
+    L = len(tpl)
+    prev = np.full(L, np.inf)
+    # first row: cumulative cost along the template
+    prev[0] = abs(x[0] - tpl[0])
+    for j in range(1, L):
+        prev[j] = prev[j - 1] + abs(x[0] - tpl[j])
+    for i in range(1, len(x)):
+        c = np.abs(x[i] - tpl)
+        diag_up = np.empty(L)
+        diag_up[0] = prev[0]
+        np.minimum(prev[1:], prev[:-1], out=diag_up[1:])
+        r = np.empty(L)
+        r[0] = c[0] + prev[0]
+        for j in range(1, L):
+            r[j] = c[j] + min(diag_up[j], r[j - 1])
+        prev = r
+    return float(prev[-1])
+
+
+def dtw_classify(ds_long: rd.Dataset, min_days: int = 8,
+                 round_to: int = 6) -> rd.Dataset:
+    """Nearest-template DTW classification of each daily series — the
+    SITS-classification move itself (match a pixel/url history against
+    reference temporal profiles; reference analog: the per-pixel
+    classifier of ``pytorch/predict.py``, re-expressed as elastic
+    template matching).
+
+    Per (url, metric) with ≥ ``min_days`` daily means: z-normalize
+    (population σ; constant series are dropped — no shape), DTW
+    against the five canonical templates, emit distances and the
+    argmin label (ties break by template-name ASC via the sorted
+    iteration order). Output: ``(url, metric, n_days, best_template,
+    dtw_dist)`` with the distance normalized by path-free series
+    length ``n`` then rounded.
+
+    Scale shape: templates are O(1) module constants shipped in the
+    kernel closure; everything else is the standard bucket-major
+    per-series kernel on the salted url exchange."""
+    from sits_classification_ray.functions.transforms import sql_round
+    from sits_classification_ray.stages.shuffle import partitioned_map
+
+    tpls = sorted(_dtw_templates().items())
+
+    def kernel(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["url", "metric", "day"], kind="mergesort")
+        rows = []
+        for (u, m), g in df.groupby(["url", "metric"], sort=False):
+            v = g["v"].to_numpy(np.float64)
+            n = len(v)
+            if n < min_days:
+                continue
+            mu = v.mean()
+            sd = np.sqrt(((v - mu) ** 2).mean())
+            if sd <= 0:
+                continue
+            z = (v - mu) / sd
+            best_name, best_d = None, np.inf
+            for name, tpl in tpls:
+                d = dtw_distance(z, tpl) / n
+                if d < best_d:
+                    best_name, best_d = name, d
+            rows.append({"url": u, "metric": m, "n_days": np.int64(n),
+                         "best_template": best_name,
+                         "dtw_dist": best_d})
+        cols = ["url", "metric", "n_days", "best_template", "dtw_dist"]
+        if not rows:
+            return pd.DataFrame(columns=cols)
+        out = pd.DataFrame(rows)[cols]
+        out["dtw_dist"] = sql_round(
+            out["dtw_dist"].to_numpy(np.float64), round_to) + 0.0
+        return out
+
+    import pyarrow as pa
+    schema = pa.schema([("url", pa.string()), ("metric", pa.string()),
+                        ("n_days", pa.int64()),
+                        ("best_template", pa.string()),
+                        ("dtw_dist", pa.float64())])
+    return partitioned_map(daily_means(ds_long), kernel, url_col="url",
+                           out_schema=schema)

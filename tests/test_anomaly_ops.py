@@ -572,3 +572,37 @@ def test_sdt_compresses_linear_series_to_endpoints():
     v = 2.5 * np.arange(50, dtype=np.float64)
     idx = sdt_indices(t, v, 0.5)
     assert list(idx) == [0, 49]
+
+
+def test_dtw_distance_matches_full_matrix():
+    from sits_classification_ray.oracle.golden import _dtw_full_matrix
+    from sits_classification_ray.stages.stm import dtw_distance
+    rng = np.random.default_rng(9)
+    for _ in range(25):
+        x = rng.normal(size=int(rng.integers(2, 60)))
+        tpl = rng.normal(size=16)
+        assert dtw_distance(x, tpl) == _dtw_full_matrix(x, tpl)
+    # identical sequences: zero distance
+    t = np.arange(16, dtype=np.float64)
+    assert dtw_distance(t, t) == 0.0
+
+
+def test_dtw_classify_labels_obvious_shapes():
+    from sits_classification_ray.stages.stm import dtw_classify
+    rows = []
+    shapes = {"r_up": np.linspace(0, 100, 40),
+              "r_down": np.linspace(100, 0, 40),
+              "pk": np.concatenate([np.linspace(0, 50, 20),
+                                    np.linspace(50, 0, 20)])}
+    for u, v in shapes.items():
+        for i, val in enumerate(v):
+            rows.append((u, (i + 1) * D, float(val)))
+    df = pd.DataFrame(rows, columns=["url", "warc_ts", "value"])
+    df["warc_ts"] = pd.to_datetime(df["warc_ts"], unit="us")
+    df["metric"] = "m"
+    df["url_bucket"] = np.uint32(1)
+    out = (dtw_classify(rd.from_pandas(df)).to_pandas()
+           .set_index("url")["best_template"])
+    assert out["r_up"] == "ramp_up"
+    assert out["r_down"] == "ramp_down"
+    assert out["pk"] == "peak"

@@ -157,6 +157,8 @@ def make_for(sf_dir: str, only: set[str] | None = None) -> None:
             lambda: golden.ts_kmeans_crawl(obs_long, k=5, iterations=4),
         "sdt_downsample_crawl":
             lambda: golden.sdt_downsample_crawl(obs_long, comp_dev=5.0),
+        "dtw_classify_crawl":
+            lambda: golden.dtw_classify_crawl(obs_long),
         "srp_near_dup_embeddings":
             lambda: golden.srp_near_dup_embeddings(emb),
         "semdedup_embeddings":
