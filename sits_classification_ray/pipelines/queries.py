@@ -1403,6 +1403,18 @@ def _ts_features_crawl(sf_dir: str) -> rd.Dataset:
     return ts_features(_obs_long(sf_dir))
 
 
+def _crawl_budget_domains(sf_dir: str) -> rd.Dataset:
+    """Largest-remainder recrawl-budget allocation per domain from the
+    Poisson change-rate estimates (integer micro-unit λ sums; SQL
+    window twin)."""
+    from sits_classification_ray.stages.series import (change_rate,
+                                                       crawl_budget)
+
+    ds = assemble_series(
+        extract(crawl_from_tables(sf_dir), CFG, keep_text=True), CFG)
+    return crawl_budget(change_rate(ds), _DOMAIN_RE, budget=10000)
+
+
 def _dtw_classify_crawl(sf_dir: str) -> rd.Dataset:
     """Nearest-template DTW classification of each daily series
     (elastic matching — golden twin via independent full-matrix DP)."""
@@ -4139,6 +4151,7 @@ def build_queries() -> dict[str, Callable[[str], Any]]:
         "change_rate_crawl": _change_rate_crawl,
         "sdt_downsample_crawl": _sdt_downsample_crawl,
         "dtw_classify_crawl": _dtw_classify_crawl,
+        "crawl_budget_domains": _crawl_budget_domains,
         "mad_anomaly_crawl": _mad_anomaly_crawl,
         "time_weighted_avg_crawl": _time_weighted_avg_crawl,
         "unigram_logprob_documents": _unigram_logprob_documents,
@@ -5370,6 +5383,37 @@ SELECT url, n_intervals, n_changes,
        CASE WHEN n_changes > 0 THEN round(1.0 / lam_day, 6) + 0.0
             END AS recrawl_days
 FROM agg""",
+        "crawl_budget_domains": f"""{CRAWL_PREFIX},
+ch AS MATERIALIZED (
+  SELECT url, warc_ts,
+         CASE WHEN text <> lag(text) OVER w THEN 1 ELSE 0 END AS chg,
+         CASE WHEN lag(text) OVER w IS NULL THEN 0 ELSE 1 END AS hasprev
+  FROM obs WINDOW w AS (PARTITION BY url ORDER BY warc_ts)),
+rates AS MATERIALIZED (
+  SELECT url,
+         -ln((sum(hasprev) - sum(chg) + 0.5) / (sum(hasprev) + 0.5))
+             / (((epoch_us(max(warc_ts)) - epoch_us(min(warc_ts)))
+                 / 1000000.0) / sum(hasprev)) * 86400.0 AS lam_day
+  FROM ch GROUP BY url),
+agg AS MATERIALIZED (
+  SELECT regexp_extract(url, '^[a-z]+://([^/]+)', 1) AS domain,
+         count(*) AS n_urls,
+         CAST(sum(CAST(round(round(lam_day, 6) * 1000000.0)
+                       AS BIGINT)) AS BIGINT) AS lam_micro
+  FROM rates GROUP BY 1),
+tot AS (SELECT sum(lam_micro) AS t FROM agg),
+ideal AS MATERIALIZED (
+  SELECT domain, n_urls, lam_micro,
+         floor(CAST(lam_micro * 10000 AS DOUBLE) / t) AS fl,
+         CAST(lam_micro * 10000 AS DOUBLE) / t
+             - floor(CAST(lam_micro * 10000 AS DOUBLE) / t) AS frac
+  FROM agg, tot),
+rem AS (SELECT 10000 - CAST(sum(fl) AS BIGINT) AS r FROM ideal)
+SELECT domain, n_urls, lam_micro,
+       CAST(fl AS BIGINT)
+       + CASE WHEN row_number() OVER (ORDER BY frac DESC, domain) <= r
+              THEN 1 ELSE 0 END AS quota
+FROM ideal, rem""",
         "anchor_text_rollup_crawl": f"""WITH {CRAWL_CTE},
 links AS MATERIALIZED (
   SELECT c.url,

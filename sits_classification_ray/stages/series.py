@@ -150,3 +150,71 @@ def change_rate(ds: rd.Dataset, url_col: str = "url",
         ("recrawl_days", pa.float64())])
     return partitioned_map(hashed, kernel, url_col=url_col,
                            out_schema=schema)
+
+
+def crawl_budget(rates: rd.Dataset, domain_pattern: str,
+                 budget: int = 10000) -> rd.Dataset:
+    """Per-domain recrawl budget allocation from the
+    :func:`change_rate` estimates — the scheduling step of the crawl
+    loop: each domain's share of a fixed snapshot budget is
+    proportional to its expected change volume Σλ, integerized by the
+    largest-remainder (Hamilton) method so quotas sum exactly to
+    ``budget``.
+
+    Numeric contract: λ/day is converted to exact integer micro-units
+    (``round(λ·1e6)``) BEFORE any aggregation, so every sum is
+    order-free integer arithmetic; the only float op is the single
+    shared division ``lam·B/total`` — bit-identical on the engine and
+    the SQL twin. Ties in the fractional remainder break by domain
+    ASC.
+
+    Scale shape: url→domain rollup is one distributed groupby; the
+    driver sees two O(1) scalars (total λ, floor-sum); the remainder
+    ranking is the O(B)-driver ``global_rank`` construction over the
+    domain table — nothing driver-side scales with domains."""
+    import numpy as np
+
+    from ray.data.aggregate import Count, Sum
+    from sits_classification_ray.stages.scan_sorted import global_rank
+
+    def proj(df: pd.DataFrame) -> pd.DataFrame:
+        lam = df["lambda_per_day"].to_numpy(np.float64)
+        return pd.DataFrame({
+            "domain": df["url"].str.extract(domain_pattern,
+                                            expand=False),
+            "lam_micro": np.floor(lam * 1000000.0 + 0.5)
+            .astype(np.int64),
+        })
+
+    agg = (rates.map_batches(proj, batch_format="pandas")
+           .groupby("domain")
+           .aggregate(Count(alias_name="n_urls"),
+                      Sum("lam_micro", alias_name="lam_micro")))
+    total = agg.sum("lam_micro")
+    if not total:
+        return agg.map_batches(
+            lambda df: df.assign(quota=np.int64(0)),
+            batch_format="pandas")
+
+    def ideal(df: pd.DataFrame) -> pd.DataFrame:
+        lm = df["lam_micro"].to_numpy(np.int64)
+        x = (lm * budget).astype(np.float64) / float(total)
+        fl = np.floor(x)
+        return df.assign(_fl=fl.astype(np.int64), _negfrac=-(x - fl))
+
+    idl = agg.map_batches(ideal, batch_format="pandas").materialize()
+    rem = budget - int(idl.sum("_fl"))
+    ranked = global_rank(idl, ["_negfrac", "domain"], out_rn="_rn",
+                         out_pct="_pct")
+
+    def fin(df: pd.DataFrame) -> pd.DataFrame:
+        quota = (df["_fl"].to_numpy(np.int64)
+                 + (df["_rn"].to_numpy(np.int64) <= rem)
+                 .astype(np.int64))
+        return pd.DataFrame({
+            "domain": df["domain"].to_numpy(),
+            "n_urls": df["n_urls"].to_numpy(np.int64),
+            "lam_micro": df["lam_micro"].to_numpy(np.int64),
+            "quota": quota})
+
+    return ranked.map_batches(fin, batch_format="pandas")

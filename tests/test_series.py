@@ -79,3 +79,37 @@ def test_change_rate_known_series():
     r2 = out.loc["u2"]
     assert r2["n_changes"] == 0 and r2["lambda_per_day"] == 0.0
     assert np.isnan(r2["recrawl_days"])
+
+
+def test_crawl_budget_quotas_sum_to_budget_and_follow_lambda():
+    import ray.data as rd
+
+    from sits_classification_ray.stages.series import crawl_budget
+
+    # synthetic change_rate output: domains with known lambda shares
+    rates = pd.DataFrame({
+        "url": [f"http://d{i % 4}.ex/p{i}" for i in range(20)],
+        "lambda_per_day": [float(i % 4) + 0.25 for i in range(20)],
+    })
+    out = (crawl_budget(rd.from_pandas(rates), r"^[a-z]+://([^/]+)",
+                        budget=1000).to_pandas()
+           .sort_values("domain").reset_index(drop=True))
+    assert out["quota"].sum() == 1000
+    assert out["n_urls"].sum() == 20
+    # quotas ordered like the lambda sums
+    assert (out.sort_values("lam_micro")["quota"].is_monotonic_increasing)
+    # proportionality within 1 unit (largest remainder property)
+    share = out["lam_micro"] / out["lam_micro"].sum() * 1000
+    assert (np.abs(out["quota"] - share) <= 1.0 + 1e-9).all()
+
+
+def test_crawl_budget_all_zero_lambda():
+    import ray.data as rd
+
+    from sits_classification_ray.stages.series import crawl_budget
+
+    rates = pd.DataFrame({"url": ["http://a.ex/1", "http://b.ex/2"],
+                          "lambda_per_day": [0.0, 0.0]})
+    out = crawl_budget(rd.from_pandas(rates), r"^[a-z]+://([^/]+)",
+                       budget=100).to_pandas()
+    assert (out["quota"] == 0).all()
