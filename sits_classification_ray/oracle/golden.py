@@ -2524,3 +2524,40 @@ def dtw_classify_crawl(obs_long: pd.DataFrame, min_days: int = 8
                          np.array([best_d]))[0]) + 0.0})
     return pd.DataFrame(rows)[["url", "metric", "n_days",
                                "best_template", "dtw_dist"]]
+
+
+def snapshot_novelty_crawl(obs: pd.DataFrame, shingle_k: int = 8
+                           ) -> pd.DataFrame:
+    """Twin of the consecutive-snapshot novelty rate: Python-set
+    shingle membership over the scalar Horner polynomial hashes."""
+    def hset(t: str) -> set:
+        data = (t or "").encode()
+        if not data:
+            return {0}
+        span = min(shingle_k, len(data))
+        out = set()
+        for i in range(max(1, len(data) - shingle_k + 1)):
+            h = 0
+            for byte in data[i:i + span]:
+                h = (h * 1099511628211 + byte) % (1 << 64)
+            out.add(h & ((1 << 61) - 1))
+        return out
+
+    rows = []
+    srt = obs.sort_values(["url", "warc_ts"])
+    for u, g in srt.groupby("url", sort=False):
+        ts = g["warc_ts"].to_numpy()
+        texts = g["text"].tolist()
+        prev = None
+        for i, t in enumerate(texts):
+            cur = hset(t)
+            if prev is not None:
+                novel = len(cur - prev) / len(cur)
+                rows.append({
+                    "url": u, "warc_ts": ts[i], "prev_ts": ts[i - 1],
+                    "n_shingles": np.int64(len(cur)),
+                    "novel_frac": float(_sql_round_arr(
+                        np.array([novel]))[0]) + 0.0})
+            prev = cur
+    return pd.DataFrame(rows)[["url", "warc_ts", "prev_ts",
+                               "n_shingles", "novel_frac"]]

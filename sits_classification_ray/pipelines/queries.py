@@ -1403,6 +1403,16 @@ def _ts_features_crawl(sf_dir: str) -> rd.Dataset:
     return ts_features(_obs_long(sf_dir))
 
 
+def _snapshot_novelty_crawl(sf_dir: str) -> rd.Dataset:
+    """Exact shingle novelty between consecutive snapshots per url
+    (golden twin via Python-set membership)."""
+    from sits_classification_ray.stages.dedup_docs import snapshot_novelty
+
+    ds = assemble_series(
+        extract(crawl_from_tables(sf_dir), CFG, keep_text=True), CFG)
+    return snapshot_novelty(ds, shingle_k=8)
+
+
 def _crawl_budget_domains(sf_dir: str) -> rd.Dataset:
     """Largest-remainder recrawl-budget allocation per domain from the
     Poisson change-rate estimates (integer micro-unit λ sums; SQL
@@ -4152,6 +4162,7 @@ def build_queries() -> dict[str, Callable[[str], Any]]:
         "sdt_downsample_crawl": _sdt_downsample_crawl,
         "dtw_classify_crawl": _dtw_classify_crawl,
         "crawl_budget_domains": _crawl_budget_domains,
+        "snapshot_novelty_crawl": _snapshot_novelty_crawl,
         "mad_anomaly_crawl": _mad_anomaly_crawl,
         "time_weighted_avg_crawl": _time_weighted_avg_crawl,
         "unigram_logprob_documents": _unigram_logprob_documents,
@@ -4386,6 +4397,7 @@ GOLDEN_QUERIES = [
     "cms_heavy_domains_crawl", "kmv_overlap_weeks",
     "pagerank_domains_crawl", "hits_domains_crawl",
     "ts_kmeans_crawl", "sdt_downsample_crawl", "dtw_classify_crawl",
+    "snapshot_novelty_crawl",
 ]
 
 

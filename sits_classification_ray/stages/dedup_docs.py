@@ -1317,3 +1317,73 @@ def trim_dup_spans(ds: rd.Dataset, k: int = 3, id_col: str = "doc_id",
 
     return partitioned_map(unioned, kernel, keys=["__k"],
                            num_partitions=num_partitions)
+
+
+def snapshot_novelty(ds: rd.Dataset, url_col: str = "url",
+                     ts_col: str = "warc_ts", text_col: str = "text",
+                     shingle_k: int = 8, round_to: int = 6
+                     ) -> rd.Dataset:
+    """Exact content-novelty rate between consecutive snapshots of a
+    url: the fraction of the newer snapshot's distinct byte-shingle
+    hashes absent from its predecessor — the precise complement to
+    :func:`simhash_drift` (hamming drift estimates change magnitude;
+    this measures it exactly). The web-archive "how much of this page
+    is new text?" primitive.
+
+    Scale shape: each snapshot is reduced to its sorted distinct
+    61-bit shingle-hash array BEFORE the url exchange (list column —
+    payload ≈ one u64 per distinct shingle, smaller than the text);
+    the per-url kernel walks consecutive pairs with
+    ``np.searchsorted`` membership (no Python sets). One row per
+    snapshot with a predecessor: ``(url, warc_ts, prev_ts,
+    n_shingles, novel_frac)``."""
+    from sits_classification_ray.functions.transforms import sql_round
+    from sits_classification_ray.stages.shuffle import partitioned_map
+
+    def to_shingles(df: pd.DataFrame) -> pd.DataFrame:
+        sh = [shingle_hashes(
+            np.frombuffer(t.encode("utf-8", "surrogatepass"),
+                          dtype=np.uint8).astype(np.uint64),
+            shingle_k)
+            for t in df[text_col].astype(str)]
+        return pd.DataFrame({url_col: df[url_col].to_numpy(),
+                             ts_col: df[ts_col].to_numpy(),
+                             "sh": sh})
+
+    shingled = ds.map_batches(to_shingles, batch_format="pandas")
+
+    def kernel(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values([url_col, ts_col], kind="mergesort")
+        urls = df[url_col].to_numpy()
+        ts = df[ts_col].to_numpy()
+        sh = df["sh"].to_numpy(object)
+        rows = []
+        for i in range(1, len(df)):
+            if urls[i] != urls[i - 1]:
+                continue
+            cur = np.asarray(sh[i], dtype=np.uint64)
+            prev = np.asarray(sh[i - 1], dtype=np.uint64)
+            pos = np.searchsorted(prev, cur)
+            pos[pos == len(prev)] = 0
+            known = prev[pos] == cur if len(prev) else \
+                np.zeros(len(cur), dtype=bool)
+            rows.append({url_col: urls[i], ts_col: ts[i],
+                         "prev_ts": ts[i - 1],
+                         "n_shingles": np.int64(len(cur)),
+                         "novel_frac": float((~known).sum()) / len(cur)})
+        cols = [url_col, ts_col, "prev_ts", "n_shingles", "novel_frac"]
+        if not rows:
+            return pd.DataFrame(columns=cols)
+        out = pd.DataFrame(rows)[cols]
+        out["novel_frac"] = sql_round(
+            out["novel_frac"].to_numpy(np.float64), round_to) + 0.0
+        return out
+
+    import pyarrow as pa
+    schema = pa.schema([(url_col, pa.string()),
+                        (ts_col, pa.timestamp("us")),
+                        ("prev_ts", pa.timestamp("us")),
+                        ("n_shingles", pa.int64()),
+                        ("novel_frac", pa.float64())])
+    return partitioned_map(shingled, kernel, url_col=url_col,
+                           out_schema=schema)

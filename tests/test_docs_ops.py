@@ -998,3 +998,34 @@ def test_gopher_rules_flags_each_violation(ray_session):
     assert out.loc[2, "r_wordcount"] == 0 and out.loc[2, "passes"] == 0
     assert out.loc[3, "r_meanlen"] == 0 and out.loc[3, "passes"] == 0
     assert out.loc[4, "r_stop"] == 0 and out.loc[4, "passes"] == 0
+
+
+def test_snapshot_novelty_known_edits():
+    import ray.data as rd
+
+    from sits_classification_ray.stages.dedup_docs import snapshot_novelty
+
+    H = 3_600_000_000
+    rows = [
+        ("u", 1 * H, "the quick brown fox jumps over the lazy dog"),
+        # identical -> novelty 0
+        ("u", 2 * H, "the quick brown fox jumps over the lazy dog"),
+        # completely different -> novelty 1
+        ("u", 3 * H, "zzzzzzzzzzzzzzzzzzzzzzzzzzzzzzzzzzzzzzzz"),
+    ]
+    df = pd.DataFrame(rows, columns=["url", "warc_ts", "text"])
+    df["warc_ts"] = pd.to_datetime(df["warc_ts"], unit="us")
+    df["url_bucket"] = np.uint32(1)
+    out = (snapshot_novelty(rd.from_pandas(df)).to_pandas()
+           .sort_values("warc_ts").reset_index(drop=True))
+    assert len(out) == 2
+    assert out.loc[0, "novel_frac"] == 0.0
+    assert out.loc[1, "novel_frac"] == 1.0
+    # partial edit: appended sentence -> strictly between 0 and 1
+    rows2 = [("v", 1 * H, "alpha beta gamma delta epsilon zeta"),
+             ("v", 2 * H, "alpha beta gamma delta epsilon zeta eta theta")]
+    df2 = pd.DataFrame(rows2, columns=["url", "warc_ts", "text"])
+    df2["warc_ts"] = pd.to_datetime(df2["warc_ts"], unit="us")
+    df2["url_bucket"] = np.uint32(1)
+    out2 = snapshot_novelty(rd.from_pandas(df2)).to_pandas()
+    assert 0.0 < out2["novel_frac"].iloc[0] < 1.0

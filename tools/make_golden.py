@@ -159,6 +159,10 @@ def make_for(sf_dir: str, only: set[str] | None = None) -> None:
             lambda: golden.sdt_downsample_crawl(obs_long, comp_dev=5.0),
         "dtw_classify_crawl":
             lambda: golden.dtw_classify_crawl(obs_long),
+        "snapshot_novelty_crawl":
+            lambda: golden.snapshot_novelty_crawl(con.sql(
+                f"{CRAWL_PREFIX} SELECT url, warc_ts, text FROM obs"
+            ).df(), shingle_k=8),
         "srp_near_dup_embeddings":
             lambda: golden.srp_near_dup_embeddings(emb),
         "semdedup_embeddings":
