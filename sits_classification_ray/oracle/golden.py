@@ -2561,3 +2561,71 @@ def snapshot_novelty_crawl(obs: pd.DataFrame, shingle_k: int = 8
             prev = cur
     return pd.DataFrame(rows)[["url", "warc_ts", "prev_ts",
                                "n_shingles", "novel_frac"]]
+
+
+def shesd_anomalies_crawl(obs_long: pd.DataFrame, alpha: float = 0.05,
+                          max_frac: float = 0.1, min_days: int = 14
+                          ) -> pd.DataFrame:
+    """Scalar twin of the Seasonal-Hybrid ESD detector (same STL-lite
+    seasonal, same Acklam Φ⁻¹ critical values)."""
+    from sits_classification_ray.functions.transforms import norm_ppf
+
+    df = obs_long.copy()
+    df["day"] = (df["warc_ts"].to_numpy().astype("datetime64[D]")
+                 .astype("datetime64[us]"))
+    daily = (df.groupby(["url", "metric", "day"], as_index=False)
+             ["value"].mean().rename(columns={"value": "v"})
+             .sort_values(["url", "metric", "day"]))
+    rows = []
+    for (u, m), g in daily.groupby(["url", "metric"], sort=False):
+        v = g["v"].to_numpy(np.float64)
+        n = len(v)
+        if n < min_days:
+            continue
+        idx = np.arange(n)
+        lo = np.maximum(idx - 3, 0)
+        hi = np.minimum(idx + 3, n - 1)
+        cs = np.concatenate([[0.0], np.cumsum(v)])
+        trend = (cs[hi + 1] - cs[lo]) / (hi - lo + 1)
+        det = v - trend
+        dow = pd.DatetimeIndex(g["day"]).dayofweek.to_numpy()
+        seas = np.zeros(n)
+        for d in np.unique(dow):
+            msk = dow == d
+            seas[msk] = det[msk].mean()
+        resid = v - seas
+        resid = resid - np.median(resid)
+        k_max = max(1, int(np.floor(max_frac * n)))
+        remaining = np.ones(n, dtype=bool)
+        cand = []
+        for k in range(1, k_max + 1):
+            r = resid[remaining]
+            med = np.median(r)
+            mad = 1.4826 * np.median(np.abs(r - med))
+            if mad <= 0:
+                break
+            stat = np.where(remaining,
+                            np.abs(resid - med) / mad, -np.inf)
+            i_star = int(np.argmax(stat))
+            nk = int(remaining.sum())
+            z = float(norm_ppf(np.array(
+                [1.0 - alpha / (2.0 * nk)]))[0])
+            lam = (nk - 1) * z / np.sqrt((nk - 2 + z * z) * nk)
+            cand.append((i_star, float(stat[i_star]), float(lam)))
+            remaining[i_star] = False
+        k_star = 0
+        for k, (_, rk, lam) in enumerate(cand, start=1):
+            if rk > lam:
+                k_star = k
+        days = g["day"].to_numpy()
+        for rank, (i, rk, _) in enumerate(cand[:k_star], start=1):
+            rows.append({"url": u, "metric": m, "day": days[i],
+                         "value": float(_sql_round_arr(
+                             np.array([v[i]]))[0]) + 0.0,
+                         "esd_stat": float(_sql_round_arr(
+                             np.array([rk]))[0]) + 0.0,
+                         "anom_rank": np.int64(rank)})
+    cols = ["url", "metric", "day", "value", "esd_stat", "anom_rank"]
+    if not rows:
+        return pd.DataFrame(columns=cols)
+    return pd.DataFrame(rows)[cols]

@@ -1403,6 +1403,14 @@ def _ts_features_crawl(sf_dir: str) -> rd.Dataset:
     return ts_features(_obs_long(sf_dir))
 
 
+def _shesd_anomalies_crawl(sf_dir: str) -> rd.Dataset:
+    """Seasonal-Hybrid ESD anomalies per daily series (sequential
+    robust ESD — golden twin)."""
+    from sits_classification_ray.stages.stm import shesd_anomalies
+
+    return shesd_anomalies(_obs_long(sf_dir))
+
+
 def _snapshot_novelty_crawl(sf_dir: str) -> rd.Dataset:
     """Exact shingle novelty between consecutive snapshots per url
     (golden twin via Python-set membership)."""
@@ -4163,6 +4171,7 @@ def build_queries() -> dict[str, Callable[[str], Any]]:
         "dtw_classify_crawl": _dtw_classify_crawl,
         "crawl_budget_domains": _crawl_budget_domains,
         "snapshot_novelty_crawl": _snapshot_novelty_crawl,
+        "shesd_anomalies_crawl": _shesd_anomalies_crawl,
         "mad_anomaly_crawl": _mad_anomaly_crawl,
         "time_weighted_avg_crawl": _time_weighted_avg_crawl,
         "unigram_logprob_documents": _unigram_logprob_documents,
@@ -4397,7 +4406,7 @@ GOLDEN_QUERIES = [
     "cms_heavy_domains_crawl", "kmv_overlap_weeks",
     "pagerank_domains_crawl", "hits_domains_crawl",
     "ts_kmeans_crawl", "sdt_downsample_crawl", "dtw_classify_crawl",
-    "snapshot_novelty_crawl",
+    "snapshot_novelty_crawl", "shesd_anomalies_crawl",
 ]
 
 

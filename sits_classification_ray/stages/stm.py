@@ -1232,3 +1232,100 @@ def dtw_classify(ds_long: rd.Dataset, min_days: int = 8,
                         ("dtw_dist", pa.float64())])
     return partitioned_map(daily_means(ds_long), kernel, url_col="url",
                            out_schema=schema)
+
+
+def shesd_anomalies(ds_long: rd.Dataset, alpha: float = 0.05,
+                    max_frac: float = 0.1, min_days: int = 14,
+                    round_to: int = 6) -> rd.Dataset:
+    """Seasonal-Hybrid ESD anomaly detection per daily series
+    (Twitter AnomalyDetection, Hochenbaum/Vallis/Kejariwal 2017):
+    remove the day-of-week seasonal component and the series MEDIAN
+    (the "hybrid" — robust location), then run a generalized-ESD
+    outward test with median/MAD re-estimated after every removal, so
+    masked multi-anomaly clusters are found where one-shot z/MAD
+    screens saturate (:func:`mad_anomaly` is the one-shot variant).
+
+    Critical values use the Gaussian quantile (Acklam Φ⁻¹) in place of
+    the Student-t — the standard large-n approximation, documented and
+    mirrored bit-exactly by the golden twin. Up to
+    ``floor(max_frac·n)`` anomalies per series; the ESD rule flags the
+    first k* candidates where k* is the LARGEST k with R_k > λ_k.
+    Ties in the outward argmax break by earliest day.
+
+    Output: flagged rows ``(url, metric, day, value, esd_stat,
+    anom_rank)``. Scale shape: one Mean groupby to the daily grain +
+    one salted series exchange; the per-series loop is bounded by
+    ``max_frac·n`` iterations of O(n) numpy."""
+    from sits_classification_ray.functions.transforms import (norm_ppf,
+                                                              sql_round)
+    from sits_classification_ray.stages.shuffle import partitioned_map
+
+    def kernel(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["url", "metric", "day"], kind="mergesort")
+        rows = []
+        for (u, m), g in df.groupby(["url", "metric"], sort=False):
+            v = g["v"].to_numpy(np.float64)
+            n = len(v)
+            if n < min_days:
+                continue
+            # STL-lite seasonal (same construction as stl_decompose)
+            idx = np.arange(n)
+            h = 3
+            lo = np.maximum(idx - h, 0)
+            hi = np.minimum(idx + h, n - 1)
+            cs = np.concatenate([[0.0], np.cumsum(v)])
+            trend = (cs[hi + 1] - cs[lo]) / (hi - lo + 1)
+            det = v - trend
+            dow = pd.DatetimeIndex(g["day"]).dayofweek.to_numpy()
+            seas = np.zeros(n)
+            for d in np.unique(dow):
+                msk = dow == d
+                seas[msk] = det[msk].mean()
+            resid = v - seas
+            resid = resid - np.median(resid)
+            k_max = max(1, int(np.floor(max_frac * n)))
+            remaining = np.ones(n, dtype=bool)
+            cand = []
+            for k in range(1, k_max + 1):
+                r = resid[remaining]
+                med = np.median(r)
+                mad = 1.4826 * np.median(np.abs(r - med))
+                if mad <= 0:
+                    break
+                stat = np.where(remaining,
+                                np.abs(resid - med) / mad, -np.inf)
+                i_star = int(np.argmax(stat))
+                nk = int(remaining.sum())
+                p = 1.0 - alpha / (2.0 * nk)
+                z = float(norm_ppf(np.array([p]))[0])
+                lam = ((nk - 1) * z
+                       / np.sqrt((nk - 2 + z * z) * nk))
+                cand.append((i_star, float(stat[i_star]), float(lam)))
+                remaining[i_star] = False
+            k_star = 0
+            for k, (_, rk, lam) in enumerate(cand, start=1):
+                if rk > lam:
+                    k_star = k
+            days = g["day"].to_numpy()
+            for rank, (i, rk, _) in enumerate(cand[:k_star], start=1):
+                rows.append({"url": u, "metric": m, "day": days[i],
+                             "value": v[i], "esd_stat": rk,
+                             "anom_rank": np.int64(rank)})
+        cols = ["url", "metric", "day", "value", "esd_stat",
+                "anom_rank"]
+        if not rows:
+            return pd.DataFrame(columns=cols)
+        out = pd.DataFrame(rows)[cols]
+        for c in ("value", "esd_stat"):
+            out[c] = sql_round(out[c].to_numpy(np.float64),
+                               round_to) + 0.0
+        return out
+
+    import pyarrow as pa
+    schema = pa.schema([("url", pa.string()), ("metric", pa.string()),
+                        ("day", pa.timestamp("us")),
+                        ("value", pa.float64()),
+                        ("esd_stat", pa.float64()),
+                        ("anom_rank", pa.int64())])
+    return partitioned_map(daily_means(ds_long), kernel, url_col="url",
+                           out_schema=schema)

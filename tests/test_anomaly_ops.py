@@ -606,3 +606,29 @@ def test_dtw_classify_labels_obvious_shapes():
     assert out["r_up"] == "ramp_up"
     assert out["r_down"] == "ramp_down"
     assert out["pk"] == "peak"
+
+
+def test_shesd_finds_masked_anomaly_cluster():
+    from sits_classification_ray.stages.stm import shesd_anomalies
+    # 60 flat days with a weekly pattern + 3 big spikes close together
+    # (masking scenario: one-shot z-scores deflate when outliers
+    # inflate the std; sequential ESD should flag all three)
+    n = 60
+    v = 100.0 + np.tile([0., 1., 2., 1., 0., -1., -2.], 9)[:n]
+    v[20] += 60.0
+    v[21] += 55.0
+    v[40] += 70.0
+    ds = _long_ds(["u"] * n, v, ts=[(i + 1) * D for i in range(n)])
+    out = shesd_anomalies(ds).to_pandas()
+    days = ((out["day"] - np.datetime64(0, "us"))
+            / np.timedelta64(1, "D")).astype(int).tolist()
+    assert {21, 22, 41} <= set(days)
+    assert (out["anom_rank"] >= 1).all()
+
+
+def test_shesd_clean_series_no_anomalies():
+    from sits_classification_ray.stages.stm import shesd_anomalies
+    n = 40
+    v = 10.0 + np.tile([0., 0.5, 1.0, 0.5, 0., -0.5, -1.0], 6)[:n]
+    ds = _long_ds(["u"] * n, v, ts=[(i + 1) * D for i in range(n)])
+    assert shesd_anomalies(ds).count() == 0
