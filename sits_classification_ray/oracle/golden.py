@@ -2629,3 +2629,38 @@ def shesd_anomalies_crawl(obs_long: pd.DataFrame, alpha: float = 0.05,
     if not rows:
         return pd.DataFrame(columns=cols)
     return pd.DataFrame(rows)[cols]
+
+
+def periodogram_peak_crawl(obs_long: pd.DataFrame, min_days: int = 16
+                           ) -> pd.DataFrame:
+    """Twin of the periodogram cadence detector (same rFFT)."""
+    df = obs_long.copy()
+    df["day"] = (df["warc_ts"].to_numpy().astype("datetime64[D]")
+                 .astype("datetime64[us]"))
+    daily = (df.groupby(["url", "metric", "day"], as_index=False)
+             ["value"].mean().rename(columns={"value": "v"})
+             .sort_values(["url", "metric", "day"]))
+    rows = []
+    for (u, m), g in daily.groupby(["url", "metric"], sort=False):
+        v = g["v"].to_numpy(np.float64)
+        n = len(v)
+        if n < min_days:
+            continue
+        d = v - v.mean()
+        if not np.any(d):
+            continue
+        pw = (np.abs(np.fft.rfft(d)) ** 2)[1:]
+        total = pw.sum()
+        if total <= 0:
+            continue
+        k = int(np.argmax(pw)) + 1
+        rows.append({"url": u, "metric": m, "n_days": np.int64(n),
+                     "dom_period_days": float(_sql_round_arr(
+                         np.array([float(n) / k]))[0]) + 0.0,
+                     "power_frac": float(_sql_round_arr(
+                         np.array([float(pw[k - 1]) / total]))[0])
+                     + 0.0})
+    cols = ["url", "metric", "n_days", "dom_period_days", "power_frac"]
+    if not rows:
+        return pd.DataFrame(columns=cols)
+    return pd.DataFrame(rows)[cols]

@@ -1403,6 +1403,14 @@ def _ts_features_crawl(sf_dir: str) -> rd.Dataset:
     return ts_features(_obs_long(sf_dir))
 
 
+def _periodogram_peak_crawl(sf_dir: str) -> rd.Dataset:
+    """Dominant update cadence per daily series via the rFFT
+    periodogram peak (golden twin)."""
+    from sits_classification_ray.stages.stm import periodogram_peak
+
+    return periodogram_peak(_obs_long(sf_dir))
+
+
 def _shesd_anomalies_crawl(sf_dir: str) -> rd.Dataset:
     """Seasonal-Hybrid ESD anomalies per daily series (sequential
     robust ESD — golden twin)."""
@@ -4172,6 +4180,7 @@ def build_queries() -> dict[str, Callable[[str], Any]]:
         "crawl_budget_domains": _crawl_budget_domains,
         "snapshot_novelty_crawl": _snapshot_novelty_crawl,
         "shesd_anomalies_crawl": _shesd_anomalies_crawl,
+        "periodogram_peak_crawl": _periodogram_peak_crawl,
         "mad_anomaly_crawl": _mad_anomaly_crawl,
         "time_weighted_avg_crawl": _time_weighted_avg_crawl,
         "unigram_logprob_documents": _unigram_logprob_documents,
@@ -4407,6 +4416,7 @@ GOLDEN_QUERIES = [
     "pagerank_domains_crawl", "hits_domains_crawl",
     "ts_kmeans_crawl", "sdt_downsample_crawl", "dtw_classify_crawl",
     "snapshot_novelty_crawl", "shesd_anomalies_crawl",
+    "periodogram_peak_crawl",
 ]
 
 

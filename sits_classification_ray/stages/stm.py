@@ -1329,3 +1329,62 @@ def shesd_anomalies(ds_long: rd.Dataset, alpha: float = 0.05,
                         ("anom_rank", pa.int64())])
     return partitioned_map(daily_means(ds_long), kernel, url_col="url",
                            out_schema=schema)
+
+
+def periodogram_peak(ds_long: rd.Dataset, min_days: int = 16,
+                     round_to: int = 6) -> rd.Dataset:
+    """Dominant update cadence per daily series via the raw
+    periodogram: mean-center the daily means, take the rFFT power
+    spectrum, and report the non-DC peak as a period in days plus its
+    share of total spectral power — the "does this page update on a
+    weekly rhythm?" detector (reference analog: phenology periodicity
+    of a pixel series).
+
+    Determinism: numpy's rFFT on the same input bits is deterministic,
+    and the golden twin runs the identical transform; outputs are
+    rounded to 6. Ties in the peak (exactly equal power) break toward
+    the LOWER frequency (longer period) via argmax-first semantics.
+    Series with zero variance are dropped. Scale shape: standard
+    daily-grain Mean groupby + salted series exchange; FFT is
+    O(n log n) per series inside the partition kernel."""
+    from sits_classification_ray.functions.transforms import sql_round
+    from sits_classification_ray.stages.shuffle import partitioned_map
+
+    def kernel(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["url", "metric", "day"], kind="mergesort")
+        rows = []
+        for (u, m), g in df.groupby(["url", "metric"], sort=False):
+            v = g["v"].to_numpy(np.float64)
+            n = len(v)
+            if n < min_days:
+                continue
+            d = v - v.mean()
+            if not np.any(d):
+                continue
+            spec = np.abs(np.fft.rfft(d)) ** 2
+            pw = spec[1:]               # drop DC
+            total = pw.sum()
+            if total <= 0:
+                continue
+            k = int(np.argmax(pw)) + 1  # frequency index
+            rows.append({
+                "url": u, "metric": m, "n_days": np.int64(n),
+                "dom_period_days": float(n) / k,
+                "power_frac": float(pw[k - 1]) / total})
+        cols = ["url", "metric", "n_days", "dom_period_days",
+                "power_frac"]
+        if not rows:
+            return pd.DataFrame(columns=cols)
+        out = pd.DataFrame(rows)[cols]
+        for c in ("dom_period_days", "power_frac"):
+            out[c] = sql_round(out[c].to_numpy(np.float64),
+                               round_to) + 0.0
+        return out
+
+    import pyarrow as pa
+    schema = pa.schema([("url", pa.string()), ("metric", pa.string()),
+                        ("n_days", pa.int64()),
+                        ("dom_period_days", pa.float64()),
+                        ("power_frac", pa.float64())])
+    return partitioned_map(daily_means(ds_long), kernel, url_col="url",
+                           out_schema=schema)

@@ -632,3 +632,21 @@ def test_shesd_clean_series_no_anomalies():
     v = 10.0 + np.tile([0., 0.5, 1.0, 0.5, 0., -0.5, -1.0], 6)[:n]
     ds = _long_ds(["u"] * n, v, ts=[(i + 1) * D for i in range(n)])
     assert shesd_anomalies(ds).count() == 0
+
+
+def test_periodogram_detects_weekly_cadence():
+    from sits_classification_ray.stages.stm import periodogram_peak
+    n = 56  # 8 exact weeks
+    v = 50.0 + 10.0 * np.sin(2 * np.pi * np.arange(n) / 7.0)
+    ds = _long_ds(["u"] * n, v, ts=[(i + 1) * D for i in range(n)])
+    out = periodogram_peak(ds).to_pandas()
+    assert len(out) == 1
+    assert out["dom_period_days"].iloc[0] == 7.0
+    assert out["power_frac"].iloc[0] > 0.95
+
+
+def test_periodogram_constant_series_dropped():
+    from sits_classification_ray.stages.stm import periodogram_peak
+    ds = _long_ds(["u"] * 20, [5.0] * 20,
+                  ts=[(i + 1) * D for i in range(20)])
+    assert periodogram_peak(ds).count() == 0

@@ -161,6 +161,8 @@ def make_for(sf_dir: str, only: set[str] | None = None) -> None:
             lambda: golden.dtw_classify_crawl(obs_long),
         "shesd_anomalies_crawl":
             lambda: golden.shesd_anomalies_crawl(obs_long),
+        "periodogram_peak_crawl":
+            lambda: golden.periodogram_peak_crawl(obs_long),
         "snapshot_novelty_crawl":
             lambda: golden.snapshot_novelty_crawl(con.sql(
                 f"{CRAWL_PREFIX} SELECT url, warc_ts, text FROM obs"
