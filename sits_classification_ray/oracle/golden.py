@@ -2664,3 +2664,57 @@ def periodogram_peak_crawl(obs_long: pd.DataFrame, min_days: int = 16
     if not rows:
         return pd.DataFrame(columns=cols)
     return pd.DataFrame(rows)[cols]
+
+
+def kleinberg_bursts_crawl(obs: pd.DataFrame, s: float = 2.0,
+                           gamma: float = 1.0) -> pd.DataFrame:
+    """Scalar twin of the two-state Kleinberg burst detector (list-
+    based Viterbi, same start-in-base and tie-to-state-0 contract)."""
+    import math
+
+    rows = []
+    srt = (obs[["url", "warc_ts"]].drop_duplicates()
+           .sort_values(["url", "warc_ts"]))
+    for u, g in srt.groupby("url", sort=False):
+        ts = g["warc_ts"].to_numpy()
+        t = [v / 1000000.0 for v in
+             ts.astype("datetime64[us]").astype("int64").tolist()]
+        x = [t[i + 1] - t[i] for i in range(len(t) - 1)]
+        n = len(x)
+        if n < 2 or t[-1] - t[0] <= 0:
+            continue
+        lam0 = n / (t[-1] - t[0])
+        lam1 = s * lam0
+        toll = gamma * math.log(n)
+        e = [[-math.log(lam0) + lam0 * xi,
+              -math.log(lam1) + lam1 * xi] for xi in x]
+        c = [e[0][0], math.inf]
+        bps = []
+        for k in range(1, n):
+            b0 = 0 if c[0] <= c[1] else 1
+            n0 = min(c[0], c[1])
+            f0 = c[0] + toll
+            b1 = 0 if f0 <= c[1] else 1
+            n1 = min(f0, c[1])
+            bps.append((b0, b1))
+            c = [n0 + e[k][0], n1 + e[k][1]]
+        st = [0] * n
+        st[-1] = 0 if c[0] <= c[1] else 1
+        for k in range(n - 1, 0, -1):
+            st[k - 1] = bps[k - 1][st[k]]
+        k = 0
+        while k < n:
+            if st[k] == 1:
+                j = k
+                while j + 1 < n and st[j + 1] == 1:
+                    j += 1
+                rows.append({"url": u, "burst_start": ts[k],
+                             "burst_end": ts[j + 1],
+                             "n_gaps": np.int64(j - k + 1)})
+                k = j + 1
+            else:
+                k += 1
+    cols = ["url", "burst_start", "burst_end", "n_gaps"]
+    if not rows:
+        return pd.DataFrame(columns=cols)
+    return pd.DataFrame(rows)[cols]

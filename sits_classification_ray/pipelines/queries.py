@@ -1403,6 +1403,15 @@ def _ts_features_crawl(sf_dir: str) -> rd.Dataset:
     return ts_features(_obs_long(sf_dir))
 
 
+def _kleinberg_bursts_crawl(sf_dir: str) -> rd.Dataset:
+    """Kleinberg two-state burst detection over each url's snapshot
+    arrivals (Viterbi over exponential gap costs — golden twin)."""
+    from sits_classification_ray.stages.stm import kleinberg_bursts
+
+    return kleinberg_bursts(_obs(sf_dir).select_columns(
+        ["url", "warc_ts"]))
+
+
 def _periodogram_peak_crawl(sf_dir: str) -> rd.Dataset:
     """Dominant update cadence per daily series via the rFFT
     periodogram peak (golden twin)."""
@@ -4181,6 +4190,7 @@ def build_queries() -> dict[str, Callable[[str], Any]]:
         "snapshot_novelty_crawl": _snapshot_novelty_crawl,
         "shesd_anomalies_crawl": _shesd_anomalies_crawl,
         "periodogram_peak_crawl": _periodogram_peak_crawl,
+        "kleinberg_bursts_crawl": _kleinberg_bursts_crawl,
         "mad_anomaly_crawl": _mad_anomaly_crawl,
         "time_weighted_avg_crawl": _time_weighted_avg_crawl,
         "unigram_logprob_documents": _unigram_logprob_documents,
@@ -4416,7 +4426,7 @@ GOLDEN_QUERIES = [
     "pagerank_domains_crawl", "hits_domains_crawl",
     "ts_kmeans_crawl", "sdt_downsample_crawl", "dtw_classify_crawl",
     "snapshot_novelty_crawl", "shesd_anomalies_crawl",
-    "periodogram_peak_crawl",
+    "periodogram_peak_crawl", "kleinberg_bursts_crawl",
 ]
 
 

@@ -1388,3 +1388,87 @@ def periodogram_peak(ds_long: rd.Dataset, min_days: int = 16,
                         ("power_frac", pa.float64())])
     return partitioned_map(daily_means(ds_long), kernel, url_col="url",
                            out_schema=schema)
+
+
+def kleinberg_bursts(ds: rd.Dataset, s: float = 2.0,
+                     gamma: float = 1.0, url_col: str = "url",
+                     ts_col: str = "warc_ts") -> rd.Dataset:
+    """Burst detection over each url's snapshot-arrival stream
+    (Kleinberg 2002, "Bursty and Hierarchical Structure in Streams",
+    two-state variant): inter-arrival gaps are modeled as exponential
+    with base rate ``n/T`` (state 0) or ``s×`` that rate (state 1);
+    a Viterbi pass minimizes emission cost ``-ln λ + λ·x`` plus a
+    ``γ·ln n`` entry toll for 0→1 (exit is free). Maximal state-1 runs
+    are the bursts — "this page was suddenly being recrawled much
+    faster than its norm".
+
+    Determinism: ties in the DP argmin prefer state 0. Output one row
+    per burst: ``(url, burst_start, burst_end, n_gaps)`` where the
+    span covers the first through last timestamp of the run's gaps.
+    Scale shape: timestamps deduped per (url, ts) before the salted
+    url exchange; the per-url DP is O(n) with two states."""
+    from sits_classification_ray.stages.shuffle import partitioned_map
+
+    def kernel(df: pd.DataFrame) -> pd.DataFrame:
+        df = (df[[url_col, ts_col]]
+              .drop_duplicates([url_col, ts_col])
+              .sort_values([url_col, ts_col], kind="mergesort"))
+        rows = []
+        for u, g in df.groupby(url_col, sort=False):
+            ts = g[ts_col].to_numpy("datetime64[us]")
+            t = ts.astype(np.int64) / 1000000.0
+            x = np.diff(t)
+            n = len(x)
+            if n < 2:
+                continue
+            T = float(t[-1] - t[0])
+            if T <= 0:
+                continue
+            lam0 = n / T
+            lam1 = s * lam0
+            toll = gamma * np.log(n)
+            e0 = -np.log(lam0) + lam0 * x
+            e1 = -np.log(lam1) + lam1 * x
+            # Viterbi: cost[k][state], backpointers
+            c0, c1 = e0[0], np.inf  # must start in state 0 (base)
+            bp = np.zeros((n, 2), dtype=np.int8)
+            for k in range(1, n):
+                # into state 0: from 0 (free) or 1 (free); tie -> 0
+                n0 = c0 if c0 <= c1 else c1
+                bp[k, 0] = 0 if c0 <= c1 else 1
+                # into state 1: from 0 pays toll, from 1 free
+                from0 = c0 + toll
+                n1 = from0 if from0 <= c1 else c1
+                bp[k, 1] = 0 if from0 <= c1 else 1
+                c0, c1 = n0 + e0[k], n1 + e1[k]
+            states = np.zeros(n, dtype=np.int8)
+            states[-1] = 0 if c0 <= c1 else 1
+            for k in range(n - 1, 0, -1):
+                states[k - 1] = bp[k, states[k]]
+            # maximal state-1 runs -> bursts
+            in_b = states == 1
+            if not in_b.any():
+                continue
+            d = np.diff(in_b.astype(np.int8))
+            starts = np.where(d == 1)[0] + 1
+            ends = np.where(d == -1)[0]
+            if in_b[0]:
+                starts = np.concatenate([[0], starts])
+            if in_b[-1]:
+                ends = np.concatenate([ends, [n - 1]])
+            for a, b in zip(starts, ends):
+                rows.append({url_col: u, "burst_start": ts[a],
+                             "burst_end": ts[b + 1],
+                             "n_gaps": np.int64(b - a + 1)})
+        cols = [url_col, "burst_start", "burst_end", "n_gaps"]
+        if not rows:
+            return pd.DataFrame(columns=cols)
+        return pd.DataFrame(rows)[cols]
+
+    import pyarrow as pa
+    schema = pa.schema([(url_col, pa.string()),
+                        ("burst_start", pa.timestamp("us")),
+                        ("burst_end", pa.timestamp("us")),
+                        ("n_gaps", pa.int64())])
+    return partitioned_map(ds, kernel, url_col=url_col,
+                           out_schema=schema)

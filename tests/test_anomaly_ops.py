@@ -650,3 +650,32 @@ def test_periodogram_constant_series_dropped():
     ds = _long_ds(["u"] * 20, [5.0] * 20,
                   ts=[(i + 1) * D for i in range(20)])
     assert periodogram_peak(ds).count() == 0
+
+
+def test_kleinberg_detects_injected_burst():
+    from sits_classification_ray.stages.stm import kleinberg_bursts
+    # hourly cadence, with a 12-snapshot burst at minute cadence
+    ts = [i * 3_600_000_000 for i in range(30)]
+    burst_t0 = ts[-1] + 3_600_000_000
+    ts += [burst_t0 + i * 60_000_000 for i in range(12)]
+    ts += [ts[-1] + (i + 1) * 3_600_000_000 for i in range(20)]
+    df = pd.DataFrame({"url": "u",
+                       "warc_ts": pd.to_datetime(ts, unit="us")})
+    df["url_bucket"] = np.uint32(1)
+    out = kleinberg_bursts(rd.from_pandas(df)).to_pandas()
+    assert len(out) >= 1
+    b = out.iloc[0]
+    lo = pd.Timestamp(burst_t0, unit="us")
+    hi = pd.Timestamp(burst_t0 + 11 * 60_000_000, unit="us")
+    assert b["burst_start"] >= lo - pd.Timedelta(hours=2)
+    assert b["burst_end"] <= hi + pd.Timedelta(hours=2)
+    assert b["n_gaps"] >= 8
+
+
+def test_kleinberg_steady_stream_no_bursts():
+    from sits_classification_ray.stages.stm import kleinberg_bursts
+    ts = [i * 3_600_000_000 for i in range(50)]
+    df = pd.DataFrame({"url": "u",
+                       "warc_ts": pd.to_datetime(ts, unit="us")})
+    df["url_bucket"] = np.uint32(1)
+    assert kleinberg_bursts(rd.from_pandas(df)).count() == 0

@@ -163,6 +163,8 @@ def make_for(sf_dir: str, only: set[str] | None = None) -> None:
             lambda: golden.shesd_anomalies_crawl(obs_long),
         "periodogram_peak_crawl":
             lambda: golden.periodogram_peak_crawl(obs_long),
+        "kleinberg_bursts_crawl":
+            lambda: golden.kleinberg_bursts_crawl(obs),
         "snapshot_novelty_crawl":
             lambda: golden.snapshot_novelty_crawl(con.sql(
                 f"{CRAWL_PREFIX} SELECT url, warc_ts, text FROM obs"
