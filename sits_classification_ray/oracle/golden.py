@@ -2718,3 +2718,141 @@ def kleinberg_bursts_crawl(obs: pd.DataFrame, s: float = 2.0,
     if not rows:
         return pd.DataFrame(columns=cols)
     return pd.DataFrame(rows)[cols]
+
+
+def _binseg_cps_scalar(v: np.ndarray, min_size: int,
+                       penalty_mult: float) -> list:
+    """Scalar binseg breakpoints (same recursion as
+    binseg_changepoints_crawl, exposed for the segment twin)."""
+    n = len(v)
+    dmed = float(np.median(np.abs(np.diff(v))))
+    penalty = penalty_mult * dmed * dmed * np.log(n)
+    cs = np.concatenate([[0.0], np.cumsum(v)])
+    cs2 = np.concatenate([[0.0], np.cumsum(v * v)])
+
+    def sse(a, b):
+        nn = b - a
+        if nn == 0:
+            return 0.0
+        s = cs[b] - cs[a]
+        return float(cs2[b] - cs2[a] - s * s / nn)
+
+    found = []
+    segs = [(0, n)]
+    while segs:
+        a, b = segs.pop(0)
+        if b - a < 2 * min_size:
+            continue
+        total = sse(a, b)
+        best_t, best_gain = -1, 0.0
+        for t in range(a + min_size, b - min_size + 1):
+            gain = total - sse(a, t) - sse(t, b)
+            if gain > best_gain + 1e-12:
+                best_t, best_gain = t, gain
+        if best_t < 0 or best_gain <= penalty:
+            continue
+        found.append(best_t)
+        segs.append((a, best_t))
+        segs.append((best_t, b))
+    return sorted(found)
+
+
+def segment_trends_crawl(obs_long: pd.DataFrame, min_size: int = 5,
+                         penalty_mult: float = 2.0) -> pd.DataFrame:
+    """Twin of the piecewise trend profile: scalar binseg breakpoints
+    + per-segment OLS slope/mean."""
+    df = obs_long.copy()
+    df["day"] = (df["warc_ts"].to_numpy().astype("datetime64[D]")
+                 .astype("datetime64[us]"))
+    daily = (df.groupby(["url", "metric", "day"], as_index=False)
+             ["value"].mean().rename(columns={"value": "v"})
+             .sort_values(["url", "metric", "day"]))
+    rows = []
+    for (u, m), g in daily.groupby(["url", "metric"], sort=False):
+        v = g["v"].to_numpy(np.float64)
+        n = len(v)
+        if n < 2 * min_size:
+            continue
+        cps = _binseg_cps_scalar(v, min_size, penalty_mult)
+        days = g["day"].to_numpy()
+        bounds = [0] + cps + [n]
+        for sid in range(len(bounds) - 1):
+            a, b = bounds[sid], bounds[sid + 1]
+            seg = v[a:b]
+            k = b - a
+            t = np.arange(k, dtype=np.float64)
+            tb = t - t.mean()
+            den = (tb * tb).sum()
+            slope = float((tb * (seg - seg.mean())).sum() / den) \
+                if den > 0 else 0.0
+            rows.append({
+                "url": u, "metric": m, "seg_id": np.int64(sid),
+                "seg_start": days[a], "seg_end": days[b - 1],
+                "n_days": np.int64(k),
+                "seg_mean": float(_sql_round_arr(
+                    np.array([seg.mean()]))[0]) + 0.0,
+                "seg_slope": float(_sql_round_arr(
+                    np.array([slope]))[0]) + 0.0})
+    cols = ["url", "metric", "seg_id", "seg_start", "seg_end",
+            "n_days", "seg_mean", "seg_slope"]
+    if not rows:
+        return pd.DataFrame(columns=cols)
+    return pd.DataFrame(rows)[cols]
+
+
+def xcorr_lag_crawl(obs_long: pd.DataFrame, max_lag: int = 7,
+                    min_pairs: int = 8) -> pd.DataFrame:
+    """Twin of the cross-metric lead/lag detector: dict-based day
+    alignment instead of searchsorted."""
+    df = obs_long.copy()
+    df["day"] = (df["warc_ts"].to_numpy().astype("datetime64[D]")
+                 .astype("datetime64[us]"))
+    daily = (df.groupby(["url", "metric", "day"], as_index=False)
+             ["value"].mean().rename(columns={"value": "v"})
+             .sort_values(["url", "metric", "day"]))
+    rows = []
+    for u, g in daily.groupby("url", sort=False):
+        mets = sorted(g["metric"].unique())
+        if len(mets) < 2:
+            continue
+        ma, mb = mets[0], mets[1]
+        ga = g[g["metric"] == ma]
+        gb = g[g["metric"] == mb]
+        amap = dict(zip(ga["day"].to_numpy("datetime64[D]")
+                        .astype(np.int64).tolist(),
+                        ga["v"].tolist()))
+        dbs = (gb["day"].to_numpy("datetime64[D]")
+               .astype(np.int64).tolist())
+        vbs = gb["v"].tolist()
+        best_lag, best_corr, best_n = None, -np.inf, 0
+        for lag in range(-max_lag, max_lag + 1):
+            xs, ys = [], []
+            for dday, vb in zip(dbs, vbs):
+                va = amap.get(dday - lag)
+                if va is not None:
+                    xs.append(va)
+                    ys.append(vb)
+            if len(xs) < min_pairs:
+                continue
+            x = np.array(xs)
+            y = np.array(ys)
+            xd = x - x.mean()
+            yd = y - y.mean()
+            den = np.sqrt((xd * xd).sum() * (yd * yd).sum())
+            if den <= 0:
+                continue
+            c = float((xd * yd).sum() / den)
+            if c > best_corr:
+                best_lag, best_corr, best_n = lag, c, len(xs)
+        if best_lag is None:
+            continue
+        rows.append({"url": u, "metric_a": ma, "metric_b": mb,
+                     "best_lag": np.int64(best_lag),
+                     "n_pairs": np.int64(best_n),
+                     "best_corr": float(_sql_round_arr(
+                         np.array([best_corr]))[0]) + 0.0})
+    cols = ["url", "metric_a", "metric_b", "best_lag", "n_pairs",
+            "best_corr"]
+    if not rows:
+        return pd.DataFrame(columns=cols)
+    return pd.DataFrame(rows)[cols]

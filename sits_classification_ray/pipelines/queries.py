@@ -1403,6 +1403,60 @@ def _ts_features_crawl(sf_dir: str) -> rd.Dataset:
     return ts_features(_obs_long(sf_dir))
 
 
+def _segment_trends_crawl(sf_dir: str) -> rd.Dataset:
+    """Piecewise trend profile per daily series: binseg breakpoints +
+    per-segment OLS slope/mean (golden twin)."""
+    from sits_classification_ray.stages.stm import segment_trends
+
+    return segment_trends(_obs_long(sf_dir))
+
+
+def _xcorr_lag_crawl(sf_dir: str) -> rd.Dataset:
+    """Cross-metric lead/lag detection per url (calendar-aligned
+    Pearson across day shifts — golden twin)."""
+    from sits_classification_ray.stages.stm import xcorr_lag
+
+    return xcorr_lag(_obs_long(sf_dir))
+
+
+def _update_hour_modal_crawl(sf_dir: str) -> rd.Dataset:
+    """Modal update hour per url (does this page change at a fixed
+    hour?) — integer counts + one division, SQL window twin."""
+    from ray.data.aggregate import Count
+
+    from sits_classification_ray.functions.transforms import sql_round
+    from sits_classification_ray.stages.shuffle import partitioned_map
+
+    def proj(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "url": df["url"].to_numpy(),
+            "h": df["warc_ts"].dt.hour.to_numpy(np.int64)})
+
+    hr = (_obs(sf_dir).map_batches(proj, batch_format="pandas")
+          .groupby(["url", "h"]).aggregate(Count(alias_name="n")))
+
+    def pick(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["url", "n", "h"],
+                            ascending=[True, False, True],
+                            kind="mergesort")
+        tot = df.groupby("url", sort=False)["n"].transform("sum")
+        df = df.assign(_tot=tot)
+        top = df.drop_duplicates("url", keep="first")
+        return pd.DataFrame({
+            "url": top["url"].to_numpy(),
+            "n_snaps": top["_tot"].to_numpy(np.int64),
+            "modal_hour": top["h"].to_numpy(np.int64),
+            "modal_share": sql_round(
+                top["n"].to_numpy(np.float64) * 1.0
+                / top["_tot"].to_numpy(np.float64), 6) + 0.0})
+
+    import pyarrow as pa
+    schema = pa.schema([("url", pa.string()), ("n_snaps", pa.int64()),
+                        ("modal_hour", pa.int64()),
+                        ("modal_share", pa.float64())])
+    return partitioned_map(hr, pick, url_col="url", out_schema=schema)
+
+
 def _kleinberg_bursts_crawl(sf_dir: str) -> rd.Dataset:
     """Kleinberg two-state burst detection over each url's snapshot
     arrivals (Viterbi over exponential gap costs — golden twin)."""
@@ -4191,6 +4245,9 @@ def build_queries() -> dict[str, Callable[[str], Any]]:
         "shesd_anomalies_crawl": _shesd_anomalies_crawl,
         "periodogram_peak_crawl": _periodogram_peak_crawl,
         "kleinberg_bursts_crawl": _kleinberg_bursts_crawl,
+        "update_hour_modal_crawl": _update_hour_modal_crawl,
+        "segment_trends_crawl": _segment_trends_crawl,
+        "xcorr_lag_crawl": _xcorr_lag_crawl,
         "mad_anomaly_crawl": _mad_anomaly_crawl,
         "time_weighted_avg_crawl": _time_weighted_avg_crawl,
         "unigram_logprob_documents": _unigram_logprob_documents,
@@ -4427,6 +4484,7 @@ GOLDEN_QUERIES = [
     "ts_kmeans_crawl", "sdt_downsample_crawl", "dtw_classify_crawl",
     "snapshot_novelty_crawl", "shesd_anomalies_crawl",
     "periodogram_peak_crawl", "kleinberg_bursts_crawl",
+    "segment_trends_crawl", "xcorr_lag_crawl",
 ]
 
 
@@ -5402,6 +5460,19 @@ SELECT st.url, st.metric, st.n_days,
 FROM st
 JOIN mom ON st.url = mom.url AND st.metric = mom.metric
 JOIN acf ON st.url = acf.url AND st.metric = acf.metric""",
+        "update_hour_modal_crawl": f"""{CRAWL_PREFIX},
+hr AS MATERIALIZED (
+  SELECT url, CAST(extract('hour' FROM warc_ts) AS BIGINT) AS h,
+         count(*) AS n
+  FROM obs GROUP BY 1, 2),
+tot AS (SELECT url, CAST(sum(n) AS BIGINT) AS total FROM hr GROUP BY 1),
+pick AS (SELECT url, h, n,
+                row_number() OVER (PARTITION BY url
+                                   ORDER BY n DESC, h) AS rn
+         FROM hr)
+SELECT p.url, t.total AS n_snaps, p.h AS modal_hour,
+       round(p.n * 1.0 / t.total, 6) + 0.0 AS modal_share
+FROM pick p JOIN tot t USING (url) WHERE rn = 1""",
         "change_rate_crawl": f"""{CRAWL_PREFIX},
 ch AS MATERIALIZED (
   SELECT url, warc_ts,

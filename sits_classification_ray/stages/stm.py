@@ -1472,3 +1472,147 @@ def kleinberg_bursts(ds: rd.Dataset, s: float = 2.0,
                         ("n_gaps", pa.int64())])
     return partitioned_map(ds, kernel, url_col=url_col,
                            out_schema=schema)
+
+
+def segment_trends(ds_long: rd.Dataset, min_size: int = 5,
+                   penalty_mult: float = 2.0,
+                   round_to: int = 6) -> rd.Dataset:
+    """Piecewise trend profile per daily series: reuse the
+    :func:`_binseg_series` breakpoints (mean-shift binary
+    segmentation), then fit one OLS slope + mean per detected segment
+    — "was this page growing before the redesign and flat after?".
+    One row per segment: ``(url, metric, seg_id, seg_start, seg_end,
+    n_days, seg_mean, seg_slope)`` (slope per day over the segment's
+    0-based day index, the :func:`ts_features` convention).
+
+    Same partitioning contract and breakpoint determinism as
+    :func:`binseg_changepoints`; golden twin re-runs the identical
+    recursion scalar-ly."""
+    from sits_classification_ray.functions.transforms import sql_round
+    from sits_classification_ray.stages.shuffle import partitioned_map
+
+    def kernel(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["url", "metric", "day"], kind="mergesort")
+        rows = []
+        for (u, m), g in df.groupby(["url", "metric"], sort=False):
+            v = g["v"].to_numpy(np.float64)
+            n = len(v)
+            if n < 2 * min_size:
+                continue
+            dmed = float(np.median(np.abs(np.diff(v))))
+            penalty = penalty_mult * dmed * dmed * np.log(n)
+            cps = sorted(t for t, _ in
+                         _binseg_series(v, min_size, penalty))
+            days = g["day"].to_numpy()
+            bounds = [0] + cps + [n]
+            for sid in range(len(bounds) - 1):
+                a, b = bounds[sid], bounds[sid + 1]
+                seg = v[a:b]
+                k = b - a
+                t = np.arange(k, dtype=np.float64)
+                tb = t - t.mean()
+                den = (tb * tb).sum()
+                slope = float((tb * (seg - seg.mean())).sum() / den) \
+                    if den > 0 else 0.0
+                rows.append({
+                    "url": u, "metric": m, "seg_id": np.int64(sid),
+                    "seg_start": days[a], "seg_end": days[b - 1],
+                    "n_days": np.int64(k),
+                    "seg_mean": seg.mean(), "seg_slope": slope})
+        cols = ["url", "metric", "seg_id", "seg_start", "seg_end",
+                "n_days", "seg_mean", "seg_slope"]
+        if not rows:
+            return pd.DataFrame(columns=cols)
+        out = pd.DataFrame(rows)[cols]
+        for c in ("seg_mean", "seg_slope"):
+            out[c] = sql_round(out[c].to_numpy(np.float64),
+                               round_to) + 0.0
+        return out
+
+    import pyarrow as pa
+    schema = pa.schema([("url", pa.string()), ("metric", pa.string()),
+                        ("seg_id", pa.int64()),
+                        ("seg_start", pa.timestamp("us")),
+                        ("seg_end", pa.timestamp("us")),
+                        ("n_days", pa.int64()),
+                        ("seg_mean", pa.float64()),
+                        ("seg_slope", pa.float64())])
+    return partitioned_map(daily_means(ds_long), kernel, url_col="url",
+                           out_schema=schema)
+
+
+def xcorr_lag(ds_long: rd.Dataset, max_lag: int = 7,
+              min_pairs: int = 8, round_to: int = 6) -> rd.Dataset:
+    """Lead/lag detection between a url's two metric series: Pearson
+    correlation of the daily means at every integer day shift in
+    ``[-max_lag, max_lag]``; report the shift with the highest
+    correlation (ties → smaller lag value). Positive ``best_lag``
+    means the SECOND metric (name-descending, e.g. word_count) lags
+    the first by that many days.
+
+    Pairs are aligned on the integer day number (calendar-aware, not
+    positional), so irregular gaps don't smear the shift. Series
+    pairs with fewer than ``min_pairs`` overlapping days at a lag are
+    skipped for that lag; urls with no valid lag are dropped."""
+    from sits_classification_ray.functions.transforms import sql_round
+    from sits_classification_ray.stages.shuffle import partitioned_map
+
+    def kernel(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["url", "metric", "day"], kind="mergesort")
+        rows = []
+        for u, g in df.groupby("url", sort=False):
+            mets = sorted(g["metric"].unique())
+            if len(mets) < 2:
+                continue
+            ma, mb = mets[0], mets[1]
+            ga = g[g["metric"] == ma]
+            gb = g[g["metric"] == mb]
+            da = (ga["day"].to_numpy("datetime64[D]")
+                  .astype(np.int64))
+            db = (gb["day"].to_numpy("datetime64[D]")
+                  .astype(np.int64))
+            va = ga["v"].to_numpy(np.float64)
+            vb = gb["v"].to_numpy(np.float64)
+            best_lag, best_corr, best_n = None, -np.inf, 0
+            for lag in range(-max_lag, max_lag + 1):
+                # pair a[day] with b[day + lag]
+                shifted = db - lag
+                ia = np.searchsorted(da, shifted)
+                ia[ia == len(da)] = 0
+                hit = da[ia] == shifted
+                if hit.sum() < min_pairs:
+                    continue
+                x = va[ia[hit]]
+                y = vb[hit]
+                xd = x - x.mean()
+                yd = y - y.mean()
+                den = np.sqrt((xd * xd).sum() * (yd * yd).sum())
+                if den <= 0:
+                    continue
+                c = float((xd * yd).sum() / den)
+                if c > best_corr:
+                    best_lag, best_corr, best_n = lag, c, int(hit.sum())
+            if best_lag is None:
+                continue
+            rows.append({"url": u, "metric_a": ma, "metric_b": mb,
+                         "best_lag": np.int64(best_lag),
+                         "n_pairs": np.int64(best_n),
+                         "best_corr": best_corr})
+        cols = ["url", "metric_a", "metric_b", "best_lag", "n_pairs",
+                "best_corr"]
+        if not rows:
+            return pd.DataFrame(columns=cols)
+        out = pd.DataFrame(rows)[cols]
+        out["best_corr"] = sql_round(
+            out["best_corr"].to_numpy(np.float64), round_to) + 0.0
+        return out
+
+    import pyarrow as pa
+    schema = pa.schema([("url", pa.string()),
+                        ("metric_a", pa.string()),
+                        ("metric_b", pa.string()),
+                        ("best_lag", pa.int64()),
+                        ("n_pairs", pa.int64()),
+                        ("best_corr", pa.float64())])
+    return partitioned_map(daily_means(ds_long), kernel, url_col="url",
+                           out_schema=schema)

@@ -679,3 +679,42 @@ def test_kleinberg_steady_stream_no_bursts():
                        "warc_ts": pd.to_datetime(ts, unit="us")})
     df["url_bucket"] = np.uint32(1)
     assert kleinberg_bursts(rd.from_pandas(df)).count() == 0
+
+
+def test_segment_trends_splits_level_shift():
+    from sits_classification_ray.stages.stm import segment_trends
+    # 20 flat days at 10, then 20 rising days from 100
+    v = np.concatenate([np.full(20, 10.0),
+                        100.0 + 3.0 * np.arange(20)])
+    ds = _long_ds(["u"] * 40, v, ts=[(i + 1) * D for i in range(40)])
+    out = (segment_trends(ds).to_pandas()
+           .sort_values("seg_id").reset_index(drop=True))
+    assert len(out) >= 2
+    assert abs(out.loc[0, "seg_mean"] - 10.0) < 1.0
+    assert abs(out.loc[0, "seg_slope"]) < 0.2
+    last = out.iloc[-1]
+    assert last["seg_slope"] > 2.0
+    # segments tile the series
+    assert out["n_days"].sum() == 40
+
+
+def test_xcorr_lag_recovers_known_shift():
+    from sits_classification_ray.stages.stm import xcorr_lag
+    rng = np.random.default_rng(3)
+    base = np.cumsum(rng.normal(0, 1, 60))
+    rows = []
+    for i in range(60):
+        rows.append(("u", "a_metric", (i + 1) * D, float(base[i])))
+    for i in range(60):
+        # b lags a by 3 days
+        j = i - 3
+        val = float(base[j]) if 0 <= j < 60 else 0.0
+        rows.append(("u", "b_metric", (i + 1) * D, val))
+    df = pd.DataFrame(rows, columns=["url", "metric", "warc_ts",
+                                     "value"])
+    df["warc_ts"] = pd.to_datetime(df["warc_ts"], unit="us")
+    df["url_bucket"] = np.uint32(1)
+    out = xcorr_lag(rd.from_pandas(df)).to_pandas()
+    assert len(out) == 1
+    assert out["best_lag"].iloc[0] == 3
+    assert out["best_corr"].iloc[0] > 0.99

@@ -165,6 +165,10 @@ def make_for(sf_dir: str, only: set[str] | None = None) -> None:
             lambda: golden.periodogram_peak_crawl(obs_long),
         "kleinberg_bursts_crawl":
             lambda: golden.kleinberg_bursts_crawl(obs),
+        "segment_trends_crawl":
+            lambda: golden.segment_trends_crawl(obs_long),
+        "xcorr_lag_crawl":
+            lambda: golden.xcorr_lag_crawl(obs_long),
         "snapshot_novelty_crawl":
             lambda: golden.snapshot_novelty_crawl(con.sql(
                 f"{CRAWL_PREFIX} SELECT url, warc_ts, text FROM obs"
