@@ -716,3 +716,106 @@ def kmv_overlap(ds: rd.Dataset, key_col: str, bucket_col: str,
     return pd.DataFrame(rows, columns=[
         "bucket_a", "bucket_b", "jaccard_est", "intersection_est",
         "union_est"])
+
+
+# --- t-digest (Dunning & Ertl 2019) --------------------------------
+
+def tdigest_compress(means: np.ndarray, weights: np.ndarray,
+                     delta: float = 100.0
+                     ) -> tuple[np.ndarray, np.ndarray]:
+    """One merging-digest compression pass over centroids already
+    sorted by (mean, weight): absorb neighbors while the k1 scale
+    ``k(q) = δ/2π · asin(2q−1)`` allows (cluster spans ≤ 1 k-unit) —
+    fine resolution at the tails, coarse in the middle. Input order is
+    canonicalized by the caller, so the result is a pure function of
+    the centroid MULTISET (merge-order-independent by construction,
+    unlike the textbook streaming variant)."""
+    W = float(weights.sum())
+    if len(means) == 0 or W <= 0:
+        return means[:0], weights[:0]
+
+    def k(q: float) -> float:
+        return delta / (2.0 * np.pi) * np.arcsin(
+            min(1.0, max(-1.0, 2.0 * q - 1.0)))
+
+    out_m, out_w = [], []
+    cur_m, cur_w = float(means[0]), float(weights[0])
+    w_done = 0.0
+    for mi, wi in zip(means[1:], weights[1:]):
+        if (k((w_done + cur_w + wi) / W) - k(w_done / W)) <= 1.0:
+            cur_w += wi
+            cur_m += (mi - cur_m) * (wi / cur_w)
+        else:
+            out_m.append(cur_m)
+            out_w.append(cur_w)
+            w_done += cur_w
+            cur_m, cur_w = float(mi), float(wi)
+    out_m.append(cur_m)
+    out_w.append(cur_w)
+    return np.asarray(out_m), np.asarray(out_w)
+
+
+def tdigest_quantile_est(means: np.ndarray, weights: np.ndarray,
+                         q: float) -> float:
+    """Quantile estimate from a compressed digest: linear
+    interpolation between successive centroid weight-midpoints,
+    clamped to the extreme centroid means."""
+    W = float(weights.sum())
+    cum = np.cumsum(weights) - weights / 2.0
+    t = q * W
+    if t <= cum[0]:
+        return float(means[0])
+    if t >= cum[-1]:
+        return float(means[-1])
+    j = int(np.searchsorted(cum, t) - 1)
+    frac = (t - cum[j]) / (cum[j + 1] - cum[j])
+    return float(means[j] + frac * (means[j + 1] - means[j]))
+
+
+def tdigest_quantile(ds: rd.Dataset, value_col: str, bucket_col: str,
+                     quantiles: tuple[float, ...] = (0.5, 0.9, 0.99),
+                     delta: float = 100.0, round_to: int = 6
+                     ) -> rd.Dataset:
+    """Per-bucket t-digest quantiles (Dunning & Ertl 2019) — the
+    rank-error member of the sketch family (DDSketch: relative value
+    error; histogram: absolute value error; t-digest: bounded
+    QUANTILE error, sharpest at the tails).
+
+    Checked-query path: one salted exchange co-locates each bucket,
+    the kernel sorts the bucket's values and runs ONE canonical
+    compression — a pure function of the value multiset, so the
+    golden twin reproduces it bit-exactly. The streaming two-level
+    variant (per-batch partial digests → canonical sorted re-merge)
+    is exposed via :func:`tdigest_compress` for pipelines that cannot
+    co-locate buckets; its result depends on batch boundaries and is
+    accuracy-tested, not golden-matched."""
+    from sits_classification_ray.functions.transforms import sql_round
+    from sits_classification_ray.stages.shuffle import partitioned_map
+
+    qcols = [f"q{int(round(q * 100)):02d}" for q in quantiles]
+
+    def kernel(df: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for bucket, g in df.groupby(bucket_col, sort=False):
+            v = np.sort(g[value_col].to_numpy(np.float64))
+            m, w = tdigest_compress(v, np.ones(len(v)), delta)
+            row = {bucket_col: bucket,
+                   "n": np.int64(len(v)),
+                   "n_centroids": np.int64(len(m))}
+            for q, c in zip(quantiles, qcols):
+                row[c] = float(sql_round(np.array(
+                    [tdigest_quantile_est(m, w, q)]), round_to)[0]) \
+                    + 0.0
+            rows.append(row)
+        cols = [bucket_col, "n", "n_centroids"] + qcols
+        if not rows:
+            return pd.DataFrame(columns=cols)
+        return pd.DataFrame(rows)[cols]
+
+    import pyarrow as pa
+    schema = pa.schema(
+        [(bucket_col, pa.string()), ("n", pa.int64()),
+         ("n_centroids", pa.int64())]
+        + [(c, pa.float64()) for c in qcols])
+    return partitioned_map(ds, kernel, url_col=bucket_col,
+                           out_schema=schema)

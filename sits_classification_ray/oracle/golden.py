@@ -2856,3 +2856,70 @@ def xcorr_lag_crawl(obs_long: pd.DataFrame, max_lag: int = 7,
     if not rows:
         return pd.DataFrame(columns=cols)
     return pd.DataFrame(rows)[cols]
+
+
+def tdigest_quantile_daily_crawl(obs_long: pd.DataFrame,
+                                 delta: float = 100.0) -> pd.DataFrame:
+    """Twin of the per-(metric, day) t-digest quantiles: independent
+    scalar k1-scale compression and midpoint interpolation."""
+    import math
+
+    def compress(vals: list) -> tuple:
+        W = float(len(vals))
+
+        def k(q):
+            return delta / (2.0 * math.pi) * math.asin(
+                min(1.0, max(-1.0, 2.0 * q - 1.0)))
+
+        ms, ws = [], []
+        cur_m, cur_w, w_done = float(vals[0]), 1.0, 0.0
+        for x in vals[1:]:
+            if k((w_done + cur_w + 1.0) / W) - k(w_done / W) <= 1.0:
+                cur_w += 1.0
+                cur_m += (x - cur_m) * (1.0 / cur_w)
+            else:
+                ms.append(cur_m)
+                ws.append(cur_w)
+                w_done += cur_w
+                cur_m, cur_w = float(x), 1.0
+        ms.append(cur_m)
+        ws.append(cur_w)
+        return ms, ws
+
+    def quant(ms, ws, q):
+        W = sum(ws)
+        cum, acc = [], 0.0
+        for wi in ws:
+            cum.append(acc + wi / 2.0)
+            acc += wi
+        t = q * W
+        if t <= cum[0]:
+            return ms[0]
+        if t >= cum[-1]:
+            return ms[-1]
+        # same boundary semantics as the engine: leftmost cum >= t,
+        # then interpolate in [j-1, j] (identical IEEE op order)
+        j = 0
+        while cum[j] < t:
+            j += 1
+        j -= 1
+        frac = (t - cum[j]) / (cum[j + 1] - cum[j])
+        return ms[j] + frac * (ms[j + 1] - ms[j])
+
+    df = obs_long.copy()
+    day = (df["warc_ts"].to_numpy().astype("datetime64[D]")
+           .astype("datetime64[us]"))
+    df["bucket"] = (df["metric"].astype(str) + "|"
+                    + pd.Series(day).dt.strftime("%Y-%m-%d"))
+    rows = []
+    for b, g in df.groupby("bucket", sort=False):
+        v = sorted(g["value"].to_numpy(np.float64).tolist())
+        ms, ws = compress(v)
+        row = {"bucket": b, "n": np.int64(len(v)),
+               "n_centroids": np.int64(len(ms))}
+        for q, c in [(0.5, "q50"), (0.9, "q90"), (0.99, "q99")]:
+            row[c] = float(_sql_round_arr(np.array(
+                [quant(ms, ws, q)]))[0]) + 0.0
+        rows.append(row)
+    return pd.DataFrame(rows)[["bucket", "n", "n_centroids",
+                               "q50", "q90", "q99"]]

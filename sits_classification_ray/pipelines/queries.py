@@ -1403,6 +1403,24 @@ def _ts_features_crawl(sf_dir: str) -> rd.Dataset:
     return ts_features(_obs_long(sf_dir))
 
 
+def _tdigest_quantile_daily(sf_dir: str) -> rd.Dataset:
+    """Per-(metric, day) t-digest quantiles (rank-error sketch —
+    canonical bucket-complete compression, golden twin)."""
+    from sits_classification_ray.functions.sketches import \
+        tdigest_quantile
+
+    def proj(df: pd.DataFrame) -> pd.DataFrame:
+        day = (df["warc_ts"].to_numpy().astype("datetime64[D]")
+               .astype("datetime64[us]"))
+        return pd.DataFrame({
+            "bucket": df["metric"].astype(str) + "|"
+            + pd.Series(day).dt.strftime("%Y-%m-%d"),
+            "value": df["value"].to_numpy(np.float64)})
+
+    ds = _obs_long(sf_dir).map_batches(proj, batch_format="pandas")
+    return tdigest_quantile(ds, "value", "bucket")
+
+
 def _segment_trends_crawl(sf_dir: str) -> rd.Dataset:
     """Piecewise trend profile per daily series: binseg breakpoints +
     per-segment OLS slope/mean (golden twin)."""
@@ -4248,6 +4266,7 @@ def build_queries() -> dict[str, Callable[[str], Any]]:
         "update_hour_modal_crawl": _update_hour_modal_crawl,
         "segment_trends_crawl": _segment_trends_crawl,
         "xcorr_lag_crawl": _xcorr_lag_crawl,
+        "tdigest_quantile_daily": _tdigest_quantile_daily,
         "mad_anomaly_crawl": _mad_anomaly_crawl,
         "time_weighted_avg_crawl": _time_weighted_avg_crawl,
         "unigram_logprob_documents": _unigram_logprob_documents,
@@ -4485,6 +4504,7 @@ GOLDEN_QUERIES = [
     "snapshot_novelty_crawl", "shesd_anomalies_crawl",
     "periodogram_peak_crawl", "kleinberg_bursts_crawl",
     "segment_trends_crawl", "xcorr_lag_crawl",
+    "tdigest_quantile_daily",
 ]
 
 

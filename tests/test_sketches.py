@@ -180,3 +180,46 @@ def test_kmv_overlap_estimates(ray_session):
     assert abs(r["jaccard_est"] - 1 / 3) < 0.12
     assert abs(r["union_est"] - 1500) / 1500 < 0.15
     assert abs(r["intersection_est"] - 500) / 500 < 0.35
+
+
+def test_tdigest_accuracy_vs_exact():
+    from sits_classification_ray.functions.sketches import (
+        tdigest_compress, tdigest_quantile_est)
+    rng = np.random.default_rng(12)
+    v = np.sort(rng.lognormal(3.0, 1.2, 20_000))
+    m, w = tdigest_compress(v, np.ones(len(v)), delta=100.0)
+    assert len(m) < 220          # compression actually happened
+    for q in (0.01, 0.1, 0.5, 0.9, 0.99):
+        est = tdigest_quantile_est(m, w, q)
+        # rank error: where does the estimate land in the true CDF?
+        rank = np.searchsorted(v, est) / len(v)
+        assert abs(rank - q) < 0.02, (q, rank)
+
+
+def test_tdigest_merge_order_independent_after_canonical_sort():
+    from sits_classification_ray.functions.sketches import (
+        tdigest_compress, tdigest_quantile_est)
+    rng = np.random.default_rng(7)
+    v = rng.normal(0, 1, 5000)
+    # two different partial-batch splits
+    def two_level(splits):
+        ms, ws = [], []
+        for part in splits:
+            pm, pw = tdigest_compress(np.sort(part),
+                                      np.ones(len(part)))
+            ms.append(pm)
+            ws.append(pw)
+        m = np.concatenate(ms)
+        w = np.concatenate(ws)
+        order = np.lexsort((w, m))
+        return tdigest_compress(m[order], w[order])
+
+    m1, w1 = two_level([v[:1000], v[1000:]])
+    m2, w2 = two_level([v[1000:], v[:1000]])
+    assert np.array_equal(m1, m2) and np.array_equal(w1, w2)
+    # merged digest still accurate
+    sv = np.sort(v)
+    for q in (0.1, 0.5, 0.9):
+        rank = np.searchsorted(sv, tdigest_quantile_est(m1, w1, q)) \
+            / len(sv)
+        assert abs(rank - q) < 0.03
