@@ -1403,6 +1403,53 @@ def _ts_features_crawl(sf_dir: str) -> rd.Dataset:
     return ts_features(_obs_long(sf_dir))
 
 
+def _rfm_segments_events(sf_dir: str) -> rd.Dataset:
+    """RFM (recency / frequency / monetary) customer segmentation
+    over the events stream: per-user aggregates → three distributed
+    NTILE(3) passes (total order via user_id tiebreak) → composed
+    RFM code. Monetary stays integer cents end-to-end (SQL window
+    twin)."""
+    from ray.data.aggregate import Count, Max, Sum
+
+    from sits_classification_ray.stages.scan_sorted import ntile
+
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["user_id", "ts", "value"])
+
+    def proj(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "user_id": df["user_id"].to_numpy(np.int64),
+            "ts_us": df["ts"].to_numpy("datetime64[us]")
+            .astype(np.int64),
+            "cents": np.round(df["value"].to_numpy(np.float64)
+                              * 100.0).astype(np.int64)})
+
+    per_user = (ev.map_batches(proj, batch_format="pandas")
+                .groupby("user_id")
+                .aggregate(Max("ts_us", alias_name="recency_us"),
+                           Count(alias_name="frequency"),
+                           Sum("cents", alias_name="mon_cents")))
+    t1 = ntile(per_user, ["recency_us", "user_id"], 3,
+               out_col="r_score")
+    t2 = ntile(t1, ["frequency", "user_id"], 3, out_col="f_score")
+    t3 = ntile(t2, ["mon_cents", "user_id"], 3, out_col="m_score")
+
+    def fin(df: pd.DataFrame) -> pd.DataFrame:
+        r = df["r_score"].to_numpy(np.int64)
+        f = df["f_score"].to_numpy(np.int64)
+        m = df["m_score"].to_numpy(np.int64)
+        return pd.DataFrame({
+            "user_id": df["user_id"].to_numpy(np.int64),
+            "recency_ts": df["recency_us"].to_numpy(np.int64)
+            .astype("datetime64[us]"),
+            "frequency": df["frequency"].to_numpy(np.int64),
+            "mon_cents": df["mon_cents"].to_numpy(np.int64),
+            "r_score": r, "f_score": f, "m_score": m,
+            "rfm": r * 100 + f * 10 + m})
+
+    return t3.map_batches(fin, batch_format="pandas")
+
+
 def _tdigest_quantile_daily(sf_dir: str) -> rd.Dataset:
     """Per-(metric, day) t-digest quantiles (rank-error sketch —
     canonical bucket-complete compression, golden twin)."""
@@ -4267,6 +4314,7 @@ def build_queries() -> dict[str, Callable[[str], Any]]:
         "segment_trends_crawl": _segment_trends_crawl,
         "xcorr_lag_crawl": _xcorr_lag_crawl,
         "tdigest_quantile_daily": _tdigest_quantile_daily,
+        "rfm_segments_events": _rfm_segments_events,
         "mad_anomaly_crawl": _mad_anomaly_crawl,
         "time_weighted_avg_crawl": _time_weighted_avg_crawl,
         "unigram_logprob_documents": _unigram_logprob_documents,
@@ -5480,6 +5528,21 @@ SELECT st.url, st.metric, st.n_days,
 FROM st
 JOIN mom ON st.url = mom.url AND st.metric = mom.metric
 JOIN acf ON st.url = acf.url AND st.metric = acf.metric""",
+        "rfm_segments_events": """
+WITH pu AS MATERIALIZED (
+  SELECT user_id, max(ts) AS recency_ts,
+         count(*) AS frequency,
+         CAST(sum(CAST(round(value * 100.0) AS BIGINT)) AS BIGINT)
+             AS mon_cents
+  FROM events GROUP BY 1)
+SELECT user_id, recency_ts, frequency, mon_cents,
+       ntile(3) OVER (ORDER BY recency_ts, user_id) AS r_score,
+       ntile(3) OVER (ORDER BY frequency, user_id) AS f_score,
+       ntile(3) OVER (ORDER BY mon_cents, user_id) AS m_score,
+       ntile(3) OVER (ORDER BY recency_ts, user_id) * 100
+       + ntile(3) OVER (ORDER BY frequency, user_id) * 10
+       + ntile(3) OVER (ORDER BY mon_cents, user_id) AS rfm
+FROM pu""",
         "update_hour_modal_crawl": f"""{CRAWL_PREFIX},
 hr AS MATERIALIZED (
   SELECT url, CAST(extract('hour' FROM warc_ts) AS BIGINT) AS h,

@@ -317,6 +317,10 @@ def global_rank(ds: rd.Dataset, sort_cols: list[str],
         return len(t)
 
     lens = ray.get([block_len.remote(r) for r in refs])
+    refs = [ref for ref, ln in zip(refs, lens) if ln > 0]
+    lens = [ln for ln in lens if ln > 0]
+    if not refs:
+        return srt
     n = int(sum(lens))
     offsets = np.concatenate([[0], np.cumsum(lens)[:-1]]).astype(np.int64)
 
@@ -349,6 +353,12 @@ def ntile(ds: rd.Dataset, sort_cols: list[str], k: int,
         return len(t)
 
     lens = ray.get([block_len.remote(r) for r in refs])
+    # drop empty blocks: a 0-row arrow block carries no columns, and
+    # appending the tile column to it would poison the unified schema
+    refs = [ref for ref, ln in zip(refs, lens) if ln > 0]
+    lens = [ln for ln in lens if ln > 0]
+    if not refs:
+        return srt
     n = int(sum(lens))
     offsets = np.concatenate([[0], np.cumsum(lens)[:-1]]).astype(np.int64)
     q, r = divmod(n, k) if n else (0, 0)
@@ -405,6 +415,13 @@ def grouped_ntile(ds: rd.Dataset, group_cols: list[str],
                 for s, e in zip(starts, ends)]
 
     per_block = ray.get([block_groups.remote(r) for r in refs])
+    # drop empty blocks (0-row arrow blocks lose their columns; the
+    # appended tile column would poison the unified schema)
+    keep = [i for i, g in enumerate(per_block) if g]
+    if not keep:
+        return srt
+    refs = [refs[i] for i in keep]
+    per_block = [per_block[i] for i in keep]
     totals: dict[tuple, int] = {}
     offsets: list[list[tuple[tuple, int]]] = []
     for groups in per_block:
