@@ -2923,3 +2923,46 @@ def tdigest_quantile_daily_crawl(obs_long: pd.DataFrame,
         rows.append(row)
     return pd.DataFrame(rows)[["bucket", "n", "n_centroids",
                                "q50", "q90", "q99"]]
+
+
+def km_staleness_crawl(obs: pd.DataFrame) -> pd.DataFrame:
+    """Scalar twin of the KM staleness curve: text-equality change
+    anchors, whole-day durations, sequential product over event
+    times."""
+    DAY_US = 86_400_000_000
+    durs = []
+    srt = obs.sort_values(["url", "warc_ts"])
+    for u, g in srt.groupby("url", sort=False):
+        us = (g["warc_ts"].to_numpy("datetime64[us]")
+              .astype(np.int64).tolist())
+        texts = g["text"].tolist()
+        anchor = us[0]
+        for k in range(1, len(us)):
+            if texts[k] != texts[k - 1]:
+                durs.append(((us[k] - anchor) // DAY_US, 1))
+                anchor = us[k]
+        if anchor < us[-1]:
+            durs.append(((us[-1] - anchor) // DAY_US, 0))
+    from collections import defaultdict
+    dd = defaultdict(lambda: [0, 0])
+    for t, e in durs:
+        dd[t][0 if e else 1] += 1
+    ts = sorted(dd)
+    total = len(durs)
+    removed = 0
+    surv = 1.0
+    rows = []
+    for t in ts:
+        d, c = dd[t]
+        n_risk = total - removed
+        surv = surv * (1.0 - d / n_risk)
+        removed += d + c
+        if d > 0:
+            rows.append({"t_days": np.int64(t),
+                         "n_risk": np.int64(n_risk),
+                         "d_events": np.int64(d),
+                         "c_censored": np.int64(c),
+                         "survival": float(_sql_round_arr(
+                             np.array([surv]))[0]) + 0.0})
+    return pd.DataFrame(rows)[["t_days", "n_risk", "d_events",
+                               "c_censored", "survival"]]

@@ -1403,6 +1403,16 @@ def _ts_features_crawl(sf_dir: str) -> rd.Dataset:
     return ts_features(_obs_long(sf_dir))
 
 
+def _km_staleness_crawl(sf_dir: str) -> rd.Dataset:
+    """Kaplan-Meier survival of content staleness (censoring-correct
+    time-to-change curve — golden twin)."""
+    from sits_classification_ray.stages.series import km_staleness
+
+    ds = assemble_series(
+        extract(crawl_from_tables(sf_dir), CFG, keep_text=True), CFG)
+    return km_staleness(ds)
+
+
 def _rfm_segments_events(sf_dir: str) -> rd.Dataset:
     """RFM (recency / frequency / monetary) customer segmentation
     over the events stream: per-user aggregates → three distributed
@@ -4315,6 +4325,7 @@ def build_queries() -> dict[str, Callable[[str], Any]]:
         "xcorr_lag_crawl": _xcorr_lag_crawl,
         "tdigest_quantile_daily": _tdigest_quantile_daily,
         "rfm_segments_events": _rfm_segments_events,
+        "km_staleness_crawl": _km_staleness_crawl,
         "mad_anomaly_crawl": _mad_anomaly_crawl,
         "time_weighted_avg_crawl": _time_weighted_avg_crawl,
         "unigram_logprob_documents": _unigram_logprob_documents,
@@ -4552,7 +4563,7 @@ GOLDEN_QUERIES = [
     "snapshot_novelty_crawl", "shesd_anomalies_crawl",
     "periodogram_peak_crawl", "kleinberg_bursts_crawl",
     "segment_trends_crawl", "xcorr_lag_crawl",
-    "tdigest_quantile_daily",
+    "tdigest_quantile_daily", "km_staleness_crawl",
 ]
 
 

@@ -218,3 +218,99 @@ def crawl_budget(rates: rd.Dataset, domain_pattern: str,
             "quota": quota})
 
     return ranked.map_batches(fin, batch_format="pandas")
+
+
+def km_staleness(ds: rd.Dataset, url_col: str = "url",
+                 ts_col: str = "warc_ts", text_col: str = "text",
+                 round_to: int = 6) -> rd.Dataset:
+    """Kaplan-Meier survival curve of content staleness — "what is
+    the probability a page is still UNCHANGED after t days?" — the
+    survival-analysis complement to :func:`change_rate`'s parametric
+    Poisson λ̂ (KM is non-parametric and censoring-correct, the
+    standard estimator when many pages never change inside the
+    observation window).
+
+    Duration samples per url over its fingerprinted snapshot stream:
+    from the first snapshot and from every observed change to the
+    NEXT change (event) or to the last snapshot (right-censored).
+    Durations are floored to whole days. The global KM table is then
+    pure integer counting: per day-duration ``d_events`` /
+    ``c_censored`` sums, risk set by exclusive prefix subtraction,
+    and ``S(t) = Π_{t_j ≤ t} (1 − d_j/n_j)`` over event times in
+    ascending order (one row per event time).
+
+    Scale shape: 16-byte fingerprints before the url exchange, integer
+    (duration, flag) rows out of the per-url kernel, one distributed
+    Sum groupby; the final cumprod runs on the tiny distinct-duration
+    table (bounded by the observation window in days)."""
+    import hashlib
+
+    import numpy as np
+
+    from ray.data.aggregate import Sum
+    from sits_classification_ray.functions.transforms import sql_round
+    from sits_classification_ray.stages.shuffle import partitioned_map
+
+    def fingerprint(df: pd.DataFrame) -> pd.DataFrame:
+        fp = [hashlib.blake2b(t.encode("utf-8", "surrogatepass"),
+                              digest_size=16).digest()
+              for t in df[text_col].astype(str)]
+        return pd.DataFrame({url_col: df[url_col].to_numpy(),
+                             ts_col: df[ts_col].to_numpy(),
+                             "fp": fp})
+
+    DAY_US = 86_400_000_000
+
+    def durations(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values([url_col, ts_col], kind="mergesort")
+        urls = df[url_col].to_numpy()
+        us = df[ts_col].to_numpy("datetime64[us]").astype(np.int64)
+        fps = df["fp"].to_numpy(object)
+        out_d, out_e = [], []
+        i = 0
+        n = len(df)
+        while i < n:
+            j = i
+            while j + 1 < n and urls[j + 1] == urls[i]:
+                j += 1
+            anchor = us[i]
+            for k in range(i + 1, j + 1):
+                if fps[k] != fps[k - 1]:
+                    out_d.append((us[k] - anchor) // DAY_US)
+                    out_e.append(1)
+                    anchor = us[k]
+            if anchor < us[j]:
+                out_d.append((us[j] - anchor) // DAY_US)
+                out_e.append(0)
+            i = j + 1
+        return pd.DataFrame({
+            "t_days": np.asarray(out_d, dtype=np.int64),
+            "d": np.asarray(out_e, dtype=np.int64),
+            "c": 1 - np.asarray(out_e, dtype=np.int64)})
+
+    counts = (partitioned_map(
+        ds.map_batches(fingerprint, batch_format="pandas"),
+        durations, url_col=url_col)
+        .groupby("t_days")
+        .aggregate(Sum("d", alias_name="d"),
+                   Sum("c", alias_name="c")))
+
+    def fin(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values("t_days", kind="mergesort")
+        d = df["d"].to_numpy(np.int64)
+        c = df["c"].to_numpy(np.int64)
+        total = int((d + c).sum())
+        removed = np.concatenate([[0], np.cumsum(d + c)[:-1]])
+        n_risk = total - removed
+        factors = 1.0 - d.astype(np.float64) / n_risk
+        surv = np.cumprod(factors)
+        ev = d > 0
+        return pd.DataFrame({
+            "t_days": df["t_days"].to_numpy(np.int64)[ev],
+            "n_risk": n_risk[ev],
+            "d_events": d[ev],
+            "c_censored": c[ev],
+            "survival": sql_round(surv[ev], round_to) + 0.0})
+
+    return counts.repartition(1).map_batches(fin,
+                                             batch_format="pandas")

@@ -113,3 +113,34 @@ def test_crawl_budget_all_zero_lambda():
     out = crawl_budget(rd.from_pandas(rates), r"^[a-z]+://([^/]+)",
                        budget=100).to_pandas()
     assert (out["quota"] == 0).all()
+
+
+def test_km_staleness_textbook_example():
+    import ray.data as rd
+
+    from sits_classification_ray.stages.series import km_staleness
+
+    D = 86_400_000_000
+    rows = []
+    # u1: changes at day 2 and day 5 (durations 2, 3), then censored
+    # 1 day after the last change
+    texts1 = ["a", "a", "b", "b", "b", "c", "c"]
+    for i, t in enumerate(texts1):
+        rows.append(("u1", i * D, t))
+    # u2: never changes over 4 days -> one censored duration of 3
+    for i in range(4):
+        rows.append(("u2", i * D, "z"))
+    df = pd.DataFrame(rows, columns=["url", "warc_ts", "text"])
+    df["warc_ts"] = pd.to_datetime(df["warc_ts"], unit="us")
+    df["url_bucket"] = np.uint32(1)
+    out = (km_staleness(rd.from_pandas(df)).to_pandas()
+           .sort_values("t_days").reset_index(drop=True))
+    # durations: events {2, 3}, censored {1, 3}; N=4
+    # t=1: censored only -> no row; t=2: n_risk=3, d=1 -> S=2/3
+    # t=3: n_risk=2, d=1, c=1 -> S=2/3 * 1/2 = 1/3
+    assert len(out) == 2
+    assert out.loc[0, "t_days"] == 2 and out.loc[0, "n_risk"] == 3
+    assert abs(out.loc[0, "survival"] - round(2 / 3, 6)) < 1e-9
+    assert out.loc[1, "t_days"] == 3 and out.loc[1, "n_risk"] == 2
+    assert abs(out.loc[1, "survival"] - round(1 / 3, 6)) < 1e-9
+    assert out.loc[1, "c_censored"] == 1

@@ -171,6 +171,10 @@ def make_for(sf_dir: str, only: set[str] | None = None) -> None:
             lambda: golden.xcorr_lag_crawl(obs_long),
         "tdigest_quantile_daily":
             lambda: golden.tdigest_quantile_daily_crawl(obs_long),
+        "km_staleness_crawl":
+            lambda: golden.km_staleness_crawl(con.sql(
+                f"{CRAWL_PREFIX} SELECT url, warc_ts, text FROM obs"
+            ).df()),
         "snapshot_novelty_crawl":
             lambda: golden.snapshot_novelty_crawl(con.sql(
                 f"{CRAWL_PREFIX} SELECT url, warc_ts, text FROM obs"
