@@ -1403,6 +1403,45 @@ def _ts_features_crawl(sf_dir: str) -> rd.Dataset:
     return ts_features(_obs_long(sf_dir))
 
 
+def _recrawl_list_crawl(sf_dir: str) -> rd.Dataset:
+    """The complete scheduling loop composed end-to-end: change-rate
+    estimation → largest-remainder domain quotas → per-domain top-λ
+    url recrawl list (rank ≤ quota). SQL window twin."""
+    from sits_classification_ray.stages.joins import hash_join
+    from sits_classification_ray.stages.series import (change_rate,
+                                                       crawl_budget)
+    from sits_classification_ray.stages.shuffle import partitioned_map
+
+    ds = assemble_series(
+        extract(crawl_from_tables(sf_dir), CFG, keep_text=True), CFG)
+    rates = change_rate(ds).materialize()
+    budget = crawl_budget(rates, _DOMAIN_RE, budget=10000) \
+        .select_columns(["domain", "quota"])
+
+    def with_domain(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "domain": df["url"].str.extract(_DOMAIN_RE, expand=False),
+            "url": df["url"].to_numpy(),
+            "lambda_per_day": df["lambda_per_day"]
+            .to_numpy(np.float64)})
+
+    def rank(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["domain", "lambda_per_day", "url"],
+                            ascending=[True, False, True],
+                            kind="mergesort")
+        rn = df.groupby("domain", sort=False).cumcount() + 1
+        return df.assign(rank_in_domain=rn.to_numpy(np.int64))
+
+    ranked = partitioned_map(
+        rates.map_batches(with_domain, batch_format="pandas"),
+        rank, url_col="domain")
+    joined = hash_join(ranked, budget, on="domain")
+    return joined.filter(
+        expr="rank_in_domain <= quota").select_columns(
+        ["domain", "url", "lambda_per_day", "rank_in_domain",
+         "quota"])
+
+
 def _km_staleness_crawl(sf_dir: str) -> rd.Dataset:
     """Kaplan-Meier survival of content staleness (censoring-correct
     time-to-change curve — golden twin)."""
@@ -4326,6 +4365,7 @@ def build_queries() -> dict[str, Callable[[str], Any]]:
         "tdigest_quantile_daily": _tdigest_quantile_daily,
         "rfm_segments_events": _rfm_segments_events,
         "km_staleness_crawl": _km_staleness_crawl,
+        "recrawl_list_crawl": _recrawl_list_crawl,
         "mad_anomaly_crawl": _mad_anomaly_crawl,
         "time_weighted_avg_crawl": _time_weighted_avg_crawl,
         "unigram_logprob_documents": _unigram_logprob_documents,
@@ -5620,6 +5660,50 @@ SELECT domain, n_urls, lam_micro,
        + CASE WHEN row_number() OVER (ORDER BY frac DESC, domain) <= r
               THEN 1 ELSE 0 END AS quota
 FROM ideal, rem""",
+        "recrawl_list_crawl": f"""{CRAWL_PREFIX},
+ch AS MATERIALIZED (
+  SELECT url, warc_ts,
+         CASE WHEN text <> lag(text) OVER w THEN 1 ELSE 0 END AS chg,
+         CASE WHEN lag(text) OVER w IS NULL THEN 0 ELSE 1 END AS hasprev
+  FROM obs WINDOW w AS (PARTITION BY url ORDER BY warc_ts)),
+rates AS MATERIALIZED (
+  SELECT url,
+         round(-ln((sum(hasprev) - sum(chg) + 0.5)
+                   / (sum(hasprev) + 0.5))
+               / (((epoch_us(max(warc_ts)) - epoch_us(min(warc_ts)))
+                   / 1000000.0) / sum(hasprev)) * 86400.0, 6) + 0.0
+             AS lambda_per_day
+  FROM ch GROUP BY url),
+agg AS MATERIALIZED (
+  SELECT regexp_extract(url, '^[a-z]+://([^/]+)', 1) AS domain,
+         CAST(sum(CAST(round(lambda_per_day * 1000000.0) AS BIGINT))
+              AS BIGINT) AS lam_micro
+  FROM rates GROUP BY 1),
+tot AS (SELECT sum(lam_micro) AS t FROM agg),
+ideal AS MATERIALIZED (
+  SELECT domain, lam_micro,
+         floor(CAST(lam_micro * 10000 AS DOUBLE) / t) AS fl,
+         CAST(lam_micro * 10000 AS DOUBLE) / t
+             - floor(CAST(lam_micro * 10000 AS DOUBLE) / t) AS frac
+  FROM agg, tot),
+rem AS (SELECT 10000 - CAST(sum(fl) AS BIGINT) AS r FROM ideal),
+quota AS MATERIALIZED (
+  SELECT domain,
+         CAST(fl AS BIGINT)
+         + CASE WHEN row_number() OVER (ORDER BY frac DESC, domain)
+                     <= r THEN 1 ELSE 0 END AS quota
+  FROM ideal, rem),
+ranked AS (
+  SELECT regexp_extract(url, '^[a-z]+://([^/]+)', 1) AS domain,
+         url, lambda_per_day,
+         row_number() OVER (
+             PARTITION BY regexp_extract(url, '^[a-z]+://([^/]+)', 1)
+             ORDER BY lambda_per_day DESC, url) AS rank_in_domain
+  FROM rates)
+SELECT rk.domain, rk.url, rk.lambda_per_day, rk.rank_in_domain,
+       q.quota
+FROM ranked rk JOIN quota q USING (domain)
+WHERE rk.rank_in_domain <= q.quota""",
         "anchor_text_rollup_crawl": f"""WITH {CRAWL_CTE},
 links AS MATERIALIZED (
   SELECT c.url,
