@@ -4213,6 +4213,41 @@ def _kmv_overlap_weeks(sf_dir: str) -> pd.DataFrame:
     return kmv_overlap(obs_weeks, key_col="url", bucket_col="bucket_ts")
 
 
+def _welch_ttest_crawl(sf_dir: str) -> rd.Dataset:
+    """Welch's t-test per metric between month-halves of the daily
+    means (SQL conditional-aggregation twin)."""
+    from sits_classification_ray.stages.stats_tests import welch_ttest
+
+    return welch_ttest(_obs_long(sf_dir))
+
+
+def _mannwhitney_crawl(sf_dir: str) -> rd.Dataset:
+    """Mann-Whitney U per metric between month-halves — distributed
+    tie-aware rank-sum via the value-count prefix scan (SQL
+    average-rank window twin)."""
+    from sits_classification_ray.stages.stats_tests import mann_whitney
+
+    return mann_whitney(_obs_long(sf_dir))
+
+
+def _ks_test_crawl(sf_dir: str) -> rd.Dataset:
+    """Two-sample Kolmogorov-Smirnov per metric between month-halves
+    — blockwise CDF scan (SQL cumulative-window twin)."""
+    from sits_classification_ray.stages.stats_tests import ks_two_sample
+
+    return ks_two_sample(_obs_long(sf_dir))
+
+
+def _chi2_lang_weekly(sf_dir: str) -> rd.Dataset:
+    """Chi-square independence cells for lang × ISO-week over crawl
+    snapshots (SQL marginal-window twin)."""
+    from sits_classification_ray.stages.stats_tests import (
+        chi2_independence)
+
+    return chi2_independence(
+        _obs(sf_dir).select_columns(["lang", "warc_ts"]))
+
+
 def build_queries() -> dict[str, Callable[[str], Any]]:
     from sits_classification_ray.pipelines.relational import (
         orders_per_nation, q1_pricing_summary, q3_shipping_priority,
@@ -4505,6 +4540,11 @@ def build_queries() -> dict[str, Callable[[str], Any]]:
         "bpe_encode_documents": _bpe_encode_documents,
         # URL blocklist filtering (SQL-checked)
         "url_filter_crawl": _url_filter_crawl,
+        # distribution-shift hypothesis tests (SQL-checked)
+        "welch_ttest_crawl": _welch_ttest_crawl,
+        "mannwhitney_crawl": _mannwhitney_crawl,
+        "ks_test_crawl": _ks_test_crawl,
+        "chi2_lang_weekly": _chi2_lang_weekly,
     }.items()}
 
 
@@ -7072,6 +7112,111 @@ SELECT 'rmse' AS metric_name, sqrt(se / n) AS value FROM a
 UNION ALL SELECT 'mae', ae / n FROM a
 UNION ALL SELECT 'r2', 1 - se / (syy - sy * sy / n) FROM a
 UNION ALL SELECT 'n', CAST(n AS DOUBLE) FROM a""",
+        "welch_ttest_crawl": f"""{CRAWL_PREFIX},
+daily AS MATERIALIZED (
+  SELECT url, metric, CAST(date_trunc('day', warc_ts) AS TIMESTAMP) AS day,
+         round(avg(value), 6) AS v
+  FROM obs_long GROUP BY 1, 2, 3),
+hv AS (SELECT metric,
+              CASE WHEN day(day) <= 15 THEN 'a' ELSE 'b' END AS half, v
+       FROM daily),
+agg AS (SELECT metric, half, count(*) AS n, sum(v) AS s,
+               sum(v * v) AS s2
+        FROM hv GROUP BY 1, 2),
+ab AS (SELECT a.metric, a.n AS na, b.n AS nb, a.s AS sa, b.s AS sb,
+              a.s2 AS s2a, b.s2 AS s2b
+       FROM agg a JOIN agg b ON a.metric = b.metric
+       WHERE a.half = 'a' AND b.half = 'b' AND a.n >= 2 AND b.n >= 2),
+fin AS (SELECT metric, na, nb, sa / na AS ma, sb / nb AS mb,
+               (s2a - na * (sa / na) * (sa / na)) / (na - 1) AS va,
+               (s2b - nb * (sb / nb) * (sb / nb)) / (nb - 1) AS vb
+        FROM ab)
+SELECT metric, CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
+       round(ma, 6) AS mean_a, round(mb, 6) AS mean_b,
+       round(va, 6) AS var_a, round(vb, 6) AS var_b,
+       round((ma - mb) / sqrt(va / na + vb / nb), 6) AS t_stat,
+       round(pow(va / na + vb / nb, 2)
+             / (pow(va / na, 2) / (na - 1)
+                + pow(vb / nb, 2) / (nb - 1)), 6) AS df
+FROM fin WHERE va / na + vb / nb > 0""",
+        "mannwhitney_crawl": f"""{CRAWL_PREFIX},
+daily AS MATERIALIZED (
+  SELECT url, metric, CAST(date_trunc('day', warc_ts) AS TIMESTAMP) AS day,
+         round(avg(value), 6) AS v
+  FROM obs_long GROUP BY 1, 2, 3),
+hv AS MATERIALIZED (
+  SELECT metric,
+         CASE WHEN day(day) <= 15 THEN 'a' ELSE 'b' END AS half, v
+  FROM daily),
+tot AS (SELECT metric,
+               count(*) FILTER (WHERE half = 'a') AS na,
+               count(*) FILTER (WHERE half = 'b') AS nb,
+               count(*) AS n
+        FROM hv GROUP BY 1),
+rk AS (SELECT metric, half,
+              rank() OVER (PARTITION BY metric ORDER BY v)
+              + (count(*) OVER (PARTITION BY metric, v) - 1) / 2.0
+                  AS avg_rank
+       FROM hv),
+rs AS (SELECT metric,
+              sum(avg_rank) FILTER (WHERE half = 'a') AS r_a
+       FROM rk GROUP BY 1),
+ties AS (SELECT metric, sum(pow(c, 3) - c) AS tie
+         FROM (SELECT metric, v, CAST(count(*) AS DOUBLE) AS c
+               FROM hv GROUP BY 1, 2)
+         GROUP BY 1),
+fin AS (SELECT t.metric, t.na, t.nb, t.n,
+               r.r_a - t.na * (t.na + 1) / 2.0 AS u_a,
+               (t.na * t.nb / 12.0)
+               * ((t.n + 1.0) - x.tie / (t.n * (t.n - 1.0))) AS var
+        FROM tot t JOIN rs r ON t.metric = r.metric
+        JOIN ties x ON t.metric = x.metric
+        WHERE t.na > 0 AND t.nb > 0)
+SELECT metric, CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
+       round(u_a, 6) AS u_a,
+       round((u_a - na * nb / 2.0) / sqrt(var), 6) AS z
+FROM fin WHERE var > 0""",
+        "ks_test_crawl": f"""{CRAWL_PREFIX},
+daily AS MATERIALIZED (
+  SELECT url, metric, CAST(date_trunc('day', warc_ts) AS TIMESTAMP) AS day,
+         round(avg(value), 6) AS v
+  FROM obs_long GROUP BY 1, 2, 3),
+hv AS MATERIALIZED (
+  SELECT metric,
+         CASE WHEN day(day) <= 15 THEN 'a' ELSE 'b' END AS half, v
+  FROM daily),
+cnts AS (SELECT metric, v,
+                count(*) FILTER (WHERE half = 'a') AS ca,
+                count(*) FILTER (WHERE half = 'b') AS cb
+         FROM hv GROUP BY 1, 2),
+tot AS (SELECT metric, sum(ca) AS na, sum(cb) AS nb
+        FROM cnts GROUP BY 1),
+cum AS (SELECT metric,
+               sum(ca) OVER (PARTITION BY metric ORDER BY v) AS cum_a,
+               sum(cb) OVER (PARTITION BY metric ORDER BY v) AS cum_b
+        FROM cnts),
+d AS (SELECT c.metric, t.na, t.nb,
+             max(abs(c.cum_a / t.na - c.cum_b / t.nb)) AS d_stat
+      FROM cum c JOIN tot t ON c.metric = t.metric
+      WHERE t.na > 0 AND t.nb > 0
+      GROUP BY 1, 2, 3)
+SELECT metric, CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
+       round(d_stat, 6) AS d_stat,
+       round(sqrt(na * nb / (na + nb)) * d_stat, 6) AS ks_stat
+FROM d""",
+        "chi2_lang_weekly": f"""{CRAWL_PREFIX},
+c AS (SELECT lang, CAST(date_trunc('week', warc_ts) AS TIMESTAMP) AS week,
+             count(*) AS observed
+      FROM obs GROUP BY 1, 2),
+e AS (SELECT lang, week, observed,
+             sum(observed) OVER (PARTITION BY lang) * 1.0
+             * sum(observed) OVER (PARTITION BY week)
+             / sum(observed) OVER () AS exp
+      FROM c)
+SELECT lang, week, CAST(observed AS BIGINT) AS observed,
+       round(exp, 6) AS expected,
+       round(pow(observed - exp, 2) / exp, 6) AS contrib
+FROM e""",
     }
     # unbounded variants share their bounded twins' oracles — the
     # driver certifies the halo/prefix-scan algebra, not new semantics
