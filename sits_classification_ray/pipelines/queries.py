@@ -4248,6 +4248,15 @@ def _chi2_lang_weekly(sf_dir: str) -> rd.Dataset:
         _obs(sf_dir).select_columns(["lang", "warc_ts"]))
 
 
+def _domain_drift_bh_crawl(sf_dir: str) -> rd.Dataset:
+    """Per-domain month-half drift z-tests with Benjamini-Hochberg
+    FDR adjustment across the whole domain family (SQL window twin:
+    row_number rank + reverse-cummin over p·m/rank)."""
+    from sits_classification_ray.stages.stats_tests import domain_drift_bh
+
+    return domain_drift_bh(_obs_long(sf_dir))
+
+
 def build_queries() -> dict[str, Callable[[str], Any]]:
     from sits_classification_ray.pipelines.relational import (
         orders_per_nation, q1_pricing_summary, q3_shipping_priority,
@@ -4545,6 +4554,8 @@ def build_queries() -> dict[str, Callable[[str], Any]]:
         "mannwhitney_crawl": _mannwhitney_crawl,
         "ks_test_crawl": _ks_test_crawl,
         "chi2_lang_weekly": _chi2_lang_weekly,
+        # FDR-controlled per-domain drift screen (SQL-checked)
+        "domain_drift_bh_crawl": _domain_drift_bh_crawl,
     }.items()}
 
 
@@ -7204,6 +7215,48 @@ SELECT metric, CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
        round(d_stat, 6) AS d_stat,
        round(sqrt(na * nb / (na + nb)) * d_stat, 6) AS ks_stat
 FROM d""",
+        "domain_drift_bh_crawl": f"""{CRAWL_PREFIX},
+daily AS MATERIALIZED (
+  SELECT url, CAST(date_trunc('day', warc_ts) AS TIMESTAMP) AS day,
+         round(avg(value), 6) AS v
+  FROM obs_long WHERE metric = 'text_len' GROUP BY 1, 2),
+hv AS (SELECT regexp_extract(url, '^[a-z]+://([^/]+)', 1) AS domain,
+              CASE WHEN day(day) <= 15 THEN 1.0 ELSE 0.0 END AS a, v
+       FROM daily),
+agg AS (SELECT domain,
+               sum(a) AS na, sum(a * v) AS sa, sum(a * v * v) AS s2a,
+               sum(1 - a) AS nb, sum((1 - a) * v) AS sb,
+               sum((1 - a) * v * v) AS s2b
+        FROM hv GROUP BY 1),
+var AS (SELECT domain, na, nb,
+               sa / na AS ma, sb / nb AS mb,
+               ((s2a - na * (sa / na) * (sa / na)) / (na - 1)) / na
+               + ((s2b - nb * (sb / nb) * (sb / nb)) / (nb - 1)) / nb
+                   AS se2
+        FROM agg WHERE na >= 2 AND nb >= 2),
+fin AS (SELECT domain, na, nb,
+               round((ma - mb) / sqrt(se2), 6) AS z
+        FROM var WHERE se2 > 0),
+px AS (SELECT domain, na, nb, z, abs(z) / sqrt(2.0) AS x,
+              1.0 / (1.0 + 0.3275911 * (abs(z) / sqrt(2.0))) AS t
+       FROM fin),
+pv AS (SELECT domain, na, nb, z,
+              round(t * (0.254829592 + t * (-0.284496736
+                    + t * (1.421413741 + t * (-1.453152027
+                    + t * 1.061405429)))) * exp(-x * x), 6) AS p
+       FROM px),
+mm AS (SELECT count(*) AS m FROM pv),
+rk AS (SELECT pv.*, mm.m,
+              row_number() OVER (ORDER BY p, domain) AS rn
+       FROM pv, mm),
+adj AS (SELECT *, min(p * m / rn) OVER (
+                ORDER BY rn DESC
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                  AS padj
+        FROM rk)
+SELECT domain, CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
+       z, p AS p_value, round(least(padj, 1.0), 6) AS p_bh
+FROM adj""",
         "chi2_lang_weekly": f"""{CRAWL_PREFIX},
 c AS (SELECT lang, CAST(date_trunc('week', warc_ts) AS TIMESTAMP) AS week,
              count(*) AS observed

@@ -32,7 +32,7 @@ import ray.data as rd
 from sits_classification_ray.functions.transforms import sql_round
 
 __all__ = ["welch_ttest", "mann_whitney", "ks_two_sample",
-           "chi2_independence"]
+           "chi2_independence", "domain_drift_bh"]
 
 
 def _daily_halves(ds_long: rd.Dataset, round_to: int = 6) -> rd.Dataset:
@@ -277,6 +277,157 @@ def ks_two_sample(ds_long: rd.Dataset, round_to: int = 6) -> rd.Dataset:
     for c in ("d_stat", "ks_stat"):
         out[c] = sql_round(out[c].to_numpy(np.float64), round_to) + 0.0
     return rd.from_pandas(out)
+
+
+def _erfc_as(x: np.ndarray) -> np.ndarray:
+    """Abramowitz & Stegun 7.1.26 complementary-error-function
+    approximation (|error| < 1.5e-7) as explicit arithmetic, so the
+    DuckDB twin (which has no erf/erfc) can evaluate the *identical*
+    expression: both engines feed the same rounded input through the
+    same +,*,/,exp chain."""
+    t = 1.0 / (1.0 + 0.3275911 * x)
+    poly = t * (0.254829592 + t * (-0.284496736 + t * (
+        1.421413741 + t * (-1.453152027 + t * 1.061405429))))
+    return poly * np.exp(-x * x)
+
+
+def domain_drift_bh(ds_long: rd.Dataset, metric: str = "text_len",
+                    round_to: int = 6) -> rd.Dataset:
+    """Which domains' ``metric`` distribution shifted between the two
+    month-halves, with Benjamini-Hochberg false-discovery-rate control
+    across the whole domain family — the multiple-comparison screen a
+    crawl operator actually needs (testing 10⁶ domains at α=0.05
+    uncorrected would "detect" 50k drifts by chance).
+
+    Per domain: Welch z over the daily means (normal approximation —
+    documented: at the daily grain every tested domain has ≥2 obs per
+    half and df is not adjusted), two-sided p from the A&S 7.1.26
+    erfc expansion **evaluated on the rounded z** so the engine and
+    the SQL twin feed bit-identical inputs through the same
+    arithmetic. Then BH: with the m tested domains ordered by
+    ``(p, domain)``, ``p_bh(i) = min(1, min_{j≥i} p_(j)·m/j)`` — ties
+    in p collapse under the suffix-min, so the tie-break never changes
+    the result, only makes the scan deterministic.
+
+    Scale shape: moments are one Sum-combiner groupby (six columns per
+    domain, masked by half — no pivot join); z/p are elementwise over
+    the bounded per-domain table; the BH suffix-min runs blockwise
+    over the p-sorted table with O(blocks) driver scalars (per-block
+    counts → global ranks; per-block raw minima → exclusive suffix-min
+    seeds), never a whole family in one worker."""
+    from ray.data.aggregate import Sum
+
+    _domain_re = r"^[a-z]+://([^/]+)"
+
+    def moments(df: pd.DataFrame) -> pd.DataFrame:
+        dom = pd.DatetimeIndex(df["day"]).day.to_numpy()
+        a = (dom <= 15).astype(np.float64)
+        b = 1.0 - a
+        v = sql_round(df["v"].to_numpy(np.float64), round_to) + 0.0
+        return pd.DataFrame({
+            "domain": df["url"].str.extract(_domain_re, expand=False),
+            "n_a": a, "s_a": a * v, "s2_a": a * v * v,
+            "n_b": b, "s_b": b * v, "s2_b": b * v * v})
+
+    grp = (_daily_means_of(ds_long.filter(
+               expr=f"metric == '{metric}'"))
+           .map_batches(moments, batch_format="pandas")
+           .groupby("domain")
+           .aggregate(Sum("n_a", alias_name="n_a"),
+                      Sum("s_a", alias_name="s_a"),
+                      Sum("s2_a", alias_name="s2_a"),
+                      Sum("n_b", alias_name="n_b"),
+                      Sum("s_b", alias_name="s_b"),
+                      Sum("s2_b", alias_name="s2_b")))
+
+    def zp(df: pd.DataFrame) -> pd.DataFrame:
+        cols = ["domain", "n_a", "n_b", "z", "p"]
+        if df.empty:
+            return pd.DataFrame({c: pd.Series(
+                dtype=np.int64 if c in ("n_a", "n_b") else
+                (object if c == "domain" else np.float64))
+                for c in cols})
+        na = df["n_a"].to_numpy(np.float64)
+        nb = df["n_b"].to_numpy(np.float64)
+        with np.errstate(invalid="ignore", divide="ignore"):
+            ma = df["s_a"].to_numpy(np.float64) / na
+            mb = df["s_b"].to_numpy(np.float64) / nb
+            va = (df["s2_a"].to_numpy(np.float64) - na * ma * ma) \
+                / (na - 1)
+            vb = (df["s2_b"].to_numpy(np.float64) - nb * mb * mb) \
+                / (nb - 1)
+            se2 = va / na + vb / nb
+            keep = (na >= 2) & (nb >= 2) & (se2 > 0)
+            z = sql_round((ma - mb) / np.sqrt(se2), round_to) + 0.0
+        p = sql_round(_erfc_as(np.abs(z[keep]) / np.sqrt(2.0)),
+                      round_to) + 0.0
+        return pd.DataFrame({
+            "domain": df["domain"].to_numpy()[keep],
+            "n_a": na[keep].astype(np.int64),
+            "n_b": nb[keep].astype(np.int64),
+            "z": z[keep], "p": p})[cols]
+
+    tested = grp.map_batches(zp, batch_format="pandas") \
+                .sort(["p", "domain"])
+    refs = tested.to_arrow_refs()
+
+    @ray.remote(num_cpus=0)
+    def block_len(t: pa.Table) -> int:
+        return len(t)
+
+    lens = ray.get([block_len.remote(r) for r in refs])
+    keep_i = [i for i, n in enumerate(lens) if n]
+    refs = [refs[i] for i in keep_i]
+    lens = [lens[i] for i in keep_i]
+    m = int(sum(lens))
+    starts = np.concatenate(([0], np.cumsum(lens)[:-1])) if lens else []
+
+    @ray.remote(num_cpus=0)
+    def raw_min(t: pa.Table, start: int) -> float:
+        p = t.column("p").to_numpy(zero_copy_only=False)
+        rank = np.arange(start + 1, start + len(p) + 1, dtype=np.float64)
+        return float((p * m / rank).min())
+
+    mins = ray.get([raw_min.remote(r, s) for r, s in zip(refs, starts)])
+    # exclusive suffix-min seed for each block (min over later blocks)
+    seeds = np.full(len(mins), np.inf)
+    acc = np.inf
+    for i in range(len(mins) - 1, -1, -1):
+        seeds[i] = acc
+        acc = min(acc, mins[i])
+
+    @ray.remote(num_cpus=0.25)
+    def adjust(t: pa.Table, start: int, seed: float) -> pa.Table:
+        df = t.to_pandas()
+        p = df["p"].to_numpy(np.float64)
+        rank = np.arange(start + 1, start + len(p) + 1, dtype=np.float64)
+        raw = p * m / rank
+        adj = np.minimum.accumulate(raw[::-1])[::-1]
+        adj = np.minimum(np.minimum(adj, seed), 1.0)
+        out = pd.DataFrame({
+            "domain": df["domain"], "n_a": df["n_a"], "n_b": df["n_b"],
+            "z": df["z"], "p_value": df["p"],
+            "p_bh": sql_round(adj, round_to) + 0.0})
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    out_refs = [adjust.remote(r, s, sd)
+                for r, s, sd in zip(refs, starts, seeds)]
+    if not out_refs:
+        empty = pa.table({
+            "domain": pa.array([], pa.string()),
+            "n_a": pa.array([], pa.int64()),
+            "n_b": pa.array([], pa.int64()),
+            "z": pa.array([], pa.float64()),
+            "p_value": pa.array([], pa.float64()),
+            "p_bh": pa.array([], pa.float64())})
+        return rd.from_arrow(empty)
+    return rd.from_arrow_refs(out_refs)
+
+
+def _daily_means_of(ds_long: rd.Dataset) -> rd.Dataset:
+    from sits_classification_ray.stages.stm import daily_means
+
+    return daily_means(ds_long)
 
 
 def chi2_independence(ds: rd.Dataset, row_col: str = "lang",

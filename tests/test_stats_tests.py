@@ -171,6 +171,102 @@ def test_chi2_cells():
     assert (pd.DatetimeIndex(out["week"]).dayofweek == 0).all()
 
 
+def _domain_df(seed=23, n_domains=12, shift_every=3):
+    """Crawl-like long data with real urls; every ``shift_every``-th
+    domain gets a deliberate mean shift in the second month-half."""
+    rng = np.random.default_rng(seed)
+    base = np.datetime64("2024-01-01T06:00:00", "us")
+    rows = []
+    for i in range(n_domains):
+        dom = f"site{i:02d}.example"
+        bump = 40.0 if i % shift_every == 0 else 0.0
+        for p in range(3):
+            url = f"https://{dom}/p{p}"
+            for d in range(30):
+                v = float(rng.integers(50, 60)) + (bump if d >= 15 else 0)
+                rows.append((url, "text_len", base + d * US_DAY, v))
+                rows.append((url, "other", base + d * US_DAY, 1.0))
+    df = pd.DataFrame(rows, columns=["url", "metric", "warc_ts",
+                                     "value"])
+    df["url_bucket"] = np.uint32(1)
+    return df
+
+
+def _ref_bh(p, m=None):
+    """Naive textbook BH: sort, raw = p*m/rank, reverse cummin, clamp."""
+    p = np.asarray(p, dtype=np.float64)
+    m = m or len(p)
+    order = np.argsort(p, kind="stable")
+    raw = p[order] * m / np.arange(1, len(p) + 1)
+    adj = np.minimum(np.minimum.accumulate(raw[::-1])[::-1], 1.0)
+    out = np.empty_like(adj)
+    out[order] = adj
+    return out
+
+
+def test_domain_drift_bh_matches_reference():
+    from sits_classification_ray.stages.stats_tests import (
+        _erfc_as, domain_drift_bh)
+
+    df = _domain_df()
+    out = (domain_drift_bh(_ds(df).repartition(8)).to_pandas()
+           .sort_values("domain").reset_index(drop=True))
+    # independent per-domain welch z over the daily means
+    d = df[df["metric"] == "text_len"].copy()
+    d["day"] = d["warc_ts"].to_numpy().astype("datetime64[D]")
+    g = (d.groupby(["url", "day"])["value"].mean().reset_index(name="v"))
+    g["v"] = sql_round(g["v"].to_numpy(np.float64), 6) + 0.0
+    g["domain"] = g["url"].str.extract(r"^[a-z]+://([^/]+)",
+                                       expand=False)
+    g["half"] = np.where(pd.DatetimeIndex(g["day"]).day <= 15, "a", "b")
+    rows = []
+    for dom, gd in g.groupby("domain"):
+        a = gd.loc[gd["half"] == "a", "v"].to_numpy()
+        b = gd.loc[gd["half"] == "b", "v"].to_numpy()
+        va, vb = a.var(ddof=1), b.var(ddof=1)
+        se2 = va / len(a) + vb / len(b)
+        if se2 <= 0:
+            continue
+        z = sql_round([(a.mean() - b.mean()) / np.sqrt(se2)], 6)[0]
+        p = sql_round([_erfc_as(np.abs(np.array([z]))
+                                / np.sqrt(2.0))[0]], 6)[0]
+        rows.append((dom, z, p))
+    ref = pd.DataFrame(rows, columns=["domain", "z", "p"]) \
+        .sort_values("domain").reset_index(drop=True)
+    ref["p_bh"] = _ref_bh(ref["p"].to_numpy())
+    assert list(out["domain"]) == list(ref["domain"])
+    assert np.allclose(out["z"], ref["z"], atol=1e-9)
+    assert np.allclose(out["p_value"], ref["p"], atol=1e-9)
+    assert np.allclose(out["p_bh"], ref["p_bh"], atol=1e-6)
+    # the shifted domains are the FDR discoveries, the rest are not
+    shifted = out["domain"].str.extract(r"site(\d+)", expand=False) \
+        .astype(int) % 3 == 0
+    assert (out.loc[shifted, "p_bh"] < 0.01).all()
+    assert (out.loc[~shifted, "p_bh"] > 0.05).all()
+
+
+def test_bh_clamps_and_collapses_ties():
+    """p_bh never exceeds 1; tied p-values share one adjusted value."""
+    from sits_classification_ray.stages.stats_tests import domain_drift_bh
+
+    rng = np.random.default_rng(3)
+    base = np.datetime64("2024-01-01T06:00:00", "us")
+    rows = []
+    for i in range(6):
+        url = f"https://flat{i}.example/"
+        for d in range(30):
+            rows.append((url, "text_len",
+                         base + d * US_DAY,
+                         float(rng.integers(0, 2))))
+    df = pd.DataFrame(rows, columns=["url", "metric", "warc_ts",
+                                     "value"])
+    df["url_bucket"] = np.uint32(1)
+    out = domain_drift_bh(_ds(df)).to_pandas()
+    assert (out["p_bh"] <= 1.0).all()
+    same_p = out.groupby("p_value")["p_bh"].nunique()
+    assert (same_p == 1).all()
+
+
 def test_chi2_uniform_has_small_contrib():
     """A perfectly balanced table has contrib == 0 everywhere."""
     base = np.datetime64("2024-01-01T00:00:00", "us")  # a Monday
