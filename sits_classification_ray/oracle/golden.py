@@ -2966,3 +2966,60 @@ def km_staleness_crawl(obs: pd.DataFrame) -> pd.DataFrame:
                              np.array([surv]))[0]) + 0.0})
     return pd.DataFrame(rows)[["t_days", "n_risk", "d_events",
                                "c_censored", "survival"]]
+
+
+def pca_projection_embeddings(emb: pd.DataFrame, n_components: int = 2,
+                              num_partitions: int = 64,
+                              chunk: int = 256,
+                              round_to: int = 6) -> pd.DataFrame:
+    """Independent single-process PCA projection implementing the
+    engine's determinism contract bit-for-bit (fixed hash partitions,
+    id-sorted chunked ``np.add.reduce`` moment sums, (i, j, pid)-sorted
+    merge, largest-|loading|-positive sign, ufunc-contraction
+    projection) — see ``stages/similarity.py`` pca_basis."""
+    ids = emb["vec_id"].to_numpy(np.int64)
+    pid_all = (pd.util.hash_array(ids, categorize=False)
+               % np.uint64(num_partitions)).astype(np.int64)
+    d = len(np.asarray(emb["embedding"].iloc[0]))
+    parts = []
+    for pid in np.unique(pid_all):
+        sub = emb[pid_all == pid].sort_values("vec_id", kind="mergesort")
+        X = np.stack([np.asarray(v, dtype=np.float64)
+                      for v in sub["embedding"]])
+        ss = np.zeros((d, d), dtype=np.float64)
+        s = np.zeros(d, dtype=np.float64)
+        for i0 in range(0, len(X), chunk):
+            ch = X[i0:i0 + chunk]
+            ss += np.add.reduce(ch[:, :, None] * ch[:, None, :], axis=0)
+            s += np.add.reduce(ch, axis=0)
+        ii = np.repeat(np.arange(d, dtype=np.int64), d)
+        jj = np.tile(np.arange(d, dtype=np.int64), d)
+        parts.append(pd.DataFrame({
+            "pid": np.int64(pid),
+            "i": np.concatenate([ii, np.arange(d, dtype=np.int64),
+                                 [np.int64(-1)]]),
+            "j": np.concatenate([jj, np.full(d, -1, dtype=np.int64),
+                                 [np.int64(-1)]]),
+            "v": np.concatenate([ss.ravel(), s, [float(len(X))]])}))
+    partials = pd.concat(parts, ignore_index=True).sort_values(
+        ["i", "j", "pid"], kind="mergesort")
+    agg = partials.groupby(["i", "j"], sort=True)["v"].sum()
+    n = float(agg[(-1, -1)])
+    s = np.array([agg[(i, -1)] for i in range(d)])
+    ss_m = np.array([[agg[(i, j)] for j in range(d)] for i in range(d)])
+    mean = s / n
+    cov = (ss_m - n * np.outer(mean, mean)) / (n - 1.0)
+    w, v = np.linalg.eigh(cov)
+    order = np.argsort(w, kind="stable")[::-1][:n_components]
+    comps = v[:, order].copy()
+    for c in range(comps.shape[1]):
+        jmax = int(np.argmax(np.abs(comps[:, c])))
+        if comps[jmax, c] < 0:
+            comps[:, c] = -comps[:, c]
+    X = np.stack([np.asarray(v, dtype=np.float64)
+                  for v in emb["embedding"]]) - mean
+    p = (X[:, :, None] * comps[None, :, :]).sum(axis=1)
+    out = {"vec_id": ids}
+    for c in range(comps.shape[1]):
+        out[f"pc{c + 1}"] = _sql_round_arr(p[:, c], round_to) + 0.0
+    return pd.DataFrame(out)

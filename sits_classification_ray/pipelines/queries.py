@@ -4248,6 +4248,17 @@ def _chi2_lang_weekly(sf_dir: str) -> rd.Dataset:
         _obs(sf_dir).select_columns(["lang", "warc_ts"]))
 
 
+def _pca_projection_embeddings(sf_dir: str) -> rd.Dataset:
+    """Distributed PCA: one O(d²)-to-driver moment pass under the
+    kmeans determinism contract, eigh on the d×d covariance, broadcast
+    projection onto the top-2 components (golden twin)."""
+    from sits_classification_ray.stages.similarity import pca_project
+
+    emb = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                          columns=["vec_id", "embedding"])
+    return pca_project(emb)
+
+
 def _domain_drift_bh_crawl(sf_dir: str) -> rd.Dataset:
     """Per-domain month-half drift z-tests with Benjamini-Hochberg
     FDR adjustment across the whole domain family (SQL window twin:
@@ -4556,6 +4567,8 @@ def build_queries() -> dict[str, Callable[[str], Any]]:
         "chi2_lang_weekly": _chi2_lang_weekly,
         # FDR-controlled per-domain drift screen (SQL-checked)
         "domain_drift_bh_crawl": _domain_drift_bh_crawl,
+        # distributed PCA (golden-checked)
+        "pca_projection_embeddings": _pca_projection_embeddings,
     }.items()}
 
 
@@ -4622,6 +4635,7 @@ def _golden_sql(name: str) -> str:
 #: queries whose oracle is a golden parquet (deterministic / seeded
 #: operators that ANSI SQL cannot express).
 GOLDEN_QUERIES = [
+    "pca_projection_embeddings",
     "embedding_near_dup_ivf", "hll_distinct_urls_daily",
     "hll_weekly_from_daily", "ams_f2_urls", "canonical_urls_crawl",
     "langid_documents", "langid_confusion", "simhash_documents",

@@ -593,3 +593,112 @@ def srp_near_dup(ds: rd.Dataset, dim: int, threshold: float = 0.9,
         return out[out["cos_sim"] >= threshold]
 
     return with_b.map_batches(verify, batch_format="pandas")
+
+
+# --- distributed PCA ------------------------------------------------------
+
+#: fixed accumulation chunk — part of the PCA determinism contract
+#: (per-partition moment sums chunk in this size, in id order)
+_PCA_CHUNK = 256
+
+
+def pca_basis(ds: rd.Dataset, id_col: str = "vec_id",
+              vec_col: str = "embedding", n_components: int = 2,
+              num_partitions: int = 64):
+    """Principal-component basis from one distributed moment pass:
+    per fixed hash partition, id-sorted chunked sums of x and x·xᵀ
+    (O(d²) floats per partition — the only thing that ever reaches
+    the driver); the d×d covariance eigendecomposition runs on the
+    driver (d is the embedding width, never the row count).
+
+    Determinism contract (bit-exact under any block order, enabling a
+    golden-file oracle — same scheme as :func:`kmeans_fit`):
+
+    - partials per FIXED hash partition (``pd.util.hash_array(id) %
+      P``), rows id-sorted, accumulated with ``np.add.reduce`` in
+      fixed ``_PCA_CHUNK`` chunks (ufunc pairwise reduction — shape-
+      stable, thread-independent, unlike BLAS gemm);
+    - the tiny merge sums partials sorted by (i, j, pid);
+    - eigenvector signs fixed by forcing the largest-|loading|
+      coordinate positive (ties → lowest index via argmax).
+
+    Returns ``(mean, components(d, m), eigenvalues(m), n)``.
+    """
+    from sits_classification_ray.stages.shuffle import partitioned_map
+
+    P = num_partitions
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(id_col, kind="mergesort")
+        X = np.stack([np.asarray(v, dtype=np.float64)
+                      for v in df[vec_col]])
+        d = X.shape[1]
+        pid = int(pd.util.hash_array(
+            df[id_col].to_numpy()[:1], categorize=False)[0]
+            % np.uint64(P))
+        ss = np.zeros((d, d), dtype=np.float64)
+        s = np.zeros(d, dtype=np.float64)
+        for i0 in range(0, len(X), _PCA_CHUNK):
+            ch = X[i0:i0 + _PCA_CHUNK]
+            ss += np.add.reduce(ch[:, :, None] * ch[:, None, :], axis=0)
+            s += np.add.reduce(ch, axis=0)
+        ii = np.repeat(np.arange(d, dtype=np.int64), d)
+        jj = np.tile(np.arange(d, dtype=np.int64), d)
+        return pd.DataFrame({
+            "pid": np.int64(pid),
+            "i": np.concatenate([ii, np.arange(d, dtype=np.int64),
+                                 [np.int64(-1)]]),
+            "j": np.concatenate([jj, np.full(d, -1, dtype=np.int64),
+                                 [np.int64(-1)]]),
+            "v": np.concatenate([ss.ravel(), s, [float(len(X))]])})
+
+    parts = partitioned_map(ds, partial, keys=[id_col],
+                            num_partitions=P).to_pandas()
+    parts = parts.sort_values(["i", "j", "pid"], kind="mergesort")
+    agg = parts.groupby(["i", "j"], sort=True)["v"].sum()
+    n = float(agg[(-1, -1)])
+    d = int(agg.index.get_level_values(0).max() + 1)
+    s = np.array([agg[(i, -1)] for i in range(d)])
+    ss = np.array([[agg[(i, j)] for j in range(d)] for i in range(d)])
+    mean = s / n
+    cov = (ss - n * np.outer(mean, mean)) / (n - 1.0)
+    w, v = np.linalg.eigh(cov)
+    order = np.argsort(w, kind="stable")[::-1][:n_components]
+    comps = v[:, order].copy()
+    for c in range(comps.shape[1]):
+        jmax = int(np.argmax(np.abs(comps[:, c])))
+        if comps[jmax, c] < 0:
+            comps[:, c] = -comps[:, c]
+    return mean, comps, w[order], n
+
+
+def pca_project(ds: rd.Dataset, id_col: str = "vec_id",
+                vec_col: str = "embedding", n_components: int = 2,
+                num_partitions: int = 64,
+                round_to: int = 6) -> rd.Dataset:
+    """Project every vector onto the top principal components:
+    one moment pass (:func:`pca_basis`), then a broadcast map —
+    ``pc_k = (x − mean)·comp_k`` — over the stream. The projection is
+    an explicit ufunc contraction (not gemm) so the per-row result is
+    bit-identical regardless of batch size, keeping the golden oracle
+    exact. Returns ``(vec_id, pc1..pcm)`` rounded."""
+    from sits_classification_ray.functions.transforms import sql_round
+
+    mean, comps, _, _ = pca_basis(ds, id_col, vec_col, n_components,
+                                  num_partitions)
+    ref = ray.put((mean, comps))
+
+    def proj(df: pd.DataFrame) -> pd.DataFrame:
+        mean, comps = ray.get(ref)
+        out = {id_col: df[id_col].to_numpy(np.int64)}
+        if len(df):
+            X = np.stack([np.asarray(v, dtype=np.float64)
+                          for v in df[vec_col]]) - mean
+            p = (X[:, :, None] * comps[None, :, :]).sum(axis=1)
+        else:
+            p = np.zeros((0, comps.shape[1]))
+        for c in range(comps.shape[1]):
+            out[f"pc{c + 1}"] = sql_round(p[:, c], round_to) + 0.0
+        return pd.DataFrame(out)
+
+    return ds.map_batches(proj, batch_format="pandas")

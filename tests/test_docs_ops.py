@@ -1029,3 +1029,65 @@ def test_snapshot_novelty_known_edits():
     df2["url_bucket"] = np.uint32(1)
     out2 = snapshot_novelty(rd.from_pandas(df2)).to_pandas()
     assert 0.0 < out2["novel_frac"].iloc[0] < 1.0
+
+
+# --- distributed PCA ------------------------------------------------------
+
+def _pca_emb_df(seed=41, n=300, d=8):
+    """Anisotropic Gaussian cloud: variance concentrated on two known
+    directions so the recovered components are unambiguous."""
+    import numpy as np
+    import pandas as pd
+    rng = np.random.default_rng(seed)
+    u1 = np.zeros(d); u1[0] = 1.0
+    u2 = np.zeros(d); u2[1] = 1.0
+    z = rng.normal(size=(n, d))
+    X = (10.0 * z[:, :1] * u1 + 4.0 * z[:, 1:2] * u2
+         + 0.3 * z) + rng.normal(5.0, 0.1, size=d)
+    return pd.DataFrame({
+        "vec_id": np.arange(n, dtype=np.int64),
+        "embedding": [row.astype(np.float32) for row in X]})
+
+
+def test_pca_matches_numpy_reference():
+    import numpy as np
+    import ray.data as rd
+    from sits_classification_ray.stages.similarity import pca_basis
+
+    df = _pca_emb_df()
+    mean, comps, evals, n = pca_basis(rd.from_pandas(df), n_components=2)
+    X = np.stack([np.asarray(v, np.float64) for v in df["embedding"]])
+    ref_cov = np.cov(X, rowvar=False, ddof=1)
+    w, v = np.linalg.eigh(ref_cov)
+    assert n == len(df)
+    assert np.allclose(mean, X.mean(axis=0), atol=1e-9)
+    assert np.allclose(sorted(evals, reverse=True), w[-2:][::-1],
+                       rtol=1e-9)
+    # recovered directions match the reference eigvecs up to sign
+    for c in range(2):
+        ref = v[:, -1 - c]
+        assert min(np.abs(comps[:, c] - ref).max(),
+                   np.abs(comps[:, c] + ref).max()) < 1e-9
+    # dominant loading is on the planted axes
+    assert np.argmax(np.abs(comps[:, 0])) == 0
+    assert np.argmax(np.abs(comps[:, 1])) == 1
+
+
+def test_pca_projection_partition_invariant():
+    import numpy as np
+    import ray.data as rd
+    from sits_classification_ray.stages.similarity import pca_project
+
+    df = _pca_emb_df(seed=43)
+    a = (pca_project(rd.from_pandas(df)).to_pandas()
+         .sort_values("vec_id").reset_index(drop=True))
+    b = (pca_project(rd.from_pandas(df).repartition(13)).to_pandas()
+         .sort_values("vec_id").reset_index(drop=True))
+    assert (a["pc1"] == b["pc1"]).all() and (a["pc2"] == b["pc2"]).all()
+    # projection variance equals the eigenvalue (population of scores)
+    from sits_classification_ray.stages.similarity import pca_basis
+    _, _, evals, _ = pca_basis(rd.from_pandas(df), n_components=2)
+    assert abs(a["pc1"].var(ddof=1) - evals[0]) / evals[0] < 1e-3
+    assert abs(a["pc2"].var(ddof=1) - evals[1]) / evals[1] < 1e-3
+    # centered: score means are ~0
+    assert abs(a["pc1"].mean()) < 1e-6 + 1e-9 * len(a)
