@@ -4248,6 +4248,17 @@ def _chi2_lang_weekly(sf_dir: str) -> rd.Dataset:
         _obs(sf_dir).select_columns(["lang", "warc_ts"]))
 
 
+def _crawl_depth_bfs(sf_dir: str) -> rd.Dataset:
+    """Multi-source BFS crawl depth over the domain link graph: hop
+    distance from the ``site-1*`` seed domains (recursive-CTE SQL
+    twin). The crawl-scheduling prior: frontier distance from the
+    seed list."""
+    from sits_classification_ray.stages.graph import bfs_depth
+
+    return bfs_depth(_domain_edges_crawl(sf_dir),
+                     seed_prefix="site-1").sort("node")
+
+
 def _pca_projection_embeddings(sf_dir: str) -> rd.Dataset:
     """Distributed PCA: one O(d²)-to-driver moment pass under the
     kmeans determinism contract, eigh on the d×d covariance, broadcast
@@ -4569,6 +4580,8 @@ def build_queries() -> dict[str, Callable[[str], Any]]:
         "domain_drift_bh_crawl": _domain_drift_bh_crawl,
         # distributed PCA (golden-checked)
         "pca_projection_embeddings": _pca_projection_embeddings,
+        # multi-source BFS crawl depth (SQL recursive-CTE twin)
+        "crawl_depth_bfs": _crawl_depth_bfs,
     }.items()}
 
 
@@ -7229,6 +7242,26 @@ SELECT metric, CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
        round(d_stat, 6) AS d_stat,
        round(sqrt(na * nb / (na + nb)) * d_stat, 6) AS ks_stat
 FROM d""",
+        "crawl_depth_bfs": f"""WITH RECURSIVE {CRAWL_CTE},
+links AS MATERIALIZED (
+  SELECT split_part(c.url, '/', 3) AS src,
+         'site-'
+         || CAST((length(CAST(c.html AS VARCHAR)) + j.j) % 40 AS VARCHAR)
+         || '.example.com' AS dst
+  FROM crawl c CROSS JOIN LATERAL
+    (SELECT unnest(generate_series(
+         0, length(CAST(c.html AS VARCHAR)) % 4 - 1)) AS j) j),
+edges AS MATERIALIZED (SELECT DISTINCT src, dst FROM links),
+nodes AS (SELECT src AS node FROM edges
+          UNION SELECT dst AS node FROM edges),
+reach(node, d) AS (
+  SELECT node, 0 AS d FROM nodes WHERE node LIKE 'site-1%'
+  UNION
+  SELECT e.dst AS node, r.d + 1 AS d
+  FROM reach r JOIN edges e ON e.src = r.node
+  WHERE r.d < 20)
+SELECT node, CAST(min(d) AS BIGINT) AS depth
+FROM reach GROUP BY 1 ORDER BY 1""",
         "domain_drift_bh_crawl": f"""{CRAWL_PREFIX},
 daily AS MATERIALIZED (
   SELECT url, CAST(date_trunc('day', warc_ts) AS TIMESTAMP) AS day,

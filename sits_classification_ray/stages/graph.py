@@ -20,6 +20,7 @@ from __future__ import annotations
 
 import numpy as np
 import pandas as pd
+import pyarrow as pa
 import ray.data as rd
 
 from sits_classification_ray.stages.shuffle import partitioned_map
@@ -486,5 +487,110 @@ def components(edges: rd.Dataset, src_col: str = "w1",
 
     def fin(df: pd.DataFrame) -> pd.DataFrame:
         return pd.DataFrame({"node": df["v"], "component": df["lbl"]})
+
+    return labels.map_batches(fin, batch_format="pandas")
+
+
+def bfs_depth(edges: rd.Dataset, seed_prefix: str,
+              src_col: str = "w1", dst_col: str = "w2",
+              max_iters: int = 20) -> rd.Dataset:
+    """Multi-source BFS over the directed edge table: every reachable
+    node labeled with its shortest hop distance from the seed set
+    (nodes whose id starts with ``seed_prefix``) — the crawl-depth /
+    frontier-distance signal ("how many hops is this domain from the
+    seed list?", the classic crawl-scheduling prior).
+
+    Bellman-Ford-style min-distance propagation (the components()
+    machinery with integer labels): per round one tag-union salted
+    exchange joins the current distance table onto the edges by source
+    and emits ``d+1`` to each destination, then a native Min groupby
+    re-minimizes. Rounds = O(max reached depth); convergence is exact
+    — integer (count, sum) of the distance table is monotone, so a
+    fixed point is detected by two driver scalars, not a fingerprint.
+    Unreached nodes are not emitted (matching the recursive-CTE SQL
+    twin). Raises after ``max_iters`` non-converged rounds.
+
+    Returns ``(node, depth)``.
+    """
+    from ray.data.aggregate import Min
+
+    from sits_classification_ray.stages.shuffle import (compact_state,
+                                                        partitioned_map)
+
+    def dedup(df: pd.DataFrame) -> pd.DataFrame:
+        return (pd.DataFrame({"src": df[src_col].astype(str),
+                              "dst": df[dst_col].astype(str)})
+                .drop_duplicates())
+
+    edges_d = edges.map_batches(dedup, batch_format="pandas") \
+        .materialize()
+    n_edges = edges_d.count()
+    empty = pa.table({"node": pa.array([], pa.string()),
+                      "depth": pa.array([], pa.int64())})
+    if n_edges == 0:
+        return rd.from_arrow(empty)
+    edges_d = compact_state(edges_d, n_edges)
+
+    def seed_rows(df: pd.DataFrame) -> pd.DataFrame:
+        v = pd.unique(np.concatenate([df["src"].to_numpy(),
+                                      df["dst"].to_numpy()]))
+        v = v[pd.Series(v).str.startswith(seed_prefix).to_numpy()]
+        return pd.DataFrame({"v": v,
+                             "d": np.zeros(len(v), dtype=np.int64)})
+
+    labels = (edges_d.map_batches(seed_rows, batch_format="pandas")
+              .groupby("v").aggregate(Min("d", alias_name="d"))
+              .materialize())
+    if labels.count() == 0:
+        return rd.from_arrow(empty)
+
+    def tag_labels(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"__k": df["v"], "__o": "",
+                             "d": df["d"].astype(np.int64)})
+
+    def tag_edges(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"__k": df["src"], "__o": df["dst"],
+                             "d": np.int64(-1)})
+
+    edges_tagged = edges_d.map_batches(
+        tag_edges, batch_format="pandas").materialize()
+
+    def propagate(df: pd.DataFrame) -> pd.DataFrame:
+        lab = df[df["__o"] == ""]
+        edg = df[df["__o"] != ""]
+        m = edg[["__k", "__o"]].merge(
+            lab[["__k", "d"]], on="__k", how="inner")
+        return pd.concat([
+            pd.DataFrame({"v": m["__o"].to_numpy(),
+                          "d": m["d"].to_numpy(np.int64) + 1}),
+            pd.DataFrame({"v": lab["__k"].to_numpy(),
+                          "d": lab["d"].to_numpy(np.int64)}),
+        ], ignore_index=True)
+
+    def state_of(lbls: rd.Dataset) -> tuple[int, int]:
+        return int(lbls.count()), int(lbls.sum("d"))
+
+    prev = state_of(labels)
+    for _ in range(max_iters):
+        unioned = labels.map_batches(
+            tag_labels, batch_format="pandas").union(edges_tagged)
+        msgs = partitioned_map(unioned, propagate, keys=["__k"],
+                               approx_rows=n_edges + prev[0],
+                               hot_key_threshold=100_000)
+        labels = compact_state(
+            msgs.groupby("v").aggregate(
+                Min("d", alias_name="d")).materialize(), prev[0])
+        cur = state_of(labels)
+        if cur == prev:
+            break
+        prev = cur
+    else:
+        raise RuntimeError(
+            f"bfs_depth() did not converge in {max_iters} rounds — "
+            f"reached depth exceeds max_iters; raise it.")
+
+    def fin(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"node": df["v"],
+                             "depth": df["d"].astype(np.int64)})
 
     return labels.map_batches(fin, batch_format="pandas")

@@ -144,3 +144,52 @@ def test_triangle_count_known_graph(ray_session):
     })
     out = triangle_count(rd.from_pandas(edges)).to_pandas()
     assert out["n_triangles"].tolist() == [2]   # abc, abd
+
+
+# --- multi-source BFS depth ----------------------------------------------
+
+def test_bfs_depth_shortest_paths():
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+    from sits_classification_ray.stages.graph import bfs_depth
+
+    # seed: s0. chain s0->a->b->c, shortcut s0->b, cycle c->a,
+    # unreachable node x->y (never emitted), edge INTO seed (d->s0)
+    edges = pd.DataFrame({
+        "w1": ["s0", "a", "b", "s0", "c", "x", "d"],
+        "w2": ["a",  "b", "c", "b",  "a", "y", "s0"],
+        "n": np.int64(1)})
+    out = (bfs_depth(rd.from_pandas(edges), seed_prefix="s")
+           .to_pandas().set_index("node")["depth"].to_dict())
+    assert out == {"s0": 0, "a": 1, "b": 1, "c": 2}
+
+
+def test_bfs_depth_multi_source_and_partitions():
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+    from sits_classification_ray.stages.graph import bfs_depth
+
+    # two seeds; node m is 3 hops from seed1 but 1 hop from seed2
+    edges = pd.DataFrame({
+        "w1": ["seed1", "p", "q", "seed2"],
+        "w2": ["p", "q", "m", "m"],
+        "n": np.int64(1)})
+    out = (bfs_depth(rd.from_pandas(edges).repartition(5),
+                     seed_prefix="seed")
+           .to_pandas().set_index("node")["depth"].to_dict())
+    assert out == {"seed1": 0, "seed2": 0, "p": 1, "q": 2, "m": 1}
+
+
+def test_bfs_depth_no_seeds_empty():
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+    from sits_classification_ray.stages.graph import bfs_depth
+
+    edges = pd.DataFrame({"w1": ["a"], "w2": ["b"],
+                          "n": np.int64(1)})
+    out = bfs_depth(rd.from_pandas(edges), seed_prefix="zzz")
+    assert out.count() == 0
+    assert set(out.schema().names) == {"node", "depth"}
