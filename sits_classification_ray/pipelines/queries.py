@@ -4248,6 +4248,17 @@ def _chi2_lang_weekly(sf_dir: str) -> rd.Dataset:
         _obs(sf_dir).select_columns(["lang", "warc_ts"]))
 
 
+def _naive_bayes_lang_documents(sf_dir: str) -> rd.Dataset:
+    """Multinomial Naive Bayes language classifier trained and scored
+    over the corpus — integer micro-nat scores, inner-join smoothing
+    decomposition (SQL twin: unnest + joins + window argmax)."""
+    from sits_classification_ray.stages.textstats import naive_bayes_lang
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id", "text", "lang"])
+    return naive_bayes_lang(docs)
+
+
 def _crawl_depth_bfs(sf_dir: str) -> rd.Dataset:
     """Multi-source BFS crawl depth over the domain link graph: hop
     distance from the ``site-1*`` seed domains (recursive-CTE SQL
@@ -4582,6 +4593,8 @@ def build_queries() -> dict[str, Callable[[str], Any]]:
         "pca_projection_embeddings": _pca_projection_embeddings,
         # multi-source BFS crawl depth (SQL recursive-CTE twin)
         "crawl_depth_bfs": _crawl_depth_bfs,
+        # Naive Bayes language classifier (SQL-checked)
+        "naive_bayes_lang_documents": _naive_bayes_lang_documents,
     }.items()}
 
 
@@ -7242,6 +7255,47 @@ SELECT metric, CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
        round(d_stat, 6) AS d_stat,
        round(sqrt(na * nb / (na + nb)) * d_stat, 6) AS ks_stat
 FROM d""",
+        "naive_bayes_lang_documents": """
+WITH toks AS MATERIALIZED (
+  SELECT doc_id, lang, t.tok AS word
+  FROM documents CROSS JOIN LATERAL
+    unnest(string_split(lower(text), ' ')) AS t(tok)),
+dw AS MATERIALIZED (
+  SELECT doc_id, word, CAST(count(*) AS BIGINT) AS cnt
+  FROM toks GROUP BY 1, 2),
+dt AS (SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS t_d
+       FROM dw GROUP BY 1),
+cw AS MATERIALIZED (
+  SELECT lang, word, CAST(count(*) AS BIGINT) AS c
+  FROM toks GROUP BY 1, 2),
+lt AS (SELECT lang, CAST(sum(c) AS BIGINT) AS n_l FROM cw GROUP BY 1),
+ld AS (SELECT lang, CAST(count(*) AS BIGINT) AS d_l
+       FROM documents GROUP BY 1),
+vv AS (SELECT count(DISTINCT word) AS v FROM cw),
+dd AS (SELECT count(*) AS d FROM documents),
+wu AS (SELECT lang, word,
+              CAST(round(ln(c + 1.0) * 1000000, 0) AS BIGINT) AS w_u
+       FROM cw),
+consts AS (SELECT lt.lang,
+       CAST(round(ln(ld.d_l * 1.0 / dd.d) * 1000000, 0) AS BIGINT)
+           AS prior_u,
+       CAST(round(ln(lt.n_l + vv.v + 0.0) * 1000000, 0) AS BIGINT)
+           AS len_u
+       FROM lt JOIN ld ON lt.lang = ld.lang, vv, dd),
+s AS (SELECT dw.doc_id, wu.lang,
+             CAST(sum(dw.cnt * wu.w_u) AS BIGINT) AS s
+      FROM dw JOIN wu ON dw.word = wu.word GROUP BY 1, 2),
+grid AS (SELECT dt.doc_id, k.lang,
+                k.prior_u + COALESCE(s.s, 0) - dt.t_d * k.len_u
+                    AS score_u
+         FROM dt CROSS JOIN consts k
+         LEFT JOIN s ON s.doc_id = dt.doc_id AND s.lang = k.lang),
+best AS (SELECT doc_id, lang AS pred_lang, score_u,
+                row_number() OVER (PARTITION BY doc_id
+                    ORDER BY score_u DESC, lang) AS rn
+         FROM grid)
+SELECT doc_id, pred_lang, CAST(score_u AS BIGINT) AS score_u
+FROM best WHERE rn = 1 ORDER BY doc_id""",
         "crawl_depth_bfs": f"""WITH RECURSIVE {CRAWL_CTE},
 links AS MATERIALIZED (
   SELECT split_part(c.url, '/', 3) AS src,

@@ -1663,3 +1663,146 @@ def boilerplate_extract(ds: rd.Dataset, page_col: str = "page",
         })
 
     return ds.map_batches(kernel, batch_format="pandas")
+
+
+def naive_bayes_lang(ds: rd.Dataset, text_col: str = "text",
+                     label_col: str = "lang",
+                     id_col: str = "doc_id") -> rd.Dataset:
+    """Multinomial Naive Bayes language classifier, trained AND scored
+    over the whole corpus in one distributed pass family — the
+    count-based generative sibling of the SGD quality classifier
+    (reference analog: the class-prior + per-class likelihood shape of
+    ``pytorch/utils/trainer.py:95-123`` class weighting).
+
+    Add-one smoothing with the log-score decomposed so absent
+    (lang, word) pairs contribute exactly zero to the join:
+
+    ``score(d,l) = ln(D_l/D) + Σ_w cnt_dw·ln(c_lw + 1)
+                   − T_d·ln(N_l + V)``
+
+    (``ln(0+1) = 0`` kills the unseen-pair term, so an INNER join on
+    word is exact — no vocabulary broadcast, no dense grid).
+
+    Every term is fixed-point integer micro-nats
+    (``round(ln(·)·10⁶)`` as int64), so all distributed sums are
+    order-free and the DuckDB twin matches bit-exactly.
+
+    Shape: token-count combiners (the ``token_counts`` pattern) for
+    doc-word, class-word and totals tables; ONE big×big hash join on
+    word (doc-word × class-word weights, fan-out bounded by the
+    language count); one (doc, lang) Sum groupby; the bounded
+    per-language constant table broadcasts; per-doc argmax runs inside
+    a doc-keyed partitioned map (ties → smaller lang).
+
+    Returns ``(doc_id, pred_lang, score_u)``.
+    """
+    from ray.data.aggregate import Count, Sum
+
+    from sits_classification_ray.functions.transforms import sql_round
+    from sits_classification_ray.stages.joins import hash_join
+    from sits_classification_ray.stages.shuffle import partitioned_map
+
+    def doc_words(batch: pa.Table) -> pa.Table:
+        toks = pc.split_pattern(pc.utf8_lower(batch[text_col]), " ")
+        n = pc.list_value_length(toks).to_numpy(zero_copy_only=False)
+        ids = np.repeat(batch[id_col].to_numpy(zero_copy_only=False), n)
+        t = pa.table({"doc_id": pa.array(ids, pa.int64()),
+                      "word": pc.list_flatten(toks)})
+        g = t.group_by(["doc_id", "word"]).aggregate([([], "count_all")])
+        return g.rename_columns(["doc_id", "word", "cnt"])
+
+    def lang_words(batch: pa.Table) -> pa.Table:
+        toks = pc.split_pattern(pc.utf8_lower(batch[text_col]), " ")
+        n = pc.list_value_length(toks).to_numpy(zero_copy_only=False)
+        langs = np.repeat(
+            batch[label_col].to_numpy(zero_copy_only=False), n)
+        t = pa.table({"lang": pa.array(langs, pa.string()),
+                      "word": pc.list_flatten(toks)})
+        g = t.group_by(["lang", "word"]).aggregate([([], "count_all")])
+        return g.rename_columns(["lang", "word", "c"])
+
+    dw = (ds.map_batches(doc_words, batch_format="pyarrow",
+                         zero_copy_batch=True)
+          .groupby(["doc_id", "word"])
+          .aggregate(Sum("cnt", alias_name="cnt"))
+          .materialize())  # consumed twice: word join + doc grid
+    cw = (ds.map_batches(lang_words, batch_format="pyarrow",
+                         zero_copy_batch=True)
+          .groupby(["lang", "word"])
+          .aggregate(Sum("c", alias_name="c"))
+          .materialize())
+
+    # bounded per-language constants: doc priors, token totals, V
+    n_l = cw.groupby("lang").aggregate(
+        Sum("c", alias_name="n_l")).to_pandas()
+    d_l = (ds.groupby(label_col).count().to_pandas()
+           .rename(columns={label_col: "lang", "count()": "d_l"}))
+    v = (cw.groupby("word").count()).count()  # distinct words
+    d_total = int(d_l["d_l"].sum())
+    consts = n_l.merge(d_l, on="lang").sort_values("lang")
+    consts["prior_u"] = sql_round(
+        np.log(consts["d_l"].to_numpy(np.float64) * 1.0 / d_total)
+        * 1e6, 0).astype(np.int64)
+    consts["len_u"] = sql_round(
+        np.log(consts["n_l"].to_numpy(np.float64) + v) * 1e6,
+        0).astype(np.int64)
+    langs = consts["lang"].tolist()
+    prior_of = dict(zip(consts["lang"], consts["prior_u"]))
+    len_of = dict(zip(consts["lang"], consts["len_u"]))
+
+    def weights(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "word": df["word"], "lang": df["lang"],
+            "w_u": sql_round(
+                np.log(df["c"].to_numpy(np.float64) + 1.0) * 1e6,
+                0).astype(np.int64)})
+
+    wu = cw.map_batches(weights, batch_format="pandas")
+    joined = hash_join(dw, wu, on="word")
+
+    def prod(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "doc_id": df["doc_id"].astype(np.int64),
+            "lang": df["lang"],
+            "s": df["cnt"].to_numpy(np.int64)
+            * df["w_u"].to_numpy(np.int64),
+            "t_d": np.int64(0)})
+
+    s_rows = joined.map_batches(prod, batch_format="pandas")
+
+    # dense (doc, lang) grid seeded with s=0 + the doc token total
+    def grid(df: pd.DataFrame) -> pd.DataFrame:
+        g = (df.groupby("doc_id", sort=False)["cnt"].sum()
+             .reset_index(name="t_d"))
+        L = len(langs)
+        return pd.DataFrame({
+            "doc_id": np.repeat(g["doc_id"].to_numpy(np.int64), L),
+            "lang": np.tile(np.array(langs, dtype=object), len(g)),
+            "s": np.int64(0),
+            "t_d": np.repeat(g["t_d"].to_numpy(np.int64), L)})
+
+    grid_rows = dw.map_batches(grid, batch_format="pandas")
+
+    cell = (s_rows.union(grid_rows)
+            .groupby(["doc_id", "lang"])
+            .aggregate(Sum("s", alias_name="s"),
+                       Sum("t_d", alias_name="t_d")))
+
+    def argmax(df: pd.DataFrame) -> pd.DataFrame:
+        pri = df["lang"].map(prior_of).to_numpy(np.int64)
+        ln_ = df["lang"].map(len_of).to_numpy(np.int64)
+        score = (pri + df["s"].to_numpy(np.int64)
+                 - df["t_d"].to_numpy(np.int64) * ln_)
+        out = pd.DataFrame({"doc_id": df["doc_id"].astype(np.int64),
+                            "pred_lang": df["lang"],
+                            "score_u": score})
+        out = out.sort_values(["doc_id", "score_u", "pred_lang"],
+                              ascending=[True, False, True],
+                              kind="mergesort")
+        return out.drop_duplicates("doc_id", keep="first")
+
+    out_schema = pa.schema([("doc_id", pa.int64()),
+                            ("pred_lang", pa.string()),
+                            ("score_u", pa.int64())])
+    return partitioned_map(cell, argmax, keys=["doc_id"],
+                           out_schema=out_schema)

@@ -147,3 +147,77 @@ def test_hybrid_rrf_fuses_both_rankers(ray_session):
         assert abs(r["rrf_score"] - expect) < 1e-9
     # at least one doc comes from only one ranker (rank 0 = absent)
     assert ((out["rank_lex"] == 0) | (out["rank_dense"] == 0)).any()
+
+
+# --- Naive Bayes language classifier --------------------------------------
+
+def _nb_docs():
+    import numpy as np
+    import pandas as pd
+    rows = []
+    en = ["the cat sat on the mat", "the dog ate the bone",
+          "a cat and a dog", "the sun is warm"]
+    de = ["die katze sitzt auf der matte", "der hund frisst den knochen",
+          "eine katze und ein hund", "die sonne ist warm"]
+    for i, t in enumerate(en):
+        rows.append((i, t, "en"))
+    for i, t in enumerate(de):
+        rows.append((100 + i, t, "de"))
+    return pd.DataFrame(rows, columns=["doc_id", "text", "lang"])
+
+
+def test_naive_bayes_matches_reference_and_self_classifies():
+    import numpy as np
+    import ray.data as rd
+    from collections import Counter
+    from sits_classification_ray.functions.transforms import sql_round
+    from sits_classification_ray.stages.textstats import naive_bayes_lang
+
+    df = _nb_docs()
+    out = (naive_bayes_lang(rd.from_pandas(df)).to_pandas()
+           .sort_values("doc_id").reset_index(drop=True))
+    # training data is cleanly separable: NB reproduces its labels
+    truth = df.sort_values("doc_id")["lang"].to_numpy()
+    assert (out["pred_lang"].to_numpy() == truth).all()
+
+    # independent score check (plain-python NB, same micro-nat scheme)
+    toks = {r.doc_id: r.text.lower().split(" ")
+            for r in df.itertuples()}
+    cw, nl, dl = Counter(), Counter(), Counter()
+    for r in df.itertuples():
+        for w in toks[r.doc_id]:
+            cw[(r.lang, w)] += 1
+            nl[r.lang] += 1
+        dl[r.lang] += 1
+    vocab = {w for (_, w) in cw}
+    d_total = len(df)
+
+    def u(x):
+        return int(sql_round(np.array([x * 1e6]), 0)[0])
+
+    for r in df.itertuples():
+        best = None
+        for lang in sorted(dl):
+            s = u(np.log(dl[lang] * 1.0 / d_total))
+            s -= len(toks[r.doc_id]) * u(np.log(nl[lang]
+                                                + len(vocab) + 0.0))
+            for w, c in Counter(toks[r.doc_id]).items():
+                if (lang, w) in cw:
+                    s += c * u(np.log(cw[(lang, w)] + 1.0))
+            if best is None or s > best[1]:
+                best = (lang, s)
+        row = out[out["doc_id"] == r.doc_id].iloc[0]
+        assert row["pred_lang"] == best[0]
+        assert int(row["score_u"]) == best[1]
+
+
+def test_naive_bayes_partition_invariant():
+    import ray.data as rd
+    from sits_classification_ray.stages.textstats import naive_bayes_lang
+
+    df = _nb_docs()
+    a = (naive_bayes_lang(rd.from_pandas(df)).to_pandas()
+         .sort_values("doc_id").reset_index(drop=True))
+    b = (naive_bayes_lang(rd.from_pandas(df).repartition(7)).to_pandas()
+         .sort_values("doc_id").reset_index(drop=True))
+    assert a.equals(b)
