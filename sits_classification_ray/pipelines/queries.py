@@ -4248,6 +4248,15 @@ def _chi2_lang_weekly(sf_dir: str) -> rd.Dataset:
         _obs(sf_dir).select_columns(["lang", "warc_ts"]))
 
 
+def _adamic_adar_crawl(sf_dir: str) -> rd.Dataset:
+    """Adamic-Adar link prediction over the domain graph: top
+    non-adjacent pairs by common-neighbour weight (integer micro-nats;
+    SQL wedge self-join twin)."""
+    from sits_classification_ray.stages.graph import adamic_adar
+
+    return adamic_adar(_domain_edges_crawl(sf_dir), k=100)
+
+
 def _naive_bayes_lang_documents(sf_dir: str) -> rd.Dataset:
     """Multinomial Naive Bayes language classifier trained and scored
     over the corpus — integer micro-nat scores, inner-join smoothing
@@ -4595,6 +4604,8 @@ def build_queries() -> dict[str, Callable[[str], Any]]:
         "crawl_depth_bfs": _crawl_depth_bfs,
         # Naive Bayes language classifier (SQL-checked)
         "naive_bayes_lang_documents": _naive_bayes_lang_documents,
+        # Adamic-Adar link prediction (SQL-checked)
+        "adamic_adar_crawl": _adamic_adar_crawl,
     }.items()}
 
 
@@ -7255,6 +7266,34 @@ SELECT metric, CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
        round(d_stat, 6) AS d_stat,
        round(sqrt(na * nb / (na + nb)) * d_stat, 6) AS ks_stat
 FROM d""",
+        "adamic_adar_crawl": f"""WITH {CRAWL_CTE},
+links AS MATERIALIZED (
+  SELECT split_part(c.url, '/', 3) AS src,
+         'site-'
+         || CAST((length(CAST(c.html AS VARCHAR)) + j.j) % 40 AS VARCHAR)
+         || '.example.com' AS dst
+  FROM crawl c CROSS JOIN LATERAL
+    (SELECT unnest(generate_series(
+         0, length(CAST(c.html AS VARCHAR)) % 4 - 1)) AS j) j),
+sym AS MATERIALIZED (
+  SELECT DISTINCT src, dst FROM (
+    SELECT src, dst FROM links WHERE src <> dst
+    UNION ALL SELECT dst AS src, src AS dst FROM links
+    WHERE src <> dst)),
+deg AS (SELECT src AS w, count(DISTINCT dst) AS d FROM sym GROUP BY 1),
+wu AS (SELECT w, CAST(round(1000000 / ln(d + 0.0), 0) AS BIGINT) AS w_u
+       FROM deg WHERE d >= 2),
+wedge AS (SELECT e1.dst AS a, e2.dst AS b, wu.w_u
+          FROM sym e1
+          JOIN sym e2 ON e1.src = e2.src AND e1.dst < e2.dst
+          JOIN wu ON wu.w = e1.src),
+aa AS (SELECT a, b, CAST(sum(w_u) AS BIGINT) AS aa_u
+       FROM wedge GROUP BY 1, 2),
+nonedge AS (SELECT aa.* FROM aa WHERE NOT EXISTS
+            (SELECT 1 FROM sym
+             WHERE sym.src = aa.a AND sym.dst = aa.b))
+SELECT a AS node_a, b AS node_b, aa_u FROM nonedge
+ORDER BY aa_u DESC, node_a, node_b LIMIT 100""",
         "naive_bayes_lang_documents": """
 WITH toks AS MATERIALIZED (
   SELECT doc_id, lang, t.tok AS word

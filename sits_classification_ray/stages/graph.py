@@ -594,3 +594,118 @@ def bfs_depth(edges: rd.Dataset, seed_prefix: str,
                              "depth": df["d"].astype(np.int64)})
 
     return labels.map_batches(fin, batch_format="pandas")
+
+
+def adamic_adar(edges: rd.Dataset, src_col: str = "w1",
+                dst_col: str = "w2", k: int = 100,
+                num_partitions: int = 64) -> rd.Dataset:
+    """Adamic-Adar link prediction over the (symmetrized, self-loop-
+    free) graph: for each non-adjacent pair, ``AA(u,v) = Σ_{w ∈
+    N(u)∩N(v)} 1/ln(deg w)`` — "which domains SHOULD be linking?", the
+    classic common-neighbours crawl-discovery signal.
+
+    Shape (the triangle_count wedge pattern): pivot neighbourhoods
+    co-locate via one src-keyed salted exchange; each pivot emits its
+    ``C(deg, 2)`` wedge pairs with the integer micro-weight
+    ``round(10⁶/ln(deg))`` (int64 — pair sums are order-free and
+    bit-exact vs the SQL twin); one pair-keyed Sum groupby merges
+    wedges, existing edges are removed with a tagged Max flag in the
+    same exchange, and the top-k prunes per block before the final
+    sort (combiner top-k). Pairs are undirected: ``a < b``.
+
+    Returns the k best ``(node_a, node_b, aa_u)`` by
+    ``(aa_u DESC, a, b)``.
+    """
+    from ray.data.aggregate import Max, Sum
+
+    from sits_classification_ray.functions.transforms import sql_round
+    from sits_classification_ray.stages.shuffle import partitioned_map
+
+    def sym(df: pd.DataFrame) -> pd.DataFrame:
+        a = df[src_col].astype(str).to_numpy()
+        b = df[dst_col].astype(str).to_numpy()
+        keep = a != b
+        a, b = a[keep], b[keep]
+        return (pd.DataFrame({"src": np.concatenate([a, b]),
+                              "dst": np.concatenate([b, a])})
+                .drop_duplicates())
+
+    edges_s = edges.map_batches(sym, batch_format="pandas") \
+        .groupby(["src", "dst"]).count().drop_columns(["count()"]) \
+        .materialize()
+
+    def wedges(df: pd.DataFrame) -> pd.DataFrame:
+        outs = []
+        for _, g in df.groupby("src", sort=False):
+            nb = np.unique(g["dst"].to_numpy())
+            d = len(nb)
+            if d < 2:
+                continue
+            w_u = np.int64(sql_round(
+                np.array([1e6 / np.log(float(d))]), 0)[0])
+            iu, ju = np.triu_indices(d, 1)
+            outs.append(pd.DataFrame({
+                "a": nb[iu], "b": nb[ju],
+                "aa_u": np.full(len(iu), w_u, dtype=np.int64),
+                "is_edge": np.int64(0)}))
+        cols = {"a": pd.Series(dtype=object),
+                "b": pd.Series(dtype=object),
+                "aa_u": pd.Series(dtype=np.int64),
+                "is_edge": pd.Series(dtype=np.int64)}
+        if not outs:
+            return pd.DataFrame(cols)
+        return pd.concat(outs, ignore_index=True)
+
+    pair_schema = pa.schema([("a", pa.string()), ("b", pa.string()),
+                             ("aa_u", pa.int64()),
+                             ("is_edge", pa.int64())])
+    wedge_rows = partitioned_map(edges_s, wedges, keys=["src"],
+                                 num_partitions=num_partitions,
+                                 out_schema=pair_schema)
+
+    def edge_tags(t: pa.Table) -> pa.Table:
+        a = np.asarray(t.column("src").to_pandas(), dtype=object)
+        b = np.asarray(t.column("dst").to_pandas(), dtype=object)
+        keep = a < b  # symmetrized: each pair appears once per order
+        n = int(keep.sum())
+        return pa.Table.from_arrays(
+            [pa.array(a[keep], pa.string()),
+             pa.array(b[keep], pa.string()),
+             pa.array(np.zeros(n, dtype=np.int64)),
+             pa.array(np.ones(n, dtype=np.int64))],
+            schema=pair_schema)
+
+    tagged = edges_s.map_batches(edge_tags, batch_format="pyarrow",
+                                 zero_copy_batch=True)
+
+    merged = (wedge_rows.union(tagged)
+              .groupby(["a", "b"])
+              .aggregate(Sum("aa_u", alias_name="aa_u"),
+                         Max("is_edge", alias_name="is_edge")))
+
+    out_schema = pa.schema([("node_a", pa.string()),
+                            ("node_b", pa.string()),
+                            ("aa_u", pa.int64())])
+
+    def prune(t: pa.Table) -> pa.Table:
+        df = t.to_pandas()
+        df = df[(df["is_edge"] == 0) & (df["aa_u"] > 0)]
+        df = df.sort_values(["aa_u", "a", "b"],
+                            ascending=[False, True, True],
+                            kind="mergesort").head(k)
+        return pa.Table.from_arrays(
+            [pa.array(df["a"].to_numpy(dtype=object), pa.string()),
+             pa.array(df["b"].to_numpy(dtype=object), pa.string()),
+             pa.array(df["aa_u"].to_numpy(np.int64))],
+            schema=out_schema)
+
+    out = merged.map_batches(prune, batch_format="pyarrow",
+                             zero_copy_batch=True)
+    final = out.sort(["aa_u", "node_a", "node_b"],
+                     descending=[True, False, False]).limit(k) \
+        .materialize()  # tiny: <= k rows after the per-block prune
+    if final.count() == 0:
+        # a complete graph has no non-adjacent pairs; Ray's sort drops
+        # the schema of an all-empty dataset, so pin it explicitly
+        return rd.from_arrow(out_schema.empty_table())
+    return final

@@ -193,3 +193,59 @@ def test_bfs_depth_no_seeds_empty():
     out = bfs_depth(rd.from_pandas(edges), seed_prefix="zzz")
     assert out.count() == 0
     assert set(out.schema().names) == {"node", "depth"}
+
+
+# --- Adamic-Adar link prediction ------------------------------------------
+
+def test_adamic_adar_hand_computed():
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+    from sits_classification_ray.functions.transforms import sql_round
+    from sits_classification_ray.stages.graph import adamic_adar
+
+    # star around h (deg 3: a,b,c) plus edge a-b. Non-adjacent pairs
+    # through h: (a,c),(b,c) weight 1/ln(3); (a,b) is an edge -> out.
+    edges = pd.DataFrame({
+        "w1": ["h", "h", "h", "a"],
+        "w2": ["a", "b", "c", "b"],
+        "n": np.int64(1)})
+    out = (adamic_adar(rd.from_pandas(edges)).to_pandas()
+           .sort_values(["node_a", "node_b"]).reset_index(drop=True))
+    w = int(sql_round(np.array([1e6 / np.log(3.0)]), 0)[0])
+    assert list(map(tuple, out.to_numpy())) == [
+        ("a", "c", w), ("b", "c", w)]
+
+
+def test_adamic_adar_sums_over_common_neighbors():
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+    from sits_classification_ray.functions.transforms import sql_round
+    from sits_classification_ray.stages.graph import adamic_adar
+
+    # u and v share pivots p (deg 2) and q (deg 3) -> AA = 1/ln2+1/ln3
+    edges = pd.DataFrame({
+        "w1": ["u", "v", "u", "v", "q"],
+        "w2": ["p", "p", "q", "q", "z"],
+        "n": np.int64(1)})
+    out = adamic_adar(rd.from_pandas(edges).repartition(4)).to_pandas()
+    row = out[(out["node_a"] == "u") & (out["node_b"] == "v")]
+    w = (int(sql_round(np.array([1e6 / np.log(2.0)]), 0)[0])
+         + int(sql_round(np.array([1e6 / np.log(3.0)]), 0)[0]))
+    assert len(row) == 1 and int(row["aa_u"].iloc[0]) == w
+
+
+def test_adamic_adar_complete_graph_empty_with_schema():
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+    from sits_classification_ray.stages.graph import adamic_adar
+
+    # K3: every pair adjacent -> no predictions, schema preserved
+    edges = pd.DataFrame({
+        "w1": ["a", "b", "c"], "w2": ["b", "c", "a"],
+        "n": np.int64(1)})
+    out = adamic_adar(rd.from_pandas(edges))
+    assert out.count() == 0
+    assert set(out.schema().names) == {"node_a", "node_b", "aa_u"}
