@@ -2968,15 +2968,11 @@ def km_staleness_crawl(obs: pd.DataFrame) -> pd.DataFrame:
                                "c_censored", "survival"]]
 
 
-def pca_projection_embeddings(emb: pd.DataFrame, n_components: int = 2,
-                              num_partitions: int = 64,
-                              chunk: int = 256,
-                              round_to: int = 6) -> pd.DataFrame:
-    """Independent single-process PCA projection implementing the
-    engine's determinism contract bit-for-bit (fixed hash partitions,
-    id-sorted chunked ``np.add.reduce`` moment sums, (i, j, pid)-sorted
-    merge, largest-|loading|-positive sign, ufunc-contraction
-    projection) — see ``stages/similarity.py`` pca_basis."""
+def _moment_contract(emb: pd.DataFrame, num_partitions: int = 64,
+                     chunk: int = 256):
+    """Shared moment pass of the engine's PCA/Mahalanobis determinism
+    contract (fixed hash partitions, id-sorted chunked np.add.reduce
+    sums, (i, j, pid)-sorted merge). Returns (mean, cov, ids)."""
     ids = emb["vec_id"].to_numpy(np.int64)
     pid_all = (pd.util.hash_array(ids, categorize=False)
                % np.uint64(num_partitions)).astype(np.int64)
@@ -3009,6 +3005,34 @@ def pca_projection_embeddings(emb: pd.DataFrame, n_components: int = 2,
     ss_m = np.array([[agg[(i, j)] for j in range(d)] for i in range(d)])
     mean = s / n
     cov = (ss_m - n * np.outer(mean, mean)) / (n - 1.0)
+    return mean, cov, ids
+
+
+def mahalanobis_embeddings(emb: pd.DataFrame, num_partitions: int = 64,
+                           chunk: int = 256,
+                           round_to: int = 6) -> pd.DataFrame:
+    """Independent Mahalanobis D² twin on the same moment contract —
+    see ``stages/similarity.py`` mahalanobis_scores."""
+    mean, cov, ids = _moment_contract(emb, num_partitions, chunk)
+    inv = np.linalg.inv(cov)
+    X = np.stack([np.asarray(v, dtype=np.float64)
+                  for v in emb["embedding"]]) - mean
+    y = (X[:, :, None] * inv[None, :, :]).sum(axis=1)
+    d2 = (y * X).sum(axis=1)
+    return pd.DataFrame({"vec_id": ids,
+                         "d2": _sql_round_arr(d2, round_to) + 0.0})
+
+
+def pca_projection_embeddings(emb: pd.DataFrame, n_components: int = 2,
+                              num_partitions: int = 64,
+                              chunk: int = 256,
+                              round_to: int = 6) -> pd.DataFrame:
+    """Independent single-process PCA projection implementing the
+    engine's determinism contract bit-for-bit (fixed hash partitions,
+    id-sorted chunked ``np.add.reduce`` moment sums, (i, j, pid)-sorted
+    merge, largest-|loading|-positive sign, ufunc-contraction
+    projection) — see ``stages/similarity.py`` pca_basis."""
+    mean, cov, ids = _moment_contract(emb, num_partitions, chunk)
     w, v = np.linalg.eigh(cov)
     order = np.argsort(w, kind="stable")[::-1][:n_components]
     comps = v[:, order].copy()

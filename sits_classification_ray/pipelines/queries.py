@@ -4248,6 +4248,18 @@ def _chi2_lang_weekly(sf_dir: str) -> rd.Dataset:
         _obs(sf_dir).select_columns(["lang", "warc_ts"]))
 
 
+def _mahalanobis_embeddings(sf_dir: str) -> rd.Dataset:
+    """Mahalanobis outlier scores over the embedding corpus: moment
+    pass + driver d×d inverse + broadcast quadratic form (golden
+    twin on the shared determinism contract)."""
+    from sits_classification_ray.stages.similarity import (
+        mahalanobis_scores)
+
+    emb = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                          columns=["vec_id", "embedding"])
+    return mahalanobis_scores(emb)
+
+
 def _adamic_adar_crawl(sf_dir: str) -> rd.Dataset:
     """Adamic-Adar link prediction over the domain graph: top
     non-adjacent pairs by common-neighbour weight (integer micro-nats;
@@ -4606,6 +4618,8 @@ def build_queries() -> dict[str, Callable[[str], Any]]:
         "naive_bayes_lang_documents": _naive_bayes_lang_documents,
         # Adamic-Adar link prediction (SQL-checked)
         "adamic_adar_crawl": _adamic_adar_crawl,
+        # Mahalanobis outlier scores (golden-checked)
+        "mahalanobis_embeddings": _mahalanobis_embeddings,
     }.items()}
 
 
@@ -4672,7 +4686,7 @@ def _golden_sql(name: str) -> str:
 #: queries whose oracle is a golden parquet (deterministic / seeded
 #: operators that ANSI SQL cannot express).
 GOLDEN_QUERIES = [
-    "pca_projection_embeddings",
+    "pca_projection_embeddings", "mahalanobis_embeddings",
     "embedding_near_dup_ivf", "hll_distinct_urls_daily",
     "hll_weekly_from_daily", "ams_f2_urls", "canonical_urls_crawl",
     "langid_documents", "langid_confusion", "simhash_documents",

@@ -662,6 +662,8 @@ def pca_basis(ds: rd.Dataset, id_col: str = "vec_id",
     ss = np.array([[agg[(i, j)] for j in range(d)] for i in range(d)])
     mean = s / n
     cov = (ss - n * np.outer(mean, mean)) / (n - 1.0)
+    if n_components == 0:  # moment-only callers (mahalanobis_scores)
+        return mean, cov, None, n
     w, v = np.linalg.eigh(cov)
     order = np.argsort(w, kind="stable")[::-1][:n_components]
     comps = v[:, order].copy()
@@ -702,3 +704,40 @@ def pca_project(ds: rd.Dataset, id_col: str = "vec_id",
         return pd.DataFrame(out)
 
     return ds.map_batches(proj, batch_format="pandas")
+
+
+def mahalanobis_scores(ds: rd.Dataset, id_col: str = "vec_id",
+                       vec_col: str = "embedding",
+                       num_partitions: int = 64,
+                       round_to: int = 6) -> rd.Dataset:
+    """Squared Mahalanobis distance of every vector from the corpus
+    distribution — the classic embedding-space outlier screen
+    (off-manifold documents, encoder failures, polluted shards).
+
+    One distributed moment pass (the :func:`pca_basis` determinism
+    contract: fixed hash partitions, id-sorted chunked ufunc sums),
+    driver-side d×d covariance inverse, then a broadcast map computing
+    ``D² = (x−μ)ᵀ Σ⁻¹ (x−μ)`` per row as explicit ufunc contractions
+    (bit-identical under any block layout → golden twin). Returns
+    ``(vec_id, d2)`` rounded."""
+    from sits_classification_ray.functions.transforms import sql_round
+
+    mean, cov, _, _ = pca_basis(ds, id_col, vec_col, n_components=0,
+                                num_partitions=num_partitions)
+    inv = np.linalg.inv(cov)
+    ref = ray.put((mean, inv))
+
+    def score(df: pd.DataFrame) -> pd.DataFrame:
+        mean, inv = ray.get(ref)
+        if len(df):
+            X = np.stack([np.asarray(v, dtype=np.float64)
+                          for v in df[vec_col]]) - mean
+            y = (X[:, :, None] * inv[None, :, :]).sum(axis=1)
+            d2 = (y * X).sum(axis=1)
+        else:
+            d2 = np.zeros(0)
+        return pd.DataFrame({
+            id_col: df[id_col].to_numpy(np.int64),
+            "d2": sql_round(d2, round_to) + 0.0})
+
+    return ds.map_batches(score, batch_format="pandas")

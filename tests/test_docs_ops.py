@@ -1091,3 +1091,29 @@ def test_pca_projection_partition_invariant():
     assert abs(a["pc2"].var(ddof=1) - evals[1]) / evals[1] < 1e-3
     # centered: score means are ~0
     assert abs(a["pc1"].mean()) < 1e-6 + 1e-9 * len(a)
+
+
+def test_mahalanobis_flags_planted_outlier():
+    import numpy as np
+    import ray.data as rd
+    from sits_classification_ray.stages.similarity import (
+        mahalanobis_scores)
+
+    df = _pca_emb_df(seed=47, n=200, d=6)
+    # plant one far-off-manifold vector
+    out_vec = np.full(6, 60.0, dtype=np.float32)
+    df.loc[len(df)] = {"vec_id": np.int64(999), "embedding": out_vec}
+    out = mahalanobis_scores(rd.from_pandas(df)).to_pandas()
+    top = out.sort_values("d2", ascending=False).iloc[0]
+    assert int(top["vec_id"]) == 999
+    # independent check: D2 against numpy mean/cov/inv on the bulk
+    X = np.stack([np.asarray(v, np.float64) for v in df["embedding"]])
+    mu = X.mean(axis=0)
+    inv = np.linalg.inv(np.cov(X, rowvar=False, ddof=1))
+    ref = ((X - mu) @ inv * (X - mu)).sum(axis=1)
+    got = out.sort_values("vec_id")["d2"].to_numpy()
+    ref_s = ref[np.argsort(df["vec_id"].to_numpy())]
+    assert np.allclose(got, ref_s, rtol=1e-6, atol=1e-6)
+    # mean of D2 equals d up to sampling (chi-square property)
+    bulk = out[out["vec_id"] != 999]["d2"]
+    assert abs(bulk.mean() - 6.0) < 1.0

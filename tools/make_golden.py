@@ -68,6 +68,8 @@ def make_for(sf_dir: str, only: set[str] | None = None) -> None:
         "ivf_topk": lambda: golden.ivf_topk(emb),
         "pca_projection_embeddings":
             lambda: golden.pca_projection_embeddings(emb),
+        "mahalanobis_embeddings":
+            lambda: golden.mahalanobis_embeddings(emb),
         "embedding_near_dup_ivf":
             lambda: golden.embedding_near_dup_ivf(emb),
         "stratified_sample_documents":
