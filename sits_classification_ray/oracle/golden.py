@@ -3047,3 +3047,42 @@ def pca_projection_embeddings(emb: pd.DataFrame, n_components: int = 2,
     for c in range(comps.shape[1]):
         out[f"pc{c + 1}"] = _sql_round_arr(p[:, c], round_to) + 0.0
     return pd.DataFrame(out)
+
+
+def forecast_backtest_crawl(obs_long: pd.DataFrame, alpha: float = 0.5,
+                            beta: float = 0.3,
+                            ndigits: int = 6) -> pd.DataFrame:
+    """Independent per-series rolling-origin Holt backtest twin — see
+    ``stages/windows.py`` forecast_backtest."""
+    rows = []
+    for (url, metric), g in obs_long.groupby(["url", "metric"],
+                                             sort=True):
+        g = g.sort_values("warc_ts", kind="mergesort")
+        y = g["value"].to_numpy(np.float64)
+        n = len(y)
+        if n < 3:
+            continue
+        lvl = y[0]
+        b = y[1] - y[0]
+        ae = se = nd = 0.0
+        cnt = 0
+        for t in range(1, n):
+            nd += abs(y[t] - y[t - 1])
+            if t >= 2:
+                e = y[t] - (lvl + b)
+                ae += abs(e)
+                se += e * e
+                cnt += 1
+            ln = alpha * y[t] + (1.0 - alpha) * (lvl + b)
+            b = beta * (ln - lvl) + (1.0 - beta) * b
+            lvl = ln
+        if nd <= 0:
+            continue
+        naive = nd / (n - 1)
+        rows.append({
+            "url": url, "metric": metric, "n": np.int64(n),
+            "mae": np.round(ae / cnt, ndigits),
+            "rmse": np.round(np.sqrt(se / cnt), ndigits),
+            "mase": np.round((ae / cnt) / naive, ndigits)})
+    return pd.DataFrame(rows, columns=["url", "metric", "n", "mae",
+                                       "rmse", "mase"])

@@ -4248,6 +4248,14 @@ def _chi2_lang_weekly(sf_dir: str) -> rd.Dataset:
         _obs(sf_dir).select_columns(["lang", "warc_ts"]))
 
 
+def _forecast_backtest_crawl(sf_dir: str) -> rd.Dataset:
+    """Rolling-origin one-step Holt backtest per series: MAE/RMSE and
+    Hyndman-Koehler MASE vs the naive forecaster (golden twin)."""
+    from sits_classification_ray.stages.windows import forecast_backtest
+
+    return forecast_backtest(_obs_long(sf_dir))
+
+
 def _mahalanobis_embeddings(sf_dir: str) -> rd.Dataset:
     """Mahalanobis outlier scores over the embedding corpus: moment
     pass + driver d×d inverse + broadcast quadratic form (golden
@@ -4620,6 +4628,8 @@ def build_queries() -> dict[str, Callable[[str], Any]]:
         "adamic_adar_crawl": _adamic_adar_crawl,
         # Mahalanobis outlier scores (golden-checked)
         "mahalanobis_embeddings": _mahalanobis_embeddings,
+        # rolling-origin forecast backtest + MASE (golden-checked)
+        "forecast_backtest_crawl": _forecast_backtest_crawl,
     }.items()}
 
 
@@ -4687,6 +4697,7 @@ def _golden_sql(name: str) -> str:
 #: operators that ANSI SQL cannot express).
 GOLDEN_QUERIES = [
     "pca_projection_embeddings", "mahalanobis_embeddings",
+    "forecast_backtest_crawl",
     "embedding_near_dup_ivf", "hll_distinct_urls_daily",
     "hll_weekly_from_daily", "ams_f2_urls", "canonical_urls_crawl",
     "langid_documents", "langid_confusion", "simhash_documents",

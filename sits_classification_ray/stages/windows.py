@@ -701,3 +701,83 @@ def holt_winters(ds_long: rd.Dataset, season: int = 7,
                         ("forecast", pa.float64())])
     return partitioned_map(daily_means(ds_long), kernel, url_col="url",
                            out_schema=schema)
+
+
+def forecast_backtest(ds_long: rd.Dataset, alpha: float = 0.5,
+                      beta: float = 0.3, ndigits: int = 6) -> rd.Dataset:
+    """Rolling-origin one-step backtest of the :func:`holt_linear`
+    forecaster per (url, metric) series — the evaluation layer the
+    forecasting family was missing: "how good is the model on THIS
+    page's history, against the naive no-change forecaster?".
+
+    At every step ``t ≥ 2`` the pre-update state forecasts
+    ``ŷ_t = l_{t−1} + b_{t−1}`` (t = 1 is excluded: the trend init
+    ``b_0 = y_1 − y_0`` already saw ``y_1``). Reported per series:
+
+    - ``mae``/``rmse`` of the one-step errors,
+    - ``mase`` — MAE over the in-sample naive MAE
+      ``mean|y_t − y_{t−1}|`` (Hyndman & Koehler 2006), the
+      scale-free "beats-naive-below-1" score.
+
+    Series need ≥ 3 points and a nonzero naive MAE (constant series
+    are dropped: MASE is undefined, 0/0). Same step-vectorized
+    recursion and bucket-major exchange as holt_linear; per-series
+    error moments accumulate in O(1) arrays, so the output is one row
+    per series regardless of history length. Golden twin re-derives
+    the recursion per series independently.
+    """
+
+    def kernel(df: pd.DataFrame) -> pd.DataFrame:
+        cols = ["url", "metric", "n", "mae", "rmse", "mase"]
+        df = df.sort_values(["url", "metric", "warc_ts"],
+                            kind="mergesort").reset_index(drop=True)
+        vals = df["value"].to_numpy(np.float64)
+        starts, lens = _series_layout(df)
+        n_series = len(starts)
+        if not n_series:
+            return pd.DataFrame({
+                "url": pd.Series(dtype=object),
+                "metric": pd.Series(dtype=object),
+                "n": pd.Series(dtype=np.int64),
+                "mae": pd.Series(dtype=np.float64),
+                "rmse": pd.Series(dtype=np.float64),
+                "mase": pd.Series(dtype=np.float64)})
+        level = vals[starts].copy()
+        trend = np.zeros(n_series)
+        k1 = int(np.searchsorted(-lens, -1, side="left"))
+        trend[:k1] = vals[starts[:k1] + 1] - level[:k1]
+        ae = np.zeros(n_series)
+        se = np.zeros(n_series)
+        nd = np.zeros(n_series)
+        cnt = np.zeros(n_series, dtype=np.int64)
+        max_len = int(lens[0])
+        for t in range(1, max_len):
+            k = int(np.searchsorted(-lens, -t, side="left"))
+            idx = starts[:k] + t
+            x = vals[idx]
+            lp = level[:k]
+            nd[:k] += np.abs(x - vals[idx - 1])
+            if t >= 2:
+                err = x - (lp + trend[:k])
+                ae[:k] += np.abs(err)
+                se[:k] += err * err
+                cnt[:k] += 1
+            lnew = alpha * x + (1.0 - alpha) * (lp + trend[:k])
+            trend[:k] = beta * (lnew - lp) + (1.0 - beta) * trend[:k]
+            level[:k] = lnew
+        keep = (lens >= 3) & (nd > 0)
+        naive_mae = np.where(lens > 1, nd / np.maximum(lens - 1, 1), 0.0)
+        with np.errstate(invalid="ignore", divide="ignore"):
+            mae = ae / np.maximum(cnt, 1)
+            rmse = np.sqrt(se / np.maximum(cnt, 1))
+            mase = mae / np.where(naive_mae > 0, naive_mae, np.nan)
+        out = pd.DataFrame({
+            "url": df["url"].to_numpy()[starts],
+            "metric": df["metric"].to_numpy()[starts],
+            "n": lens.astype(np.int64),
+            "mae": np.round(mae, ndigits),
+            "rmse": np.round(rmse, ndigits),
+            "mase": np.round(mase, ndigits)})
+        return out[keep][cols]
+
+    return _bucketed(ds_long, kernel)

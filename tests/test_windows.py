@@ -298,3 +298,79 @@ def test_freshness_coverage_islands():
     assert a["coverage"] == round(4 / 7, 6)
     assert b["n_islands"] == 1 and b["union_us"] == 3 * H
     assert b["coverage"] == 1.0
+
+
+def test_forecast_backtest_beats_naive_on_trend():
+    """On a clean linear trend Holt's one-step error is ~0 while the
+    naive forecaster errs by the slope -> MASE << 1."""
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+    from sits_classification_ray.stages.windows import forecast_backtest
+
+    base = np.datetime64("2024-01-01T00:00:00", "us")
+    n = 40
+    df = pd.DataFrame({
+        "url": "https://t.example/",
+        "url_bucket": np.uint32(1),
+        "metric": "m",
+        "warc_ts": base + np.arange(n) * 86_400_000_000,
+        "value": 5.0 + 3.0 * np.arange(n)})
+    out = forecast_backtest(rd.from_pandas(df)).to_pandas()
+    assert len(out) == 1
+    row = out.iloc[0]
+    assert row["n"] == n
+    assert row["mae"] < 1e-6 and row["mase"] < 1e-6
+
+
+def test_forecast_backtest_matches_scalar_reference():
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+    from sits_classification_ray.stages.windows import forecast_backtest
+
+    rng = np.random.default_rng(9)
+    base = np.datetime64("2024-01-01T00:00:00", "us")
+    y = rng.normal(10, 2, size=25)
+    df = pd.DataFrame({
+        "url": "https://r.example/",
+        "url_bucket": np.uint32(1),
+        "metric": "m",
+        "warc_ts": base + np.arange(25) * 86_400_000_000,
+        "value": y})
+    out = forecast_backtest(rd.from_pandas(df)).to_pandas().iloc[0]
+    lvl, b = y[0], y[1] - y[0]
+    ae = se = nd = 0.0
+    cnt = 0
+    for t in range(1, 25):
+        nd += abs(y[t] - y[t - 1])
+        if t >= 2:
+            e = y[t] - (lvl + b)
+            ae += abs(e); se += e * e; cnt += 1
+        ln = 0.5 * y[t] + 0.5 * (lvl + b)
+        b = 0.3 * (ln - lvl) + 0.7 * b
+        lvl = ln
+    assert abs(out["mae"] - ae / cnt) < 1e-6
+    assert abs(out["rmse"] - np.sqrt(se / cnt)) < 1e-6
+    assert abs(out["mase"] - (ae / cnt) / (nd / 24)) < 1e-6
+
+
+def test_forecast_backtest_drops_constant_and_short():
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+    from sits_classification_ray.stages.windows import forecast_backtest
+
+    base = np.datetime64("2024-01-01T00:00:00", "us")
+    rows = []
+    for i in range(10):  # constant series: naive MAE 0 -> dropped
+        rows.append(("https://c.example/", "m",
+                     base + i * 86_400_000_000, 7.0))
+    for i in range(2):   # too short -> dropped
+        rows.append(("https://s.example/", "m",
+                     base + i * 86_400_000_000, float(i)))
+    df = pd.DataFrame(rows, columns=["url", "metric", "warc_ts",
+                                     "value"])
+    df["url_bucket"] = np.uint32(1)
+    out = forecast_backtest(rd.from_pandas(df)).to_pandas()
+    assert len(out) == 0

@@ -81,6 +81,8 @@ def make_for(sf_dir: str, only: set[str] | None = None) -> None:
             lambda: golden.lttb_downsample_crawl(obs_long),
         "ewma_crawl": lambda: golden.ewma_crawl(obs_long),
         "holt_linear_crawl": lambda: golden.holt_linear_crawl(obs_long),
+        "forecast_backtest_crawl":
+            lambda: golden.forecast_backtest_crawl(obs_long),
         "cusum_crawl": lambda: golden.cusum_crawl(obs_long),
         "partition_extents_crawl":
             lambda: golden.partition_extents_crawl(obs),
