@@ -4248,6 +4248,37 @@ def _chi2_lang_weekly(sf_dir: str) -> rd.Dataset:
         _obs(sf_dir).select_columns(["lang", "warc_ts"]))
 
 
+def _conformal_intervals_crawl(sf_dir: str) -> rd.Dataset:
+    """Split-conformal 90% intervals around the regression scorer:
+    calibration fold by Knuth hash of epoch seconds, exact
+    order-statistic half-width in integer micro-units (SQL twin)."""
+    from sits_classification_ray.stages.scoring import conformal_intervals
+
+    from sits_classification_ray.functions.transforms import sql_round
+
+    def prep(batch: pa.Table) -> pa.Table:
+        tl = batch["text_len"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        wc = batch["word_count"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        keep = ~((tl == 0) & (wc == 0))
+        ts = batch["warc_ts"].to_numpy(zero_copy_only=False) \
+            .astype("datetime64[s]").astype(np.int64)
+        fold = (ts * 2654435761) % 4294967296 % 5
+        pred = sql_round((0.1 + wc * 0.002) * 2.5 + 10.0, 6) + 0.0
+        return pa.table({
+            "url": batch["url"], "warc_ts": batch["warc_ts"],
+            "y": pa.array(tl.astype(np.float64)),
+            "pred": pa.array(pred),
+            "fold": pa.array(fold, pa.int64())}).filter(pa.array(keep))
+
+    prepped = _obs(sf_dir).map_batches(prep, batch_format="pyarrow",
+                                       zero_copy_batch=True)
+    out = conformal_intervals(prepped, pred_col="pred", y_col="y",
+                              fold_col="fold")
+    return out.select_columns(["url", "warc_ts", "pred", "lo", "hi"])
+
+
 def _forecast_backtest_crawl(sf_dir: str) -> rd.Dataset:
     """Rolling-origin one-step Holt backtest per series: MAE/RMSE and
     Hyndman-Koehler MASE vs the naive forecaster (golden twin)."""
@@ -4630,6 +4661,8 @@ def build_queries() -> dict[str, Callable[[str], Any]]:
         "mahalanobis_embeddings": _mahalanobis_embeddings,
         # rolling-origin forecast backtest + MASE (golden-checked)
         "forecast_backtest_crawl": _forecast_backtest_crawl,
+        # split-conformal prediction intervals (SQL-checked)
+        "conformal_intervals_crawl": _conformal_intervals_crawl,
     }.items()}
 
 
@@ -7291,6 +7324,25 @@ SELECT metric, CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
        round(d_stat, 6) AS d_stat,
        round(sqrt(na * nb / (na + nb)) * d_stat, 6) AS ks_stat
 FROM d""",
+        "conformal_intervals_crawl": f"""{CRAWL_PREFIX},
+p AS MATERIALIZED (
+  SELECT url, warc_ts, CAST(text_len AS DOUBLE) AS y,
+         round((0.1 + CAST(word_count AS DOUBLE) * 0.002) * 2.5
+               + 10.0, 6) AS pred,
+         (CAST(epoch(warc_ts) AS BIGINT) * 2654435761)
+             % 4294967296 % 5 AS fold
+  FROM obs WHERE NOT (text_len = 0 AND word_count = 0)),
+cal AS (SELECT CAST(round(abs(y - pred) * 1000000, 0) AS BIGINT)
+               AS r_u
+        FROM p WHERE fold = 0),
+nn AS (SELECT count(*) AS n FROM cal),
+rk AS (SELECT r_u, row_number() OVER (ORDER BY r_u) AS rn FROM cal),
+qq AS (SELECT min(r_u) / 1000000.0 AS qhat FROM rk, nn
+       WHERE rn >= least(CAST(ceil((n + 1) * 0.9) AS BIGINT), n))
+SELECT url, warc_ts, pred,
+       round(pred - qq.qhat, 6) AS lo,
+       round(pred + qq.qhat, 6) AS hi
+FROM p, qq WHERE fold <> 0""",
         "adamic_adar_crawl": f"""WITH {CRAWL_CTE},
 links AS MATERIALIZED (
   SELECT split_part(c.url, '/', 3) AS src,

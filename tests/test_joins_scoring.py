@@ -228,3 +228,52 @@ def test_bloom_semi_join_block_invariant():
                          rd.from_pandas(right).repartition(5), "rid")
          .to_pandas().sort_values("id").reset_index(drop=True))
     pd.testing.assert_frame_equal(a, b)
+
+
+# --- split-conformal intervals ---------------------------------------------
+
+def _conformal_df(seed=3, n=2000):
+    import numpy as np
+    import pandas as pd
+    rng = np.random.default_rng(seed)
+    pred = np.round(rng.normal(50, 5, size=n), 6)
+    y = pred + rng.normal(0, 2, size=n)
+    return pd.DataFrame({
+        "pred": pred, "y": y,
+        "fold": rng.integers(0, 5, size=n).astype(np.int64)})
+
+
+def test_conformal_coverage_and_reference():
+    import numpy as np
+    import ray.data as rd
+    from sits_classification_ray.stages.scoring import conformal_intervals
+
+    df = _conformal_df()
+    out = conformal_intervals(rd.from_pandas(df).repartition(8),
+                              alpha=0.1).to_pandas()
+    # reference qhat: ceil((n+1)*0.9)-th smallest calibration residual
+    cal = df[df["fold"] == 0]
+    r = np.sort(np.round(np.abs(cal["y"] - cal["pred"]) * 1e6)
+                .astype(np.int64))
+    rank = min(int(np.ceil((len(r) + 1) * 0.9)), len(r))
+    qhat = r[rank - 1] / 1e6
+    assert np.allclose(out["hi"] - out["pred"], qhat, atol=2e-6)
+    assert np.allclose(out["pred"] - out["lo"], qhat, atol=2e-6)
+    # distribution-free marginal coverage on exchangeable data
+    test = df[df["fold"] != 0].reset_index(drop=True)
+    o = out.reset_index(drop=True)
+    cover = ((test["y"].to_numpy() >= o["lo"].to_numpy())
+             & (test["y"].to_numpy() <= o["hi"].to_numpy())).mean()
+    assert 0.86 <= cover <= 0.95
+    assert len(out) == len(test)
+
+
+def test_conformal_empty_calibration_raises():
+    import pytest
+    import ray.data as rd
+    from sits_classification_ray.stages.scoring import conformal_intervals
+
+    df = _conformal_df(n=50)
+    df["fold"] = 1
+    with pytest.raises(ValueError):
+        conformal_intervals(rd.from_pandas(df))
