@@ -3086,3 +3086,22 @@ def forecast_backtest_crawl(obs_long: pd.DataFrame, alpha: float = 0.5,
             "mase": np.round((ae / cnt) / naive, ndigits)})
     return pd.DataFrame(rows, columns=["url", "metric", "n", "mae",
                                        "rmse", "mase"])
+
+
+def kcenter_select_embeddings(emb: pd.DataFrame, k: int = 16,
+                              round_to: int = 6) -> pd.DataFrame:
+    """Independent single-process Gonzalez farthest-point twin — see
+    ``stages/curation.py`` kcenter_select."""
+    ids = emb["vec_id"].to_numpy(np.int64)
+    X = np.stack([np.asarray(v, dtype=np.float64)
+                  for v in emb["embedding"]])
+    start = int(np.argmin(ids))
+    d2 = np.add.reduce((X - X[start]) ** 2, axis=1)
+    rows = [(np.int64(0), np.int64(ids[start]), -1.0)]
+    for r in range(1, k):
+        i = int(np.lexsort((ids, -d2))[0])
+        rows.append((np.int64(r), np.int64(ids[i]),
+                     float(_sql_round_arr(
+                         np.array([np.sqrt(d2[i])]), round_to)[0])))
+        d2 = np.minimum(d2, np.add.reduce((X - X[i]) ** 2, axis=1))
+    return pd.DataFrame(rows, columns=["sel_rank", "vec_id", "radius"])

@@ -4248,6 +4248,17 @@ def _chi2_lang_weekly(sf_dir: str) -> rd.Dataset:
         _obs(sf_dir).select_columns(["lang", "warc_ts"]))
 
 
+def _kcenter_select_embeddings(sf_dir: str) -> pd.DataFrame:
+    """Greedy k-center coreset selection over the embedding corpus —
+    k maximally diverse exemplars + the coverage-radius curve
+    (golden twin)."""
+    from sits_classification_ray.stages.curation import kcenter_select
+
+    emb = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                          columns=["vec_id", "embedding"])
+    return kcenter_select(emb, k=16)
+
+
 def _conformal_intervals_crawl(sf_dir: str) -> rd.Dataset:
     """Split-conformal 90% intervals around the regression scorer:
     calibration fold by Knuth hash of epoch seconds, exact
@@ -4663,6 +4674,8 @@ def build_queries() -> dict[str, Callable[[str], Any]]:
         "forecast_backtest_crawl": _forecast_backtest_crawl,
         # split-conformal prediction intervals (SQL-checked)
         "conformal_intervals_crawl": _conformal_intervals_crawl,
+        # k-center coreset selection (golden-checked)
+        "kcenter_select_embeddings": _kcenter_select_embeddings,
     }.items()}
 
 
@@ -4730,7 +4743,7 @@ def _golden_sql(name: str) -> str:
 #: operators that ANSI SQL cannot express).
 GOLDEN_QUERIES = [
     "pca_projection_embeddings", "mahalanobis_embeddings",
-    "forecast_backtest_crawl",
+    "forecast_backtest_crawl", "kcenter_select_embeddings",
     "embedding_near_dup_ivf", "hll_distinct_urls_daily",
     "hll_weekly_from_daily", "ams_f2_urls", "canonical_urls_crawl",
     "langid_documents", "langid_confusion", "simhash_documents",

@@ -314,3 +314,90 @@ def lang_temperature_weights(ds: rd.Dataset, group_col: str = "lang",
         "p_temp": np.round(pt, round_to),
     }).sort_values(group_col, kind="mergesort").reset_index(drop=True)
     return out
+
+
+def kcenter_select(ds: rd.Dataset, k: int = 16,
+                   id_col: str = "vec_id", vec_col: str = "embedding",
+                   round_to: int = 6) -> pd.DataFrame:
+    """Greedy k-center coreset selection (Gonzalez farthest-point
+    traversal) over the embedding corpus — the "pick k maximally
+    diverse exemplars" primitive of training-data subset selection
+    (each selection is the point worst-covered by the current set, so
+    the result 2-approximates the optimal k-center cover).
+
+    Distributed shape: the min-distance-to-selected column is carried
+    IN the dataset and updated against only the newest center per
+    round (one broadcast scalar vector, one map, one materialize), so
+    the total work is O(n·k) — never O(n·k²), never a driver-side
+    vector matrix. Per round the global farthest point reduces via
+    per-block candidates (max is order-free; ties break to the
+    smaller id). Every distance is an elementwise ufunc on float64,
+    so selections are bit-deterministic under any block layout
+    (golden twin replicates single-process).
+
+    Returns the k-row ``(sel_rank, vec_id, radius)`` table — radius is
+    the max-min distance at selection time, i.e. the coverage radius
+    achieved by the PREVIOUS set.
+    """
+    import ray
+
+    first = ds.min(id_col)
+
+    def seed_vec(df: pd.DataFrame) -> pd.DataFrame:
+        m = df[df[id_col] == first]
+        return m[[id_col, vec_col]]
+
+    seed = ds.map_batches(seed_vec, batch_format="pandas").take_all()
+    c_vec = np.asarray(seed[0][vec_col], dtype=np.float64)
+    c_id = int(seed[0][id_col])
+
+    def init(df: pd.DataFrame) -> pd.DataFrame:
+        X = np.stack([np.asarray(v, dtype=np.float64)
+                      for v in df[vec_col]])
+        d2 = np.add.reduce((X - c_vec) ** 2, axis=1)
+        return pd.DataFrame({id_col: df[id_col].astype(np.int64),
+                             vec_col: df[vec_col],
+                             "_d2": d2})
+
+    state = ds.map_batches(init, batch_format="pandas").materialize()
+    out = [{"sel_rank": np.int64(0), "vec_id": np.int64(c_id),
+            "radius": np.inf}]
+
+    for r in range(1, k):
+        def cand(df: pd.DataFrame) -> pd.DataFrame:
+            if not len(df):
+                return df[[id_col, vec_col, "_d2"]]
+            i = int(np.lexsort((df[id_col].to_numpy(),
+                                -df["_d2"].to_numpy()))[0])
+            return df.iloc[i:i + 1][[id_col, vec_col, "_d2"]]
+
+        cands = state.map_batches(cand,
+                                  batch_format="pandas").take_all()
+        best = max(cands, key=lambda row: (row["_d2"], -row[id_col]))
+        c_vec = np.asarray(best[vec_col], dtype=np.float64)
+        c_id = int(best[id_col])
+        out.append({"sel_rank": np.int64(r), "vec_id": np.int64(c_id),
+                    "radius": float(np.sqrt(best["_d2"]))})
+        vec_ref = ray.put(c_vec)
+
+        def update(df: pd.DataFrame, _ref=vec_ref) -> pd.DataFrame:
+            c = ray.get(_ref)
+            X = np.stack([np.asarray(v, dtype=np.float64)
+                          for v in df[vec_col]]) if len(df) else \
+                np.zeros((0, len(c)))
+            d2 = np.add.reduce((X - c) ** 2, axis=1)
+            out = df.copy(deep=False)
+            out["_d2"] = np.minimum(df["_d2"].to_numpy(np.float64), d2)
+            return out
+
+        state = state.map_batches(update,
+                                  batch_format="pandas").materialize()
+
+    from sits_classification_ray.functions.transforms import sql_round
+
+    res = pd.DataFrame(out)
+    # the seed has no previous cover: report radius -1 (distances are
+    # nonnegative, so the sentinel is unambiguous)
+    r = res["radius"].to_numpy(np.float64)
+    res["radius"] = np.where(np.isinf(r), -1.0, sql_round(r, round_to))
+    return res

@@ -65,3 +65,38 @@ def test_paragraph_dedup_first_wins_and_reassembly():
                            span_tokens=3).to_pandas() \
         .sort_values("doc_id").reset_index(drop=True)
     pd.testing.assert_frame_equal(out, out2)
+
+
+def test_kcenter_select_gonzalez_properties():
+    """Greedy k-center: partition-invariant, matches a hand single-
+    process Gonzalez run, and radii are non-increasing."""
+    from sits_classification_ray.stages.curation import kcenter_select
+    rng = np.random.default_rng(7)
+    n, d, k = 200, 8, 6
+    X = rng.normal(size=(n, d))
+    t = pa.table({
+        "vec_id": pa.array(range(n), pa.int64()),
+        "embedding": pa.array(X.tolist(),
+                              pa.list_(pa.float64())),
+    })
+    a = kcenter_select(rd.from_arrow(t), k=k)
+    b = kcenter_select(rd.from_arrow(t).repartition(7), k=k)
+    pd.testing.assert_frame_equal(a, b)  # partition invariant
+
+    # hand Gonzalez twin
+    ids = np.arange(n)
+    start = 0
+    d2 = np.add.reduce((X - X[start]) ** 2, axis=1)
+    sel = [start]
+    radii = [-1.0]
+    for _ in range(1, k):
+        i = int(np.lexsort((ids, -d2))[0])
+        sel.append(i)
+        radii.append(float(np.sqrt(d2[i])))
+        d2 = np.minimum(d2, np.add.reduce((X - X[i]) ** 2, axis=1))
+    assert a["vec_id"].tolist() == sel
+    np.testing.assert_allclose(a["radius"].to_numpy()[1:],
+                               np.round(radii[1:], 6))
+    # coverage radius shrinks (weakly) as centers are added
+    r = a["radius"].to_numpy()[1:]
+    assert (np.diff(r) <= 1e-12).all()
