@@ -674,6 +674,18 @@ def _nearest_centroid_embeddings(sf_dir: str) -> rd.Dataset:
     return nearest_centroid_predict(ds, cents)
 
 
+def _knn_classify_embeddings(sf_dir: str) -> pd.DataFrame:
+    """k-NN majority-vote classification over a deterministic hash
+    split (vec_id % 50 == 0 → query fold): bounded query matrix
+    broadcast once, per-block partial top-k with neighbor labels,
+    driver-side bounded vote."""
+    from sits_classification_ray.stages.similarity import knn_classify
+
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                         columns=["vec_id", "embedding", "label"])
+    return knn_classify(ds, k=10, test_mod=50)
+
+
 def _global_rank_documents(sf_dir: str) -> rd.Dataset:
     """Corpus-wide length percentile per doc (quality-cutoff /
     curriculum ordering primitive) via the distributed-rank
@@ -4466,6 +4478,7 @@ def build_queries() -> dict[str, Callable[[str], Any]]:
         "regex_token_stats_documents": _regex_token_stats_documents,
         "label_centroids_embeddings": _label_centroids_embeddings,
         "nearest_centroid_embeddings": _nearest_centroid_embeddings,
+        "knn_classify_embeddings": _knn_classify_embeddings,
         "ivf_topk": _ivf_topk,
         # temporal analytics + normalization (SQL-checked)
         "stm_per_series": _stm_per_series,
@@ -4836,6 +4849,27 @@ FROM (SELECT vec_id, label,
                                 ORDER BY round(d2, 6), label) AS rn
       FROM dist)
 WHERE rn = 1""",
+        "knn_classify_embeddings": """
+WITH test AS MATERIALIZED (
+  SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv,
+         CAST(label AS BIGINT) AS true_label
+  FROM embeddings WHERE vec_id % 50 = 0),
+train AS MATERIALIZED (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS tv,
+         CAST(label AS BIGINT) AS l
+  FROM embeddings WHERE vec_id % 50 <> 0),
+s AS (SELECT t.query_id, t.true_label, r.vec_id, r.l,
+             round(list_cosine_similarity(t.qv, r.tv), 6) AS score
+      FROM test t CROSS JOIN train r),
+rk AS (SELECT *, row_number() OVER (PARTITION BY query_id
+              ORDER BY score DESC, vec_id) AS rn FROM s),
+kn AS (SELECT query_id, true_label, l, score FROM rk WHERE rn <= 10),
+v AS (SELECT query_id, true_label, l, count(*) AS votes,
+             round(sum(score), 6) AS sim_sum
+      FROM kn GROUP BY 1, 2, 3),
+w AS (SELECT *, row_number() OVER (PARTITION BY query_id
+             ORDER BY votes DESC, sim_sum DESC, l) AS r FROM v)
+SELECT query_id, true_label, l AS pred_label, votes FROM w WHERE r = 1""",
         "global_rank_documents": """
 SELECT doc_id, n_chars,
        row_number() OVER (ORDER BY n_chars, doc_id) AS rn,

@@ -741,3 +741,83 @@ def mahalanobis_scores(ds: rd.Dataset, id_col: str = "vec_id",
             "d2": sql_round(d2, round_to) + 0.0})
 
     return ds.map_batches(score, batch_format="pandas")
+
+
+def knn_classify(ds: rd.Dataset, k: int = 10, test_mod: int = 50,
+                 id_col: str = "vec_id", vec_col: str = "embedding",
+                 label_col: str = "label",
+                 round_to: int = 6) -> pd.DataFrame:
+    """k-NN majority-vote classification over a deterministic hash
+    split: rows with ``id % test_mod == 0`` are the query (test) fold,
+    everything else is the reference (train) corpus.
+
+    Each query is labeled by the majority label among its ``k``
+    nearest train neighbors by cosine; vote ties break to the larger
+    summed similarity, then the smaller label. Neighborhoods rank by
+    (rounded score desc, id asc) so the boundary is engine-stable.
+
+    Distributed shape mirrors ``brute_force_topk``: the bounded query
+    fold (1/test_mod of the corpus) is collected once, normalized and
+    ``ray.put`` once; every train block computes one (Q,B) matmul and
+    emits per-block partial top-k WITH the neighbor label attached, so
+    the driver merge holds at most blocks×Q×k narrow rows and the vote
+    itself is a bounded groupby. At 100 TB-scale query folds, route the
+    queries through ``ivf_topk`` lists instead of broadcasting.
+
+    Returns ``(query_id, true_label, pred_label, votes)``.
+    """
+    def take_test(df: pd.DataFrame) -> pd.DataFrame:
+        m = (df[id_col] % test_mod) == 0
+        return df.loc[m, [id_col, vec_col, label_col]]
+
+    test = ds.map_batches(take_test, batch_format="pandas").to_pandas()
+    test = test.sort_values(id_col).reset_index(drop=True)
+    q_ids = test[id_col].to_numpy(np.int64)
+    q_true = test[label_col].to_numpy(np.int64)
+    q_mat = _normalize(np.stack([np.asarray(v, dtype=np.float64)
+                                 for v in test[vec_col]]))
+    ref = ray.put((q_ids, q_mat))
+
+    class Score:
+        def __init__(self):
+            self.q_ids, self.q_mat = ray.get(ref)
+
+        def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+            df = df[(df[id_col] % test_mod) != 0]
+            if not len(df):
+                return pd.DataFrame({
+                    "query_id": pd.Series([], dtype=np.int64),
+                    "vec_id": pd.Series([], dtype=np.int64),
+                    "score": pd.Series([], dtype=np.float64),
+                    "n_label": pd.Series([], dtype=np.int64)})
+            mat = _normalize(np.stack(
+                [np.asarray(v, dtype=np.float64) for v in df[vec_col]]))
+            sims = self.q_mat @ mat.T
+            p = _partial_topk(sims, df[id_col].to_numpy(), self.q_ids, k)
+            lab = df.set_index(df[id_col].to_numpy())[label_col]
+            p["n_label"] = lab.loc[p["vec_id"]].to_numpy(np.int64)
+            return p
+
+    partials = ds.map_batches(Score, batch_format="pandas",
+                              concurrency=(1, 8), num_cpus=1).to_pandas()
+    partials["score"] = partials["score"].round(round_to)
+    top = (partials.sort_values(["query_id", "score", "vec_id"],
+                                ascending=[True, False, True],
+                                kind="mergesort")
+           .groupby("query_id", sort=True, as_index=False).head(k))
+    votes = (top.groupby(["query_id", "n_label"], as_index=False)
+             .agg(votes=("n_label", "size"),
+                  sim_sum=("score", "sum")))
+    votes["sim_sum"] = votes["sim_sum"].round(round_to)
+    win = (votes.sort_values(
+        ["query_id", "votes", "sim_sum", "n_label"],
+        ascending=[True, False, False, True], kind="mergesort")
+        .groupby("query_id", sort=True, as_index=False).head(1))
+    out = pd.DataFrame({
+        "query_id": q_ids, "true_label": q_true})
+    out = out.merge(win.rename(columns={"n_label": "pred_label"})
+                   [["query_id", "pred_label", "votes"]],
+                   on="query_id", how="left")
+    out["pred_label"] = out["pred_label"].astype(np.int64)
+    out["votes"] = out["votes"].astype(np.int64)
+    return out.sort_values("query_id").reset_index(drop=True)

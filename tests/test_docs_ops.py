@@ -1117,3 +1117,23 @@ def test_mahalanobis_flags_planted_outlier():
     # mean of D2 equals d up to sampling (chi-square property)
     bulk = out[out["vec_id"] != 999]["d2"]
     assert abs(bulk.mean() - 6.0) < 1.0
+
+
+def test_knn_classify_majority_and_partition_invariance():
+    from sits_classification_ray.stages.similarity import knn_classify
+    rng = np.random.default_rng(3)
+    n, d = 300, 8
+    # two directionally separated blobs (cosine metric) → knn recovers
+    # the label: label 0 points near +e0, label 1 near +e1
+    lab = (np.arange(n) % 2).astype(np.int32)
+    centers = np.zeros((2, d)); centers[0, 0] = 1.0; centers[1, 1] = 1.0
+    X = (centers[lab] + rng.normal(scale=0.05, size=(n, d))) \
+        .astype(np.float32)
+    df = pd.DataFrame({"vec_id": np.arange(n, dtype=np.int64),
+                       "embedding": list(X), "label": lab})
+    a = knn_classify(rd.from_pandas(df), k=5, test_mod=10)
+    b = knn_classify(rd.from_pandas(df).repartition(7), k=5, test_mod=10)
+    pd.testing.assert_frame_equal(a, b)      # partition invariant
+    assert len(a) == n // 10                 # one row per query id
+    assert (a["pred_label"] == a["true_label"]).all()  # separable blobs
+    assert (a["votes"] == 5).all()           # unanimous neighborhoods
