@@ -3105,3 +3105,62 @@ def kcenter_select_embeddings(emb: pd.DataFrame, k: int = 16,
                          np.array([np.sqrt(d2[i])]), round_to)[0])))
         d2 = np.minimum(d2, np.add.reduce((X - X[i]) ** 2, axis=1))
     return pd.DataFrame(rows, columns=["sel_rank", "vec_id", "radius"])
+
+
+def gbdt_fit_embeddings(emb: pd.DataFrame, n_rounds: int = 8,
+                        n_bins: int = 16, learning_rate: float = 0.5,
+                        round_to: int = 6) -> pd.DataFrame:
+    """Independent single-process histogram-GBDT twin — see
+    ``stages/gbdt.py`` gbdt_fit (same integer micro-unit quantization,
+    same global-edge binning, same first-max split rule)."""
+    MICRO = 1_000_000
+    X = np.stack([np.asarray(v, dtype=np.float64)
+                  for v in emb["embedding"]])
+    y = emb["label"].to_numpy(np.float64)
+    n, dim = X.shape
+    mins, maxs = X.min(axis=0), X.max(axis=0)
+    widths = maxs - mins
+    w = np.where(widths > 0, widths, 1.0)
+    bins = np.floor((X - mins[None, :]) / w[None, :] * n_bins) \
+        .astype(np.int64)
+    bins[:, widths <= 0] = 0
+    bins = np.clip(bins, 0, n_bins - 1)
+    base = int(np.round(y * MICRO).astype(np.int64).sum()) / MICRO / n
+    F = np.full(n, base)
+    stumps = []
+    for rnd in range(n_rounds):
+        r = np.round((y - F) * MICRO).astype(np.int64)
+        C = np.zeros((dim, n_bins), dtype=np.int64)
+        S = np.zeros((dim, n_bins), dtype=np.int64)
+        for j in range(dim):
+            C[j] = np.bincount(bins[:, j], minlength=n_bins)
+            S[j] = np.round(np.bincount(
+                bins[:, j], weights=r.astype(np.float64),
+                minlength=n_bins)).astype(np.int64)
+        cl = C.cumsum(axis=1)[:, :-1]
+        sl = S.cumsum(axis=1)[:, :-1]
+        ct = C.sum(axis=1, keepdims=True)
+        st = S.sum(axis=1, keepdims=True)
+        cr, sr = ct - cl, st - sl
+        valid = (cl >= 1) & (cr >= 1)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            gain = (np.where(valid, sl.astype(np.float64) ** 2 / cl, 0.0)
+                    + np.where(valid, sr.astype(np.float64) ** 2 / cr, 0.0)
+                    - st.astype(np.float64) ** 2 / ct) / (MICRO ** 2)
+        gain = np.where(valid, gain, -np.inf)
+        flat = np.argmax(gain)
+        j, b = divmod(int(flat), n_bins - 1)
+        if not np.isfinite(gain[j, b]) or gain[j, b] <= 0:
+            break
+        lv = learning_rate * (int(sl[j, b]) / MICRO) / int(cl[j, b])
+        rv = learning_rate * (int(sr[j, b]) / MICRO) / int(cr[j, b])
+        thr = float(mins[j] + widths[j] * (b + 1) / n_bins)
+        right = X[:, j] > thr
+        F = F + np.where(right, rv, lv)
+        stumps.append((np.int64(rnd), np.int64(j),
+                       round(thr, round_to), round(lv, round_to),
+                       round(rv, round_to),
+                       round(float(gain[j, b]), round_to)))
+    return pd.DataFrame(stumps, columns=["round", "feature", "threshold",
+                                         "left_value", "right_value",
+                                         "gain"])

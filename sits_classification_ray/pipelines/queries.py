@@ -4271,6 +4271,19 @@ def _kcenter_select_embeddings(sf_dir: str) -> pd.DataFrame:
     return kcenter_select(emb, k=16)
 
 
+def _gbdt_fit_embeddings(sf_dir: str) -> pd.DataFrame:
+    """Histogram-based gradient-boosted stumps over the embedding
+    corpus (LightGBM shape): global-edge binning, one bounded
+    (feature × bin) int64 micro-unit histogram per block per round,
+    driver-side split scan. Bit-deterministic under any block layout
+    (golden twin)."""
+    from sits_classification_ray.stages.gbdt import gbdt_fit
+
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                         columns=["embedding", "label"])
+    return gbdt_fit(ds, n_rounds=8, n_bins=16, learning_rate=0.5)
+
+
 def _conformal_intervals_crawl(sf_dir: str) -> rd.Dataset:
     """Split-conformal 90% intervals around the regression scorer:
     calibration fold by Knuth hash of epoch seconds, exact
@@ -4689,6 +4702,8 @@ def build_queries() -> dict[str, Callable[[str], Any]]:
         "conformal_intervals_crawl": _conformal_intervals_crawl,
         # k-center coreset selection (golden-checked)
         "kcenter_select_embeddings": _kcenter_select_embeddings,
+        # histogram-GBDT stump boosting (golden-checked)
+        "gbdt_fit_embeddings": _gbdt_fit_embeddings,
     }.items()}
 
 
@@ -4757,6 +4772,7 @@ def _golden_sql(name: str) -> str:
 GOLDEN_QUERIES = [
     "pca_projection_embeddings", "mahalanobis_embeddings",
     "forecast_backtest_crawl", "kcenter_select_embeddings",
+    "gbdt_fit_embeddings",
     "embedding_near_dup_ivf", "hll_distinct_urls_daily",
     "hll_weekly_from_daily", "ams_f2_urls", "canonical_urls_crawl",
     "langid_documents", "langid_confusion", "simhash_documents",
