@@ -3164,3 +3164,42 @@ def gbdt_fit_embeddings(emb: pd.DataFrame, n_rounds: int = 8,
     return pd.DataFrame(stumps, columns=["round", "feature", "threshold",
                                          "left_value", "right_value",
                                          "gain"])
+
+
+def kcore_domains_crawl(crawl: pd.DataFrame) -> pd.DataFrame:
+    """Independent EXACT k-core oracle: domain edges re-synthesized
+    from the page bytes exactly as the engine's link extraction
+    (see pagerank_domains_crawl), then classic Batagelj-Zaversnik
+    min-degree peeling — validates that the engine's h-index fixpoint
+    (stages/graph.py coreness) lands on the true core numbers, not
+    just that two copies of one algorithm agree."""
+    srcs, dsts = [], []
+    for url, h in zip(crawl["url"], crawl["html"]):
+        s = (h or b"").decode("utf-8", "replace")
+        n = len(s)
+        src = str(url).split("/")[2]
+        for j in range(n % 4):
+            srcs.append(src)
+            dsts.append(f"site-{(n + j) % 40}.example.com")
+    adj: dict[str, set] = {}
+    for a, b in zip(srcs, dsts):
+        if a == b:
+            continue
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    deg = {v: len(nb) for v, nb in adj.items()}
+    core: dict[str, int] = {}
+    k = 0
+    alive = set(adj)
+    while alive:
+        v = min(alive, key=lambda x: (deg[x], x))
+        k = max(k, deg[v])
+        core[v] = k
+        alive.discard(v)
+        for u in adj[v]:
+            if u in alive:
+                deg[u] -= 1
+    nodes = sorted(core)
+    return pd.DataFrame({"node": nodes,
+                         "core": np.array([core[v] for v in nodes],
+                                          dtype=np.int64)})

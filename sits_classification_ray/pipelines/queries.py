@@ -4344,6 +4344,16 @@ def _adamic_adar_crawl(sf_dir: str) -> rd.Dataset:
     return adamic_adar(_domain_edges_crawl(sf_dir), k=100)
 
 
+def _kcore_domains_crawl(sf_dir: str) -> rd.Dataset:
+    """k-core decomposition of the domain link graph via the h-index
+    fixpoint (Lü et al. 2016) — integer monotone contraction, exact
+    scalar convergence detection; checked against an independent
+    Batagelj-Zaversnik peeling oracle."""
+    from sits_classification_ray.stages.graph import coreness
+
+    return coreness(_domain_edges_crawl(sf_dir)).sort("node")
+
+
 def _naive_bayes_lang_documents(sf_dir: str) -> rd.Dataset:
     """Multinomial Naive Bayes language classifier trained and scored
     over the corpus — integer micro-nat scores, inner-join smoothing
@@ -4704,6 +4714,8 @@ def build_queries() -> dict[str, Callable[[str], Any]]:
         "kcenter_select_embeddings": _kcenter_select_embeddings,
         # histogram-GBDT stump boosting (golden-checked)
         "gbdt_fit_embeddings": _gbdt_fit_embeddings,
+        # k-core decomposition (golden: exact peeling oracle)
+        "kcore_domains_crawl": _kcore_domains_crawl,
     }.items()}
 
 
@@ -4772,7 +4784,7 @@ def _golden_sql(name: str) -> str:
 GOLDEN_QUERIES = [
     "pca_projection_embeddings", "mahalanobis_embeddings",
     "forecast_backtest_crawl", "kcenter_select_embeddings",
-    "gbdt_fit_embeddings",
+    "gbdt_fit_embeddings", "kcore_domains_crawl",
     "embedding_near_dup_ivf", "hll_distinct_urls_daily",
     "hll_weekly_from_daily", "ams_f2_urls", "canonical_urls_crawl",
     "langid_documents", "langid_confusion", "simhash_documents",

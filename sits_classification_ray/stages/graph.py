@@ -709,3 +709,142 @@ def adamic_adar(edges: rd.Dataset, src_col: str = "w1",
         # the schema of an all-empty dataset, so pin it explicitly
         return rd.from_arrow(out_schema.empty_table())
     return final
+
+
+def coreness(edges: rd.Dataset, src_col: str = "w1",
+             dst_col: str = "w2", max_iters: int = 100) -> rd.Dataset:
+    """k-core decomposition of the (symmetrized, self-loop-free)
+    graph: every node labeled with its core number — the densest k
+    such that the node survives iterated deletion of all degree-<k
+    nodes. The crawl-frontier "link-farm vs organic neighborhood"
+    density signal.
+
+    Distributed via the h-index fixpoint (Lü et al. 2016, "The
+    H-index of a network node and its relation to degree and
+    coreness"): c(v) starts at degree(v) and each round contracts to
+    ``min(c(v), H({c(u) : u ∼ v}))``; the unique fixpoint IS the core
+    number. Two salted exchanges per round — one src-keyed tag-union
+    join attaches c to each edge, one dst-keyed reduce computes the
+    per-node H-index with a rank-prefix trick (no per-row Python).
+    Estimates are integers and monotone non-increasing, so the exact
+    fixpoint is detected from two driver scalars (count, sum) like
+    ``bfs_depth``. Returns ``(node, core)``.
+    """
+    from ray.data.aggregate import Min
+
+    from sits_classification_ray.stages.shuffle import compact_state
+
+    def sym(df: pd.DataFrame) -> pd.DataFrame:
+        a = df[src_col].astype(str).to_numpy()
+        b = df[dst_col].astype(str).to_numpy()
+        keep = a != b
+        a, b = a[keep], b[keep]
+        return (pd.DataFrame({"src": np.concatenate([a, b]),
+                              "dst": np.concatenate([b, a])})
+                .drop_duplicates())
+
+    edges_s = edges.map_batches(sym, batch_format="pandas") \
+        .groupby(["src", "dst"]).count().drop_columns(["count()"]) \
+        .materialize()
+    n_edges = edges_s.count()
+    empty = pa.table({"node": pa.array([], pa.string()),
+                      "core": pa.array([], pa.int64())})
+    if n_edges == 0:
+        return rd.from_arrow(empty)
+    edges_s = compact_state(edges_s, n_edges)
+
+    # c(v) init = degree(v) (symmetrized → one row per neighbor)
+    labels = edges_s.groupby("src").count().materialize()
+
+    def as_label(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"v": df["src"].astype(str),
+                             "c": df["count()"].astype(np.int64)})
+
+    labels = labels.map_batches(as_label, batch_format="pandas") \
+        .materialize()
+    n_nodes = labels.count()
+
+    def tag_labels(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"__k": df["v"], "__o": "",
+                             "c": df["c"].astype(np.int64)})
+
+    def tag_edges(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"__k": df["src"], "__o": df["dst"],
+                             "c": np.int64(-1)})
+
+    edges_tagged = edges_s.map_batches(
+        tag_edges, batch_format="pandas").materialize()
+
+    def attach(df: pd.DataFrame) -> pd.DataFrame:
+        lab = df[df["__o"] == ""]
+        edg = df[df["__o"] != ""]
+        m = edg[["__k", "__o"]].merge(
+            lab[["__k", "c"]], on="__k", how="inner")
+        return pd.DataFrame({"v": m["__o"].to_numpy(),
+                             "val": m["c"].to_numpy(np.int64),
+                             "own": np.int64(0)})
+
+    def own_rows(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"v": df["v"],
+                             "val": df["c"].astype(np.int64),
+                             "own": np.int64(1)})
+
+    msg_schema = pa.schema([("v", pa.string()), ("val", pa.int64()),
+                            ("own", pa.int64())])
+    out_schema = pa.schema([("v", pa.string()), ("c", pa.int64())])
+
+    def hstep(df: pd.DataFrame) -> pd.DataFrame:
+        own = df[df["own"] == 1]
+        msg = df[df["own"] == 0]
+        if len(msg):
+            m = msg.sort_values(["v", "val"], ascending=[True, False],
+                                kind="mergesort")
+            v = m["v"].to_numpy()
+            val = m["val"].to_numpy(np.int64)
+            # rank within each v-run; h = #{i : val[i] >= rank i}
+            new_run = np.r_[True, v[1:] != v[:-1]]
+            starts = np.flatnonzero(new_run)
+            lens = np.diff(np.r_[starts, len(v)])
+            rank = np.arange(len(v)) - np.repeat(starts, lens) + 1
+            ok = (val >= rank).astype(np.int64)
+            h = (pd.DataFrame({"v": v, "ok": ok})
+                 .groupby("v", sort=False)["ok"].sum().reset_index()
+                 .rename(columns={"ok": "h"}))
+        else:
+            h = pd.DataFrame({"v": pd.Series(dtype=object),
+                              "h": pd.Series(dtype=np.int64)})
+        out = own[["v", "val"]].merge(h, on="v", how="left")
+        out["h"] = out["h"].fillna(0).astype(np.int64)
+        return pd.DataFrame({
+            "v": out["v"],
+            "c": np.minimum(out["val"].to_numpy(np.int64),
+                            out["h"].to_numpy(np.int64))})
+
+    prev = (int(n_nodes), int(labels.sum("c")))
+    for _ in range(max_iters):
+        unioned = labels.map_batches(
+            tag_labels, batch_format="pandas").union(edges_tagged)
+        msgs = partitioned_map(unioned, attach, keys=["__k"],
+                               approx_rows=n_edges + prev[0],
+                               hot_key_threshold=100_000,
+                               out_schema=msg_schema)
+        own = labels.map_batches(own_rows, batch_format="pandas")
+        labels = compact_state(
+            partitioned_map(msgs.union(own), hstep, keys=["v"],
+                            approx_rows=n_edges + prev[0],
+                            hot_key_threshold=100_000,
+                            out_schema=out_schema).materialize(),
+            prev[0])
+        cur = (int(labels.count()), int(labels.sum("c")))
+        if cur == prev:
+            break
+        prev = cur
+    else:
+        raise RuntimeError(
+            f"coreness() did not converge in {max_iters} rounds")
+
+    def fin(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"node": df["v"],
+                             "core": df["c"].astype(np.int64)})
+
+    return labels.map_batches(fin, batch_format="pandas")

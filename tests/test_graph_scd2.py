@@ -249,3 +249,52 @@ def test_adamic_adar_complete_graph_empty_with_schema():
     out = adamic_adar(rd.from_pandas(edges))
     assert out.count() == 0
     assert set(out.schema().names) == {"node_a", "node_b", "aa_u"}
+
+
+def test_coreness_matches_exact_peeling():
+    """h-index fixpoint == Batagelj-Zaversnik peeling on a random
+    graph with a planted clique (core 5) hanging off a tree fringe."""
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+    from sits_classification_ray.stages.graph import coreness
+
+    rng = np.random.default_rng(13)
+    edges = [(f"n{i}", f"n{j}") for i in range(6) for j in range(6)
+             if i < j]                                   # K6 → core 5
+    for i in range(6, 40):                               # tree fringe
+        edges.append((f"n{i}", f"n{int(rng.integers(0, i))}"))
+    for _ in range(30):                                  # random spice
+        a, b = rng.integers(0, 40, 2)
+        if a != b:
+            edges.append((f"n{a}", f"n{b}"))
+    df = pd.DataFrame(edges, columns=["w1", "w2"])
+
+    got = (coreness(rd.from_pandas(df)).to_pandas()
+           .sort_values("node").reset_index(drop=True))
+    got2 = (coreness(rd.from_pandas(df).repartition(7)).to_pandas()
+            .sort_values("node").reset_index(drop=True))
+    pd.testing.assert_frame_equal(got, got2)
+
+    # exact peeling oracle
+    adj = {}
+    for a, b in edges:
+        if a == b:
+            continue
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    deg = {v: len(nb) for v, nb in adj.items()}
+    core, k, alive = {}, 0, set(adj)
+    while alive:
+        v = min(alive, key=lambda x: (deg[x], x))
+        k = max(k, deg[v])
+        core[v] = k
+        alive.discard(v)
+        for u in adj[v]:
+            if u in alive:
+                deg[u] -= 1
+    want = pd.DataFrame({"node": sorted(core),
+                         "core": np.array([core[v] for v in sorted(core)],
+                                          dtype=np.int64)})
+    pd.testing.assert_frame_equal(got, want)
+    assert got.set_index("node").loc["n0", "core"] == 5

@@ -74,6 +74,8 @@ def make_for(sf_dir: str, only: set[str] | None = None) -> None:
             lambda: golden.kcenter_select_embeddings(emb),
         "gbdt_fit_embeddings":
             lambda: golden.gbdt_fit_embeddings(emb),
+        "kcore_domains_crawl":
+            lambda: golden.kcore_domains_crawl(crawl),
         "embedding_near_dup_ivf":
             lambda: golden.embedding_near_dup_ivf(emb),
         "stratified_sample_documents":
