@@ -4344,6 +4344,18 @@ def _adamic_adar_crawl(sf_dir: str) -> rd.Dataset:
     return adamic_adar(_domain_edges_crawl(sf_dir), k=100)
 
 
+def _kneser_ney_bigrams_documents(sf_dir: str) -> rd.Dataset:
+    """Interpolated Kneser-Ney bigram probabilities for the top-100
+    corpus bigrams: distinct-continuation stats attached via tag-union
+    exchanges (no driver-held vocabulary)."""
+    from sits_classification_ray.stages.textstats import \
+        kneser_ney_bigrams
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["text"])
+    return kneser_ney_bigrams(docs, k=100)
+
+
 def _kcore_domains_crawl(sf_dir: str) -> rd.Dataset:
     """k-core decomposition of the domain link graph via the h-index
     fixpoint (Lü et al. 2016) — integer monotone contraction, exact
@@ -4716,6 +4728,8 @@ def build_queries() -> dict[str, Callable[[str], Any]]:
         "gbdt_fit_embeddings": _gbdt_fit_embeddings,
         # k-core decomposition (golden: exact peeling oracle)
         "kcore_domains_crawl": _kcore_domains_crawl,
+        # Kneser-Ney smoothed bigram LM (SQL-checked)
+        "kneser_ney_bigrams_documents": _kneser_ney_bigrams_documents,
     }.items()}
 
 
@@ -6249,6 +6263,32 @@ tot AS (
                / CAST(sum(c) AS DOUBLE), 6) AS ttr
   FROM cnt GROUP BY doc_id)
 SELECT doc_id, n_tokens, n_distinct, entropy, ttr FROM tot""",
+        "kneser_ney_bigrams_documents": """
+WITH toks AS MATERIALIZED (
+  SELECT string_split(lower(text), ' ') AS ts FROM documents),
+bi AS MATERIALIZED (
+  SELECT ts[i] AS w1, ts[i + 1] AS w2, count(*) AS n
+  FROM toks CROSS JOIN LATERAL
+    (SELECT unnest(generate_series(1, len(ts) - 1)) AS i) s
+  GROUP BY 1, 2),
+ctx AS MATERIALIZED (
+  SELECT w1, sum(n) AS c_ctx, count(*) AS n1p_ctx FROM bi GROUP BY 1),
+suc AS MATERIALIZED (
+  SELECT w2, count(*) AS n1p_suc FROM bi GROUP BY 1),
+tot AS (SELECT CAST(count(*) AS DOUBLE) AS bd FROM bi),
+top AS (SELECT w1, w2, n FROM (
+  SELECT w1, w2, n,
+         row_number() OVER (ORDER BY n DESC, w1, w2) AS rn FROM bi)
+  WHERE rn <= 100)
+SELECT t.w1, t.w2, t.n,
+       round(greatest(CAST(t.n AS DOUBLE) - 0.75, 0)
+                 / CAST(c.c_ctx AS DOUBLE)
+             + 0.75 * CAST(c.n1p_ctx AS DOUBLE)
+                 / CAST(c.c_ctx AS DOUBLE)
+                 * (CAST(s.n1p_suc AS DOUBLE) / tot.bd), 6) AS p_kn
+FROM top t
+JOIN ctx c ON c.w1 = t.w1
+JOIN suc s ON s.w2 = t.w2, tot""",
         "pmi_bigrams_documents": """
 WITH toks AS MATERIALIZED (
   SELECT string_split(lower(text), ' ') AS ts FROM documents),

@@ -1806,3 +1806,101 @@ def naive_bayes_lang(ds: rd.Dataset, text_col: str = "text",
                             ("score_u", pa.int64())])
     return partitioned_map(cell, argmax, keys=["doc_id"],
                            out_schema=out_schema)
+
+
+def kneser_ney_bigrams(ds: rd.Dataset, k: int = 100,
+                       discount: float = 0.75, text_col: str = "text",
+                       round_to: int = 6) -> rd.Dataset:
+    """Interpolated Kneser-Ney bigram probabilities for the corpus's
+    top-k bigrams (Kneser & Ney 1995; the smoothing used by every
+    KenLM-style web-corpus LM):
+
+    ``P(w2|w1) = max(c12 - D, 0)/c(w1·)
+                 + D·N1+(w1·)/c(w1·) · N1+(·w2)/N1+(··)``
+
+    where ``N1+`` are distinct-continuation counts. Distributed shape:
+    one bigram-count combiner, two vocabulary-sized groupbys (context
+    stats, continuation stats), the global top-k via the local-topk
+    combiner, then the two stat tables are attached to the k winners
+    with tag-union ``partitioned_map`` exchanges on the word key — no
+    driver-held vocabulary (the ``pmi_bigrams`` join shape), so the
+    operator honors the unbounded-corpus contract.
+
+    Returns ``(w1, w2, n, p_kn)`` for the k most frequent bigrams
+    (ties: w1, w2 ASC).
+    """
+    from ray.data.aggregate import Count, Sum
+
+    from sits_classification_ray.functions.transforms import sql_round
+    from sits_classification_ray.stages.sampling import top_k_per_group
+    from sits_classification_ray.stages.shuffle import partitioned_map
+
+    bi = bigram_counts(ds, text_col).materialize()
+    b_distinct = float(bi.count())
+    ctx = bi.groupby("w1").aggregate(
+        Sum("n", alias_name="c_ctx"),
+        Count(alias_name="n1p_ctx")).materialize()
+    suc = bi.groupby("w2").aggregate(
+        Count(alias_name="n1p_suc")).materialize()
+
+    def gkey(df: pd.DataFrame) -> pd.DataFrame:
+        out = df.copy(deep=False)
+        out["_g"] = np.int64(0)
+        out["_tie"] = out["w1"] + " " + out["w2"]
+        return out
+
+    top = top_k_per_group(bi.map_batches(gkey, batch_format="pandas"),
+                          ["_g"], "n", k=k, ascending=False,
+                          tie_col="_tie").drop_columns(["_g", "_tie"])
+
+    def attach(rows: rd.Dataset, stats: rd.Dataset, word_col: str,
+               stat_cols: list[str]) -> rd.Dataset:
+        cols = rows.columns()
+
+        def tag_rows(df: pd.DataFrame) -> pd.DataFrame:
+            out = df.copy(deep=False)
+            for s in stat_cols:
+                out["__" + s] = np.int64(-1)
+            return out
+
+        def tag_stats(df: pd.DataFrame) -> pd.DataFrame:
+            out = pd.DataFrame(
+                {c: (df[word_col] if c == word_col else
+                     (np.int64(-1) if c not in ("w1", "w2") else ""))
+                 for c in cols})
+            for s in stat_cols:
+                out["__" + s] = df[s].astype(np.int64)
+            return out
+
+        unioned = rows.map_batches(tag_rows, batch_format="pandas") \
+            .union(stats.map_batches(tag_stats, batch_format="pandas"))
+
+        def kernel(df: pd.DataFrame) -> pd.DataFrame:
+            is_stat = df["__" + stat_cols[0]] >= 0
+            side_s = df[is_stat]
+            side_r = df[~is_stat]
+            out = side_r.copy(deep=False)
+            for s in stat_cols:
+                cmap = pd.Series(side_s["__" + s].to_numpy(),
+                                 index=side_s[word_col])
+                out = out.drop(columns=["__" + s])
+                out[s] = out[word_col].map(cmap).astype(np.int64)
+            return out
+
+        return partitioned_map(unioned, kernel, keys=[word_col])
+
+    enriched = attach(attach(top, ctx, "w1", ["c_ctx", "n1p_ctx"]),
+                      suc, "w2", ["n1p_suc"])
+
+    def score(df: pd.DataFrame) -> pd.DataFrame:
+        n = df["n"].to_numpy(np.float64)
+        c_ctx = df["c_ctx"].to_numpy(np.float64)
+        n1p_ctx = df["n1p_ctx"].to_numpy(np.float64)
+        n1p_suc = df["n1p_suc"].to_numpy(np.float64)
+        p = (np.maximum(n - discount, 0.0) / c_ctx
+             + discount * n1p_ctx / c_ctx * (n1p_suc / b_distinct))
+        out = df[["w1", "w2", "n"]].copy(deep=False)
+        out["p_kn"] = sql_round(p, round_to)
+        return out
+
+    return enriched.map_batches(score, batch_format="pandas")

@@ -221,3 +221,43 @@ def test_naive_bayes_partition_invariant():
     b = (naive_bayes_lang(rd.from_pandas(df).repartition(7)).to_pandas()
          .sort_values("doc_id").reset_index(drop=True))
     assert a.equals(b)
+
+
+def test_kneser_ney_bigrams_probability_axioms():
+    """KN probabilities over a tiny corpus: hand-checked value,
+    partition invariance, and the sum-to-one axiom per context
+    (summing P(w2|w1) over ALL continuations observed for w1 plus
+    the backoff mass equals 1 when every bigram is scored)."""
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+    from sits_classification_ray.stages.textstats import \
+        kneser_ney_bigrams
+
+    docs = pd.DataFrame({"text": [
+        "a b a b a c", "b a b a", "c a b"]})
+    a = (kneser_ney_bigrams(rd.from_pandas(docs), k=100).to_pandas()
+         .sort_values(["w1", "w2"]).reset_index(drop=True))
+    b = (kneser_ney_bigrams(rd.from_pandas(docs).repartition(3), k=100)
+         .to_pandas().sort_values(["w1", "w2"]).reset_index(drop=True))
+    pd.testing.assert_frame_equal(a, b)
+
+    # hand model: bigrams and their counts
+    text = [t.split() for t in docs["text"]]
+    from collections import Counter
+    big = Counter()
+    for ts in text:
+        big.update(zip(ts[:-1], ts[1:]))
+    D, bd = 0.75, float(len(big))
+    c_ctx = Counter(); n1p_ctx = Counter(); n1p_suc = Counter()
+    for (w1, w2), n in big.items():
+        c_ctx[w1] += n; n1p_ctx[w1] += 1; n1p_suc[w2] += 1
+    for _, r in a.iterrows():
+        want = (max(r["n"] - D, 0) / c_ctx[r["w1"]]
+                + D * n1p_ctx[r["w1"]] / c_ctx[r["w1"]]
+                * (n1p_suc[r["w2"]] / bd))
+        assert abs(r["p_kn"] - want) < 2e-6
+    # per-context sum over observed continuations ≤ 1 (the remainder
+    # is backoff mass reserved for unseen continuations)
+    s = a.groupby("w1")["p_kn"].sum()
+    assert (s <= 1.0 + 1e-9).all()
