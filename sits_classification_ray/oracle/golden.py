@@ -3203,3 +3203,52 @@ def kcore_domains_crawl(crawl: pd.DataFrame) -> pd.DataFrame:
     return pd.DataFrame({"node": nodes,
                          "core": np.array([core[v] for v in nodes],
                                           dtype=np.int64)})
+
+
+def als_recommend_events(events: pd.DataFrame, d: int = 8,
+                         n_iters: int = 3, reg: float = 0.1,
+                         seed: int = 7) -> pd.DataFrame:
+    """Independent single-process ALS twin: same determinism contract
+    as stages/als.py (splitmix64 init, (key, other)-sorted per-group
+    normal-equation accumulation, item step over (item, user) order)
+    but run as one flat pandas pass — no exchanges, no partitions.
+    The leaf numeric kernels (init_factors, solve_side) are imported
+    so both sides share one float-accumulation order; the pipeline
+    structure under test (tag-union factor exchange, broadcast item
+    matrix, per-partition group solves) is exercised only on the
+    engine side."""
+    from sits_classification_ray.functions.transforms import sql_round
+    from sits_classification_ray.stages.als import init_factors, solve_side
+
+    ev = events[events["event_type"].isin(["click", "view", "purchase"])]
+    k = ev["props"].str.extract(r'"k":\s*(-?\d+)', expand=False)
+    ok = k.notna()
+    rt = (pd.DataFrame({
+        "user": ev["user_id"].to_numpy(np.int64)[ok.to_numpy()],
+        "item": k[ok].astype(np.int64).to_numpy(),
+        "cents": np.rint(ev["value"].to_numpy(np.float64)[ok.to_numpy()]
+                         * 100.0).astype(np.int64)})
+        .groupby(["user", "item"], as_index=False)["cents"].sum()
+        .sort_values(["user", "item"], kind="mergesort",
+                     ignore_index=True))
+    users = rt["user"].to_numpy(np.int64)
+    items = rt["item"].to_numpy(np.int64)
+    r = np.log1p(rt["cents"].to_numpy(np.float64) / 100.0)
+    item_ids = np.unique(items)
+    Y = init_factors(item_ids, d, seed)
+    pos = np.searchsorted(item_ids, items)
+    order = np.lexsort((users, items))
+    for _ in range(n_iters):
+        uk, X = solve_side(users, Y[pos], r, d, reg)
+        xrow = np.searchsorted(uk, users)
+        _, Y = solve_side(items[order], X[xrow][order], r[order], d, reg)
+    uk, X = solve_side(users, Y[pos], r, d, reg)
+    scores = X @ Y.T
+    first = np.searchsorted(users, uk)
+    counts = np.diff(np.append(first, len(users)))
+    urow = np.repeat(np.arange(len(uk)), counts)
+    scores[urow, pos] = -np.inf
+    best = scores.argmax(axis=1)
+    return pd.DataFrame({
+        "user_id": uk, "rec_item": item_ids[best],
+        "score": sql_round(scores[np.arange(len(uk)), best], 6) + 0.0})

@@ -4356,6 +4356,24 @@ def _kneser_ney_bigrams_documents(sf_dir: str) -> rd.Dataset:
     return kneser_ney_bigrams(docs, k=100)
 
 
+def _als_recommend_events(sf_dir: str) -> rd.Dataset:
+    """ALS matrix factorization over the user × item ("k" prop)
+    interaction matrix built from click/view/purchase events, then a
+    top-1 unseen-item recommendation per user. Distributed shape
+    (stages/als.py): broadcast item factors, tag-union user-factor
+    exchange for the item step (user factors never broadcast), golden
+    twin on the shared solve_side/init_factors contract."""
+    from sits_classification_ray.stages.als import (
+        als_fit, als_recommend, ratings_from_events)
+
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["user_id", "event_type", "value",
+                                  "props"])
+    ratings = ratings_from_events(ev).materialize()
+    Y = als_fit(ratings, d=8, n_iters=3, reg=0.1, seed=7)
+    return als_recommend(ratings, Y, d=8, reg=0.1)
+
+
 def _kcore_domains_crawl(sf_dir: str) -> rd.Dataset:
     """k-core decomposition of the domain link graph via the h-index
     fixpoint (Lü et al. 2016) — integer monotone contraction, exact
@@ -4730,6 +4748,8 @@ def build_queries() -> dict[str, Callable[[str], Any]]:
         "kcore_domains_crawl": _kcore_domains_crawl,
         # Kneser-Ney smoothed bigram LM (SQL-checked)
         "kneser_ney_bigrams_documents": _kneser_ney_bigrams_documents,
+        # ALS matrix factorization + top-1 recommendation (golden)
+        "als_recommend_events": _als_recommend_events,
     }.items()}
 
 
@@ -4832,6 +4852,7 @@ GOLDEN_QUERIES = [
     "periodogram_peak_crawl", "kleinberg_bursts_crawl",
     "segment_trends_crawl", "xcorr_lag_crawl",
     "tdigest_quantile_daily", "km_staleness_crawl",
+    "als_recommend_events",
 ]
 
 

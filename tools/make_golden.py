@@ -132,6 +132,10 @@ def make_for(sf_dir: str, only: set[str] | None = None) -> None:
             lambda: golden.cluster_top_terms(emb, docs),
         "ivfpq_topk_embeddings":
             lambda: golden.ivfpq_topk_embeddings(emb),
+        "als_recommend_events": lambda: golden.als_recommend_events(
+            pd.read_parquet(f"{sf_dir}/events.parquet",
+                            columns=["user_id", "event_type", "value",
+                                     "props"])),
         "reservoir_sample_events": lambda: golden.reservoir_sample_events(
             pd.read_parquet(f"{sf_dir}/events.parquet",
                             columns=["event_id", "event_type", "user_id",
