@@ -139,6 +139,29 @@ SELECT url, metric, grid_ts,
   (pts IS NULL OR grid_ts <> pts) AS filled
 FROM joined"""
 
+# fill_method="seasonal": exact grid hits carry values; other cells
+# copy the latest real observation in the same weekly lane (same
+# epoch-us offset mod 7 days), backfilling leading lane gaps.
+_GAPFILL_SEASONAL_SQL = f"""{CRAWL_PREFIX},
+{_GAPFILL_GRID_SQL},
+lanes AS (
+  SELECT url, metric, grid_ts,
+         epoch_us(grid_ts) % 604800000000 AS lane,
+         CASE WHEN pts = grid_ts THEN pval ELSE NULL END AS hit,
+         (pts IS NULL OR grid_ts <> pts) AS filled
+  FROM joined)
+SELECT url, metric, grid_ts,
+  COALESCE(
+    last_value(hit IGNORE NULLS) OVER (
+      PARTITION BY url, metric, lane ORDER BY grid_ts
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+    first_value(hit IGNORE NULLS) OVER (
+      PARTITION BY url, metric, lane ORDER BY grid_ts
+      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+  ) AS value,
+  filled
+FROM lanes"""
+
 
 # ---------------------------------------------------------------------------
 # Ray-side helpers
@@ -4465,6 +4488,7 @@ def build_queries() -> dict[str, Callable[[str], Any]]:
         "gapfill_linear": lambda sf: _gapfill(sf, "linear"),
         "gapfill_locf": lambda sf: _gapfill(sf, "locf"),
         "gapfill_none": lambda sf: _gapfill(sf, "none"),
+        "gapfill_seasonal": lambda sf: _gapfill(sf, "seasonal"),
         "gapfill_unbounded": _gapfill_unbounded,
         "training_windows": _training_windows,
         # generic stream rollup over the events table (SQL-checked)
@@ -5004,6 +5028,7 @@ FROM obs GROUP BY 1, 2, 3""",
         "gapfill_linear": _GAPFILL_LINEAR_SQL,
         "gapfill_locf": _GAPFILL_LOCF_SQL,
         "gapfill_none": _GAPFILL_NONE_SQL,
+        "gapfill_seasonal": _GAPFILL_SEASONAL_SQL,
         "gapfill_unbounded": _GAPFILL_LINEAR_SQL,
         "training_windows": f"""{CRAWL_PREFIX},
 {_GAPFILL_GRID_SQL},

@@ -68,6 +68,45 @@ def gapfill_series(
         else:
             out = out.copy()
             out[lead] = np.nan
+    elif method == "seasonal":
+        # Seasonal-naive fill: grid cells that coincide exactly with
+        # an observation carry its value; every other cell copies the
+        # most recent REAL observation in the same weekly lane
+        # (identical epoch-us offset modulo one week — same
+        # hour-of-week for the hourly grid). Leading gaps backfill
+        # from the next real observation in the lane when
+        # ``edges="both"``; lanes with no real observation stay null.
+        week = 604_800 * 1_000_000
+        out = np.full(len(grid), np.nan)
+        idx = np.searchsorted(ts_us, grid)
+        ok = idx < len(ts_us)
+        hit = np.zeros(len(grid), dtype=bool)
+        hit[ok] = ts_us[idx[ok]] == grid[ok]
+        out[hit] = values[idx[hit]]
+        lane = grid % week
+        order = np.lexsort((grid, lane))
+        o = out[order]
+        valid = ~np.isnan(o)
+        pos = np.arange(len(o))
+        lb = np.empty(len(o), dtype=bool)
+        if len(o):
+            lb[0] = True
+            lb[1:] = lane[order][1:] != lane[order][:-1]
+        seg = np.cumsum(lb) - 1
+        seg_start = pos[lb][seg]
+        last = np.maximum.accumulate(np.where(valid, pos, -1))
+        has_prev = last >= seg_start
+        res = np.where(has_prev, o[np.clip(last, 0, None)], np.nan)
+        if edges == "both" and len(o):
+            seg_end = (np.append(pos[lb][1:], len(o)) - 1)[seg]
+            big = len(o)
+            nxt = np.minimum.accumulate(
+                np.where(valid, pos, big)[::-1])[::-1]
+            has_next = nxt <= seg_end
+            res = np.where(has_prev, res,
+                           np.where(has_next,
+                                    o[np.clip(nxt, 0, big - 1)], np.nan))
+        out[order] = res
     elif method == "none":
         # M8 drop-empty / no-interpolation path (reference
         # utils/class_run.py:190-191: interpolation disabled keeps only

@@ -86,3 +86,28 @@ def test_exact_grid_points_not_filled():
     np.testing.assert_array_equal(grid, [h, 2 * h, 3 * h, 4 * h])
     np.testing.assert_allclose(out, [1.0, 2.0, 3.0, 4.0])
     np.testing.assert_array_equal(filled, [False, False, True, False])
+
+
+def test_fill_method_seasonal():
+    # seasonal: gaps copy the latest real value in the same weekly
+    # lane; leading lane gaps backfill; laneless cells stay null
+    h = 3_600_000_000
+    w = 168 * h
+    # obs at hour 1 of week0 and week1, and hour 2 of week1 only
+    ts = np.array([h, w + h, w + 2 * h], dtype=np.int64)
+    vals = np.array([10.0, 11.0, 22.0])
+    grid, out, filled = gapfill_series(ts, vals, 3600, "seasonal",
+                                       "both")
+    gi = {int(g): i for i, g in enumerate(grid)}
+    assert out[gi[h]] == 10.0                    # exact hit week0
+    assert out[gi[w + h]] == 11.0                # exact hit week1
+    assert out[gi[2 * h]] == 22.0                # leading backfill
+    assert out[gi[w + 2 * h]] == 22.0            # exact hit
+    # hour-3 lane has no observation in either week -> null
+    assert np.isnan(out[gi[3 * h]]) and np.isnan(out[gi[w]])
+    assert not filled[gi[h]] and filled[gi[2 * h]]
+
+    # edges="none": no leading backfill within lanes
+    _, out2, _ = gapfill_series(ts, vals, 3600, "seasonal", "none")
+    assert np.isnan(out2[gi[2 * h]])
+    assert out2[gi[w + 2 * h]] == 22.0
