@@ -4379,6 +4379,49 @@ def _kneser_ney_bigrams_documents(sf_dir: str) -> rd.Dataset:
     return kneser_ney_bigrams(docs, k=100)
 
 
+def _neighbor_agg_crawl(sf_dir: str) -> rd.Dataset:
+    """GraphSAGE-style 1-hop feature aggregation over the domain link
+    graph: each source domain's own in-link weight plus the
+    edge-weighted mean in-link weight of its out-neighbors. Scale
+    shape: edge-weight groupby → distributed hash join attaching the
+    target's in-degree to each aggregated edge → integer partial
+    products → one small groupby; nothing is broadcast (SQL twin)."""
+    from ray.data.aggregate import Sum
+
+    from sits_classification_ray.functions.transforms import sql_round
+    from sits_classification_ray.stages.joins import hash_join
+
+    edges = _domain_edges_crawl(sf_dir)            # (w1, w2, n)
+    indeg = edges.groupby("w2").aggregate(Sum("n", alias_name="indeg"))
+
+    j = hash_join(edges, indeg, on="w2")
+
+    def prods(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "w1": df["w1"],
+            "wn": df["n"].to_numpy(np.int64)
+            * df["indeg"].to_numpy(np.int64),
+            "n": df["n"].to_numpy(np.int64)})
+
+    agg = (j.map_batches(prods, batch_format="pandas")
+           .groupby("w1").aggregate(Sum("wn", alias_name="wn"),
+                                    Sum("n", alias_name="n")))
+    own = indeg.map_batches(
+        lambda df: df.rename(columns={"w2": "w1", "indeg": "own"}),
+        batch_format="pandas")
+    out = hash_join(agg, own, on="w1", join_type="left_outer")
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "node": df["w1"],
+            "indeg": df["own"].fillna(0).astype(np.int64),
+            "nbr_mean_indeg": sql_round(
+                df["wn"].to_numpy(np.float64)
+                / df["n"].to_numpy(np.float64), 6) + 0.0})
+
+    return out.map_batches(final, batch_format="pandas")
+
+
 def _als_recommend_events(sf_dir: str) -> rd.Dataset:
     """ALS matrix factorization over the user × item ("k" prop)
     interaction matrix built from click/view/purchase events, then a
@@ -4774,6 +4817,8 @@ def build_queries() -> dict[str, Callable[[str], Any]]:
         "kneser_ney_bigrams_documents": _kneser_ney_bigrams_documents,
         # ALS matrix factorization + top-1 recommendation (golden)
         "als_recommend_events": _als_recommend_events,
+        # 1-hop neighbor feature aggregation (SQL-checked)
+        "neighbor_agg_crawl": _neighbor_agg_crawl,
     }.items()}
 
 
@@ -7290,6 +7335,27 @@ SELECT COALESCE(o.domain, i.domain) AS domain,
        COALESCE(i.in_links, 0) AS in_links,
        COALESCE(i.in_domains, 0) AS in_domains
 FROM outs o FULL OUTER JOIN ins i ON o.domain = i.domain""",
+        "neighbor_agg_crawl": f"""WITH {CRAWL_CTE},
+links AS MATERIALIZED (
+  SELECT split_part(c.url, '/', 3) AS w1,
+         'site-'
+         || CAST((length(CAST(c.html AS VARCHAR)) + j.j) % 40 AS VARCHAR)
+         || '.example.com' AS w2
+  FROM crawl c CROSS JOIN LATERAL
+    (SELECT unnest(generate_series(
+         0, length(CAST(c.html AS VARCHAR)) % 4 - 1)) AS j) j),
+e AS MATERIALIZED (
+  SELECT w1, w2, CAST(count(*) AS BIGINT) AS n FROM links GROUP BY 1, 2),
+indeg AS MATERIALIZED (
+  SELECT w2 AS node, CAST(sum(n) AS BIGINT) AS indeg FROM e GROUP BY 1)
+SELECT e.w1 AS node,
+       CAST(COALESCE(i1.indeg, 0) AS BIGINT) AS indeg,
+       round(CAST(sum(e.n * i2.indeg) AS DOUBLE)
+             / CAST(sum(e.n) AS DOUBLE), 6) AS nbr_mean_indeg
+FROM e
+JOIN indeg i2 ON i2.node = e.w2
+LEFT JOIN indeg i1 ON i1.node = e.w1
+GROUP BY e.w1, i1.indeg""",
         "extract_links_crawl": f"""WITH {CRAWL_CTE}
 SELECT c.url, c.warc_ts,
        'https://site-'
