@@ -3252,3 +3252,35 @@ def als_recommend_events(events: pd.DataFrame, d: int = 8,
     return pd.DataFrame({
         "user_id": uk, "rec_item": item_ids[best],
         "score": sql_round(scores[np.arange(len(uk)), best], 6) + 0.0})
+
+
+def ann_recall_embeddings(emb: pd.DataFrame,
+                          query_ids=(0, 1, 2, 3, 4), k: int = 10,
+                          n_lists: int = 8, iters: int = 5,
+                          seed: int = 0, n_probe: int = 2
+                          ) -> pd.DataFrame:
+    """Independent recall@k twin: exact cosine top-k per probe query
+    (rounded-score desc, vec_id asc — the engine's published ranking
+    contract) intersected with the reused :func:`ivf_topk` result."""
+    from sits_classification_ray.functions.transforms import sql_round
+
+    mat = np.stack([np.asarray(v, dtype=np.float64)
+                    for v in emb["embedding"]])
+    n = np.linalg.norm(mat, axis=1, keepdims=True)
+    n[n == 0] = 1.0
+    mat = mat / n
+    ids = emb["vec_id"].to_numpy(np.int64)
+    approx = ivf_topk(emb, query_ids=query_ids, n_lists=n_lists,
+                      iters=iters, seed=seed, k=k, n_probe=n_probe)
+    rows = []
+    for q in sorted(query_ids):
+        qv = mat[int(np.flatnonzero(ids == q)[0])]
+        scores = np.round(qv @ mat.T, 6)
+        order = np.lexsort((ids, -scores))[:k]
+        e = set(ids[order])
+        a = set(approx.loc[approx["query_id"] == q, "vec_id"])
+        hits = len(e & a)
+        rows.append((q, hits, float(sql_round(hits / float(k), 6)) + 0.0))
+    return pd.DataFrame(rows, columns=["query_id", "n_hits", "recall"]) \
+        .astype({"query_id": np.int64, "n_hits": np.int64,
+                 "recall": np.float64})

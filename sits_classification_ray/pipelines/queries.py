@@ -4379,6 +4379,63 @@ def _kneser_ney_bigrams_documents(sf_dir: str) -> rd.Dataset:
     return kneser_ney_bigrams(docs, k=100)
 
 
+def _k_anonymity_documents(sf_dir: str, k: int = 5) -> rd.Dataset:
+    """k-anonymity audit over the quasi-identifier (lang, source,
+    n_chars-century bucket): every group smaller than k is a
+    re-identification risk surfaced for suppression/generalization.
+    Per-batch Arrow combiner before the global groupby (SQL twin)."""
+    from ray.data.aggregate import Sum
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["lang", "source", "n_chars"])
+
+    def part(b: pa.Table) -> pa.Table:
+        bucket = pc.divide(pc.cast(b["n_chars"], pa.int64()),
+                           pa.scalar(100, pa.int64()))
+        t = pa.table({"lang": b["lang"], "source": b["source"],
+                      "size_bucket": bucket})
+        g = (t.group_by(["lang", "source", "size_bucket"])
+             .aggregate([([], "count_all")]))
+        return g.rename_columns(["lang", "source", "size_bucket", "n"])
+
+    return (docs.map_batches(part, batch_format="pyarrow",
+                             zero_copy_batch=True)
+            .groupby(["lang", "source", "size_bucket"])
+            .aggregate(Sum("n", alias_name="n"))
+            .filter(expr=f"n < {k}"))
+
+
+def _ann_recall_embeddings(sf_dir: str) -> pd.DataFrame:
+    """Recall@10 of the IVF index (n_probe=2 of 8 lists) against the
+    exact brute-force cosine top-10 for the five probe queries — the
+    quality gauge any production ANN deployment tracks next to its
+    speedup. Both sides run distributed; the comparison is a
+    driver-side set intersection over two k-row frames (golden)."""
+    from sits_classification_ray.functions.transforms import sql_round
+    from sits_classification_ray.stages.similarity import (
+        brute_force_topk, ivf_assign, ivf_topk, train_centroids)
+
+    emb = rd.read_parquet(f"{sf_dir}/embeddings.parquet")
+    qrows = emb.filter(expr="vec_id <= 4").take_all()
+    queries = {int(r["vec_id"]): np.asarray(r["embedding"],
+                                            dtype=np.float64)
+               for r in qrows}
+    exact = brute_force_topk(emb, queries, k=10)
+    cent = train_centroids(emb, n_lists=8, iters=5, seed=0,
+                           id_col="vec_id")
+    approx = ivf_topk(ivf_assign(emb, cent), cent, queries, k=10,
+                      n_probe=2)
+    rows = []
+    for q in sorted(queries):
+        e = set(exact.loc[exact["query_id"] == q, "vec_id"])
+        a = set(approx.loc[approx["query_id"] == q, "vec_id"])
+        hits = len(e & a)
+        rows.append((q, hits, float(sql_round(hits / 10.0, 6)) + 0.0))
+    return pd.DataFrame(rows, columns=["query_id", "n_hits", "recall"]) \
+        .astype({"query_id": np.int64, "n_hits": np.int64,
+                 "recall": np.float64})
+
+
 def _neighbor_agg_crawl(sf_dir: str) -> rd.Dataset:
     """GraphSAGE-style 1-hop feature aggregation over the domain link
     graph: each source domain's own in-link weight plus the
@@ -4819,6 +4876,10 @@ def build_queries() -> dict[str, Callable[[str], Any]]:
         "als_recommend_events": _als_recommend_events,
         # 1-hop neighbor feature aggregation (SQL-checked)
         "neighbor_agg_crawl": _neighbor_agg_crawl,
+        # k-anonymity audit (SQL-checked)
+        "k_anonymity_documents": _k_anonymity_documents,
+        # ANN recall@k vs exact top-k (golden)
+        "ann_recall_embeddings": _ann_recall_embeddings,
     }.items()}
 
 
@@ -4921,7 +4982,7 @@ GOLDEN_QUERIES = [
     "periodogram_peak_crawl", "kleinberg_bursts_crawl",
     "segment_trends_crawl", "xcorr_lag_crawl",
     "tdigest_quantile_daily", "km_staleness_crawl",
-    "als_recommend_events",
+    "als_recommend_events", "ann_recall_embeddings",
 ]
 
 
@@ -7335,6 +7396,10 @@ SELECT COALESCE(o.domain, i.domain) AS domain,
        COALESCE(i.in_links, 0) AS in_links,
        COALESCE(i.in_domains, 0) AS in_domains
 FROM outs o FULL OUTER JOIN ins i ON o.domain = i.domain""",
+        "k_anonymity_documents": """
+SELECT lang, source, n_chars // 100 AS size_bucket,
+       CAST(count(*) AS BIGINT) AS n
+FROM documents GROUP BY 1, 2, 3 HAVING count(*) < 5""",
         "neighbor_agg_crawl": f"""WITH {CRAWL_CTE},
 links AS MATERIALIZED (
   SELECT split_part(c.url, '/', 3) AS w1,

@@ -132,6 +132,8 @@ def make_for(sf_dir: str, only: set[str] | None = None) -> None:
             lambda: golden.cluster_top_terms(emb, docs),
         "ivfpq_topk_embeddings":
             lambda: golden.ivfpq_topk_embeddings(emb),
+        "ann_recall_embeddings":
+            lambda: golden.ann_recall_embeddings(emb),
         "als_recommend_events": lambda: golden.als_recommend_events(
             pd.read_parquet(f"{sf_dir}/events.parquet",
                             columns=["user_id", "event_type", "value",
