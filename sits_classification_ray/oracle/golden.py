@@ -3284,3 +3284,65 @@ def ann_recall_embeddings(emb: pd.DataFrame,
     return pd.DataFrame(rows, columns=["query_id", "n_hits", "recall"]) \
         .astype({"query_id": np.int64, "n_hits": np.int64,
                  "recall": np.float64})
+
+
+def removal_attribution_events(events: pd.DataFrame,
+                               conv_type: str = "purchase",
+                               round_to: int = 6) -> pd.DataFrame:
+    """Independent Markov removal-effect twin: journeys rebuilt with a
+    plain per-user loop (exact integer transition counts make the
+    construction order-free), then its own absorbing-chain solve."""
+    from sits_classification_ray.functions.transforms import sql_round
+
+    ev = events.sort_values(["user_id", "ts", "event_id"],
+                            kind="mergesort")
+    cnt: dict = {}
+
+    def bump(a: str, b: str) -> None:
+        cnt[(a, b)] = cnt.get((a, b), 0) + 1
+
+    for _, g in ev.groupby("user_id", sort=True):
+        prev = "START"
+        for t in g["event_type"]:
+            if t == conv_type:
+                bump(prev, "CONV")
+                prev = "START"
+            else:
+                bump(prev, t)
+                prev = t
+        if prev != "START":
+            bump(prev, "NULL")
+
+    states = sorted({a for a, _ in cnt} - {"CONV", "NULL"})
+    channels = [s for s in states if s != "START"]
+    idx = {s: i for i, s in enumerate(states)}
+
+    def absorb(skip):
+        Q = np.zeros((len(states), len(states)))
+        r = np.zeros(len(states))
+        for s in states:
+            if s == skip:
+                continue
+            outs = sorted((b, n) for (a, b), n in cnt.items() if a == s)
+            tot = float(sum(n for _, n in outs))
+            if tot == 0.0:
+                continue
+            for b, n in outs:
+                p = float(n) / tot
+                if b == "CONV":
+                    r[idx[s]] += p
+                elif b == "NULL" or b == skip:
+                    pass
+                elif b in idx:
+                    Q[idx[s], idx[b]] += p
+        return float(np.linalg.solve(np.eye(len(states)) - Q,
+                                     r)[idx["START"]])
+
+    base = absorb(None)
+    re = np.array([1.0 - absorb(c) / base for c in channels])
+    tot = re.sum()
+    share = re / tot if tot > 0 else np.zeros_like(re)
+    return pd.DataFrame({
+        "channel": channels,
+        "removal_effect": sql_round(re, round_to) + 0.0,
+        "attribution": sql_round(share, round_to) + 0.0})

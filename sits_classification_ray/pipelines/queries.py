@@ -4379,6 +4379,21 @@ def _kneser_ney_bigrams_documents(sf_dir: str) -> rd.Dataset:
     return kneser_ney_bigrams(docs, k=100)
 
 
+def _removal_attribution_events(sf_dir: str) -> pd.DataFrame:
+    """Markov removal-effect attribution over user journeys: the
+    multi-touch upgrade of the last-touch `attribution_events` query.
+    Distributed absorbing-chain transition counts (START/CONV/NULL
+    states, conversion restarts the journey); the per-channel removal
+    re-solve runs on the O(|types|²) driver-side matrix (golden)."""
+    from sits_classification_ray.stages.behavior import (
+        removal_effect_attribution)
+
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["user_id", "ts", "event_id",
+                                  "event_type"])
+    return removal_effect_attribution(ev)
+
+
 def _k_anonymity_documents(sf_dir: str, k: int = 5) -> rd.Dataset:
     """k-anonymity audit over the quasi-identifier (lang, source,
     n_chars-century bucket): every group smaller than k is a
@@ -4880,6 +4895,8 @@ def build_queries() -> dict[str, Callable[[str], Any]]:
         "k_anonymity_documents": _k_anonymity_documents,
         # ANN recall@k vs exact top-k (golden)
         "ann_recall_embeddings": _ann_recall_embeddings,
+        # Markov removal-effect multi-touch attribution (golden)
+        "removal_attribution_events": _removal_attribution_events,
     }.items()}
 
 
@@ -4983,6 +5000,7 @@ GOLDEN_QUERIES = [
     "segment_trends_crawl", "xcorr_lag_crawl",
     "tdigest_quantile_daily", "km_staleness_crawl",
     "als_recommend_events", "ann_recall_embeddings",
+    "removal_attribution_events",
 ]
 
 

@@ -183,3 +183,112 @@ def markov_transitions(events: rd.Dataset, user_col: str = "user_id",
         return out
 
     return partitioned_map(counts, normalize, keys=["from_type"])
+
+
+def journey_transition_counts(events: rd.Dataset,
+                              conv_type: str = "purchase",
+                              user_col: str = "user_id",
+                              ts_col: str = "ts",
+                              type_col: str = "event_type",
+                              id_col: str = "event_id") -> rd.Dataset:
+    """Absorbing-chain journey transitions: each user's history
+    (ordered by (ts, id)) becomes START → channel… → CONV (a
+    ``conv_type`` event, which also restarts the journey) or → NULL
+    (history ends unconverted). Exact integer counts per (from, to):
+    one salted user exchange, vectorized zip, native Sum merge."""
+    from ray.data.aggregate import Sum
+
+    from sits_classification_ray.stages.shuffle import partitioned_map
+
+    def proj(df: pd.DataFrame) -> pd.DataFrame:
+        return df[[user_col, ts_col, id_col, type_col]]
+
+    def pairs(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values([user_col, ts_col, id_col],
+                            kind="mergesort")
+        u = df[user_col].to_numpy()
+        t = df[type_col].to_numpy().astype(object)
+        n = len(t)
+        if n == 0:
+            return pd.DataFrame({"from_type": pd.Series([], dtype=object),
+                                 "to_type": pd.Series([], dtype=object),
+                                 "n": pd.Series([], dtype=np.int64)})
+        conv = t == conv_type
+        to = np.where(conv, "CONV", t)
+        first = np.empty(n, dtype=bool)
+        first[0] = True
+        first[1:] = u[1:] != u[:-1]
+        prev_conv = np.concatenate(([False], conv[:-1]))
+        prev_t = np.concatenate(([""], t[:-1]))
+        frm = np.where(first | prev_conv, "START", prev_t)
+        last = np.append(u[1:] != u[:-1], True)
+        term = last & ~conv
+        out = (pd.DataFrame({
+            "from_type": np.concatenate((frm, t[term])),
+            "to_type": np.concatenate((to, np.full(int(term.sum()),
+                                                   "NULL",
+                                                   dtype=object)))})
+            .groupby(["from_type", "to_type"], sort=False).size()
+            .rename("n").reset_index())
+        out["n"] = out["n"].astype(np.int64)
+        return out
+
+    partials = partitioned_map(
+        events.map_batches(proj, batch_format="pandas"), pairs,
+        keys=[user_col])
+    return (partials.groupby(["from_type", "to_type"])
+            .aggregate(Sum("n", alias_name="n")))
+
+
+def removal_effect_from_counts(cnt: pd.DataFrame,
+                               round_to: int = 6) -> pd.DataFrame:
+    """Driver-side absorbing-chain solve over the O(|types|²) count
+    matrix: base conversion probability from START, then per-channel
+    removal (transitions into the removed channel fall to NULL) and
+    the normalized removal-effect attribution shares."""
+    from sits_classification_ray.functions.transforms import sql_round
+
+    states = sorted(set(cnt["from_type"]) - {"CONV", "NULL"})
+    channels = [s for s in states if s != "START"]
+
+    def absorb(skip: str | None) -> float:
+        idx = {s: i for i, s in enumerate(states)}
+        Q = np.zeros((len(states), len(states)))
+        r = np.zeros(len(states))
+        for s in states:
+            if s == skip:
+                continue
+            rows = cnt[cnt["from_type"] == s]
+            tot = float(rows["n"].sum())
+            if tot == 0.0:
+                continue
+            for to, n in zip(rows["to_type"], rows["n"]):
+                p = float(n) / tot
+                if to == "CONV":
+                    r[idx[s]] += p
+                elif to == "NULL" or to == skip:
+                    pass                      # falls to NULL
+                elif to in idx:
+                    Q[idx[s], idx[to]] += p
+        t = np.linalg.solve(np.eye(len(states)) - Q, r)
+        return float(t[idx["START"]])
+
+    base = absorb(None)
+    re = np.array([1.0 - absorb(c) / base for c in channels])
+    tot = re.sum()
+    share = re / tot if tot > 0 else np.zeros_like(re)
+    return pd.DataFrame({
+        "channel": channels,
+        "removal_effect": sql_round(re, round_to) + 0.0,
+        "attribution": sql_round(share, round_to) + 0.0})
+
+
+def removal_effect_attribution(events: rd.Dataset,
+                               conv_type: str = "purchase",
+                               round_to: int = 6) -> pd.DataFrame:
+    """Markov removal-effect attribution (Anderl et al. 2016 shape):
+    distributed journey transition counts, tiny driver solve."""
+    cnt = journey_transition_counts(events, conv_type).to_pandas()
+    cnt = cnt.sort_values(["from_type", "to_type"],
+                          kind="mergesort", ignore_index=True)
+    return removal_effect_from_counts(cnt, round_to)

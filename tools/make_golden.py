@@ -134,6 +134,11 @@ def make_for(sf_dir: str, only: set[str] | None = None) -> None:
             lambda: golden.ivfpq_topk_embeddings(emb),
         "ann_recall_embeddings":
             lambda: golden.ann_recall_embeddings(emb),
+        "removal_attribution_events":
+            lambda: golden.removal_attribution_events(
+                pd.read_parquet(f"{sf_dir}/events.parquet",
+                                columns=["user_id", "ts", "event_id",
+                                         "event_type"])),
         "als_recommend_events": lambda: golden.als_recommend_events(
             pd.read_parquet(f"{sf_dir}/events.parquet",
                             columns=["user_id", "event_type", "value",
