@@ -3346,3 +3346,35 @@ def removal_attribution_events(events: pd.DataFrame,
         "channel": channels,
         "removal_effect": sql_round(re, round_to) + 0.0,
         "attribution": sql_round(share, round_to) + 0.0})
+
+
+def hard_negatives_embeddings(emb: pd.DataFrame, n_anchors: int = 32,
+                              k: int = 1, round_to: int = 6
+                              ) -> pd.DataFrame:
+    """Independent hard-negative twin: full cosine matrix, same-label
+    and self candidates masked, global (rounded desc, vec_id asc)
+    ranking."""
+    mat = np.stack([np.asarray(v, dtype=np.float64)
+                    for v in emb["embedding"]])
+    n = np.linalg.norm(mat, axis=1, keepdims=True)
+    n[n == 0] = 1.0
+    mat = mat / n
+    ids = emb["vec_id"].to_numpy(np.int64)
+    lab = emb["label"].to_numpy(np.int64)
+    a = np.flatnonzero(ids < n_anchors)
+    a = a[np.argsort(ids[a], kind="mergesort")]
+    sims = mat[a] @ mat.T
+    sims[lab[a][:, None] == lab[None, :]] = -np.inf
+    sims[ids[a][:, None] == ids[None, :]] = -np.inf
+    outs = []
+    for i, ai in enumerate(a):
+        ok = np.isfinite(sims[i])
+        s = np.round(sims[i][ok], round_to)
+        cid = ids[ok]
+        order = np.lexsort((cid, -s))[:k]
+        outs.append(pd.DataFrame({"anchor_id": ids[ai],
+                                  "negative_id": cid[order],
+                                  "score": s[order]}))
+    return pd.concat(outs, ignore_index=True).astype(
+        {"anchor_id": np.int64, "negative_id": np.int64,
+         "score": np.float64})

@@ -4379,6 +4379,18 @@ def _kneser_ney_bigrams_documents(sf_dir: str) -> rd.Dataset:
     return kneser_ney_bigrams(docs, k=100)
 
 
+def _hard_negatives_embeddings(sf_dir: str) -> pd.DataFrame:
+    """Hard-negative mining for contrastive training: nearest
+    different-label neighbor per anchor (vec_id < 32), anchors
+    broadcast once, per-batch masked partial top-k (golden)."""
+    from sits_classification_ray.stages.similarity import (
+        hard_negative_topk)
+
+    emb = rd.read_parquet(f"{sf_dir}/embeddings.parquet")
+    anchors = pd.DataFrame(emb.filter(expr="vec_id < 32").take_all())
+    return hard_negative_topk(emb, anchors, k=1)
+
+
 def _removal_attribution_events(sf_dir: str) -> pd.DataFrame:
     """Markov removal-effect attribution over user journeys: the
     multi-touch upgrade of the last-touch `attribution_events` query.
@@ -4897,6 +4909,8 @@ def build_queries() -> dict[str, Callable[[str], Any]]:
         "ann_recall_embeddings": _ann_recall_embeddings,
         # Markov removal-effect multi-touch attribution (golden)
         "removal_attribution_events": _removal_attribution_events,
+        # hard-negative mining for contrastive training (golden)
+        "hard_negatives_embeddings": _hard_negatives_embeddings,
     }.items()}
 
 
@@ -5000,7 +5014,7 @@ GOLDEN_QUERIES = [
     "segment_trends_crawl", "xcorr_lag_crawl",
     "tdigest_quantile_daily", "km_staleness_crawl",
     "als_recommend_events", "ann_recall_embeddings",
-    "removal_attribution_events",
+    "removal_attribution_events", "hard_negatives_embeddings",
 ]
 
 

@@ -821,3 +821,52 @@ def knn_classify(ds: rd.Dataset, k: int = 10, test_mod: int = 50,
     out["pred_label"] = out["pred_label"].astype(np.int64)
     out["votes"] = out["votes"].astype(np.int64)
     return out.sort_values("query_id").reset_index(drop=True)
+
+
+def hard_negative_topk(ds: rd.Dataset, anchors: pd.DataFrame,
+                       k: int = 1, id_col: str = "vec_id",
+                       vec_col: str = "embedding",
+                       label_col: str = "label",
+                       round_to: int = 6) -> pd.DataFrame:
+    """Hard-negative mining for contrastive training: for each anchor
+    vector, the nearest corpus neighbors with a DIFFERENT label —
+    the highest-cosine candidates the model must learn to push away.
+
+    Same scale shape as :func:`brute_force_topk`: anchors (the small
+    side) broadcast once, per-batch partial top-(k+1) under a
+    same-label / self mask, final rank by (rounded score desc, vec_id
+    asc) on the partial rows only. ``anchors`` needs columns
+    (id_col, vec_col, label_col)."""
+    a_ids = anchors[id_col].to_numpy(np.int64)
+    order = np.argsort(a_ids, kind="mergesort")
+    a_ids = a_ids[order]
+    a_mat = _normalize(np.stack([np.asarray(v, dtype=np.float64)
+                                 for v in anchors[vec_col]]))[order]
+    a_lab = anchors[label_col].to_numpy(np.int64)[order]
+    ref = ray.put((a_ids, a_mat, a_lab))
+
+    class Mine:
+        def __init__(self):
+            self.a_ids, self.a_mat, self.a_lab = ray.get(ref)
+
+        def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+            mat = _normalize(np.stack(
+                [np.asarray(v, dtype=np.float64) for v in df[vec_col]]))
+            sims = self.a_mat @ mat.T
+            lab = df[label_col].to_numpy(np.int64)
+            ids = df[id_col].to_numpy(np.int64)
+            sims[self.a_lab[:, None] == lab[None, :]] = -np.inf
+            sims[self.a_ids[:, None] == ids[None, :]] = -np.inf
+            out = _partial_topk(sims, ids, self.a_ids, k + 1)
+            return out[np.isfinite(out["score"])]
+
+    partials = ds.map_batches(Mine, batch_format="pandas",
+                              concurrency=(1, 8), num_cpus=1).to_pandas()
+    partials["score"] = partials["score"].round(round_to)
+    partials = partials.sort_values(
+        ["query_id", "score", "vec_id"],
+        ascending=[True, False, True], kind="mergesort")
+    out = (partials.groupby("query_id", sort=True, as_index=False)
+           .head(k).reset_index(drop=True))
+    return out.rename(columns={"query_id": "anchor_id",
+                               "vec_id": "negative_id"})

@@ -134,6 +134,8 @@ def make_for(sf_dir: str, only: set[str] | None = None) -> None:
             lambda: golden.ivfpq_topk_embeddings(emb),
         "ann_recall_embeddings":
             lambda: golden.ann_recall_embeddings(emb),
+        "hard_negatives_embeddings":
+            lambda: golden.hard_negatives_embeddings(emb),
         "removal_attribution_events":
             lambda: golden.removal_attribution_events(
                 pd.read_parquet(f"{sf_dir}/events.parquet",
