@@ -3378,3 +3378,38 @@ def hard_negatives_embeddings(emb: pd.DataFrame, n_anchors: int = 32,
     return pd.concat(outs, ignore_index=True).astype(
         {"anchor_id": np.int64, "negative_id": np.int64,
          "score": np.float64})
+
+
+def lpa_communities_crawl(crawl: pd.DataFrame,
+                          iterations: int = 4) -> pd.DataFrame:
+    """Independent synchronous weighted label-propagation twin over
+    the re-synthesized domain graph (same edge derivation as
+    :func:`kcore_domains_crawl`, self-loops kept, weights counted):
+    integer votes and a total (weight desc, label asc) tie-order make
+    the fixed-iteration result exactly reproducible."""
+    from collections import defaultdict
+
+    w: dict = defaultdict(int)
+    for url, h in zip(crawl["url"], crawl["html"]):
+        s = (h or b"").decode("utf-8", "replace")
+        n = len(s)
+        src = str(url).split("/")[2]
+        for j in range(n % 4):
+            dst = f"site-{(n + j) % 40}.example.com"
+            w[(src, dst)] += 1
+            w[(dst, src)] += 1
+    nodes = sorted({a for a, _ in w} | {b for _, b in w})
+    labels = {v: v for v in nodes}
+    for _ in range(iterations):
+        votes: dict = defaultdict(int)
+        for (a, b), wt in w.items():
+            votes[(b, labels[a])] += wt
+        new = {}
+        for v in nodes:
+            cand = sorted(((lab, wt) for (node, lab), wt
+                           in votes.items() if node == v),
+                          key=lambda x: (-x[1], x[0]))
+            new[v] = cand[0][0] if cand else labels[v]
+        labels = new
+    return pd.DataFrame({"node": nodes,
+                         "community": [labels[v] for v in nodes]})

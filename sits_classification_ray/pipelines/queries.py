@@ -4379,6 +4379,16 @@ def _kneser_ney_bigrams_documents(sf_dir: str) -> rd.Dataset:
     return kneser_ney_bigrams(docs, k=100)
 
 
+def _lpa_communities_crawl(sf_dir: str) -> rd.Dataset:
+    """Synchronous weighted label-propagation communities over the
+    undirected domain graph: fixed 4 rounds, integer votes, smallest-
+    label tie-break — per round one tag-union label exchange plus a
+    (node, label) groupby-sum; the edge table never moves (golden)."""
+    from sits_classification_ray.stages.graph import label_propagation
+
+    return label_propagation(_domain_edges_crawl(sf_dir)).sort("node")
+
+
 def _hard_negatives_embeddings(sf_dir: str) -> pd.DataFrame:
     """Hard-negative mining for contrastive training: nearest
     different-label neighbor per anchor (vec_id < 32), anchors
@@ -4911,6 +4921,8 @@ def build_queries() -> dict[str, Callable[[str], Any]]:
         "removal_attribution_events": _removal_attribution_events,
         # hard-negative mining for contrastive training (golden)
         "hard_negatives_embeddings": _hard_negatives_embeddings,
+        # label-propagation communities (golden)
+        "lpa_communities_crawl": _lpa_communities_crawl,
     }.items()}
 
 
@@ -5015,6 +5027,7 @@ GOLDEN_QUERIES = [
     "tdigest_quantile_daily", "km_staleness_crawl",
     "als_recommend_events", "ann_recall_embeddings",
     "removal_attribution_events", "hard_negatives_embeddings",
+    "lpa_communities_crawl",
 ]
 
 

@@ -848,3 +848,92 @@ def coreness(edges: rd.Dataset, src_col: str = "w1",
                              "core": df["c"].astype(np.int64)})
 
     return labels.map_batches(fin, batch_format="pandas")
+
+
+def label_propagation(edges: rd.Dataset, src_col: str = "w1",
+                      dst_col: str = "w2", weight_col: str = "n",
+                      iterations: int = 4) -> rd.Dataset:
+    """Synchronous weighted label-propagation community detection
+    (Raghavan et al. 2007, synchronous variant): every node starts as
+    its own community, then for ``iterations`` rounds simultaneously
+    adopts the label with the greatest total incident edge weight
+    among its neighbors (ties → lexicographically smallest label).
+
+    The edge table is made undirected first (both orientations,
+    weights summed per unordered pair — exact integers). Per round:
+    one tag-union exchange joins the label table onto edges by source,
+    votes flow to the target, a (node, label) groupby-sum merges them,
+    and a per-node kernel picks the argmax; isolated nodes keep their
+    label. Synchronous updates on bipartite-ish graphs can oscillate —
+    the fixed iteration count makes the result well-defined, and the
+    independent oracle replicates it exactly (integer votes, total
+    tie-order — no float hazard).
+
+    Returns ``(node, community)``.
+    """
+    from ray.data.aggregate import Sum
+
+    def both(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "a": np.concatenate((df[src_col].to_numpy(object),
+                                 df[dst_col].to_numpy(object))),
+            "b": np.concatenate((df[dst_col].to_numpy(object),
+                                 df[src_col].to_numpy(object))),
+            "w": np.concatenate((df[weight_col].to_numpy(np.int64),
+                                 df[weight_col].to_numpy(np.int64)))})
+
+    und = (edges.map_batches(both, batch_format="pandas")
+           .groupby(["a", "b"]).aggregate(Sum("w", alias_name="w"))
+           .materialize())
+
+    def init_labels(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.drop_duplicates("a")
+        return pd.DataFrame({"node": g["a"], "label": g["a"]})
+
+    labels = partitioned_map(und, init_labels, keys=["a"]).materialize()
+
+    lbl_schema = pa.schema([("node", pa.string()),
+                            ("label", pa.string())])
+    for _ in range(iterations):
+        def tag_e(df: pd.DataFrame) -> pd.DataFrame:
+            return pd.DataFrame({"key": df["a"], "b": df["b"],
+                                 "w": df["w"].astype(np.int64),
+                                 "label": ""})
+
+        def tag_l(df: pd.DataFrame) -> pd.DataFrame:
+            return pd.DataFrame({"key": df["node"], "b": "",
+                                 "w": np.int64(-1),
+                                 "label": df["label"]})
+
+        unioned = und.map_batches(tag_e, batch_format="pandas").union(
+            labels.map_batches(tag_l, batch_format="pandas"))
+
+        def votes(df: pd.DataFrame) -> pd.DataFrame:
+            lab = df[df["w"] < 0].sort_values("key", kind="mergesort")
+            e = df[df["w"] >= 0]
+            pos = np.searchsorted(lab["key"].to_numpy(object),
+                                  e["key"].to_numpy(object))
+            return pd.DataFrame({
+                "node": e["b"].to_numpy(object),
+                "label": lab["label"].to_numpy(object)[pos],
+                "w": e["w"].to_numpy(np.int64)})
+
+        voted = (partitioned_map(unioned, votes, keys=["key"])
+                 .groupby(["node", "label"])
+                 .aggregate(Sum("w", alias_name="w")))
+
+        def pick(df: pd.DataFrame) -> pd.DataFrame:
+            df = df.sort_values(["node", "w", "label"],
+                                ascending=[True, False, True],
+                                kind="mergesort")
+            g = df.drop_duplicates("node")
+            return pd.DataFrame({"node": g["node"].to_numpy(object),
+                                 "label": g["label"].to_numpy(object)})
+
+        labels = partitioned_map(voted, pick, keys=["node"],
+                                 out_schema=lbl_schema).materialize()
+
+    def fin(df: pd.DataFrame) -> pd.DataFrame:
+        return df.rename(columns={"label": "community"})
+
+    return labels.map_batches(fin, batch_format="pandas")

@@ -136,6 +136,8 @@ def make_for(sf_dir: str, only: set[str] | None = None) -> None:
             lambda: golden.ann_recall_embeddings(emb),
         "hard_negatives_embeddings":
             lambda: golden.hard_negatives_embeddings(emb),
+        "lpa_communities_crawl":
+            lambda: golden.lpa_communities_crawl(crawl),
         "removal_attribution_events":
             lambda: golden.removal_attribution_events(
                 pd.read_parquet(f"{sf_dir}/events.parquet",
