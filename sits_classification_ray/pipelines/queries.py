@@ -4379,6 +4379,145 @@ def _kneser_ney_bigrams_documents(sf_dir: str) -> rd.Dataset:
     return kneser_ney_bigrams(docs, k=100)
 
 
+def _gini_domains_crawl(sf_dir: str) -> rd.Dataset:
+    """Gini concentration of snapshot counts across a domain's urls —
+    the crawl-equity signal a recrawl scheduler watches (0 = every
+    url crawled equally, →1 = one url hoards the budget). Exact
+    integer rank-weighted sums per domain partition (SQL twin)."""
+    from ray.data.aggregate import Count
+
+    from sits_classification_ray.functions.transforms import sql_round
+    from sits_classification_ray.stages.shuffle import partitioned_map
+
+    cnt = _obs(sf_dir).groupby("url").aggregate(Count(alias_name="x"))
+
+    def dom(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "domain": df["url"].str.extract(_DOMAIN_RE, expand=False),
+            "url": df["url"], "x": df["x"].astype(np.int64)})
+
+    out_schema = pa.schema([("domain", pa.string()),
+                            ("n_urls", pa.int64()),
+                            ("gini", pa.float64())])
+
+    def kern(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["domain", "x", "url"], kind="mergesort")
+        doms, rows = [], []
+        for d, sub in df.groupby("domain", sort=False):
+            x = sub["x"].to_numpy(np.int64)
+            n = len(x)
+            i = np.arange(1, n + 1, dtype=np.int64)
+            six = int((i * x).sum())
+            s = int(x.sum())
+            g = float(2 * six) / float(n * s) \
+                - float(n + 1) / float(n)
+            doms.append(d)
+            rows.append((n, float(sql_round(np.float64(g), 6)) + 0.0))
+        return pd.DataFrame({
+            "domain": doms,
+            "n_urls": np.array([r[0] for r in rows], dtype=np.int64),
+            "gini": np.array([r[1] for r in rows], dtype=np.float64)})
+
+    return partitioned_map(cnt.map_batches(dom, batch_format="pandas"),
+                           kern, keys=["domain"],
+                           out_schema=out_schema)
+
+
+def _twohop_domains_crawl(sf_dir: str) -> rd.Dataset:
+    """Distinct 2-hop out-neighborhood size per source domain (the
+    crawl-frontier expansion estimate): a distributed self-join of the
+    aggregated edge table on the middle node, then a distinct pair
+    count — the raw link table never self-joins (SQL twin)."""
+    from ray.data.aggregate import Count
+
+    from sits_classification_ray.stages.joins import hash_join
+
+    edges = _domain_edges_crawl(sf_dir)
+    left = edges.map_batches(
+        lambda df: df.rename(columns={"w1": "a", "w2": "mid"})
+        [["a", "mid"]], batch_format="pandas")
+    right = edges.map_batches(
+        lambda df: df.rename(columns={"w1": "mid", "w2": "c"})
+        [["mid", "c"]], batch_format="pandas")
+    pairs = hash_join(left, right, on="mid")
+    return (pairs.groupby(["a", "c"]).aggregate(Count(alias_name="_n"))
+            .groupby("a").aggregate(Count(alias_name="twohop"))
+            .map_batches(lambda df: pd.DataFrame(
+                {"node": df["a"],
+                 "twohop": df["twohop"].astype(np.int64)}),
+                batch_format="pandas"))
+
+
+def _link_churn_weekly_crawl(sf_dir: str) -> rd.Dataset:
+    """Link-graph edge churn per epoch-aligned week: how many distinct
+    (src domain, dst domain) edges appeared (absent the week before)
+    and ended (absent the week after) — the graph-freshness signal for
+    incremental re-extraction. One exchange keyed on the edge pair
+    computes both flags from week gaps; weekly totals merge with a
+    native Sum (SQL twin)."""
+    from ray.data.aggregate import Count, Sum
+
+    from sits_classification_ray.stages.shuffle import partitioned_map
+
+    week_us = 604_800 * 1_000_000
+    links = _extract_links_crawl(sf_dir)
+
+    def proj(df: pd.DataFrame) -> pd.DataFrame:
+        us = df["warc_ts"].to_numpy().astype("datetime64[us]") \
+            .astype(np.int64)
+        return pd.DataFrame({
+            "wk": (us // week_us) * week_us,
+            "w1": df["url"].str.extract(_DOMAIN_RE, expand=False),
+            "w2": df["href"].str.extract(_DOMAIN_RE, expand=False)})
+
+    distinct = (links.map_batches(proj, batch_format="pandas")
+                .groupby(["w1", "w2", "wk"])
+                .aggregate(Count(alias_name="_n")))
+
+    out_schema = pa.schema([("wk", pa.int64()),
+                            ("appeared", pa.int64()),
+                            ("ended", pa.int64())])
+
+    def flags(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["w1", "w2", "wk"], kind="mergesort")
+        n = len(df)
+        if n == 0:
+            return pd.DataFrame({
+                "wk": pd.Series([], dtype=np.int64),
+                "appeared": pd.Series([], dtype=np.int64),
+                "ended": pd.Series([], dtype=np.int64)})
+        w1 = df["w1"].to_numpy(object)
+        w2 = df["w2"].to_numpy(object)
+        wk = df["wk"].to_numpy(np.int64)
+        same_prev = np.empty(n, dtype=bool)
+        same_prev[0] = False
+        same_prev[1:] = (w1[1:] == w1[:-1]) & (w2[1:] == w2[:-1])
+        gap_prev = np.empty(n, dtype=bool)
+        gap_prev[0] = True
+        gap_prev[1:] = (wk[1:] - wk[:-1]) != week_us
+        appeared = ~same_prev | gap_prev
+        ended = ~np.append(same_prev[1:], False) \
+            | np.append(gap_prev[1:], True)
+        return pd.DataFrame({"wk": wk,
+                             "appeared": appeared.astype(np.int64),
+                             "ended": ended.astype(np.int64)})
+
+    per_pair = partitioned_map(distinct, flags, keys=["w1", "w2"],
+                               out_schema=out_schema)
+    agg = (per_pair.groupby("wk")
+           .aggregate(Sum("appeared", alias_name="appeared"),
+                      Sum("ended", alias_name="ended")))
+
+    def fin(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "wk": df["wk"].astype(np.int64).to_numpy()
+            .astype("datetime64[us]"),
+            "appeared": df["appeared"].astype(np.int64),
+            "ended": df["ended"].astype(np.int64)})
+
+    return agg.map_batches(fin, batch_format="pandas")
+
+
 def _lpa_communities_crawl(sf_dir: str) -> rd.Dataset:
     """Synchronous weighted label-propagation communities over the
     undirected domain graph: fixed 4 rounds, integer votes, smallest-
@@ -4923,6 +5062,12 @@ def build_queries() -> dict[str, Callable[[str], Any]]:
         "hard_negatives_embeddings": _hard_negatives_embeddings,
         # label-propagation communities (golden)
         "lpa_communities_crawl": _lpa_communities_crawl,
+        # Gini crawl-budget concentration per domain (SQL-checked)
+        "gini_domains_crawl": _gini_domains_crawl,
+        # 2-hop frontier size per domain (SQL-checked)
+        "twohop_domains_crawl": _twohop_domains_crawl,
+        # weekly link-graph edge churn (SQL-checked)
+        "link_churn_weekly_crawl": _link_churn_weekly_crawl,
     }.items()}
 
 
@@ -7441,6 +7586,56 @@ SELECT COALESCE(o.domain, i.domain) AS domain,
        COALESCE(i.in_links, 0) AS in_links,
        COALESCE(i.in_domains, 0) AS in_domains
 FROM outs o FULL OUTER JOIN ins i ON o.domain = i.domain""",
+        "gini_domains_crawl": f"""{CRAWL_PREFIX},
+c AS MATERIALIZED (
+  SELECT split_part(url, '/', 3) AS domain, url,
+         CAST(count(*) AS BIGINT) AS x
+  FROM obs GROUP BY 1, 2),
+r AS (
+  SELECT domain, x,
+         row_number() OVER (PARTITION BY domain ORDER BY x, url) AS i,
+         count(*) OVER (PARTITION BY domain) AS n,
+         sum(x) OVER (PARTITION BY domain) AS s
+  FROM c)
+SELECT domain, CAST(n AS BIGINT) AS n_urls,
+       round(CAST(2 * sum(i * x) AS DOUBLE) / CAST(n * s AS DOUBLE)
+             - CAST(n + 1 AS DOUBLE) / CAST(n AS DOUBLE), 6) AS gini
+FROM r GROUP BY domain, n, s""",
+        "twohop_domains_crawl": f"""WITH {CRAWL_CTE},
+links AS MATERIALIZED (
+  SELECT split_part(c.url, '/', 3) AS w1,
+         'site-'
+         || CAST((length(CAST(c.html AS VARCHAR)) + j.j) % 40 AS VARCHAR)
+         || '.example.com' AS w2
+  FROM crawl c CROSS JOIN LATERAL
+    (SELECT unnest(generate_series(
+         0, length(CAST(c.html AS VARCHAR)) % 4 - 1)) AS j) j),
+e AS MATERIALIZED (SELECT DISTINCT w1, w2 FROM links)
+SELECT e1.w1 AS node, CAST(count(DISTINCT e2.w2) AS BIGINT) AS twohop
+FROM e e1 JOIN e e2 ON e2.w1 = e1.w2
+GROUP BY 1""",
+        "link_churn_weekly_crawl": f"""WITH {CRAWL_CTE},
+links AS MATERIALIZED (
+  SELECT make_timestamp((epoch_us(c.warc_ts) // 604800000000)
+                        * 604800000000) AS wk,
+         split_part(c.url, '/', 3) AS w1,
+         'site-'
+         || CAST((length(CAST(c.html AS VARCHAR)) + j.j) % 40 AS VARCHAR)
+         || '.example.com' AS w2
+  FROM crawl c CROSS JOIN LATERAL
+    (SELECT unnest(generate_series(
+         0, length(CAST(c.html AS VARCHAR)) % 4 - 1)) AS j) j),
+wkp AS MATERIALIZED (SELECT DISTINCT wk, w1, w2 FROM links),
+p AS (SELECT wk, w1, w2,
+        lag(wk) OVER (PARTITION BY w1, w2 ORDER BY wk) pw,
+        lead(wk) OVER (PARTITION BY w1, w2 ORDER BY wk) nw
+      FROM wkp)
+SELECT wk,
+  CAST(sum(CASE WHEN pw IS NULL OR pw <> wk - INTERVAL 7 DAY
+           THEN 1 ELSE 0 END) AS BIGINT) AS appeared,
+  CAST(sum(CASE WHEN nw IS NULL OR nw <> wk + INTERVAL 7 DAY
+           THEN 1 ELSE 0 END) AS BIGINT) AS ended
+FROM p GROUP BY 1""",
         "k_anonymity_documents": """
 SELECT lang, source, n_chars // 100 AS size_bucket,
        CAST(count(*) AS BIGINT) AS n
