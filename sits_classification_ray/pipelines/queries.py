@@ -4379,6 +4379,62 @@ def _kneser_ney_bigrams_documents(sf_dir: str) -> rd.Dataset:
     return kneser_ney_bigrams(docs, k=100)
 
 
+def _zorder_layout_crawl(sf_dir: str,
+                         rows_per_file: int = 1000) -> rd.Dataset:
+    """Z-order (Morton-curve) data-layout optimization — the
+    Delta/Iceberg OPTIMIZE ZORDER BY shape: interleave the bits of the
+    two pruning dimensions (crawl day, url id), total-order the table
+    along the curve with the distributed rank construction, cut into
+    fixed-size files, and report each file's per-dimension min/max
+    zone map. Files end up tight in BOTH dimensions, so point/range
+    reads on either column prune to a few files (SQL twin computes
+    the identical interleave with bit arithmetic)."""
+    from ray.data.aggregate import Count, Max, Min
+
+    from sits_classification_ray.stages.scan_sorted import global_rank
+
+    def zf(batch: pa.Table) -> pa.Table:
+        us = batch["warc_ts"].to_numpy(zero_copy_only=False) \
+            .astype("datetime64[us]").astype(np.int64)
+        day = us // 86_400_000_000
+        uid = pd.Series(batch["url"].to_pandas()) \
+            .str.extract(r"u/(\d+)$", expand=False) \
+            .astype(np.int64).to_numpy() % 65536
+        d16 = day % 65536
+        z = np.zeros(len(us), dtype=np.int64)
+        for b in range(16):
+            z |= ((d16 >> b) & 1) << (2 * b)
+            z |= ((uid >> b) & 1) << (2 * b + 1)
+        return pa.table({"url": batch["url"], "warc_ts": batch["warc_ts"],
+                         "day": pa.array(day), "uid": pa.array(uid),
+                         "z": pa.array(z)})
+
+    zds = _obs(sf_dir).map_batches(zf, batch_format="pyarrow",
+                                   zero_copy_batch=True)
+    ranked = global_rank(zds, ["z", "url", "warc_ts"])
+
+    def fid(batch: pa.Table) -> pa.Table:
+        f = (batch["rn"].to_numpy(zero_copy_only=False) - 1) \
+            // rows_per_file
+        return pa.table({"file_id": pa.array(f.astype(np.int64)),
+                         "day": batch["day"], "uid": batch["uid"]})
+
+    return (ranked.map_batches(fid, batch_format="pyarrow",
+                               zero_copy_batch=True)
+            .groupby("file_id")
+            .aggregate(Count(alias_name="n"),
+                       Min("day", alias_name="min_day"),
+                       Max("day", alias_name="max_day"),
+                       Min("uid", alias_name="min_uid"),
+                       Max("uid", alias_name="max_uid")))
+
+
+_ZORDER_EXPR = " + ".join(
+    f"((((day % 65536) >> {b}) & 1) << {2 * b})"
+    f" + (((uid >> {b}) & 1) << {2 * b + 1})"
+    for b in range(16))
+
+
 def _gini_domains_crawl(sf_dir: str) -> rd.Dataset:
     """Gini concentration of snapshot counts across a domain's urls —
     the crawl-equity signal a recrawl scheduler watches (0 = every
@@ -5064,6 +5120,8 @@ def build_queries() -> dict[str, Callable[[str], Any]]:
         "lpa_communities_crawl": _lpa_communities_crawl,
         # Gini crawl-budget concentration per domain (SQL-checked)
         "gini_domains_crawl": _gini_domains_crawl,
+        # Z-order layout optimization + zone maps (SQL-checked)
+        "zorder_layout_crawl": _zorder_layout_crawl,
         # 2-hop frontier size per domain (SQL-checked)
         "twohop_domains_crawl": _twohop_domains_crawl,
         # weekly link-graph edge churn (SQL-checked)
@@ -7586,6 +7644,21 @@ SELECT COALESCE(o.domain, i.domain) AS domain,
        COALESCE(i.in_links, 0) AS in_links,
        COALESCE(i.in_domains, 0) AS in_domains
 FROM outs o FULL OUTER JOIN ins i ON o.domain = i.domain""",
+        "zorder_layout_crawl": f"""{CRAWL_PREFIX},
+zz AS MATERIALIZED (
+  SELECT url, warc_ts,
+         epoch_us(warc_ts) // 86400000000 AS day,
+         CAST(regexp_extract(url, 'u/(\\d+)$', 1) AS BIGINT) % 65536
+             AS uid
+  FROM obs),
+z2 AS (SELECT url, warc_ts, day, uid, {_ZORDER_EXPR} AS z FROM zz),
+r AS (SELECT day, uid,
+             row_number() OVER (ORDER BY z, url, warc_ts) AS rn
+      FROM z2)
+SELECT (rn - 1) // 1000 AS file_id, CAST(count(*) AS BIGINT) AS n,
+       min(day) AS min_day, max(day) AS max_day,
+       min(uid) AS min_uid, max(uid) AS max_uid
+FROM r GROUP BY 1""",
         "gini_domains_crawl": f"""{CRAWL_PREFIX},
 c AS MATERIALIZED (
   SELECT split_part(url, '/', 3) AS domain, url,
