@@ -3413,3 +3413,47 @@ def lpa_communities_crawl(crawl: pd.DataFrame,
         labels = new
     return pd.DataFrame({"node": nodes,
                          "community": [labels[v] for v in nodes]})
+
+
+def bloom_prune_crawl(obs: pd.DataFrame, n_buckets: int = 64,
+                      m_bits: int = 4096, k: int = 4) -> pd.DataFrame:
+    """Independent Bloom-sidecar twin: sha1-prefix double hashing and
+    the pandas SipHash bucket mapping re-derived flat — set every
+    probe bit per distinct url into its bucket's bit array, then test
+    the six probes."""
+    import hashlib
+
+    probes = [f"https://site-{u % 40}.example.com/u/{u}"
+              for u in range(5)] + ["https://site-9.example.com/u/99999"]
+
+    def h64(vals):
+        return np.array([int.from_bytes(
+            hashlib.sha1(str(v).encode()).digest()[:8], "big")
+            for v in vals], dtype=np.uint64)
+
+    def positions(h):
+        h1 = (h & np.uint64(0xFFFFFFFF)).astype(np.uint64)
+        h2 = ((h >> np.uint64(32)) | np.uint64(1)).astype(np.uint64)
+        i = np.arange(k, dtype=np.uint64)
+        return ((h1[:, None] + i[None, :] * h2[:, None])
+                % np.uint64(m_bits)).astype(np.int64)
+
+    urls = np.unique(obs["url"].to_numpy(object))
+    buckets = (pd.util.hash_array(urls, categorize=False)
+               % np.uint64(n_buckets)).astype(np.int64)
+    pos = positions(h64(urls))
+    bits = np.zeros((n_buckets, m_bits), dtype=bool)
+    for b in range(n_buckets):
+        p = pos[buckets == b].ravel()
+        bits[b, p] = True
+
+    pu = np.asarray(probes, dtype=object)
+    true_b = (pd.util.hash_array(pu, categorize=False)
+              % np.uint64(n_buckets)).astype(np.int64)
+    ppos = positions(h64(pu))
+    n_cand = np.array([int(bits[:, ppos[i]].all(axis=1).sum())
+                       for i in range(len(pu))], dtype=np.int64)
+    hit = np.array([int(bits[true_b[i], ppos[i]].all())
+                    for i in range(len(pu))], dtype=np.int64)
+    return pd.DataFrame({"url": pu, "true_bucket": true_b,
+                         "n_candidates": n_cand, "hit": hit})

@@ -4379,6 +4379,22 @@ def _kneser_ney_bigrams_documents(sf_dir: str) -> rd.Dataset:
     return kneser_ney_bigrams(docs, k=100)
 
 
+_BLOOM_PROBES = [f"https://site-{u % 40}.example.com/u/{u}"
+                 for u in range(5)] + ["https://site-9.example.com/u/99999"]
+
+
+def _bloom_prune_crawl(sf_dir: str) -> pd.DataFrame:
+    """Bloom sidecar index per hive bucket + point-lookup pruning:
+    one streaming OR-merge pass builds a 512 B Bloom per url_bucket;
+    six probe lookups (five present urls + one absent) report how many
+    of the 64 buckets each lookup must open (golden)."""
+    from sits_classification_ray.stages.bloomindex import (
+        build_bucket_blooms, prune_lookup)
+
+    blooms = build_bucket_blooms(_obs(sf_dir))
+    return prune_lookup(blooms, _BLOOM_PROBES)
+
+
 def _zorder_layout_crawl(sf_dir: str,
                          rows_per_file: int = 1000) -> rd.Dataset:
     """Z-order (Morton-curve) data-layout optimization — the
@@ -5122,6 +5138,8 @@ def build_queries() -> dict[str, Callable[[str], Any]]:
         "gini_domains_crawl": _gini_domains_crawl,
         # Z-order layout optimization + zone maps (SQL-checked)
         "zorder_layout_crawl": _zorder_layout_crawl,
+        # Bloom sidecar partition pruning (golden)
+        "bloom_prune_crawl": _bloom_prune_crawl,
         # 2-hop frontier size per domain (SQL-checked)
         "twohop_domains_crawl": _twohop_domains_crawl,
         # weekly link-graph edge churn (SQL-checked)
@@ -5230,7 +5248,7 @@ GOLDEN_QUERIES = [
     "tdigest_quantile_daily", "km_staleness_crawl",
     "als_recommend_events", "ann_recall_embeddings",
     "removal_attribution_events", "hard_negatives_embeddings",
-    "lpa_communities_crawl",
+    "lpa_communities_crawl", "bloom_prune_crawl",
 ]
 
 

@@ -138,6 +138,8 @@ def make_for(sf_dir: str, only: set[str] | None = None) -> None:
             lambda: golden.hard_negatives_embeddings(emb),
         "lpa_communities_crawl":
             lambda: golden.lpa_communities_crawl(crawl),
+        "bloom_prune_crawl":
+            lambda: golden.bloom_prune_crawl(obs),
         "removal_attribution_events":
             lambda: golden.removal_attribution_events(
                 pd.read_parquet(f"{sf_dir}/events.parquet",
