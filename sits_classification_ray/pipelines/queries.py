@@ -4379,6 +4379,46 @@ def _kneser_ney_bigrams_documents(sf_dir: str) -> rd.Dataset:
     return kneser_ney_bigrams(docs, k=100)
 
 
+def _curriculum_shards_documents(sf_dir: str,
+                                 shard_tokens: int = 5000) -> rd.Dataset:
+    """Curriculum sharding for a training feed: order the corpus
+    easiest-proxy-first (n_chars desc, doc_id tiebreak), cut into
+    fixed-token-budget shards via a distributed EXCLUSIVE prefix sum
+    of per-doc token counts (the global_rank construction with value
+    sums — one int64 per block to the driver), and report each
+    shard's doc/token totals (SQL twin via a window sum)."""
+    from ray.data.aggregate import Count, Sum
+
+    from sits_classification_ray.stages.scan_sorted import (
+        global_prefix_sum)
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id", "text", "n_chars"])
+
+    def toks(b: pa.Table) -> pa.Table:
+        lists = pc.split_pattern(b["text"], " ")
+        return pa.table({
+            "doc_id": pc.cast(b["doc_id"], pa.int64()),
+            "neg": pc.multiply(pc.cast(b["n_chars"], pa.int64()),
+                               pa.scalar(-1, pa.int64())),
+            "toks": pc.cast(pc.list_value_length(lists), pa.int64())})
+
+    t = docs.map_batches(toks, batch_format="pyarrow",
+                         zero_copy_batch=True)
+    pref = global_prefix_sum(t, ["neg", "doc_id"], "toks")
+
+    def shard(b: pa.Table) -> pa.Table:
+        s = b["prior"].to_numpy(zero_copy_only=False) // shard_tokens
+        return pa.table({"shard_id": pa.array(s.astype(np.int64)),
+                         "toks": b["toks"]})
+
+    return (pref.map_batches(shard, batch_format="pyarrow",
+                             zero_copy_batch=True)
+            .groupby("shard_id")
+            .aggregate(Count(alias_name="n_docs"),
+                       Sum("toks", alias_name="tokens")))
+
+
 _BLOOM_PROBES = [f"https://site-{u % 40}.example.com/u/{u}"
                  for u in range(5)] + ["https://site-9.example.com/u/99999"]
 
@@ -5140,6 +5180,8 @@ def build_queries() -> dict[str, Callable[[str], Any]]:
         "zorder_layout_crawl": _zorder_layout_crawl,
         # Bloom sidecar partition pruning (golden)
         "bloom_prune_crawl": _bloom_prune_crawl,
+        # curriculum fixed-token-budget sharding (SQL-checked)
+        "curriculum_shards_documents": _curriculum_shards_documents,
         # 2-hop frontier size per domain (SQL-checked)
         "twohop_domains_crawl": _twohop_domains_crawl,
         # weekly link-graph edge churn (SQL-checked)
@@ -7662,6 +7704,22 @@ SELECT COALESCE(o.domain, i.domain) AS domain,
        COALESCE(i.in_links, 0) AS in_links,
        COALESCE(i.in_domains, 0) AS in_domains
 FROM outs o FULL OUTER JOIN ins i ON o.domain = i.domain""",
+        "curriculum_shards_documents": """
+WITH t AS MATERIALIZED (
+  SELECT doc_id, n_chars,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS toks
+  FROM documents),
+o AS (
+  SELECT doc_id, toks,
+         COALESCE(sum(toks) OVER (
+             ORDER BY n_chars DESC, doc_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+             0) AS prior
+  FROM t)
+SELECT CAST(prior // 5000 AS BIGINT) AS shard_id,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(toks) AS BIGINT) AS tokens
+FROM o GROUP BY 1""",
         "zorder_layout_crawl": f"""{CRAWL_PREFIX},
 zz AS MATERIALIZED (
   SELECT url, warc_ts,

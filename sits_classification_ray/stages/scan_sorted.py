@@ -457,3 +457,46 @@ def grouped_ntile(ds: rd.Dataset, group_cols: list[str],
     return rd.from_arrow_refs(
         [add_tile.remote(ref, offs, totals)
          for ref, offs in zip(refs, offsets)])
+
+
+def global_prefix_sum(ds: rd.Dataset, sort_cols: list[str],
+                      val_col: str, out_col: str = "prior",
+                      num_blocks: int | None = None) -> rd.Dataset:
+    """Corpus-wide EXCLUSIVE prefix sum of ``val_col`` over the total
+    order ``sort_cols`` — the :func:`global_rank` construction with a
+    value sum instead of a row count: ``Dataset.sort``
+    range-partitions, each block reports one int64 (its value total),
+    the driver computes exclusive block offsets in O(B), and one task
+    per block adds its offset to a local exclusive cumsum. Values must
+    be integers (exact, order-free merge)."""
+    srt = ds
+    if num_blocks:
+        srt = srt.repartition(num_blocks)
+    srt = srt.sort(sort_cols)
+    refs = srt.to_arrow_refs()
+
+    @ray.remote(num_cpus=0)
+    def block_sum(t: pa.Table) -> tuple:
+        if len(t) == 0:
+            return 0, 0
+        return len(t), int(np.asarray(t[val_col])
+                           .astype(np.int64).sum())
+
+    stats = ray.get([block_sum.remote(r) for r in refs])
+    keep = [(r, s) for r, (ln, s) in zip(refs, stats) if ln > 0]
+    if not keep:
+        return srt
+    offsets = np.concatenate(
+        ([0], np.cumsum([s for _, s in keep])[:-1])).astype(np.int64)
+
+    @ray.remote(num_cpus=0.5)
+    def add_prior(t: pa.Table, off: int) -> pa.Table:
+        v = np.asarray(t[val_col]).astype(np.int64) if len(t) \
+            else np.array([], dtype=np.int64)
+        prior = off + np.concatenate(([0], np.cumsum(v)[:-1])) \
+            .astype(np.int64) if len(t) else v
+        return t.append_column(out_col, pa.array(prior))
+
+    return rd.from_arrow_refs(
+        [add_prior.remote(r, int(o))
+         for (r, _), o in zip(keep, offsets)])

@@ -125,3 +125,21 @@ def test_ntile_sql_semantics(ray_session):
     assert out["tile"].tolist() == [1, 1, 1, 2, 2, 2, 3, 3, 4, 4]
     # total order: smallest v in tile 1
     assert out.iloc[0]["v"] == 0 and out.iloc[0]["tile"] == 1
+
+
+def test_global_prefix_sum_exclusive():
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from sits_classification_ray.stages.scan_sorted import (
+        global_prefix_sum)
+
+    rng = np.random.default_rng(4)
+    df = pd.DataFrame({"k": np.arange(500),
+                       "v": rng.integers(1, 50, size=500)})
+    out = (global_prefix_sum(rd.from_pandas(df).repartition(7),
+                             ["k"], "v")
+           .to_pandas().sort_values("k", ignore_index=True))
+    want = np.concatenate(([0], np.cumsum(df["v"].to_numpy())[:-1]))
+    np.testing.assert_array_equal(out["prior"].to_numpy(), want)
