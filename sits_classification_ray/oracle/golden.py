@@ -3457,3 +3457,43 @@ def bloom_prune_crawl(obs: pd.DataFrame, n_buckets: int = 64,
                     for i in range(len(pu))], dtype=np.int64)
     return pd.DataFrame({"url": pu, "true_bucket": true_b,
                          "n_candidates": n_cand, "hit": hit})
+
+
+def huber_fit_crawl(obs: pd.DataFrame, delta: float = 50.0,
+                    n_iters: int = 3, num_partitions: int = 64,
+                    round_to: int = 6) -> pd.DataFrame:
+    """Independent flat Huber IRLS twin on the shared
+    fixed-partition contract: same pid hash, per-pid partials via the
+    shared leaf kernel, ascending-pid merge."""
+    from sits_classification_ray.functions.transforms import sql_round
+    from sits_classification_ray.stages.robust import huber_wls_partials
+
+    x = obs["word_count"].to_numpy(np.int64)
+    y = obs["text_len"].to_numpy(np.int64)
+    n = float(len(x))
+    sx, sy = float(x.sum()), float(y.sum())
+    sxx, sxy = float((x * x).sum()), float((x * y).sum())
+    den = n * sxx - sx * sx
+    b = (n * sxy - sx * sy) / den
+    a = (sy - b * sx) / n
+
+    df = obs.copy()
+    df["_pid"] = (pd.util.hash_array(
+        df["url"].to_numpy(object), categorize=False)
+        % np.uint64(num_partitions)).astype(np.int64)
+    outliers = 0.0
+    for _ in range(n_iters):
+        parts = [huber_wls_partials(sub, a, b, delta, "word_count",
+                                    "text_len", ["url", "warc_ts"])
+                 for _, sub in df.groupby("_pid", sort=True)]
+        m = np.stack(parts)
+        sw, swx, swy, swxx, swxy, outliers = (
+            float(np.sum(m[:, j])) for j in range(6))
+        den = sw * swxx - swx * swx
+        b = (sw * swxy - swx * swy) / den
+        a = (swy - b * swx) / sw
+    return pd.DataFrame({
+        "param": ["intercept", "slope", "n_outliers"],
+        "value": [float(sql_round(np.float64(a), round_to)) + 0.0,
+                  float(sql_round(np.float64(b), round_to)) + 0.0,
+                  outliers]})

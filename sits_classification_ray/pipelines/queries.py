@@ -4379,6 +4379,29 @@ def _kneser_ney_bigrams_documents(sf_dir: str) -> rd.Dataset:
     return kneser_ney_bigrams(docs, k=100)
 
 
+def _huber_fit_crawl(sf_dir: str) -> pd.DataFrame:
+    """Huber robust regression text_len ~ word_count over the
+    observation table: exact-integer OLS init, three IRLS rounds whose
+    weighted float sums reduce under the fixed-partition sorted-order
+    contract (bit-stable at any block layout — golden twin)."""
+    from sits_classification_ray.stages.robust import huber_fit
+
+    def prep(df: pd.DataFrame) -> pd.DataFrame:
+        pid = (pd.util.hash_array(df["url"].to_numpy(object),
+                                  categorize=False)
+               % np.uint64(64)).astype(np.int64)
+        return pd.DataFrame({"url": df["url"], "warc_ts": df["warc_ts"],
+                             "word_count": df["word_count"]
+                             .astype(np.int64),
+                             "text_len": df["text_len"]
+                             .astype(np.int64),
+                             "_pid": pid})
+
+    ds = _obs(sf_dir).map_batches(prep, batch_format="pandas")
+    return huber_fit(ds, "word_count", "text_len",
+                     ["url", "warc_ts"])
+
+
 def _curriculum_shards_documents(sf_dir: str,
                                  shard_tokens: int = 5000) -> rd.Dataset:
     """Curriculum sharding for a training feed: order the corpus
@@ -5182,6 +5205,8 @@ def build_queries() -> dict[str, Callable[[str], Any]]:
         "bloom_prune_crawl": _bloom_prune_crawl,
         # curriculum fixed-token-budget sharding (SQL-checked)
         "curriculum_shards_documents": _curriculum_shards_documents,
+        # Huber robust regression via IRLS (golden)
+        "huber_fit_crawl": _huber_fit_crawl,
         # 2-hop frontier size per domain (SQL-checked)
         "twohop_domains_crawl": _twohop_domains_crawl,
         # weekly link-graph edge churn (SQL-checked)
@@ -5290,7 +5315,7 @@ GOLDEN_QUERIES = [
     "tdigest_quantile_daily", "km_staleness_crawl",
     "als_recommend_events", "ann_recall_embeddings",
     "removal_attribution_events", "hard_negatives_embeddings",
-    "lpa_communities_crawl", "bloom_prune_crawl",
+    "lpa_communities_crawl", "bloom_prune_crawl", "huber_fit_crawl",
 ]
 
 

@@ -140,6 +140,9 @@ def make_for(sf_dir: str, only: set[str] | None = None) -> None:
             lambda: golden.lpa_communities_crawl(crawl),
         "bloom_prune_crawl":
             lambda: golden.bloom_prune_crawl(obs),
+        "huber_fit_crawl": lambda: golden.huber_fit_crawl(
+            con.sql(f"{CRAWL_PREFIX} SELECT url, warc_ts, text_len, "
+                    "word_count FROM obs").df()),
         "removal_attribution_events":
             lambda: golden.removal_attribution_events(
                 pd.read_parquet(f"{sf_dir}/events.parquet",
