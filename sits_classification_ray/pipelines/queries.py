@@ -4379,6 +4379,127 @@ def _kneser_ney_bigrams_documents(sf_dir: str) -> rd.Dataset:
     return kneser_ney_bigrams(docs, k=100)
 
 
+def _graph_stats_crawl(sf_dir: str) -> pd.DataFrame:
+    """Whole-graph health metrics over the distinct domain edge set:
+    node/edge counts, reciprocity (share of directed edges whose
+    reverse exists — a distributed self-join on the reversed key) and
+    out→in degree assortativity (Pearson over edge endpoints from
+    exact integer sums; only the final scalar math is float). SQL
+    twin mirrors the identical expression (SQL-checked)."""
+    from ray.data.aggregate import Count, Sum
+
+    from sits_classification_ray.functions.transforms import sql_round
+    from sits_classification_ray.stages.joins import hash_join
+
+    e = (_domain_edges_crawl(sf_dir)
+         .map_batches(lambda df: df[["w1", "w2"]],
+                      batch_format="pandas").materialize())
+    m = int(e.count())
+    nodes = (e.map_batches(lambda df: pd.DataFrame(
+        {"v": np.concatenate((df["w1"].to_numpy(object),
+                              df["w2"].to_numpy(object)))}),
+        batch_format="pandas")
+        .groupby("v").aggregate(Count(alias_name="_c")).count())
+
+    fwd = e.map_batches(lambda df: pd.DataFrame(
+        {"key": df["w1"].astype(str) + "\x00" + df["w2"].astype(str)}),
+        batch_format="pandas")
+    rev = e.map_batches(lambda df: pd.DataFrame(
+        {"key": df["w2"].astype(str) + "\x00" + df["w1"].astype(str)}),
+        batch_format="pandas")
+    nrec = int(hash_join(fwd, rev, on="key").count())
+
+    # degree attach via tag-union exchanges (schema-pinned — groupby
+    # outputs can carry Ray 2.49's schema-less empty blocks, which
+    # Dataset.join's acero key resolution rejects)
+    from sits_classification_ray.stages.shuffle import partitioned_map
+
+    dout = e.groupby("w1").aggregate(Count(alias_name="x"))
+    din = e.groupby("w2").aggregate(Count(alias_name="y"))
+
+    def attach(un: rd.Dataset, deg_col: str,
+               carry: str | None) -> rd.Dataset:
+        cols = [("key", pa.string()), ("other", pa.string()),
+                (deg_col, pa.int64())]
+        if carry:
+            cols.append((carry, pa.int64()))
+        schema = pa.schema(cols)
+
+        def kern(df: pd.DataFrame) -> pd.DataFrame:
+            deg = df[df[deg_col] >= 0].sort_values("key",
+                                                   kind="mergesort")
+            rows = df[df[deg_col] < 0]
+            pos = np.searchsorted(deg["key"].to_numpy(object),
+                                  rows["key"].to_numpy(object))
+            out = {"key": rows["other"].to_numpy(object),
+                   "other": rows["key"].to_numpy(object),
+                   deg_col: deg[deg_col].to_numpy(np.int64)[pos]}
+            if carry:
+                out[carry] = rows[carry].to_numpy(np.int64)
+            return pd.DataFrame(out)
+
+        return partitioned_map(un, kern, keys=["key"],
+                               out_schema=schema)
+
+    def tag_e1(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"key": df["w1"].to_numpy(object),
+                             "other": df["w2"].to_numpy(object),
+                             "x": np.int64(-1)})
+
+    def tag_dx(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"key": df["w1"].to_numpy(object),
+                             "other": "",
+                             "x": df["x"].to_numpy(np.int64)})
+
+    un1 = e.map_batches(tag_e1, batch_format="pandas").union(
+        dout.map_batches(tag_dx, batch_format="pandas"))
+    # after attach: key=w2, other=w1, x carried
+    with_x = attach(un1, "x", None)
+
+    def tag_e2(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"key": df["key"].to_numpy(object),
+                             "other": df["other"].to_numpy(object),
+                             "y": np.int64(-1),
+                             "x": df["x"].to_numpy(np.int64)})
+
+    def tag_dy(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"key": df["w2"].to_numpy(object),
+                             "other": "", "y": df["y"]
+                             .to_numpy(np.int64),
+                             "x": np.int64(-1)})
+
+    un2 = with_x.map_batches(tag_e2, batch_format="pandas").union(
+        din.map_batches(tag_dy, batch_format="pandas"))
+    j = attach(un2, "y", "x")
+
+    def prods(df: pd.DataFrame) -> pd.DataFrame:
+        x = df["x"].to_numpy(np.int64)
+        y = df["y"].to_numpy(np.int64)
+        return pd.DataFrame({"sx": [x.sum()], "sy": [y.sum()],
+                             "sxy": [(x * y).sum()],
+                             "sxx": [(x * x).sum()],
+                             "syy": [(y * y).sum()]})
+
+    s = (j.map_batches(prods, batch_format="pandas")
+         .groupby(None).aggregate(Sum("sx", alias_name="sx"),
+                                  Sum("sy", alias_name="sy"),
+                                  Sum("sxy", alias_name="sxy"),
+                                  Sum("sxx", alias_name="sxx"),
+                                  Sum("syy", alias_name="syy"))
+         .to_pandas().iloc[0])
+    md = float(m)
+    sx, sy = float(s["sx"]), float(s["sy"])
+    num = float(s["sxy"]) / md - (sx / md) * (sy / md)
+    den = np.sqrt((float(s["sxx"]) / md - (sx / md) * (sx / md))
+                  * (float(s["syy"]) / md - (sy / md) * (sy / md)))
+    assort = num / den
+    vals = np.array([float(nodes), float(m), nrec / md, assort])
+    return pd.DataFrame({
+        "metric": ["n_nodes", "n_edges", "reciprocity",
+                   "assortativity"],
+        "value": sql_round(vals, 6) + 0.0})
+
+
 def _huber_fit_crawl(sf_dir: str) -> pd.DataFrame:
     """Huber robust regression text_len ~ word_count over the
     observation table: exact-integer OLS init, three IRLS rounds whose
@@ -5207,6 +5328,8 @@ def build_queries() -> dict[str, Callable[[str], Any]]:
         "curriculum_shards_documents": _curriculum_shards_documents,
         # Huber robust regression via IRLS (golden)
         "huber_fit_crawl": _huber_fit_crawl,
+        # reciprocity + assortativity graph stats (SQL-checked)
+        "graph_stats_crawl": _graph_stats_crawl,
         # 2-hop frontier size per domain (SQL-checked)
         "twohop_domains_crawl": _twohop_domains_crawl,
         # weekly link-graph edge churn (SQL-checked)
@@ -7729,6 +7852,52 @@ SELECT COALESCE(o.domain, i.domain) AS domain,
        COALESCE(i.in_links, 0) AS in_links,
        COALESCE(i.in_domains, 0) AS in_domains
 FROM outs o FULL OUTER JOIN ins i ON o.domain = i.domain""",
+        "graph_stats_crawl": f"""WITH {CRAWL_CTE},
+links AS MATERIALIZED (
+  SELECT split_part(c.url, '/', 3) AS w1,
+         'site-'
+         || CAST((length(CAST(c.html AS VARCHAR)) + j.j) % 40 AS VARCHAR)
+         || '.example.com' AS w2
+  FROM crawl c CROSS JOIN LATERAL
+    (SELECT unnest(generate_series(
+         0, length(CAST(c.html AS VARCHAR)) % 4 - 1)) AS j) j),
+e AS MATERIALIZED (SELECT DISTINCT w1, w2 FROM links),
+counts AS (
+  SELECT (SELECT CAST(count(*) AS BIGINT) FROM
+            (SELECT w1 AS v FROM e UNION SELECT w2 FROM e)) AS n_nodes,
+         (SELECT CAST(count(*) AS BIGINT) FROM e) AS m,
+         (SELECT CAST(count(*) AS BIGINT) FROM e
+          JOIN e r ON r.w1 = e.w2 AND r.w2 = e.w1) AS nrec),
+dout AS (SELECT w1 AS v, CAST(count(*) AS BIGINT) AS x
+         FROM e GROUP BY 1),
+din AS (SELECT w2 AS v, CAST(count(*) AS BIGINT) AS y
+        FROM e GROUP BY 1),
+s AS (
+  SELECT CAST(sum(o.x) AS BIGINT) sx, CAST(sum(i.y) AS BIGINT) sy,
+         CAST(sum(o.x * i.y) AS BIGINT) sxy,
+         CAST(sum(o.x * o.x) AS BIGINT) sxx,
+         CAST(sum(i.y * i.y) AS BIGINT) syy
+  FROM e JOIN dout o ON o.v = e.w1 JOIN din i ON i.v = e.w2)
+SELECT 'n_nodes' AS metric,
+       round(CAST(n_nodes AS DOUBLE), 6) AS value FROM counts
+UNION ALL
+SELECT 'n_edges', round(CAST(m AS DOUBLE), 6) FROM counts
+UNION ALL
+SELECT 'reciprocity',
+       round(CAST(nrec AS DOUBLE) / CAST(m AS DOUBLE), 6) FROM counts
+UNION ALL
+SELECT 'assortativity',
+  round((CAST(sxy AS DOUBLE) / CAST(m AS DOUBLE)
+         - (CAST(sx AS DOUBLE) / CAST(m AS DOUBLE))
+           * (CAST(sy AS DOUBLE) / CAST(m AS DOUBLE)))
+        / sqrt((CAST(sxx AS DOUBLE) / CAST(m AS DOUBLE)
+                - (CAST(sx AS DOUBLE) / CAST(m AS DOUBLE))
+                  * (CAST(sx AS DOUBLE) / CAST(m AS DOUBLE)))
+               * (CAST(syy AS DOUBLE) / CAST(m AS DOUBLE)
+                  - (CAST(sy AS DOUBLE) / CAST(m AS DOUBLE))
+                    * (CAST(sy AS DOUBLE) / CAST(m AS DOUBLE)))),
+        6)
+FROM counts, s""",
         "curriculum_shards_documents": """
 WITH t AS MATERIALIZED (
   SELECT doc_id, n_chars,
