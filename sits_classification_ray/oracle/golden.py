@@ -3497,3 +3497,31 @@ def huber_fit_crawl(obs: pd.DataFrame, delta: float = 50.0,
         "value": [float(sql_round(np.float64(a), round_to)) + 0.0,
                   float(sql_round(np.float64(b), round_to)) + 0.0,
                   outliers]})
+
+
+def iforest_outliers_embeddings(emb: pd.DataFrame, n_trees: int = 8,
+                                seed: int = 7, k: int = 20,
+                                round_to: int = 6) -> pd.DataFrame:
+    """Independent flat isolation-forest twin on the shared
+    deterministic contract: same subsample-by-hash selection, same
+    per-node splitmix randomness (leaf kernels imported), scoring run
+    over the whole corpus in one pass."""
+    from sits_classification_ray.stages.iforest import (
+        PSI, _c, build_tree_arrays, path_lengths, sample_hash)
+
+    ids = emb["vec_id"].to_numpy(np.int64)
+    X = np.stack([np.asarray(v, dtype=np.float64)
+                  for v in emb["embedding"]])
+    h = sample_hash(ids, seed)
+    order = np.argsort(h, kind="mergesort")[:n_trees * PSI]
+    Xs = X[order]
+    trees = [build_tree_arrays(Xs[t * PSI:(t + 1) * PSI], t)
+             for t in range(n_trees)]
+    acc = np.zeros(len(X))
+    for t in trees:
+        acc += path_lengths(t, X)
+    score = np.round(np.exp2(-(acc / n_trees) / _c(float(PSI))),
+                     round_to)
+    keep = np.lexsort((ids, -score))[:k]
+    return pd.DataFrame({"vec_id": ids[keep], "score": score[keep]}) \
+        .astype({"vec_id": np.int64, "score": np.float64})

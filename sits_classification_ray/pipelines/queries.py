@@ -4379,6 +4379,20 @@ def _kneser_ney_bigrams_documents(sf_dir: str) -> rd.Dataset:
     return kneser_ney_bigrams(docs, k=100)
 
 
+def _iforest_outliers_embeddings(sf_dir: str) -> pd.DataFrame:
+    """Isolation-forest top-20 outliers: trees built driver-side on a
+    hash-selected 2048-vector subsample (the paper's psi=256 × 8
+    trees), scoring distributed with the forest broadcast once and a
+    vectorized one-gather-per-level descent per batch (golden)."""
+    from sits_classification_ray.stages.iforest import (iforest_fit,
+                                                        iforest_score)
+
+    emb = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                          columns=["vec_id", "embedding"]).materialize()
+    trees = iforest_fit(emb)
+    return iforest_score(emb, trees, k=20)
+
+
 def _graph_stats_crawl(sf_dir: str) -> pd.DataFrame:
     """Whole-graph health metrics over the distinct domain edge set:
     node/edge counts, reciprocity (share of directed edges whose
@@ -5330,6 +5344,8 @@ def build_queries() -> dict[str, Callable[[str], Any]]:
         "huber_fit_crawl": _huber_fit_crawl,
         # reciprocity + assortativity graph stats (SQL-checked)
         "graph_stats_crawl": _graph_stats_crawl,
+        # isolation-forest outliers (golden)
+        "iforest_outliers_embeddings": _iforest_outliers_embeddings,
         # 2-hop frontier size per domain (SQL-checked)
         "twohop_domains_crawl": _twohop_domains_crawl,
         # weekly link-graph edge churn (SQL-checked)
@@ -5439,6 +5455,7 @@ GOLDEN_QUERIES = [
     "als_recommend_events", "ann_recall_embeddings",
     "removal_attribution_events", "hard_negatives_embeddings",
     "lpa_communities_crawl", "bloom_prune_crawl", "huber_fit_crawl",
+    "iforest_outliers_embeddings",
 ]
 
 

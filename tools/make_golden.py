@@ -140,6 +140,8 @@ def make_for(sf_dir: str, only: set[str] | None = None) -> None:
             lambda: golden.lpa_communities_crawl(crawl),
         "bloom_prune_crawl":
             lambda: golden.bloom_prune_crawl(obs),
+        "iforest_outliers_embeddings":
+            lambda: golden.iforest_outliers_embeddings(emb),
         "huber_fit_crawl": lambda: golden.huber_fit_crawl(
             con.sql(f"{CRAWL_PREFIX} SELECT url, warc_ts, text_len, "
                     "word_count FROM obs").df()),
