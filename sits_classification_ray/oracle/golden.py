@@ -3525,3 +3525,37 @@ def iforest_outliers_embeddings(emb: pd.DataFrame, n_trees: int = 8,
     keep = np.lexsort((ids, -score))[:k]
     return pd.DataFrame({"vec_id": ids[keep], "score": score[keep]}) \
         .astype({"vec_id": np.int64, "score": np.float64})
+
+
+def jl_distortion_embeddings(emb: pd.DataFrame, k: int = 8,
+                             seed: int = 11) -> pd.DataFrame:
+    """Independent flat JL-distortion twin: same splitmix Achlioptas
+    matrix, pairs (2m, 2m+1), identical vectorized float shapes."""
+    from sits_classification_ray.stages.als import _splitmix64
+
+    d_in = 64
+    idx = np.arange(k * d_in, dtype=np.uint64) \
+        + np.uint64((seed * 0xD1B54A32D192ED03) % (1 << 64))
+    u = (_splitmix64(idx) >> np.uint64(11)).astype(np.float64) \
+        * 2.0 ** -53
+    R = np.where(u < 1 / 6, 1.0,
+                 np.where(u > 5 / 6, -1.0, 0.0)).reshape(k, d_in)
+
+    df = emb.sort_values("vec_id", kind="mergesort",
+                         ignore_index=True)
+    vid = df["vec_id"].to_numpy(np.int64)
+    pid = vid // 2
+    sizes = pd.Series(pid).groupby(pid).transform("size").to_numpy()
+    df = df[sizes == 2]
+    X = np.stack([np.asarray(v, dtype=np.float64)
+                  for v in df["embedding"]])
+    diff = X[0::2] - X[1::2]
+    den = (diff * diff).sum(axis=1)
+    proj = diff @ R.T
+    num = (proj * proj).sum(axis=1) * (3.0 / k)
+    ok = den > 0
+    ratio = num[ok] / den[ok]
+    bucket = np.clip((ratio * 10.0).astype(np.int64), 0, 29)
+    g = pd.Series(bucket).value_counts().sort_index()
+    return pd.DataFrame({"bucket": g.index.to_numpy(np.int64),
+                         "n_pairs": g.to_numpy(np.int64)})

@@ -4379,6 +4379,112 @@ def _kneser_ney_bigrams_documents(sf_dir: str) -> rd.Dataset:
     return kneser_ney_bigrams(docs, k=100)
 
 
+def _jl_distortion_embeddings(sf_dir: str, k: int = 8,
+                              seed: int = 11) -> rd.Dataset:
+    """Johnson–Lindenstrauss audit: project every embedding through a
+    seeded Achlioptas sparse ±1 matrix (splitmix-derived, exact
+    integers) and histogram the per-pair squared-distance distortion
+    ratio over the disjoint (2m, 2m+1) vec_id pairs — the check run
+    before committing a cheaper index dimensionality. One pair-keyed
+    exchange, bucketed integer counts merge natively (golden)."""
+    from ray.data.aggregate import Sum
+
+    from sits_classification_ray.stages.als import _splitmix64
+    from sits_classification_ray.stages.shuffle import partitioned_map
+
+    emb = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                          columns=["vec_id", "embedding"])
+    d_in = 64
+
+    def jl_matrix() -> np.ndarray:
+        idx = np.arange(k * d_in, dtype=np.uint64) \
+            + np.uint64((seed * 0xD1B54A32D192ED03) % (1 << 64))
+        u = (_splitmix64(idx) >> np.uint64(11)).astype(np.float64) \
+            * 2.0 ** -53
+        flat = np.where(u < 1 / 6, 1.0, np.where(u > 5 / 6, -1.0, 0.0))
+        return flat.reshape(k, d_in)
+
+    R = jl_matrix()
+
+    def tag(df: pd.DataFrame) -> pd.DataFrame:
+        vid = df["vec_id"].to_numpy(np.int64)
+        return pd.DataFrame({"pid": vid // 2, "vec_id": vid,
+                             "embedding": df["embedding"]
+                             .to_numpy(object)})
+
+    out_schema = pa.schema([("bucket", pa.int64()),
+                            ("n_pairs", pa.int64())])
+
+    def kern(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["pid", "vec_id"], kind="mergesort")
+        pid = df["pid"].to_numpy(np.int64)
+        full = pd.Series(pid).groupby(pid).transform("size") \
+            .to_numpy() == 2
+        df = df[full]
+        if len(df) == 0:
+            return pd.DataFrame({
+                "bucket": pd.Series([], dtype=np.int64),
+                "n_pairs": pd.Series([], dtype=np.int64)})
+        X = np.stack([np.asarray(v, dtype=np.float64)
+                      for v in df["embedding"]])
+        diff = X[0::2] - X[1::2]
+        den = (diff * diff).sum(axis=1)
+        proj = diff @ R.T
+        num = (proj * proj).sum(axis=1) * (3.0 / k)
+        ok = den > 0
+        ratio = num[ok] / den[ok]
+        bucket = np.clip((ratio * 10.0).astype(np.int64), 0, 29)
+        g = pd.Series(bucket).value_counts().sort_index()
+        return pd.DataFrame({"bucket": g.index.to_numpy(np.int64),
+                             "n_pairs": g.to_numpy(np.int64)})
+
+    pairs = partitioned_map(emb.map_batches(tag, batch_format="pandas"),
+                            kern, keys=["pid"], out_schema=out_schema)
+    return pairs.groupby("bucket").aggregate(
+        Sum("n_pairs", alias_name="n_pairs"))
+
+
+def _rendezvous_reshard_crawl(sf_dir: str, n_old: int = 8) -> rd.Dataset:
+    """Reshard-cost audit for growing the cluster from 8 to 9 shards:
+    per current shard, how many urls move under naive mod-N hashing
+    (≈ 8/9 of them) vs rendezvous/HRW hashing (≈ 1/9) — the
+    consistent-hashing argument made measurable. All hashes are exact
+    32-bit integer arithmetic shared with the SQL twin; the per-url
+    argmax is vectorized over the url × shard matrix (SQL-checked)."""
+    from ray.data.aggregate import Count, Sum
+
+    def kern(b: pa.Table) -> pa.Table:
+        uid = pd.Series(b["url"].to_pandas()) \
+            .str.extract(r"u/(\d+)$", expand=False) \
+            .astype(np.int64).to_numpy()
+        M32 = np.int64(4294967296)
+
+        def hrw(n: int) -> np.ndarray:
+            s = np.arange(n, dtype=np.int64)
+            # mix the COMBINED (uid, shard) key multiplicatively — a
+            # hash linear in s degenerates HRW to "always last shard"
+            hv = ((uid[:, None] * 31 + s[None, :]) * 2654435761) % M32
+            # argmax, ties → smallest shard id (argmax picks first)
+            return hv.argmax(axis=1).astype(np.int64)
+
+        old = hrw(n_old)
+        new = hrw(n_old + 1)
+        return pa.table({
+            "old_shard": pa.array(old),
+            "moved_mod": pa.array(
+                ((uid % n_old) != (uid % (n_old + 1)))
+                .astype(np.int64)),
+            "moved_hrw": pa.array((old != new).astype(np.int64))})
+
+    urls = (_obs(sf_dir).groupby("url")
+            .aggregate(Count(alias_name="_c")))
+    return (urls.map_batches(kern, batch_format="pyarrow")
+            .groupby("old_shard")
+            .aggregate(Count(alias_name="n_urls"),
+                       Sum("moved_mod", alias_name="moved_mod"),
+                       Sum("moved_hrw", alias_name="moved_hrw")))
+
+
 def _iforest_outliers_embeddings(sf_dir: str) -> pd.DataFrame:
     """Isolation-forest top-20 outliers: trees built driver-side on a
     hash-selected 2048-vector subsample (the paper's psi=256 × 8
@@ -5346,6 +5452,10 @@ def build_queries() -> dict[str, Callable[[str], Any]]:
         "graph_stats_crawl": _graph_stats_crawl,
         # isolation-forest outliers (golden)
         "iforest_outliers_embeddings": _iforest_outliers_embeddings,
+        # rendezvous-hash reshard cost vs mod-N (SQL-checked)
+        "rendezvous_reshard_crawl": _rendezvous_reshard_crawl,
+        # JL projection distortion histogram (golden)
+        "jl_distortion_embeddings": _jl_distortion_embeddings,
         # 2-hop frontier size per domain (SQL-checked)
         "twohop_domains_crawl": _twohop_domains_crawl,
         # weekly link-graph edge churn (SQL-checked)
@@ -5455,7 +5565,7 @@ GOLDEN_QUERIES = [
     "als_recommend_events", "ann_recall_embeddings",
     "removal_attribution_events", "hard_negatives_embeddings",
     "lpa_communities_crawl", "bloom_prune_crawl", "huber_fit_crawl",
-    "iforest_outliers_embeddings",
+    "iforest_outliers_embeddings", "jl_distortion_embeddings",
 ]
 
 
@@ -7869,6 +7979,32 @@ SELECT COALESCE(o.domain, i.domain) AS domain,
        COALESCE(i.in_links, 0) AS in_links,
        COALESCE(i.in_domains, 0) AS in_domains
 FROM outs o FULL OUTER JOIN ins i ON o.domain = i.domain""",
+        "rendezvous_reshard_crawl": f"""{CRAWL_PREFIX},
+u AS MATERIALIZED (
+  SELECT DISTINCT CAST(regexp_extract(url, 'u/(\\d+)$', 1) AS BIGINT)
+      AS uid
+  FROM obs),
+hv AS (
+  SELECT uid, s.s,
+         ((uid * 31 + s.s) * 2654435761) % 4294967296 AS h
+  FROM u CROSS JOIN (SELECT unnest(generate_series(0, 8)) AS s) s),
+pick8 AS (
+  SELECT uid, s AS old_shard FROM (
+    SELECT uid, s, row_number() OVER (
+        PARTITION BY uid ORDER BY h DESC, s) AS rn
+    FROM hv WHERE s < 8) WHERE rn = 1),
+pick9 AS (
+  SELECT uid, s AS new_shard FROM (
+    SELECT uid, s, row_number() OVER (
+        PARTITION BY uid ORDER BY h DESC, s) AS rn
+    FROM hv) WHERE rn = 1)
+SELECT p8.old_shard, CAST(count(*) AS BIGINT) AS n_urls,
+       CAST(sum(CASE WHEN p8.uid % 8 <> p8.uid % 9
+                THEN 1 ELSE 0 END) AS BIGINT) AS moved_mod,
+       CAST(sum(CASE WHEN p9.new_shard <> p8.old_shard
+                THEN 1 ELSE 0 END) AS BIGINT) AS moved_hrw
+FROM pick8 p8 JOIN pick9 p9 ON p9.uid = p8.uid
+GROUP BY 1""",
         "graph_stats_crawl": f"""WITH {CRAWL_CTE},
 links AS MATERIALIZED (
   SELECT split_part(c.url, '/', 3) AS w1,
