@@ -3559,3 +3559,54 @@ def jl_distortion_embeddings(emb: pd.DataFrame, k: int = 8,
     g = pd.Series(bucket).value_counts().sort_index()
     return pd.DataFrame({"bucket": g.index.to_numpy(np.int64),
                          "n_pairs": g.to_numpy(np.int64)})
+
+
+def lsa_top_terms_documents(docs: pd.DataFrame, n_iters: int = 4,
+                            k: int = 20, num_partitions: int = 32,
+                            round_to: int = 6) -> pd.DataFrame:
+    """Independent flat LSA power-iteration twin on the shared
+    determinism contract: same tf table, same sha1 init, per-doc /
+    per-token reductions over identically sorted segments via the
+    shared segment_sums leaf kernel, norm under the fixed-partition
+    ascending-pid merge."""
+    from collections import Counter
+
+    from sits_classification_ray.stages.lsa import (segment_sums,
+                                                    token_init)
+
+    cnt: Counter = Counter()
+    for did, text in zip(docs["doc_id"], docs["text"]):
+        for t in str(text).lower().split(" "):
+            cnt[(int(did), t)] += 1
+    tfd = pd.DataFrame(
+        {"doc": [a for a, _ in cnt], "token": [b for _, b in cnt],
+         "tf": np.array(list(cnt.values()), dtype=np.int64)})
+
+    toks = np.unique(tfd["token"].to_numpy(object))
+    v = token_init(toks)
+
+    by_dt = tfd.sort_values(["doc", "token"], kind="mergesort",
+                            ignore_index=True)
+    by_td = tfd.sort_values(["token", "doc"], kind="mergesort",
+                            ignore_index=True)
+    for _ in range(n_iters):
+        pos = np.searchsorted(toks, by_dt["token"].to_numpy(object))
+        docs_k, y = segment_sums(
+            by_dt["doc"].to_numpy(np.int64),
+            by_dt["tf"].to_numpy(np.float64) * v[pos])
+        ypos = np.searchsorted(docs_k, by_td["doc"].to_numpy(np.int64))
+        toks_k, w = segment_sums(
+            by_td["token"].to_numpy(object),
+            by_td["tf"].to_numpy(np.float64) * y[ypos])
+        # toks_k == toks (every token appears each round)
+        pid = (pd.util.hash_array(toks_k, categorize=False)
+               % np.uint64(num_partitions)).astype(np.int64)
+        order = np.argsort(pid, kind="mergesort")
+        pk, ss = segment_sums(pid[order], (w ** 2)[order])
+        norm = float(np.sqrt(np.sum(ss)))
+        v = w / norm
+    loading = np.round(v, round_to) + 0.0
+    absl = np.round(np.abs(v), round_to)
+    order = np.lexsort((toks, -absl))[:k]
+    return pd.DataFrame({"token": toks[order],
+                         "loading": loading[order]})

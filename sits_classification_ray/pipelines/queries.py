@@ -4379,6 +4379,20 @@ def _kneser_ney_bigrams_documents(sf_dir: str) -> rd.Dataset:
     return kneser_ney_bigrams(docs, k=100)
 
 
+def _lsa_top_terms_documents(sf_dir: str) -> pd.DataFrame:
+    """First LSA component of the term–document matrix by distributed
+    power iteration: every half-product is a tag-union keyed exchange
+    (no driver-held vocabulary, no broadcast vector — the unbounded-
+    vocab contract), reductions over value-sorted segments, norm under
+    the fixed-partition ascending-pid merge. Top-20 terms by
+    |loading| (golden)."""
+    from sits_classification_ray.stages.lsa import lsa_top_component
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id", "text"])
+    return lsa_top_component(docs)
+
+
 def _jl_distortion_embeddings(sf_dir: str, k: int = 8,
                               seed: int = 11) -> rd.Dataset:
     """Johnson–Lindenstrauss audit: project every embedding through a
@@ -5456,6 +5470,8 @@ def build_queries() -> dict[str, Callable[[str], Any]]:
         "rendezvous_reshard_crawl": _rendezvous_reshard_crawl,
         # JL projection distortion histogram (golden)
         "jl_distortion_embeddings": _jl_distortion_embeddings,
+        # LSA top component via distributed power iteration (golden)
+        "lsa_top_terms_documents": _lsa_top_terms_documents,
         # 2-hop frontier size per domain (SQL-checked)
         "twohop_domains_crawl": _twohop_domains_crawl,
         # weekly link-graph edge churn (SQL-checked)
@@ -5566,6 +5582,7 @@ GOLDEN_QUERIES = [
     "removal_attribution_events", "hard_negatives_embeddings",
     "lpa_communities_crawl", "bloom_prune_crawl", "huber_fit_crawl",
     "iforest_outliers_embeddings", "jl_distortion_embeddings",
+    "lsa_top_terms_documents",
 ]
 
 

@@ -144,6 +144,8 @@ def make_for(sf_dir: str, only: set[str] | None = None) -> None:
             lambda: golden.iforest_outliers_embeddings(emb),
         "jl_distortion_embeddings":
             lambda: golden.jl_distortion_embeddings(emb),
+        "lsa_top_terms_documents":
+            lambda: golden.lsa_top_terms_documents(docs),
         "huber_fit_crawl": lambda: golden.huber_fit_crawl(
             con.sql(f"{CRAWL_PREFIX} SELECT url, warc_ts, text_len, "
                     "word_count FROM obs").df()),
