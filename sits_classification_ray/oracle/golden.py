@@ -3610,3 +3610,42 @@ def lsa_top_terms_documents(docs: pd.DataFrame, n_iters: int = 4,
     order = np.lexsort((toks, -absl))[:k]
     return pd.DataFrame({"token": toks[order],
                          "loading": loading[order]})
+
+
+def mi_feature_rank_embeddings(emb: pd.DataFrame, n_bins: int = 8,
+                               round_to: int = 6) -> pd.DataFrame:
+    """Independent flat MI twin: same global per-dim min/max bins,
+    exact integer (dim, bin, label) counts, per-dim terms summed in
+    (bin, label) sorted order."""
+    from sits_classification_ray.functions.transforms import sql_round
+
+    X = np.stack([np.asarray(v, dtype=np.float64)
+                  for v in emb["embedding"]])
+    lab = emb["label"].to_numpy(np.int64)
+    lo, hi = X.min(axis=0), X.max(axis=0)
+    span = np.where(hi > lo, hi - lo, 1.0)
+    b = np.clip(((X - lo) / span * n_bins).astype(np.int64),
+                0, n_bins - 1)
+    n_rows, d = X.shape
+    flat = pd.DataFrame({
+        "dim": np.tile(np.arange(d, dtype=np.int64), n_rows),
+        "bin": b.ravel(), "label": np.repeat(lab, d)})
+    g = (flat.groupby(["dim", "bin", "label"], sort=False)
+         .size().rename("n").reset_index())
+    dims, vals = [], []
+    for dim, sub in g.groupby("dim", sort=True):
+        sub = sub.sort_values(["bin", "label"], kind="mergesort")
+        n = sub["n"].to_numpy(np.int64)
+        N = int(n.sum())
+        nb = sub.groupby("bin")["n"].transform("sum") \
+            .to_numpy(np.int64)
+        nl = sub.groupby("label")["n"].transform("sum") \
+            .to_numpy(np.int64)
+        terms = (n.astype(np.float64) / float(N)) * np.log(
+            (n.astype(np.float64) * float(N))
+            / (nb.astype(np.float64) * nl.astype(np.float64)))
+        dims.append(int(dim))
+        vals.append(float(terms.sum()))
+    return pd.DataFrame({"dim": np.array(dims, dtype=np.int64),
+                         "mi": sql_round(np.array(vals), round_to)
+                         + 0.0})

@@ -4379,6 +4379,88 @@ def _kneser_ney_bigrams_documents(sf_dir: str) -> rd.Dataset:
     return kneser_ney_bigrams(docs, k=100)
 
 
+def _mi_feature_rank_embeddings(sf_dir: str, n_bins: int = 8) -> rd.Dataset:
+    """Mutual-information feature ranking: MI(binned dim value; label)
+    per embedding dimension — the filter-method feature-selection pass
+    before training. Two exact passes: per-dim global min/max (order-
+    free), then integer (dim, bin, label) counts through a combiner
+    groupby; the per-dim MI finalizes in one keyed exchange with terms
+    summed in (bin, label) sorted order (golden)."""
+    from ray.data.aggregate import Max, Min, Sum
+
+    from sits_classification_ray.functions.transforms import sql_round
+    from sits_classification_ray.stages.shuffle import partitioned_map
+
+    emb = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                          columns=["embedding", "label"]).materialize()
+
+    def minmax(df: pd.DataFrame) -> pd.DataFrame:
+        X = np.stack([np.asarray(v, dtype=np.float64)
+                      for v in df["embedding"]])
+        d = X.shape[1]
+        return pd.DataFrame({"dim": np.arange(d, dtype=np.int64),
+                             "lo": X.min(axis=0), "hi": X.max(axis=0)})
+
+    mm = (emb.map_batches(minmax, batch_format="pandas")
+          .groupby("dim").aggregate(Min("lo", alias_name="lo"),
+                                    Max("hi", alias_name="hi"))
+          .to_pandas().sort_values("dim", ignore_index=True))
+    lo = ray.put(mm["lo"].to_numpy(np.float64))
+    hi = ray.put(mm["hi"].to_numpy(np.float64))
+
+    class Binner:
+        def __init__(self):
+            self.lo = ray.get(lo)
+            self.hi = ray.get(hi)
+
+        def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+            X = np.stack([np.asarray(v, dtype=np.float64)
+                          for v in df["embedding"]])
+            span = np.where(self.hi > self.lo, self.hi - self.lo, 1.0)
+            b = np.clip(((X - self.lo) / span * n_bins)
+                        .astype(np.int64), 0, n_bins - 1)
+            d = X.shape[1]
+            n = len(X)
+            lab = df["label"].to_numpy(np.int64)
+            out = pd.DataFrame({
+                "dim": np.tile(np.arange(d, dtype=np.int64), n),
+                "bin": b.ravel(),
+                "label": np.repeat(lab, d)})
+            g = (out.groupby(["dim", "bin", "label"], sort=False)
+                 .size().rename("n").reset_index())
+            g["n"] = g["n"].astype(np.int64)
+            return g
+
+    counts = (emb.map_batches(Binner, batch_format="pandas",
+                              concurrency=(1, 8), num_cpus=1)
+              .groupby(["dim", "bin", "label"])
+              .aggregate(Sum("n", alias_name="n")))
+
+    out_schema = pa.schema([("dim", pa.int64()), ("mi", pa.float64())])
+
+    def mi_kern(df: pd.DataFrame) -> pd.DataFrame:
+        dims, vals = [], []
+        for dim, sub in df.groupby("dim", sort=True):
+            sub = sub.sort_values(["bin", "label"], kind="mergesort")
+            n = sub["n"].to_numpy(np.int64)
+            N = int(n.sum())
+            nb = sub.groupby("bin")["n"].transform("sum") \
+                .to_numpy(np.int64)
+            nl = sub.groupby("label")["n"].transform("sum") \
+                .to_numpy(np.int64)
+            terms = (n.astype(np.float64) / float(N)) * np.log(
+                (n.astype(np.float64) * float(N))
+                / (nb.astype(np.float64) * nl.astype(np.float64)))
+            dims.append(int(dim))
+            vals.append(float(terms.sum()))
+        return pd.DataFrame({
+            "dim": np.array(dims, dtype=np.int64),
+            "mi": sql_round(np.array(vals), 6) + 0.0})
+
+    return partitioned_map(counts, mi_kern, keys=["dim"],
+                           out_schema=out_schema)
+
+
 def _lsa_top_terms_documents(sf_dir: str) -> pd.DataFrame:
     """First LSA component of the term–document matrix by distributed
     power iteration: every half-product is a tag-union keyed exchange
@@ -5472,6 +5554,8 @@ def build_queries() -> dict[str, Callable[[str], Any]]:
         "jl_distortion_embeddings": _jl_distortion_embeddings,
         # LSA top component via distributed power iteration (golden)
         "lsa_top_terms_documents": _lsa_top_terms_documents,
+        # mutual-information feature ranking (golden)
+        "mi_feature_rank_embeddings": _mi_feature_rank_embeddings,
         # 2-hop frontier size per domain (SQL-checked)
         "twohop_domains_crawl": _twohop_domains_crawl,
         # weekly link-graph edge churn (SQL-checked)
@@ -5582,7 +5666,7 @@ GOLDEN_QUERIES = [
     "removal_attribution_events", "hard_negatives_embeddings",
     "lpa_communities_crawl", "bloom_prune_crawl", "huber_fit_crawl",
     "iforest_outliers_embeddings", "jl_distortion_embeddings",
-    "lsa_top_terms_documents",
+    "lsa_top_terms_documents", "mi_feature_rank_embeddings",
 ]
 
 
