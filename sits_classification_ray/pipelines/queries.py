@@ -4379,6 +4379,32 @@ def _kneser_ney_bigrams_documents(sf_dir: str) -> rd.Dataset:
     return kneser_ney_bigrams(docs, k=100)
 
 
+def _llr_bigrams_documents(sf_dir: str) -> rd.Dataset:
+    """Dunning log-likelihood-ratio collocations — the significance-
+    tested sibling of pmi_bigrams_documents (SQL-checked)."""
+    from sits_classification_ray.stages.textstats import llr_bigrams
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["text"])
+    return llr_bigrams(docs, k=50, min_count=5)
+
+
+def _xlx_sql(e: str) -> str:
+    return f"(CASE WHEN {e} > 0 THEN ({e}) * ln({e}) ELSE 0.0 END)"
+
+
+#: llr expression mirroring stages/textstats.llr_bigrams' exact float
+#: chain: every xlx argument is an exact integer-valued double, so the
+#: engine's k11+k12 equals ca bitwise and the simpler marginal forms
+#: below are bit-identical to the kernel's.
+_LLR_EXPR = ("2.0 * (" + " + ".join([
+    _xlx_sql("k11"), _xlx_sql("ca - k11"), _xlx_sql("cb - k11"),
+    _xlx_sql("b - ca - cb + k11")])
+    + " - " + _xlx_sql("ca") + " - " + _xlx_sql("b - ca")
+    + " - " + _xlx_sql("cb") + " - " + _xlx_sql("b - cb")
+    + " + " + _xlx_sql("b") + ")")
+
+
 def _mi_feature_rank_embeddings(sf_dir: str, n_bins: int = 8) -> rd.Dataset:
     """Mutual-information feature ranking: MI(binned dim value; label)
     per embedding dimension — the filter-method feature-selection pass
@@ -5556,6 +5582,8 @@ def build_queries() -> dict[str, Callable[[str], Any]]:
         "lsa_top_terms_documents": _lsa_top_terms_documents,
         # mutual-information feature ranking (golden)
         "mi_feature_rank_embeddings": _mi_feature_rank_embeddings,
+        # Dunning LLR collocations (SQL-checked)
+        "llr_bigrams_documents": _llr_bigrams_documents,
         # 2-hop frontier size per domain (SQL-checked)
         "twohop_domains_crawl": _twohop_domains_crawl,
         # weekly link-graph edge churn (SQL-checked)
@@ -7125,6 +7153,30 @@ SELECT t.w1, t.w2, t.n,
 FROM top t
 JOIN ctx c ON c.w1 = t.w1
 JOIN suc s ON s.w2 = t.w2, tot""",
+        "llr_bigrams_documents": f"""
+WITH toks AS MATERIALIZED (
+  SELECT string_split(lower(text), ' ') AS ts FROM documents),
+bi AS MATERIALIZED (
+  SELECT ts[i] AS w1, ts[i + 1] AS w2, count(*) AS n
+  FROM toks CROSS JOIN LATERAL
+    (SELECT unnest(generate_series(1, len(ts) - 1)) AS i) s
+  GROUP BY 1, 2),
+uni AS MATERIALIZED (
+  SELECT w, count(*) AS c FROM
+    (SELECT unnest(ts) AS w FROM toks) GROUP BY 1),
+tot AS (SELECT CAST((SELECT sum(n) FROM bi) AS DOUBLE) AS b),
+en AS (
+  SELECT bi.w1, bi.w2, bi.n, CAST(bi.n AS DOUBLE) AS k11,
+         CAST(ua.c AS DOUBLE) AS ca, CAST(ub.c AS DOUBLE) AS cb, t.b
+  FROM bi, tot t
+  JOIN uni ua ON ua.w = bi.w1
+  JOIN uni ub ON ub.w = bi.w2
+  WHERE bi.n >= 5),
+sc AS (SELECT w1, w2, n, round({_LLR_EXPR}, 6) AS llr FROM en)
+SELECT w1, w2, n, llr FROM (
+  SELECT w1, w2, n, llr,
+         row_number() OVER (ORDER BY llr DESC, w1, w2) AS rn
+  FROM sc) WHERE rn <= 50""",
         "pmi_bigrams_documents": """
 WITH toks AS MATERIALIZED (
   SELECT string_split(lower(text), ' ') AS ts FROM documents),

@@ -1904,3 +1904,89 @@ def kneser_ney_bigrams(ds: rd.Dataset, k: int = 100,
         return out
 
     return enriched.map_batches(score, batch_format="pandas")
+
+
+def llr_bigrams(ds: rd.Dataset, k: int = 50, min_count: int = 5,
+                text_col: str = "text", round_to: int = 6
+                ) -> rd.Dataset:
+    """Top-k collocations by Dunning's log-likelihood ratio (Dunning
+    1993) — the significance-tested sibling of :func:`pmi_bigrams`
+    (PMI over-rewards rare pairs; LLR doesn't). Same distributed
+    shape: count combiners, two tag-union unigram-count attaches on
+    the word key, local-topk merge by (rounded llr DESC, w1, w2).
+
+    The 2×2 contingency per bigram uses unigram marginals: k11=c_ab,
+    k12=c_a−c_ab, k21=c_b−c_ab, k22=B−c_a−c_b+c_ab, and
+    ``llr = 2·(Σ xlx(k) − Σ xlx(row/col sums) + xlx(B))`` with
+    xlx(v)=v·ln v for v>0 else 0 — a fixed-arity expression written
+    identically in the SQL twin (no reduction-order hazard)."""
+    from ray.data.aggregate import Sum
+
+    from sits_classification_ray.functions.transforms import sql_round
+    from sits_classification_ray.stages.sampling import top_k_per_group
+    from sits_classification_ray.stages.shuffle import partitioned_map
+
+    uni = token_counts(ds, text_col).materialize()
+    bi_full = bigram_counts(ds, text_col).materialize()
+    B = float(bi_full.sum("n"))
+    bi = bi_full.filter(expr=f"n >= {min_count}")
+
+    def attach(bi_ds: rd.Dataset, word_col: str, out_col: str
+               ) -> rd.Dataset:
+        cols = bi_ds.columns()
+
+        def tag_bi(df: pd.DataFrame) -> pd.DataFrame:
+            out = df.copy(deep=False)
+            out["__uc"] = np.int64(-1)
+            return out
+
+        def tag_uni(df: pd.DataFrame) -> pd.DataFrame:
+            out = pd.DataFrame(
+                {cols[0]: df["token"] if word_col == cols[0] else "",
+                 cols[1]: df["token"] if word_col == cols[1] else "",
+                 **{c: np.int64(-1) for c in cols[2:]}})
+            out["__uc"] = df["n"].astype(np.int64)
+            return out
+
+        unioned = bi_ds.map_batches(
+            tag_bi, batch_format="pandas").union(
+            uni.map_batches(tag_uni, batch_format="pandas"))
+
+        def kernel(df: pd.DataFrame) -> pd.DataFrame:
+            side_u = df[df["__uc"] >= 0]
+            side_b = df[df["__uc"] < 0]
+            cmap = pd.Series(side_u["__uc"].to_numpy(),
+                             index=side_u[word_col])
+            out = side_b.drop(columns=["__uc"]).copy(deep=False)
+            out[out_col] = out[word_col].map(cmap).astype(np.int64)
+            return out
+
+        return partitioned_map(unioned, kernel, keys=[word_col])
+
+    enriched = attach(attach(bi, "w1", "c_a"), "w2", "c_b")
+
+    def xlx(v: np.ndarray) -> np.ndarray:
+        return np.where(v > 0, v * np.log(np.where(v > 0, v, 1.0)),
+                        0.0)
+
+    def score(df: pd.DataFrame) -> pd.DataFrame:
+        k11 = df["n"].to_numpy(np.float64)
+        c_a = df["c_a"].to_numpy(np.float64)
+        c_b = df["c_b"].to_numpy(np.float64)
+        k12 = c_a - k11
+        k21 = c_b - k11
+        k22 = B - c_a - c_b + k11
+        llr = 2.0 * (xlx(k11) + xlx(k12) + xlx(k21) + xlx(k22)
+                     - xlx(k11 + k12) - xlx(k21 + k22)
+                     - xlx(k11 + k21) - xlx(k12 + k22)
+                     + xlx(np.full_like(k11, B)))
+        out = df[["w1", "w2", "n"]].copy(deep=False)
+        out["llr"] = sql_round(llr, round_to) + 0.0
+        out["_g"] = np.int64(0)
+        out["_tie"] = out["w1"] + " " + out["w2"]
+        return out
+
+    scored = enriched.map_batches(score, batch_format="pandas")
+    top = top_k_per_group(scored, ["_g"], "llr", k=k, ascending=False,
+                          tie_col="_tie")
+    return top.drop_columns(["_g", "_tie"])
