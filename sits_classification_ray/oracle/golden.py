@@ -3649,3 +3649,47 @@ def mi_feature_rank_embeddings(emb: pd.DataFrame, n_bins: int = 8,
     return pd.DataFrame({"dim": np.array(dims, dtype=np.int64),
                          "mi": sql_round(np.array(vals), round_to)
                          + 0.0})
+
+
+def rake_keywords_documents(docs: pd.DataFrame, k: int = 20,
+                            round_to: int = 6) -> pd.DataFrame:
+    """Independent flat RAKE twin: same stopword set, same integer
+    degree/frequency stats, per-phrase sums via the shared
+    segment_sums kernel over (phrase, pos)-sorted rows."""
+    from sits_classification_ray.stages.lsa import segment_sums
+    from sits_classification_ray.stages.textstats import (
+        QUALITY_STOPWORDS)
+
+    stop = set(QUALITY_STOPWORDS)
+
+    def phrases_of(text):
+        out, cur = [], []
+        for t in str(text).lower().split(" "):
+            if t == "" or t in stop:
+                if cur:
+                    out.append(cur)
+                cur = []
+            else:
+                cur.append(t)
+        if cur:
+            out.append(cur)
+        return out
+
+    deg: dict = {}
+    freq: dict = {}
+    distinct = set()
+    for text in docs["text"]:
+        for ph in phrases_of(text):
+            p = " ".join(ph)
+            for i, w in enumerate(ph):
+                deg[w] = deg.get(w, 0) + len(ph)
+                freq[w] = freq.get(w, 0) + 1
+                distinct.add((p, i, w))
+    rows = sorted(distinct)
+    phr = np.array([r[0] for r in rows], dtype=object)
+    wsc = np.array([float(deg[r[2]]) / float(freq[r[2]])
+                    for r in rows])
+    uk, s = segment_sums(phr, wsc)
+    score = np.round(s, round_to) + 0.0
+    order = np.lexsort((uk, -score))[:k]
+    return pd.DataFrame({"phrase": uk[order], "score": score[order]})

@@ -4379,6 +4379,16 @@ def _kneser_ney_bigrams_documents(sf_dir: str) -> rd.Dataset:
     return kneser_ney_bigrams(docs, k=100)
 
 
+def _rake_keywords_documents(sf_dir: str) -> pd.DataFrame:
+    """RAKE keyword extraction: stopword-delimited candidate phrases,
+    degree/frequency word scores, phrase-sum ranking (golden)."""
+    from sits_classification_ray.stages.textstats import rake_keywords
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["text"])
+    return rake_keywords(docs, k=20)
+
+
 def _llr_bigrams_documents(sf_dir: str) -> rd.Dataset:
     """Dunning log-likelihood-ratio collocations — the significance-
     tested sibling of pmi_bigrams_documents (SQL-checked)."""
@@ -5584,6 +5594,8 @@ def build_queries() -> dict[str, Callable[[str], Any]]:
         "mi_feature_rank_embeddings": _mi_feature_rank_embeddings,
         # Dunning LLR collocations (SQL-checked)
         "llr_bigrams_documents": _llr_bigrams_documents,
+        # RAKE keyword extraction (golden)
+        "rake_keywords_documents": _rake_keywords_documents,
         # 2-hop frontier size per domain (SQL-checked)
         "twohop_domains_crawl": _twohop_domains_crawl,
         # weekly link-graph edge churn (SQL-checked)
@@ -5695,6 +5707,7 @@ GOLDEN_QUERIES = [
     "lpa_communities_crawl", "bloom_prune_crawl", "huber_fit_crawl",
     "iforest_outliers_embeddings", "jl_distortion_embeddings",
     "lsa_top_terms_documents", "mi_feature_rank_embeddings",
+    "rake_keywords_documents",
 ]
 
 

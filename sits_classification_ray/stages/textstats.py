@@ -1990,3 +1990,122 @@ def llr_bigrams(ds: rd.Dataset, k: int = 50, min_count: int = 5,
     top = top_k_per_group(scored, ["_g"], "llr", k=k, ascending=False,
                           tie_col="_tie")
     return top.drop_columns(["_g", "_tie"])
+
+
+def rake_keywords(ds: rd.Dataset, k: int = 20,
+                  text_col: str = "text",
+                  round_to: int = 6) -> pd.DataFrame:
+    """RAKE keyword extraction (Rose et al. 2010) over the corpus:
+    candidate phrases are maximal stopword-free token runs, word
+    scores are degree/frequency over ALL phrase occurrences, and a
+    phrase's score sums its words' scores.
+
+    Distributed shape: one flat-map emits (word, freq=1, deg=plen)
+    per phrase-word occurrence → exact integer combiner groupby;
+    distinct candidate phrases explode to (phrase, pos, word) rows
+    that meet the word-score table in a tag-union exchange on word;
+    the per-phrase sum reduces in position order via segment_sums.
+    Top-k phrases by (rounded score DESC, phrase ASC) — golden twin.
+    """
+    from ray.data.aggregate import Count, Sum
+
+    from sits_classification_ray.functions.transforms import sql_round
+    from sits_classification_ray.stages.lsa import segment_sums
+    from sits_classification_ray.stages.sampling import top_k_per_group
+    from sits_classification_ray.stages.shuffle import partitioned_map
+
+    stop = set(QUALITY_STOPWORDS)
+
+    def phrases_of(text: str) -> list:
+        out, cur = [], []
+        for t in str(text).lower().split(" "):
+            if t == "" or t in stop:
+                if cur:
+                    out.append(cur)
+                cur = []
+            else:
+                cur.append(t)
+        if cur:
+            out.append(cur)
+        return out
+
+    def word_partials(df: pd.DataFrame) -> pd.DataFrame:
+        words, degs = [], []
+        for text in df[text_col]:
+            for ph in phrases_of(text):
+                for w in ph:
+                    words.append(w)
+                    degs.append(len(ph))
+        return (pd.DataFrame({"word": words,
+                              "deg": np.array(degs, dtype=np.int64),
+                              "freq": np.int64(1)})
+                .groupby("word", sort=False, as_index=False).sum())
+
+    wstats = (ds.map_batches(word_partials, batch_format="pandas")
+              .groupby("word").aggregate(Sum("deg", alias_name="deg"),
+                                         Sum("freq",
+                                             alias_name="freq"))
+              .materialize())
+
+    def phrase_rows(df: pd.DataFrame) -> pd.DataFrame:
+        ps, pos, ws = [], [], []
+        for text in df[text_col]:
+            for ph in phrases_of(text):
+                p = " ".join(ph)
+                for i, w in enumerate(ph):
+                    ps.append(p)
+                    pos.append(i)
+                    ws.append(w)
+        return pd.DataFrame({"phrase": ps,
+                             "pos": np.array(pos, dtype=np.int64),
+                             "word": ws})
+
+    distinct = (ds.map_batches(phrase_rows, batch_format="pandas")
+                .groupby(["phrase", "pos", "word"])
+                .aggregate(Count(alias_name="_c"))
+                .drop_columns(["_c"]))
+
+    def tag_rows(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"word": df["word"].to_numpy(object),
+                             "phrase": df["phrase"].to_numpy(object),
+                             "pos": df["pos"].to_numpy(np.int64),
+                             "score": np.nan})
+
+    def tag_w(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "word": df["word"].to_numpy(object), "phrase": "",
+            "pos": np.int64(-1),
+            "score": df["deg"].to_numpy(np.float64)
+            / df["freq"].to_numpy(np.float64)})
+
+    un = distinct.map_batches(tag_rows, batch_format="pandas").union(
+        wstats.map_batches(tag_w, batch_format="pandas"))
+
+    def attach(df: pd.DataFrame) -> pd.DataFrame:
+        sc = df[df["pos"] < 0].sort_values("word", kind="mergesort")
+        rows = df[df["pos"] >= 0]
+        p = np.searchsorted(sc["word"].to_numpy(object),
+                            rows["word"].to_numpy(object))
+        return pd.DataFrame({
+            "phrase": rows["phrase"].to_numpy(object),
+            "pos": rows["pos"].to_numpy(np.int64),
+            "score": sc["score"].to_numpy(np.float64)[p]})
+
+    attached = partitioned_map(un, attach, keys=["word"])
+
+    def reduce_phrase(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["phrase", "pos"], kind="mergesort")
+        uk, s = segment_sums(df["phrase"].to_numpy(object),
+                             df["score"].to_numpy(np.float64))
+        return pd.DataFrame({"phrase": uk,
+                             "score": np.round(s, round_to) + 0.0})
+
+    scored = partitioned_map(attached, reduce_phrase, keys=["phrase"])
+    top = top_k_per_group(
+        scored.map_batches(lambda df: df.assign(_g=np.int64(0)),
+                           batch_format="pandas"),
+        ["_g"], "score", k=k, ascending=False, tie_col="phrase")
+    part = top.to_pandas()
+    part = part.sort_values(["score", "phrase"],
+                            ascending=[False, True], kind="mergesort")
+    return part.head(k).reset_index(drop=True)[["phrase", "score"]]

@@ -148,6 +148,8 @@ def make_for(sf_dir: str, only: set[str] | None = None) -> None:
             lambda: golden.lsa_top_terms_documents(docs),
         "mi_feature_rank_embeddings":
             lambda: golden.mi_feature_rank_embeddings(emb),
+        "rake_keywords_documents":
+            lambda: golden.rake_keywords_documents(docs),
         "huber_fit_crawl": lambda: golden.huber_fit_crawl(
             con.sql(f"{CRAWL_PREFIX} SELECT url, warc_ts, text_len, "
                     "word_count FROM obs").df()),
