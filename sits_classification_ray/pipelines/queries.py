@@ -4379,6 +4379,133 @@ def _kneser_ney_bigrams_documents(sf_dir: str) -> rd.Dataset:
     return kneser_ney_bigrams(docs, k=100)
 
 
+def _user_jaccard_events(sf_dir: str, cap: int = 512,
+                         min_shared: int = 2, k: int = 50) -> rd.Dataset:
+    """User–user Jaccard co-engagement (the neighborhood-CF
+    complement of als_recommend_events): candidate pairs come only
+    from items with ≤ cap engaged users — the df-capped blocking
+    every all-pairs similarity uses at scale — then exact distinct
+    counts. One item-keyed exchange expands bounded pairs, integer
+    combiners merge them, and user set sizes attach by tag-union
+    exchanges on each side of the pair (SQL-checked)."""
+    from ray.data.aggregate import Count, Sum
+
+    from sits_classification_ray.functions.transforms import sql_round
+    from sits_classification_ray.stages.als import ratings_from_events
+    from sits_classification_ray.stages.sampling import top_k_per_group
+    from sits_classification_ray.stages.shuffle import partitioned_map
+
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["user_id", "event_type", "value",
+                                  "props"])
+    ui = (ratings_from_events(ev)
+          .map_batches(lambda df: df[["user", "item"]],
+                       batch_format="pandas").materialize())
+    icnt = ui.groupby("item").aggregate(Count(alias_name="c")) \
+        .to_pandas()                      # bounded item vocabulary
+    capped = set(icnt.loc[icnt["c"] <= cap, "item"].tolist())
+    cap_ref = ray.put(np.array(sorted(capped), dtype=np.int64))
+
+    class InCap:
+        def __init__(self):
+            self.keys = ray.get(cap_ref)
+
+        def __call__(self, b: pa.Table) -> pa.Table:
+            item = b["item"].to_numpy(zero_copy_only=False)
+            pos = np.searchsorted(self.keys, item)
+            ok = (pos < len(self.keys)) & \
+                (self.keys[np.clip(pos, 0, len(self.keys) - 1)] == item)
+            return b.filter(pa.array(ok))
+
+    cui = ui.map_batches(InCap, batch_format="pyarrow",
+                         concurrency=(1, 8), num_cpus=1).materialize()
+
+    sizes = cui.groupby("user").aggregate(Count(alias_name="nu"))
+
+    pair_schema = pa.schema([("u1", pa.int64()), ("u2", pa.int64()),
+                             ("shared", pa.int64())])
+
+    def expand(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["item", "user"], kind="mergesort")
+        u1s, u2s = [], []
+        for _, sub in df.groupby("item", sort=False):
+            u = sub["user"].to_numpy(np.int64)
+            if len(u) < 2:
+                continue
+            iu, ju = np.triu_indices(len(u), k=1)
+            u1s.append(u[iu])
+            u2s.append(u[ju])
+        if not u1s:
+            return pd.DataFrame({
+                "u1": pd.Series([], dtype=np.int64),
+                "u2": pd.Series([], dtype=np.int64),
+                "shared": pd.Series([], dtype=np.int64)})
+        out = pd.DataFrame({"u1": np.concatenate(u1s),
+                            "u2": np.concatenate(u2s)})
+        out["shared"] = np.int64(1)
+        return (out.groupby(["u1", "u2"], sort=False, as_index=False)
+                .sum())
+
+    pairs = (partitioned_map(cui, expand, keys=["item"],
+                             out_schema=pair_schema)
+             .groupby(["u1", "u2"])
+             .aggregate(Sum("shared", alias_name="shared"))
+             .filter(expr=f"shared >= {min_shared}"))
+
+    def attach_size(pds: rd.Dataset, side: str, out_col: str
+                    ) -> rd.Dataset:
+        def tag_p(df: pd.DataFrame) -> pd.DataFrame:
+            out = df.copy(deep=False)
+            out["__n"] = np.int64(-1)
+            return out
+
+        cols = pds.columns()
+
+        def tag_s(df: pd.DataFrame) -> pd.DataFrame:
+            out = pd.DataFrame({c: np.full(len(df), -1, dtype=np.int64)
+                                for c in cols})
+            out[side] = df["user"].to_numpy(np.int64)
+            out["__n"] = df["nu"].to_numpy(np.int64)
+            return out
+
+        un = pds.map_batches(tag_p, batch_format="pandas").union(
+            sizes.map_batches(tag_s, batch_format="pandas"))
+
+        def kern(df: pd.DataFrame) -> pd.DataFrame:
+            s = df[df["__n"] >= 0].sort_values(side, kind="mergesort")
+            rows = df[df["__n"] < 0]
+            pos = np.searchsorted(s[side].to_numpy(np.int64),
+                                  rows[side].to_numpy(np.int64))
+            out = rows.drop(columns=["__n"]).copy(deep=False)
+            out[out_col] = s["__n"].to_numpy(np.int64)[pos]
+            return out
+
+        return partitioned_map(un, kern, keys=[side])
+
+    enriched = attach_size(attach_size(pairs, "u1", "na"), "u2", "nb")
+
+    def score(df: pd.DataFrame) -> pd.DataFrame:
+        sh = df["shared"].to_numpy(np.float64)
+        na = df["na"].to_numpy(np.float64)
+        nb = df["nb"].to_numpy(np.float64)
+        out = df[["u1", "u2", "shared"]].copy(deep=False)
+        out["jaccard"] = sql_round(sh / (na + nb - sh), 6) + 0.0
+        out["_g"] = np.int64(0)
+        # composite tie: (u1, u2) as one int64 — reproduces SQL
+        # ORDER BY jaccard DESC, u1, u2 through the single tie col
+        out["_tie"] = (df["u1"].to_numpy(np.int64) * (2 ** 31)
+                       + df["u2"].to_numpy(np.int64))
+        return out
+
+    top = top_k_per_group(
+        enriched.map_batches(score, batch_format="pandas"),
+        ["_g"], "jaccard", k=k, ascending=False, tie_col="_tie")
+    out = top.to_pandas().sort_values(
+        ["jaccard", "u1", "u2"], ascending=[False, True, True],
+        kind="mergesort", ignore_index=True).head(k)
+    return rd.from_pandas(out[["u1", "u2", "shared", "jaccard"]])
+
+
 def _rake_keywords_documents(sf_dir: str) -> pd.DataFrame:
     """RAKE keyword extraction: stopword-delimited candidate phrases,
     degree/frequency word scores, phrase-sum ranking (golden)."""
@@ -5596,6 +5723,8 @@ def build_queries() -> dict[str, Callable[[str], Any]]:
         "llr_bigrams_documents": _llr_bigrams_documents,
         # RAKE keyword extraction (golden)
         "rake_keywords_documents": _rake_keywords_documents,
+        # user-user Jaccard co-engagement (SQL-checked)
+        "user_jaccard_events": _user_jaccard_events,
         # 2-hop frontier size per domain (SQL-checked)
         "twohop_domains_crawl": _twohop_domains_crawl,
         # weekly link-graph edge churn (SQL-checked)
@@ -7166,6 +7295,33 @@ SELECT t.w1, t.w2, t.n,
 FROM top t
 JOIN ctx c ON c.w1 = t.w1
 JOIN suc s ON s.w2 = t.w2, tot""",
+        "user_jaccard_events": """
+WITH ui AS MATERIALIZED (
+  SELECT DISTINCT user_id AS u,
+         CAST(regexp_extract(props, '"k":\\s*(-?\\d+)', 1) AS BIGINT)
+             AS item
+  FROM events WHERE event_type IN ('click', 'view', 'purchase')),
+capped AS MATERIALIZED (
+  SELECT item FROM ui GROUP BY 1 HAVING count(*) <= 512),
+cui AS MATERIALIZED (
+  SELECT u, ui.item FROM ui JOIN capped USING (item)),
+sizes AS (SELECT u, CAST(count(*) AS BIGINT) AS nu
+          FROM cui GROUP BY 1),
+pairs AS (
+  SELECT a.u AS u1, b.u AS u2, CAST(count(*) AS BIGINT) AS shared
+  FROM cui a JOIN cui b ON b.item = a.item AND b.u > a.u
+  GROUP BY 1, 2 HAVING count(*) >= 2),
+sc AS (
+  SELECT p.u1, p.u2, p.shared,
+         round(CAST(p.shared AS DOUBLE)
+               / (CAST(sa.nu AS DOUBLE) + CAST(sb.nu AS DOUBLE)
+                  - CAST(p.shared AS DOUBLE)), 6) AS jaccard
+  FROM pairs p JOIN sizes sa ON sa.u = p.u1
+               JOIN sizes sb ON sb.u = p.u2)
+SELECT u1, u2, shared, jaccard FROM (
+  SELECT u1, u2, shared, jaccard,
+         row_number() OVER (ORDER BY jaccard DESC, u1, u2) AS rn
+  FROM sc) WHERE rn <= 50""",
         "llr_bigrams_documents": f"""
 WITH toks AS MATERIALIZED (
   SELECT string_split(lower(text), ' ') AS ts FROM documents),
