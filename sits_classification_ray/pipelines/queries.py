@@ -4379,6 +4379,71 @@ def _kneser_ney_bigrams_documents(sf_dir: str) -> rd.Dataset:
     return kneser_ney_bigrams(docs, k=100)
 
 
+def _ar1_halflife_crawl(sf_dir: str, min_pairs: int = 8) -> rd.Dataset:
+    """AR(1) mean-reversion fit per url over its daily text-volume
+    series: phi from the consecutive-day lag regression and the
+    implied mean-reversion half-life ln(.5)/ln(phi) — the recrawl-
+    scheduling signal for how fast a page's churn decays. All
+    regression sums are exact integers (daily sums of an integer
+    metric), so the cross-partition merge is order-free and only the
+    final two divisions are float (SQL-checked)."""
+    from ray.data.aggregate import Sum
+
+    from sits_classification_ray.functions.transforms import sql_round
+    from sits_classification_ray.stages.shuffle import partitioned_map
+
+    day_us = 86_400_000_000
+
+    def proj(df: pd.DataFrame) -> pd.DataFrame:
+        us = df["warc_ts"].to_numpy().astype("datetime64[us]") \
+            .astype(np.int64)
+        return pd.DataFrame({"url": df["url"],
+                             "day": (us // day_us) * day_us,
+                             "x": df["text_len"].astype(np.int64)})
+
+    daily = (_obs(sf_dir).map_batches(proj, batch_format="pandas")
+             .groupby(["url", "day"]).aggregate(Sum("x",
+                                                    alias_name="x")))
+
+    out_schema = pa.schema([("url", pa.string()),
+                            ("n_pairs", pa.int64()),
+                            ("phi", pa.float64()),
+                            ("halflife_days", pa.float64())])
+
+    def kern(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["url", "day"], kind="mergesort")
+        urls, ns, phis, hls = [], [], [], []
+        for u, sub in df.groupby("url", sort=False):
+            d = sub["day"].to_numpy(np.int64)
+            x = sub["x"].to_numpy(np.int64)
+            consec = (d[1:] - d[:-1]) == day_us
+            px, cx = x[:-1][consec], x[1:][consec]
+            n = len(px)
+            if n < min_pairs:
+                continue
+            sx, sy = int(px.sum()), int(cx.sum())
+            sxy, sxx = int((px * cx).sum()), int((px * px).sum())
+            den = n * sxx - sx * sx
+            if den == 0:
+                continue
+            phi = float(n * sxy - sx * sy) / float(den)
+            hl = np.log(0.5) / np.log(phi) \
+                if 0.0 < phi < 1.0 else np.nan
+            urls.append(u)
+            ns.append(n)
+            phis.append(float(sql_round(np.float64(phi), 6)) + 0.0)
+            hls.append(float(sql_round(np.float64(hl), 6)) + 0.0
+                       if np.isfinite(hl) else np.nan)
+        return pd.DataFrame({
+            "url": np.array(urls, dtype=object),
+            "n_pairs": np.array(ns, dtype=np.int64),
+            "phi": np.array(phis, dtype=np.float64),
+            "halflife_days": np.array(hls, dtype=np.float64)})
+
+    return partitioned_map(daily, kern, keys=["url"],
+                           out_schema=out_schema)
+
+
 def _user_jaccard_events(sf_dir: str, cap: int = 512,
                          min_shared: int = 2, k: int = 50) -> rd.Dataset:
     """User–user Jaccard co-engagement (the neighborhood-CF
@@ -5725,6 +5790,8 @@ def build_queries() -> dict[str, Callable[[str], Any]]:
         "rake_keywords_documents": _rake_keywords_documents,
         # user-user Jaccard co-engagement (SQL-checked)
         "user_jaccard_events": _user_jaccard_events,
+        # AR(1) mean-reversion half-life per url (SQL-checked)
+        "ar1_halflife_crawl": _ar1_halflife_crawl,
         # 2-hop frontier size per domain (SQL-checked)
         "twohop_domains_crawl": _twohop_domains_crawl,
         # weekly link-graph edge churn (SQL-checked)
@@ -7295,6 +7362,35 @@ SELECT t.w1, t.w2, t.n,
 FROM top t
 JOIN ctx c ON c.w1 = t.w1
 JOIN suc s ON s.w2 = t.w2, tot""",
+        "ar1_halflife_crawl": f"""{CRAWL_PREFIX},
+d AS MATERIALIZED (
+  SELECT url,
+         make_timestamp((epoch_us(warc_ts) // 86400000000)
+                        * 86400000000) AS day,
+         CAST(sum(text_len) AS BIGINT) AS x
+  FROM obs GROUP BY 1, 2),
+p AS (
+  SELECT url, x,
+         lag(x) OVER w AS px, lag(day) OVER w AS pd, day
+  FROM d WINDOW w AS (PARTITION BY url ORDER BY day)),
+q AS (
+  SELECT url, CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(px) AS BIGINT) AS sx,
+         CAST(sum(x) AS BIGINT) AS sy,
+         CAST(sum(px * x) AS BIGINT) AS sxy,
+         CAST(sum(px * px) AS BIGINT) AS sxx
+  FROM p WHERE pd = day - INTERVAL 1 DAY
+  GROUP BY 1 HAVING count(*) >= 8),
+f AS (
+  SELECT url, n AS n_pairs,
+         CAST(n * sxy - sx * sy AS DOUBLE)
+         / CAST(n * sxx - sx * sx AS DOUBLE) AS phi_raw
+  FROM q WHERE n * sxx - sx * sx <> 0)
+SELECT url, n_pairs, round(phi_raw, 6) AS phi,
+       CASE WHEN phi_raw > 0 AND phi_raw < 1
+            THEN round(ln(0.5) / ln(phi_raw), 6)
+            ELSE NULL END AS halflife_days
+FROM f""",
         "user_jaccard_events": """
 WITH ui AS MATERIALIZED (
   SELECT DISTINCT user_id AS u,
