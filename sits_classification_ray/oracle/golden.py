@@ -3693,3 +3693,33 @@ def rake_keywords_documents(docs: pd.DataFrame, k: int = 20,
     score = np.round(s, round_to) + 0.0
     order = np.lexsort((uk, -score))[:k]
     return pd.DataFrame({"phrase": uk[order], "score": score[order]})
+
+
+def haar_energy_crawl(obs: pd.DataFrame, T: int = 32) -> pd.DataFrame:
+    """Independent flat Haar twin: same 32-day zero-padded window
+    from each url's first crawl day, same exact dyadic transform."""
+    day_us = 86_400_000_000
+    us = obs["warc_ts"].to_numpy().astype("datetime64[us]") \
+        .astype(np.int64)
+    df = pd.DataFrame({"url": obs["url"], "day": us // day_us,
+                       "x": obs["text_len"].astype(np.int64)})
+    daily = (df.groupby(["url", "day"], as_index=False)["x"].sum()
+             .sort_values(["url", "day"], kind="mergesort"))
+    urls, lvls, ens = [], [], []
+    for u, sub in daily.groupby("url", sort=True):
+        d = sub["day"].to_numpy(np.int64)
+        x = sub["x"].to_numpy(np.float64)
+        series = np.zeros(T)
+        off = d - d[0]
+        m = off < T
+        series[off[m]] = x[m]
+        cur = series
+        for lvl in range(1, 6):
+            detail = (cur[0::2] - cur[1::2]) / 2.0
+            cur = (cur[0::2] + cur[1::2]) / 2.0
+            urls.append(u)
+            lvls.append(lvl)
+            ens.append(float((detail * detail).sum()))
+    return pd.DataFrame({"url": np.array(urls, dtype=object),
+                         "level": np.array(lvls, dtype=np.int64),
+                         "energy": np.array(ens, dtype=np.float64)})

@@ -4379,6 +4379,61 @@ def _kneser_ney_bigrams_documents(sf_dir: str) -> rd.Dataset:
     return kneser_ney_bigrams(docs, k=100)
 
 
+def _haar_energy_crawl(sf_dir: str, T: int = 32) -> rd.Dataset:
+    """Haar wavelet energy signature per url: the 32-day daily
+    text-volume window from each url's first crawl day decomposes
+    into 5 detail levels; per-level energy separates fast-churning
+    pages (level-1 heavy) from slow drifters (coarse-level heavy).
+    Every coefficient is a dyadic rational of integer daily sums, so
+    the whole transform is EXACT in float64 — no ordering contract
+    needed (golden)."""
+    from ray.data.aggregate import Sum
+
+    from sits_classification_ray.stages.shuffle import partitioned_map
+
+    day_us = 86_400_000_000
+
+    def proj(df: pd.DataFrame) -> pd.DataFrame:
+        us = df["warc_ts"].to_numpy().astype("datetime64[us]") \
+            .astype(np.int64)
+        return pd.DataFrame({"url": df["url"],
+                             "day": us // day_us,
+                             "x": df["text_len"].astype(np.int64)})
+
+    daily = (_obs(sf_dir).map_batches(proj, batch_format="pandas")
+             .groupby(["url", "day"]).aggregate(Sum("x",
+                                                    alias_name="x")))
+
+    out_schema = pa.schema([("url", pa.string()),
+                            ("level", pa.int64()),
+                            ("energy", pa.float64())])
+
+    def kern(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["url", "day"], kind="mergesort")
+        urls, lvls, ens = [], [], []
+        for u, sub in df.groupby("url", sort=False):
+            d = sub["day"].to_numpy(np.int64)
+            x = sub["x"].to_numpy(np.float64)
+            series = np.zeros(T)
+            off = d - d[0]
+            m = off < T
+            series[off[m]] = x[m]
+            cur = series
+            for lvl in range(1, 6):
+                detail = (cur[0::2] - cur[1::2]) / 2.0
+                cur = (cur[0::2] + cur[1::2]) / 2.0
+                urls.append(u)
+                lvls.append(lvl)
+                ens.append(float((detail * detail).sum()))
+        return pd.DataFrame({
+            "url": np.array(urls, dtype=object),
+            "level": np.array(lvls, dtype=np.int64),
+            "energy": np.array(ens, dtype=np.float64)})
+
+    return partitioned_map(daily, kern, keys=["url"],
+                           out_schema=out_schema)
+
+
 def _ar1_halflife_crawl(sf_dir: str, min_pairs: int = 8) -> rd.Dataset:
     """AR(1) mean-reversion fit per url over its daily text-volume
     series: phi from the consecutive-day lag regression and the
@@ -5792,6 +5847,8 @@ def build_queries() -> dict[str, Callable[[str], Any]]:
         "user_jaccard_events": _user_jaccard_events,
         # AR(1) mean-reversion half-life per url (SQL-checked)
         "ar1_halflife_crawl": _ar1_halflife_crawl,
+        # Haar wavelet energy signature per url (golden)
+        "haar_energy_crawl": _haar_energy_crawl,
         # 2-hop frontier size per domain (SQL-checked)
         "twohop_domains_crawl": _twohop_domains_crawl,
         # weekly link-graph edge churn (SQL-checked)
@@ -5903,7 +5960,7 @@ GOLDEN_QUERIES = [
     "lpa_communities_crawl", "bloom_prune_crawl", "huber_fit_crawl",
     "iforest_outliers_embeddings", "jl_distortion_embeddings",
     "lsa_top_terms_documents", "mi_feature_rank_embeddings",
-    "rake_keywords_documents",
+    "rake_keywords_documents", "haar_energy_crawl",
 ]
 
 

@@ -150,6 +150,8 @@ def make_for(sf_dir: str, only: set[str] | None = None) -> None:
             lambda: golden.mi_feature_rank_embeddings(emb),
         "rake_keywords_documents":
             lambda: golden.rake_keywords_documents(docs),
+        "haar_energy_crawl":
+            lambda: golden.haar_energy_crawl(obs),
         "huber_fit_crawl": lambda: golden.huber_fit_crawl(
             con.sql(f"{CRAWL_PREFIX} SELECT url, warc_ts, text_len, "
                     "word_count FROM obs").df()),
