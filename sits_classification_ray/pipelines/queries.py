@@ -4379,6 +4379,95 @@ def _kneser_ney_bigrams_documents(sf_dir: str) -> rd.Dataset:
     return kneser_ney_bigrams(docs, k=100)
 
 
+def _item_lift_events(sf_dir: str, min_co: int = 3,
+                      k: int = 20) -> rd.Dataset:
+    """Item–item lift over user engagement sets (the market-basket
+    complement of user_jaccard_events, on the item side): pairs
+    expand inside one user-keyed exchange (a user's item set is
+    bounded), co-occurrence counts merge as exact integers, and
+    lift = c_ab·N / (c_a·c_b) divides exact ints. Top-k by
+    (lift DESC, i1, i2) (SQL-checked)."""
+    from ray.data.aggregate import Count, Sum
+
+    from sits_classification_ray.functions.transforms import sql_round
+    from sits_classification_ray.stages.als import ratings_from_events
+    from sits_classification_ray.stages.shuffle import partitioned_map
+
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["user_id", "event_type", "value",
+                                  "props"])
+    ui = (ratings_from_events(ev)
+          .map_batches(lambda df: df[["user", "item"]],
+                       batch_format="pandas").materialize())
+    n_users = int(ui.groupby("user")
+                  .aggregate(Count(alias_name="_c")).count())
+    # item marginals: bounded vocabulary (the ALS assumption)
+    ic = ui.groupby("item").aggregate(Count(alias_name="c")) \
+        .to_pandas().sort_values("item", ignore_index=True)
+    keys = ray.put((ic["item"].to_numpy(np.int64),
+                    ic["c"].to_numpy(np.int64)))
+
+    pair_schema = pa.schema([("i1", pa.int64()), ("i2", pa.int64()),
+                             ("co", pa.int64())])
+
+    def expand(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["user", "item"], kind="mergesort")
+        a, b = [], []
+        for _, sub in df.groupby("user", sort=False):
+            it = sub["item"].to_numpy(np.int64)
+            if len(it) < 2:
+                continue
+            iu, ju = np.triu_indices(len(it), k=1)
+            a.append(it[iu])
+            b.append(it[ju])
+        if not a:
+            return pd.DataFrame({
+                "i1": pd.Series([], dtype=np.int64),
+                "i2": pd.Series([], dtype=np.int64),
+                "co": pd.Series([], dtype=np.int64)})
+        out = pd.DataFrame({"i1": np.concatenate(a),
+                            "i2": np.concatenate(b)})
+        out["co"] = np.int64(1)
+        return out.groupby(["i1", "i2"], sort=False,
+                           as_index=False).sum()
+
+    pairs = (partitioned_map(ui, expand, keys=["user"],
+                             out_schema=pair_schema)
+             .groupby(["i1", "i2"]).aggregate(Sum("co",
+                                                  alias_name="co"))
+             .filter(expr=f"co >= {min_co}"))
+
+    class Lift:
+        def __init__(self):
+            self.items, self.c = ray.get(keys)
+
+        def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+            p1 = np.searchsorted(self.items,
+                                 df["i1"].to_numpy(np.int64))
+            p2 = np.searchsorted(self.items,
+                                 df["i2"].to_numpy(np.int64))
+            co = df["co"].to_numpy(np.int64)
+            lift = (co * n_users).astype(np.float64) \
+                / (self.c[p1] * self.c[p2]).astype(np.float64)
+            out = df[["i1", "i2", "co"]].copy(deep=False)
+            out["lift"] = sql_round(lift, 6) + 0.0
+            out["_g"] = np.int64(0)
+            out["_tie"] = (df["i1"].to_numpy(np.int64) * (2 ** 31)
+                           + df["i2"].to_numpy(np.int64))
+            return out
+
+    from sits_classification_ray.stages.sampling import top_k_per_group
+
+    top = top_k_per_group(
+        pairs.map_batches(Lift, batch_format="pandas",
+                          concurrency=(1, 4), num_cpus=1),
+        ["_g"], "lift", k=k, ascending=False, tie_col="_tie")
+    out = top.to_pandas().sort_values(
+        ["lift", "i1", "i2"], ascending=[False, True, True],
+        kind="mergesort", ignore_index=True).head(k)
+    return rd.from_pandas(out[["i1", "i2", "co", "lift"]])
+
+
 def _haar_energy_crawl(sf_dir: str, T: int = 32) -> rd.Dataset:
     """Haar wavelet energy signature per url: the 32-day daily
     text-volume window from each url's first crawl day decomposes
@@ -5849,6 +5938,8 @@ def build_queries() -> dict[str, Callable[[str], Any]]:
         "ar1_halflife_crawl": _ar1_halflife_crawl,
         # Haar wavelet energy signature per url (golden)
         "haar_energy_crawl": _haar_energy_crawl,
+        # item-item lift market basket (SQL-checked)
+        "item_lift_events": _item_lift_events,
         # 2-hop frontier size per domain (SQL-checked)
         "twohop_domains_crawl": _twohop_domains_crawl,
         # weekly link-graph edge churn (SQL-checked)
@@ -7419,6 +7510,30 @@ SELECT t.w1, t.w2, t.n,
 FROM top t
 JOIN ctx c ON c.w1 = t.w1
 JOIN suc s ON s.w2 = t.w2, tot""",
+        "item_lift_events": """
+WITH ui AS MATERIALIZED (
+  SELECT DISTINCT user_id AS u,
+         CAST(regexp_extract(props, '"k":\\s*(-?\\d+)', 1) AS BIGINT)
+             AS item
+  FROM events WHERE event_type IN ('click', 'view', 'purchase')),
+nu AS (SELECT CAST(count(DISTINCT u) AS BIGINT) AS n FROM ui),
+ic AS (SELECT item, CAST(count(*) AS BIGINT) AS c
+       FROM ui GROUP BY 1),
+pairs AS (
+  SELECT a.item AS i1, b.item AS i2, CAST(count(*) AS BIGINT) AS co
+  FROM ui a JOIN ui b ON b.u = a.u AND b.item > a.item
+  GROUP BY 1, 2 HAVING count(*) >= 3),
+sc AS (
+  SELECT p.i1, p.i2, p.co,
+         round(CAST(p.co * t.n AS DOUBLE)
+               / CAST(ca.c * cb.c AS DOUBLE), 6) AS lift
+  FROM pairs p, nu t
+  JOIN ic ca ON ca.item = p.i1
+  JOIN ic cb ON cb.item = p.i2)
+SELECT i1, i2, co, lift FROM (
+  SELECT i1, i2, co, lift,
+         row_number() OVER (ORDER BY lift DESC, i1, i2) AS rn
+  FROM sc) WHERE rn <= 20""",
         "ar1_halflife_crawl": f"""{CRAWL_PREFIX},
 d AS MATERIALIZED (
   SELECT url,
