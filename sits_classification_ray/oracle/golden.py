@@ -1804,6 +1804,41 @@ def resized_thumbnails_crawl(crawl: pd.DataFrame) -> pd.DataFrame:
                                        "pixel_sum", "n_dark"])
 
 
+def png_thumbnails_crawl(crawl: pd.DataFrame) -> pd.DataFrame:
+    """Expected output of the PNG decode+thumbnail query computed
+    WITHOUT any PNG code: the query's synth tiles html bytes into a
+    (8 + n%40) × (8 + n%30) raster (RGB when n is odd), so the
+    expected 16×16 thumbnail is derivable straight from the raw
+    bytes — luma (r + 2g + b) // 4 for RGB, nearest-neighbor src =
+    floor(dst · src/dst). A match therefore proves the engine's
+    deflate+unfilter decode reproduces the original pixels exactly."""
+    import zlib as _z
+
+    rows = []
+    for r in crawl.itertuples():
+        h = r.html or b"\x00"
+        n = len(h)
+        w, ht = 8 + n % 40, 8 + n % 30
+        rgb = n % 2 == 1
+        need = w * ht * (3 if rgb else 1)
+        px = np.frombuffer((h * (need // n + 1))[:need], np.uint8)
+        if rgb:
+            p = px.reshape(ht, w, 3).astype(np.int64)
+            gray = ((p[:, :, 0] + 2 * p[:, :, 1] + p[:, :, 2]) // 4
+                    ).astype(np.uint8)
+        else:
+            gray = px.reshape(ht, w)
+        ys = (np.arange(16) * ht) // 16
+        xs = (np.arange(16) * w) // 16
+        small = gray[np.ix_(ys, xs)]
+        raw = small.tobytes()
+        rows.append((r.url, r.warc_ts, w, ht, np.int64(_z.crc32(raw)),
+                     int(small.sum()), int((small < 64).sum())))
+    return pd.DataFrame(rows, columns=["url", "warc_ts", "width",
+                                       "height", "thumb_crc32",
+                                       "pixel_sum", "n_dark"])
+
+
 def wav_features_crawl(crawl: pd.DataFrame, frame: int = 256
                        ) -> pd.DataFrame:
     """Independent WAV feature model: samples = html byte pairs as

@@ -2,12 +2,14 @@
 
 Treats image/audio/video payloads as opaque ``binary`` columns with
 typed metadata — the pattern a 100 TB training-data pipeline needs.
-The decode step itself requires codec libraries that are not in this
-container, so the *decoders* are stubbed (deterministic fake or
-``NotImplementedError``, clearly marked) while the Ray-side plumbing —
-schema, actor-pool signature, batch sizing for wide rows, output
-layout — is real and tested. The crawl table's ``html`` binary column
-doubles as the test payload.
+Real, library-free decoders are implemented for PGM (raster resize),
+WAV PCM (audio features), Y4M (per-frame scene stats) and — via
+stdlib zlib — compressed PNG (inflate + unfilter + resize); header
+decode covers PNG/GIF/BMP/JPEG dimensions. Only other compressed
+bitstream codecs (JPEG entropy decode, video codecs) remain stubbed
+behind a clearly-marked ``NotImplementedError``
+(``BinaryFeatureExtract.strict``). The crawl table's ``html`` binary
+column doubles as the test payload.
 """
 
 from __future__ import annotations
@@ -383,6 +385,211 @@ def resize_pgm(ds: rd.Dataset, out_w: int = 16, out_h: int = 16,
     size (the memory-aware sizing rule for multimodal columns)."""
     return ds.map_batches(
         PgmThumbnailer,
+        fn_constructor_kwargs={"out_w": out_w, "out_h": out_h,
+                               "payload_col": payload_col},
+        batch_format="pyarrow", batch_size=batch_size,
+        concurrency=concurrency, num_cpus=1)
+
+
+# ---------------------------------------------------------------------------
+# PNG decode — REAL compressed-codec decode via stdlib zlib
+# ---------------------------------------------------------------------------
+#
+# Closes the last decode stub with a genuine COMPRESSED image codec:
+# IDAT inflate (zlib) + per-scanline unfilter (None/Sub/Up/Average/
+# Paeth per the PNG spec §9) for 8-bit grayscale (color type 0) and
+# truecolor RGB (color type 2). No external codec library — the same
+# capability the reference's predict path gets from GDAL-read
+# compressed rasters (reference: pytorch/predict.py:346-455).
+
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def _paeth(a: int, b: int, c: int) -> int:
+    """PNG Paeth predictor (spec §9.4): nearest of left/up/up-left to
+    the linear estimate a + b − c, ties broken left, up, up-left."""
+    p = a + b - c
+    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+    if pa <= pb and pa <= pc:
+        return a
+    if pb <= pc:
+        return b
+    return c
+
+
+def make_png(pixels: np.ndarray) -> bytes:
+    """Encode a REAL spec-conformant PNG from an (h, w) grayscale or
+    (h, w, 3) RGB uint8 array. Scanline filters cycle 0..4 by row so
+    every decoder branch (None/Sub/Up/Average/Paeth) is exercised;
+    IDAT is genuinely deflate-compressed."""
+    arr = np.ascontiguousarray(pixels, dtype=np.uint8)
+    if arr.ndim == 2:
+        h, w = arr.shape
+        ct, ch = 0, 1
+    elif arr.ndim == 3 and arr.shape[2] == 3:
+        h, w, _ = arr.shape
+        ct, ch = 2, 3
+    else:
+        raise ValueError("expected (h,w) gray or (h,w,3) RGB uint8")
+    raw = arr.reshape(h, w * ch).astype(np.int16)
+    stream = bytearray()
+    prev = np.zeros(w * ch, np.int16)
+    for y in range(h):
+        line = raw[y]
+        left = np.zeros_like(line)
+        left[ch:] = line[:-ch]
+        ft = y % 5
+        if ft == 0:
+            filt = line
+        elif ft == 1:
+            filt = line - left
+        elif ft == 2:
+            filt = line - prev
+        elif ft == 3:
+            filt = line - (left + prev) // 2
+        else:
+            ul = np.zeros_like(prev)
+            ul[ch:] = prev[:-ch]
+            pred = np.fromiter(
+                (_paeth(int(a), int(b), int(c))
+                 for a, b, c in zip(left, prev, ul)),
+                np.int16, len(line))
+            filt = line - pred
+        stream.append(ft)
+        stream += (filt & 0xFF).astype(np.uint8).tobytes()
+        prev = line
+    idat = zlib.compress(bytes(stream), 6)
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, ct, 0, 0, 0)
+
+    def chunk(tag: bytes, body: bytes) -> bytes:
+        return (struct.pack(">I", len(body)) + tag + body
+                + struct.pack(">I", zlib.crc32(tag + body) & 0xFFFFFFFF))
+
+    return (_PNG_SIG + chunk(b"IHDR", ihdr) + chunk(b"IDAT", idat)
+            + chunk(b"IEND", b""))
+
+
+def decode_png(data: bytes) -> np.ndarray:
+    """Full PNG pixel decode, stdlib-only: chunk walk → IDAT concat →
+    zlib inflate → per-scanline unfilter. Returns (h, w) uint8 for
+    grayscale or (h, w, 3) for RGB. Sub unfilters as a vectorized
+    per-channel cumulative sum and Up as one vector add; Average and
+    Paeth reconstruct sequentially (their data dependency is inherent
+    to the format). Supports 8-bit color types 0 and 2, non-interlaced
+    — other variants raise ``NotImplementedError`` honestly."""
+    if data[:8] != _PNG_SIG:
+        raise ValueError("not a PNG")
+    pos, idat = 8, bytearray()
+    w = h = depth = ct = interlace = None
+    while pos + 12 <= len(data):
+        ln = struct.unpack(">I", data[pos:pos + 4])[0]
+        tag = data[pos + 4:pos + 8]
+        body = data[pos + 8:pos + 8 + ln]
+        if tag == b"IHDR":
+            w, h, depth, ct = struct.unpack(">IIBB", body[:10])
+            interlace = body[12]
+        elif tag == b"IDAT":
+            idat += body
+        elif tag == b"IEND":
+            break
+        pos += 12 + ln
+    if w is None:
+        raise ValueError("missing IHDR")
+    if depth != 8 or ct not in (0, 2) or interlace:
+        raise NotImplementedError(
+            f"PNG depth={depth} color_type={ct} interlace={interlace}: "
+            "only 8-bit gray/RGB non-interlaced is implemented")
+    ch = 1 if ct == 0 else 3
+    stride = w * ch
+    raw = zlib.decompress(bytes(idat))
+    if len(raw) != h * (stride + 1):
+        raise ValueError("IDAT size mismatch")
+    out = np.zeros((h, stride), np.uint8)
+    prev = np.zeros(stride, np.int64)
+    pos = 0
+    for y in range(h):
+        ft = raw[pos]
+        pos += 1
+        line = np.frombuffer(raw, np.uint8, stride, pos).astype(np.int64)
+        pos += stride
+        if ft == 0:
+            rec = line
+        elif ft == 1:
+            # Sub: rec[i] = line[i] + rec[i-ch]  ⇒  per-channel prefix
+            # sum mod 256 — one vectorized cumsum instead of a byte loop
+            rec = (np.cumsum(line.reshape(w, ch), axis=0).reshape(stride)
+                   & 0xFF)
+        elif ft == 2:
+            rec = (line + prev) & 0xFF
+        elif ft == 3:
+            rec = line.copy()
+            for i in range(stride):
+                left = rec[i - ch] if i >= ch else 0
+                rec[i] = (rec[i] + (left + prev[i]) // 2) & 0xFF
+        elif ft == 4:
+            rec = line.copy()
+            for i in range(stride):
+                a = rec[i - ch] if i >= ch else 0
+                c = prev[i - ch] if i >= ch else 0
+                rec[i] = (rec[i] + _paeth(int(a), int(prev[i]),
+                                          int(c))) & 0xFF
+        else:
+            raise ValueError(f"bad filter type {ft}")
+        out[y] = rec
+        prev = rec
+    return out.reshape(h, w, 3) if ch == 3 else out.reshape(h, w)
+
+
+class PngThumbnailer:
+    """Actor-pool stage: REAL compressed-image decode + resize. Inflate
+    and unfilter each PNG (``decode_png``), collapse RGB to exact
+    integer luma ``(r + 2g + b) // 4``, nearest-neighbor resample to
+    (out_h, out_w), and emit crc32 / exact pixel sum / dark-pixel
+    count — the same bit-strong output contract as ``PgmThumbnailer``
+    but over a genuinely compressed bitstream."""
+
+    def __init__(self, out_w: int = 16, out_h: int = 16,
+                 payload_col: str = "payload"):
+        self.out_w, self.out_h = out_w, out_h
+        self.payload_col = payload_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        crcs, sums, n_dark, widths, heights = [], [], [], [], []
+        for p in batch[self.payload_col].to_pylist():
+            img = decode_png(p or b"")
+            if img.ndim == 3:
+                px = img.astype(np.int64)
+                gray = ((px[:, :, 0] + 2 * px[:, :, 1] + px[:, :, 2])
+                        // 4).astype(np.uint8)
+            else:
+                gray = img
+            h, w = gray.shape
+            ys = (np.arange(self.out_h) * h) // self.out_h
+            xs = (np.arange(self.out_w) * w) // self.out_w
+            small = gray[np.ix_(ys, xs)]
+            raw = small.tobytes()
+            crcs.append(zlib.crc32(raw))
+            sums.append(int(small.sum()))
+            n_dark.append(int((small < 64).sum()))
+            widths.append(w)
+            heights.append(h)
+        cols = {name: batch[name] for name in batch.schema.names
+                if name != self.payload_col}
+        cols["width"] = pa.array(np.asarray(widths, np.int64))
+        cols["height"] = pa.array(np.asarray(heights, np.int64))
+        cols["thumb_crc32"] = pa.array(np.asarray(crcs, np.int64))
+        cols["pixel_sum"] = pa.array(np.asarray(sums, np.int64))
+        cols["n_dark"] = pa.array(np.asarray(n_dark, np.int64))
+        return pa.table(cols)
+
+
+def png_thumbnails(ds: rd.Dataset, out_w: int = 16, out_h: int = 16,
+                   payload_col: str = "payload", batch_size: int = 256,
+                   concurrency: tuple[int, int] = (1, 8)) -> rd.Dataset:
+    """Decode+thumbnail a PNG asset column with an actor pool — small
+    batches (compressed rows inflate ~2-4× in the heap)."""
+    return ds.map_batches(
+        PngThumbnailer,
         fn_constructor_kwargs={"out_w": out_w, "out_h": out_h,
                                "payload_col": payload_col},
         batch_format="pyarrow", batch_size=batch_size,

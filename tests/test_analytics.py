@@ -281,3 +281,55 @@ def test_stl_decompose_additive_identity_and_seasonality(ray_session):
     dow = pd.DatetimeIndex(mid["day"]).dayofweek
     assert mid.loc[dow >= 5, "seasonal"].mean() > \
         mid.loc[dow < 5, "seasonal"].mean() + 10
+
+
+def test_png_codec_roundtrip_and_thumbnail(ray_session):
+    """PNG encode→decode identity for gray and RGB (all five scanline
+    filters exercised — heights ≥ 5 rows cycle 0..4), a hand-checked
+    Paeth vector, honest NotImplementedError on unsupported variants,
+    and the actor-pool thumbnail stage on a known gradient."""
+    import struct
+    import zlib
+
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from sits_classification_ray.stages.multimodal import (PngThumbnailer,
+                                                           _paeth,
+                                                           decode_png,
+                                                           make_png,
+                                                           png_thumbnails)
+
+    # spec §9.4: nearest to p = a+b−c; ties break left, up, up-left
+    assert _paeth(1, 2, 3) == 1          # p=0: pa=1 < pb=2 < pc=3 → left
+    assert _paeth(10, 20, 15) == 15      # p=15: pc=0 wins → up-left
+    assert _paeth(5, 5, 5) == 5
+    rng = np.random.RandomState(7)
+    for shape in [(6, 4), (9, 5, 3), (1, 1), (5, 1, 3)]:
+        img = rng.randint(0, 256, shape).astype(np.uint8)
+        assert np.array_equal(decode_png(make_png(img)), img)
+
+    # 16-bit depth must raise NotImplementedError, not mis-decode:
+    # hand-build a minimal PNG whose IHDR declares depth=16
+    import pytest as _pytest
+
+    def chunk(tag, body):
+        return (struct.pack(">I", len(body)) + tag + body
+                + struct.pack(">I", zlib.crc32(tag + body)))
+
+    ihdr16 = struct.pack(">IIBBBBB", 1, 1, 16, 0, 0, 0, 0)
+    bad = (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr16)
+           + chunk(b"IDAT", zlib.compress(b"\x00\x00\x00"))
+           + chunk(b"IEND", b""))
+    with _pytest.raises(NotImplementedError):
+        decode_png(bad)
+
+    # thumbnail stage: 4×4 gradient → 2×2 top-left nearest-neighbor
+    img = np.arange(16, dtype=np.uint8).reshape(4, 4)
+    ds = rd.from_pandas(pd.DataFrame({"id": [1],
+                                      "payload": [make_png(img)]}))
+    out = png_thumbnails(ds, out_w=2, out_h=2).to_pandas().iloc[0]
+    assert out["pixel_sum"] == 0 + 2 + 8 + 10
+    assert (out["width"], out["height"]) == (4, 4)
+    assert out["thumb_crc32"] == zlib.crc32(bytes([0, 2, 8, 10]))

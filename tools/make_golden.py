@@ -175,6 +175,8 @@ def make_for(sf_dir: str, only: set[str] | None = None) -> None:
             lambda: golden.sniffed_assets_crawl(crawl),
         "resized_thumbnails_crawl":
             lambda: golden.resized_thumbnails_crawl(crawl),
+        "png_thumbnails_crawl":
+            lambda: golden.png_thumbnails_crawl(crawl),
         "wav_features_crawl":
             lambda: golden.wav_features_crawl(crawl),
         "y4m_scene_stats_crawl":
