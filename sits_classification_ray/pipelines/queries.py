@@ -5541,7 +5541,10 @@ def _als_recommend_events(sf_dir: str) -> rd.Dataset:
     top-1 unseen-item recommendation per user. Distributed shape
     (stages/als.py): broadcast item factors, tag-union user-factor
     exchange for the item step (user factors never broadcast), golden
-    twin on the shared solve_side/init_factors contract."""
+    twin on the shared solve_side/init_factors contract. max_items
+    engages the distributed top-N catalog prune (a no-op bound here —
+    events carry ≤100 distinct items — but the collected table is
+    O(max_items·d) by construction at any scale)."""
     from sits_classification_ray.stages.als import (
         als_fit, als_recommend, ratings_from_events)
 
@@ -5549,7 +5552,8 @@ def _als_recommend_events(sf_dir: str) -> rd.Dataset:
                          columns=["user_id", "event_type", "value",
                                   "props"])
     ratings = ratings_from_events(ev).materialize()
-    Y = als_fit(ratings, d=8, n_iters=3, reg=0.1, seed=7)
+    Y = als_fit(ratings, d=8, n_iters=3, reg=0.1, seed=7,
+                max_items=10_000)
     return als_recommend(ratings, Y, d=8, reg=0.1)
 
 

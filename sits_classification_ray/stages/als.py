@@ -112,20 +112,50 @@ def _als_schemas(d: int) -> tuple[pa.Schema, pa.Schema, pa.Schema]:
 
 def als_fit(ratings: rd.Dataset, d: int = 8, n_iters: int = 3,
             reg: float = 0.1, seed: int = 7,
-            num_partitions: int | None = None) -> pd.DataFrame:
+            num_partitions: int | None = None,
+            max_items: int | None = None) -> pd.DataFrame:
     """Run ``n_iters`` alternations and return the final item-factor
     frame ``(item, f0..f{d-1})`` sorted by item. ``ratings`` needs
     columns ``user:int64, item:int64, r:float64`` with one row per
-    (user, item)."""
+    (user, item).
+
+    ``max_items`` BOUNDS everything that touches the driver: the item
+    vocabulary is pruned to the top-N items by (rating count DESC,
+    item ASC) via a distributed sort + limit BEFORE the collect (the
+    ``bpe_merges`` ``max_vocab`` pattern, ``textstats.py``), and the
+    rating rows of dropped items are filtered out up front, so both
+    the per-iteration broadcast ``(item_ids, Y)`` and the collected
+    item-factor frame are O(max_items · d) regardless of the true item
+    cardinality. Web-scale catalogs (urls-as-items, ~10⁸ distinct)
+    need this; tail items with the fewest interactions carry the least
+    factor signal, the standard implicit-ALS prune."""
     from ray.data.aggregate import Count
 
     from sits_classification_ray.stages.shuffle import partitioned_map
 
     user_schema, attach_schema, item_schema = _als_schemas(d)
     ratings = ratings.materialize()          # reused every iteration
-    items = (ratings.groupby("item").aggregate(Count(alias_name="_c"))
-             .to_pandas())                   # bounded item vocabulary
-    item_ids = np.sort(items["item"].to_numpy(np.int64))
+    counts = ratings.groupby("item").aggregate(Count(alias_name="_c"))
+    if max_items is not None:
+        # distributed top-N: only max_items rows ever reach the driver
+        items = (counts.sort(["_c", "item"], descending=[True, False])
+                 .limit(max_items).to_pandas())
+        item_ids = np.sort(items["item"].to_numpy(np.int64))
+        if len(item_ids) == max_items:       # a real prune happened
+            keep_ref = ray.put(item_ids)
+
+            def prune(b: pa.Table) -> pa.Table:
+                keep = ray.get(keep_ref)
+                mask = np.isin(b["item"].to_numpy(zero_copy_only=False),
+                               keep)
+                return b.filter(pa.array(mask))
+
+            ratings = ratings.map_batches(
+                prune, batch_format="pyarrow",
+                zero_copy_batch=True).materialize()
+    else:
+        items = counts.to_pandas()           # bounded item vocabulary
+        item_ids = np.sort(items["item"].to_numpy(np.int64))
     Y = init_factors(item_ids, d, seed)
 
     fcols = [f"f{j}" for j in range(d)]

@@ -98,3 +98,33 @@ def test_ratings_from_events_exact_cents(tmp_path):
     np.testing.assert_allclose(
         out["r"].to_numpy(), np.log1p(np.array([3.33, 3.33])), rtol=0,
         atol=0)
+
+
+def test_max_items_bounds_driver_table_and_prunes_tail():
+    """The max_items catalog prune: (a) a loose bound is a no-op —
+    factors bit-identical to the unbounded fit; (b) a tight bound
+    collects exactly max_items item factors, keeping the items with
+    the MOST ratings (count desc, item asc tie-break) and dropping
+    their rating rows before any iteration."""
+    rt = _toy_ratings()
+    ds = rd.from_pandas(rt).repartition(5)
+
+    loose = als_fit(ds, d=D, n_iters=2, reg=REG, seed=SEED,
+                    max_items=1000)
+    base = als_fit(ds, d=D, n_iters=2, reg=REG, seed=SEED)
+    pd.testing.assert_frame_equal(loose, base)
+
+    k = 5
+    tight = als_fit(ds, d=D, n_iters=2, reg=REG, seed=SEED, max_items=k)
+    assert len(tight) == k
+    counts = rt.groupby("item").size().reset_index(name="n")
+    counts = counts.sort_values(["n", "item"], ascending=[False, True],
+                                kind="mergesort")
+    want_items = sorted(counts["item"].head(k).tolist())
+    assert tight["item"].tolist() == want_items
+
+    # pruned fit == unbounded fit over the pre-filtered ratings
+    sub = rt[rt["item"].isin(want_items)]
+    want = als_fit(rd.from_pandas(sub).repartition(3), d=D, n_iters=2,
+                   reg=REG, seed=SEED)
+    pd.testing.assert_frame_equal(tight, want)
