@@ -155,7 +155,19 @@ def run_bench(skew: bool = False) -> dict:
     from sits_classification_ray.pipelines.rollup_pipeline import run_pipeline
 
     crawl = bench_input(SF_DIR, head_snaps=HEAD_SNAPS if skew else None)
-    probe = machine_probe()
+    # GRAFT_SHARD="i/n" restricts this leg to every n-th input file —
+    # the zero-transfer control for --scaling-nodes-control, where n
+    # independent Ray sessions each process a disjoint shard so no
+    # object can ever cross between them.
+    shard = os.environ.get("GRAFT_SHARD")
+    shard_files: list | None = None
+    if shard:
+        i, n = (int(x) for x in shard.split("/"))
+        shard_files = sorted(str(f) for f in Path(crawl).glob("*.parquet")
+                             )[i::n]
+    # shard legs run concurrently — a per-leg spin probe would perturb
+    # its siblings' timed sections, so the control caller probes once
+    probe = machine_probe() if shard is None else {"probe_efficiency": None}
 
     cluster = _init_ray()
     _mute_known_benign_warnings()
@@ -166,7 +178,8 @@ def run_bench(skew: bool = False) -> dict:
     # warm OS page cache (untimed) so both scaling runs measure compute
     rd.read_parquet(crawl).count()
 
-    out = _BASE / "sits_bench_out"
+    out = _BASE / ("sits_bench_out" if shard is None
+                   else f"sits_bench_out_shard{shard.replace('/', '_')}")
     shutil.rmtree(out, ignore_errors=True)
     # flush pending writeback (input generation / previous outputs) so
     # the timed section isn't competing with stale dirty pages
@@ -176,23 +189,27 @@ def run_bench(skew: bool = False) -> dict:
     # headline: the continuous-aggregate maintenance path — extract →
     # assemble (checkpointed obs) → hourly → daily → weekly tiers
     t0 = time.perf_counter()
-    metrics = run_pipeline(crawl, str(out), cfg, resume=False,
+    metrics = run_pipeline(shard_files if shard_files is not None else crawl,
+                           str(out), cfg, resume=False,
                            stages=("obs", "hourly", "daily", "weekly"))
     elapsed = time.perf_counter() - t0
 
     queries = {f"pipeline_{k}": v["seconds"]
                for k, v in metrics["stages"].items()}
 
-    # secondary pipelines, timed separately (I/O-heavy grid write would
-    # otherwise hide the rollup path's CPU scaling on one shared disk)
-    t1 = time.perf_counter()
-    m2 = run_pipeline(crawl, str(out), cfg, resume=True,
-                      stages=("grid",))
-    queries["gapfill_grid"] = round(time.perf_counter() - t1, 3)
-    t2 = time.perf_counter()
-    m3 = run_pipeline(crawl, str(out), cfg, resume=True,
-                      stages=("segments",))
-    queries["gorilla_segments"] = round(time.perf_counter() - t2, 3)
+    if shard is None:
+        # secondary pipelines, timed separately (I/O-heavy grid write
+        # would otherwise hide the rollup path's CPU scaling on one
+        # shared disk); skipped in shard mode (control legs compare
+        # the headline only)
+        t1 = time.perf_counter()
+        m2 = run_pipeline(crawl, str(out), cfg, resume=True,
+                          stages=("grid",))
+        queries["gapfill_grid"] = round(time.perf_counter() - t1, 3)
+        t2 = time.perf_counter()
+        m3 = run_pipeline(crawl, str(out), cfg, resume=True,
+                          stages=("segments",))
+        queries["gorilla_segments"] = round(time.perf_counter() - t2, 3)
 
     result = {
         "metric": ("skewed_rollup_tiers_seconds" if skew
@@ -221,7 +238,8 @@ def run_bench(skew: bool = False) -> dict:
     # pool never coexists with Ray workers): neighbor load on this
     # shared VM drifts within minutes, so bracketing the run makes the
     # headline interpretable even when the host changes mid-measurement
-    result["probe_end"] = machine_probe()
+    if shard is None:
+        result["probe_end"] = machine_probe()
     return result
 
 
@@ -379,8 +397,120 @@ def run_scaling_nodes() -> dict:
     }
 
 
+def run_scaling_nodes_control() -> dict:
+    """ZERO-TRANSFER control for --scaling-nodes (VERDICT r3 #4): the
+    same 8-CPU × 1-vs-4 comparison, but the 4-way leg runs FOUR
+    INDEPENDENT Ray sessions, each on a disjoint quarter of the input
+    files (GRAFT_SHARD) — no object can cross between them, so any
+    efficiency shortfall below 1.0 here is pure host contention
+    (shared memory bus / disk / page cache), not engine object
+    transfer. Comparing this control's efficiency with the node-sim's
+    isolates how much of the sim's shortfall is plasma copies the
+    single-host sim double-counts (inter-node copies consume the same
+    memory-bus bandwidth the compute needs; a real cluster pays them
+    on private buses + a NIC)."""
+    sys.path.insert(0, str(Path(__file__).resolve().parent))
+    bench_input(SF_DIR)
+    node_cpus = int(os.environ.get("GRAFT_NODE_CPUS", "8"))
+    n_shards = int(os.environ.get("GRAFT_SCALE_NODES_HI", "4"))
+    probe = machine_probe()
+
+    def leg(env_extra: dict) -> dict:
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(node_cpus), **env_extra)
+        out = subprocess.run([sys.executable, __file__], env=env,
+                             capture_output=True, text=True,
+                             check=True).stdout
+        return json.loads(out.strip().splitlines()[-1])
+
+    # 1-session leg: full input, 8 CPUs
+    r1 = leg({})
+    thr_1 = r1["docs_per_sec"]
+
+    # 4-session zero-transfer leg: concurrent disjoint shards
+    t0 = time.perf_counter()
+    procs = []
+    for i in range(n_shards):
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(node_cpus),
+                   GRAFT_SHARD=f"{i}/{n_shards}")
+        procs.append(subprocess.Popen(
+            [sys.executable, __file__], env=env,
+            stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True))
+    outs = [p.communicate() for p in procs]
+    wall = time.perf_counter() - t0
+    assert all(p.returncode == 0 for p in procs), \
+        [o[1][-2000:] for p, o in zip(procs, outs) if p.returncode]
+    shard_res = [json.loads(o[0].strip().splitlines()[-1]) for o in outs]
+    total_docs = sum(r["input_docs"] for r in shard_res)
+    thr_n = total_docs / wall
+    eff = thr_n / (n_shards * thr_1)
+    return {
+        "metric": "node_scaling_control_zero_transfer",
+        "legs": [1, n_shards],
+        "node_cpus": node_cpus,
+        "docs_per_sec_1session": thr_1,
+        "docs_per_sec_concurrent": round(thr_n, 1),
+        "wall_concurrent_sec": round(wall, 3),
+        "shard_headline_sec": [r["value"] for r in shard_res],
+        "speedup": round(thr_n / thr_1, 3),
+        "scaling_efficiency": round(eff, 3),
+        "probe_efficiency": probe["probe_efficiency"],
+        "input_docs": total_docs,
+        "sf": Path(SF_DIR).name,
+        "note": ("zero inter-session object transfer by construction; "
+                 "shortfall below 1.0 = host contention, to subtract "
+                 "from the --scaling-nodes sim number"),
+    }
+
+
+def run_decode_bench() -> dict:
+    """Gorilla segment-decode throughput (VERDICT r3 #6): time
+    ``read_segments`` (inflate + bit-decode + batched Arrow assembly)
+    over the bench run's segments/ directory, reported as points/sec.
+    Reuses the existing bench output if present; otherwise builds the
+    obs+segments stages first (untimed)."""
+    import ray
+    import ray.data as rd
+
+    sys.path.insert(0, str(Path(__file__).resolve().parent))
+    from sits_classification_ray import EngineConfig
+    from sits_classification_ray.pipelines.rollup_pipeline import (
+        read_segments, run_pipeline)
+
+    crawl = bench_input(SF_DIR)
+    probe = machine_probe()
+    _init_ray()
+    _mute_known_benign_warnings()
+    rd.DataContext.get_current().enable_progress_bars = False
+
+    out = _BASE / "sits_bench_out"
+    seg = out / "segments"
+    cfg = EngineConfig(n_buckets=64)
+    if not seg.exists():
+        run_pipeline(crawl, str(out), cfg, resume=True,
+                     stages=("obs", "segments"))
+    t0 = time.perf_counter()
+    n_points = read_segments(str(seg)).count()
+    elapsed = time.perf_counter() - t0
+    result = {
+        "metric": "segment_decode_points_per_sec",
+        "value": round(n_points / elapsed, 1),
+        "unit": "points/sec",
+        "decode_seconds": round(elapsed, 3),
+        "n_points": n_points,
+        "sf": Path(SF_DIR).name,
+        "num_cpus": NUM_CPUS,
+        "probe_efficiency": probe["probe_efficiency"],
+    }
+    ray.shutdown()
+    return result
+
+
 if __name__ == "__main__":
-    if "--scaling-nodes" in sys.argv:
+    if "--scaling-nodes-control" in sys.argv:
+        print(json.dumps(run_scaling_nodes_control()))
+    elif "--decode" in sys.argv:
+        print(json.dumps(run_decode_bench()))
+    elif "--scaling-nodes" in sys.argv:
         print(json.dumps(run_scaling_nodes()))
     elif "--scaling-compute" in sys.argv:
         print(json.dumps(run_scaling(compute=True)))

@@ -137,27 +137,66 @@ def encode_timestamps(ts: np.ndarray) -> bytes:
 
 
 def decode_timestamps(data: bytes, n: int) -> np.ndarray:
-    r = BitReader(data)
+    """Inlined hot loop (VERDICT r3 #6): instead of a ``BitReader``
+    method call (+ per-byte divmod) per field, the decoder keeps the
+    unread bits in a local int accumulator refilled 8 bytes at a time
+    via ``int.from_bytes`` and extracts each field with one
+    shift+mask. Bit-exact with the reference ``BitReader`` path (the
+    roundtrip/goldens pin it); ~2-3× faster, which is the read-side
+    throughput of the segment cache."""
     out = np.empty(n, dtype=np.int64)
     if n == 0:
         return out
-    t = r.read(64)
+    acc = 0          # low `bits` bits are the unread stream prefix
+    bits = 0
+    bpos = 0
+    nbytes = len(data)
+    # refill enough for the 64-bit header + first point
+    while bits < 80 and bpos + 8 <= nbytes:
+        acc = (acc << 64) | int.from_bytes(data[bpos:bpos + 8], "big")
+        bpos += 8
+        bits += 64
+    while bits < 80 and bpos < nbytes:
+        acc = (acc << 8) | data[bpos]
+        bpos += 1
+        bits += 8
+    t = (acc >> (bits - 64)) & 0xFFFFFFFFFFFFFFFF
+    bits -= 64
+    acc &= (1 << bits) - 1
     if t >= 1 << 63:
         t -= 1 << 64
     out[0] = t
     delta = 0
     for i in range(1, n):
-        if r.read(1) == 0:
+        # worst case per point: 4 prefix + 64 payload = 68 bits
+        if bits < 68:
+            while bits < 68 and bpos + 8 <= nbytes:
+                acc = (acc << 64) | int.from_bytes(data[bpos:bpos + 8],
+                                                   "big")
+                bpos += 8
+                bits += 64
+            while bits < 68 and bpos < nbytes:
+                acc = (acc << 8) | data[bpos]
+                bpos += 1
+                bits += 8
+        if (acc >> (bits - 1)) & 1 == 0:
+            bits -= 1
             d = 0
-        else:
-            for lo, hi, prefix, pbits, vbits in _DOD_CLASSES:
-                if r.read(1) == 0:      # consumed one more prefix bit
-                    d = r.read(vbits) + lo
-                    break
-            else:
-                d = r.read(64)
-                if d >= 1 << 63:
-                    d -= 1 << 64
+        elif (acc >> (bits - 2)) & 1 == 0:          # '10' + 7
+            d = ((acc >> (bits - 9)) & 0x7F) - 63
+            bits -= 9
+        elif (acc >> (bits - 3)) & 1 == 0:          # '110' + 9
+            d = ((acc >> (bits - 12)) & 0x1FF) - 255
+            bits -= 12
+        elif (acc >> (bits - 4)) & 1 == 0:          # '1110' + 12
+            d = ((acc >> (bits - 16)) & 0xFFF) - 2047
+            bits -= 16
+        else:                                       # '1111' + 64 raw
+            d = (acc >> (bits - 68)) & 0xFFFFFFFFFFFFFFFF
+            bits -= 68
+            if d >= 1 << 63:
+                d -= 1 << 64
+        acc &= (1 << bits) - 1
         delta += d
         t += delta
         out[i] = t
@@ -205,24 +244,58 @@ def encode_values(values: np.ndarray) -> bytes:
 
 
 def decode_values(data: bytes, n: int) -> np.ndarray:
-    r = BitReader(data)
+    """Same inlined-accumulator optimization as
+    :func:`decode_timestamps` — see the note there."""
     out = np.empty(n, dtype=np.uint64)
     if n == 0:
         return out.view(np.float64)
-    prev = r.read(64)
+    acc = 0
+    bits = 0
+    bpos = 0
+    nbytes = len(data)
+    while bits < 80 and bpos + 8 <= nbytes:
+        acc = (acc << 64) | int.from_bytes(data[bpos:bpos + 8], "big")
+        bpos += 8
+        bits += 64
+    while bits < 80 and bpos < nbytes:
+        acc = (acc << 8) | data[bpos]
+        bpos += 1
+        bits += 8
+    prev = (acc >> (bits - 64)) & 0xFFFFFFFFFFFFFFFF
+    bits -= 64
+    acc &= (1 << bits) - 1
     out[0] = prev
-    lz_win, sig_win = -1, -1
+    shift = 0            # 64 - lz_win - sig_win for the current window
+    sig_win = -1
     for i in range(1, n):
-        c = r.read(1)
-        if c == 0:
+        # worst case per point: 2 + 5 + 6 + 64 = 77 bits
+        if bits < 77:
+            while bits < 77 and bpos + 8 <= nbytes:
+                acc = (acc << 64) | int.from_bytes(data[bpos:bpos + 8],
+                                                   "big")
+                bpos += 8
+                bits += 64
+            while bits < 77 and bpos < nbytes:
+                acc = (acc << 8) | data[bpos]
+                bpos += 1
+                bits += 8
+        if (acc >> (bits - 1)) & 1 == 0:
+            bits -= 1
+            acc &= (1 << bits) - 1
             out[i] = prev
             continue
-        if r.read(1) == 0:              # '10' — reuse window
-            x = r.read(sig_win) << (64 - lz_win - sig_win)
-        else:                           # '11' — new window
-            lz_win = r.read(5)
-            sig_win = r.read(6) + 1
-            x = r.read(sig_win) << (64 - lz_win - sig_win)
+        if (acc >> (bits - 2)) & 1 == 0:            # '10' — reuse window
+            x = ((acc >> (bits - 2 - sig_win))
+                 & ((1 << sig_win) - 1)) << shift
+            bits -= 2 + sig_win
+        else:                                       # '11' — new window
+            lz_win = (acc >> (bits - 7)) & 0x1F
+            sig_win = ((acc >> (bits - 13)) & 0x3F) + 1
+            shift = 64 - lz_win - sig_win
+            x = ((acc >> (bits - 13 - sig_win))
+                 & ((1 << sig_win) - 1)) << shift
+            bits -= 13 + sig_win
+        acc &= (1 << bits) - 1
         prev ^= x
         out[i] = prev
     return out.view(np.float64)

@@ -1,0 +1,40 @@
+"""Docs honesty (VERDICT r3 #8): the query index and the SURVEY
+coverage map must list exactly the registered query surface — a query
+landing without docs fails CI, so the docs can't drift."""
+
+import re
+from pathlib import Path
+
+ROOT = Path(__file__).resolve().parent.parent
+
+
+def _registered() -> set[str]:
+    from sits_classification_ray.pipelines.queries import build_queries
+    return set(build_queries().keys())
+
+
+def test_queries_md_lists_exactly_the_registry():
+    txt = (ROOT / "docs" / "QUERIES.md").read_text()
+    listed = set(re.findall(r"^\| ([a-z0-9_]+) \|", txt, re.M))
+    reg = _registered()
+    assert listed == reg, (
+        f"docs/QUERIES.md drift — missing: {sorted(reg - listed)[:10]}, "
+        f"stale: {sorted(listed - reg)[:10]} "
+        "(regenerate: python tools/make_query_index.py)")
+
+
+def test_survey_final_surface_count_matches_registry():
+    txt = (ROOT / "SURVEY.md").read_text()
+    m = re.search(r"\*\*(\d+) queries, every one oracle-checked", txt)
+    assert m, "SURVEY.md final-surface count line missing"
+    assert int(m.group(1)) == len(_registered()), (
+        f"SURVEY.md says {m.group(1)} queries but the registry has "
+        f"{len(_registered())} — update the Final surface line")
+
+
+def test_driver_window_is_50_registered_queries():
+    from sits_classification_ray.pipelines.queries import DRIVER_WINDOW
+    assert len(DRIVER_WINDOW) == 50
+    assert len(set(DRIVER_WINDOW)) == 50
+    missing = set(DRIVER_WINDOW) - _registered()
+    assert not missing, f"DRIVER_WINDOW names not registered: {missing}"
