@@ -667,6 +667,58 @@ def near_dup_keep_one_documents(docs: pd.DataFrame) -> pd.DataFrame:
     return out.reset_index(drop=True)
 
 
+def winnowing_near_dup_documents(docs: pd.DataFrame, k: int = 8,
+                                 w: int = 4, min_shared: int = 3,
+                                 df_cap: int = 64) -> pd.DataFrame:
+    """Independent winnowing twin: an explicit per-window Python loop
+    (scan each length-w window left→right keeping the min with ≥ so
+    later ties win = rightmost-minimum rule), dict-based inverted
+    index and pair counting — no shared code with the engine beyond
+    the published 61-bit Rabin–Karp constant."""
+    BASE, MASK = 1099511628211, (1 << 61) - 1
+    index: dict[int, list[int]] = {}
+    for r in docs.itertuples():
+        data = (r.text or "").encode("utf-8")
+        n = len(data)
+        span = min(k, max(1, n)) if n else 0
+        hashes = []
+        if n == 0:
+            hashes = [0]
+        else:
+            m = max(1, n - k + 1)
+            for i in range(m):
+                h = 0
+                for j in range(i, i + span):
+                    h = (h * BASE + data[j]) & ((1 << 64) - 1)
+                hashes.append(h & MASK)
+        sel = set()
+        if len(hashes) <= w:
+            sel.add(min(hashes))
+        else:
+            for s in range(len(hashes) - w + 1):
+                best, arg = hashes[s], s
+                for j in range(s + 1, s + w):
+                    if hashes[j] <= best:       # ties → rightmost
+                        best, arg = hashes[j], j
+                sel.add(hashes[arg])
+        for fp in sel:
+            index.setdefault(fp, []).append(int(r.doc_id))
+    counts: dict[tuple[int, int], int] = {}
+    for fp, ids in index.items():
+        ids = sorted(set(ids))
+        if len(ids) < 2 or len(ids) > df_cap:
+            continue
+        for i in range(len(ids)):
+            for j in range(i + 1, len(ids)):
+                p = (ids[i], ids[j])
+                counts[p] = counts.get(p, 0) + 1
+    rows = [(a, b, c) for (a, b), c in counts.items()
+            if c >= min_shared]
+    return pd.DataFrame(rows, columns=["doc_a", "doc_b", "shared"]
+                        ).astype({"doc_a": np.int64, "doc_b": np.int64,
+                                  "shared": np.int64})
+
+
 def simhash_near_dup_documents(docs: pd.DataFrame,
                                max_hamming: int = 3) -> pd.DataFrame:
     """SimHash pair detection — sequential reference: brute-force
@@ -3056,6 +3108,48 @@ def mahalanobis_embeddings(emb: pd.DataFrame, num_partitions: int = 64,
     d2 = (y * X).sum(axis=1)
     return pd.DataFrame({"vec_id": ids,
                          "d2": _sql_round_arr(d2, round_to) + 0.0})
+
+
+def logreg_fit_embeddings(emb: pd.DataFrame, positive: int = 0,
+                          n_iters: int = 4, reg: float = 1e-3,
+                          num_partitions: int = 16) -> pd.DataFrame:
+    """Independent Newton/IRLS twin under the engine's determinism
+    contract: rows hash-partitioned into pids (pandas SipHash), each
+    pid's [H|g|loss] partial computed over id-sorted rows, partials
+    summed in ascending-pid order, exact solve per iteration."""
+    ids = emb["vec_id"].to_numpy(np.int64)
+    pids = (pd.util.hash_array(np.ascontiguousarray(ids),
+                               categorize=False)
+            % np.uint64(num_partitions)).astype(np.int64)
+    d = len(np.asarray(emb["embedding"].iloc[0])) + 1
+    w = np.zeros(d)
+    loss_final = 0.0
+    for _ in range(n_iters):
+        total = np.zeros(d * d + d + 2)
+        for pid in sorted(np.unique(pids)):
+            g_ = emb[pids == pid].sort_values("vec_id", kind="mergesort")
+            X = np.concatenate(
+                [np.stack([np.asarray(v, dtype=np.float64)
+                           for v in g_["embedding"]]),
+                 np.ones((len(g_), 1))], axis=1)
+            y = (g_["label"].to_numpy(np.int64) == positive
+                 ).astype(np.float64)
+            z = X @ w
+            p = 1.0 / (1.0 + np.exp(-z))
+            s = p * (1.0 - p)
+            H = (X * s[:, None]).T @ X
+            grad = X.T @ (p - y)
+            loss = float(np.logaddexp(0.0, z).sum() - (y * z).sum())
+            total += np.concatenate(
+                [H.ravel(), grad, [loss, float(len(y))]])
+        H = total[:d * d].reshape(d, d) + reg * np.eye(d)
+        grad = total[d * d:d * d + d] + reg * w
+        loss_final = total[d * d + d] / total[d * d + d + 1]
+        w = w - np.linalg.solve(H, grad)
+    dims = np.concatenate([np.arange(d - 1), [-1, -2]]).astype(np.int64)
+    vals = np.concatenate([w[:d - 1], [w[d - 1], loss_final]])
+    return pd.DataFrame({"dim": dims,
+                         "weight": _sql_round_arr(vals) + 0.0})
 
 
 def pca_projection_embeddings(emb: pd.DataFrame, n_components: int = 2,

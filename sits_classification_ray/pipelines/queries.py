@@ -623,6 +623,20 @@ def _jaccard_near_dup_documents(sf_dir: str) -> rd.Dataset:
     return jaccard_near_dup(ds, w=3, df_cap=32, threshold=0.5)
 
 
+def _winnowing_near_dup_documents(sf_dir: str) -> rd.Dataset:
+    """Winnowing/MOSS near-dup (Schleimer et al. 2003): positional
+    k-gram fingerprints with per-window rightmost-minimum selection
+    (the LOCAL guarantee — any shared substring of length ≥ w+k−1 is
+    caught, which LSH cannot promise), df-capped fingerprint buckets,
+    distributed shared-fingerprint count per pair (golden oracle:
+    independent window-loop implementation)."""
+    from sits_classification_ray.stages.dedup_docs import winnowing_near_dup
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"])
+    return winnowing_near_dup(ds, k=12, w=8, min_shared=8, df_cap=32)
+
+
 def _dup_spans_documents(sf_dir: str) -> rd.Dataset:
     """Suffix-array-style repeated-span detection (Lee et al. 2021):
     maximal token spans covered by word-4-grams that occur in ≥ 2
@@ -3052,6 +3066,27 @@ def _train_linear_fit(sf_dir: str) -> pd.DataFrame:
                     use_class_weights=True)
     tr.fit()
     return tr.log_table()
+
+
+def _logreg_fit_embeddings(sf_dir: str) -> pd.DataFrame:
+    """Binary logistic regression (label==0 vs rest) over the
+    embeddings table by EXACT distributed Newton/IRLS: each iteration
+    one pass emitting per-pid [Hessian|gradient|loss] partials (O(d²)
+    to the driver regardless of rows), merged pid-sorted and solved.
+    The second-order sibling of train_linear_fit (reference
+    Trainer.fit, pytorch/utils/trainer.py:145-199). Output: learned
+    weights as a (dim, weight) long table (dim=-1 is the bias) plus
+    the final train NLL as dim=-2."""
+    from sits_classification_ray.functions.transforms import sql_round
+    from sits_classification_ray.pipelines.trainer import logreg_newton_fit
+
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet")
+    w, log = logreg_newton_fit(ds, n_iters=4, reg=1e-3)
+    d = len(w) - 1
+    dims = np.concatenate([np.arange(d), [-1, -2]]).astype(np.int64)
+    vals = np.concatenate([w[:d], [w[d], log[-1]["loss"]]])
+    return pd.DataFrame({"dim": dims,
+                         "weight": sql_round(vals, 6) + 0.0})
 
 
 def _train_linear_weights(sf_dir: str) -> pd.DataFrame:
@@ -5700,6 +5735,8 @@ def build_queries() -> dict[str, Callable[[str], Any]]:
         "fingerprint_documents": _fingerprint_documents,
         "minhash_near_dup_documents": _minhash_near_dup_documents,
         "jaccard_near_dup_documents": _jaccard_near_dup_documents,
+        # winnowing/MOSS local fingerprint near-dup (golden)
+        "winnowing_near_dup_documents": _winnowing_near_dup_documents,
         "dup_spans_documents": _dup_spans_documents,
         "trim_dup_spans_documents": _trim_dup_spans_documents,
         "snm_near_dup_documents": _snm_near_dup_documents,
@@ -5914,6 +5951,8 @@ def build_queries() -> dict[str, Callable[[str], Any]]:
         "domain_drift_bh_crawl": _domain_drift_bh_crawl,
         # distributed PCA (golden-checked)
         "pca_projection_embeddings": _pca_projection_embeddings,
+        # Newton/IRLS logistic regression (exact distributed Hessian)
+        "logreg_fit_embeddings": _logreg_fit_embeddings,
         # multi-source BFS crawl depth (SQL recursive-CTE twin)
         "crawl_depth_bfs": _crawl_depth_bfs,
         # Naive Bayes language classifier (SQL-checked)
@@ -6085,6 +6124,7 @@ GOLDEN_QUERIES = [
     "corpus_prep_documents", "cluster_top_terms",
     "semdedup_embeddings",
     "ivfpq_topk_embeddings", "train_linear_fit", "train_linear_weights",
+    "logreg_fit_embeddings", "winnowing_near_dup_documents",
     "quality_classifier_documents", "binseg_changepoints_crawl",
     "holt_winters_crawl", "sax_motifs_crawl",
     "matrix_profile_discord_crawl", "boilerplate_extract_documents",

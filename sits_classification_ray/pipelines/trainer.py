@@ -336,6 +336,90 @@ class RayTrainer:
         return log
 
 
+# --- second-order trainer: Newton/IRLS logistic regression ---------------
+#
+# The exact-Hessian sibling of RayTrainer's first-order GD (reference
+# Trainer.fit epoch loop, pytorch/utils/trainer.py:145-199): each
+# iteration is ONE distributed pass emitting a per-pid partial
+# [H.ravel (d²) | g (d) | loss, n] — O(d²) floats per partition to the
+# driver regardless of row count — merged in sorted-pid order
+# (the repo's float-determinism contract) and solved exactly.
+
+
+def _logreg_kernel(df: pd.DataFrame, w: np.ndarray, id_col: str,
+                   feature_col: str, label_col: str, positive: int):
+    """One [H|g|loss,n] partial per complete pid group (pinned Arrow
+    schema, same empty-block contract as ``_epoch_kernel``)."""
+    import pyarrow as pa
+
+    d = len(w)
+    out_pid, out_vec = [], []
+    for pid, g_ in df.groupby("pid", sort=True):
+        g_ = g_.sort_values(id_col, kind="mergesort")
+        X = np.concatenate(
+            [np.stack([np.asarray(v, dtype=np.float64)
+                       for v in g_[feature_col]]),
+             np.ones((len(g_), 1))], axis=1)          # bias column
+        y = (g_[label_col].to_numpy(np.int64) == positive
+             ).astype(np.float64)
+        z = X @ w
+        p = 1.0 / (1.0 + np.exp(-z))
+        s = p * (1.0 - p)
+        H = (X * s[:, None]).T @ X
+        grad = X.T @ (p - y)
+        # stable NLL: Σ softplus(z) − y·z
+        loss = float(np.logaddexp(0.0, z).sum() - (y * z).sum())
+        out_pid.append(int(pid))
+        out_vec.append(np.concatenate(
+            [H.ravel(), grad, [loss, float(len(y))]]))
+    return pa.table({"pid": pa.array(out_pid, pa.int64()),
+                     "g": pa.array(out_vec, pa.list_(pa.float64()))})
+
+
+def logreg_newton_fit(ds: rd.Dataset, feature_col: str = "embedding",
+                      label_col: str = "label", id_col: str = "vec_id",
+                      positive: int = 0, n_iters: int = 4,
+                      reg: float = 1e-3, num_partitions: int = 16
+                      ) -> tuple[np.ndarray, list[dict]]:
+    """Binary logistic regression (y = label == ``positive``) by exact
+    Newton steps: w ← w − (H + λI)⁻¹(g + λw). Returns (weights with
+    bias last, per-iteration log). Deterministic under any block
+    arrival order: one partial per pid, summed pid-sorted."""
+    from sits_classification_ray.stages.shuffle import partitioned_map
+
+    def prep(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(id_col, kind="mergesort")
+        ids = df[id_col].to_numpy(np.int64)
+        return pd.DataFrame({
+            "pid": _pid_of(ids, num_partitions),
+            id_col: ids,
+            feature_col: df[feature_col].to_numpy(),
+            label_col: df[label_col].to_numpy(np.int64)})
+
+    blocks = partitioned_map(ds, prep, keys=[id_col],
+                             num_partitions=num_partitions).materialize()
+    first = blocks.take(1)[0]
+    d = len(np.asarray(first[feature_col])) + 1
+    w = np.zeros(d)
+    log = []
+    for it in range(n_iters):
+        parts = blocks.map_batches(
+            _logreg_kernel, batch_size=None, batch_format="pandas",
+            fn_kwargs=dict(w=w, id_col=id_col, feature_col=feature_col,
+                           label_col=label_col,
+                           positive=positive)).to_pandas()
+        parts = parts.sort_values("pid", kind="mergesort")
+        total = np.zeros(d * d + d + 2)
+        for v in parts["g"]:
+            total += np.asarray(v, dtype=np.float64)
+        H = total[:d * d].reshape(d, d) + reg * np.eye(d)
+        grad = total[d * d:d * d + d] + reg * w
+        loss, n = total[d * d + d:]
+        w = w - np.linalg.solve(H, grad)
+        log.append({"iter": it, "loss": loss / n, "n": int(n)})
+    return w, log
+
+
 # --- hyperparameter search (reference pytorch/train.py:58-71) ------------
 
 #: (low, high) log-uniform ranges, mirroring ``hyperparameter_tune``'s

@@ -574,6 +574,107 @@ def simhash_drift(ds, url_col: str = "url", ts_col: str = "warc_ts",
 
 
 # ---------------------------------------------------------------------------
+# Winnowing fingerprints (Schleimer, Wilkerson & Aiken, SIGMOD 2003 —
+# the MOSS local fingerprinting scheme): per length-w window of k-gram
+# hashes select the minimum (rightmost on ties). Guarantees any match
+# of length ≥ w + k − 1 shares a fingerprint, with density 2/(w+1) —
+# the LOCAL guarantee minhash lacks (minhash can miss long shared
+# substrings; winnowing cannot). Completes the candidate-generation
+# family: LSH (global), inverted index, sort-based, deletion
+# neighborhoods, and now positional/local.
+# ---------------------------------------------------------------------------
+
+
+def winnowing_fingerprints(data: np.ndarray, k: int = 8,
+                           w: int = 4) -> np.ndarray:
+    """Distinct selected fingerprint hashes of one utf-8 buffer.
+    Positional k-gram hashes use the same 61-bit Rabin–Karp
+    polynomial as :func:`shingle_hashes` (WITHOUT the distinct step —
+    winnowing is positional); window minima are picked fully
+    vectorized via a sliding-window view with the spec's
+    rightmost-on-ties rule."""
+    n = len(data)
+    if n == 0:
+        return np.zeros(1, dtype=np.uint64)
+    m = max(1, n - k + 1)
+    span = min(k, n)
+    with np.errstate(over="ignore"):
+        pw = np.full(span, _SHINGLE_BASE, dtype=np.uint64)
+        pw[0] = np.uint64(1)
+        np.cumprod(pw, out=pw)
+        h = np.zeros(m, dtype=np.uint64)
+        for j in range(span):
+            h += data[j:j + m] * pw[span - 1 - j]
+    h &= np.uint64((1 << 61) - 1)
+    if m <= w:
+        # fewer hashes than one window: one fingerprint, the
+        # rightmost minimum of the whole sequence
+        mn = h.min()
+        return np.array([mn], dtype=np.uint64)
+    win = np.lib.stride_tricks.sliding_window_view(h, w)
+    # rightmost min: argmin over the reversed window (argmin returns
+    # the FIRST minimum, which reversed is the rightmost)
+    right_arg = w - 1 - np.argmin(win[:, ::-1], axis=1)
+    pos = np.unique(np.arange(len(win)) + right_arg)
+    return np.unique(h[pos])
+
+
+def winnowing_near_dup(ds: rd.Dataset, k: int = 8, w: int = 4,
+                       min_shared: int = 3, df_cap: int = 64,
+                       id_col: str = "doc_id",
+                       text_col: str = "text") -> rd.Dataset:
+    """Near-dup pairs by shared winnowing fingerprints: fingerprint
+    per batch (vectorized), ONE salted exchange on the fingerprint
+    value, per-bucket pair emission with a ``df_cap`` stop-fingerprint
+    guard (a fingerprint shared by more than ``df_cap`` docs is
+    boilerplate and would emit O(df²) pairs — the same cap discipline
+    as the LSH buckets), then a distributed count of shared
+    fingerprints per pair. Returns ``(doc_a, doc_b, shared)`` with
+    ``shared ≥ min_shared`` — all-integer output, order-free."""
+    from ray.data.aggregate import Count
+
+    from sits_classification_ray.stages.shuffle import partitioned_map
+
+    def fps(df: pd.DataFrame) -> pd.DataFrame:
+        ids, out = [], []
+        for i, t in zip(df[id_col], df[text_col]):
+            data = np.frombuffer((t or "").encode("utf-8"), np.uint8)
+            f = winnowing_fingerprints(data, k, w)
+            ids.append(np.repeat(np.int64(i), len(f)))
+            out.append(f)
+        return pd.DataFrame({
+            "fp": np.concatenate(out).astype(np.int64),
+            id_col: np.concatenate(ids) if ids
+            else np.array([], np.int64)})
+
+    fp_ds = ds.map_batches(fps, batch_format="pandas")
+
+    pair_schema = pa.schema([("doc_a", pa.int64()),
+                             ("doc_b", pa.int64())])
+
+    def bucket_pairs(df: pd.DataFrame) -> pd.DataFrame:
+        out_a, out_b = [], []
+        for _, g in df.groupby("fp", sort=True):
+            ids = np.unique(g[id_col].to_numpy(np.int64))
+            if len(ids) < 2 or len(ids) > df_cap:
+                continue
+            ia, ib = np.triu_indices(len(ids), 1)
+            out_a.append(ids[ia])
+            out_b.append(ids[ib])
+        if not out_a:
+            return pd.DataFrame({"doc_a": np.array([], np.int64),
+                                 "doc_b": np.array([], np.int64)})
+        return pd.DataFrame({"doc_a": np.concatenate(out_a),
+                             "doc_b": np.concatenate(out_b)})
+
+    pairs = partitioned_map(fp_ds, bucket_pairs, keys=["fp"],
+                            out_schema=pair_schema)
+    shared = (pairs.groupby(["doc_a", "doc_b"])
+              .aggregate(Count(alias_name="shared")))
+    return shared.filter(expr=f"shared >= {min_shared}")
+
+
+# ---------------------------------------------------------------------------
 # Connected components over near-dup pairs (cluster formation)
 # ---------------------------------------------------------------------------
 

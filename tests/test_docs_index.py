@@ -15,7 +15,8 @@ def _registered() -> set[str]:
 
 def test_queries_md_lists_exactly_the_registry():
     txt = (ROOT / "docs" / "QUERIES.md").read_text()
-    listed = set(re.findall(r"^\| ([a-z0-9_]+) \|", txt, re.M))
+    listed = set(re.findall(
+        r"^\| ([a-z0-9_]+) \| (?:sql|golden|rows-only) \|", txt, re.M))
     reg = _registered()
     assert listed == reg, (
         f"docs/QUERIES.md drift — missing: {sorted(reg - listed)[:10]}, "

@@ -63,11 +63,16 @@ def make_for(sf_dir: str, only: set[str] | None = None) -> None:
             lambda: golden.near_dup_keep_one_documents(docs),
         "simhash_near_dup_documents":
             lambda: golden.simhash_near_dup_documents(docs),
+        "winnowing_near_dup_documents":
+            lambda: golden.winnowing_near_dup_documents(
+                docs, k=12, w=8, min_shared=8, df_cap=32),
         "incremental_near_dup_documents":
             lambda: golden.incremental_near_dup_documents(docs),
         "ivf_topk": lambda: golden.ivf_topk(emb),
         "pca_projection_embeddings":
             lambda: golden.pca_projection_embeddings(emb),
+        "logreg_fit_embeddings":
+            lambda: golden.logreg_fit_embeddings(emb),
         "mahalanobis_embeddings":
             lambda: golden.mahalanobis_embeddings(emb),
         "kcenter_select_embeddings":
