@@ -819,3 +819,97 @@ def tdigest_quantile(ds: rd.Dataset, value_col: str, bucket_col: str,
         + [(c, pa.float64()) for c in qcols])
     return partitioned_map(ds, kernel, url_col=bucket_col,
                            out_schema=schema)
+
+
+# ---------------------------------------------------------------------------
+# KLL quantile sketch (Karnin, Lang & Liberty, FOCS 2016) — simplified
+# deterministic variant: fixed per-level capacity k, full-buffer
+# compaction promoting the offset-parity half (offset alternates per
+# level per compaction, the derandomized compactor), canonical bulk
+# build feeding the SORTED multiset in chunks of k. Distinct from
+# t-digest (centroid merging) and DDSketch (log buckets): KLL keeps
+# raw VALUES at power-of-two weights across levels, is trivially
+# mergeable (concatenate levels, re-compact) and gives additive rank
+# error. The canonical build is a pure function of the value multiset,
+# so the independent golden twin reproduces it bit-exactly.
+# ---------------------------------------------------------------------------
+
+
+def kll_build(sorted_vals: np.ndarray, k: int = 128) -> list:
+    """Level buffers (index = level, weight 2^level) of the canonical
+    bulk build."""
+    levels: list[np.ndarray] = [np.empty(0, np.float64)]
+    offsets: list[int] = [0]
+    for start in range(0, len(sorted_vals), k):
+        chunk = sorted_vals[start:start + k]
+        levels[0] = np.sort(np.concatenate([levels[0], chunk]),
+                            kind="mergesort")
+        i = 0
+        while i < len(levels) and len(levels[i]) > k:
+            buf = levels[i]                       # already sorted
+            promoted = buf[offsets[i]::2]
+            offsets[i] ^= 1
+            levels[i] = buf[:0]
+            if i + 1 == len(levels):
+                levels.append(promoted.copy())
+                offsets.append(0)
+            else:
+                levels[i + 1] = np.sort(
+                    np.concatenate([levels[i + 1], promoted]),
+                    kind="mergesort")
+            i += 1
+    return levels
+
+
+def kll_quantile_est(levels: list, q: float) -> float:
+    """Rank query: smallest stored value whose cumulative weight
+    reaches q·W (weights 2^level)."""
+    items = np.concatenate(levels)
+    wts = np.concatenate([np.full(len(lv), 1 << i, np.int64)
+                          for i, lv in enumerate(levels)])
+    o = np.argsort(items, kind="mergesort")
+    items, wts = items[o], wts[o]
+    cum = np.cumsum(wts)
+    t = q * float(cum[-1])
+    j = min(int(np.searchsorted(cum, t, side="left")), len(items) - 1)
+    return float(items[j])
+
+
+def kll_quantile(ds: "rd.Dataset", value_col: str, bucket_col: str,
+                 quantiles: tuple[float, ...] = (0.5, 0.9, 0.99),
+                 k: int = 128, round_to: int = 6) -> "rd.Dataset":
+    """Per-bucket KLL quantiles — same checked-query shape as
+    :func:`tdigest_quantile`: one salted exchange co-locates each
+    bucket, the kernel runs the canonical bulk build (pure function of
+    the multiset → golden-matchable)."""
+    import pyarrow as pa
+
+    from sits_classification_ray.functions.transforms import sql_round
+    from sits_classification_ray.stages.shuffle import partitioned_map
+
+    qcols = [f"q{int(round(q * 100)):02d}" for q in quantiles]
+
+    def kernel(df: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for bucket, g in df.groupby(bucket_col, sort=False):
+            v = np.sort(g[value_col].to_numpy(np.float64))
+            levels = kll_build(v, k)
+            row = {bucket_col: bucket, "n": np.int64(len(v)),
+                   "n_retained": np.int64(sum(len(lv)
+                                              for lv in levels)),
+                   "n_levels": np.int64(len(levels))}
+            for q, c in zip(quantiles, qcols):
+                row[c] = float(sql_round(np.array(
+                    [kll_quantile_est(levels, q)]), round_to)[0]) + 0.0
+            rows.append(row)
+        cols = [bucket_col, "n", "n_retained", "n_levels"] + qcols
+        if not rows:
+            return pd.DataFrame(columns=cols)
+        return pd.DataFrame(rows)[cols]
+
+    schema = pa.schema(
+        [(bucket_col, pa.string()), ("n", pa.int64()),
+         ("n_retained", pa.int64()), ("n_levels", pa.int64())]
+        + [(c, pa.float64()) for c in qcols])
+    return partitioned_map(ds, kernel, url_col=bucket_col,
+                           out_schema=schema)

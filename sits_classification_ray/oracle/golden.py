@@ -809,6 +809,130 @@ def ewma_crawl(obs_long: pd.DataFrame, alpha: float = 0.3
     return df[["url", "metric", "warc_ts", "value", "ewma"]]
 
 
+def bootstrap_ci_crawl(obs: pd.DataFrame, B: int = 200, m: int = 200
+                       ) -> pd.DataFrame:
+    """Independent bootstrap-CI twin: per-url means via pandas
+    groupby, same domain-SipHash seeds, RandomState draw matrix and
+    percentile CI."""
+    g = obs.groupby("url")["text_len"].agg(["sum", "count"])
+    per_url = pd.DataFrame({
+        "url": g.index.to_numpy(),
+        "mu": g["sum"].to_numpy(np.float64)
+        / g["count"].to_numpy(np.float64)})
+    per_url["domain"] = per_url["url"].str.extract(
+        r"^[a-z]+://([^/]+)", expand=False)
+    rows = []
+    for d, sub in per_url.sort_values(["domain", "url"],
+                                      kind="mergesort").groupby(
+                                          "domain", sort=True):
+        x = sub["mu"].to_numpy(np.float64)
+        n = len(x)
+        seed = int(pd.util.hash_array(
+            np.asarray([d], dtype=object))[0] & 0xFFFFFFFF)
+        rng = np.random.RandomState(seed)
+        take = min(n, m)
+        idx = rng.randint(0, n, size=(B, take))
+        means = x[idx].mean(axis=1)
+        lo, hi = np.quantile(means, [0.025, 0.975])
+        rows.append((d, n, float(x.mean()), float(lo), float(hi)))
+    out = pd.DataFrame(rows, columns=["domain", "n_urls", "mean_len",
+                                      "ci_lo", "ci_hi"])
+    for c in ("mean_len", "ci_lo", "ci_hi"):
+        out[c] = _sql_round_arr(out[c].to_numpy(np.float64)) + 0.0
+    out["n_urls"] = out["n_urls"].astype(np.int64)
+    return out
+
+
+def dgim_change_count_crawl(obs: pd.DataFrame, window: int = 64
+                            ) -> pd.DataFrame:
+    """Independent DGIM twin: oldest-first bucket list, the same
+    canonical ≤2-per-size cascade (merge the two oldest of a size,
+    keep the newer timestamp), estimate = total − oldest + oldest//2."""
+    rows = []
+    for url, g in obs.sort_values(["url", "warc_ts"],
+                                  kind="mergesort").groupby("url",
+                                                            sort=True):
+        v = g["text_len"].to_numpy(np.int64)
+        n = len(v)
+        bits = [0] + [1 if v[i] != v[i - 1] else 0 for i in range(1, n)]
+        buckets: list[tuple[int, int]] = []     # (ts, size) OLDEST first
+        for t in range(n):
+            buckets = [(ts, sz) for ts, sz in buckets
+                       if ts > t - window]
+            if not bits[t]:
+                continue
+            buckets.append((t, 1))
+            size = 1
+            while sum(1 for _, sz in buckets if sz == size) > 2:
+                idx = [j for j, (_, sz) in enumerate(buckets)
+                       if sz == size]
+                a, b = idx[0], idx[1]           # two oldest
+                merged = (buckets[b][0], size * 2)   # newer timestamp
+                buckets = [bk for j, bk in enumerate(buckets)
+                           if j not in (a, b)]
+                # insert keeping oldest-first timestamp order
+                k = 0
+                while k < len(buckets) and buckets[k][0] < merged[0]:
+                    k += 1
+                buckets.insert(k, merged)
+                size *= 2
+        exact = sum(bits[max(0, n - window):])
+        if buckets:
+            total = sum(sz for _, sz in buckets)
+            oldest = buckets[0][1]
+            est = total - oldest + oldest // 2
+        else:
+            est = 0
+        rows.append((url, exact, est, len(buckets)))
+    return pd.DataFrame(rows, columns=["url", "exact_changes",
+                                       "dgim_estimate", "n_buckets"]
+                        ).astype({"exact_changes": np.int64,
+                                  "dgim_estimate": np.int64,
+                                  "n_buckets": np.int64})
+
+
+def hilbert_layout_crawl(obs: pd.DataFrame,
+                         rows_per_file: int = 1000) -> pd.DataFrame:
+    """Independent Hilbert-layout twin: scalar-loop xy→d (the
+    canonical published algorithm, per point), pandas sort/rank/
+    groupby for the file cuts and zone maps."""
+
+    def xy2d(x: int, y: int, order: int = 16) -> int:
+        d = 0
+        s = 1 << (order - 1)
+        while s > 0:
+            rx = 1 if x & s else 0
+            ry = 1 if y & s else 0
+            d += s * s * ((3 * rx) ^ ry)
+            if ry == 0:
+                if rx == 1:
+                    x = s - 1 - x
+                    y = s - 1 - y
+                x, y = y, x
+            s >>= 1
+        return d
+
+    us = obs["warc_ts"].to_numpy().astype("datetime64[us]") \
+        .astype(np.int64)
+    day = us // 86_400_000_000
+    uid = obs["url"].str.extract(r"u/(\d+)$", expand=False) \
+        .astype(np.int64).to_numpy() % 65536
+    h = np.fromiter((xy2d(int(dx), int(u))
+                     for dx, u in zip(day % 65536, uid)),
+                    np.int64, len(day))
+    df = pd.DataFrame({"url": obs["url"].to_numpy(), "warc_ts": us,
+                       "day": day, "uid": uid, "h": h})
+    df = df.sort_values(["h", "url", "warc_ts"], kind="mergesort",
+                        ignore_index=True)
+    df["file_id"] = (np.arange(len(df), dtype=np.int64)
+                     // rows_per_file)
+    out = df.groupby("file_id").agg(
+        n=("day", "size"), min_day=("day", "min"),
+        max_day=("day", "max"), min_uid=("uid", "min"),
+        max_uid=("uid", "max")).reset_index()
+    return out.astype({c: np.int64 for c in out.columns})
+
+
 def partition_extents_crawl(obs: pd.DataFrame, n_buckets: int = 64
                             ) -> pd.DataFrame:
     """Per-partition extents (manifest/A8 contract): row count,
@@ -2062,6 +2186,53 @@ def kmv_overlap_weeks(obs: pd.DataFrame, k: int = 256) -> pd.DataFrame:
         "union_est"])
 
 
+def ppr_domains_crawl(crawl: pd.DataFrame, damping: float = 0.85,
+                      iterations: int = 10,
+                      n_seeds: int = 3) -> pd.DataFrame:
+    """Independent personalized-PageRank twin: same synthetic domain
+    link graph as pagerank_domains_crawl, restart vector concentrated
+    on the n_seeds lexicographically smallest domains, init at the
+    restart distribution, identical sorted-sum power iteration."""
+    srcs, dsts = [], []
+    for url, h in zip(crawl["url"], crawl["html"]):
+        s = (h or b"").decode("utf-8", "replace")
+        n = len(s)
+        src = str(url).split("/")[2]
+        for j in range(n % 4):
+            srcs.append(src)
+            dsts.append(f"site-{(n + j) % 40}.example.com")
+    edges = (pd.DataFrame({"w1": srcs, "w2": dsts})
+             .groupby(["w1", "w2"], sort=False).size()
+             .rename("n").reset_index())
+    edges["n"] = edges["n"].astype(np.int64)
+    nodes = np.unique(np.concatenate([edges["w1"].to_numpy(),
+                                      edges["w2"].to_numpy()]))
+    seeds = set(np.sort(nodes)[:n_seeds])
+    teleport = (1.0 - damping) / float(len(seeds))
+    outw = edges.groupby("w1")["n"].sum()
+    edges = edges.assign(outw=edges["w1"].map(outw).astype(np.int64))
+    ranks = pd.Series(np.where(np.isin(nodes, sorted(seeds)),
+                               1.0 / float(len(seeds)), 0.0),
+                      index=nodes)
+    zeros = pd.DataFrame({"node": nodes, "_src": "", "c": 0.0})
+    for _ in range(iterations):
+        r = edges["w1"].map(ranks).to_numpy(np.float64)
+        w = edges["n"].to_numpy(np.float64)
+        ow = edges["outw"].to_numpy(np.float64)
+        contribs = pd.DataFrame({"node": edges["w2"].to_numpy(),
+                                 "_src": edges["w1"].to_numpy(),
+                                 "c": (r * w) / ow})
+        allc = pd.concat([contribs, zeros], ignore_index=True) \
+            .sort_values(["node", "_src"], kind="mergesort")
+        s = allc.groupby("node", sort=False)["c"].sum()
+        tel = np.where(s.index.isin(seeds), teleport, 0.0)
+        ranks = pd.Series(tel + damping * s.to_numpy(np.float64),
+                          index=s.index)
+    r = ranks.to_numpy(np.float64) * 1e6
+    r = np.copysign(np.floor(np.abs(r) + 0.5), r) / 1e6
+    return pd.DataFrame({"node": ranks.index.to_numpy(), "rank": r})
+
+
 def pagerank_domains_crawl(crawl: pd.DataFrame, damping: float = 0.85,
                            iterations: int = 10) -> pd.DataFrame:
     """Independent PageRank over the synthetic domain link graph:
@@ -2943,6 +3114,65 @@ def xcorr_lag_crawl(obs_long: pd.DataFrame, max_lag: int = 7,
     if not rows:
         return pd.DataFrame(columns=cols)
     return pd.DataFrame(rows)[cols]
+
+
+def kll_quantile_daily_crawl(obs_long: pd.DataFrame, k: int = 128,
+                             quantiles: tuple = (0.5, 0.9, 0.99)
+                             ) -> pd.DataFrame:
+    """Twin of the per-(metric, day) KLL quantiles: independent
+    list-based bulk build — same simplified-KLL spec (fixed per-level
+    capacity, full compaction of the offset-parity half, alternating
+    offset), pure selection ops so floats match bit-for-bit."""
+
+    def build(vals_sorted: list) -> list:
+        levels: list[list] = [[]]
+        offsets: list[int] = [0]
+        for s in range(0, len(vals_sorted), k):
+            levels[0] = sorted(levels[0] + vals_sorted[s:s + k])
+            i = 0
+            while i < len(levels) and len(levels[i]) > k:
+                promoted = levels[i][offsets[i]::2]
+                offsets[i] ^= 1
+                levels[i] = []
+                if i + 1 == len(levels):
+                    levels.append(list(promoted))
+                    offsets.append(0)
+                else:
+                    levels[i + 1] = sorted(levels[i + 1]
+                                           + list(promoted))
+                i += 1
+        return levels
+
+    def est(levels: list, q: float) -> float:
+        pairs = sorted((v, 1 << i) for i, lv in enumerate(levels)
+                       for v in lv)
+        W = float(sum(w for _, w in pairs))
+        t = q * W
+        cum = 0
+        for v, w in pairs:
+            cum += w
+            if cum >= t:
+                return float(v)
+        return float(pairs[-1][0])
+
+    df = obs_long.copy()
+    day = df["warc_ts"].to_numpy().astype("datetime64[D]")
+    df["bucket"] = (df["metric"].astype(str) + "|"
+                    + pd.Series(day).astype(str).to_numpy())
+    rows = []
+    for bucket, g in df.groupby("bucket", sort=True):
+        v = sorted(g["value"].to_numpy(np.float64).tolist())
+        levels = build(v)
+        row = [bucket, np.int64(len(v)),
+               np.int64(sum(len(lv) for lv in levels)),
+               np.int64(len(levels))]
+        for q in quantiles:
+            row.append(float(_sql_round_arr(
+                np.array([est(levels, q)]))[0]) + 0.0)
+        rows.append(row)
+    qcols = [f"q{int(round(q * 100)):02d}" for q in quantiles]
+    return pd.DataFrame(rows, columns=["bucket", "n", "n_retained",
+                                       "n_levels"] + qcols)
 
 
 def tdigest_quantile_daily_crawl(obs_long: pd.DataFrame,

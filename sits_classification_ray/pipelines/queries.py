@@ -1602,6 +1602,26 @@ def _tdigest_quantile_daily(sf_dir: str) -> rd.Dataset:
     return tdigest_quantile(ds, "value", "bucket")
 
 
+def _kll_quantile_daily(sf_dir: str) -> rd.Dataset:
+    """Per-(metric, day) KLL quantiles (Karnin-Lang-Liberty 2016,
+    derandomized compactor) — the additive-rank-error member of the
+    quantile-sketch family next to t-digest (quantile error), DDSketch
+    (relative value error) and the fixed histogram (absolute value
+    error). Canonical bulk build per co-located bucket; golden twin."""
+    from sits_classification_ray.functions.sketches import kll_quantile
+
+    def proj(df: pd.DataFrame) -> pd.DataFrame:
+        day = (df["warc_ts"].to_numpy().astype("datetime64[D]")
+               .astype("datetime64[us]"))
+        return pd.DataFrame({
+            "bucket": df["metric"].astype(str) + "|"
+            + pd.Series(day).dt.strftime("%Y-%m-%d"),
+            "value": df["value"].to_numpy(np.float64)})
+
+    ds = _obs_long(sf_dir).map_batches(proj, batch_format="pandas")
+    return kll_quantile(ds, "value", "bucket")
+
+
 def _segment_trends_crawl(sf_dir: str) -> rd.Dataset:
     """Piecewise trend profile per daily series: binseg breakpoints +
     per-segment OLS slope/mean (golden twin)."""
@@ -3734,6 +3754,132 @@ def _snapshot_asof_crawl(sf_dir: str) -> rd.Dataset:
     return partitioned_map(_obs(sf_dir), latest, url_col="url")
 
 
+def _bootstrap_ci_crawl(sf_dir: str, B: int = 200, m: int = 200
+                        ) -> rd.Dataset:
+    """Seeded bootstrap confidence interval for each domain's mean
+    per-url text length: per-url means first (exact int sums — one
+    row per url, bounding partition payloads at any snapshot volume),
+    then an m-out-of-n bootstrap per domain (B=200 replicates of
+    min(n, 200) draws, RandomState seeded from the pandas SipHash of
+    the domain string — identical in the golden twin), percentile CI
+    at 2.5/97.5. The distribution-free uncertainty a crawl-quality
+    dashboard needs next to every mean."""
+    from ray.data.aggregate import Count, Sum
+
+    from sits_classification_ray.functions.transforms import sql_round
+    from sits_classification_ray.stages.shuffle import partitioned_map
+
+    per_url = (_obs(sf_dir)
+               .groupby("url")
+               .aggregate(Sum("text_len", alias_name="s"),
+                          Count(alias_name="c")))
+
+    out_schema = pa.schema([("domain", pa.string()),
+                            ("n_urls", pa.int64()),
+                            ("mean_len", pa.float64()),
+                            ("ci_lo", pa.float64()),
+                            ("ci_hi", pa.float64())])
+
+    def dom(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "domain": df["url"].str.extract(_DOMAIN_RE, expand=False),
+            "url": df["url"],
+            "mu": df["s"].to_numpy(np.float64)
+            / df["c"].to_numpy(np.float64)})
+
+    def kern(df: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for d, sub in df.sort_values(["domain", "url"],
+                                     kind="mergesort").groupby(
+                                         "domain", sort=False):
+            x = sub["mu"].to_numpy(np.float64)
+            n = len(x)
+            seed = int(pd.util.hash_array(
+                np.asarray([d], dtype=object))[0] & 0xFFFFFFFF)
+            rng = np.random.RandomState(seed)
+            take = min(n, m)
+            idx = rng.randint(0, n, size=(B, take))
+            means = x[idx].mean(axis=1)
+            lo, hi = np.quantile(means, [0.025, 0.975])
+            rows.append((d, n, float(x.mean()), float(lo), float(hi)))
+        out = pd.DataFrame(rows, columns=["domain", "n_urls",
+                                          "mean_len", "ci_lo", "ci_hi"])
+        for c in ("mean_len", "ci_lo", "ci_hi"):
+            out[c] = sql_round(out[c].to_numpy(np.float64), 6) + 0.0
+        out["n_urls"] = out["n_urls"].astype(np.int64)
+        return out
+
+    return partitioned_map(per_url.map_batches(dom,
+                                               batch_format="pandas"),
+                           kern, keys=["domain"],
+                           out_schema=out_schema)
+
+
+def _dgim_change_count_crawl(sf_dir: str, window: int = 64
+                             ) -> rd.Dataset:
+    """DGIM sliding-window bit counting (Datar–Gionis–Indyk–Motwani,
+    SODA 2002) per url stream: bit_i = "text_len changed at snapshot
+    i", buckets of power-of-two sizes with the ≤2-per-size merge rule,
+    O(log²N) memory per stream vs O(N) for an exact window — the
+    streaming-window sketch a recrawl monitor would keep per url.
+    Output per url: exact change count in the last ``window``
+    snapshots, the DGIM estimate (all-integer, deterministic) and the
+    bucket count. Golden oracle: independent bucket-list twin."""
+    from sits_classification_ray.stages.shuffle import partitioned_map
+
+    def kernel(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["url", "warc_ts"], kind="mergesort")
+        urls_out, exact_out, est_out, nb_out = [], [], [], []
+        for url, g in df.groupby("url", sort=False):
+            v = g["text_len"].to_numpy(np.int64)
+            bits = np.zeros(len(v), dtype=np.int64)
+            bits[1:] = (v[1:] != v[:-1]).astype(np.int64)
+            n = len(bits)
+            buckets: list[list[int]] = []   # [timestamp, size] newest-first
+            for t in range(n):
+                # expire buckets fully outside the window ending at t
+                while buckets and buckets[-1][0] <= t - window:
+                    buckets.pop()
+                if not bits[t]:
+                    continue
+                buckets.insert(0, [t, 1])
+                # canonical cascade: three buckets of one size →
+                # merge the two OLDEST (keep the newer timestamp),
+                # which may create a triple at the next size up
+                size = 1
+                while True:
+                    same = [j for j in range(len(buckets))
+                            if buckets[j][1] == size]
+                    if len(same) <= 2:
+                        break
+                    a, b = same[-2], same[-1]       # two oldest
+                    buckets[a] = [buckets[a][0], size * 2]
+                    del buckets[b]
+                    size *= 2
+            exact = int(bits[max(0, n - window):].sum())
+            if buckets:
+                total = sum(b[1] for b in buckets)
+                est = total - buckets[-1][1] + buckets[-1][1] // 2
+            else:
+                est = 0
+            urls_out.append(url)
+            exact_out.append(exact)
+            est_out.append(int(est))
+            nb_out.append(len(buckets))
+        return pd.DataFrame({
+            "url": pd.Series(urls_out, dtype=object),
+            "exact_changes": pd.Series(exact_out, dtype=np.int64),
+            "dgim_estimate": pd.Series(est_out, dtype=np.int64),
+            "n_buckets": pd.Series(nb_out, dtype=np.int64)})
+
+    schema = pa.schema([("url", pa.string()),
+                        ("exact_changes", pa.int64()),
+                        ("dgim_estimate", pa.int64()),
+                        ("n_buckets", pa.int64())])
+    return partitioned_map(_obs(sf_dir), kernel, url_col="url",
+                           out_schema=schema)
+
+
 def _asof_latest_event(sf_dir: str) -> rd.Dataset:
     from sits_classification_ray.stages.joins import asof_join
 
@@ -4039,6 +4185,60 @@ def _simhash_drift_crawl(sf_dir: str) -> rd.Dataset:
         ext.select_columns(["url", "warc_ts", "text_len", "text"]))
 
 
+def _rouge_overlap_crawl(sf_dir: str) -> rd.Dataset:
+    """ROUGE-1 unigram precision/recall between consecutive snapshots
+    of each url — the summarization-metric view of content drift
+    (multiset token overlap), complementing simhash_drift's bitwise
+    view. Token = string_split(text, ' ') with empties kept (the SQL
+    twin's semantics); per-url kernel after one salted exchange;
+    dedup per (url, warc_ts) is first-wins with text as the final
+    tie-break so both sides pick the identical snapshot."""
+    from collections import Counter
+
+    from sits_classification_ray.functions.transforms import sql_round
+    from sits_classification_ray.stages.shuffle import partitioned_map
+
+    ext = extract(crawl_from_tables(sf_dir), CFG, keep_text=True) \
+        .select_columns(["url", "warc_ts", "lang", "text", "text_len",
+                         "word_count"])
+
+    out_schema = pa.schema([("url", pa.string()),
+                            ("warc_ts", pa.timestamp("us")),
+                            ("rouge1_p", pa.float64()),
+                            ("rouge1_r", pa.float64())])
+
+    def kern(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["url", "warc_ts", "text_len",
+                             "word_count", "lang", "text"],
+                            kind="mergesort") \
+            .drop_duplicates(["url", "warc_ts"], keep="first")
+        urls, tss, ps, rs = [], [], [], []
+        for url, g in df.groupby("url", sort=False):
+            toks = [t.split(" ") for t in g["text"]]
+            tsv = g["warc_ts"].to_numpy()
+            prev_cnt = None
+            for i, cur in enumerate(toks):
+                cnt = Counter(cur)
+                if prev_cnt is not None:
+                    inter = sum(min(c, prev_cnt[t])
+                                for t, c in cnt.items()
+                                if t in prev_cnt)
+                    urls.append(url)
+                    tss.append(tsv[i])
+                    ps.append(inter / float(len(cur)))
+                    rs.append(inter / float(len(toks[i - 1])))
+                prev_cnt = cnt
+        return pd.DataFrame({
+            "url": pd.Series(urls, dtype=object),
+            "warc_ts": pd.Series(np.asarray(tss,
+                                            dtype="datetime64[us]")),
+            "rouge1_p": sql_round(np.asarray(ps, np.float64), 6) + 0.0,
+            "rouge1_r": sql_round(np.asarray(rs, np.float64), 6) + 0.0})
+
+    return partitioned_map(ext, kern, url_col="url",
+                           out_schema=out_schema)
+
+
 def _tfidf_top3_documents(sf_dir: str) -> rd.Dataset:
     from sits_classification_ray.stages.textstats import tfidf_topk
 
@@ -4164,6 +4364,34 @@ def _pagerank_domains_crawl(sf_dir: str) -> rd.Dataset:
     from sits_classification_ray.stages.graph import pagerank
 
     return pagerank(_domain_edges_crawl(sf_dir))
+
+
+def _ppr_domains_crawl(sf_dir: str) -> rd.Dataset:
+    """Personalized PageRank (Haveliwala 2002 topic-sensitive
+    variant): restart mass concentrated on a deterministic seed set —
+    the 3 lexicographically smallest domains — so rank measures
+    proximity to the seeds rather than global authority (the
+    crawl-frontier expansion signal: which domains are reachable-
+    important FROM the seeds). Same distributed power iteration and
+    determinism contract as pagerank_domains_crawl; golden twin
+    mirrors the restart vector."""
+    from sits_classification_ray.stages.graph import pagerank
+
+    from ray.data.aggregate import Count
+
+    edges = _domain_edges_crawl(sf_dir).materialize()
+
+    def nodes_of(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "node": pd.concat([df["w1"], df["w2"]], ignore_index=True)})
+
+    # distributed min-3: dedup + sort + limit — only 3 rows reach the
+    # driver no matter the domain cardinality
+    nodes = (edges.map_batches(nodes_of, batch_format="pandas")
+             .groupby("node").aggregate(Count(alias_name="_c")))
+    seeds = frozenset(r["node"]
+                      for r in nodes.sort("node").limit(3).take(3))
+    return pagerank(edges, personalization=seeds)
 
 
 def _hits_domains_crawl(sf_dir: str) -> rd.Dataset:
@@ -5294,6 +5522,76 @@ _ZORDER_EXPR = " + ".join(
     for b in range(16))
 
 
+def _hilbert_index_vec(x: np.ndarray, y: np.ndarray,
+                       order: int = 16) -> np.ndarray:
+    """Vectorized Hilbert-curve index (the canonical xy→d algorithm:
+    per-level quadrant digit ``(3rx)^ry`` + conditional
+    reflect/swap rotation), all levels as numpy ops over the whole
+    column — no per-point Python."""
+    x = x.astype(np.int64).copy()
+    y = y.astype(np.int64).copy()
+    d = np.zeros(len(x), np.int64)
+    s = np.int64(1 << (order - 1))
+    while s > 0:
+        rx = ((x & s) > 0).astype(np.int64)
+        ry = ((y & s) > 0).astype(np.int64)
+        d += s * s * ((3 * rx) ^ ry)
+        # rotation: when ry==0, optionally reflect (rx==1), then swap
+        refl = (ry == 0) & (rx == 1)
+        x = np.where(refl, s - 1 - x, x)
+        y = np.where(refl, s - 1 - y, y)
+        swap = ry == 0
+        x, y = np.where(swap, y, x), np.where(swap, x, y)
+        s >>= 1
+    return d
+
+
+def _hilbert_layout_crawl(sf_dir: str,
+                          rows_per_file: int = 200) -> rd.Dataset:
+    """Hilbert-curve data layout — the locality-better sibling of
+    _zorder_layout_crawl (Hilbert keeps EVERY curve-adjacent pair of
+    cells grid-adjacent; Morton has long jumps at power-of-two
+    boundaries, so Hilbert zone maps are tighter for range pruning).
+    Same construction: curve index over (crawl day, url id), global
+    rank along the curve, fixed-size file cuts, per-file min/max zone
+    maps. Golden oracle: independent scalar-loop Hilbert twin (the
+    rotation steps are not SQL-expressible)."""
+    from ray.data.aggregate import Count, Max, Min
+
+    from sits_classification_ray.stages.scan_sorted import global_rank
+
+    def hf(batch: pa.Table) -> pa.Table:
+        us = batch["warc_ts"].to_numpy(zero_copy_only=False) \
+            .astype("datetime64[us]").astype(np.int64)
+        day = us // 86_400_000_000
+        uid = pd.Series(batch["url"].to_pandas()) \
+            .str.extract(r"u/(\d+)$", expand=False) \
+            .astype(np.int64).to_numpy() % 65536
+        h = _hilbert_index_vec(day % 65536, uid)
+        return pa.table({"url": batch["url"], "warc_ts": batch["warc_ts"],
+                         "day": pa.array(day), "uid": pa.array(uid),
+                         "h": pa.array(h)})
+
+    hds = _obs(sf_dir).map_batches(hf, batch_format="pyarrow",
+                                   zero_copy_batch=True)
+    ranked = global_rank(hds, ["h", "url", "warc_ts"])
+
+    def fid(batch: pa.Table) -> pa.Table:
+        f = (batch["rn"].to_numpy(zero_copy_only=False) - 1) \
+            // rows_per_file
+        return pa.table({"file_id": pa.array(f.astype(np.int64)),
+                         "day": batch["day"], "uid": batch["uid"]})
+
+    return (ranked.map_batches(fid, batch_format="pyarrow",
+                               zero_copy_batch=True)
+            .groupby("file_id")
+            .aggregate(Count(alias_name="n"),
+                       Min("day", alias_name="min_day"),
+                       Max("day", alias_name="max_day"),
+                       Min("uid", alias_name="min_uid"),
+                       Max("uid", alias_name="max_uid")))
+
+
 def _gini_domains_crawl(sf_dir: str) -> rd.Dataset:
     """Gini concentration of snapshot counts across a domain's urls —
     the crawl-equity signal a recrawl scheduler watches (0 = every
@@ -5494,6 +5792,40 @@ def _k_anonymity_documents(sf_dir: str, k: int = 5) -> rd.Dataset:
             .groupby(["lang", "source", "size_bucket"])
             .aggregate(Sum("n", alias_name="n"))
             .filter(expr=f"n < {k}"))
+
+
+def _l_diversity_documents(sf_dir: str, l: int = 3) -> rd.Dataset:
+    """l-diversity audit (Machanavajjhala et al. 2007) — the
+    k-anonymity sibling: a quasi-identifier group is risky not only
+    when SMALL but when its sensitive attribute is UNIFORM. Over the
+    (lang, size-century) quasi-identifier, count distinct ``source``
+    values (the sensitive attribute); groups with fewer than ``l``
+    distinct sources leak membership→source inference. Exact distinct
+    via a two-level groupby (dedup then count — order-free under any
+    batching); SQL twin."""
+    from ray.data.aggregate import Count, Sum
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["lang", "source", "n_chars"])
+
+    def part(b: pa.Table) -> pa.Table:
+        bucket = pc.divide(pc.cast(b["n_chars"], pa.int64()),
+                           pa.scalar(100, pa.int64()))
+        t = pa.table({"lang": b["lang"], "size_bucket": bucket,
+                      "source": b["source"]})
+        # per-batch combiner: dedup triples + partial row count
+        g = (t.group_by(["lang", "size_bucket", "source"])
+             .aggregate([([], "count_all")]))
+        return g.rename_columns(["lang", "size_bucket", "source", "n"])
+
+    triples = (docs.map_batches(part, batch_format="pyarrow",
+                                zero_copy_batch=True)
+               .groupby(["lang", "size_bucket", "source"])
+               .aggregate(Sum("n", alias_name="n")))
+    return (triples.groupby(["lang", "size_bucket"])
+            .aggregate(Count(alias_name="distinct_sources"),
+                       Sum("n", alias_name="group_size"))
+            .filter(expr=f"distinct_sources < {l}"))
 
 
 def _ann_recall_embeddings(sf_dir: str) -> pd.DataFrame:
@@ -5732,6 +6064,8 @@ def build_queries() -> dict[str, Callable[[str], Any]]:
         "langid_documents": _langid_documents,
         "simhash_documents": _simhash_documents,
         "simhash_drift_crawl": _simhash_drift_crawl,
+        # ROUGE-1 consecutive-snapshot overlap (SQL-checked)
+        "rouge_overlap_crawl": _rouge_overlap_crawl,
         "fingerprint_documents": _fingerprint_documents,
         "minhash_near_dup_documents": _minhash_near_dup_documents,
         "jaccard_near_dup_documents": _jaccard_near_dup_documents,
@@ -5798,6 +6132,8 @@ def build_queries() -> dict[str, Callable[[str], Any]]:
         "segment_trends_crawl": _segment_trends_crawl,
         "xcorr_lag_crawl": _xcorr_lag_crawl,
         "tdigest_quantile_daily": _tdigest_quantile_daily,
+        # KLL quantile sketch (golden)
+        "kll_quantile_daily": _kll_quantile_daily,
         "rfm_segments_events": _rfm_segments_events,
         "km_staleness_crawl": _km_staleness_crawl,
         "recrawl_list_crawl": _recrawl_list_crawl,
@@ -5822,6 +6158,8 @@ def build_queries() -> dict[str, Callable[[str], Any]]:
         "bm25_topk_documents": _bm25_topk_documents,
         "hybrid_rrf_documents": _hybrid_rrf_documents,
         "pagerank_domains_crawl": _pagerank_domains_crawl,
+        # personalized PageRank from a deterministic seed set (golden)
+        "ppr_domains_crawl": _ppr_domains_crawl,
         "hits_domains_crawl": _hits_domains_crawl,
         "domain_components_crawl": _domain_components_crawl,
         "link_degree_crawl": _link_degree_crawl,
@@ -5979,6 +6317,8 @@ def build_queries() -> dict[str, Callable[[str], Any]]:
         "neighbor_agg_crawl": _neighbor_agg_crawl,
         # k-anonymity audit (SQL-checked)
         "k_anonymity_documents": _k_anonymity_documents,
+        # l-diversity audit (SQL-checked)
+        "l_diversity_documents": _l_diversity_documents,
         # ANN recall@k vs exact top-k (golden)
         "ann_recall_embeddings": _ann_recall_embeddings,
         # Markov removal-effect multi-touch attribution (golden)
@@ -5991,6 +6331,12 @@ def build_queries() -> dict[str, Callable[[str], Any]]:
         "gini_domains_crawl": _gini_domains_crawl,
         # Z-order layout optimization + zone maps (SQL-checked)
         "zorder_layout_crawl": _zorder_layout_crawl,
+        # Hilbert-curve layout (golden — rotations not SQL-expressible)
+        "hilbert_layout_crawl": _hilbert_layout_crawl,
+        # DGIM sliding-window change counting per url (golden)
+        "dgim_change_count_crawl": _dgim_change_count_crawl,
+        # seeded per-domain bootstrap CI (golden)
+        "bootstrap_ci_crawl": _bootstrap_ci_crawl,
         # Bloom sidecar partition pruning (golden)
         "bloom_prune_crawl": _bloom_prune_crawl,
         # curriculum fixed-token-budget sharding (SQL-checked)
@@ -6125,6 +6471,8 @@ GOLDEN_QUERIES = [
     "semdedup_embeddings",
     "ivfpq_topk_embeddings", "train_linear_fit", "train_linear_weights",
     "logreg_fit_embeddings", "winnowing_near_dup_documents",
+    "hilbert_layout_crawl", "dgim_change_count_crawl",
+    "ppr_domains_crawl", "bootstrap_ci_crawl", "kll_quantile_daily",
     "quality_classifier_documents", "binseg_changepoints_crawl",
     "holt_winters_crawl", "sax_motifs_crawl",
     "matrix_profile_discord_crawl", "boilerplate_extract_documents",
@@ -6266,6 +6614,35 @@ FROM comp""",
 SELECT url, warc_ts, lang, text, text_len, word_count FROM scr""",
         "crawl_dedup": f"""{CRAWL_PREFIX}
 SELECT url, warc_ts, lang, text_len, word_count FROM obs""",
+        "rouge_overlap_crawl": f"""{CRAWL_PREFIX},
+ddr AS MATERIALIZED (
+  SELECT url, warc_ts, text FROM (
+    SELECT url, warc_ts, text, row_number() OVER (
+      PARTITION BY url, warc_ts
+      ORDER BY text_len, word_count, lang, text) AS rn FROM scr)
+  WHERE rn = 1),
+rk AS MATERIALIZED (
+  SELECT url, warc_ts, text,
+         row_number() OVER (PARTITION BY url ORDER BY warc_ts) AS rk
+  FROM ddr),
+cnt AS MATERIALIZED (
+  SELECT url, rk, tok, count(*) AS c FROM (
+    SELECT url, rk, unnest(string_split(text, ' ')) AS tok FROM rk)
+  GROUP BY 1, 2, 3),
+tot AS MATERIALIZED (
+  SELECT url, rk, CAST(sum(c) AS DOUBLE) AS n FROM cnt GROUP BY 1, 2),
+ovl AS MATERIALIZED (
+  SELECT a.url, b.rk AS rk, CAST(sum(least(a.c, b.c)) AS DOUBLE) AS i
+  FROM cnt a JOIN cnt b ON a.url = b.url AND b.rk = a.rk + 1
+                        AND a.tok = b.tok
+  GROUP BY 1, 2)
+SELECT r.url, r.warc_ts,
+       round(COALESCE(o.i, 0) / tb.n, 6) AS rouge1_p,
+       round(COALESCE(o.i, 0) / ta.n, 6) AS rouge1_r
+FROM rk r
+JOIN tot tb ON tb.url = r.url AND tb.rk = r.rk
+JOIN tot ta ON ta.url = r.url AND ta.rk = r.rk - 1
+LEFT JOIN ovl o ON o.url = r.url AND o.rk = r.rk""",
         "rejects_crawl": f"""WITH {CRAWL_CTE},
 mangled AS MATERIALIZED (
   SELECT url, warc_ts,
@@ -8820,6 +9197,12 @@ FROM p GROUP BY 1""",
 SELECT lang, source, n_chars // 100 AS size_bucket,
        CAST(count(*) AS BIGINT) AS n
 FROM documents GROUP BY 1, 2, 3 HAVING count(*) < 5""",
+        "l_diversity_documents": """
+SELECT lang, n_chars // 100 AS size_bucket,
+       CAST(count(DISTINCT source) AS BIGINT) AS distinct_sources,
+       CAST(count(*) AS BIGINT) AS group_size
+FROM documents GROUP BY 1, 2
+HAVING count(DISTINCT source) < 3""",
         "neighbor_agg_crawl": f"""WITH {CRAWL_CTE},
 links AS MATERIALIZED (
   SELECT split_part(c.url, '/', 3) AS w1,

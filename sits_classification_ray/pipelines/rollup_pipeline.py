@@ -19,6 +19,7 @@ without touching raw observations.
 from __future__ import annotations
 
 import json
+import re
 import shutil
 import time
 from dataclasses import asdict
@@ -112,20 +113,49 @@ def _read_stage(path: Path, buckets: list[int] | None = None,
                 whole_files: bool = False) -> rd.Dataset:
     """Read a bucket-major stage directory back.
 
-    ``whole_files=True`` pins one read task per parquet file
-    (``override_num_blocks = n_files``) so Ray never SPLITS a file
-    across blocks — each written file is one partitioned_map output
-    block holding complete urls, and the exchange-free tier chain
-    (stages/rollup.py co-located kernels) depends on that completeness
-    surviving the round-trip. Merging several small files into one
-    task would also be safe (unions of complete files stay complete),
-    but a split is not."""
+    ``whole_files=True`` GUARANTEES one output block per parquet file:
+    each written file is one partitioned_map output block holding
+    complete urls, and the exchange-free tier chain (stages/rollup.py
+    co-located kernels) depends on that completeness surviving the
+    round-trip. Merging several small files into one task would be
+    safe (unions of complete files stay complete), but a split is
+    not — and ``read_parquet(override_num_blocks=n_files)`` is only a
+    HINT: when a file's estimated in-memory size exceeds the context's
+    target block size Ray splits it anyway (observed at the 80 M-doc
+    stress point: a 19 MB/1.6 M-row hourly file split mid-url and the
+    daily tier emitted a duplicate group). So whole-file mode reads
+    each file INSIDE a map task (one task per path row, enforced by
+    construction), with the hive ``url_bucket=N`` value re-attached
+    from the path. Per-task memory is bounded by the write side's
+    file sizes (salted partitions cap rows per output block)."""
     if whole_files:
-        n_files = sum(1 for _ in Path(path).rglob("*.parquet"))
-        ds = rd.read_parquet(str(path),
-                             override_num_blocks=max(1, n_files))
-    else:
-        ds = rd.read_parquet(str(path))
+        paths = sorted(str(p) for p in Path(path).rglob("*.parquet"))
+        if not paths:
+            return rd.read_parquet(str(path))  # empty dir: Ray's error
+
+        def read_file(batch: pa.Table) -> pa.Table:
+            import pyarrow.parquet as pq
+
+            tables = []
+            for p in batch["path"].to_pylist():
+                t = pq.read_table(p)
+                m = re.search(r"url_bucket=(\d+)", p)
+                t = t.append_column(
+                    "url_bucket",
+                    pa.array(np.full(len(t), int(m.group(1)),
+                                     np.uint32)))
+                tables.append(t)
+            return pa.concat_tables(tables)
+
+        ds = (rd.from_items([{"path": p} for p in paths],
+                            override_num_blocks=len(paths))
+              .map_batches(read_file, batch_format="pyarrow",
+                           batch_size=None))
+        if buckets is not None:
+            ds = _filter_buckets(ds, buckets)
+        return ds
+
+    ds = rd.read_parquet(str(path))
 
     def fix(batch: pa.Table) -> pa.Table:
         # hive partitioning reads url_bucket back as a dictionary/int

@@ -29,7 +29,8 @@ from sits_classification_ray.stages.shuffle import partitioned_map
 def pagerank(edges: rd.Dataset, src_col: str = "w1",
              dst_col: str = "w2", weight_col: str = "n",
              damping: float = 0.85, iterations: int = 10,
-             round_to: int = 6) -> rd.Dataset:
+             round_to: int = 6,
+             personalization: frozenset | None = None) -> rd.Dataset:
     """Weighted PageRank over a directed edge table, ``iterations``
     synchronous power steps of
     ``r(v) = (1-d)/N + d · Σ_{u→v} r(u) · w(u,v) / outw(u)``.
@@ -72,7 +73,12 @@ def pagerank(edges: rd.Dataset, src_col: str = "w1",
     # measured counts keeps test-scale graphs at P=1 while a web-scale
     # edge table still gets rows/hot_key partitions
     xrows = n_edges + n_nodes
-    teleport = (1.0 - damping) / float(n_nodes)
+    # personalization: restart mass goes only to the seed set (the
+    #   topic-sensitive / personalized-PageRank variant, Haveliwala
+    #   2002); the seed set is tiny and ships inside the kernel
+    #   closures (broadcast once per task set, never per row)
+    seeds = frozenset(personalization) if personalization else None
+    teleport = (1.0 - damping) / float(len(seeds) if seeds else n_nodes)
 
     # out-weight per src, attached to every edge (one exchange on src)
     outw = (edges.groupby(src_col)
@@ -104,8 +110,14 @@ def pagerank(edges: rd.Dataset, src_col: str = "w1",
         hot_key_threshold=100_000).materialize()
 
     def init_rank(df: pd.DataFrame) -> pd.DataFrame:
-        return pd.DataFrame({"node": df["node"],
-                             "rank": 1.0 / float(n_nodes)})
+        if seeds is None:
+            return pd.DataFrame({"node": df["node"],
+                                 "rank": 1.0 / float(n_nodes)})
+        # personalized: start AT the restart distribution
+        inS = df["node"].isin(seeds).to_numpy()
+        return pd.DataFrame({
+            "node": df["node"],
+            "rank": np.where(inS, 1.0 / float(len(seeds)), 0.0)})
 
     ranks = nodes.map_batches(init_rank, batch_format="pandas") \
         .materialize()
@@ -151,8 +163,12 @@ def pagerank(edges: rd.Dataset, src_col: str = "w1",
         def reduce_rank(df: pd.DataFrame) -> pd.DataFrame:
             df = df.sort_values(["node", "_src"], kind="mergesort")
             s = df.groupby("node", sort=False)["c"].sum()
+            if seeds is None:
+                tel = teleport
+            else:
+                tel = np.where(s.index.isin(seeds), teleport, 0.0)
             return pd.DataFrame({"node": s.index.to_numpy(),
-                                 "rank": teleport + damping
+                                 "rank": tel + damping
                                  * s.to_numpy(np.float64)})
 
         ranks = partitioned_map(

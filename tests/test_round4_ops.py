@@ -1,0 +1,100 @@
+"""Round-4 operator invariants: KLL weight conservation + rank error,
+winnowing's local guarantee, Hilbert bijectivity/adjacency, DGIM error
+bound, Newton-logreg convergence."""
+
+import numpy as np
+import pandas as pd
+
+
+def test_kll_weight_conservation_and_rank_error():
+    from sits_classification_ray.functions.sketches import (
+        kll_build, kll_quantile_est)
+
+    rng = np.random.RandomState(5)
+    for n in (10, 500, 20_000):
+        v = np.sort(rng.randn(n))
+        levels = kll_build(v, k=128)
+        total_w = sum(len(lv) * (1 << i) for i, lv in enumerate(levels))
+        assert total_w == n                      # weight conservation
+        for q in (0.1, 0.5, 0.9):
+            est = kll_quantile_est(levels, q)
+            # rank of estimate within sorted truth
+            rank = np.searchsorted(v, est) / n
+            assert abs(rank - q) < 0.15, (n, q, rank)
+
+
+def test_winnowing_local_guarantee():
+    """Any shared substring of length >= w + k - 1 must produce a
+    shared fingerprint (Schleimer et al. theorem 1)."""
+    from sits_classification_ray.stages.dedup_docs import (
+        winnowing_fingerprints)
+
+    k, w = 8, 4
+    rng = np.random.RandomState(11)
+    shared = bytes(rng.randint(97, 123, k + w - 1).astype(np.uint8))
+    for trial in range(20):
+        a = bytes(rng.randint(97, 123, 50).astype(np.uint8)) + shared \
+            + bytes(rng.randint(97, 123, 30).astype(np.uint8))
+        b = bytes(rng.randint(65, 91, 40).astype(np.uint8)) + shared \
+            + bytes(rng.randint(65, 91, 60).astype(np.uint8))
+        fa = winnowing_fingerprints(np.frombuffer(a, np.uint8), k, w)
+        fb = winnowing_fingerprints(np.frombuffer(b, np.uint8), k, w)
+        assert len(np.intersect1d(fa, fb)) >= 1, trial
+
+
+def test_hilbert_bijective_and_adjacent():
+    from sits_classification_ray.pipelines.queries import (
+        _hilbert_index_vec)
+
+    order = 4                                   # 16x16 grid
+    xs, ys = np.meshgrid(np.arange(16), np.arange(16))
+    d = _hilbert_index_vec(xs.ravel(), ys.ravel(), order=order)
+    assert len(np.unique(d)) == 256             # bijection
+    # walk the curve: consecutive indices are grid neighbors
+    pos = np.empty((256, 2), np.int64)
+    pos[d] = np.stack([xs.ravel(), ys.ravel()], axis=1)
+    steps = np.abs(np.diff(pos, axis=0)).sum(axis=1)
+    assert (steps == 1).all()                   # unit Manhattan steps
+
+
+def test_dgim_error_bound_vs_exact():
+    """DGIM's estimate is within 50% of the exact windowed count
+    (guaranteed by the <=2-buckets-per-size invariant)."""
+    from sits_classification_ray.oracle.golden import (
+        dgim_change_count_crawl)
+
+    rng = np.random.RandomState(3)
+    n = 500
+    vals = rng.randint(0, 3, n).astype(np.int64)  # frequent changes
+    obs = pd.DataFrame({
+        "url": "https://a/u/1",
+        "warc_ts": pd.date_range("2024-01-01", periods=n, freq="h"),
+        "text_len": vals})
+    out = dgim_change_count_crawl(obs, window=64).iloc[0]
+    assert out["exact_changes"] > 0
+    err = abs(out["dgim_estimate"] - out["exact_changes"])
+    assert err <= 0.5 * out["exact_changes"] + 1
+
+
+def test_logreg_newton_loss_decreases(ray_session):
+    import ray.data as rd
+
+    from sits_classification_ray.pipelines.trainer import (
+        logreg_newton_fit)
+
+    rng = np.random.RandomState(7)
+    n, d = 400, 6
+    X = rng.randn(n, d)
+    w_true = rng.randn(d)
+    y = (X @ w_true + 0.3 * rng.randn(n) > 0).astype(np.int64)
+    df = pd.DataFrame({"vec_id": np.arange(n),
+                       "embedding": list(X),
+                       "label": 1 - y})        # positive=0 ⇒ y
+    ds = rd.from_pandas(df).repartition(4)
+    w, log = logreg_newton_fit(ds, n_iters=4, num_partitions=8)
+    losses = [r["loss"] for r in log]
+    assert losses == sorted(losses, reverse=True)   # monotone decrease
+    assert losses[-1] < 0.3 * losses[0]
+    # learned direction correlates with truth
+    corr = np.corrcoef(w[:d], w_true)[0, 1]
+    assert corr > 0.9

@@ -97,6 +97,12 @@ def make_for(sf_dir: str, only: set[str] | None = None) -> None:
         "cusum_crawl": lambda: golden.cusum_crawl(obs_long),
         "partition_extents_crawl":
             lambda: golden.partition_extents_crawl(obs),
+        "bootstrap_ci_crawl":
+            lambda: golden.bootstrap_ci_crawl(obs),
+        "dgim_change_count_crawl":
+            lambda: golden.dgim_change_count_crawl(obs),
+        "hilbert_layout_crawl":
+            lambda: golden.hilbert_layout_crawl(obs, rows_per_file=200),
         "hll_distinct_urls_daily":
             lambda: golden.hll_distinct_urls_daily(obs),
         "hll_weekly_from_daily":
@@ -109,6 +115,8 @@ def make_for(sf_dir: str, only: set[str] | None = None) -> None:
             lambda: golden.cms_heavy_domains_crawl(obs),
         "pagerank_domains_crawl":
             lambda: golden.pagerank_domains_crawl(crawl),
+        "ppr_domains_crawl":
+            lambda: golden.ppr_domains_crawl(crawl),
         "hits_domains_crawl":
             lambda: golden.hits_domains_crawl(crawl),
         "kmv_overlap_weeks": lambda: golden.kmv_overlap_weeks(obs),
@@ -222,6 +230,8 @@ def make_for(sf_dir: str, only: set[str] | None = None) -> None:
             lambda: golden.xcorr_lag_crawl(obs_long),
         "tdigest_quantile_daily":
             lambda: golden.tdigest_quantile_daily_crawl(obs_long),
+        "kll_quantile_daily":
+            lambda: golden.kll_quantile_daily_crawl(obs_long),
         "km_staleness_crawl":
             lambda: golden.km_staleness_crawl(con.sql(
                 f"{CRAWL_PREFIX} SELECT url, warc_ts, text FROM obs"
