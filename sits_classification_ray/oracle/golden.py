@@ -828,7 +828,7 @@ def bootstrap_ci_crawl(obs: pd.DataFrame, B: int = 200, m: int = 200
         x = sub["mu"].to_numpy(np.float64)
         n = len(x)
         seed = int(pd.util.hash_array(
-            np.asarray([d], dtype=object))[0] & 0xFFFFFFFF)
+            np.asarray([d], dtype=object))[0]) & 0xFFFFFFFF
         rng = np.random.RandomState(seed)
         take = min(n, m)
         idx = rng.randint(0, n, size=(B, take))
