@@ -2186,6 +2186,97 @@ def kmv_overlap_weeks(obs: pd.DataFrame, k: int = 256) -> pd.DataFrame:
         "union_est"])
 
 
+def isotonic_calibration_nchars(docs: pd.DataFrame) -> pd.DataFrame:
+    """Independent PAV twin: pandas bucket rates + a backward-scan
+    pool-adjacent-violators with exact integer violation tests."""
+    d = docs.assign(size_bucket=docs["n_chars"].to_numpy(np.int64)
+                    // 100,
+                    pos=(docs["lang"] == "en").astype(np.int64))
+    g = d.groupby("size_bucket").agg(pos=("pos", "sum"),
+                                     n=("pos", "size")).reset_index() \
+        .sort_values("size_bucket", ignore_index=True)
+    # stack PAV, integer cross-multiplication comparisons
+    stack: list[list[int]] = []
+    for r in g.itertuples(index=False):
+        stack.append([1, int(r.n), int(r.pos)])
+        while len(stack) > 1 and \
+                stack[-2][2] * stack[-1][1] > stack[-1][2] * stack[-2][1]:
+            c2, n2, p2 = stack.pop()
+            stack[-1][0] += c2
+            stack[-1][1] += n2
+            stack[-1][2] += p2
+    iso = []
+    for c, bn, bp in stack:
+        iso.extend([bp / float(bn)] * c)
+    return pd.DataFrame({
+        "size_bucket": g["size_bucket"].to_numpy(np.int64),
+        "n": g["n"].to_numpy(np.int64),
+        "rate_raw": _sql_round_arr(
+            g["pos"].to_numpy(np.float64)
+            / g["n"].to_numpy(np.float64)) + 0.0,
+        "rate_iso": _sql_round_arr(np.asarray(iso, np.float64)) + 0.0})
+
+
+def betweenness_domains_crawl(crawl: pd.DataFrame,
+                              max_sources: int = 64) -> pd.DataFrame:
+    """Independent Brandes twin over the synthetic domain graph:
+    same canonical contract (sorted neighbor lists, FIFO BFS,
+    reverse-order dependency accumulation, per-node sum over sources
+    in source order) but written as a flat scalar loop."""
+    from collections import deque
+
+    srcs, dsts = [], []
+    for url, h in zip(crawl["url"], crawl["html"]):
+        s = (h or b"").decode("utf-8", "replace")
+        n = len(s)
+        src = str(url).split("/")[2]
+        for j in range(n % 4):
+            srcs.append(src)
+            dsts.append(f"site-{(n + j) % 40}.example.com")
+    ep = (pd.DataFrame({"w1": srcs, "w2": dsts}).drop_duplicates()
+          .sort_values(["w1", "w2"], kind="mergesort"))
+    adj: dict = {}
+    for a, b in ep.itertuples(index=False):
+        adj.setdefault(a, []).append(b)
+    nodes = sorted(set(ep["w1"]) | set(ep["w2"]))
+    deg = {n_: len(adj.get(n_, ())) for n_ in nodes}
+    sources = sorted(nodes, key=lambda n_: (-deg[n_], n_))[:max_sources]
+    acc: dict = {}
+    for s in sources:                        # ascending source order?
+        sigma = {s: 1.0}
+        dist = {s: 0}
+        preds: dict = {}
+        order = []
+        q = deque([s])
+        while q:
+            v = q.popleft()
+            order.append(v)
+            for w in adj.get(v, ()):
+                if w not in dist:
+                    dist[w] = dist[v] + 1
+                    sigma[w] = 0.0
+                    q.append(w)
+                if dist[w] == dist[v] + 1:
+                    sigma[w] += sigma[v]
+                    preds.setdefault(w, []).append(v)
+        delta = {v: 0.0 for v in order}
+        for w in reversed(order):
+            for v in preds.get(w, ()):
+                delta[v] += (sigma[v] / sigma[w]) * (1.0 + delta[w])
+            if w != s and delta[w] != 0.0:
+                acc.setdefault(w, []).append((s, delta[w]))
+    rows = []
+    for node in sorted(acc):
+        total = 0.0
+        for _, d in sorted(acc[node]):       # sum in source order
+            total += d
+        rows.append((node, total))
+    out = pd.DataFrame(rows, columns=["node", "betweenness"])
+    out["betweenness"] = _sql_round_arr(
+        out["betweenness"].to_numpy(np.float64)) + 0.0
+    return out
+
+
 def ppr_domains_crawl(crawl: pd.DataFrame, damping: float = 0.85,
                       iterations: int = 10,
                       n_seeds: int = 3) -> pd.DataFrame:
@@ -3340,13 +3431,12 @@ def mahalanobis_embeddings(emb: pd.DataFrame, num_partitions: int = 64,
                          "d2": _sql_round_arr(d2, round_to) + 0.0})
 
 
-def logreg_fit_embeddings(emb: pd.DataFrame, positive: int = 0,
-                          n_iters: int = 4, reg: float = 1e-3,
-                          num_partitions: int = 16) -> pd.DataFrame:
-    """Independent Newton/IRLS twin under the engine's determinism
-    contract: rows hash-partitioned into pids (pandas SipHash), each
-    pid's [H|g|loss] partial computed over id-sorted rows, partials
-    summed in ascending-pid order, exact solve per iteration."""
+def _logreg_newton_w(emb: pd.DataFrame, positive: int = 0,
+                     n_iters: int = 4, reg: float = 1e-3,
+                     num_partitions: int = 16
+                     ) -> tuple[np.ndarray, float]:
+    """Raw (unrounded) Newton/IRLS weights + final loss — shared core
+    of the logreg twin and the margin-prune twin."""
     ids = emb["vec_id"].to_numpy(np.int64)
     pids = (pd.util.hash_array(np.ascontiguousarray(ids),
                                categorize=False)
@@ -3376,10 +3466,74 @@ def logreg_fit_embeddings(emb: pd.DataFrame, positive: int = 0,
         grad = total[d * d:d * d + d] + reg * w
         loss_final = total[d * d + d] / total[d * d + d + 1]
         w = w - np.linalg.solve(H, grad)
+    return w, float(loss_final)
+
+
+def logreg_fit_embeddings(emb: pd.DataFrame, positive: int = 0,
+                          n_iters: int = 4, reg: float = 1e-3,
+                          num_partitions: int = 16) -> pd.DataFrame:
+    """Independent Newton/IRLS twin under the engine's determinism
+    contract: rows hash-partitioned into pids (pandas SipHash), each
+    pid's [H|g|loss] partial computed over id-sorted rows, partials
+    summed in ascending-pid order, exact solve per iteration."""
+    w, loss_final = _logreg_newton_w(emb, positive, n_iters, reg,
+                                     num_partitions)
+    d = len(w)
     dims = np.concatenate([np.arange(d - 1), [-1, -2]]).astype(np.int64)
     vals = np.concatenate([w[:d - 1], [w[d - 1], loss_final]])
     return pd.DataFrame({"dim": dims,
                          "weight": _sql_round_arr(vals) + 0.0})
+
+
+def margin_prune_embeddings(emb: pd.DataFrame, keep_frac: float = 0.2
+                            ) -> pd.DataFrame:
+    """Margin-prune twin: raw weights from the shared Newton core,
+    rounded margins, keep the smallest (|margin|, vec_id) fraction."""
+    w, _ = _logreg_newton_w(emb)
+    emb = emb.sort_values("vec_id", kind="mergesort")
+    X = np.stack([np.asarray(v, dtype=np.float64)
+                  for v in emb["embedding"]])
+    z = _sql_round_arr(X @ w[:-1] + w[-1])
+    df = pd.DataFrame({"vec_id": emb["vec_id"].to_numpy(np.int64),
+                       "margin": z + 0.0, "absm": np.abs(z)})
+    k = max(1, int(len(df) * keep_frac))
+    kept = df.sort_values(["absm", "vec_id"],
+                          kind="mergesort").head(k)
+    return kept[["vec_id", "margin"]].reset_index(drop=True)
+
+
+def priority_sample_documents(docs: pd.DataFrame, k: int = 100
+                              ) -> pd.DataFrame:
+    """Priority-sampling twin: independent splitmix64 (published
+    public-domain constants), q = w/u, top-k with τ = (k+1)-th."""
+
+    def smix(x: np.ndarray) -> np.ndarray:
+        z = (x + np.uint64(0x9E3779B97F4A7C15)) \
+            & np.uint64(0xFFFFFFFFFFFFFFFF)
+        z = ((z ^ (z >> np.uint64(30)))
+             * np.uint64(0xBF58476D1CE4E5B9)) \
+            & np.uint64(0xFFFFFFFFFFFFFFFF)
+        z = ((z ^ (z >> np.uint64(27)))
+             * np.uint64(0x94D049BB133111EB)) \
+            & np.uint64(0xFFFFFFFFFFFFFFFF)
+        return z ^ (z >> np.uint64(31))
+
+    ids = docs["doc_id"].to_numpy(np.int64)
+    w = docs["n_chars"].to_numpy(np.float64)
+    with np.errstate(over="ignore"):
+        h = smix(ids.astype(np.uint64))
+    u = np.maximum((h >> np.uint64(11)).astype(np.float64) * 2.0 ** -53,
+                   2.0 ** -53)
+    df = pd.DataFrame({"doc_id": ids, "w": w, "priority": w / u})
+    df = df.sort_values(["priority", "doc_id"],
+                        ascending=[False, True], kind="mergesort")
+    tau = float(df["priority"].iloc[k]) if len(df) > k else 0.0
+    kept = df.head(k)
+    return pd.DataFrame({
+        "doc_id": kept["doc_id"].to_numpy(np.int64),
+        "w": kept["w"].to_numpy(np.float64),
+        "w_hat": _sql_round_arr(
+            np.maximum(kept["w"].to_numpy(np.float64), tau)) + 0.0})
 
 
 def pca_projection_embeddings(emb: pd.DataFrame, n_components: int = 2,

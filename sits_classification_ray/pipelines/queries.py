@@ -3109,6 +3109,75 @@ def _logreg_fit_embeddings(sf_dir: str) -> pd.DataFrame:
                          "weight": sql_round(vals, 6) + 0.0})
 
 
+def _margin_prune_embeddings(sf_dir: str, keep_frac: float = 0.2
+                             ) -> rd.Dataset:
+    """Margin-based data pruning (the EL2N/forgetting-score family by
+    proxy): fit the Newton logistic model, then keep the HARDEST
+    ``keep_frac`` of examples — smallest |decision margin| — the
+    classic active-learning/data-diet selection. Composed pipeline:
+    distributed fit (O(d²) partials) → broadcast weights → per-batch
+    margins → distributed sort+limit (only the kept rows move).
+    Golden twin reuses the independent logreg twin."""
+    from sits_classification_ray.functions.transforms import sql_round
+    from sits_classification_ray.pipelines.trainer import logreg_newton_fit
+
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet")
+    w, _ = logreg_newton_fit(ds, n_iters=4, reg=1e-3)
+    n = ds.count()
+    k = max(1, int(n * keep_frac))
+    w_ref = ray.put(w)
+
+    def margins(df: pd.DataFrame) -> pd.DataFrame:
+        wv = ray.get(w_ref)
+        X = np.stack([np.asarray(v, dtype=np.float64)
+                      for v in df["embedding"]])
+        z = X @ wv[:-1] + wv[-1]
+        return pd.DataFrame({
+            "vec_id": df["vec_id"].to_numpy(np.int64),
+            "margin": sql_round(z, 6) + 0.0,
+            "absm": np.abs(sql_round(z, 6))})
+
+    out = (ds.map_batches(margins, batch_format="pandas")
+           .sort(["absm", "vec_id"]).limit(k)
+           .drop_columns(["absm"]))
+    return out
+
+
+def _priority_sample_documents(sf_dir: str, k: int = 100) -> rd.Dataset:
+    """Priority sampling (Duffield-Lund-Thorup, JACM 2007): the
+    weighted-sampling scheme with unbiased subset-sum estimates.
+    Priority qᵢ = wᵢ/uᵢ (w = n_chars, u = a splitmix64 uniform keyed
+    by doc_id); keep the k largest priorities; τ = (k+1)-th priority;
+    estimator ŵᵢ = max(wᵢ, τ). Distributed top-(k+1) via sort+limit —
+    only k+1 rows reach the driver. Golden twin re-derives the same
+    uniforms from the published splitmix64 constants."""
+    from sits_classification_ray.functions.transforms import sql_round
+    from sits_classification_ray.stages.als import _splitmix64
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id", "n_chars"])
+
+    def prio(df: pd.DataFrame) -> pd.DataFrame:
+        ids = df["doc_id"].to_numpy(np.int64)
+        w = df["n_chars"].to_numpy(np.float64)
+        h = _splitmix64(ids.astype(np.uint64))
+        u = (h >> np.uint64(11)).astype(np.float64) * 2.0 ** -53
+        u = np.maximum(u, 2.0 ** -53)            # avoid div by zero
+        return pd.DataFrame({"doc_id": ids, "w": w,
+                             "priority": w / u})
+
+    top = (docs.map_batches(prio, batch_format="pandas")
+           .sort([("priority"), ("doc_id")], descending=[True, False])
+           .limit(k + 1).to_pandas())
+    tau = float(top["priority"].iloc[k]) if len(top) > k else 0.0
+    kept = top.iloc[:k]
+    return pd.DataFrame({
+        "doc_id": kept["doc_id"].to_numpy(np.int64),
+        "w": kept["w"].to_numpy(np.float64),
+        "w_hat": sql_round(np.maximum(kept["w"].to_numpy(np.float64),
+                                      tau), 6) + 0.0})
+
+
 def _train_linear_weights(sf_dir: str) -> pd.DataFrame:
     """Learned weights of the same fit as a (class, dim, weight) long
     table (dim = -1 rows are biases); bit-stable across block order /
@@ -4392,6 +4461,20 @@ def _ppr_domains_crawl(sf_dir: str) -> rd.Dataset:
     seeds = frozenset(r["node"]
                       for r in nodes.sort("node").limit(3).take(3))
     return pagerank(edges, personalization=seeds)
+
+
+def _betweenness_domains_crawl(sf_dir: str) -> rd.Dataset:
+    """Brandes betweenness centrality over the domain link graph —
+    the broker/chokepoint signal PageRank and HITS both miss (a
+    domain can have middling rank yet sit on every shortest path
+    between communities). One BFS + dependency pass per source node
+    fanned out as Ray tasks with the adjacency broadcast once;
+    per-(node, source) dependencies reduce in one keyed exchange
+    under the sorted-sum contract (golden twin: independent Brandes
+    loop with the same canonical neighbor order)."""
+    from sits_classification_ray.stages.graph import betweenness
+
+    return betweenness(_domain_edges_crawl(sf_dir))
 
 
 def _hits_domains_crawl(sf_dir: str) -> rd.Dataset:
@@ -5828,6 +5911,62 @@ def _l_diversity_documents(sf_dir: str, l: int = 3) -> rd.Dataset:
             .filter(expr=f"distinct_sources < {l}"))
 
 
+def _isotonic_calibration_nchars(sf_dir: str) -> pd.DataFrame:
+    """Isotonic regression (pool-adjacent-violators) calibrating
+    P(lang = 'en') against document length: per-size-bucket empirical
+    rates from one distributed groupby, then the exact PAV merge on
+    the driver over the BOUNDED bucket table (≤ max(n_chars)/100
+    rows — driver work is O(bins), never O(docs)). The monotone
+    calibration standard for classifier-score → probability mapping
+    (golden twin: independent stack-based PAV)."""
+    from ray.data.aggregate import Sum
+
+    from sits_classification_ray.functions.transforms import sql_round
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["lang", "n_chars"])
+
+    def part(b: pa.Table) -> pa.Table:
+        bucket = pc.divide(pc.cast(b["n_chars"], pa.int64()),
+                           pa.scalar(100, pa.int64()))
+        pos = pc.cast(pc.equal(b["lang"], "en"), pa.int64())
+        t = pa.table({"size_bucket": bucket, "pos": pos})
+        g = t.group_by("size_bucket").aggregate(
+            [("pos", "sum"), ([], "count_all")])
+        return g.rename_columns(["size_bucket", "pos", "n"])
+
+    bins = (docs.map_batches(part, batch_format="pyarrow",
+                             zero_copy_batch=True)
+            .groupby("size_bucket")
+            .aggregate(Sum("pos", alias_name="pos"),
+                       Sum("n", alias_name="n"))
+            .sort("size_bucket").to_pandas())
+
+    n = bins["n"].to_numpy(np.int64)
+    pos = bins["pos"].to_numpy(np.int64)
+    # PAV (increasing): merge adjacent blocks while rates decrease
+    blocks = []                               # [bucket_count, n, pos]
+    for i in range(len(bins)):
+        blocks.append([1, int(n[i]), int(pos[i])])
+        while (len(blocks) > 1
+               and blocks[-2][2] * blocks[-1][1]
+               > blocks[-1][2] * blocks[-2][1]):   # exact int compare
+            c2, n2, p2 = blocks.pop()
+            blocks[-1][0] += c2
+            blocks[-1][1] += n2
+            blocks[-1][2] += p2
+    iso = np.empty(len(bins), np.float64)
+    j = 0
+    for c, bn, bp in blocks:
+        iso[j:j + c] = bp / float(bn)
+        j += c
+    return pd.DataFrame({
+        "size_bucket": bins["size_bucket"].to_numpy(np.int64),
+        "n": n,
+        "rate_raw": sql_round(pos / n.astype(np.float64), 6) + 0.0,
+        "rate_iso": sql_round(iso, 6) + 0.0})
+
+
 def _ann_recall_embeddings(sf_dir: str) -> pd.DataFrame:
     """Recall@10 of the IVF index (n_probe=2 of 8 lists) against the
     exact brute-force cosine top-10 for the five probe queries — the
@@ -5863,43 +6002,82 @@ def _neighbor_agg_crawl(sf_dir: str) -> rd.Dataset:
     """GraphSAGE-style 1-hop feature aggregation over the domain link
     graph: each source domain's own in-link weight plus the
     edge-weighted mean in-link weight of its out-neighbors. Scale
-    shape: edge-weight groupby → distributed hash join attaching the
-    target's in-degree to each aggregated edge → integer partial
-    products → one small groupby; nothing is broadcast (SQL twin)."""
+    shape: edge-weight groupby → two TAG-UNION keyed attaches
+    (schema-pinned partitioned_map — NOT Dataset.join: Ray 2.49
+    groupby outputs can emit schema-less empty blocks that
+    intermittently break acero key resolution, observed in this exact
+    query) → integer partial products → one small groupby (SQL
+    twin)."""
     from ray.data.aggregate import Sum
 
     from sits_classification_ray.functions.transforms import sql_round
-    from sits_classification_ray.stages.joins import hash_join
+    from sits_classification_ray.stages.shuffle import partitioned_map
 
     edges = _domain_edges_crawl(sf_dir)            # (w1, w2, n)
     indeg = edges.groupby("w2").aggregate(Sum("n", alias_name="indeg"))
 
-    j = hash_join(edges, indeg, on="w2")
+    def tag_e(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"w2": df["w2"], "w1": df["w1"],
+                             "n": df["n"].astype(np.int64),
+                             "indeg": np.int64(-1)})
 
-    def prods(df: pd.DataFrame) -> pd.DataFrame:
-        return pd.DataFrame({
-            "w1": df["w1"],
-            "wn": df["n"].to_numpy(np.int64)
-            * df["indeg"].to_numpy(np.int64),
-            "n": df["n"].to_numpy(np.int64)})
+    def tag_i(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"w2": df["w2"], "w1": "",
+                             "n": np.int64(-1),
+                             "indeg": df["indeg"].astype(np.int64)})
 
-    agg = (j.map_batches(prods, batch_format="pandas")
-           .groupby("w1").aggregate(Sum("wn", alias_name="wn"),
-                                    Sum("n", alias_name="n")))
-    own = indeg.map_batches(
-        lambda df: df.rename(columns={"w2": "w1", "indeg": "own"}),
-        batch_format="pandas")
-    out = hash_join(agg, own, on="w1", join_type="left_outer")
+    prod_schema = pa.schema([("w1", pa.string()), ("wn", pa.int64()),
+                             ("n", pa.int64())])
+
+    def attach(df: pd.DataFrame) -> pd.DataFrame:
+        side_i = df[df["indeg"] >= 0]
+        side_e = df[df["indeg"] < 0]
+        imap = pd.Series(side_i["indeg"].to_numpy(),
+                         index=side_i["w2"])
+        ind = side_e["w2"].map(imap).to_numpy(np.int64)
+        n = side_e["n"].to_numpy(np.int64)
+        return pd.DataFrame({"w1": side_e["w1"], "wn": n * ind,
+                             "n": n})
+
+    prods = partitioned_map(
+        edges.map_batches(tag_e, batch_format="pandas").union(
+            indeg.map_batches(tag_i, batch_format="pandas")),
+        attach, keys=["w2"], out_schema=prod_schema)
+
+    agg = prods.groupby("w1").aggregate(Sum("wn", alias_name="wn"),
+                                        Sum("n", alias_name="n"))
+
+    def tag_a(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"w1": df["w1"],
+                             "wn": df["wn"].astype(np.int64),
+                             "n": df["n"].astype(np.int64),
+                             "own": np.int64(-1)})
+
+    def tag_o(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"w1": df["w2"], "wn": np.int64(-1),
+                             "n": np.int64(-1),
+                             "own": df["indeg"].astype(np.int64)})
+
+    out_schema = pa.schema([("node", pa.string()),
+                            ("indeg", pa.int64()),
+                            ("nbr_mean_indeg", pa.float64())])
 
     def final(df: pd.DataFrame) -> pd.DataFrame:
+        side_o = df[df["own"] >= 0]
+        side_a = df[df["own"] < 0]
+        omap = pd.Series(side_o["own"].to_numpy(),
+                         index=side_o["w1"])
+        own = side_a["w1"].map(omap).fillna(0).to_numpy(np.int64)
         return pd.DataFrame({
-            "node": df["w1"],
-            "indeg": df["own"].fillna(0).astype(np.int64),
+            "node": side_a["w1"], "indeg": own,
             "nbr_mean_indeg": sql_round(
-                df["wn"].to_numpy(np.float64)
-                / df["n"].to_numpy(np.float64), 6) + 0.0})
+                side_a["wn"].to_numpy(np.float64)
+                / side_a["n"].to_numpy(np.float64), 6) + 0.0})
 
-    return out.map_batches(final, batch_format="pandas")
+    return partitioned_map(
+        agg.map_batches(tag_a, batch_format="pandas").union(
+            indeg.map_batches(tag_o, batch_format="pandas")),
+        final, keys=["w1"], out_schema=out_schema)
 
 
 def _als_recommend_events(sf_dir: str) -> rd.Dataset:
@@ -6160,6 +6338,8 @@ def build_queries() -> dict[str, Callable[[str], Any]]:
         "pagerank_domains_crawl": _pagerank_domains_crawl,
         # personalized PageRank from a deterministic seed set (golden)
         "ppr_domains_crawl": _ppr_domains_crawl,
+        # Brandes betweenness centrality (golden)
+        "betweenness_domains_crawl": _betweenness_domains_crawl,
         "hits_domains_crawl": _hits_domains_crawl,
         "domain_components_crawl": _domain_components_crawl,
         "link_degree_crawl": _link_degree_crawl,
@@ -6291,6 +6471,10 @@ def build_queries() -> dict[str, Callable[[str], Any]]:
         "pca_projection_embeddings": _pca_projection_embeddings,
         # Newton/IRLS logistic regression (exact distributed Hessian)
         "logreg_fit_embeddings": _logreg_fit_embeddings,
+        # margin-based data pruning (composed fit -> select, golden)
+        "margin_prune_embeddings": _margin_prune_embeddings,
+        # Duffield priority sampling (golden)
+        "priority_sample_documents": _priority_sample_documents,
         # multi-source BFS crawl depth (SQL recursive-CTE twin)
         "crawl_depth_bfs": _crawl_depth_bfs,
         # Naive Bayes language classifier (SQL-checked)
@@ -6319,6 +6503,8 @@ def build_queries() -> dict[str, Callable[[str], Any]]:
         "k_anonymity_documents": _k_anonymity_documents,
         # l-diversity audit (SQL-checked)
         "l_diversity_documents": _l_diversity_documents,
+        # isotonic (PAV) calibration (golden)
+        "isotonic_calibration_nchars": _isotonic_calibration_nchars,
         # ANN recall@k vs exact top-k (golden)
         "ann_recall_embeddings": _ann_recall_embeddings,
         # Markov removal-effect multi-touch attribution (golden)
@@ -6471,6 +6657,8 @@ GOLDEN_QUERIES = [
     "semdedup_embeddings",
     "ivfpq_topk_embeddings", "train_linear_fit", "train_linear_weights",
     "logreg_fit_embeddings", "winnowing_near_dup_documents",
+    "margin_prune_embeddings", "priority_sample_documents",
+    "betweenness_domains_crawl", "isotonic_calibration_nchars",
     "hilbert_layout_crawl", "dgim_change_count_crawl",
     "ppr_domains_crawl", "bootstrap_ci_crawl", "kll_quantile_daily",
     "quality_classifier_documents", "binseg_changepoints_crawl",

@@ -187,6 +187,91 @@ def pagerank(edges: rd.Dataset, src_col: str = "w1",
     return ranks.map_batches(fin, batch_format="pandas")
 
 
+def betweenness(edges: rd.Dataset, src_col: str = "w1",
+                dst_col: str = "w2", max_sources: int = 64,
+                round_to: int = 6) -> rd.Dataset:
+    """Betweenness centrality by Brandes' algorithm (2001): one
+    single-source BFS + dependency accumulation per source, sources
+    fanned out as a Ray map (edge list broadcast ONCE via ``ray.put``
+    — the small-side pattern; betweenness needs the whole adjacency
+    per source, which is exactly when broadcast beats shuffling).
+    Exact when the graph has ≤ ``max_sources`` nodes; otherwise the
+    standard k-source approximation from the top-out-degree sources
+    (deterministic pick: degree DESC, node ASC). Per-(node, source)
+    dependency rows reduce in one exchange keyed on node with the
+    sorted-sum contract (sum over sources in source order)."""
+    import ray
+
+    from sits_classification_ray.functions.transforms import sql_round
+    from sits_classification_ray.stages.shuffle import partitioned_map
+
+    ep = edges.select_columns([src_col, dst_col]).to_pandas() \
+        .drop_duplicates()
+    # canonical adjacency: sorted neighbor lists (BFS order and the
+    # dependency accumulation order are part of the determinism
+    # contract with the golden twin)
+    adj: dict[str, list[str]] = {}
+    nodes = sorted(set(ep[src_col]) | set(ep[dst_col]))
+    for s, t in ep.sort_values([src_col, dst_col],
+                               kind="mergesort").itertuples(index=False):
+        adj.setdefault(s, []).append(t)
+    deg = {n: len(adj.get(n, ())) for n in nodes}
+    sources = sorted(nodes, key=lambda n: (-deg[n], n))[:max_sources]
+    adj_ref = ray.put(adj)
+
+    def brandes(batch: pd.DataFrame) -> pd.DataFrame:
+        from collections import deque
+
+        a = ray.get(adj_ref)
+        out_node, out_src, out_dep = [], [], []
+        for s in batch["source"]:
+            sigma = {s: 1.0}
+            dist = {s: 0}
+            preds: dict[str, list[str]] = {}
+            order = []
+            q = deque([s])
+            while q:
+                v = q.popleft()
+                order.append(v)
+                for w in a.get(v, ()):
+                    if w not in dist:
+                        dist[w] = dist[v] + 1
+                        sigma[w] = 0.0
+                        q.append(w)
+                    if dist[w] == dist[v] + 1:
+                        sigma[w] += sigma[v]
+                        preds.setdefault(w, []).append(v)
+            delta = {v: 0.0 for v in order}
+            for w in reversed(order):
+                for v in preds.get(w, ()):
+                    delta[v] += (sigma[v] / sigma[w]) * (1.0 + delta[w])
+                if w != s and delta[w] != 0.0:
+                    out_node.append(w)
+                    out_src.append(s)
+                    out_dep.append(delta[w])
+        return pd.DataFrame({"node": pd.Series(out_node, dtype=object),
+                             "source": pd.Series(out_src, dtype=object),
+                             "dep": np.asarray(out_dep, np.float64)})
+
+    deps = rd.from_items([{"source": s} for s in sources],
+                         override_num_blocks=len(sources)) \
+        .map_batches(brandes, batch_format="pandas", batch_size=None)
+
+    out_schema = pa.schema([("node", pa.string()),
+                            ("betweenness", pa.float64())])
+
+    def reduce_node(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["node", "source"], kind="mergesort")
+        s = df.groupby("node", sort=False)["dep"].sum()
+        return pd.DataFrame({
+            "node": s.index.to_numpy(),
+            "betweenness": sql_round(s.to_numpy(np.float64),
+                                     round_to) + 0.0})
+
+    return partitioned_map(deps, reduce_node, keys=["node"],
+                           out_schema=out_schema)
+
+
 def triangle_count(edges: rd.Dataset, src_col: str = "w1",
                    dst_col: str = "w2") -> rd.Dataset:
     """Distributed triangle counting over an undirected graph given as

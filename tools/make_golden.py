@@ -73,6 +73,12 @@ def make_for(sf_dir: str, only: set[str] | None = None) -> None:
             lambda: golden.pca_projection_embeddings(emb),
         "logreg_fit_embeddings":
             lambda: golden.logreg_fit_embeddings(emb),
+        "isotonic_calibration_nchars":
+            lambda: golden.isotonic_calibration_nchars(docs),
+        "margin_prune_embeddings":
+            lambda: golden.margin_prune_embeddings(emb),
+        "priority_sample_documents":
+            lambda: golden.priority_sample_documents(docs),
         "mahalanobis_embeddings":
             lambda: golden.mahalanobis_embeddings(emb),
         "kcenter_select_embeddings":
@@ -117,6 +123,8 @@ def make_for(sf_dir: str, only: set[str] | None = None) -> None:
             lambda: golden.pagerank_domains_crawl(crawl),
         "ppr_domains_crawl":
             lambda: golden.ppr_domains_crawl(crawl),
+        "betweenness_domains_crawl":
+            lambda: golden.betweenness_domains_crawl(crawl),
         "hits_domains_crawl":
             lambda: golden.hits_domains_crawl(crawl),
         "kmv_overlap_weeks": lambda: golden.kmv_overlap_weeks(obs),
