@@ -3691,6 +3691,74 @@ def _funnel_events(sf_dir: str) -> rd.Dataset:
     return funnel(ev, _FUNNEL_STAGES)
 
 
+def _cuped_events(sf_dir: str) -> pd.DataFrame:
+    """CUPED variance-reduced experiment readout (Deng et al., WSDM
+    2013): per-user pre-period covariate x (spend in hours < 12) and
+    outcome y (spend in hours ≥ 12) in EXACT integer cents, pooled
+    θ = cov(x,y)/var(x) from int64-exact global sums, and the
+    algebraically-collapsed adjusted mean per variant
+    ``ȳᵥ − θ·(x̄ᵥ − x̄)`` — so the whole statistic needs only
+    per-variant integer partials + four global sums (no second pass
+    over users). Variant = user_id % 2. SQL twin mirrors the exact
+    expression tree so IEEE float ops agree bit-for-bit."""
+    from ray.data.aggregate import Count, Sum
+
+    from sits_classification_ray.functions.transforms import sql_round
+
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["user_id", "ts", "value"])
+
+    def proj(b: pa.Table) -> pa.Table:
+        cents = pc.cast(pc.round(pc.multiply(
+            pc.cast(b["value"], pa.float64()), 100.0)), pa.int64())
+        pre = pc.less(pc.hour(b["ts"]), 12)
+        return pa.table({
+            "user_id": b["user_id"],
+            "xc": pc.if_else(pre, cents, pa.scalar(0, pa.int64())),
+            "yc": pc.if_else(pre, pa.scalar(0, pa.int64()), cents)})
+
+    peru = (ev.map_batches(proj, batch_format="pyarrow",
+                           zero_copy_batch=True)
+            .groupby("user_id")
+            .aggregate(Sum("xc", alias_name="xc"),
+                       Sum("yc", alias_name="yc")))
+
+    def tag(b: pa.Table) -> pa.Table:
+        var = pc.cast(pc.bit_wise_and(b["user_id"], 1), pa.int64())
+        xc = b["xc"].to_numpy(zero_copy_only=False)
+        yc = b["yc"].to_numpy(zero_copy_only=False)
+        return pa.table({"variant": var, "xc": b["xc"], "yc": b["yc"],
+                         "xy": pa.array(xc * yc),
+                         "xx": pa.array(xc * xc)})
+
+    g = (peru.map_batches(tag, batch_format="pyarrow",
+                          zero_copy_batch=True)
+         .groupby("variant")
+         .aggregate(Count(alias_name="n"),
+                    Sum("xc", alias_name="sx"),
+                    Sum("yc", alias_name="sy"),
+                    Sum("xy", alias_name="sxy"),
+                    Sum("xx", alias_name="sxx"))
+         .to_pandas().sort_values("variant", ignore_index=True))
+
+    n = g["n"].to_numpy(np.float64)
+    sx = g["sx"].to_numpy(np.float64)
+    sy = g["sy"].to_numpy(np.float64)
+    ng = float(n.sum())
+    sxg, syg = float(sx.sum()), float(sy.sum())
+    sxyg = float(g["sxy"].to_numpy(np.float64).sum())
+    sxxg = float(g["sxx"].to_numpy(np.float64).sum())
+    theta = (ng * sxyg - sxg * syg) / (ng * sxxg - sxg * sxg)
+    mean_raw = sy / n / 100.0
+    mean_cuped = (sy / n - theta * (sx / n - sxg / ng)) / 100.0
+    return pd.DataFrame({
+        "variant": g["variant"].to_numpy(np.int64),
+        "n_users": g["n"].to_numpy(np.int64),
+        "theta": sql_round(np.full(len(g), theta), 6) + 0.0,
+        "mean_raw": sql_round(mean_raw, 6) + 0.0,
+        "mean_cuped": sql_round(mean_cuped, 6) + 0.0})
+
+
 def _dau_events(sf_dir: str) -> rd.Dataset:
     from sits_classification_ray.stages.behavior import daily_active
 
@@ -5729,12 +5797,23 @@ def _twohop_domains_crawl(sf_dir: str) -> rd.Dataset:
     from sits_classification_ray.stages.joins import hash_join
 
     edges = _domain_edges_crawl(sf_dir)
-    left = edges.map_batches(
-        lambda df: df.rename(columns={"w1": "a", "w2": "mid"})
-        [["a", "mid"]], batch_format="pandas")
-    right = edges.map_batches(
-        lambda df: df.rename(columns={"w1": "mid", "w2": "c"})
-        [["mid", "c"]], batch_format="pandas")
+
+    # pin empty-block schemas: the upstream groupby can emit
+    # schema-less empty blocks (Ray 2.49) that would KeyError the
+    # rename and break the join's acero key resolution
+    def mk_side(c1: str, c2: str):
+        def side(df: pd.DataFrame) -> pd.DataFrame:
+            if df.empty or "w1" not in df.columns:
+                return pd.DataFrame({c1: pd.Series([], dtype=object),
+                                     c2: pd.Series([], dtype=object)})
+            out = df.rename(columns={"w1": c1, "w2": c2})
+            return out[[c1, c2]]
+        return side
+
+    left = edges.map_batches(mk_side("a", "mid"),
+                             batch_format="pandas")
+    right = edges.map_batches(mk_side("mid", "c"),
+                              batch_format="pandas")
     pairs = hash_join(left, right, on="mid")
     return (pairs.groupby(["a", "c"]).aggregate(Count(alias_name="_n"))
             .groupby("a").aggregate(Count(alias_name="twohop"))
@@ -6331,6 +6410,8 @@ def build_queries() -> dict[str, Callable[[str], Any]]:
         "cohort_retention_events": _cohort_retention_events,
         "funnel_events": _funnel_events,
         "dau_events": _dau_events,
+        # CUPED variance-reduced experiment readout (SQL-checked)
+        "cuped_events": _cuped_events,
         "exact_quantile_daily": _exact_quantile_daily,
         "reservoir_sample_events": _reservoir_sample_events,
         "bm25_topk_documents": _bm25_topk_documents,
@@ -9385,6 +9466,42 @@ FROM p GROUP BY 1""",
 SELECT lang, source, n_chars // 100 AS size_bucket,
        CAST(count(*) AS BIGINT) AS n
 FROM documents GROUP BY 1, 2, 3 HAVING count(*) < 5""",
+        "cuped_events": """
+WITH peru AS MATERIALIZED (
+  SELECT user_id,
+    CAST(sum(CASE WHEN EXTRACT(hour FROM ts) < 12
+         THEN CAST(round(CAST(value AS DOUBLE) * 100) AS BIGINT)
+         ELSE 0 END) AS BIGINT) AS xc,
+    CAST(sum(CASE WHEN EXTRACT(hour FROM ts) < 12 THEN 0
+         ELSE CAST(round(CAST(value AS DOUBLE) * 100) AS BIGINT)
+         END) AS BIGINT) AS yc
+  FROM events GROUP BY 1),
+v AS MATERIALIZED (
+  SELECT CAST(user_id % 2 AS BIGINT) AS variant,
+         CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(xc) AS BIGINT) AS sx,
+         CAST(sum(yc) AS BIGINT) AS sy,
+         CAST(sum(xc * yc) AS BIGINT) AS sxy,
+         CAST(sum(xc * xc) AS BIGINT) AS sxx
+  FROM peru GROUP BY 1),
+gl AS MATERIALIZED (
+  SELECT CAST(sum(n) AS DOUBLE) AS ng,
+         CAST(sum(sx) AS DOUBLE) AS sxg,
+         CAST(sum(sy) AS DOUBLE) AS syg,
+         CAST(sum(sxy) AS DOUBLE) AS sxyg,
+         CAST(sum(sxx) AS DOUBLE) AS sxxg
+  FROM v)
+SELECT variant, n AS n_users,
+  round((gl.ng * gl.sxyg - gl.sxg * gl.syg)
+        / (gl.ng * gl.sxxg - gl.sxg * gl.sxg), 6) AS theta,
+  round(CAST(sy AS DOUBLE) / CAST(n AS DOUBLE) / 100.0, 6)
+      AS mean_raw,
+  round((CAST(sy AS DOUBLE) / CAST(n AS DOUBLE)
+         - ((gl.ng * gl.sxyg - gl.sxg * gl.syg)
+            / (gl.ng * gl.sxxg - gl.sxg * gl.sxg))
+           * (CAST(sx AS DOUBLE) / CAST(n AS DOUBLE)
+              - gl.sxg / gl.ng)) / 100.0, 6) AS mean_cuped
+FROM v, gl""",
         "l_diversity_documents": """
 SELECT lang, n_chars // 100 AS size_bucket,
        CAST(count(DISTINCT source) AS BIGINT) AS distinct_sources,
