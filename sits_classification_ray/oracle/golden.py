@@ -2186,6 +2186,53 @@ def kmv_overlap_weeks(obs: pd.DataFrame, k: int = 256) -> pd.DataFrame:
         "union_est"])
 
 
+def deepwalk_visits_crawl(crawl: pd.DataFrame, walks_per_node: int = 4,
+                          walk_len: int = 8) -> pd.DataFrame:
+    """Independent DeepWalk twin: same derandomized step rule
+    (splitmix64 over siphash(start|walk)·φ + step, sorted adjacency)
+    in a flat scalar loop over the re-synthesized domain graph."""
+
+    def smix(x: int) -> int:
+        z = (x + 0x9E3779B97F4A7C15) & 0xFFFFFFFFFFFFFFFF
+        z = ((z ^ (z >> 30)) * 0xBF58476D1CE4E5B9) & 0xFFFFFFFFFFFFFFFF
+        z = ((z ^ (z >> 27)) * 0x94D049BB133111EB) & 0xFFFFFFFFFFFFFFFF
+        return z ^ (z >> 31)
+
+    srcs, dsts = [], []
+    for url, h in zip(crawl["url"], crawl["html"]):
+        s = (h or b"").decode("utf-8", "replace")
+        n = len(s)
+        src = str(url).split("/")[2]
+        for j in range(n % 4):
+            srcs.append(src)
+            dsts.append(f"site-{(n + j) % 40}.example.com")
+    ep = (pd.DataFrame({"w1": srcs, "w2": dsts}).drop_duplicates()
+          .sort_values(["w1", "w2"], kind="mergesort"))
+    adj: dict = {}
+    for a, b in ep.itertuples(index=False):
+        adj.setdefault(a, []).append(b)
+    nodes = sorted(set(ep["w1"]) | set(ep["w2"]))
+    visits: dict = {}
+    for start in nodes:
+        for w in range(walks_per_node):
+            seed = int(pd.util.hash_array(
+                np.asarray([f"{start}|{w}"], dtype=object))[0])
+            v = start
+            visits[v] = visits.get(v, 0) + 1
+            for j in range(walk_len - 1):
+                nbrs = adj.get(v)
+                if not nbrs:
+                    break
+                h2 = smix((seed * 0x9E3779B97F4A7C15 + j)
+                          & 0xFFFFFFFFFFFFFFFF)
+                v = nbrs[h2 % len(nbrs)]
+                visits[v] = visits.get(v, 0) + 1
+    ks = sorted(visits)
+    return pd.DataFrame({"node": ks,
+                         "visits": np.asarray([visits[k] for k in ks],
+                                              np.int64)})
+
+
 def isotonic_calibration_nchars(docs: pd.DataFrame) -> pd.DataFrame:
     """Independent PAV twin: pandas bucket rates + a backward-scan
     pool-adjacent-violators with exact integer violation tests."""

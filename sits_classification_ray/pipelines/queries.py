@@ -4376,6 +4376,29 @@ def _rouge_overlap_crawl(sf_dir: str) -> rd.Dataset:
                            out_schema=out_schema)
 
 
+#: dictionary for the Aho-Corasick scan — all patterns are
+#: border-free (no proper prefix == suffix), so overlapping and
+#: non-overlapping occurrence counts coincide and the SQL
+#: replace-length twin is exact.
+_AC_PATTERNS = ("the", "with", "from", "your", "search", "data",
+                "online", "home", "page", "free")
+
+
+def _dictionary_scan_documents(sf_dir: str) -> rd.Dataset:
+    """Aho-Corasick multi-pattern dictionary scan (CACM 1975): the
+    automaton compiles once per actor and every document streams
+    through in ONE pass regardless of dictionary size — vs per-pattern
+    regex scans that cost O(patterns × text). Corpus-wide totals via
+    per-batch partial count vectors + a |patterns|-row groupby (the
+    corpus never shuffles). SQL twin: replace-length occurrence
+    counting per pattern."""
+    from sits_classification_ray.stages.textstats import dictionary_scan
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"])
+    return dictionary_scan(ds, _AC_PATTERNS)
+
+
 def _tfidf_top3_documents(sf_dir: str) -> rd.Dataset:
     from sits_classification_ray.stages.textstats import tfidf_topk
 
@@ -4529,6 +4552,17 @@ def _ppr_domains_crawl(sf_dir: str) -> rd.Dataset:
     seeds = frozenset(r["node"]
                       for r in nodes.sort("node").limit(3).take(3))
     return pagerank(edges, personalization=seeds)
+
+
+def _deepwalk_visits_crawl(sf_dir: str) -> rd.Dataset:
+    """Derandomized DeepWalk sampling over the domain graph: 4 walks
+    × 8 steps per start node, neighbor picks keyed by
+    splitmix64(siphash(start|walk)·φ + step) over sorted adjacency —
+    the node-frequency profile skip-gram embedding training consumes,
+    fully deterministic for the golden twin (stages/graph.py)."""
+    from sits_classification_ray.stages.graph import deepwalk_visits
+
+    return deepwalk_visits(_domain_edges_crawl(sf_dir))
 
 
 def _betweenness_domains_crawl(sf_dir: str) -> rd.Dataset:
@@ -6323,6 +6357,8 @@ def build_queries() -> dict[str, Callable[[str], Any]]:
         "simhash_drift_crawl": _simhash_drift_crawl,
         # ROUGE-1 consecutive-snapshot overlap (SQL-checked)
         "rouge_overlap_crawl": _rouge_overlap_crawl,
+        # Aho-Corasick dictionary scan (SQL-checked)
+        "dictionary_scan_documents": _dictionary_scan_documents,
         "fingerprint_documents": _fingerprint_documents,
         "minhash_near_dup_documents": _minhash_near_dup_documents,
         "jaccard_near_dup_documents": _jaccard_near_dup_documents,
@@ -6421,6 +6457,8 @@ def build_queries() -> dict[str, Callable[[str], Any]]:
         "ppr_domains_crawl": _ppr_domains_crawl,
         # Brandes betweenness centrality (golden)
         "betweenness_domains_crawl": _betweenness_domains_crawl,
+        # derandomized DeepWalk sampling (golden)
+        "deepwalk_visits_crawl": _deepwalk_visits_crawl,
         "hits_domains_crawl": _hits_domains_crawl,
         "domain_components_crawl": _domain_components_crawl,
         "link_degree_crawl": _link_degree_crawl,
@@ -6740,6 +6778,7 @@ GOLDEN_QUERIES = [
     "logreg_fit_embeddings", "winnowing_near_dup_documents",
     "margin_prune_embeddings", "priority_sample_documents",
     "betweenness_domains_crawl", "isotonic_calibration_nchars",
+    "deepwalk_visits_crawl",
     "hilbert_layout_crawl", "dgim_change_count_crawl",
     "ppr_domains_crawl", "bootstrap_ci_crawl", "kll_quantile_daily",
     "quality_classifier_documents", "binseg_changepoints_crawl",
@@ -9466,6 +9505,17 @@ FROM p GROUP BY 1""",
 SELECT lang, source, n_chars // 100 AS size_bucket,
        CAST(count(*) AS BIGINT) AS n
 FROM documents GROUP BY 1, 2, 3 HAVING count(*) < 5""",
+        "dictionary_scan_documents": """
+WITH pats(pattern) AS (VALUES ('the'), ('with'), ('from'), ('your'), ('search'), ('data'), ('online'), ('home'), ('page'), ('free')),
+per AS MATERIALIZED (
+  SELECT p.pattern,
+         CAST((length(d.text) - length(replace(d.text, p.pattern, '')))
+              // length(p.pattern) AS BIGINT) AS c
+  FROM documents d CROSS JOIN pats p)
+SELECT pattern,
+       CAST(sum(CASE WHEN c > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_docs,
+       CAST(sum(c) AS BIGINT) AS n_occurrences
+FROM per GROUP BY 1""",
         "cuped_events": """
 WITH peru AS MATERIALIZED (
   SELECT user_id,

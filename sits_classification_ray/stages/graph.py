@@ -1038,3 +1038,69 @@ def label_propagation(edges: rd.Dataset, src_col: str = "w1",
         return df.rename(columns={"label": "community"})
 
     return labels.map_batches(fin, batch_format="pandas")
+
+
+def deepwalk_visits(edges: rd.Dataset, src_col: str = "w1",
+                    dst_col: str = "w2", walks_per_node: int = 4,
+                    walk_len: int = 8) -> rd.Dataset:
+    """DeepWalk-style graph sampling (Perozzi et al., KDD 2014) with
+    DERANDOMIZED walks: the step-j neighbor of walk w from node v is
+    ``splitmix64(siphash(start|w)·PHI + j) mod out_degree(v)`` over
+    the SORTED neighbor list — a pure function of the graph, so the
+    visit profile is golden-checkable. Walks fan out per start node
+    as Ray tasks with the adjacency broadcast once (the same
+    small-side shape as betweenness); output is the corpus-wide
+    (node, visits) profile — the node-frequency table skip-gram
+    training would consume. Walks stop early at dangling nodes."""
+    import ray
+
+    from sits_classification_ray.stages.shuffle import partitioned_map
+
+    ep = edges.select_columns([src_col, dst_col]).to_pandas() \
+        .drop_duplicates().sort_values([src_col, dst_col],
+                                       kind="mergesort")
+    adj: dict = {}
+    for a, b in ep.itertuples(index=False):
+        adj.setdefault(a, []).append(b)
+    nodes = sorted(set(ep[src_col]) | set(ep[dst_col]))
+    adj_ref = ray.put(adj)
+
+    def walk_task(batch: pd.DataFrame) -> pd.DataFrame:
+        from sits_classification_ray.stages.als import _splitmix64
+
+        a = ray.get(adj_ref)
+        visits: dict = {}
+        for start in batch["start"]:
+            for w in range(walks_per_node):
+                seed = pd.util.hash_array(
+                    np.asarray([f"{start}|{w}"], dtype=object))[0]
+                v = start
+                visits[v] = visits.get(v, 0) + 1
+                for j in range(walk_len - 1):
+                    nbrs = a.get(v)
+                    if not nbrs:
+                        break
+                    h = _splitmix64(np.asarray(
+                        [seed * np.uint64(0x9E3779B97F4A7C15)
+                         + np.uint64(j)], dtype=np.uint64))[0]
+                    v = nbrs[int(h % np.uint64(len(nbrs)))]
+                    visits[v] = visits.get(v, 0) + 1
+        ks = sorted(visits)
+        return pd.DataFrame({
+            "node": pd.Series(ks, dtype=object),
+            "visits": np.asarray([visits[k] for k in ks], np.int64)})
+
+    parts = rd.from_items([{"start": n} for n in nodes],
+                          override_num_blocks=max(1, len(nodes))) \
+        .map_batches(walk_task, batch_format="pandas", batch_size=None)
+
+    out_schema = pa.schema([("node", pa.string()),
+                            ("visits", pa.int64())])
+
+    def reduce_node(df: pd.DataFrame) -> pd.DataFrame:
+        s = df.groupby("node", sort=True)["visits"].sum()
+        return pd.DataFrame({"node": s.index.to_numpy(),
+                             "visits": s.to_numpy(np.int64)})
+
+    return partitioned_map(parts, reduce_node, keys=["node"],
+                           out_schema=out_schema)

@@ -2109,3 +2109,97 @@ def rake_keywords(ds: rd.Dataset, k: int = 20,
     part = part.sort_values(["score", "phrase"],
                             ascending=[False, True], kind="mergesort")
     return part.head(k).reset_index(drop=True)[["phrase", "score"]]
+
+
+# ---------------------------------------------------------------------------
+# Aho-Corasick multi-pattern scan (Aho & Corasick, CACM 1975)
+# ---------------------------------------------------------------------------
+
+
+class AhoCorasick:
+    """Actor-pool dictionary scanner: the automaton (goto trie +
+    BFS-built failure links + output sets) is compiled ONCE per actor
+    in ``__init__`` (the T1 stateful-stage pattern — compiling per
+    batch would dominate at corpus scale), then every text streams
+    through it in a single pass regardless of how many patterns the
+    dictionary holds — the property a per-pattern regex scan loses at
+    large dictionaries. Counts every occurrence (ending-position
+    semantics)."""
+
+    def __init__(self, patterns: tuple, id_col: str = "doc_id",
+                 text_col: str = "text"):
+        from collections import deque
+
+        self.patterns = list(patterns)
+        self.id_col, self.text_col = id_col, text_col
+        goto: list[dict] = [{}]
+        out: list[list[int]] = [[]]
+        for pi, pat in enumerate(self.patterns):
+            s = 0
+            for ch in pat:
+                nxt = goto[s].get(ch)
+                if nxt is None:
+                    goto.append({})
+                    out.append([])
+                    nxt = len(goto) - 1
+                    goto[s][ch] = nxt
+                s = nxt
+            out[s].append(pi)
+        fail = [0] * len(goto)
+        q = deque(goto[0].values())
+        while q:
+            s = q.popleft()
+            for ch, t in goto[s].items():
+                q.append(t)
+                f = fail[s]
+                while f and ch not in goto[f]:
+                    f = fail[f]
+                fail[t] = goto[f].get(ch, 0) if t != goto[f].get(ch, 0) \
+                    else 0
+                out[t] = out[t] + out[fail[t]]
+        self.goto, self.fail, self.out = goto, fail, out
+
+    def scan(self, text: str) -> np.ndarray:
+        counts = np.zeros(len(self.patterns), np.int64)
+        s = 0
+        goto, fail, out = self.goto, self.fail, self.out
+        for ch in text:
+            while s and ch not in goto[s]:
+                s = fail[s]
+            s = goto[s].get(ch, 0)
+            if out[s]:
+                for pi in out[s]:
+                    counts[pi] += 1
+        return counts
+
+    def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+        P = len(self.patterns)
+        total = np.zeros(P, np.int64)
+        docs_with = np.zeros(P, np.int64)
+        for t in df[self.text_col]:
+            c = self.scan(t or "")
+            total += c
+            docs_with += (c > 0)
+        return pd.DataFrame({
+            "pattern": self.patterns,
+            "n_docs": docs_with,
+            "n_occurrences": total})
+
+
+def dictionary_scan(ds: rd.Dataset, patterns: tuple,
+                    id_col: str = "doc_id", text_col: str = "text",
+                    concurrency: tuple = (1, 8)) -> rd.Dataset:
+    """Corpus-wide dictionary match counts: per-batch partial count
+    vectors from the actor-pool automaton, merged by ONE tiny groupby
+    over |patterns| keys (combiner-first — the corpus never moves)."""
+    from ray.data.aggregate import Sum
+
+    partials = ds.map_batches(
+        AhoCorasick,
+        fn_constructor_kwargs={"patterns": tuple(patterns),
+                               "id_col": id_col,
+                               "text_col": text_col},
+        batch_format="pandas", concurrency=concurrency, num_cpus=1)
+    return (partials.groupby("pattern")
+            .aggregate(Sum("n_docs", alias_name="n_docs"),
+                       Sum("n_occurrences", alias_name="n_occurrences")))
