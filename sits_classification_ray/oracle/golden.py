@@ -2186,6 +2186,110 @@ def kmv_overlap_weeks(obs: pd.DataFrame, k: int = 256) -> pd.DataFrame:
         "union_est"])
 
 
+def dp_counts_domains(obs: pd.DataFrame, epsilon: float = 1.0
+                      ) -> pd.DataFrame:
+    """Independent Laplace-mechanism twin: same derandomized
+    inverse-CDF draw from independently-written splitmix64."""
+
+    def smix(x: np.ndarray) -> np.ndarray:
+        z = (x + np.uint64(0x9E3779B97F4A7C15)) \
+            & np.uint64(0xFFFFFFFFFFFFFFFF)
+        z = ((z ^ (z >> np.uint64(30)))
+             * np.uint64(0xBF58476D1CE4E5B9)) \
+            & np.uint64(0xFFFFFFFFFFFFFFFF)
+        z = ((z ^ (z >> np.uint64(27)))
+             * np.uint64(0x94D049BB133111EB)) \
+            & np.uint64(0xFFFFFFFFFFFFFFFF)
+        return z ^ (z >> np.uint64(31))
+
+    dom = obs["url"].str.extract(r"^[a-z]+://([^/]+)", expand=False)
+    cnt = dom.value_counts().sort_index()
+    doms = cnt.index.to_numpy(object)
+    with np.errstate(over="ignore"):
+        h = smix(pd.util.hash_array(np.asarray(doms, dtype=object)))
+    u = (h >> np.uint64(11)).astype(np.float64) * 2.0 ** -53 - 0.5
+    u = np.clip(u, -0.5 + 1e-12, 0.5 - 1e-12)
+    lap = -np.sign(u) * np.log(1.0 - 2.0 * np.abs(u)) / epsilon
+    return pd.DataFrame({
+        "domain": doms,
+        "noisy_n": _sql_round_arr(
+            cnt.to_numpy(np.float64) + lap) + 0.0})
+
+
+def theta_forecast_crawl(obs_long: pd.DataFrame, alpha: float = 0.5
+                         ) -> pd.DataFrame:
+    """Independent Theta(0,2) twin: pandas daily means (exact — the
+    values are integer-valued doubles), OLS trendline, SES recursion
+    over the theta-2 line, ½+½ combination."""
+    df = obs_long.copy()
+    df["day"] = df["warc_ts"].to_numpy().astype("datetime64[D]") \
+        .astype("datetime64[us]")
+    daily = (df.groupby(["url", "metric", "day"])["value"]
+             .agg(["sum", "size"]).reset_index()
+             .sort_values(["url", "metric", "day"], kind="mergesort"))
+    rows = []
+    for (u, m), g in daily.groupby(["url", "metric"], sort=True):
+        y = (g["sum"].to_numpy(np.float64)
+             / g["size"].to_numpy(np.float64))
+        n = len(y)
+        t = np.arange(n, dtype=np.float64)
+        if n > 1:
+            tb, yb = t.mean(), y.mean()
+            b = float(((t - tb) * (y - yb)).sum()
+                      / ((t - tb) ** 2).sum())
+        else:
+            b = 0.0
+        a = float(y.mean() - b * (n - 1) / 2.0)
+        z = 2.0 * y - (a + b * t)
+        s = z[0]
+        for i in range(1, n):
+            s = alpha * z[i] + (1.0 - alpha) * s
+        fc = 0.5 * s + 0.5 * (a + b * n)
+        rows.append((u, m, np.int64(n), b, s, fc))
+    out = pd.DataFrame(rows, columns=["url", "metric", "n_days",
+                                      "slope", "ses_level", "forecast"])
+    for c in ("slope", "ses_level", "forecast"):
+        out[c] = _sql_round_arr(out[c].to_numpy(np.float64)) + 0.0
+    return out
+
+
+def spectral_residual_crawl(obs_long: pd.DataFrame, q: int = 3
+                            ) -> pd.DataFrame:
+    """Independent spectral-residual twin: same published pipeline
+    (log-amplitude − moving average → saliency via inverse FFT) on
+    the pandas daily means."""
+    df = obs_long.copy()
+    df["day"] = df["warc_ts"].to_numpy().astype("datetime64[D]") \
+        .astype("datetime64[us]")
+    daily = (df.groupby(["url", "metric", "day"])["value"]
+             .agg(["sum", "size"]).reset_index()
+             .sort_values(["url", "metric", "day"], kind="mergesort"))
+    rows = []
+    for (u, m), g in daily.groupby(["url", "metric"], sort=True):
+        y = (g["sum"].to_numpy(np.float64)
+             / g["size"].to_numpy(np.float64))
+        days = g["day"].to_numpy()
+        n = len(y)
+        if n < 2:
+            rows.append((u, m, np.int64(n), days[0], 0.0))
+            continue
+        F = np.fft.fft(y)
+        amp = np.abs(F) + 1e-8
+        L = np.log(amp)
+        avg = np.convolve(L, np.ones(q) / q, mode="same")
+        S = np.abs(np.fft.ifft(np.exp((L - avg) + 1j * np.angle(F))))
+        mu = S.mean()
+        score = (S - mu) / (mu + 1e-8)
+        j = int(np.argmax(score))
+        rows.append((u, m, np.int64(n), days[j], float(score[j])))
+    out = pd.DataFrame(rows, columns=["url", "metric", "n_days",
+                                      "peak_day", "saliency"])
+    out["saliency"] = _sql_round_arr(
+        out["saliency"].to_numpy(np.float64)) + 0.0
+    out["peak_day"] = out["peak_day"].astype("datetime64[us]")
+    return out
+
+
 def deepwalk_visits_crawl(crawl: pd.DataFrame, walks_per_node: int = 4,
                           walk_len: int = 8) -> pd.DataFrame:
     """Independent DeepWalk twin: same derandomized step rule

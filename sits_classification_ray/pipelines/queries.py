@@ -1459,6 +1459,140 @@ def _holt_linear_crawl(sf_dir: str) -> rd.Dataset:
     return holt_linear(_obs_long(sf_dir), alpha=0.5, beta=0.3)
 
 
+def _theta_forecast_crawl(sf_dir: str, alpha: float = 0.5
+                          ) -> rd.Dataset:
+    """Theta-method forecast (Assimakopoulos & Nikolopoulos 2000 —
+    the M3/M4 competition benchmark winner) per (url, metric) DAILY
+    series: Theta(0,2) = ½·SES(2y − trendline) + ½·(trend extrapolated
+    one step). Daily means come from exact integer sums (one
+    distributed groupby combiner); the per-series OLS + SES recursion
+    runs on the bounded daily series (≤ span days) after one salted
+    exchange. Golden twin re-derives the identical recursion."""
+    from ray.data.aggregate import Count, Sum
+
+    from sits_classification_ray.functions.transforms import sql_round
+    from sits_classification_ray.stages.shuffle import partitioned_map
+
+    def proj(df: pd.DataFrame) -> pd.DataFrame:
+        day = (df["warc_ts"].to_numpy().astype("datetime64[D]")
+               .astype("datetime64[us]"))
+        return pd.DataFrame({"url": df["url"], "metric": df["metric"],
+                             "day": day,
+                             "v": df["value"].to_numpy(np.float64)})
+
+    daily = (_obs_long(sf_dir).map_batches(proj, batch_format="pandas")
+             .groupby(["url", "metric", "day"])
+             .aggregate(Sum("v", alias_name="s"),
+                        Count(alias_name="c")))
+
+    out_schema = pa.schema([("url", pa.string()),
+                            ("metric", pa.string()),
+                            ("n_days", pa.int64()),
+                            ("slope", pa.float64()),
+                            ("ses_level", pa.float64()),
+                            ("forecast", pa.float64())])
+
+    def kern(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["url", "metric", "day"],
+                            kind="mergesort")
+        rows = []
+        for (u, m), g in df.groupby(["url", "metric"], sort=False):
+            y = (g["s"].to_numpy(np.float64)
+                 / g["c"].to_numpy(np.float64))
+            n = len(y)
+            t = np.arange(n, dtype=np.float64)
+            if n > 1:
+                tb, yb = t.mean(), y.mean()
+                b = float(((t - tb) * (y - yb)).sum()
+                          / ((t - tb) ** 2).sum())
+            else:
+                b = 0.0
+            a = float(y.mean() - b * (n - 1) / 2.0)
+            z = 2.0 * y - (a + b * t)
+            s = z[0]
+            for i in range(1, n):
+                s = alpha * z[i] + (1.0 - alpha) * s
+            fc = 0.5 * s + 0.5 * (a + b * n)
+            rows.append((u, m, n, b, s, fc))
+        out = pd.DataFrame(rows, columns=["url", "metric", "n_days",
+                                          "slope", "ses_level",
+                                          "forecast"])
+        for c in ("slope", "ses_level", "forecast"):
+            out[c] = sql_round(out[c].to_numpy(np.float64), 6) + 0.0
+        out["n_days"] = out["n_days"].astype(np.int64)
+        return out
+
+    return partitioned_map(daily, kern, url_col="url",
+                           out_schema=out_schema)
+
+
+def _spectral_residual_crawl(sf_dir: str, q: int = 3) -> rd.Dataset:
+    """Spectral-residual saliency anomaly detection (Ren et al., KDD
+    2019 — the production detector behind Azure Anomaly Detector) per
+    (url, metric) daily series: log-amplitude spectrum minus its
+    moving average → inverse transform → saliency map; emits each
+    series' most salient day and its normalized score. The frequency-
+    domain member of the anomaly family next to MAD / CUSUM / S-H-ESD
+    / iforest. Same daily-mean scaffold as theta; FFT on identical
+    float inputs is bit-deterministic, so a golden twin works."""
+    from ray.data.aggregate import Count, Sum
+
+    from sits_classification_ray.functions.transforms import sql_round
+    from sits_classification_ray.stages.shuffle import partitioned_map
+
+    def proj(df: pd.DataFrame) -> pd.DataFrame:
+        day = (df["warc_ts"].to_numpy().astype("datetime64[D]")
+               .astype("datetime64[us]"))
+        return pd.DataFrame({"url": df["url"], "metric": df["metric"],
+                             "day": day,
+                             "v": df["value"].to_numpy(np.float64)})
+
+    daily = (_obs_long(sf_dir).map_batches(proj, batch_format="pandas")
+             .groupby(["url", "metric", "day"])
+             .aggregate(Sum("v", alias_name="s"),
+                        Count(alias_name="c")))
+
+    out_schema = pa.schema([("url", pa.string()),
+                            ("metric", pa.string()),
+                            ("n_days", pa.int64()),
+                            ("peak_day", pa.timestamp("us")),
+                            ("saliency", pa.float64())])
+
+    def kern(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["url", "metric", "day"],
+                            kind="mergesort")
+        rows = []
+        for (u, m), g in df.groupby(["url", "metric"], sort=False):
+            y = (g["s"].to_numpy(np.float64)
+                 / g["c"].to_numpy(np.float64))
+            days = g["day"].to_numpy()
+            n = len(y)
+            if n < 2:
+                rows.append((u, m, n, days[0], 0.0))
+                continue
+            F = np.fft.fft(y)
+            amp = np.abs(F) + 1e-8
+            L = np.log(amp)
+            kern_w = np.ones(q) / q
+            avg = np.convolve(L, kern_w, mode="same")
+            R = L - avg
+            S = np.abs(np.fft.ifft(np.exp(R + 1j * np.angle(F))))
+            mu = S.mean()
+            score = (S - mu) / (mu + 1e-8)
+            j = int(np.argmax(score))
+            rows.append((u, m, n, days[j], float(score[j])))
+        out = pd.DataFrame(rows, columns=["url", "metric", "n_days",
+                                          "peak_day", "saliency"])
+        out["saliency"] = sql_round(
+            out["saliency"].to_numpy(np.float64), 6) + 0.0
+        out["n_days"] = out["n_days"].astype(np.int64)
+        out["peak_day"] = out["peak_day"].astype("datetime64[us]")
+        return out
+
+    return partitioned_map(daily, kern, url_col="url",
+                           out_schema=out_schema)
+
+
 def _cusum_crawl(sf_dir: str) -> rd.Dataset:
     """Two-sided CUSUM changepoint statistics + alarms per series."""
     from sits_classification_ray.stages.windows import cusum
@@ -5777,6 +5911,42 @@ def _hilbert_layout_crawl(sf_dir: str,
                        Max("uid", alias_name="max_uid")))
 
 
+def _dp_counts_domains(sf_dir: str, epsilon: float = 1.0
+                       ) -> rd.Dataset:
+    """ε-differentially-private per-domain snapshot counts via the
+    Laplace mechanism (sensitivity 1 ⇒ scale 1/ε): the release shape
+    a privacy-constrained crawl-stats API would publish. Noise is
+    DERANDOMIZED for the oracle: u ∈ (−½, ½) from
+    splitmix64(siphash(domain)), noise = −sign(u)·ln(1−2|u|)/ε — the
+    exact inverse-CDF Laplace draw, a pure function of the domain
+    string (a real deployment would draw fresh randomness; the
+    mechanism and calibration are identical). Counts combine
+    per-batch before one |domains|-row groupby."""
+    from ray.data.aggregate import Count
+
+    from sits_classification_ray.functions.transforms import sql_round
+    from sits_classification_ray.stages.als import _splitmix64
+
+    cnt = (_obs(sf_dir).map_batches(
+        lambda df: pd.DataFrame({
+            "domain": df["url"].str.extract(_DOMAIN_RE, expand=False)}),
+        batch_format="pandas")
+        .groupby("domain").aggregate(Count(alias_name="n")))
+
+    def noise(df: pd.DataFrame) -> pd.DataFrame:
+        h = _splitmix64(pd.util.hash_array(
+            np.asarray(df["domain"], dtype=object)))
+        u = (h >> np.uint64(11)).astype(np.float64) * 2.0 ** -53 - 0.5
+        u = np.clip(u, -0.5 + 1e-12, 0.5 - 1e-12)
+        lap = -np.sign(u) * np.log(1.0 - 2.0 * np.abs(u)) / epsilon
+        return pd.DataFrame({
+            "domain": df["domain"],
+            "noisy_n": sql_round(
+                df["n"].to_numpy(np.float64) + lap, 6) + 0.0})
+
+    return cnt.map_batches(noise, batch_format="pandas")
+
+
 def _gini_domains_crawl(sf_dir: str) -> rd.Dataset:
     """Gini concentration of snapshot counts across a domain's urls —
     the crawl-equity signal a recrawl scheduler watches (0 = every
@@ -6400,6 +6570,10 @@ def build_queries() -> dict[str, Callable[[str], Any]]:
         "ewma_crawl": _ewma_crawl,
         "trend_slope_crawl": _trend_slope_crawl,
         "holt_linear_crawl": _holt_linear_crawl,
+        # Theta-method forecast (golden)
+        "theta_forecast_crawl": _theta_forecast_crawl,
+        # spectral-residual saliency anomaly (golden)
+        "spectral_residual_crawl": _spectral_residual_crawl,
         "cusum_crawl": _cusum_crawl,
         "seasonal_baseline_crawl": _seasonal_baseline_crawl,
         "autocorr_lag1_crawl": _autocorr_lag1_crawl,
@@ -6634,6 +6808,8 @@ def build_queries() -> dict[str, Callable[[str], Any]]:
         "lpa_communities_crawl": _lpa_communities_crawl,
         # Gini crawl-budget concentration per domain (SQL-checked)
         "gini_domains_crawl": _gini_domains_crawl,
+        # eps-DP Laplace-noised domain counts (golden)
+        "dp_counts_domains": _dp_counts_domains,
         # Z-order layout optimization + zone maps (SQL-checked)
         "zorder_layout_crawl": _zorder_layout_crawl,
         # Hilbert-curve layout (golden — rotations not SQL-expressible)
@@ -6778,7 +6954,8 @@ GOLDEN_QUERIES = [
     "logreg_fit_embeddings", "winnowing_near_dup_documents",
     "margin_prune_embeddings", "priority_sample_documents",
     "betweenness_domains_crawl", "isotonic_calibration_nchars",
-    "deepwalk_visits_crawl",
+    "deepwalk_visits_crawl", "theta_forecast_crawl",
+    "spectral_residual_crawl", "dp_counts_domains",
     "hilbert_layout_crawl", "dgim_change_count_crawl",
     "ppr_domains_crawl", "bootstrap_ci_crawl", "kll_quantile_daily",
     "quality_classifier_documents", "binseg_changepoints_crawl",

@@ -98,6 +98,12 @@ def make_for(sf_dir: str, only: set[str] | None = None) -> None:
             lambda: golden.lttb_downsample_crawl(obs_long),
         "ewma_crawl": lambda: golden.ewma_crawl(obs_long),
         "holt_linear_crawl": lambda: golden.holt_linear_crawl(obs_long),
+        "theta_forecast_crawl":
+            lambda: golden.theta_forecast_crawl(obs_long),
+        "spectral_residual_crawl":
+            lambda: golden.spectral_residual_crawl(obs_long),
+        "dp_counts_domains":
+            lambda: golden.dp_counts_domains(obs),
         "forecast_backtest_crawl":
             lambda: golden.forecast_backtest_crawl(obs_long),
         "cusum_crawl": lambda: golden.cusum_crawl(obs_long),
