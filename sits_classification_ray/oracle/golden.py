@@ -2186,6 +2186,87 @@ def kmv_overlap_weeks(obs: pd.DataFrame, k: int = 256) -> pd.DataFrame:
         "union_est"])
 
 
+def cdc_dedup_ratio_crawl(crawl: pd.DataFrame, mask: int = 0x3F,
+                          min_size: int = 16, max_size: int = 256
+                          ) -> pd.DataFrame:
+    """Independent CDC twin: scalar-recurrence gear hash
+    (h = 2h + gear[b] mod 2⁶⁴), same boundary rule (≥ min_size,
+    masked low bits zero, force at max_size), 61-bit polynomial chunk
+    hashes, min-multiset shared bytes vs the previous snapshot."""
+
+    def smix1(x: int) -> int:
+        z = (x + 0x9E3779B97F4A7C15) & 0xFFFFFFFFFFFFFFFF
+        z = ((z ^ (z >> 30)) * 0xBF58476D1CE4E5B9) & 0xFFFFFFFFFFFFFFFF
+        z = ((z ^ (z >> 27)) * 0x94D049BB133111EB) & 0xFFFFFFFFFFFFFFFF
+        return z ^ (z >> 31)
+
+    gear = [smix1(b) for b in range(256)]
+    M64 = 0xFFFFFFFFFFFFFFFF
+
+    def chunks(data: bytes) -> dict:
+        n = len(data)
+        h = 0
+        ends = []
+        start = 0
+        # candidate cut positions from the rolling hash
+        cands = []
+        for i, b in enumerate(data):
+            h = ((h << 1) + gear[b]) & M64
+            if (h & mask) == 0:
+                cands.append(i)
+        ci = 0
+        import bisect
+        while start < n:
+            ci = bisect.bisect_left(cands, start + min_size - 1)
+            if ci < len(cands) and cands[ci] < start + max_size:
+                end = cands[ci] + 1
+            else:
+                end = min(start + max_size, n)
+            ends.append(end)
+            start = end
+        out: dict = {}
+        s = 0
+        for e in ends:
+            hv = 0
+            for b in data[s:e]:
+                hv = (hv * 1099511628211 + b) & M64
+            hv &= (1 << 61) - 1
+            c, tot = out.get(hv, (0, 0))
+            out[hv] = (c + 1, tot + (e - s))
+            s = e
+        return out, sum(e2 - s2 for s2, e2 in
+                        zip([0] + ends[:-1], ends)), len(ends)
+
+    crawl = crawl.assign(html=[bytes(h) if h is not None else b""
+                               for h in crawl["html"]])
+    df = crawl.sort_values(["url", "warc_ts", "html"],
+                           kind="mergesort") \
+        .drop_duplicates(["url", "warc_ts"], keep="first")
+    rows = []
+    for url, g in df.groupby("url", sort=True):
+        prev = None
+        for ts, payload in zip(g["warc_ts"], g["html"]):
+            cur, total, nch = chunks(payload or b"")
+            if prev is not None:
+                shared = 0
+                for hv, (c, tot) in cur.items():
+                    if hv in prev:
+                        pc, _ = prev[hv]
+                        shared += min(c, pc) * (tot // c)
+                rows.append((url, ts, nch, total, shared,
+                             shared / total if total else 0.0))
+            prev = cur
+    out = pd.DataFrame(rows, columns=["url", "warc_ts", "n_chunks",
+                                      "total_bytes", "shared_bytes",
+                                      "dedup_ratio"])
+    out["dedup_ratio"] = _sql_round_arr(
+        out["dedup_ratio"].to_numpy(np.float64)) + 0.0
+    for c in ("n_chunks", "total_bytes", "shared_bytes"):
+        out[c] = out[c].astype(np.int64)
+    out["warc_ts"] = out["warc_ts"].astype("datetime64[us]")
+    return out
+
+
 def dp_counts_domains(obs: pd.DataFrame, epsilon: float = 1.0
                       ) -> pd.DataFrame:
     """Independent Laplace-mechanism twin: same derandomized

@@ -4456,6 +4456,22 @@ def _simhash_drift_crawl(sf_dir: str) -> rd.Dataset:
         ext.select_columns(["url", "warc_ts", "text_len", "text"]))
 
 
+def _cdc_dedup_ratio_crawl(sf_dir: str) -> rd.Dataset:
+    """Content-defined-chunking storage dedup (gear-hash CDC, the
+    FastCDC/LBFS family): chunk every snapshot at rolling-hash
+    boundaries (which REALIGN after insertions, unlike fixed blocks)
+    and measure each snapshot's byte overlap with its predecessor —
+    the archive-storage dedup ratio a crawl store plans capacity
+    with. Rolling hash vectorized as 64 shifted adds (exactly the
+    scalar recurrence mod 2^64); one salted exchange on url
+    (stages/cdc.py; golden twin runs the scalar recurrence)."""
+    from sits_classification_ray.stages.cdc import cdc_dedup_ratio
+
+    ds = crawl_from_tables(sf_dir).select_columns(
+        ["url", "warc_ts", "html"])
+    return cdc_dedup_ratio(ds)
+
+
 def _rouge_overlap_crawl(sf_dir: str) -> rd.Dataset:
     """ROUGE-1 unigram precision/recall between consecutive snapshots
     of each url — the summarization-metric view of content drift
@@ -6527,6 +6543,8 @@ def build_queries() -> dict[str, Callable[[str], Any]]:
         "simhash_drift_crawl": _simhash_drift_crawl,
         # ROUGE-1 consecutive-snapshot overlap (SQL-checked)
         "rouge_overlap_crawl": _rouge_overlap_crawl,
+        # content-defined-chunking dedup ratio (golden)
+        "cdc_dedup_ratio_crawl": _cdc_dedup_ratio_crawl,
         # Aho-Corasick dictionary scan (SQL-checked)
         "dictionary_scan_documents": _dictionary_scan_documents,
         "fingerprint_documents": _fingerprint_documents,
@@ -6956,6 +6974,7 @@ GOLDEN_QUERIES = [
     "betweenness_domains_crawl", "isotonic_calibration_nchars",
     "deepwalk_visits_crawl", "theta_forecast_crawl",
     "spectral_residual_crawl", "dp_counts_domains",
+    "cdc_dedup_ratio_crawl",
     "hilbert_layout_crawl", "dgim_change_count_crawl",
     "ppr_domains_crawl", "bootstrap_ci_crawl", "kll_quantile_daily",
     "quality_classifier_documents", "binseg_changepoints_crawl",

@@ -104,6 +104,8 @@ def make_for(sf_dir: str, only: set[str] | None = None) -> None:
             lambda: golden.spectral_residual_crawl(obs_long),
         "dp_counts_domains":
             lambda: golden.dp_counts_domains(obs),
+        "cdc_dedup_ratio_crawl":
+            lambda: golden.cdc_dedup_ratio_crawl(crawl),
         "forecast_backtest_crawl":
             lambda: golden.forecast_backtest_crawl(obs_long),
         "cusum_crawl": lambda: golden.cusum_crawl(obs_long),
