@@ -2015,6 +2015,72 @@ def png_thumbnails_crawl(crawl: pd.DataFrame) -> pd.DataFrame:
                                        "pixel_sum", "n_dark"])
 
 
+def jpeg_thumbnails_crawl(crawl: pd.DataFrame) -> pd.DataFrame:
+    """Expected output of the JPEG decode+thumbnail query computed
+    WITHOUT any bitstream code: the same published lossy core (8×8
+    orthonormal DCT-II, Annex-K luminance quantization, half-to-even
+    rounding, dequantize, IDCT, clip) applied straight to the synth
+    raster — a match proves the engine's marker + Huffman layer is
+    exactly lossless around the quantization. The einsum contraction
+    subscripts match the engine's on purpose: bit-identity requires
+    the identical contraction order."""
+    import zlib as _z
+
+    Q = np.array([
+        [16, 11, 10, 16, 24, 40, 51, 61],
+        [12, 12, 14, 19, 26, 58, 60, 55],
+        [14, 13, 16, 24, 40, 57, 69, 56],
+        [14, 17, 22, 29, 51, 87, 80, 62],
+        [18, 22, 37, 56, 68, 109, 103, 77],
+        [24, 35, 55, 64, 81, 104, 113, 92],
+        [49, 64, 78, 87, 103, 121, 120, 101],
+        [72, 92, 95, 98, 112, 100, 103, 99]], dtype=np.float64)
+    k = np.arange(8)
+    # operation ORDER matches the engine (row-0 scale, then global
+    # half) — IEEE products are sequence-sensitive in the last ulp
+    C = np.cos((2 * k[None, :] + 1) * k[:, None] * np.pi / 16.0)
+    C[0] *= 1.0 / np.sqrt(2.0)
+    C *= 0.5
+
+    def core(img: np.ndarray) -> np.ndarray:
+        h, w = img.shape
+        H, W = -(-h // 8) * 8, -(-w // 8) * 8
+        pad = np.empty((H, W), np.float64)
+        pad[:h, :w] = img
+        if W > w:
+            pad[:h, w:] = img[:, -1:]
+        if H > h:
+            pad[h:, :] = pad[h - 1:h, :]
+        bl = (pad - 128.0).reshape(H // 8, 8, W // 8, 8) \
+            .transpose(0, 2, 1, 3).reshape(-1, 8, 8)
+        qc = np.round(np.einsum("ij,bjk,lk->bil", C, bl, C)
+                      / Q[None, :, :])
+        pix = np.einsum("ji,bjk,kl->bil", C, qc * Q[None, :, :],
+                        C) + 128.0
+        pix = np.clip(np.round(pix), 0, 255).astype(np.uint8)
+        return pix.reshape(H // 8, W // 8, 8, 8) \
+            .transpose(0, 2, 1, 3).reshape(H, W)[:h, :w]
+
+    rows = []
+    for r in crawl.itertuples():
+        hb = bytes(r.html) if r.html else b"\x00"
+        n = len(hb)
+        w, ht = 8 + n % 40, 8 + n % 30
+        need = w * ht
+        px = np.frombuffer((hb * (need // n + 1))[:need],
+                           np.uint8).reshape(ht, w)
+        gray = core(px.astype(np.float64))
+        ys = (np.arange(16) * ht) // 16
+        xs = (np.arange(16) * w) // 16
+        small = gray[np.ix_(ys, xs)]
+        raw = small.tobytes()
+        rows.append((r.url, r.warc_ts, w, ht, np.int64(_z.crc32(raw)),
+                     int(small.sum()), int((small < 64).sum())))
+    return pd.DataFrame(rows, columns=["url", "warc_ts", "width",
+                                       "height", "thumb_crc32",
+                                       "pixel_sum", "n_dark"])
+
+
 def wav_features_crawl(crawl: pd.DataFrame, frame: int = 256
                        ) -> pd.DataFrame:
     """Independent WAV feature model: samples = html byte pairs as

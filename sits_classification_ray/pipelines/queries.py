@@ -1039,6 +1039,41 @@ def _png_thumbnails_crawl(sf_dir: str) -> rd.Dataset:
                                "thumb_crc32", "pixel_sum", "n_dark"])
 
 
+def _jpeg_thumbnails_crawl(sf_dir: str) -> rd.Dataset:
+    """REAL baseline-JPEG decode: crawl payloads become genuine
+    entropy-coded JPEGs (Annex-K tables, differential DC, ZRL/EOB
+    run-length AC, byte stuffing), an actor-pool stage Huffman-decodes
+    the scan, dequantizes, runs the IDCT and thumbnails to 16×16. The
+    golden oracle computes the expected pixels through the SAME lossy
+    DCT core but WITHOUT any bitstream code, so a hash match proves
+    the marker + Huffman layer is exactly lossless around the
+    quantization (reference analog: compressed-raster read,
+    pytorch/predict.py:346-455)."""
+    import numpy as np
+
+    from sits_classification_ray.stages.jpeg import make_jpeg
+    from sits_classification_ray.stages.multimodal import jpeg_thumbnails
+
+    def synth(df: pd.DataFrame) -> pd.DataFrame:
+        payloads = []
+        for h in df["html"]:
+            h = h or b"\x00"
+            n = len(h)
+            w, ht = 8 + n % 40, 8 + n % 30
+            need = w * ht
+            px = np.frombuffer((h * (need // n + 1))[:need],
+                               np.uint8).reshape(ht, w)
+            payloads.append(make_jpeg(px))
+        return pd.DataFrame({"url": df["url"], "warc_ts": df["warc_ts"],
+                             "payload": payloads})
+
+    assets = crawl_from_tables(sf_dir).map_batches(
+        synth, batch_format="pandas")
+    out = jpeg_thumbnails(assets, out_w=16, out_h=16)
+    return out.select_columns(["url", "warc_ts", "width", "height",
+                               "thumb_crc32", "pixel_sum", "n_dark"])
+
+
 def _wav_features_crawl(sf_dir: str) -> rd.Dataset:
     """REAL audio decode, codec-free: crawl payloads become genuine
     RIFF/WAVE PCM files (samples = html byte pairs as int16), an
@@ -6749,6 +6784,8 @@ def build_queries() -> dict[str, Callable[[str], Any]]:
         "resized_thumbnails_crawl": _resized_thumbnails_crawl,
         # compressed PNG decode (zlib inflate + unfilter; golden from raw)
         "png_thumbnails_crawl": _png_thumbnails_crawl,
+        # baseline JPEG entropy decode (golden from the lossy core)
+        "jpeg_thumbnails_crawl": _jpeg_thumbnails_crawl,
         "wav_features_crawl": _wav_features_crawl,
         "y4m_scene_stats_crawl": _y4m_scene_stats_crawl,
         "extract_links_crawl": _extract_links_crawl,
@@ -6981,7 +7018,7 @@ GOLDEN_QUERIES = [
     "holt_winters_crawl", "sax_motifs_crawl",
     "matrix_profile_discord_crawl", "boilerplate_extract_documents",
     "tune_trials", "sniffed_assets_crawl", "resized_thumbnails_crawl",
-    "png_thumbnails_crawl",
+    "png_thumbnails_crawl", "jpeg_thumbnails_crawl",
     "wav_features_crawl", "y4m_scene_stats_crawl",
     "bpe_encode_documents",
     "srp_near_dup_embeddings", "weighted_sample_documents",

@@ -3,11 +3,12 @@
 Treats image/audio/video payloads as opaque ``binary`` columns with
 typed metadata — the pattern a 100 TB training-data pipeline needs.
 Real, library-free decoders are implemented for PGM (raster resize),
-WAV PCM (audio features), Y4M (per-frame scene stats) and — via
-stdlib zlib — compressed PNG (inflate + unfilter + resize); header
-decode covers PNG/GIF/BMP/JPEG dimensions. Only other compressed
-bitstream codecs (JPEG entropy decode, video codecs) remain stubbed
-behind a clearly-marked ``NotImplementedError``
+WAV PCM (audio features), Y4M (per-frame scene stats), compressed PNG
+(stdlib-zlib inflate + scanline unfilter) and baseline JPEG (marker
+walk + canonical Huffman entropy decode + dequantize + IDCT,
+``stages/jpeg.py``); header decode covers PNG/GIF/BMP/JPEG
+dimensions. Only video bitstream codecs remain stubbed behind a
+clearly-marked ``NotImplementedError``
 (``BinaryFeatureExtract.strict``). The crawl table's ``html`` binary
 column doubles as the test payload.
 """
@@ -761,4 +762,58 @@ def y4m_scene_stats(ds: rd.Dataset, payload_col: str = "payload",
                                "cut_threshold": cut_threshold,
                                "id_cols": id_cols},
         batch_format="pandas", batch_size=batch_size,
+        concurrency=concurrency, num_cpus=1)
+
+
+# ---------------------------------------------------------------------------
+# JPEG decode — REAL baseline entropy-coded codec (see stages/jpeg.py)
+# ---------------------------------------------------------------------------
+
+
+class JpegThumbnailer:
+    """Actor-pool stage: REAL baseline-JPEG decode (marker walk +
+    canonical Huffman + dequantize + IDCT, ``stages/jpeg.py``) →
+    nearest-neighbor 16×16 thumbnail with the same bit-strong output
+    contract as ``PngThumbnailer``."""
+
+    def __init__(self, out_w: int = 16, out_h: int = 16,
+                 payload_col: str = "payload"):
+        self.out_w, self.out_h = out_w, out_h
+        self.payload_col = payload_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from sits_classification_ray.stages.jpeg import decode_jpeg
+
+        crcs, sums, n_dark, widths, heights = [], [], [], [], []
+        for p in batch[self.payload_col].to_pylist():
+            gray = decode_jpeg(p or b"")
+            h, w = gray.shape
+            ys = (np.arange(self.out_h) * h) // self.out_h
+            xs = (np.arange(self.out_w) * w) // self.out_w
+            small = gray[np.ix_(ys, xs)]
+            raw = small.tobytes()
+            crcs.append(zlib.crc32(raw))
+            sums.append(int(small.sum()))
+            n_dark.append(int((small < 64).sum()))
+            widths.append(w)
+            heights.append(h)
+        cols = {name: batch[name] for name in batch.schema.names
+                if name != self.payload_col}
+        cols["width"] = pa.array(np.asarray(widths, np.int64))
+        cols["height"] = pa.array(np.asarray(heights, np.int64))
+        cols["thumb_crc32"] = pa.array(np.asarray(crcs, np.int64))
+        cols["pixel_sum"] = pa.array(np.asarray(sums, np.int64))
+        cols["n_dark"] = pa.array(np.asarray(n_dark, np.int64))
+        return pa.table(cols)
+
+
+def jpeg_thumbnails(ds: rd.Dataset, out_w: int = 16, out_h: int = 16,
+                    payload_col: str = "payload",
+                    batch_size: int = 256,
+                    concurrency: tuple[int, int] = (1, 8)) -> rd.Dataset:
+    return ds.map_batches(
+        JpegThumbnailer,
+        fn_constructor_kwargs={"out_w": out_w, "out_h": out_h,
+                               "payload_col": payload_col},
+        batch_format="pyarrow", batch_size=batch_size,
         concurrency=concurrency, num_cpus=1)

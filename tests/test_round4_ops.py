@@ -98,3 +98,33 @@ def test_logreg_newton_loss_decreases(ray_session):
     # learned direction correlates with truth
     corr = np.corrcoef(w[:d], w_true)[0, 1]
     assert corr > 0.9
+
+
+def test_jpeg_codec_entropy_layer_lossless(ray_session):
+    """decode(make_jpeg(img)) must equal the pure lossy core
+    bit-for-bit (Huffman + markers exactly lossless), approximate the
+    source on smooth content, and the actor stage must thumbnail."""
+    import ray.data as rd
+
+    from sits_classification_ray.stages.jpeg import (
+        decode_jpeg, dequantized_pixels, make_jpeg, quantized_blocks)
+    from sits_classification_ray.stages.multimodal import jpeg_thumbnails
+
+    rng = np.random.RandomState(4)
+    for shape in [(8, 8), (17, 9), (40, 33)]:
+        img = rng.randint(0, 256, shape).astype(np.uint8)
+        dec = decode_jpeg(make_jpeg(img))
+        h, w = shape
+        want = dequantized_pixels(quantized_blocks(img),
+                                  -(-h // 8), -(-w // 8), h, w)
+        assert np.array_equal(dec, want)
+
+    x = np.tile(np.linspace(0, 255, 64).astype(np.uint8), (64, 1))
+    dec = decode_jpeg(make_jpeg(x))
+    assert np.abs(dec.astype(int) - x.astype(int)).mean() < 3
+
+    ds = rd.from_pandas(pd.DataFrame({"id": [1],
+                                      "payload": [make_jpeg(x)]}))
+    out = jpeg_thumbnails(ds, out_w=4, out_h=4).to_pandas().iloc[0]
+    assert (out["width"], out["height"]) == (64, 64)
+    assert out["pixel_sum"] > 0

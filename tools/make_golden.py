@@ -208,6 +208,8 @@ def make_for(sf_dir: str, only: set[str] | None = None) -> None:
             lambda: golden.resized_thumbnails_crawl(crawl),
         "png_thumbnails_crawl":
             lambda: golden.png_thumbnails_crawl(crawl),
+        "jpeg_thumbnails_crawl":
+            lambda: golden.jpeg_thumbnails_crawl(crawl),
         "wav_features_crawl":
             lambda: golden.wav_features_crawl(crawl),
         "y4m_scene_stats_crawl":
