@@ -2252,6 +2252,55 @@ def kmv_overlap_weeks(obs: pd.DataFrame, k: int = 256) -> pd.DataFrame:
         "union_est"])
 
 
+def shapley_attribution_events(ev: pd.DataFrame) -> pd.DataFrame:
+    """Independent Shapley-attribution twin: same coalition-value
+    definition (v(T) = converted users with pre-purchase channel set
+    ⊆ T over all users) and exact factorial-weight lattice."""
+    import math
+
+    channels = ("click", "error", "signup", "view")
+    idx = {c: i for i, c in enumerate(channels)}
+    k = len(channels)
+    ev = ev.sort_values(["user_id", "ts", "event_type"],
+                        kind="mergesort")
+    masks, convs = [], []
+    for _, g in ev.groupby("user_id", sort=True):
+        types = list(g["event_type"])
+        conv = "purchase" in types
+        m = 0
+        for ty in types:
+            if ty == "purchase":
+                break
+            if ty in idx:
+                m |= 1 << idx[ty]
+        masks.append(m)
+        convs.append(conv)
+    total = float(len(masks))
+    conv_by_mask = np.zeros(1 << k, np.int64)
+    for m, c in zip(masks, convs):
+        if c:
+            conv_by_mask[m] += 1
+
+    def v(T: int) -> float:
+        c = 0
+        for m in range(1 << k):
+            if (m & ~T) == 0:
+                c += int(conv_by_mask[m])
+        return c / total
+
+    phi = np.zeros(k)
+    for c in range(k):
+        for T in range(1 << k):
+            if T & (1 << c):
+                continue
+            t = bin(T).count("1")
+            wgt = (math.factorial(t) * math.factorial(k - t - 1)
+                   / math.factorial(k))
+            phi[c] += wgt * (v(T | (1 << c)) - v(T))
+    return pd.DataFrame({"channel": list(channels),
+                         "shapley": _sql_round_arr(phi) + 0.0})
+
+
 def cdc_dedup_ratio_crawl(crawl: pd.DataFrame, mask: int = 0x3F,
                           min_size: int = 16, max_size: int = 256
                           ) -> pd.DataFrame:

@@ -3928,6 +3928,141 @@ def _cuped_events(sf_dir: str) -> pd.DataFrame:
         "mean_cuped": sql_round(mean_cuped, 6) + 0.0})
 
 
+def _seq_patterns_events(sf_dir: str, min_support: int = 5
+                         ) -> rd.Dataset:
+    """Sequential-pattern mining (the PrefixSpan/GSP family,
+    gap-tolerant): support counts of ordered event-type pairs a→b
+    (some event a strictly before some b in the same user's stream) —
+    the journey-motif signal `journey_trigrams`' contiguous n-grams
+    miss. Per-user kernels mark each ordered pair ONCE via a
+    first-occurrence index scan (O(k·types) per user, never the
+    self-join SQL needs), then a |types|²-row groupby. SQL twin:
+    EXISTS self-join."""
+    from ray.data.aggregate import Sum
+
+    from sits_classification_ray.stages.shuffle import partitioned_map
+
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["user_id", "ts", "event_type"])
+
+    out_schema = pa.schema([("first_type", pa.string()),
+                            ("then_type", pa.string()),
+                            ("n", pa.int64())])
+
+    def kern(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["user_id", "ts", "event_type"],
+                            kind="mergesort")
+        counts: dict = {}
+        for _, g in df.groupby("user_id", sort=False):
+            types = g["event_type"].to_numpy()
+            ts = g["ts"].to_numpy()
+            seen_first: dict = {}       # type → first ts
+            last_ts: dict = {}          # type → last ts
+            for t, ty in zip(ts, types):
+                if ty not in seen_first:
+                    seen_first[ty] = t
+                last_ts[ty] = t
+            for a, ta in seen_first.items():
+                for b, tb in last_ts.items():
+                    if ta < tb:         # strict: some a before some b
+                        counts[(a, b)] = counts.get((a, b), 0) + 1
+        ks = sorted(counts)
+        return pd.DataFrame({
+            "first_type": pd.Series([k[0] for k in ks], dtype=object),
+            "then_type": pd.Series([k[1] for k in ks], dtype=object),
+            "n": np.asarray([counts[k] for k in ks], np.int64)})
+
+    pairs = partitioned_map(ev, kern, keys=["user_id"],
+                            out_schema=out_schema)
+    return (pairs.groupby(["first_type", "then_type"])
+            .aggregate(Sum("n", alias_name="support"))
+            .filter(expr=f"support >= {min_support}"))
+
+
+#: channel universe for Shapley attribution (non-conversion types)
+_SHAPLEY_CHANNELS = ("click", "error", "signup", "view")
+
+
+def _shapley_attribution_events(sf_dir: str) -> pd.DataFrame:
+    """Exact Shapley-value channel attribution (the game-theoretic
+    sibling of the Markov removal-effect already in the registry):
+    coalition value v(T) = share of users converted (≥1 purchase)
+    whose pre-conversion channel set ⊆ T, Shapley weights over the
+    2⁴ lattice. Distributed shape: per-user channel-bitmask reduction
+    (one exchange), then a ≤16-row coalition table to the driver —
+    the lattice math is O(2^channels), never O(users). Golden twin
+    replicates the lattice exactly."""
+    from ray.data.aggregate import Sum
+
+    from sits_classification_ray.functions.transforms import sql_round
+    from sits_classification_ray.stages.shuffle import partitioned_map
+
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["user_id", "ts", "event_type"])
+    chan_idx = {c: i for i, c in enumerate(_SHAPLEY_CHANNELS)}
+
+    out_schema = pa.schema([("mask", pa.int64()),
+                            ("n_users", pa.int64()),
+                            ("n_conv", pa.int64())])
+
+    def kern(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["user_id", "ts", "event_type"],
+                            kind="mergesort")
+        agg: dict = {}
+        for _, g in df.groupby("user_id", sort=False):
+            types = g["event_type"].to_numpy()
+            conv = "purchase" in types
+            mask = 0
+            for ty in types:
+                if ty == "purchase":
+                    break               # channels BEFORE first purchase
+                i = chan_idx.get(ty)
+                if i is not None:
+                    mask |= 1 << i
+            n, c = agg.get(mask, (0, 0))
+            agg[mask] = (n + 1, c + (1 if conv else 0))
+        ks = sorted(agg)
+        return pd.DataFrame({
+            "mask": np.asarray(ks, np.int64),
+            "n_users": np.asarray([agg[k][0] for k in ks], np.int64),
+            "n_conv": np.asarray([agg[k][1] for k in ks], np.int64)})
+
+    sets = (partitioned_map(ev, kern, keys=["user_id"],
+                            out_schema=out_schema)
+            .groupby("mask")
+            .aggregate(Sum("n_users", alias_name="n_users"),
+                       Sum("n_conv", alias_name="n_conv"))
+            .to_pandas().sort_values("mask", ignore_index=True))
+
+    k = len(_SHAPLEY_CHANNELS)
+    total = float(sets["n_users"].sum())
+    conv_by_mask = np.zeros(1 << k, np.int64)
+    conv_by_mask[sets["mask"].to_numpy(np.int64)] = \
+        sets["n_conv"].to_numpy(np.int64)
+
+    def v(T: int) -> float:
+        # converted users whose channel set ⊆ T
+        c = 0
+        for m in range(1 << k):
+            if (m & ~T) == 0:
+                c += int(conv_by_mask[m])
+        return c / total
+
+    import math
+    phi = np.zeros(k)
+    for c in range(k):
+        for T in range(1 << k):
+            if T & (1 << c):
+                continue
+            t = bin(T).count("1")
+            wgt = (math.factorial(t) * math.factorial(k - t - 1)
+                   / math.factorial(k))
+            phi[c] += wgt * (v(T | (1 << c)) - v(T))
+    return pd.DataFrame({
+        "channel": list(_SHAPLEY_CHANNELS),
+        "shapley": sql_round(phi, 6) + 0.0})
+
+
 def _dau_events(sf_dir: str) -> rd.Dataset:
     from sits_classification_ray.stages.behavior import daily_active
 
@@ -6675,6 +6810,10 @@ def build_queries() -> dict[str, Callable[[str], Any]]:
         "dau_events": _dau_events,
         # CUPED variance-reduced experiment readout (SQL-checked)
         "cuped_events": _cuped_events,
+        # sequential-pattern (a then b) support mining (SQL-checked)
+        "seq_patterns_events": _seq_patterns_events,
+        # exact Shapley channel attribution (golden)
+        "shapley_attribution_events": _shapley_attribution_events,
         "exact_quantile_daily": _exact_quantile_daily,
         "reservoir_sample_events": _reservoir_sample_events,
         "bm25_topk_documents": _bm25_topk_documents,
@@ -7011,7 +7150,7 @@ GOLDEN_QUERIES = [
     "betweenness_domains_crawl", "isotonic_calibration_nchars",
     "deepwalk_visits_crawl", "theta_forecast_crawl",
     "spectral_residual_crawl", "dp_counts_domains",
-    "cdc_dedup_ratio_crawl",
+    "cdc_dedup_ratio_crawl", "shapley_attribution_events",
     "hilbert_layout_crawl", "dgim_change_count_crawl",
     "ppr_domains_crawl", "bootstrap_ci_crawl", "kll_quantile_daily",
     "quality_classifier_documents", "binseg_changepoints_crawl",
@@ -9749,6 +9888,14 @@ SELECT pattern,
        CAST(sum(CASE WHEN c > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_docs,
        CAST(sum(c) AS BIGINT) AS n_occurrences
 FROM per GROUP BY 1""",
+        "seq_patterns_events": """
+SELECT first_type, then_type, support FROM (
+  SELECT x.event_type AS first_type, y.event_type AS then_type,
+         CAST(count(DISTINCT x.user_id) AS BIGINT) AS support
+  FROM events x JOIN events y
+    ON x.user_id = y.user_id AND x.ts < y.ts
+  GROUP BY 1, 2) t
+WHERE support >= 5""",
         "cuped_events": """
 WITH peru AS MATERIALIZED (
   SELECT user_id,
