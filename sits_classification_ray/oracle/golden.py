@@ -2412,6 +2412,36 @@ def dp_counts_domains(obs: pd.DataFrame, epsilon: float = 1.0
             cnt.to_numpy(np.float64) + lap) + 0.0})
 
 
+def croston_rate_crawl(obs: pd.DataFrame, alpha: float = 0.3
+                       ) -> pd.DataFrame:
+    """Independent Croston twin: pandas daily counts per url, the
+    same SES recursions over non-zero sizes and inter-arrival gaps."""
+    d = obs.assign(day=obs["warc_ts"].to_numpy()
+                   .astype("datetime64[D]").astype(np.int64))
+    daily = (d.groupby(["url", "day"]).size().rename("c")
+             .reset_index().sort_values(["url", "day"],
+                                        kind="mergesort"))
+    rows = []
+    for url, g in daily.groupby("url", sort=True):
+        days = g["day"].to_numpy(np.int64)
+        c = g["c"].to_numpy(np.float64)
+        span = int(days[-1] - days[0]) + 1
+        z = c[0]
+        q = 1.0
+        for i in range(1, len(c)):
+            z = alpha * c[i] + (1.0 - alpha) * z
+            q = alpha * float(days[i] - days[i - 1]) \
+                + (1.0 - alpha) * q
+        rows.append((url, np.int64(span), np.int64(len(c)), z, q,
+                     z / q))
+    out = pd.DataFrame(rows, columns=["url", "n_days", "n_active",
+                                      "size_level", "interval_level",
+                                      "rate"])
+    for col in ("size_level", "interval_level", "rate"):
+        out[col] = _sql_round_arr(out[col].to_numpy(np.float64)) + 0.0
+    return out
+
+
 def theta_forecast_crawl(obs_long: pd.DataFrame, alpha: float = 0.5
                          ) -> pd.DataFrame:
     """Independent Theta(0,2) twin: pandas daily means (exact — the

@@ -1494,6 +1494,65 @@ def _holt_linear_crawl(sf_dir: str) -> rd.Dataset:
     return holt_linear(_obs_long(sf_dir), alpha=0.5, beta=0.3)
 
 
+def _croston_rate_crawl(sf_dir: str, alpha: float = 0.3
+                        ) -> rd.Dataset:
+    """Croston's method (1972) — THE forecaster for intermittent
+    series, which crawl activity is (most urls have zero snapshots
+    most days; SES/Holt smear zeros into meaningless levels): SES the
+    non-zero daily snapshot counts and the inter-arrival gaps
+    separately; expected rate = size-level / interval-level. Per-url
+    daily counts come from one distributed groupby; the bounded
+    recursion runs after one salted exchange. Golden twin re-derives
+    the recursion."""
+    from ray.data.aggregate import Count
+
+    from sits_classification_ray.functions.transforms import sql_round
+    from sits_classification_ray.stages.shuffle import partitioned_map
+
+    def proj(df: pd.DataFrame) -> pd.DataFrame:
+        day = (df["warc_ts"].to_numpy().astype("datetime64[D]")
+               .astype(np.int64))
+        return pd.DataFrame({"url": df["url"], "day": day})
+
+    daily = (_obs(sf_dir).map_batches(proj, batch_format="pandas")
+             .groupby(["url", "day"]).aggregate(Count(alias_name="c")))
+
+    out_schema = pa.schema([("url", pa.string()),
+                            ("n_days", pa.int64()),
+                            ("n_active", pa.int64()),
+                            ("size_level", pa.float64()),
+                            ("interval_level", pa.float64()),
+                            ("rate", pa.float64())])
+
+    def kern(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["url", "day"], kind="mergesort")
+        rows = []
+        for url, g in df.groupby("url", sort=False):
+            days = g["day"].to_numpy(np.int64)
+            c = g["c"].to_numpy(np.float64)
+            span = int(days[-1] - days[0]) + 1
+            # demands = the non-zero days (rows exist only for those);
+            # gaps = day deltas between consecutive active days
+            z = c[0]
+            q = 1.0                      # first interval convention
+            for i in range(1, len(c)):
+                z = alpha * c[i] + (1.0 - alpha) * z
+                gap = float(days[i] - days[i - 1])
+                q = alpha * gap + (1.0 - alpha) * q
+            rows.append((url, span, len(c), z, q, z / q))
+        out = pd.DataFrame(rows, columns=["url", "n_days", "n_active",
+                                          "size_level",
+                                          "interval_level", "rate"])
+        for col in ("size_level", "interval_level", "rate"):
+            out[col] = sql_round(out[col].to_numpy(np.float64), 6) + 0.0
+        out["n_days"] = out["n_days"].astype(np.int64)
+        out["n_active"] = out["n_active"].astype(np.int64)
+        return out
+
+    return partitioned_map(daily, kern, url_col="url",
+                           out_schema=out_schema)
+
+
 def _theta_forecast_crawl(sf_dir: str, alpha: float = 0.5
                           ) -> rd.Dataset:
     """Theta-method forecast (Assimakopoulos & Nikolopoulos 2000 —
@@ -6760,6 +6819,8 @@ def build_queries() -> dict[str, Callable[[str], Any]]:
         "holt_linear_crawl": _holt_linear_crawl,
         # Theta-method forecast (golden)
         "theta_forecast_crawl": _theta_forecast_crawl,
+        # Croston intermittent-demand rate (golden)
+        "croston_rate_crawl": _croston_rate_crawl,
         # spectral-residual saliency anomaly (golden)
         "spectral_residual_crawl": _spectral_residual_crawl,
         "cusum_crawl": _cusum_crawl,
@@ -7150,6 +7211,7 @@ GOLDEN_QUERIES = [
     "betweenness_domains_crawl", "isotonic_calibration_nchars",
     "deepwalk_visits_crawl", "theta_forecast_crawl",
     "spectral_residual_crawl", "dp_counts_domains",
+    "croston_rate_crawl",
     "cdc_dedup_ratio_crawl", "shapley_attribution_events",
     "hilbert_layout_crawl", "dgim_change_count_crawl",
     "ppr_domains_crawl", "bootstrap_ci_crawl", "kll_quantile_daily",

@@ -104,6 +104,8 @@ def make_for(sf_dir: str, only: set[str] | None = None) -> None:
             lambda: golden.spectral_residual_crawl(obs_long),
         "dp_counts_domains":
             lambda: golden.dp_counts_domains(obs),
+        "croston_rate_crawl":
+            lambda: golden.croston_rate_crawl(obs),
         "cdc_dedup_ratio_crawl":
             lambda: golden.cdc_dedup_ratio_crawl(crawl),
         "forecast_backtest_crawl":
