@@ -4122,6 +4122,33 @@ def _shapley_attribution_events(sf_dir: str) -> pd.DataFrame:
         "shapley": sql_round(phi, 6) + 0.0})
 
 
+def _lateness_histogram_events(sf_dir: str) -> rd.Dataset:
+    """Event-time lateness audit (the watermark-design input): how far
+    behind the running event-time high-water mark does each event
+    arrive, histogrammed in hours. Two-pass distributed prefix scan
+    over arrival order (stages/scan_sorted.py) — per-block maxima,
+    O(blocks) carry fold, vectorized running max + histogram partials.
+    SQL twin: window running max over event_id."""
+    from sits_classification_ray.stages.scan_sorted import \
+        lateness_histogram
+
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_id", "ts"])
+
+    # synth event_ids are already ts-ordered (lateness would be
+    # identically 0); a deterministic residue shuffle of the arrival
+    # order makes the audit non-trivial while staying SQL-expressible
+    def arr(b: pa.Table) -> pa.Table:
+        eid = b["event_id"].to_numpy(zero_copy_only=False)
+        return pa.table({"arrival": pa.array((eid % 97) * (1 << 40)
+                                             + eid),
+                         "ts": b["ts"]})
+
+    ev = ev.map_batches(arr, batch_format="pyarrow",
+                        zero_copy_batch=True)
+    return lateness_histogram(ev, id_col="arrival", num_blocks=16)
+
+
 def _dau_events(sf_dir: str) -> rd.Dataset:
     from sits_classification_ray.stages.behavior import daily_active
 
@@ -6873,6 +6900,8 @@ def build_queries() -> dict[str, Callable[[str], Any]]:
         "cuped_events": _cuped_events,
         # sequential-pattern (a then b) support mining (SQL-checked)
         "seq_patterns_events": _seq_patterns_events,
+        # event-time lateness histogram (SQL-checked)
+        "lateness_histogram_events": _lateness_histogram_events,
         # exact Shapley channel attribution (golden)
         "shapley_attribution_events": _shapley_attribution_events,
         "exact_quantile_daily": _exact_quantile_daily,
@@ -9950,6 +9979,15 @@ SELECT pattern,
        CAST(sum(CASE WHEN c > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_docs,
        CAST(sum(c) AS BIGINT) AS n_occurrences
 FROM per GROUP BY 1""",
+        "lateness_histogram_events": """
+WITH lat AS MATERIALIZED (
+  SELECT CAST((epoch_us(max(ts) OVER (ORDER BY event_id % 97,
+                                      event_id
+                                      ROWS UNBOUNDED PRECEDING))
+               - epoch_us(ts)) // 3600000000 AS BIGINT) AS bucket
+  FROM events)
+SELECT bucket, CAST(count(*) AS BIGINT) AS n
+FROM lat GROUP BY 1""",
         "seq_patterns_events": """
 SELECT first_type, then_type, support FROM (
   SELECT x.event_type AS first_type, y.event_type AS then_type,

@@ -500,3 +500,58 @@ def global_prefix_sum(ds: rd.Dataset, sort_cols: list[str],
     return rd.from_arrow_refs(
         [add_prior.remote(r, int(o))
          for (r, _), o in zip(keep, offsets)])
+
+
+def lateness_histogram(ds: rd.Dataset, id_col: str = "event_id",
+                       ts_col: str = "ts",
+                       bucket_seconds: int = 3600,
+                       num_blocks: int | None = None) -> rd.Dataset:
+    """Event-time lateness audit over ARRIVAL order (the watermark-
+    design input: how late does data really arrive?): lateness of an
+    event = running max of event time over arrival order (inclusive)
+    minus its own event time. Distributed as the standard two-pass
+    prefix scan: per-block maxima → O(B) driver carry fold → per-block
+    vectorized ``np.maximum.accumulate`` with carry-in, then per-block
+    histogram partials reduced by one tiny groupby."""
+    srt = ds
+    if num_blocks:
+        srt = srt.repartition(num_blocks)
+    srt = srt.sort(id_col)
+    block_refs = srt.to_arrow_refs()
+
+    @ray.remote(num_cpus=0.25)
+    def block_max(t: pa.Table):
+        if len(t) == 0:
+            return None
+        ts = t[ts_col].to_numpy(zero_copy_only=False) \
+            .astype("datetime64[us]").astype(np.int64)
+        return int(ts.max())
+
+    maxima = ray.get([block_max.remote(r) for r in block_refs])
+    carry: list[int | None] = []
+    acc: int | None = None
+    for m in maxima:
+        carry.append(acc)
+        if m is not None:
+            acc = m if acc is None else max(acc, m)
+
+    @ray.remote(num_cpus=1)
+    def hist(t: pa.Table, carry_in) -> pa.Table:
+        if len(t) == 0:
+            return pa.table({"bucket": pa.array([], pa.int64()),
+                             "n": pa.array([], pa.int64())})
+        ts = t[ts_col].to_numpy(zero_copy_only=False) \
+            .astype("datetime64[us]").astype(np.int64)
+        runmax = np.maximum.accumulate(ts)
+        if carry_in is not None:
+            runmax = np.maximum(runmax, carry_in)
+        late = (runmax - ts) // (bucket_seconds * 1_000_000)
+        vals, counts = np.unique(late, return_counts=True)
+        return pa.table({"bucket": pa.array(vals.astype(np.int64)),
+                         "n": pa.array(counts.astype(np.int64))})
+
+    from ray.data.aggregate import Sum
+
+    parts = rd.from_arrow_refs(
+        [hist.remote(r, c) for r, c in zip(block_refs, carry)])
+    return parts.groupby("bucket").aggregate(Sum("n", alias_name="n"))
