@@ -268,8 +268,12 @@ def betweenness(edges: rd.Dataset, src_col: str = "w1",
             "betweenness": sql_round(s.to_numpy(np.float64),
                                      round_to) + 0.0})
 
+    # union an empty schema-seed table: when NO node has positive
+    # betweenness (complete graphs — every path is direct) the result
+    # has zero blocks and would otherwise lose its schema entirely
     return partitioned_map(deps, reduce_node, keys=["node"],
-                           out_schema=out_schema)
+                           out_schema=out_schema).union(
+        rd.from_arrow(out_schema.empty_table()))
 
 
 def triangle_count(edges: rd.Dataset, src_col: str = "w1",
