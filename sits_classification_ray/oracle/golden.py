@@ -3862,6 +3862,49 @@ def logreg_fit_embeddings(emb: pd.DataFrame, positive: int = 0,
                          "weight": _sql_round_arr(vals) + 0.0})
 
 
+def ledoit_wolf_embeddings(emb: pd.DataFrame,
+                           num_partitions: int = 16) -> pd.DataFrame:
+    """Independent Ledoit-Wolf twin: same pid partial structure
+    (SipHash pids, id-sorted rows within pid, ascending-pid merge),
+    same two-pass moments and shrinkage formula."""
+    ids = emb["vec_id"].to_numpy(np.int64)
+    pids = (pd.util.hash_array(np.ascontiguousarray(ids),
+                               categorize=False)
+            % np.uint64(num_partitions)).astype(np.int64)
+    d = len(np.asarray(emb["embedding"].iloc[0]))
+    tot = np.zeros(d + d * d + 1)
+    for pid in sorted(np.unique(pids)):
+        g = emb[pids == pid].sort_values("vec_id", kind="mergesort")
+        X = np.stack([np.asarray(v, dtype=np.float64)
+                      for v in g["embedding"]])
+        tot += np.concatenate([X.sum(axis=0), (X.T @ X).ravel(),
+                               [float(len(X))]])
+    n = tot[-1]
+    mean = tot[:d] / n
+    S = tot[d:d + d * d].reshape(d, d) / n - np.outer(mean, mean)
+    tot2 = np.zeros(2)
+    for pid in sorted(np.unique(pids)):
+        g = emb[pids == pid].sort_values("vec_id", kind="mergesort")
+        X = np.stack([np.asarray(v, dtype=np.float64)
+                      for v in g["embedding"]]) - mean
+        sq = (X * X).sum(axis=1)
+        tot2 += np.array([float((sq * sq).sum()),
+                          float((X * (X @ S)).sum())])
+    sum_norm4, sum_xSx = tot2
+    m = float(np.trace(S)) / d
+    d2 = float(((S - m * np.eye(d)) ** 2).sum()) / d
+    s2 = float((S * S).sum())
+    b2 = (sum_norm4 - 2.0 * sum_xSx + n * s2) / (n * n * d)
+    b2 = min(b2, d2)
+    lam = b2 / d2 if d2 > 0 else 0.0
+    return pd.DataFrame({
+        "n": [np.int64(n)], "dim": [np.int64(d)],
+        "mu": _sql_round_arr(np.array([m])) + 0.0,
+        "d2": _sql_round_arr(np.array([d2])) + 0.0,
+        "b2": _sql_round_arr(np.array([b2])) + 0.0,
+        "shrinkage": _sql_round_arr(np.array([lam])) + 0.0})
+
+
 def margin_prune_embeddings(emb: pd.DataFrame, keep_frac: float = 0.2
                             ) -> pd.DataFrame:
     """Margin-prune twin: raw weights from the shared Newton core,

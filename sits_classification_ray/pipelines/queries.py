@@ -3337,6 +3337,26 @@ def _logreg_fit_embeddings(sf_dir: str) -> pd.DataFrame:
                          "weight": sql_round(vals, 6) + 0.0})
 
 
+def _ledoit_wolf_embeddings(sf_dir: str) -> pd.DataFrame:
+    """Ledoit-Wolf covariance shrinkage intensity λ* toward the
+    scaled identity (the d ≈ n regularizer Mahalanobis/LDA/GMM
+    downstreams need): two distributed passes of pid-sorted partials
+    — [Σx|Σxxᵀ] then, with mean+S broadcast, [Σ‖x_c‖⁴|Σx_cᵀSx_c] —
+    O(d²) per partition to the driver regardless of rows. Golden twin
+    replicates the pid partial structure."""
+    from sits_classification_ray.functions.transforms import sql_round
+    from sits_classification_ray.pipelines.trainer import ledoit_wolf_stats
+
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet")
+    st = ledoit_wolf_stats(ds)
+    return pd.DataFrame({
+        "n": [np.int64(st["n"])], "dim": [np.int64(st["dim"])],
+        "mu": sql_round(np.array([st["mu"]]), 6) + 0.0,
+        "d2": sql_round(np.array([st["d2"]]), 6) + 0.0,
+        "b2": sql_round(np.array([st["b2"]]), 6) + 0.0,
+        "shrinkage": sql_round(np.array([st["shrinkage"]]), 6) + 0.0})
+
+
 def _margin_prune_embeddings(sf_dir: str, keep_frac: float = 0.2
                              ) -> rd.Dataset:
     """Margin-based data pruning (the EL2N/forgetting-score family by
@@ -7050,6 +7070,8 @@ def build_queries() -> dict[str, Callable[[str], Any]]:
         "logreg_fit_embeddings": _logreg_fit_embeddings,
         # margin-based data pruning (composed fit -> select, golden)
         "margin_prune_embeddings": _margin_prune_embeddings,
+        # Ledoit-Wolf covariance shrinkage (golden)
+        "ledoit_wolf_embeddings": _ledoit_wolf_embeddings,
         # Duffield priority sampling (golden)
         "priority_sample_documents": _priority_sample_documents,
         # multi-source BFS crawl depth (SQL recursive-CTE twin)
@@ -7237,6 +7259,7 @@ GOLDEN_QUERIES = [
     "ivfpq_topk_embeddings", "train_linear_fit", "train_linear_weights",
     "logreg_fit_embeddings", "winnowing_near_dup_documents",
     "margin_prune_embeddings", "priority_sample_documents",
+    "ledoit_wolf_embeddings",
     "betweenness_domains_crawl", "isotonic_calibration_nchars",
     "deepwalk_visits_crawl", "theta_forecast_crawl",
     "spectral_residual_crawl", "dp_counts_domains",

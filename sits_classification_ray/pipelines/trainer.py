@@ -572,3 +572,93 @@ def quality_classifier_scores(ds: rd.Dataset, id_col: str = "doc_id",
         })
 
     return feats.map_batches(score, batch_format="pandas")
+
+
+# --- Ledoit-Wolf covariance shrinkage (Ledoit & Wolf 2004) ---------------
+
+
+def ledoit_wolf_stats(ds: rd.Dataset, feature_col: str = "embedding",
+                      id_col: str = "vec_id",
+                      num_partitions: int = 16) -> dict:
+    """Shrinkage intensity λ* toward the scaled identity — the
+    covariance regularizer every downstream Mahalanobis / GMM / LDA
+    wants at d ≈ n. Two distributed passes of per-pid partials merged
+    in sorted-pid order (the repo's float-determinism contract):
+    pass 1 collects [Σx | Σxxᵀ | n] (O(d²) per partition), pass 2 —
+    with the mean and sample covariance broadcast — collects
+    [Σ‖x_c‖⁴ | Σ x_cᵀ S x_c]. Driver math is O(d²)."""
+    from sits_classification_ray.stages.shuffle import partitioned_map
+
+    def prep(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(id_col, kind="mergesort")
+        ids = df[id_col].to_numpy(np.int64)
+        return pd.DataFrame({
+            "pid": _pid_of(ids, num_partitions), id_col: ids,
+            feature_col: df[feature_col].to_numpy()})
+
+    blocks = partitioned_map(ds, prep, keys=[id_col],
+                             num_partitions=num_partitions).materialize()
+    first = blocks.take(1)[0]
+    d = len(np.asarray(first[feature_col]))
+
+    def pass1(df: pd.DataFrame):
+        import pyarrow as pa
+
+        out_pid, out_vec = [], []
+        for pid, g in df.groupby("pid", sort=True):
+            g = g.sort_values(id_col, kind="mergesort")
+            X = np.stack([np.asarray(v, dtype=np.float64)
+                          for v in g[feature_col]])
+            out_pid.append(int(pid))
+            out_vec.append(np.concatenate(
+                [X.sum(axis=0), (X.T @ X).ravel(),
+                 [float(len(X))]]))
+        return pa.table({"pid": pa.array(out_pid, pa.int64()),
+                         "g": pa.array(out_vec, pa.list_(pa.float64()))})
+
+    parts = blocks.map_batches(pass1, batch_size=None,
+                               batch_format="pandas").to_pandas() \
+        .sort_values("pid", kind="mergesort")
+    tot = np.zeros(d + d * d + 1)
+    for v in parts["g"]:
+        tot += np.asarray(v, np.float64)
+    n = tot[-1]
+    mean = tot[:d] / n
+    S = tot[d:d + d * d].reshape(d, d) / n - np.outer(mean, mean)
+
+    import ray as _ray
+    ms_ref = _ray.put((mean, S))
+
+    def pass2(df: pd.DataFrame):
+        import pyarrow as pa
+
+        mu, Sm = _ray.get(ms_ref)
+        out_pid, out_vec = [], []
+        for pid, g in df.groupby("pid", sort=True):
+            g = g.sort_values(id_col, kind="mergesort")
+            X = np.stack([np.asarray(v, dtype=np.float64)
+                          for v in g[feature_col]]) - mu
+            sq = (X * X).sum(axis=1)
+            out_pid.append(int(pid))
+            out_vec.append(np.array(
+                [float((sq * sq).sum()),
+                 float((X * (X @ Sm)).sum())]))
+        return pa.table({"pid": pa.array(out_pid, pa.int64()),
+                         "g": pa.array(out_vec, pa.list_(pa.float64()))})
+
+    parts2 = blocks.map_batches(pass2, batch_size=None,
+                                batch_format="pandas").to_pandas() \
+        .sort_values("pid", kind="mergesort")
+    tot2 = np.zeros(2)
+    for v in parts2["g"]:
+        tot2 += np.asarray(v, np.float64)
+    sum_norm4, sum_xSx = tot2
+    m = float(np.trace(S)) / d
+    d2 = float(((S - m * np.eye(d)) ** 2).sum()) / d
+    s2 = float((S * S).sum())
+    # (1/n²)Σ‖x_cx_cᵀ − S‖²_F / d  =  (Σ‖x_c‖⁴ − 2Σx_cᵀSx_c + nΣS²)/(n²d)
+    b2 = (sum_norm4 - 2.0 * sum_xSx + n * s2) / (n * n * d)
+    b2 = min(b2, d2)
+    lam = b2 / d2 if d2 > 0 else 0.0
+    return {"n": int(n), "dim": d, "mu": m, "d2": d2, "b2": b2,
+            "shrinkage": lam}
