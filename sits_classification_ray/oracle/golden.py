@@ -2412,6 +2412,50 @@ def dp_counts_domains(obs: pd.DataFrame, epsilon: float = 1.0
             cnt.to_numpy(np.float64) + lap) + 0.0})
 
 
+def pelt_changepoints_crawl(obs_long: pd.DataFrame, beta: float = 50.0
+                            ) -> pd.DataFrame:
+    """Independent PELT twin: identical L2-cost DP with pruning over
+    pandas daily means (same prefix-sum cost arithmetic, first-min
+    tie-break, prune rule v − β ≤ F(t))."""
+    df = obs_long.copy()
+    df["day"] = df["warc_ts"].to_numpy().astype("datetime64[D]") \
+        .astype("datetime64[us]")
+    daily = (df.groupby(["url", "metric", "day"])["value"]
+             .agg(["sum", "size"]).reset_index()
+             .sort_values(["url", "metric", "day"], kind="mergesort"))
+    rows = []
+    for (u, m), g in daily.groupby(["url", "metric"], sort=True):
+        y = (g["sum"].to_numpy(np.float64)
+             / g["size"].to_numpy(np.float64))
+        n = len(y)
+        cs = np.concatenate(([0.0], np.cumsum(y)))
+        cs2 = np.concatenate(([0.0], np.cumsum(y * y)))
+        F = np.empty(n + 1)
+        F[0] = -beta
+        ncp = np.zeros(n + 1, np.int64)
+        cands = [0]
+        for t in range(1, n + 1):
+            vals = []
+            for s in cands:
+                seg = t - s
+                sm = cs[t] - cs[s]
+                # parenthesization matches the engine's F[s]+C(..)+β
+                vals.append(F[s] + ((cs2[t] - cs2[s])
+                                    - sm * sm / seg) + beta)
+            j = int(np.argmin(vals))
+            F[t] = vals[j]
+            ncp[t] = ncp[cands[j]] + 1
+            cands = [s for s, v in zip(cands, vals)
+                     if v - beta <= F[t]] + [t]
+        rows.append((u, m, np.int64(n), np.int64(ncp[n] - 1),
+                     float(F[n])))
+    out = pd.DataFrame(rows, columns=["url", "metric", "n_days",
+                                      "n_changepoints", "total_cost"])
+    out["total_cost"] = _sql_round_arr(
+        out["total_cost"].to_numpy(np.float64)) + 0.0
+    return out
+
+
 def croston_rate_crawl(obs: pd.DataFrame, alpha: float = 0.3
                        ) -> pd.DataFrame:
     """Independent Croston twin: pandas daily counts per url, the

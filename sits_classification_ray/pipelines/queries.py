@@ -1494,6 +1494,84 @@ def _holt_linear_crawl(sf_dir: str) -> rd.Dataset:
     return holt_linear(_obs_long(sf_dir), alpha=0.5, beta=0.3)
 
 
+def _pelt_changepoints_crawl(sf_dir: str, beta: float = 50.0
+                             ) -> rd.Dataset:
+    """PELT optimal changepoint detection (Killick et al., JASA 2012)
+    per (url, metric) daily series with the L2 piecewise-constant
+    cost — EXACT minimization of Σ SSE + β·#segments, where the
+    registry's binseg is the greedy approximation. O(n) expected per
+    series via the pruning inequality; runs on the bounded daily
+    series after one salted exchange (golden twin re-derives the
+    identical DP from the same prefix sums)."""
+    from ray.data.aggregate import Count, Sum
+
+    from sits_classification_ray.functions.transforms import sql_round
+    from sits_classification_ray.stages.shuffle import partitioned_map
+
+    def proj(df: pd.DataFrame) -> pd.DataFrame:
+        day = (df["warc_ts"].to_numpy().astype("datetime64[D]")
+               .astype("datetime64[us]"))
+        return pd.DataFrame({"url": df["url"], "metric": df["metric"],
+                             "day": day,
+                             "v": df["value"].to_numpy(np.float64)})
+
+    daily = (_obs_long(sf_dir).map_batches(proj, batch_format="pandas")
+             .groupby(["url", "metric", "day"])
+             .aggregate(Sum("v", alias_name="s"),
+                        Count(alias_name="c")))
+
+    out_schema = pa.schema([("url", pa.string()),
+                            ("metric", pa.string()),
+                            ("n_days", pa.int64()),
+                            ("n_changepoints", pa.int64()),
+                            ("total_cost", pa.float64())])
+
+    def pelt(y: np.ndarray) -> tuple[int, float]:
+        n = len(y)
+        cs = np.concatenate(([0.0], np.cumsum(y)))
+        cs2 = np.concatenate(([0.0], np.cumsum(y * y)))
+
+        def C(a: int, b: int) -> float:          # cost of y[a:b]
+            m = b - a
+            s = cs[b] - cs[a]
+            return (cs2[b] - cs2[a]) - s * s / m
+
+        F = np.empty(n + 1)
+        F[0] = -beta
+        n_cp = np.zeros(n + 1, np.int64)
+        cands = [0]
+        for t in range(1, n + 1):
+            vals = [F[s] + C(s, t) + beta for s in cands]
+            j = int(np.argmin(vals))             # first min = smallest s
+            F[t] = vals[j]
+            best_s = cands[j]
+            n_cp[t] = n_cp[best_s] + 1
+            cands = [s for s, v in zip(cands, vals)
+                     if v - beta <= F[t]] + [t]
+        return int(n_cp[n] - 1), float(F[n])
+
+    def kern(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["url", "metric", "day"],
+                            kind="mergesort")
+        rows = []
+        for (u, m), g in df.groupby(["url", "metric"], sort=False):
+            y = (g["s"].to_numpy(np.float64)
+                 / g["c"].to_numpy(np.float64))
+            ncp, cost = pelt(y)
+            rows.append((u, m, len(y), ncp, cost))
+        out = pd.DataFrame(rows, columns=["url", "metric", "n_days",
+                                          "n_changepoints",
+                                          "total_cost"])
+        out["total_cost"] = sql_round(
+            out["total_cost"].to_numpy(np.float64), 6) + 0.0
+        out["n_days"] = out["n_days"].astype(np.int64)
+        out["n_changepoints"] = out["n_changepoints"].astype(np.int64)
+        return out
+
+    return partitioned_map(daily, kern, url_col="url",
+                           out_schema=out_schema)
+
+
 def _croston_rate_crawl(sf_dir: str, alpha: float = 0.3
                         ) -> rd.Dataset:
     """Croston's method (1972) — THE forecaster for intermittent
@@ -6868,6 +6946,8 @@ def build_queries() -> dict[str, Callable[[str], Any]]:
         "theta_forecast_crawl": _theta_forecast_crawl,
         # Croston intermittent-demand rate (golden)
         "croston_rate_crawl": _croston_rate_crawl,
+        # PELT exact-optimal changepoints (golden)
+        "pelt_changepoints_crawl": _pelt_changepoints_crawl,
         # spectral-residual saliency anomaly (golden)
         "spectral_residual_crawl": _spectral_residual_crawl,
         "cusum_crawl": _cusum_crawl,
@@ -7263,7 +7343,7 @@ GOLDEN_QUERIES = [
     "betweenness_domains_crawl", "isotonic_calibration_nchars",
     "deepwalk_visits_crawl", "theta_forecast_crawl",
     "spectral_residual_crawl", "dp_counts_domains",
-    "croston_rate_crawl",
+    "croston_rate_crawl", "pelt_changepoints_crawl",
     "cdc_dedup_ratio_crawl", "shapley_attribution_events",
     "hilbert_layout_crawl", "dgim_change_count_crawl",
     "ppr_domains_crawl", "bootstrap_ci_crawl", "kll_quantile_daily",
