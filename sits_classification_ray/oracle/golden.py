@@ -2252,6 +2252,65 @@ def kmv_overlap_weeks(obs: pd.DataFrame, k: int = 256) -> pd.DataFrame:
         "union_est"])
 
 
+def cox_hazard_events(ev: pd.DataFrame, n_iters: int = 3,
+                      num_blocks: int = 8) -> pd.DataFrame:
+    """Independent Cox twin: same subject construction, same
+    rank-derived blocking ((rank−1)·B // n over the (−T, x, uid)
+    order) and the same per-block exp-sum / carry / cumsum float
+    sequence, so the Newton trajectory matches bit-for-bit."""
+    rows = []
+    for uid, g in ev.groupby("user_id", sort=True):
+        ts = g["ts"].to_numpy().astype("datetime64[us]") \
+            .astype(np.int64)
+        t0 = int(ts.min())
+        purch = ts[(g["event_type"] == "purchase").to_numpy()]
+        if len(purch):
+            t_end, d = int(purch.min()), 1
+        else:
+            t_end, d = int(ts.max()), 0
+        rows.append((int(uid), (t_end - t0) / 3_600_000_000.0, d,
+                     float(np.log1p(float(len(g))))))
+    subj = pd.DataFrame(rows, columns=["uid", "t", "d", "x"])
+    subj["_tneg"] = -subj["t"].to_numpy(np.float64)
+    subj = subj.sort_values(["_tneg", "x", "uid"],
+                            kind="mergesort", ignore_index=True)
+    n = len(subj)
+    blk = (np.arange(n, dtype=np.int64) * num_blocks) // max(1, n)
+    x_all = subj["x"].to_numpy(np.float64)
+    d_all = subj["d"].to_numpy(np.float64)
+
+    beta = 0.0
+    loglik = 0.0
+    n_events = 0
+    for _ in range(n_iters):
+        U = info = L = ne = 0.0
+        acc = (0.0, 0.0, 0.0)
+        for b_id in range(num_blocks):
+            m = blk == b_id
+            if not m.any():
+                continue
+            x = x_all[m]
+            d = d_all[m]
+            e = np.exp(x * beta)
+            S0 = acc[0] + np.cumsum(e)
+            S1 = acc[1] + np.cumsum(x * e)
+            S2 = acc[2] + np.cumsum(x * x * e)
+            r1 = S1 / S0
+            U += float((d * (x - r1)).sum())
+            info += float((d * (S2 / S0 - r1 * r1)).sum())
+            L += float((d * (x * beta - np.log(S0))).sum())
+            ne += float(d.sum())
+            acc = (acc[0] + float(e.sum()),
+                   acc[1] + float((x * e).sum()),
+                   acc[2] + float((x * x * e).sum()))
+        loglik, n_events = L, int(ne)
+        beta = beta + U / info
+    return pd.DataFrame({
+        "n_subjects": [np.int64(n)], "n_events": [np.int64(n_events)],
+        "beta": _sql_round_arr(np.array([beta])) + 0.0,
+        "loglik": _sql_round_arr(np.array([loglik])) + 0.0})
+
+
 def shapley_attribution_events(ev: pd.DataFrame) -> pd.DataFrame:
     """Independent Shapley-attribution twin: same coalition-value
     definition (v(T) = converted users with pre-purchase channel set

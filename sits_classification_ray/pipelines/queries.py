@@ -4140,6 +4140,51 @@ def _seq_patterns_events(sf_dir: str, min_support: int = 5
 _SHAPLEY_CHANNELS = ("click", "error", "signup", "view")
 
 
+def _cox_hazard_events(sf_dir: str) -> pd.DataFrame:
+    """Cox proportional-hazards regression of time-to-first-purchase
+    on engagement (x = ln(1 + event count)) — the survival-REGRESSION
+    member next to the Kaplan-Meier staleness curves. Subjects built
+    by one per-user reduction (T = hours from first event to first
+    purchase, censored at the last event); the Newton iterations are
+    deterministic distributed prefix scans over rank-derived blocks
+    (pipelines/trainer.py:cox_fit). Golden twin replicates subjects,
+    blocking and float order exactly."""
+    from sits_classification_ray.functions.transforms import sql_round
+    from sits_classification_ray.pipelines.trainer import cox_fit
+    from sits_classification_ray.stages.shuffle import partitioned_map
+
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["user_id", "ts", "event_type"])
+
+    subj_schema = pa.schema([("uid", pa.int64()), ("t", pa.float64()),
+                             ("d", pa.int64()), ("x", pa.float64())])
+
+    def subjects(df: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for uid, g in df.groupby("user_id", sort=True):
+            ts = g["ts"].to_numpy().astype("datetime64[us]") \
+                .astype(np.int64)
+            t0 = int(ts.min())
+            purch = ts[(g["event_type"] == "purchase").to_numpy()]
+            if len(purch):
+                t_end, d = int(purch.min()), 1
+            else:
+                t_end, d = int(ts.max()), 0
+            rows.append((int(uid), (t_end - t0) / 3_600_000_000.0, d,
+                         float(np.log1p(float(len(g))))))
+        return pd.DataFrame(rows, columns=["uid", "t", "d", "x"]) \
+            .astype({"uid": np.int64, "d": np.int64})
+
+    subj = partitioned_map(ev, subjects, keys=["user_id"],
+                           out_schema=subj_schema)
+    st = cox_fit(subj)
+    return pd.DataFrame({
+        "n_subjects": [np.int64(st["n_subjects"])],
+        "n_events": [np.int64(st["n_events"])],
+        "beta": sql_round(np.array([st["beta_next"]]), 6) + 0.0,
+        "loglik": sql_round(np.array([st["loglik"]]), 6) + 0.0})
+
+
 def _shapley_attribution_events(sf_dir: str) -> pd.DataFrame:
     """Exact Shapley-value channel attribution (the game-theoretic
     sibling of the Markov removal-effect already in the registry):
@@ -7004,6 +7049,8 @@ def build_queries() -> dict[str, Callable[[str], Any]]:
         "lateness_histogram_events": _lateness_histogram_events,
         # exact Shapley channel attribution (golden)
         "shapley_attribution_events": _shapley_attribution_events,
+        # Cox proportional hazards (golden)
+        "cox_hazard_events": _cox_hazard_events,
         "exact_quantile_daily": _exact_quantile_daily,
         "reservoir_sample_events": _reservoir_sample_events,
         "bm25_topk_documents": _bm25_topk_documents,
@@ -7345,6 +7392,7 @@ GOLDEN_QUERIES = [
     "spectral_residual_crawl", "dp_counts_domains",
     "croston_rate_crawl", "pelt_changepoints_crawl",
     "cdc_dedup_ratio_crawl", "shapley_attribution_events",
+    "cox_hazard_events",
     "hilbert_layout_crawl", "dgim_change_count_crawl",
     "ppr_domains_crawl", "bootstrap_ci_crawl", "kll_quantile_daily",
     "quality_classifier_documents", "binseg_changepoints_crawl",

@@ -662,3 +662,121 @@ def ledoit_wolf_stats(ds: rd.Dataset, feature_col: str = "embedding",
     lam = b2 / d2 if d2 > 0 else 0.0
     return {"n": int(n), "dim": d, "mu": m, "d2": d2, "b2": b2,
             "shrinkage": lam}
+
+
+# --- Cox proportional hazards (distributed prefix-scan Newton) -----------
+
+
+def cox_fit(subjects: rd.Dataset, t_col: str = "t", d_col: str = "d",
+            x_col: str = "x", id_col: str = "uid", n_iters: int = 3,
+            num_blocks: int = 8) -> dict:
+    """Cox proportional-hazards fit for one covariate by Newton on the
+    partial likelihood — the survival-REGRESSION member next to the
+    registry's Kaplan-Meier staleness curves.
+
+    Risk sets are resolved by the total order (T desc, x, id): subject
+    i's risk set = everyone ordered at-or-before i — the
+    order-resolved tie convention (documented; Breslow/Efron differ
+    only at exact ties). Every Newton iteration is then a prefix scan.
+
+    DETERMINISM: Ray's sort range-partitions at SAMPLED boundaries, so
+    raw sorted blocks are not reproducible and float prefix sums would
+    drift in the last ulp across runs. Blocking is therefore derived
+    from the data itself: a distributed global rank (scan_sorted.
+    global_rank — O(blocks) driver state) assigns each subject
+    ``block = (rank−1)·B // n``; each Newton pass is two schema-pinned
+    ``partitioned_map``s over those fixed blocks (per-block exp-sums →
+    O(B) driver carry fold → per-block score/information
+    contributions), bit-identical under any cluster shape."""
+    import pyarrow as pa
+
+    from sits_classification_ray.stages.scan_sorted import global_rank
+    from sits_classification_ray.stages.shuffle import partitioned_map
+
+    def negt(df: pd.DataFrame) -> pd.DataFrame:
+        out = df.copy(deep=False)
+        out["_tneg"] = -out[t_col].to_numpy(np.float64)
+        return out
+
+    ranked = global_rank(subjects.map_batches(negt,
+                                              batch_format="pandas"),
+                         ["_tneg", x_col, id_col]).materialize()
+    n = ranked.count()
+
+    def blk(df: pd.DataFrame) -> pd.DataFrame:
+        out = df.copy(deep=False)
+        out["_blk"] = ((out["rn"].to_numpy(np.int64) - 1)
+                       * num_blocks) // max(1, n)
+        return out
+
+    blocks = ranked.map_batches(blk, batch_format="pandas") \
+        .materialize()
+
+    tot_schema = pa.schema([("blk", pa.int64()), ("s0", pa.float64()),
+                            ("s1", pa.float64()), ("s2", pa.float64())])
+    con_schema = pa.schema([("blk", pa.int64()), ("U", pa.float64()),
+                            ("I", pa.float64()), ("L", pa.float64()),
+                            ("ne", pa.float64())])
+
+    beta = 0.0
+    out: dict = {}
+    for _ in range(n_iters):
+        b = beta
+
+        def totals(df: pd.DataFrame) -> pd.DataFrame:
+            rows = []
+            for blk_id, g in df.sort_values("rn", kind="mergesort") \
+                    .groupby("_blk", sort=True):
+                x = g[x_col].to_numpy(np.float64)
+                e = np.exp(x * b)
+                rows.append((int(blk_id), float(e.sum()),
+                             float((x * e).sum()),
+                             float((x * x * e).sum())))
+            return pd.DataFrame(rows, columns=["blk", "s0", "s1",
+                                               "s2"])
+
+        tt = partitioned_map(blocks, totals, keys=["_blk"],
+                             out_schema=tot_schema).to_pandas() \
+            .sort_values("blk", ignore_index=True)
+        carry = {}
+        acc = (0.0, 0.0, 0.0)
+        for r in tt.itertuples(index=False):
+            carry[int(r.blk)] = acc
+            acc = (acc[0] + r.s0, acc[1] + r.s1, acc[2] + r.s2)
+
+        def contrib(df: pd.DataFrame) -> pd.DataFrame:
+            rows = []
+            for blk_id, g in df.sort_values("rn", kind="mergesort") \
+                    .groupby("_blk", sort=True):
+                c = carry.get(int(blk_id), (0.0, 0.0, 0.0))
+                x = g[x_col].to_numpy(np.float64)
+                d = g[d_col].to_numpy(np.float64)
+                e = np.exp(x * b)
+                S0 = c[0] + np.cumsum(e)
+                S1 = c[1] + np.cumsum(x * e)
+                S2 = c[2] + np.cumsum(x * x * e)
+                r1 = S1 / S0
+                rows.append((int(blk_id),
+                             float((d * (x - r1)).sum()),
+                             float((d * (S2 / S0 - r1 * r1)).sum()),
+                             float((d * (x * b - np.log(S0))).sum()),
+                             float(d.sum())))
+            return pd.DataFrame(rows, columns=["blk", "U", "I", "L",
+                                               "ne"])
+
+        cc = partitioned_map(blocks, contrib, keys=["_blk"],
+                             out_schema=con_schema).to_pandas() \
+            .sort_values("blk", ignore_index=True)
+        # sequential block-order accumulation (matches the golden
+        # twin's += loop — pairwise summation would regroup floats)
+        U = info = L = 0.0
+        for r in cc.itertuples(index=False):
+            U += float(r.U)
+            info += float(r.I)
+            L += float(r.L)
+        out = {"beta": beta, "score": U, "information": info,
+               "loglik": L, "n_events": int(cc["ne"].sum()),
+               "n_subjects": int(n)}
+        beta = beta + U / info
+    out["beta_next"] = beta
+    return out

@@ -192,6 +192,11 @@ def make_for(sf_dir: str, only: set[str] | None = None) -> None:
         "huber_fit_crawl": lambda: golden.huber_fit_crawl(
             con.sql(f"{CRAWL_PREFIX} SELECT url, warc_ts, text_len, "
                     "word_count FROM obs").df()),
+        "cox_hazard_events":
+            lambda: golden.cox_hazard_events(
+                pd.read_parquet(f"{sf_dir}/events.parquet",
+                                columns=["user_id", "ts",
+                                         "event_type"])),
         "shapley_attribution_events":
             lambda: golden.shapley_attribution_events(
                 pd.read_parquet(f"{sf_dir}/events.parquet",
