@@ -2619,6 +2619,49 @@ def spectral_residual_crawl(obs_long: pd.DataFrame, q: int = 3
     return out
 
 
+def wl_colors_crawl(crawl: pd.DataFrame,
+                    iterations: int = 3) -> pd.DataFrame:
+    """Independent Weisfeiler-Lehman twin: scalar refinement loop
+    over the re-synthesized domain graph with the same signature
+    hashing (splitmix64 of the pandas SipHash of
+    'own|sorted,nbr,colors', masked to 62 bits)."""
+
+    def smix1(x: int) -> int:
+        z = (x + 0x9E3779B97F4A7C15) & 0xFFFFFFFFFFFFFFFF
+        z = ((z ^ (z >> 30)) * 0xBF58476D1CE4E5B9) & 0xFFFFFFFFFFFFFFFF
+        z = ((z ^ (z >> 27)) * 0x94D049BB133111EB) & 0xFFFFFFFFFFFFFFFF
+        return z ^ (z >> 31)
+
+    srcs, dsts = [], []
+    for url, h in zip(crawl["url"], crawl["html"]):
+        s = (h or b"").decode("utf-8", "replace")
+        n = len(s)
+        src = str(url).split("/")[2]
+        for j in range(n % 4):
+            srcs.append(src)
+            dsts.append(f"site-{(n + j) % 40}.example.com")
+    ep = (pd.DataFrame({"w1": srcs, "w2": dsts}).drop_duplicates())
+    adj: dict = {}
+    for a, b in ep.sort_values(["w1", "w2"],
+                               kind="mergesort").itertuples(index=False):
+        adj.setdefault(a, []).append(b)
+    nodes = sorted(set(ep["w1"]) | set(ep["w2"]))
+    color = {v: 0 for v in nodes}
+    for _ in range(iterations):
+        nxt = {}
+        for v in nodes:
+            sig = str(color[v]) + "|" + ",".join(
+                str(c) for c in sorted(color[w]
+                                       for w in adj.get(v, ())))
+            h = int(pd.util.hash_array(
+                np.asarray([sig], dtype=object))[0])
+            nxt[v] = smix1(h) & ((1 << 62) - 1)
+        color = nxt
+    return pd.DataFrame({"node": nodes,
+                         "color": np.asarray([color[v] for v in nodes],
+                                             np.int64)})
+
+
 def deepwalk_visits_crawl(crawl: pd.DataFrame, walks_per_node: int = 4,
                           walk_len: int = 8) -> pd.DataFrame:
     """Independent DeepWalk twin: same derandomized step rule

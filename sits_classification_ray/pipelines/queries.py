@@ -5103,6 +5103,19 @@ def _ppr_domains_crawl(sf_dir: str) -> rd.Dataset:
     return pagerank(edges, personalization=seeds)
 
 
+def _wl_colors_crawl(sf_dir: str) -> rd.Dataset:
+    """Weisfeiler-Lehman (1-WL) color refinement over the domain
+    graph: 3 rounds of rehashing (own color, sorted out-neighbor
+    color multiset) — structural-role fingerprints that separate
+    nodes degree and PageRank cannot (the graph-kernel primitive).
+    Each round is one tag-union attach of the color vector onto the
+    edges + one keyed reduce (stages/graph.py:wl_refinement); golden
+    twin replicates the signature hashing exactly."""
+    from sits_classification_ray.stages.graph import wl_refinement
+
+    return wl_refinement(_domain_edges_crawl(sf_dir))
+
+
 def _deepwalk_visits_crawl(sf_dir: str) -> rd.Dataset:
     """Derandomized DeepWalk sampling over the domain graph: 4 walks
     × 8 steps per start node, neighbor picks keyed by
@@ -7062,6 +7075,8 @@ def build_queries() -> dict[str, Callable[[str], Any]]:
         "betweenness_domains_crawl": _betweenness_domains_crawl,
         # derandomized DeepWalk sampling (golden)
         "deepwalk_visits_crawl": _deepwalk_visits_crawl,
+        # Weisfeiler-Lehman color refinement (golden)
+        "wl_colors_crawl": _wl_colors_crawl,
         "hits_domains_crawl": _hits_domains_crawl,
         "domain_components_crawl": _domain_components_crawl,
         "link_degree_crawl": _link_degree_crawl,
@@ -7388,7 +7403,7 @@ GOLDEN_QUERIES = [
     "margin_prune_embeddings", "priority_sample_documents",
     "ledoit_wolf_embeddings",
     "betweenness_domains_crawl", "isotonic_calibration_nchars",
-    "deepwalk_visits_crawl", "theta_forecast_crawl",
+    "deepwalk_visits_crawl", "wl_colors_crawl", "theta_forecast_crawl",
     "spectral_residual_crawl", "dp_counts_domains",
     "croston_rate_crawl", "pelt_changepoints_crawl",
     "cdc_dedup_ratio_crawl", "shapley_attribution_events",

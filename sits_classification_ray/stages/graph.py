@@ -1108,3 +1108,112 @@ def deepwalk_visits(edges: rd.Dataset, src_col: str = "w1",
 
     return partitioned_map(parts, reduce_node, keys=["node"],
                            out_schema=out_schema)
+
+
+def wl_refinement(edges: rd.Dataset, src_col: str = "w1",
+                  dst_col: str = "w2", iterations: int = 3
+                  ) -> rd.Dataset:
+    """Weisfeiler-Lehman color refinement (the 1-WL graph-isomorphism
+    test / graph-kernel primitive): every node's color is iteratively
+    rehashed from (own color, sorted multiset of OUT-neighbor colors)
+    — structural-role fingerprints degree and PageRank cannot
+    separate. Same exchange shape as pagerank: per iteration ONE
+    tag-union attach of the node-color vector onto the edge table by
+    dst (colors are O(nodes)) then a keyed reduce per src; signature
+    hashing is splitmix64 over the pandas SipHash of the sorted
+    signature string — a pure function of the graph, so the golden
+    twin reproduces it bit-for-bit."""
+    from ray.data.aggregate import Count
+
+    from sits_classification_ray.stages.als import _splitmix64
+
+    def srcs(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"node": df[src_col]})
+
+    def dsts(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"node": df[dst_col]})
+
+    ep = edges.select_columns([src_col, dst_col])
+    nodes = (ep.map_batches(srcs, batch_format="pandas")
+             .union(ep.map_batches(dsts, batch_format="pandas"))
+             .groupby("node").aggregate(Count(alias_name="_c"))
+             .drop_columns(["_c"]).materialize())
+
+    colors = nodes.map_batches(
+        lambda df: pd.DataFrame({"node": df["node"],
+                                 "color": np.int64(0)}),
+        batch_format="pandas").materialize()
+
+    col_schema = pa.schema([("node", pa.string()),
+                            ("color", pa.int64())])
+    e1_schema = pa.schema([("node", pa.string()),
+                           ("nbr_color", pa.int64())])
+
+    for _ in range(iterations):
+        # step 1: edge rows keyed by DST pick up the dst's color
+        def wl_tag_edge_dst(df: pd.DataFrame) -> pd.DataFrame:
+            return pd.DataFrame({"key": df[dst_col],
+                                 "node": df[src_col],
+                                 "color": np.int64(-1)})
+
+        def wl_tag_color_key(df: pd.DataFrame) -> pd.DataFrame:
+            return pd.DataFrame({"key": df["node"], "node": "",
+                                 "color": df["color"]
+                                 .astype(np.int64)})
+
+        def wl_attach_dst(df: pd.DataFrame) -> pd.DataFrame:
+            side_c = df[df["color"] >= 0]
+            side_e = df[df["color"] < 0]
+            cmap = pd.Series(side_c["color"].to_numpy(),
+                             index=side_c["key"])
+            return pd.DataFrame({
+                "node": side_e["node"].to_numpy(),
+                "nbr_color": side_e["key"].map(cmap)
+                .fillna(0).to_numpy(np.int64)})
+
+        nbrcols = partitioned_map(
+            ep.map_batches(wl_tag_edge_dst,
+                           batch_format="pandas").union(
+                colors.map_batches(wl_tag_color_key,
+                                   batch_format="pandas")),
+            wl_attach_dst, keys=["key"], out_schema=e1_schema)
+
+        # step 2: per src node — rehash (own color, sorted nbr colors)
+        def wl_tag_nc(df: pd.DataFrame) -> pd.DataFrame:
+            return pd.DataFrame({"node": df["node"],
+                                 "nbr_color": df["nbr_color"]
+                                 .astype(np.int64),
+                                 "own": np.int64(-1)})
+
+        def wl_tag_own(df: pd.DataFrame) -> pd.DataFrame:
+            return pd.DataFrame({"node": df["node"],
+                                 "nbr_color": np.int64(-1),
+                                 "own": df["color"].astype(np.int64)})
+
+        def wl_rehash(df: pd.DataFrame) -> pd.DataFrame:
+            side_o = df[df["own"] >= 0]
+            side_n = df[df["own"] < 0]
+            nmap: dict = {}
+            for node, nc in zip(side_n["node"], side_n["nbr_color"]):
+                nmap.setdefault(node, []).append(int(nc))
+            rows = []
+            for node, own in zip(side_o["node"], side_o["own"]):
+                sig = str(int(own)) + "|" + ",".join(
+                    str(c) for c in sorted(nmap.get(node, [])))
+                h = int(_splitmix64(pd.util.hash_array(
+                    np.asarray([sig], dtype=object)))[0])
+                rows.append((node, h & ((1 << 62) - 1)))
+            out = pd.DataFrame(rows, columns=["node", "color"])
+            out["color"] = out["color"].astype(np.int64)
+            return out
+
+        colors = partitioned_map(
+            nbrcols.map_batches(wl_tag_nc,
+                                batch_format="pandas").union(
+                colors.map_batches(wl_tag_own,
+                                   batch_format="pandas")),
+            wl_rehash, keys=["node"],
+            out_schema=col_schema).materialize()
+
+    return colors.map_batches(
+        lambda df: df[["node", "color"]], batch_format="pandas")

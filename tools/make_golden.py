@@ -141,6 +141,8 @@ def make_for(sf_dir: str, only: set[str] | None = None) -> None:
             lambda: golden.betweenness_domains_crawl(crawl),
         "deepwalk_visits_crawl":
             lambda: golden.deepwalk_visits_crawl(crawl),
+        "wl_colors_crawl":
+            lambda: golden.wl_colors_crawl(crawl),
         "hits_domains_crawl":
             lambda: golden.hits_domains_crawl(crawl),
         "kmv_overlap_weeks": lambda: golden.kmv_overlap_weeks(obs),
