@@ -2471,6 +2471,43 @@ def dp_counts_domains(obs: pd.DataFrame, epsilon: float = 1.0
             cnt.to_numpy(np.float64) + lap) + 0.0})
 
 
+def wasserstein_weekly_crawl(obs_long: pd.DataFrame) -> pd.DataFrame:
+    """Independent W₁ twin: same (metric, epoch-week, value) counts
+    and exact merged-support CDF walk."""
+    df = obs_long.copy()
+    ts = df["warc_ts"].to_numpy().astype("datetime64[us]") \
+        .astype(np.int64)
+    df["week"] = ((ts // (7 * 86_400_000_000))
+                  * (7 * 86_400_000_000)).astype("datetime64[us]")
+    df["value"] = df["value"].to_numpy(np.int64)
+    counts = (df.groupby(["metric", "week", "value"]).size()
+              .rename("n").reset_index())
+    rows = []
+    for metric, g in counts.groupby("metric", sort=True):
+        weeks = np.sort(g["week"].unique())
+        for i in range(1, len(weeks)):
+            a = g[g["week"] == weeks[i - 1]]
+            b = g[g["week"] == weeks[i]]
+            va = a["value"].to_numpy(np.int64)
+            na = a["n"].to_numpy(np.int64)
+            vb = b["value"].to_numpy(np.int64)
+            nb = b["n"].to_numpy(np.int64)
+            support = np.union1d(va, vb)
+            ca = np.zeros(len(support), np.int64)
+            cb = np.zeros(len(support), np.int64)
+            ca[np.searchsorted(support, va)] = na
+            cb[np.searchsorted(support, vb)] = nb
+            Fa = np.cumsum(ca) / float(na.sum())
+            Fb = np.cumsum(cb) / float(nb.sum())
+            gaps = np.diff(support).astype(np.float64)
+            w1 = float((np.abs(Fa - Fb)[:-1] * gaps).sum())
+            rows.append((metric, weeks[i], w1))
+    out = pd.DataFrame(rows, columns=["metric", "week", "w1"])
+    out["w1"] = _sql_round_arr(out["w1"].to_numpy(np.float64)) + 0.0
+    out["week"] = out["week"].astype("datetime64[us]")
+    return out
+
+
 def pelt_changepoints_crawl(obs_long: pd.DataFrame, beta: float = 50.0
                             ) -> pd.DataFrame:
     """Independent PELT twin: identical L2-cost DP with pruning over

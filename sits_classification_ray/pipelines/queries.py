@@ -1494,6 +1494,68 @@ def _holt_linear_crawl(sf_dir: str) -> rd.Dataset:
     return holt_linear(_obs_long(sf_dir), alpha=0.5, beta=0.3)
 
 
+def _wasserstein_weekly_crawl(sf_dir: str) -> rd.Dataset:
+    """Exact 1-D Wasserstein-1 (earth-mover) distance between
+    consecutive epoch-weeks' value distributions per metric — the
+    metric-space drift signal next to PSI (which bins and loses
+    geometry): W₁ = ∫|F_a − F_b| dx over the merged integer support.
+    Distributed shape: one combiner groupby to (metric, week, value)
+    counts (the only thing that shuffles — O(distinct values), never
+    rows), then an exact CDF walk per metric. Golden twin re-derives
+    the same walk."""
+    from ray.data.aggregate import Count
+
+    from sits_classification_ray.functions.transforms import sql_round
+    from sits_classification_ray.stages.shuffle import partitioned_map
+
+    def proj(df: pd.DataFrame) -> pd.DataFrame:
+        ts = df["warc_ts"].to_numpy().astype("datetime64[us]") \
+            .astype(np.int64)
+        week = (ts // (7 * 86_400_000_000)) * (7 * 86_400_000_000)
+        return pd.DataFrame({
+            "metric": df["metric"],
+            "week": week.astype("datetime64[us]"),
+            "value": df["value"].to_numpy(np.int64)})
+
+    counts = (_obs_long(sf_dir).map_batches(proj,
+                                            batch_format="pandas")
+              .groupby(["metric", "week", "value"])
+              .aggregate(Count(alias_name="n")))
+
+    out_schema = pa.schema([("metric", pa.string()),
+                            ("week", pa.timestamp("us")),
+                            ("w1", pa.float64())])
+
+    def kern(df: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for metric, g in df.groupby("metric", sort=True):
+            weeks = np.sort(g["week"].unique())
+            for i in range(1, len(weeks)):
+                a = g[g["week"] == weeks[i - 1]]
+                b = g[g["week"] == weeks[i]]
+                va = a["value"].to_numpy(np.int64)
+                na = a["n"].to_numpy(np.int64)
+                vb = b["value"].to_numpy(np.int64)
+                nb = b["n"].to_numpy(np.int64)
+                support = np.union1d(va, vb)
+                ca = np.zeros(len(support), np.int64)
+                cb = np.zeros(len(support), np.int64)
+                ca[np.searchsorted(support, va)] = na
+                cb[np.searchsorted(support, vb)] = nb
+                Fa = np.cumsum(ca) / float(na.sum())
+                Fb = np.cumsum(cb) / float(nb.sum())
+                gaps = np.diff(support).astype(np.float64)
+                w1 = float((np.abs(Fa - Fb)[:-1] * gaps).sum())
+                rows.append((metric, weeks[i], w1))
+        out = pd.DataFrame(rows, columns=["metric", "week", "w1"])
+        out["w1"] = sql_round(out["w1"].to_numpy(np.float64), 6) + 0.0
+        out["week"] = out["week"].astype("datetime64[us]")
+        return out
+
+    return partitioned_map(counts, kern, keys=["metric"],
+                           out_schema=out_schema)
+
+
 def _pelt_changepoints_crawl(sf_dir: str, beta: float = 50.0
                              ) -> rd.Dataset:
     """PELT optimal changepoint detection (Killick et al., JASA 2012)
@@ -7006,6 +7068,8 @@ def build_queries() -> dict[str, Callable[[str], Any]]:
         "croston_rate_crawl": _croston_rate_crawl,
         # PELT exact-optimal changepoints (golden)
         "pelt_changepoints_crawl": _pelt_changepoints_crawl,
+        # exact 1-D Wasserstein weekly drift (golden)
+        "wasserstein_weekly_crawl": _wasserstein_weekly_crawl,
         # spectral-residual saliency anomaly (golden)
         "spectral_residual_crawl": _spectral_residual_crawl,
         "cusum_crawl": _cusum_crawl,
@@ -7406,6 +7470,7 @@ GOLDEN_QUERIES = [
     "deepwalk_visits_crawl", "wl_colors_crawl", "theta_forecast_crawl",
     "spectral_residual_crawl", "dp_counts_domains",
     "croston_rate_crawl", "pelt_changepoints_crawl",
+    "wasserstein_weekly_crawl",
     "cdc_dedup_ratio_crawl", "shapley_attribution_events",
     "cox_hazard_events",
     "hilbert_layout_crawl", "dgim_change_count_crawl",

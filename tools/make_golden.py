@@ -110,6 +110,8 @@ def make_for(sf_dir: str, only: set[str] | None = None) -> None:
             lambda: golden.croston_rate_crawl(obs),
         "pelt_changepoints_crawl":
             lambda: golden.pelt_changepoints_crawl(obs_long),
+        "wasserstein_weekly_crawl":
+            lambda: golden.wasserstein_weekly_crawl(obs_long),
         "cdc_dedup_ratio_crawl":
             lambda: golden.cdc_dedup_ratio_crawl(crawl),
         "forecast_backtest_crawl":
