@@ -4045,6 +4045,49 @@ def logreg_fit_embeddings(emb: pd.DataFrame, positive: int = 0,
                          "weight": _sql_round_arr(vals) + 0.0})
 
 
+def fd_sketch_embeddings(emb: pd.DataFrame, ell: int = 8,
+                         num_partitions: int = 16) -> pd.DataFrame:
+    """Independent Frequent-Directions twin: same pid partitioning,
+    same per-partition ell-batch insert/shrink loop and pid-ascending
+    concat+shrink merge (identical SVD inputs ⇒ identical outputs)."""
+
+    def shrink(B: np.ndarray) -> np.ndarray:
+        _, s, Vt = np.linalg.svd(B, full_matrices=False)
+        if len(s) <= ell:
+            return s[:, None] * Vt
+        delta = s[ell - 1] ** 2
+        s2 = np.sqrt(np.maximum(s[:ell] ** 2 - delta, 0.0))
+        return s2[:, None] * Vt[:ell]
+
+    ids = emb["vec_id"].to_numpy(np.int64)
+    pids = (pd.util.hash_array(np.ascontiguousarray(ids),
+                               categorize=False)
+            % np.uint64(num_partitions)).astype(np.int64)
+    d = len(np.asarray(emb["embedding"].iloc[0]))
+    B_all = None
+    f2 = 0.0
+    for pid in sorted(np.unique(pids)):
+        g = emb[pids == pid].sort_values("vec_id", kind="mergesort")
+        X = np.stack([np.asarray(v, dtype=np.float64)
+                      for v in g["embedding"]])
+        B = np.zeros((0, d))
+        for start in range(0, len(X), ell):
+            B = np.concatenate([B, X[start:start + ell]])
+            if len(B) > ell:
+                B = shrink(B)
+        if len(B) < ell:
+            B = np.concatenate([B, np.zeros((ell - len(B), d))])
+        f2 += float((X * X).sum())
+        B_all = B if B_all is None else shrink(
+            np.concatenate([B_all, B]))
+    s = np.linalg.svd(B_all, compute_uv=False)
+    return pd.DataFrame({
+        "rank_idx": np.arange(len(s), dtype=np.int64),
+        "sigma": _sql_round_arr(s, 4) + 0.0,
+        "fro_mass_frac": _sql_round_arr(
+            np.full(len(s), float((s * s).sum()) / f2), 4) + 0.0})
+
+
 def ledoit_wolf_embeddings(emb: pd.DataFrame,
                            num_partitions: int = 16) -> pd.DataFrame:
     """Independent Ledoit-Wolf twin: same pid partial structure

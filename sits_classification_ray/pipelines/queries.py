@@ -3477,6 +3477,29 @@ def _logreg_fit_embeddings(sf_dir: str) -> pd.DataFrame:
                          "weight": sql_round(vals, 6) + 0.0})
 
 
+def _fd_sketch_embeddings(sf_dir: str, ell: int = 8) -> pd.DataFrame:
+    """Frequent-Directions matrix sketch of the embedding matrix
+    (Liberty 2013): per-partition ell-row sketches over id-sorted
+    rows merged pid-ascending on the driver (concat + SVD shrink —
+    FD's mergeability is the point: O(P·ell·d) ever reaches the
+    driver). Output: the sketch's singular values plus the covered
+    Frobenius mass fraction — the streaming answer to "how low-rank
+    is this corpus?" next to exact PCA. Golden twin replicates the
+    partition structure and merge order."""
+    from sits_classification_ray.functions.transforms import sql_round
+    from sits_classification_ray.pipelines.trainer import \
+        frequent_directions
+
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet")
+    B, f2 = frequent_directions(ds, ell=ell)
+    s = np.linalg.svd(B, compute_uv=False)
+    return pd.DataFrame({
+        "rank_idx": np.arange(len(s), dtype=np.int64),
+        "sigma": sql_round(s, 4) + 0.0,
+        "fro_mass_frac": sql_round(
+            np.full(len(s), float((s * s).sum()) / f2), 4) + 0.0})
+
+
 def _ledoit_wolf_embeddings(sf_dir: str) -> pd.DataFrame:
     """Ledoit-Wolf covariance shrinkage intensity λ* toward the
     scaled identity (the d ≈ n regularizer Mahalanobis/LDA/GMM
@@ -7278,6 +7301,8 @@ def build_queries() -> dict[str, Callable[[str], Any]]:
         "margin_prune_embeddings": _margin_prune_embeddings,
         # Ledoit-Wolf covariance shrinkage (golden)
         "ledoit_wolf_embeddings": _ledoit_wolf_embeddings,
+        # Frequent-Directions matrix sketch (golden)
+        "fd_sketch_embeddings": _fd_sketch_embeddings,
         # Duffield priority sampling (golden)
         "priority_sample_documents": _priority_sample_documents,
         # multi-source BFS crawl depth (SQL recursive-CTE twin)
@@ -7465,7 +7490,7 @@ GOLDEN_QUERIES = [
     "ivfpq_topk_embeddings", "train_linear_fit", "train_linear_weights",
     "logreg_fit_embeddings", "winnowing_near_dup_documents",
     "margin_prune_embeddings", "priority_sample_documents",
-    "ledoit_wolf_embeddings",
+    "ledoit_wolf_embeddings", "fd_sketch_embeddings",
     "betweenness_domains_crawl", "isotonic_calibration_nchars",
     "deepwalk_visits_crawl", "wl_colors_crawl", "theta_forecast_crawl",
     "spectral_residual_crawl", "dp_counts_domains",

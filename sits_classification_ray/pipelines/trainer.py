@@ -780,3 +780,86 @@ def cox_fit(subjects: rd.Dataset, t_col: str = "t", d_col: str = "d",
         beta = beta + U / info
     out["beta_next"] = beta
     return out
+
+
+# --- Frequent Directions matrix sketch (Liberty, KDD 2013) ---------------
+
+
+def _fd_shrink(B: np.ndarray, ell: int) -> np.ndarray:
+    """One FD compaction: SVD, subtract the ell-th squared singular
+    value, keep the top ell directions."""
+    _, s, Vt = np.linalg.svd(B, full_matrices=False)
+    if len(s) <= ell:
+        return (s[:, None] * Vt)
+    delta = s[ell - 1] ** 2
+    s2 = np.sqrt(np.maximum(s[:ell] ** 2 - delta, 0.0))
+    return s2[:, None] * Vt[:ell]
+
+
+def frequent_directions(ds: rd.Dataset, ell: int = 8,
+                        feature_col: str = "embedding",
+                        id_col: str = "vec_id",
+                        num_partitions: int = 16) -> np.ndarray:
+    """Distributed Frequent Directions: the deterministic streaming
+    sketch whose Gram error is bounded by ‖A‖²_F / ell — the
+    matrix-sketching member next to PCA (exact) and JL (oblivious
+    random projection). FD sketches are MERGEABLE (concat + shrink),
+    so each hash partition builds its own ell-row sketch over
+    id-sorted rows and the driver folds the O(P·ell·d) partials in
+    ascending-pid order — never an O(rows) driver table. Returns the
+    final ell×d sketch."""
+    from sits_classification_ray.stages.shuffle import partitioned_map
+
+    def prep(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(id_col, kind="mergesort")
+        ids = df[id_col].to_numpy(np.int64)
+        return pd.DataFrame({
+            "pid": _pid_of(ids, num_partitions), id_col: ids,
+            feature_col: df[feature_col].to_numpy()})
+
+    blocks = partitioned_map(ds, prep, keys=[id_col],
+                             num_partitions=num_partitions).materialize()
+
+    def sketch(df: pd.DataFrame):
+        import pyarrow as pa
+
+        out_pid, out_vec, out_d = [], [], []
+        for pid, g in df.groupby("pid", sort=True):
+            g = g.sort_values(id_col, kind="mergesort")
+            X = np.stack([np.asarray(v, dtype=np.float64)
+                          for v in g[feature_col]])
+            d = X.shape[1]
+            B = np.zeros((0, d))
+            for start in range(0, len(X), ell):
+                B = np.concatenate([B, X[start:start + ell]])
+                if len(B) > ell:
+                    B = _fd_shrink(B, ell)
+            # pad to exactly ell rows for a fixed-size partial
+            if len(B) < ell:
+                B = np.concatenate(
+                    [B, np.zeros((ell - len(B), d))])
+            out_pid.append(int(pid))
+            # append the partition's exact squared Frobenius mass so
+            # the caller gets a DETERMINISTIC ||A||_F^2 (pid-sorted
+            # fold, not batch-boundary-dependent partials)
+            out_vec.append(np.concatenate([B.ravel(),
+                                           [float((X * X).sum())]]))
+            out_d.append(d)
+        return pa.table({"pid": pa.array(out_pid, pa.int64()),
+                         "d": pa.array(out_d, pa.int64()),
+                         "g": pa.array([v for v in out_vec],
+                                       pa.list_(pa.float64()))})
+
+    parts = blocks.map_batches(sketch, batch_size=None,
+                               batch_format="pandas").to_pandas() \
+        .sort_values("pid", kind="mergesort")
+    B = None
+    f2 = 0.0
+    for r in parts.itertuples(index=False):
+        d = int(r.d)
+        vec = np.asarray(r.g, np.float64)
+        Bp = vec[:ell * d].reshape(ell, d)
+        f2 += float(vec[ell * d])
+        B = Bp if B is None else _fd_shrink(
+            np.concatenate([B, Bp]), ell)
+    return (B if B is not None else np.zeros((0, 0))), f2

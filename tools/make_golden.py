@@ -77,6 +77,8 @@ def make_for(sf_dir: str, only: set[str] | None = None) -> None:
             lambda: golden.isotonic_calibration_nchars(docs),
         "ledoit_wolf_embeddings":
             lambda: golden.ledoit_wolf_embeddings(emb),
+        "fd_sketch_embeddings":
+            lambda: golden.fd_sketch_embeddings(emb),
         "margin_prune_embeddings":
             lambda: golden.margin_prune_embeddings(emb),
         "priority_sample_documents":
