@@ -2746,6 +2746,50 @@ def deepwalk_visits_crawl(crawl: pd.DataFrame, walks_per_node: int = 4,
                                               np.int64)})
 
 
+def mondrian_partitions_documents(docs: pd.DataFrame, k: int = 25
+                                  ) -> pd.DataFrame:
+    """Independent Mondrian twin: same (x1, x2) → count summary and
+    the same widest-dimension / weighted-lower-median recursion."""
+    cells = (pd.DataFrame({
+        "x1": docs["n_chars"].to_numpy(np.int64),
+        "x2": docs["text"].str.split(" ").str.len()
+        .to_numpy(np.int64)})
+        .groupby(["x1", "x2"]).size().rename("n").reset_index())
+    pts = cells[["x1", "x2"]].to_numpy(np.int64)
+    wts = cells["n"].to_numpy(np.int64)
+    leaves: list = []
+
+    def rec(idx: np.ndarray) -> None:
+        n = int(wts[idx].sum())
+        sub = pts[idx]
+        lo = sub.min(axis=0)
+        hi = sub.max(axis=0)
+        dim = int(np.argmax(hi - lo))
+        if hi[dim] == lo[dim]:
+            leaves.append((lo[0], hi[0], lo[1], hi[1], n))
+            return
+        order = np.argsort(sub[:, dim], kind="mergesort")
+        cum = np.cumsum(wts[idx][order])
+        j = int(np.searchsorted(cum, (n + 1) // 2))
+        split = int(sub[order[j], dim])
+        if split == hi[dim] and (sub[:, dim] < hi[dim]).any():
+            split = int(np.max(sub[sub[:, dim] < hi[dim], dim]))
+        left = idx[sub[:, dim] <= split]
+        right = idx[sub[:, dim] > split]
+        if (len(right) == 0 or wts[left].sum() < k
+                or wts[right].sum() < k):
+            leaves.append((lo[0], hi[0], lo[1], hi[1], n))
+            return
+        rec(left)
+        rec(right)
+
+    rec(np.arange(len(pts)))
+    out = pd.DataFrame(leaves, columns=["x1_min", "x1_max", "x2_min",
+                                        "x2_max", "n"])
+    return out.sort_values(["x1_min", "x2_min"], kind="mergesort",
+                           ignore_index=True).astype(np.int64)
+
+
 def isotonic_calibration_nchars(docs: pd.DataFrame) -> pd.DataFrame:
     """Independent PAV twin: pandas bucket rates + a backward-scan
     pool-adjacent-violators with exact integer violation tests."""

@@ -6673,6 +6673,71 @@ def _k_anonymity_documents(sf_dir: str, k: int = 5) -> rd.Dataset:
             .filter(expr=f"n < {k}"))
 
 
+def _mondrian_partitions_documents(sf_dir: str, k: int = 25
+                                   ) -> pd.DataFrame:
+    """Mondrian multidimensional k-anonymization (LeFevre et al.,
+    ICDE 2006) over the numeric quasi-identifiers (n_chars, word
+    count): recursively split on the widest-range dimension at the
+    weighted lower median while both sides keep ≥ k records — the
+    ALGORITHM that achieves the k-anonymity the registry's audit
+    measures. Distributed part: one combiner groupby to the
+    (x1, x2) → count table (bounded by the value-domain product,
+    never rows); the recursion runs on that summary. Output: one row
+    per leaf with its generalization box and size (every leaf ≥ k by
+    construction). Golden twin replicates the recursion."""
+    from ray.data.aggregate import Count
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["n_chars", "text"])
+
+    def proj(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "x1": df["n_chars"].to_numpy(np.int64),
+            "x2": df["text"].str.split(" ").str.len()
+            .to_numpy(np.int64)})
+
+    cells = (docs.map_batches(proj, batch_format="pandas")
+             .groupby(["x1", "x2"]).aggregate(Count(alias_name="n"))
+             .to_pandas())
+    pts = cells[["x1", "x2"]].to_numpy(np.int64)
+    wts = cells["n"].to_numpy(np.int64)
+
+    leaves: list[tuple] = []
+
+    def recurse(idx: np.ndarray) -> None:
+        n = int(wts[idx].sum())
+        sub = pts[idx]
+        lo = sub.min(axis=0)
+        hi = sub.max(axis=0)
+        dim = int(np.argmax(hi - lo))            # tie → dim 0
+        if hi[dim] == lo[dim]:
+            leaves.append((lo[0], hi[0], lo[1], hi[1], n))
+            return
+        order = np.argsort(sub[:, dim], kind="mergesort")
+        cum = np.cumsum(wts[idx][order])
+        target = (n + 1) // 2
+        j = int(np.searchsorted(cum, target))
+        split = int(sub[order[j], dim])
+        if split == hi[dim]:                     # avoid empty right
+            split = int(np.max(sub[sub[:, dim] < hi[dim], dim])) \
+                if (sub[:, dim] < hi[dim]).any() else split
+        left = idx[sub[:, dim] <= split]
+        right = idx[sub[:, dim] > split]
+        if (len(right) == 0 or wts[left].sum() < k
+                or wts[right].sum() < k):
+            leaves.append((lo[0], hi[0], lo[1], hi[1], n))
+            return
+        recurse(left)
+        recurse(right)
+
+    recurse(np.arange(len(pts)))
+    out = pd.DataFrame(leaves, columns=["x1_min", "x1_max", "x2_min",
+                                        "x2_max", "n"])
+    return out.sort_values(["x1_min", "x2_min"],
+                           kind="mergesort", ignore_index=True) \
+        .astype(np.int64)
+
+
 def _l_diversity_documents(sf_dir: str, l: int = 3) -> rd.Dataset:
     """l-diversity audit (Machanavajjhala et al. 2007) — the
     k-anonymity sibling: a quasi-identifier group is risky not only
@@ -7333,6 +7398,8 @@ def build_queries() -> dict[str, Callable[[str], Any]]:
         "k_anonymity_documents": _k_anonymity_documents,
         # l-diversity audit (SQL-checked)
         "l_diversity_documents": _l_diversity_documents,
+        # Mondrian k-anonymization partitions (golden)
+        "mondrian_partitions_documents": _mondrian_partitions_documents,
         # isotonic (PAV) calibration (golden)
         "isotonic_calibration_nchars": _isotonic_calibration_nchars,
         # ANN recall@k vs exact top-k (golden)
@@ -7491,6 +7558,7 @@ GOLDEN_QUERIES = [
     "logreg_fit_embeddings", "winnowing_near_dup_documents",
     "margin_prune_embeddings", "priority_sample_documents",
     "ledoit_wolf_embeddings", "fd_sketch_embeddings",
+    "mondrian_partitions_documents",
     "betweenness_domains_crawl", "isotonic_calibration_nchars",
     "deepwalk_visits_crawl", "wl_colors_crawl", "theta_forecast_crawl",
     "spectral_residual_crawl", "dp_counts_domains",

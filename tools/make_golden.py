@@ -75,6 +75,8 @@ def make_for(sf_dir: str, only: set[str] | None = None) -> None:
             lambda: golden.logreg_fit_embeddings(emb),
         "isotonic_calibration_nchars":
             lambda: golden.isotonic_calibration_nchars(docs),
+        "mondrian_partitions_documents":
+            lambda: golden.mondrian_partitions_documents(docs),
         "ledoit_wolf_embeddings":
             lambda: golden.ledoit_wolf_embeddings(emb),
         "fd_sketch_embeddings":
