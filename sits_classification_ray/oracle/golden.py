@@ -4089,6 +4089,56 @@ def logreg_fit_embeddings(emb: pd.DataFrame, positive: int = 0,
                          "weight": _sql_round_arr(vals) + 0.0})
 
 
+def rff_kernel_embeddings(emb: pd.DataFrame, D: int = 64,
+                          gamma: float = 0.5) -> pd.DataFrame:
+    """Independent RFF twin: independently-written splitmix64 +
+    Box-Muller draw of (W, b), same probe pairs and error stats."""
+
+    def smix(x: np.ndarray) -> np.ndarray:
+        z = (x + np.uint64(0x9E3779B97F4A7C15)) \
+            & np.uint64(0xFFFFFFFFFFFFFFFF)
+        z = ((z ^ (z >> np.uint64(30)))
+             * np.uint64(0xBF58476D1CE4E5B9)) \
+            & np.uint64(0xFFFFFFFFFFFFFFFF)
+        z = ((z ^ (z >> np.uint64(27)))
+             * np.uint64(0x94D049BB133111EB)) \
+            & np.uint64(0xFFFFFFFFFFFFFFFF)
+        return z ^ (z >> np.uint64(31))
+
+    sub = emb[emb["vec_id"] <= 15].sort_values("vec_id")
+    X = np.stack([np.asarray(v, np.float64)
+                  for v in sub["embedding"]])
+    d = X.shape[1]
+    with np.errstate(over="ignore"):
+        idx = np.arange(d * D, dtype=np.uint64)
+        u1 = (smix(idx) >> np.uint64(11)).astype(np.float64) \
+            * 2.0 ** -53
+        u2 = (smix(idx + np.uint64(10_000_019))
+              >> np.uint64(11)).astype(np.float64) * 2.0 ** -53
+        bb = (smix(np.arange(D, dtype=np.uint64)
+                   + np.uint64(77_003))
+              >> np.uint64(11)).astype(np.float64) * 2.0 ** -53
+    u1 = np.maximum(u1, 1e-300)
+    W = (np.sqrt(-2.0 * np.log(u1)) * np.cos(2.0 * np.pi * u2)
+         * np.sqrt(2.0 * gamma)).reshape(d, D)
+    b = 2.0 * np.pi * bb
+    Z = np.sqrt(2.0 / D) * np.cos(X @ W + b)
+    approx = Z @ Z.T
+    sq = (X * X).sum(axis=1)
+    exact = np.exp(-gamma * (sq[:, None] + sq[None, :]
+                             - 2.0 * (X @ X.T)))
+    iu = np.triu_indices(len(X), 1)
+    err = approx[iu] - exact[iu]
+    return pd.DataFrame({
+        "n_pairs": [np.int64(len(err))],
+        "mse": _sql_round_arr(
+            np.array([float((err * err).mean())])) + 0.0,
+        "max_abs_err": _sql_round_arr(
+            np.array([float(np.abs(err).max())])) + 0.0,
+        "mean_exact": _sql_round_arr(
+            np.array([float(exact[iu].mean())])) + 0.0})
+
+
 def fd_sketch_embeddings(emb: pd.DataFrame, ell: int = 8,
                          num_partitions: int = 16) -> pd.DataFrame:
     """Independent Frequent-Directions twin: same pid partitioning,

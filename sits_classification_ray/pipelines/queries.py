@@ -3477,6 +3477,59 @@ def _logreg_fit_embeddings(sf_dir: str) -> pd.DataFrame:
                          "weight": sql_round(vals, 6) + 0.0})
 
 
+def _rff_kernel_embeddings(sf_dir: str, D: int = 64,
+                           gamma: float = 0.5) -> pd.DataFrame:
+    """Random Fourier Features (Rahimi & Recht, NIPS 2007): the
+    kernel-machine scaling trick — approximate the RBF kernel
+    k(x,y)=exp(−γ‖x−y‖²) by z(x)ᵀz(y) with z = √(2/D)·cos(Wx+b),
+    W ~ N(0, 2γ) drawn DETERMINISTICALLY (Box-Muller over splitmix64
+    streams, pure function of (row, col)). Engine: broadcast (W, b)
+    once, per-batch featurize, then report the approximation quality
+    the method is used for — mean squared error between z(x)ᵀz(y) and
+    the exact kernel over the 32 lexicographically-first probe pairs
+    (a combiner-free O(1) result). Golden twin re-derives W, b and
+    the probe pairs identically."""
+    from sits_classification_ray.functions.transforms import sql_round
+    from sits_classification_ray.stages.als import _splitmix64
+
+    emb = rd.read_parquet(f"{sf_dir}/embeddings.parquet")
+    probe = emb.filter(expr="vec_id <= 15") \
+        .select_columns(["vec_id", "embedding"]).take_all()
+    probe = sorted(probe, key=lambda r: int(r["vec_id"]))
+    X = np.stack([np.asarray(r["embedding"], np.float64)
+                  for r in probe])
+    d = X.shape[1]
+
+    # deterministic N(0, 2γ) via Box-Muller on splitmix64 uniforms
+    idx = np.arange(d * D, dtype=np.uint64)
+    u1 = (_splitmix64(idx) >> np.uint64(11)).astype(np.float64) \
+        * 2.0 ** -53
+    u2 = (_splitmix64(idx + np.uint64(10_000_019))
+          >> np.uint64(11)).astype(np.float64) * 2.0 ** -53
+    u1 = np.maximum(u1, 1e-300)
+    W = (np.sqrt(-2.0 * np.log(u1)) * np.cos(2.0 * np.pi * u2)
+         * np.sqrt(2.0 * gamma)).reshape(d, D)
+    b = 2.0 * np.pi * (_splitmix64(
+        np.arange(D, dtype=np.uint64) + np.uint64(77_003))
+        >> np.uint64(11)).astype(np.float64) * 2.0 ** -53
+
+    Z = np.sqrt(2.0 / D) * np.cos(X @ W + b)
+    approx = Z @ Z.T
+    sq = (X * X).sum(axis=1)
+    exact = np.exp(-gamma * (sq[:, None] + sq[None, :]
+                             - 2.0 * (X @ X.T)))
+    iu = np.triu_indices(len(X), 1)
+    err = approx[iu] - exact[iu]
+    return pd.DataFrame({
+        "n_pairs": [np.int64(len(err))],
+        "mse": sql_round(np.array([float((err * err).mean())]), 6)
+        + 0.0,
+        "max_abs_err": sql_round(
+            np.array([float(np.abs(err).max())]), 6) + 0.0,
+        "mean_exact": sql_round(
+            np.array([float(exact[iu].mean())]), 6) + 0.0})
+
+
 def _fd_sketch_embeddings(sf_dir: str, ell: int = 8) -> pd.DataFrame:
     """Frequent-Directions matrix sketch of the embedding matrix
     (Liberty 2013): per-partition ell-row sketches over id-sorted
@@ -7368,6 +7421,8 @@ def build_queries() -> dict[str, Callable[[str], Any]]:
         "ledoit_wolf_embeddings": _ledoit_wolf_embeddings,
         # Frequent-Directions matrix sketch (golden)
         "fd_sketch_embeddings": _fd_sketch_embeddings,
+        # Random Fourier Features kernel approximation (golden)
+        "rff_kernel_embeddings": _rff_kernel_embeddings,
         # Duffield priority sampling (golden)
         "priority_sample_documents": _priority_sample_documents,
         # multi-source BFS crawl depth (SQL recursive-CTE twin)
@@ -7558,7 +7613,7 @@ GOLDEN_QUERIES = [
     "logreg_fit_embeddings", "winnowing_near_dup_documents",
     "margin_prune_embeddings", "priority_sample_documents",
     "ledoit_wolf_embeddings", "fd_sketch_embeddings",
-    "mondrian_partitions_documents",
+    "mondrian_partitions_documents", "rff_kernel_embeddings",
     "betweenness_domains_crawl", "isotonic_calibration_nchars",
     "deepwalk_visits_crawl", "wl_colors_crawl", "theta_forecast_crawl",
     "spectral_residual_crawl", "dp_counts_domains",

@@ -81,6 +81,8 @@ def make_for(sf_dir: str, only: set[str] | None = None) -> None:
             lambda: golden.ledoit_wolf_embeddings(emb),
         "fd_sketch_embeddings":
             lambda: golden.fd_sketch_embeddings(emb),
+        "rff_kernel_embeddings":
+            lambda: golden.rff_kernel_embeddings(emb),
         "margin_prune_embeddings":
             lambda: golden.margin_prune_embeddings(emb),
         "priority_sample_documents":
