@@ -128,3 +128,98 @@ def test_jpeg_codec_entropy_layer_lossless(ray_session):
     out = jpeg_thumbnails(ds, out_w=4, out_h=4).to_pandas().iloc[0]
     assert (out["width"], out["height"]) == (64, 64)
     assert out["pixel_sum"] > 0
+
+
+def test_cdc_gear_vectorized_matches_scalar_and_realigns():
+    from sits_classification_ray.stages.cdc import (_gear_table,
+                                                    cdc_boundaries,
+                                                    chunk_hashes,
+                                                    gear_hashes)
+
+    g = _gear_table()
+    rng = np.random.RandomState(0)
+    for n in (0, 1, 64, 65, 300):
+        data = rng.randint(0, 256, n).astype(np.uint8)
+        acc, M = 0, (1 << 64) - 1
+        want = np.zeros(n, np.uint64)
+        for i, b in enumerate(data):
+            acc = ((acc << 1) + int(g[b])) & M
+            want[i] = acc
+        assert np.array_equal(gear_hashes(data), want), n
+    data = rng.randint(0, 256, 5000).astype(np.uint8)
+    ends = cdc_boundaries(data)
+    lens = np.diff(np.concatenate(([0], ends)))
+    assert ends[-1] == 5000
+    assert (lens[:-1] >= 16).all() and (lens <= 256).all()
+    a = bytes(rng.randint(0, 256, 2000).astype(np.uint8))
+    b = a[:100] + b"XXXX" + a[100:]
+    ha, _ = chunk_hashes(a)
+    hb, _ = chunk_hashes(b)
+    assert len(np.intersect1d(ha, hb)) > len(ha) * 0.7
+
+
+def test_wasserstein_metric_properties():
+    """W1(a,a)=0; symmetry; known two-point value."""
+    from sits_classification_ray.oracle.golden import (
+        wasserstein_weekly_crawl)
+
+    base = pd.Timestamp("1970-01-01")
+    rows = []
+    # week 0: all values 10; week 1: all values 14 → W1 = 4
+    for i in range(50):
+        rows.append(("m", base + pd.Timedelta(days=1), 10.0))
+        rows.append(("m", base + pd.Timedelta(days=8), 14.0))
+    obs = pd.DataFrame(rows, columns=["metric", "warc_ts", "value"])
+    out = wasserstein_weekly_crawl(obs)
+    assert len(out) == 1 and abs(out["w1"].iloc[0] - 4.0) < 1e-9
+
+
+def test_pelt_finds_obvious_changepoint():
+    from sits_classification_ray.oracle.golden import (
+        pelt_changepoints_crawl)
+
+    base = pd.Timestamp("2024-01-01")
+    rows = []
+    for i in range(40):
+        v = 10.0 if i < 20 else 100.0
+        rows.append(("u", "m", base + pd.Timedelta(days=i), v))
+    obs = pd.DataFrame(rows, columns=["url", "metric", "warc_ts",
+                                      "value"])
+    out = pelt_changepoints_crawl(obs, beta=50.0)
+    assert out["n_changepoints"].iloc[0] == 1
+    # perfect two-segment fit: SSE 0 + 2 segment penalties − the β
+    # baked into F[0]; total_cost = β
+    assert abs(out["total_cost"].iloc[0] - 50.0) < 1e-9
+
+
+def test_cox_recovers_hazard_direction():
+    """Synthetic: users with x=high purchase EARLY → positive beta."""
+    from sits_classification_ray.oracle.golden import cox_hazard_events
+
+    rows = []
+    base = pd.Timestamp("2024-01-01")
+    for uid in range(60):
+        fast = uid % 2 == 0
+        n_ev = 9 if fast else 2           # x = ln(1+n) higher for fast
+        for j in range(n_ev - 1):
+            rows.append((uid, base + pd.Timedelta(minutes=j), "view"))
+        t_purch = 10 if fast else 1000    # fast engagers convert early
+        rows.append((uid, base + pd.Timedelta(hours=t_purch),
+                     "purchase"))
+    ev = pd.DataFrame(rows, columns=["user_id", "ts", "event_type"])
+    out = cox_hazard_events(ev)
+    assert out["beta"].iloc[0] > 0.5
+
+
+def test_mondrian_leaves_are_k_anonymous_and_partition():
+    from sits_classification_ray.oracle.golden import (
+        mondrian_partitions_documents)
+
+    rng = np.random.RandomState(1)
+    docs = pd.DataFrame({
+        "n_chars": rng.randint(50, 250, 500),
+        "text": [" ".join(["w"] * rng.randint(5, 40))
+                 for _ in range(500)]})
+    out = mondrian_partitions_documents(docs, k=25)
+    assert (out["n"] >= 25).all()
+    assert out["n"].sum() == 500
