@@ -5071,6 +5071,80 @@ _AC_PATTERNS = ("the", "with", "from", "your", "search", "data",
                 "online", "home", "page", "free")
 
 
+def _word_dispersion_documents(sf_dir: str, n_parts: int = 10,
+                               topk: int = 50) -> rd.Dataset:
+    """Gries' deviation-of-proportions (DP) lexical dispersion for the
+    top-50 corpus words: is a word spread evenly across corpus parts
+    or clumped in a few (burstiness — the signal raw frequency
+    hides)? Exact integer arithmetic: DP = ½·Σ|cᵢ·T − sᵢ·F| / (F·T)
+    over doc_id%10 parts, one float division at the end. Distributed:
+    token-count combiner groupby, distributed top-k (sort+limit) for
+    the word list, broadcast membership filter — only top-word count
+    rows shuffle. SQL twin mirrors the integer formula."""
+    from ray.data.aggregate import Sum
+
+    from sits_classification_ray.functions.transforms import sql_round
+    from sits_classification_ray.stages.shuffle import partitioned_map
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id", "text"])
+
+    def tok(df: pd.DataFrame) -> pd.DataFrame:
+        parts, words = [], []
+        for did, t in zip(df["doc_id"], df["text"]):
+            p = int(did) % n_parts
+            for w in (t or "").split(" "):
+                if w:
+                    parts.append(p)
+                    words.append(w)
+        return (pd.DataFrame({"part": np.asarray(parts, np.int64),
+                              "word": pd.Series(words, dtype=object)})
+                .groupby(["word", "part"]).size().rename("c")
+                .reset_index())
+
+    cnt = (docs.map_batches(tok, batch_format="pandas")
+           .groupby(["word", "part"])
+           .aggregate(Sum("c", alias_name="c"))).materialize()
+
+    totw = cnt.groupby("word").aggregate(Sum("c", alias_name="F"))
+    top = totw.sort(["F", "word"], descending=[True, False]) \
+        .limit(topk).to_pandas()
+    fmap = dict(zip(top["word"], top["F"].astype(np.int64)))
+    parts_tot = (cnt.groupby("part")
+                 .aggregate(Sum("c", alias_name="s")).to_pandas()
+                 .sort_values("part", ignore_index=True))
+    s_by_part = parts_tot["s"].to_numpy(np.int64)
+    T = int(s_by_part.sum())
+    keep = ray.put(fmap)
+
+    def flt(b: pa.Table) -> pa.Table:
+        fm = ray.get(keep)
+        mask = np.asarray([w in fm
+                           for w in b["word"].to_pylist()])
+        return b.filter(pa.array(mask))
+
+    out_schema = pa.schema([("word", pa.string()),
+                            ("dp", pa.float64())])
+
+    def kern(df: pd.DataFrame) -> pd.DataFrame:
+        fm = ray.get(keep)
+        rows = []
+        for w, g in df.groupby("word", sort=True):
+            F = int(fm[w])
+            c = np.zeros(n_parts, np.int64)
+            c[g["part"].to_numpy(np.int64)] = g["c"].to_numpy(np.int64)
+            num = int(np.abs(c * T - s_by_part * F).sum())
+            rows.append((w, 0.5 * num / (float(F) * float(T))))
+        out = pd.DataFrame(rows, columns=["word", "dp"])
+        out["dp"] = sql_round(out["dp"].to_numpy(np.float64), 6) + 0.0
+        return out
+
+    return partitioned_map(
+        cnt.map_batches(flt, batch_format="pyarrow",
+                        zero_copy_batch=True),
+        kern, keys=["word"], out_schema=out_schema)
+
+
 def _dictionary_scan_documents(sf_dir: str) -> rd.Dataset:
     """Aho-Corasick multi-pattern dictionary scan (CACM 1975): the
     automaton compiles once per actor and every document streams
@@ -7162,6 +7236,8 @@ def build_queries() -> dict[str, Callable[[str], Any]]:
         "cdc_dedup_ratio_crawl": _cdc_dedup_ratio_crawl,
         # Aho-Corasick dictionary scan (SQL-checked)
         "dictionary_scan_documents": _dictionary_scan_documents,
+        # Gries DP lexical dispersion (SQL-checked, exact ints)
+        "word_dispersion_documents": _word_dispersion_documents,
         "fingerprint_documents": _fingerprint_documents,
         "minhash_near_dup_documents": _minhash_near_dup_documents,
         "jaccard_near_dup_documents": _jaccard_near_dup_documents,
@@ -10347,6 +10423,32 @@ FROM p GROUP BY 1""",
 SELECT lang, source, n_chars // 100 AS size_bucket,
        CAST(count(*) AS BIGINT) AS n
 FROM documents GROUP BY 1, 2, 3 HAVING count(*) < 5""",
+        "word_dispersion_documents": """
+WITH tok AS MATERIALIZED (
+  SELECT doc_id % 10 AS part, w
+  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w
+        FROM documents)
+  WHERE w <> ''),
+cnt AS MATERIALIZED (
+  SELECT w, part, CAST(count(*) AS BIGINT) AS c
+  FROM tok GROUP BY 1, 2),
+tot AS MATERIALIZED (
+  SELECT w, CAST(sum(c) AS BIGINT) AS F FROM cnt GROUP BY 1),
+topw AS MATERIALIZED (
+  SELECT w, F FROM tot ORDER BY F DESC, w LIMIT 50),
+pt AS MATERIALIZED (
+  SELECT part, CAST(sum(c) AS BIGINT) AS s FROM cnt GROUP BY 1),
+big AS (SELECT CAST(sum(c) AS BIGINT) AS T FROM cnt)
+SELECT t.w AS word,
+       round(0.5 * CAST(sum(abs(COALESCE(c.c, 0) * big.T
+                                - p.s * t.F)) AS DOUBLE)
+             / (CAST(t.F AS DOUBLE) * CAST(big.T AS DOUBLE)), 6)
+           AS dp
+FROM topw t
+CROSS JOIN pt p
+LEFT JOIN cnt c ON c.w = t.w AND c.part = p.part
+CROSS JOIN big
+GROUP BY t.w, t.F, big.T""",
         "dictionary_scan_documents": """
 WITH pats(pattern) AS (VALUES ('the'), ('with'), ('from'), ('your'), ('search'), ('data'), ('online'), ('home'), ('page'), ('free')),
 per AS MATERIALIZED (
