@@ -1435,7 +1435,12 @@ def q11_important_parts(sf_dir: str, nation: str = "NATION_12",
             pc.multiply(t["value_u"], pa.scalar(1_000_000, pa.int64())),
             pa.scalar(thresh, pa.int64()))),
         batch_format="pyarrow", zero_copy_batch=True)
-    return out.sort(["value_u", "p_partkey"], descending=[True, False])
+    out = out.sort(["value_u", "p_partkey"], descending=[True, False])
+    # schema seed: at large scale the ppm threshold can exclude every
+    # part, and a zero-block result would lose its schema entirely
+    empty = pa.schema([("p_partkey", pa.int64()),
+                       ("value_u", pa.int64())]).empty_table()
+    return out.union(rd.from_arrow(empty))
 
 
 def q20_promotion_suppliers(sf_dir: str, name_prefix: str = "large",
