@@ -298,7 +298,17 @@ def run_pipeline(input_path: str | list, out_dir: str,
         return manifest.incomplete_partitions(stage, all_buckets, lineage)
 
     def commit_stage(stage: str, path: Path, todo: list[int], t0: float,
-                     input_rows: int | None = None) -> None:
+                     input_rows: int | None = None,
+                     ds: rd.Dataset | None = None) -> None:
+        if ds is not None:
+            # per-stage Ray Data execution stats (operator wall times,
+            # block sizes, task counts) — the "read ds.stats() and
+            # iterate" loop, persisted next to the output so a later
+            # tuning session sees what the executor actually did
+            try:
+                (out / f"stats_{stage}.txt").write_text(ds.stats())
+            except Exception:
+                pass
         counts = _partition_counts(path)
         for b in todo:
             manifest.commit(stage, b, lineage, counts.get(b, 0))
@@ -330,7 +340,8 @@ def run_pipeline(input_path: str | list, out_dir: str,
             obs = assemble_series(ds, cfg, approx_rows=n_in)
             obs.write_parquet(str(obs_path), partition_cols=["url_bucket"],
                               compression=cfg.parquet_compression)
-            commit_stage("obs", obs_path, todo, t0, input_rows=n_in)
+            commit_stage("obs", obs_path, todo, t0, input_rows=n_in,
+                         ds=obs)
             metrics["input_docs"] = n_in
 
     # ---- downstream stages — grid, segments and the tier chain are
@@ -348,10 +359,11 @@ def run_pipeline(input_path: str | list, out_dir: str,
         # exchange-free: obs files are url-complete (whole-file read)
         obs = _read_stage(obs_path, todo if len(todo) < cfg.n_buckets
                           else None, whole_files=True)
-        gapfill_colocated(obs, cfg, cfg.metrics).write_parquet(
+        grid = gapfill_colocated(obs, cfg, cfg.metrics)
+        grid.write_parquet(
             str(grid_path), partition_cols=["url_bucket"],
             compression=cfg.parquet_compression)
-        commit_stage("grid", grid_path, todo, t0)
+        commit_stage("grid", grid_path, todo, t0, ds=grid)
 
     def run_segments() -> None:
         seg_path = out / "segments"
@@ -362,10 +374,11 @@ def run_pipeline(input_path: str | list, out_dir: str,
         _clean_partitions(seg_path, todo)
         obs = _read_stage(obs_path, todo if len(todo) < cfg.n_buckets
                           else None, whole_files=True)
-        segments_stage_colocated(obs, cfg).write_parquet(
+        segs = segments_stage_colocated(obs, cfg)
+        segs.write_parquet(
             str(seg_path), partition_cols=["url_bucket"],
             compression=cfg.parquet_compression)
-        commit_stage("segments", seg_path, todo, t0)
+        commit_stage("segments", seg_path, todo, t0, ds=segs)
 
     def run_tiers() -> None:
         # each tier re-aggregates from the previous tier COMPUTED IN
