@@ -809,6 +809,42 @@ def ewma_crawl(obs_long: pd.DataFrame, alpha: float = 0.3
     return df[["url", "metric", "warc_ts", "value", "ewma"]]
 
 
+def james_stein_domains(obs: pd.DataFrame) -> pd.DataFrame:
+    """Independent James-Stein twin: same url-sorted per-domain
+    partials (n, Σμ, Σμ²), domain-sorted driver arithmetic."""
+    g = obs.groupby("url")["text_len"].agg(["sum", "count"])
+    per_url = pd.DataFrame({
+        "url": g.index.to_numpy(),
+        "mu": g["sum"].to_numpy(np.float64)
+        / g["count"].to_numpy(np.float64)})
+    per_url["domain"] = per_url["url"].str.extract(
+        r"^[a-z]+://([^/]+)", expand=False)
+    rows = []
+    for d, sub in per_url.sort_values(["domain", "url"],
+                                      kind="mergesort").groupby(
+                                          "domain", sort=True):
+        mu = sub["mu"].to_numpy(np.float64)
+        rows.append((d, len(mu), float(mu.sum()),
+                     float((mu * mu).sum())))
+    parts = pd.DataFrame(rows, columns=["domain", "n", "sm", "sm2"])
+    n = parts["n"].to_numpy(np.float64)
+    xbar = parts["sm"].to_numpy(np.float64) / n
+    var_w = parts["sm2"].to_numpy(np.float64) / n - xbar * xbar
+    se2 = var_w / np.maximum(n - 1.0, 1.0)
+    k = len(parts)
+    mu_g = float(xbar.mean())
+    S = float(((xbar - mu_g) ** 2).sum())
+    lam = max(0.0, 1.0 - (k - 3.0) * float(se2.mean()) / S) \
+        if S > 0 and k > 3 else 0.0
+    js = mu_g + lam * (xbar - mu_g)
+    return pd.DataFrame({
+        "domain": parts["domain"],
+        "n_urls": parts["n"].to_numpy(np.int64),
+        "mean_raw": _sql_round_arr(xbar) + 0.0,
+        "mean_js": _sql_round_arr(js) + 0.0,
+        "shrink_factor": _sql_round_arr(np.full(k, lam)) + 0.0})
+
+
 def bootstrap_ci_crawl(obs: pd.DataFrame, B: int = 200, m: int = 200
                        ) -> pd.DataFrame:
     """Independent bootstrap-CI twin: per-url means via pandas

@@ -4562,6 +4562,74 @@ def _snapshot_asof_crawl(sf_dir: str) -> rd.Dataset:
     return partitioned_map(_obs(sf_dir), latest, url_col="url")
 
 
+def _james_stein_domains(sf_dir: str) -> pd.DataFrame:
+    """James-Stein empirical-Bayes shrinkage of per-domain mean text
+    lengths toward the grand mean — the estimator that dominates the
+    per-domain MLE whenever ≥4 domains are estimated at once (small
+    domains borrow strength from the ensemble; the third member of
+    the uncertainty family next to the bootstrap CI and Ledoit-Wolf).
+    Distributed shape: per-url means (exact int sums), one co-located
+    domain kernel emitting url-sorted partials (n, Σμ, Σμ²) — ≤
+    |domains| rows to the driver — then the k-domain shrinkage
+    arithmetic. Golden twin replicates the sort and float order."""
+    from ray.data.aggregate import Count, Sum
+
+    from sits_classification_ray.functions.transforms import sql_round
+    from sits_classification_ray.stages.shuffle import partitioned_map
+
+    per_url = (_obs(sf_dir)
+               .groupby("url")
+               .aggregate(Sum("text_len", alias_name="s"),
+                          Count(alias_name="c")))
+
+    part_schema = pa.schema([("domain", pa.string()),
+                             ("n", pa.int64()),
+                             ("sm", pa.float64()),
+                             ("sm2", pa.float64())])
+
+    def dom(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "domain": df["url"].str.extract(_DOMAIN_RE, expand=False),
+            "url": df["url"],
+            "mu": df["s"].to_numpy(np.float64)
+            / df["c"].to_numpy(np.float64)})
+
+    def kern(df: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for d, sub in df.sort_values(["domain", "url"],
+                                     kind="mergesort").groupby(
+                                         "domain", sort=False):
+            mu = sub["mu"].to_numpy(np.float64)
+            rows.append((d, len(mu), float(mu.sum()),
+                         float((mu * mu).sum())))
+        return pd.DataFrame(rows, columns=["domain", "n", "sm",
+                                           "sm2"]) \
+            .astype({"n": np.int64})
+
+    parts = partitioned_map(
+        per_url.map_batches(dom, batch_format="pandas"),
+        kern, keys=["domain"], out_schema=part_schema).to_pandas() \
+        .sort_values("domain", ignore_index=True)
+
+    n = parts["n"].to_numpy(np.float64)
+    xbar = parts["sm"].to_numpy(np.float64) / n
+    # within-domain variance of url means → SE² of each domain mean
+    var_w = (parts["sm2"].to_numpy(np.float64) / n - xbar * xbar)
+    se2 = var_w / np.maximum(n - 1.0, 1.0)
+    k = len(parts)
+    mu_g = float(xbar.mean())
+    S = float(((xbar - mu_g) ** 2).sum())
+    lam = max(0.0, 1.0 - (k - 3.0) * float(se2.mean()) / S) \
+        if S > 0 and k > 3 else 0.0
+    js = mu_g + lam * (xbar - mu_g)
+    return pd.DataFrame({
+        "domain": parts["domain"],
+        "n_urls": parts["n"].to_numpy(np.int64),
+        "mean_raw": sql_round(xbar, 6) + 0.0,
+        "mean_js": sql_round(js, 6) + 0.0,
+        "shrink_factor": sql_round(np.full(k, lam), 6) + 0.0})
+
+
 def _bootstrap_ci_crawl(sf_dir: str, B: int = 200, m: int = 200
                         ) -> rd.Dataset:
     """Seeded bootstrap confidence interval for each domain's mean
@@ -6338,7 +6406,10 @@ def _graph_stats_crawl(sf_dir: str) -> pd.DataFrame:
     num = float(s["sxy"]) / md - (sx / md) * (sy / md)
     den = np.sqrt((float(s["sxx"]) / md - (sx / md) * (sx / md))
                   * (float(s["syy"]) / md - (sy / md) * (sy / md)))
-    assort = num / den
+    # zero degree variance (e.g. a complete regular graph at large
+    # scale) makes Pearson 0/0 — define it as 0, NaN breaks the
+    # driver's NaN-unequal value hash (seen at sf0.1)
+    assort = num / den if den > 0.0 else 0.0
     vals = np.array([float(nodes), float(m), nrec / md, assort])
     return pd.DataFrame({
         "metric": ["n_nodes", "n_edges", "reciprocity",
@@ -7553,6 +7624,8 @@ def build_queries() -> dict[str, Callable[[str], Any]]:
         "dgim_change_count_crawl": _dgim_change_count_crawl,
         # seeded per-domain bootstrap CI (golden)
         "bootstrap_ci_crawl": _bootstrap_ci_crawl,
+        # James-Stein empirical-Bayes domain means (golden)
+        "james_stein_domains": _james_stein_domains,
         # Bloom sidecar partition pruning (golden)
         "bloom_prune_crawl": _bloom_prune_crawl,
         # curriculum fixed-token-budget sharding (SQL-checked)
@@ -7699,6 +7772,7 @@ GOLDEN_QUERIES = [
     "cox_hazard_events",
     "hilbert_layout_crawl", "dgim_change_count_crawl",
     "ppr_domains_crawl", "bootstrap_ci_crawl", "kll_quantile_daily",
+    "james_stein_domains",
     "quality_classifier_documents", "binseg_changepoints_crawl",
     "holt_winters_crawl", "sax_motifs_crawl",
     "matrix_profile_discord_crawl", "boilerplate_extract_documents",
@@ -10327,6 +10401,13 @@ SELECT 'reciprocity',
        round(CAST(nrec AS DOUBLE) / CAST(m AS DOUBLE), 6) FROM counts
 UNION ALL
 SELECT 'assortativity',
+  CASE WHEN sqrt((CAST(sxx AS DOUBLE) / CAST(m AS DOUBLE)
+                - (CAST(sx AS DOUBLE) / CAST(m AS DOUBLE))
+                  * (CAST(sx AS DOUBLE) / CAST(m AS DOUBLE)))
+               * (CAST(syy AS DOUBLE) / CAST(m AS DOUBLE)
+                  - (CAST(sy AS DOUBLE) / CAST(m AS DOUBLE))
+                    * (CAST(sy AS DOUBLE) / CAST(m AS DOUBLE)))) > 0
+  THEN
   round((CAST(sxy AS DOUBLE) / CAST(m AS DOUBLE)
          - (CAST(sx AS DOUBLE) / CAST(m AS DOUBLE))
            * (CAST(sy AS DOUBLE) / CAST(m AS DOUBLE)))
@@ -10337,6 +10418,7 @@ SELECT 'assortativity',
                   - (CAST(sy AS DOUBLE) / CAST(m AS DOUBLE))
                     * (CAST(sy AS DOUBLE) / CAST(m AS DOUBLE)))),
         6)
+  ELSE 0.0 END
 FROM counts, s""",
         "curriculum_shards_documents": """
 WITH t AS MATERIALIZED (

@@ -127,6 +127,8 @@ def make_for(sf_dir: str, only: set[str] | None = None) -> None:
             lambda: golden.partition_extents_crawl(obs),
         "bootstrap_ci_crawl":
             lambda: golden.bootstrap_ci_crawl(obs),
+        "james_stein_domains":
+            lambda: golden.james_stein_domains(obs),
         "dgim_change_count_crawl":
             lambda: golden.dgim_change_count_crawl(obs),
         "hilbert_layout_crawl":
