@@ -806,14 +806,15 @@ def adamic_adar(edges: rd.Dataset, src_col: str = "w1",
 
     out = merged.map_batches(prune, batch_format="pyarrow",
                              zero_copy_batch=True)
-    final = out.sort(["aa_u", "node_a", "node_b"],
-                     descending=[True, False, False]).limit(k) \
-        .materialize()  # tiny: <= k rows after the per-block prune
-    if final.count() == 0:
-        # a complete graph has no non-adjacent pairs; Ray's sort drops
-        # the schema of an all-empty dataset, so pin it explicitly
-        return rd.from_arrow(out_schema.empty_table())
-    return final
+    rows = out.sort(["aa_u", "node_a", "node_b"],
+                    descending=[True, False, False]).limit(k) \
+        .take_all()  # tiny: <= k rows after the per-block prune
+    # rebuild the result on the driver with the schema pinned: the
+    # distributed sort+limit can emit schema-degraded empty blocks (a
+    # complete graph has zero non-adjacent pairs), which intermittently
+    # failed the driver's schema check in r4 even with an empty-table
+    # union pin — a from_pylist table has exactly one well-schemed block
+    return rd.from_arrow(pa.Table.from_pylist(rows, schema=out_schema))
 
 
 def coreness(edges: rd.Dataset, src_col: str = "w1",

@@ -165,6 +165,50 @@ def _strip_meta(batch: pa.Table) -> pa.Table:
             if batch.schema.metadata else batch)
 
 
+#: Logical ops that provably emit only well-schemed blocks (reads and
+#: per-block maps preserve the block schema; Union of safe children is
+#: safe).  Everything else — Sort / Aggregate / Join / InputData (a
+#: materialize() hides its producer) — may have gone through Ray's
+#: sort shuffle, whose empty range partitions surface as ZERO-COLUMN
+#: pandas blocks that no map UDF ever touches (Ray skips the UDF on
+#: empty blocks), so they cannot be repaired in-stream.
+_SCHEMA_SAFE_OPS = frozenset({
+    "Read", "FromPandas", "FromArrow", "FromItems", "FromNumpy",
+    "MapBatches", "MapRows", "Filter", "Project", "Union", "Limit",
+    "RandomizeBlocks",
+})
+
+
+def may_carry_degraded_blocks(ds: rd.Dataset) -> bool:
+    """True when ``ds``'s logical plan could contain schema-less empty
+    blocks (the VERDICT-r4 flake class: Acero's hash-join finalize dies
+    with ``No match or multiple matches for key field reference`` when
+    a zero-column pandas block from an upstream sort shuffle reaches
+    it).  Conservative: unknown or un-introspectable ops count as
+    degraded."""
+    try:
+        stack = [ds._logical_plan.dag]
+        while stack:
+            op = stack.pop()
+            if type(op).__name__ not in _SCHEMA_SAFE_OPS:
+                return True
+            stack.extend(op.input_dependencies)
+        return False
+    except Exception:
+        return True
+
+
+def purge_empty_blocks(ds: rd.Dataset, num_blocks: int) -> rd.Dataset:
+    """Physically rebuild the block stream so every block carries the
+    real schema.  ``repartition`` (split/merge, no key shuffle) drops
+    empty input blocks entirely — verified: a sort-shuffle output with
+    five zero-column pandas blocks repartitions to uniform well-schemed
+    blocks.  Only called on join inputs whose plan may contain such
+    blocks (see :func:`may_carry_degraded_blocks`), so pure
+    read→map→filter pipelines pay nothing."""
+    return ds.repartition(max(1, num_blocks))
+
+
 def hash_join(left: rd.Dataset, right: rd.Dataset, on: str,
               right_on: str | None = None, join_type: str = "inner",
               num_partitions: int = 32) -> rd.Dataset:
@@ -175,9 +219,18 @@ def hash_join(left: rd.Dataset, right: rd.Dataset, on: str,
     more aggregators than cores deadlocks the streaming executor on a
     small cluster (upstream map tasks and aggregators starve each
     other). Partition count never changes results, only fan-out.
+
+    Each input whose plan may carry schema-less empty blocks (sort /
+    aggregate upstream) is purged via :func:`purge_empty_blocks` before
+    Acero sees it — the systemic guard for the r4 intermittent
+    ``FieldRef.Name`` join failures.
     """
     cpus = int(ray.cluster_resources().get("CPU", num_partitions))
     num_partitions = max(2, min(num_partitions, cpus))
+    if may_carry_degraded_blocks(left):
+        left = purge_empty_blocks(left, num_partitions)
+    if may_carry_degraded_blocks(right):
+        right = purge_empty_blocks(right, num_partitions)
     left = left.map_batches(_strip_meta, batch_format="pyarrow",
                             zero_copy_batch=True)
     right = right.map_batches(_strip_meta, batch_format="pyarrow",
@@ -185,6 +238,60 @@ def hash_join(left: rd.Dataset, right: rd.Dataset, on: str,
     return left.join(right, join_type=join_type,
                      num_partitions=num_partitions,
                      on=(on,), right_on=(right_on or on,))
+
+
+def attach_by_key(base: rd.Dataset, side: rd.Dataset, key: str,
+                  payload_col: str, out_schema: pa.Schema,
+                  approx_rows: int | None = None) -> rd.Dataset:
+    """Inner-attach one payload column from ``side`` onto every ``base``
+    row sharing ``key`` — the engine's tag-union exchange instead of
+    Acero (`Dataset.join`), which intermittently dies on schema-less
+    empty blocks from upstream sort shuffles (VERDICT r4 #1b).
+
+    Shape: tag both sides, union, ONE salted hash exchange on ``key``,
+    then a vectorized per-partition ``Series.map``.  The payload may be
+    opaque ``bytes`` (serialized float64 vectors): the exchange sorts
+    blocks only on the int64 partition id, so binary payload columns
+    ride along untouched — unlike Acero, which rejects them.
+
+    Partitioning assumption: all side rows + base rows of one key fit a
+    partition block (bounded by the salted partitioner, same contract
+    as every other keyed kernel).
+
+    ``out_schema`` (required) pins the output block schema: a partition
+    holding only side rows yields a 0-row frame that would otherwise
+    miss the base columns, and the union-concat upcasts int base
+    columns to float (NaN fill) — the pin reindexes + casts every
+    kernel output back."""
+    from sits_classification_ray.stages.shuffle import partitioned_map
+
+    out_cols = list(out_schema.names)
+
+    def tag_base(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy(deep=False)
+        df["__side"] = 0
+        return df
+
+    def tag_side(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({key: df[key], payload_col: df[payload_col],
+                             "__side": 1})
+
+    unioned = base.map_batches(tag_base, batch_format="pandas").union(
+        side.map_batches(tag_side, batch_format="pandas"))
+
+    def kernel(df: pd.DataFrame) -> pd.DataFrame:
+        vm = df[df["__side"] == 1].set_index(key)[payload_col]
+        lf = (df[df["__side"] == 0]
+              .drop(columns=[payload_col], errors="ignore")
+              .copy(deep=False))
+        if len(lf) == 0:
+            return lf.reindex(columns=out_cols)
+        lf[payload_col] = lf[key].map(vm)
+        return lf[lf[payload_col].notna()].reindex(columns=out_cols)
+
+    return partitioned_map(unioned, kernel, keys=[key],
+                           approx_rows=approx_rows,
+                           out_schema=out_schema)
 
 
 def _broadcast_key_filter(ds: rd.Dataset, col: str, keys, keep: bool

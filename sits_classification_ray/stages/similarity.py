@@ -531,7 +531,7 @@ def srp_near_dup(ds: rd.Dataset, dim: int, threshold: float = 0.9,
     candidate volume is driven by band collisions, never O(n²).
     Recall < 1 by construction (documented LSH miss probability);
     precision is exact thanks to the verify pass."""
-    from sits_classification_ray.stages.joins import hash_join
+    from sits_classification_ray.stages.joins import attach_by_key
     from sits_classification_ray.stages.shuffle import partitioned_map
 
     rows = srp_band_rows(ds, dim, bits, bands, seed, id_col, vec_col)
@@ -558,10 +558,12 @@ def srp_near_dup(ds: rd.Dataset, dim: int, threshold: float = 0.9,
                            lambda df: df.drop_duplicates(["id_a", "id_b"]),
                            keys=["id_a", "id_b"])
 
-    # vector attach via the native hash join, vectors serialized to
-    # float64 bytes for the exchange (Acero joins reject tensor/list
-    # payload columns; the tag-union attach exchange can't sort-merge
-    # them either) — decoded zero-copy with np.frombuffer in verify
+    # vector attach via the tag-union exchange (joins.attach_by_key),
+    # vectors serialized to float64 bytes for the ride (the exchange
+    # sorts only on the partition id, so binary payloads pass through;
+    # Acero `Dataset.join` was the r4 flake site — schema-less empty
+    # blocks from the candidate sort shuffle intermittently broke its
+    # key-field resolution) — decoded zero-copy with np.frombuffer
     def as_side(new_id: str, new_vec: str):
         def prj(df: pd.DataFrame) -> pd.DataFrame:
             mat = np.stack(df[vec_col].to_numpy()).astype(np.float64)
@@ -572,8 +574,15 @@ def srp_near_dup(ds: rd.Dataset, dim: int, threshold: float = 0.9,
 
     va = ds.map_batches(as_side("id_a", "__va"), batch_format="pandas")
     vb = ds.map_batches(as_side("id_b", "__vb"), batch_format="pandas")
-    with_a = hash_join(cand, va, on="id_a")
-    with_b = hash_join(with_a, vb, on="id_b")
+    import pyarrow as pa
+    sch_a = pa.schema([("id_a", pa.int64()), ("id_b", pa.int64()),
+                       ("__va", pa.binary())])
+    sch_b = pa.schema([("id_a", pa.int64()), ("id_b", pa.int64()),
+                       ("__va", pa.binary()), ("__vb", pa.binary())])
+    with_a = attach_by_key(cand, va, key="id_a", payload_col="__va",
+                           out_schema=sch_a)
+    with_b = attach_by_key(with_a, vb, key="id_b", payload_col="__vb",
+                           out_schema=sch_b)
 
     def verify(df: pd.DataFrame) -> pd.DataFrame:
         if len(df):
