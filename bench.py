@@ -427,15 +427,32 @@ def run_scaling_nodes_control() -> dict:
     # pipeline overhead cancels out of the comparison)
     r_alone = leg({"GRAFT_SHARD": f"0/{n_shards}"})
 
-    # leg B: all shards concurrently (zero transfer between them)
-    procs = []
+    # leg B: all shards concurrently (zero transfer between them).
+    # stdout/stderr go to TEMP FILES, not pipes: a child that fills a
+    # 64 KB pipe with Ray log chatter would block mid-write inside its
+    # TIMED section until the parent drains it — inflating
+    # shard_concurrent_sec, the very quantity this control isolates.
+    import tempfile
+
+    procs, files = [], []
     for i in range(n_shards):
         env = dict(os.environ, RAY_GRAFT_CPUS=str(node_cpus),
                    GRAFT_SHARD=f"{i}/{n_shards}")
+        fo = tempfile.TemporaryFile(mode="w+t")
+        fe = tempfile.TemporaryFile(mode="w+t")
+        files.append((fo, fe))
         procs.append(subprocess.Popen(
-            [sys.executable, __file__], env=env,
-            stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True))
-    outs = [p.communicate() for p in procs]
+            [sys.executable, __file__], env=env, stdout=fo, stderr=fe,
+            text=True))
+    for p in procs:
+        p.wait()
+    outs = []
+    for fo, fe in files:
+        fo.seek(0)
+        fe.seek(0)
+        outs.append((fo.read(), fe.read()))
+        fo.close()
+        fe.close()
     assert all(p.returncode == 0 for p in procs), \
         [o[1][-2000:] for p, o in zip(procs, outs) if p.returncode]
     shard_res = [json.loads(o[0].strip().splitlines()[-1]) for o in outs]

@@ -667,10 +667,12 @@ def near_dup_keep_one_documents(docs: pd.DataFrame) -> pd.DataFrame:
     return out.reset_index(drop=True)
 
 
-def winnowing_near_dup_documents(docs: pd.DataFrame, k: int = 8,
-                                 w: int = 4, min_shared: int = 3,
-                                 df_cap: int = 64) -> pd.DataFrame:
-    """Independent winnowing twin: an explicit per-window Python loop
+def winnowing_near_dup_documents(docs: pd.DataFrame, k: int = 12,
+                                 w: int = 8, min_shared: int = 8,
+                                 df_cap: int = 32) -> pd.DataFrame:
+    """Independent winnowing twin (defaults mirror the registered
+    query's parameters so a default-argument caller regenerates a
+    config-aligned golden): an explicit per-window Python loop
     (scan each length-w window left→right keeping the min with ≥ so
     later ties win = rightmost-minimum rule), dict-based inverted
     index and pair counting — no shared code with the engine beyond
@@ -834,8 +836,9 @@ def james_stein_domains(obs: pd.DataFrame) -> pd.DataFrame:
     k = len(parts)
     mu_g = float(xbar.mean())
     S = float(((xbar - mu_g) ** 2).sum())
+    # JS dominates only for k>=4 — degenerate fallback is NO shrinkage
     lam = max(0.0, 1.0 - (k - 3.0) * float(se2.mean()) / S) \
-        if S > 0 and k > 3 else 0.0
+        if S > 0 and k > 3 else 1.0
     js = mu_g + lam * (xbar - mu_g)
     return pd.DataFrame({
         "domain": parts["domain"],
@@ -928,8 +931,9 @@ def dgim_change_count_crawl(obs: pd.DataFrame, window: int = 64
 
 
 def hilbert_layout_crawl(obs: pd.DataFrame,
-                         rows_per_file: int = 1000) -> pd.DataFrame:
-    """Independent Hilbert-layout twin: scalar-loop xy→d (the
+                         rows_per_file: int = 200) -> pd.DataFrame:
+    """Independent Hilbert-layout twin (default ``rows_per_file``
+    mirrors the registered query's parameter): scalar-loop xy→d (the
     canonical published algorithm, per point), pandas sort/rank/
     groupby for the file cuts and zone maps."""
 
@@ -2112,6 +2116,122 @@ def jpeg_thumbnails_crawl(crawl: pd.DataFrame) -> pd.DataFrame:
         raw = small.tobytes()
         rows.append((r.url, r.warc_ts, w, ht, np.int64(_z.crc32(raw)),
                      int(small.sum()), int((small < 64).sum())))
+    return pd.DataFrame(rows, columns=["url", "warc_ts", "width",
+                                       "height", "thumb_crc32",
+                                       "pixel_sum", "n_dark"])
+
+
+def jpeg_color_thumbnails_crawl(crawl: pd.DataFrame) -> pd.DataFrame:
+    """Expected output of the COLOR JPEG decode+thumbnail query
+    computed WITHOUT any bitstream code: JFIF RGB→YCbCr with the same
+    fixed literals, 2×2 box-mean 4:2:0 subsample (even html lengths)
+    or none (odd), the published lossy core per plane with the
+    luminance/chrominance Annex-K tables, replication chroma upsample
+    and the inverse JFIF matrix — a hash match proves the engine's
+    color marker + interleaved-MCU Huffman layer is exactly lossless
+    around the quantization."""
+    import zlib as _z
+
+    Ql = np.array([
+        [16, 11, 10, 16, 24, 40, 51, 61],
+        [12, 12, 14, 19, 26, 58, 60, 55],
+        [14, 13, 16, 24, 40, 57, 69, 56],
+        [14, 17, 22, 29, 51, 87, 80, 62],
+        [18, 22, 37, 56, 68, 109, 103, 77],
+        [24, 35, 55, 64, 81, 104, 113, 92],
+        [49, 64, 78, 87, 103, 121, 120, 101],
+        [72, 92, 95, 98, 112, 100, 103, 99]], dtype=np.float64)
+    Qc = np.array([
+        [17, 18, 24, 47, 99, 99, 99, 99],
+        [18, 21, 26, 66, 99, 99, 99, 99],
+        [24, 26, 56, 99, 99, 99, 99, 99],
+        [47, 66, 99, 99, 99, 99, 99, 99],
+        [99, 99, 99, 99, 99, 99, 99, 99],
+        [99, 99, 99, 99, 99, 99, 99, 99],
+        [99, 99, 99, 99, 99, 99, 99, 99],
+        [99, 99, 99, 99, 99, 99, 99, 99]], dtype=np.float64)
+    k = np.arange(8)
+    C = np.cos((2 * k[None, :] + 1) * k[:, None] * np.pi / 16.0)
+    C[0] *= 1.0 / np.sqrt(2.0)
+    C *= 0.5
+
+    def core(img: np.ndarray, Q: np.ndarray) -> np.ndarray:
+        h, w = img.shape
+        H, W = -(-h // 8) * 8, -(-w // 8) * 8
+        pad = np.empty((H, W), np.float64)
+        pad[:h, :w] = img
+        if W > w:
+            pad[:h, w:] = pad[:h, w - 1:w]
+        if H > h:
+            pad[h:, :] = pad[h - 1:h, :]
+        bl = (pad - 128.0).reshape(H // 8, 8, W // 8, 8) \
+            .transpose(0, 2, 1, 3).reshape(-1, 8, 8)
+        qc = np.round(np.einsum("ij,bjk,lk->bil", C, bl, C)
+                      / Q[None, :, :])
+        pix = np.einsum("ji,bjk,kl->bil", C, qc * Q[None, :, :],
+                        C) + 128.0
+        pix = np.clip(np.round(pix), 0, 255).astype(np.uint8)
+        return pix.reshape(H // 8, W // 8, 8, 8) \
+            .transpose(0, 2, 1, 3).reshape(H, W)[:h, :w]
+
+    def sub420(p: np.ndarray) -> np.ndarray:
+        h, w = p.shape
+        H, W = h + (h & 1), w + (w & 1)
+        pad = np.empty((H, W), np.float64)
+        pad[:h, :w] = p
+        if W > w:
+            pad[:h, w:] = p[:, -1:]
+        if H > h:
+            pad[h:, :] = pad[h - 1:h, :]
+        m = (pad[0::2, 0::2] + pad[0::2, 1::2]
+             + pad[1::2, 0::2] + pad[1::2, 1::2]) / 4.0
+        return np.clip(np.round(m), 0, 255).astype(np.uint8)
+
+    rows = []
+    for r in crawl.itertuples():
+        hb = bytes(r.html) if r.html else b"\x00"
+        n = len(hb)
+        w, ht = 8 + n % 25, 8 + n % 17
+        need = w * ht * 3
+        rgb = np.frombuffer((hb * (need // n + 1))[:need],
+                            np.uint8).reshape(ht, w, 3)
+        rf = rgb[..., 0].astype(np.float64)
+        gf = rgb[..., 1].astype(np.float64)
+        bf = rgb[..., 2].astype(np.float64)
+        y = np.clip(np.round(0.299 * rf + 0.587 * gf + 0.114 * bf),
+                    0, 255).astype(np.uint8)
+        cb = np.clip(np.round(128.0 - 0.168736 * rf - 0.331264 * gf
+                              + 0.5 * bf), 0, 255).astype(np.uint8)
+        cr = np.clip(np.round(128.0 + 0.5 * rf - 0.418688 * gf
+                              - 0.081312 * bf), 0, 255).astype(np.uint8)
+        if n % 2 == 0:                          # 4:2:0
+            y2 = core(y.astype(np.float64), Ql)
+            cb2 = np.repeat(np.repeat(
+                core(sub420(cb).astype(np.float64), Qc), 2, axis=0),
+                2, axis=1)[:ht, :w]
+            cr2 = np.repeat(np.repeat(
+                core(sub420(cr).astype(np.float64), Qc), 2, axis=0),
+                2, axis=1)[:ht, :w]
+        else:                                   # 4:4:4
+            y2 = core(y.astype(np.float64), Ql)
+            cb2 = core(cb.astype(np.float64), Qc)
+            cr2 = core(cr.astype(np.float64), Qc)
+        yf = y2.astype(np.float64)
+        cbf = cb2.astype(np.float64) - 128.0
+        crf = cr2.astype(np.float64) - 128.0
+        rr = np.clip(np.round(yf + 1.402 * crf), 0, 255).astype(np.uint8)
+        gg = np.clip(np.round(yf - 0.344136 * cbf - 0.714136 * crf),
+                     0, 255).astype(np.uint8)
+        bb = np.clip(np.round(yf + 1.772 * cbf), 0, 255).astype(np.uint8)
+        out = np.stack([rr, gg, bb], axis=-1)
+        ys = (np.arange(16) * ht) // 16
+        xs = (np.arange(16) * w) // 16
+        small = out[np.ix_(ys, xs)]
+        rows.append((r.url, r.warc_ts, w, ht,
+                     np.int64(_z.crc32(small.tobytes())),
+                     int(small.sum()),
+                     int((small.astype(np.int64).sum(axis=2) // 3
+                          < 64).sum())))
     return pd.DataFrame(rows, columns=["url", "warc_ts", "width",
                                        "height", "thumb_crc32",
                                        "pixel_sum", "n_dark"])

@@ -45,6 +45,62 @@ from sits_classification_ray.state.manifest import Manifest, lineage_hash
 TIER_STAGES = ["hourly", "daily", "weekly"]
 
 
+from ray.data.datasource import FilenameProvider
+
+
+class _NodeTagFilenameProvider(FilenameProvider):
+    """Parquet filename provider that embeds the WRITING node's id in
+    each data file name (``{uuid}_{task}_{block}-node-<12-hex>.parquet``).
+
+    The exchange-free tier chain re-reads bucket files written moments
+    earlier (``_read_stage(whole_files=True)``); tagging the writer
+    node lets that read schedule each file's task back onto the node
+    whose page cache / object store is still warm —
+    ``NodeAffinitySchedulingStrategy(soft=True)``, so a busy or departed
+    node degrades to any-node instead of blocking (VERDICT r4 #3).
+    Runs inside the write task, where the runtime context IS the
+    writer node. Single-node: a no-op beyond the name suffix."""
+
+    def get_filename_for_block(self, block, write_uuid: str,
+                               task_index: int, block_index: int) -> str:
+        import ray
+
+        try:
+            nid = ray.get_runtime_context().get_node_id()[:12]
+        except Exception:
+            nid = "unknown"
+        # parquet datasink forbids dots in the stem (it builds a
+        # basename template from it), so the tag is dash-delimited
+        return (f"{write_uuid}_{task_index:06}_{block_index:06}"
+                f"-node-{nid}.parquet")
+
+
+_NODE_TAG_RE = re.compile(r"-node-([0-9a-f]{12})[^/]*\.parquet$")
+
+
+def _writer_node_map() -> dict[str, str]:
+    """Alive cluster nodes keyed by 12-hex id prefix (unique prefixes
+    only — a collision simply loses the affinity hint)."""
+    import ray
+
+    out: dict[str, str] = {}
+    dup: set[str] = set()
+    try:
+        for n in ray.nodes():
+            if not n.get("Alive"):
+                continue
+            nid = n["NodeID"]
+            pre = nid[:12]
+            if pre in out or pre in dup:
+                out.pop(pre, None)
+                dup.add(pre)
+            else:
+                out[pre] = nid
+    except Exception:
+        pass
+    return out
+
+
 #: Compressed bytes per raw-read block. The crawl payload is html
 #: binary that decodes ≈1:1 into memory, but Ray's generic
 #: parquet-inflation estimate splits such files into ~9 MB blocks —
@@ -147,10 +203,36 @@ def _read_stage(path: Path, buckets: list[int] | None = None,
                 tables.append(t)
             return pa.concat_tables(tables)
 
-        ds = (rd.from_items([{"path": p} for p in paths],
-                            override_num_blocks=len(paths))
-              .map_batches(read_file, batch_format="pyarrow",
-                           batch_size=None))
+        # schedule each file's read task back onto the node that wrote
+        # it (soft affinity from the `.node-<id>` filename tag) — the
+        # writer's page cache / object store still holds the bytes, so
+        # the exchange-free re-read stays node-local on a real cluster.
+        # Files without a resolvable tag (older runs, compactions, dead
+        # nodes) read with no affinity, exactly as before.
+        nodes = _writer_node_map()
+        by_node: dict[str | None, list[str]] = {}
+        for p in paths:
+            m = _NODE_TAG_RE.search(p)
+            nid = nodes.get(m.group(1)) if m else None
+            by_node.setdefault(nid, []).append(p)
+
+        parts = []
+        for nid, group in sorted(by_node.items(),
+                                 key=lambda kv: kv[0] or ""):
+            src = rd.from_items([{"path": p} for p in group],
+                                override_num_blocks=len(group))
+            kwargs = {}
+            if nid is not None and len(by_node) > 1:
+                from ray.util.scheduling_strategies import (
+                    NodeAffinitySchedulingStrategy)
+                kwargs["scheduling_strategy"] = \
+                    NodeAffinitySchedulingStrategy(node_id=nid, soft=True)
+            parts.append(src.map_batches(read_file,
+                                         batch_format="pyarrow",
+                                         batch_size=None, **kwargs))
+        ds = parts[0]
+        for extra in parts[1:]:
+            ds = ds.union(extra)
         if buckets is not None:
             ds = _filter_buckets(ds, buckets)
         return ds
@@ -339,7 +421,8 @@ def run_pipeline(input_path: str | list, out_dir: str,
                 ds = _filter_buckets(ds, todo)
             obs = assemble_series(ds, cfg, approx_rows=n_in)
             obs.write_parquet(str(obs_path), partition_cols=["url_bucket"],
-                              compression=cfg.parquet_compression)
+                              compression=cfg.parquet_compression,
+                              filename_provider=_NodeTagFilenameProvider())
             commit_stage("obs", obs_path, todo, t0, input_rows=n_in,
                          ds=obs)
             metrics["input_docs"] = n_in
@@ -362,7 +445,8 @@ def run_pipeline(input_path: str | list, out_dir: str,
         grid = gapfill_colocated(obs, cfg, cfg.metrics)
         grid.write_parquet(
             str(grid_path), partition_cols=["url_bucket"],
-            compression=cfg.parquet_compression)
+            compression=cfg.parquet_compression,
+            filename_provider=_NodeTagFilenameProvider())
         commit_stage("grid", grid_path, todo, t0, ds=grid)
 
     def run_segments() -> None:
@@ -377,7 +461,8 @@ def run_pipeline(input_path: str | list, out_dir: str,
         segs = segments_stage_colocated(obs, cfg)
         segs.write_parquet(
             str(seg_path), partition_cols=["url_bucket"],
-            compression=cfg.parquet_compression)
+            compression=cfg.parquet_compression,
+            filename_provider=_NodeTagFilenameProvider())
         commit_stage("segments", seg_path, todo, t0, ds=segs)
 
     def run_tiers() -> None:
@@ -409,9 +494,10 @@ def run_pipeline(input_path: str | list, out_dir: str,
                     partials = reaggregate_colocated(
                         stored, TIER_SECONDS[tier], cfg)
                 outds = finalize_with_state(partials)
-                outds.write_parquet(str(tier_path),
-                                    partition_cols=["url_bucket"],
-                                    compression=cfg.parquet_compression)
+                outds.write_parquet(
+                    str(tier_path), partition_cols=["url_bucket"],
+                    compression=cfg.parquet_compression,
+                    filename_provider=_NodeTagFilenameProvider())
                 commit_stage(tier, tier_path, todo, t0)
             prev_tier_path = tier_path
 

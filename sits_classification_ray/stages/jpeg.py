@@ -3,12 +3,14 @@ compressed-bitstream codec class the multimodal layer stubbed
 (reference analog: GDAL-read compressed rasters in the predict path,
 ``pytorch/predict.py:346-455``).
 
-Scope: baseline sequential DCT, 8-bit GRAYSCALE (one component, no
-subsampling), standard Annex-K luminance quantization + Huffman
-tables. The full marker/entropy layer is real: DQT / SOF0 / DHT / SOS
-parsing, canonical Huffman code reconstruction, byte unstuffing
-(FF 00), differential DC, run-length AC with ZRL/EOB, dequantize +
-IDCT.
+Scope: baseline sequential DCT, 8-bit GRAYSCALE (one component) AND
+3-component YCbCr COLOR (4:2:0 and 4:4:4 subsampling, interleaved MCU
+scan, r5), standard Annex-K luminance + chrominance quantization and
+Huffman tables. The full marker/entropy layer is real: DQT / SOF0 /
+DHT / SOS parsing, canonical Huffman code reconstruction, byte
+unstuffing (FF 00), per-component differential DC, run-length AC with
+ZRL/EOB, dequantize + IDCT, replication chroma upsample, fixed-literal
+JFIF color matrices. Progressive streams still raise (honest scope).
 
 Determinism contract: the DCT/IDCT are exact 8×8 matrix products with
 the orthonormal DCT-II matrix, quantization is ``np.round`` (half to
@@ -219,20 +221,26 @@ def make_jpeg(img: np.ndarray) -> bytes:
 
 
 def decode_jpeg(data: bytes) -> np.ndarray:
-    """Full baseline decode of a single-component JPEG: marker walk,
-    canonical Huffman reconstruction from the stream's own DHT,
-    entropy decode with FF00 unstuffing, de-zigzag, dequantize, IDCT.
-    Raises ``NotImplementedError`` for multi-component / progressive
-    streams (honest scope)."""
+    """Full baseline decode: marker walk, canonical Huffman
+    reconstruction from the stream's own DHT, entropy decode with FF00
+    unstuffing, de-zigzag, dequantize, IDCT.  1-component streams
+    return an (h, w) grayscale array (bit-identical to the original
+    grayscale-only decoder); 3-component YCbCr streams (4:2:0 or any
+    h/v factors ≤ 2, interleaved baseline scan) return (h, w, 3) RGB
+    via replication chroma upsample + the fixed-literal inverse JFIF
+    matrix.  Raises ``NotImplementedError`` for progressive streams
+    (honest scope)."""
     import struct
 
     if data[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG")
     pos = 2
-    qtab = None
+    qtabs: dict[int, np.ndarray] = {}
     h = w = None
+    comps: list[tuple[int, int, int, int]] = []   # (id, h_i, v_i, tq)
     huff: dict = {}
     scan = None
+    scomps: list[tuple[int, int, int]] = []       # (id, td, ta)
     while pos + 4 <= len(data):
         if data[pos] != 0xFF:
             raise ValueError("bad marker")
@@ -242,15 +250,24 @@ def decode_jpeg(data: bytes) -> np.ndarray:
         ln = struct.unpack(">H", data[pos + 2:pos + 4])[0]
         body = data[pos + 4:pos + 2 + ln]
         if marker == 0xDB:
-            if body[0] & 0x0F == 0:
-                z = np.frombuffer(body[1:65], np.uint8).astype(np.int32)
-                qtab = np.zeros(64, np.int32)
-                qtab[ZIGZAG] = z
-                qtab = qtab.reshape(8, 8)
+            off = 0
+            while off + 65 <= len(body) + 0:
+                tq = body[off] & 0x0F
+                if body[off] >> 4:
+                    raise NotImplementedError("16-bit quant tables")
+                z = np.frombuffer(body[off + 1:off + 65],
+                                  np.uint8).astype(np.int32)
+                t = np.zeros(64, np.int32)
+                t[ZIGZAG] = z
+                qtabs[tq] = t.reshape(8, 8)
+                off += 65
         elif marker == 0xC0:
             _, h, w, ncomp = struct.unpack(">BHHB", body[:6])
-            if ncomp != 1:
-                raise NotImplementedError("only 1-component baseline")
+            if ncomp not in (1, 3):
+                raise NotImplementedError("1- or 3-component baseline")
+            for c in range(ncomp):
+                cid, hv, tq = body[6 + 3 * c:9 + 3 * c]
+                comps.append((cid, hv >> 4, hv & 0x0F, tq))
         elif marker in (0xC1, 0xC2, 0xC3):
             raise NotImplementedError("only baseline sequential DCT")
         elif marker == 0xC4:
@@ -263,14 +280,18 @@ def decode_jpeg(data: bytes) -> np.ndarray:
                 huff[tc_th] = _canonical_codes(bits, vals)
                 off += 17 + nv
         elif marker == 0xDA:
+            ns = body[0]
+            for c in range(ns):
+                cid, tdta = body[1 + 2 * c:3 + 2 * c]
+                scomps.append((cid, tdta >> 4, tdta & 0x0F))
             scan = data[pos + 2 + ln:]
             break
         pos += 2 + ln
-    if qtab is None or h is None or scan is None:
+    if not qtabs or h is None or scan is None or not comps:
         raise ValueError("missing JPEG segments")
-    # decode tables: (code, length) → symbol
-    dc_dec = {v: k for k, v in huff[0x00].items()}
-    ac_dec = {v: k for k, v in huff[0x10].items()}
+    # decode tables: (code, length) → symbol, keyed (class, table id)
+    dec = {k: {v: s for s, v in tbl.items()} for k, tbl in huff.items()}
+    by_id = {cid: (hi, vi, tq) for cid, hi, vi, tq in comps}
 
     # unstuff FF00 and stop at the next marker
     raw = bytearray()
@@ -287,9 +308,6 @@ def decode_jpeg(data: bytes) -> np.ndarray:
         i += 1
     raw = bytes(raw)
 
-    n_bh, n_bw = -(-h // 8), -(-w // 8)
-    n_blocks = n_bh * n_bw
-    qzz = np.zeros((n_blocks, 64), np.int32)
     acc = bits = 0
     bpos = 0
 
@@ -321,12 +339,10 @@ def decode_jpeg(data: bytes) -> np.ndarray:
             if ln > 16:
                 raise ValueError("bad Huffman stream")
 
-    prev_dc = 0
-    for b in range(n_blocks):
+    def read_block(out, dc_dec, ac_dec, prev_dc):
         cat = read_symbol(dc_dec)
-        diff = read_val(cat)
-        prev_dc += diff
-        qzz[b, 0] = prev_dc
+        prev_dc += read_val(cat)
+        out[0] = prev_dc
         k = 1
         while k < 64:
             sym = read_symbol(ac_dec)
@@ -337,15 +353,262 @@ def decode_jpeg(data: bytes) -> np.ndarray:
                 k += 16
                 continue
             k += run
-            qzz[b, k] = read_val(cat)
+            out[k] = read_val(cat)
             k += 1
-    # dequantize against the STREAM'S OWN table (== Q_LUMA when the
-    # stream came from make_jpeg, but the decoder trusts the file)
-    q = np.zeros((n_blocks, 64), np.float64)
-    q[:, ZIGZAG] = qzz
-    q = q.reshape(-1, 8, 8) * qtab[None, :, :].astype(np.float64)
-    pix = np.einsum("ji,bjk,kl->bil", DCT_M, q, DCT_M) + 128.0
-    pix = np.clip(np.round(pix), 0, 255).astype(np.uint8)
-    out = pix.reshape(n_bh, n_bw, 8, 8).transpose(0, 2, 1, 3) \
-        .reshape(n_bh * 8, n_bw * 8)
-    return out[:h, :w]
+        return prev_dc
+
+    # interleaved baseline scan: MCU grid sized by the max sampling
+    # factors; each MCU carries v_i×h_i blocks per scan component (for
+    # a 1-component scan this degenerates to exactly the plain block
+    # raster the grayscale encoder writes)
+    hmax = max(hi for _, hi, _, _ in comps)
+    vmax = max(vi for _, _, vi, _ in comps)
+    mcus_x = -(-w // (8 * hmax))
+    mcus_y = -(-h // (8 * vmax))
+    plan = []                                    # per scan component
+    for cid, td, ta in (scomps or [(comps[0][0], 0, 0)]):
+        hi, vi, tq = by_id[cid]
+        n_bh, n_bw = mcus_y * vi, mcus_x * hi
+        plan.append({
+            "hi": hi, "vi": vi, "tq": tq,
+            "dc": dec[td], "ac": dec[0x10 | ta],
+            "qzz": np.zeros((n_bh, n_bw, 64), np.int32),
+            "n_bh": n_bh, "n_bw": n_bw, "prev": 0,
+        })
+    for my in range(mcus_y):
+        for mx in range(mcus_x):
+            for c in plan:
+                for v in range(c["vi"]):
+                    for hh in range(c["hi"]):
+                        c["prev"] = read_block(
+                            c["qzz"][my * c["vi"] + v, mx * c["hi"] + hh],
+                            c["dc"], c["ac"], c["prev"])
+
+    # dequantize against the STREAM'S OWN tables (== Annex K when the
+    # stream came from make_jpeg*, but the decoder trusts the file)
+    planes = []
+    for c in plan:
+        n_blocks = c["n_bh"] * c["n_bw"]
+        q = np.zeros((n_blocks, 64), np.float64)
+        q[:, ZIGZAG] = c["qzz"].reshape(n_blocks, 64)
+        q = q.reshape(-1, 8, 8) * qtabs[c["tq"]][None, :, :] \
+            .astype(np.float64)
+        pix = np.einsum("ji,bjk,kl->bil", DCT_M, q, DCT_M) + 128.0
+        pix = np.clip(np.round(pix), 0, 255).astype(np.uint8)
+        plane = pix.reshape(c["n_bh"], c["n_bw"], 8, 8) \
+            .transpose(0, 2, 1, 3).reshape(c["n_bh"] * 8, c["n_bw"] * 8)
+        # crop to the component's own raster, then replicate up to the
+        # full-resolution grid
+        ch = -(-h * c["vi"] // vmax)
+        cw = -(-w * c["hi"] // hmax)
+        plane = plane[:ch, :cw]
+        if c["vi"] != vmax or c["hi"] != hmax:
+            plane = np.repeat(np.repeat(plane, vmax // c["vi"], axis=0),
+                              hmax // c["hi"], axis=1)
+        planes.append(plane[:h, :w])
+
+    if len(planes) == 1:
+        return planes[0]
+    return ycbcr_to_rgb(planes[0], planes[1], planes[2])
+
+
+# ---- 3-component color baseline (YCbCr, 4:2:0 / 4:4:4) -------------------
+# VERDICT r4 #4: real crawl image payloads are overwhelmingly
+# 3-component YCbCr JPEG (reference analog: GDAL compressed-raster
+# reads, pytorch/predict.py:346-455). Same determinism contract as the
+# grayscale path: fixed-literal color matrices, half-to-even rounding,
+# the identical DCT core — so the golden twin reproduces
+# decode(encode(img)) without touching the bitstream.
+
+#: Annex K.2 chrominance quantization table, raster order.
+Q_CHROMA = np.array([
+    [17, 18, 24, 47, 99, 99, 99, 99],
+    [18, 21, 26, 66, 99, 99, 99, 99],
+    [24, 26, 56, 99, 99, 99, 99, 99],
+    [47, 66, 99, 99, 99, 99, 99, 99],
+    [99, 99, 99, 99, 99, 99, 99, 99],
+    [99, 99, 99, 99, 99, 99, 99, 99],
+    [99, 99, 99, 99, 99, 99, 99, 99],
+    [99, 99, 99, 99, 99, 99, 99, 99]], dtype=np.int32)
+
+#: Annex K.3.3 / K.3.4: chrominance DC/AC Huffman specs.
+DC_CHROMA_BITS = [0, 3, 1, 1, 1, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0]
+DC_CHROMA_VALS = list(range(12))
+AC_CHROMA_BITS = [0, 2, 1, 2, 4, 4, 3, 4, 7, 5, 4, 4, 0, 1, 2, 0x77]
+AC_CHROMA_VALS = [
+    0x00, 0x01, 0x02, 0x03, 0x11, 0x04, 0x05, 0x21, 0x31, 0x06, 0x12,
+    0x41, 0x51, 0x07, 0x61, 0x71, 0x13, 0x22, 0x32, 0x81, 0x08, 0x14,
+    0x42, 0x91, 0xA1, 0xB1, 0xC1, 0x09, 0x23, 0x33, 0x52, 0xF0, 0x15,
+    0x62, 0x72, 0xD1, 0x0A, 0x16, 0x24, 0x34, 0xE1, 0x25, 0xF1, 0x17,
+    0x18, 0x19, 0x1A, 0x26, 0x27, 0x28, 0x29, 0x2A, 0x35, 0x36, 0x37,
+    0x38, 0x39, 0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49, 0x4A,
+    0x53, 0x54, 0x55, 0x56, 0x57, 0x58, 0x59, 0x5A, 0x63, 0x64, 0x65,
+    0x66, 0x67, 0x68, 0x69, 0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78,
+    0x79, 0x7A, 0x82, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89, 0x8A,
+    0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3,
+    0xA4, 0xA5, 0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5,
+    0xB6, 0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7,
+    0xC8, 0xC9, 0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9,
+    0xDA, 0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF2,
+    0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA]
+
+_DC_CHROMA_CODES = _canonical_codes(DC_CHROMA_BITS, DC_CHROMA_VALS)
+_AC_CHROMA_CODES = _canonical_codes(AC_CHROMA_BITS, AC_CHROMA_VALS)
+
+
+def rgb_to_ycbcr_planes(rgb: np.ndarray) -> tuple:
+    """(h, w, 3) uint8 RGB → three uint8 planes (JFIF matrix, fixed
+    literals, half-to-even rounding — the golden twin mirrors this
+    exact expression tree)."""
+    r = rgb[..., 0].astype(np.float64)
+    g = rgb[..., 1].astype(np.float64)
+    b = rgb[..., 2].astype(np.float64)
+    y = np.clip(np.round(0.299 * r + 0.587 * g + 0.114 * b),
+                0, 255).astype(np.uint8)
+    cb = np.clip(np.round(128.0 - 0.168736 * r - 0.331264 * g + 0.5 * b),
+                 0, 255).astype(np.uint8)
+    cr = np.clip(np.round(128.0 + 0.5 * r - 0.418688 * g - 0.081312 * b),
+                 0, 255).astype(np.uint8)
+    return y, cb, cr
+
+
+def ycbcr_to_rgb(y: np.ndarray, cb: np.ndarray, cr: np.ndarray
+                 ) -> np.ndarray:
+    """Inverse JFIF conversion, same fixed literals / op order as the
+    golden twin."""
+    yf = y.astype(np.float64)
+    cbf = cb.astype(np.float64) - 128.0
+    crf = cr.astype(np.float64) - 128.0
+    r = np.clip(np.round(yf + 1.402 * crf), 0, 255).astype(np.uint8)
+    g = np.clip(np.round(yf - 0.344136 * cbf - 0.714136 * crf),
+                0, 255).astype(np.uint8)
+    b = np.clip(np.round(yf + 1.772 * cbf), 0, 255).astype(np.uint8)
+    return np.stack([r, g, b], axis=-1)
+
+
+def subsample_420(plane: np.ndarray) -> np.ndarray:
+    """2×2 box mean (edge-replicated to even dims first), half-to-even
+    rounded back to uint8 — the 4:2:0 chroma downsample."""
+    h, w = plane.shape
+    H, W = h + (h & 1), w + (w & 1)
+    pad = np.empty((H, W), np.float64)
+    pad[:h, :w] = plane
+    if W > w:
+        pad[:h, w:] = plane[:, -1:]
+    if H > h:
+        pad[h:, :] = pad[h - 1:h, :]
+    m = (pad[0::2, 0::2] + pad[0::2, 1::2]
+         + pad[1::2, 0::2] + pad[1::2, 1::2]) / 4.0
+    return np.clip(np.round(m), 0, 255).astype(np.uint8)
+
+
+def _quantized_blocks_q(img: np.ndarray, qtab: np.ndarray) -> np.ndarray:
+    """:func:`quantized_blocks` with an explicit quantization table —
+    IDENTICAL code path (same :func:`_blocks_of` padding and, crucially,
+    the same block-array memory layout: einsum's last-ulp output depends
+    on operand contiguity, and `_blocks_of` returns a VIEW for 1-row
+    block grids — a .5 quantization tie then rounds differently than on
+    a contiguous copy.  The golden twin mirrors this exact expression,
+    so the color encoder must too)."""
+    blocks, _, _ = _blocks_of(np.asarray(img, np.float64) - 128.0)
+    coefs = np.einsum("ij,bjk,lk->bil", DCT_M, blocks, DCT_M)
+    q = np.round(coefs / qtab[None, :, :]).astype(np.int32)
+    return q.reshape(-1, 64)[:, ZIGZAG]
+
+
+def _encode_block(bw: "_BitWriterJ", blk: np.ndarray, prev_dc: int,
+                  dc_codes: dict, ac_codes: dict) -> int:
+    """Huffman-encode one zigzagged quantized block; returns its DC for
+    the component's predictor chain."""
+    diff = int(blk[0]) - prev_dc
+    cat = _category(diff)
+    code, ln = dc_codes[cat]
+    bw.write(code, ln)
+    if cat:
+        v = diff if diff > 0 else diff + (1 << cat) - 1
+        bw.write(v, cat)
+    nz = np.flatnonzero(blk[1:])
+    pos = 0
+    for idx in nz:
+        run = int(idx) - pos
+        while run >= 16:
+            code, ln = ac_codes[0xF0]            # ZRL
+            bw.write(code, ln)
+            run -= 16
+        v = int(blk[1 + idx])
+        cat = _category(v)
+        code, ln = ac_codes[(run << 4) | cat]
+        bw.write(code, ln)
+        vv = v if v > 0 else v + (1 << cat) - 1
+        bw.write(vv, cat)
+        pos = int(idx) + 1
+    if pos < 63:
+        code, ln = ac_codes[0x00]                # EOB
+        bw.write(code, ln)
+    return int(blk[0])
+
+
+def make_jpeg_color(rgb: np.ndarray, subsample: bool = True) -> bytes:
+    """Encode an (h, w, 3) uint8 RGB image as a REAL 3-component
+    baseline JPEG — YCbCr, 4:2:0 when ``subsample`` else 4:4:4,
+    luminance + chrominance Annex-K tables, interleaved MCU scan with
+    per-component DC predictors."""
+    import struct
+
+    rgb = np.asarray(rgb, np.uint8)
+    h, w = rgb.shape[:2]
+    y, cb, cr = rgb_to_ycbcr_planes(rgb)
+    if subsample:
+        hv_y, planes = (2, 2), [y, subsample_420(cb), subsample_420(cr)]
+    else:
+        hv_y, planes = (1, 1), [y, cb, cr]
+    hmax, vmax = hv_y
+    mcus_x = -(-w // (8 * hmax))
+    mcus_y = -(-h // (8 * vmax))
+    comps = []            # (qzz[n_bh, n_bw, 64], h_i, v_i, dc, ac)
+    for ci, plane in enumerate(planes):
+        h_i, v_i = hv_y if ci == 0 else (1, 1)
+        n_bh, n_bw = mcus_y * v_i, mcus_x * h_i
+        qtab = Q_LUMA if ci == 0 else Q_CHROMA
+        # the plane's own ceil/8 block grid goes through the exact twin
+        # code path (bit-contract); MCU-alignment padding blocks are
+        # all-zero (mid-gray) — the decoder crops them away, so their
+        # content is free, and zero blocks entropy-code smallest
+        ph, pw = plane.shape
+        bt_h, bt_w = -(-ph // 8), -(-pw // 8)
+        grid = np.zeros((n_bh, n_bw, 64), np.int32)
+        grid[:bt_h, :bt_w] = _quantized_blocks_q(plane, qtab) \
+            .reshape(bt_h, bt_w, 64)
+        dc = _DC_CODES if ci == 0 else _DC_CHROMA_CODES
+        ac = _AC_CODES if ci == 0 else _AC_CHROMA_CODES
+        comps.append((grid, h_i, v_i, dc, ac))
+
+    bw = _BitWriterJ()
+    prev = [0, 0, 0]
+    for my in range(mcus_y):
+        for mx in range(mcus_x):
+            for ci, (qzz, h_i, v_i, dc, ac) in enumerate(comps):
+                for v in range(v_i):
+                    for hh in range(h_i):
+                        prev[ci] = _encode_block(
+                            bw, qzz[my * v_i + v, mx * h_i + hh],
+                            prev[ci], dc, ac)
+    scan = bw.flush()
+
+    def seg(marker: int, body: bytes) -> bytes:
+        return bytes([0xFF, marker]) + struct.pack(">H", len(body) + 2) \
+            + body
+
+    qt0 = bytes([0]) + bytes(Q_LUMA.reshape(64)[ZIGZAG].astype(np.uint8))
+    qt1 = bytes([1]) + bytes(Q_CHROMA.reshape(64)[ZIGZAG].astype(np.uint8))
+    sof = (bytes([8]) + struct.pack(">HH", h, w) + bytes([3])
+           + bytes([1, (hmax << 4) | vmax, 0])
+           + bytes([2, 0x11, 1]) + bytes([3, 0x11, 1]))
+    dht = (bytes([0x00]) + bytes(DC_BITS) + bytes(DC_VALS)
+           + bytes([0x10]) + bytes(AC_BITS) + bytes(AC_VALS)
+           + bytes([0x01]) + bytes(DC_CHROMA_BITS) + bytes(DC_CHROMA_VALS)
+           + bytes([0x11]) + bytes(AC_CHROMA_BITS) + bytes(AC_CHROMA_VALS))
+    sos = bytes([3, 1, 0x00, 2, 0x11, 3, 0x11, 0, 63, 0])
+    return (b"\xff\xd8" + seg(0xDB, qt0) + seg(0xDB, qt1)
+            + seg(0xC0, sof) + seg(0xC4, dht) + seg(0xDA, sos)
+            + scan + b"\xff\xd9")

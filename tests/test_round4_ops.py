@@ -223,3 +223,95 @@ def test_mondrian_leaves_are_k_anonymous_and_partition():
     out = mondrian_partitions_documents(docs, k=25)
     assert (out["n"] >= 25).all()
     assert out["n"].sum() == 500
+
+
+def test_color_jpeg_roundtrip_matches_lossy_core():
+    """decode(make_jpeg_color(img)) must equal the bitstream-free lossy
+    core for 4:2:0 AND 4:4:4 at awkward sizes — proves the color
+    marker + interleaved-MCU Huffman layer is exactly lossless around
+    the quantization (VERDICT r4 #4)."""
+    import numpy as np
+
+    import sits_classification_ray.stages.jpeg as J
+
+    rng = np.random.RandomState(5)
+
+    def twin(rgb, subsample):
+        h, w = rgb.shape[:2]
+        y, cb, cr = J.rgb_to_ycbcr_planes(rgb)
+
+        def core(p, Q):
+            hh, ww = p.shape
+            H, W = -(-hh // 8) * 8, -(-ww // 8) * 8
+            pad = np.empty((H, W), np.float64)
+            pad[:hh, :ww] = p
+            if W > ww:
+                pad[:hh, ww:] = pad[:hh, ww - 1:ww]
+            if H > hh:
+                pad[hh:, :] = pad[hh - 1:hh, :]
+            bl = (pad - 128.0).reshape(H // 8, 8, W // 8, 8) \
+                .transpose(0, 2, 1, 3).reshape(-1, 8, 8)
+            qc = np.round(np.einsum("ij,bjk,lk->bil", J.DCT_M, bl,
+                                    J.DCT_M) / Q[None, :, :])
+            pix = np.einsum("ji,bjk,kl->bil", J.DCT_M,
+                            qc * Q[None, :, :], J.DCT_M) + 128.0
+            pix = np.clip(np.round(pix), 0, 255).astype(np.uint8)
+            return pix.reshape(H // 8, W // 8, 8, 8) \
+                .transpose(0, 2, 1, 3).reshape(H, W)[:hh, :ww]
+
+        Ql = J.Q_LUMA.astype(np.float64)
+        Qc = J.Q_CHROMA.astype(np.float64)
+        if subsample:
+            y2 = core(y.astype(np.float64), Ql)
+            cb2 = np.repeat(np.repeat(core(
+                J.subsample_420(cb).astype(np.float64), Qc), 2, 0),
+                2, 1)[:h, :w]
+            cr2 = np.repeat(np.repeat(core(
+                J.subsample_420(cr).astype(np.float64), Qc), 2, 0),
+                2, 1)[:h, :w]
+        else:
+            y2 = core(y.astype(np.float64), Ql)
+            cb2 = core(cb.astype(np.float64), Qc)
+            cr2 = core(cr.astype(np.float64), Qc)
+        return J.ycbcr_to_rgb(y2, cb2, cr2)
+
+    for (h, w) in [(1, 12), (8, 17), (16, 16), (17, 23), (9, 31),
+                   (33, 18)]:
+        for sub in (True, False):
+            rgb = rng.randint(0, 256, (h, w, 3), np.uint8)
+            dec = J.decode_jpeg(J.make_jpeg_color(rgb, subsample=sub))
+            assert dec.shape == (h, w, 3)
+            assert np.array_equal(dec, twin(rgb, sub)), (h, w, sub)
+
+
+def test_gray_jpeg_decode_unchanged_by_color_extension():
+    """The generalized decoder must stay bit-identical to the lossy
+    core on 1-component streams (the pre-existing golden contract)."""
+    import numpy as np
+
+    import sits_classification_ray.stages.jpeg as J
+
+    rng = np.random.RandomState(6)
+    for (h, w) in [(1, 1), (8, 8), (17, 23), (30, 41)]:
+        img = rng.randint(0, 256, (h, w), np.uint8)
+        dec = J.decode_jpeg(J.make_jpeg(img))
+        exp = J.dequantized_pixels(J.quantized_blocks(img),
+                                   -(-h // 8), -(-w // 8), h, w)
+        assert np.array_equal(dec, exp)
+
+
+def test_png_adam7_roundtrip_lossless():
+    """Adam7 interlaced encode→decode must be an exact identity for
+    gray and RGB at edge sizes (VERDICT r4 #5)."""
+    import numpy as np
+
+    from sits_classification_ray.stages.multimodal import (decode_png,
+                                                           make_png)
+
+    rng = np.random.RandomState(11)
+    for (h, w) in [(1, 1), (1, 9), (7, 1), (8, 8), (13, 21), (31, 17)]:
+        for shape in [(h, w), (h, w, 3)]:
+            img = rng.randint(0, 256, shape, np.uint8)
+            for il in (False, True):
+                assert np.array_equal(
+                    decode_png(make_png(img, interlace=il)), img)
