@@ -203,13 +203,22 @@ def _read_stage(path: Path, buckets: list[int] | None = None,
                 tables.append(t)
             return pa.concat_tables(tables)
 
-        # schedule each file's read task back onto the node that wrote
-        # it (soft affinity from the `.node-<id>` filename tag) — the
-        # writer's page cache / object store still holds the bytes, so
-        # the exchange-free re-read stays node-local on a real cluster.
-        # Files without a resolvable tag (older runs, compactions, dead
-        # nodes) read with no affinity, exactly as before.
-        nodes = _writer_node_map()
+        # OPT-IN (``GRAFT_NODE_AFFINITY=1``): schedule each file's read
+        # task back onto the node that wrote it (soft affinity from the
+        # ``-node-<id>`` filename tag) — worthwhile on a real cluster
+        # whose stage files land on node-local disk.  Default OFF:
+        # measured on the single-host multi-raylet sim (4 nodes × 4
+        # CPUs, 8 M docs), affinity ON ran 12.3–13.4 s vs OFF
+        # 10.8–11.3 s — the per-node operator groups fragment the
+        # streaming executor's scheduling while the shared page cache
+        # makes the locality gain zero, so the hint is a net loss
+        # everywhere the storage is shared (incl. S3-style object
+        # stores).  Files without a resolvable tag (older runs,
+        # compactions, dead nodes) read with no affinity either way.
+        import os
+
+        nodes = (_writer_node_map()
+                 if os.environ.get("GRAFT_NODE_AFFINITY") else {})
         by_node: dict[str | None, list[str]] = {}
         for p in paths:
             m = _NODE_TAG_RE.search(p)
