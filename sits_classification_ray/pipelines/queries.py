@@ -1080,9 +1080,12 @@ def _jpeg_color_thumbnails_crawl(sf_dir: str) -> rd.Dataset:
     """REAL 3-component color-JPEG decode (VERDICT r4 #4): crawl
     payloads become genuine YCbCr baseline JPEGs — alternating 4:2:0
     (even-length html) and 4:4:4 (odd) so BOTH subsampling paths are
-    oracle-checked — and an actor-pool stage Huffman-decodes the
-    interleaved MCU scan, dequantizes luma+chroma against the stream's
-    own tables, IDCTs, upsamples chroma and converts to RGB. The
+    oracle-checked, with DRI/RSTn restart markers every n%4 MCUs on
+    three quarters of the payloads — and an actor-pool stage
+    Huffman-decodes the interleaved MCU scan (resyncing + resetting DC
+    predictors at restart markers), dequantizes luma+chroma against
+    the stream's own tables, IDCTs, upsamples chroma and converts to
+    RGB. The
     golden twin derives the expected pixels from the raw bytes through
     the same lossy core WITHOUT any bitstream code, so a hash match
     proves the color marker/entropy layer is exactly lossless around
@@ -1103,7 +1106,8 @@ def _jpeg_color_thumbnails_crawl(sf_dir: str) -> rd.Dataset:
             need = w * ht * 3
             px = np.frombuffer((h * (need // n + 1))[:need],
                                np.uint8).reshape(ht, w, 3)
-            payloads.append(make_jpeg_color(px, subsample=(n % 2 == 0)))
+            payloads.append(make_jpeg_color(px, subsample=(n % 2 == 0),
+                                            restart_interval=n % 4))
         return pd.DataFrame({"url": df["url"], "warc_ts": df["warc_ts"],
                              "payload": payloads})
 

@@ -120,10 +120,21 @@ class _BitWriterJ:
                 self.buf.append(0x00)          # byte stuffing
         self.acc &= (1 << self.nbits) - 1
 
-    def flush(self) -> bytes:
+    def align(self) -> None:
+        """Pad to a byte boundary with 1-bits (T.81 F.1.2.3) without
+        finalizing — used before restart markers."""
         if self.nbits:
             pad = 8 - self.nbits
-            self.write((1 << pad) - 1, pad)     # pad with 1-bits
+            self.write((1 << pad) - 1, pad)
+
+    def emit_marker(self, code: int) -> None:
+        """Append a literal FF xx marker (no byte stuffing)."""
+        self.align()
+        self.buf.append(0xFF)
+        self.buf.append(code)
+
+    def flush(self) -> bytes:
+        self.align()
         return bytes(self.buf)
 
 
@@ -240,6 +251,7 @@ def decode_jpeg(data: bytes) -> np.ndarray:
     comps: list[tuple[int, int, int, int]] = []   # (id, h_i, v_i, tq)
     huff: dict = {}
     scan = None
+    dri = 0
     scomps: list[tuple[int, int, int]] = []       # (id, td, ta)
     while pos + 4 <= len(data):
         if data[pos] != 0xFF:
@@ -270,6 +282,8 @@ def decode_jpeg(data: bytes) -> np.ndarray:
                 comps.append((cid, hv >> 4, hv & 0x0F, tq))
         elif marker in (0xC1, 0xC2, 0xC3):
             raise NotImplementedError("only baseline sequential DCT")
+        elif marker == 0xDD:
+            dri = struct.unpack(">H", body[:2])[0]
         elif marker == 0xC4:
             off = 0
             while off < len(body):
@@ -293,23 +307,34 @@ def decode_jpeg(data: bytes) -> np.ndarray:
     dec = {k: {v: s for s, v in tbl.items()} for k, tbl in huff.items()}
     by_id = {cid: (hi, vi, tq) for cid, hi, vi, tq in comps}
 
-    # unstuff FF00 and stop at the next marker
-    raw = bytearray()
+    # unstuff FF00; split the scan into entropy segments at RSTn
+    # markers (restart intervals — byte-aligned resync points where the
+    # DC predictors reset); stop at any other marker (EOI)
+    segs: list[bytes] = []
+    cur = bytearray()
     i = 0
     while i < len(scan):
         b = scan[i]
         if b == 0xFF:
-            if i + 1 < len(scan) and scan[i + 1] == 0x00:
-                raw.append(0xFF)
+            nxt = scan[i + 1] if i + 1 < len(scan) else None
+            if nxt == 0x00:
+                cur.append(0xFF)
+                i += 2
+                continue
+            if nxt is not None and 0xD0 <= nxt <= 0xD7:
+                segs.append(bytes(cur))
+                cur = bytearray()
                 i += 2
                 continue
             break                                # a real marker (EOI)
-        raw.append(b)
+        cur.append(b)
         i += 1
-    raw = bytes(raw)
+    segs.append(bytes(cur))
+    raw = segs[0]
 
     acc = bits = 0
     bpos = 0
+    seg_i = 0
 
     def read_bit():
         nonlocal acc, bits, bpos
@@ -319,6 +344,13 @@ def decode_jpeg(data: bytes) -> np.ndarray:
             bits = 8
         bits -= 1
         return (acc >> bits) & 1
+
+    def next_segment():
+        nonlocal raw, acc, bits, bpos, seg_i
+        seg_i += 1
+        raw = segs[seg_i]
+        acc = bits = 0
+        bpos = 0
 
     def read_val(cat):
         v = 0
@@ -375,8 +407,14 @@ def decode_jpeg(data: bytes) -> np.ndarray:
             "qzz": np.zeros((n_bh, n_bw, 64), np.int32),
             "n_bh": n_bh, "n_bw": n_bw, "prev": 0,
         })
+    mcu_i = 0
     for my in range(mcus_y):
         for mx in range(mcus_x):
+            if dri and mcu_i and mcu_i % dri == 0:
+                next_segment()                   # RST: realign + reset
+                for c in plan:
+                    c["prev"] = 0
+            mcu_i += 1
             for c in plan:
                 for v in range(c["vi"]):
                     for hh in range(c["hi"]):
@@ -548,11 +586,15 @@ def _encode_block(bw: "_BitWriterJ", blk: np.ndarray, prev_dc: int,
     return int(blk[0])
 
 
-def make_jpeg_color(rgb: np.ndarray, subsample: bool = True) -> bytes:
+def make_jpeg_color(rgb: np.ndarray, subsample: bool = True,
+                    restart_interval: int = 0) -> bytes:
     """Encode an (h, w, 3) uint8 RGB image as a REAL 3-component
     baseline JPEG — YCbCr, 4:2:0 when ``subsample`` else 4:4:4,
     luminance + chrominance Annex-K tables, interleaved MCU scan with
-    per-component DC predictors."""
+    per-component DC predictors.  ``restart_interval`` > 0 emits a DRI
+    segment and RSTn markers every that many MCUs (byte-aligned scan,
+    DC predictors reset) — the resync structure most real web JPEGs
+    carry."""
     import struct
 
     rgb = np.asarray(rgb, np.uint8)
@@ -585,8 +627,13 @@ def make_jpeg_color(rgb: np.ndarray, subsample: bool = True) -> bytes:
 
     bw = _BitWriterJ()
     prev = [0, 0, 0]
+    mcu_i = 0
     for my in range(mcus_y):
         for mx in range(mcus_x):
+            if restart_interval and mcu_i and mcu_i % restart_interval == 0:
+                bw.emit_marker(0xD0 + (mcu_i // restart_interval - 1) % 8)
+                prev = [0, 0, 0]
+            mcu_i += 1
             for ci, (qzz, h_i, v_i, dc, ac) in enumerate(comps):
                 for v in range(v_i):
                     for hh in range(h_i):
@@ -609,6 +656,8 @@ def make_jpeg_color(rgb: np.ndarray, subsample: bool = True) -> bytes:
            + bytes([0x01]) + bytes(DC_CHROMA_BITS) + bytes(DC_CHROMA_VALS)
            + bytes([0x11]) + bytes(AC_CHROMA_BITS) + bytes(AC_CHROMA_VALS))
     sos = bytes([3, 1, 0x00, 2, 0x11, 3, 0x11, 0, 63, 0])
+    dri = (seg(0xDD, struct.pack(">H", restart_interval))
+           if restart_interval else b"")
     return (b"\xff\xd8" + seg(0xDB, qt0) + seg(0xDB, qt1)
-            + seg(0xC0, sof) + seg(0xC4, dht) + seg(0xDA, sos)
+            + seg(0xC0, sof) + seg(0xC4, dht) + dri + seg(0xDA, sos)
             + scan + b"\xff\xd9")

@@ -315,3 +315,21 @@ def test_png_adam7_roundtrip_lossless():
             for il in (False, True):
                 assert np.array_equal(
                     decode_png(make_png(img, interlace=il)), img)
+
+
+def test_color_jpeg_restart_markers_lossless():
+    """DRI/RSTn restart intervals are pure entropy-layer resync: the
+    decoded pixels must be identical with and without them."""
+    import numpy as np
+
+    import sits_classification_ray.stages.jpeg as J
+
+    rng = np.random.RandomState(17)
+    for (h, w) in [(16, 16), (33, 18), (17, 23)]:
+        for sub in (True, False):
+            rgb = rng.randint(0, 256, (h, w, 3), np.uint8)
+            base = J.decode_jpeg(J.make_jpeg_color(rgb, subsample=sub))
+            for ri in (1, 3):
+                enc = J.make_jpeg_color(rgb, subsample=sub,
+                                        restart_interval=ri)
+                assert np.array_equal(J.decode_jpeg(enc), base)
