@@ -2035,15 +2035,25 @@ def png_thumbnails_crawl(crawl: pd.DataFrame) -> pd.DataFrame:
         h = r.html or b"\x00"
         n = len(h)
         w, ht = 8 + n % 40, 8 + n % 30
-        rgb = n % 2 == 1
-        need = w * ht * (3 if rgb else 1)
-        px = np.frombuffer((h * (need // n + 1))[:need], np.uint8)
-        if rgb:
-            p = px.reshape(ht, w, 3).astype(np.int64)
+        if n % 5 == 0:
+            need = w * ht
+            idx = np.frombuffer((h * (need // n + 1))[:need],
+                                np.uint8).reshape(ht, w)
+            pal = np.frombuffer((h * (768 // n + 2))[:768],
+                                np.uint8).reshape(256, 3)
+            p = pal[idx].astype(np.int64)
             gray = ((p[:, :, 0] + 2 * p[:, :, 1] + p[:, :, 2]) // 4
                     ).astype(np.uint8)
         else:
-            gray = px.reshape(ht, w)
+            rgb = n % 2 == 1
+            need = w * ht * (3 if rgb else 1)
+            px = np.frombuffer((h * (need // n + 1))[:need], np.uint8)
+            if rgb:
+                p = px.reshape(ht, w, 3).astype(np.int64)
+                gray = ((p[:, :, 0] + 2 * p[:, :, 1] + p[:, :, 2]) // 4
+                        ).astype(np.uint8)
+            else:
+                gray = px.reshape(ht, w)
         ys = (np.arange(16) * ht) // 16
         xs = (np.arange(16) * w) // 16
         small = gray[np.ix_(ys, xs)]

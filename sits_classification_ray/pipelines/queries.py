@@ -1005,11 +1005,12 @@ def _resized_thumbnails_crawl(sf_dir: str) -> rd.Dataset:
 
 def _png_thumbnails_crawl(sf_dir: str) -> rd.Dataset:
     """REAL compressed-image decode via stdlib zlib: crawl payloads
-    become genuine deflate-compressed PNGs (8-bit gray or RGB, all
-    five scanline filters cycling by row, and every third payload a
-    REAL Adam7 interlaced stream — r5), an actor-pool stage inflates
-    IDAT, unfilters (+ deinterlaces) per the PNG spec, collapses RGB
-    to exact
+    become genuine deflate-compressed PNGs (8-bit gray, RGB, or
+    indexed-color PLTE on every fifth payload, all five scanline
+    filters cycling by row, and every third payload a REAL Adam7
+    interlaced stream — r5), an actor-pool stage inflates IDAT,
+    unfilters (+ deinterlaces, + palette-expands) per the PNG spec,
+    collapses RGB to exact
     integer luma and nearest-neighbor-resamples to 16×16. The golden
     oracle computes the expected thumbnail straight from the raw html
     bytes WITHOUT any PNG code, so a hash match proves the
@@ -1026,6 +1027,17 @@ def _png_thumbnails_crawl(sf_dir: str) -> rd.Dataset:
             h = h or b"\x00"
             n = len(h)
             w, ht = 8 + n % 40, 8 + n % 30
+            if n % 5 == 0:
+                # indexed-color (PLTE) payload: byte raster as indices,
+                # palette tiled from the same bytes — r5
+                need = w * ht
+                idx = np.frombuffer((h * (need // n + 1))[:need],
+                                    np.uint8).reshape(ht, w)
+                pal = np.frombuffer((h * (768 // n + 2))[:768],
+                                    np.uint8).reshape(256, 3)
+                payloads.append(make_png(idx, interlace=(n % 3 == 0),
+                                         palette=pal))
+                continue
             rgb = n % 2 == 1
             need = w * ht * (3 if rgb else 1)
             px = np.frombuffer((h * (need // n + 1))[:need], np.uint8)

@@ -459,13 +459,23 @@ def _filter_scanlines(raw: np.ndarray, ch: int) -> bytearray:
     return stream
 
 
-def make_png(pixels: np.ndarray, interlace: bool = False) -> bytes:
+def make_png(pixels: np.ndarray, interlace: bool = False,
+             palette: np.ndarray | None = None) -> bytes:
     """Encode a REAL spec-conformant PNG from an (h, w) grayscale or
     (h, w, 3) RGB uint8 array; ``interlace=True`` writes a genuine
-    Adam7 stream (seven independently-filtered passes). IDAT is
+    Adam7 stream (seven independently-filtered passes). With
+    ``palette`` (a (256, 3) uint8 array), ``pixels`` must be an (h, w)
+    INDEX raster and the file is written as color type 3 with a PLTE
+    chunk — the indexed form most small web images use. IDAT is
     genuinely deflate-compressed."""
     arr = np.ascontiguousarray(pixels, dtype=np.uint8)
-    if arr.ndim == 2:
+    if palette is not None:
+        if arr.ndim != 2 or palette.shape != (256, 3):
+            raise ValueError("palette mode needs (h,w) indices + "
+                             "(256,3) palette")
+        h, w = arr.shape
+        ct, ch = 3, 1
+    elif arr.ndim == 2:
         h, w = arr.shape
         ct, ch = 0, 1
     elif arr.ndim == 3 and arr.shape[2] == 3:
@@ -494,8 +504,10 @@ def make_png(pixels: np.ndarray, interlace: bool = False) -> bytes:
         return (struct.pack(">I", len(body)) + tag + body
                 + struct.pack(">I", zlib.crc32(tag + body) & 0xFFFFFFFF))
 
-    return (_PNG_SIG + chunk(b"IHDR", ihdr) + chunk(b"IDAT", idat)
-            + chunk(b"IEND", b""))
+    plte = (chunk(b"PLTE", np.ascontiguousarray(
+        palette, np.uint8).tobytes()) if palette is not None else b"")
+    return (_PNG_SIG + chunk(b"IHDR", ihdr) + plte
+            + chunk(b"IDAT", idat) + chunk(b"IEND", b""))
 
 
 def decode_png(data: bytes) -> np.ndarray:
@@ -510,6 +522,7 @@ def decode_png(data: bytes) -> np.ndarray:
         raise ValueError("not a PNG")
     pos, idat = 8, bytearray()
     w = h = depth = ct = interlace = None
+    plte = None
     while pos + 12 <= len(data):
         ln = struct.unpack(">I", data[pos:pos + 4])[0]
         tag = data[pos + 4:pos + 8]
@@ -517,6 +530,8 @@ def decode_png(data: bytes) -> np.ndarray:
         if tag == b"IHDR":
             w, h, depth, ct = struct.unpack(">IIBB", body[:10])
             interlace = body[12]
+        elif tag == b"PLTE":
+            plte = np.frombuffer(body, np.uint8).reshape(-1, 3)
         elif tag == b"IDAT":
             idat += body
         elif tag == b"IEND":
@@ -524,12 +539,14 @@ def decode_png(data: bytes) -> np.ndarray:
         pos += 12 + ln
     if w is None:
         raise ValueError("missing IHDR")
-    if depth != 8 or ct not in (0, 2) or interlace not in (0, 1):
+    if depth != 8 or ct not in (0, 2, 3) or interlace not in (0, 1):
         raise NotImplementedError(
             f"PNG depth={depth} color_type={ct} interlace={interlace}: "
-            "only 8-bit gray/RGB (non-interlaced or Adam7) is "
+            "only 8-bit gray/RGB/palette (non-interlaced or Adam7) is "
             "implemented")
-    ch = 1 if ct == 0 else 3
+    if ct == 3 and plte is None:
+        raise ValueError("palette image without PLTE")
+    ch = 3 if ct == 2 else 1
     raw = zlib.decompress(bytes(idat))
 
     def unfilter(pos: int, hp: int, wp: int) -> tuple[np.ndarray, int]:
@@ -572,11 +589,17 @@ def decode_png(data: bytes) -> np.ndarray:
             prev = rec
         return out, pos
 
+    def finish(arr2d: np.ndarray) -> np.ndarray:
+        if ct == 3:
+            return plte[arr2d.reshape(h, w)]     # index → RGB
+        return (arr2d.reshape(h, w, 3) if ch == 3
+                else arr2d.reshape(h, w))
+
     if not interlace:
         if len(raw) != h * (w * ch + 1):
             raise ValueError("IDAT size mismatch")
         out, _ = unfilter(0, h, w)
-        return out.reshape(h, w, 3) if ch == 3 else out.reshape(h, w)
+        return finish(out)
 
     # Adam7: seven independently-filtered passes scattered onto the
     # full-resolution grid (spec §8.2); empty passes carry no bytes
@@ -591,7 +614,7 @@ def decode_png(data: bytes) -> np.ndarray:
         full[y0::dy, x0::dx] = sub.reshape(hp, wp, ch)
     if pos != len(raw):
         raise ValueError("IDAT size mismatch")
-    return full.reshape(h, w, 3) if ch == 3 else full.reshape(h, w)
+    return finish(full)
 
 
 class PngThumbnailer:

@@ -333,3 +333,20 @@ def test_color_jpeg_restart_markers_lossless():
                 enc = J.make_jpeg_color(rgb, subsample=sub,
                                         restart_interval=ri)
                 assert np.array_equal(J.decode_jpeg(enc), base)
+
+
+def test_png_palette_roundtrip():
+    """Indexed-color (PLTE) PNGs decode to palette[index] exactly,
+    interlaced or not."""
+    import numpy as np
+
+    from sits_classification_ray.stages.multimodal import (decode_png,
+                                                           make_png)
+
+    rng = np.random.RandomState(23)
+    for (h, w) in [(1, 1), (9, 13), (31, 7)]:
+        idx = rng.randint(0, 256, (h, w), np.uint8)
+        pal = rng.randint(0, 256, (256, 3), np.uint8)
+        for il in (False, True):
+            dec = decode_png(make_png(idx, interlace=il, palette=pal))
+            assert np.array_equal(dec, pal[idx])
