@@ -2065,6 +2065,37 @@ def png_thumbnails_crawl(crawl: pd.DataFrame) -> pd.DataFrame:
                                        "pixel_sum", "n_dark"])
 
 
+def gif_thumbnails_crawl(crawl: pd.DataFrame) -> pd.DataFrame:
+    """Expected output of the GIF decode+thumbnail query computed
+    WITHOUT any GIF/LZW code: palette and index raster are both
+    derivable from the raw html bytes (GIF is lossless), so expected =
+    integer luma of palette[index], nearest-neighbor 16×16."""
+    import zlib as _z
+
+    rows = []
+    for r in crawl.itertuples():
+        h = r.html or b"\x00"
+        n = len(h)
+        w, ht = 8 + n % 37, 8 + n % 23
+        need = w * ht
+        idx = np.frombuffer((h * (need // n + 1))[:need],
+                            np.uint8).reshape(ht, w)
+        pal = np.frombuffer((h * (768 // n + 2))[:768],
+                            np.uint8).reshape(256, 3)
+        p = pal[idx].astype(np.int64)
+        gray = ((p[:, :, 0] + 2 * p[:, :, 1] + p[:, :, 2]) // 4
+                ).astype(np.uint8)
+        ys = (np.arange(16) * ht) // 16
+        xs = (np.arange(16) * w) // 16
+        small = gray[np.ix_(ys, xs)]
+        rows.append((r.url, r.warc_ts, w, ht,
+                     np.int64(_z.crc32(small.tobytes())),
+                     int(small.sum()), int((small < 64).sum())))
+    return pd.DataFrame(rows, columns=["url", "warc_ts", "width",
+                                       "height", "thumb_crc32",
+                                       "pixel_sum", "n_dark"])
+
+
 def jpeg_thumbnails_crawl(crawl: pd.DataFrame) -> pd.DataFrame:
     """Expected output of the JPEG decode+thumbnail query computed
     WITHOUT any bitstream code: the same published lossy core (8×8

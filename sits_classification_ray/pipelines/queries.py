@@ -1053,6 +1053,44 @@ def _png_thumbnails_crawl(sf_dir: str) -> rd.Dataset:
                                "thumb_crc32", "pixel_sum", "n_dark"])
 
 
+def _gif_thumbnails_crawl(sf_dir: str) -> rd.Dataset:
+    """REAL GIF LZW decode (r5): crawl payloads become genuine GIF89a
+    files — a 256-entry palette and index raster tiled from the html
+    bytes, compressed with a real dictionary-building LZW encoder
+    (variable 9–12-bit codes, CLEAR resets at the 4096 cap), every
+    third payload 4-pass interlaced — and an actor-pool stage decodes
+    the LZW stream, deinterlaces, palette-expands and thumbnails to
+    16×16 integer luma. The golden twin derives the expected pixels
+    straight from the raw bytes with no GIF code, so a hash match
+    proves the LZW layer is an exact identity (reference analog:
+    compressed-raster read, pytorch/predict.py:346-455)."""
+    import numpy as np
+
+    from sits_classification_ray.stages.multimodal import (gif_thumbnails,
+                                                           make_gif)
+
+    def synth(df: pd.DataFrame) -> pd.DataFrame:
+        payloads = []
+        for h in df["html"]:
+            h = h or b"\x00"
+            n = len(h)
+            w, ht = 8 + n % 37, 8 + n % 23
+            need = w * ht
+            idx = np.frombuffer((h * (need // n + 1))[:need],
+                                np.uint8).reshape(ht, w)
+            pal = np.frombuffer((h * (768 // n + 2))[:768],
+                                np.uint8).reshape(256, 3)
+            payloads.append(make_gif(idx, pal, interlace=(n % 3 == 0)))
+        return pd.DataFrame({"url": df["url"], "warc_ts": df["warc_ts"],
+                             "payload": payloads})
+
+    assets = crawl_from_tables(sf_dir).map_batches(
+        synth, batch_format="pandas")
+    out = gif_thumbnails(assets, out_w=16, out_h=16)
+    return out.select_columns(["url", "warc_ts", "width", "height",
+                               "thumb_crc32", "pixel_sum", "n_dark"])
+
+
 def _jpeg_thumbnails_crawl(sf_dir: str) -> rd.Dataset:
     """REAL baseline-JPEG decode: crawl payloads become genuine
     entropy-coded JPEGs (Annex-K tables, differential DC, ZRL/EOB
@@ -7592,6 +7630,8 @@ def build_queries() -> dict[str, Callable[[str], Any]]:
         "png_thumbnails_crawl": _png_thumbnails_crawl,
         # baseline JPEG entropy decode (golden from the lossy core)
         "jpeg_thumbnails_crawl": _jpeg_thumbnails_crawl,
+        # GIF LZW decode (golden)
+        "gif_thumbnails_crawl": _gif_thumbnails_crawl,
         # 3-component YCbCr color JPEG (4:2:0 + 4:4:4), golden-checked
         "jpeg_color_thumbnails_crawl": _jpeg_color_thumbnails_crawl,
         "wav_features_crawl": _wav_features_crawl,
@@ -7841,7 +7881,7 @@ GOLDEN_QUERIES = [
     "matrix_profile_discord_crawl", "boilerplate_extract_documents",
     "tune_trials", "sniffed_assets_crawl", "resized_thumbnails_crawl",
     "png_thumbnails_crawl", "jpeg_thumbnails_crawl",
-    "jpeg_color_thumbnails_crawl",
+    "jpeg_color_thumbnails_crawl", "gif_thumbnails_crawl",
     "wav_features_crawl", "y4m_scene_stats_crawl",
     "bpe_encode_documents",
     "srp_near_dup_embeddings", "weighted_sample_documents",

@@ -947,3 +947,278 @@ def jpeg_color_thumbnails(ds: rd.Dataset, out_w: int = 16,
                                "payload_col": payload_col},
         batch_format="pyarrow", batch_size=batch_size,
         concurrency=concurrency, num_cpus=1)
+
+
+# ---------------------------------------------------------------------------
+# GIF decode — REAL LZW codec, stdlib-only (r5)
+# ---------------------------------------------------------------------------
+#
+# GIF87a/89a: logical screen descriptor + global color table + one
+# image block whose pixel indices are LZW-compressed with variable
+# code width (9→12 bits, CLEAR resets, optional 4-pass interlace).
+# Completes the common-web-image set next to PNG and JPEG (reference
+# analog: GDAL-read compressed rasters, pytorch/predict.py:346-455).
+
+#: GIF 4-pass interlace row schedule: (first row, step) per pass.
+_GIF_INTERLACE = [(0, 8), (4, 8), (2, 4), (1, 2)]
+
+
+def make_gif(indices: np.ndarray, palette: np.ndarray,
+             interlace: bool = False) -> bytes:
+    """Encode an (h, w) uint8 index raster + (256, 3) palette as a
+    REAL GIF89a file. The LZW stream uses min-code-size 8 with a CLEAR
+    code before every dictionary-width growth (spec-valid 9-bit
+    literal coding — every decoder, including ours, must handle the
+    resets)."""
+    arr = np.ascontiguousarray(indices, np.uint8)
+    h, w = arr.shape
+    pal = np.ascontiguousarray(palette, np.uint8)
+    if pal.shape != (256, 3):
+        raise ValueError("palette must be (256,3) uint8")
+    out = bytearray(b"GIF89a")
+    out += struct.pack("<HH", w, h)
+    out += bytes([0xF7, 0, 0])          # global table, 256 entries
+    out += pal.tobytes()
+    flags = 0x40 if interlace else 0
+    out += b"\x2c" + struct.pack("<HHHH", 0, 0, w, h) + bytes([flags])
+    # pixel order: interlaced row schedule or raster order
+    if interlace:
+        rows = [r for first, step in _GIF_INTERLACE
+                for r in range(first, h, step)]
+        pix = arr[rows].reshape(-1)
+    else:
+        pix = arr.reshape(-1)
+    # real LZW, min code size 8: dictionary-building compressor with
+    # variable code width 9→12 tracked in DECODER time (the decoder
+    # appends one entry per code after the first, then widens when its
+    # table hits 2^width), CLEAR+reset at the 4096-entry cap
+    out.append(8)
+    stream = _lzw_encode(pix)
+    for i in range(0, len(stream), 255):
+        chunk = stream[i:i + 255]
+        out.append(len(chunk))
+        out += chunk
+    out += b"\x00\x3b"                  # block terminator + trailer
+    return bytes(out)
+
+
+def _lzw_encode(pix: np.ndarray, min_code: int = 8) -> bytearray:
+    """GIF LZW compressor (variable width, LSB-first). Width growth is
+    scheduled by simulating the DECODER's table length (one entry per
+    emitted code after the first of each segment) so both sides switch
+    at the same code index; at 4096 entries a CLEAR resets both."""
+    clear = 1 << min_code
+    eoi = clear + 1
+    acc = nbits = 0
+    stream = bytearray()
+    width = min_code + 1
+
+    def put(code: int) -> None:
+        nonlocal acc, nbits
+        acc |= code << nbits            # LSB-first packing
+        nbits += width
+        while nbits >= 8:
+            stream.append(acc & 0xFF)
+            acc >>= 8
+            nbits -= 8
+
+    table: dict[bytes, int] = {bytes([i]): i for i in range(clear)}
+    next_code = eoi + 1
+    dec_len = eoi + 1                  # decoder table length, sim
+    put(clear)
+    w = b""
+    n_emitted = 0
+
+    def emit(code: int) -> None:
+        nonlocal dec_len, width, n_emitted
+        put(code)
+        n_emitted += 1
+        if n_emitted > 1:              # decoder appends from 2nd code
+            dec_len += 1
+            if dec_len == (1 << width) and width < 12:
+                width += 1
+
+    for p in pix.tolist():
+        k = bytes([p])
+        if w + k in table:
+            w = w + k
+            continue
+        emit(table[w])
+        table[w + k] = next_code
+        next_code += 1
+        w = k
+        if next_code == 4096:          # cap: reset both sides
+            emit(table[w])
+            put(clear)
+            table = {bytes([i]): i for i in range(clear)}
+            next_code = eoi + 1
+            dec_len = eoi + 1
+            width = min_code + 1
+            n_emitted = 0
+            w = b""
+    if w:
+        emit(table[w])
+    put(eoi)
+    if nbits:
+        stream.append(acc & 0xFF)
+    return stream
+
+
+def decode_gif(data: bytes) -> np.ndarray:
+    """Decode the first image of a GIF87a/89a file to (h, w, 3) RGB:
+    full variable-width LZW (9→12 bits, CLEAR/EOI, dictionary
+    rebuild), global or local color table, optional 4-pass interlace.
+    Extensions are skipped; animation beyond the first frame is out of
+    scope (honest limit)."""
+    if data[:6] not in (b"GIF87a", b"GIF89a"):
+        raise ValueError("not a GIF")
+    sw, sh = struct.unpack("<HH", data[6:10])
+    flags = data[10]
+    pos = 13
+    gct = None
+    if flags & 0x80:
+        n = 2 << (flags & 7)
+        gct = np.frombuffer(data[pos:pos + 3 * n], np.uint8) \
+            .reshape(n, 3)
+        pos += 3 * n
+    while pos < len(data):
+        b = data[pos]
+        if b == 0x21:                   # extension: skip sub-blocks
+            pos += 2
+            while data[pos]:
+                pos += 1 + data[pos]
+            pos += 1
+        elif b == 0x2C:
+            left, top, w, h = struct.unpack("<HHHH", data[pos + 1:pos + 9])
+            iflags = data[pos + 9]
+            pos += 10
+            pal = gct
+            if iflags & 0x80:
+                n = 2 << (iflags & 7)
+                pal = np.frombuffer(data[pos:pos + 3 * n], np.uint8) \
+                    .reshape(n, 3)
+                pos += 3 * n
+            if pal is None:
+                raise ValueError("GIF image without color table")
+            min_code = data[pos]
+            pos += 1
+            lzw = bytearray()
+            while data[pos]:
+                ln = data[pos]
+                lzw += data[pos + 1:pos + 1 + ln]
+                pos += 1 + ln
+            pos += 1
+            idx = _lzw_decode(bytes(lzw), min_code, w * h)
+            arr = np.asarray(idx, np.uint8).reshape(h, w)
+            if iflags & 0x40:           # 4-pass interlace
+                out = np.zeros((h, w), np.uint8)
+                r = 0
+                for first, step in _GIF_INTERLACE:
+                    for y in range(first, h, step):
+                        out[y] = arr[r]
+                        r += 1
+                arr = out
+            return pal[arr]
+        elif b == 0x3B:
+            break
+        else:
+            raise ValueError(f"bad GIF block 0x{b:02x}")
+    raise ValueError("no image block in GIF")
+
+
+def _lzw_decode(stream: bytes, min_code: int, n_pixels: int) -> bytearray:
+    """Variable-width GIF LZW: codes start at min_code+1 bits, grow to
+    12 as the dictionary fills, CLEAR resets, EOI ends. LSB-first bit
+    packing per the spec."""
+    clear = 1 << min_code
+    eoi = clear + 1
+    out = bytearray()
+    acc = nbits = bpos = 0
+    width = min_code + 1
+    dict_codes: list[bytes] = [bytes([i]) for i in range(clear)] \
+        + [b"", b""]
+    prev: bytes | None = None
+
+    def read_code():
+        nonlocal acc, nbits, bpos
+        while nbits < width:
+            if bpos >= len(stream):
+                return eoi
+            acc |= stream[bpos] << nbits
+            bpos += 1
+            nbits += 8
+        code = acc & ((1 << width) - 1)
+        acc >>= width
+        nbits -= width
+        return code
+
+    while len(out) < n_pixels:
+        code = read_code()
+        if code == clear:
+            dict_codes = [bytes([i]) for i in range(clear)] + [b"", b""]
+            width = min_code + 1
+            prev = None
+            continue
+        if code == eoi:
+            break
+        if code < len(dict_codes):
+            entry = dict_codes[code]
+            if prev is not None:
+                dict_codes.append(prev + entry[:1])
+        elif code == len(dict_codes) and prev is not None:
+            entry = prev + prev[:1]
+            dict_codes.append(entry)
+        else:
+            raise ValueError("bad LZW code")
+        out += entry
+        prev = entry
+        if len(dict_codes) == (1 << width) and width < 12:
+            width += 1
+    return out[:n_pixels]
+
+
+class GifThumbnailer:
+    """Actor-pool stage: REAL GIF LZW decode → integer-luma 16×16
+    thumbnail with the same bit-strong output contract as
+    :class:`PngThumbnailer`."""
+
+    def __init__(self, out_w: int = 16, out_h: int = 16,
+                 payload_col: str = "payload"):
+        self.out_w, self.out_h = out_w, out_h
+        self.payload_col = payload_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        crcs, sums, n_dark, widths, heights = [], [], [], [], []
+        for p in batch[self.payload_col].to_pylist():
+            rgb = decode_gif(p or b"").astype(np.int64)
+            h, w = rgb.shape[:2]
+            gray = ((rgb[:, :, 0] + 2 * rgb[:, :, 1] + rgb[:, :, 2])
+                    // 4).astype(np.uint8)
+            ys = (np.arange(self.out_h) * h) // self.out_h
+            xs = (np.arange(self.out_w) * w) // self.out_w
+            small = gray[np.ix_(ys, xs)]
+            crcs.append(zlib.crc32(small.tobytes()))
+            sums.append(int(small.sum()))
+            n_dark.append(int((small < 64).sum()))
+            widths.append(w)
+            heights.append(h)
+        cols = {name: batch[name] for name in batch.schema.names
+                if name != self.payload_col}
+        cols["width"] = pa.array(np.asarray(widths, np.int64))
+        cols["height"] = pa.array(np.asarray(heights, np.int64))
+        cols["thumb_crc32"] = pa.array(np.asarray(crcs, np.int64))
+        cols["pixel_sum"] = pa.array(np.asarray(sums, np.int64))
+        cols["n_dark"] = pa.array(np.asarray(n_dark, np.int64))
+        return pa.table(cols)
+
+
+def gif_thumbnails(ds: rd.Dataset, out_w: int = 16, out_h: int = 16,
+                   payload_col: str = "payload",
+                   batch_size: int = 256,
+                   concurrency: tuple[int, int] = (1, 8)) -> rd.Dataset:
+    return ds.map_batches(
+        GifThumbnailer,
+        fn_constructor_kwargs={"out_w": out_w, "out_h": out_h,
+                               "payload_col": payload_col},
+        batch_format="pyarrow", batch_size=batch_size,
+        concurrency=concurrency, num_cpus=1)

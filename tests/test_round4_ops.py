@@ -350,3 +350,23 @@ def test_png_palette_roundtrip():
         for il in (False, True):
             dec = decode_png(make_png(idx, interlace=il, palette=pal))
             assert np.array_equal(dec, pal[idx])
+
+
+def test_gif_lzw_roundtrip():
+    """GIF encode→decode is an exact identity: real dictionary LZW
+    with width growth, the 4096-entry CLEAR reset, and 4-pass
+    interlace all exercised."""
+    import numpy as np
+
+    from sits_classification_ray.stages.multimodal import (decode_gif,
+                                                           make_gif)
+
+    rng = np.random.RandomState(29)
+    pal = rng.randint(0, 256, (256, 3), np.uint8)
+    cases = [rng.randint(0, 256, (9, 13), np.uint8),
+             np.zeros((40, 40), np.uint8),
+             rng.randint(0, 4, (150, 150)).astype(np.uint8)]
+    for idx in cases:
+        for il in (False, True):
+            assert np.array_equal(
+                decode_gif(make_gif(idx, pal, interlace=il)), pal[idx])

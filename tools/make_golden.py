@@ -240,6 +240,8 @@ def make_for(sf_dir: str, only: set[str] | None = None) -> None:
             lambda: golden.jpeg_thumbnails_crawl(crawl),
         "jpeg_color_thumbnails_crawl":
             lambda: golden.jpeg_color_thumbnails_crawl(crawl),
+        "gif_thumbnails_crawl":
+            lambda: golden.gif_thumbnails_crawl(crawl),
         "wav_features_crawl":
             lambda: golden.wav_features_crawl(crawl),
         "y4m_scene_stats_crawl":
