@@ -1131,11 +1131,12 @@ def _jpeg_color_thumbnails_crawl(sf_dir: str) -> rd.Dataset:
     payloads become genuine YCbCr baseline JPEGs — alternating 4:2:0
     (even-length html) and 4:4:4 (odd) so BOTH subsampling paths are
     oracle-checked, with DRI/RSTn restart markers every n%4 MCUs on
-    three quarters of the payloads — and an actor-pool stage
-    Huffman-decodes the interleaved MCU scan (resyncing + resetting DC
-    predictors at restart markers), dequantizes luma+chroma against
-    the stream's own tables, IDCTs, upsamples chroma and converts to
-    RGB. The
+    most payloads and every seventh payload a PROGRESSIVE (SOF2)
+    spectral-selection stream (DC scan + per-component AC band scans
+    with EOBn coding) — and an actor-pool stage Huffman-decodes the
+    scans (multi-scan marker walk, restart resync, EOBRUN),
+    dequantizes luma+chroma against the stream's own tables, IDCTs,
+    upsamples chroma and converts to RGB. The
     golden twin derives the expected pixels from the raw bytes through
     the same lossy core WITHOUT any bitstream code, so a hash match
     proves the color marker/entropy layer is exactly lossless around
@@ -1156,8 +1157,10 @@ def _jpeg_color_thumbnails_crawl(sf_dir: str) -> rd.Dataset:
             need = w * ht * 3
             px = np.frombuffer((h * (need // n + 1))[:need],
                                np.uint8).reshape(ht, w, 3)
-            payloads.append(make_jpeg_color(px, subsample=(n % 2 == 0),
-                                            restart_interval=n % 4))
+            payloads.append(make_jpeg_color(
+                px, subsample=(n % 2 == 0),
+                restart_interval=0 if n % 7 == 0 else n % 4,
+                progressive=(n % 7 == 0)))
         return pd.DataFrame({"url": df["url"], "warc_ts": df["warc_ts"],
                              "payload": payloads})
 

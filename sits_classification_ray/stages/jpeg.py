@@ -10,7 +10,10 @@ Huffman tables. The full marker/entropy layer is real: DQT / SOF0 /
 DHT / SOS parsing, canonical Huffman code reconstruction, byte
 unstuffing (FF 00), per-component differential DC, run-length AC with
 ZRL/EOB, dequantize + IDCT, replication chroma upsample, fixed-literal
-JFIF color matrices. Progressive streams still raise (honest scope).
+JFIF color matrices, DRI/RSTn restart resync, and PROGRESSIVE (SOF2)
+spectral-selection decode (multi-scan, EOBn runs, DC successive-
+approximation first/refine; AC refinement scans raise — honest
+scope).
 
 Determinism contract: the DCT/IDCT are exact 8×8 matrix products with
 the orthonormal DCT-II matrix, quantization is ``np.round`` (half to
@@ -231,92 +234,16 @@ def make_jpeg(img: np.ndarray) -> bytes:
             + scan + b"\xff\xd9")
 
 
-def decode_jpeg(data: bytes) -> np.ndarray:
-    """Full baseline decode: marker walk, canonical Huffman
-    reconstruction from the stream's own DHT, entropy decode with FF00
-    unstuffing, de-zigzag, dequantize, IDCT.  1-component streams
-    return an (h, w) grayscale array (bit-identical to the original
-    grayscale-only decoder); 3-component YCbCr streams (4:2:0 or any
-    h/v factors ≤ 2, interleaved baseline scan) return (h, w, 3) RGB
-    via replication chroma upsample + the fixed-literal inverse JFIF
-    matrix.  Raises ``NotImplementedError`` for progressive streams
-    (honest scope)."""
-    import struct
-
-    if data[:2] != b"\xff\xd8":
-        raise ValueError("not a JPEG")
-    pos = 2
-    qtabs: dict[int, np.ndarray] = {}
-    h = w = None
-    comps: list[tuple[int, int, int, int]] = []   # (id, h_i, v_i, tq)
-    huff: dict = {}
-    scan = None
-    dri = 0
-    scomps: list[tuple[int, int, int]] = []       # (id, td, ta)
-    while pos + 4 <= len(data):
-        if data[pos] != 0xFF:
-            raise ValueError("bad marker")
-        marker = data[pos + 1]
-        if marker == 0xD9:
-            break
-        ln = struct.unpack(">H", data[pos + 2:pos + 4])[0]
-        body = data[pos + 4:pos + 2 + ln]
-        if marker == 0xDB:
-            off = 0
-            while off + 65 <= len(body) + 0:
-                tq = body[off] & 0x0F
-                if body[off] >> 4:
-                    raise NotImplementedError("16-bit quant tables")
-                z = np.frombuffer(body[off + 1:off + 65],
-                                  np.uint8).astype(np.int32)
-                t = np.zeros(64, np.int32)
-                t[ZIGZAG] = z
-                qtabs[tq] = t.reshape(8, 8)
-                off += 65
-        elif marker == 0xC0:
-            _, h, w, ncomp = struct.unpack(">BHHB", body[:6])
-            if ncomp not in (1, 3):
-                raise NotImplementedError("1- or 3-component baseline")
-            for c in range(ncomp):
-                cid, hv, tq = body[6 + 3 * c:9 + 3 * c]
-                comps.append((cid, hv >> 4, hv & 0x0F, tq))
-        elif marker in (0xC1, 0xC2, 0xC3):
-            raise NotImplementedError("only baseline sequential DCT")
-        elif marker == 0xDD:
-            dri = struct.unpack(">H", body[:2])[0]
-        elif marker == 0xC4:
-            off = 0
-            while off < len(body):
-                tc_th = body[off]
-                bits = list(body[off + 1:off + 17])
-                nv = sum(bits)
-                vals = list(body[off + 17:off + 17 + nv])
-                huff[tc_th] = _canonical_codes(bits, vals)
-                off += 17 + nv
-        elif marker == 0xDA:
-            ns = body[0]
-            for c in range(ns):
-                cid, tdta = body[1 + 2 * c:3 + 2 * c]
-                scomps.append((cid, tdta >> 4, tdta & 0x0F))
-            scan = data[pos + 2 + ln:]
-            break
-        pos += 2 + ln
-    if not qtabs or h is None or scan is None or not comps:
-        raise ValueError("missing JPEG segments")
-    # decode tables: (code, length) → symbol, keyed (class, table id)
-    dec = {k: {v: s for s, v in tbl.items()} for k, tbl in huff.items()}
-    by_id = {cid: (hi, vi, tq) for cid, hi, vi, tq in comps}
-
-    # unstuff FF00; split the scan into entropy segments at RSTn
-    # markers (restart intervals — byte-aligned resync points where the
-    # DC predictors reset); stop at any other marker (EOI)
+def _split_entropy(data: bytes, i: int) -> tuple[list[bytes], int]:
+    """Unstuff FF00 and split one scan's entropy data into segments at
+    RSTn markers; returns (segments, position of the terminating FF
+    marker)."""
     segs: list[bytes] = []
     cur = bytearray()
-    i = 0
-    while i < len(scan):
-        b = scan[i]
+    while i < len(data):
+        b = data[i]
         if b == 0xFF:
-            nxt = scan[i + 1] if i + 1 < len(scan) else None
+            nxt = data[i + 1] if i + 1 < len(data) else None
             if nxt == 0x00:
                 cur.append(0xFF)
                 i += 2
@@ -326,110 +253,297 @@ def decode_jpeg(data: bytes) -> np.ndarray:
                 cur = bytearray()
                 i += 2
                 continue
-            break                                # a real marker (EOI)
+            break                                # a real marker
         cur.append(b)
         i += 1
     segs.append(bytes(cur))
-    raw = segs[0]
+    return segs, i
 
-    acc = bits = 0
-    bpos = 0
-    seg_i = 0
 
-    def read_bit():
-        nonlocal acc, bits, bpos
-        if bits == 0:
-            acc = raw[bpos]
-            bpos += 1
-            bits = 8
-        bits -= 1
-        return (acc >> bits) & 1
+def decode_jpeg(data: bytes) -> np.ndarray:
+    """Full JPEG decode: marker walk, canonical Huffman reconstruction
+    from the stream's own DHT, entropy decode with FF00 unstuffing and
+    DRI/RSTn restart resync, de-zigzag, dequantize, IDCT.
 
-    def next_segment():
-        nonlocal raw, acc, bits, bpos, seg_i
-        seg_i += 1
-        raw = segs[seg_i]
-        acc = bits = 0
-        bpos = 0
+    Supported frames: baseline sequential (SOF0, 1- or 3-component,
+    any sampling factors ≤ 2, interleaved scan) and PROGRESSIVE (SOF2)
+    with spectral selection — one DC scan (including successive-
+    approximation DC first/refine, Ah/Al) plus per-component AC band
+    scans with EOBn run coding (Ah=0; AC successive-approximation
+    refinement raises, honest scope).  1-component streams return
+    (h, w) grayscale bit-identical to the original decoder;
+    3-component YCbCr streams return (h, w, 3) RGB via replication
+    chroma upsample + the fixed-literal inverse JFIF matrix."""
+    import struct
 
-    def read_val(cat):
-        v = 0
-        for _ in range(cat):
-            v = (v << 1) | read_bit()
-        if cat and v < (1 << (cat - 1)):
-            v -= (1 << cat) - 1
-        return v
+    if data[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG")
+    pos = 2
+    qtabs: dict[int, np.ndarray] = {}
+    h = w = None
+    comps: list[tuple[int, int, int, int]] = []   # (id, h_i, v_i, tq)
+    huff: dict = {}
+    dri = 0
+    progressive = False
+    frame: dict[int, dict] = {}
+    hmax = vmax = 1
+    mcus_x = mcus_y = 0
+    any_scan = False
 
-    def read_symbol(table):
-        code, ln = 0, 0
-        while True:
-            code = (code << 1) | read_bit()
-            ln += 1
-            sym = table.get((code, ln))
-            if sym is not None:
-                return sym
-            if ln > 16:
-                raise ValueError("bad Huffman stream")
+    def dec_tables():
+        return {k: {v: sym for sym, v in tbl.items()}
+                for k, tbl in huff.items()}
 
-    def read_block(out, dc_dec, ac_dec, prev_dc):
-        cat = read_symbol(dc_dec)
-        prev_dc += read_val(cat)
-        out[0] = prev_dc
-        k = 1
-        while k < 64:
-            sym = read_symbol(ac_dec)
-            if sym == 0x00:                      # EOB
-                break
-            run, cat = sym >> 4, sym & 0x0F
-            if sym == 0xF0:                      # ZRL
-                k += 16
-                continue
-            k += run
-            out[k] = read_val(cat)
-            k += 1
-        return prev_dc
+    def run_scan(scomps, Ss, Se, Ah, Al, segs):
+        nonlocal any_scan
+        any_scan = True
+        dec = dec_tables()
+        raw = segs[0]
+        acc = bits = bpos = 0
+        seg_i = 0
 
-    # interleaved baseline scan: MCU grid sized by the max sampling
-    # factors; each MCU carries v_i×h_i blocks per scan component (for
-    # a 1-component scan this degenerates to exactly the plain block
-    # raster the grayscale encoder writes)
-    hmax = max(hi for _, hi, _, _ in comps)
-    vmax = max(vi for _, _, vi, _ in comps)
-    mcus_x = -(-w // (8 * hmax))
-    mcus_y = -(-h // (8 * vmax))
-    plan = []                                    # per scan component
-    for cid, td, ta in (scomps or [(comps[0][0], 0, 0)]):
-        hi, vi, tq = by_id[cid]
-        n_bh, n_bw = mcus_y * vi, mcus_x * hi
-        plan.append({
-            "hi": hi, "vi": vi, "tq": tq,
-            "dc": dec[td], "ac": dec[0x10 | ta],
-            "qzz": np.zeros((n_bh, n_bw, 64), np.int32),
-            "n_bh": n_bh, "n_bw": n_bw, "prev": 0,
-        })
-    mcu_i = 0
-    for my in range(mcus_y):
-        for mx in range(mcus_x):
-            if dri and mcu_i and mcu_i % dri == 0:
-                next_segment()                   # RST: realign + reset
-                for c in plan:
-                    c["prev"] = 0
-            mcu_i += 1
-            for c in plan:
-                for v in range(c["vi"]):
-                    for hh in range(c["hi"]):
-                        c["prev"] = read_block(
-                            c["qzz"][my * c["vi"] + v, mx * c["hi"] + hh],
-                            c["dc"], c["ac"], c["prev"])
+        def read_bit():
+            nonlocal acc, bits, bpos
+            if bits == 0:
+                acc = raw[bpos]
+                bpos += 1
+                bits = 8
+            bits -= 1
+            return (acc >> bits) & 1
+
+        def next_segment():
+            nonlocal raw, acc, bits, bpos, seg_i
+            seg_i += 1
+            raw = segs[seg_i]
+            acc = bits = 0
+            bpos = 0
+
+        def read_val(cat):
+            v = 0
+            for _ in range(cat):
+                v = (v << 1) | read_bit()
+            if cat and v < (1 << (cat - 1)):
+                v -= (1 << cat) - 1
+            return v
+
+        def read_raw(n):
+            v = 0
+            for _ in range(n):
+                v = (v << 1) | read_bit()
+            return v
+
+        def read_symbol(table):
+            code, ln = 0, 0
+            while True:
+                code = (code << 1) | read_bit()
+                ln += 1
+                sym = table.get((code, ln))
+                if sym is not None:
+                    return sym
+                if ln > 16:
+                    raise ValueError("bad Huffman stream")
+
+        def read_block(out, dc_dec, ac_dec, prev_dc):
+            cat = read_symbol(dc_dec)
+            prev_dc += read_val(cat)
+            out[0] = prev_dc
+            k = 1
+            while k < 64:
+                sym = read_symbol(ac_dec)
+                if sym == 0x00:                  # EOB
+                    break
+                run, cat = sym >> 4, sym & 0x0F
+                if sym == 0xF0:                  # ZRL
+                    k += 16
+                    continue
+                k += run
+                out[k] = read_val(cat)
+                k += 1
+            return prev_dc
+
+        plan = []
+        for cid, td, ta in scomps:
+            c = frame[cid]
+            plan.append({"c": c, "dc": dec.get(td),
+                         "ac": dec.get(0x10 | ta), "prev": 0})
+
+        if not progressive:
+            # interleaved full-range scan (ns==1 degenerates to the
+            # component's own block raster)
+            mcu_i = 0
+            if len(plan) == 1:
+                p0 = plan[0]
+                c = p0["c"]
+                for br in range(c["cbh"]):
+                    for bc in range(c["cbw"]):
+                        if dri and mcu_i and mcu_i % dri == 0:
+                            next_segment()
+                            p0["prev"] = 0
+                        mcu_i += 1
+                        p0["prev"] = read_block(c["qzz"][br, bc],
+                                                p0["dc"], p0["ac"],
+                                                p0["prev"])
+                return
+            for my in range(mcus_y):
+                for mx in range(mcus_x):
+                    if dri and mcu_i and mcu_i % dri == 0:
+                        next_segment()
+                        for p_ in plan:
+                            p_["prev"] = 0
+                    mcu_i += 1
+                    for p_ in plan:
+                        c = p_["c"]
+                        for v in range(c["vi"]):
+                            for hh in range(c["hi"]):
+                                p_["prev"] = read_block(
+                                    c["qzz"][my * c["vi"] + v,
+                                             mx * c["hi"] + hh],
+                                    p_["dc"], p_["ac"], p_["prev"])
+            return
+
+        # ---- progressive scans ----
+        if Ss == 0:
+            # DC scan, interleaved over the scan's components
+            mcu_i = 0
+            for my in range(mcus_y):
+                for mx in range(mcus_x):
+                    if dri and mcu_i and mcu_i % dri == 0:
+                        next_segment()
+                        for p_ in plan:
+                            p_["prev"] = 0
+                    mcu_i += 1
+                    for p_ in plan:
+                        c = p_["c"]
+                        for v in range(c["vi"]):
+                            for hh in range(c["hi"]):
+                                blk = c["qzz"][my * c["vi"] + v,
+                                               mx * c["hi"] + hh]
+                                if Ah == 0:
+                                    cat = read_symbol(p_["dc"])
+                                    p_["prev"] += read_val(cat)
+                                    blk[0] = p_["prev"] << Al
+                                else:            # DC refinement
+                                    if read_bit():
+                                        blk[0] |= 1 << Al
+            return
+        # AC band scan: single component, non-interleaved, EOBn runs
+        if len(plan) != 1:
+            raise ValueError("progressive AC scan must be 1-component")
+        if Ah != 0:
+            raise NotImplementedError(
+                "progressive AC successive-approximation refinement")
+        p0 = plan[0]
+        c = p0["c"]
+        eobrun = 0
+        blk_i = 0
+        for br in range(c["cbh"]):
+            for bc in range(c["cbw"]):
+                if dri and blk_i and blk_i % dri == 0:
+                    next_segment()
+                    eobrun = 0
+                blk_i += 1
+                if eobrun:
+                    eobrun -= 1
+                    continue
+                blk = c["qzz"][br, bc]
+                k = Ss
+                while k <= Se:
+                    sym = read_symbol(p0["ac"])
+                    r, sz = sym >> 4, sym & 0x0F
+                    if sz == 0:
+                        if r == 15:              # ZRL
+                            k += 16
+                            continue
+                        eobrun = (1 << r) - 1 + (read_raw(r) if r else 0)
+                        break                    # EOBn ends this block
+                    k += r
+                    blk[k] = read_val(sz) << Al
+                    k += 1
+        return
+
+    while pos + 2 <= len(data):
+        if data[pos] != 0xFF:
+            raise ValueError("bad marker")
+        marker = data[pos + 1]
+        if marker == 0xD9:
+            break
+        if pos + 4 > len(data):
+            break
+        ln = struct.unpack(">H", data[pos + 2:pos + 4])[0]
+        body = data[pos + 4:pos + 2 + ln]
+        if marker == 0xDB:
+            off = 0
+            while off + 65 <= len(body):
+                tq = body[off] & 0x0F
+                if body[off] >> 4:
+                    raise NotImplementedError("16-bit quant tables")
+                z = np.frombuffer(body[off + 1:off + 65],
+                                  np.uint8).astype(np.int32)
+                t = np.zeros(64, np.int32)
+                t[ZIGZAG] = z
+                qtabs[tq] = t.reshape(8, 8)
+                off += 65
+        elif marker in (0xC0, 0xC2):
+            progressive = marker == 0xC2
+            _, h, w, ncomp = struct.unpack(">BHHB", body[:6])
+            if ncomp not in (1, 3):
+                raise NotImplementedError("1- or 3-component only")
+            for ci in range(ncomp):
+                cid, hv, tq = body[6 + 3 * ci:9 + 3 * ci]
+                comps.append((cid, hv >> 4, hv & 0x0F, tq))
+            hmax = max(hi for _, hi, _, _ in comps)
+            vmax = max(vi for _, _, vi, _ in comps)
+            mcus_x = -(-w // (8 * hmax))
+            mcus_y = -(-h // (8 * vmax))
+            for cid, hi, vi, tq in comps:
+                ch_ = -(-h * vi // vmax)
+                cw_ = -(-w * hi // hmax)
+                frame[cid] = {
+                    "hi": hi, "vi": vi, "tq": tq,
+                    "n_bh": mcus_y * vi, "n_bw": mcus_x * hi,
+                    "cbh": -(-ch_ // 8), "cbw": -(-cw_ // 8),
+                    "qzz": np.zeros((mcus_y * vi, mcus_x * hi, 64),
+                                    np.int32),
+                }
+        elif marker in (0xC1, 0xC3):
+            raise NotImplementedError("only baseline/progressive DCT")
+        elif marker == 0xC4:
+            off = 0
+            while off < len(body):
+                tc_th = body[off]
+                bits_ = list(body[off + 1:off + 17])
+                nv = sum(bits_)
+                vals = list(body[off + 17:off + 17 + nv])
+                huff[tc_th] = _canonical_codes(bits_, vals)
+                off += 17 + nv
+        elif marker == 0xDD:
+            dri = struct.unpack(">H", body[:2])[0]
+        elif marker == 0xDA:
+            ns = body[0]
+            scomps = []
+            for ci in range(ns):
+                cid, tdta = body[1 + 2 * ci:3 + 2 * ci]
+                scomps.append((cid, tdta >> 4, tdta & 0x0F))
+            Ss, Se, ahal = body[1 + 2 * ns:4 + 2 * ns]
+            if not frame:
+                raise ValueError("SOS before SOF")
+            segs, next_pos = _split_entropy(data, pos + 2 + ln)
+            run_scan(scomps, Ss, Se, ahal >> 4, ahal & 0x0F, segs)
+            pos = next_pos
+            continue
+        pos += 2 + ln
+    if not qtabs or h is None or not any_scan:
+        raise ValueError("missing JPEG segments")
 
     # dequantize against the STREAM'S OWN tables (== Annex K when the
     # stream came from make_jpeg*, but the decoder trusts the file)
     planes = []
-    for c in plan:
+    for cid, hi, vi, tq in comps:
+        c = frame[cid]
         n_blocks = c["n_bh"] * c["n_bw"]
         q = np.zeros((n_blocks, 64), np.float64)
         q[:, ZIGZAG] = c["qzz"].reshape(n_blocks, 64)
-        q = q.reshape(-1, 8, 8) * qtabs[c["tq"]][None, :, :] \
+        q = q.reshape(-1, 8, 8) * qtabs[tq][None, :, :] \
             .astype(np.float64)
         pix = np.einsum("ji,bjk,kl->bil", DCT_M, q, DCT_M) + 128.0
         pix = np.clip(np.round(pix), 0, 255).astype(np.uint8)
@@ -437,12 +551,12 @@ def decode_jpeg(data: bytes) -> np.ndarray:
             .transpose(0, 2, 1, 3).reshape(c["n_bh"] * 8, c["n_bw"] * 8)
         # crop to the component's own raster, then replicate up to the
         # full-resolution grid
-        ch = -(-h * c["vi"] // vmax)
-        cw = -(-w * c["hi"] // hmax)
-        plane = plane[:ch, :cw]
-        if c["vi"] != vmax or c["hi"] != hmax:
-            plane = np.repeat(np.repeat(plane, vmax // c["vi"], axis=0),
-                              hmax // c["hi"], axis=1)
+        ch_ = -(-h * vi // vmax)
+        cw_ = -(-w * hi // hmax)
+        plane = plane[:ch_, :cw_]
+        if vi != vmax or hi != hmax:
+            plane = np.repeat(np.repeat(plane, vmax // vi, axis=0),
+                              hmax // hi, axis=1)
         planes.append(plane[:h, :w])
 
     if len(planes) == 1:
@@ -586,15 +700,47 @@ def _encode_block(bw: "_BitWriterJ", blk: np.ndarray, prev_dc: int,
     return int(blk[0])
 
 
+def _encode_ac_band(bw: "_BitWriterJ", blk: np.ndarray,
+                    ac_codes: dict) -> None:
+    """Progressive AC band (Ss=1..63, Ah=Al=0): baseline-style
+    run/size coding but with EOB0 (symbol 0x00, eobrun=1) ending each
+    block — the simplest spec-valid EOBn usage."""
+    nz = np.flatnonzero(blk[1:])
+    pos = 0
+    for idx in nz:
+        run = int(idx) - pos
+        while run >= 16:
+            code, ln = ac_codes[0xF0]
+            bw.write(code, ln)
+            run -= 16
+        v = int(blk[1 + idx])
+        cat = _category(v)
+        code, ln = ac_codes[(run << 4) | cat]
+        bw.write(code, ln)
+        vv = v if v > 0 else v + (1 << cat) - 1
+        bw.write(vv, cat)
+        pos = int(idx) + 1
+    if pos < 63:
+        code, ln = ac_codes[0x00]                # EOB0
+        bw.write(code, ln)
+
+
 def make_jpeg_color(rgb: np.ndarray, subsample: bool = True,
-                    restart_interval: int = 0) -> bytes:
+                    restart_interval: int = 0,
+                    progressive: bool = False) -> bytes:
     """Encode an (h, w, 3) uint8 RGB image as a REAL 3-component
     baseline JPEG — YCbCr, 4:2:0 when ``subsample`` else 4:4:4,
     luminance + chrominance Annex-K tables, interleaved MCU scan with
     per-component DC predictors.  ``restart_interval`` > 0 emits a DRI
     segment and RSTn markers every that many MCUs (byte-aligned scan,
     DC predictors reset) — the resync structure most real web JPEGs
-    carry."""
+    carry.  ``progressive=True`` writes an SOF2 spectral-selection
+    frame: one interleaved DC scan followed by a full AC band scan
+    (Ss=1..63) per component, each block ended by EOB0 — the entropy
+    layout progressive web JPEGs use (restart markers and progressive
+    are mutually exclusive here)."""
+    if progressive and restart_interval:
+        raise ValueError("progressive + restart_interval unsupported")
     import struct
 
     rgb = np.asarray(rgb, np.uint8)
@@ -625,22 +771,56 @@ def make_jpeg_color(rgb: np.ndarray, subsample: bool = True,
         ac = _AC_CODES if ci == 0 else _AC_CHROMA_CODES
         comps.append((grid, h_i, v_i, dc, ac))
 
-    bw = _BitWriterJ()
-    prev = [0, 0, 0]
-    mcu_i = 0
-    for my in range(mcus_y):
-        for mx in range(mcus_x):
-            if restart_interval and mcu_i and mcu_i % restart_interval == 0:
-                bw.emit_marker(0xD0 + (mcu_i // restart_interval - 1) % 8)
-                prev = [0, 0, 0]
-            mcu_i += 1
-            for ci, (qzz, h_i, v_i, dc, ac) in enumerate(comps):
-                for v in range(v_i):
-                    for hh in range(h_i):
-                        prev[ci] = _encode_block(
-                            bw, qzz[my * v_i + v, mx * h_i + hh],
-                            prev[ci], dc, ac)
-    scan = bw.flush()
+    if progressive:
+        # scan 1: interleaved DC (Ss=Se=0); scans 2..4: per-component
+        # AC bands (Ss=1, Se=63), each a separate SOS+entropy segment
+        bw = _BitWriterJ()
+        prev = [0, 0, 0]
+        for my in range(mcus_y):
+            for mx in range(mcus_x):
+                for ci, (qzz, h_i, v_i, dc, ac) in enumerate(comps):
+                    for v in range(v_i):
+                        for hh in range(h_i):
+                            blk = qzz[my * v_i + v, mx * h_i + hh]
+                            diff = int(blk[0]) - prev[ci]
+                            prev[ci] = int(blk[0])
+                            cat = _category(diff)
+                            code, ln = dc[cat]
+                            bw.write(code, ln)
+                            if cat:
+                                vv = diff if diff > 0 \
+                                    else diff + (1 << cat) - 1
+                                bw.write(vv, cat)
+        dc_scan = bw.flush()
+        ac_scans = []
+        for ci, (qzz, h_i, v_i, dc, ac) in enumerate(comps):
+            ph, pw = planes[ci].shape
+            bt_h, bt_w = -(-ph // 8), -(-pw // 8)
+            bw = _BitWriterJ()
+            for br in range(bt_h):
+                for bc in range(bt_w):
+                    _encode_ac_band(bw, qzz[br, bc], ac)
+            ac_scans.append(bw.flush())
+        scan = None
+    else:
+        bw = _BitWriterJ()
+        prev = [0, 0, 0]
+        mcu_i = 0
+        for my in range(mcus_y):
+            for mx in range(mcus_x):
+                if restart_interval and mcu_i \
+                        and mcu_i % restart_interval == 0:
+                    bw.emit_marker(0xD0 + (mcu_i // restart_interval
+                                           - 1) % 8)
+                    prev = [0, 0, 0]
+                mcu_i += 1
+                for ci, (qzz, h_i, v_i, dc, ac) in enumerate(comps):
+                    for v in range(v_i):
+                        for hh in range(h_i):
+                            prev[ci] = _encode_block(
+                                bw, qzz[my * v_i + v, mx * h_i + hh],
+                                prev[ci], dc, ac)
+        scan = bw.flush()
 
     def seg(marker: int, body: bytes) -> bytes:
         return bytes([0xFF, marker]) + struct.pack(">H", len(body) + 2) \
@@ -655,6 +835,17 @@ def make_jpeg_color(rgb: np.ndarray, subsample: bool = True,
            + bytes([0x10]) + bytes(AC_BITS) + bytes(AC_VALS)
            + bytes([0x01]) + bytes(DC_CHROMA_BITS) + bytes(DC_CHROMA_VALS)
            + bytes([0x11]) + bytes(AC_CHROMA_BITS) + bytes(AC_CHROMA_VALS))
+    if progressive:
+        sof2 = sof                                 # same layout, SOF2
+        out = (b"\xff\xd8" + seg(0xDB, qt0) + seg(0xDB, qt1)
+               + seg(0xC2, sof2) + seg(0xC4, dht))
+        out += seg(0xDA, bytes([3, 1, 0x00, 2, 0x11, 3, 0x11,
+                                0, 0, 0])) + dc_scan
+        for ci, acd in enumerate(ac_scans):
+            cid = ci + 1
+            tbl = 0x00 if ci == 0 else 0x11
+            out += seg(0xDA, bytes([1, cid, tbl, 1, 63, 0])) + acd
+        return out + b"\xff\xd9"
     sos = bytes([3, 1, 0x00, 2, 0x11, 3, 0x11, 0, 63, 0])
     dri = (seg(0xDD, struct.pack(">H", restart_interval))
            if restart_interval else b"")

@@ -370,3 +370,22 @@ def test_gif_lzw_roundtrip():
         for il in (False, True):
             assert np.array_equal(
                 decode_gif(make_gif(idx, pal, interlace=il)), pal[idx])
+
+
+def test_progressive_jpeg_matches_baseline_pixels():
+    """SOF2 spectral-selection encode→decode must produce pixels
+    IDENTICAL to the baseline encoding of the same image (the
+    quantized coefficients are the same; only the entropy layout
+    differs)."""
+    import numpy as np
+
+    import sits_classification_ray.stages.jpeg as J
+
+    rng = np.random.RandomState(31)
+    for (h, w) in [(1, 12), (16, 16), (17, 23), (33, 18)]:
+        for sub in (True, False):
+            rgb = rng.randint(0, 256, (h, w, 3), np.uint8)
+            base = J.decode_jpeg(J.make_jpeg_color(rgb, subsample=sub))
+            prog = J.decode_jpeg(J.make_jpeg_color(rgb, subsample=sub,
+                                                   progressive=True))
+            assert np.array_equal(prog, base)
